@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults chosen for correctness-vs-oracle and 100 TB-scale habits:
+  *   - UTC session timezone (oracle parity; FIXTURES.md §3).
+  *   - AQE on: runtime partition coalescing, skew-join splitting, and
+  *     join-strategy switching are the knobs that keep a fixed plan
+  *     healthy at 1000x the data.
+  *   - shuffle.partitions sized to the local core count (the driver runs
+  *     local[32]); on a real cluster this is overridden per deploy, and
+  *     AQE coalescing makes the static number mostly a ceiling.
+  */
+object GraftSession {
+
+  def builder(appName: String, master: Option[String] = None): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps; read as TIMESTAMP
+      // truncated to micros rather than failing.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+    master.orElse(sys.env.get("SPARK_GRAFT_MASTER")) match {
+      case Some(m) => b.master(m)
+      case None if sys.props.contains("spark.master") => b
+      case None => b.master(s"local[$cpus]")
+    }
+  }
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
