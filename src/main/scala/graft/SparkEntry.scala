@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, RelationalOracle}
+import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` with a DuckDB-expressible semantics has a
@@ -37,9 +38,45 @@ object SparkEntry {
     "q17_explode_topk"   -> (Relational.q17ExplodeTopK _),
     "q18_union_dedup"    -> (Relational.q18UnionDedup _),
     "q19_tumbling_window" -> (Relational.q19TumblingWindow _),
+    // Q20: the SIMPSS pipeline itself (batch form). Inputs are the
+    // committed deterministic fixtures, not the sf tables.
+    "q20_sensor_pipeline" -> ((s: SparkSession, _: String) =>
+      SensorPipeline.run(s, Fixtures.sensorNdjson, Fixtures.sensorDim)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RelationalOracle.sql
+  def oracleSql: Map[String, String] =
+    RelationalOracle.sql ++ Map("q20_sensor_pipeline" -> Fixtures.q20OracleSql)
+}
+
+/** Committed deterministic fixtures (tools/gen_sensor_fixture.py). */
+object Fixtures {
+  val sensorNdjson = "/root/repo/data/sensor_readings.ndjson"
+  val sensorDirtyNdjson = "/root/repo/data/sensor_readings_dirty.ndjson"
+  val sensorDim = "/root/repo/data/sensor_group.csv"
+
+  /** DuckDB image of SensorPipeline.run over the same fixture files. */
+  val q20OracleSql: String =
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('$sensorNdjson',
+       |    format='newline_delimited',
+       |    columns={id:'INTEGER', uptime:'INTEGER', "T":'INTEGER', "P":'INTEGER',
+       |             "H":'INTEGER', "Ix":'INTEGER', "Iy":'INTEGER', "Iz":'INTEGER',
+       |             "M":'INTEGER', time_received:'TIMESTAMP', seq:'BIGINT'})),
+       |dim AS (
+       |  SELECT sensor_id, trim(group_id) AS group_id
+       |  FROM read_csv('$sensorDim', header=true,
+       |    columns={sensor_id:'INTEGER', group_id:'VARCHAR'})),
+       |renamed AS (
+       |  SELECT time_received, d.group_id AS sensor_group, s.id AS sensor_id, s.uptime,
+       |         s."T" AS temperature, s."P" AS pressure, s."H" AS humidity,
+       |         s."Ix" AS ix, s."Iy" AS iy, s."Iz" AS iz, s."M" AS mask, s.seq
+       |  FROM src s JOIN dim d ON s.id = d.sensor_id)
+       |SELECT time_received, sensor_group, sensor_id, uptime, temperature, pressure,
+       |       humidity, ix, iy, iz, mask
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sensor_group, sensor_id, time_received
+       |                                   ORDER BY seq DESC) rn FROM renamed)
+       |WHERE rn = 1
+       |ORDER BY sensor_group, sensor_id, time_received""".stripMargin
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.pipeline.SensorPipeline
+import graft.streaming.SensorStream
+
+/** Streaming/batch equivalence — the faithful replacement for the
+  * reference's manual cqlsh verification (SURVEY.md §5.2 item 4): the
+  * same records replayed through the streaming pipeline must produce the
+  * byte-identical table the batch pipeline produces.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ndjsonLines: Seq[String] =
+    scala.io.Source.fromFile(Fixtures.sensorNdjson).getLines().toSeq
+
+  test("streaming upsert over MemoryStream equals batch pipeline (Q20)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val store = java.nio.file.Files.createTempDirectory("upsert").toString + "/store"
+    val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+    val transformed = SensorStream.transform(stream.toDF(), dim)
+    val q = transformed.writeStream
+      .outputMode("append")
+      .foreachBatch(SensorStream.upsertBatch(spark, store) _)
+      .start()
+    // replay the fixture in 3 micro-batches (out-of-order arrival within
+    // each batch, ordered delivery across batches — Kafka-like)
+    val lines = ndjsonLines
+    val third = (lines.length + 2) / 3
+    lines.grouped(third).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.read.parquet(store)
+      .orderBy("sensor_group", "sensor_id", "time_received")
+    val batch = SensorPipeline.run(spark, Fixtures.sensorNdjson, Fixtures.sensorDim)
+    assert(streamed.columns.sorted.sameElements(batch.columns.sorted))
+    val a = streamed.select(batch.columns.map(col): _*).collect().toSeq
+    val b = batch.collect().toSeq
+    assert(a == b)
+  }
+
+  test("re-running a batch converges (idempotent upsert)") {
+    val store = java.nio.file.Files.createTempDirectory("upsert2").toString + "/store"
+    val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+    val lines = spark.read.text(Fixtures.sensorNdjson)
+    val batch = SensorStream.transform(lines, dim)
+    SensorStream.upsertBatch(spark, store)(batch, 0L)
+    val first = spark.read.parquet(store).collect().toSet
+    SensorStream.upsertBatch(spark, store)(batch, 0L) // replay same batch
+    val second = spark.read.parquet(store).collect().toSet
+    assert(first == second)
+  }
+
+  test("streaming tumbling window equals batch form (Q19 discipline)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+    val batchRecords = SensorStream.transform(spark.read.text(Fixtures.sensorNdjson), dim)
+    val expected = SensorStream.tumblingStats(batchRecords, "5 minutes")
+      .orderBy("window_start", "sensor_group").collect().toSeq
+
+    val stream = MemoryStream[String]
+    val streamStats = SensorStream.tumblingStats(
+      SensorStream.transform(stream.toDF(), dim), "5 minutes")
+    val q = streamStats.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    ndjsonLines.grouped(900).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("tumbling_out")
+      .orderBy("window_start", "sensor_group").collect().toSeq
+    assert(got == expected)
+  }
+}
