@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, RelationalOracle}
+import graft.operators.{Dedup, ExtrasOracle, Relational, RelationalOracle, Similarity, TextAnalysis}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,12 +42,33 @@ object SparkEntry {
     // committed deterministic fixtures, not the sf tables.
     "q20_sensor_pipeline" -> ((s: SparkSession, _: String) =>
       SensorPipeline.run(s, Fixtures.sensorNdjson, Fixtures.sensorDim)),
+    // LLM-training-data pipeline extras (north star): dedup at three cost
+    // tiers, similarity search (exact + ANN), text analysis.
+    "x01_dedup_exact"   -> (Dedup.exactDedupQuery _),
+    "x02_minhash_pairs" -> (Dedup.minhashQuery _),
+    "x03_ngram_pairs"   -> (Dedup.ngramPairsQuery _),
+    "x04_simhash"       -> (Dedup.simhashQuery _),
+    "x05_cosine_knn"    -> (Similarity.knnQuery _),
+    "x06_ann_lsh"       -> (Similarity.annQuery _),
+    "x07_embed_top1"    -> (Similarity.top1WithinLabel _),
+    "x08_lang_id"       -> (TextAnalysis.langIdReport _),
+    "x09_text_quality"  -> (TextAnalysis.qualityByLang _),
+    "x10_token_count"   -> (TextAnalysis.tokenCountBySource _),
+    "x11_fingerprint"   -> (TextAnalysis.fingerprints _),
   )
+
+  /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
+    * signatures / LSH bucket assignment / stopword-profile argmax). The
+    * driver records a rows-only check; semantic coverage lives in
+    * ScalaTest (known-dup recall, ANN recall vs brute force). */
+  val rowsOnly: Set[String] =
+    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x08_lang_id")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracle.sql ++ Map("q20_sensor_pipeline" -> Fixtures.q20OracleSql)
+    RelationalOracle.sql ++ ExtrasOracle.sql ++
+      Map("q20_sensor_pipeline" -> Fixtures.q20OracleSql)
 }
 
 /** Committed deterministic fixtures (tools/gen_sensor_fixture.py). */

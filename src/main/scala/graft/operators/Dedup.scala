@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deduplication operators for a training-data pipeline, at three cost
+  * tiers:
+  *
+  *   - exact:      one hash aggregation on the content key.
+  *   - n-gram:     inverted-index (gram) join with document-frequency
+  *                 pruning — the classic scalable near-dup candidate
+  *                 generator (no cross join anywhere).
+  *   - MinHash+LSH / SimHash: signature-based banding, where candidate
+  *                 pairs come from equi-joins on (band, signature) buckets.
+  *
+  * Everything is built-in expressions (xxhash64, higher-order array fns,
+  * hash-aggregations) — distributed, shuffle-only-on-buckets, no UDF.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on text: one row per distinct content, keeper = min id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  def exactDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.load(spark, dir, "documents")).orderBy(col("keep_id"))
+
+  // -------------------------------------------------------- word shingles
+
+  /** Distinct word n-grams per document (empty array below n tokens —
+    * guarded because Spark's sequence(a,b) runs DESCENDING when b < a).
+    * Tokens are let-bound so split() runs once per row, not per gram. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.bindArray(TextAnalysis.wsTokens(text)) { toks =>
+      val count = size(toks) - (n - 1)
+      array_distinct(
+        when(count >= 1,
+          transform(sequence(lit(1), greatest(count, lit(1))),
+            i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+          .otherwise(array().cast("array<string>")))
+    }
+
+  // ------------------------------------------- n-gram inverted-index join
+
+  /** Near-dup candidate pairs by shared *rare* n-grams, same-lang blocked.
+    * Grams with document frequency > maxDf are dropped first: hot grams
+    * add no discriminative signal but quadratic join fan-out — the pruning
+    * is what keeps this plan alive at 100 TB. Output is exact integers
+    * (pair intersection sizes), so it is oracle-checkable. */
+  def ngramCandidatePairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
+                          minInter: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        explode(wordShingles(col("text"), n)).as("gram"))
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("gram")
+    val rg = grams.join(rare, "gram")
+    val a = rg.select(col("gram"), col("lang"), col("doc_id").as("d1"))
+    val b = rg.select(col("gram"), col("lang"), col("doc_id").as("d2"))
+    a.join(b, Seq("gram", "lang"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("lang"), col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minInter)
+  }
+
+  def ngramPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramCandidatePairs(Tables.load(spark, dir, "documents"))
+      .orderBy(col("lang"), col("d1"), col("d2"))
+
+  // --------------------------------------------------------- MinHash LSH
+
+  /** MinHash signature: for each of numHashes seeded hash functions, the
+    * minimum xxhash64 over the doc's shingle set. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, hash
+    * each band → (band_idx, band_sig) bucket keys. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bsig")))
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard over the
+    * shingle sets. numHashes = bands * rowsPerBand. Candidates come from
+    * an equi-join on bucket keys (shuffle on buckets, never a cross join);
+    * the exact-Jaccard verify join only touches candidate pairs. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16,
+                      rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
+    val withShingles = docs
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = withShingles
+      .select(col("doc_id"), col("sh"),
+        graft.functions.VectorFunctions.bindArray(
+          minhashSignature(col("sh"), bands * rowsPerBand))(
+          sig => lshBands(sig, bands, rowsPerBand)).as("bandkeys"))
+    val buckets = sigs.select(col("doc_id"), explode(col("bandkeys")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sh1 = withShingles.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val sh2 = withShingles.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand.join(sh1, "d1").join(sh2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
+      // integer-exact threshold test: inter/uni >= t  <=>  inter >= t*uni
+      .filter(col("inter").cast("double") >= lit(jaccardThreshold) * col("uni").cast("double"))
+      .select(col("d1"), col("d2"), col("inter"), col("uni"))
+  }
+
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.load(spark, dir, "documents"))
+      .orderBy(col("d1"), col("d2"))
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens, materialized as 4 x 16-bit
+    * chunks (long-safe under ANSI arithmetic, and the natural shape for
+    * pigeonhole banding). Bit i of the fingerprint is the sign of
+    * sum over tokens of ±1, where the ± comes from the token's
+    * xxhash64 seeded with i (64 independent hash bits — standard
+    * SimHash with a per-bit hash family). */
+  def simhashChunks(text: Column): Column =
+    graft.functions.VectorFunctions.bindArray(TextAnalysis.wsTokens(text)) { toks =>
+      graft.functions.VectorFunctions.bindArray(
+        transform(sequence(lit(0), lit(63)), i =>
+          when(aggregate(toks, lit(0L),
+            (acc, t) => acc + when(xxhash64(t, i) > 0, 1L).otherwise(-1L)) > 0, 1L)
+            .otherwise(0L))) { bits =>
+        transform(sequence(lit(0), lit(3)), c =>
+          aggregate(slice(bits, c * 16 + 1, lit(16)), lit(0L), (acc, b) => acc * 2 + b))
+      }
+    }
+
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), simhashChunks(col("text")).as("ch"))
+      .select(col("doc_id"),
+        element_at(col("ch"), 1).as("c0"), element_at(col("ch"), 2).as("c1"),
+        element_at(col("ch"), 3).as("c2"), element_at(col("ch"), 4).as("c3"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
+    * 4x16-bit chunk banding (pigeonhole: any pair within distance 3 agrees
+    * on at least one chunk) — candidates from bucket equi-joins only. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), simhashChunks(col("text")).as("ch"))
+    val chunks = hashed.select(col("doc_id"), col("ch"),
+        posexplode(col("ch")).as(Seq("chunk", "ckey")))
+    val hamming = (1 to 4).map(i =>
+      bit_count(element_at(col("a.ch"), i).bitwiseXOR(element_at(col("b.ch"), i))))
+      .reduce(_ + _)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+/** DuckDB oracle SQL for the LLM-pipeline extras that are cross-engine
+  * exact: integer-valued outputs (counts, ids, ranks, rolling hashes) or
+  * rank-only projections whose float similarity gaps were measured to be
+  * orders of magnitude above cross-engine noise (see Similarity).
+  *
+  * Signature-based ops (MinHash/SimHash/sign-LSH) hash with Spark's
+  * xxhash64, which DuckDB does not implement — those queries are
+  * rows-only for the driver and get semantic coverage in ScalaTest
+  * (known near-dup pairs found, ANN recall vs brute force).
+  */
+object ExtrasOracle {
+  val sql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x03_ngram_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+        |rg AS (SELECT g.* FROM grams g JOIN rare USING (gram))
+        |SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= 2
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "x05_cosine_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT query_id, vec_id AS neighbor_id, list_cosine_similarity(qe, embedding) AS sim
+        |  FROM q, embeddings WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS "rank"
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, "rank" FROM ranked
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "x07_embed_top1" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id, b.vec_id AS nid, list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, nid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk
+        |  FROM sims)
+        |SELECT vec_id, nid AS best_id FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "x09_text_quality" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))) AS BIGINT) AS sum_punct,
+        |  CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS sum_digits,
+        |  CAST(SUM(length(regexp_replace(text, ' ', '', 'g'))) AS BIGINT) AS sum_nonspace
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x10_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT), [CAST(ord(x) AS BIGINT) FOR x IN split(text, '')]),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns.
+  *
+  *   - Brute-force top-k: broadcast the (small) query set against the full
+  *     vector table — one narrow pass over the big side, then a per-query
+  *     top-k. This is the exactness baseline.
+  *   - Sign-LSH (random hyperplanes) bucketed ANN: vectors land in
+  *     2^bits buckets per table; candidates are same-bucket equi-join
+  *     matches in any of L tables. Recall is tested against brute force.
+  *
+  * At cluster scale the brute-force path stays viable as long as the
+  * query set broadcasts (thousands of queries); beyond that the LSH path
+  * (or an IVF variant with a trained codebook) takes over: the shuffle is
+  * on bucket keys, never a cross join of the vector table with itself.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. Self-matches excluded. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = vectors.as("v")
+      .join(broadcast(queries.as("q")), col("v.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"),
+        cosine(col("q.qvec"), col("v.embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** queries() entry: top-5 neighbors for the first 20 vectors. Ranks are
+    * hash-checkable (similarity gaps at rank boundaries are ~1e-5, far
+    * above cross-engine float noise; verified empirically). */
+  def knnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    bruteForceTopK(emb, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Top-1 nearest neighbor within each label block (candidate-duplicate
+    * report shape: every vector gets its best in-block match). */
+  def top1WithinLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = emb.select(col("label"), col("vec_id"), col("embedding"))
+    val b = emb.select(col("label"), col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nid"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"), cosine(col("embedding"), col("nemb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nid").as("best_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------ sign LSH
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
+    * broadcast implicitly with the plan. */
+  private def planes(nTables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Bucket id of a vector in one LSH table: sign bits against `bits`
+    * hyperplanes packed into a long. */
+  private def bucketExpr(vec: org.apache.spark.sql.Column,
+                         tablePlanes: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    tablePlanes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+
+  /** ANN top-k via sign-LSH: candidates = pairs sharing a bucket in any
+    * table; exact cosine re-rank on candidates only. */
+  /** Default bits/tables tuned for mid-similarity neighbors (cos ~0.4,
+    * i.e. random-vector corpora, the hard case): P(bit agree) ~0.63, so
+    * per-table match ~0.63^6 = 6%, and 1-(1-6%)^12 ~ 0.54 recall while
+    * probing ~12/64 of the corpus. Corpora with true near-dups (cos>0.9)
+    * can push bits up sharply (0.9→0.94^bits per table). */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              nTables: Int = 12, bits: Int = 6, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val ps = planes(nTables, bits, dim, seed)
+    def withBuckets(df: DataFrame, vecCol: String, idAlias: String) =
+      df.select(col("*") +: ps.zipWithIndex.map { case (tp, t) =>
+        bucketExpr(col(vecCol), tp).as(s"_b$t")
+      }: _*)
+        .select(col(idAlias), col(vecCol),
+          explode(array((0 until nTables).map(t =>
+            struct(lit(t).as("t"), col(s"_b$t").as("bkt"))): _*)).as("tb"))
+        .select(col(idAlias), col(vecCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+
+    val vb = withBuckets(vectors.select(col("vec_id"), col("embedding")), "embedding", "vec_id")
+    val qb = withBuckets(queries.select(col("query_id"), col("qvec")), "qvec", "query_id")
+    val cand = qb.as("q").join(vb.as("v"),
+        col("q.t") === col("v.t") && col("q.bkt") === col("v.bkt") &&
+          col("q.query_id") =!= col("v.vec_id"))
+      .select(col("q.query_id"), col("q.qvec"), col("v.vec_id").as("neighbor_id"), col("v.embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** rows-only queries() entry for the ANN path (bucket assignment depends
+    * on engine-local float dot signs, so no cross-engine oracle; recall
+    * vs brute force is asserted in ScalaTest instead). */
+  def annQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
+  }
+}

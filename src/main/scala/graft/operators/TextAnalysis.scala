@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline: quality stats,
+  * BPE-ish token counting, n-gram-free heuristic language ID, and
+  * rolling-hash document fingerprinting. All built-in expressions
+  * (regexp/split/aggregate) — fully distributed, codegen-friendly, and
+  * (except langId's stopword tables) engine-agnostic enough to be
+  * oracle-checked cell-exactly against DuckDB.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer: letter runs, digit runs, single non-alnum marks.
+    * Same semantics under Java regex (Spark) and RE2 (DuckDB). */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Whitespace tokens (empty-safe). */
+  def wsTokens(text: Column): Column = filter(split(text, " "), _ =!= "")
+
+  /** Per-document integer quality signals — exact, so aggregates of them
+    * hash-match any engine. */
+  def qualitySignals(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("n_chars_m"),
+      size(wsTokens(col("text"))).as("n_tokens"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digits"),
+      length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+
+  /** Quality roll-up per lang (oracle-checked: integer sums only; the
+    * derived ratios are computed by consumers from exact sums). */
+  def qualityByLang(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(Tables.load(spark, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_punct")).as("sum_punct"),
+        sum(col("n_digits")).as("sum_digits"),
+        sum(col("n_nonspace")).as("sum_nonspace"))
+      .orderBy(col("lang"))
+
+  /** BPE-ish token counts per source. */
+  def tokenCountBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_bpe_tokens"))
+      .orderBy(col("source"))
+
+  /** Rolling polynomial hash (base 31, mod 2^31-1) over the document's
+    * codepoints — a deterministic content fingerprint. Modulo applied at
+    * every step keeps the accumulator within long range (ANSI-safe). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword profiles for heuristic language ID. Small on purpose — the
+    * operator's shape (broadcast-free scoring, argmax) is the point; real
+    * deployments swap richer profiles in. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "une", "que", "pas", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Detected language = argmax stopword hits; 'und' when nothing matches.
+    * Ties resolve to the first profile in declaration order (stable). */
+  def detectLang(text: Column): Column =
+    graft.functions.VectorFunctions.bindArray(wsTokens(lower(text))) { toks =>
+      graft.functions.VectorFunctions.bindArray(
+        transform(array(stopwordProfiles.map { case (_, words) =>
+          array(words.map(lit): _*)
+        }: _*), profile => size(array_intersect(toks, profile)))) { scores =>
+        val best = array_max(scores)
+        stopwordProfiles.map(_._1).zipWithIndex
+          .foldRight(lit("und"): Column) { case ((lang, i), acc) =>
+            when(best > 0 && element_at(scores, i + 1) === best, lit(lang)).otherwise(acc)
+          }
+      }
+    }
+
+  /** Confusion-style report: labeled lang × detected lang counts. */
+  def langIdReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), detectLang(col("text")).as("detected"))
+      .groupBy(col("lang"), col("detected"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("detected"))
+}

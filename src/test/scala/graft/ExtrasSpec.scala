@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Multimodal, VectorFunctions}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Semantic coverage for the ops whose outputs are engine-specific
+  * (signature hashes, LSH buckets, heuristic argmax) and therefore
+  * rows-only at the driver's oracle gate. */
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf("sf0.001"), "documents")
+
+  test("minhash-LSH finds planted near-duplicates") {
+    // plant: copy of doc text with one word changed → jaccard ~ high
+    val base = docs.limit(20).select($"doc_id", $"text")
+    val dups = base.select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" perturbedtail")).as("text"))
+    val corpus = base.unionByName(dups)
+    val pairs = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val expected = base.select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing planted pairs: ${expected -- pairs}")
+  }
+
+  test("minhash-LSH pairs are verified by exact jaccard >= threshold") {
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+    pairs.foreach { r =>
+      val inter = r.getAs[Int]("inter").toDouble
+      val uni = r.getAs[Int]("uni").toDouble
+      assert(inter / uni >= 0.5)
+    }
+  }
+
+  test("simhash: hamming distance separates near-dups from random pairs") {
+    // near-dup = one appended token out of ~90 → few flipped bits;
+    // unrelated docs → ~32 flipped bits. Compare distributions directly.
+    val base = docs.limit(10).select($"doc_id", $"text")
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val chunks = base
+      .select($"doc_id", Dedup.simhashChunks($"text").as("ch"),
+        Dedup.simhashChunks(concat($"text", lit(" perturbed"))).as("chp"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    val nearDists = chunks.map { case (_, a, b) => hamming(a, b) }
+    val farDists = for (i <- chunks.indices; j <- chunks.indices if i < j)
+      yield hamming(chunks(i)._2, chunks(j)._2)
+    info(s"near-dup hamming: ${nearDists.toSeq}, random mean: ${farDists.sum / farDists.size}")
+    assert(nearDists.forall(_ <= 12), s"near-dup drifted too far: ${nearDists.toSeq}")
+    assert(farDists.sum.toDouble / farDists.size >= 16, "random pairs unexpectedly close")
+  }
+
+  test("simhash banding finds exact and near-exact duplicates") {
+    val base = docs.limit(10).select($"doc_id", $"text")
+    val dups = base.select(($"doc_id" + 100000).as("doc_id"), $"text") // exact dups
+    val pairs = Dedup.simhashPairs(base.unionByName(dups), maxHamming = 3)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val expected = base.select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+  }
+
+  test("ANN recall@5 vs brute force meets tuned target") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    info(f"ANN recall@5 = $recall%.2f (${ann.size} returned)")
+    // random-vector corpus (nearest cos ~0.4) is LSH's worst case; the
+    // tuned default targets ~0.5 expected recall there — accept 0.4.
+    assert(recall >= 0.4, f"recall $recall%.2f too low")
+  }
+
+  test("cosine is 1 for identical, 0 for orthogonal vectors") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("a", "b")
+    val sims = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+    assert(sims(2) == 0.0) // zero-norm guarded
+  }
+
+  test("langId detects real-language samples") {
+    val samples = Seq(
+      ("the cat is in the house and it was a good day", "en"),
+      ("el perro y la casa de los amigos es una historia", "es"),
+      ("der hund und die katze ist nicht mit dem mann", "de"),
+      ("le chien et les amis de la maison est une histoire pas pour", "fr"),
+      ("wxyz qqq zzz", "und")).toDF("text", "expected")
+    val got = samples.select($"expected", TextAnalysis.detectLang($"text").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, act) => assert(act == exp, s"expected $exp got $act") }
+  }
+
+  test("fingerprint is content-sensitive and stable") {
+    val fps = Seq("hello world", "hello world", "hello worle")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("multimodal: decode/features/frames plumbing round-trips") {
+    val assets = Multimodal.syntheticAssets(spark, docs.limit(30), "doc_id", "text")
+    val info30 = Multimodal.decode(assets).collect()
+    assert(info30.length == 30)
+    assert(info30.forall(i => i.width >= 64 && i.byte_size > 0))
+    assert(info30.map(_.kind).toSet == Set("image", "audio", "video"))
+
+    val feats = Multimodal.extractFeatures(assets, dim = 16)
+    assert(feats.head().feature.length == 16)
+    // deterministic: same payload → same feature
+    val f2 = Multimodal.extractFeatures(assets, dim = 16)
+    assert(feats.collect().map(_.feature.toSeq).toSeq ==
+      f2.collect().map(_.feature.toSeq).toSeq)
+
+    val frames = Multimodal.frameSample(assets, 4)
+    val byAsset = frames.collect().groupBy(_.asset_id)
+    assert(byAsset.values.forall(_.length == 4))
+    // frames partition the payload: concat == original
+    val orig = assets.collect().map(a => a.asset_id -> a.payload.toSeq).toMap
+    byAsset.foreach { case (id, fs) =>
+      assert(fs.sortBy(_.frame_idx).flatMap(_.frame_bytes).toSeq == orig(id))
+    }
+  }
+
+  test("exact dedup collapses planted copies") {
+    val base = docs.limit(10).select($"doc_id", $"text")
+    val copies = base.select(($"doc_id" + 500).as("doc_id"), $"text")
+    val out = Dedup.exactDedup(base.unionByName(copies))
+    assert(out.count() == 10)
+    assert(out.filter($"n_copies" =!= 2).isEmpty)
+  }
+}
