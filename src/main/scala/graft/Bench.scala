@@ -18,7 +18,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink: full materialization of every output column — count()
+      // would let Catalyst prune expensive projections out of the plan.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -23,8 +23,15 @@ object VectorFunctions {
   def bindArray(arr: Column)(f: Column => Column): Column =
     element_at(transform(array(arr), a => f(a)), 1)
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision (native expression;
+    * see functions.expressions.DotProduct). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.NativeExpressions.dotProduct(a, b)
+
+  /** HOF composition of the same fold — kept as the pure-built-ins
+    * reference implementation (bit-identical results; used to cross-check
+    * the native expression in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -33,9 +40,13 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 for zero-norm inputs (rather than NaN). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.NativeExpressions.cosineSim(a, b)
+
+  /** Built-ins-only cosine (reference/cross-check twin of `cosine`). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotHof(a, b) / denom)
   }
 
   /** Squared L2 distance (monotone with L2 — cheaper for ranking). */

@@ -1,0 +1,36 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering the engine's native expressions under SQL
+  * names (usable from spark.sql and via functions.call_function). Wired by
+  * GraftSession.builder; also usable standalone via
+  * spark.sql.extensions=graft.functions.expressions.GraftExtensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k min-hashes (XXH64 seeds 0..k-1)"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_chunks"),
+      info("simhash_chunks", "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks"),
+      (args: Seq[Expression]) => SimHashChunks(args(0))))
+  }
+}

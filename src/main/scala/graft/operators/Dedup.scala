@@ -78,10 +78,11 @@ object Dedup {
   // --------------------------------------------------------- MinHash LSH
 
   /** MinHash signature: for each of numHashes seeded hash functions, the
-    * minimum xxhash64 over the doc's shingle set. */
+    * minimum XXH64 over the doc's shingle set. Native expression — the
+    * equivalent transform/array_min/xxhash64 composition is interpreted
+    * per lambda element and measured ~20x slower at sf0.1. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+    graft.functions.expressions.NativeExpressions.minhashSignature(shingles, numHashes)
 
   /** LSH banding: split the signature into bands of `rowsPerBand`, hash
     * each band → (band_idx, band_sig) bucket keys. */
@@ -134,16 +135,7 @@ object Dedup {
     * xxhash64 seeded with i (64 independent hash bits — standard
     * SimHash with a per-bit hash family). */
   def simhashChunks(text: Column): Column =
-    graft.functions.VectorFunctions.bindArray(TextAnalysis.wsTokens(text)) { toks =>
-      graft.functions.VectorFunctions.bindArray(
-        transform(sequence(lit(0), lit(63)), i =>
-          when(aggregate(toks, lit(0L),
-            (acc, t) => acc + when(xxhash64(t, i) > 0, 1L).otherwise(-1L)) > 0, 1L)
-            .otherwise(0L))) { bits =>
-        transform(sequence(lit(0), lit(3)), c =>
-          aggregate(slice(bits, c * 16 + 1, lit(16)), lit(0L), (acc, b) => acc * 2 + b))
-      }
-    }
+    graft.functions.expressions.NativeExpressions.simhashChunks(TextAnalysis.wsTokens(text))
 
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

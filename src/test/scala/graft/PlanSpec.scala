@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan quality gates (the 100 TB discipline, testable at any
+  * scale): filters and projections must reach the parquet scan, small
+  * dimensions must broadcast, top-k must not global-sort, and the hot
+  * expressions must be the native ones. Plan strings are stable enough
+  * for these coarse assertions.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("q01: filter and projection are pushed to the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate") && p.contains("l_discount"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_partkey") && !p.contains("l_tax"),
+      s"unneeded columns read:\n$p")
+  }
+
+  test("q03: dimension joins are broadcast (no fact shuffle)") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ for tiny dims:\n$p")
+  }
+
+  test("q04: top-k compiles to TakeOrderedAndProject") {
+    val p = plan("q04_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q06: semi/anti joins use semi/anti physical joins") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q02: aggregation is two-phase (partial + final)") {
+    val p = plan("q02_agg")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final:\n$p")
+  }
+
+  test("x05: query side of brute-force knn is broadcast") {
+    val p = plan("x05_cosine_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+    assert(p.contains("cosine_sim"), s"native cosine expression not in plan:\n$p")
+  }
+
+  test("x02: minhash uses the native signature expression") {
+    val p = plan("x02_minhash_pairs")
+    assert(p.contains("minhash_signature"), s"native minhash not in plan:\n$p")
+  }
+
+  test("q20: sensor pipeline broadcasts the dimension and avoids window sort") {
+    val p = plan("q20_sensor_pipeline")
+    assert(p.contains("BroadcastHashJoin"), s"dim join should broadcast:\n$p")
+    assert(p.contains("max_by"), s"dedup should be max_by aggregation:\n$p")
+    assert(!p.contains("Window"), s"dedup should not use a window sort:\n$p")
+  }
+}
