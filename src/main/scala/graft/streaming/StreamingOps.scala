@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the sensor stream (SURVEY.md §2.B
+  * streaming rows): watermarks, tumbling/sliding/session windows,
+  * watermarked dedup, stream-stream joins, and arbitrary state
+  * (flatMapGroupsWithState sessionization). All are standard Structured
+  * Streaming constructs — state lives in the engine's state store,
+  * checkpointed, and scales horizontally by group key.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling counts (append mode capable): late rows beyond
+    * `delay` are dropped by the engine. */
+  def tumblingWithWatermark(records: DataFrame, width: String, delay: String): DataFrame =
+    records
+      .withWatermark("time_received", delay)
+      .groupBy(window(col("time_received"), width), col("sensor_group"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("sensor_group"), col("n"))
+
+  /** Sliding window stats. */
+  def slidingStats(records: DataFrame, width: String, slide: String): DataFrame =
+    records
+      .groupBy(window(col("time_received"), width, slide), col("sensor_group"))
+      .agg(count(lit(1)).as("n"), avg(col("temperature")).as("avg_temp"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("sensor_group"), col("n"), col("avg_temp"))
+
+  /** Session windows (gap-based); works identically in batch and
+    * streaming, which the spec exploits for equivalence. */
+  def sessionStats(records: DataFrame, gap: String): DataFrame =
+    records
+      .groupBy(session_window(col("time_received"), gap), col("sensor_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("sensor_id"), col("n"))
+
+  /** Streaming keyed dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped, state older than the horizon is
+    * evicted (the streaming face of the PK upsert semantics). */
+  def dedupWithinWatermark(records: DataFrame, delay: String): DataFrame =
+    records
+      .withWatermark("time_received", delay)
+      .dropDuplicatesWithinWatermark("sensor_group", "sensor_id", "time_received")
+
+  /** Watermarked stream-stream inner join: pairs each sensor reading with
+    * group-mates within ±tolerance (interval join). Both sides bounded by
+    * watermarks so join state is evictable. */
+  def selfJoinWithinTolerance(records: DataFrame, delay: String,
+                              toleranceSeconds: Int): DataFrame = {
+    val a = records.select(col("sensor_group"), col("sensor_id").as("id_a"),
+      col("time_received").as("t_a")).withWatermark("t_a", delay)
+    val b = records.select(col("sensor_group").as("g_b"), col("sensor_id").as("id_b"),
+      col("time_received").as("t_b")).withWatermark("t_b", delay)
+    a.join(b,
+      col("sensor_group") === col("g_b") &&
+        col("id_a") < col("id_b") &&
+        col("t_b") >= col("t_a") - expr(s"INTERVAL $toleranceSeconds SECONDS") &&
+        col("t_b") <= col("t_a") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+      .select(col("sensor_group"), col("id_a"), col("id_b"), col("t_a"), col("t_b"))
+  }
+
+  // ------------------------------------------- arbitrary state (FMGWS) --
+
+  case class SensorEvent(sensor_id: Int, time_received: java.sql.Timestamp, temperature: Int)
+  case class SessionAgg(sensor_id: Int, start: java.sql.Timestamp, end: java.sql.Timestamp,
+                        n: Int, max_temp: Int)
+  case class SessionState(start: Long, end: Long, n: Int, maxTemp: Int)
+
+  /** Gap-based sessionization with arbitrary state: emits a session when
+    * the event-time timeout fires (no event for `gapMillis` past the
+    * watermark). Custom state logic the built-in session_window cannot
+    * express (e.g. carrying max_temp per session). */
+  def sensorSessions(events: Dataset[SensorEvent], gapMillis: Long,
+                     delay: String): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("time_received", delay)
+      .groupByKey(_.sensor_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (id: Int, rows: Iterator[SensorEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(id, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.maxTemp))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.time_received.getTime)
+            var closed = List.empty[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.time_received.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+                    math.max(s.maxTemp, e.temperature)))
+                case Some(s) =>
+                  closed ::= SessionAgg(id, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.maxTemp)
+                  cur = Some(SessionState(t, t, 1, e.temperature))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.temperature))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.pipeline.SensorPipeline
+import graft.streaming.{SensorStream, StreamingOps}
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+
+  private def wireJson(id: Int, iso: String, seq: Long): String =
+    s"""{"id":$id,"uptime":1,"T":20,"P":1000,"H":50,"Ix":0,"Iy":0,"Iz":0,"M":1,"time_received":"$iso","seq":$seq}"""
+
+  test("watermark drops late rows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = StreamingOps.tumblingWithWatermark(
+      SensorStream.transform(stream.toDF(), dim), "1 minute", "2 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    // batch 1: rows up to 10:30 → watermark after batch = 10:28
+    stream.addData(Seq(
+      wireJson(100, "2024-03-01T10:00:10", 1),
+      wireJson(100, "2024-03-01T10:00:20", 2),
+      wireJson(100, "2024-03-01T10:30:00", 3)))
+    q.processAllAvailable()
+    // batch 2: a row at 10:00 — 28 minutes late, beyond the 2-minute
+    // watermark → dropped; plus one fresh row to advance/flush
+    stream.addData(Seq(
+      wireJson(100, "2024-03-01T10:00:30", 4),
+      wireJson(100, "2024-03-01T11:00:00", 5)))
+    q.processAllAvailable()
+    // batch 3: advance watermark far so all windows finalize
+    stream.addData(Seq(wireJson(100, "2024-03-01T12:00:00", 6)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_out")
+      .select($"window_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+    assert(rows("2024-03-01 10:00:00") == 2, s"late row not dropped: $rows")
+    assert(rows("2024-03-01 10:30:00") == 1)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val deduped = StreamingOps.dedupWithinWatermark(
+      SensorStream.transform(stream.toDF(), dim), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    stream.addData(Seq(
+      wireJson(100, "2024-03-01T10:00:00", 1),
+      wireJson(100, "2024-03-01T10:00:00", 2), // same PK, same batch
+      wireJson(101, "2024-03-01T10:00:05", 3)))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      wireJson(100, "2024-03-01T10:00:00", 4), // same PK, next batch, in horizon
+      wireJson(100, "2024-03-01T10:05:00", 5)))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dd_out")
+      .filter($"sensor_id" === 100 && $"time_received" === lit("2024-03-01 10:00:00").cast("timestamp"))
+      .count()
+    assert(n == 1, s"duplicate not suppressed (got $n rows)")
+  }
+
+  test("session_window: streaming equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = scala.io.Source.fromFile(Fixtures.sensorNdjson).getLines().toSeq
+    val batch = StreamingOps.sessionStats(
+      SensorStream.transform(spark.read.text(Fixtures.sensorNdjson), dim), "3 minutes")
+      .orderBy("sensor_id", "session_start").collect().toSeq
+
+    val stream = MemoryStream[String]
+    val q = StreamingOps.sessionStats(
+      SensorStream.transform(stream.toDF(), dim), "3 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    lines.grouped(1000).foreach { c => stream.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .orderBy("sensor_id", "session_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("stream-stream self join pairs group-mates within tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // sensors 100 and 104 are both in g1 (id % 4 == 0 → g1)
+    val joined = StreamingOps.selfJoinWithinTolerance(
+      SensorStream.transform(stream.toDF(), dim), "5 minutes", 30)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    stream.addData(Seq(
+      wireJson(100, "2024-03-01T10:00:00", 1),
+      wireJson(104, "2024-03-01T10:00:10", 2), // within 30s of sensor 100
+      wireJson(108, "2024-03-01T10:10:00", 3))) // same group, out of tolerance
+    q.processAllAvailable()
+    stream.addData(Seq(wireJson(100, "2024-03-01T11:00:00", 4))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj_out").select($"id_a", $"id_b").as[(Int, Int)].collect().toSet
+    assert(pairs.contains((100, 104)), s"expected (100,104) in $pairs")
+    assert(!pairs.exists(p => p._1 == 108 || p._2 == 108), s"out-of-tolerance pair leaked: $pairs")
+  }
+
+  test("flatMapGroupsWithState sessionization emits sessions on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.SensorEvent]
+    val sessions = StreamingOps.sensorSessions(stream.toDS(), gapMillis = 60000L, delay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fmgws_out").start()
+    def ev(id: Int, iso: String, t: Int) =
+      StreamingOps.SensorEvent(id, Timestamp.valueOf(iso), t)
+    stream.addData(Seq(
+      ev(1, "2024-03-01 10:00:00", 20),
+      ev(1, "2024-03-01 10:00:30", 25),
+      ev(2, "2024-03-01 10:00:00", 30)))
+    q.processAllAvailable()
+    // gap > 60s for sensor 1 → its session closes once watermark passes
+    stream.addData(Seq(ev(2, "2024-03-01 10:10:00", 31)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(2, "2024-03-01 10:20:00", 32))) // push watermark further
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fmgws_out").as[StreamingOps.SessionAgg].collect()
+    val s1 = got.find(_.sensor_id == 1)
+    assert(s1.isDefined, s"sensor 1 session not emitted: ${got.toSeq}")
+    assert(s1.get.n == 2 && s1.get.max_temp == 25)
+  }
+}
