@@ -50,6 +50,7 @@ object SparkEntry {
     "x04_simhash"       -> (Dedup.simhashQuery _),
     "x05_cosine_knn"    -> (Similarity.knnQuery _),
     "x06_ann_lsh"       -> (Similarity.annQuery _),
+    "x06_ann_ivf"       -> (Similarity.ivfQuery _),
     "x07_embed_top1"    -> (Similarity.top1WithinLabel _),
     "x08_lang_id"       -> (TextAnalysis.langIdReport _),
     "x09_text_quality"  -> (TextAnalysis.qualityByLang _),
@@ -62,7 +63,7 @@ object SparkEntry {
     * driver records a rows-only check; semantic coverage lives in
     * ScalaTest (known-dup recall, ANN recall vs brute force). */
   val rowsOnly: Set[String] =
-    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x08_lang_id")
+    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf", "x08_lang_id")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (time-series point-in-time lookup): for each left row, the
+  * most recent right row with rightTime <= leftTime (within an optional
+  * tolerance), per key.
+  *
+  * Spark has no built-in as-of join (SURVEY.md §2.B). Two compositions:
+  *
+  *   - `asOf`: the union + last(ignoreNulls) trick — one shuffle on
+  *     (key), one partition-local sort over the merged timeline, no join
+  *     at all. Scales like a sort-merge join but touches each input once;
+  *     right rows with equal timestamps resolve to the LATEST (ordered by
+  *     time, side marker, seq).
+  *   - `asOfRange`: plain range-join composition (join on key + time
+  *     inequality, keep max right time per left row) — simpler plan,
+  *     quadratic within key×tolerance windows; fine when the right side
+  *     or the tolerance window is small.
+  */
+object AsOfJoin {
+
+  /** Union-timeline as-of join.
+    * @param left      probe side; columns are preserved
+    * @param right     reference side; its non-key/non-time columns are
+    *                  appended (null when nothing is at-or-before)
+    * @param key       equi-key column name present on both sides
+    * @param leftTime  event-time column on left
+    * @param rightTime event-time column on right
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String): DataFrame = {
+    val payload = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumns(payload.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumns(left.columns.toSeq.filterNot(c => c == key)
+        .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+
+    val cols = (Seq(key, "_t", "_side") ++
+      left.columns.toSeq.filterNot(_ == key) ++ payload).distinct
+    val merged = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
+
+    // right rows sort before left rows at equal time (side 0 < 1), so a
+    // left row sees a right row stamped at exactly its own time
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(merged) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_t", "_side")
+  }
+
+  /** Range-join composition with tolerance: latest right row in
+    * [leftTime - tolerance, leftTime]. */
+  def asOfRange(left: DataFrame, right: DataFrame, key: String,
+                leftTime: String, rightTime: String,
+                tolerance: Column): DataFrame = {
+    val lt = col("l." + leftTime)
+    val rt = col("r." + rightTime)
+    val joined = left.alias("l").join(right.alias("r"),
+      col("l." + key) === col("r." + key) && rt <= lt && rt >= lt - tolerance,
+      "left")
+    val w = Window
+      .partitionBy(left.columns.map(c => col("l." + c)).toIndexedSeq: _*)
+      .orderBy(rt.desc_nulls_last)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .drop(col("r." + key))
+  }
+}

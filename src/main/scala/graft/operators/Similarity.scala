@@ -122,4 +122,63 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
   }
+
+  // ----------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest centroid
+    * (one narrow pass — the centroid table broadcasts), then answer a
+    * query by probing only the `nProbe` nearest centroid lists. The
+    * "training" is a deterministic sample: every (n/k)-th vector by id is
+    * a centroid — no iterations, no RNG, reproducible across runs. At
+    * cluster scale the assignment pass is embarrassingly parallel and the
+    * probe join shuffles only (query, centroid) candidate lists. */
+  def ivfIndex(vectors: DataFrame, nCentroids: Int): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(col("vec_id"))
+    val n = vectors.count()
+    val stride = math.max(n / nCentroids, 1L)
+    val centroids = vectors
+      .withColumn("_rn", row_number().over(w))
+      .filter((col("_rn") - 1) % stride === 0 && col("_rn") <= stride * nCentroids)
+      .select(((col("_rn") - 1) / stride).cast("int").as("centroid_id"),
+        col("embedding").as("cvec"))
+    val cw = Window.partitionBy(col("vec_id")).orderBy(col("_d").desc, col("centroid_id"))
+    val assigned = vectors
+      .join(broadcast(centroids), lit(true))
+      .withColumn("_d", cosine(col("embedding"), col("cvec")))
+      .withColumn("_r", row_number().over(cw))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    (centroids, assigned)
+  }
+
+  /** Query the IVF index: rank centroids per query, probe the top nProbe
+    * lists, exact cosine within the probed lists only. */
+  def ivfTopK(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("_d").desc, col("centroid_id"))
+    val probed = queries
+      .join(broadcast(centroids), lit(true))
+      .withColumn("_d", cosine(col("qvec"), col("cvec")))
+      .withColumn("_r", row_number().over(cw))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** rows-only queries() entry for the IVF path. */
+  def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (centroids, assigned) = ivfIndex(emb, nCentroids = 16)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    ivfTopK(centroids, assigned, queries, k = 5, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -79,6 +79,26 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.2f too low")
   }
 
+  test("IVF ANN recall@5 vs brute force meets probe-fraction target") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val (centroids, assigned) = Similarity.ivfIndex(emb, nCentroids = 16)
+    // every vector lands in exactly one list
+    assert(assigned.count() == emb.count())
+    val ivf = Similarity.ivfTopK(centroids, assigned, queries, k = 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f")
+    // random-vector corpus: probing 4/16 lists ~ 25% of the corpus; near
+    // neighbors of random data are barely closer to their centroid than
+    // anything else, so expected recall ~ probe fraction. Real clustered
+    // corpora do far better; this asserts the mechanism, not magic.
+    assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
+  }
+
   test("cosine is 1 for identical, 0 for orthogonal vectors") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),

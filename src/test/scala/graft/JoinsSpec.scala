@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.AsOfJoin
+
+/** Join-shape and aggregate-surface coverage beyond the oracle queries
+  * (SURVEY.md §2.B rows not exercised by Q1-Q20): outer/cross joins,
+  * hint-forced strategies, multiset set-ops, collect/distinct aggregates,
+  * range frames, and the as-of join compositions. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val customer = Tables.load(spark, sf("sf0.001"), "customer")
+  private lazy val orders = Tables.load(spark, sf("sf0.001"), "orders")
+
+  test("full outer join keeps both dangling sides") {
+    val bigCust = orders.filter($"o_totalprice" > 400000).select($"o_custkey").distinct()
+    val left = customer.filter($"c_custkey" <= 50).select($"c_custkey".as("k"))
+    val out = left.join(bigCust.select($"o_custkey".as("k2")), $"k" === $"k2", "full_outer")
+    assert(out.filter($"k".isNull).count() > 0, "no right-dangling rows")
+    assert(out.filter($"k2".isNull).count() > 0, "no left-dangling rows")
+    val right = left.join(bigCust.select($"o_custkey".as("k2")), $"k" === $"k2", "right")
+    assert(right.count() == bigCust.count())
+  }
+
+  test("cross join cardinality") {
+    val n = Tables.load(spark, sf("sf0.001"), "nation")
+    val r = Tables.load(spark, sf("sf0.001"), "region")
+    assert(n.crossJoin(r).count() == n.count() * r.count())
+  }
+
+  test("join hints force SMJ / shuffle-hash physical strategies") {
+    val a = orders.select($"o_custkey")
+    val b = customer.select($"c_custkey")
+    val smj = a.hint("merge").join(b, $"o_custkey" === $"c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), s"merge hint ignored:\n$smj")
+    val shj = a.hint("shuffle_hash").join(b, $"o_custkey" === $"c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(shj.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$shj")
+  }
+
+  test("intersectAll / exceptAll keep multiplicities") {
+    val x = Seq(1, 1, 2, 3).toDF("v")
+    val y = Seq(1, 2, 2).toDF("v")
+    assert(x.intersectAll(y).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(x.exceptAll(y).as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(x.intersect(y).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("collect_list / collect_set / sum_distinct / first / last") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "v")
+    val r = df.groupBy($"k").agg(
+      sort_array(collect_list($"v")).as("cl"),
+      sort_array(collect_set($"v")).as("cs"),
+      sum_distinct(when($"v" === "a", 10).otherwise(20)).as("sd"),
+      first($"v").as("f"), last($"v").as("l")).head()
+    assert(r.getSeq[String](r.fieldIndex("cl")).toSeq == Seq("a", "a", "b"))
+    assert(r.getSeq[String](r.fieldIndex("cs")).toSeq == Seq("a", "b"))
+    assert(r.getAs[Long]("sd") == 30)
+  }
+
+  test("window range frame (rangeBetween) vs rows frame") {
+    val df = Seq((1, 10, 1.0), (1, 20, 2.0), (1, 21, 4.0), (1, 40, 8.0))
+      .toDF("k", "pos", "v")
+    val byRange = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"pos").rangeBetween(-10, 0)
+    val got = df.withColumn("s", sum($"v").over(byRange))
+      .orderBy($"pos").select($"s").as[Double].collect().toSeq
+    // pos=21 covers pos in [11,21] → 2+4; pos=40 covers [30,40] → 8
+    assert(got == Seq(1.0, 3.0, 6.0, 8.0))
+  }
+
+  test("as-of join: union-timeline form picks latest at-or-before per key") {
+    val quotes = Seq(
+      ("A", "2024-01-01 10:00:00", 100.0),
+      ("A", "2024-01-01 10:05:00", 101.0),
+      ("B", "2024-01-01 10:01:00", 50.0))
+      .toDF("sym", "qt", "price")
+      .withColumn("qt", $"qt".cast("timestamp"))
+    val trades = Seq(
+      ("A", "2024-01-01 10:03:00", 5L),  // sees 100.0
+      ("A", "2024-01-01 10:05:00", 6L),  // equal ts → sees 101.0
+      ("B", "2024-01-01 10:00:30", 7L),  // before any quote → null
+      ("B", "2024-01-01 11:00:00", 8L))  // sees 50.0
+      .toDF("sym", "tt", "qty")
+      .withColumn("tt", $"tt".cast("timestamp"))
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tt", "qt")
+      .orderBy($"sym", $"tt")
+      .select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((5L, Some(100.0)), (6L, Some(101.0)), (7L, None), (8L, Some(50.0))))
+  }
+
+  test("as-of join: range form with tolerance matches and bounds lookback") {
+    val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
+      .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
+    val trades = Seq(
+      ("A", "2024-01-01 10:00:30", 1L),   // within 1 min tolerance
+      ("A", "2024-01-01 10:30:00", 2L))   // stale — outside tolerance
+      .toDF("sym", "tt", "qty").withColumn("tt", $"tt".cast("timestamp"))
+    val out = AsOfJoin.asOfRange(trades, quotes, "sym", "tt", "qt",
+      expr("INTERVAL 1 MINUTE"))
+      .orderBy($"qty").select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, Some(100.0)), (2L, None)))
+  }
+}
