@@ -57,6 +57,33 @@ class StreamingSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("Q19 streaming form over replayed events equals the batch form") {
+    // SURVEY §2.C: "the streaming form of Q19 replayed through the ingest
+    // pipeline must equal the batch form" — literally, on the events table.
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+    val evs = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = df.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(graft.core.Determinism.Dec)).cast("double").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"sum_value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("q19_stream").start()
+    evs.grouped(300).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("q19_stream")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    val batch = SparkEntry.queries("q19_tumbling_window")(spark, sf("sf0.001"))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling window equals batch form (Q19 discipline)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
