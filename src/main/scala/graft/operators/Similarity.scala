@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -125,45 +125,58 @@ object Similarity {
 
   // ----------------------------------------------------------------- IVF
 
-  /** IVF (inverted-file) ANN: assign every vector to its nearest centroid
-    * (one narrow pass — the centroid table broadcasts), then answer a
-    * query by probing only the `nProbe` nearest centroid lists. The
-    * "training" is a deterministic sample: every (n/k)-th vector by id is
-    * a centroid — no iterations, no RNG, reproducible across runs. At
-    * cluster scale the assignment pass is embarrassingly parallel and the
-    * probe join shuffles only (query, centroid) candidate lists. */
-  def ivfIndex(vectors: DataFrame, nCentroids: Int): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col("vec_id"))
+  /** IVF (inverted-file) ANN. The "codebook" is a deterministic strided
+    * sample by id (no iterations, no RNG, reproducible), collected to the
+    * driver and inlined as a literal array — so both the assignment pass
+    * and the query-side centroid ranking are single narrow projections:
+    * no join, no window, no shuffle anywhere except the final candidate
+    * equi-join on centroid_id. That is the shape that survives 100 TB:
+    * codebooks are KBs; vectors never move except into their lists.
+    *
+    * Assumes dense integer ids for the stride (true of the corpus; any
+    * table can synthesize one with monotonically_increasing_id + zip). */
+  case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+
+  private def centroidArrayLit(cents: Array[(Int, Array[Float])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
+    }.toIndexedSeq: _*)
+
+  /** Best-centroid struct per row: max of (sim, -cid) over the literal
+    * codebook — ties resolve to the smallest centroid id. */
+  private def bestCentroids(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+    transform(centroidArrayLit(cents),
+      c => struct(cosine(vec, c.getField("cvec")).as("sim"),
+        (-c.getField("cid")).as("negid")))
+
+  def ivfIndex(vectors: DataFrame, nCentroids: Int): IvfIndex = {
     val n = vectors.count()
     val stride = math.max(n / nCentroids, 1L)
-    val centroids = vectors
-      .withColumn("_rn", row_number().over(w))
-      .filter((col("_rn") - 1) % stride === 0 && col("_rn") <= stride * nCentroids)
-      .select(((col("_rn") - 1) / stride).cast("int").as("centroid_id"),
-        col("embedding").as("cvec"))
-    val cw = Window.partitionBy(col("vec_id")).orderBy(col("_d").desc, col("centroid_id"))
+    val cents = vectors
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < lit(stride * nCentroids))
+      .select((col("vec_id") / stride).cast("int").as("centroid_id"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
     val assigned = vectors
-      .join(broadcast(centroids), lit(true))
-      .withColumn("_d", cosine(col("embedding"), col("cvec")))
-      .withColumn("_r", row_number().over(cw))
-      .filter(col("_r") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("embedding"))
-    (centroids, assigned)
+      .withColumn("_best", array_max(bestCentroids(col("embedding"), cents)))
+      .select(col("vec_id"),
+        (-col("_best.negid")).cast("int").as("centroid_id"), col("embedding"))
+    IvfIndex(cents, assigned)
   }
 
-  /** Query the IVF index: rank centroids per query, probe the top nProbe
-    * lists, exact cosine within the probed lists only. */
-  def ivfTopK(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
-              k: Int, nProbe: Int): DataFrame = {
-    val cw = Window.partitionBy(col("query_id")).orderBy(col("_d").desc, col("centroid_id"))
+  /** Query the IVF index: rank centroids per query (narrow, against the
+    * literal codebook), probe the top nProbe lists, exact cosine within
+    * the probed lists only. */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probed = queries
-      .join(broadcast(centroids), lit(true))
-      .withColumn("_d", cosine(col("qvec"), col("cvec")))
-      .withColumn("_r", row_number().over(cw))
-      .filter(col("_r") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("centroid_id"))
+      .withColumn("_ranked",
+        slice(reverse(array_sort(bestCentroids(col("qvec"), index.centroids))), 1, nProbe))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("_ranked"), r => (-r.getField("negid")).cast("int")))
+          .as("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    probed.join(assigned, Seq("centroid_id"))
+    probed.join(index.assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("embedding")).as("sim"))
@@ -175,10 +188,10 @@ object Similarity {
   /** rows-only queries() entry for the IVF path. */
   def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val (centroids, assigned) = ivfIndex(emb, nCentroids = 16)
+    val index = ivfIndex(emb, nCentroids = 16)
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    ivfTopK(centroids, assigned, queries, k = 5, nProbe = 4)
+    ivfTopK(index, queries, k = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -85,10 +85,10 @@ class ExtrasSpec extends SparkSpec {
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     val brute = Similarity.bruteForceTopK(emb, queries, 5)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-    val (centroids, assigned) = Similarity.ivfIndex(emb, nCentroids = 16)
+    val index = Similarity.ivfIndex(emb, nCentroids = 16)
     // every vector lands in exactly one list
-    assert(assigned.count() == emb.count())
-    val ivf = Similarity.ivfTopK(centroids, assigned, queries, k = 5, nProbe = 4)
+    assert(index.assigned.count() == emb.count())
+    val ivf = Similarity.ivfTopK(index, queries, k = 5, nProbe = 4)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(f"IVF recall@5 = $recall%.2f")
