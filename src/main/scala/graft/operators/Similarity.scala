@@ -61,6 +61,21 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= threshold, blocked by a partition column (label here; any
+    * cheap blocking key — cluster id, LSH bucket — plays the same role at
+    * scale: the join is an equi-join on the block, never a full cross). */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   blockCol: String = "label"): DataFrame = {
+    val a = vectors.select(col(blockCol), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = vectors.select(col(blockCol), col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .filter(col("sim") >= threshold)
+      .select(col(blockCol), col("id1"), col("id2"), col("sim"))
+  }
+
   // ------------------------------------------------------------ sign LSH
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —

@@ -99,6 +99,20 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
   }
 
+  test("embedding near-dup pairs finds planted duplicates within block") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(50)
+    // plant: exact copies with shifted ids → cosine 1.0
+    val dups = emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(dups)
+    val pairs = Similarity.nearDupPairs(corpus, threshold = 0.999)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val expected = emb.select($"vec_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert(expected.subsetOf(pairs), s"missing planted dups: ${expected -- pairs}")
+    // corpus itself has no near-dups at 0.999 (random vectors)
+    assert((pairs -- expected).forall { case (a, b) => b - a == 100000 })
+  }
+
   test("cosine is 1 for identical, 0 for orthogonal vectors") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.pipeline.SensorPipeline
+
+/** Property-based invariants (SURVEY.md §5.2 item 2): rename round-trip,
+  * strict-arity rejection, dedup idempotence/winner-selection — checked
+  * over generated inputs, driven through the real Spark operators. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampler: ScalaCheck generators driven by fixed seeds
+    * (the scalatest bridge artifact is not on the offline classpath). */
+  private def forAllSamples[T](gen: Gen[T], n: Int = 12)(f: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(f)
+    }
+
+  private val wireKeys =
+    Seq("id", "uptime", "T", "P", "H", "Ix", "Iy", "Iz", "M", "time_received", "seq")
+
+  private def jsonOf(fields: Map[String, String]): String =
+    fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  private def record(id: Int, sec: Int, seq: Long, extra: Map[String, String] = Map.empty,
+                     drop: Set[String] = Set.empty): String = {
+    val base = Map(
+      "id" -> id.toString, "uptime" -> "1", "T" -> "20", "P" -> "1000", "H" -> "50",
+      "Ix" -> "0", "Iy" -> "0", "Iz" -> "0", "M" -> "1",
+      "time_received" -> f""""2024-03-01T10:00:$sec%02d"""", "seq" -> seq.toString)
+    jsonOf(base -- drop ++ extra)
+  }
+
+  test("property: parseStrict accepts exactly the 11-key records") {
+    val dropGen = Gen.oneOf(wireKeys)
+    val extraGen = Gen.alphaLowerStr.suchThat(s => s.nonEmpty && !wireKeys.contains(s))
+    val tupleGen = for {
+      id <- Gen.choose(100, 139); sec <- Gen.choose(0, 59)
+      dropKey <- dropGen; extraKey <- extraGen
+    } yield (id, sec, dropKey, extraKey)
+    forAllSamples(tupleGen) { case (id, sec, dropKey, extraKey) =>
+        val good = record(id, sec, 1)
+        val missing = record(id, sec, 1, drop = Set(dropKey))
+        val extra = record(id, sec, 1, extra = Map(extraKey -> "9"))
+        val parsed = SensorPipeline.parseStrict(
+          Seq(good, missing, extra).toDF("value"))
+        val v = parsed.select("_violation").as[Option[String]].collect()
+        assert(v(0).isEmpty, s"clean record rejected: ${v(0)}")
+        assert(v(1).nonEmpty, s"missing $dropKey accepted")
+        assert(v(2).nonEmpty, s"extra $extraKey accepted")
+    }
+  }
+
+  test("property: rename round-trips (wire -> storage -> wire)") {
+    // renameToStorage is a bijection on the wire columns
+    val storageToWire = SensorPipeline.wireToStorage.map(_.swap).toMap
+    assert(SensorPipeline.wireToStorage.map(_._2).distinct.size ==
+      SensorPipeline.wireToStorage.size)
+    val idSec = for { id <- Gen.choose(100, 139); sec <- Gen.choose(0, 59) } yield (id, sec)
+    forAllSamples(idSec, n = 6) { case (id, sec) =>
+      val (clean, _) = SensorPipeline.quarantine(
+        SensorPipeline.parseStrict(Seq(record(id, sec, 7)).toDF("value")))
+      val enriched = clean.withColumn("sensor_group", lit("g1"))
+      val stored = SensorPipeline.renameToStorage(enriched)
+      val back = stored.select(
+        storageToWire.toSeq.map { case (s, w) => col(s).as(w) }: _*)
+      val orig = clean.select(back.columns.map(col): _*)
+      assert(back.collect().toSeq == orig.collect().toSeq)
+    }
+  }
+
+  test("property: dedupLastWins keeps exactly the max-seq row per PK and is idempotent") {
+    val gen = Gen.listOfN(30, for {
+      sensor <- Gen.choose(1, 4)
+      sec <- Gen.choose(0, 2)
+      seq <- Gen.choose(0L, 1000L)
+      temp <- Gen.choose(-40, 60)
+    } yield (s"g${sensor % 2}", sensor, f"2024-03-01 10:00:$sec%02d", temp, seq))
+    forAllSamples(gen, n = 8) { rows0 =>
+      // drop (PK, seq) collisions so the winner is well-defined
+      val rows: List[(String, Int, String, Int, Long)] =
+        rows0.distinctBy(r => (r._1, r._2, r._3, r._5))
+      val df = rows.toDF("sensor_group", "sensor_id", "ts", "temperature", "seq")
+        .withColumn("time_received", col("ts").cast("timestamp")).drop("ts")
+      val out = SensorPipeline.dedupLastWins(df)
+      // model: per PK, the row with the highest seq wins
+      val expect = rows.groupBy(r => (r._1, r._2, r._3))
+        .map { case (k, vs) => k -> vs.maxBy(_._5)._4 }
+      val got = out.select($"sensor_group", $"sensor_id",
+        date_format($"time_received", "yyyy-MM-dd HH:mm:ss"), $"temperature")
+        .as[(String, Int, String, Int)].collect()
+        .map(r => ((r._1, r._2, r._3), r._4)).toMap
+      assert(got == expect)
+      // idempotent
+      val again = SensorPipeline.dedupLastWins(out.withColumn("seq", lit(0L)))
+      assert(again.count() == out.count())
+    }
+  }
+}
