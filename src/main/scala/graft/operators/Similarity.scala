@@ -22,8 +22,29 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Exact cosine top-k for each query vector. Self-matches excluded. */
+  /** Exact cosine top-k for each query vector, via the bounded-heap
+    * TopKAggregator: each input partition reduces to <= k rows per query
+    * BEFORE the shuffle (partial aggregation), so per-query data movement
+    * is O(partitions * k) instead of the O(n) a window row_number ships
+    * and sorts. Self-matches excluded. Ties: higher sim, then lower id —
+    * identical to the window form (asserted in ExtrasSpec). */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    vectors.as("v")
+      .join(broadcast(queries.as("q")), col("v.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"),
+        cosine(col("q.qvec"), col("v.embedding")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Window-form twin of bruteForceTopK (reference implementation for
+    * cross-checking; simpler plan, ships every scored row). */
+  def bruteForceTopKWindow(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = vectors.as("v")
       .join(broadcast(queries.as("q")), col("v.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"),

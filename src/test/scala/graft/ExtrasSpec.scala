@@ -99,6 +99,17 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
   }
 
+  test("aggregator-based knn equals the window-form reference") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val agg = Similarity.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val win = Similarity.bruteForceTopKWindow(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(agg == win)
+  }
+
   test("embedding near-dup pairs finds planted duplicates within block") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(50)
     // plant: exact copies with shifted ids → cosine 1.0

@@ -77,6 +77,13 @@ class SensorPipelineSpec extends SparkSpec {
       .count().filter(col("count") > 1).isEmpty)
   }
 
+  test("typed Dataset[SensorReading] view round-trips the pipeline output") {
+    val ds = graft.core.SensorReading.pipeline(spark, Fixtures.sensorNdjson, Fixtures.sensorDim)
+    val first = ds.head()
+    assert(first.sensor_group.startsWith("g"))
+    assert(ds.filter((r: graft.core.SensorReading) => r.sensor_id >= 100).count() == ds.count())
+  }
+
   test("writePartitioned lays out one directory per sensor_group") {
     val out = SensorPipeline.run(spark, Fixtures.sensorNdjson, Fixtures.sensorDim)
     val dir = java.nio.file.Files.createTempDirectory("store").toString

@@ -84,6 +84,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("checkpointed file source survives restart without loss or dupes") {
+    // exactly-once claim (SURVEY §4.3): checkpointed offsets + idempotent
+    // upsert. Run over files, stop, add a file, restart with the SAME
+    // checkpoint — the store must equal the batch pipeline over all files.
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val inDir = s"$base/in"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val lines = ndjsonLines
+    val (part1, part2) = lines.splitAt(lines.length / 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/a.ndjson"),
+      part1.mkString("\n").getBytes)
+
+    val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+    def startQuery() = SensorStream
+      .transform(graft.sources.SensorSources.fromNdjsonDir(spark, inDir), dim)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch(SensorStream.upsertBatch(spark, store) _)
+      .start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(store).count()
+    assert(afterFirst > 0)
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b.ndjson"),
+      part2.mkString("\n").getBytes)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = spark.read.parquet(store)
+      .orderBy("sensor_group", "sensor_id", "time_received")
+    val batch = SensorPipeline.run(spark, Fixtures.sensorNdjson, Fixtures.sensorDim)
+    assert(streamed.count() == batch.count(), "restart lost or duplicated rows")
+    assert(streamed.select(batch.columns.map(col): _*).collect().toSeq ==
+      batch.collect().toSeq)
+  }
+
   test("streaming tumbling window equals batch form (Q19 discipline)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
