@@ -2,6 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -102,9 +103,11 @@ case class SimHashChunks(child: Expression)
 }
 
 /** Cosine similarity over float/double arrays; 0.0 when either norm is 0.
-  * Double accumulators, left-to-right — matches the HOF fold bitwise. */
+  * Double accumulators, left-to-right — matches the HOF fold bitwise.
+  * Full doGenCode: participates in whole-stage codegen (no per-row
+  * boxing, no WSCG break around the knn projections). */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -134,13 +137,36 @@ case class CosineSim(left: Expression, right: Expression)
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, na, nb, x, y, denom) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+        ctx.freshName("x"), ctx.freshName("y"), ctx.freshName("denom"))
+      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = $getX;
+         |  final double $y = $getY;
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 /** Dot product (double), same accumulation discipline as CosineSim. */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
@@ -164,6 +190,22 @@ case class DotProduct(left: Expression, right: Expression)
     }
     dot
   }
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"))
+      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ($getX) * ($getY);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
