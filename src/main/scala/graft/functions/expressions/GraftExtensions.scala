@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashSignature(args(0),
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
     e.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, n) - distinct space-joined n-grams"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    e.injectFunction((
       new FunctionIdentifier("simhash_chunks"),
       info("simhash_chunks", "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks"),
       (args: Seq[Expression]) => SimHashChunks(args(0))))

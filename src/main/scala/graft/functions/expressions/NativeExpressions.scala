@@ -102,6 +102,40 @@ case class SimHashChunks(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word n-grams from a token array, joined by single spaces —
+  * the shingle generator for MinHash / n-gram dedup. One pass, one
+  * LinkedHashSet (insertion-ordered, matching the transform+array_distinct
+  * composition it replaces); the HOF form re-built each gram via
+  * interpreted concat_ws + element_at lambdas. */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val count = arr.numElements() - (n - 1)
+    if (count < 1) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float/double arrays; 0.0 when either norm is 0.
   * Double accumulators, left-to-right — matches the HOF fold bitwise.
   * Full doGenCode: participates in whole-stage codegen (no per-row
@@ -219,6 +253,8 @@ object NativeExpressions {
   // call_function is the public path.
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     call_function("minhash_signature", shingles, lit(numHashes))
+  def wordShingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens, lit(n))
   def simhashChunks(tokens: Column): Column =
     call_function("simhash_chunks", tokens)
   def cosineSim(a: Column, b: Column): Column =

@@ -32,10 +32,15 @@ object Dedup {
 
   // -------------------------------------------------------- word shingles
 
-  /** Distinct word n-grams per document (empty array below n tokens —
-    * guarded because Spark's sequence(a,b) runs DESCENDING when b < a).
-    * Tokens are let-bound so split() runs once per row, not per gram. */
+  /** Distinct word n-grams per document — native single-pass expression
+    * (see functions.expressions.WordShingles). */
   def wordShingles(text: Column, n: Int): Column =
+    graft.functions.expressions.NativeExpressions.wordShingles(TextAnalysis.wsTokens(text), n)
+
+  /** Built-ins-only twin (kept as the reference implementation; tokens
+    * let-bound so split() runs once per row, not per gram — Spark's
+    * sequence(a,b) runs DESCENDING when b < a, hence the guard). */
+  def wordShinglesHof(text: Column, n: Int): Column =
     graft.functions.VectorFunctions.bindArray(TextAnalysis.wsTokens(text)) { toks =>
       val count = size(toks) - (n - 1)
       array_distinct(

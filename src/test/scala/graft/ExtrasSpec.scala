@@ -99,6 +99,23 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
   }
 
+  test("native word_shingles equals the HOF reference implementation") {
+    val both = docs.select(
+      Dedup.wordShingles($"text", 3).as("nat"),
+      Dedup.wordShinglesHof($"text", 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (n, h) => assert(n == h) }
+    // sub-n-token edge cases
+    val edge = Seq("", "a", "a b", "a b c", "a  b   c d")
+      .toDF("text")
+      .select(Dedup.wordShingles($"text", 3).as("nat"),
+        Dedup.wordShinglesHof($"text", 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    edge.foreach { case (n, h) => assert(n == h) }
+    assert(edge(3)._1 == Seq("a b c"))
+    assert(edge(4)._1 == Seq("a b c", "b c d"))
+  }
+
   test("aggregator-based knn equals the window-form reference") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val queries = emb.filter($"vec_id" < 20)
