@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TTLConfig}
 
 /** Event-time streaming operators over the sensor stream (SURVEY.md §2.B
   * streaming rows): watermarks, tumbling/sliding/session windows,
@@ -70,6 +71,49 @@ object StreamingOps {
   case class SessionAgg(sensor_id: Int, start: java.sql.Timestamp, end: java.sql.Timestamp,
                         n: Int, max_temp: Int)
   case class SessionState(start: Long, end: Long, n: Int, maxTemp: Int)
+
+  // -------------------------------------- transformWithState (Spark 4) --
+
+  case class TempAnomaly(sensor_id: Int, time_received: java.sql.Timestamp,
+                         temperature: Int, prev_avg: Double)
+
+  /** Spark 4 transformWithState: per-sensor running mean/count in typed
+    * ValueState (RocksDB-backed store required); emits readings that
+    * deviate from the sensor's running average by more than `delta`.
+    * The arbitrary-state successor API to mapGroupsWithState. */
+  class AnomalyProcessor(delta: Double)
+    extends StatefulProcessor[Int, SensorEvent, TempAnomaly] {
+    @transient private var stats: org.apache.spark.sql.streaming.ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Double, Long)]("stats",
+        org.apache.spark.sql.Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[SensorEvent],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TempAnomaly] = {
+      val out = scala.collection.mutable.ListBuffer.empty[TempAnomaly]
+      var (sum, n) = if (stats.exists()) stats.get() else (0.0, 0L)
+      rows.toSeq.sortBy(_.time_received.getTime).foreach { e =>
+        if (n > 0) {
+          val avg = sum / n
+          if (math.abs(e.temperature - avg) > delta)
+            out += TempAnomaly(key, e.time_received, e.temperature, avg)
+        }
+        sum += e.temperature; n += 1
+      }
+      stats.update((sum, n))
+      out.iterator
+    }
+  }
+
+  /** Anomaly stream via transformWithState. */
+  def temperatureAnomalies(events: Dataset[SensorEvent], delta: Double): Dataset[TempAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.sensor_id)
+      .transformWithState(new AnomalyProcessor(delta),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Gap-based sessionization with arbitrary state: emits a session when
     * the event-time timeout fires (no event for `gapMillis` past the

@@ -239,6 +239,18 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("injected native functions are callable from SQL") {
+    val sim = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS s").head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    val grams = spark.sql(
+      "SELECT word_shingles(array('a','b','c','b','c','d'), 2) AS g").head()
+    assert(grams.getSeq[String](0).toSeq == Seq("a b", "b c", "c b", "c d"))
+    val sig = spark.sql("SELECT minhash_signature(array('x','y'), 8) AS s").head()
+    assert(sig.getSeq[Long](0).size == 8)
+  }
+
   test("UDTF/generator surface via Dataset.flatMap") {
     val out = Seq("a b", "c").toDS().flatMap(_.split(" ")).collect().toSeq
     assert(out == Seq("a", "b", "c"))

@@ -106,6 +106,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 108 || p._2 == 108), s"out-of-tolerance pair leaked: $pairs")
   }
 
+  test("transformWithState flags temperature anomalies against running mean") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[StreamingOps.SensorEvent]
+      val anomalies = StreamingOps.temperatureAnomalies(stream.toDS(), delta = 10.0)
+      val q = anomalies.writeStream.outputMode("append")
+        .format("memory").queryName("tws_out").start()
+      def ev(id: Int, iso: String, t: Int) =
+        StreamingOps.SensorEvent(id, Timestamp.valueOf(iso), t)
+      stream.addData(Seq(
+        ev(1, "2024-03-01 10:00:00", 20),
+        ev(1, "2024-03-01 10:00:10", 21),
+        ev(1, "2024-03-01 10:00:20", 22)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        ev(1, "2024-03-01 10:00:30", 90),  // anomaly vs running avg ~21
+        ev(1, "2024-03-01 10:00:40", 21))) // back to normal (avg pulled up but within?)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_out").as[StreamingOps.TempAnomaly].collect()
+      assert(got.exists(a => a.temperature == 90), s"90-degree spike not flagged: ${got.toSeq}")
+      assert(!got.exists(a => a.temperature == 22), "normal reading flagged")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamingOps.SensorEvent]
