@@ -37,8 +37,12 @@ object Relational {
         count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_price"),
+        // scale-8 product sum reaches ~18 significant digits at sf>=0.1 —
+        // beyond double, and Spark (BigDecimal, correctly rounded) and
+        // DuckDB (hugeint/10^8, double-rounded) disagree in the last ulp.
+        // Rescale to DECIMAL(30,4) instead: exact in both engines.
         sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+          .cast(org.apache.spark.sql.types.DecimalType(30, 4)).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
