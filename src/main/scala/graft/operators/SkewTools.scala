@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins.
+  *
+  * First line of defense is AQE's runtime skew-join splitting (enabled in
+  * GraftSession). Salting is the explicit fallback for cases AQE cannot
+  * fix — e.g. one logical key holding >spill-size rows in a shuffled hash
+  * join, or skew on an aggregation key.
+  *
+  * `saltedJoin` implements the classic scheme: the large side gets a
+  * deterministic salt derived from non-key columns; the small side is
+  * exploded `saltFactor` times so every (key, salt) pair still matches.
+  * Deterministic (hash-based, no rand()) so results are reproducible and
+  * oracle-friendly.
+  */
+object SkewTools {
+
+  /** Salt column for the large side: stable hash of `entropy` columns
+    * (any columns that vary within a key) mod saltFactor. */
+  def saltCol(saltFactor: Int, entropy: Column*): Column =
+    pmod(xxhash64(entropy: _*), lit(saltFactor.toLong)).cast("int")
+
+  /** Inner/left equi-join of a skewed large side against a smaller side,
+    * fanning the hot keys across `saltFactor` shuffle partitions.
+    * `entropy` must be large-side columns that vary within a join key. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int, entropy: Seq[String],
+                 joinType: String = "inner"): DataFrame = {
+    val saltedLarge = large.withColumn("_salt",
+      saltCol(saltFactor, entropy.map(large(_)): _*))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase (salted partial, then final) aggregation for skewed group
+    * keys: groupBy(key, salt) partial-aggregates, then groupBy(key)
+    * merges. Caller supplies both aggregation stages. */
+  def saltedAgg(df: DataFrame, key: String, saltFactor: Int, entropy: Seq[String])(
+      partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame)(
+      merge: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val salted = df.withColumn("_salt", saltCol(saltFactor, entropy.map(df(_)): _*))
+    val part = partial(salted.groupBy(col(key), col("_salt")))
+    merge(part.groupBy(col(key)))
+  }
+}

@@ -73,6 +73,35 @@ class JoinsSpec extends SparkSpec {
     assert(got == Seq(1.0, 3.0, 6.0, 8.0))
   }
 
+  test("salted join equals plain join on skewed data") {
+    import graft.operators.SkewTools
+    // heavily skewed: 90% of lineitem rows mapped to one key
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .withColumn("skew_key", when($"l_orderkey" % 10 =!= 0, 1L).otherwise($"l_orderkey"))
+    val dim = Seq((1L, "hot"), (10L, "cold10"), (20L, "cold20")).toDF("skew_key", "tag")
+    val plain = li.join(dim, Seq("skew_key")).groupBy($"tag").count()
+      .orderBy($"tag").collect().toSeq
+    val salted = SkewTools.saltedJoin(li, dim, "skew_key", saltFactor = 8,
+      entropy = Seq("l_orderkey", "l_linenumber"))
+      .groupBy($"tag").count().orderBy($"tag").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import graft.operators.SkewTools
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity".cast("decimal(18,4)")).as("s"))
+      .orderBy($"l_returnflag").collect().toSeq
+    val salted = SkewTools.saltedAgg(li, "l_returnflag", 8,
+      Seq("l_orderkey", "l_linenumber")) {
+      _.agg(count(lit(1)).as("pn"), sum($"l_quantity".cast("decimal(18,4)")).as("ps"))
+    } {
+      _.agg(sum($"pn").as("n"), sum($"ps").as("s"))
+    }.orderBy($"l_returnflag").collect().toSeq
+    assert(salted == direct)
+  }
+
   test("as-of join: union-timeline form picks latest at-or-before per key") {
     val quotes = Seq(
       ("A", "2024-01-01 10:00:00", 100.0),
