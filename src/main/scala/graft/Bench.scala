@@ -20,12 +20,19 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column — count()
       // would let Catalyst prune expensive projections out of the plan.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Failures are reported as -1 so the driver can tell them from a
+      // fast success.
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

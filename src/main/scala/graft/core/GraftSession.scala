@@ -26,9 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps; read as TIMESTAMP
-      // truncated to micros rather than failing.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // events.parquet carries nanosecond timestamps, which the parquet
+      // reader otherwise rejects (PARQUET_TYPE_ILLEGAL). Surface them as
+      // LONG nanos; Tables.load converts to TIMESTAMP via `div 1000`.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER")) match {
       case Some(m) => b.master(m)
       case None if sys.props.contains("spark.master") => b

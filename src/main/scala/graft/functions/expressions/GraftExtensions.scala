@@ -14,6 +14,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  /** Friendly failure for the arity argument instead of a raw CCE. */
+  private def intLiteral(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT for its count argument, got: ${other.sql}")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -27,12 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - k min-hashes (XXH64 seeds 0..k-1)"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+        intLiteral(args(1), "minhash_signature"))))
     e.injectFunction((
       new FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, n) - distinct space-joined n-grams"),
       (args: Seq[Expression]) => WordShingles(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+        intLiteral(args(1), "word_shingles"))))
     e.injectFunction((
       new FunctionIdentifier("simhash_chunks"),
       info("simhash_chunks", "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks"),

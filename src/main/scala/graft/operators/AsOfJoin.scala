@@ -33,6 +33,9 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String): DataFrame = {
     val payload = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
+    val overlap = payload.toSet intersect left.columns.toSet
+    require(overlap.isEmpty,
+      s"asOf: right payload columns collide with left columns: $overlap — rename before joining")
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -48,8 +51,12 @@ object AsOfJoin {
     val merged = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
 
     // right rows sort before left rows at equal time (side 0 < 1), so a
-    // left row sees a right row stamped at exactly its own time
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+    // left row sees a right row stamped at exactly its own time. Among
+    // right rows tied on (key, time), payload columns break the tie —
+    // deterministic for any input (the choice among true duplicates is
+    // then value-identical anyway).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc +: col("_side").asc +: payload.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(merged) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -62,17 +69,20 @@ object AsOfJoin {
   def asOfRange(left: DataFrame, right: DataFrame, key: String,
                 leftTime: String, rightTime: String,
                 tolerance: Column): DataFrame = {
+    // unique row tag so identical left rows keep their multiplicity
+    // (partitioning by the left columns alone would merge them)
+    val tagged = left.withColumn("_lrow", monotonically_increasing_id())
     val lt = col("l." + leftTime)
     val rt = col("r." + rightTime)
-    val joined = left.alias("l").join(right.alias("r"),
+    val joined = tagged.alias("l").join(right.alias("r"),
       col("l." + key) === col("r." + key) && rt <= lt && rt >= lt - tolerance,
       "left")
     val w = Window
-      .partitionBy(left.columns.map(c => col("l." + c)).toIndexedSeq: _*)
+      .partitionBy(col("l._lrow"))
       .orderBy(rt.desc_nulls_last)
     joined.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn", "_lrow")
       .drop(col("r." + key))
   }
 }

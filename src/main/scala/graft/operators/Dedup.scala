@@ -154,6 +154,10 @@ object Dedup {
     * 4x16-bit chunk banding (pigeonhole: any pair within distance 3 agrees
     * on at least one chunk) — candidates from bucket equi-joins only. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 chunks guarantees candidate generation only up to
+    // distance 3; a larger threshold would silently lose recall.
+    require(maxHamming <= 3,
+      s"4-chunk banding guarantees recall only for maxHamming <= 3, got $maxHamming")
     val hashed = docs.select(col("doc_id"), simhashChunks(col("text")).as("ch"))
     val chunks = hashed.select(col("doc_id"), col("ch"),
         posexplode(col("ch")).as(Seq("chunk", "ckey")))

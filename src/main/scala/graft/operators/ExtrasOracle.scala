@@ -67,9 +67,11 @@ object ExtrasOracle {
 
     "x11_fingerprint" ->
       """SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST(7 AS BIGINT), [CAST(ord(x) AS BIGINT) FOR x IN split(text, '')]),
-        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |  CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(7 AS BIGINT)
+        |       ELSE list_reduce(
+        |         list_prepend(CAST(7 AS BIGINT), [CAST(ord(x) AS BIGINT) FOR x IN split(text, '')]),
+        |         (acc, c) -> (acc * 31 + c) % 2147483647)
+        |  END AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -29,6 +29,10 @@ object SkewTools {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int, entropy: Seq[String],
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit saltFactor copies of every unmatched
+    // small-side row (it was exploded) — reject rather than corrupt.
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedLarge = large.withColumn("_salt",
       saltCol(saltFactor, entropy.map(large(_)): _*))
     val saltedSmall = small.withColumn("_salt",

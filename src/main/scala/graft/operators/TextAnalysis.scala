@@ -55,12 +55,16 @@ object TextAnalysis {
 
   /** Rolling polynomial hash (base 31, mod 2^31-1) over the document's
     * codepoints — a deterministic content fingerprint. Modulo applied at
-    * every step keeps the accumulator within long range (ANSI-safe). */
+    * every step keeps the accumulator within long range (ANSI-safe).
+    * Empty/null text pins to the seed: engines disagree on the codepoint
+    * of "" (Spark ascii('')=0 vs DuckDB ord('')=-1), so it must not
+    * reach the fold. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(7L),
-      (acc, c) => (acc * 31 + c) % 2147483647L)
+    when(text.isNull || length(text) === 0, lit(7L))
+      .otherwise(aggregate(
+        transform(split(text, ""), c => ascii(c).cast("long")),
+        lit(7L),
+        (acc, c) => (acc * 31 + c) % 2147483647L))
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

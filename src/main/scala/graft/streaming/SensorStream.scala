@@ -40,17 +40,27 @@ object SensorStream {
           .unionByName(incoming.withColumn("_w", lit(1L)))
         SensorPipeline.dedupLastWins(tagged, SensorPipeline.pkCols, "_w")
       } else incoming
-    val tmp = storePath + s"._staging_$batchId"
-    merged.write.mode("overwrite").parquet(tmp)
+    // Swap via backup rename rather than delete-then-rename: the old
+    // store stays on disk until the new one is in place, so a crash or a
+    // failed rename leaves either the old or the new store readable —
+    // never nothing. (A connected deployment uses a transactional table
+    // format; this is the honest offline equivalent.)
+    val tmp = new java.io.File(storePath + s"._staging_$batchId")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
     val target = new java.io.File(storePath)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(target)
+    val backup = new java.io.File(storePath + "._old")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
     }
-    new java.io.File(tmp).renameTo(target)
+    rm(backup)
+    if (target.exists() && !target.renameTo(backup))
+      throw new java.io.IOException(s"upsertBatch: cannot move $target aside")
+    if (!tmp.renameTo(target)) {
+      backup.renameTo(target) // roll back
+      throw new java.io.IOException(s"upsertBatch: cannot publish $tmp to $target")
+    }
+    rm(backup)
   }
 
   /** Tumbling-window aggregate over the sensor stream (batch-equivalent

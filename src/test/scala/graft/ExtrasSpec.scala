@@ -165,10 +165,11 @@ class ExtrasSpec extends SparkSpec {
   }
 
   test("fingerprint is content-sensitive and stable") {
-    val fps = Seq("hello world", "hello world", "hello worle")
+    val fps = Seq("hello world", "hello world", "hello worle", "")
       .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
+    assert(fps(3) == 7L) // empty text pins to the seed (cross-engine safe)
   }
 
   test("multimodal: decode/features/frames plumbing round-trips") {

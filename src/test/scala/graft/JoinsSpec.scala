@@ -122,6 +122,32 @@ class JoinsSpec extends SparkSpec {
     assert(out == Seq((5L, Some(100.0)), (6L, Some(101.0)), (7L, None), (8L, Some(50.0))))
   }
 
+  test("as-of join preserves duplicate left rows and rejects name collisions") {
+    val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
+      .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
+    val dupTrades = Seq(
+      ("A", "2024-01-01 10:00:30", 1L),
+      ("A", "2024-01-01 10:00:30", 1L)) // identical rows — both must survive
+      .toDF("sym", "tt", "qty").withColumn("tt", $"tt".cast("timestamp"))
+    val out = graft.operators.AsOfJoin.asOfRange(dupTrades, quotes, "sym", "tt", "qt",
+      expr("INTERVAL 1 MINUTE"))
+    assert(out.count() == 2, "duplicate left rows collapsed")
+    // shared payload column name must error, not silently overwrite
+    val clashRight = quotes.withColumnRenamed("price", "qty")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.AsOfJoin.asOf(dupTrades, clashRight, "sym", "tt", "qt"))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("guard rails: salted outer join and wide simhash threshold are rejected") {
+    import graft.operators.{Dedup, SkewTools}
+    val a = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      SkewTools.saltedJoin(a, a, "k", 4, Seq("v"), joinType = "full_outer"))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(Seq((1L, "t")).toDF("doc_id", "text"), maxHamming = 5))
+  }
+
   test("as-of join: range form with tolerance matches and bounds lookback") {
     val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
       .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
