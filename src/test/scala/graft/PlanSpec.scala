@@ -54,6 +54,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_signature"), s"native minhash not in plan:\n$p")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // pre-partitioned (bucketed) storage is the batch answer to
+    // co-located joins at scale: both sides hash-bucketed on the join
+    // key => SortMergeJoin with zero Exchange.
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // DROP on a missing catalog entry leaves any orphaned location behind
+    // (e.g. from an interrupted earlier run) — clear it explicitly
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    graft.core.Tables.load(spark, sf("sf0.001"), "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.core.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force a merge join (tiny test tables would auto-broadcast, which
+    // bypasses bucketing entirely); the assertion is about SHUFFLE
+    // exchanges — broadcast exchanges are not data movement of the facts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing not used:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE b_orders")
+      spark.sql("DROP TABLE b_lineitem")
+    }
+  }
+
   test("q20: sensor pipeline broadcasts the dimension and avoids window sort") {
     val p = plan("q20_sensor_pipeline")
     assert(p.contains("BroadcastHashJoin"), s"dim join should broadcast:\n$p")
