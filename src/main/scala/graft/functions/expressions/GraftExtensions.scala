@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordShingles(args(0),
         intLiteral(args(1), "word_shingles"))))
     e.injectFunction((
+      new FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(text, n) - distinct character n-grams"),
+      (args: Seq[Expression]) => CharShingles(args(0),
+        intLiteral(args(1), "char_shingles"))))
+    e.injectFunction((
       new FunctionIdentifier("simhash_chunks"),
       info("simhash_chunks", "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks"),
       (args: Seq[Expression]) => SimHashChunks(args(0))))

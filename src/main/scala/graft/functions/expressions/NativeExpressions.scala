@@ -136,6 +136,31 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct character n-grams of a string (language-ID / char-level
+  * near-dup signal). Codepoint-aware via UTF8String substring. */
+case class CharShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float/double arrays; 0.0 when either norm is 0.
   * Double accumulators, left-to-right — matches the HOF fold bitwise.
   * Full doGenCode: participates in whole-stage codegen (no per-row
@@ -255,6 +280,8 @@ object NativeExpressions {
     call_function("minhash_signature", shingles, lit(numHashes))
   def wordShingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, lit(n))
+  def charShingles(text: Column, n: Int): Column =
+    call_function("char_shingles", text, lit(n))
   def simhashChunks(tokens: Column): Column =
     call_function("simhash_chunks", tokens)
   def cosineSim(a: Column, b: Column): Column =

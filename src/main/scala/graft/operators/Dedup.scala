@@ -50,6 +50,12 @@ object Dedup {
           .otherwise(array().cast("array<string>")))
     }
 
+  /** Distinct character trigrams of a string (for language ID and
+    * character-level near-dup): single-pass via the native shingle
+    * expression over the character array. */
+  def charTrigrams(text: Column): Column =
+    graft.functions.expressions.NativeExpressions.charShingles(text, 3)
+
   // ------------------------------------------- n-gram inverted-index join
 
   /** Near-dup candidate pairs by shared *rare* n-grams, same-lang blocked.

@@ -81,21 +81,40 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "de", "est", "une", "que", "pas", "pour"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  /** Detected language = argmax stopword hits; 'und' when nothing matches.
-    * Ties resolve to the first profile in declaration order (stable). */
-  def detectLang(text: Column): Column =
-    graft.functions.VectorFunctions.bindArray(wsTokens(lower(text))) { toks =>
-      graft.functions.VectorFunctions.bindArray(
-        transform(array(stopwordProfiles.map { case (_, words) =>
-          array(words.map(lit): _*)
-        }: _*), profile => size(array_intersect(toks, profile)))) { scores =>
-        val best = array_max(scores)
-        stopwordProfiles.map(_._1).zipWithIndex
-          .foldRight(lit("und"): Column) { case ((lang, i), acc) =>
+  /** Characteristic character trigrams per language (space-padded word
+    * boundaries matter: " th" is English, "sch" German, "ión" Spanish…). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "ing", "and", "ion", " of", "ed ", "ent"),
+    "es" -> Seq(" de", "que", "ión", "los", "ado", " la", "nte", "cio"),
+    "de" -> Seq("sch", "ich", "ein", "und", "der", "cht", "gen", "ung"),
+    "fr" -> Seq(" le", "les", "ent", "que", "eur", "ait", "ion", " de"),
+    "zh" -> Seq("的", "是", "不"))
+
+  private val langs: Seq[String] = stopwordProfiles.map(_._1)
+
+  /** Detected language = argmax of (3 * stopword hits + distinct
+    * profile-trigram hits — the n-gram heuristic); 'und' when nothing
+    * matches. Ties resolve to the first profile in declaration order
+    * (stable). Both signals are array ops over let-bound sets. */
+  def detectLang(text: Column): Column = {
+    import graft.functions.VectorFunctions.bindArray
+    bindArray(wsTokens(lower(text))) { toks =>
+      bindArray(Dedup.charTrigrams(lower(text))) { grams =>
+        val scoreExprs = langs.map { lang =>
+          val words = stopwordProfiles.toMap.apply(lang)
+          val tris = trigramProfiles.toMap.apply(lang)
+          size(array_intersect(toks, array(words.map(lit): _*))) * 3 +
+            size(array_intersect(grams, array(tris.map(lit): _*)))
+        }
+        bindArray(array(scoreExprs: _*)) { scores =>
+          val best = array_max(scores)
+          langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, i), acc) =>
             when(best > 0 && element_at(scores, i + 1) === best, lit(lang)).otherwise(acc)
           }
+        }
       }
     }
+  }
 
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
