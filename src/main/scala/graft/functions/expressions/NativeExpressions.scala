@@ -271,21 +271,21 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object NativeExpressions {
-  import org.apache.spark.sql.functions.{call_function, lit}
+  import org.apache.spark.sql.graft.bridge.{column, expression}
 
-  // Column API rides on the SQL registration (GraftExtensions): Spark 4
-  // hides the Column<->Expression bridge, and injectFunction +
-  // call_function is the public path.
+  // Direct Column construction (session-independent — works from any
+  // SparkSession). GraftExtensions additionally registers the same
+  // expressions under SQL names for spark.sql users.
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    call_function("minhash_signature", shingles, lit(numHashes))
+    column(MinHashSignature(expression(shingles), numHashes))
   def wordShingles(tokens: Column, n: Int): Column =
-    call_function("word_shingles", tokens, lit(n))
+    column(WordShingles(expression(tokens), n))
   def charShingles(text: Column, n: Int): Column =
-    call_function("char_shingles", text, lit(n))
+    column(CharShingles(expression(text), n))
   def simhashChunks(tokens: Column): Column =
-    call_function("simhash_chunks", tokens)
+    column(SimHashChunks(expression(tokens)))
   def cosineSim(a: Column, b: Column): Column =
-    call_function("cosine_sim", a, b)
+    column(CosineSim(expression(a), expression(b)))
   def dotProduct(a: Column, b: Column): Column =
-    call_function("dot_product", a, b)
+    column(DotProduct(expression(a), expression(b)))
 }

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge.
+  *
+  * Spark 4 made `new Column(expr)` / `col.expr` private[sql]
+  * (ExpressionUtils in the classic module). Compiling this two-liner
+  * inside the org.apache.spark.sql namespace is the established pattern
+  * for Spark-extension libraries that construct native expressions
+  * without requiring every session to carry SparkSessionExtensions —
+  * the graft native functions stay usable from ANY SparkSession, while
+  * GraftExtensions additionally registers them for SQL.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

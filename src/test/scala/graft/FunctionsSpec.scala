@@ -239,6 +239,16 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native functions resolve in a plain session (no extensions)") {
+    // a session built WITHOUT GraftExtensions must still run every query
+    // (the bridge constructs expressions directly; extensions only add
+    // the SQL names)
+    val plain = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("plain").getOrCreate().newSession()
+    val df = graft.operators.Similarity.knnQuery(plain, sf("sf0.001"))
+    assert(df.count() > 0)
+  }
+
   test("injected native functions are callable from SQL") {
     val sim = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
