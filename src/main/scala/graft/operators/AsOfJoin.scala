@@ -36,32 +36,37 @@ object AsOfJoin {
     val overlap = payload.toSet intersect left.columns.toSet
     require(overlap.isEmpty,
       s"asOf: right payload columns collide with left columns: $overlap — rename before joining")
+    // The right payload travels as ONE nullable struct (null on left-side
+    // rows): last(ignoreNulls) then picks the latest right row atomically.
+    // Filling columns independently would splice values from different
+    // right rows whenever the latest row has a null field.
+    val payloadStruct = struct(payload.map(col): _*)
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-      .withColumns(payload.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("_p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))))
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
+      .withColumn("_p", payloadStruct)
       .withColumns(left.columns.toSeq.filterNot(c => c == key)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
 
-    val cols = (Seq(key, "_t", "_side") ++
-      left.columns.toSeq.filterNot(_ == key) ++ payload).distinct
+    val cols = Seq(key, "_t", "_side", "_p") ++ left.columns.toSeq.filterNot(_ == key)
     val merged = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
 
     // right rows sort before left rows at equal time (side 0 < 1), so a
     // left row sees a right row stamped at exactly its own time. Among
-    // right rows tied on (key, time), payload columns break the tie —
-    // deterministic for any input (the choice among true duplicates is
-    // then value-identical anyway).
+    // right rows tied on (key, time), the payload struct breaks the tie
+    // deterministically (identical structs are value-identical anyway).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t").asc +: col("_side").asc +: payload.map(col(_).asc_nulls_first): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(merged) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_t", "_side")
+    val filled = merged.withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    filled.filter(col("_side") === 1)
+      .select((left.columns.toSeq.map(col) ++
+        payload.map(c => col(s"_p.$c").as(c))): _*)
   }
 
   /** Range-join composition with tolerance: latest right row in
@@ -77,9 +82,13 @@ object AsOfJoin {
     val joined = tagged.alias("l").join(right.alias("r"),
       col("l." + key) === col("r." + key) && rt <= lt && rt >= lt - tolerance,
       "left")
+    // deterministic among right rows tied on time: payload columns break
+    // the tie (same discipline as asOf)
+    val rightPayload = right.columns.toSeq.filterNot(_ == key)
+      .map(c => col("r." + c).asc_nulls_last)
     val w = Window
       .partitionBy(col("l._lrow"))
-      .orderBy(rt.desc_nulls_last)
+      .orderBy(rt.desc_nulls_last +: rightPayload: _*)
     joined.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_lrow")

@@ -87,29 +87,49 @@ object TextAnalysis {
     "en" -> Seq(" th", "the", "ing", "and", "ion", " of", "ed ", "ent"),
     "es" -> Seq(" de", "que", "ión", "los", "ado", " la", "nte", "cio"),
     "de" -> Seq("sch", "ich", "ein", "und", "der", "cht", "gen", "ung"),
-    "fr" -> Seq(" le", "les", "ent", "que", "eur", "ait", "ion", " de"),
-    "zh" -> Seq("的", "是", "不"))
+    "fr" -> Seq(" le", "les", "ent", "que", "eur", "ait", "ion", " de"))
 
   private val langs: Seq[String] = stopwordProfiles.map(_._1)
 
   /** Detected language = argmax of (3 * stopword hits + distinct
     * profile-trigram hits — the n-gram heuristic); 'und' when nothing
     * matches. Ties resolve to the first profile in declaration order
-    * (stable). Both signals are array ops over let-bound sets. */
+    * (stable).
+    *
+    * Unspaced scripts (zh): whitespace tokenization yields no stopword
+    * hits, so single-character stopwords are additionally matched against
+    * the text's character unigrams — that is what makes zh detectable at
+    * all. All signals are array ops over let-bound sets. */
   def detectLang(text: Column): Column = {
     import graft.functions.VectorFunctions.bindArray
     bindArray(wsTokens(lower(text))) { toks =>
-      bindArray(Dedup.charTrigrams(lower(text))) { grams =>
-        val scoreExprs = langs.map { lang =>
-          val words = stopwordProfiles.toMap.apply(lang)
-          val tris = trigramProfiles.toMap.apply(lang)
-          size(array_intersect(toks, array(words.map(lit): _*))) * 3 +
-            size(array_intersect(grams, array(tris.map(lit): _*)))
-        }
-        bindArray(array(scoreExprs: _*)) { scores =>
-          val best = array_max(scores)
-          langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, i), acc) =>
-            when(best > 0 && element_at(scores, i + 1) === best, lit(lang)).otherwise(acc)
+      bindArray(Dedup.charTrigrams(lower(text))) { grams3 =>
+        bindArray(graft.functions.expressions.NativeExpressions
+          .charShingles(lower(text), 1)) { grams1 =>
+          val triByLang = trigramProfiles.toMap
+          val scoreExprs = langs.map { lang =>
+            val words = stopwordProfiles.toMap.apply(lang)
+            // char-unigram matching is for unspaced scripts only: an
+            // ASCII single-char stopword ("a", "y") would otherwise fire
+            // on any text containing that letter
+            val (charWords, tokenWords) = words.partition(w => w.length == 1 && w.head > 127)
+            val tokenHits =
+              if (tokenWords.nonEmpty) size(array_intersect(toks, array(tokenWords.map(lit): _*)))
+              else lit(0)
+            val charHits =
+              if (charWords.nonEmpty) size(array_intersect(grams1, array(charWords.map(lit): _*)))
+              else lit(0)
+            val triHits = triByLang.get(lang) match {
+              case Some(tris) => size(array_intersect(grams3, array(tris.map(lit): _*)))
+              case None => lit(0)
+            }
+            (tokenHits + charHits) * 3 + triHits
+          }
+          bindArray(array(scoreExprs: _*)) { scores =>
+            val best = array_max(scores)
+            langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, i), acc) =>
+              when(best > 0 && element_at(scores, i + 1) === best, lit(lang)).otherwise(acc)
+            }
           }
         }
       }

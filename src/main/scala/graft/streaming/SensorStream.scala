@@ -30,6 +30,15 @@ object SensorStream {
     * Cassandra/Delta MERGE; offline it is read-merge-overwrite, which is
     * correct for the single-writer streaming query that owns the store. */
   def upsertBatch(spark: SparkSession, storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    // crash recovery: a previous invocation may have died between the two
+    // swap renames, leaving the store only under ._old — restore it
+    // BEFORE reading, so no history is lost and no backup is clobbered.
+    locally {
+      val target = new java.io.File(storePath)
+      val orphan = new java.io.File(storePath + "._old")
+      if (!target.exists() && orphan.exists() && !orphan.renameTo(target))
+        throw new java.io.IOException(s"upsertBatch: cannot restore $orphan")
+    }
     val incoming = SensorPipeline.dedupLastWins(batch)
     val merged =
       if (new java.io.File(storePath).exists()) {
@@ -40,27 +49,24 @@ object SensorStream {
           .unionByName(incoming.withColumn("_w", lit(1L)))
         SensorPipeline.dedupLastWins(tagged, SensorPipeline.pkCols, "_w")
       } else incoming
-    // Swap via backup rename rather than delete-then-rename: the old
-    // store stays on disk until the new one is in place, so a crash or a
-    // failed rename leaves either the old or the new store readable —
-    // never nothing. (A connected deployment uses a transactional table
+    // Swap via backup rename rather than delete-then-rename: the previous
+    // store stays on disk (as ._old) until the new one is in place, and
+    // the recovery preamble above restores it if a crash lands between
+    // the renames — the store is always recoverable from either target
+    // or ._old. (A connected deployment uses a transactional table
     // format; this is the honest offline equivalent.)
     val tmp = new java.io.File(storePath + s"._staging_$batchId")
     merged.write.mode("overwrite").parquet(tmp.getPath)
     val target = new java.io.File(storePath)
     val backup = new java.io.File(storePath + "._old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(backup)
+    graft.core.Fs.deleteRecursively(backup)
     if (target.exists() && !target.renameTo(backup))
       throw new java.io.IOException(s"upsertBatch: cannot move $target aside")
     if (!tmp.renameTo(target)) {
       backup.renameTo(target) // roll back
       throw new java.io.IOException(s"upsertBatch: cannot publish $tmp to $target")
     }
-    rm(backup)
+    graft.core.Fs.deleteRecursively(backup)
   }
 
   /** Tumbling-window aggregate over the sensor stream (batch-equivalent

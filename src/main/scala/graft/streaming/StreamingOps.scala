@@ -139,13 +139,22 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.time_received.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMillis =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
-                    math.max(s.maxTemp, e.temperature)))
-                case Some(s) =>
+                // in-gap on either side of the open session (a later
+                // micro-batch can deliver an event just BEFORE the open
+                // session, within the watermark): extend both bounds
+                case Some(s) if t >= s.start - gapMillis && t <= s.end + gapMillis =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, math.max(s.maxTemp, e.temperature)))
+                case Some(s) if t > s.end + gapMillis =>
                   closed ::= SessionAgg(id, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.maxTemp)
                   cur = Some(SessionState(t, t, 1, e.temperature))
+                case Some(_) =>
+                  // straggler more than a gap OLDER than the open session:
+                  // it can no longer merge with anything still open —
+                  // emit it directly as its own single-event session
+                  closed ::= SessionAgg(id, e.time_received, e.time_received,
+                    1, e.temperature)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.temperature))
               }

@@ -158,6 +158,7 @@ class ExtrasSpec extends SparkSpec {
       ("el perro y la casa de los amigos es una historia", "es"),
       ("der hund und die katze ist nicht mit dem mann", "de"),
       ("le chien et les amis de la maison est une histoire pas pour", "fr"),
+      ("这是不是一个人的他我在有了", "zh"), // unspaced — char-unigram signal
       ("wxyz qqq zzz", "und")).toDF("text", "expected")
     val got = samples.select($"expected", TextAnalysis.detectLang($"text").as("got"))
       .as[(String, String)].collect()

@@ -239,14 +239,25 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("native functions resolve in a plain session (no extensions)") {
-    // a session built WITHOUT GraftExtensions must still run every query
-    // (the bridge constructs expressions directly; extensions only add
-    // the SQL names)
-    val plain = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("plain").getOrCreate().newSession()
-    val df = graft.operators.Similarity.knnQuery(plain, sf("sf0.001"))
-    assert(df.count() > 0)
+  test("native function Columns carry resolved expressions, not registry lookups") {
+    // session-independence: the bridge builds the expression tree
+    // directly. If it regressed to call_function, the tree would contain
+    // an UnresolvedFunction needing GraftExtensions registration.
+    import graft.functions.expressions.{CosineSim, NativeExpressions}
+    val c = NativeExpressions.cosineSim(
+      lit(Array(1.0f)),
+      lit(Array(1.0f)))
+    val e = org.apache.spark.sql.graft.bridge.expression(c)
+    assert(e.isInstanceOf[CosineSim], s"expected CosineSim node, got: $e")
+    // and it must type-check with a friendly error rather than CCE
+    // (analysis is eager on select in Spark 4)
+    val err = intercept[Exception] {
+      spark.range(1).select(
+        NativeExpressions.cosineSim(array(lit(1), lit(2)), array(lit(1), lit(2))))
+        .collect()
+    }
+    assert(err.getMessage.contains("ARRAY<FLOAT|DOUBLE>") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"), s"got: ${err.getMessage}")
   }
 
   test("injected native functions are callable from SQL") {

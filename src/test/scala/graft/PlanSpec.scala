@@ -62,15 +62,8 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     // DROP on a missing catalog entry leaves any orphaned location behind
     // (e.g. from an interrupted earlier run) — clear it explicitly
-    for (t <- Seq("b_orders", "b_lineitem")) {
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
-        }
-        rm(loc)
-      }
-    }
+    for (t <- Seq("b_orders", "b_lineitem"))
+      graft.core.Fs.deleteRecursively(new java.io.File(s"spark-warehouse/$t"))
     graft.core.Tables.load(spark, sf("sf0.001"), "orders")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
