@@ -69,6 +69,27 @@ object SensorStream {
     graft.core.Fs.deleteRecursively(backup)
   }
 
+  /** Pub/sub fan-out (reference R14: one consumed message → every
+    * registered subscriber): one foreachBatch delivering the SAME batch
+    * to N sinks. The batch is cached so each subscriber reads it once. */
+  def fanOutBatch(sinks: Seq[(DataFrame, Long) => Unit])(batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try sinks.foreach(s => s(batch, batchId))
+    finally batch.unpersist()
+  }
+
+  /** Metrics counters (reference R22 — the vestigial messages_read/sent
+    * counters, done properly): a StreamingQueryListener accumulating
+    * rows processed per query. */
+  class CountingListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val rowsByQuery = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      rowsByQuery.merge(e.progress.name, e.progress.numInputRows, _ + _)
+  }
+
   /** Tumbling-window aggregate over the sensor stream (batch-equivalent
     * form is Relational.q19 over events; this one keys on time_received). */
   def tumblingStats(records: DataFrame, width: String): DataFrame =

@@ -123,6 +123,33 @@ class StreamingSpec extends SparkSpec {
       batch.collect().toSeq)
   }
 
+  test("pub/sub fan-out delivers each batch to every sink; listener counts rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new SensorStream.CountingListener
+    spark.streams.addListener(listener)
+    val stream = MemoryStream[String]
+    val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+    val store = java.nio.file.Files.createTempDirectory("fan").toString + "/store"
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = SensorStream.transform(stream.toDF(), dim)
+      .writeStream.outputMode("append")
+      .queryName("fanout_q")
+      .foreachBatch(SensorStream.fanOutBatch(Seq(
+        SensorStream.upsertBatch(spark, store) _,
+        (b: org.apache.spark.sql.DataFrame, _: Long) => seen.addAndGet(b.count()): Unit)) _)
+      .start()
+    val lines = ndjsonLines.take(600)
+    stream.addData(lines)
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.removeListener(listener)
+    // both subscribers observed the batch
+    assert(seen.get() == 600)
+    assert(spark.read.parquet(store).count() > 0)
+    // listener accumulated the input rows for this query
+    assert(listener.rowsByQuery.getOrDefault("fanout_q", 0L) == 600L)
+  }
+
   test("streaming tumbling window equals batch form (Q19 discipline)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
