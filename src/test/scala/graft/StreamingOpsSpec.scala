@@ -140,6 +140,27 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("rate source generates strict-parse-clean wire records") {
+    val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
+      .transform(df => SensorPipeline.parseStrict(df))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_out").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500) // let the rate source emit
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("rate_out")
+    val n = out.count()
+    assert(n > 0, "rate source produced no rows")
+    // every generated record passes the strict-arity gate
+    val violations = out.filter(col("_violation").isNotNull)
+      .select("_violation").limit(3).collect().toSeq
+    assert(violations.isEmpty, s"rate records rejected: $violations")
+    // ids land in the dim table's range
+    assert(out.filter(col("id") < 100 || col("id") > 139).isEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamingOps.SensorEvent]
