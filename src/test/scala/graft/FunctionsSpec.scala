@@ -272,6 +272,41 @@ class FunctionsSpec extends SparkSpec {
     assert(sig.getSeq[Long](0).size == 8)
   }
 
+  test("pivot / unpivot round-trip") {
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val wide = orders.groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+    val statuses = orders.select("o_orderstatus").distinct().count()
+    assert(wide.columns.toSeq == Seq("o_orderpriority", "F", "O", "P"))
+    // unpivot (melt) back to long form; null cells (absent combos) drop
+    val long = wide.unpivot(
+      Array($"o_orderpriority"), Array($"F", $"O", $"P"), "o_orderstatus", "n")
+      .filter($"n".isNotNull)
+    val direct = orders.groupBy("o_orderpriority", "o_orderstatus").count()
+    assert(long.count() == direct.count())
+    val a = long.orderBy("o_orderpriority", "o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val b = direct.orderBy("o_orderpriority", "o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(a == b)
+    assert(statuses <= 3)
+  }
+
+  test("seeded sampling is deterministic and approximately sized") {
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    val s2 = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(s1 == s2, "same seed must give the same sample")
+    val n = li.count()
+    assert(s1 > n / 20 && s1 < n / 5, s"sample size $s1 implausible for 10% of $n")
+    // SQL surface
+    Tables.registerAll(spark, sf("sf0.001"))
+    val ts = spark.sql("SELECT COUNT(*) FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (7)")
+      .head().getLong(0)
+    assert(ts > 0)
+  }
+
   test("UDTF/generator surface via Dataset.flatMap") {
     val out = Seq("a b", "c").toDS().flatMap(_.split(" ")).collect().toSeq
     assert(out == Seq("a", "b", "c"))
