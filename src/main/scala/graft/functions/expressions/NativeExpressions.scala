@@ -186,6 +186,40 @@ case class CharShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Number of `patterns` occurring in the input string (each counted at
+  * most once) — the language-ID profile-hit counter. One pass per
+  * pattern with UTF8String.contains; replaces building a per-row
+  * distinct-n-gram set plus an array_intersect per profile. */
+case class SubstringHits(child: Expression, patterns: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "substring_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.sql}")
+  }
+
+  @transient private lazy val pats: Array[UTF8String] =
+    patterns.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    var hits = 0
+    var i = 0
+    while (i < pats.length) {
+      if (s.contains(pats(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float/double arrays; 0.0 when either norm is 0.
   * Double accumulators, left-to-right — matches the HOF fold bitwise.
   * Full doGenCode: participates in whole-stage codegen (no per-row
@@ -327,6 +361,8 @@ object NativeExpressions {
     column(WordShingles(expression(tokens), n))
   def charShingles(text: Column, n: Int): Column =
     column(CharShingles(expression(text), n))
+  def substringHits(text: Column, patterns: Seq[String]): Column =
+    column(SubstringHits(expression(text), patterns))
   def simhashChunks(tokens: Column): Column =
     column(SimHashChunks(expression(tokens)))
   def cosineSim(a: Column, b: Column): Column =

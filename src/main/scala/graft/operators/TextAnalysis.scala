@@ -102,35 +102,34 @@ object TextAnalysis {
     * all. All signals are array ops over let-bound sets. */
   def detectLang(text: Column): Column = {
     import graft.functions.VectorFunctions.bindArray
+    import graft.functions.expressions.NativeExpressions.substringHits
+    val triByLang = trigramProfiles.toMap
     bindArray(wsTokens(lower(text))) { toks =>
-      bindArray(Dedup.charTrigrams(lower(text))) { grams3 =>
-        bindArray(graft.functions.expressions.NativeExpressions
-          .charShingles(lower(text), 1)) { grams1 =>
-          val triByLang = trigramProfiles.toMap
-          val scoreExprs = langs.map { lang =>
-            val words = stopwordProfiles.toMap.apply(lang)
-            // char-unigram matching is for unspaced scripts only: an
-            // ASCII single-char stopword ("a", "y") would otherwise fire
-            // on any text containing that letter
-            val (charWords, tokenWords) = words.partition(w => w.length == 1 && w.head > 127)
-            val tokenHits =
-              if (tokenWords.nonEmpty) size(array_intersect(toks, array(tokenWords.map(lit): _*)))
-              else lit(0)
-            val charHits =
-              if (charWords.nonEmpty) size(array_intersect(grams1, array(charWords.map(lit): _*)))
-              else lit(0)
-            val triHits = triByLang.get(lang) match {
-              case Some(tris) => size(array_intersect(grams3, array(tris.map(lit): _*)))
-              case None => lit(0)
-            }
-            (tokenHits + charHits) * 3 + triHits
-          }
-          bindArray(array(scoreExprs: _*)) { scores =>
-            val best = array_max(scores)
-            langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, i), acc) =>
-              when(best > 0 && element_at(scores, i + 1) === best, lit(lang)).otherwise(acc)
-            }
-          }
+      val lowered = lower(text)
+      val scoreExprs = langs.map { lang =>
+        val words = stopwordProfiles.toMap.apply(lang)
+        // char matching (substring hits) is for unspaced scripts only: an
+        // ASCII single-char stopword ("a", "y") would otherwise fire on
+        // any text containing that letter
+        val (charWords, tokenWords) = words.partition(w => w.length == 1 && w.head > 127)
+        val tokenHits =
+          if (tokenWords.nonEmpty) size(array_intersect(toks, array(tokenWords.map(lit): _*)))
+          else lit(0)
+        val charHits =
+          if (charWords.nonEmpty) substringHits(lowered, charWords) else lit(0)
+        val triHits = triByLang.get(lang) match {
+          // trigram profile hit = the trigram occurs in the text — same
+          // predicate as membership in the text's distinct-trigram set,
+          // without materializing that set per row
+          case Some(tris) => substringHits(lowered, tris)
+          case None => lit(0)
+        }
+        (tokenHits + charHits) * 3 + triHits
+      }
+      bindArray(array(scoreExprs: _*)) { scores =>
+        val best = array_max(scores)
+        langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, i), acc) =>
+          when(best > 0 && element_at(scores, i + 1) === best, lit(lang)).otherwise(acc)
         }
       }
     }
