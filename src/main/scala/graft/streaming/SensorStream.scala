@@ -25,48 +25,108 @@ object SensorStream {
     SensorPipeline.renameToStorage(SensorPipeline.enrich(clean, dim, failFast = false))
   }
 
-  /** Idempotent keyed upsert into a parquet store, for use with
-    * `writeStream.foreachBatch`. In a connected deployment this is the
-    * Cassandra/Delta MERGE; offline it is read-merge-overwrite, which is
-    * correct for the single-writer streaming query that owns the store. */
+  /** Idempotent keyed upsert into a `sensor_group`-partitioned parquet
+    * store, for use with `writeStream.foreachBatch`. In a connected
+    * deployment this is the Cassandra/Delta MERGE; offline it is a
+    * partition-pruned read-merge-swap, correct for the single-writer
+    * streaming query that owns the store.
+    *
+    * Scale shape (the Cassandra-partition analogy, reference PK at
+    * link_kafka_cassandra.py:45): the store is laid out one directory per
+    * `sensor_group` (the Cassandra partition key). A micro-batch only
+    * reads, merges, and rewrites the group partitions PRESENT IN THE
+    * BATCH — cost per batch is O(|touched partitions|), not O(|store|),
+    * so a long-running stream over a 100 TB store touches only the few
+    * groups currently emitting. Untouched partition directories are never
+    * opened or rewritten.
+    *
+    * Versioning: the store persists `seq` (max seen per PK) as a version
+    * column, and the merge tie-breaks on (seq, arrival). Cross-batch
+    * out-of-seq delivery (e.g. multi-partition Kafka) therefore still
+    * converges to the max-seq row, matching the batch pipeline.
+    *
+    * Crash safety: the merge output is staged outside the store, then
+    * published per partition via backup-rename swap (old dir moved to
+    * backup, staged dir renamed in, backup dropped). A crash at any point
+    * leaves every partition recoverable from either the live dir or its
+    * backup; the recovery preamble below restores stranded backups, and
+    * checkpoint replay of the batch re-converges idempotently.
+    */
   def upsertBatch(spark: SparkSession, storePath: String)(batch: DataFrame, batchId: Long): Unit = {
-    // crash recovery: a previous invocation may have died between the two
-    // swap renames, leaving the store only under ._old — restore it
-    // BEFORE reading, so no history is lost and no backup is clobbered.
-    locally {
-      val target = new java.io.File(storePath)
-      val orphan = new java.io.File(storePath + "._old")
-      if (!target.exists() && orphan.exists() && !orphan.renameTo(target))
-        throw new java.io.IOException(s"upsertBatch: cannot restore $orphan")
+    val storeRoot = new java.io.File(storePath)
+    val backupRoot = new java.io.File(storePath + "._old")
+    val stagingRoot = new java.io.File(storePath + s"._staging_$batchId")
+
+    // crash recovery: a previous invocation may have died between a
+    // partition's two swap renames, leaving that partition only under the
+    // backup root — restore it BEFORE reading. Backups of completed swaps
+    // are stale and dropped.
+    if (backupRoot.exists()) {
+      backupRoot.listFiles().foreach { bak =>
+        val live = new java.io.File(storeRoot, bak.getName)
+        if (!live.exists()) {
+          storeRoot.mkdirs()
+          if (!bak.renameTo(live))
+            throw new java.io.IOException(s"upsertBatch: cannot restore $bak")
+        } else graft.core.Fs.deleteRecursively(bak)
+      }
+      backupRoot.delete()
     }
-    val incoming = SensorPipeline.dedupLastWins(batch)
-    val merged =
-      if (new java.io.File(storePath).exists()) {
-        val store = spark.read.parquet(storePath)
-        // Store rows carry no seq anymore; incoming batch wins ties by
-        // construction (later arrival). Tag and max_by on the tag.
-        val tagged = store.withColumn("_w", lit(0L))
-          .unionByName(incoming.withColumn("_w", lit(1L)))
-        SensorPipeline.dedupLastWins(tagged, SensorPipeline.pkCols, "_w")
-      } else incoming
-    // Swap via backup rename rather than delete-then-rename: the previous
-    // store stays on disk (as ._old) until the new one is in place, and
-    // the recovery preamble above restores it if a crash lands between
-    // the renames — the store is always recoverable from either target
-    // or ._old. (A connected deployment uses a transactional table
-    // format; this is the honest offline equivalent.)
-    val tmp = new java.io.File(storePath + s"._staging_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.getPath)
-    val target = new java.io.File(storePath)
-    val backup = new java.io.File(storePath + "._old")
-    graft.core.Fs.deleteRecursively(backup)
-    if (target.exists() && !target.renameTo(backup))
-      throw new java.io.IOException(s"upsertBatch: cannot move $target aside")
-    if (!tmp.renameTo(target)) {
-      backup.renameTo(target) // roll back
-      throw new java.io.IOException(s"upsertBatch: cannot publish $tmp to $target")
-    }
-    graft.core.Fs.deleteRecursively(backup)
+    graft.core.Fs.deleteRecursively(stagingRoot) // stale staging of a crashed attempt
+
+    // batch-local last-write-wins; `_ord` keeps `seq` in the payload so the
+    // winner's seq survives as the store's version column.
+    val incoming = SensorPipeline.dedupLastWins(
+      batch.withColumn("_ord", col("seq")), SensorPipeline.pkCols, "_ord")
+      .persist()
+    try {
+      val groups = incoming.select("sensor_group").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      if (groups.isEmpty) return
+
+      val hasStore = storeRoot.exists() &&
+        storeRoot.listFiles() != null &&
+        storeRoot.listFiles().exists(_.getName.startsWith("sensor_group="))
+      val merged =
+        if (hasStore) {
+          // partition pruning: the isin filter on the partition column
+          // restricts the scan to the touched group directories only.
+          val store = spark.read.parquet(storePath)
+            .filter(col("sensor_group").isin(groups: _*))
+          val tagged = store.withColumn("_w", lit(0L))
+            .unionByName(incoming.withColumn("_w", lit(1L)))
+          // winner per PK = max (seq, arrival): seq order first (ADVICE:
+          // out-of-seq cross-batch delivery), arrival breaks exact ties.
+          SensorPipeline.dedupLastWins(
+            tagged.withColumn("_ord", struct(col("seq"), col("_w"))),
+            SensorPipeline.pkCols, "_ord")
+            .drop("_w")
+        } else incoming
+
+      // ONE distributed job writes all touched partitions into staging;
+      // the publish below is driver-side metadata renames only.
+      merged.write.mode("overwrite").partitionBy("sensor_group")
+        .parquet(stagingRoot.getPath)
+
+      storeRoot.mkdirs()
+      val staged = stagingRoot.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
+      staged.foreach { sp =>
+        val live = new java.io.File(storeRoot, sp.getName)
+        val bak = new java.io.File(backupRoot, sp.getName)
+        backupRoot.mkdirs()
+        graft.core.Fs.deleteRecursively(bak)
+        if (live.exists() && !live.renameTo(bak))
+          throw new java.io.IOException(s"upsertBatch: cannot move $live aside")
+        if (!sp.renameTo(live)) {
+          bak.renameTo(live) // roll back this partition
+          throw new java.io.IOException(s"upsertBatch: cannot publish $sp to $live")
+        }
+        graft.core.Fs.deleteRecursively(bak)
+      }
+      graft.core.Fs.deleteRecursively(stagingRoot)
+      if (backupRoot.exists()) backupRoot.delete()
+    } finally incoming.unpersist()
   }
 
   /** Pub/sub fan-out (reference R14: one consumed message → every
@@ -86,8 +146,12 @@ object SensorStream {
     val rowsByQuery = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit =
-      rowsByQuery.merge(e.progress.name, e.progress.numInputRows, _ + _)
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      // name is null for queries started without queryName() — fall back
+      // to the stable query id so unnamed queries still accumulate.
+      val key = Option(e.progress.name).getOrElse(e.progress.id.toString)
+      rowsByQuery.merge(key, e.progress.numInputRows, _ + _)
+    }
   }
 
   /** Tumbling-window aggregate over the sensor stream (batch-equivalent

@@ -36,7 +36,9 @@ class StreamingSpec extends SparkSpec {
     }
     q.stop()
 
-    val streamed = spark.read.parquet(store)
+    // the store persists `seq` as its version column — drop it for the
+    // comparison against the batch pipeline's public output
+    val streamed = spark.read.parquet(store).drop("seq")
       .orderBy("sensor_group", "sensor_id", "time_received")
     val batch = SensorPipeline.run(spark, Fixtures.sensorNdjson, Fixtures.sensorDim)
     assert(streamed.columns.sorted.sameElements(batch.columns.sorted))
@@ -121,6 +123,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count(), "restart lost or duplicated rows")
     assert(streamed.select(batch.columns.map(col): _*).collect().toSeq ==
       batch.collect().toSeq)
+  }
+
+  // -- partition-pruned upsert: hand-crafted storage-shaped batches --------
+  private val storageCols = Seq("sensor_group", "time_received", "sensor_id",
+    "uptime", "temperature", "pressure", "humidity", "ix", "iy", "iz", "mask", "seq")
+  private def rec(group: String, id: Int, ts: String, seqNo: Long, temp: Int = 20) =
+    (group, java.sql.Timestamp.valueOf(ts), id, 100, temp, 1000, 50, 1, 2, 3, 0, seqNo)
+
+  /** Per-file snapshot of a partition dir: name → (length, mtime, content hash). */
+  private def snapshot(dir: String): Map[String, (Long, Long, Int)] = {
+    val d = new java.io.File(dir)
+    assert(d.exists(), s"expected partition dir $dir")
+    d.listFiles().filter(_.isFile).map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      f.getName -> ((f.length(), f.lastModified(), java.util.Arrays.hashCode(bytes)))
+    }.toMap
+  }
+
+  test("upsert rewrites only the group partitions present in the batch") {
+    val store = java.nio.file.Files.createTempDirectory("pruned").toString + "/store"
+    val up = SensorStream.upsertBatch(spark, store) _
+    up(Seq(
+      rec("alpha", 1, "2024-01-01 00:00:00", 1),
+      rec("beta", 2, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 0L)
+    val betaBefore = snapshot(s"$store/sensor_group=beta")
+
+    // second batch touches only alpha — beta's files must be untouched
+    // (same names, sizes, mtimes, bytes: never rewritten, not just equal)
+    up(Seq(rec("alpha", 1, "2024-01-01 00:01:00", 2)).toDF(storageCols: _*), 1L)
+    assert(snapshot(s"$store/sensor_group=beta") == betaBefore,
+      "untouched partition was rewritten")
+    val alpha = spark.read.parquet(store).filter(col("sensor_group") === "alpha")
+    assert(alpha.count() == 2)
+  }
+
+  test("cross-batch out-of-seq delivery converges to the max-seq row") {
+    // multi-partition-Kafka shape: a PK's later-seq record can land in an
+    // EARLIER micro-batch; the store must still keep the max-seq payload.
+    val store = java.nio.file.Files.createTempDirectory("ooo").toString + "/store"
+    val up = SensorStream.upsertBatch(spark, store) _
+    up(Seq(rec("alpha", 1, "2024-01-01 00:00:00", 5, temp = 50)).toDF(storageCols: _*), 0L)
+    up(Seq(rec("alpha", 1, "2024-01-01 00:00:00", 3, temp = 99)).toDF(storageCols: _*), 1L)
+    val row = spark.read.parquet(store).select("temperature", "seq").collect()
+    assert(row.length == 1)
+    assert(row(0).getInt(0) == 50, "stale lower-seq record overwrote the store")
+    assert(row(0).getLong(1) == 5L, "store version column must carry the max seq")
   }
 
   test("pub/sub fan-out delivers each batch to every sink; listener counts rows") {
