@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -16,32 +15,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * are semantically identical but evaluate lambdas interpreted, one
   * closure dispatch per element per hash — at 50k docs x 150 shingles x 64
   * hashes that is ~500M interpreted evaluations. These expressions do the
-  * same math in tight JVM loops over ArrayData (CodegenFallback costs one
-  * boxed call per ROW, the loops inside are JIT-compiled), which measured
-  * ~20x faster on the minhash path.
+  * same math in tight JVM loops over ArrayData, which measured ~20x
+  * faster on the minhash path.
+  *
+  * All of them implement `doGenCode`, so they participate in whole-stage
+  * codegen: the generated code makes ONE static call per row into
+  * [[NativeOps]] with the unboxed ArrayData/UTF8String operands (no
+  * CodegenFallback row boxing, no WSCG break). Interpreted eval delegates
+  * to the SAME helpers, so both paths are bit-identical by construction.
   *
   * Float discipline: CosineSim accumulates in double, strictly
   * left-to-right — bit-identical to the sequential aggregate() fold it
   * replaces, so oracle-checked rank outputs are unchanged.
   */
 
-/** MinHash signature: for each seed j in [0, numHashes), the min XXH64
-  * over the string elements. Empty/absent arrays yield MaxValue sentinels
-  * (same as array_min over empty = null handled upstream by size>0 guard). */
-case class MinHashSignature(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+/** Shared kernels for the signature expressions. Top-level object →
+  * scalac emits static forwarders, so janino-generated code can call
+  * `NativeOps.minhashSignature(...)` directly. */
+object NativeOps {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** For each seed j in [0, numHashes): min XXH64 over the string
+    * elements (MaxValue sentinel for empty arrays). */
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](numHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
@@ -61,26 +56,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** SimHash as 4x16-bit chunks over string tokens: bit i = sign of the sum
-  * over tokens of ±1 where the sign is bit-derived from XXH64(token, i). */
-case class SimHashChunks(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "simhash_chunks"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** SimHash as 4x16-bit chunks: bit i = sign of the sum over tokens of
+    * ±1, sign bit-derived from XXH64(token, i). */
+  def simhashChunks(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sums = new Array[Int](64)
     var i = 0
@@ -111,29 +89,9 @@ case class SimHashChunks(child: Expression)
     new GenericArrayData(chunks)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Distinct word n-grams from a token array, joined by single spaces —
-  * the shingle generator for MinHash / n-gram dedup. One pass, one
-  * LinkedHashSet (insertion-ordered, matching the transform+array_distinct
-  * composition it replaces); the HOF form re-built each gram via
-  * interpreted concat_ws + element_at lambdas. */
-case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Distinct word n-grams joined by single spaces, insertion-ordered
+    * (matches the transform+array_distinct composition it replaces). */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
     val count = arr.numElements() - (n - 1)
     if (count < 1) return new GenericArrayData(new Array[Any](0))
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -151,26 +109,8 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Distinct character n-grams of a string (language-ID / char-level
-  * near-dup signal). Codepoint-aware via UTF8String substring. */
-case class CharShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "char_shingles"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires STRING, got ${other.sql}")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  /** Distinct character n-grams, codepoint-aware via UTF8String. */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     if (len < n) return new GenericArrayData(new Array[Any](0))
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -182,6 +122,122 @@ case class CharShingles(child: Expression, n: Int)
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Number of patterns occurring in s, each counted at most once. */
+  def substringHits(s: UTF8String, pats: Array[UTF8String]): Int = {
+    var hits = 0
+    var i = 0
+    while (i < pats.length) {
+      if (s.contains(pats(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+}
+
+/** MinHash signature: for each seed j in [0, numHashes), the min XXH64
+  * over the string elements. Empty/absent arrays yield MaxValue sentinels
+  * (same as array_min over empty = null handled upstream by size>0 guard). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.minhashSignature($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash as 4x16-bit chunks over string tokens: bit i = sign of the sum
+  * over tokens of ±1 where the sign is bit-derived from XXH64(token, i). */
+case class SimHashChunks(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.simhashChunks(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.simhashChunks($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams from a token array, joined by single spaces —
+  * the shingle generator for MinHash / n-gram dedup. One pass, one
+  * LinkedHashSet (insertion-ordered, matching the transform+array_distinct
+  * composition it replaces); the HOF form re-built each gram via
+  * interpreted concat_ws + element_at lambdas. */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct character n-grams of a string (language-ID / char-level
+  * near-dup signal). Codepoint-aware via UTF8String substring. */
+case class CharShingles(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.charShingles($c, $n);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -191,7 +247,7 @@ case class CharShingles(child: Expression, n: Int)
   * pattern with UTF8String.contains; replaces building a per-row
   * distinct-n-gram set plus an array_intersect per profile. */
 case class SubstringHits(child: Expression, patterns: Seq[String])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "substring_hits"
@@ -205,15 +261,16 @@ case class SubstringHits(child: Expression, patterns: Seq[String])
   @transient private lazy val pats: Array[UTF8String] =
     patterns.map(UTF8String.fromString).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    var hits = 0
-    var i = 0
-    while (i < pats.length) {
-      if (s.contains(pats(i))) hits += 1
-      i += 1
-    }
-    hits
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.substringHits(input.asInstanceOf[UTF8String], pats)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    // the compiled pattern array rides along as a reference object
+    val patsRef = ctx.addReferenceObj("pats", pats,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.substringHits($c, $patsRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -54,6 +54,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_signature"), s"native minhash not in plan:\n$p")
   }
 
+  test("x02/x03/x04: signature expressions are fully codegen'd (no CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    for (q <- Seq("x02_minhash_pairs", "x03_ngram_pairs", "x04_simhash")) {
+      val exec = SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.executedPlan
+      val fallbacks = exec.flatMap(node =>
+        node.expressions.flatMap(_.collect { case cf: CodegenFallback => cf }))
+        .map(_.getClass.getSimpleName).distinct
+      assert(fallbacks.isEmpty,
+        s"$q still evaluates interpreted expressions: ${fallbacks.mkString(", ")}")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // pre-partitioned (bucketed) storage is the batch answer to
     // co-located joins at scale: both sides hash-bucketed on the join
