@@ -22,24 +22,35 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query runs twice and the MIN is reported: a single-shot number
+    // conflates the plan's cost with whatever else the machine was doing
+    // (and with one-time codegen compilation), and one contended run then
+    // masquerades as a 10x regression. The cold (first-run) numbers ride
+    // along in a separate field for reference.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column — count()
       // would let Catalyst prune expensive projections out of the plan.
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Failures are reported as -1 so the driver can tell them from a
       // fast success.
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val cold = run(fn)
+        val warm = run(fn)
+        (name, math.min(cold, warm), cold)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
-          name -> -1.0
+          (name, -1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val colds = results.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,6 +132,63 @@ object NativeOps {
     }
     hits
   }
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Dot product with HOF (zip_with+aggregate) null semantics: null when
+    * the lengths differ or any element is null; boxed Double otherwise. */
+  def dotProduct(a: ArrayData, b: ArrayData,
+                 aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += elem(a, i, aFloat) * elem(b, i, bFloat)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  /** Cosine similarity with cosineHof's exact semantics: null element on
+    * either side → null; zero denominator (either norm 0) → 0.0; length
+    * mismatch with nonzero norms → null (the HOF dot of mismatched arrays
+    * is null); else dot/denom. Each accumulator folds strictly
+    * left-to-right, bit-identical to the sequential aggregate() it
+    * replaces. */
+  def cosineSim(a: ArrayData, b: ArrayData,
+                aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var sa = 0.0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) return null
+      val x = elem(a, i, aFloat)
+      sa += x * x
+      i += 1
+    }
+    var sb = 0.0
+    var j = 0
+    while (j < nb) {
+      if (b.isNullAt(j)) return null
+      val y = elem(b, j, bFloat)
+      sb += y * y
+      j += 1
+    }
+    val denom = math.sqrt(sa) * math.sqrt(sb)
+    if (denom == 0.0) return java.lang.Double.valueOf(0.0)
+    if (na != nb) return null
+    var dot = 0.0
+    var k = 0
+    while (k < na) {
+      dot += elem(a, k, aFloat) * elem(b, k, bFloat)
+      k += 1
+    }
+    java.lang.Double.valueOf(dot / denom)
+  }
 }
 
 /** MinHash signature: for each seed j in [0, numHashes), the min XXH64
@@ -278,13 +335,15 @@ case class SubstringHits(child: Expression, patterns: Seq[String])
 }
 
 /** Cosine similarity over float/double arrays; 0.0 when either norm is 0.
-  * Double accumulators, left-to-right — matches the HOF fold bitwise.
-  * Full doGenCode: participates in whole-stage codegen (no per-row
-  * boxing, no WSCG break around the knn projections). */
+  * Null semantics match the HOF twin `cosineHof` exactly: null element on
+  * either side → null, length mismatch (with nonzero norms) → null — see
+  * NativeOps.cosineSim. Full doGenCode: ONE static kernel call per row
+  * inside whole-stage codegen. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   private def okVec(dt: DataType): Boolean = dt match {
@@ -302,46 +361,19 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val leftFloat = elemIsFloat(left)
   @transient private lazy val rightFloat = elemIsFloat(right)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NativeOps.cosineSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: codegen.CodegenContext,
                                    ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (n, i, dot, na, nb, x, y, denom) = (ctx.freshName("n"), ctx.freshName("i"),
-        ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
-        ctx.freshName("x"), ctx.freshName("y"), ctx.freshName("denom"))
-      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val tmp = ctx.freshName("cos")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = $getX;
-         |  final double $y = $getY;
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
-         |}
-         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |java.lang.Double $tmp = graft.functions.expressions.NativeOps.cosineSim(
+         |  $a, $b, $leftFloat, $rightFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })
 
@@ -349,11 +381,14 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Dot product (double), same accumulation discipline as CosineSim. */
+/** Dot product (double), same accumulation discipline as CosineSim; null
+  * semantics match the HOF twin `dotHof` (null on length mismatch or null
+  * element — see NativeOps.dotProduct). */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   private def okVec(dt: DataType): Boolean = dt match {
@@ -371,34 +406,19 @@ case class DotProduct(left: Expression, right: Expression)
   @transient private lazy val leftFloat = elemIsFloat(left)
   @transient private lazy val rightFloat = elemIsFloat(right)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y
-      i += 1
-    }
-    dot
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NativeOps.dotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: codegen.CodegenContext,
                                    ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (n, i, dot) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"))
-      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val tmp = ctx.freshName("dot")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ($getX) * ($getY);
-         |}
-         |${ev.value} = $dot;
+         |java.lang.Double $tmp = graft.functions.expressions.NativeOps.dotProduct(
+         |  $a, $b, $leftFloat, $rightFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })
 

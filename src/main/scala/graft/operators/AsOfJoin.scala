@@ -82,10 +82,12 @@ object AsOfJoin {
     val joined = tagged.alias("l").join(right.alias("r"),
       col("l." + key) === col("r." + key) && rt <= lt && rt >= lt - tolerance,
       "left")
-    // deterministic among right rows tied on time: payload columns break
-    // the tie (same discipline as asOf)
-    val rightPayload = right.columns.toSeq.filterNot(_ == key)
-      .map(c => col("r." + c).asc_nulls_last)
+    // deterministic among right rows tied on time: the LARGEST payload
+    // wins (descending, null fields smallest) — the same winner asOf's
+    // last() over _p ascending-nulls-first picks, so the two forms agree
+    // on tied inputs (asserted in JoinsSpec).
+    val rightPayload = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
+      .map(c => col("r." + c).desc_nulls_last)
     val w = Window
       .partitionBy(col("l._lrow"))
       .orderBy(rt.desc_nulls_last +: rightPayload: _*)

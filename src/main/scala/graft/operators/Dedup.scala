@@ -164,7 +164,13 @@ object Dedup {
     // distance 3; a larger threshold would silently lose recall.
     require(maxHamming <= 3,
       s"4-chunk banding guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val hashed = docs.select(col("doc_id"), simhashChunks(col("text")).as("ch"))
+    // zero-token guard (mirrors minhashLshPairs's size(sh) > 0): every
+    // empty/whitespace doc hashes to the same all-zero chunks, so without
+    // this filter they all pair with each other and that one bucket's
+    // equi-join degenerates quadratically.
+    val hashed = docs
+      .filter(size(TextAnalysis.wsTokens(col("text"))) > 0)
+      .select(col("doc_id"), simhashChunks(col("text")).as("ch"))
     val chunks = hashed.select(col("doc_id"), col("ch"),
         posexplode(col("ch")).as(Seq("chunk", "ckey")))
     val hamming = (1 to 4).map(i =>

@@ -62,7 +62,7 @@ object SensorStream {
     // backup root — restore it BEFORE reading. Backups of completed swaps
     // are stale and dropped.
     if (backupRoot.exists()) {
-      backupRoot.listFiles().foreach { bak =>
+      graft.core.Fs.listOrThrow(backupRoot).foreach { bak =>
         val live = new java.io.File(storeRoot, bak.getName)
         if (!live.exists()) {
           storeRoot.mkdirs()
@@ -72,7 +72,13 @@ object SensorStream {
       }
       backupRoot.delete()
     }
-    graft.core.Fs.deleteRecursively(stagingRoot) // stale staging of a crashed attempt
+    // drop stale staging dirs of ANY batch id, not just this one: a
+    // checkpoint reset restarts batch numbering, so a crashed run may have
+    // stranded staging under an id this query will never reuse.
+    val stagingPrefix = storeRoot.getName + "._staging_"
+    graft.core.Fs.listOrEmpty(storeRoot.getAbsoluteFile.getParentFile)
+      .filter(_.getName.startsWith(stagingPrefix))
+      .foreach(graft.core.Fs.deleteRecursively)
 
     // batch-local last-write-wins; `_ord` keeps `seq` in the payload so the
     // winner's seq survives as the store's version column.
@@ -80,18 +86,29 @@ object SensorStream {
       batch.withColumn("_ord", col("seq")), SensorPipeline.pkCols, "_ord")
       .persist()
     try {
+      // fail fast on null groups: they would land in the Hive default
+      // partition, which the isin pruning below never reads back — a
+      // silent PK-merge hole. (The stream pipeline filters them upstream;
+      // this guards direct foreachBatch users.)
       val groups = incoming.select("sensor_group").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+        .collect().map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            "upsertBatch: null sensor_group in batch — enrich/filter upstream first")
+          r.getString(0)
+        }.sorted.toSeq
       if (groups.isEmpty) return
 
       val hasStore = storeRoot.exists() &&
-        storeRoot.listFiles() != null &&
-        storeRoot.listFiles().exists(_.getName.startsWith("sensor_group="))
+        graft.core.Fs.listOrEmpty(storeRoot).exists(_.getName.startsWith("sensor_group="))
       val merged =
         if (hasStore) {
           // partition pruning: the isin filter on the partition column
           // restricts the scan to the touched group directories only.
-          val store = spark.read.parquet(storePath)
+          // Explicit schema (= the batch's own storage schema) keeps
+          // sensor_group STRING: inference would retype numeric-looking
+          // group dirs (e.g. "01" → int 1) and re-publish them under a
+          // different directory name than the live one.
+          val store = spark.read.schema(incoming.schema).parquet(storePath)
             .filter(col("sensor_group").isin(groups: _*))
           val tagged = store.withColumn("_w", lit(0L))
             .unionByName(incoming.withColumn("_w", lit(1L)))
@@ -109,7 +126,7 @@ object SensorStream {
         .parquet(stagingRoot.getPath)
 
       storeRoot.mkdirs()
-      val staged = stagingRoot.listFiles()
+      val staged = graft.core.Fs.listOrThrow(stagingRoot)
         .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
       staged.foreach { sp =>
         val live = new java.io.File(storeRoot, sp.getName)

@@ -64,6 +64,19 @@ class ExtrasSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
   }
 
+  test("simhash pairs exclude zero-token documents (no degenerate bucket)") {
+    // every empty/whitespace doc hashes to identical all-zero chunks;
+    // without the guard they all pair with each other (quadratic on that
+    // one bucket at corpus scale) — they must not appear at all.
+    val base = docs.limit(5).select($"doc_id", $"text")
+    val empties = Seq((900001L, ""), (900002L, "   "), (900003L, " "))
+      .toDF("doc_id", "text")
+    val ids = Dedup.simhashPairs(base.unionByName(empties))
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(ids.forall { case (a, b) => a < 900000L && b < 900000L },
+      s"zero-token docs paired: ${ids.filter(p => p._1 >= 900000L || p._2 >= 900000L).toSeq}")
+  }
+
   test("ANN recall@5 vs brute force meets tuned target") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val queries = emb.filter($"vec_id" < 20)

@@ -260,6 +260,42 @@ class FunctionsSpec extends SparkSpec {
       err.getMessage.contains("DATATYPE_MISMATCH"), s"got: ${err.getMessage}")
   }
 
+  test("native cosine/dot match the HOF twins on nulls, length mismatch, zero norms") {
+    import graft.functions.VectorFunctions._
+    // degenerate corners where the old native impl diverged from the HOF
+    // reference (read null slots as 0.0, min-length prefix on mismatch):
+    // clean; length mismatch; null element either side; zero norms; a
+    // zero norm combined with a length mismatch; whole-array null.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0D, 2.0D),                 array(3.0D, 4.0D)),
+        |  (array(1.0D, 2.0D),                 array(3.0D, 4.0D, 5.0D)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)),
+        |  (array(1.0D, 2.0D),                 array(CAST(NULL AS DOUBLE), 4.0D)),
+        |  (array(0.0D, 0.0D),                 array(3.0D, 4.0D)),
+        |  (array(0.0D, 0.0D),                 array(0.0D, 0.0D)),
+        |  (array(0.0D),                       array(3.0D, 4.0D)),
+        |  (CAST(NULL AS ARRAY<DOUBLE>),       array(3.0D, 4.0D))
+        |AS t(a, b)""".stripMargin)
+    val rows = df.select(
+      cosine($"a", $"b").as("cn"), cosineHof($"a", $"b").as("ch"),
+      dot($"a", $"b").as("dn"), dotHof($"a", $"b").as("dh")).collect()
+    rows.foreach { r =>
+      def v(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      assert(v(0) == v(1), s"cosine native=${v(0)} hof=${v(1)} on $r")
+      assert(v(2) == v(3), s"dot native=${v(2)} hof=${v(3)} on $r")
+    }
+    // pin the headline expectations so a joint drift can't pass silently
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    assert(rows(4).getDouble(0) == 0.0 && rows(6).getDouble(0) == 0.0)
+    assert(rows(1).isNullAt(2) && rows(3).isNullAt(2))
+    // float element path with a null slot
+    val f = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c").head()
+    assert(f.isNullAt(0))
+  }
+
   test("injected native functions are callable from SQL") {
     val sim = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +

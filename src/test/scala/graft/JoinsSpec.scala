@@ -148,6 +148,22 @@ class JoinsSpec extends SparkSpec {
       Dedup.simhashPairs(Seq((1L, "t")).toDF("doc_id", "text"), maxHamming = 5))
   }
 
+  test("as-of join: union and range forms pick the same winner on tied right rows") {
+    val quotes = Seq(
+      ("A", "2024-01-01 10:00:00", 100.0),
+      ("A", "2024-01-01 10:00:00", 101.0)) // tied on time — payload breaks it
+      .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
+    val trades = Seq(("A", "2024-01-01 10:00:30", 1L))
+      .toDF("sym", "tt", "qty").withColumn("tt", $"tt".cast("timestamp"))
+    val viaUnion = AsOfJoin.asOf(trades, quotes, "sym", "tt", "qt")
+      .select($"qty", $"price").as[(Long, Double)].head()
+    val viaRange = AsOfJoin.asOfRange(trades, quotes, "sym", "tt", "qt",
+      expr("INTERVAL 1 MINUTE"))
+      .select($"qty", $"price").as[(Long, Double)].head()
+    assert(viaUnion == viaRange, s"tie-break disagreement: $viaUnion vs $viaRange")
+    assert(viaUnion._2 == 101.0, "largest payload must win in both forms")
+  }
+
   test("as-of join: range form with tolerance matches and bounds lookback") {
     val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
       .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))

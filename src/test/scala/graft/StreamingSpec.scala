@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpec {
     assert(alpha.count() == 2)
   }
 
+  test("numeric-looking group names keep their directory across merges") {
+    // partition type inference would retype "01" → int 1 on the store
+    // read-back and re-publish it under sensor_group=1, stranding the old
+    // sensor_group=01 dir with duplicate PK rows. The explicit-schema read
+    // keeps the group a STRING end-to-end.
+    val store = java.nio.file.Files.createTempDirectory("numgrp").toString + "/store"
+    val up = SensorStream.upsertBatch(spark, store) _
+    up(Seq(rec("01", 1, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 0L)
+    up(Seq(rec("01", 1, "2024-01-01 00:00:00", 2, temp = 30)).toDF(storageCols: _*), 1L)
+    val dirs = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("sensor_group=")).map(_.getName).toSeq
+    assert(dirs == Seq("sensor_group=01"), s"partition dirs diverged: $dirs")
+    val rows = spark.read.schema(
+        Seq(rec("01", 1, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*).schema)
+      .parquet(store).select("sensor_group", "temperature", "seq").collect()
+    assert(rows.length == 1, s"duplicate PK rows in store: ${rows.toSeq}")
+    assert(rows(0).getString(0) == "01" && rows(0).getInt(1) == 30)
+  }
+
+  test("upsert fails fast on null sensor_group and sweeps orphan staging dirs") {
+    val store = java.nio.file.Files.createTempDirectory("nullgrp").toString + "/store"
+    val up = SensorStream.upsertBatch(spark, store) _
+    val withNull = Seq(rec("alpha", 1, "2024-01-01 00:00:00", 1))
+      .toDF(storageCols: _*)
+      .withColumn("sensor_group", org.apache.spark.sql.functions.lit(null).cast("string"))
+    val e = intercept[IllegalArgumentException](up(withNull, 0L))
+    assert(e.getMessage.contains("null sensor_group"))
+    // an orphan staging dir from a crashed run under a DIFFERENT batch id
+    // (e.g. after a checkpoint reset) must be swept by the next upsert
+    val orphan = new java.io.File(store + "._staging_7777")
+    orphan.mkdirs()
+    up(Seq(rec("alpha", 1, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 0L)
+    assert(!orphan.exists(), "orphan staging dir survived recovery")
+    assert(spark.read.parquet(store).count() == 1)
+  }
+
   test("cross-batch out-of-seq delivery converges to the max-seq row") {
     // multi-partition-Kafka shape: a PK's later-seq record can land in an
     // EARLIER micro-batch; the store must still keep the max-seq payload.
