@@ -19,6 +19,12 @@ import graft.functions.VectorFunctions._
   * query set broadcasts (thousands of queries); beyond that the LSH path
   * (or an IVF variant with a trained codebook) takes over: the shuffle is
   * on bucket keys, never a cross join of the vector table with itself.
+  *
+  * Near-dup mining (nearDupPairs / top1) follows the same rule via the
+  * [[Blocking]] strategies: candidates come from LSH-bucket or
+  * IVF-centroid equi-joins BY DEFAULT, so candidate count scales with
+  * bucket width, not with the square of a data-dependent block (one hot
+  * label over 10^8 vectors would otherwise mean 10^16 pairs).
   */
 object Similarity {
 
@@ -66,36 +72,120 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Top-1 nearest neighbor within each label block (candidate-duplicate
-    * report shape: every vector gets its best in-block match). */
-  def top1WithinLabel(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-    val a = emb.select(col("label"), col("vec_id"), col("embedding"))
-    val b = emb.select(col("label"), col("vec_id").as("nid"), col("embedding").as("nemb"))
+  // ------------------------------------------------- candidate blocking
+
+  /** How near-dup candidate pairs are generated. The blocking choice is
+    * what decides whether the operator survives 100 TB: candidates must
+    * come from bucket equi-joins whose bucket population is controlled by
+    * the strategy, never from an all-pairs join within a data-dependent
+    * block (one hot block → block² pairs). */
+  sealed trait Blocking
+
+  /** All pairs within each value of `col`. QUADRATIC in the hottest
+    * block — a test/configuration shape (exact answers on small blocks),
+    * not a scale default. */
+  final case class ColumnBlocking(col: String) extends Blocking
+
+  /** Sign-LSH bucket blocking (the scale-safe default): a pair is a
+    * candidate iff it shares a bucket in at least one of `nTables`
+    * hyperplane tables. Random pairs collide with probability
+    * ~nTables/2^bits (0.5^bits per table); true near-dups at cos>=0.9
+    * collide with probability >=0.97 at the defaults (p_bit = 1-θ/π =
+    * 0.856, 1-(1-0.856^10)^16). Defaults tuned for high-similarity
+    * near-dup mining, unlike lshTopK's mid-similarity search defaults. */
+  final case class LshBlocking(nTables: Int = 16, bits: Int = 10,
+                               dim: Int = 64, seed: Long = 42L) extends Blocking
+
+  /** IVF centroid blocking: a pair is a candidate iff the two vectors
+    * share one of their `nProbe` nearest centroids (overlapping-canopy
+    * discipline; multi-probe on both sides catches cross-boundary
+    * neighbors). Candidates per list ~ (n*nProbe/nCentroids)². */
+  final case class IvfBlocking(nCentroids: Int = 256, nProbe: Int = 2) extends Blocking
+
+  /** (vec_id, t, bkt) bucket rows for LSH blocking — ids only; embedding
+    * payloads never travel through the blocking shuffle. */
+  private def lshIdBuckets(vectors: DataFrame, b: LshBlocking): DataFrame = {
+    val ps = planes(b.nTables, b.bits, b.dim, b.seed)
+    vectors.select(col("vec_id") +: ps.zipWithIndex.map { case (tp, t) =>
+        bucketExpr(col("embedding"), tp).as(s"_b$t")
+      }: _*)
+      .select(col("vec_id"),
+        explode(array((0 until b.nTables).map(t =>
+          struct(lit(t).as("t"), col(s"_b$t").as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+  }
+
+  /** Distinct candidate pairs (id1 < id2) under the blocking strategy.
+    * Every arm is bucket-equi-join-shaped; only ids shuffle. */
+  def candidatePairs(vectors: DataFrame, blocking: Blocking): DataFrame = blocking match {
+    case ColumnBlocking(c) =>
+      val a = vectors.select(col(c).as("_blk"), col("vec_id").as("id1"))
+      val b = vectors.select(col(c).as("_blk"), col("vec_id").as("id2"))
+      a.join(b, Seq("_blk"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+    case lsh: LshBlocking =>
+      val buckets = lshIdBuckets(vectors, lsh)
+      buckets.as("a").join(buckets.as("b"),
+          col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+    case IvfBlocking(nCentroids, nProbe) =>
+      val index = ivfIndex(vectors, nCentroids)
+      val probed = vectors
+        .withColumn("_ranked",
+          slice(reverse(array_sort(bestCentroids(col("embedding"), index.centroids))), 1, nProbe))
+        .select(col("vec_id"),
+          explode(transform(col("_ranked"), r => (-r.getField("negid")).cast("int")))
+            .as("centroid_id"))
+      probed.as("a").join(probed.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all candidate pairs with
+    * exact cosine >= threshold. Candidates come from the blocking
+    * strategy (LSH buckets by default — see [[Blocking]]); the exact
+    * re-rank join touches candidate pairs only, so total cost is
+    * O(candidates), which the bucket width controls — never block². */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   blocking: Blocking = LshBlocking()): DataFrame = {
+    val e1 = vectors.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val e2 = vectors.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    candidatePairs(vectors, blocking)
+      .join(e1, "id1").join(e2, "id2")
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  /** Best (exact-cosine) neighbor per vector among its blocking
+    * candidates — the candidate-duplicate report shape. With the LSH/IVF
+    * defaults this is approximate-top-1 at O(candidates); with
+    * ColumnBlocking it is the exact in-block top-1. */
+  def top1(vectors: DataFrame, blocking: Blocking = LshBlocking()): DataFrame = {
+    val cand = candidatePairs(vectors, blocking)
+    val sym = cand.select(col("id1").as("vec_id"), col("id2").as("nid"))
+      .unionAll(cand.select(col("id2").as("vec_id"), col("id1").as("nid")))
+    val e1 = vectors.select(col("vec_id"), col("embedding"))
+    val e2 = vectors.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nid"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_id") =!= col("nid"))
+    sym.join(e1, "vec_id").join(e2, "nid")
       .select(col("vec_id"), col("nid"), cosine(col("embedding"), col("nemb")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("nid").as("best_id"))
-      .orderBy(col("vec_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine >= threshold, blocked by a partition column (label here; any
-    * cheap blocking key — cluster id, LSH bucket — plays the same role at
-    * scale: the join is an equi-join on the block, never a full cross). */
-  def nearDupPairs(vectors: DataFrame, threshold: Double,
-                   blockCol: String = "label"): DataFrame = {
-    val a = vectors.select(col(blockCol), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = vectors.select(col(blockCol), col("vec_id").as("id2"), col("embedding").as("e2"))
-    a.join(b, Seq(blockCol))
-      .filter(col("id1") < col("id2"))
-      .withColumn("sim", cosine(col("e1"), col("e2")))
-      .filter(col("sim") >= threshold)
-      .select(col(blockCol), col("id1"), col("id2"), col("sim"))
-  }
+  /** queries() entry: exact top-1 within each label block (ColumnBlocking
+    * as the oracle-checkable test configuration of [[top1]]; production
+    * defaults to LSH/IVF blocking, asserted sub-quadratic in ExtrasSpec). */
+  def top1WithinLabel(spark: SparkSession, dir: String): DataFrame =
+    top1(Tables.load(spark, dir, "embeddings"), ColumnBlocking("label"))
+      .orderBy(col("vec_id"))
 
   // ------------------------------------------------------------ sign LSH
 

@@ -140,9 +140,10 @@ class ExtrasSpec extends SparkSpec {
     assert(agg == win)
   }
 
-  test("embedding near-dup pairs finds planted duplicates within block") {
+  test("embedding near-dup pairs finds planted duplicates (default LSH blocking)") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(50)
-    // plant: exact copies with shifted ids → cosine 1.0
+    // plant: exact copies with shifted ids → cosine 1.0; identical vectors
+    // land in the same bucket in EVERY table, so LSH recall on them is 1.
     val dups = emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
     val corpus = emb.unionByName(dups)
     val pairs = Similarity.nearDupPairs(corpus, threshold = 0.999)
@@ -152,6 +153,56 @@ class ExtrasSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing planted dups: ${expected -- pairs}")
     // corpus itself has no near-dups at 0.999 (random vectors)
     assert((pairs -- expected).forall { case (a, b) => b - a == 100000 })
+  }
+
+  test("near-dup blocking finds PERTURBED near-duplicates, not just exact copies") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(50)
+    // shift every component by +0.005 (embeddings are unit vectors, so
+    // this keeps cosine ~0.999) — the vector, and so its bucket hashes,
+    // is no longer byte-identical.
+    val dups = emb.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => (x + lit(0.005)).cast("float")).as("embedding"), $"label")
+    val corpus = emb.unionByName(dups)
+    val pairs = Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val expected = emb.select($"vec_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val recall = (expected intersect pairs).size.toDouble / expected.size
+    info(f"perturbed near-dup recall = $recall%.2f")
+    assert(recall >= 0.9, f"LSH blocking recall $recall%.2f too low for cos~0.999 pairs")
+  }
+
+  test("candidate-pair count scales with buckets, not block², on a hot block") {
+    import Similarity.{ColumnBlocking, IvfBlocking, LshBlocking}
+    // worst case the label-blocked form dies on: EVERY vector in one block
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+      .withColumn("label", lit("hot"))
+    val n = emb.count()
+    val quad = n * (n - 1) / 2
+    assert(Similarity.candidatePairs(emb, ColumnBlocking("label")).count() == quad,
+      "column blocking on a hot block must be exactly quadratic (the shape being avoided)")
+    val viaLsh = Similarity.candidatePairs(emb, LshBlocking()).count()
+    val viaIvf = Similarity.candidatePairs(emb, IvfBlocking(nCentroids = 32, nProbe = 2)).count()
+    info(s"hot-block candidates: all-pairs=$quad lsh=$viaLsh ivf=$viaIvf")
+    assert(viaLsh < quad / 10, s"LSH candidates $viaLsh not sub-quadratic (all-pairs $quad)")
+    assert(viaIvf < quad / 2, s"IVF candidates $viaIvf not sub-quadratic (all-pairs $quad)")
+  }
+
+  test("top1 under ColumnBlocking equals the exact all-pairs in-block answer") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(100)
+    val viaOp = Similarity.top1(emb, Similarity.ColumnBlocking("label"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    // independent exact reference: window over the in-block cross join
+    val a = emb.select($"label", $"vec_id", $"embedding")
+    val b = emb.select($"label", $"vec_id".as("nid"), $"embedding".as("nemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"sim".desc, $"nid")
+    val exact = a.join(b, Seq("label")).filter($"vec_id" =!= $"nid")
+      .select($"vec_id", $"nid",
+        VectorFunctions.cosine($"embedding", $"nemb").as("sim"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"vec_id", $"nid").orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(viaOp == exact)
   }
 
   test("cosine is 1 for identical, 0 for orthogonal vectors") {
