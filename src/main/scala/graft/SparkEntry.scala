@@ -59,11 +59,11 @@ object SparkEntry {
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
-    * signatures / LSH bucket assignment / stopword-profile argmax). The
-    * driver records a rows-only check; semantic coverage lives in
-    * ScalaTest (known-dup recall, ANN recall vs brute force). */
+    * signatures / LSH bucket assignment). The driver records a rows-only
+    * check; semantic coverage lives in ScalaTest (known-dup recall, ANN
+    * recall vs brute force). */
   val rowsOnly: Set[String] =
-    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf", "x08_lang_id")
+    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

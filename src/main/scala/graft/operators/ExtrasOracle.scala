@@ -11,7 +11,55 @@ package graft.operators
   * (known near-dup pairs found, ANN recall vs brute force).
   */
 object ExtrasOracle {
+
+  /** DuckDB twin of TextAnalysis.detectLang, generated from the SAME
+    * profile tables so SQL and Scala cannot drift. Per language:
+    * (stopword-token hits + unspaced-script char hits) * 3 + profile-
+    * trigram hits; detected = first declared language reaching the max
+    * score, 'und' when every score is 0. Token membership w ∈
+    * split(lower(text),' ') is equivalent to ' '||lower(text)||' '
+    * containing ' '||w||' ' (single-space delimiting on both engines);
+    * char/trigram hits are plain substring containment on the UNPADDED
+    * lowered text, exactly like SubstringHits. */
+  private def langIdSql: String = {
+    def hit(needle: String, padded: Boolean): String = {
+      val hay = if (padded) "' ' || lower(text) || ' '" else "lower(text)"
+      val lit = "'" + needle.replace("'", "''") + "'"
+      s"(CASE WHEN contains($hay, $lit) THEN 1 ELSE 0 END)"
+    }
+    val tris = TextAnalysis.trigramProfiles.toMap
+    val scoreCols = TextAnalysis.stopwordProfiles.map { case (lang, words) =>
+      val (charWords, tokenWords) = words.partition(w => w.length == 1 && w.head > 127)
+      val tokenHits = (tokenWords.map(w => hit(" " + w + " ", padded = true)) ++
+        charWords.map(w => hit(w, padded = false))) match {
+        case Nil => "0"
+        case hs => hs.mkString(" + ")
+      }
+      val triHits = tris.get(lang).map(_.map(hit(_, padded = false)).mkString(" + ")).getOrElse("0")
+      s"($tokenHits) * 3 + ($triHits) AS s_$lang"
+    }
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val argmax = langs.init.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n         ")
+    s"""WITH scored AS (
+       |  SELECT lang, ${scoreCols.mkString(",\n    ")}
+       |  FROM documents),
+       |det AS (
+       |  SELECT lang, $best AS best, *
+       |  FROM scored),
+       |labeled AS (
+       |  SELECT lang,
+       |    CASE WHEN best <= 0 THEN 'und'
+       |         $argmax
+       |         ELSE '${langs.last}' END AS detected
+       |  FROM det)
+       |SELECT lang, detected, COUNT(*) AS n
+       |FROM labeled GROUP BY lang, detected
+       |ORDER BY lang, detected""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
