@@ -189,6 +189,115 @@ object NativeOps {
     }
     java.lang.Double.valueOf(dot / denom)
   }
+
+  /** All sign-LSH bucket ids of a vector in one pass: for table t, bit i,
+    * the sign of dot(vec, planes[t*bits+i]) sets bit i of bucket t.
+    * `planes` is flattened [table][bit][dim] row-major. Bit-exact with the
+    * composed form it fuses (see LshBuckets): per-plane dots accumulate in
+    * double, strictly left-to-right; a vector whose length differs from
+    * `dim` or that carries a null element has every per-plane dot null in
+    * the composed form, so every `when(dot >= 0, ...)` falls through to 0
+    * — hence the all-zero bucket array here. */
+  def lshBuckets(vec: ArrayData, planes: Array[Double], nTables: Int,
+                 bits: Int, dim: Int, isFloat: Boolean): ArrayData = {
+    val out = new Array[Long](nTables)
+    val n = vec.numElements()
+    var valid = n == dim
+    val v = new Array[Double](dim)
+    var i = 0
+    while (valid && i < dim) {
+      if (vec.isNullAt(i)) valid = false else v(i) = elem(vec, i, isFloat)
+      i += 1
+    }
+    if (valid) {
+      var t = 0
+      var off = 0
+      while (t < nTables) {
+        var bkt = 0L
+        var b = 0
+        while (b < bits) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { d += v(j) * planes(off + j); j += 1 }
+          if (d >= 0) bkt |= (1L << b)
+          off += dim
+          b += 1
+        }
+        out(t) = bkt
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Ids of the `nProbe` best centroids for a vector by exact cosine,
+    * ordered best-first (ties: smaller centroid id). Per-centroid cosine
+    * keeps NativeOps.cosineSim's exact semantics — the composed form this
+    * fuses scored `cosine(vec, cvec_literal)` per centroid — but hoists
+    * the vector-norm accumulation out of the per-centroid loop and takes
+    * the centroid norms precomputed (both bit-identical: same operations,
+    * same order). Centroids whose cosine is null (length mismatch with a
+    * nonzero-norm vector) rank after all non-null scores, ordered by id —
+    * matching how nulls-first ascending struct sort + reverse placed them
+    * in the composed form. A vector with a null element yields all-null
+    * scores, so the result is the first nProbe centroid ids. */
+  def topCentroids(vec: ArrayData, cids: Array[Int], cvecs: Array[Array[Double]],
+                   cnormSqrts: Array[Double], nProbe: Int, isFloat: Boolean): ArrayData = {
+    val nc = cids.length
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) hasNull = true else v(i) = elem(vec, i, isFloat)
+      i += 1
+    }
+    var sa = 0.0
+    if (!hasNull) {
+      var k = 0
+      while (k < n) { sa += v(k) * v(k); k += 1 }
+    }
+    val saSqrt = math.sqrt(sa)
+    // sims(c) = null iff the composed cosine would be null for centroid c
+    val sims = new Array[java.lang.Double](nc)
+    if (!hasNull) {
+      var c = 0
+      while (c < nc) {
+        val cv = cvecs(c)
+        val denom = saSqrt * cnormSqrts(c)
+        if (denom == 0.0) sims(c) = java.lang.Double.valueOf(0.0)
+        else if (cv.length != n) sims(c) = null
+        else {
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += v(j) * cv(j); j += 1 }
+          sims(c) = java.lang.Double.valueOf(dot / denom)
+        }
+        c += 1
+      }
+    }
+    val order = new Array[Integer](nc)
+    var o = 0
+    while (o < nc) { order(o) = Integer.valueOf(o); o += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val sx = sims(x.intValue()); val sy = sims(y.intValue())
+        if (sx == null && sy == null) Integer.compare(cids(x.intValue()), cids(y.intValue()))
+        else if (sx == null) 1
+        else if (sy == null) -1
+        else {
+          val bySim = java.lang.Double.compare(sy.doubleValue(), sx.doubleValue())
+          if (bySim != 0) bySim
+          else Integer.compare(cids(x.intValue()), cids(y.intValue()))
+        }
+      }
+    })
+    val m = math.min(nProbe, nc)
+    val out = new Array[Int](m)
+    var p = 0
+    while (p < m) { out(p) = cids(order(p).intValue()); p += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature: for each seed j in [0, numHashes), the min XXH64
@@ -426,6 +535,118 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-LSH bucket ids of an embedding in ONE pass: element i of the
+  * result is the vector's bucket in hyperplane table i (bit b = sign of
+  * the dot against plane b of that table, packed little-endian).
+  *
+  * Fuses the composed form — nTables x bits separate
+  * `when(dot_product(vec, plane_literal) >= 0, 1L << b)` columns OR-reduced
+  * per table — into a single kernel call per row: the planes ride along as
+  * one flat double[] reference object instead of nTables*bits*dim literal
+  * expressions, and the vector is unpacked from ArrayData once instead of
+  * once per plane. Bit-identical outputs (same Gaussian stream, same
+  * left-to-right double accumulation; asserted in ExtrasSpec).
+  *
+  * Plane generation is deterministic from (seed): the same
+  * scala.util.Random Gaussian stream, filled [table][bit][dim], that the
+  * composed form drew. */
+case class LshBuckets(child: Expression, nTables: Int, bits: Int, dim: Int, seed: Long)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Flattened [table][bit][dim] planes — the exact Gaussian stream of the
+    * composed form (Similarity.planes). */
+  @transient private lazy val planes: Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nTables * bits * dim)(rnd.nextGaussian())
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.lshBuckets(input.asInstanceOf[ArrayData], planes, nTables, bits, dim, isFloat)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.lshBuckets(" +
+        s"$c, $planesRef, $nTables, $bits, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ids of the nProbe nearest centroids (exact cosine, best first, ties to
+  * the smaller id) against a driver-collected codebook.
+  *
+  * Fuses the composed IVF scoring — transform over a literal
+  * array<struct<sim,negid>> then array_max (assignment) or
+  * slice(reverse(array_sort(...))) (probing) — into one kernel call: the
+  * codebook travels as reference objects (ids, pre-widened vectors,
+  * precomputed norms) rather than a nCentroids x dim literal tree, the
+  * query norm is computed once instead of once per centroid, and no
+  * intermediate struct array is materialized. Same ranking, bit-identical
+  * (asserted in ExtrasSpec). Not SQL-registered: the codebook is runtime
+  * driver data, not a literal a SQL text form could carry. */
+case class TopCentroids(child: Expression, centroids: Seq[(Int, IndexedSeq[Float])],
+                        nProbe: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (nProbe >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires nProbe >= 1, got $nProbe")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val cvecs: Array[Array[Double]] =
+    centroids.map(_._2.map(_.toDouble).toArray).toArray
+  /** sqrt of each centroid's self-dot, accumulated left-to-right — the
+    * same `sqrt(sb)` factor cosineSim computes per call. */
+  @transient private lazy val cnormSqrts: Array[Double] =
+    cvecs.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.topCentroids(input.asInstanceOf[ArrayData], cids, cvecs, cnormSqrts,
+      nProbe, isFloat)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val cvecsRef = ctx.addReferenceObj("cvecs", cvecs, "double[][]")
+    val cnormsRef = ctx.addReferenceObj("cnorms", cnormSqrts, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.topCentroids(" +
+        s"$c, $cidsRef, $cvecsRef, $cnormsRef, $nProbe, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -446,4 +667,9 @@ object NativeExpressions {
     column(CosineSim(expression(a), expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def lshBuckets(vec: Column, nTables: Int, bits: Int, dim: Int, seed: Long): Column =
+    column(LshBuckets(expression(vec), nTables, bits, dim, seed))
+  def topCentroids(vec: Column, centroids: Array[(Int, Array[Float])], nProbe: Int): Column =
+    column(TopCentroids(expression(vec),
+      centroids.map { case (id, v) => (id, v.toIndexedSeq) }.toIndexedSeq, nProbe))
 }

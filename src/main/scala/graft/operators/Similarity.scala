@@ -103,17 +103,12 @@ object Similarity {
   final case class IvfBlocking(nCentroids: Int = 256, nProbe: Int = 2) extends Blocking
 
   /** (vec_id, t, bkt) bucket rows for LSH blocking — ids only; embedding
-    * payloads never travel through the blocking shuffle. */
-  private def lshIdBuckets(vectors: DataFrame, b: LshBlocking): DataFrame = {
-    val ps = planes(b.nTables, b.bits, b.dim, b.seed)
-    vectors.select(col("vec_id") +: ps.zipWithIndex.map { case (tp, t) =>
-        bucketExpr(col("embedding"), tp).as(s"_b$t")
-      }: _*)
-      .select(col("vec_id"),
-        explode(array((0 until b.nTables).map(t =>
-          struct(lit(t).as("t"), col(s"_b$t").as("bkt"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-  }
+    * payloads never travel through the blocking shuffle. One fused
+    * LshBuckets kernel call per row + posexplode (pos = table index). */
+  private def lshIdBuckets(vectors: DataFrame, b: LshBlocking): DataFrame =
+    vectors.select(col("vec_id"),
+        posexplode(lshBucketsExpr(col("embedding"), b.nTables, b.bits, b.dim, b.seed)))
+      .select(col("vec_id"), col("pos").cast("int").as("t"), col("col").as("bkt"))
 
   /** Distinct candidate pairs (id1 < id2) under the blocking strategy.
     * Every arm is bucket-equi-join-shaped; only ids shuffle. */
@@ -134,10 +129,8 @@ object Similarity {
     case IvfBlocking(nCentroids, nProbe) =>
       val index = ivfIndex(vectors, nCentroids)
       val probed = vectors
-        .withColumn("_ranked",
-          slice(reverse(array_sort(bestCentroids(col("embedding"), index.centroids))), 1, nProbe))
         .select(col("vec_id"),
-          explode(transform(col("_ranked"), r => (-r.getField("negid")).cast("int")))
+          explode(topCentroidsExpr(col("embedding"), index.centroids, nProbe))
             .as("centroid_id"))
       probed.as("a").join(probed.as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
@@ -189,17 +182,27 @@ object Similarity {
 
   // ------------------------------------------------------------ sign LSH
 
-  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
-    * broadcast implicitly with the plan. */
-  private def planes(nTables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+  /** Fused native bucket-id computation: ARRAY<LONG>, element t = bucket
+    * in table t. One kernel call per row; planes ride as a reference
+    * object, not nTables*bits*dim literal expressions. */
+  private def lshBucketsExpr(vec: Column, nTables: Int, bits: Int, dim: Int,
+                             seed: Long): Column =
+    graft.functions.expressions.NativeExpressions.lshBuckets(vec, nTables, bits, dim, seed)
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays.
+    * Reference twin of the fused kernel's plane stream — kept (with
+    * [[bucketExprHof]]) to assert the native expression bit-identical in
+    * ExtrasSpec. */
+  private[graft] def planes(nTables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nTables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
   /** Bucket id of a vector in one LSH table: sign bits against `bits`
-    * hyperplanes packed into a long. */
-  private def bucketExpr(vec: org.apache.spark.sql.Column,
-                         tablePlanes: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    * hyperplanes packed into a long. Composed (per-plane literal-array)
+    * reference twin of [[lshBucketsExpr]]. */
+  private[graft] def bucketExprHof(vec: org.apache.spark.sql.Column,
+                                   tablePlanes: Seq[Array[Double]]): org.apache.spark.sql.Column =
     tablePlanes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit).toIndexedSeq: _*)
       when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
@@ -215,15 +218,10 @@ object Similarity {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nTables: Int = 12, bits: Int = 6, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
-    val ps = planes(nTables, bits, dim, seed)
     def withBuckets(df: DataFrame, vecCol: String, idAlias: String) =
-      df.select(col("*") +: ps.zipWithIndex.map { case (tp, t) =>
-        bucketExpr(col(vecCol), tp).as(s"_b$t")
-      }: _*)
-        .select(col(idAlias), col(vecCol),
-          explode(array((0 until nTables).map(t =>
-            struct(lit(t).as("t"), col(s"_b$t").as("bkt"))): _*)).as("tb"))
-        .select(col(idAlias), col(vecCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      df.select(col(idAlias), col(vecCol),
+          posexplode(lshBucketsExpr(col(vecCol), nTables, bits, dim, seed)))
+        .select(col(idAlias), col(vecCol), col("pos").cast("int").as("t"), col("col").as("bkt"))
 
     val vb = withBuckets(vectors.select(col("vec_id"), col("embedding")), "embedding", "vec_id")
     val qb = withBuckets(queries.select(col("query_id"), col("qvec")), "qvec", "query_id")
@@ -263,14 +261,23 @@ object Similarity {
     * table can synthesize one with monotonically_increasing_id + zip). */
   case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
-  private def centroidArrayLit(cents: Array[(Int, Array[Float])]): Column =
+  /** Fused native centroid ranking: ARRAY<INT> of the nProbe best
+    * centroid ids, best first (ties to the smaller id). The codebook
+    * travels as reference objects, not a nCentroids x dim literal tree. */
+  private def topCentroidsExpr(vec: Column, cents: Array[(Int, Array[Float])],
+                               nProbe: Int): Column =
+    graft.functions.expressions.NativeExpressions.topCentroids(vec, cents, nProbe)
+
+  private[graft] def centroidArrayLit(cents: Array[(Int, Array[Float])]): Column =
     array(cents.map { case (id, v) =>
       struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
     }.toIndexedSeq: _*)
 
-  /** Best-centroid struct per row: max of (sim, -cid) over the literal
-    * codebook — ties resolve to the smallest centroid id. */
-  private def bestCentroids(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+  /** Composed reference twin of [[topCentroidsExpr]]: per-centroid
+    * (sim, -cid) structs over the literal codebook — rank by array_max /
+    * sort+reverse+slice. Kept to assert the fused kernel bit-identical in
+    * ExtrasSpec. */
+  private[graft] def bestCentroidsHof(vec: Column, cents: Array[(Int, Array[Float])]): Column =
     transform(centroidArrayLit(cents),
       c => struct(cosine(vec, c.getField("cvec")).as("sim"),
         (-c.getField("cid")).as("negid")))
@@ -285,9 +292,9 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
     val assigned = vectors
-      .withColumn("_best", array_max(bestCentroids(col("embedding"), cents)))
       .select(col("vec_id"),
-        (-col("_best.negid")).cast("int").as("centroid_id"), col("embedding"))
+        element_at(topCentroidsExpr(col("embedding"), cents, 1), 1).as("centroid_id"),
+        col("embedding"))
     IvfIndex(cents, assigned)
   }
 
@@ -296,10 +303,8 @@ object Similarity {
     * the probed lists only. */
   def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probed = queries
-      .withColumn("_ranked",
-        slice(reverse(array_sort(bestCentroids(col("qvec"), index.centroids))), 1, nProbe))
       .select(col("query_id"), col("qvec"),
-        explode(transform(col("_ranked"), r => (-r.getField("negid")).cast("int")))
+        explode(topCentroidsExpr(col("qvec"), index.centroids, nProbe))
           .as("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     probed.join(index.assigned, Seq("centroid_id"))

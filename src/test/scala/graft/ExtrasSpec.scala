@@ -129,6 +129,57 @@ class ExtrasSpec extends SparkSpec {
     assert(edge(4)._1 == Seq("a b c", "b c d"))
   }
 
+  test("fused lsh_buckets equals the composed per-plane form bit-exactly") {
+    import graft.functions.expressions.NativeExpressions
+    val (nTables, bits, dim, seed) = (6, 5, 64, 42L)
+    val ps = Similarity.planes(nTables, bits, dim, seed)
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val both = emb.select(
+      NativeExpressions.lshBuckets($"embedding", nTables, bits, dim, seed).as("nat"),
+      array(ps.map(tp => Similarity.bucketExprHof($"embedding", tp)): _*).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) }
+    // degenerate vectors: wrong length and null element → every per-plane
+    // dot is null in the composed form → all-zero buckets; fused matches
+    val edge = spark.range(1).selectExpr(
+        "array(float(1.5), float(-2.0)) as short_vec",
+        "array(float(null), float(1.0)) as null_vec")
+    val Array(r) = edge.select(
+      NativeExpressions.lshBuckets($"short_vec", nTables, bits, dim, seed).as("n1"),
+      array(ps.map(tp => Similarity.bucketExprHof($"short_vec", tp)): _*).as("h1"),
+      NativeExpressions.lshBuckets(
+        $"null_vec", nTables, bits, dim = 2, seed).as("n2"))
+      .collect()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0) == Seq.fill(nTables)(0L))
+    assert(r.getSeq[Long](2) == Seq.fill(nTables)(0L))
+  }
+
+  test("fused top_centroids equals the composed struct-ranking form bit-exactly") {
+    import graft.functions.expressions.NativeExpressions
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cid"), $"embedding")
+      .collect()
+      .map(row => row.getInt(0) -> row.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    // assignment (top-1): fused vs array_max over (sim, negid) structs
+    // probing (top-3): fused vs slice(reverse(array_sort(...)))
+    val hofRanked = reverse(array_sort(Similarity.bestCentroidsHof($"embedding", cents)))
+    val both = emb.select(
+      element_at(NativeExpressions.topCentroids($"embedding", cents, 1), 1).as("nat1"),
+      (-element_at(hofRanked, 1).getField("negid")).cast("int").as("hof1"),
+      NativeExpressions.topCentroids($"embedding", cents, 3).as("nat3"),
+      transform(slice(hofRanked, 1, 3), r => (-r.getField("negid")).cast("int")).as("hof3"))
+      .as[(Int, Int, Seq[Int], Seq[Int])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n1, h1, n3, h3) =>
+      assert(n1 == h1)
+      assert(n3 == h3)
+    }
+  }
+
   test("aggregator-based knn equals the window-form reference") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val queries = emb.filter($"vec_id" < 20)

@@ -54,9 +54,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_signature"), s"native minhash not in plan:\n$p")
   }
 
-  test("x02/x03/x04: signature expressions are fully codegen'd (no CodegenFallback)") {
+  test("x02/x03/x04/x06: signature+ANN expressions are fully codegen'd (no CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    for (q <- Seq("x02_minhash_pairs", "x03_ngram_pairs", "x04_simhash")) {
+    for (q <- Seq("x02_minhash_pairs", "x03_ngram_pairs", "x04_simhash",
+                  "x06_ann_lsh", "x06_ann_ivf")) {
       val exec = SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.executedPlan
       val fallbacks = exec.flatMap(node =>
         node.expressions.flatMap(_.collect { case cf: CodegenFallback => cf }))
