@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal INT for its count argument, got: ${other.sql}")
   }
 
+  private def longLiteral(e: Expression, fn: String): Long = e match {
+    case Literal(l: Long, _) => l
+    case Literal(i: Int, _) => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT/BIGINT seed argument, got: ${other.sql}")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -49,5 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_chunks"),
       info("simhash_chunks", "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks"),
       (args: Seq[Expression]) => SimHashChunks(args(0))))
+    e.injectFunction((
+      new FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(vec, nTables, bits, dim, seed) - sign-LSH bucket id per hyperplane table"),
+      (args: Seq[Expression]) => LshBuckets(args(0),
+        intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
+        intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))))
+    // TopCentroids is intentionally not SQL-registered: its codebook is
+    // runtime driver data (collected centroids), not literal SQL text.
+
+    // whole-operator extension: plans AsOfJoinNode to the merge-scan exec
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -69,6 +69,43 @@ object AsOfJoin {
         payload.map(c => col(s"_p.$c").as(c))): _*)
   }
 
+  /** Native-exec as-of join: same semantics as [[asOf]] (asserted
+    * row-identical in JoinsSpec) through graft's own Catalyst operator —
+    * [[graft.plans.AsOfJoinNode]] planned by
+    * [[graft.plans.AsOfJoinStrategy]] (a GraftSession registers it; any
+    * session can via spark.sql.extensions=...GraftExtensions) into a
+    * merge-scan [[graft.plans.AsOfJoinExec]]: hash-cluster + sort both
+    * sides, then one O(|L|+|R|) forward pass per partition. No timeline
+    * union and no window state — at scale this is a sort-merge join's
+    * exchange with strictly less post-shuffle work. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val payloadNames = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
+    val overlap = payloadNames.toSet intersect left.columns.toSet
+    require(overlap.isEmpty,
+      s"asOfNative: right payload columns collide with left columns: $overlap — rename before joining")
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the right so self-as-of joins don't alias — the
+    // analyzer's DeduplicateRelations does this for Join nodes; we build
+    // the node post-analysis, so we do it ourselves
+    val rBase = right.queryExecution.analyzed
+    val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
+    def attr(plan: LogicalPlan, name: String, side: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfNative: no column '$name' on $side side"))
+    val lk = attr(lPlan, key, "left"); val lt = attr(lPlan, leftTime, "left")
+    val rk = attr(rPlan, key, "right"); val rt = attr(rPlan, rightTime, "right")
+    require(lk.dataType == rk.dataType,
+      s"asOfNative: key type mismatch: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"asOfNative: time type mismatch: ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    val payload = payloadNames.map(attr(rPlan, _, "right"))
+    org.apache.spark.sql.graft.bridge.dataFrame(left.sparkSession,
+      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, payload))
+  }
+
   /** Range-join composition with tolerance: latest right row in
     * [leftTime - tolerance, leftTime]. */
   def asOfRange(left: DataFrame, right: DataFrame, key: String,

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Whole-operator as-of join, Catalyst-native: a custom LogicalPlan +
+  * SparkStrategy + SparkPlan (registered through
+  * SparkSessionExtensions.injectPlannerStrategy by GraftExtensions).
+  *
+  * Where the composed forms in [[graft.operators.AsOfJoin]] re-express the
+  * semantics over existing operators (union + window last(), or range join
+  * + row_number), this exec owns the physical algorithm: both sides hash-
+  * cluster on the key and sort by (key, time) — the same exchange+sort a
+  * sort-merge join would need, which EnsureRequirements inserts (and AQE
+  * tunes) for free — then ONE forward-only merge pass per partition emits
+  * each left row with the payload of the latest right row at-or-before its
+  * time. No timeline union, no window buffering, no within-window
+  * quadratic re-scan: O(|L| + |R|) work and O(1) state (a single buffered
+  * right payload) per partition after the sort.
+  *
+  * Semantics are those of AsOfJoin.asOf, asserted row-identical in
+  * JoinsSpec: latest right row with rightTime <= leftTime per key; right
+  * rows tied on (key, time) resolve to the largest payload (the exec
+  * requires the right side additionally sorted by the payload columns
+  * ascending and lets the last tied row win); null keys match null keys
+  * (window-partition semantics, not SQL-join null semantics); a null right
+  * time sorts before every non-null time ("at-or-before anything"), so it
+  * is visible to every left row of its key — including a left row whose
+  * own time is null, which sees ONLY null-time right rows. */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute,
+                        payload: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinNode to its exec; a no-op for every other node. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Merge-scan as-of join exec. Children arrive hash-clustered on the key
+  * and sorted by (key asc, time asc) — right additionally by the payload
+  * columns, so the last right row consumed for a (key, time) tie carries
+  * the largest payload, matching the composed form's tie-break. */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute,
+                        payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ::
+      (Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        payload.map(p => SortOrder(p, Ascending))) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** Left rows pass through in order — the sort is preserved for parents. */
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  @transient private lazy val keyOrdering =
+    TypeUtils.getInterpretedOrdering(leftKey.dataType)
+  @transient private lazy val timeOrdering =
+    TypeUtils.getInterpretedOrdering(leftTime.dataType)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rkOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = right.output.indexWhere(_.exprId == rightTime.exprId)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val kOrd = keyOrdering
+    val tOrd = timeOrdering
+    val outAttrs = output
+    val leftAttrs = left.output
+    val rightAttrs = right.output
+    val payloadAttrs = payload
+
+    // nulls-first three-way compare, mirroring the Ascending NullsFirst
+    // sort the children arrive in
+    def cmp(ord: Ordering[Any], a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord.compare(a, b)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val payloadProj = UnsafeProjection.create(payloadAttrs, rightAttrs)
+      // payload slots are nullable in the OUTPUT even when the right-side
+      // schema says non-null (a left row with no match emits nulls) — bind
+      // with widened nullability or the projection would read the null
+      // slot as a primitive zero
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftAttrs ++ payloadAttrs.map(_.withNullability(true)))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullPayload = new GenericInternalRow(payloadAttrs.length)
+
+      new Iterator[InternalRow] {
+        // the one peeked-but-unconsumed right row (rows from the upstream
+        // sorter reuse buffers, so consumed state is copied immediately)
+        private var rHead: InternalRow = _
+        private var rHeadValid = false
+        // payload of the best right row seen for the CURRENT left key
+        private var matched: InternalRow = _
+        // copied key value the buffered `matched` belongs to
+        private var matchedKey: Any = _
+        private var matchedKeySet = false
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val k = if (lRow.isNullAt(lkOrd)) null else lRow.get(lkOrd, keyType)
+          val t = if (lRow.isNullAt(ltOrd)) null else lRow.get(ltOrd, timeType)
+          if (!matchedKeySet || cmp(kOrd, matchedKey, k) != 0) {
+            matched = null
+            matchedKey = InternalRow.copyValue(k)
+            matchedKeySet = true
+          }
+          // consume right rows at-or-before (k, t); the last one wins
+          var advancing = true
+          while (advancing) {
+            if (!rHeadValid && rIter.hasNext) { rHead = rIter.next(); rHeadValid = true }
+            if (!rHeadValid) advancing = false
+            else {
+              val rk = if (rHead.isNullAt(rkOrd)) null else rHead.get(rkOrd, keyType)
+              val kc = cmp(kOrd, rk, k)
+              if (kc > 0) advancing = false
+              else if (kc < 0) rHeadValid = false // right-only key: skip
+              else {
+                val rt = if (rHead.isNullAt(rtOrd)) null else rHead.get(rtOrd, timeType)
+                if (cmp(tOrd, rt, t) <= 0) {
+                  matched = payloadProj(rHead).copy()
+                  rHeadValid = false
+                } else advancing = false
+              }
+            }
+          }
+          numOutputRows += 1
+          resultProj(joined(lRow, if (matched == null) nullPayload else matched))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

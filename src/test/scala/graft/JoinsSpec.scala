@@ -164,6 +164,62 @@ class JoinsSpec extends SparkSpec {
     assert(viaUnion._2 == 101.0, "largest payload must win in both forms")
   }
 
+  test("native as-of exec equals the union-timeline form on ties, nulls, and null times") {
+    val quotes = Seq(
+      (Some("A"), Some("2024-01-01 10:00:00"), Some(100.0)),
+      (Some("A"), Some("2024-01-01 10:00:00"), Some(101.0)), // tied time — larger payload wins
+      (Some("A"), Some("2024-01-01 10:05:00"), Some(102.0)),
+      (Some("B"), Some("2024-01-01 10:01:00"), Some(50.0)),
+      (None,      Some("2024-01-01 10:00:00"), Some(77.0)),  // null key partition
+      (Some("C"), None,                        Some(88.0)))  // null time: at-or-before anything
+      .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
+    val trades = Seq(
+      (Some("A"), Some("2024-01-01 10:03:00"), 1L),
+      (Some("A"), Some("2024-01-01 10:00:00"), 2L),
+      (Some("B"), Some("2024-01-01 10:00:30"), 3L),
+      (Some("B"), Some("2024-01-01 11:00:00"), 4L),
+      (None,      Some("2024-01-01 10:30:00"), 5L), // sees the null-key quote
+      (Some("C"), None,                        6L), // null time sees only null-time quotes
+      (Some("C"), Some("2024-01-01 09:00:00"), 7L),
+      (Some("D"), Some("2024-01-01 10:00:00"), 8L)) // key with no quotes → null
+      .toDF("sym", "tt", "qty").withColumn("tt", $"tt".cast("timestamp"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq.sorted
+    val native = rows(AsOfJoin.asOfNative(trades, quotes, "sym", "tt", "qt"))
+    val union = rows(AsOfJoin.asOf(trades, quotes, "sym", "tt", "qt"))
+    assert(native == union, s"native $native != union-timeline $union")
+    assert(native == Seq((1L, Some(101.0)), (2L, Some(101.0)), (3L, None),
+      (4L, Some(50.0)), (5L, Some(77.0)), (6L, Some(88.0)), (7L, Some(88.0)), (8L, None)))
+  }
+
+  test("native as-of exec equals the union-timeline form on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(400)((rnd.nextInt(8).toString, rnd.nextInt(50), rnd.nextInt(1000).toLong))
+      .toDF("k", "t", "lval")
+    val right = Seq.fill(400)((rnd.nextInt(10).toString, rnd.nextInt(50), rnd.nextInt(5).toDouble,
+        rnd.nextInt(3).toString))
+      .toDF("k", "rt", "p1", "p2") // narrow p1 range → frequent (key, time, p1) ties
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"t", $"lval", $"p1", $"p2")
+        .as[(String, Int, Long, Option[Double], Option[String])].collect().toSeq.sorted
+    val native = rows(AsOfJoin.asOfNative(left, right, "k", "t", "rt"))
+    val union = rows(AsOfJoin.asOf(left, right, "k", "t", "rt"))
+    assert(native == union)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of join plans to the custom exec: merge scan, no join, no window") {
+    val quotes = Seq(("A", 10, 1.0)).toDF("sym", "qt", "price")
+    val trades = Seq(("A", 11, 5L)).toDF("sym", "tt", "qty")
+    val out = AsOfJoin.asOfNative(trades, quotes, "sym", "tt", "qt")
+    val plan = out.queryExecution.executedPlan.toString
+    // the exec prints under its stripped node name "AsOfJoin"
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("Window"), s"native form must not fall back to join/window:\n$plan")
+    assert(out.as[(String, Int, Long, Double)].collect().toSeq == Seq(("A", 11, 5L, 1.0)))
+  }
+
   test("as-of join: range form with tolerance matches and bounds lookback") {
     val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
       .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
