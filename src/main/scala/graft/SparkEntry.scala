@@ -38,6 +38,9 @@ object SparkEntry {
     "q17_explode_topk"   -> (Relational.q17ExplodeTopK _),
     "q18_union_dedup"    -> (Relational.q18UnionDedup _),
     "q19_tumbling_window" -> (Relational.q19TumblingWindow _),
+    // Q21: the custom as-of join exec (native Catalyst operator), checked
+    // against DuckDB's built-in ASOF JOIN.
+    "q21_asof_join"      -> (Relational.q21AsOfJoin _),
     // Q20: the SIMPSS pipeline itself (batch form). Inputs are the
     // committed deterministic fixtures, not the sf tables.
     "q20_sensor_pipeline" -> ((s: SparkSession, _: String) =>

@@ -233,4 +233,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** Q21 — point-in-time enrichment through graft's NATIVE as-of join
+    * operator (AsOfJoinNode → AsOfJoinExec merge scan; see
+    * plans/NativeAsOfJoin.scala): each click event picks up the value of
+    * the same user's latest purchase at-or-before its timestamp, null
+    * when the user hasn't purchased yet. The oracle is DuckDB's own
+    * ASOF LEFT JOIN — a cross-engine check of the custom exec. (No Spark
+    * SQL twin in RelationalSql: Spark has no ASOF JOIN syntax; the
+    * operator's SQL-free surface IS the point.) */
+  def q21AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
+    AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts", "pts")
+      .orderBy(col("event_id"))
+  }
 }

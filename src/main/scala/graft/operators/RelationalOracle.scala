@@ -179,5 +179,17 @@ object RelationalOracle {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN as the cross-engine oracle for the
+    // custom AsOfJoinExec. (user_id, ts) is unique within the purchase
+    // slice at every sf (verified), so the at-or-before winner is unique
+    // and the tie-break disciplines can't diverge.
+    "q21_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.pts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
   )
 }
