@@ -172,6 +172,19 @@ object RelationalSql {
         |FROM events
         |GROUP BY window(ts, '1 hour'), event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Spark SQL has no ASOF JOIN syntax; the SQL face of the native
+    // as-of exec is the correlated point-in-time lookup a SQL user would
+    // write. Result-identical to AsOfJoinExec (no (user_id, ts) ties in
+    // the purchase slice, so max_by's winner is unique).
+    "q21_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT max_by(p.value, p.ts) FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |     AND p.ts <= c.ts) AS purchase_value
+        |FROM events c
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin,
   )
 
   /** Q20 — the SIMPSS pipeline as one SQL statement, over two raw views

@@ -27,13 +27,14 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
-  test("Q1-Q19: spark.sql text over registered views equals the DataFrame form") {
+  test("Q1-Q19 + Q21: spark.sql text over registered views equals the DataFrame form") {
     Tables.registerAll(spark, dir)
     RelationalSql.sql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       withClue(name)(assertSame(name, text))
     }
-    // Q1-Q19 with q06/q12 each contributing two entries = 21 texts
-    assert(RelationalSql.sql.size == 21, "every relational query needs a SQL twin")
+    // Q1-Q19 with q06/q12 each contributing two entries, plus Q21 = 22
+    // texts (Q21's twin is the correlated lookup — Spark SQL has no ASOF)
+    assert(RelationalSql.sql.size == 22, "every relational query needs a SQL twin")
   }
 
   test("Q20: the pipeline as one SQL statement equals SensorPipeline.run") {
