@@ -60,9 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",
         "lsh_buckets(vec, nTables, bits, dim, seed) - sign-LSH bucket id per hyperplane table"),
-      (args: Seq[Expression]) => LshBuckets(args(0),
-        intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
-        intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))))
+      (args: Seq[Expression]) => {
+        require(args.length == 5, "lsh_buckets expects 5 arguments: " +
+          s"lsh_buckets(vec, nTables, bits, dim, seed); got ${args.length}")
+        LshBuckets(args(0),
+          intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
+          intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))
+      }))
     // TopCentroids is intentionally not SQL-registered: its codebook is
     // runtime driver data (collected centroids), not literal SQL text.
 

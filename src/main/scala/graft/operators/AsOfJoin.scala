@@ -82,8 +82,15 @@ object AsOfJoin {
                  leftTime: String, rightTime: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
-    val payloadNames = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
-    val overlap = payloadNames.toSet intersect left.columns.toSet
+    // resolve like the DataFrame APIs do: honor spark.sql.caseSensitive
+    // (default false), and reject ambiguity rather than picking a winner
+    val caseSensitive =
+      left.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def sameName(a: String, b: String) =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    val payloadNames = right.columns.toSeq
+      .filterNot(c => sameName(c, key) || sameName(c, rightTime))
+    val overlap = payloadNames.filter(p => left.columns.exists(sameName(_, p)))
     require(overlap.isEmpty,
       s"asOfNative: right payload columns collide with left columns: $overlap — rename before joining")
     val lPlan = left.queryExecution.analyzed
@@ -92,9 +99,14 @@ object AsOfJoin {
     // the node post-analysis, so we do it ourselves
     val rBase = right.queryExecution.analyzed
     val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
-    def attr(plan: LogicalPlan, name: String, side: String) =
-      plan.output.find(_.name == name).getOrElse(
+    def attr(plan: LogicalPlan, name: String, side: String) = {
+      val hits = plan.output.filter(a =>
+        if (caseSensitive) a.name == name else a.name.equalsIgnoreCase(name))
+      require(hits.size <= 1,
+        s"asOfNative: column '$name' is ambiguous on $side side: ${hits.map(_.name)}")
+      hits.headOption.getOrElse(
         throw new IllegalArgumentException(s"asOfNative: no column '$name' on $side side"))
+    }
     val lk = attr(lPlan, key, "left"); val lt = attr(lPlan, leftTime, "left")
     val rk = attr(rPlan, key, "right"); val rt = attr(rPlan, rightTime, "right")
     require(lk.dataType == rk.dataType,

@@ -239,14 +239,19 @@ object Relational {
     * plans/NativeAsOfJoin.scala): each click event picks up the value of
     * the same user's latest purchase at-or-before its timestamp, null
     * when the user hasn't purchased yet. The oracle is DuckDB's own
-    * ASOF LEFT JOIN — a cross-engine check of the custom exec. (No Spark
-    * SQL twin in RelationalSql: Spark has no ASOF JOIN syntax; the
-    * operator's SQL-free surface IS the point.) */
+    * ASOF LEFT JOIN — a cross-engine check of the custom exec; the Spark
+    * SQL twin (RelationalSql) is a correlated max_by lookup (Spark has no
+    * ASOF syntax). Both sides drop null keys/times explicitly: asOfNative
+    * uses window semantics there (null matches null, null time sorts
+    * first) while SQL joins drop them, so the three faces are kept
+    * equal-by-construction rather than equal-by-fixture-accident. */
   def q21AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
+    val clicks = ev.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
     AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts", "pts")
       .orderBy(col("event_id"))

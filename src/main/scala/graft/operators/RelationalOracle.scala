@@ -183,12 +183,16 @@ object RelationalOracle {
     // DuckDB's native ASOF LEFT JOIN as the cross-engine oracle for the
     // custom AsOfJoinExec. (user_id, ts) is unique within the purchase
     // slice at every sf (verified), so the at-or-before winner is unique
-    // and the tie-break disciplines can't diverge.
+    // and the tie-break disciplines can't diverge; null keys/times are
+    // dropped on both sides in all three faces (see Relational.q21AsOfJoin)
+    // so the exec's window-null semantics can't diverge from SQL either.
     "q21_asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL) l
         |ASOF LEFT JOIN
-        |     (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase') r
+        |     (SELECT user_id, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL) r
         |  ON l.user_id = r.user_id AND r.pts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
   )

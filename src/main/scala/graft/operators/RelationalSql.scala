@@ -181,9 +181,9 @@ object RelationalSql {
       """SELECT c.event_id, c.user_id, c.ts,
         |  (SELECT max_by(p.value, p.ts) FROM events p
         |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
-        |     AND p.ts <= c.ts) AS purchase_value
+        |     AND p.ts <= c.ts AND p.ts IS NOT NULL) AS purchase_value
         |FROM events c
-        |WHERE c.event_type = 'click'
+        |WHERE c.event_type = 'click' AND c.user_id IS NOT NULL AND c.ts IS NOT NULL
         |ORDER BY c.event_id""".stripMargin,
   )
 

@@ -71,16 +71,22 @@ private[graft] case class LineOffset(n: Long) extends Offset {
 
 private[graft] class LineMicroBatchStream(path: String) extends MicroBatchStream {
 
-  /** Ordered (file, lineCount) snapshot of the log. Counting is a driver
-    * pass per trigger at test scale; a production source would track
-    * segment lengths incrementally (the Kafka consumer gets them from the
-    * broker's end offsets). */
+  /** Driver-side (fileName -> lineCount) memo. Visible files are
+    * immutable by contract, so a segment is counted ONCE ever — per
+    * trigger the driver reads only segments it hasn't seen, keeping
+    * trigger cost proportional to NEW data (the Kafka consumer likewise
+    * gets end offsets from the broker, not by re-reading the log). */
+  private val countMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Ordered (file, lineCount) snapshot of the log. */
   private def segments(): Seq[(java.io.File, Long)] =
     graft.core.Fs.listOrEmpty(new java.io.File(path))
       .filter(_.isFile).sortBy(_.getName).toSeq
       .map { f =>
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try f -> src.getLines().size.toLong finally src.close()
+        f -> countMemo.computeIfAbsent(f.getName, _ => {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().size.toLong finally src.close()
+        })
       }
 
   override def initialOffset(): Offset = LineOffset(0L)
@@ -111,10 +117,20 @@ private[graft] class LineMicroBatchStream(path: String) extends MicroBatchStream
         val s = partition.asInstanceOf[LineSlice]
         new PartitionReader[InternalRow] {
           private val src = scala.io.Source.fromFile(s.path, "UTF-8")
-          private val lines = src.getLines().slice(s.startLine.toInt, s.endLine.toInt)
+          // Long-safe positioning (Iterator.slice takes Int and would
+          // silently wrap past 2^31 lines): skip with a Long counter,
+          // then emit exactly endLine - startLine lines.
+          private val it = {
+            val raw = src.getLines()
+            var skipped = 0L
+            while (skipped < s.startLine && raw.hasNext) { raw.next(); skipped += 1 }
+            raw
+          }
+          private var remaining = s.endLine - s.startLine
           private var current: String = _
           override def next(): Boolean =
-            if (lines.hasNext) { current = lines.next(); true } else false
+            if (remaining > 0 && it.hasNext) { current = it.next(); remaining -= 1; true }
+            else false
           override def get(): InternalRow =
             InternalRow(UTF8String.fromString(current))
           override def close(): Unit = src.close()

@@ -129,6 +129,19 @@ class ExtrasSpec extends SparkSpec {
     assert(edge(4)._1 == Seq("a b c", "b c d"))
   }
 
+  test("LSH blocking fails fast on corpus/config dimension mismatch") {
+    // a mismatched dim would zero every bucket -> quadratic bucket-0
+    // self-join; the operator must refuse, not silently degenerate
+    val tiny = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(tiny, 0.9).collect())
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    val q = tiny.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.lshTopK(tiny, q, 1).collect())
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+  }
+
   test("fused lsh_buckets equals the composed per-plane form bit-exactly") {
     import graft.functions.expressions.NativeExpressions
     val (nTables, bits, dim, seed) = (6, 5, 64, 42L)
