@@ -79,7 +79,22 @@ object AsOfJoin {
     * union and no window state — at scale this is a sort-merge join's
     * exchange with strictly less post-shuffle work. */
   def asOfNative(left: DataFrame, right: DataFrame, key: String,
-                 leftTime: String, rightTime: String): DataFrame = {
+                 leftTime: String, rightTime: String): DataFrame =
+    asOfNativeImpl(left, right, key, leftTime, rightTime, None)
+
+  /** Native exec with bounded lookback: latest right row in
+    * [leftTime - tolerance, leftTime] — [[asOfRange]]'s semantics
+    * (asserted identical in JoinsSpec) at merge-scan cost: the range-join
+    * composition expands every key×window candidate before its window
+    * picks one winner per left row; this stays O(|L|+|R|) with O(1)
+    * state, checking the single buffered match against the floor. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTime: String, rightTime: String, tolerance: Column): DataFrame =
+    asOfNativeImpl(left, right, key, leftTime, rightTime, Some(tolerance))
+
+  private def asOfNativeImpl(left: DataFrame, right: DataFrame, key: String,
+                             leftTime: String, rightTime: String,
+                             tolerance: Option[Column]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     // resolve like the DataFrame APIs do: honor spark.sql.caseSensitive
@@ -93,7 +108,15 @@ object AsOfJoin {
     val overlap = payloadNames.filter(p => left.columns.exists(sameName(_, p)))
     require(overlap.isEmpty,
       s"asOfNative: right payload columns collide with left columns: $overlap — rename before joining")
-    val lPlan = left.queryExecution.analyzed
+    // the tolerance floor is computed as a LEFT-side column BEFORE the
+    // plan is captured, so the analyzer owns the datetime arithmetic
+    // (timestamp - interval etc.); the node excludes it from the output
+    val boundName = "_graft_asof_lo"
+    val lDf = tolerance match {
+      case Some(tol) => left.withColumn(boundName, col(leftTime) - tol)
+      case None => left
+    }
+    val lPlan = lDf.queryExecution.analyzed
     // fresh exprIds on the right so self-as-of joins don't alias — the
     // analyzer's DeduplicateRelations does this for Join nodes; we build
     // the node post-analysis, so we do it ourselves
@@ -114,8 +137,14 @@ object AsOfJoin {
     require(lt.dataType == rt.dataType,
       s"asOfNative: time type mismatch: ${lt.dataType.sql} vs ${rt.dataType.sql}")
     val payload = payloadNames.map(attr(rPlan, _, "right"))
+    val lo = tolerance.map { _ =>
+      val b = attr(lPlan, boundName, "left")
+      require(b.dataType == lt.dataType,
+        s"asOfNative: tolerance floor type ${b.dataType.sql} != time type ${lt.dataType.sql}")
+      b
+    }
     org.apache.spark.sql.graft.bridge.dataFrame(left.sparkSession,
-      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, payload))
+      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, payload, lo))
   }
 
   /** Range-join composition with tolerance: latest right row in

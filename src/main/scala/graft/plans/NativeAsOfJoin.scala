@@ -34,11 +34,21 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * time sorts before every non-null time ("at-or-before anything"), so it
   * is visible to every left row of its key — including a left row whose
   * own time is null, which sees ONLY null-time right rows. */
+/** @param lowerBound optional tolerance floor: a LEFT-side column
+  *                    (precomputed as leftTime - tolerance by the API
+  *                    wrapper, so the analyzer owns the datetime
+  *                    arithmetic) below which a buffered match is
+  *                    discarded — the bounded-lookback discipline of
+  *                    AsOfJoin.asOfRange, at merge-scan cost. Bound
+  *                    columns are excluded from the output. */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        payload: Seq[Attribute]) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+                        payload: Seq[Attribute],
+                        lowerBound: Option[Attribute] = None) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output.filterNot(a => lowerBound.exists(_.exprId == a.exprId)) ++
+      payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -47,8 +57,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 /** Plans AsOfJoinNode to its exec; a no-op for every other node. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, lo) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, lo) :: Nil
     case _ => Nil
   }
 }
@@ -60,9 +70,12 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        payload: Seq[Attribute]) extends BinaryExecNode {
+                        payload: Seq[Attribute],
+                        lowerBound: Option[Attribute] = None) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+  override def output: Seq[Attribute] =
+    left.output.filterNot(a => lowerBound.exists(_.exprId == a.exprId)) ++
+      payload.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -90,6 +103,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val numOutputRows = longMetric("numOutputRows")
     val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
     val ltOrd = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val loOrd = lowerBound.map(b => left.output.indexWhere(_.exprId == b.exprId))
     val rkOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
     val rtOrd = right.output.indexWhere(_.exprId == rightTime.exprId)
     val keyType = leftKey.dataType
@@ -125,8 +139,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // sorter reuse buffers, so consumed state is copied immediately)
         private var rHead: InternalRow = _
         private var rHeadValid = false
-        // payload of the best right row seen for the CURRENT left key
+        // payload (and copied right time) of the best right row seen for
+        // the CURRENT left key
         private var matched: InternalRow = _
+        private var matchedTime: Any = _
         // copied key value the buffered `matched` belongs to
         private var matchedKey: Any = _
         private var matchedKeySet = false
@@ -156,13 +172,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 val rt = if (rHead.isNullAt(rtOrd)) null else rHead.get(rtOrd, timeType)
                 if (cmp(tOrd, rt, t) <= 0) {
                   matched = payloadProj(rHead).copy()
+                  matchedTime = InternalRow.copyValue(rt)
                   rHeadValid = false
                 } else advancing = false
               }
             }
           }
+          // bounded lookback: with a tolerance floor, the latest
+          // at-or-before match only counts when its time is >= the floor
+          // (null floor — null left time minus tolerance — or null right
+          // time never match, mirroring the range-join SQL the tolerance
+          // form composes)
+          val valid = matched != null && (loOrd match {
+            case None => true
+            case Some(o) =>
+              val lo = if (lRow.isNullAt(o)) null else lRow.get(o, timeType)
+              lo != null && matchedTime != null && cmp(tOrd, matchedTime, lo) >= 0
+          })
           numOutputRows += 1
-          resultProj(joined(lRow, if (matched == null) nullPayload else matched))
+          resultProj(joined(lRow, if (valid) matched else nullPayload))
         }
       }
     }

@@ -220,6 +220,32 @@ class JoinsSpec extends SparkSpec {
     assert(out.as[(String, Int, Long, Double)].collect().toSeq == Seq(("A", 11, 5L, 1.0)))
   }
 
+  test("native as-of with tolerance equals the range form (bounded lookback)") {
+    val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
+      .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
+    val trades = Seq(
+      ("A", "2024-01-01 10:00:30", 1L),   // within 1 min tolerance
+      ("A", "2024-01-01 10:30:00", 2L))   // stale — match exists but out of window
+      .toDF("sym", "tt", "qty").withColumn("tt", $"tt".cast("timestamp"))
+    val out = AsOfJoin.asOfNative(trades, quotes, "sym", "tt", "qt",
+      expr("INTERVAL 1 MINUTE"))
+      .orderBy($"qty").select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, Some(100.0)), (2L, None)))
+    // randomized cross-check vs the range-join composition
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(300)((rnd.nextInt(6).toString, rnd.nextInt(40), rnd.nextInt(1000).toLong))
+      .toDF("k", "t", "lval")
+    val right = Seq.fill(300)((rnd.nextInt(8).toString, rnd.nextInt(40), rnd.nextInt(4).toDouble))
+      .toDF("k", "rt", "p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"t", $"lval", $"p")
+        .as[(String, Int, Long, Option[Double])].collect().toSeq.sorted
+    val native = rows(AsOfJoin.asOfNative(left, right, "k", "t", "rt", lit(5)))
+    val range = rows(AsOfJoin.asOfRange(left, right, "k", "t", "rt", lit(5)))
+    assert(native == range)
+    assert(native.nonEmpty)
+  }
+
   test("as-of join: range form with tolerance matches and bounds lookback") {
     val quotes = Seq(("A", "2024-01-01 10:00:00", 100.0))
       .toDF("sym", "qt", "price").withColumn("qt", $"qt".cast("timestamp"))
