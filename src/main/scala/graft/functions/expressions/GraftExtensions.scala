@@ -70,7 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TopCentroids is intentionally not SQL-registered: its codebook is
     // runtime driver data (collected centroids), not literal SQL text.
 
-    // whole-operator extension: plans AsOfJoinNode to the merge-scan exec
+    // whole-operator extension: plans AsOfJoinNode to the merge-scan exec,
+    // with optimizer rules so pushdown/pruning don't stop at the node
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => new graft.plans.AsOfJoinOptimizations)
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrde
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -61,6 +62,65 @@ class AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, lo) :: Nil
     case _ => Nil
   }
+}
+
+/** Optimizer support for the custom node (injected via
+  * injectOptimizerRule): Catalyst's stock rules treat an unknown
+  * LogicalPlan as a wall, so without these a filter or narrow projection
+  * above an as-of join would never reach the scans below it. Three
+  * rewrites, each justified by the operator's exactly-one-output-row-per-
+  * left-row contract:
+  *
+  *   1. Left-side filter pushdown: a deterministic predicate over left
+  *      columns commutes with the join (it can only drop whole left rows,
+  *      which drop exactly their output rows). Payload predicates stay
+  *      put — they depend on the matched right row.
+  *   2. Left-side column pruning: left columns are pure pass-through, so
+  *      ones a projection above never references (beyond the key, time,
+  *      and tolerance-bound columns the merge itself reads) are pruned
+  *      below the node and the scan narrows. The right side is NOT
+  *      prunable this way: the payload list doubles as the (key, time)
+  *      tie-break ordering, so dropping an unused payload column would
+  *      change which tied right row wins for the columns that remain.
+  *   3. Join elimination: when nothing from the right side is referenced
+  *      at all, the join is a per-left-row no-op and the node collapses
+  *      to its left child (minus any internal tolerance-bound column).
+  */
+class AsOfJoinOptimizations extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // (1) push left-only conjuncts below the node
+    case f @ Filter(cond, aj: AsOfJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+
+    // (3) eliminate the join when no payload column is used
+    case p @ Project(_, aj: AsOfJoinNode)
+        if aj.payload.forall(a => !p.references.contains(a)) =>
+      p.copy(child = aj.lowerBound match {
+        case Some(lo) => Project(aj.left.output.filterNot(_.exprId == lo.exprId), aj.left)
+        case None => aj.left
+      })
+
+    // (2) prune left pass-through columns the projection never uses
+    case p @ Project(_, aj: AsOfJoinNode)
+        if aj.left.output.exists(a => !isLeftNeeded(p.references, aj, a)) =>
+      val keep = aj.left.output.filter(a => isLeftNeeded(p.references, aj, a))
+      p.copy(child = aj.copy(left = Project(keep, aj.left)))
+  }
+
+  private def isLeftNeeded(used: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+                           aj: AsOfJoinNode, a: Attribute): Boolean =
+    used.contains(a) || a.exprId == aj.leftKey.exprId ||
+      a.exprId == aj.leftTime.exprId || aj.lowerBound.exists(_.exprId == a.exprId)
 }
 
 /** Merge-scan as-of join exec. Children arrive hash-clustered on the key

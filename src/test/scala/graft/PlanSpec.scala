@@ -67,6 +67,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of optimizer rules: pushdown, pruning, and elimination reach through the node") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AsOfJoin
+    val ev = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("props"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
+    val joined = AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts", "pts")
+
+    // (1) a filter applied ABOVE the join reaches the left scan's
+    // PushedFilters — stock Catalyst stops at an unknown node
+    val filtered = joined.filter(col("user_id") < 5)
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(fp.contains("LessThan(user_id,5)"), s"filter not pushed through as-of node:\n$fp")
+    val expected = joined.collect().filter(r => r.getLong(1) < 5).map(_.toString).sorted.toSeq
+    assert(filtered.collect().map(_.toString).sorted.toSeq == expected)
+
+    // (2) a narrow projection prunes unused left pass-through columns
+    // from the scan (props never read)
+    val narrow = joined.select(col("event_id"), col("purchase_value"))
+    val np = narrow.queryExecution.executedPlan.toString
+    assert(!np.contains("props"), s"unused left column not pruned below as-of node:\n$np")
+
+    // (3) when no payload is referenced the join is eliminated entirely
+    val elided = joined.select(col("event_id"))
+    val ep = elided.queryExecution.optimizedPlan.toString
+    assert(!ep.contains("AsOfJoin"), s"payload-free as-of join not eliminated:\n$ep")
+    assert(elided.count() == clicks.count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // pre-partitioned (bucketed) storage is the batch answer to
     // co-located joins at scale: both sides hash-bucketed on the join
