@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extension registering the engine's native expressions under SQL
-  * names (usable from spark.sql and via functions.call_function). Wired by
-  * GraftSession.builder; also usable standalone via
+  * names (usable from spark.sql and via functions.call_function), plus the
+  * whole-operator as-of join (planner strategy + optimizer rules). Wired
+  * by GraftSession.builder; also usable standalone via
   * spark.sql.extensions=graft.functions.expressions.GraftExtensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,45 +29,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal INT/BIGINT seed argument, got: ${other.sql}")
   }
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
-    e.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - double dot product of two float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    e.injectFunction((
-      new FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(shingles, k) - k min-hashes (XXH64 seeds 0..k-1)"),
-      (args: Seq[Expression]) => MinHashSignature(args(0),
-        intLiteral(args(1), "minhash_signature"))))
-    e.injectFunction((
-      new FunctionIdentifier("word_shingles"),
-      info("word_shingles", "word_shingles(tokens, n) - distinct space-joined n-grams"),
-      (args: Seq[Expression]) => WordShingles(args(0),
-        intLiteral(args(1), "word_shingles"))))
-    e.injectFunction((
-      new FunctionIdentifier("char_shingles"),
-      info("char_shingles", "char_shingles(text, n) - distinct character n-grams"),
-      (args: Seq[Expression]) => CharShingles(args(0),
-        intLiteral(args(1), "char_shingles"))))
-    e.injectFunction((
-      new FunctionIdentifier("simhash_chunks"),
-      info("simhash_chunks", "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks"),
-      (args: Seq[Expression]) => SimHashChunks(args(0))))
-    e.injectFunction((
-      new FunctionIdentifier("lsh_buckets"),
-      info("lsh_buckets",
-        "lsh_buckets(vec, nTables, bits, dim, seed) - sign-LSH bucket id per hyperplane table"),
+  /** Arity-checked builder: every registration reports a usable error on
+    * wrong argument count (naming the function and its signature) rather
+    * than a raw IndexOutOfBoundsException from args(i). */
+  private def fn(name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), info(name, usage),
       (args: Seq[Expression]) => {
-        require(args.length == 5, "lsh_buckets expects 5 arguments: " +
-          s"lsh_buckets(vec, nTables, bits, dim, seed); got ${args.length}")
-        LshBuckets(args(0),
-          intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
-          intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))
-      }))
+        require(args.length == arity,
+          s"$name expects $arity argument(s): $usage; got ${args.length}")
+        build(args)
+      })
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double arrays", 2)(
+      args => CosineSim(args(0), args(1))))
+    e.injectFunction(fn("dot_product",
+      "dot_product(a, b) - double dot product of two float/double arrays", 2)(
+      args => DotProduct(args(0), args(1))))
+    e.injectFunction(fn("minhash_signature",
+      "minhash_signature(shingles, k) - k min-hashes (XXH64 seeds 0..k-1)", 2)(
+      args => MinHashSignature(args(0), intLiteral(args(1), "minhash_signature"))))
+    e.injectFunction(fn("word_shingles",
+      "word_shingles(tokens, n) - distinct space-joined n-grams", 2)(
+      args => WordShingles(args(0), intLiteral(args(1), "word_shingles"))))
+    e.injectFunction(fn("char_shingles",
+      "char_shingles(text, n) - distinct character n-grams", 2)(
+      args => CharShingles(args(0), intLiteral(args(1), "char_shingles"))))
+    e.injectFunction(fn("simhash_chunks",
+      "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks", 1)(
+      args => SimHashChunks(args(0))))
+    e.injectFunction(fn("lsh_buckets",
+      "lsh_buckets(vec, nTables, bits, dim, seed) - sign-LSH bucket id per hyperplane table", 5)(
+      args => LshBuckets(args(0),
+        intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
+        intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))))
     // TopCentroids is intentionally not SQL-registered: its codebook is
     // runtime driver data (collected centroids), not literal SQL text.
 

@@ -193,39 +193,46 @@ object NativeOps {
   /** All sign-LSH bucket ids of a vector in one pass: for table t, bit i,
     * the sign of dot(vec, planes[t*bits+i]) sets bit i of bucket t.
     * `planes` is flattened [table][bit][dim] row-major. Bit-exact with the
-    * composed form it fuses (see LshBuckets): per-plane dots accumulate in
-    * double, strictly left-to-right; a vector whose length differs from
-    * `dim` or that carries a null element has every per-plane dot null in
-    * the composed form, so every `when(dot >= 0, ...)` falls through to 0
-    * — hence the all-zero bucket array here. */
+    * composed form it fuses (see LshBuckets) on well-formed vectors;
+    * degenerate input (length != dim, or a null element) FAILS LOUDLY
+    * instead of reproducing the composed form's silent all-zero buckets —
+    * every such vector would otherwise collide in bucket 0 of every
+    * table, collapsing LSH blocking into a quadratic self-join. Raising
+    * here (not in a driver-side pre-check) covers every call site — the
+    * Scala operators, SQL `lsh_buckets` users, and streaming plans —
+    * with zero extra jobs. */
   def lshBuckets(vec: ArrayData, planes: Array[Double], nTables: Int,
                  bits: Int, dim: Int, isFloat: Boolean): ArrayData = {
-    val out = new Array[Long](nTables)
     val n = vec.numElements()
-    var valid = n == dim
+    if (n != dim) throw new IllegalArgumentException(
+      s"lsh_buckets: input vector has $n elements but the blocking is configured " +
+        s"for dim=$dim — a mismatched vector would hash to bucket 0 of every table " +
+        "(degenerate quadratic blocking); set dim to the embedding dimension")
     val v = new Array[Double](dim)
     var i = 0
-    while (valid && i < dim) {
-      if (vec.isNullAt(i)) valid = false else v(i) = elem(vec, i, isFloat)
+    while (i < dim) {
+      if (vec.isNullAt(i)) throw new IllegalArgumentException(
+        s"lsh_buckets: null element at position $i — null-bearing vectors would all " +
+          "collide in bucket 0; filter or impute them before blocking")
+      v(i) = elem(vec, i, isFloat)
       i += 1
     }
-    if (valid) {
-      var t = 0
-      var off = 0
-      while (t < nTables) {
-        var bkt = 0L
-        var b = 0
-        while (b < bits) {
-          var d = 0.0
-          var j = 0
-          while (j < dim) { d += v(j) * planes(off + j); j += 1 }
-          if (d >= 0) bkt |= (1L << b)
-          off += dim
-          b += 1
-        }
-        out(t) = bkt
-        t += 1
+    val out = new Array[Long](nTables)
+    var t = 0
+    var off = 0
+    while (t < nTables) {
+      var bkt = 0L
+      var b = 0
+      while (b < bits) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += v(j) * planes(off + j); j += 1 }
+        if (d >= 0) bkt |= (1L << b)
+        off += dim
+        b += 1
       }
+      out(t) = bkt
+      t += 1
     }
     new GenericArrayData(out)
   }
@@ -236,60 +243,54 @@ object NativeOps {
     * fuses scored `cosine(vec, cvec_literal)` per centroid — but hoists
     * the vector-norm accumulation out of the per-centroid loop and takes
     * the centroid norms precomputed (both bit-identical: same operations,
-    * same order). Centroids whose cosine is null (length mismatch with a
-    * nonzero-norm vector) rank after all non-null scores, ordered by id —
-    * matching how nulls-first ascending struct sort + reverse placed them
-    * in the composed form. A vector with a null element yields all-null
-    * scores, so the result is the first nProbe centroid ids. */
+    * same order). A zero-norm side still scores 0.0 (before any length
+    * check — cosineSim's exact order). Degenerate input — a null element,
+    * or a length mismatch against a nonzero-norm centroid — FAILS LOUDLY:
+    * the composed form's null scores would silently funnel every such
+    * vector into the lowest-id centroid's list (one giant quadratic
+    * probe list), the IVF analogue of LSH's bucket-0 collapse. */
   def topCentroids(vec: ArrayData, cids: Array[Int], cvecs: Array[Array[Double]],
                    cnormSqrts: Array[Double], nProbe: Int, isFloat: Boolean): ArrayData = {
     val nc = cids.length
     val n = vec.numElements()
     val v = new Array[Double](n)
-    var hasNull = false
     var i = 0
     while (i < n) {
-      if (vec.isNullAt(i)) hasNull = true else v(i) = elem(vec, i, isFloat)
+      if (vec.isNullAt(i)) throw new IllegalArgumentException(
+        s"top_centroids: null element at position $i — null-bearing vectors would all " +
+          "be assigned to one centroid list; filter or impute them before indexing")
+      v(i) = elem(vec, i, isFloat)
       i += 1
     }
     var sa = 0.0
-    if (!hasNull) {
-      var k = 0
-      while (k < n) { sa += v(k) * v(k); k += 1 }
-    }
+    var k = 0
+    while (k < n) { sa += v(k) * v(k); k += 1 }
     val saSqrt = math.sqrt(sa)
-    // sims(c) = null iff the composed cosine would be null for centroid c
-    val sims = new Array[java.lang.Double](nc)
-    if (!hasNull) {
-      var c = 0
-      while (c < nc) {
-        val cv = cvecs(c)
-        val denom = saSqrt * cnormSqrts(c)
-        if (denom == 0.0) sims(c) = java.lang.Double.valueOf(0.0)
-        else if (cv.length != n) sims(c) = null
-        else {
-          var dot = 0.0
-          var j = 0
-          while (j < n) { dot += v(j) * cv(j); j += 1 }
-          sims(c) = java.lang.Double.valueOf(dot / denom)
-        }
-        c += 1
+    val sims = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cv = cvecs(c)
+      val denom = saSqrt * cnormSqrts(c)
+      if (denom == 0.0) sims(c) = 0.0
+      else if (cv.length != n) throw new IllegalArgumentException(
+        s"top_centroids: input vector has $n elements but centroid ${cids(c)} has " +
+          s"${cv.length} — heterogeneous dimensions cannot be indexed together")
+      else {
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v(j) * cv(j); j += 1 }
+        sims(c) = dot / denom
       }
+      c += 1
     }
     val order = new Array[Integer](nc)
     var o = 0
     while (o < nc) { order(o) = Integer.valueOf(o); o += 1 }
     java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
       override def compare(x: Integer, y: Integer): Int = {
-        val sx = sims(x.intValue()); val sy = sims(y.intValue())
-        if (sx == null && sy == null) Integer.compare(cids(x.intValue()), cids(y.intValue()))
-        else if (sx == null) 1
-        else if (sy == null) -1
-        else {
-          val bySim = java.lang.Double.compare(sy.doubleValue(), sx.doubleValue())
-          if (bySim != 0) bySim
-          else Integer.compare(cids(x.intValue()), cids(y.intValue()))
-        }
+        val bySim = java.lang.Double.compare(sims(y.intValue()), sims(x.intValue()))
+        if (bySim != 0) bySim
+        else Integer.compare(cids(x.intValue()), cids(y.intValue()))
       }
     })
     val m = math.min(nProbe, nc)

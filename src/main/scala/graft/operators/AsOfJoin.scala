@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Name equality under the session's spark.sql.caseSensitive (default
+    * false) — so all three as-of forms classify key/time/payload columns
+    * exactly the way `col(...)` will later resolve them. */
+  private def nameMatcher(df: DataFrame): (String, String) => Boolean = {
+    val cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    (a, b) => if (cs) a == b else a.equalsIgnoreCase(b)
+  }
+
+  /** Right-side payload column names, with the collision guard every
+    * form applies identically. */
+  private def payloadColumns(left: DataFrame, right: DataFrame, key: String,
+                             rightTime: String, what: String): Seq[String] = {
+    val same = nameMatcher(left)
+    val payload = right.columns.toSeq.filterNot(c => same(c, key) || same(c, rightTime))
+    val overlap = payload.filter(p => left.columns.exists(same(_, p)))
+    require(overlap.isEmpty,
+      s"$what: right payload columns collide with left columns: $overlap — rename before joining")
+    payload
+  }
+
   /** Union-timeline as-of join.
     * @param left      probe side; columns are preserved
     * @param right     reference side; its non-key/non-time columns are
@@ -32,10 +52,8 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String): DataFrame = {
-    val payload = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
-    val overlap = payload.toSet intersect left.columns.toSet
-    require(overlap.isEmpty,
-      s"asOf: right payload columns collide with left columns: $overlap — rename before joining")
+    val same = nameMatcher(left)
+    val payload = payloadColumns(left, right, key, rightTime, "asOf")
     // The right payload travels as ONE nullable struct (null on left-side
     // rows): last(ignoreNulls) then picks the latest right row atomically.
     // Filling columns independently would splice values from different
@@ -50,10 +68,10 @@ object AsOfJoin {
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_p", payloadStruct)
-      .withColumns(left.columns.toSeq.filterNot(c => c == key)
+      .withColumns(left.columns.toSeq.filterNot(c => same(c, key))
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
 
-    val cols = Seq(key, "_t", "_side", "_p") ++ left.columns.toSeq.filterNot(_ == key)
+    val cols = Seq(key, "_t", "_side", "_p") ++ left.columns.toSeq.filterNot(same(_, key))
     val merged = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
 
     // right rows sort before left rows at equal time (side 0 < 1), so a
@@ -83,11 +101,16 @@ object AsOfJoin {
     asOfNativeImpl(left, right, key, leftTime, rightTime, None)
 
   /** Native exec with bounded lookback: latest right row in
-    * [leftTime - tolerance, leftTime] — [[asOfRange]]'s semantics
-    * (asserted identical in JoinsSpec) at merge-scan cost: the range-join
+    * [leftTime - tolerance, leftTime] — [[asOfRange]]'s semantics on
+    * non-null keys (asserted identical in JoinsSpec, including a
+    * randomized cross-check) at merge-scan cost: the range-join
     * composition expands every key×window candidate before its window
     * picks one winner per left row; this stays O(|L|+|R|) with O(1)
-    * state, checking the single buffered match against the floor. */
+    * state, checking the single buffered match against the floor.
+    * NULL KEYS follow the native/window discipline (null matches null,
+    * like [[asOf]] and the no-tolerance native form — asserted in
+    * JoinsSpec) where asOfRange's SQL join drops them; the composed
+    * pair asOf/asOfRange already disagree the same way. */
   def asOfNative(left: DataFrame, right: DataFrame, key: String,
                  leftTime: String, rightTime: String, tolerance: Column): DataFrame =
     asOfNativeImpl(left, right, key, leftTime, rightTime, Some(tolerance))
@@ -98,22 +121,22 @@ object AsOfJoin {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     // resolve like the DataFrame APIs do: honor spark.sql.caseSensitive
-    // (default false), and reject ambiguity rather than picking a winner
-    val caseSensitive =
-      left.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def sameName(a: String, b: String) =
-      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
-    val payloadNames = right.columns.toSeq
-      .filterNot(c => sameName(c, key) || sameName(c, rightTime))
-    val overlap = payloadNames.filter(p => left.columns.exists(sameName(_, p)))
-    require(overlap.isEmpty,
-      s"asOfNative: right payload columns collide with left columns: $overlap — rename before joining")
+    // (default false, via the shared nameMatcher every as-of form uses),
+    // and reject ambiguity rather than picking a winner
+    val sameName = nameMatcher(left)
+    val payloadNames = payloadColumns(left, right, key, rightTime, "asOfNative")
     // the tolerance floor is computed as a LEFT-side column BEFORE the
     // plan is captured, so the analyzer owns the datetime arithmetic
     // (timestamp - interval etc.); the node excludes it from the output
     val boundName = "_graft_asof_lo"
     val lDf = tolerance match {
-      case Some(tol) => left.withColumn(boundName, col(leftTime) - tol)
+      case Some(tol) =>
+        // withColumn would silently REPLACE a same-named user column and
+        // the node would then drop it from the output — refuse instead
+        require(!left.columns.exists(sameName(_, boundName)),
+          s"asOfNative: left side already has a column named '$boundName' " +
+            "(reserved for the internal tolerance bound) — rename it")
+        left.withColumn(boundName, col(leftTime) - tol)
       case None => left
     }
     val lPlan = lDf.queryExecution.analyzed
@@ -123,8 +146,7 @@ object AsOfJoin {
     val rBase = right.queryExecution.analyzed
     val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
     def attr(plan: LogicalPlan, name: String, side: String) = {
-      val hits = plan.output.filter(a =>
-        if (caseSensitive) a.name == name else a.name.equalsIgnoreCase(name))
+      val hits = plan.output.filter(a => sameName(a.name, name))
       require(hits.size <= 1,
         s"asOfNative: column '$name' is ambiguous on $side side: ${hits.map(_.name)}")
       hits.headOption.getOrElse(
@@ -152,6 +174,7 @@ object AsOfJoin {
   def asOfRange(left: DataFrame, right: DataFrame, key: String,
                 leftTime: String, rightTime: String,
                 tolerance: Column): DataFrame = {
+    val payload = payloadColumns(left, right, key, rightTime, "asOfRange")
     // unique row tag so identical left rows keep their multiplicity
     // (partitioning by the left columns alone would merge them)
     val tagged = left.withColumn("_lrow", monotonically_increasing_id())
@@ -164,8 +187,7 @@ object AsOfJoin {
     // wins (descending, null fields smallest) — the same winner asOf's
     // last() over _p ascending-nulls-first picks, so the two forms agree
     // on tied inputs (asserted in JoinsSpec).
-    val rightPayload = right.columns.toSeq.filterNot(c => c == key || c == rightTime)
-      .map(c => col("r." + c).desc_nulls_last)
+    val rightPayload = payload.map(c => col("r." + c).desc_nulls_last)
     val w = Window
       .partitionBy(col("l._lrow"))
       .orderBy(rt.desc_nulls_last +: rightPayload: _*)

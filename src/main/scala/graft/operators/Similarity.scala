@@ -102,30 +102,17 @@ object Similarity {
     * neighbors). Candidates per list ~ (n*nProbe/nCentroids)². */
   final case class IvfBlocking(nCentroids: Int = 256, nProbe: Int = 2) extends Blocking
 
-  /** Fail fast when the corpus dimension doesn't match the configured
-    * LSH dim: a mismatched vector zeroes every bucket (each per-plane dot
-    * is null → bit 0), so ALL such vectors would collide in bucket 0 of
-    * every table — silently collapsing LSH blocking into the quadratic
-    * all-pairs join it exists to prevent. One narrow first-row peek; a
-    * corpus with heterogeneous dims is the caller's bug either way. */
-  private def requireDim(df: DataFrame, vecCol: String, dim: Int, what: String): Unit =
-    df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).head(1).foreach { r =>
-      val d = r.getInt(0)
-      require(d == dim,
-        s"$what: corpus dimension $d != configured dim=$dim — every vector would " +
-          "hash to bucket 0 of every table (degenerate quadratic blocking); " +
-          "set dim to the embedding dimension")
-    }
-
   /** (vec_id, t, bkt) bucket rows for LSH blocking — ids only; embedding
     * payloads never travel through the blocking shuffle. One fused
-    * LshBuckets kernel call per row + posexplode (pos = table index). */
-  private def lshIdBuckets(vectors: DataFrame, b: LshBlocking): DataFrame = {
-    requireDim(vectors, "embedding", b.dim, "LshBlocking")
+    * LshBuckets kernel call per row + posexplode (pos = table index).
+    * A corpus whose dimension doesn't match the blocking's `dim` fails
+    * loudly inside the kernel — no silent bucket-0 quadratic collapse
+    * (guard lives in the expression so SQL and streaming users get it
+    * too, with no eager driver-side jobs). */
+  private def lshIdBuckets(vectors: DataFrame, b: LshBlocking): DataFrame =
     vectors.select(col("vec_id"),
         posexplode(lshBucketsExpr(col("embedding"), b.nTables, b.bits, b.dim, b.seed)))
       .select(col("vec_id"), col("pos").cast("int").as("t"), col("col").as("bkt"))
-  }
 
   /** Distinct candidate pairs (id1 < id2) under the blocking strategy.
     * Every arm is bucket-equi-join-shaped; only ids shuffle. */
@@ -241,8 +228,6 @@ object Similarity {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nTables: Int = 12, bits: Int = 6, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
-    requireDim(vectors, "embedding", dim, "lshTopK vectors")
-    requireDim(queries, "qvec", dim, "lshTopK queries")
     def withBuckets(df: DataFrame, vecCol: String, idAlias: String) =
       df.select(col(idAlias), col(vecCol),
           posexplode(lshBucketsExpr(col(vecCol), nTables, bits, dim, seed)))

@@ -71,23 +71,32 @@ private[graft] case class LineOffset(n: Long) extends Offset {
 
 private[graft] class LineMicroBatchStream(path: String) extends MicroBatchStream {
 
-  /** Driver-side (fileName -> lineCount) memo. Visible files are
-    * immutable by contract, so a segment is counted ONCE ever — per
-    * trigger the driver reads only segments it hasn't seen, keeping
-    * trigger cost proportional to NEW data (the Kafka consumer likewise
-    * gets end offsets from the broker, not by re-reading the log). */
+  /** Driver-side (fileName -> lineCount) memo for SEALED segments. A
+    * segment is sealed once a later-sorting file exists (the log-segment
+    * lifecycle: new files sort after existing ones, so only the newest
+    * can still be mid-write). Sealed segments are counted ONCE ever; the
+    * ACTIVE (last) segment is recounted each trigger, so a file observed
+    * mid-write self-heals on the next trigger instead of having a partial
+    * count memoized forever. Per-trigger driver cost stays proportional
+    * to new data + one active segment (the Kafka consumer likewise gets
+    * end offsets from the broker, not by re-reading the log). */
   private val countMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
+  private def countLines(f: java.io.File): Long = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().size.toLong finally src.close()
+  }
+
   /** Ordered (file, lineCount) snapshot of the log. */
-  private def segments(): Seq[(java.io.File, Long)] =
-    graft.core.Fs.listOrEmpty(new java.io.File(path))
+  private def segments(): Seq[(java.io.File, Long)] = {
+    val files = graft.core.Fs.listOrEmpty(new java.io.File(path))
       .filter(_.isFile).sortBy(_.getName).toSeq
-      .map { f =>
-        f -> countMemo.computeIfAbsent(f.getName, _ => {
-          val src = scala.io.Source.fromFile(f, "UTF-8")
-          try src.getLines().size.toLong finally src.close()
-        })
-      }
+    files.zipWithIndex.map { case (f, i) =>
+      if (i < files.length - 1)
+        f -> countMemo.computeIfAbsent(f.getName, _ => countLines(f))
+      else f -> countLines(f) // active segment: never memoized
+    }
+  }
 
   override def initialOffset(): Offset = LineOffset(0L)
   override def latestOffset(): Offset = LineOffset(segments().map(_._2).sum)

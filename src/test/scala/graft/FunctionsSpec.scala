@@ -308,6 +308,17 @@ class FunctionsSpec extends SparkSpec {
     assert(sig.getSeq[Long](0).size == 8)
   }
 
+  test("injected functions report usable arity errors, not raw index failures") {
+    for ((text, name) <- Seq(
+        ("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))", "cosine_sim"),
+        ("SELECT minhash_signature(array('x'))", "minhash_signature"),
+        ("SELECT lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 4, 64)", "lsh_buckets"))) {
+      val e = intercept[Exception](spark.sql(text).collect())
+      assert(e.getMessage.contains(name) && e.getMessage.contains("expects"),
+        s"$name arity error not usable: ${e.getMessage}")
+    }
+  }
+
   test("pivot / unpivot round-trip") {
     val orders = Tables.load(spark, sf("sf0.001"), "orders")
     val wide = orders.groupBy($"o_orderpriority")

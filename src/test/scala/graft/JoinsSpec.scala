@@ -244,6 +244,18 @@ class JoinsSpec extends SparkSpec {
     val range = rows(AsOfJoin.asOfRange(left, right, "k", "t", "rt", lit(5)))
     assert(native == range)
     assert(native.nonEmpty)
+    // null keys: the native form keeps asOf's window discipline (null
+    // matches null, within the window) — documented divergence from
+    // asOfRange's SQL join, which drops null keys (as asOf vs asOfRange
+    // already do)
+    val nullLeft = Seq((Option.empty[String], 10, 1L)).toDF("k", "t", "lval")
+    val nullRight = Seq((Option.empty[String], 8, 7.0)).toDF("k", "rt", "p")
+    val viaNative = AsOfJoin.asOfNative(nullLeft, nullRight, "k", "t", "rt", lit(5))
+      .select($"p").as[Option[Double]].head()
+    val viaRange = AsOfJoin.asOfRange(nullLeft, nullRight, "k", "t", "rt", lit(5))
+      .select($"p").as[Option[Double]].head()
+    assert(viaNative == Some(7.0), "native tolerance form must match null keys like asOf")
+    assert(viaRange == None, "range form drops null keys (SQL join semantics)")
   }
 
   test("as-of join: range form with tolerance matches and bounds lookback") {
