@@ -59,6 +59,9 @@ object SparkEntry {
     "x09_text_quality"  -> (TextAnalysis.qualityByLang _),
     "x10_token_count"   -> (TextAnalysis.tokenCountBySource _),
     "x11_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "x12_repetition"    -> (TextAnalysis.repetitionQuery _),
+    "x13_dup_spans"     -> (Dedup.dupSpansQuery _),
+    "x14_dup_clusters"  -> (Dedup.dupClustersQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("word_shingles",
       "word_shingles(tokens, n) - distinct space-joined n-grams", 2)(
       args => WordShingles(args(0), intLiteral(args(1), "word_shingles"))))
+    e.injectFunction(fn("word_shingles_all",
+      "word_shingles_all(tokens, n) - all positional space-joined n-grams", 2)(
+      args => WordShinglesAll(args(0), intLiteral(args(1), "word_shingles_all"))))
     e.injectFunction(fn("char_shingles",
       "char_shingles(text, n) - distinct character n-grams", 2)(
       args => CharShingles(args(0), intLiteral(args(1), "char_shingles"))))

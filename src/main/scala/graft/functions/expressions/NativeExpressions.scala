@@ -109,6 +109,27 @@ object NativeOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** ALL word n-grams in position order (duplicates kept) — the
+    * positional variant of wordShingles, for span-level dedup and
+    * repetition stats where every occurrence counts. */
+  def wordShinglesAll(arr: ArrayData, n: Int): ArrayData = {
+    val count = arr.numElements() - (n - 1)
+    if (count < 1) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-grams, codepoint-aware via UTF8String. */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
@@ -378,6 +399,34 @@ case class WordShingles(child: Expression, n: Int)
                                    ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.expressions.NativeOps.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All word n-grams of a token array in position order, duplicates
+  * kept — the positional twin of WordShingles for span-level dedup
+  * (every occurrence of a duplicated gram is a span to count) and
+  * within-document repetition statistics. */
+case class WordShinglesAll(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_all"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.wordShinglesAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.wordShinglesAll($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -658,6 +707,8 @@ object NativeExpressions {
     column(MinHashSignature(expression(shingles), numHashes))
   def wordShingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
+  def wordShinglesAll(tokens: Column, n: Int): Column =
+    column(WordShinglesAll(expression(tokens), n))
   def charShingles(text: Column, n: Int): Column =
     column(CharShingles(expression(text), n))
   def substringHits(text: Column, patterns: Seq[String]): Column =

@@ -86,6 +86,115 @@ object Dedup {
     ngramCandidatePairs(Tables.load(spark, dir, "documents"))
       .orderBy(col("lang"), col("d1"), col("d2"))
 
+  // -------------------------------------------- cross-doc duplicated spans
+
+  /** Positional word n-grams (duplicates kept) — every occurrence is a
+    * candidate span. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    graft.functions.expressions.NativeExpressions
+      .wordShinglesAll(TextAnalysis.wsTokens(text), n)
+
+  /** Span-level duplication report: for each document, how many of its
+    * k-token spans also occur in at least one OTHER document (the
+    * "train-set memorization" dedup signal: docs with a high duplicated-
+    * span share get their repeated spans cut or the whole doc dropped).
+    *
+    * Shape at scale: one explode, one hash aggregate keyed on the gram
+    * (df counting, partial-agg collapses repeats), one semi-join back,
+    * one per-doc count. No cross join anywhere; the df aggregate is the
+    * same inverted-index shape as ngramCandidatePairs. A 100 TB corpus
+    * would join on xxhash64(gram) instead of the gram text to keep
+    * shuffle rows narrow — kept as the raw string here so the report is
+    * cross-engine exact (and AQE handles the hot-gram skew). */
+  def dupSpans(docs: DataFrame, k: Int = 4): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordShinglesAll(col("text"), k)).as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gram")
+    val perDoc = grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col("doc_id"),
+        greatest(size(TextAnalysis.wsTokens(col("text"))) - (k - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+  }
+
+  def dupSpansQuery(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // --------------------------------------- near-dup cluster assignment
+
+  /** Connected components by hash-min label propagation with pointer
+    * jumping: every node starts labeled with its own id; each round a
+    * node adopts the minimum label among itself and its neighbors
+    * (hash-min), then compresses one level of label indirection
+    * (label ← label-of-label, i.e. path halving). At fixpoint the label
+    * is the component's minimum node id: any edge whose endpoints still
+    * disagreed would change the larger side, so an unchanged full round
+    * proves per-edge label equality, hence component-constant labels.
+    *
+    * Shape at scale: only nodes incident to an edge enter the loop —
+    * in a near-dup graph the singleton majority never shuffles and is
+    * labeled with itself by one final left join. Each round is two
+    * equi-joins plus a min-aggregate, all keyed on node id (uniform);
+    * pointer jumping halves remaining path lengths every round, so
+    * rounds are O(log diameter) instead of O(diameter) on chain-shaped
+    * components. `localCheckpoint` after each round cuts lineage so the
+    * plan stays constant-size across iterations.
+    *
+    * @param nodes single-column DF `id`; @param edges two-column DF
+    * `src`,`dst` (undirected; either orientation). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = bidir.join(labels, bidir("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+        .withColumnRenamed("dst", "id")
+      val m = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("ch"))
+      val step = m.as("a")
+        .join(m.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.llabel"), col("a.label")).as("label"),
+          (col("a.ch") ||
+            coalesce(col("b.llabel"), col("a.label")) < col("a.label")).as("changed"))
+        .localCheckpoint()
+      converged = step.filter(col("changed")).limit(1).count() == 0
+      labels = step.select(col("id"), col("label"))
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("label", "edge_label"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("edge_label"), col("id")).as("label"))
+  }
+
+  /** Near-dup cluster per document: components of the n-gram candidate
+    * graph (same parameters as x03), singletons cluster with themselves. */
+  def dupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = ngramCandidatePairs(docs)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- MinHash LSH
 
   /** MinHash signature: for each of numHashes seeded hash functions, the

@@ -79,6 +79,75 @@ object ExtrasOracle {
         |HAVING COUNT(*) >= 2
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    "x12_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t.term FROM toks, UNNEST(w) AS t(term)),
+        |tokc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |tokstats AS (
+        |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_uniq_tok, MAX(c) AS top_tok_n
+        |  FROM tokc GROUP BY 1),
+        |grams AS (
+        |  SELECT doc_id, w[g] || ' ' || w[g+1] AS term
+        |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+        |gramc AS (SELECT doc_id, term, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        |gramstats AS (
+        |  SELECT doc_id, SUM(c) AS n_2gram, COUNT(*) AS n_uniq_2gram, MAX(c) AS top_2gram_n
+        |  FROM gramc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(n_uniq_tok, 0) AS BIGINT) AS n_uniq_tok,
+        |  CAST(coalesce(top_tok_n, 0) AS BIGINT) AS top_tok_n,
+        |  CAST(coalesce(n_2gram, 0) AS BIGINT) AS n_2gram,
+        |  CAST(coalesce(n_uniq_2gram, 0) AS BIGINT) AS n_uniq_2gram,
+        |  CAST(coalesce(top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+        |FROM documents d
+        |LEFT JOIN tokstats USING (doc_id)
+        |LEFT JOIN gramstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x13_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS nds FROM grams JOIN dup USING (gram) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(greatest(len(w) - 3, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(nds, 0) AS BIGINT) AS n_dup_spans
+        |FROM toks t LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // x14: connected components of the x03 candidate graph. DuckDB's
+    // recursive CTE computes the exact transitive closure (UNION dedups,
+    // so cycles terminate); min reachable id == hash-min fixpoint label.
+    "x14_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+        |rg AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m)
+        |SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
     "x05_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
         |sims AS (

@@ -71,6 +71,38 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Per-document repetition signals (the Gopher-style "repetitive
+    * document" filters): token multiplicity and positional-2-gram
+    * multiplicity. A doc whose top token (or 2-gram) covers a large
+    * share of all tokens is boilerplate/spam; consumers derive the
+    * fractions from these exact integer counts, so the report
+    * hash-matches any engine.
+    *
+    * Shape at scale: each branch is explode → two-level hash aggregate
+    * keyed first on (doc_id, term) then doc_id — partial aggregation
+    * collapses within-partition repeats before the shuffle, and every
+    * shuffle key includes doc_id, so hot *terms* never concentrate on
+    * one reducer. The final joins are on doc_id (uniform). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def stats(terms: DataFrame, prefix: String): DataFrame =
+      terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$prefix"),
+          count(lit(1)).as(s"n_uniq_$prefix"),
+          max(col("c")).as(s"top_${prefix}_n"))
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.expressions.NativeExpressions
+        .wordShinglesAll(wsTokens(col("text")), 2)).as("term"))
+    docs.select(col("doc_id"))
+      .join(stats(toks, "tok"), Seq("doc_id"), "left")
+      .join(stats(grams, "2gram"), Seq("doc_id"), "left")
+      .na.fill(0L)
+  }
+
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
   /** Stopword profiles for heuristic language ID. Small on purpose — the
     * operator's shape (broadcast-free scoring, argmax) is the point; real
     * deployments swap richer profiles in. */

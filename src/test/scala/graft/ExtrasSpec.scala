@@ -331,4 +331,64 @@ class ExtrasSpec extends SparkSpec {
     assert(out.count() == 10)
     assert(out.filter($"n_copies" =!= 2).isEmpty)
   }
+
+  test("word_shingles_all keeps duplicates in position order") {
+    val out = Seq("a b a b a").toDF("text")
+      .select(Dedup.wordShinglesAll($"text", 2).as("g"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "b a", "a b", "b a"))
+    val distinct = Seq("a b a b a").toDF("text")
+      .select(Dedup.wordShingles($"text", 2).as("g"))
+      .as[Seq[String]].head()
+    assert(distinct == Seq("a b", "b a"))
+  }
+
+  test("repetition signals count token and 2-gram multiplicity exactly") {
+    val d = Seq(
+      (1L, "spam spam spam ham"), // 4 tok / 2 uniq, top=3; 3 2-grams ("spam spam" x2)
+      (2L, "all words unique here"),
+      (3L, "")                    // zero tokens -> all-zero row, not dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 4L, 2L, 3L, 3L, 2L, 2L)))
+    assert(out(1) == ((2L, 4L, 4L, 1L, 3L, 3L, 1L)))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("dup spans count cross-document duplicated k-grams, not within-doc repeats") {
+    val d = Seq(
+      (1L, "shared four gram span plus tail one"),
+      (2L, "prefix two shared four gram span end"),
+      // doc 3 repeats its own 4-gram twice but shares nothing cross-doc
+      (3L, "own own own own x own own own own")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, k = 4).orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect()
+    // docs 1/2 share "shared four gram span": two positions in 1? one in each
+    assert(out(0) == ((1L, 4L, 1L)))
+    assert(out(1) == ((2L, 4L, 1L)))
+    assert(out(2) == ((3L, 6L, 0L)))
+  }
+
+  test("connected components propagate min label across multi-hop chains") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // a 5-node chain (diameter 4 forces several propagation rounds) + isolate
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .orderBy($"id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (9L, 9L)))
+  }
+
+  test("dup clusters agree with candidate pairs: endpoints share a cluster") {
+    val pairs = Dedup.ngramCandidatePairs(docs).select($"d1", $"d2")
+      .as[(Long, Long)].collect()
+    val labels = Dedup.dupClustersQuery(spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // and the label is always the component minimum: no label exceeds its id
+    labels.foreach { case (id, l) => assert(l <= id) }
+  }
 }
