@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, ExtrasOracle, Relational, RelationalOracle, Similarity, TextAnalysis}
+import graft.operators.{Dedup, ExtrasOracle, Relational, RelationalOracle, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,14 +62,18 @@ object SparkEntry {
     "x12_repetition"    -> (TextAnalysis.repetitionQuery _),
     "x13_dup_spans"     -> (Dedup.dupSpansQuery _),
     "x14_dup_clusters"  -> (Dedup.dupClustersQuery _),
+    "x15_hll_rollup"    -> (Sketches.hllRollupQuery _),
+    "x16_decontaminate" -> (Dedup.decontaminateQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
-    * signatures / LSH bucket assignment). The driver records a rows-only
-    * check; semantic coverage lives in ScalaTest (known-dup recall, ANN
-    * recall vs brute force). */
+    * signatures / LSH bucket assignment / Datasketches HLL estimates).
+    * The driver records a rows-only check; semantic coverage lives in
+    * ScalaTest (known-dup recall, ANN recall vs brute force, sketch
+    * accuracy + mergeability). */
   val rowsOnly: Set[String] =
-    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf")
+    Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
+      "x15_hll_rollup")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

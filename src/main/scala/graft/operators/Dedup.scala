@@ -125,6 +125,39 @@ object Dedup {
   def dupSpansQuery(spark: SparkSession, dir: String): DataFrame =
     dupSpans(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Train/test decontamination: for each candidate training document,
+    * how many of its k-token spans appear anywhere in a held-out
+    * reference corpus (benchmark/eval set). Rows with n_hit_spans > 0
+    * are contaminated and get dropped or span-scrubbed before training.
+    *
+    * Shape at scale: the reference side reduces to its DISTINCT grams
+    * (small — eval sets are tiny next to training corpora) and the
+    * probe is a semi-join; with a reference that fits in memory the
+    * join broadcasts and the training corpus is never shuffled. */
+  def decontaminate(candidates: DataFrame, reference: DataFrame,
+                    k: Int = 4): DataFrame = {
+    val refGrams = reference
+      .select(explode(wordShingles(col("text"), k)).as("gram")).distinct()
+    val candGrams = candidates.select(col("doc_id"),
+      explode(wordShinglesAll(col("text"), k)).as("gram"))
+    val hits = candGrams.join(refGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_spans"))
+    candidates.select(col("doc_id"),
+        greatest(size(TextAnalysis.wsTokens(col("text"))) - (k - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_spans", coalesce(col("n_hit_spans"), lit(0L)))
+  }
+
+  /** Decontamination query: the src0/src1 slices stand in as the
+    * held-out set; every other source is the training candidate pool. */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isRef = col("source").isin("src0", "src1")
+    decontaminate(docs.filter(!isRef), docs.filter(isRef))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------- near-dup cluster assignment
 
   /** Connected components by hash-min label propagation with pointer

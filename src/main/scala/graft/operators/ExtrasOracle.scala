@@ -123,6 +123,27 @@ object ExtrasOracle {
         |FROM toks t LEFT JOIN perdoc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "x16_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |refg AS (
+        |  SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
+        |  WHERE source IN ('src0', 'src1')),
+        |cand AS (SELECT doc_id, w FROM toks WHERE source NOT IN ('src0', 'src1')),
+        |candg AS (
+        |  SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+        |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS nh FROM candg
+        |  WHERE gram IN (SELECT gram FROM refg) GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(greatest(len(w) - 3, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_spans
+        |FROM cand c LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // x14: connected components of the x03 candidate graph. DuckDB's
     // recursive CTE computes the exact transitive closure (UNION dedups,
     // so cycles terminate); min reachable id == hash-min fixpoint label.

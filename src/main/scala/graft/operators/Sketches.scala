@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Mergeable sketch aggregates — the pattern that makes 100 TB
+  * cardinality/frequency questions cheap: sketch once per
+  * partition/day/group (one scan of the raw data, ever), then answer
+  * rollups by MERGING kilobyte-sized sketches instead of re-scanning.
+  * Spark's Datasketches-backed HLL functions do exactly this:
+  * `hll_sketch_agg` builds, `hll_union_agg` merges, estimates are
+  * deterministic for a fixed lgK (no RNG), so sketch tables are stable,
+  * reusable artifacts.
+  *
+  * The estimates are engine-specific (DuckDB's approx sketch differs),
+  * so the query is rows-only at the driver's gate; accuracy and
+  * mergeability (partition-invariance, union == direct-sketch) are
+  * asserted in ScalaTest.
+  */
+object Sketches {
+
+  /** log2 of HLL register count; 12 → 4 Ki registers ≈ 1.6% rsd. */
+  val LgK = 12
+
+  /** Two-level distinct rollup on lineitem: per-returnflag sketches of
+    * l_partkey, plus a TOTAL row whose sketch is the UNION of the
+    * per-flag sketches — never a second scan. The exact distinct rides
+    * along per flag so the spec (and a reader) can see the error. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), LgK).as("sk"),
+        count_distinct(col("l_partkey")).as("exact_distinct"))
+    val flagRows = perFlag.select(col("l_returnflag").as("grp"),
+      hll_sketch_estimate(col("sk")).as("approx_distinct"),
+      col("exact_distinct"))
+    val totalRow = perFlag
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("TOTAL").as("grp"),
+        hll_sketch_estimate(col("sk")).as("approx_distinct"),
+        lit(null).cast("long").as("exact_distinct"))
+    flagRows.unionByName(totalRow).orderBy(col("grp"))
+  }
+
+  def hllRollupQuery(spark: SparkSession, dir: String): DataFrame =
+    hllRollup(spark, dir)
+
+  /** Count-min frequency sketch of a column, as the raw mergeable binary
+    * (decode with org.apache.spark.util.sketch.CountMinSketch.readFrom).
+    * Deterministic for a fixed seed. */
+  def countMin(df: DataFrame, column: String,
+               eps: Double = 0.001, confidence: Double = 0.99,
+               seed: Int = 42): DataFrame =
+    df.agg(count_min_sketch(col(column), lit(eps), lit(confidence),
+      lit(seed)).as("cms"))
+}

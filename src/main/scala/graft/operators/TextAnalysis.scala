@@ -103,6 +103,39 @@ object TextAnalysis {
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------- PII scrub
+
+  /** Conservative PII patterns for training-data scrubbing. Order
+    * matters: emails are replaced before phones so the digits inside a
+    * mailbox name cannot be half-eaten by the phone pattern. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phonePattern = "\\+?[0-9][0-9()\\[\\]./ -]{6,}[0-9]"
+
+  /** Per-document PII hit counts (exact integers — aggregable and
+    * oracle-friendly; the corpus decides whether they are zero). Counts
+    * follow the same precedence as scrubPii: an IPv4 address is not
+    * ALSO a phone number, so later patterns are counted on text with
+    * earlier matches already redacted. */
+  def piiSignals(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(emailPattern), lit(0))).as("n_email"),
+      size(regexp_extract_all(noEmail, lit(ipv4Pattern), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(noIp, lit(phonePattern), lit(0))).as("n_phone"))
+  }
+
+  /** Redact PII in place with typed placeholders. A pure codegen'd
+    * regexp_replace chain — scrubbing a 100 TB corpus is one narrow
+    * projection, no shuffle at all. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Stopword profiles for heuristic language ID. Small on purpose — the
     * operator's shape (broadcast-free scoring, argmax) is the point; real
     * deployments swap richer profiles in. */

@@ -128,22 +128,72 @@ object SensorStream {
       storeRoot.mkdirs()
       val staged = graft.core.Fs.listOrThrow(stagingRoot)
         .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
-      staged.foreach { sp =>
-        val live = new java.io.File(storeRoot, sp.getName)
-        val bak = new java.io.File(backupRoot, sp.getName)
-        backupRoot.mkdirs()
-        graft.core.Fs.deleteRecursively(bak)
-        if (live.exists() && !live.renameTo(bak))
-          throw new java.io.IOException(s"upsertBatch: cannot move $live aside")
-        if (!sp.renameTo(live)) {
-          bak.renameTo(live) // roll back this partition
-          throw new java.io.IOException(s"upsertBatch: cannot publish $sp to $live")
-        }
-        graft.core.Fs.deleteRecursively(bak)
-      }
+      staged.foreach(sp => swapIn(storeRoot, backupRoot, sp, sp.getName))
       graft.core.Fs.deleteRecursively(stagingRoot)
       if (backupRoot.exists()) backupRoot.delete()
     } finally incoming.unpersist()
+  }
+
+  /** Publish a staged partition dir via backup-rename swap: live moved to
+    * backup, staged renamed in, backup dropped. Crash at any point leaves
+    * the partition recoverable (live or backup), which the recovery
+    * preamble restores. */
+  private def swapIn(storeRoot: java.io.File, backupRoot: java.io.File,
+                     staged: java.io.File, name: String): Unit = {
+    val live = new java.io.File(storeRoot, name)
+    val bak = new java.io.File(backupRoot, name)
+    backupRoot.mkdirs()
+    graft.core.Fs.deleteRecursively(bak)
+    if (live.exists() && !live.renameTo(bak))
+      throw new java.io.IOException(s"store publish: cannot move $live aside")
+    if (!staged.renameTo(live)) {
+      bak.renameTo(live) // roll back this partition
+      throw new java.io.IOException(s"store publish: cannot publish $staged to $live")
+    }
+    graft.core.Fs.deleteRecursively(bak)
+  }
+
+  /** Bin-packing compaction for the upsert store. A long-running stream
+    * leaves one file per batch per touched partition, so partition read
+    * cost eventually becomes file-count-bound rather than byte-bound —
+    * the classic small-files problem. This rewrites every partition
+    * holding more than `maxFiles` data files (or multiple files that
+    * together still fit one target file) into ceil(bytes/targetBytes)
+    * files, publishing through the same crash-safe stage-and-swap as
+    * upsertBatch. Safe to run between batches of the single writer that
+    * owns the store; untouched partitions are never opened.
+    *
+    * Returns the names of the partitions rewritten. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   targetBytes: Long = 128L << 20,
+                   maxFiles: Int = 8): Seq[String] = {
+    val storeRoot = new java.io.File(storePath)
+    val backupRoot = new java.io.File(storePath + "._old")
+    val parts = graft.core.Fs.listOrEmpty(storeRoot)
+      .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
+    val todo = parts.filter { p =>
+      val files = graft.core.Fs.listOrEmpty(p)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      files.length > maxFiles ||
+        (files.length > 1 && files.map(_.length).sum <= targetBytes)
+    }
+    todo.map { p =>
+      val bytes = graft.core.Fs.listOrEmpty(p)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      // staging under the upsert sweep's "._staging_" prefix, so a crashed
+      // compaction is cleaned up by the next batch's recovery preamble
+      val staging = new java.io.File(storePath + s"._staging_compact_${p.getName}")
+      graft.core.Fs.deleteRecursively(staging)
+      spark.read.parquet(p.getPath).coalesce(n)
+        .write.mode("overwrite").parquet(staging.getPath)
+      // drop non-data side files (_SUCCESS) so the partition dir stays pure
+      graft.core.Fs.listOrEmpty(staging)
+        .filter(f => !f.getName.endsWith(".parquet")).foreach(graft.core.Fs.deleteRecursively)
+      swapIn(storeRoot, backupRoot, staging, p.getName)
+      if (backupRoot.exists()) backupRoot.delete()
+      p.getName
+    }.toSeq
   }
 
   /** Pub/sub fan-out (reference R14: one consumed message → every

@@ -380,6 +380,101 @@ class ExtrasSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (9L, 9L)))
   }
 
+  test("decontamination flags planted eval spans and broadcasts the reference") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "prefix words then alpha beta gamma delta end"), // one 4-gram hit
+      (2L, "totally unrelated content with no overlap here"),
+      (3L, "alpha beta gamma delta epsilon tail words")     // two hits
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(cand, ref).orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 5L, 1L)))
+    assert(out(1) == ((2L, 4L, 0L)))
+    assert(out(2) == ((3L, 4L, 2L)))
+    // plan: the distinct reference grams must broadcast (eval sets are
+    // tiny next to the training corpus — the probe side never shuffles)
+    val p = Dedup.decontaminate(cand, ref).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"reference grams not broadcast:\n$p")
+  }
+
+  test("hll rollup: per-group and unioned estimates track exact counts") {
+    import graft.operators.Sketches
+    val out = Sketches.hllRollup(spark, sf("sf0.01")).collect()
+    val flags = out.filter(_.getString(0) != "TOTAL")
+    assert(flags.nonEmpty)
+    flags.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    // mergeability: union of per-group sketches answers the same question
+    // as one direct sketch of the whole column. Estimates are NOT
+    // bit-identical in the sparse regime (a single-partition sketch can
+    // stay in exact coupon mode while a merge promotes to HLL mode), so
+    // the contract is relative: both within the configured rsd of exact.
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+    val exact = li.agg(count_distinct(col("l_partkey"))).head.getLong(0).toDouble
+    val direct = li.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("l_partkey"), Sketches.LgK)).as("e")).head.getLong(0)
+    val total = out.find(_.getString(0) == "TOTAL").get.getLong(1)
+    assert(math.abs(total - exact) / exact < 0.05,
+      s"union-of-sketches $total vs exact $exact")
+    assert(math.abs(direct - exact) / exact < 0.05,
+      s"direct sketch $direct vs exact $exact")
+  }
+
+  test("hll sketch estimate is partition-tolerant (mergeable aggregation)") {
+    import graft.operators.Sketches
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+    val exact = li.agg(count_distinct(col("l_partkey"))).head.getLong(0).toDouble
+    def est(parts: Int): Long = li.repartition(parts)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), Sketches.LgK)))
+      .head.getLong(0)
+    // merging 32 partial sketches must answer within rsd of the
+    // single-partition build — that is what makes the aggregation safe
+    // to distribute (and to pre-aggregate into daily sketch tables)
+    Seq(est(1), est(32)).foreach(e =>
+      assert(math.abs(e - exact) / exact < 0.05, s"estimate $e vs exact $exact"))
+  }
+
+  test("count-min sketch upper-bounds every token frequency within eps") {
+    import graft.operators.Sketches
+    val toks = docs.select(explode(TextAnalysis.wsTokens($"text")).as("tok"))
+    val bytes = Sketches.countMin(toks, "tok").head.getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val truth = toks.groupBy($"tok").count().as[(String, Long)].collect()
+    val n = truth.map(_._2).sum
+    truth.foreach { case (tok, c) =>
+      val est = cms.estimateCount(tok.getBytes("UTF-8"))
+      assert(est >= c, s"cms underestimated '$tok': $est < $c")
+      assert(est <= c + math.ceil(0.001 * n).toLong + 1,
+        s"cms error beyond eps for '$tok': $est vs $c (n=$n)")
+    }
+  }
+
+  test("pii scrub redacts emails, ips, and phones with typed placeholders") {
+    val d = Seq(
+      "contact me at john.doe+spam@example.co.uk today",
+      "server at 192.168.1.254 port 8080",
+      "call +1 (555) 123-4567 now",
+      "clean text with no pii at all").toDF("text")
+    val out = d.select(TextAnalysis.scrubPii($"text").as("s"),
+      TextAnalysis.piiSignals($"text").as("p")).collect()
+    assert(out(0).getString(0) == "contact me at <EMAIL> today")
+    assert(out(1).getString(0) == "server at <IP> port 8080")
+    assert(out(2).getString(0) == "call <PHONE> now")
+    assert(out(3).getString(0) == "clean text with no pii at all")
+    val counts = out.map(r => (r.getStruct(1).getInt(0),
+      r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
+    assert(counts(0) == ((1, 0, 0)))
+    assert(counts(1) == ((0, 1, 0)))
+    assert(counts(2) == ((0, 0, 1)))
+    assert(counts(3) == ((0, 0, 0)))
+  }
+
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {
     val pairs = Dedup.ngramCandidatePairs(docs).select($"d1", $"d2")
       .as[(Long, Long)].collect()

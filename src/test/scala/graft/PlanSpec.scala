@@ -98,6 +98,34 @@ class PlanSpec extends SparkSpec {
     assert(elided.count() == clicks.count())
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // The optimizer's InjectRuntimeFilter: a selective filter on the
+    // small (creation) side of a shuffle join becomes a bloom filter
+    // evaluated on the probe side BEFORE the shuffle — at 100 TB that is
+    // the difference between shuffling the whole fact table and shuffling
+    // the ~1% of it that can possibly match. Thresholds are tuned for
+    // test-scale data; the plan shape is what's being gated.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.core.Tables.load(spark, sf("sf0.01"), "lineitem")
+      val part = graft.core.Tables.load(spark, sf("sf0.01"), "part")
+        .filter(col("p_size") === 1)
+      val j = li.join(part, li("l_partkey") === part("p_partkey"))
+        .select(col("l_orderkey"), col("p_name"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+      assert(j.count() > 0)
+    } finally saved.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // pre-partitioned (bucketed) storage is the batch answer to
     // co-located joins at scale: both sides hash-bucketed on the join

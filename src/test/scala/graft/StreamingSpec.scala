@@ -207,6 +207,42 @@ class StreamingSpec extends SparkSpec {
     assert(row(0).getLong(1) == 5L, "store version column must carry the max seq")
   }
 
+  test("compaction bin-packs fragmented partitions and preserves content") {
+    val store = java.nio.file.Files.createTempDirectory("compact").toString + "/store"
+    // fragmentation comes from the append-based batch-ingest path (the
+    // upsert swap rewrites whole partitions, so it never fragments):
+    // 10 appends leave >= 10 files in alpha; beta written once stays whole
+    (0 until 10).foreach { i =>
+      Seq(rec("alpha", i, s"2024-01-01 00:0$i:00", i + 1)).toDF(storageCols: _*)
+        .write.mode("append").partitionBy("sensor_group").parquet(store)
+    }
+    Seq(rec("beta", 1, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*)
+      .write.mode("append").partitionBy("sensor_group").parquet(store)
+    def files(p: String): Seq[String] =
+      new java.io.File(s"$store/$p").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSeq
+    val betaBefore = snapshot(s"$store/sensor_group=beta")
+    val before = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
+
+    val rewritten = SensorStream.compactStore(spark, store, maxFiles = 2)
+    assert(rewritten == Seq("sensor_group=alpha"), s"rewrote: $rewritten")
+    assert(files("sensor_group=alpha").size == 1,
+      s"alpha not packed: ${files("sensor_group=alpha")}")
+    assert(snapshot(s"$store/sensor_group=beta") == betaBefore,
+      "single-file partition was rewritten")
+    val after = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed store content")
+    // idempotent: nothing left to do
+    assert(SensorStream.compactStore(spark, store, maxFiles = 2).isEmpty)
+    // the next upsert still merges correctly on the compacted store
+    SensorStream.upsertBatch(spark, store)(
+      Seq(rec("alpha", 0, "2024-01-01 00:00:00", 99, temp = 77)).toDF(storageCols: _*), 11L)
+    val r = spark.read.parquet(store)
+      .filter(col("sensor_group") === "alpha" && col("sensor_id") === 0)
+      .select("temperature").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(77))
+  }
+
   test("pub/sub fan-out delivers each batch to every sink; listener counts rows") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new SensorStream.CountingListener
