@@ -64,6 +64,7 @@ object SparkEntry {
     "x14_dup_clusters"  -> (Dedup.dupClustersQuery _),
     "x15_hll_rollup"    -> (Sketches.hllRollupQuery _),
     "x16_decontaminate" -> (Dedup.decontaminateQuery _),
+    "x17_quant_knn"     -> (Similarity.quantizedQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
@@ -73,7 +74,7 @@ object SparkEntry {
     * accuracy + mergeability). */
   val rowsOnly: Set[String] =
     Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
-      "x15_hll_rollup")
+      "x15_hll_rollup", "x17_quant_knn")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

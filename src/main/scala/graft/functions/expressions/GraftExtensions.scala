@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("dot_product",
       "dot_product(a, b) - double dot product of two float/double arrays", 2)(
       args => DotProduct(args(0), args(1))))
+    e.injectFunction(fn("dot_product_bytes",
+      "dot_product_bytes(a, b) - integer dot product of two int8 code arrays", 2)(
+      args => DotProductBytes(args(0), args(1))))
+    e.injectFunction(fn("interleave_bits",
+      "interleave_bits(a, b, bits) - Morton z-value of two bucket ordinals", 3)(
+      args => InterleaveBits(args(0), args(1), intLiteral(args(2), "interleave_bits"))))
     e.injectFunction(fn("minhash_signature",
       "minhash_signature(shingles, k) - k min-hashes (XXH64 seeds 0..k-1)", 2)(
       args => MinHashSignature(args(0), intLiteral(args(1), "minhash_signature"))))

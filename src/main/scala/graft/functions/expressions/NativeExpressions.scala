@@ -143,6 +143,37 @@ object NativeOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Integer dot product of two int8-quantized vectors. Null (boxed) on
+    * length mismatch or a null element — same degenerate-input contract
+    * as dotProduct. Accumulates in long: 64 * 127 * 127 is far inside
+    * range. */
+  def dotBytes(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  /** Morton (Z-order) interleave of two bucket ordinals, `bits` bits
+    * each: bit i of a lands at position 2i, bit i of b at 2i+1. Inputs
+    * are expected in [0, 2^bits); out-of-range bits are masked. */
+  def interleaveBits(a: Int, b: Int, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Number of patterns occurring in s, each counted at most once. */
   def substringHits(s: UTF8String, pats: Array[UTF8String]): Int = {
     var hits = 0
@@ -458,6 +489,74 @@ case class CharShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Integer dot product over int8-quantized vectors (ARRAY<TINYINT>) —
+  * the scoring kernel for quantized similarity search: 4x narrower
+  * vectors through every broadcast and shuffle, integer multiply-adds
+  * in the hot loop. Null on length mismatch or null elements (the
+  * dot_product contract). */
+case class DotProductBytes(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<TINYINT> on both sides, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NativeOps.dotBytes(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotb")
+      s"""
+         |java.lang.Long $tmp = graft.functions.expressions.NativeOps.dotBytes($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Morton (Z-order) bit interleave of two bucket ordinals — the curve
+  * value behind multi-dimensional layout clustering (see
+  * operators.Layout). Null if either side is null. */
+case class InterleaveBits(left: Expression, right: Expression, bits: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (INT, INT), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeOps.interleaveBits(a.asInstanceOf[Int], b.asInstanceOf[Int], bits)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.interleaveBits($a, $b, $bits);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Number of `patterns` occurring in the input string (each counted at
   * most once) — the language-ID profile-hit counter. One pass per
   * pattern with UTF8String.contains; replaces building a per-row
@@ -713,6 +812,10 @@ object NativeExpressions {
     column(CharShingles(expression(text), n))
   def substringHits(text: Column, patterns: Seq[String]): Column =
     column(SubstringHits(expression(text), patterns))
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    column(InterleaveBits(expression(a), expression(b), bits))
+  def dotProductBytes(a: Column, b: Column): Column =
+    column(DotProductBytes(expression(a), expression(b)))
   def simhashChunks(tokens: Column): Column =
     column(SimHashChunks(expression(tokens)))
   def cosineSim(a: Column, b: Column): Column =

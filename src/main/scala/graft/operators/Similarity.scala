@@ -335,4 +335,72 @@ object Similarity {
     ivfTopK(index, queries, k = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ------------------------------------------------ int8 quantized search
+
+  /** Per-vector symmetric int8 quantization: scale = 127 / max|v|
+    * (all-zero vectors get scale 0 and an all-zero code), code_i =
+    * round(v_i * scale) in [-127, 127]. Returns a struct of the code,
+    * its precomputed L2 norm (for cosine without touching floats again),
+    * and the scale (for dequantized dot values). A quantized corpus is
+    * ~4x narrower than float32 through every broadcast, shuffle, and
+    * cache — that, not FLOPs, is what quantization buys at 100 TB. */
+  def quantize(vec: Column): Column = bindArray(vec) { v =>
+    bindArray(transform(v, x => abs(x))) { a =>
+      val amax = array_max(a)
+      bindArray(when(amax > 0,
+          transform(v, x => round(x * (lit(127.0) / amax)).cast("byte")))
+        .otherwise(transform(v, _ => lit(0).cast("byte")))) { q =>
+        struct(q.as("code"),
+          sqrt(aggregate(q, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+            .cast("double")).as("qnorm"),
+          when(amax > 0, lit(127.0) / amax).otherwise(lit(0.0)).as("scale"))
+      }
+    }
+  }
+
+  /** Quantized cosine top-k with exact re-rank: score ALL pairs with the
+    * integer dot over int8 codes (narrow data, native kernel), keep the
+    * top `k * overFetch` candidates per query, then re-rank just those
+    * with full-precision cosine and keep the top k. Approximation error
+    * only costs recall if a true top-k neighbor falls below the
+    * over-fetched candidate cut — the recall spec measures exactly that. */
+  def quantizedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                    overFetch: Int = 4): DataFrame = {
+    import graft.functions.expressions.NativeExpressions.dotProductBytes
+    val qv = vectors.select(col("vec_id"), col("embedding"),
+      quantize(col("embedding")).as("qz"))
+    val qq = queries.select(col("query_id"), col("qvec"),
+      quantize(col("qvec")).as("qqz"))
+    // int8 scoring pass: approx cosine = dot(codes) / (qnorm_a * qnorm_b)
+    val approxTopk = udaf(new graft.functions.TopKAggregator(k * overFetch))
+    val cand = qv.as("v")
+      .join(broadcast(qq.as("q")), col("v.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"),
+        (dotProductBytes(col("q.qqz.code"), col("v.qz.code")).cast("double") /
+          (col("q.qqz.qnorm") * col("v.qz.qnorm"))).as("qsim"))
+      .groupBy(col("query_id"))
+      .agg(approxTopk(col("qsim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    // exact re-rank of the candidate set only
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** rows-only queries() entry for the quantized path (same queries as
+    * x05; recall vs brute force asserted in ExtrasSpec). */
+  def quantizedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    quantizedTopK(emb, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -380,6 +380,61 @@ class ExtrasSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (9L, 9L)))
   }
 
+  test("int8 quantization: dequantized values within half a step; zero-safe") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(50)
+    val rows = emb.select($"embedding", Similarity.quantize($"embedding").as("qz"))
+      .select($"embedding", $"qz.code", $"qz.scale")
+      .as[(Seq[Float], Seq[Byte], Double)].collect()
+    rows.foreach { case (v, code, scale) =>
+      assert(code.length == v.length)
+      if (scale > 0) {
+        val step = 1.0 / scale
+        v.zip(code).foreach { case (x, q) =>
+          assert(math.abs(x - q / scale) <= step / 2 + 1e-9,
+            s"quantization error beyond half step: $x vs ${q / scale}")
+        }
+        assert(code.map(_.toInt.abs).max <= 127)
+      }
+    }
+    // all-zero vector: scale 0, all-zero code, no NaN/overflow
+    val z = Seq((1L, Seq.fill(4)(0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantize($"embedding").as("qz"))
+      .select($"qz.code", $"qz.qnorm", $"qz.scale")
+      .as[(Seq[Byte], Double, Double)].head()
+    assert(z == ((Seq.fill(4)(0: Byte), 0.0, 0.0)))
+  }
+
+  test("native dot_product_bytes equals the HOF fold; null on degenerate input") {
+    import graft.functions.expressions.NativeExpressions.dotProductBytes
+    val d = Seq(
+      (Seq[Byte](1, -2, 3), Seq[Byte](4, 5, -6)),
+      (Seq[Byte](127, 127, 127), Seq[Byte](127, 127, 127))).toDF("a", "b")
+    val hof = d.select(aggregate(zip_with($"a", $"b",
+      (x, y) => x.cast("long") * y.cast("long")), lit(0L), _ + _)).as[Long].collect()
+    val nat = d.select(dotProductBytes($"a", $"b")).as[Long].collect()
+    assert(nat.toSeq == hof.toSeq)
+    val mismatch = Seq((Seq[Byte](1, 2), Seq[Byte](1, 2, 3))).toDF("a", "b")
+      .select(dotProductBytes($"a", $"b")).collect()
+    assert(mismatch(0).isNullAt(0), "length mismatch must be null")
+  }
+
+  test("quantized knn with exact re-rank matches brute-force recall target") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.quantizedTopK(emb, queries, 5)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      quant.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    info(f"quantized recall@5 mean: $mean%.3f")
+    assert(mean >= 0.95, f"int8+rerank recall $mean%.3f below target")
+  }
+
   test("decontamination flags planted eval spans and broadcasts the reference") {
     val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val cand = Seq(

@@ -98,6 +98,46 @@ class PlanSpec extends SparkSpec {
     assert(elided.count() == clicks.count())
   }
 
+  test("z-order layout prunes row groups for point filters on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val ev = graft.core.Tables.load(spark, sf("sf0.01"), "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    val root = java.nio.file.Files.createTempDirectory("layout").toString
+    // naive layout: clustered on time only — user_id/value smeared evenly
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$root/by_ts")
+    graft.operators.Layout.zorderWrite(ev, col("user_id"), col("value"),
+      s"$root/by_z", numFiles = 16)
+
+    // rows surviving the scan = rows of row groups NOT skipped by the
+    // pushed min/max filter; fewer = better layout for that predicate
+    def scanned(path: String, cond: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(cond)
+      // collect() (not foreach/rdd) so the metrics accumulate on THIS
+      // QueryExecution — Dataset.rdd spawns a separate one
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+    }
+    val total = ev.count()
+    // mid-band value predicate: the value column's upper tail clusters in
+    // time (per-day max varies 275..490), so a tail filter would prune
+    // even on the ts layout; a mid band exists on every day
+    for (cond <- Seq(col("user_id") === 7, col("value").between(200.0, 210.0))) {
+      val naive = scanned(s"$root/by_ts", cond)
+      val z = scanned(s"$root/by_z", cond)
+      info(s"$cond: naive layout scans $naive rows, z-order scans $z (of $total)")
+      assert(naive > total / 2, s"naive layout unexpectedly pruned $cond")
+      assert(z < naive / 2,
+        s"z-order failed to prune $cond: scanned $z vs naive $naive")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // The optimizer's InjectRuntimeFilter: a selective filter on the
