@@ -534,6 +534,11 @@ case class DotProductBytes(left: Expression, right: Expression)
 case class InterleaveBits(left: Expression, right: Expression, bits: Int)
   extends BinaryExpression {
 
+  // 31 bits/dim is the Int-shift ceiling and 2*31 bits fill the Long;
+  // beyond that the JVM shift widths wrap and the curve value is garbage
+  require(bits >= 1 && bits <= 31,
+    s"interleave_bits requires 1 <= bits <= 31, got $bits")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "interleave_bits"
 

@@ -106,20 +106,31 @@ object Dedup {
     * would join on xxhash64(gram) instead of the gram text to keep
     * shuffle rows narrow — kept as the raw string here so the report is
     * cross-engine exact (and AQE handles the hot-gram skew). */
-  def dupSpans(docs: DataFrame, k: Int = 4): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(wordShinglesAll(col("text"), k)).as("gram"))
-    val dup = grams.groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select("gram")
-    val perDoc = grams.join(dup, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+  /** (doc_id, n_spans, <countName>) report: total k-token spans per doc
+    * plus a per-doc count of the positional grams surviving a semi-join
+    * against `matchGrams` — the shared tail of dupSpans/decontaminate. */
+  private def spanReport(docs: DataFrame, grams: DataFrame,
+                         matchGrams: DataFrame, countName: String,
+                         k: Int): DataFrame = {
+    val perDoc = grams.join(matchGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as(countName))
     docs.select(col("doc_id"),
         greatest(size(TextAnalysis.wsTokens(col("text"))) - (k - 1), lit(0))
           .cast("long").as("n_spans"))
       .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn(countName, coalesce(col(countName), lit(0L)))
+  }
+
+  private def positionalGrams(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(wordShinglesAll(col("text"), k)).as("gram"))
+
+  def dupSpans(docs: DataFrame, k: Int = 4): DataFrame = {
+    val grams = positionalGrams(docs, k)
+    val dup = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gram")
+    spanReport(docs, grams, dup, "n_dup_spans", k)
   }
 
   def dupSpansQuery(spark: SparkSession, dir: String): DataFrame =
@@ -138,15 +149,8 @@ object Dedup {
                     k: Int = 4): DataFrame = {
     val refGrams = reference
       .select(explode(wordShingles(col("text"), k)).as("gram")).distinct()
-    val candGrams = candidates.select(col("doc_id"),
-      explode(wordShinglesAll(col("text"), k)).as("gram"))
-    val hits = candGrams.join(refGrams, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_spans"))
-    candidates.select(col("doc_id"),
-        greatest(size(TextAnalysis.wsTokens(col("text"))) - (k - 1), lit(0))
-          .cast("long").as("n_spans"))
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hit_spans", coalesce(col("n_hit_spans"), lit(0L)))
+    spanReport(candidates, positionalGrams(candidates, k), refGrams,
+      "n_hit_spans", k)
   }
 
   /** Decontamination query: the src0/src1 slices stand in as the

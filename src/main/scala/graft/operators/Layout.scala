@@ -37,6 +37,10 @@ object Layout {
     // single KB-scale action: the four range endpoints
     val r = df.agg(min(a).cast("double"), max(a).cast("double"),
       min(b).cast("double"), max(b).cast("double")).head()
+    // empty input or an all-null dimension: no range to bucket — degrade
+    // to a constant curve value instead of NPE-ing on the null endpoint
+    if (r.isNullAt(0) || r.isNullAt(2))
+      return df.withColumn("_z", lit(0L))
     def bucket(c: Column, lo: Double, hi: Double): Column =
       if (lo == hi) lit(0)
       // width_bucket: 0 below lo, n+1 above hi, else 1..n — shift and

@@ -374,11 +374,17 @@ object Similarity {
       quantize(col("qvec")).as("qqz"))
     // int8 scoring pass: approx cosine = dot(codes) / (qnorm_a * qnorm_b)
     val approxTopk = udaf(new graft.functions.TopKAggregator(k * overFetch))
+    // zero-norm guard: 0.0/0.0 would be NaN, which Scala's total Double
+    // ordering ranks ABOVE every real score in the top-k heap — zero
+    // vectors would crowd out true neighbors. Score them 0.0, exactly
+    // like cosine() does for zero-norm inputs.
+    val normProd = col("q.qqz.qnorm") * col("v.qz.qnorm")
     val cand = qv.as("v")
       .join(broadcast(qq.as("q")), col("v.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"),
-        (dotProductBytes(col("q.qqz.code"), col("v.qz.code")).cast("double") /
-          (col("q.qqz.qnorm") * col("v.qz.qnorm"))).as("qsim"))
+        when(normProd > 0,
+          dotProductBytes(col("q.qqz.code"), col("v.qz.code")).cast("double") / normProd)
+          .otherwise(lit(0.0)).as("qsim"))
       .groupBy(col("query_id"))
       .agg(approxTopk(col("qsim"), col("neighbor_id")).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))

@@ -57,28 +57,7 @@ object SensorStream {
     val backupRoot = new java.io.File(storePath + "._old")
     val stagingRoot = new java.io.File(storePath + s"._staging_$batchId")
 
-    // crash recovery: a previous invocation may have died between a
-    // partition's two swap renames, leaving that partition only under the
-    // backup root — restore it BEFORE reading. Backups of completed swaps
-    // are stale and dropped.
-    if (backupRoot.exists()) {
-      graft.core.Fs.listOrThrow(backupRoot).foreach { bak =>
-        val live = new java.io.File(storeRoot, bak.getName)
-        if (!live.exists()) {
-          storeRoot.mkdirs()
-          if (!bak.renameTo(live))
-            throw new java.io.IOException(s"upsertBatch: cannot restore $bak")
-        } else graft.core.Fs.deleteRecursively(bak)
-      }
-      backupRoot.delete()
-    }
-    // drop stale staging dirs of ANY batch id, not just this one: a
-    // checkpoint reset restarts batch numbering, so a crashed run may have
-    // stranded staging under an id this query will never reuse.
-    val stagingPrefix = storeRoot.getName + "._staging_"
-    graft.core.Fs.listOrEmpty(storeRoot.getAbsoluteFile.getParentFile)
-      .filter(_.getName.startsWith(stagingPrefix))
-      .foreach(graft.core.Fs.deleteRecursively)
+    recoverStore(storeRoot, backupRoot)
 
     // batch-local last-write-wins; `_ord` keeps `seq` in the payload so the
     // winner's seq survives as the store's version column.
@@ -134,6 +113,34 @@ object SensorStream {
     } finally incoming.unpersist()
   }
 
+  /** Crash recovery for the swap-published store, run by every writer
+    * (upsert batches AND compaction) before touching it: a previous
+    * invocation may have died between a partition's two swap renames,
+    * leaving that partition only under the backup root — restore it
+    * BEFORE reading. Backups of completed swaps are stale and dropped.
+    * Stale staging dirs of ANY name under the `._staging_` prefix are
+    * swept too: a checkpoint reset restarts batch numbering, so a
+    * crashed run may have stranded staging under an id this query will
+    * never reuse. */
+  private def recoverStore(storeRoot: java.io.File,
+                           backupRoot: java.io.File): Unit = {
+    if (backupRoot.exists()) {
+      graft.core.Fs.listOrThrow(backupRoot).foreach { bak =>
+        val live = new java.io.File(storeRoot, bak.getName)
+        if (!live.exists()) {
+          storeRoot.mkdirs()
+          if (!bak.renameTo(live))
+            throw new java.io.IOException(s"store recovery: cannot restore $bak")
+        } else graft.core.Fs.deleteRecursively(bak)
+      }
+      backupRoot.delete()
+    }
+    val stagingPrefix = storeRoot.getName + "._staging_"
+    graft.core.Fs.listOrEmpty(storeRoot.getAbsoluteFile.getParentFile)
+      .filter(_.getName.startsWith(stagingPrefix))
+      .foreach(graft.core.Fs.deleteRecursively)
+  }
+
   /** Publish a staged partition dir via backup-rename swap: live moved to
     * backup, staged renamed in, backup dropped. Crash at any point leaves
     * the partition recoverable (live or backup), which the recovery
@@ -169,20 +176,28 @@ object SensorStream {
                    maxFiles: Int = 8): Seq[String] = {
     val storeRoot = new java.io.File(storePath)
     val backupRoot = new java.io.File(storePath + "._old")
+    // same recovery preamble as the upsert: compaction may be the first
+    // writer to touch a store whose last writer crashed mid-swap, and it
+    // must restore backed-up partitions before listing what to compact
+    recoverStore(storeRoot, backupRoot)
     val parts = graft.core.Fs.listOrEmpty(storeRoot)
       .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
-    val todo = parts.filter { p =>
+    val todo = parts.flatMap { p =>
       val files = graft.core.Fs.listOrEmpty(p)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      files.length > maxFiles ||
-        (files.length > 1 && files.map(_.length).sum <= targetBytes)
+      val bytes = files.map(_.length).sum
+      val packed = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      // rewrite only when packing actually reduces the file count below
+      // what's there now — `packed` files is the floor for this partition,
+      // so a partition already at its packed count is terminal (idempotent
+      // even when packed > maxFiles)
+      if (files.length > math.max(packed, maxFiles) ||
+        (bytes <= targetBytes && files.length > packed))
+        Some((p, packed)) else None
     }
-    todo.map { p =>
-      val bytes = graft.core.Fs.listOrEmpty(p)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
-      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    todo.map { case (p, n) =>
       // staging under the upsert sweep's "._staging_" prefix, so a crashed
-      // compaction is cleaned up by the next batch's recovery preamble
+      // compaction is cleaned up by the next writer's recovery preamble
       val staging = new java.io.File(storePath + s"._staging_compact_${p.getName}")
       graft.core.Fs.deleteRecursively(staging)
       spark.read.parquet(p.getPath).coalesce(n)

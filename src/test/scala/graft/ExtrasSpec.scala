@@ -324,6 +324,38 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("text-pipeline ops run unchanged under the streaming planner") {
+    // the doc-prep projection (quality signals + lang-id + PII scrub +
+    // fingerprint) is all narrow expressions, so the SAME code must run
+    // incrementally on a stream and agree with the batch form row-by-row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).as("n_tokens"),
+        TextAnalysis.detectLang(col("text")).as("detected"),
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = docs.limit(30).select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String, String)]
+    val q = prep(stream.toDF().toDF("doc_id", "text", "lang", "source")
+        .withColumn("text", concat($"text", lit(" ping 555-123-4567"))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("docprep_out").start()
+    try {
+      stream.addData(rows.take(15)); q.processAllAvailable()
+      stream.addData(rows.drop(15)); q.processAllAvailable()
+      val streamed = spark.table("docprep_out").collect().map(_.toString).sorted.toSeq
+      val batch = prep(docs.limit(30)
+          .withColumn("text", concat($"text", lit(" ping 555-123-4567"))))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(spark.table("docprep_out")
+        .filter($"scrubbed".contains("<PHONE>")).count() == 30)
+    } finally q.stop()
+  }
+
   test("exact dedup collapses planted copies") {
     val base = docs.limit(10).select($"doc_id", $"text")
     val copies = base.select(($"doc_id" + 500).as("doc_id"), $"text")
@@ -515,19 +547,29 @@ class ExtrasSpec extends SparkSpec {
       "contact me at john.doe+spam@example.co.uk today",
       "server at 192.168.1.254 port 8080",
       "call +1 (555) 123-4567 now",
-      "clean text with no pii at all").toDF("text")
+      "clean text with no pii at all",
+      // digit runs that must NOT be redacted: ISO date-times (8 digits,
+      // leading year), slashed dates, dash-dated DoB — all below the
+      // 9-digit phone floor or behind the year guard
+      "logged 2024-01-01 10:30 and 2024/01/01 and dob 01-01-1994",
+      "local line 555-123-4567 rings").toDF("text")
     val out = d.select(TextAnalysis.scrubPii($"text").as("s"),
       TextAnalysis.piiSignals($"text").as("p")).collect()
     assert(out(0).getString(0) == "contact me at <EMAIL> today")
     assert(out(1).getString(0) == "server at <IP> port 8080")
     assert(out(2).getString(0) == "call <PHONE> now")
     assert(out(3).getString(0) == "clean text with no pii at all")
+    assert(out(4).getString(0) ==
+      "logged 2024-01-01 10:30 and 2024/01/01 and dob 01-01-1994")
+    assert(out(5).getString(0) == "local line <PHONE> rings")
     val counts = out.map(r => (r.getStruct(1).getInt(0),
       r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
     assert(counts(0) == ((1, 0, 0)))
     assert(counts(1) == ((0, 1, 0)))
     assert(counts(2) == ((0, 0, 1)))
     assert(counts(3) == ((0, 0, 0)))
+    assert(counts(4) == ((0, 0, 0)))
+    assert(counts(5) == ((0, 0, 1)))
   }
 
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {
