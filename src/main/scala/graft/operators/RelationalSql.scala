@@ -227,4 +227,85 @@ object RelationalSql {
       |       l.humidity AS humidity, l.ix AS ix, l.iy AS iy, l.iz AS iz, l.mask AS mask
       |FROM dedup
       |ORDER BY sensor_group, sensor_id, time_received""".stripMargin
+
+  /** SQL texts for the SQL-expressible LLM-pipeline extras, including the
+    * injected native functions (`word_shingles`/`word_shingles_all`) a
+    * SQL user reaches through GraftExtensions. Asserted result-identical
+    * to the DataFrame forms in SqlSurfaceSpec. */
+  val extrasSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x09_text_quality" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  SUM(size(filter(split(text, ' '), x -> x != ''))) AS sum_tokens,
+        |  SUM(length(regexp_replace(text, '[^.!?,;:]', ''))) AS sum_punct,
+        |  SUM(length(regexp_replace(text, '[^0-9]', ''))) AS sum_digits,
+        |  SUM(length(regexp_replace(text, ' ', ''))) AS sum_nonspace
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x10_token_count" ->
+      """SELECT source, COUNT(1) AS n_docs,
+        |  SUM(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))) AS sum_bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "x12_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w FROM documents),
+        |tokc AS (
+        |  SELECT doc_id, term, COUNT(1) AS c
+        |  FROM toks LATERAL VIEW explode(w) t AS term GROUP BY doc_id, term),
+        |tokstats AS (
+        |  SELECT doc_id, SUM(c) AS n_tok, COUNT(1) AS n_uniq_tok, MAX(c) AS top_tok_n
+        |  FROM tokc GROUP BY doc_id),
+        |gramc AS (
+        |  SELECT doc_id, term, COUNT(1) AS c
+        |  FROM toks LATERAL VIEW explode(word_shingles_all(w, 2)) t AS term
+        |  GROUP BY doc_id, term),
+        |gramstats AS (
+        |  SELECT doc_id, SUM(c) AS n_2gram, COUNT(1) AS n_uniq_2gram, MAX(c) AS top_2gram_n
+        |  FROM gramc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_tok, 0L) AS n_tok,
+        |  coalesce(n_uniq_tok, 0L) AS n_uniq_tok,
+        |  coalesce(top_tok_n, 0L) AS top_tok_n,
+        |  coalesce(n_2gram, 0L) AS n_2gram,
+        |  coalesce(n_uniq_2gram, 0L) AS n_uniq_2gram,
+        |  coalesce(top_2gram_n, 0L) AS top_2gram_n
+        |FROM documents d
+        |LEFT JOIN tokstats USING (doc_id)
+        |LEFT JOIN gramstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x13_dup_spans" ->
+      """WITH grams AS (
+        |  SELECT doc_id, gram FROM documents
+        |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 4)) t AS gram),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(1) AS n_dup_spans FROM grams JOIN dup USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(greatest(size(filter(split(text, ' '), x -> x != '')) - 3, 0) AS BIGINT) AS n_spans,
+        |  coalesce(n_dup_spans, 0L) AS n_dup_spans
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x16_decontaminate" ->
+      """WITH refg AS (
+        |  SELECT DISTINCT gram FROM documents
+        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+        |  WHERE source IN ('src0', 'src1')),
+        |cand AS (SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1')),
+        |candg AS (
+        |  SELECT doc_id, gram FROM cand
+        |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 4)) t AS gram),
+        |hits AS (
+        |  SELECT doc_id, COUNT(1) AS n_hit_spans FROM candg JOIN refg USING (gram) GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(greatest(size(filter(split(text, ' '), x -> x != '')) - 3, 0) AS BIGINT) AS n_spans,
+        |  coalesce(n_hit_spans, 0L) AS n_hit_spans
+        |FROM cand c LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+  )
 }

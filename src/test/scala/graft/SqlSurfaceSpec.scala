@@ -37,6 +37,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(RelationalSql.sql.size == 22, "every relational query needs a SQL twin")
   }
 
+  test("LLM-pipeline extras: SQL texts (incl. injected shingle fns) equal DataFrame forms") {
+    Tables.registerAll(spark, dir)
+    RelationalSql.extrasSql.toSeq.sortBy(_._1).foreach { case (name, text) =>
+      withClue(name)(assertSame(name, text))
+    }
+    assert(RelationalSql.extrasSql.size == 6)
+  }
+
   test("Q20: the pipeline as one SQL statement equals SensorPipeline.run") {
     spark.read.text(Fixtures.sensorNdjson).createOrReplaceTempView("sensor_lines")
     spark.read.option("header", "true")
