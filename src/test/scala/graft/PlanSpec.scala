@@ -57,7 +57,8 @@ class PlanSpec extends SparkSpec {
   test("x02/x03/x04/x06: signature+ANN expressions are fully codegen'd (no CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     for (q <- Seq("x02_minhash_pairs", "x03_ngram_pairs", "x04_simhash",
-                  "x06_ann_lsh", "x06_ann_ivf")) {
+                  "x06_ann_lsh", "x06_ann_ivf", "x12_repetition",
+                  "x13_dup_spans", "x16_decontaminate", "x17_quant_knn")) {
       val exec = SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.executedPlan
       val fallbacks = exec.flatMap(node =>
         node.expressions.flatMap(_.collect { case cf: CodegenFallback => cf }))
