@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, ExtrasOracle, Relational, RelationalOracle, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, DocPrep, ExtrasOracle, Relational, RelationalOracle, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,6 +65,9 @@ object SparkEntry {
     "x15_hll_rollup"    -> (Sketches.hllRollupQuery _),
     "x16_decontaminate" -> (Dedup.decontaminateQuery _),
     "x17_quant_knn"     -> (Similarity.quantizedQuery _),
+    // x18: the composed corpus-prep pipeline (held-out exclusion, length
+    // gate, exact dedup, decontamination) with per-doc drop provenance.
+    "x18_doc_prep"      -> (DocPrep.prepQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -144,6 +144,37 @@ object ExtrasOracle {
         |FROM cand c LEFT JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "x18_doc_prep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, text,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |keep AS (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+        |toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |refg AS (
+        |  SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
+        |  WHERE source IN ('src0', 'src1')),
+        |contam AS (
+        |  SELECT DISTINCT cg.doc_id
+        |  FROM (SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+        |        FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
+        |        WHERE source NOT IN ('src0', 'src1')) cg
+        |  JOIN refg USING (gram))
+        |SELECT t.doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 'reference'
+        |       WHEN n_tokens < 40 THEN 'too_short'
+        |       WHEN t.doc_id <> k.keep_id THEN 'duplicate'
+        |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE NULL END AS drop_reason
+        |FROM tok t
+        |JOIN keep k USING (text)
+        |LEFT JOIN contam c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // x14: connected components of the x03 candidate graph. DuckDB's
     // recursive CTE computes the exact transitive closure (UNION dedups,
     // so cycles terminate); min reachable id == hash-min fixpoint label.

@@ -356,6 +356,34 @@ class ExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("doc-prep reports one drop reason per doc with the declared precedence") {
+    import graft.operators.DocPrep
+    val d = Seq(
+      // reference doc (also short — 'reference' must win the precedence)
+      (1L, "eval span alpha beta gamma delta", "src0"),
+      // too-short training doc that ALSO duplicates doc 3 — too_short wins
+      (2L, "twin text body here", "src5"),
+      (3L, "twin text body here", "src5"),   // keeper (min id of the pair is 2... see below)
+      // long-enough unique clean doc
+      (4L, ("word " * 45).trim, "src6"),
+      // long-enough doc contaminated by the reference 4-gram
+      (5L, ("pad " * 40).trim + " eval span alpha beta gamma delta", "src7")
+    ).toDF("doc_id", "text", "source")
+    val out = DocPrep.prepare(d, minTokens = 5, k = 4)
+      .orderBy($"doc_id").as[(Long, Long, Option[String])].collect()
+    assert(out(0) == ((1L, 6L, Some("reference"))))
+    assert(out(1) == ((2L, 4L, Some("too_short"))))   // 4 tokens < 5
+    assert(out(2) == ((3L, 4L, Some("too_short"))))   // short wins over duplicate
+    assert(out(3) == ((4L, 45L, None)))               // kept
+    assert(out(4) == ((5L, 46L, Some("contaminated"))))
+    // raise the bar: with minTokens = 3, the duplicate reason surfaces for
+    // the higher id of the twin pair only
+    val out2 = DocPrep.prepare(d, minTokens = 3, k = 4)
+      .orderBy($"doc_id").as[(Long, Long, Option[String])].collect()
+    assert(out2(1) == ((2L, 4L, None)))               // keeper (min id)
+    assert(out2(2) == ((3L, 4L, Some("duplicate"))))
+  }
+
   test("exact dedup collapses planted copies") {
     val base = docs.limit(10).select($"doc_id", $"text")
     val copies = base.select(($"doc_id" + 500).as("doc_id"), $"text")
