@@ -94,18 +94,6 @@ object Dedup {
     graft.functions.expressions.NativeExpressions
       .wordShinglesAll(TextAnalysis.wsTokens(text), n)
 
-  /** Span-level duplication report: for each document, how many of its
-    * k-token spans also occur in at least one OTHER document (the
-    * "train-set memorization" dedup signal: docs with a high duplicated-
-    * span share get their repeated spans cut or the whole doc dropped).
-    *
-    * Shape at scale: one explode, one hash aggregate keyed on the gram
-    * (df counting, partial-agg collapses repeats), one semi-join back,
-    * one per-doc count. No cross join anywhere; the df aggregate is the
-    * same inverted-index shape as ngramCandidatePairs. A 100 TB corpus
-    * would join on xxhash64(gram) instead of the gram text to keep
-    * shuffle rows narrow — kept as the raw string here so the report is
-    * cross-engine exact (and AQE handles the hot-gram skew). */
   /** (doc_id, n_spans, <countName>) report: total k-token spans per doc
     * plus a per-doc count of the positional grams surviving a semi-join
     * against `matchGrams` — the shared tail of dupSpans/decontaminate. */
@@ -124,6 +112,18 @@ object Dedup {
   private def positionalGrams(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(wordShinglesAll(col("text"), k)).as("gram"))
 
+  /** Span-level duplication report: for each document, how many of its
+    * k-token spans also occur in at least one OTHER document (the
+    * "train-set memorization" dedup signal: docs with a high duplicated-
+    * span share get their repeated spans cut or the whole doc dropped).
+    *
+    * Shape at scale: one explode, one hash aggregate keyed on the gram
+    * (df counting, partial-agg collapses repeats), one semi-join back,
+    * one per-doc count. No cross join anywhere; the df aggregate is the
+    * same inverted-index shape as ngramCandidatePairs. A 100 TB corpus
+    * would join on xxhash64(gram) instead of the gram text to keep
+    * shuffle rows narrow — kept as the raw string here so the report is
+    * cross-engine exact (and AQE handles the hot-gram skew). */
   def dupSpans(docs: DataFrame, k: Int = 4): DataFrame = {
     val grams = positionalGrams(docs, k)
     val dup = grams.groupBy(col("gram"))

@@ -171,7 +171,7 @@ object ExtrasOracle {
         |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
         |       ELSE NULL END AS drop_reason
         |FROM tok t
-        |JOIN keep k USING (text)
+        |LEFT JOIN keep k USING (text)
         |LEFT JOIN contam c ON c.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 

@@ -33,6 +33,8 @@ object Layout {
     * skewed dimensions can be pre-transformed (log, rank) by the caller. */
   def zValue(df: DataFrame, a: Column, b: Column,
              bits: Int = DefaultBits): DataFrame = {
+    require(!df.columns.contains("_z"),
+      "zValue reserves the column name _z; rename the input's _z column first")
     val n = 1 << bits
     // single KB-scale action: the four range endpoints
     val r = df.agg(min(a).cast("double"), max(a).cast("double"),

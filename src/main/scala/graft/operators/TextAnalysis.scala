@@ -110,16 +110,21 @@ object TextAnalysis {
     * half-eaten by the phone pattern.
     *
     * The phone pattern is recall-leaning (separated digit runs, the
-    * standard scrubber tradeoff) with three precision guards: dot/slash
-    * are NOT separators (decimals, IPs, and 2024/01/01 dates survive);
-    * a leading 19xx/20xx year is excluded and the word boundary stops
-    * the engine from retrying inside the year (ISO `2024-01-01 10:30`
-    * survives whole); and the counting lookahead demands >= 9 digits in
-    * the match (dates and date-times have 8, real phone numbers 9-15). */
+    * standard scrubber tradeoff) with precision guards: the counting
+    * lookahead demands >= 9 digits in the match (dates and date-times
+    * have 8, real phone numbers 9-15); a 19xx/20xx year followed by a
+    * date separator ANYWHERE in the candidate's separator/digit run
+    * vetoes the match (ISO timestamps survive whole, even back-to-back
+    * ones — at the cost of missing a real phone number immediately
+    * adjacent to a year); and dot/slash are not general separators
+    * (decimals, IPs, and 2024/01/01 dates survive), with the classic
+    * dotted NNN.NNN.NNNN phone form matched by a dedicated exact-shape
+    * alternative instead (a 3-3-4 digit split no date format uses). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  val phonePattern = "\\+?\\b(?!(?:19|20)[0-9]{2}[-/. ])" +
-    "(?=(?:[()\\[\\] -]*[0-9]){9})[0-9][0-9()\\[\\] -]{6,}[0-9]"
+  val phonePattern = "(?:\\+?\\b(?![0-9()\\[\\] -]*(?:19|20)[0-9]{2}[-/. ])" +
+    "(?=(?:[()\\[\\] -]*[0-9]){9})[0-9][0-9()\\[\\] -]{6,}[0-9]" +
+    "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b)"
 
   /** Per-document PII hit counts (exact integers — aggregable and
     * oracle-friendly; the corpus decides whether they are zero). Counts

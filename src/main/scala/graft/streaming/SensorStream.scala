@@ -163,11 +163,14 @@ object SensorStream {
   /** Bin-packing compaction for the upsert store. A long-running stream
     * leaves one file per batch per touched partition, so partition read
     * cost eventually becomes file-count-bound rather than byte-bound —
-    * the classic small-files problem. This rewrites every partition
-    * holding more than `maxFiles` data files (or multiple files that
-    * together still fit one target file) into ceil(bytes/targetBytes)
-    * files, publishing through the same crash-safe stage-and-swap as
-    * upsertBatch. Safe to run between batches of the single writer that
+    * the classic small-files problem. A partition is rewritten into
+    * `packed = ceil(bytes/targetBytes)` files when that actually shrinks
+    * it: when it holds more than max(packed, maxFiles) files, or more
+    * than packed files that together still fit one target file. A
+    * partition already at its packed count is terminal even if packed >
+    * maxFiles — so repeated runs are no-ops, publishing through the same
+    * crash-safe stage-and-swap as upsertBatch (including its recovery
+    * preamble). Safe to run between batches of the single writer that
     * owns the store; untouched partitions are never opened.
     *
     * Returns the names of the partitions rewritten. */

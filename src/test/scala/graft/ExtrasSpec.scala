@@ -580,7 +580,11 @@ class ExtrasSpec extends SparkSpec {
       // leading year), slashed dates, dash-dated DoB — all below the
       // 9-digit phone floor or behind the year guard
       "logged 2024-01-01 10:30 and 2024/01/01 and dob 01-01-1994",
-      "local line 555-123-4567 rings").toDF("text")
+      "local line 555-123-4567 rings",
+      // back-to-back timestamps: the digits spanning minute-of-one to
+      // date-of-next total >= 9, so only the contains-year veto saves them
+      "window 2024-01-01 10:30 2024-01-02 11:45 closed",
+      "dotted form 555.123.4567 dials").toDF("text")
     val out = d.select(TextAnalysis.scrubPii($"text").as("s"),
       TextAnalysis.piiSignals($"text").as("p")).collect()
     assert(out(0).getString(0) == "contact me at <EMAIL> today")
@@ -590,6 +594,8 @@ class ExtrasSpec extends SparkSpec {
     assert(out(4).getString(0) ==
       "logged 2024-01-01 10:30 and 2024/01/01 and dob 01-01-1994")
     assert(out(5).getString(0) == "local line <PHONE> rings")
+    assert(out(6).getString(0) == "window 2024-01-01 10:30 2024-01-02 11:45 closed")
+    assert(out(7).getString(0) == "dotted form <PHONE> dials")
     val counts = out.map(r => (r.getStruct(1).getInt(0),
       r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
     assert(counts(0) == ((1, 0, 0)))
@@ -598,6 +604,8 @@ class ExtrasSpec extends SparkSpec {
     assert(counts(3) == ((0, 0, 0)))
     assert(counts(4) == ((0, 0, 0)))
     assert(counts(5) == ((0, 0, 1)))
+    assert(counts(6) == ((0, 0, 0)))
+    assert(counts(7) == ((0, 0, 1)))
   }
 
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {

@@ -34,6 +34,47 @@ class PropertySpec extends SparkSpec {
     jsonOf(base -- drop ++ extra)
   }
 
+  test("property: word_shingles_all equals the positional HOF composition") {
+    val tokGen = Gen.listOfN(12, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      .flatMap(l => Gen.choose(0, 12).map(l.take))
+    forAllSamples(Gen.zip(tokGen, Gen.choose(1, 5))) { case (toks, n) =>
+      val df = Seq(toks).toDF("w")
+      val native = df.select(graft.functions.expressions.NativeExpressions
+        .wordShinglesAll(col("w"), n)).as[Seq[String]].head()
+      val expected = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      assert(native == expected, s"toks=$toks n=$n")
+    }
+  }
+
+  test("property: dot_product_bytes equals the BigInt fold on random codes") {
+    val byteGen = Gen.choose(-127, 127).map(_.toByte)
+    val vecGen = Gen.choose(0, 16).flatMap(len => Gen.listOfN(len, byteGen))
+    forAllSamples(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(graft.functions.expressions.NativeExpressions
+        .dotProductBytes(col("a"), col("b"))).collect()(0)
+      if (a.length != b.length) assert(got.isNullAt(0), s"a=$a b=$b")
+      else {
+        val expected = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+        assert(!got.isNullAt(0) && got.getLong(0) == expected, s"a=$a b=$b")
+      }
+    }
+  }
+
+  test("property: interleave_bits round-trips both operands (bit de-interleave)") {
+    val bits = 12
+    val ordGen = Gen.choose(0, (1 << bits) - 1)
+    forAllSamples(Gen.zip(ordGen, ordGen)) { case (x, y) =>
+      val z = Seq((x, y)).toDF("a", "b")
+        .select(graft.functions.expressions.NativeExpressions
+          .interleaveBits(col("a"), col("b"), bits)).as[Long].head()
+      def extract(offset: Int): Int =
+        (0 until bits).map(i => (((z >> (2 * i + offset)) & 1L) << i).toInt).sum
+      assert(extract(0) == x && extract(1) == y, s"x=$x y=$y z=$z")
+    }
+  }
+
   test("property: parseStrict accepts exactly the 11-key records") {
     val dropGen = Gen.oneOf(wireKeys)
     val extraGen = Gen.alphaLowerStr.suchThat(s => s.nonEmpty && !wireKeys.contains(s))
