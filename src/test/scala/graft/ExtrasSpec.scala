@@ -384,6 +384,29 @@ class ExtrasSpec extends SparkSpec {
     assert(out2(2) == ((3L, 4L, Some("duplicate"))))
   }
 
+  test("streaming exact dedup keeps first arrival per fingerprint (x01's stream form)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    try {
+      val base = docs.limit(20).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      stream.addData(base); q.processAllAvailable()
+      // a later batch of exact copies under new ids adds NO rows — the
+      // dedup state spans micro-batches
+      stream.addData(base.take(10).map { case (id, t) => (id + 1000, t) })
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == base.map(_._1).toSet,
+        s"streaming dedup kept ${kept.size} rows, expected first arrivals only")
+    } finally q.stop()
+  }
+
   test("exact dedup collapses planted copies") {
     val base = docs.limit(10).select($"doc_id", $"text")
     val copies = base.select(($"doc_id" + 500).as("doc_id"), $"text")

@@ -306,6 +306,14 @@ class FunctionsSpec extends SparkSpec {
     assert(grams.getSeq[String](0).toSeq == Seq("a b", "b c", "c b", "c d"))
     val sig = spark.sql("SELECT minhash_signature(array('x','y'), 8) AS s").head()
     assert(sig.getSeq[Long](0).size == 8)
+    val dotb = spark.sql(
+      "SELECT dot_product_bytes(array(CAST(2 AS TINYINT), CAST(-3 AS TINYINT)), " +
+        "array(CAST(4 AS TINYINT), CAST(5 AS TINYINT))) AS d").head().getLong(0)
+    assert(dotb == 2L * 4 - 3L * 5)
+    val z = spark.sql("SELECT interleave_bits(1, 2, 4) AS z").head().getLong(0)
+    assert(z == 9L) // a bit0 -> pos0, b bit1 -> pos3
+    val zbad = intercept[Exception](spark.sql("SELECT interleave_bits(1, 2, 40)").collect())
+    assert(zbad.getMessage.contains("interleave_bits"))
   }
 
   test("injected functions report usable arity errors, not raw index failures") {
