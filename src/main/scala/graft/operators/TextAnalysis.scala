@@ -44,11 +44,14 @@ object TextAnalysis {
         sum(col("n_nonspace")).as("sum_nonspace"))
       .orderBy(col("lang"))
 
-  /** BPE-ish token counts per source. */
+  /** BPE-ish token counts per source. `regexp_count` counts matches
+    * without materializing the per-doc match array that
+    * `size(regexp_extract_all(...))` builds — same integers, no
+    * allocation proportional to tokens-per-document. */
   def tokenCountBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("source"),
-        size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).as("n_tok"))
+        regexp_count(col("text"), lit(tokenPattern)).as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_bpe_tokens"))
       .orderBy(col("source"))

@@ -454,6 +454,14 @@ class ExtrasSpec extends SparkSpec {
     assert(out(2) == ((3L, 6L, 0L)))
   }
 
+  test("connected components: empty edge set labels every node a singleton") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .orderBy($"id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("connected components propagate min label across multi-hop chains") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // a 5-node chain (diameter 4 forces several propagation rounds) + isolate
