@@ -21,15 +21,17 @@ object TextAnalysis {
   def wsTokens(text: Column): Column = filter(split(text, " "), _ =!= "")
 
   /** Per-document integer quality signals — exact, so aggregates of them
-    * hash-match any engine. */
+    * hash-match any engine. Counting via `regexp_count` (one scan, no
+    * intermediate replaced string) rather than
+    * `length(regexp_replace(...))`; the integers are identical. */
   def qualitySignals(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"), col("lang"), col("source"),
       length(col("text")).as("n_chars_m"),
       size(wsTokens(col("text"))).as("n_tokens"),
-      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
-      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digits"),
-      length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+      regexp_count(col("text"), lit("[.!?,;:]")).as("n_punct"),
+      regexp_count(col("text"), lit("[0-9]")).as("n_digits"),
+      (length(col("text")) - regexp_count(col("text"), lit(" "))).as("n_nonspace"))
 
   /** Quality roll-up per lang (oracle-checked: integer sums only; the
     * derived ratios are computed by consumers from exact sums). */
