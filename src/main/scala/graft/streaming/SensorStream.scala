@@ -173,6 +173,15 @@ object SensorStream {
     * preamble). Safe to run between batches of the single writer that
     * owns the store; untouched partitions are never opened.
     *
+    * Job shape: every partition that packs into ONE file (the common
+    * case — small fragmented groups) is rewritten by a single Spark job
+    * reading all of them at once (one task-set, not one job per
+    * partition, so 10k fragmented groups don't mean 10k sequential
+    * jobs); partitions needing multiple output files get an individual
+    * coalesce(n) job each. Partition-column type inference is disabled
+    * for the batched read so numeric-looking group names ("01") keep
+    * their directory names, same as the upsert's explicit-schema read.
+    *
     * Returns the names of the partitions rewritten. */
   def compactStore(spark: SparkSession, storePath: String,
                    targetBytes: Long = 128L << 20,
@@ -198,20 +207,51 @@ object SensorStream {
         (bytes <= targetBytes && files.length > packed))
         Some((p, packed)) else None
     }
-    todo.map { case (p, n) =>
-      // staging under the upsert sweep's "._staging_" prefix, so a crashed
-      // compaction is cleaned up by the next writer's recovery preamble
-      val staging = new java.io.File(storePath + s"._staging_compact_${p.getName}")
+    // staging under the upsert sweep's "._staging_" prefix, so a crashed
+    // compaction is cleaned up by the next writer's recovery preamble
+    def stagingFor(name: String) =
+      new java.io.File(storePath + s"._staging_compact_$name")
+    def publish(staging: java.io.File, name: String): Unit = {
+      graft.core.Fs.listOrEmpty(staging)
+        .filter(f => !f.getName.endsWith(".parquet"))
+        .foreach(graft.core.Fs.deleteRecursively)
+      swapIn(storeRoot, backupRoot, staging, name)
+      if (backupRoot.exists()) backupRoot.delete()
+    }
+
+    val (multiFile, singleFile) = todo.partition(_._2 > 1)
+    // one job for every pack-to-one-file partition: read them together
+    // (basePath keeps sensor_group as a column), force one shuffle
+    // partition per group, write one partitioned staging tree, swap each
+    if (singleFile.nonEmpty) {
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val savedInfer = spark.conf.getOption(inferKey)
+      val batchStaging = new java.io.File(storePath + "._staging_compact_batch")
+      graft.core.Fs.deleteRecursively(batchStaging)
+      try {
+        spark.conf.set(inferKey, "false")
+        spark.read.option("basePath", storePath)
+          .parquet(singleFile.map(_._1.getPath): _*)
+          .repartition(org.apache.spark.sql.functions.col("sensor_group"))
+          .write.mode("overwrite").partitionBy("sensor_group")
+          .parquet(batchStaging.getPath)
+      } finally savedInfer.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
+      singleFile.foreach { case (p, _) =>
+        val staged = new java.io.File(batchStaging, p.getName)
+        if (!staged.exists())
+          throw new java.io.IOException(s"compactStore: batched write missing ${p.getName}")
+        publish(staged, p.getName)
+      }
+      graft.core.Fs.deleteRecursively(batchStaging)
+    }
+    multiFile.foreach { case (p, n) =>
+      val staging = stagingFor(p.getName)
       graft.core.Fs.deleteRecursively(staging)
       spark.read.parquet(p.getPath).coalesce(n)
         .write.mode("overwrite").parquet(staging.getPath)
-      // drop non-data side files (_SUCCESS) so the partition dir stays pure
-      graft.core.Fs.listOrEmpty(staging)
-        .filter(f => !f.getName.endsWith(".parquet")).foreach(graft.core.Fs.deleteRecursively)
-      swapIn(storeRoot, backupRoot, staging, p.getName)
-      if (backupRoot.exists()) backupRoot.delete()
-      p.getName
-    }.toSeq
+      publish(staging, p.getName)
+    }
+    todo.map(_._1.getName).toSeq
   }
 
   /** Pub/sub fan-out (reference R14: one consumed message → every
