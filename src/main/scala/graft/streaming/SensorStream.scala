@@ -222,29 +222,34 @@ object SensorStream {
     val (multiFile, singleFile) = todo.partition(_._2 > 1)
     // one job for every pack-to-one-file partition: read them together
     // (basePath keeps sensor_group as a column), force one shuffle
-    // partition per group, write one partitioned staging tree, swap each
+    // partition per group, write one partitioned staging tree, swap each.
+    // The read schema is pinned explicitly — payload schema from one
+    // partition's files plus a STRING sensor_group — the same discipline
+    // as the upsert's read: no partition-type inference, so
+    // numeric-looking group names keep their directory names, and no
+    // session-global conf is touched while other queries may be planning.
+    var leftover = Seq.empty[(java.io.File, Int)]
     if (singleFile.nonEmpty) {
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val savedInfer = spark.conf.getOption(inferKey)
       val batchStaging = new java.io.File(storePath + "._staging_compact_batch")
       graft.core.Fs.deleteRecursively(batchStaging)
-      try {
-        spark.conf.set(inferKey, "false")
-        spark.read.option("basePath", storePath)
-          .parquet(singleFile.map(_._1.getPath): _*)
-          .repartition(org.apache.spark.sql.functions.col("sensor_group"))
-          .write.mode("overwrite").partitionBy("sensor_group")
-          .parquet(batchStaging.getPath)
-      } finally savedInfer.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
-      singleFile.foreach { case (p, _) =>
-        val staged = new java.io.File(batchStaging, p.getName)
-        if (!staged.exists())
-          throw new java.io.IOException(s"compactStore: batched write missing ${p.getName}")
-        publish(staged, p.getName)
-      }
+      val schema = spark.read.parquet(singleFile.head._1.getPath).schema
+        .add("sensor_group", org.apache.spark.sql.types.StringType)
+      spark.read.schema(schema).option("basePath", storePath)
+        .parquet(singleFile.map(_._1.getPath): _*)
+        .repartition(org.apache.spark.sql.functions.col("sensor_group"))
+        .write.mode("overwrite").partitionBy("sensor_group")
+        .parquet(batchStaging.getPath)
+      // a group whose files hold zero rows produces no staged dir in a
+      // partitioned write — route it through the per-partition arm below
+      // (a 0-row parquet file is its terminal layout) instead of aborting
+      val (found, missing) = singleFile.partition { case (p, _) =>
+        new java.io.File(batchStaging, p.getName).exists() }
+      found.foreach { case (p, _) =>
+        publish(new java.io.File(batchStaging, p.getName), p.getName) }
       graft.core.Fs.deleteRecursively(batchStaging)
+      leftover = missing.map { case (p, _) => (p, 1) }.toSeq
     }
-    multiFile.foreach { case (p, n) =>
+    (multiFile ++ leftover).foreach { case (p, n) =>
       val staging = stagingFor(p.getName)
       graft.core.Fs.deleteRecursively(staging)
       spark.read.parquet(p.getPath).coalesce(n)
