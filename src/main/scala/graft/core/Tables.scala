@@ -15,11 +15,14 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as LONG and convert; the
-    // corpus has zero sub-microsecond components (verified vs DuckDB, which
-    // also surfaces the column at microsecond precision), so `div 1000` is
-    // lossless and oracle-equivalent.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // rejects (PARQUET_TYPE_ILLEGAL). GraftSession's builder sets
+    // spark.sql.legacy.parquet.nanosAsLong so the column surfaces as LONG
+    // nanos, converted here; the corpus has zero sub-microsecond components
+    // (verified vs DuckDB, which also surfaces the column at microsecond
+    // precision), so `div 1000` is lossless and oracle-equivalent. The conf
+    // is NOT (re)set here: a session-global write per table load would race
+    // any concurrently-planning query, and every supported entry point
+    // builds its session through GraftSession.
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -124,11 +124,24 @@ object TextAnalysis {
     * adjacent to a year); and dot/slash are not general separators
     * (decimals, IPs, and 2024/01/01 dates survive), with the classic
     * dotted NNN.NNN.NNNN phone form matched by a dedicated exact-shape
-    * alternative instead (a 3-3-4 digit split no date format uses). */
+    * alternative instead (a 3-3-4 digit split no date format uses).
+    *
+    * Upper bound: a candidate run holding >= 16 digits is vetoed
+    * entirely (ITU E.164 caps phone numbers at 15 digits), so credit
+    * card numbers, IBANs, and long account/serial codes are not
+    * rewritten to <PHONE>. The run is vetoed as a WHOLE: a lookbehind
+    * rejects start positions already inside a digit run (a digit at
+    * most 3 separator chars back), otherwise the regex engine would
+    * retry mid-run and redact a >= 9-digit suffix of a long code. The
+    * residual tradeoff is over-redaction of 9-15 digit non-phone
+    * identifiers (SSN-like IDs, mid-length account numbers) — see the
+    * scrubPii scaladoc. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  val phonePattern = "(?:\\+?\\b(?![0-9()\\[\\] -]*(?:19|20)[0-9]{2}[-/. ])" +
-    "(?=(?:[()\\[\\] -]*[0-9]){9})[0-9][0-9()\\[\\] -]{6,}[0-9]" +
+  val phonePattern = "(?:\\+?\\b(?<![0-9][()\\[\\] -]{0,3})" +
+    "(?![0-9()\\[\\] -]*(?:19|20)[0-9]{2}[-/. ])" +
+    "(?=(?:[()\\[\\] -]*[0-9]){9})(?!(?:[()\\[\\] -]*[0-9]){16})" +
+    "[0-9][0-9()\\[\\] -]{6,}[0-9]" +
     "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b)"
 
   /** Per-document PII hit counts (exact integers — aggregable and
@@ -147,7 +160,15 @@ object TextAnalysis {
 
   /** Redact PII in place with typed placeholders. A pure codegen'd
     * regexp_replace chain — scrubbing a 100 TB corpus is one narrow
-    * projection, no shuffle at all. */
+    * projection, no shuffle at all.
+    *
+    * Recall-leaning by design: any separated run of 9-15 digits becomes
+    * <PHONE>, so numeric-heavy corpora (invoices, logs with order ids)
+    * will see non-phone identifiers in that digit range redacted too.
+    * Runs of >= 16 digits (cards, IBANs) and date/timestamp shapes are
+    * preserved — see [[phonePattern]]. Corpora where 9-15 digit
+    * identifiers are load-bearing should pre-mask them or swap in a
+    * stricter pattern set. */
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

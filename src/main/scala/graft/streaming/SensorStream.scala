@@ -18,6 +18,33 @@ import graft.pipeline.SensorPipeline
   */
 object SensorStream {
 
+  /** Per-store writer locks enforcing the documented single-writer
+    * contract at runtime: the recovery preamble sweeps EVERY sibling
+    * `<store>._staging_*` dir, so an upsert racing a compaction (or two
+    * compactions) would delete the other writer's live staging
+    * mid-publish. All supported writers (the foreachBatch upsert and
+    * between-batch compaction) run on the one driver JVM that owns the
+    * store, so an in-process lock genuinely enforces the contract there;
+    * a second PROCESS writing the same store is outside the contract and
+    * undetectable offline (a connected deployment's MERGE sink brings
+    * its own transaction layer). */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private[graft] def storeLock(storePath: String): java.util.concurrent.locks.ReentrantLock =
+    storeLocks.computeIfAbsent(
+      new java.io.File(storePath).getAbsolutePath,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
+  private def withStoreLock[A](storePath: String)(body: => A): A = {
+    val lock = storeLock(storePath)
+    if (!lock.tryLock())
+      throw new IllegalStateException(
+        s"store $storePath already has an active writer in this JVM: upsertBatch and " +
+        "compactStore are single-writer (recovery would sweep the other writer's staging)")
+    try body finally lock.unlock()
+  }
+
   /** Wire transform shared by every sensor source: JSON lines → clean,
     * enriched, storage-named records (dead letters dropped). */
   def transform(lines: DataFrame, dim: DataFrame): DataFrame = {
@@ -52,7 +79,7 @@ object SensorStream {
     * backup; the recovery preamble below restores stranded backups, and
     * checkpoint replay of the batch re-converges idempotently.
     */
-  def upsertBatch(spark: SparkSession, storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+  def upsertBatch(spark: SparkSession, storePath: String)(batch: DataFrame, batchId: Long): Unit = withStoreLock(storePath) {
     val storeRoot = new java.io.File(storePath)
     val backupRoot = new java.io.File(storePath + "._old")
     val stagingRoot = new java.io.File(storePath + s"._staging_$batchId")
@@ -75,41 +102,41 @@ object SensorStream {
             "upsertBatch: null sensor_group in batch — enrich/filter upstream first")
           r.getString(0)
         }.sorted.toSeq
-      if (groups.isEmpty) return
+      if (groups.nonEmpty) {
+        val hasStore = storeRoot.exists() &&
+          graft.core.Fs.listOrEmpty(storeRoot).exists(_.getName.startsWith("sensor_group="))
+        val merged =
+          if (hasStore) {
+            // partition pruning: the isin filter on the partition column
+            // restricts the scan to the touched group directories only.
+            // Explicit schema (= the batch's own storage schema) keeps
+            // sensor_group STRING: inference would retype numeric-looking
+            // group dirs (e.g. "01" → int 1) and re-publish them under a
+            // different directory name than the live one.
+            val store = spark.read.schema(incoming.schema).parquet(storePath)
+              .filter(col("sensor_group").isin(groups: _*))
+            val tagged = store.withColumn("_w", lit(0L))
+              .unionByName(incoming.withColumn("_w", lit(1L)))
+            // winner per PK = max (seq, arrival): seq order first (ADVICE:
+            // out-of-seq cross-batch delivery), arrival breaks exact ties.
+            SensorPipeline.dedupLastWins(
+              tagged.withColumn("_ord", struct(col("seq"), col("_w"))),
+              SensorPipeline.pkCols, "_ord")
+              .drop("_w")
+          } else incoming
 
-      val hasStore = storeRoot.exists() &&
-        graft.core.Fs.listOrEmpty(storeRoot).exists(_.getName.startsWith("sensor_group="))
-      val merged =
-        if (hasStore) {
-          // partition pruning: the isin filter on the partition column
-          // restricts the scan to the touched group directories only.
-          // Explicit schema (= the batch's own storage schema) keeps
-          // sensor_group STRING: inference would retype numeric-looking
-          // group dirs (e.g. "01" → int 1) and re-publish them under a
-          // different directory name than the live one.
-          val store = spark.read.schema(incoming.schema).parquet(storePath)
-            .filter(col("sensor_group").isin(groups: _*))
-          val tagged = store.withColumn("_w", lit(0L))
-            .unionByName(incoming.withColumn("_w", lit(1L)))
-          // winner per PK = max (seq, arrival): seq order first (ADVICE:
-          // out-of-seq cross-batch delivery), arrival breaks exact ties.
-          SensorPipeline.dedupLastWins(
-            tagged.withColumn("_ord", struct(col("seq"), col("_w"))),
-            SensorPipeline.pkCols, "_ord")
-            .drop("_w")
-        } else incoming
+        // ONE distributed job writes all touched partitions into staging;
+        // the publish below is driver-side metadata renames only.
+        merged.write.mode("overwrite").partitionBy("sensor_group")
+          .parquet(stagingRoot.getPath)
 
-      // ONE distributed job writes all touched partitions into staging;
-      // the publish below is driver-side metadata renames only.
-      merged.write.mode("overwrite").partitionBy("sensor_group")
-        .parquet(stagingRoot.getPath)
-
-      storeRoot.mkdirs()
-      val staged = graft.core.Fs.listOrThrow(stagingRoot)
-        .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
-      staged.foreach(sp => swapIn(storeRoot, backupRoot, sp, sp.getName))
-      graft.core.Fs.deleteRecursively(stagingRoot)
-      if (backupRoot.exists()) backupRoot.delete()
+        storeRoot.mkdirs()
+        val staged = graft.core.Fs.listOrThrow(stagingRoot)
+          .filter(f => f.isDirectory && f.getName.startsWith("sensor_group="))
+        staged.foreach(sp => swapIn(storeRoot, backupRoot, sp, sp.getName))
+        graft.core.Fs.deleteRecursively(stagingRoot)
+        if (backupRoot.exists()) backupRoot.delete()
+      }
     } finally incoming.unpersist()
   }
 
@@ -185,7 +212,7 @@ object SensorStream {
     * Returns the names of the partitions rewritten. */
   def compactStore(spark: SparkSession, storePath: String,
                    targetBytes: Long = 128L << 20,
-                   maxFiles: Int = 8): Seq[String] = {
+                   maxFiles: Int = 8): Seq[String] = withStoreLock(storePath) {
     val storeRoot = new java.io.File(storePath)
     val backupRoot = new java.io.File(storePath + "._old")
     // same recovery preamble as the upsert: compaction may be the first
@@ -232,22 +259,30 @@ object SensorStream {
     if (singleFile.nonEmpty) {
       val batchStaging = new java.io.File(storePath + "._staging_compact_batch")
       graft.core.Fs.deleteRecursively(batchStaging)
-      val schema = spark.read.parquet(singleFile.head._1.getPath).schema
+      // the batched read pins one payload schema for every partition it
+      // covers, which would silently null/drop columns in partitions
+      // whose files evolved past the sampled one — so partitions whose
+      // own footer schema differs from the sample are routed through the
+      // per-partition arm below, which reads each with its own schema
+      val sampleSchema = spark.read.parquet(singleFile.head._1.getPath).schema
+      val (batchable, diverged) = singleFile.partition { case (p, _) =>
+        spark.read.parquet(p.getPath).schema == sampleSchema }
+      val schema = sampleSchema
         .add("sensor_group", org.apache.spark.sql.types.StringType)
       spark.read.schema(schema).option("basePath", storePath)
-        .parquet(singleFile.map(_._1.getPath): _*)
+        .parquet(batchable.map(_._1.getPath): _*)
         .repartition(org.apache.spark.sql.functions.col("sensor_group"))
         .write.mode("overwrite").partitionBy("sensor_group")
         .parquet(batchStaging.getPath)
       // a group whose files hold zero rows produces no staged dir in a
       // partitioned write — route it through the per-partition arm below
       // (a 0-row parquet file is its terminal layout) instead of aborting
-      val (found, missing) = singleFile.partition { case (p, _) =>
+      val (found, missing) = batchable.partition { case (p, _) =>
         new java.io.File(batchStaging, p.getName).exists() }
       found.foreach { case (p, _) =>
         publish(new java.io.File(batchStaging, p.getName), p.getName) }
       graft.core.Fs.deleteRecursively(batchStaging)
-      leftover = missing.map { case (p, _) => (p, 1) }.toSeq
+      leftover = (missing ++ diverged).map { case (p, _) => (p, 1) }.toSeq
     }
     (multiFile ++ leftover).foreach { case (p, n) =>
       val staging = stagingFor(p.getName)

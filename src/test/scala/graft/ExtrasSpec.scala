@@ -615,7 +615,14 @@ class ExtrasSpec extends SparkSpec {
       // back-to-back timestamps: the digits spanning minute-of-one to
       // date-of-next total >= 9, so only the contains-year veto saves them
       "window 2024-01-01 10:30 2024-01-02 11:45 closed",
-      "dotted form 555.123.4567 dials").toDF("text")
+      "dotted form 555.123.4567 dials",
+      // >= 16 digits: above the E.164 ceiling, must survive WHOLE —
+      // including mid-run restarts after a separator (no partial
+      // <PHONE> over a suffix of the card number)
+      "card 1234 5678 9012 3456 on file",
+      "serial 12345678901234567890 logged",
+      // 15 digits is the E.164 maximum: still a phone
+      "intl +123 4567 8901 2345 rings").toDF("text")
     val out = d.select(TextAnalysis.scrubPii($"text").as("s"),
       TextAnalysis.piiSignals($"text").as("p")).collect()
     assert(out(0).getString(0) == "contact me at <EMAIL> today")
@@ -627,6 +634,9 @@ class ExtrasSpec extends SparkSpec {
     assert(out(5).getString(0) == "local line <PHONE> rings")
     assert(out(6).getString(0) == "window 2024-01-01 10:30 2024-01-02 11:45 closed")
     assert(out(7).getString(0) == "dotted form <PHONE> dials")
+    assert(out(8).getString(0) == "card 1234 5678 9012 3456 on file")
+    assert(out(9).getString(0) == "serial 12345678901234567890 logged")
+    assert(out(10).getString(0) == "intl <PHONE> rings")
     val counts = out.map(r => (r.getStruct(1).getInt(0),
       r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
     assert(counts(0) == ((1, 0, 0)))
@@ -637,6 +647,9 @@ class ExtrasSpec extends SparkSpec {
     assert(counts(5) == ((0, 0, 1)))
     assert(counts(6) == ((0, 0, 0)))
     assert(counts(7) == ((0, 0, 1)))
+    assert(counts(8) == ((0, 0, 0)))
+    assert(counts(9) == ((0, 0, 0)))
+    assert(counts(10) == ((0, 0, 1)))
   }
 
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {

@@ -280,6 +280,63 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("store writers enforce the single-writer contract at runtime") {
+    // the recovery preamble sweeps every sibling ._staging_* dir, so a
+    // second concurrent writer would have its live staging deleted — the
+    // lock turns that silent corruption into a fail-fast error
+    val store = java.nio.file.Files.createTempDirectory("lock").toString + "/store"
+    SensorStream.upsertBatch(spark, store)(
+      Seq(rec("alpha", 1, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 0L)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      SensorStream.storeLock(store).lock()
+      held.countDown()
+      release.await()
+      SensorStream.storeLock(store).unlock()
+    })
+    holder.start()
+    held.await()
+    try {
+      intercept[IllegalStateException] {
+        SensorStream.compactStore(spark, store)
+      }
+      intercept[IllegalStateException] {
+        SensorStream.upsertBatch(spark, store)(
+          Seq(rec("alpha", 2, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 1L)
+      }
+    } finally { release.countDown(); holder.join() }
+    // and once the other writer finishes, this one proceeds normally
+    assert(SensorStream.compactStore(spark, store).isEmpty)
+  }
+
+  test("batched compaction routes schema-diverged partitions through their own read") {
+    // the single-job arm pins one payload schema for every partition it
+    // covers; a partition whose files evolved past the sampled schema must
+    // be rewritten with its OWN schema, not silently nulled to the sample
+    val store = java.nio.file.Files.createTempDirectory("evolve").toString + "/store"
+    (0 until 3).foreach { i =>
+      Seq(rec("alpha", i, s"2024-01-01 00:0$i:00", i + 1)).toDF(storageCols: _*)
+        .drop("sensor_group")
+        .write.mode("append").parquet(s"$store/sensor_group=alpha")
+      Seq(rec("delta", i, s"2024-01-01 00:0$i:00", i + 1)).toDF(storageCols: _*)
+        .drop("sensor_group").withColumn("extra", lit(i * 10))
+        .write.mode("append").parquet(s"$store/sensor_group=delta")
+    }
+    def read(p: String) = spark.read.parquet(s"$store/sensor_group=$p")
+    val alphaBefore = read("alpha").collect().map(_.toString).sorted.toSeq
+    val deltaBefore = read("delta").collect().map(_.toString).sorted.toSeq
+    val rewritten = SensorStream.compactStore(spark, store, maxFiles = 1)
+    assert(rewritten.sorted == Seq("sensor_group=alpha", "sensor_group=delta"))
+    def files(p: String) = new java.io.File(s"$store/sensor_group=$p").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files("alpha").length == 1 && files("delta").length == 1)
+    assert(read("alpha").collect().map(_.toString).sorted.toSeq == alphaBefore)
+    // the evolved partition keeps its extra column and values intact
+    assert(read("delta").columns.contains("extra"))
+    assert(read("delta").collect().map(_.toString).sorted.toSeq == deltaBefore)
+  }
+
   test("pub/sub fan-out delivers each batch to every sink; listener counts rows") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new SensorStream.CountingListener
