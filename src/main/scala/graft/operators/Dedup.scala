@@ -58,16 +58,29 @@ object Dedup {
 
   // ------------------------------------------- n-gram inverted-index join
 
+  /** Shuffle key for a gram: the raw string (cross-engine exact, the
+    * oracle face) or its xxhash64 (the 100 TB face — every downstream
+    * aggregate and join then shuffles 8-byte longs instead of ~n-word
+    * strings, shrinking gram-pipeline shuffle bytes several-fold). A
+    * 64-bit collision can merge two distinct grams — odds ~n_grams²/2⁶⁵,
+    * immaterial next to the candidate generator's own heuristics. */
+  private def gramKey(gram: Column, hashGrams: Boolean): Column =
+    if (hashGrams) xxhash64(gram) else gram
+
   /** Near-dup candidate pairs by shared *rare* n-grams, same-lang blocked.
     * Grams with document frequency > maxDf are dropped first: hot grams
     * add no discriminative signal but quadratic join fan-out — the pruning
     * is what keeps this plan alive at 100 TB. Output is exact integers
-    * (pair intersection sizes), so it is oracle-checkable. */
+    * (pair intersection sizes), so it is oracle-checkable.
+    *
+    * @param hashGrams shuffle on xxhash64(gram) instead of the gram text
+    *                  (identical output modulo 64-bit collisions). */
   def ngramCandidatePairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
-                          minInter: Int = 2): DataFrame = {
+                          minInter: Int = 2, hashGrams: Boolean = false): DataFrame = {
     val grams = docs
       .select(col("doc_id"), col("lang"),
-        explode(wordShingles(col("text"), n)).as("gram"))
+        explode(wordShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("lang"), gramKey(col("g"), hashGrams).as("gram"))
     val rare = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -109,8 +122,10 @@ object Dedup {
       .withColumn(countName, coalesce(col(countName), lit(0L)))
   }
 
-  private def positionalGrams(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(wordShinglesAll(col("text"), k)).as("gram"))
+  private def positionalGrams(docs: DataFrame, k: Int,
+                              hashGrams: Boolean): DataFrame =
+    docs.select(col("doc_id"), explode(wordShinglesAll(col("text"), k)).as("g"))
+      .select(col("doc_id"), gramKey(col("g"), hashGrams).as("gram"))
 
   /** Span-level duplication report: for each document, how many of its
     * k-token spans also occur in at least one OTHER document (the
@@ -120,12 +135,13 @@ object Dedup {
     * Shape at scale: one explode, one hash aggregate keyed on the gram
     * (df counting, partial-agg collapses repeats), one semi-join back,
     * one per-doc count. No cross join anywhere; the df aggregate is the
-    * same inverted-index shape as ngramCandidatePairs. A 100 TB corpus
-    * would join on xxhash64(gram) instead of the gram text to keep
-    * shuffle rows narrow — kept as the raw string here so the report is
-    * cross-engine exact (and AQE handles the hot-gram skew). */
-  def dupSpans(docs: DataFrame, k: Int = 4): DataFrame = {
-    val grams = positionalGrams(docs, k)
+    * same inverted-index shape as ngramCandidatePairs. The default keys
+    * every shuffle on the raw gram string so the report is cross-engine
+    * exact; `hashGrams = true` is the 100 TB form — same plan, 8-byte
+    * shuffle keys (and AQE handles the hot-gram skew either way). */
+  def dupSpans(docs: DataFrame, k: Int = 4,
+               hashGrams: Boolean = false): DataFrame = {
+    val grams = positionalGrams(docs, k, hashGrams)
     val dup = grams.groupBy(col("gram"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -146,10 +162,11 @@ object Dedup {
     * probe is a semi-join; with a reference that fits in memory the
     * join broadcasts and the training corpus is never shuffled. */
   def decontaminate(candidates: DataFrame, reference: DataFrame,
-                    k: Int = 4): DataFrame = {
+                    k: Int = 4, hashGrams: Boolean = false): DataFrame = {
     val refGrams = reference
-      .select(explode(wordShingles(col("text"), k)).as("gram")).distinct()
-    spanReport(candidates, positionalGrams(candidates, k), refGrams,
+      .select(explode(wordShingles(col("text"), k)).as("g"))
+      .select(gramKey(col("g"), hashGrams).as("gram")).distinct()
+    spanReport(candidates, positionalGrams(candidates, k, hashGrams), refGrams,
       "n_hit_spans", k)
   }
 

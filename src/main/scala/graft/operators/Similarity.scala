@@ -228,20 +228,30 @@ object Similarity {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nTables: Int = 12, bits: Int = 6, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
+    // ids-only through the candidate machinery (the nearDupPairs
+    // discipline): the bucket equi-join and the per-(query, neighbor)
+    // dedup shuffle carry two longs per row, not two embedding payloads —
+    // ~16x narrower at dim=64. Vectors re-join only for the final exact
+    // re-rank, touching candidate rows alone.
     def withBuckets(df: DataFrame, vecCol: String, idAlias: String) =
-      df.select(col(idAlias), col(vecCol),
+      df.select(col(idAlias),
           posexplode(lshBucketsExpr(col(vecCol), nTables, bits, dim, seed)))
-        .select(col(idAlias), col(vecCol), col("pos").cast("int").as("t"), col("col").as("bkt"))
+        .select(col(idAlias), col("pos").cast("int").as("t"), col("col").as("bkt"))
 
     val vb = withBuckets(vectors.select(col("vec_id"), col("embedding")), "embedding", "vec_id")
     val qb = withBuckets(queries.select(col("query_id"), col("qvec")), "qvec", "query_id")
     val cand = qb.as("q").join(vb.as("v"),
         col("q.t") === col("v.t") && col("q.bkt") === col("v.bkt") &&
           col("q.query_id") =!= col("v.vec_id"))
-      .select(col("q.query_id"), col("q.qvec"), col("v.vec_id").as("neighbor_id"), col("v.embedding"))
+      .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(queries.select(col("query_id"), col("qvec")), "query_id")
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("embedding")).as("sim"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

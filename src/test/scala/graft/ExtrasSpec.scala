@@ -92,6 +92,34 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.2f too low")
   }
 
+  test("lshTopK candidate dedup shuffles ids only, vectors re-join after") {
+    // the (query_id, neighbor_id) dedup exchange must carry two longs per
+    // row, not the embedding payloads (~16x wider at dim=64) — the
+    // nearDupPairs discipline
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val plan = Similarity.lshTopK(emb, queries, 5)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val dedupExchanges = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter { s =>
+        val part = s.outputPartitioning.toString
+        part.contains("query_id") && part.contains("neighbor_id")
+      }
+    assert(dedupExchanges.nonEmpty,
+      "expected a dedup exchange keyed on (query_id, neighbor_id)")
+    dedupExchanges.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n.contains("qvec") || n.contains("embedding")),
+        s"dedup exchange still carries vector payloads: $names")
+    }
+  }
+
   test("IVF ANN recall@5 vs brute force meets probe-fraction target") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val queries = emb.filter($"vec_id" < 20)
@@ -452,6 +480,26 @@ class ExtrasSpec extends SparkSpec {
     assert(out(0) == ((1L, 4L, 1L)))
     assert(out(1) == ((2L, 4L, 1L)))
     assert(out(2) == ((3L, 6L, 0L)))
+  }
+
+  test("hash-gram shuffle keys produce identical gram-pipeline outputs") {
+    // hashGrams=true keys every gram shuffle on xxhash64(gram) (the 100 TB
+    // form: 8-byte shuffle rows) — outputs must match the raw-string
+    // oracle face exactly on real corpus data, for all three pipelines
+    val d = docs.limit(200)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.ngramCandidatePairs(d, hashGrams = true)) ==
+      rows(Dedup.ngramCandidatePairs(d)))
+    assert(rows(Dedup.dupSpans(d, hashGrams = true)) == rows(Dedup.dupSpans(d)))
+    val isRef = col("source").isin("src0", "src1")
+    assert(rows(Dedup.decontaminate(d.filter(!isRef), d.filter(isRef), hashGrams = true)) ==
+      rows(Dedup.decontaminate(d.filter(!isRef), d.filter(isRef))))
+    // and the hashed form's gram shuffles genuinely carry longs: no
+    // string-typed gram column survives into its aggregates
+    val plan = Dedup.dupSpans(d, hashGrams = true)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("xxhash64"), s"hashed form lost its hash key:\n$plan")
   }
 
   test("connected components: empty edge set labels every node a singleton") {
