@@ -91,6 +91,8 @@ object Fixtures {
   val sensorNdjson = "/root/repo/data/sensor_readings.ndjson"
   val sensorDirtyNdjson = "/root/repo/data/sensor_readings_dirty.ndjson"
   val sensorDim = "/root/repo/data/sensor_group.csv"
+  /** 7x5 RGB PNG (committed) for the real ImageIO decode path. */
+  val tinyPng = "/root/repo/data/tiny_7x5.png"
 
   /** DuckDB image of SensorPipeline.run over the same fixture files. */
   val q20OracleSql: String =

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side — schema, partitioning, batch shape (mapPartitions with
   * per-partition initialization, the Scala analogue of mapInPandas'
-  * batch iterator), encoders — is real and tested. The *decoders* are
-  * STUBS by design: this container has no image/audio libraries, so
-  * `decodeStub`/`featureStub` derive deterministic values from the payload
-  * bytes. A real deployment replaces only the two stub functions; every
-  * signature, schema, and plan stays identical.
+  * batch iterator), encoders — is real and tested. IMAGE decode is real:
+  * the JDK's ImageIO reads PNG/GIF/BMP/JPEG headers+pixels with zero
+  * extra dependencies. The audio/video decoders and the embedding model
+  * are STUBS by design (no AV libraries in this container):
+  * `decodeStub`/`featureStub` derive deterministic values from the
+  * payload bytes. A real deployment replaces only the stub functions;
+  * every signature, schema, and plan stays identical.
   */
 object Multimodal {
 
@@ -30,11 +32,23 @@ object Multimodal {
 
   case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+  // ----------------------------------------------------- real decoders --
+
+  /** Real image decode via the JDK's ImageIO (PNG/GIF/BMP/JPEG): actual
+    * width/height from the actual bytes, no external dependency. Returns
+    * None when the payload is not a decodable image (ImageIO signals
+    * that as a null reader result), letting the caller fall back. */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight, 1))
+    catch { case _: java.io.IOException => None }
+
   // ------------------------------------------------------------- STUBS --
   // Deterministic fakes standing in for real codecs (marked per contract).
 
-  /** STUB: real impl = image/av header decode. Derives plausible dims
-    * deterministically from payload bytes. */
+  /** STUB: real impl = av header decode (audio/video), and the fallback
+    * for image payloads ImageIO cannot parse (synthetic fixtures).
+    * Derives plausible dims deterministically from payload bytes. */
   private[graft] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload)
     val w = 64 + math.floorMod(h, 1024)
@@ -66,13 +80,21 @@ object Multimodal {
   /** Header decode over a Dataset[MediaAsset]. mapPartitions so a real
     * decoder initializes once per partition (the expensive part with real
     * codecs), then streams the partition through — same batch shape a
-    * Pandas-UDF/mapInPandas implementation would have. */
+    * Pandas-UDF/mapInPandas implementation would have. Image assets
+    * decode for real through ImageIO; audio/video (and image payloads
+    * that are not actually images, e.g. synthetic fixtures) fall back to
+    * the deterministic stub. */
   def decode(assets: Dataset[MediaAsset]): Dataset[MediaInfo] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: val codec = HeavyCodec.init()  — once per partition
+      // once per partition: ImageIO plugin scanning is registry-global
+      // and lazy; touching it here keeps per-row work pure decode (the
+      // same slot where a heavy AV codec would initialize)
+      javax.imageio.ImageIO.getUseCache
       it.map { a =>
-        val (w, h, f) = decodeStub(a.kind, a.payload)
+        val (w, h, f) =
+          (if (a.kind == "image") decodeImage(a.payload) else None)
+            .getOrElse(decodeStub(a.kind, a.payload))
         MediaInfo(a.asset_id, a.kind, a.payload.length, w, h, f)
       }
     }

@@ -196,18 +196,53 @@ object Dedup {
     * equi-joins plus a min-aggregate, all keyed on node id (uniform);
     * pointer jumping halves remaining path lengths every round, so
     * rounds are O(log diameter) instead of O(diameter) on chain-shaped
-    * components. `localCheckpoint` after each round cuts lineage so the
-    * plan stays constant-size across iterations.
+    * components. A checkpoint after each round cuts lineage so the plan
+    * stays constant-size across iterations, and each round's blocks are
+    * unpersisted once the next round is materialized (the loop holds at
+    * most two rounds of state, not O(log d)).
+    *
+    * Lineage-cut durability: the default `localCheckpoint` stores blocks
+    * on executors with lineage truncated — right for tests and local
+    * mode, but on a real cluster losing one executor mid-iteration kills
+    * the job unrecoverably. Long multi-executor runs should pass
+    * `checkpointDir = Some(reliable dir)` (HDFS/object store): rounds
+    * then checkpoint through `Dataset.checkpoint`, which survives
+    * executor loss. Reliable checkpoint files are reclaimed by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` or by dropping
+    * the directory after the job.
     *
     * @param nodes single-column DF `id`; @param edges two-column DF
     * `src`,`dst` (undirected; either orientation). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * executed — exposed so specs can assert the O(log diameter) bound. */
+  private[graft] def connectedComponentsWithRounds(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach { dir =>
+      val sc = nodes.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+    }
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // both checkpoint flavors are eager, so after cut() returns the new
+    // round no longer reads its predecessor's blocks — safe to free them
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    val bidir = cut(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // `cp` is the checkpointed handle of the current round (what free()
+    // unpersists — a projection over it would not expose the LogicalRDD);
+    // `labels` is the two-column view the joins consume.
+    var cp = cut(bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    var labels = cp
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -218,24 +253,27 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           (coalesce(col("nbr"), col("label")) < col("label")).as("ch"))
-      val step = m.as("a")
+      val step = cut(m.as("a")
         .join(m.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
           col("a.label") === col("b.lid"), "left")
         .select(col("a.id").as("id"),
           coalesce(col("b.llabel"), col("a.label")).as("label"),
           (col("a.ch") ||
-            coalesce(col("b.llabel"), col("a.label")) < col("a.label")).as("changed"))
-        .localCheckpoint()
+            coalesce(col("b.llabel"), col("a.label")) < col("a.label")).as("changed")))
       converged = step.filter(col("changed")).limit(1).count() == 0
+      free(cp)
+      cp = step
       labels = step.select(col("id"), col("label"))
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    nodes.select(col("id"))
+    free(bidir) // the result only reads the final labels, not the edges
+    val out = nodes.select(col("id"))
       .join(labels.withColumnRenamed("label", "edge_label"), Seq("id"), "left")
       .select(col("id"), coalesce(col("edge_label"), col("id")).as("label"))
+    (out, iter)
   }
 
   /** Near-dup cluster per document: components of the n-gram candidate

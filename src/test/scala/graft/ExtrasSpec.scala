@@ -352,6 +352,24 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real PNG decodes to exact dimensions through ImageIO") {
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.tinyPng))
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", png, Map("origin" -> "fixture")),
+      // non-image bytes under kind=image: ImageIO refuses, stub fallback
+      Multimodal.MediaAsset(2L, "image", "not an image".getBytes("UTF-8"), Map.empty),
+      // the same real PNG bytes under kind=audio: kind gates the decoder
+      Multimodal.MediaAsset(3L, "audio", png, Map.empty)).toDS()
+    val out = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    assert(out(0).width == 7 && out(0).height == 5 && out(0).n_frames == 1,
+      s"real PNG header misread: ${out(0)}")
+    assert(out(0).byte_size == png.length)
+    assert(out(1).width >= 64 && out(1).height >= 64, "stub fallback lost")
+    assert(out(2).n_frames > 1 || out(2).width >= 64,
+      "audio must take the stub path regardless of payload bytes")
+  }
+
   test("text-pipeline ops run unchanged under the streaming planner") {
     // the doc-prep projection (quality signals + lang-id + PII scrub +
     // fingerprint) is all narrow expressions, so the SAME code must run
@@ -517,6 +535,39 @@ class ExtrasSpec extends SparkSpec {
     val out = Dedup.connectedComponents(nodes, edges)
       .orderBy($"id").as[(Long, Long)].collect()
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (9L, 9L)))
+  }
+
+  test("connected components: pointer jumping stays O(log diameter) on a 1e5-node chain") {
+    // worst-case topology for label propagation: one chain, diameter 1e5.
+    // plain hash-min needs O(diameter) rounds; pointer jumping must close
+    // it in O(log diameter).
+    val n = 100000L
+    val nodes = spark.range(0, n).toDF("id")
+    val edges = spark.range(0, n - 1)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+    val (out, rounds) = Dedup.connectedComponentsWithRounds(nodes, edges)
+    val bound = 2 * math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2
+    info(s"rounds = $rounds for diameter ${n - 1} (bound $bound)")
+    assert(rounds <= bound, s"$rounds rounds exceeds O(log d) bound $bound")
+    assert(out.filter($"label" =!= 0L).limit(1).count() == 0,
+      "chain must collapse to the minimum id")
+  }
+
+  test("connected components: reliable-checkpoint mode matches local and writes files") {
+    // cluster-durability path: lineage cut through Dataset.checkpoint
+    // against a reliable dir (survives executor loss), same labels out
+    val dir = java.nio.file.Files.createTempDirectory("cc-reliable").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    val local = Dedup.connectedComponents(nodes, edges)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val reliable = Dedup.connectedComponents(nodes, edges, checkpointDir = Some(dir))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(reliable == local)
+    def hasFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(hasFile))
+    assert(hasFile(new java.io.File(dir)),
+      s"no reliable checkpoint data written under $dir")
   }
 
   test("int8 quantization: dequantized values within half a step; zero-safe") {
