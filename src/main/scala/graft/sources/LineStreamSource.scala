@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,14 +53,22 @@ private[graft] class LineStreamTable(path: String) extends Table with SupportsRe
   override def schema(): StructType = LineStreamSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // R5's runtime face (bounded buffer / backpressure): cap the lines
+    // admitted per micro-batch, the maxOffsetsPerTrigger analogue.
+    val maxLines = Option(options.get("maxLinesPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxLinesPerTrigger must be positive, got $n")
+      n
+    }
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = LineStreamSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new LineMicroBatchStream(path)
+          new LineMicroBatchStream(path, maxLines)
       }
     }
+  }
 }
 
 /** Offset = count of lines ever visible across the ordered segment files
@@ -69,7 +77,9 @@ private[graft] case class LineOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private[graft] class LineMicroBatchStream(path: String) extends MicroBatchStream {
+private[graft] class LineMicroBatchStream(path: String,
+    maxLinesPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Driver-side (fileName -> lineCount) memo for SEALED segments. A
     * segment is sealed once a later-sorting file exists (the log-segment
@@ -103,6 +113,25 @@ private[graft] class LineMicroBatchStream(path: String) extends MicroBatchStream
   override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- SupportsAdmissionControl: runtime backpressure (reference R5).
+  // When the source declares a read limit, the engine calls THIS
+  // latestOffset instead of the parameterless one, and the batch end is
+  // clamped to start + maxRows — Spark 4's maxOffsetsPerTrigger contract.
+  override def getDefaultReadLimit: ReadLimit =
+    maxLinesPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val available = segments().map(_._2).sum
+    val lo = start.asInstanceOf[LineOffset].n
+    limit match {
+      case r: ReadMaxRows => LineOffset(math.min(available, lo + r.maxRows()))
+      case _ => LineOffset(available)
+    }
+  }
+
+  /** True head of the log for progress metrics, independent of the cap. */
+  override def reportLatestOffset(): Offset = LineOffset(segments().map(_._2).sum)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[LineOffset].n

@@ -115,6 +115,89 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------------- streaming MinHash near-dup (x02's face) --
+
+  /** One (doc, LSH bucket) assignment: the doc's shingle set rides along
+    * so candidate pairs verify with exact Jaccard at emission time. */
+  case class BucketRow(doc_id: Long, sh: Seq[String], band: Int, bsig: Long)
+  /** Verified near-dup pair — same shape as the batch minhashLshPairs. */
+  case class NearDupPair(d1: Long, d2: Long, inter: Int, uni: Int)
+  private case class BucketEntry(doc_id: Long, sh: Seq[String])
+
+  /** Incremental MinHash bucket index: per-(band, bsig) ListState of the
+    * docs seen in that bucket. A new arrival pairs against every earlier
+    * member, verifies with exact Jaccard over the carried shingle sets,
+    * and is appended — so each qualifying pair is emitted exactly when
+    * its later endpoint arrives, never recomputed. State grows with the
+    * corpus (it IS the index); production bounds it with a TTL on the
+    * state handle when the dedup horizon is finite. */
+  class MinhashBucketProcessor(threshold: Double)
+    extends StatefulProcessor[(Int, Long), BucketRow, NearDupPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[BucketEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BucketEntry]("members",
+        org.apache.spark.sql.Encoders.product[BucketEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BucketRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[NearDupPair] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
+      members.get().foreach(seen += _)
+      val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+      val appended = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        // replay/duplicate guard: a doc already indexed in this bucket
+        // must not pair against itself or re-emit its pairs
+        if (!seen.exists(_.doc_id == r.doc_id)) {
+          val shSet = r.sh.toSet
+          seen.foreach { e =>
+            val inter = e.sh.count(shSet) // e.sh is distinct by construction
+            val uni = shSet.size + e.sh.size - inter
+            // integer-exact threshold test, same as the batch operator
+            if (inter.toDouble >= threshold * uni.toDouble)
+              out += NearDupPair(math.min(r.doc_id, e.doc_id),
+                math.max(r.doc_id, e.doc_id), inter, uni)
+          }
+          val entry = BucketEntry(r.doc_id, r.sh)
+          seen += entry
+          appended += entry
+        }
+      }
+      if (appended.nonEmpty) members.appendList(appended.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Dedup.minhashLshPairs]]: the
+    * same native signature kernel and banding expressions run under the
+    * incremental planner; candidates come from per-bucket state instead
+    * of a self-join. A replayed corpus emits exactly the batch pair set
+    * (spec-asserted). The trailing pair-level dropDuplicates collapses
+    * multi-band hits; it keeps one (d1, d2) per pair ever seen —
+    * unbounded by design here, watermark-bounded in a TTL deployment. */
+  def minhashNearDupStream(docs: DataFrame, n: Int = 3, bands: Int = 16,
+                           rowsPerBand: Int = 4,
+                           jaccardThreshold: Double = 0.5): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val withShingles = docs
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val buckets = withShingles
+      .select(col("doc_id"), col("sh"),
+        explode(graft.functions.VectorFunctions.bindArray(
+          Dedup.minhashSignature(col("sh"), bands * rowsPerBand))(
+          sig => Dedup.lshBands(sig, bands, rowsPerBand))).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").cast("int").as("band"), col("bk.bsig").as("bsig"))
+      .as[BucketRow]
+    buckets.groupByKey(r => (r.band, r.bsig))
+      .transformWithState(new MinhashBucketProcessor(jaccardThreshold),
+        TimeMode.None(), OutputMode.Append())
+      .dropDuplicates("d1", "d2")
+      .as[NearDupPair]
+  }
+
   /** Gap-based sessionization with arbitrary state: emits a session when
     * the event-time timeout fires (no event for `gapMillis` past the
     * watermark). Custom state logic the built-in session_window cannot

@@ -43,6 +43,42 @@ class LineStreamSpec extends SparkSpec {
     assert(again == slices, "already-planned ranges must be stable as the log grows")
   }
 
+  test("maxLinesPerTrigger caps every micro-batch; rows still arrive exactly once") {
+    // R5's runtime face: admission control clamps each batch's end offset
+    // to start + cap, so a backlog drains in bounded bites instead of one
+    // giant first batch
+    val dir = java.nio.file.Files.createTempDirectory("linecap").toString
+    val lines = (1 to 23).map(i => s"line-$i")
+    write(s"$dir/seg-000.txt", lines.take(11))
+    write(s"$dir/seg-001.txt", lines.drop(11))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format(LineStreamSource.format)
+      .option("maxLinesPerTrigger", "5")
+      .load(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getString(0))
+        batchSizes.synchronized { batchSizes += rows.length; seen ++= rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 5),
+      s"micro-batch exceeded the cap: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= 5, // 23 lines / cap 5 -> at least 5 bites
+      s"backlog not drained in capped bites: $batchSizes")
+    assert(seen.sorted.toSeq == lines.sorted, "lines lost or duplicated under the cap")
+
+    // unit face: the clamp itself, plus all-available when uncapped
+    val s = new LineMicroBatchStream(dir, Some(5L))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    assert(s.latestOffset(LineOffset(0L), ReadLimit.maxRows(5L)) == LineOffset(5L))
+    assert(s.latestOffset(LineOffset(20L), ReadLimit.maxRows(5L)) == LineOffset(23L))
+    assert(s.latestOffset(LineOffset(0L), ReadLimit.allAvailable()) == LineOffset(23L))
+    assert(s.reportLatestOffset() == LineOffset(23L))
+  }
+
   test("sensor pipeline through the DSv2 source survives restart without loss or dupes") {
     // the custom-source image of the reference's consumer restart: commit
     // offsets (checkpoint), die, come back, resume from the committed

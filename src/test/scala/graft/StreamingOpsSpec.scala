@@ -140,6 +140,46 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming minhash index emits exactly the batch near-dup pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // corpus with planted near-dups (the ExtrasSpec x02 recipe), split
+      // so each planted pair STRADDLES a micro-batch boundary: the pair
+      // must come from bucket state, not within-batch matching
+      val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+        .limit(20).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      val dups = base.map { case (id, text) => (id + 100000L, text + " perturbedtail") }
+      val corpus = base ++ dups
+      val batchPairs = graft.operators.Dedup
+        .minhashLshPairs(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(batchPairs.nonEmpty, "fixture produced no batch pairs")
+
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.minhashNearDupStream(stream.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mh_out").start()
+      try {
+        stream.addData(base); q.processAllAvailable()
+        stream.addData(dups.take(10)); q.processAllAvailable()
+        stream.addData(dups.drop(10)); q.processAllAvailable()
+        val streamed = spark.table("mh_out")
+          .as[(Long, Long, Int, Int)].collect().toSet
+        assert(streamed == batchPairs,
+          s"missing: ${batchPairs -- streamed}; extra: ${streamed -- batchPairs}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source generates strict-parse-clean wire records") {
     val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
       .transform(df => SensorPipeline.parseStrict(df))
