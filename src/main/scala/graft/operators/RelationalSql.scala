@@ -228,11 +228,135 @@ object RelationalSql {
       |FROM dedup
       |ORDER BY sensor_group, sensor_id, time_received""".stripMargin
 
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** x08's detected-language expression, GENERATED from the same
+    * stopword/trigram profiles the DataFrame face reads — the two faces
+    * cannot drift. SubstringHits's presence-count semantics map to
+    * `size(filter(array(...), p -> contains(lt, p)))`; argmax tie-break
+    * is first profile in declaration order, same as detectLang's
+    * foldRight. Expects columns `lt` (lowered text) and `toks`. */
+  private val langIdScoresSql: String = {
+    val tri = TextAnalysis.trigramProfiles.toMap
+    TextAnalysis.stopwordProfiles.map { case (lang, words) =>
+      val (charWords, tokenWords) = words.partition(w => w.length == 1 && w.head > 127)
+      val tokenHits =
+        if (tokenWords.nonEmpty)
+          s"size(array_intersect(toks, array(${tokenWords.map(sqlStr).mkString(", ")})))"
+        else "0"
+      val charHits =
+        if (charWords.nonEmpty)
+          s"size(filter(array(${charWords.map(sqlStr).mkString(", ")}), p -> contains(lt, p)))"
+        else "0"
+      val triHits = tri.get(lang)
+        .map(ts => s"size(filter(array(${ts.map(sqlStr).mkString(", ")}), p -> contains(lt, p)))")
+        .getOrElse("0")
+      s"(($tokenHits + $charHits) * 3 + $triHits)"
+    }.mkString("array(\n      ", ",\n      ", ")")
+  }
+
+  private val langIdDetectedSql: String = {
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val arms = langs.zipWithIndex.map { case (lang, i) =>
+      s"WHEN array_max(scores) > 0 AND element_at(scores, ${i + 1}) = array_max(scores) THEN ${sqlStr(lang)}"
+    }.mkString("\n    ")
+    s"CASE $arms\n    ELSE 'und' END"
+  }
+
   /** SQL texts for the SQL-expressible LLM-pipeline extras, including the
-    * injected native functions (`word_shingles`/`word_shingles_all`) a
-    * SQL user reaches through GraftExtensions. Asserted result-identical
-    * to the DataFrame forms in SqlSurfaceSpec. */
+    * injected native functions (`word_shingles`/`word_shingles_all`,
+    * `cosine_sim`) a SQL user reaches through GraftExtensions. Asserted
+    * result-identical to the DataFrame forms in SqlSurfaceSpec.
+    *
+    * Not present by design: x02/x04/x06/x15/x17 are rows-only queries
+    * whose outputs hang on engine-local hashing (no stable SQL contract
+    * to assert against), and x14's connected-components is an iterative
+    * driver loop — each ROUND is plain SQL (two equi-joins + a min
+    * aggregate), but the loop-until-fixpoint control flow is not a
+    * single statement in Spark SQL (no recursive CTE). */
   val extrasSql: Map[String, String] = Map(
+    "x03_ngram_pairs" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, gram FROM documents
+        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 20),
+        |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram))
+        |SELECT a.lang, a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+        |FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |GROUP BY a.lang, a.doc_id, b.doc_id
+        |HAVING COUNT(1) >= 2
+        |ORDER BY lang, d1, d2""".stripMargin,
+
+    "x05_cosine_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |         cosine_sim(q.qvec, v.embedding) AS sim
+        |  FROM embeddings v JOIN q ON v.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "x07_embed_top1" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id, b.vec_id AS nid, cosine_sim(a.embedding, b.embedding) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id != b.vec_id)
+        |SELECT vec_id, nid AS best_id FROM (
+        |  SELECT vec_id, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk
+        |  FROM scored)
+        |WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "x08_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT lang, lower(text) AS lt,
+         |         filter(split(lower(text), ' '), x -> x != '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, $langIdScoresSql AS scores FROM t),
+         |d AS (
+         |  SELECT lang, $langIdDetectedSql AS detected FROM s)
+         |SELECT lang, detected, COUNT(1) AS n FROM d
+         |GROUP BY lang, detected
+         |ORDER BY lang, detected""".stripMargin,
+
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(7 AS BIGINT)
+        |       ELSE aggregate(
+        |         transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |         CAST(7 AS BIGINT),
+        |         (acc, c) -> (acc * 31 + c) % 2147483647) END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x18_doc_prep" ->
+      """WITH refg AS (
+        |  SELECT DISTINCT gram FROM documents
+        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+        |  WHERE source IN ('src0', 'src1')),
+        |candg AS (
+        |  SELECT doc_id, gram FROM documents
+        |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+        |  WHERE source NOT IN ('src0', 'src1')),
+        |contam AS (SELECT DISTINCT doc_id FROM candg JOIN refg USING (gram)),
+        |keepers AS (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text)
+        |SELECT d.doc_id,
+        |  CAST(size(filter(split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN d.source IN ('src0', 'src1') THEN 'reference'
+        |       WHEN size(filter(split(d.text, ' '), x -> x != '')) < 40 THEN 'too_short'
+        |       WHEN d.doc_id != k.keep_id THEN 'duplicate'
+        |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE NULL END AS drop_reason
+        |FROM documents d
+        |JOIN keepers k ON d.text = k.text
+        |LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
