@@ -93,6 +93,8 @@ object Fixtures {
   val sensorDim = "/root/repo/data/sensor_group.csv"
   /** 7x5 RGB PNG (committed) for the real ImageIO decode path. */
   val tinyPng = "/root/repo/data/tiny_7x5.png"
+  /** 220-frame 8kHz mono WAV (committed) for the real audio decode path. */
+  val tinyWav = "/root/repo/data/tiny_220f.wav"
 
   /** DuckDB image of SensorPipeline.run over the same fixture files. */
   val q20OracleSql: String =

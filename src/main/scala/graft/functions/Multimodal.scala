@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side — schema, partitioning, batch shape (mapPartitions with
   * per-partition initialization, the Scala analogue of mapInPandas'
-  * batch iterator), encoders — is real and tested. IMAGE decode is real:
-  * the JDK's ImageIO reads PNG/GIF/BMP/JPEG headers+pixels with zero
-  * extra dependencies. The audio/video decoders and the embedding model
-  * are STUBS by design (no AV libraries in this container):
-  * `decodeStub`/`featureStub` derive deterministic values from the
-  * payload bytes. A real deployment replaces only the stub functions;
-  * every signature, schema, and plan stays identical.
+  * batch iterator), encoders — is real and tested. IMAGE decode is real
+  * (the JDK's ImageIO reads PNG/GIF/BMP/JPEG headers+pixels) and so is
+  * AUDIO header decode for WAV/AIFF/AU (the JDK's javax.sound.sampled) —
+  * zero extra dependencies for either. The video decoder, compressed
+  * audio, and the embedding model are STUBS by design (no AV libraries
+  * in this container): `decodeStub`/`featureStub` derive deterministic
+  * values from the payload bytes. A real deployment replaces only the
+  * stub functions; every signature, schema, and plan stays identical.
   */
 object Multimodal {
 
@@ -42,6 +43,23 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       .map(img => (img.getWidth, img.getHeight, 1))
     catch { case _: java.io.IOException => None }
+
+  /** Real audio header decode via the JDK's javax.sound.sampled
+    * (WAV/AIFF/AU): (sample rate Hz, channels, frame count) mapped onto
+    * the shared (width, height, n_frames) MediaInfo shape. None for
+    * formats the JDK cannot parse (mp3/ogg — those stay stubbed). */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength.toInt))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   // ------------------------------------------------------------- STUBS --
   // Deterministic fakes standing in for real codecs (marked per contract).
@@ -81,9 +99,9 @@ object Multimodal {
     * decoder initializes once per partition (the expensive part with real
     * codecs), then streams the partition through — same batch shape a
     * Pandas-UDF/mapInPandas implementation would have. Image assets
-    * decode for real through ImageIO; audio/video (and image payloads
-    * that are not actually images, e.g. synthetic fixtures) fall back to
-    * the deterministic stub. */
+    * decode for real through ImageIO, audio through javax.sound.sampled;
+    * video — and payloads the real decoders cannot parse (synthetic
+    * fixtures, compressed audio) — fall back to the deterministic stub. */
   def decode(assets: Dataset[MediaAsset]): Dataset[MediaInfo] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -92,9 +110,12 @@ object Multimodal {
       // same slot where a heavy AV codec would initialize)
       javax.imageio.ImageIO.getUseCache
       it.map { a =>
-        val (w, h, f) =
-          (if (a.kind == "image") decodeImage(a.payload) else None)
-            .getOrElse(decodeStub(a.kind, a.payload))
+        val real = a.kind match {
+          case "image" => decodeImage(a.payload)
+          case "audio" => decodeAudio(a.payload)
+          case _ => None
+        }
+        val (w, h, f) = real.getOrElse(decodeStub(a.kind, a.payload))
         MediaInfo(a.asset_id, a.kind, a.payload.length, w, h, f)
       }
     }

@@ -352,22 +352,29 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: real PNG decodes to exact dimensions through ImageIO") {
+  test("multimodal: real PNG and WAV decode to exact headers through the JDK") {
     val png = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(Fixtures.tinyPng))
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.tinyWav))
     val assets = Seq(
       Multimodal.MediaAsset(1L, "image", png, Map("origin" -> "fixture")),
       // non-image bytes under kind=image: ImageIO refuses, stub fallback
       Multimodal.MediaAsset(2L, "image", "not an image".getBytes("UTF-8"), Map.empty),
-      // the same real PNG bytes under kind=audio: kind gates the decoder
-      Multimodal.MediaAsset(3L, "audio", png, Map.empty)).toDS()
+      // real PNG bytes under kind=audio: not a WAV, so stub fallback —
+      // the kind gates which real decoder is even attempted
+      Multimodal.MediaAsset(3L, "audio", png, Map.empty),
+      Multimodal.MediaAsset(4L, "audio", wav, Map("origin" -> "fixture"))).toDS()
     val out = Multimodal.decode(assets).collect().sortBy(_.asset_id)
     assert(out(0).width == 7 && out(0).height == 5 && out(0).n_frames == 1,
       s"real PNG header misread: ${out(0)}")
     assert(out(0).byte_size == png.length)
     assert(out(1).width >= 64 && out(1).height >= 64, "stub fallback lost")
     assert(out(2).n_frames > 1 || out(2).width >= 64,
-      "audio must take the stub path regardless of payload bytes")
+      "non-WAV audio payload must take the stub path")
+    // WAV header mapped onto (width=sample rate, height=channels, frames)
+    assert(out(3).width == 8000 && out(3).height == 1 && out(3).n_frames == 220,
+      s"real WAV header misread: ${out(3)}")
   }
 
   test("text-pipeline ops run unchanged under the streaming planner") {
