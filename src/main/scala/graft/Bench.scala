@@ -134,7 +134,10 @@ object Bench {
       }
     }
 
-    def fmt(d: Double): String = if (d == d) f"$d%.4f" else "-1"
+    // Locale.ROOT: the f"" interpolator is locale-sensitive, and a
+    // comma decimal separator (de_DE etc.) would corrupt the JSON line.
+    def fmt(d: Double): String =
+      if (d == d) String.format(java.util.Locale.ROOT, "%.4f", Double.box(d)) else "-1"
     val qs = jsonMap(results.map(r => r.name -> fmt(r.warm)))
     val colds = jsonMap(results.map(r => r.name -> fmt(r.cold)))
     val calibs = jsonMap(results.map(r => r.name -> fmt(r.calib)))

@@ -40,9 +40,13 @@ object Multimodal {
     * None when the payload is not a decodable image (ImageIO signals
     * that as a null reader result), letting the caller fall back. */
   private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    // NonFatal, not just IOException: JDK image plugins throw
+    // RuntimeExceptions (IllegalArgumentException, CMMException,
+    // ArrayIndexOutOfBounds) on truncated/fuzzed payloads, and a corrupt
+    // asset must fall back to the stub, not fail the Spark task
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       .map(img => (img.getWidth, img.getHeight, 1))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real audio header decode via the JDK's javax.sound.sampled
     * (WAV/AIFF/AU): (sample rate Hz, channels, frame count) mapped onto
@@ -56,10 +60,7 @@ object Multimodal {
         val fmt = ais.getFormat
         Some((fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength.toInt))
       } finally ais.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None } // incl. corrupt-payload RuntimeExceptions
 
   // ------------------------------------------------------------- STUBS --
   // Deterministic fakes standing in for real codecs (marked per contract).

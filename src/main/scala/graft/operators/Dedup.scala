@@ -225,7 +225,11 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach { dir =>
       val sc = nodes.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // getCheckpointDir returns the qualified dir plus a per-set random
+      // UUID subdir, so equality with `dir` never holds — substring is
+      // the usable idempotence test. Without it every invocation would
+      // re-set the session-global dir and mint an orphan UUID directory.
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
     }
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()

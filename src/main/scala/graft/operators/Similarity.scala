@@ -245,8 +245,14 @@ object Similarity {
           col("q.query_id") =!= col("v.vec_id"))
       .select(col("q.query_id"), col("v.vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    // queries deduped by id before the re-join: a duplicate query row
+    // would re-expand every deduped candidate pair into two ranked rows
+    // (the old payload-carrying dedup collapsed them implicitly). Cheap —
+    // the query side is small by contract. vec_id is a key of `vectors`
+    // (a duplicate-keyed vector table is malformed input); deduping it
+    // here would cost a full shuffle of the big side per query.
     val scored = cand
-      .join(queries.select(col("query_id"), col("qvec")), "query_id")
+      .join(queries.select(col("query_id"), col("qvec")).dropDuplicates("query_id"), "query_id")
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("embedding")).as("sim"))

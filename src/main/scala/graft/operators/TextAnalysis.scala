@@ -126,22 +126,29 @@ object TextAnalysis {
     * dotted NNN.NNN.NNNN phone form matched by a dedicated exact-shape
     * alternative instead (a 3-3-4 digit split no date format uses).
     *
-    * Upper bound: a candidate run holding >= 16 digits is vetoed
+    * Upper bound: a candidate RUN holding >= 16 digits is vetoed
     * entirely (ITU E.164 caps phone numbers at 15 digits), so credit
     * card numbers, IBANs, and long account/serial codes are not
-    * rewritten to <PHONE>. The run is vetoed as a WHOLE: a lookbehind
-    * rejects start positions already inside a digit run (a digit at
-    * most 3 separator chars back), otherwise the regex engine would
-    * retry mid-run and redact a >= 9-digit suffix of a long code. The
-    * residual tradeoff is over-redaction of 9-15 digit non-phone
-    * identifiers (SSN-like IDs, mid-length account numbers) — see the
-    * scrubPii scaladoc. */
+    * rewritten to <PHONE>. One run definition is used by every part of
+    * the pattern — counting lookaheads, the veto, the protecting
+    * lookbehind, and the match body: consecutive digits separated by AT
+    * MOST 3 separator chars (no real phone format uses wider gaps).
+    * That consistency is what makes the veto whole-run: the lookbehind
+    * rejects start positions already inside a run (a digit at most 3
+    * separator chars back), so the regex engine cannot retry mid-run
+    * and redact a >= 9-digit suffix of a vetoed code, and a gap of >= 4
+    * separators genuinely starts a NEW run for counting and protection
+    * alike. Residual tradeoffs, both documented at scrubPii: 9-15 digit
+    * non-phone identifiers are over-redacted, and a real phone number
+    * within 3 separator chars of a preceding digit run (e.g. directly
+    * after an order id) is counted into that run and can ride its >= 16
+    * veto. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val phonePattern = "(?:\\+?\\b(?<![0-9][()\\[\\] -]{0,3})" +
     "(?![0-9()\\[\\] -]*(?:19|20)[0-9]{2}[-/. ])" +
-    "(?=(?:[()\\[\\] -]*[0-9]){9})(?!(?:[()\\[\\] -]*[0-9]){16})" +
-    "[0-9][0-9()\\[\\] -]{6,}[0-9]" +
+    "(?=(?:[()\\[\\] -]{0,3}[0-9]){9})(?!(?:[()\\[\\] -]{0,3}[0-9]){16})" +
+    "[0-9](?:[()\\[\\] -]{0,3}[0-9]){7,}" +
     "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b)"
 
   /** Per-document PII hit counts (exact integers — aggregable and
@@ -166,9 +173,13 @@ object TextAnalysis {
     * <PHONE>, so numeric-heavy corpora (invoices, logs with order ids)
     * will see non-phone identifiers in that digit range redacted too.
     * Runs of >= 16 digits (cards, IBANs) and date/timestamp shapes are
-    * preserved — see [[phonePattern]]. Corpora where 9-15 digit
-    * identifiers are load-bearing should pre-mask them or swap in a
-    * stricter pattern set. */
+    * preserved — see [[phonePattern]], including what counts as one
+    * "run" (gaps of at most 3 separator chars) and the two edges that
+    * definition leaves: a phone adjacent to a preceding digit run can
+    * ride the run's >= 16-digit veto, and a phone adjacent to a
+    * following year/timestamp is vetoed by the date guard. Corpora
+    * where 9-15 digit identifiers are load-bearing should pre-mask
+    * them or swap in a stricter pattern set. */
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

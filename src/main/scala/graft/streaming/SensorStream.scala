@@ -22,10 +22,14 @@ object SensorStream {
     * contract at runtime: the recovery preamble sweeps EVERY sibling
     * `<store>._staging_*` dir, so an upsert racing a compaction (or two
     * compactions) would delete the other writer's live staging
-    * mid-publish. All supported writers (the foreachBatch upsert and
-    * between-batch compaction) run on the one driver JVM that owns the
-    * store, so an in-process lock genuinely enforces the contract there;
-    * a second PROCESS writing the same store is outside the contract and
+    * mid-publish. The lock BLOCKS rather than failing fast: both writers
+    * are idempotent and crash-safe, so serializing them is always
+    * correct, and a timer-driven compaction overlapping a micro-batch
+    * trigger must not turn into a StreamingQueryException that kills the
+    * query. No deadlock is possible (one lock, never nested). All
+    * supported writers run on the one driver JVM that owns the store, so
+    * an in-process lock genuinely enforces the contract there; a second
+    * PROCESS writing the same store is outside the contract and
     * undetectable offline (a connected deployment's MERGE sink brings
     * its own transaction layer). */
   private val storeLocks =
@@ -38,10 +42,7 @@ object SensorStream {
 
   private def withStoreLock[A](storePath: String)(body: => A): A = {
     val lock = storeLock(storePath)
-    if (!lock.tryLock())
-      throw new IllegalStateException(
-        s"store $storePath already has an active writer in this JVM: upsertBatch and " +
-        "compactStore are single-writer (recovery would sweep the other writer's staging)")
+    lock.lock()
     try body finally lock.unlock()
   }
 
@@ -263,11 +264,27 @@ object SensorStream {
       // covers, which would silently null/drop columns in partitions
       // whose files evolved past the sampled one — so partitions whose
       // own footer schema differs from the sample are routed through the
-      // per-partition arm below, which reads each with its own schema
-      val sampleSchema = spark.read.parquet(singleFile.head._1.getPath).schema
+      // per-partition arm below, which reads each with its own schema.
+      // Divergence detection reads raw parquet footers (MessageType
+      // equality), ~1 ms each, instead of a full DataFrameReader
+      // resolution per partition — the driver pass stays trivial at the
+      // 10k-fragmented-partition scale this arm exists for. Partitions
+      // are internally consistent because the upsert rewrites them
+      // wholesale; appended stores get mergeSchema in the per-partition
+      // arm as the safety net.
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      def footerSchema(dir: java.io.File): org.apache.parquet.schema.MessageType = {
+        val first = graft.core.Fs.listOrThrow(dir)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).minBy(_.getName)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(first.getPath), hadoopConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      val sampleFooter = footerSchema(singleFile.head._1)
       val (batchable, diverged) = singleFile.partition { case (p, _) =>
-        spark.read.parquet(p.getPath).schema == sampleSchema }
-      val schema = sampleSchema
+        footerSchema(p) == sampleFooter }
+      val schema = spark.read.parquet(singleFile.head._1.getPath).schema
         .add("sensor_group", org.apache.spark.sql.types.StringType)
       spark.read.schema(schema).option("basePath", storePath)
         .parquet(batchable.map(_._1.getPath): _*)
@@ -287,7 +304,9 @@ object SensorStream {
     (multiFile ++ leftover).foreach { case (p, n) =>
       val staging = stagingFor(p.getName)
       graft.core.Fs.deleteRecursively(staging)
-      spark.read.parquet(p.getPath).coalesce(n)
+      // mergeSchema: within-partition schema evolution (append-ingested
+      // stores) must union columns, not sample one file's schema
+      spark.read.option("mergeSchema", "true").parquet(p.getPath).coalesce(n)
         .write.mode("overwrite").parquet(staging.getPath)
       publish(staging, p.getName)
     }

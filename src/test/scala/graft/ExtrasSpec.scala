@@ -728,7 +728,13 @@ class ExtrasSpec extends SparkSpec {
       "card 1234 5678 9012 3456 on file",
       "serial 12345678901234567890 logged",
       // 15 digits is the E.164 maximum: still a phone
-      "intl +123 4567 8901 2345 rings").toDF("text")
+      "intl +123 4567 8901 2345 rings",
+      // >= 4 separator chars END a run: the 5-digit prefix is its own
+      // (sub-floor) run, the 13-digit tail its own phone-range run
+      "a 12345    5678901234567 b",
+      // documented edge: a phone within 3 separators of a preceding
+      // digit run merges into it — 17 digits total rides the >=16 veto
+      "invoice 1234567 555-123-4567 end").toDF("text")
     val out = d.select(TextAnalysis.scrubPii($"text").as("s"),
       TextAnalysis.piiSignals($"text").as("p")).collect()
     assert(out(0).getString(0) == "contact me at <EMAIL> today")
@@ -743,6 +749,8 @@ class ExtrasSpec extends SparkSpec {
     assert(out(8).getString(0) == "card 1234 5678 9012 3456 on file")
     assert(out(9).getString(0) == "serial 12345678901234567890 logged")
     assert(out(10).getString(0) == "intl <PHONE> rings")
+    assert(out(11).getString(0) == "a 12345    <PHONE> b")
+    assert(out(12).getString(0) == "invoice 1234567 555-123-4567 end")
     val counts = out.map(r => (r.getStruct(1).getInt(0),
       r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
     assert(counts(0) == ((1, 0, 0)))
@@ -756,6 +764,8 @@ class ExtrasSpec extends SparkSpec {
     assert(counts(8) == ((0, 0, 0)))
     assert(counts(9) == ((0, 0, 0)))
     assert(counts(10) == ((0, 0, 1)))
+    assert(counts(11) == ((0, 0, 1)))
+    assert(counts(12) == ((0, 0, 0)))
   }
 
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {

@@ -280,10 +280,12 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).collect().map(_.toString).sorted.toSeq == before)
   }
 
-  test("store writers enforce the single-writer contract at runtime") {
+  test("store writers serialize behind the per-store lock") {
     // the recovery preamble sweeps every sibling ._staging_* dir, so a
     // second concurrent writer would have its live staging deleted — the
-    // lock turns that silent corruption into a fail-fast error
+    // lock serializes writers instead (both are idempotent, so waiting is
+    // always correct, and a timer-driven compaction overlapping a trigger
+    // must not kill the streaming query with an exception)
     val store = java.nio.file.Files.createTempDirectory("lock").toString + "/store"
     SensorStream.upsertBatch(spark, store)(
       Seq(rec("alpha", 1, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 0L)
@@ -297,16 +299,20 @@ class StreamingSpec extends SparkSpec {
     })
     holder.start()
     held.await()
-    try {
-      intercept[IllegalStateException] {
-        SensorStream.compactStore(spark, store)
-      }
-      intercept[IllegalStateException] {
-        SensorStream.upsertBatch(spark, store)(
-          Seq(rec("alpha", 2, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 1L)
-      }
-    } finally { release.countDown(); holder.join() }
-    // and once the other writer finishes, this one proceeds normally
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      SensorStream.upsertBatch(spark, store)(
+        Seq(rec("alpha", 2, "2024-01-01 00:00:00", 1)).toDF(storageCols: _*), 1L)
+      done.set(true)
+    })
+    writer.start()
+    Thread.sleep(500)
+    assert(!done.get(), "writer proceeded while another writer held the store lock")
+    release.countDown(); holder.join(); writer.join(30000)
+    assert(done.get(), "writer did not proceed after the lock was released")
+    val rows = spark.read.parquet(store).select("sensor_id").collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(1, 2), "serialized write lost data")
+    // and a follow-up writer with no contention proceeds normally
     assert(SensorStream.compactStore(spark, store).isEmpty)
   }
 
