@@ -58,7 +58,15 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
-        Some((fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength.toInt))
+        // getFrameLength is a long and may be AudioSystem.NOT_SPECIFIED
+        // (-1, e.g. a streamed AU with no declared length) — map unknown
+        // to 0 and saturate counts beyond Int range (a fuzzed header can
+        // declare any data-chunk size) instead of letting .toInt wrap to
+        // a negative/garbage frame count on a "successful" decode
+        val fl = ais.getFrameLength
+        val frames =
+          if (fl < 0L) 0 else math.min(fl, Int.MaxValue.toLong).toInt
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, frames))
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None } // incl. corrupt-payload RuntimeExceptions
 

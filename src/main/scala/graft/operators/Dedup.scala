@@ -226,10 +226,18 @@ object Dedup {
     checkpointDir.foreach { dir =>
       val sc = nodes.sparkSession.sparkContext
       // getCheckpointDir returns the qualified dir plus a per-set random
-      // UUID subdir, so equality with `dir` never holds — substring is
-      // the usable idempotence test. Without it every invocation would
+      // UUID subdir, so equality with `dir` never holds — the idempotence
+      // test is "the current dir's PARENT is the qualified requested dir"
+      // (substring matching would treat "/data/cc-1" as already set while
+      // "/data/cc-12/<uuid>" is current, silently landing checkpoints in
+      // the wrong directory). Without the test every invocation would
       // re-set the session-global dir and mint an orphan UUID directory.
-      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      val requested = new org.apache.hadoop.fs.Path(dir)
+      val qualified = requested.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(requested)
+      val alreadySet = sc.getCheckpointDir.exists(cur =>
+        Option(new org.apache.hadoop.fs.Path(cur).getParent).contains(qualified))
+      if (!alreadySet) sc.setCheckpointDir(dir)
     }
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()

@@ -146,7 +146,7 @@ object TextAnalysis {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val phonePattern = "(?:\\+?\\b(?<![0-9][()\\[\\] -]{0,3})" +
-    "(?![0-9()\\[\\] -]*(?:19|20)[0-9]{2}[-/. ])" +
+    "(?!(?:[0-9][()\\[\\] -]{0,3})*(?:19|20)[0-9]{2}[-/. ])" +
     "(?=(?:[()\\[\\] -]{0,3}[0-9]){9})(?!(?:[()\\[\\] -]{0,3}[0-9]){16})" +
     "[0-9](?:[()\\[\\] -]{0,3}[0-9]){7,}" +
     "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b)"

@@ -26,7 +26,11 @@ object SensorStream {
     * are idempotent and crash-safe, so serializing them is always
     * correct, and a timer-driven compaction overlapping a micro-batch
     * trigger must not turn into a StreamingQueryException that kills the
-    * query. No deadlock is possible (one lock, never nested). All
+    * query. Waiting is interruptible: a micro-batch thread parked here
+    * still honors `StreamingQuery.stop()`'s interrupt instead of hanging
+    * shutdown behind a long compaction and then running the upsert for a
+    * query that is already stopped. No deadlock is possible (one lock,
+    * never nested). All
     * supported writers run on the one driver JVM that owns the store, so
     * an in-process lock genuinely enforces the contract there; a second
     * PROCESS writing the same store is outside the contract and
@@ -42,7 +46,7 @@ object SensorStream {
 
   private def withStoreLock[A](storePath: String)(body: => A): A = {
     val lock = storeLock(storePath)
-    lock.lock()
+    lock.lockInterruptibly()
     try body finally lock.unlock()
   }
 
@@ -262,29 +266,46 @@ object SensorStream {
       graft.core.Fs.deleteRecursively(batchStaging)
       // the batched read pins one payload schema for every partition it
       // covers, which would silently null/drop columns in partitions
-      // whose files evolved past the sampled one — so partitions whose
-      // own footer schema differs from the sample are routed through the
-      // per-partition arm below, which reads each with its own schema.
-      // Divergence detection reads raw parquet footers (MessageType
-      // equality), ~1 ms each, instead of a full DataFrameReader
-      // resolution per partition — the driver pass stays trivial at the
-      // 10k-fragmented-partition scale this arm exists for. Partitions
-      // are internally consistent because the upsert rewrites them
-      // wholesale; appended stores get mergeSchema in the per-partition
-      // arm as the safety net.
+      // whose files evolved past the sampled one — so a partition enters
+      // the batched arm only when EVERY ONE of its files carries the
+      // sampled footer schema (within-partition evolution from an
+      // append-ingested store must not slip through on a first-file
+      // sample); everything else routes to the per-partition mergeSchema
+      // arm below. Divergence detection reads raw parquet footers
+      // (MessageType equality, ~1 ms each) on a bounded thread pool
+      // instead of a DataFrameReader resolution per partition, so the
+      // driver pass stays cheap at the 10k-fragmented-partition scale
+      // this arm exists for.
       val hadoopConf = spark.sessionState.newHadoopConf()
-      def footerSchema(dir: java.io.File): org.apache.parquet.schema.MessageType = {
-        val first = graft.core.Fs.listOrThrow(dir)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).minBy(_.getName)
+      def footerSchema(file: java.io.File): org.apache.parquet.schema.MessageType = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(first.getPath), hadoopConf)
+          new org.apache.hadoop.fs.Path(file.getPath), hadoopConf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getFooter.getFileMetaData.getSchema finally r.close()
       }
-      val sampleFooter = footerSchema(singleFile.head._1)
-      val (batchable, diverged) = singleFile.partition { case (p, _) =>
-        footerSchema(p) == sampleFooter }
-      val schema = spark.read.parquet(singleFile.head._1.getPath).schema
+      def parquets(dir: java.io.File): Seq[java.io.File] =
+        graft.core.Fs.listOrThrow(dir)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      val sampleFile = parquets(singleFile.head._1).head
+      val sampleFooter = footerSchema(sampleFile)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, Runtime.getRuntime.availableProcessors()))
+      val (batchable, diverged) =
+        try {
+          val checks = singleFile.map { case entry @ (p, _) =>
+            entry -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean =
+                parquets(p).forall(f => footerSchema(f) == sampleFooter)
+            })
+          }
+          checks.partition(_._2.get()) match {
+            case (ok, bad) => (ok.map(_._1), bad.map(_._1))
+          }
+        } finally pool.shutdown()
+      // pin the Spark schema from the exact file whose footer was
+      // sampled — reading the partition DIR could resolve from a
+      // different file than minBy when the sample partition is mixed
+      val schema = spark.read.parquet(sampleFile.getPath).schema
         .add("sensor_group", org.apache.spark.sql.types.StringType)
       spark.read.schema(schema).option("basePath", storePath)
         .parquet(batchable.map(_._1.getPath): _*)

@@ -575,6 +575,25 @@ class ExtrasSpec extends SparkSpec {
       f.isFile || Option(f.listFiles()).exists(_.exists(hasFile))
     assert(hasFile(new java.io.File(dir)),
       s"no reliable checkpoint data written under $dir")
+    // idempotence vs redirection: re-running with the SAME dir must not
+    // re-set the session dir (no orphan UUID subdir minted)...
+    val sc = spark.sparkContext
+    val afterFirst = sc.getCheckpointDir
+    Dedup.connectedComponents(nodes, edges, checkpointDir = Some(dir)).count()
+    assert(sc.getCheckpointDir == afterFirst,
+      "same-dir rerun re-set the session checkpoint dir")
+    // ...but a DIFFERENT dir that happens to be a string prefix of the
+    // current one must redirect there, not silently reuse the old dir
+    val prefixDir = dir.substring(0, dir.length - 1)
+    Dedup.connectedComponents(nodes, edges, checkpointDir = Some(prefixDir)).count()
+    val parent = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get).getParent
+    val wanted = new org.apache.hadoop.fs.Path(prefixDir)
+      .getFileSystem(sc.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(prefixDir))
+    assert(parent == wanted,
+      s"prefix-overlapping dir was not honored: $parent vs $wanted")
+    assert(hasFile(new java.io.File(prefixDir)),
+      s"no reliable checkpoint data written under $prefixDir")
   }
 
   test("int8 quantization: dequantized values within half a step; zero-safe") {
@@ -734,7 +753,16 @@ class ExtrasSpec extends SparkSpec {
       "a 12345    5678901234567 b",
       // documented edge: a phone within 3 separators of a preceding
       // digit run merges into it — 17 digits total rides the >=16 veto
-      "invoice 1234567 555-123-4567 end").toDF("text")
+      "invoice 1234567 555-123-4567 end",
+      // the date guard uses the SAME run definition as everything else:
+      // a gap of >= 4 separators ends the run, so a year beyond the gap
+      // is a separate run and cannot veto the phone
+      "call 555-123-4567      2024-01-01",
+      "wide 555-123-4567 - - - - 2024-06-01",
+      // ...but a year within 3 separators (or bridged by digits at <= 3
+      // separator gaps) is the same run: documented veto, phone survives
+      "ship 555-123-4567 2024-06-01 due",
+      "run 555-123-4567 777 2024-06-01 on").toDF("text")
     val out = d.select(TextAnalysis.scrubPii($"text").as("s"),
       TextAnalysis.piiSignals($"text").as("p")).collect()
     assert(out(0).getString(0) == "contact me at <EMAIL> today")
@@ -751,6 +779,10 @@ class ExtrasSpec extends SparkSpec {
     assert(out(10).getString(0) == "intl <PHONE> rings")
     assert(out(11).getString(0) == "a 12345    <PHONE> b")
     assert(out(12).getString(0) == "invoice 1234567 555-123-4567 end")
+    assert(out(13).getString(0) == "call <PHONE>      2024-01-01")
+    assert(out(14).getString(0) == "wide <PHONE> - - - - 2024-06-01")
+    assert(out(15).getString(0) == "ship 555-123-4567 2024-06-01 due")
+    assert(out(16).getString(0) == "run 555-123-4567 777 2024-06-01 on")
     val counts = out.map(r => (r.getStruct(1).getInt(0),
       r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
     assert(counts(0) == ((1, 0, 0)))
@@ -766,6 +798,10 @@ class ExtrasSpec extends SparkSpec {
     assert(counts(10) == ((0, 0, 1)))
     assert(counts(11) == ((0, 0, 1)))
     assert(counts(12) == ((0, 0, 0)))
+    assert(counts(13) == ((0, 0, 1)))
+    assert(counts(14) == ((0, 0, 1)))
+    assert(counts(15) == ((0, 0, 0)))
+    assert(counts(16) == ((0, 0, 0)))
   }
 
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {

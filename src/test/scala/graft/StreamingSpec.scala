@@ -312,6 +312,37 @@ class StreamingSpec extends SparkSpec {
     assert(done.get(), "writer did not proceed after the lock was released")
     val rows = spark.read.parquet(store).select("sensor_id").collect().map(_.getInt(0)).sorted
     assert(rows.toSeq == Seq(1, 2), "serialized write lost data")
+    // compactStore must ALSO wait behind the lock: its recovery preamble
+    // sweeps every sibling ._staging_* dir, so running it while another
+    // writer is live would delete that writer's staging mid-publish —
+    // plant a stand-in staging dir for the "in-flight" writer and assert
+    // it survives for as long as the lock is held
+    val held2 = new java.util.concurrent.CountDownLatch(1)
+    val release2 = new java.util.concurrent.CountDownLatch(1)
+    val holder2 = new Thread(() => {
+      SensorStream.storeLock(store).lock()
+      held2.countDown()
+      release2.await()
+      SensorStream.storeLock(store).unlock()
+    })
+    holder2.start()
+    held2.await()
+    val liveStaging = new java.io.File(store + "._staging_99")
+    assert(liveStaging.mkdirs())
+    val compacted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      SensorStream.compactStore(spark, store, maxFiles = 1)
+      compacted.set(true)
+    })
+    compactor.start()
+    Thread.sleep(500)
+    assert(!compacted.get(), "compaction proceeded while another writer held the store lock")
+    assert(liveStaging.isDirectory, "compaction swept a live writer's staging while blocked")
+    release2.countDown(); holder2.join(); compactor.join(30000)
+    assert(compacted.get(), "compaction did not proceed after the lock was released")
+    // once the lock is free the planted dir is orphaned staging, and the
+    // recovery preamble is REQUIRED to reclaim it
+    assert(!liveStaging.exists(), "orphaned staging was not reclaimed after the lock was released")
     // and a follow-up writer with no contention proceeds normally
     assert(SensorStream.compactStore(spark, store).isEmpty)
   }
@@ -341,6 +372,41 @@ class StreamingSpec extends SparkSpec {
     // the evolved partition keeps its extra column and values intact
     assert(read("delta").columns.contains("extra"))
     assert(read("delta").collect().map(_.toString).sorted.toSeq == deltaBefore)
+  }
+
+  test("batched compaction detects schema evolution WITHIN one partition") {
+    // an append-ingested partition can hold files of DIFFERENT schemas;
+    // sampling only its first file would classify it batchable and the
+    // pinned-schema rewrite would permanently drop the later files' new
+    // column — the divergence check must inspect every file
+    val store = java.nio.file.Files.createTempDirectory("evolveIn").toString + "/store"
+    (0 until 3).foreach { i =>
+      Seq(rec("alpha", i, s"2024-01-01 00:0$i:00", i + 1)).toDF(storageCols: _*)
+        .drop("sensor_group")
+        .write.mode("append").parquet(s"$store/sensor_group=alpha")
+      val base = Seq(rec("mixed", i, s"2024-01-01 00:0$i:00", i + 1))
+        .toDF(storageCols: _*).drop("sensor_group")
+      // one file keeps the old schema; the others carry an added column
+      (if (i == 0) base else base.withColumn("extra", lit(i * 10)))
+        .write.mode("append").parquet(s"$store/sensor_group=mixed")
+    }
+    def readM(p: String) = spark.read.option("mergeSchema", "true")
+      .parquet(s"$store/sensor_group=$p")
+    def rowsOf(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    val keep = Seq("sensor_id", "seq", "temperature")
+    val alphaBefore = rowsOf(readM("alpha"), keep: _*)
+    val mixedBefore = rowsOf(readM("mixed"), keep :+ "extra": _*)
+    val rewritten = SensorStream.compactStore(spark, store, maxFiles = 1)
+    assert(rewritten.sorted == Seq("sensor_group=alpha", "sensor_group=mixed"))
+    def files(p: String) = new java.io.File(s"$store/sensor_group=$p").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files("alpha").length == 1 && files("mixed").length == 1)
+    assert(rowsOf(readM("alpha"), keep: _*) == alphaBefore)
+    // the mixed partition keeps the evolved column: values intact, and
+    // null (not dropped) for the rows written before the column existed
+    assert(readM("mixed").columns.contains("extra"))
+    assert(rowsOf(readM("mixed"), keep :+ "extra": _*) == mixedBefore)
   }
 
   test("pub/sub fan-out delivers each batch to every sink; listener counts rows") {
