@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPrep, ExtrasOracle, Relational, RelationalOracle, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, DocPrep, ExtrasOracle, Relational, RelationalOracle, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,6 +68,11 @@ object SparkEntry {
     // x18: the composed corpus-prep pipeline (held-out exclusion, length
     // gate, exact dedup, decontamination) with per-doc drop provenance.
     "x18_doc_prep"      -> (DocPrep.prepQuery _),
+    // x19-x21: corpus assembly — deterministic hash-based train/val/test
+    // split, per-source mixing weights, and token-budget sequence packing.
+    "x19_split"         -> (Sampling.splitQuery _),
+    "x20_mix"           -> (Sampling.mixQuery _),
+    "x21_pack"          -> (Sampling.packQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -242,5 +242,57 @@ object ExtrasOracle {
         |         (acc, c) -> (acc * 31 + c) % 2147483647)
         |  END AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x19_split" -> splitSql,
+    "x20_mix" -> mixSql,
+
+    "x21_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |  shard * 1000000 + CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB face of [[Sampling.hashBucket]]. The hex-prefix-to-int read
+    * matches Spark's conv(substring(md5,1,8),16,10) bit-for-bit. */
+  private def bucketSql(keySql: String, salt: String): String =
+    s"('0x' || substr(md5($keySql || ':$salt'), 1, 8))::BIGINT"
+
+  /** DuckDB twin of Sampling.splitQuery, generated from the SAME
+    * fraction table and threshold arithmetic (cum * 2^32 computed in
+    * this JVM, emitted as an exact double literal) so the two faces
+    * cannot drift. */
+  private def splitSql: String = {
+    val bucket = bucketSql("doc_id::VARCHAR", "graft")
+    val cums = Sampling.splitFractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val whens = Sampling.splitFractions.init.zip(cums.init).map {
+      case ((name, _), cum) =>
+        s"WHEN $bucket < ${cum * Sampling.BucketSpace} THEN '$name'"
+    }.mkString("\n       ")
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id IS NULL THEN NULL
+       |       $whens
+       |       ELSE '${Sampling.splitFractions.last._1}' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.mixQuery, rates from the SAME map. */
+  private def mixSql: String = {
+    val rates = Sampling.mixRates.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"WHEN '$src' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${bucketSql("doc_id::VARCHAR", "mix")}
+       |      < (CASE source $rates ELSE 1.0 END) * ${Sampling.BucketSpace}
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -431,5 +431,55 @@ object RelationalSql {
         |  coalesce(n_hit_spans, 0L) AS n_hit_spans
         |FROM cand c LEFT JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "x19_split" -> samplingSplitSql,
+    "x20_mix" -> samplingMixSql,
+
+    "x21_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |  shard * CAST(1000000 AS BIGINT)
+        |    + FLOOR((cum - n_tokens) / CAST(2000.0 AS DOUBLE)) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
+
+  /** Spark-SQL face of [[Sampling.hashBucket]] (the spark.sql dialect
+    * twin; the DuckDB twin lives in ExtrasOracle). */
+  private def sparkBucketSql(salt: String): String =
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+      s"':$salt')), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Generated from the SAME fraction table and threshold arithmetic as
+    * Sampling.splitQuery, so the faces cannot drift. */
+  private def samplingSplitSql: String = {
+    val cums = Sampling.splitFractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val whens = Sampling.splitFractions.init.zip(cums.init).map {
+      case ((name, _), cum) =>
+        s"WHEN ${sparkBucketSql("graft")} < ${cum * Sampling.BucketSpace} THEN '$name'"
+    }.mkString("\n       ")
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id IS NULL THEN CAST(NULL AS STRING)
+       |       $whens
+       |       ELSE '${Sampling.splitFractions.last._1}' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def samplingMixSql: String = {
+    val rates = Sampling.mixRates.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"WHEN '$src' THEN CAST($r AS DOUBLE)" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${sparkBucketSql("mix")}
+       |      < (CASE source $rates ELSE CAST(1.0 AS DOUBLE) END) * ${Sampling.BucketSpace}
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deterministic corpus sampling, train/val/test splitting, per-source
+  * mixing, and sequence packing — the assembly stage of a training-data
+  * pipeline (north-star extras; the reference engine has no counterpart,
+  * these extend it per the build contract).
+  *
+  * Everything keys off one primitive: a 32-bit hash bucket derived from
+  * `md5(key ":" salt)`. Unlike `rand(seed)` — whose stream is assigned
+  * per-partition, so the SAME row flips decisions whenever partitioning
+  * changes — the hash decision is a pure function of the row's key:
+  * stable across runs, cluster sizes, AQE re-plans, and engines (DuckDB
+  * computes the identical bucket, so every operator here is
+  * oracle-checked cell-exactly). Two corollaries a 100 TB pipeline
+  * leans on: decisions are reproducible incrementally (new data joins
+  * an existing split without reshuffling old assignments), and samples
+  * at increasing rates are NESTED (`bucket < r1*2^32` implies
+  * `bucket < r2*2^32` for r1 <= r2), so a 1% pilot corpus is a strict
+  * subset of the 10% run.
+  *
+  * Scale shape: split/mix are pure codegen'd projections/filters — zero
+  * shuffle, zero state, trivially linear. Packing shuffles once on the
+  * shard key and windows within shards (no global window — see
+  * [[packSequences]]).
+  */
+object Sampling {
+
+  /** 2^32 — the bucket space of [[hashBucket]]. */
+  val BucketSpace: Double = 4294967296.0
+
+  /** 32-bit hash bucket in [0, 2^32): the first 8 hex chars of
+    * `md5(key ":" salt)` read as an unsigned int. DuckDB twin:
+    * `('0x' || substr(md5(key || ':salt'), 1, 8))::BIGINT`. Null key
+    * yields null bucket. */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic keep-decision at `rate` (a [0,1] fraction; may be a
+    * per-row column, e.g. a per-source weight). The comparison is
+    * against `rate * 2^32` in DOUBLE on both engines — identical IEEE
+    * arithmetic, identical decisions. */
+  def keepAtRate(key: Column, salt: String, rate: Column): Column =
+    hashBucket(key, salt) < rate * lit(BucketSpace)
+
+  /** Assign each row a named split by cumulative hash ranges:
+    * `fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`
+    * sends bucket/2^32 in [0, 0.8) to train, [0.8, 0.9) to val, and the
+    * REMAINDER (everything from 0.9 up, absorbing rounding) to the last
+    * split. Fractions must be positive and sum to <= 1 + epsilon; a
+    * null key gets a null split (not silently the last bucket). */
+  def assignSplit(key: Column, salt: String,
+                  fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(fractions.forall(_._2 > 0), s"non-positive split fraction in $fractions")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions exceed 1: $fractions")
+    val bucket = hashBucket(key, salt)
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val start: Column = when(key.isNull, lit(null).cast("string"))
+    fractions.init.zip(cums.init)
+      .foldLeft(start) { case (acc, ((name, _), cum)) =>
+        acc.when(bucket < lit(cum * BucketSpace), name)
+      }
+      .otherwise(fractions.last._1)
+  }
+
+  /** Filter to a deterministic per-source mix: each source is kept at
+    * its weight from `rateBySource` (sources absent from the map use
+    * `defaultRate`). The weights table is a literal CASE chain — at
+    * realistic source counts (tens to thousands) this stays a pure
+    * projection; a weights TABLE join (broadcast) is the shape beyond
+    * that. */
+  def mixCorpus(docs: DataFrame, key: Column, salt: String,
+                rateBySource: Map[String, Double],
+                defaultRate: Double = 1.0): DataFrame = {
+    val rate = rateBySource.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc)
+      }
+    docs.filter(keepAtRate(key, salt, rate))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-token-budget
+    * training bins. Docs are packed in doc_id order by running token
+    * count; a document lands in the bin its STARTING offset falls in
+    * (`floor((cum - n_tokens) / budget)`), the standard streaming-fill
+    * rule — bins may overflow by at most one document, and a document
+    * longer than the budget occupies its own bin(s) worth of offset.
+    *
+    * Scale shape: a GLOBAL running sum would serialize 100 TB through
+    * one window partition — instead docs are sharded by `doc_id %
+    * shards` and packed within shards (pack ids are disjoint across
+    * shards: `shard * 1_000_000 + bin`). One shuffle on the shard key,
+    * each window sorts only its shard; raise `shards` with the corpus.
+    * Token counts are whitespace tokens ([[TextAnalysis.wsTokens]]),
+    * swap in a real tokenizer's counts column at will. */
+  def packSequences(docs: DataFrame, budget: Long = 2000L,
+                    shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0, s"budget=$budget shards=$shards")
+    val base = docs.select(
+      col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
+      (col("doc_id") % shards).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("shard") * lit(1000000L) +
+          floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))).as("pack_id"))
+  }
+
+  // ------------------------------------------------------ driver queries --
+
+  /** Canonical demo weights for [[mixQuery]]: even-numbered sources
+    * down-sampled to 25%, odd-numbered kept at 75%. Shared with the
+    * DuckDB oracle generator so the two faces cannot drift. */
+  private[graft] val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.25 else 0.75)).toMap
+
+  private[graft] val splitFractions: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** x19: deterministic 80/10/10 train/val/test assignment per doc. */
+  def splitQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        assignSplit(col("doc_id"), "graft", splitFractions).as("split"))
+      .orderBy(col("doc_id"))
+
+  /** x20: deterministic per-source corpus mix at [[mixRates]]. */
+  def mixQuery(spark: SparkSession, dir: String): DataFrame =
+    mixCorpus(Tables.load(spark, dir, "documents"), col("doc_id"), "mix", mixRates)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** x21: sharded sequence packing at a 2000-token budget. */
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+}

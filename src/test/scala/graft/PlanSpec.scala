@@ -211,4 +211,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by"), s"dedup should be max_by aggregation:\n$p")
     assert(!p.contains("Window"), s"dedup should not use a window sort:\n$p")
   }
+
+  test("x19/x20: sampling decisions never read the text column") {
+    // split keys on doc_id, mix on doc_id+source — a scan that drags the
+    // documents' text payload through a sampling decision is the 100 TB
+    // bug these exist to avoid
+    val split = plan("x19_split")
+    assert(split.contains("ReadSchema") && !split.contains("text"),
+      s"x19 reads more than doc_id:\n$split")
+    val mix = plan("x20_mix")
+    assert(!mix.contains("text"), s"x20 reads more than doc_id+source:\n$mix")
+  }
+
+  test("x21: packing windows within shards, no global single-partition sort") {
+    val p = plan("x21_pack")
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must not serialize through one partition:\n$p")
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sampling
+
+/** Semantic coverage for the corpus-assembly operators: deterministic
+  * splitting, per-source mixing, and sequence packing. Cell-exact
+  * cross-engine agreement is the driver oracle's job (x19-x21); these
+  * pin the properties a training pipeline actually leans on —
+  * partition-independence, nested samples, packing invariants. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf("sf0.001"), "documents")
+
+  test("split assignment is a pure function of the key: stable under repartitioning") {
+    val a = Sampling.splitQuery(spark, sf("sf0.001"))
+      .as[(Long, String)].collect().toSeq
+    val b = docs.repartition(7)
+      .select($"doc_id",
+        Sampling.assignSplit($"doc_id", "graft", Sampling.splitFractions).as("split"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(a == b, "split flipped under a different partitioning")
+  }
+
+  test("split fractions track the requested 80/10/10 within binomial noise") {
+    val n = 20000L
+    val ids = spark.range(n).toDF("doc_id")
+    val counts = ids
+      .select(Sampling.assignSplit($"doc_id", "graft", Sampling.splitFractions).as("split"))
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 5 sigma at p=0.1, n=20k is ~212 docs ≈ 1.1% absolute
+    def frac(s: String) = counts(s).toDouble / n
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.015, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.015, s"test ${frac("test")}")
+  }
+
+  test("samples at increasing rates are nested; rate 0 empty, rate 1 total") {
+    val ids = spark.range(5000).toDF("doc_id")
+    def kept(rate: Double) = ids
+      .filter(Sampling.keepAtRate($"doc_id", "s", lit(rate)))
+      .as[Long].collect().toSet
+    val k25 = kept(0.25)
+    val k75 = kept(0.75)
+    assert(k25.subsetOf(k75), "low-rate sample is not nested in the high-rate one")
+    assert(kept(0.0).isEmpty)
+    assert(kept(1.0).size == 5000)
+    // and the rates are roughly honored
+    assert(math.abs(k25.size / 5000.0 - 0.25) < 0.03)
+    assert(math.abs(k75.size / 5000.0 - 0.75) < 0.03)
+  }
+
+  test("null keys get a null split, not a silent bucket; bad fractions rejected") {
+    val d = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val out = d.select($"doc_id",
+        Sampling.assignSplit($"doc_id", "graft", Sampling.splitFractions).as("split"))
+      .orderBy($"doc_id".asc_nulls_first).collect()
+    assert(out(0).isNullAt(1), "null key must yield a null split")
+    assert(!out(1).isNullAt(1) && !out(2).isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(lit(1L), "s", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(lit(1L), "s", Seq.empty)
+    }
+  }
+
+  test("split and mix plans are pure narrow projections: zero exchanges") {
+    // the unordered operator forms (what a 100 TB pipeline composes) must
+    // not shuffle at all — the orderBy in the driver queries is only the
+    // oracle's total-order contract
+    val split = docs.select($"doc_id",
+      Sampling.assignSplit($"doc_id", "graft", Sampling.splitFractions).as("split"))
+    val mix = Sampling.mixCorpus(docs, $"doc_id", "mix", Sampling.mixRates)
+    Seq(split, mix).foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    }
+  }
+
+  test("mix keeps each source at its own rate") {
+    val n = 4000L
+    val d = spark.range(n).select($"id".as("doc_id"),
+      concat(lit("src"), ($"id" % 4).cast("string")).as("source"))
+    val rates = Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9, "src3" -> 1.0)
+    val kept = Sampling.mixCorpus(d, $"doc_id", "m", rates)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    rates.foreach { case (src, r) =>
+      val f = kept.getOrElse(src, 0L) / (n / 4).toDouble
+      assert(math.abs(f - r) < 0.06, s"$src kept $f, wanted $r")
+    }
+    // absent sources use the default rate (1.0 → all kept)
+    val all = Sampling.mixCorpus(d, $"doc_id", "m", Map("srcX" -> 0.5))
+    assert(all.count() == n)
+  }
+
+  test("packing: every doc's start offset lands in its pack's token range") {
+    val budget = 2000L
+    val out = Sampling.packSequences(docs, budget = budget, shards = 32)
+      .orderBy($"shard", $"doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    var cum = Map.empty[Long, Long].withDefaultValue(0L)
+    out.foreach { case (docId, nTok, shard, packId) =>
+      val start = cum(shard)
+      val bin = start / budget
+      assert(packId == shard * 1000000L + bin,
+        s"doc $docId: pack $packId, expected shard $shard bin $bin (start $start)")
+      cum += shard -> (start + nTok)
+    }
+    // pack ids never decrease along a shard's doc order, and every doc of
+    // a pack is contiguous in that order (greedy fill)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val packs = rows.sortBy(_._1).map(_._4)
+      assert(packs.zip(packs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("packing: an over-budget doc occupies its own bins without derailing the fill") {
+    val d = Seq(
+      (0L, Seq.fill(500)("w").mkString(" ")),   // bin 0: 500
+      (32L, Seq.fill(5000)("w").mkString(" ")), // starts at 500 → bin 0, spills
+      (64L, Seq.fill(100)("w").mkString(" ")),  // starts at 5500 → bin 5
+      (96L, Seq.fill(100)("w").mkString(" "))   // starts at 5600 → bin 5
+    ).toDF("doc_id", "text") // all shard 0 (ids ≡ 0 mod 32)
+    val out = Sampling.packSequences(d, budget = 1000L, shards = 32)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 5L, 5L))
+  }
+}
