@@ -4,7 +4,12 @@ import graft.core.GraftSession
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints per-query seconds as JSON. TWO lines go
+  * to stdout: first the full self-attested record (calibrations, loads,
+  * attempts — ~4.5 KB), then a COMPACT line (total + per-query seconds,
+  * ~1.2 KB) printed LAST so any tail-capture window >= 2 KB keeps the
+  * per-query numbers (round 4's attested record outgrew the driver's
+  * 2 KB tail and the committed bench lost its timings).
   * Each query is fully materialized via a noop-format write of its final
   * (ordered) result. A session-warmup query runs first so JVM/codegen
   * startup is not billed to the first benchmark entry.
@@ -15,17 +20,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query now carries its own evidence of measurement conditions:
   *
   *  - a fixed CPU-bound calibration job (32-partition range-sum sized to
-  *    ~100ms on a quiet machine) runs immediately before every query
-  *    attempt; its time is a direct probe of executor-thread
-  *    availability at that moment;
+  *    ~100ms on a quiet machine) runs immediately before AND after every
+  *    query attempt — the sandwich means contention that starts mid-query
+  *    is still caught by the closing probe;
   *  - /proc/loadavg is sampled at each query's start and end;
-  *  - a query attempt whose calibration exceeds [[Bench.ContendedFactor]]x
-  *    the session-start baseline is treated as poisoned and retried (up
-  *    to [[Bench.MaxAttempts]] total attempts, with a short sleep so a
-  *    transient spike can pass); the reported time is the min over all
-  *    attempts, and queries whose BEST attempt was still contended are
-  *    listed in a "contended" field so a reader knows exactly which
-  *    entries not to trust.
+  *  - a query attempt whose worse calibration side exceeds
+  *    [[Bench.ContendedFactor]]x the session-start baseline is treated as
+  *    poisoned and retried (up to [[Bench.MaxAttempts]] total attempts,
+  *    with a short sleep so a transient spike can pass); the reported
+  *    time is the min over all attempts, and queries whose BEST attempt
+  *    was still contended are listed in a "contended" field so a reader
+  *    knows exactly which entries not to trust;
+  *  - the session baseline itself is sanity-checked: the probe is fixed
+  *    work, so a baseline above [[Bench.BaselineCeiling]] means the
+  *    machine was already contended at calibration time. The EFFECTIVE
+  *    baseline for retry/flag decisions is clamped to the ceiling
+  *    (otherwise an inflated baseline would silently disable the
+  *    detector), and the record carries `baseline_suspect: true`.
   */
 object Bench {
   /** Attempts whose calibration exceeds baseline by this factor are
@@ -37,6 +48,14 @@ object Bench {
     * reporting the best observed time flagged as contended.
     */
   val MaxAttempts = 3
+
+  /** Absolute upper bound on a credible quiet-machine baseline for the
+    * fixed calibration probe (observed ~0.10-0.16 s on the target
+    * machine; 1 s is ~6x headroom for slower hardware). A measured
+    * baseline above this is itself evidence of contention at session
+    * start, so decisions clamp to it rather than trusting it.
+    */
+  val BaselineCeiling = 1.0
 
   /** First field of /proc/loadavg (1-minute load average), or -1 when
     * unreadable (non-Linux). Parsing isolated for the spec.
@@ -68,6 +87,24 @@ object Bench {
   private def jsonMap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  // Locale.ROOT: the f"" interpolator is locale-sensitive, and a
+  // comma decimal separator (de_DE etc.) would corrupt the JSON line.
+  private def fmt(d: Double): String =
+    if (d == d) String.format(java.util.Locale.ROOT, "%.4f", Double.box(d)) else "-1"
+
+  /** The compact (FINAL) stdout line: total + per-query seconds + the two
+    * trust fields. Kept to a size any >= 2 KB tail capture holds whole —
+    * BenchSpec pins the bound at the current query count.
+    */
+  def compactLine(total: Double, queries: Seq[(String, Double)],
+                  contendedNames: Seq[String], baselineSuspect: Boolean,
+                  sfDir: String): String = {
+    val qs = jsonMap(queries.map { case (n, v) => n -> fmt(v) })
+    val contended = contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
@@ -84,7 +121,13 @@ object Bench {
     // Baseline calibration: min of 5 probes at session start. min (not
     // mean) because the baseline should capture the machine's capability,
     // and any single probe can only be slowed down by interference.
-    val baseline = (1 to 5).map(_ => calibrate(spark)).min
+    val measuredBaseline = (1 to 5).map(_ => calibrate(spark)).min
+    // A baseline beyond the absolute ceiling means the machine was
+    // contended DURING calibration — trusting it would disable the
+    // detector for the whole run (ADVICE r4). Clamp the decision
+    // baseline and flag the record.
+    val baselineSuspect = measuredBaseline > BaselineCeiling
+    val baseline = math.min(measuredBaseline, BaselineCeiling)
     val loadStart = readLoadAvg()
 
     def run(fn: (SparkSession, String) => DataFrame): Double = {
@@ -114,9 +157,14 @@ object Bench {
         var retry = true
         while (retry) {
           attempt += 1
-          val calib = calibrate(spark)
+          // calibration SANDWICH: probe before and after the timed runs.
+          // The worse side is the attempt's calibration — contention that
+          // begins mid-query inflates the closing probe, so it no longer
+          // slips past a clean opening probe (ADVICE r4).
+          val calibPre = calibrate(spark)
           val cold = run(fn)
           val warm = run(fn)
+          val calib = math.max(calibPre, calibrate(spark))
           if (firstCold < 0) firstCold = cold
           bestTime = math.min(bestTime, math.min(cold, warm))
           bestCalib = math.min(bestCalib, calib)
@@ -134,22 +182,26 @@ object Bench {
       }
     }
 
-    // Locale.ROOT: the f"" interpolator is locale-sensitive, and a
-    // comma decimal separator (de_DE etc.) would corrupt the JSON line.
-    def fmt(d: Double): String =
-      if (d == d) String.format(java.util.Locale.ROOT, "%.4f", Double.box(d)) else "-1"
-    val qs = jsonMap(results.map(r => r.name -> fmt(r.warm)))
     val colds = jsonMap(results.map(r => r.name -> fmt(r.cold)))
     val calibs = jsonMap(results.map(r => r.name -> fmt(r.calib)))
     val attempts = jsonMap(results.map(r => r.name -> r.attempts.toString))
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
-    val contended = results.filter(_.contended).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.map(_.warm).filter(_ >= 0).sum
+    // Line 1: the full self-attested record (for a reader with the whole
+    // stdout). ~4.5 KB — larger than the driver's tail-capture window.
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cold":$colds,""" +
-      s""""calib_baseline":${fmt(baseline)},"queries_calib":$calibs,"queries_attempts":$attempts,""" +
-      s""""queries_load":$loads,"contended":$contended,"loadavg_start":${fmt(loadStart)},""" +
+      s"""{"metric":"total_attested","value":${fmt(total)},"unit":"sec","queries_cold":$colds,""" +
+      s""""calib_baseline":${fmt(measuredBaseline)},"baseline_suspect":$baselineSuspect,""" +
+      s""""queries_calib":$calibs,"queries_attempts":$attempts,""" +
+      s""""queries_load":$loads,"loadavg_start":${fmt(loadStart)},""" +
       s""""loadavg_end":${fmt(readLoadAvg())},"sf":"$sfDir"}""")
+    // Line 2 (LAST): the compact record — total, per-query seconds, and
+    // the two trust fields. ~1.4 KB for 45 queries, so a 2 KB stdout tail
+    // always holds the complete line (round-4 lesson: the attested line
+    // alone grew past the tail window and the committed bench lost its
+    // per-query numbers).
+    println(compactLine(total, results.map(r => r.name -> r.warm),
+      results.filter(_.contended).map(_.name), baselineSuspect, sfDir))
     spark.stop()
   }
 }

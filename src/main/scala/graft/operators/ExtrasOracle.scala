@@ -258,7 +258,7 @@ object ExtrasOracle {
         |                        ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens, shard,
-        |  shard * 1000000 + CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+        |  shard * 1099511627776 + CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
   )
 

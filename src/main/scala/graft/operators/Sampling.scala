@@ -74,16 +74,43 @@ object Sampling {
     * its weight from `rateBySource` (sources absent from the map use
     * `defaultRate`). The weights table is a literal CASE chain — at
     * realistic source counts (tens to thousands) this stays a pure
-    * projection; a weights TABLE join (broadcast) is the shape beyond
-    * that. */
+    * zero-shuffle projection; beyond that use [[mixCorpusWeighted]],
+    * the broadcast-join form of the same decision.
+    *
+    * `sourceCol` names the column the rate lookup keys on (default
+    * `source`, which the frame must then contain). */
   def mixCorpus(docs: DataFrame, key: Column, salt: String,
                 rateBySource: Map[String, Double],
-                defaultRate: Double = 1.0): DataFrame = {
+                defaultRate: Double = 1.0,
+                sourceCol: Column = col("source")): DataFrame = {
     val rate = rateBySource.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
-        when(col("source") === src, lit(r)).otherwise(acc)
+        when(sourceCol === src, lit(r)).otherwise(acc)
       }
     docs.filter(keepAtRate(key, salt, rate))
+  }
+
+  /** Broadcast-join form of [[mixCorpus]] for weights tables too large
+    * for a literal CASE chain (beyond ~10^3 sources): `weights` is a
+    * (source, rate) DataFrame, broadcast and left-joined onto the fact
+    * side — the fact table never shuffles, so the plan is still one
+    * narrow pass at 100 TB. Decision-identical to the literal form for
+    * the same (key, salt, rates): both compare the same hash bucket
+    * against rate * 2^32 in double (spec-asserted). Sources absent from
+    * `weights` fall back to `defaultRate`; a duplicate-keyed weights
+    * table is malformed input (it would fan out fact rows) and is
+    * rejected up front — the weights side is small by contract, so the
+    * eager uniqueness check is one cheap job. */
+  def mixCorpusWeighted(docs: DataFrame, key: Column, salt: String,
+                        weights: DataFrame, defaultRate: Double = 1.0,
+                        sourceCol: Column = col("source")): DataFrame = {
+    val w = weights.select(col("source").as("_mix_source"), col("rate").as("_mix_rate"))
+    require(w.groupBy(col("_mix_source")).count().filter(col("count") > 1).isEmpty,
+      "mixCorpusWeighted: duplicate sources in the weights table")
+    docs
+      .join(broadcast(w), sourceCol === col("_mix_source"), "left")
+      .filter(keepAtRate(key, salt, coalesce(col("_mix_rate"), lit(defaultRate))))
+      .drop("_mix_source", "_mix_rate")
   }
 
   /** Greedy sequence packing: assign documents to fixed-token-budget
@@ -96,13 +123,24 @@ object Sampling {
     * Scale shape: a GLOBAL running sum would serialize 100 TB through
     * one window partition — instead docs are sharded by `doc_id %
     * shards` and packed within shards (pack ids are disjoint across
-    * shards: `shard * 1_000_000 + bin`). One shuffle on the shard key,
+    * shards: `shard * 2^40 + bin`). One shuffle on the shard key,
     * each window sorts only its shard; raise `shards` with the corpus.
     * Token counts are whitespace tokens ([[TextAnalysis.wsTokens]]),
-    * swap in a real tokenizer's counts column at will. */
+    * swap in a real tokenizer's counts column at will.
+    *
+    * Id disjointness bound: the 2^40 shard stride keeps pack ids
+    * collision-free up to 2^40 bins per shard (~10^12 — a trillion
+    * budget-sized bins, i.e. ~2*10^15 tokens PER SHARD at the default
+    * budget, far past a 100 TB corpus even on one shard) and 2^22
+    * shards (required; `shard * 2^40 + bin` stays within positive Long
+    * up to 2^23 shards — the factor-2 margin absorbs bin overflow
+    * rather than wrapping ids negative). */
+  val ShardStride: Long = 1L << 40
+
   def packSequences(docs: DataFrame, budget: Long = 2000L,
                     shards: Int = 32): DataFrame = {
     require(budget > 0 && shards > 0, s"budget=$budget shards=$shards")
+    require(shards <= (1 << 22), s"shards=$shards exceeds the 2^22 id-space bound")
     val base = docs.select(
       col("doc_id"),
       size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
@@ -111,7 +149,7 @@ object Sampling {
     base
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
-        (col("shard") * lit(1000000L) +
+        (col("shard") * lit(ShardStride) +
           floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))).as("pack_id"))
   }
 

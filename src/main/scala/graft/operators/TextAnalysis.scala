@@ -151,18 +151,37 @@ object TextAnalysis {
     "[0-9](?:[()\\[\\] -]{0,3}[0-9]){7,}" +
     "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b)"
 
+  /** The default scrub registry: an ORDERED (name, regex) list — order
+    * is precedence (emails before phones so a mailbox's digits cannot be
+    * half-eaten; IPs before phones so an address is not ALSO a phone).
+    * Callers pass their own registry to add patterns (SSNs, API keys),
+    * tighten the recall-leaning phone rule, or reorder precedence —
+    * every entry redacts to `<NAME>`. */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> emailPattern,
+    "IP" -> ipv4Pattern,
+    "PHONE" -> phonePattern)
+
   /** Per-document PII hit counts (exact integers — aggregable and
-    * oracle-friendly; the corpus decides whether they are zero). Counts
+    * oracle-friendly; the corpus decides whether they are zero). One
+    * struct field `n_<lowercased name>` per registry entry. Counts
     * follow the same precedence as scrubPii: an IPv4 address is not
     * ALSO a phone number, so later patterns are counted on text with
     * earlier matches already redacted. */
-  def piiSignals(text: Column): Column = {
-    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
-    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
-    struct(
-      size(regexp_extract_all(text, lit(emailPattern), lit(0))).as("n_email"),
-      size(regexp_extract_all(noEmail, lit(ipv4Pattern), lit(0))).as("n_ipv4"),
-      size(regexp_extract_all(noIp, lit(phonePattern), lit(0))).as("n_phone"))
+  def piiSignals(text: Column,
+                 patterns: Seq[(String, String)] = defaultPiiPatterns): Column = {
+    require(patterns.nonEmpty, "piiSignals: empty pattern registry")
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      s"piiSignals: duplicate pattern names in ${patterns.map(_._1)}")
+    // fold the redaction chain, counting each pattern on the text with
+    // all EARLIER patterns already redacted
+    val (_, fields) = patterns.foldLeft((text, Seq.empty[Column])) {
+      case ((cur, acc), (name, pat)) =>
+        val counted = size(regexp_extract_all(cur, lit(pat), lit(0)))
+          .as(s"n_${name.toLowerCase(java.util.Locale.ROOT)}")
+        (regexp_replace(cur, pat, s"<$name>"), acc :+ counted)
+    }
+    struct(fields: _*)
   }
 
   /** Redact PII in place with typed placeholders. A pure codegen'd
@@ -179,13 +198,16 @@ object TextAnalysis {
     * ride the run's >= 16-digit veto, and a phone adjacent to a
     * following year/timestamp is vetoed by the date guard. Corpora
     * where 9-15 digit identifiers are load-bearing should pre-mask
-    * them or swap in a stricter pattern set. */
-  def scrubPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, emailPattern, "<EMAIL>"),
-        ipv4Pattern, "<IP>"),
-      phonePattern, "<PHONE>")
+    * them or swap in a stricter pattern set via the `patterns` registry
+    * (ordered: each pattern rewrites the text the previous ones already
+    * redacted, so earlier entries take precedence). */
+  def scrubPii(text: Column,
+               patterns: Seq[(String, String)] = defaultPiiPatterns): Column = {
+    require(patterns.nonEmpty, "scrubPii: empty pattern registry")
+    patterns.foldLeft(text) { case (cur, (name, pat)) =>
+      regexp_replace(cur, pat, s"<$name>")
+    }
+  }
 
   /** Stopword profiles for heuristic language ID. Small on purpose — the
     * operator's shape (broadcast-free scoring, argmax) is the point; real

@@ -41,7 +41,14 @@ object SensorStream {
 
   private[graft] def storeLock(storePath: String): java.util.concurrent.locks.ReentrantLock =
     storeLocks.computeIfAbsent(
-      new java.io.File(storePath).getAbsolutePath,
+      // canonical, not absolute: two spellings of one store ("/s/x" vs
+      // "/s/./x", or via a symlink) must map to ONE lock, or the recovery
+      // preamble of one writer can sweep the other's live staging dir —
+      // the exact race the lock exists to prevent. Canonicalization can
+      // only fail on I/O error; fall back to the normalized absolute path.
+      try new java.io.File(storePath).getCanonicalPath
+      catch { case _: java.io.IOException =>
+        new java.io.File(storePath).toPath.toAbsolutePath.normalize.toString },
       _ => new java.util.concurrent.locks.ReentrantLock())
 
   private def withStoreLock[A](storePath: String)(body: => A): A = {

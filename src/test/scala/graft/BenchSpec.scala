@@ -38,4 +38,37 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     val secs = Bench.calibrate(spark)
     assert(secs > 0.0 && secs < 60.0)
   }
+
+  test("compact final line fits the driver's 2KB tail at the real query count") {
+    // The real names at the real count: the bound must hold for exactly
+    // what main() will print, so build the line from SparkEntry.queries.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val line = Bench.compactLine(
+      total = 123.4567,
+      queries = names.map(_ -> 99.1234), // worst-case width per value
+      contendedNames = names.take(3),    // a few flagged entries
+      baselineSuspect = false,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length <= 1500,
+      s"compact bench line is ${line.length} bytes; driver tail keeps 2000")
+    assert(line.startsWith("""{"metric":"total","""))
+    assert(line.contains("\"" + names.head + "\":99.1234"))
+  }
+
+  test("compact line formats locale-independently and handles NaN") {
+    val line = Bench.compactLine(1.5, Seq("q" -> Double.NaN), Nil, true, "sf")
+    assert(line.contains("\"q\":-1"))
+    assert(line.contains("\"baseline_suspect\":true"))
+    // value uses a dot decimal separator regardless of default locale
+    assert(line.contains("\"value\":1.5000") && !line.contains("1,5000"))
+  }
+
+  test("baseline ceiling bounds a contended-at-start calibration") {
+    // The effective baseline decision: with a clamped baseline, a calib
+    // probe that is merely as slow as the inflated measurement is still
+    // flagged for retry.
+    val clamped = math.min(12.0, Bench.BaselineCeiling)
+    assert(clamped == Bench.BaselineCeiling)
+    assert(Bench.shouldRetry(calib = 12.0, baseline = clamped, attempt = 1))
+  }
 }

@@ -804,6 +804,44 @@ class ExtrasSpec extends SparkSpec {
     assert(counts(16) == ((0, 0, 0)))
   }
 
+  test("PII registry: custom pattern sets round-trip and keep declared precedence") {
+    // a custom registry (an SSN rule plus a STRICT phone shape) replaces
+    // the defaults wholesale — nothing of the default chain leaks in
+    val custom = Seq(
+      "SSN" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+      "PHONE" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")
+    val d = Seq(
+      "ssn 123-45-6789 on file",
+      "call 555-123-4567 now",
+      "reach me at bob@example.com").toDF("text") // email NOT in the custom set
+    val out = d.select(
+      TextAnalysis.scrubPii($"text", custom).as("s"),
+      TextAnalysis.piiSignals($"text", custom).as("p")).collect()
+    assert(out(0).getString(0) == "ssn <SSN> on file")
+    assert(out(1).getString(0) == "call <PHONE> now")
+    assert(out(2).getString(0) == "reach me at bob@example.com")
+    // struct fields are named n_<name> in registry order
+    assert(out(0).getStruct(1).schema.fieldNames.toSeq == Seq("n_ssn", "n_phone"))
+    assert(out(0).getStruct(1).getInt(0) == 1 && out(0).getStruct(1).getInt(1) == 0)
+    // precedence: with SSN first, an SSN is NOT also counted/redacted as
+    // a phone-ish run; flipping the order flips the winner
+    val flipped = Seq("PHONE" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+      "SSN" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b") // same shape, phone first
+    val both = Seq("id 123-45-6789 end").toDF("text")
+    assert(both.select(TextAnalysis.scrubPii($"text", custom)).head.getString(0)
+      == "id <SSN> end")
+    assert(both.select(TextAnalysis.scrubPii($"text", flipped)).head.getString(0)
+      == "id <PHONE> end")
+    // defaults unchanged: the no-arg form still applies EMAIL→IP→PHONE
+    assert(Seq("a@b.co 1.2.3.4").toDF("text")
+      .select(TextAnalysis.scrubPii($"text")).head.getString(0) == "<EMAIL> <IP>")
+    // guards: empty and duplicate-name registries are rejected eagerly
+    intercept[IllegalArgumentException] { TextAnalysis.scrubPii($"text", Nil) }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.piiSignals($"text", Seq("A" -> "x", "A" -> "y"))
+    }
+  }
+
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {
     val pairs = Dedup.ngramCandidatePairs(docs).select($"d1", $"d2")
       .as[(Long, Long)].collect()

@@ -98,6 +98,44 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == n)
   }
 
+  test("weighted mix (broadcast-join form) is decision-identical to the literal form") {
+    val weights = Sampling.mixRates.toSeq.toDF("source", "rate")
+    val viaCase = Sampling.mixCorpus(docs, $"doc_id", "mix", Sampling.mixRates)
+      .select($"doc_id").as[Long].collect().toSet
+    val viaJoin = Sampling.mixCorpusWeighted(docs, $"doc_id", "mix", weights)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaCase == viaJoin, "broadcast-weights mix disagrees with the CASE-chain mix")
+    // sources absent from the weights table fall back to defaultRate —
+    // same fallback the literal form applies
+    val partial = Sampling.mixRates.toSeq.filter(_._1 != "src3").toDF("source", "rate")
+    val viaCasePartial = Sampling.mixCorpus(docs, $"doc_id", "mix",
+        Sampling.mixRates - "src3", defaultRate = 0.4)
+      .select($"doc_id").as[Long].collect().toSet
+    val viaJoinPartial = Sampling.mixCorpusWeighted(docs, $"doc_id", "mix",
+        partial, defaultRate = 0.4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaCasePartial == viaJoinPartial)
+    // malformed (duplicate-keyed) weights tables are rejected up front
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpusWeighted(docs, $"doc_id", "mix",
+        Seq(("src0", 0.5), ("src0", 0.9)).toDF("source", "rate"))
+    }
+    // and the weighted form keeps the same output columns as the input
+    assert(Sampling.mixCorpusWeighted(docs, $"doc_id", "mix", weights).columns.toSeq
+      == docs.columns.toSeq)
+  }
+
+  test("weighted mix plan: broadcast join, fact side never shuffles") {
+    val weights = Sampling.mixRates.toSeq.toDF("source", "rate")
+    val df = Sampling.mixCorpusWeighted(docs, $"doc_id", "mix", weights)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights join not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"fact side shuffled in what must be a narrow pass:\n$plan")
+  }
+
   test("packing: every doc's start offset lands in its pack's token range") {
     val budget = 2000L
     val out = Sampling.packSequences(docs, budget = budget, shards = 32)
@@ -107,7 +145,7 @@ class SamplingSpec extends SparkSpec {
     out.foreach { case (docId, nTok, shard, packId) =>
       val start = cum(shard)
       val bin = start / budget
-      assert(packId == shard * 1000000L + bin,
+      assert(packId == shard * Sampling.ShardStride + bin,
         s"doc $docId: pack $packId, expected shard $shard bin $bin (start $start)")
       cum += shard -> (start + nTok)
     }
@@ -116,6 +154,36 @@ class SamplingSpec extends SparkSpec {
     out.groupBy(_._3).foreach { case (_, rows) =>
       val packs = rows.sortBy(_._1).map(_._4)
       assert(packs.zip(packs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("packing: pack ids stay disjoint across shards past 10^6 bins per shard") {
+    // Round-4 verdict: the old shard*1e6 stride silently collided once a
+    // shard held >1M bins. Force shard 0 past 2.5M bins (budget=1, one
+    // 2.5M-token doc) and check its ids never enter another shard's range.
+    val big = Seq.fill(2500000)("w").mkString(" ") // 2.5M tokens, shard 0
+    val d = Seq(
+      (0L, big),          // shard 0, bin 0
+      (2L, "w w"),        // shard 0, starts at 2.5M tokens → bin 2_500_000
+      (1L, "w"),          // shard 1, bin 0
+      (3L, "w w w")       // shard 1, starts at 1 → bin 1
+    ).toDF("doc_id", "text")
+    val out = Sampling.packSequences(d, budget = 1L, shards = 2)
+      .select($"shard", $"pack_id").as[(Long, Long)].collect()
+    val byShard = out.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).toSet }
+    // shard 0 really exceeded the old 1e6 stride...
+    assert(byShard(0L).exists(_ >= 1000000L), s"test did not reach 1e6 bins: $byShard")
+    // ...and every shard's ids stay inside [shard*stride, (shard+1)*stride)
+    byShard.foreach { case (s, ids) =>
+      ids.foreach { id =>
+        assert(id >= s * Sampling.ShardStride && id < (s + 1) * Sampling.ShardStride,
+          s"pack id $id of shard $s escaped its stride range")
+      }
+    }
+    assert(byShard(0L).intersect(byShard(1L)).isEmpty)
+    // shard count itself is bounded to keep ids within positive Long
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(d, budget = 1L, shards = (1 << 22) + 1)
     }
   }
 

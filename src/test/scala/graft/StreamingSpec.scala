@@ -280,6 +280,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("equivalent spellings of one store path share one lock") {
+    // ADVICE r4: absolute-path keying let "/s/x" and "/s/./x" acquire
+    // DIFFERENT locks — two writers could then race the staging sweep.
+    val dir = java.nio.file.Files.createTempDirectory("lockkey").toString
+    val store = dir + "/store"
+    assert(SensorStream.storeLock(store) eq SensorStream.storeLock(dir + "/./store"),
+      "dot-segment spelling got a different lock")
+    assert(SensorStream.storeLock(store) eq
+      SensorStream.storeLock(dir + "/sub/../store"),
+      "dot-dot spelling got a different lock")
+    // symlinked parent resolves to the same lock as the real path
+    val linked = java.nio.file.Paths.get(dir + "/link")
+    java.nio.file.Files.createSymbolicLink(linked, java.nio.file.Paths.get(dir))
+    assert(SensorStream.storeLock(store) eq SensorStream.storeLock(dir + "/link/store"),
+      "symlink spelling got a different lock")
+  }
+
   test("store writers serialize behind the per-store lock") {
     // the recovery preamble sweeps every sibling ._staging_* dir, so a
     // second concurrent writer would have its live staging deleted — the
