@@ -100,6 +100,14 @@ object Fixtures {
   val tinyPng = "/root/repo/data/tiny_7x5.png"
   /** 220-frame 8kHz mono WAV (committed) for the real audio decode path. */
   val tinyWav = "/root/repo/data/tiny_220f.wav"
+  /** 4-frame 9x7 animated GIF (committed; generator at
+    * tools/MakeGifFixture.java) for the real video frame decode path.
+    * Frame f is a solid color: red, green, blue, yellow. */
+  val tinyGif = "/root/repo/data/tiny_9x7_4f.gif"
+  /** 2-frame INTER-FRAME-OPTIMIZED GIF (10x8 logical screen, all red;
+    * frame 1 stored as only a 4x3 green changed-rect patch at (2,1)) —
+    * the shape real GIF optimizers emit; exercises frame compositing. */
+  val tinyGifPatch = "/root/repo/data/tiny_10x8_patch.gif"
 
   /** DuckDB image of SensorPipeline.run over the same fixture files. */
   val q20OracleSql: String =

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * The Spark side — schema, partitioning, batch shape (mapPartitions with
   * per-partition initialization, the Scala analogue of mapInPandas'
   * batch iterator), encoders — is real and tested. IMAGE decode is real
-  * (the JDK's ImageIO reads PNG/GIF/BMP/JPEG headers+pixels) and so is
-  * AUDIO header decode for WAV/AIFF/AU (the JDK's javax.sound.sampled) —
-  * zero extra dependencies for either. The video decoder, compressed
-  * audio, and the embedding model are STUBS by design (no AV libraries
-  * in this container): `decodeStub`/`featureStub` derive deterministic
-  * values from the payload bytes. A real deployment replaces only the
-  * stub functions; every signature, schema, and plan stays identical.
+  * (the JDK's ImageIO reads PNG/GIF/BMP/JPEG headers+pixels), AUDIO
+  * header decode is real for WAV/AIFF/AU (the JDK's
+  * javax.sound.sampled), and VIDEO decode is real for animated GIF —
+  * multi-frame ImageIO: true frame count in [[decode]] and true
+  * per-frame pixels (PNG-encoded) in [[frameSample]] — zero extra
+  * dependencies for any of them. Compressed-container video (mp4/webm),
+  * compressed audio (mp3/ogg), and the embedding model are STUBS by
+  * design (no AV libraries in this container): `decodeStub`/
+  * `featureStub` derive deterministic values from the payload bytes. A
+  * real deployment replaces only the stub functions; every signature,
+  * schema, and plan stays identical.
   */
 object Multimodal {
 
@@ -70,6 +74,148 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None } // incl. corrupt-payload RuntimeExceptions
 
+  /** Open a multi-frame ImageIO reader over the payload and hand it to
+    * `body`; None when no installed reader recognizes the container or
+    * decoding throws (corrupt payload → caller falls back to the stub,
+    * never a task failure). Covers animated GIF with the stock JDK;
+    * deployments that register additional ImageIO plugins (TIFF is
+    * in-JDK too) get them through the same path. */
+  private def withFrameReader[A](payload: Array[Byte])
+                                (body: javax.imageio.ImageReader => Option[A]): Option[A] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); body(r) } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Logical screen size from the container's stream metadata (GIF:
+    * LogicalScreenDescriptor). None for readers without one — caller
+    * falls back to frame-0 raster dims. */
+  private def logicalScreen(r: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val md = r.getStreamMetadata
+      if (md == null) None
+      else {
+        val tree = md.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val kids = tree.getChildNodes
+        (0 until kids.getLength).iterator
+          .map(kids.item(_).asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+          .collectFirst {
+            case n if n.getNodeName == "LogicalScreenDescriptor" =>
+              (n.getAttribute("logicalScreenWidth").toInt,
+                n.getAttribute("logicalScreenHeight").toInt)
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame placement + disposal from GIF image metadata: (left, top,
+    * disposalMethod). (0, 0, "none") when absent — full-frame containers
+    * and non-GIF readers degrade to plain frame stacking. */
+  private def frameMeta(r: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+    try {
+      val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      var x = 0; var y = 0; var disposal = "none"
+      val kids = tree.getChildNodes
+      (0 until kids.getLength).foreach { j =>
+        val c = kids.item(j).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        c.getNodeName match {
+          case "ImageDescriptor" =>
+            x = c.getAttribute("imageLeftPosition").toInt
+            y = c.getAttribute("imageTopPosition").toInt
+          case "GraphicControlExtension" =>
+            disposal = c.getAttribute("disposalMethod")
+          case _ => ()
+        }
+      }
+      (x, y, disposal)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") }
+
+  /** Real video header decode for containers ImageIO can enumerate
+    * (animated GIF in a stock JDK): (width, height, TRUE frame count).
+    * Width/height are the LOGICAL SCREEN when declared — an inter-frame-
+    * optimized GIF stores later frames as changed-rect patches, whose
+    * raster dims are not the video's. getNumImages(true) walks every
+    * frame block — exact, at the cost of reading the stream once; that
+    * is the point of a header decode. */
+  private[graft] def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    withFrameReader(payload) { r =>
+      val n = r.getNumImages(true)
+      if (n <= 0) None
+      else {
+        val (w, h) = logicalScreen(r).getOrElse((r.getWidth(0), r.getHeight(0)))
+        Some((w, h, n))
+      }
+    }
+
+  /** Real frame extraction for multi-frame ImageIO containers: up to `n`
+    * evenly spaced frames, each re-encoded as a standalone PNG (the
+    * interchange shape a downstream vision model consumes). Frames are
+    * COMPOSITED, not raw-stored rasters: an optimized GIF's later frames
+    * are changed-rect patches at an (x, y) offset, so each sampled frame
+    * is drawn onto a running logical-screen canvas honoring the prior
+    * frames' placement and disposal (none / restoreToBackgroundColor /
+    * restoreToPrevious) — every emitted PNG has the video's dims and the
+    * fully-composed pixels a vision model expects. None when the payload
+    * is not a decodable multi-frame container. */
+  private[graft] def videoFrames(payload: Array[Byte], n: Int): Option[Seq[Array[Byte]]] =
+    withFrameReader(payload) { r =>
+      val total = r.getNumImages(true)
+      if (total <= 0 || n <= 0) None
+      else {
+        val k = math.min(n, total)
+        val wanted = (0 until k).map(i => (i.toLong * total / k).toInt)
+        val wantedSet = wanted.toSet
+        val (cw, ch) = logicalScreen(r).getOrElse((r.getWidth(0), r.getHeight(0)))
+        val canvas = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        def snapshot(): java.awt.image.BufferedImage = {
+          val c = new java.awt.image.BufferedImage(cw, ch, canvas.getType)
+          c.createGraphics().drawImage(canvas, 0, 0, null)
+          c
+        }
+        val captured = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+        try {
+          (0 to wanted.last).foreach { i =>
+            val (x, y, disposal) = frameMeta(r, i)
+            val before =
+              if (disposal == "restoreToPrevious") Some(snapshot()) else None
+            val img = r.read(i)
+            g.drawImage(img, x, y, null)
+            if (wantedSet(i)) {
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(snapshot(), "png", out)
+              captured(i) = out.toByteArray
+            }
+            // disposal prepares the canvas for the NEXT frame
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                g.setComposite(java.awt.AlphaComposite.Clear)
+                g.fillRect(x, y, img.getWidth, img.getHeight)
+                g.setComposite(java.awt.AlphaComposite.SrcOver)
+              case "restoreToPrevious" =>
+                before.foreach { b =>
+                  g.setComposite(java.awt.AlphaComposite.Src)
+                  g.drawImage(b, 0, 0, null)
+                  g.setComposite(java.awt.AlphaComposite.SrcOver)
+                }
+              case _ => ()
+            }
+          }
+        } finally g.dispose()
+        Some(wanted.map(captured))
+      }
+    }
+
   // ------------------------------------------------------------- STUBS --
   // Deterministic fakes standing in for real codecs (marked per contract).
 
@@ -108,9 +254,10 @@ object Multimodal {
     * decoder initializes once per partition (the expensive part with real
     * codecs), then streams the partition through — same batch shape a
     * Pandas-UDF/mapInPandas implementation would have. Image assets
-    * decode for real through ImageIO, audio through javax.sound.sampled;
-    * video — and payloads the real decoders cannot parse (synthetic
-    * fixtures, compressed audio) — fall back to the deterministic stub. */
+    * decode for real through ImageIO, audio through javax.sound.sampled,
+    * video through multi-frame ImageIO (animated GIF); payloads the real
+    * decoders cannot parse (synthetic fixtures, compressed containers)
+    * fall back to the deterministic stub. */
   def decode(assets: Dataset[MediaAsset]): Dataset[MediaInfo] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -122,6 +269,7 @@ object Multimodal {
         val real = a.kind match {
           case "image" => decodeImage(a.payload)
           case "audio" => decodeAudio(a.payload)
+          case "video" => decodeVideo(a.payload)
           case _ => None
         }
         val (w, h, f) = real.getOrElse(decodeStub(a.kind, a.payload))
@@ -138,20 +286,31 @@ object Multimodal {
     }
   }
 
-  /** Sample up to n evenly spaced "frames" (payload slices — STUB for real
-    * frame extraction; the explode shape and per-frame rows are real). */
+  /** Sample up to n evenly spaced frames. For `kind="video"` payloads a
+    * multi-frame ImageIO reader recognizes (animated GIF), the frames
+    * are REAL: decoded pixels re-encoded as standalone PNGs. Everything
+    * else falls back to evenly spaced payload slices (STUB for codecs
+    * not in this container; the explode shape and per-frame rows are
+    * identical either way, so swapping a real codec in changes bytes,
+    * not plans). */
   def frameSample(assets: Dataset[MediaAsset], n: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
-      val len = a.payload.length
-      if (len == 0) Iterator.empty
-      else {
-        val k = math.min(n, len)
-        (0 until k).iterator.map { i =>
-          val from = (i.toLong * len / k).toInt
-          val until = ((i + 1).toLong * len / k).toInt
-          Frame(a.asset_id, i, java.util.Arrays.copyOfRange(a.payload, from, until))
-        }
+      val real = if (a.kind == "video") videoFrames(a.payload, n) else None
+      real match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.map { case (b, i) => Frame(a.asset_id, i, b) }
+        case None =>
+          val len = a.payload.length
+          if (len == 0) Iterator.empty
+          else {
+            val k = math.min(n, len)
+            (0 until k).iterator.map { i =>
+              val from = (i.toLong * len / k).toInt
+              val until = ((i + 1).toLong * len / k).toInt
+              Frame(a.asset_id, i, java.util.Arrays.copyOfRange(a.payload, from, until))
+            }
+          }
       }
     }
   }

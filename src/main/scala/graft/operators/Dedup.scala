@@ -64,7 +64,7 @@ object Dedup {
     * strings, shrinking gram-pipeline shuffle bytes several-fold). A
     * 64-bit collision can merge two distinct grams — odds ~n_grams²/2⁶⁵,
     * immaterial next to the candidate generator's own heuristics. */
-  private def gramKey(gram: Column, hashGrams: Boolean): Column =
+  private[graft] def gramKey(gram: Column, hashGrams: Boolean): Column =
     if (hashGrams) xxhash64(gram) else gram
 
   /** Near-dup candidate pairs by shared *rare* n-grams, same-lang blocked.
@@ -110,14 +110,26 @@ object Dedup {
   /** (doc_id, n_spans, <countName>) report: total k-token spans per doc
     * plus a per-doc count of the positional grams surviving a semi-join
     * against `matchGrams` — the shared tail of dupSpans/decontaminate. */
+  /** Total k-token spans of a document — shared by the span reports and
+    * the streaming decontamination gate so the two faces cannot drift. */
+  private[graft] def nSpansExpr(text: Column, k: Int): Column =
+    greatest(size(TextAnalysis.wsTokens(text)) - (k - 1), lit(0)).cast("long")
+
+  /** Distinct (gram-keyed) k-grams of a reference corpus — the probe
+    * side shared by batch [[decontaminate]] and
+    * [[graft.streaming.StreamingOps.decontaminateStream]]. */
+  private[graft] def referenceGrams(reference: DataFrame, k: Int,
+                                    hashGrams: Boolean): DataFrame =
+    reference
+      .select(explode(wordShingles(col("text"), k)).as("g"))
+      .select(gramKey(col("g"), hashGrams).as("gram")).distinct()
+
   private def spanReport(docs: DataFrame, grams: DataFrame,
                          matchGrams: DataFrame, countName: String,
                          k: Int): DataFrame = {
     val perDoc = grams.join(matchGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as(countName))
-    docs.select(col("doc_id"),
-        greatest(size(TextAnalysis.wsTokens(col("text"))) - (k - 1), lit(0))
-          .cast("long").as("n_spans"))
+    docs.select(col("doc_id"), nSpansExpr(col("text"), k).as("n_spans"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn(countName, coalesce(col(countName), lit(0L)))
   }
@@ -162,13 +174,9 @@ object Dedup {
     * probe is a semi-join; with a reference that fits in memory the
     * join broadcasts and the training corpus is never shuffled. */
   def decontaminate(candidates: DataFrame, reference: DataFrame,
-                    k: Int = 4, hashGrams: Boolean = false): DataFrame = {
-    val refGrams = reference
-      .select(explode(wordShingles(col("text"), k)).as("g"))
-      .select(gramKey(col("g"), hashGrams).as("gram")).distinct()
-    spanReport(candidates, positionalGrams(candidates, k, hashGrams), refGrams,
-      "n_hit_spans", k)
-  }
+                    k: Int = 4, hashGrams: Boolean = false): DataFrame =
+    spanReport(candidates, positionalGrams(candidates, k, hashGrams),
+      referenceGrams(reference, k, hashGrams), "n_hit_spans", k)
 
   /** Decontamination query: the src0/src1 slices stand in as the
     * held-out set; every other source is the training candidate pool. */

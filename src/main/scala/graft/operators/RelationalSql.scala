@@ -447,7 +447,7 @@ object RelationalSql {
         |                        ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens, shard,
-        |  shard * CAST(1000000 AS BIGINT)
+        |  shard * CAST(1099511627776 AS BIGINT) -- 2^40 shard stride
         |    + FLOOR((cum - n_tokens) / CAST(2000.0 AS DOUBLE)) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
   )

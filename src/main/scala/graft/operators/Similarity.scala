@@ -275,15 +275,26 @@ object Similarity {
 
   // ----------------------------------------------------------------- IVF
 
-  /** IVF (inverted-file) ANN. The "codebook" is a deterministic strided
-    * sample by id (no iterations, no RNG, reproducible), collected to the
-    * driver and inlined as a literal array — so both the assignment pass
-    * and the query-side centroid ranking are single narrow projections:
-    * no join, no window, no shuffle anywhere except the final candidate
-    * equi-join on centroid_id. That is the shape that survives 100 TB:
-    * codebooks are KBs; vectors never move except into their lists.
+  /** IVF (inverted-file) ANN. The codebook INIT is a deterministic
+    * strided sample by id (no RNG), then refined by a few Lloyd
+    * iterations over an id-strided training sample — strided init alone
+    * mirrors the data only where ids are uniform over space; on
+    * clustered corpora it lands several near-duplicate centroids in
+    * dense regions and none in others, and the hottest centroid's list
+    * (hence its probe join) grows without bound. Lloyd spreads the
+    * codebook toward the corpus density, bounding list imbalance
+    * (spec-asserted on a skew-clustered corpus).
     *
-    * Assumes dense integer ids for the stride (true of the corpus; any
+    * Scale shape: each Lloyd iteration is one narrow assignment pass
+    * over the TRAINING SAMPLE (bounded at ~256 vectors/centroid by an
+    * id stride) + one nCentroids x dim hash aggregate — KBs collected
+    * per iteration; the full-corpus assignment pass stays a single
+    * narrow projection against the literal codebook: no join, no
+    * window, no shuffle anywhere except the final candidate equi-join
+    * on centroid_id. That is the shape that survives 100 TB: codebooks
+    * are KBs; vectors never move except into their lists.
+    *
+    * Assumes dense integer ids for the strides (true of the corpus; any
     * table can synthesize one with monotonically_increasing_id + zip). */
   case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
@@ -308,20 +319,63 @@ object Similarity {
       c => struct(cosine(vec, c.getField("cvec")).as("sim"),
         (-c.getField("cid")).as("negid")))
 
-  def ivfIndex(vectors: DataFrame, nCentroids: Int): IvfIndex = {
+  /** Vectors per centroid in the Lloyd training sample: enough to place
+    * means stably, small enough that training cost is independent of
+    * corpus size (the id stride discards the rest). */
+  val LloydSamplePerCentroid = 256L
+
+  def ivfIndex(vectors: DataFrame, nCentroids: Int, lloydIters: Int = 3): IvfIndex = {
     val n = vectors.count()
     val stride = math.max(n / nCentroids, 1L)
-    val cents = vectors
+    val init = vectors
       .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < lit(stride * nCentroids))
       .select((col("vec_id") / stride).cast("int").as("centroid_id"), col("embedding"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
+    // Lloyd refinement over an id-strided sample (deterministic pick;
+    // the per-centroid means are deterministic up to float-sum order).
+    // The sample is cached: without it every iteration would re-scan the
+    // FULL corpus just to re-extract the same few-thousand rows.
+    val cents = if (lloydIters <= 0) init else trainLloyd(vectors, init, n, nCentroids, lloydIters)
     val assigned = vectors
       .select(col("vec_id"),
         element_at(topCentroidsExpr(col("embedding"), cents, 1), 1).as("centroid_id"),
         col("embedding"))
     IvfIndex(cents, assigned)
+  }
+
+  private def trainLloyd(vectors: DataFrame, init: Array[(Int, Array[Float])],
+                         n: Long, nCentroids: Int, lloydIters: Int): Array[(Int, Array[Float])] = {
+    val sampleStride = math.max(n / (LloydSamplePerCentroid * nCentroids), 1L)
+    val sample = vectors
+      .filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+      .select(col("embedding"))
+      .persist()
+    try {
+      (1 to lloydIters).foldLeft(init) { case (cur, _) =>
+        // one narrow pass assigns the sample, one (centroid, dim) hash agg
+        // collects the means — nCentroids x dim rows, KBs on the driver
+        val means = sample
+          .select(element_at(topCentroidsExpr(col("embedding"), cur, 1), 1).as("cid"),
+            posexplode(col("embedding")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (cid, rows) =>
+            val dim = rows.map(_._2).max + 1
+            val v = new Array[Float](dim)
+            rows.foreach { case (_, pos, m) => v(pos) = m.toFloat }
+            cid -> v
+          }
+        // a centroid whose sample list came up empty keeps its previous
+        // position (ids stay 0..n-1 stable); cosine ranking is invariant
+        // to the mean's norm, so no renormalization is needed
+        cur.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      }
+    } finally sample.unpersist()
   }
 
   /** Query the IVF index: rank centroids per query (narrow, against the

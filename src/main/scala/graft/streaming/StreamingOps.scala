@@ -198,6 +198,53 @@ object StreamingOps {
       .as[NearDupPair]
   }
 
+  // ------------------------- streaming decontamination (x16's face) --
+
+  /** Streaming face of [[graft.operators.Dedup.decontaminate]]: score
+    * each arriving training-candidate document against a STATIC held-out
+    * reference corpus, via the stream-static equi-join + one streaming
+    * aggregate keyed on doc_id. Same output schema and values as the
+    * batch operator on replay (spec-asserted): `(doc_id, n_spans,
+    * n_hit_spans)`, n_hit_spans counting POSITIONAL gram occurrences,
+    * duplicates included. The gram key and span count come from the SAME
+    * [[graft.operators.Dedup]] helpers the batch face uses, so the two
+    * faces cannot drift.
+    *
+    * The static side is persist()ed here: Spark re-executes a
+    * stream-static join's static sub-plan EVERY micro-batch, so without
+    * the cache the reference corpus would be re-read, re-exploded, and
+    * re-deduped per trigger. The cache lives as long as the query plan
+    * references it and is reclaimed by the context cleaner afterwards;
+    * the broadcast build itself still runs per batch (that is the
+    * stream-static contract), but over the cached distinct grams.
+    *
+    * Run in UPDATE output mode. A document's grams all travel in the one
+    * micro-batch that carries the document row, so each doc_id emits its
+    * final counts exactly once, in its arrival batch. Aggregation state
+    * grows with distinct doc_ids (it is the corpus scorecard); a finite
+    * dedup horizon bounds it the usual way — add an event-time column +
+    * watermark upstream, exactly as the other stateful ops here. */
+  def decontaminateStream(docs: DataFrame, reference: DataFrame,
+                          k: Int = 4, hashGrams: Boolean = false): DataFrame = {
+    import graft.operators.Dedup
+    val refGrams = Dedup.referenceGrams(reference, k, hashGrams)
+      .withColumn("_hit", lit(1L))
+      .persist()
+    // explode_outer keeps zero-gram docs (shorter than k tokens) in the
+    // report with n_hit_spans 0, matching the batch operator's left join
+    val exploded = docs.select(
+        col("doc_id"),
+        Dedup.nSpansExpr(col("text"), k).as("n_spans"),
+        explode_outer(Dedup.wordShinglesAll(col("text"), k)).as("g"))
+      .select(col("doc_id"), col("n_spans"), Dedup.gramKey(col("g"), hashGrams).as("gram"))
+    exploded
+      // refGrams is distinct → the left join marks, never fans out
+      .join(broadcast(refGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hit_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_hit_spans"))
+  }
+
   /** Gap-based sessionization with arbitrary state: emits a session when
     * the event-time timeout fires (no event for `gapMillis` past the
     * watermark). Custom state logic the built-in session_window cannot

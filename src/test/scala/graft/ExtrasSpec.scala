@@ -140,6 +140,34 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
   }
 
+  test("Lloyd-trained IVF codebook bounds list imbalance on a skew-clustered corpus") {
+    // the round-4 caveat: strided-id init mirrors data density only when
+    // ids are uniform over space; on a skew-clustered corpus it drops
+    // every centroid into the dominant cluster and the minority clusters
+    // pile onto one hot list. A few Lloyd iterations must spread the
+    // codebook and bound max-list/mean-list.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+    val sizes = Seq(440, 25, 20, 15) // ids cluster-major: init sees only cluster 0
+    val rows = sizes.zipWithIndex.flatMap { case (sz, c) =>
+      Seq.fill(sz)(Array.tabulate(dim)(i => (centers(c)(i) + rnd.nextGaussian() * 0.5).toFloat))
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    def listSizes(ix: Similarity.IvfIndex): Seq[Long] =
+      ix.assigned.groupBy($"centroid_id").count().as[(Int, Long)].collect().map(_._2).toSeq
+    val untrained = listSizes(Similarity.ivfIndex(df, nCentroids = 8, lloydIters = 0))
+    val trained = listSizes(Similarity.ivfIndex(df, nCentroids = 8))
+    val mean = rows.size.toDouble / 8
+    info(s"untrained lists: ${untrained.sorted.reverse}; trained: ${trained.sorted.reverse}")
+    assert(trained.max <= untrained.max,
+      s"training worsened the hottest list: ${trained.max} > ${untrained.max}")
+    assert(trained.max / mean <= 2.0,
+      s"trained max list ${trained.max} exceeds 2x mean $mean (lists: $trained)")
+    // training never loses vectors and keeps stable centroid ids
+    assert(trained.sum == rows.size)
+  }
+
   test("native word_shingles equals the HOF reference implementation") {
     val both = docs.select(
       Dedup.wordShingles($"text", 3).as("nat"),
@@ -375,6 +403,72 @@ class ExtrasSpec extends SparkSpec {
     // WAV header mapped onto (width=sample rate, height=channels, frames)
     assert(out(3).width == 8000 && out(3).height == 1 && out(3).n_frames == 220,
       s"real WAV header misread: ${out(3)}")
+  }
+
+  test("multimodal: animated GIF video decodes real frame count and real frames") {
+    val gif = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.tinyGif))
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "video", gif, Map("origin" -> "fixture")),
+      // non-container bytes under kind=video: stub fallback, not a failure
+      Multimodal.MediaAsset(2L, "video", "not a video".getBytes("UTF-8"), Map.empty)).toDS()
+    val out = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    assert(out(0).width == 9 && out(0).height == 7 && out(0).n_frames == 4,
+      s"real GIF header misread: ${out(0)}")
+    assert(out(1).width >= 64, "stub fallback lost for undecodable video")
+
+    // frameSample returns the TRUE frames as standalone PNGs: each one
+    // decodes through plain ImageIO to the fixture's dims and its known
+    // solid color (red, green, blue, yellow in frame order)
+    val frames = Multimodal.frameSample(assets, 4).collect()
+      .filter(_.asset_id == 1L).sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    val expected = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00)
+    frames.zip(expected).foreach { case (f, color) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null, s"frame ${f.frame_idx} is not a decodable PNG")
+      assert(img.getWidth == 9 && img.getHeight == 7)
+      assert((img.getRGB(4, 3) & 0xFFFFFF) == color,
+        f"frame ${f.frame_idx} center pixel ${img.getRGB(4, 3) & 0xFFFFFF}%06X != $color%06X")
+    }
+    // asking for fewer frames than the container holds samples evenly
+    val two = Multimodal.frameSample(assets, 2).collect()
+      .filter(_.asset_id == 1L).sortBy(_.frame_idx)
+    assert(two.length == 2)
+    val colors2 = two.map { f =>
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_bytes)).getRGB(4, 3) & 0xFFFFFF
+    }.toSeq
+    assert(colors2 == Seq(0xFF0000, 0x0000FF), // frames 0 and 2 of 4
+      colors2.map(c => f"$c%06X").toString)
+  }
+
+  test("multimodal: inter-frame-optimized GIF frames are composited, not raw patches") {
+    // real GIF optimizers store frame 1+ as changed-rect patches; the
+    // fixture's frame 1 is ONLY a 4x3 green rect at (2,1). A correct
+    // frame sampler must return logical-screen-sized composites.
+    val gif = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.tinyGifPatch))
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "video", gif, Map("origin" -> "fixture"))).toDS()
+    // header decode reports the LOGICAL SCREEN, not a patch raster
+    val info = Multimodal.decode(assets).head()
+    assert(info.width == 10 && info.height == 8 && info.n_frames == 2,
+      s"optimized-GIF header misread: $info")
+    val frames = Multimodal.frameSample(assets, 2).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2)
+    val imgs = frames.map(f => javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f.frame_bytes)))
+    // BOTH frames are full logical-screen size
+    imgs.foreach(img => assert(img.getWidth == 10 && img.getHeight == 8,
+      s"frame not composited to screen size: ${img.getWidth}x${img.getHeight}"))
+    def rgb(i: Int, x: Int, y: Int) = imgs(i).getRGB(x, y) & 0xFFFFFF
+    assert(rgb(0, 0, 0) == 0xFF0000 && rgb(0, 3, 2) == 0xFF0000)
+    // frame 1: green only inside the patch rect (x 2-5, y 1-3), the
+    // prior frame's red everywhere else
+    assert(rgb(1, 3, 2) == 0x00FF00, f"patch pixel ${rgb(1, 3, 2)}%06X")
+    assert(rgb(1, 0, 0) == 0xFF0000, f"background pixel ${rgb(1, 0, 0)}%06X")
+    assert(rgb(1, 9, 7) == 0xFF0000)
   }
 
   test("text-pipeline ops run unchanged under the streaming planner") {

@@ -180,6 +180,40 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination gate equals batch x16 on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // the x16 configuration: src0/src1 slices are the held-out reference,
+    // everything else is the training-candidate pool
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val isRef = $"source".isin("src0", "src1")
+    val ref = docs.filter(isRef).select($"doc_id", $"text")
+    val cands = docs.filter(!isRef).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val batch = graft.operators.Dedup
+      .decontaminate(cands.toDF("doc_id", "text"), ref)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 > 0), "fixture has no contaminated docs — vacuous test")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateStream(stream.toDF().toDF("doc_id", "text"), ref)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("decon_out").start()
+    try {
+      // replay in three micro-batches: the broadcast reference side must
+      // score every batch identically
+      cands.grouped((cands.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("decon_out")
+        .as[(Long, Long, Long)].collect().toSeq
+      // update mode emits each doc once (its grams arrive in one batch) —
+      // exact multiset equality, not just set
+      assert(streamed.size == streamed.toSet.size, "a doc was emitted twice")
+      assert(streamed.toSet == batch,
+        s"missing: ${batch -- streamed.toSet}; extra: ${streamed.toSet -- batch}")
+    } finally q.stop()
+  }
+
   test("rate source generates strict-parse-clean wire records") {
     val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
       .transform(df => SensorPipeline.parseStrict(df))

@@ -280,6 +280,76 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("dynamic topic routing: per-topic dirs equal batch partitionBy across restart") {
+    // R9/R10's one untested-at-runtime reference behavior (topic :=
+    // sensor_group, mqtt_kafka_producer.py:117): route the stream into a
+    // directory per topic, kill the query between files, restart on the
+    // same checkpoint, and demand the final layout equal a batch
+    // partitionBy of the same records — no loss, no dup, per topic.
+    import graft.streaming.TopicRouter
+    val base = java.nio.file.Files.createTempDirectory("route").toString
+    val inDir = s"$base/in"; val outDir = s"$base/topics"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val lines = ndjsonLines
+    val (part1, part2) = lines.splitAt(lines.length / 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/a.ndjson"),
+      part1.mkString("\n").getBytes)
+
+    val dim = SensorPipeline.loadDim(spark, Fixtures.sensorDim)
+    def startQuery() = SensorStream
+      .transform(graft.sources.SensorSources.fromNdjsonDir(spark, inDir), dim)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch(TopicRouter.routeToTopicDirs(outDir, "sensor_group") _)
+      .start()
+
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop() // "kill"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b.ndjson"),
+      part2.mkString("\n").getBytes)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val batch = SensorStream.transform(
+      graft.sources.SensorSources.fromNdjsonBatch(spark, inDir), dim)
+    val batchDir = s"$base/batch"
+    batch.write.partitionBy("sensor_group").parquet(batchDir)
+    def topicDirs(root: String) = graft.core.Fs.listOrEmpty(new java.io.File(root))
+      .filter(_.getName.startsWith("sensor_group=")).map(_.getName).toSet
+    assert(topicDirs(outDir) == topicDirs(batchDir) && topicDirs(outDir).nonEmpty,
+      s"routed layout ${topicDirs(outDir)} != batch layout ${topicDirs(batchDir)}")
+    // per-topic row multisets equal (schema pinned: group names must not
+    // be re-typed by partition inference)
+    val schema = spark.read.parquet(batchDir).schema
+    val routed = spark.read.schema(schema).parquet(outDir)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = spark.read.schema(schema).parquet(batchDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(routed == direct, "routed rows diverge from the batch layout")
+
+    // checkpoint-replay idempotence: re-publishing a batch id replaces its
+    // files instead of accumulating (and restores a partial publication)
+    val replayOut = s"$base/replay"
+    TopicRouter.routeToTopicDirs(replayOut, "sensor_group")(batch, 7L)
+    val once = spark.read.schema(schema).parquet(replayOut)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate a crash that lost one topic's published file mid-batch
+    val victim = graft.core.Fs.listOrEmpty(new java.io.File(replayOut))
+      .filter(_.getName.startsWith("sensor_group=")).head
+    graft.core.Fs.listOrThrow(victim).foreach(graft.core.Fs.deleteRecursively)
+    TopicRouter.routeToTopicDirs(replayOut, "sensor_group")(batch, 7L)
+    val twice = spark.read.schema(schema).parquet(replayOut)
+      .collect().map(_.toString).sorted.toSeq
+    assert(once == twice, "batch replay did not converge per topic")
+
+    // null topics fail fast instead of un-routing rows
+    intercept[IllegalArgumentException] {
+      TopicRouter.routeToTopicDirs(s"$base/nulls", "sensor_group")(
+        batch.withColumn("sensor_group",
+          when($"sensor_id" === batch.select(min($"sensor_id")).head.getInt(0),
+            lit(null).cast("string")).otherwise($"sensor_group")), 0L)
+    }
+  }
+
   test("equivalent spellings of one store path share one lock") {
     // ADVICE r4: absolute-path keying let "/s/x" and "/s/./x" acquire
     // DIFFERENT locks — two writers could then race the staging sweep.
