@@ -73,6 +73,9 @@ object SparkEntry {
     "x19_split"         -> (Sampling.splitQuery _),
     "x20_mix"           -> (Sampling.mixQuery _),
     "x21_pack"          -> (Sampling.packQuery _),
+    // x22: the broadcast-weights-table mix (the beyond-10^3-sources form
+    // of x20), oracle-checked against a DuckDB weights-table join.
+    "x22_mix_weighted"  -> (Sampling.mixWeightedQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

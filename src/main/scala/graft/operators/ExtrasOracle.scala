@@ -245,6 +245,7 @@ object ExtrasOracle {
 
     "x19_split" -> splitSql,
     "x20_mix" -> mixSql,
+    "x22_mix_weighted" -> mixWeightedSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -294,5 +295,19 @@ object ExtrasOracle {
        |WHERE ${bucketSql("doc_id::VARCHAR", "mix")}
        |      < (CASE source $rates ELSE 1.0 END) * ${Sampling.BucketSpace}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.mixWeightedQuery: a weights-table LEFT JOIN
+    * with a coalesce fallback — the same decision the broadcast-join
+    * form makes, from the SAME rate map. */
+  private def mixWeightedSql: String = {
+    val rows = Sampling.weightedMixRates.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"('$src', ${r}::DOUBLE)" }.mkString(", ")
+    s"""WITH w(source, rate) AS (VALUES $rows)
+       |SELECT d.doc_id, d.source FROM documents d
+       |LEFT JOIN w ON d.source = w.source
+       |WHERE ${bucketSql("d.doc_id::VARCHAR", "mixw")}
+       |      < coalesce(w.rate, ${Sampling.weightedMixDefault}) * ${Sampling.BucketSpace}
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

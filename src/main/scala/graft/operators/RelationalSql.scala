@@ -434,6 +434,7 @@ object RelationalSql {
 
     "x19_split" -> samplingSplitSql,
     "x20_mix" -> samplingMixSql,
+    "x22_mix_weighted" -> samplingMixWeightedSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -481,5 +482,20 @@ object RelationalSql {
        |WHERE ${sparkBucketSql("mix")}
        |      < (CASE source $rates ELSE CAST(1.0 AS DOUBLE) END) * ${Sampling.BucketSpace}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.mixWeightedQuery: the weights TABLE as a
+    * VALUES CTE left-joined onto the corpus — the SQL a user types for
+    * the broadcast-weights form; rates from the SAME map. */
+  private def samplingMixWeightedSql: String = {
+    val rows = Sampling.weightedMixRates.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"('$src', CAST($r AS DOUBLE))" }.mkString(", ")
+    s"""WITH w (source, rate) AS (SELECT * FROM VALUES $rows)
+       |SELECT d.doc_id, d.source FROM documents d
+       |LEFT JOIN w ON d.source = w.source
+       |WHERE ${sparkBucketSql("mixw")}
+       |      < coalesce(w.rate, CAST(${Sampling.weightedMixDefault} AS DOUBLE))
+       |        * ${Sampling.BucketSpace}
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -177,6 +177,26 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Demo weights TABLE for [[mixWeightedQuery]] (x22): explicit varied
+    * weights for the even-numbered sources only — odd sources exercise
+    * the [[weightedMixDefault]] fallback. Shared with both SQL twins so
+    * the three faces cannot drift. */
+  private[graft] val weightedMixRates: Map[String, Double] =
+    (0 until 20 by 2).map(i => s"src$i" -> (0.05 + i * 0.045)).toMap
+  private[graft] val weightedMixDefault: Double = 0.6
+
+  /** x22: the broadcast-weights-table form of the corpus mix
+    * ([[mixCorpusWeighted]]) — decision-identical to a CASE chain over
+    * the same rates, proven cross-engine by the DuckDB oracle. */
+  def mixWeightedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = weightedMixRates.toSeq.sortBy(_._1).toDF("source", "rate")
+    mixCorpusWeighted(Tables.load(spark, dir, "documents"), col("doc_id"), "mixw",
+        weights, weightedMixDefault)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x21: sharded sequence packing at a 2000-token budget. */
   def packQuery(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.load(spark, dir, "documents"))

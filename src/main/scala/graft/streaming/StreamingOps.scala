@@ -143,12 +143,16 @@ object StreamingOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[NearDupPair] = {
       val seen = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
       members.get().foreach(seen += _)
+      // ids alongside the list: the replay guard is then O(1) per doc
+      // instead of a list scan (quadratic in a degenerate hot bucket)
+      val seenIds = scala.collection.mutable.HashSet.empty[Long]
+      seen.foreach(seenIds += _.doc_id)
       val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
       val appended = scala.collection.mutable.ArrayBuffer.empty[BucketEntry]
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
         // replay/duplicate guard: a doc already indexed in this bucket
         // must not pair against itself or re-emit its pairs
-        if (!seen.exists(_.doc_id == r.doc_id)) {
+        if (!seenIds.contains(r.doc_id)) {
           val shSet = r.sh.toSet
           seen.foreach { e =>
             val inter = e.sh.count(shSet) // e.sh is distinct by construction
@@ -160,6 +164,7 @@ object StreamingOps {
           }
           val entry = BucketEntry(r.doc_id, r.sh)
           seen += entry
+          seenIds += r.doc_id
           appended += entry
         }
       }
