@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPrep, ExtrasOracle, Relational, RelationalOracle, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, DocPrep, ExtrasOracle, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, TextAnalysis, TextSearch}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,6 +76,14 @@ object SparkEntry {
     // x22: the broadcast-weights-table mix (the beyond-10^3-sources form
     // of x20), oracle-checked against a DuckDB weights-table join.
     "x22_mix_weighted"  -> (Sampling.mixWeightedQuery _),
+    // x23-x26: retrieval + behavioral analytics — BM25 full-text top-k,
+    // gap sessionization, edit-distance record linkage (deletion-
+    // neighborhood blocking vs a brute-force oracle), and exact-count
+    // stratified sampling.
+    "x23_bm25"          -> (TextSearch.bm25Query _),
+    "x24_sessions"      -> (Sessionize.sessionQuery _),
+    "x25_fuzzy_join"    -> (Linkage.fuzzyQuery _),
+    "x26_stratified"    -> (Sampling.stratifiedQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

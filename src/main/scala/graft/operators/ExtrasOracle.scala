@@ -246,6 +246,10 @@ object ExtrasOracle {
     "x19_split" -> splitSql,
     "x20_mix" -> mixSql,
     "x22_mix_weighted" -> mixWeightedSql,
+    "x23_bm25" -> bm25Sql,
+    "x24_sessions" -> sessionSql,
+    "x25_fuzzy_join" -> fuzzySql,
+    "x26_stratified" -> stratifiedSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -296,6 +300,103 @@ object ExtrasOracle {
        |      < (CASE source $rates ELSE 1.0 END) * ${Sampling.BucketSpace}
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB twin of TextSearch.bm25Query, generated from the SAME query
+    * set and scoring constants (interpolated as this JVM's shortest
+    * round-trip double literals, CAST AS DOUBLE so DuckDB cannot slip
+    * into exact-decimal arithmetic Spark doesn't do). Contributions are
+    * rounded to 6 decimals and decimal-summed — order-independent; see
+    * TextSearch for the ln-ulp analysis. */
+  private def bm25Sql: String = {
+    val qvals = TextSearch.demoQueries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val k1 = TextSearch.DefaultK1
+    val b = TextSearch.DefaultB
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |dl AS (
+       |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |        FROM documents)
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln(1 + (stats.n_docs - df.df + ${d(0.5)}) / (df.df + ${d(0.5)})) *
+       |      (tf.tf * ${d(k1 + 1)}) /
+       |      (tf.tf + ${d(k1)} * (1 - ${d(b)} + ${d(b)} * dl.dl / stats.avgdl)),
+       |      6) AS DECIMAL(18,6)) AS c
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN df ON q.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of Sessionize.sessionQuery: identical lag/cumsum window
+    * pair, microsecond epoch diffs, decimal-summed values. */
+  private def sessionSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${Sessionize.DefaultGapUs}
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM o)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** DuckDB twin of Linkage.fuzzyQuery — deliberately the BRUTE-FORCE
+    * cross join (ground truth), so a recall hole in the deletion-
+    * neighborhood blocking would surface as a row-count mismatch. */
+  private def fuzzySql: String = {
+    val probes = Linkage.fuzzyProbes
+      .map { case (id, p) => s"($id, '${p.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH p(probe_id, probe) AS (VALUES $probes),
+       |n AS (SELECT DISTINCT p_name FROM part)
+       |SELECT p.probe_id, p.probe, n.p_name, levenshtein(p.probe, n.p_name) AS dist
+       |FROM p CROSS JOIN n
+       |WHERE levenshtein(p.probe, n.p_name) <= 2
+       |ORDER BY probe_id, dist, p_name""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.stratifiedQuery: same bucket, same
+    * per-stratum bottom-12 by (bucket, doc_id). */
+  private def stratifiedSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, ${bucketSql("doc_id::VARCHAR", "strat")} AS bucket
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+       |  FROM b)
+       |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Sampling.mixWeightedQuery: a weights-table LEFT JOIN
     * with a coalesce fallback — the same decision the broadcast-join

@@ -435,6 +435,10 @@ object RelationalSql {
     "x19_split" -> samplingSplitSql,
     "x20_mix" -> samplingMixSql,
     "x22_mix_weighted" -> samplingMixWeightedSql,
+    "x23_bm25" -> bm25Sql,
+    "x24_sessions" -> sessionSql,
+    "x25_fuzzy_join" -> fuzzySql,
+    "x26_stratified" -> stratifiedSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -483,6 +487,101 @@ object RelationalSql {
        |      < (CASE source $rates ELSE CAST(1.0 AS DOUBLE) END) * ${Sampling.BucketSpace}
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Spark-SQL face of TextSearch.bm25Query, generated from the same
+    * query set and constants. Dialect diffs from the DuckDB twin only:
+    * split/filter/size/explode for the list ops. */
+  private def bm25Sql: String = {
+    val qvals = TextSearch.demoQueries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val k1 = TextSearch.DefaultK1
+    val b = TextSearch.DefaultB
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""WITH q (query_id, term) AS (SELECT * FROM VALUES $qvals),
+       |dl AS (
+       |  SELECT doc_id, CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(1) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(1) AS tf
+       |  FROM (SELECT doc_id, explode(filter(split(text, ' '), x -> x <> '')) AS term
+       |        FROM documents)
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln(1 + (stats.n_docs - df.df + ${d(0.5)}) / (df.df + ${d(0.5)})) *
+       |      (tf.tf * ${d(k1 + 1)}) /
+       |      (tf.tf + ${d(k1)} * (1 - ${d(b)} + ${d(b)} * dl.dl / stats.avgdl)),
+       |      6) AS DECIMAL(18,6)) AS c
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN df ON q.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Spark-SQL face of Sessionize.sessionQuery: the lag/cumsum window
+    * pair a SQL analyst writes. */
+  private def sessionSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(unix_micros(ts))
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         OR unix_micros(ts) - lag(unix_micros(ts))
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |           > ${Sessionize.DefaultGapUs}
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_s
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM o)
+       |SELECT user_id, session_idx, COUNT(1) AS n_events,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Spark-SQL face of Linkage.fuzzyQuery: the cross join + threshold a
+    * SQL user writes (the DataFrame face reaches the same rows through
+    * deletion-neighborhood blocking — result-identity IS the recall
+    * proof at this scale). */
+  private def fuzzySql: String = {
+    val probes = Linkage.fuzzyProbes
+      .map { case (id, p) => s"($id, '${p.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH p (probe_id, probe) AS (SELECT * FROM VALUES $probes),
+       |n AS (SELECT DISTINCT p_name FROM part)
+       |SELECT p.probe_id, p.probe, n.p_name, levenshtein(p.probe, n.p_name) AS dist
+       |FROM p CROSS JOIN n
+       |WHERE levenshtein(p.probe, n.p_name) <= 2
+       |ORDER BY probe_id, dist, p_name""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.stratifiedQuery. */
+  private def stratifiedSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, ${sparkBucketSql("strat")} AS bucket
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+       |  FROM b)
+       |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
 
   /** Spark-SQL face of Sampling.mixWeightedQuery: the weights TABLE as a
     * VALUES CTE left-joined onto the corpus — the SQL a user types for

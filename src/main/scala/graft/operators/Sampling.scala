@@ -113,6 +113,30 @@ object Sampling {
       .drop("_mix_source", "_mix_rate")
   }
 
+  /** Deterministic stratified sample: EXACTLY `n` rows per stratum (all
+    * rows when the stratum is smaller), chosen as the stratum's n
+    * smallest hash buckets — so like every operator here the selection
+    * is a pure function of (key, salt): engine/partitioning-stable,
+    * reproducible, and stable under appends EXCEPT that a new row whose
+    * bucket enters the stratum's bottom-n evicts its largest bucket
+    * (exact-count sampling cannot be append-monotone; use [[keepAtRate]]
+    * when nested/incremental samples matter more than exact counts).
+    *
+    * Scale shape: one shuffle on the stratum key, then a per-stratum
+    * sort for row_number. A hot stratum serializes through one
+    * partition's sort — fine for the typical "n per source/lang" audit
+    * sample; for huge strata swap the window for a bounded-heap top-n
+    * aggregator over (bucket, key) (the [[graft.functions.TopKAggregator]]
+    * pattern x05 uses), which partial-aggregates map-side. */
+  def stratifiedSample(rows: DataFrame, stratum: Column, key: Column,
+                       salt: String, n: Int): DataFrame = {
+    require(n > 0, s"stratifiedSample: n=$n")
+    val w = Window.partitionBy(stratum).orderBy(hashBucket(key, salt), key)
+    rows.withColumn("_strat_rn", row_number().over(w))
+      .filter(col("_strat_rn") <= n)
+      .drop("_strat_rn")
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * training bins. Docs are packed in doc_id order by running token
     * count; a document lands in the bin its STARTING offset falls in
@@ -196,6 +220,13 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** x26: exactly 12 docs per source, hash-deterministic. */
+  def stratifiedQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.load(spark, dir, "documents"),
+        col("source"), col("doc_id"), "strat", 12)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** x21: sharded sequence packing at a 2000-token budget. */
   def packQuery(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Distributed BM25 full-text search: score a set of keyword queries
+  * against the corpus and return the top-k documents per query — the
+  * retrieval operator of a training-data / RAG pipeline.
+  *
+  * Scale shape: two passes over the corpus, both narrow. Pass 1 is the
+  * scalar stats agg (doc count, average length — no shuffle, the result
+  * broadcasts). Pass 2 explodes tokens but filters to the QUERY TERMS
+  * before the one corpus-sized shuffle — postings are built only for
+  * terms someone asked about, so aggregate state is |matching docs| x
+  * |query terms|, not the corpus vocabulary — and the doc length rides
+  * along with each token, so postings never join back to the corpus.
+  * Document frequencies are a window count over the postings' term
+  * partitions (bounded by matching docs, spill-safe), queries broadcast,
+  * and the final top-k is a per-query window that Spark executes with
+  * WindowGroupLimit pushdown (partial top-k before the shuffle).
+  *
+  * Determinism: each per-term contribution is rounded to 6 decimals and
+  * cast to DECIMAL(18,6), so the per-doc score is an exact decimal sum —
+  * order-independent and engine-independent. The only transcendental is
+  * `ln` in the idf, whose <=1-ulp cross-engine wobble is absorbed by the
+  * rounding (a flip needs a contribution within ~1e-15 of a 5e-7
+  * boundary). All scoring constants are interpolated into the oracle SQL
+  * from the SAME Scala values, so both engines parse identical literals.
+  */
+object TextSearch {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Lucene-style BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5)). */
+  private def idf(nDocs: Column, df: Column): Column =
+    log(lit(1) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** Top-k docs per query under BM25. `queries` are (query_id,
+    * whitespace-separated terms); output (query_id, doc_id, score, rank)
+    * with rank 1..k by (score desc, doc_id). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: no queries")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val termSet = queries.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    // scalar corpus stats (zero shuffle, result broadcasts); avgdl as one
+    // explicit double division so both engines compute the identical IEEE
+    // value
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    // the doc length rides along with the exploded tokens, so postings
+    // need no join back to a lengths table — and df is a count over the
+    // postings' term partitions, not a re-derivation of the whole
+    // subtree (Catalyst does not dedupe a twice-referenced aggregate;
+    // measured: the join-back form re-scanned and re-shuffled the corpus)
+    val postings = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+
+    val contrib = postings
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          idf(col("n_docs"), col("df")) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+          6).cast("decimal(18,6)").as("c"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Demo query set for [[bm25Query]] (x23), shared with the oracle
+    * generator. */
+  private[graft] val demoQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark hash join",
+    2 -> "stream window agg",
+    3 -> "sort merge table scan")
+
+  /** x23: BM25 top-10 per demo query over the documents table. */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.load(spark, dir, "documents"), demoQueries)
+      .orderBy(col("query_id"), col("rank"))
+}

@@ -136,6 +136,29 @@ class SamplingSpec extends SparkSpec {
       s"fact side shuffled in what must be a narrow pass:\n$plan")
   }
 
+  test("stratified sample: exactly n per stratum, whole stratum when smaller, stable") {
+    val d = spark.range(1000).select($"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 3).cast("string")).as("source"))
+      .union(Seq((9991L, "tiny"), (9992L, "tiny")).toDF("doc_id", "source"))
+    val out = Sampling.stratifiedSample(d, $"source", $"doc_id", "t", 10)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(out == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L, "tiny" -> 2L))
+    // selection is a pure function of (key, salt): repartitioning the
+    // input changes nothing
+    val a = Sampling.stratifiedSample(d, $"source", $"doc_id", "t", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(d.repartition(13), $"source", $"doc_id", "t", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "stratified selection flipped under a different partitioning")
+    // a different salt draws a different sample (not degenerate)
+    val c = Sampling.stratifiedSample(d, $"source", $"doc_id", "u", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a != c)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(d, $"source", $"doc_id", "t", 0)
+    }
+  }
+
   test("packing: every doc's start offset lands in its pack's token range") {
     val budget = 2000L
     val out = Sampling.packSequences(docs, budget = budget, shards = 32)
