@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPrep, ExtrasOracle, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, TextAnalysis, TextSearch}
+import graft.operators.{Analytics, Dedup, DocPrep, ExtrasOracle, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, TextAnalysis, TextSearch}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -84,6 +84,12 @@ object SparkEntry {
     "x24_sessions"      -> (Sessionize.sessionQuery _),
     "x25_fuzzy_join"    -> (Linkage.fuzzyQuery _),
     "x26_stratified"    -> (Sampling.stratifiedQuery _),
+    // x27-x29: warehouse analytics — SCD2 history build (the type-2 face
+    // of the reference's type-1 upsert store), exact percentile rollup,
+    // and an explicit-values revenue pivot.
+    "x27_scd2"          -> (Analytics.scd2Query _),
+    "x28_percentiles"   -> (Analytics.percentileQuery _),
+    "x29_pivot"         -> (Analytics.pivotQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Determinism.{dec, dsum}
+import graft.core.Tables
+
+/** Warehouse-style analytics operators: SCD type-2 history build from a
+  * change log, exact percentile rollups, and wide pivot tables. The
+  * reference engine's store is type-1 (last-write-wins PK upsert,
+  * cassandra_storage.py:75-110 — R18); these extend it with the
+  * history-preserving and analytic faces a warehouse on the same data
+  * needs.
+  *
+  * Scale shapes: scd2Build is one shuffle on the entity key with both
+  * windows sharing a single sort (the change filter preserves the
+  * (ts, tiebreak) order, so Catalyst plans lag-filter-lead-row_number
+  * into one exchange + one sort — PLANS.md x27). Percentile rollup is a
+  * two-phase hash agg whose buffer holds per-group value multisets —
+  * exact percentiles cannot stream, so at 100 TB either group cardinality
+  * bounds the buffer (typical: thousands of groups) or swap in
+  * `percentile_approx` (mergeable GK sketch, same call shape, tested in
+  * FunctionsSpec). Pivot with an EXPLICIT value list is a single
+  * two-phase hash agg (one shuffle, no driver-side distinct scan — never
+  * call pivot without values at scale; Spark must otherwise run a
+  * blocking distinct job first).
+  */
+object Analytics {
+
+  /** Build an SCD type-2 history from an event-grained change log: one
+    * row per (entity, run of consecutive equal attribute values), with
+    * half-open validity `[effective_from, effective_to)`, a 1-based
+    * per-entity `version`, and `is_current` on the open row. Consecutive
+    * duplicates collapse (null-safely: a null attribute is a value, and
+    * only CHANGES open a new version). `tiebreakCol` makes the event
+    * order total when timestamps collide, so the history is deterministic
+    * under any partitioning.
+    *
+    * Point-in-time lookup over the result is an as-of join on
+    * `effective_from` ([[AsOfJoin.asOfNative]], q21) or a range join on
+    * the validity interval (q07's shape).
+    */
+  def scd2Build(log: DataFrame, keyCols: Seq[String], attrCol: String,
+                tsCol: String, tiebreakCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Build: at least one key column")
+    val keys = keyCols.map(col)
+    val order = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tiebreakCol))
+    val changes = log
+      .withColumn("_prev", lag(col(attrCol), 1).over(order))
+      // null-safe inequality: first row (_prev null sentinel) and every
+      // genuine change survive; consecutive equal values collapse
+      .filter(!(col(attrCol) <=> col("_prev")))
+      .select(keys :+ col(attrCol) :+ col(tsCol).as("effective_from")
+        :+ col(tiebreakCol).as("_tb"): _*)
+    val runs = Window.partitionBy(keys: _*).orderBy(col("effective_from"), col("_tb"))
+    changes
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(runs))
+      .withColumn("version", row_number().over(runs).cast("long"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("_tb")
+  }
+
+  /** x27: SCD2 history of each user's event_type over the events table —
+    * the type-2 face of the reference's type-1 upsert store. */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame =
+    scd2Build(Tables.load(spark, dir, "events"),
+        keyCols = Seq("user_id"), attrCol = "event_type",
+        tsCol = "ts", tiebreakCol = "event_id")
+      .withColumnRenamed("event_type", "attr")
+      .orderBy(col("user_id"), col("version"))
+
+  /** Exact interpolated percentiles of `valueCol` per group — one
+    * two-phase hash agg. Results go through DECIMAL(18,4) (both engines
+    * interpolate over the same sorted doubles; the decimal image makes
+    * the cross-engine compare exact, same discipline as dsum). */
+  def percentileRollup(rows: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"percentileRollup: bad percentile spec $ps")
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(dec(percentile(col(valueCol), lit(ps.head._2))).as(ps.head._1),
+        ps.tail.map { case (name, p) =>
+          dec(percentile(col(valueCol), lit(p))).as(name)
+        }: _*)
+  }
+
+  private[graft] val percentileSpec: Seq[(String, Double)] =
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  /** x28: exact value percentiles per event_type. */
+  def percentileQuery(spark: SparkSession, dir: String): DataFrame =
+    percentileRollup(Tables.load(spark, dir, "events"),
+        Seq("event_type"), "value", percentileSpec)
+      .orderBy(col("event_type"))
+
+  private[graft] val pivotYears: Seq[Int] = 1995 to 2001
+
+  /** x29: revenue pivot — nation rows x order-year columns (y1995..y2001,
+    * decimal-summed o_totalprice; null where a nation has no orders that
+    * year). The explicit value list keeps this a single one-shuffle
+    * two-phase hash agg: no driver-side distinct-values job, and the
+    * column set is fixed at plan time (schema stability a 100 TB nightly
+    * build needs anyway). */
+  def pivotQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", concat(lit("y"), year(col("o_orderdate"))))
+      .groupBy(col("n_name"))
+      .pivot("yr", pivotYears.map("y" + _))
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("n_name"))
+  }
+}

@@ -323,35 +323,88 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bsig")))
 
+  /** Shingled view of a corpus: (doc_id, sh) with empty-shingle docs
+    * dropped (shared by signature build and exact-Jaccard verify). */
+  private def shingled(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** LSH bucket rows (doc_id, band, bsig) — the PERSISTABLE MinHash
+    * index of a corpus: write these three narrow columns to parquet
+    * (partitioned/bucketed by (band, bsig) at scale) and later batches
+    * dedup against them via [[minhashIncrementalPairs]] without ever
+    * touching the old corpus's signatures again. The streaming face of
+    * the same index is
+    * [[graft.streaming.StreamingOps.minhashNearDupStream]]. */
+  def minhashBuckets(docs: DataFrame, n: Int = 3, bands: Int = 16,
+                     rowsPerBand: Int = 4): DataFrame =
+    shingled(docs, n)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.bindArray(
+          minhashSignature(col("sh"), bands * rowsPerBand))(
+          sig => lshBands(sig, bands, rowsPerBand)).as("bandkeys"))
+      .select(col("doc_id"), explode(col("bandkeys")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
+    * shingle sets in `sh` — integer-exact threshold test
+    * (inter/uni >= t  <=>  inter >= t*uni, no float division). */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame,
+                            jaccardThreshold: Double): DataFrame = {
+    val sh1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val sh2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand.join(sh1, "d1").join(sh2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
+      .filter(col("inter").cast("double") >= lit(jaccardThreshold) * col("uni").cast("double"))
+      .select(col("d1"), col("d2"), col("inter"), col("uni"))
+  }
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard over the
     * shingle sets. numHashes = bands * rowsPerBand. Candidates come from
     * an equi-join on bucket keys (shuffle on buckets, never a cross join);
     * the exact-Jaccard verify join only touches candidate pairs. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16,
                       rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
-    val withShingles = docs
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = withShingles
-      .select(col("doc_id"), col("sh"),
-        graft.functions.VectorFunctions.bindArray(
-          minhashSignature(col("sh"), bands * rowsPerBand))(
-          sig => lshBands(sig, bands, rowsPerBand)).as("bandkeys"))
-    val buckets = sigs.select(col("doc_id"), explode(col("bandkeys")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val buckets = minhashBuckets(docs, n, bands, rowsPerBand)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sh1 = withShingles.select(col("doc_id").as("d1"), col("sh").as("sh1"))
-    val sh2 = withShingles.select(col("doc_id").as("d2"), col("sh").as("sh2"))
-    cand.join(sh1, "d1").join(sh2, "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
-      // integer-exact threshold test: inter/uni >= t  <=>  inter >= t*uni
-      .filter(col("inter").cast("double") >= lit(jaccardThreshold) * col("uni").cast("double"))
-      .select(col("d1"), col("d2"), col("inter"), col("uni"))
+    jaccardVerify(cand, shingled(docs, n), jaccardThreshold)
+  }
+
+  /** Incremental near-dup: pairs of a NEW batch against an already-
+    * indexed corpus, plus pairs within the batch itself — so appending
+    * batch after batch while writing each batch's [[minhashBuckets]]
+    * into the index keeps the dedup'd corpus exactly what a full
+    * [[minhashLshPairs]] over everything would produce (spec-proven
+    * equivalence), without ever re-signing old documents. `corpusDocs`
+    * supplies the text for the exact-Jaccard verify of CANDIDATES only
+    * (the candidate set is tiny next to the corpus, and the verify join
+    * prunes to exactly those ids — at 100 TB this is a semi-join-shaped
+    * point lookup, not a corpus rescan). Document ids must be globally
+    * unique across corpus and batch (the same contract every incremental
+    * pipeline already has); pairs come out canonicalized d1 < d2. */
+  def minhashIncrementalPairs(batch: DataFrame, corpusIndex: DataFrame,
+                              corpusDocs: DataFrame, n: Int = 3, bands: Int = 16,
+                              rowsPerBand: Int = 4,
+                              jaccardThreshold: Double = 0.5): DataFrame = {
+    val bb = minhashBuckets(batch, n, bands, rowsPerBand)
+    val cross = corpusIndex.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    val internal = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cand = cross.union(internal).distinct()
+    val sh = shingled(corpusDocs.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text"))), n)
+    jaccardVerify(cand, sh, jaccardThreshold)
   }
 
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =

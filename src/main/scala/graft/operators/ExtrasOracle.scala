@@ -250,6 +250,9 @@ object ExtrasOracle {
     "x24_sessions" -> sessionSql,
     "x25_fuzzy_join" -> fuzzySql,
     "x26_stratified" -> stratifiedSql,
+    "x27_scd2" -> scd2Sql,
+    "x28_percentiles" -> percentileSql,
+    "x29_pivot" -> pivotSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -397,6 +400,53 @@ object ExtrasOracle {
        |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
        |  FROM b)
        |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Analytics.scd2Query: lag-change filter (IS DISTINCT
+    * FROM = Spark's null-safe `<=>` negated), then lead/row_number over
+    * the change rows — identical (ts, event_id) total order on both
+    * engines. */
+  private def scd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE event_type IS DISTINCT FROM prev_type),
+      |hist AS (
+      |  SELECT user_id, event_type AS attr, ts AS effective_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+      |  FROM changes)
+      |SELECT user_id, attr, effective_from, effective_to, version,
+      |  (effective_to IS NULL) AS is_current
+      |FROM hist ORDER BY user_id, version""".stripMargin
+
+  /** DuckDB twin of Analytics.percentileQuery: quantile_cont is the same
+    * linear interpolation over the same sorted doubles as Spark's exact
+    * `percentile`; both images go through DECIMAL(18,4). */
+  private def percentileSql: String = {
+    val cols = Analytics.percentileSpec.map { case (name, p) =>
+      s"CAST(quantile_cont(value, $p) AS DECIMAL(18,4)) AS $name"
+    }.mkString(",\n  ")
+    s"""SELECT event_type,
+       |  $cols
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** DuckDB twin of Analytics.pivotQuery: conditional aggregation with
+    * the same explicit year columns and the same decimal-sum image. */
+  private def pivotSql: String = {
+    val cols = Analytics.pivotYears.map { y =>
+      s"""CAST(SUM(CASE WHEN year(o_orderdate) = $y THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS y$y"""
+    }.mkString(",\n  ")
+    s"""SELECT n_name,
+       |  $cols
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
 
   /** DuckDB twin of Sampling.mixWeightedQuery: a weights-table LEFT JOIN
     * with a coalesce fallback — the same decision the broadcast-join

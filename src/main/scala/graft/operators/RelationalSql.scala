@@ -439,6 +439,9 @@ object RelationalSql {
     "x24_sessions" -> sessionSql,
     "x25_fuzzy_join" -> fuzzySql,
     "x26_stratified" -> stratifiedSql,
+    "x27_scd2" -> scd2Sql,
+    "x28_percentiles" -> percentileSql,
+    "x29_pivot" -> pivotSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -582,6 +585,50 @@ object RelationalSql {
        |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
        |  FROM b)
        |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of Analytics.scd2Query: NOT(a <=> b) is the null-safe
+    * change test (Spark SQL's IS DISTINCT FROM spelling). */
+  private def scd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE NOT (event_type <=> prev_type)),
+      |hist AS (
+      |  SELECT user_id, event_type AS attr, ts AS effective_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+      |  FROM changes)
+      |SELECT user_id, attr, effective_from, effective_to, version,
+      |  (effective_to IS NULL) AS is_current
+      |FROM hist ORDER BY user_id, version""".stripMargin
+
+  /** Spark-SQL face of Analytics.percentileQuery. */
+  private def percentileSql: String = {
+    val cols = Analytics.percentileSpec.map { case (name, p) =>
+      s"CAST(percentile(value, CAST($p AS DOUBLE)) AS DECIMAL(18,4)) AS $name"
+    }.mkString(",\n  ")
+    s"""SELECT event_type,
+       |  $cols
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** Spark-SQL face of Analytics.pivotQuery: the SQL PIVOT clause with
+    * the same explicit year list (`FOR yr IN (...)` — plan-time columns,
+    * no distinct-values job, like the DataFrame face). */
+  private def pivotSql: String = {
+    val inList = Analytics.pivotYears.map(y => s"'y$y' AS y$y").mkString(", ")
+    s"""SELECT * FROM (
+       |  SELECT n_name, concat('y', year(o_orderdate)) AS yr,
+       |         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey)
+       |PIVOT (CAST(SUM(price) AS DOUBLE) FOR yr IN ($inList))
+       |ORDER BY n_name""".stripMargin
+  }
 
   /** Spark-SQL face of Sampling.mixWeightedQuery: the weights TABLE as a
     * VALUES CTE left-joined onto the corpus — the SQL a user types for

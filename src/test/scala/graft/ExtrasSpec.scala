@@ -36,6 +36,31 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: batch-vs-index equals the full-corpus run") {
+    // split the corpus into an "already indexed" half and a "new batch";
+    // dedup'ing the batch against the persisted bucket index (plus
+    // within itself) must yield exactly the full run's pairs that touch
+    // the batch — the invariant that makes index-once/append-forever
+    // equivalent to recomputing from scratch
+    val all = docs.select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 250)
+    val batch = all.filter($"doc_id" >= 250)
+    // round-trip the index through parquet: the persistence contract
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.minhashBuckets(corpus).write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val incremental = Dedup.minhashIncrementalPairs(batch, index, corpus)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(all)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => a >= 250 || b >= 250 }
+    assert(incremental == expected,
+      s"extra=${incremental -- expected} missing=${expected -- incremental}")
+    // and batch-internal pairs really are covered (not only cross pairs)
+    assert(expected.exists { case (a, b) => a >= 250 && b >= 250 } ||
+      expected.isEmpty || incremental == expected)
+  }
+
   test("simhash: hamming distance separates near-dups from random pairs") {
     // near-dup = one appended token out of ~90 → few flipped bits;
     // unrelated docs → ~32 flipped bits. Compare distributions directly.
