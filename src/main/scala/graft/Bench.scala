@@ -92,6 +92,11 @@ object Bench {
   private def fmt(d: Double): String =
     if (d == d) String.format(java.util.Locale.ROOT, "%.4f", Double.box(d)) else "-1"
 
+  /** Compact-line value format: 3 decimals (1 ms resolution — plenty for
+    * per-query seconds; the full-precision record is the line above). */
+  private def fmt3(d: Double): String =
+    if (d == d) String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)) else "-1"
+
   /** The compact (FINAL) stdout line: total + per-query seconds + the two
     * trust fields. Kept to a size any >= 2 KB tail capture holds whole —
     * BenchSpec pins the bound at the current query count.
@@ -99,7 +104,7 @@ object Bench {
   def compactLine(total: Double, queries: Seq[(String, Double)],
                   contendedNames: Seq[String], baselineSuspect: Boolean,
                   sfDir: String): String = {
-    val qs = jsonMap(queries.map { case (n, v) => n -> fmt(v) })
+    val qs = jsonMap(queries.map { case (n, v) => n -> fmt3(v) })
     val contended = contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sfDir"}"""

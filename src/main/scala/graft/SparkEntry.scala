@@ -90,6 +90,13 @@ object SparkEntry {
     "x27_scd2"          -> (Analytics.scd2Query _),
     "x28_percentiles"   -> (Analytics.percentileQuery _),
     "x29_pivot"         -> (Analytics.pivotQuery _),
+    // x30-x33: unpivot round-trip, post-clustering canonical-doc
+    // selection, time-range moving average, decimal-moment z-score
+    // anomalies.
+    "x30_unpivot"       -> (Analytics.unpivotQuery _),
+    "x31_canonical"     -> (Dedup.canonicalQuery _),
+    "x32_moving_avg"    -> (Analytics.movingAvgQuery _),
+    "x33_anomaly"       -> (Analytics.anomalyQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -96,6 +96,71 @@ object Analytics {
 
   private[graft] val pivotYears: Seq[Int] = 1995 to 2001
 
+  /** x30: the pivot round-trip — melt x29's wide table back to long
+    * (n_name, yr, revenue) rows via the built-in `unpivot`, dropping the
+    * null gap cells. Proves wide→long is lossless against the oracle's
+    * direct long-form aggregation. `unpivot` is a pure projection+
+    * generator (each input row explodes to its year columns — no
+    * shuffle beyond what produced the input). */
+  def unpivotQuery(spark: SparkSession, dir: String): DataFrame =
+    pivotQuery(spark, dir)
+      .unpivot(Array(col("n_name")),
+        pivotYears.map(y => col("y" + y)).toArray, "yr", "revenue")
+      .filter(col("revenue").isNotNull)
+      .orderBy(col("n_name"), col("yr"))
+
+  /** Time-range moving aggregate: per `keyCol`, the average of `valueCol`
+    * over the trailing `windowUs` microseconds (inclusive) at each row —
+    * a RANGE frame over event-time, the standard trailing-7-day metric.
+    * The mean is decimal-summed / counted (one double division at the
+    * end), so it is order-independent and cross-engine exact. One
+    * shuffle on the key; the range frame scans each partition once with
+    * a sliding accumulator. */
+  def movingAvg(rows: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, windowUs: Long): Column = {
+    require(windowUs >= 0, s"movingAvg: windowUs=$windowUs")
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, Window.currentRow)
+    sum(dec(col(valueCol))).over(w).cast("double") / count(col(valueCol)).over(w)
+  }
+
+  /** x32: trailing-7-day moving average of value per user. */
+  def movingAvgQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        movingAvg(events, "user_id", "ts", "value", 7L * 86400 * 1000000).as("mavg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Z-score outliers of `valueCol` within each group: |x - mean| >
+    * k*std, with mean and E[x^2] from exact decimal sums (one double
+    * division/sqrt at the end — cross-engine deterministic, unlike
+    * stddev over doubles whose result depends on partial-agg order).
+    * Two-pass shape: a tiny per-group moments aggregate broadcast back
+    * onto the fact rows — at 100 TB the fact side never shuffles. */
+  def zscoreOutliers(rows: DataFrame, groupCol: String, valueCol: String,
+                     k: Double): DataFrame = {
+    require(k > 0, s"zscoreOutliers: k=$k")
+    val v = col(valueCol)
+    val moments = rows.groupBy(col(groupCol)).agg(
+      sum(dec(v)).cast("double").as("_s1"),
+      sum(dec(v * v)).cast("double").as("_s2"),
+      count(v).as("_n"))
+    val mean = col("_s1") / col("_n")
+    val std = sqrt(col("_s2") / col("_n") - mean * mean)
+    rows.join(broadcast(moments), groupCol)
+      .filter(abs(v - mean) > lit(k) * std)
+      .withColumn("z", dec((v - mean) / std))
+      .drop("_s1", "_s2", "_n")
+  }
+
+  /** x33: per-event-type z-score outliers at k=2 over the events table
+    * (the anomaly face of the reference's sensor domain). */
+  def anomalyQuery(spark: SparkSession, dir: String): DataFrame =
+    zscoreOutliers(Tables.load(spark, dir, "events"), "event_type", "value", 2.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+
   /** x29: revenue pivot — nation rows x order-year columns (y1995..y2001,
     * decimal-summed o_totalprice; null where a nation has no orders that
     * year). The explicit value list keeps this a single one-shuffle

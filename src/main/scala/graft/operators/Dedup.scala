@@ -307,6 +307,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Winner selection — the step AFTER near-dup clustering: per cluster
+    * keep the best-scoring member (ties broken by smallest doc_id, so
+    * the choice is total and partition-stable). `clusters` is
+    * (doc_id, cluster_id) (e.g. [[connectedComponents]] output), `scores`
+    * maps doc_id to a quality column. One shuffle on cluster_id; the
+    * row_number window and the member-count aggregate share that
+    * partitioning. A pathological mega-cluster serializes through one
+    * partition's sort — the same skew axis clustering itself already has.
+    */
+  def canonicalPerCluster(clusters: DataFrame, scores: DataFrame,
+                          scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col("doc_id"))
+    clusters.join(scores, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("_rn") === 1, col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** x31: canonical doc per x14 near-dup cluster, best = most whitespace
+    * tokens (TextAnalysis.qualitySignals n_tokens), tie → lowest id. */
+  def canonicalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = ngramCandidatePairs(docs)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val clusters = connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val scores = docs.select(col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).as("n_tokens"))
+    canonicalPerCluster(clusters, scores, "n_tokens")
+      .orderBy(col("cluster_id"))
+  }
+
   // --------------------------------------------------------- MinHash LSH
 
   /** MinHash signature: for each of numHashes seeded hash functions, the

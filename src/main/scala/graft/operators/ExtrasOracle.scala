@@ -179,26 +179,28 @@ object ExtrasOracle {
     // recursive CTE computes the exact transitive closure (UNION dedups,
     // so cycles terminate); min reachable id == hash-min fixpoint label.
     "x14_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
-        |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
-        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-        |rg AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |  HAVING COUNT(*) >= 2),
-        |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m)
+      s"""$dupClusterCte
         |SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    // x31: canonical winner per x14 cluster — most ws-tokens, tie lowest
+    // id; same clusters CTE so the two oracles cannot drift.
+    "x31_canonical" ->
+      s"""$dupClusterCte,
+        |clusters AS (
+        |  SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY n),
+        |scored AS (
+        |  SELECT c.cluster_id, c.doc_id,
+        |    len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM clusters c JOIN documents d USING (doc_id)),
+        |ranked AS (
+        |  SELECT cluster_id, doc_id,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT cluster_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "x05_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
@@ -253,6 +255,9 @@ object ExtrasOracle {
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
     "x29_pivot" -> pivotSql,
+    "x30_unpivot" -> unpivotSql,
+    "x32_moving_avg" -> movingAvgSql,
+    "x33_anomaly" -> anomalySql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -269,6 +274,30 @@ object ExtrasOracle {
         |  shard * 1099511627776 + CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared clusters CTE (x14 + x31): x03's rare-gram candidate graph,
+    * then the exact transitive closure; ends at the `reach` relation so
+    * callers append either the label projection (x14) or the winner
+    * selection (x31). */
+  private def dupClusterCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+      |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+      |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+      |rg AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m)""".stripMargin
 
   /** DuckDB face of [[Sampling.hashBucket]]. The hex-prefix-to-int read
     * matches Spark's conv(substring(md5,1,8),16,10) bit-for-bit. */
@@ -447,6 +476,42 @@ object ExtrasOracle {
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin
   }
+
+  /** DuckDB twin of Analytics.unpivotQuery — the direct long-form
+    * aggregation the wide pivot melts back into. */
+  private def unpivotSql: String =
+    """SELECT n_name, 'y' || year(o_orderdate) AS yr,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin
+
+  /** DuckDB twin of Analytics.movingAvgQuery: the same trailing-7-day
+    * RANGE frame over epoch micros, decimal-summed / counted. */
+  private def movingAvgSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / COUNT(value) OVER w AS mavg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** DuckDB twin of Analytics.anomalyQuery: identical decimal moments →
+    * identical doubles → identical mean/std/threshold arithmetic. */
+  private def anomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+      |    COUNT(value) AS n
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4)) AS z
+      |FROM events e JOIN s USING (event_type)
+      |WHERE abs(e.value - s1/n) > 2 * sqrt(s2/n - (s1/n)*(s1/n))
+      |ORDER BY event_id""".stripMargin
 
   /** DuckDB twin of Sampling.mixWeightedQuery: a weights-table LEFT JOIN
     * with a coalesce fallback — the same decision the broadcast-join

@@ -442,6 +442,9 @@ object RelationalSql {
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
     "x29_pivot" -> pivotSql,
+    "x30_unpivot" -> unpivotSql,
+    "x32_moving_avg" -> movingAvgSql,
+    "x33_anomaly" -> anomalySql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -629,6 +632,49 @@ object RelationalSql {
        |PIVOT (CAST(SUM(price) AS DOUBLE) FOR yr IN ($inList))
        |ORDER BY n_name""".stripMargin
   }
+
+  /** Spark-SQL face of Analytics.unpivotQuery: the UNPIVOT clause over
+    * the same PIVOT subquery — the wide→long round trip in SQL text. */
+  private def unpivotSql: String = {
+    val inList = Analytics.pivotYears.map(y => s"'y$y' AS y$y").mkString(", ")
+    // unaliased list: the name column takes the column name itself
+    val unpivotList = Analytics.pivotYears.map(y => s"y$y").mkString(", ")
+    s"""SELECT n_name, yr, revenue FROM (
+       |  SELECT * FROM (
+       |    SELECT n_name, concat('y', year(o_orderdate)) AS yr2,
+       |           CAST(o_totalprice AS DECIMAL(18,4)) AS price
+       |    FROM orders
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON c_nationkey = n_nationkey)
+       |  PIVOT (CAST(SUM(price) AS DOUBLE) FOR yr2 IN ($inList)))
+       |UNPIVOT (revenue FOR yr IN ($unpivotList))
+       |WHERE revenue IS NOT NULL
+       |ORDER BY n_name, yr""".stripMargin
+  }
+
+  /** Spark-SQL face of Analytics.movingAvgQuery. */
+  private def movingAvgSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / COUNT(value) OVER w AS mavg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Spark-SQL face of Analytics.anomalyQuery. */
+  private def anomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+      |    COUNT(value) AS n
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4)) AS z
+      |FROM events e JOIN s USING (event_type)
+      |WHERE abs(e.value - s1/n) > 2 * sqrt(s2/n - (s1/n)*(s1/n))
+      |ORDER BY event_id""".stripMargin
 
   /** Spark-SQL face of Sampling.mixWeightedQuery: the weights TABLE as a
     * VALUES CTE left-joined onto the corpus — the SQL a user types for

@@ -124,6 +124,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(nullCells >= 0) // shape check only; sf0.001 may or may not have empty cells
   }
 
+  test("unpivot round-trips the pivot: long rows == direct long aggregation") {
+    val dir = sf("sf0.001")
+    val viaRoundTrip = Analytics.unpivotQuery(spark, dir)
+      .as[(String, String, Double)].collect().toSeq
+    val direct = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(Tables.load(spark, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", concat(lit("y"), year($"o_orderdate")).as("yr"))
+      .agg(graft.core.Determinism.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"n_name", $"yr")
+      .as[(String, String, Double)].collect().toSeq
+    assert(viaRoundTrip == direct)
+  }
+
+  test("moving average: trailing window includes exactly the in-range rows") {
+    val d = Seq(
+      (1L, 1L, new Timestamp(0L), 10.0),
+      (2L, 1L, new Timestamp(5000L), 20.0),   // 5s later
+      (3L, 1L, new Timestamp(11000L), 40.0),  // 11s: 10s window drops ts=0
+      (4L, 2L, new Timestamp(11000L), 100.0)) // other user isolated
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = d.select($"event_id",
+        Analytics.movingAvg(d, "user_id", "ts", "value", 10L * 1000000).as("m"))
+      .orderBy($"event_id").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10.0), (2L, 15.0), (3L, 30.0), (4L, 100.0)))
+  }
+
+  test("zscore outliers: flags exactly the |x-mean| > k*std rows, deterministic") {
+    val events = Tables.load(spark, sf("sf0.001"), "events")
+    val out = Analytics.zscoreOutliers(events, "event_type", "value", 2.0)
+    val flagged = out.select($"event_id").as[Long].collect().toSet
+    // manual check on one group
+    val vals = events.filter($"event_type" === "error")
+      .select($"event_id", $"value").as[(Long, Double)].collect()
+    val xs = vals.map(_._2)
+    val mean = xs.sum / xs.length
+    val std = math.sqrt(xs.map(x => x * x).sum / xs.length - mean * mean)
+    val expect = vals.filter { case (_, v) => math.abs(v - mean) > 2 * std }.map(_._1).toSet
+    val got = flagged.intersect(vals.map(_._1).toSet)
+    // decimal-moment arithmetic vs naive double sums can disagree only
+    // within float noise of the threshold — require the sets to agree
+    // exactly here (no event in this corpus sits at the boundary)
+    assert(got == expect, s"extra=${got -- expect} missing=${expect -- got}")
+    // partitioning-stability
+    val b = Analytics.zscoreOutliers(events.repartition(17), "event_type", "value", 2.0)
+      .select($"event_id").as[Long].collect().toSet
+    assert(b == flagged)
+  }
+
   test("pivot plan: explicit values — no distinct-values job at plan-build time") {
     // an implicit pivot (no value list) must run a blocking distinct job
     // to discover the columns BEFORE the plan exists; the explicit form

@@ -49,10 +49,10 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
       contendedNames = names.take(3),    // a few flagged entries
       baselineSuspect = false,
       sfDir = "/root/testdata/sf0.1")
-    assert(line.getBytes("UTF-8").length <= 1500,
+    assert(line.getBytes("UTF-8").length <= 1700,
       s"compact bench line is ${line.length} bytes; driver tail keeps 2000")
     assert(line.startsWith("""{"metric":"total","""))
-    assert(line.contains("\"" + names.head + "\":99.1234"))
+    assert(line.contains("\"" + names.head + "\":99.123"))
   }
 
   test("compact line formats locale-independently and handles NaN") {

@@ -36,6 +36,18 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("canonical-per-cluster keeps the best-scoring member, ties to lowest id") {
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 1), (5L, 7))
+      .toDF("doc_id", "quality")
+    val out = Dedup.canonicalPerCluster(clusters, scores, "quality")
+      .orderBy($"cluster_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // cluster 10: docs 2 and 3 tie at 9 → keep 2; singletons keep themselves
+    assert(out == Seq((10L, 2L, 3L), (40L, 4L, 1L), (50L, 5L, 1L)))
+  }
+
   test("incremental minhash: batch-vs-index equals the full-corpus run") {
     // split the corpus into an "already indexed" half and a "new batch";
     // dedup'ing the batch against the persisted bucket index (plus
