@@ -116,7 +116,7 @@ object Analytics {
     * end), so it is order-independent and cross-engine exact. One
     * shuffle on the key; the range frame scans each partition once with
     * a sliding accumulator. */
-  def movingAvg(rows: DataFrame, keyCol: String, tsCol: String,
+  def movingAvg(keyCol: String, tsCol: String,
                 valueCol: String, windowUs: Long): Column = {
     require(windowUs >= 0, s"movingAvg: windowUs=$windowUs")
     val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
@@ -124,13 +124,16 @@ object Analytics {
     sum(dec(col(valueCol))).over(w).cast("double") / count(col(valueCol)).over(w)
   }
 
+  /** x32's trailing window: 7 days in microseconds — shared with both
+    * SQL twins so the three faces cannot drift. */
+  private[graft] val MovingAvgWindowUs: Long = 7L * 86400 * 1000000
+
   /** x32: trailing-7-day moving average of value per user. */
-  def movingAvgQuery(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events")
-    events.select(col("event_id"), col("user_id"), col("ts"),
-        movingAvg(events, "user_id", "ts", "value", 7L * 86400 * 1000000).as("mavg"))
+  def movingAvgQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        movingAvg("user_id", "ts", "value", MovingAvgWindowUs).as("mavg"))
       .orderBy(col("event_id"))
-  }
 
   /** Z-score outliers of `valueCol` within each group: |x - mean| >
     * k*std, with mean and E[x^2] from exact decimal sums (one double
@@ -154,10 +157,15 @@ object Analytics {
       .drop("_s1", "_s2", "_n")
   }
 
+  /** x33's threshold, shared with both SQL twins. An INTEGER-valued
+    * double: the twins interpolate it into SQL text, and "2.0" parses to
+    * the identical double everywhere. */
+  private[graft] val AnomalyK: Double = 2.0
+
   /** x33: per-event-type z-score outliers at k=2 over the events table
     * (the anomaly face of the reference's sensor domain). */
   def anomalyQuery(spark: SparkSession, dir: String): DataFrame =
-    zscoreOutliers(Tables.load(spark, dir, "events"), "event_type", "value", 2.0)
+    zscoreOutliers(Tables.load(spark, dir, "events"), "event_type", "value", AnomalyK)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id"))
 

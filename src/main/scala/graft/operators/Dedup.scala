@@ -319,8 +319,14 @@ object Dedup {
   def canonicalPerCluster(clusters: DataFrame, scores: DataFrame,
                           scoreCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col("doc_id"))
-    clusters.join(scores, "doc_id")
+      .partitionBy(col("cluster_id"))
+      // desc_nulls_last: an unscored member can win only if NO member of
+      // its cluster is scored (then lowest id) — never over a scored one
+      .orderBy(col(scoreCol).desc_nulls_last, col("doc_id"))
+    // LEFT join: a member missing from `scores` still counts in
+    // n_members and still participates (with a null score) — the join
+    // never silently shrinks a cluster
+    clusters.join(scores, Seq("doc_id"), "left")
       .withColumn("_rn", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(max(when(col("_rn") === 1, col("doc_id"))).as("keep_id"),
@@ -436,8 +442,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
     val cand = cross.union(internal).distinct()
-    val sh = shingled(corpusDocs.select(col("doc_id"), col("text"))
-      .unionByName(batch.select(col("doc_id"), col("text"))), n)
+    // prune the corpus to candidate ids BEFORE shingling — the verify
+    // must not re-shingle 100 TB of already-indexed text; after the
+    // semi-join only the (tiny) candidate set's documents are tokenized
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val corpusHits = corpusDocs.select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val sh = shingled(corpusHits.unionByName(batch.select(col("doc_id"), col("text"))), n)
     jaccardVerify(cand, sh, jaccardThreshold)
   }
 

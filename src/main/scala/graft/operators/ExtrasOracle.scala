@@ -428,7 +428,7 @@ object ExtrasOracle {
        |  SELECT doc_id, source,
        |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
        |  FROM b)
-       |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, source FROM r WHERE rn <= ${Sampling.StratifiedN} ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Analytics.scd2Query: lag-change filter (IS DISTINCT
     * FROM = Spark's null-safe `<=>` negated), then lead/row_number over
@@ -490,13 +490,13 @@ object ExtrasOracle {
   /** DuckDB twin of Analytics.movingAvgQuery: the same trailing-7-day
     * RANGE frame over epoch micros, decimal-summed / counted. */
   private def movingAvgSql: String =
-    """SELECT event_id, user_id, ts,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-      |    / COUNT(value) OVER w AS mavg
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-      |ORDER BY event_id""".stripMargin
+    s"""SELECT event_id, user_id, ts,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+       |    / COUNT(value) OVER w AS mavg
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN ${Analytics.MovingAvgWindowUs} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
 
   /** DuckDB twin of Analytics.anomalyQuery: identical decimal moments →
     * identical doubles → identical mean/std/threshold arithmetic. */
@@ -510,8 +510,8 @@ object ExtrasOracle {
       |SELECT e.event_id, e.event_type, e.value,
       |  CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4)) AS z
       |FROM events e JOIN s USING (event_type)
-      |WHERE abs(e.value - s1/n) > 2 * sqrt(s2/n - (s1/n)*(s1/n))
-      |ORDER BY event_id""".stripMargin
+      |WHERE abs(e.value - s1/n) > """.stripMargin +
+      s"${Analytics.AnomalyK} * sqrt(s2/n - (s1/n)*(s1/n))\nORDER BY event_id"
 
   /** DuckDB twin of Sampling.mixWeightedQuery: a weights-table LEFT JOIN
     * with a coalesce fallback — the same decision the broadcast-join

@@ -52,18 +52,34 @@ object Linkage {
 
   /** Join `left` and `right` where `levenshtein(leftKey, rightKey) <=
     * maxDist`, keeping all columns of both sides plus the distance as
-    * `dist`. Column names must be disjoint across the two frames. */
+    * `dist`. Column names must be disjoint across the two frames.
+    *
+    * BAG semantics, like the cross join it replaces: duplicate input
+    * rows each produce their own output row. Candidates are deduped per
+    * distinct (left row, right row) VALUE pair (a pair sharing several
+    * deletion variants must still match once), so each side is first
+    * collapsed to distinct rows with a multiplicity count and the
+    * product multiplicity is re-expanded after the verify — exact bag
+    * equivalence, deterministic under retries (no row ids involved). */
   def fuzzyJoin(left: DataFrame, leftKey: String,
                 right: DataFrame, rightKey: String, maxDist: Int): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"fuzzyJoin: overlapping columns $overlap")
-    val lv = left.withColumn("_fz_v", explode(deletionVariants(col(leftKey), maxDist)))
-    val rv = right.withColumn("_fz_v", explode(deletionVariants(col(rightKey), maxDist)))
+    val lcols = left.columns.toSeq
+    val rcols = right.columns.toSeq
+    val lg = left.groupBy(lcols.map(col): _*).agg(count(lit(1)).as("_fz_lc"))
+    val rg = right.groupBy(rcols.map(col): _*).agg(count(lit(1)).as("_fz_rc"))
+    val lv = lg.withColumn("_fz_v", explode(deletionVariants(col(leftKey), maxDist)))
+    val rv = rg.withColumn("_fz_v", explode(deletionVariants(col(rightKey), maxDist)))
     lv.join(rv, "_fz_v")
       .drop("_fz_v")
-      .distinct() // one candidate per (left, right) pair, however many shared variants
+      // rows are distinct per side here, so this is exactly one
+      // candidate per (left row, right row) pair
+      .dropDuplicates(lcols ++ rcols)
       .withColumn("dist", levenshtein(col(leftKey), col(rightKey), maxDist))
       .filter(col("dist") >= 0) // banded levenshtein: -1 = over threshold
+      .withColumn("_fz_i", explode(sequence(lit(1L), col("_fz_lc") * col("_fz_rc"))))
+      .drop("_fz_lc", "_fz_rc", "_fz_i")
   }
 
   /** Deterministic typo'd probes for [[fuzzyQuery]] (x25), shared with

@@ -587,7 +587,7 @@ object RelationalSql {
        |  SELECT doc_id, source,
        |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
        |  FROM b)
-       |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, source FROM r WHERE rn <= ${Sampling.StratifiedN} ORDER BY doc_id""".stripMargin
 
   /** Spark-SQL face of Analytics.scd2Query: NOT(a <=> b) is the null-safe
     * change test (Spark SQL's IS DISTINCT FROM spelling). */
@@ -654,13 +654,13 @@ object RelationalSql {
 
   /** Spark-SQL face of Analytics.movingAvgQuery. */
   private def movingAvgSql: String =
-    """SELECT event_id, user_id, ts,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-      |    / COUNT(value) OVER w AS mavg
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
-      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-      |ORDER BY event_id""".stripMargin
+    s"""SELECT event_id, user_id, ts,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+       |    / COUNT(value) OVER w AS mavg
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+       |             RANGE BETWEEN ${Analytics.MovingAvgWindowUs} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
 
   /** Spark-SQL face of Analytics.anomalyQuery. */
   private def anomalySql: String =
@@ -673,8 +673,8 @@ object RelationalSql {
       |SELECT e.event_id, e.event_type, e.value,
       |  CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4)) AS z
       |FROM events e JOIN s USING (event_type)
-      |WHERE abs(e.value - s1/n) > 2 * sqrt(s2/n - (s1/n)*(s1/n))
-      |ORDER BY event_id""".stripMargin
+      |WHERE abs(e.value - s1/n) > """.stripMargin +
+      s"${Analytics.AnomalyK} * sqrt(s2/n - (s1/n)*(s1/n))\nORDER BY event_id"
 
   /** Spark-SQL face of Sampling.mixWeightedQuery: the weights TABLE as a
     * VALUES CTE left-joined onto the corpus — the SQL a user types for

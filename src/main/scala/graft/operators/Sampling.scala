@@ -122,6 +122,12 @@ object Sampling {
     * (exact-count sampling cannot be append-monotone; use [[keepAtRate]]
     * when nested/incremental samples matter more than exact counts).
     *
+    * Determinism contract: `key` must uniquely identify rows WITHIN a
+    * stratum — the sort is (bucket, key), so rows sharing a key value
+    * have no total order and which one survives a cutoff tie would fall
+    * back to partition order (exactly the instability everything else
+    * here rules out). With unique keys the selection is total.
+    *
     * Scale shape: one shuffle on the stratum key, then a per-stratum
     * sort for row_number. A hot stratum serializes through one
     * partition's sort — fine for the typical "n per source/lang" audit
@@ -221,10 +227,13 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** x26's per-stratum count, shared with both SQL twins. */
+  private[graft] val StratifiedN: Int = 12
+
   /** x26: exactly 12 docs per source, hash-deterministic. */
   def stratifiedQuery(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.load(spark, dir, "documents"),
-        col("source"), col("doc_id"), "strat", 12)
+        col("source"), col("doc_id"), "strat", StratifiedN)
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 

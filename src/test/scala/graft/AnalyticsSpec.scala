@@ -146,7 +146,7 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 2L, new Timestamp(11000L), 100.0)) // other user isolated
       .toDF("event_id", "user_id", "ts", "value")
     val out = d.select($"event_id",
-        Analytics.movingAvg(d, "user_id", "ts", "value", 10L * 1000000).as("m"))
+        Analytics.movingAvg("user_id", "ts", "value", 10L * 1000000).as("m"))
       .orderBy($"event_id").as[(Long, Double)].collect().toSeq
     assert(out == Seq((1L, 10.0), (2L, 15.0), (3L, 30.0), (4L, 100.0)))
   }

@@ -48,6 +48,16 @@ class ExtrasSpec extends SparkSpec {
     assert(out == Seq((10L, 2L, 3L), (40L, 4L, 1L), (50L, 5L, 1L)))
   }
 
+  test("canonical-per-cluster: unscored members still count and never beat scored ones") {
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((2L, 1)).toDF("doc_id", "quality") // 1 and 3 unscored
+    val out = Dedup.canonicalPerCluster(clusters, scores, "quality")
+      .orderBy($"cluster_id").as[(Long, Long, Long)].collect().toSeq
+    // cluster 10: scored doc 2 wins over unscored doc 1, n_members = 2;
+    // cluster 30: all-unscored cluster survives, lowest id wins
+    assert(out == Seq((10L, 2L, 2L), (30L, 3L, 1L)))
+  }
+
   test("incremental minhash: batch-vs-index equals the full-corpus run") {
     // split the corpus into an "already indexed" half and a "new batch";
     // dedup'ing the batch against the persisted bucket index (plus
@@ -68,9 +78,11 @@ class ExtrasSpec extends SparkSpec {
     val expected = full.filter { case (a, b) => a >= 250 || b >= 250 }
     assert(incremental == expected,
       s"extra=${incremental -- expected} missing=${expected -- incremental}")
-    // and batch-internal pairs really are covered (not only cross pairs)
-    assert(expected.exists { case (a, b) => a >= 250 && b >= 250 } ||
-      expected.isEmpty || incremental == expected)
+    // the equality must have exercised BOTH pair kinds: cross (corpus x
+    // batch) and batch-internal — otherwise a regression in one path
+    // could hide behind an empty set
+    assert(expected.exists { case (a, b) => a < 250 && b >= 250 }, "no cross pairs exercised")
+    assert(expected.exists { case (a, b) => a >= 250 && b >= 250 }, "no batch-internal pairs exercised")
   }
 
   test("simhash: hamming distance separates near-dups from random pairs") {

@@ -51,6 +51,18 @@ class LinkageSpec extends SparkSpec {
     assert(!blocked.exists(_._1 == 8))
   }
 
+  test("bag semantics: duplicate input rows each produce their own match row") {
+    // two identical left rows (no id column) within distance 1 of one
+    // right row -> TWO output rows, like the brute-force cross join
+    val left = Seq("gear", "gear", "bolt").toDF("probe")
+    val right = Seq("gears", "bolts", "bolts").toDF("p_name")
+    val out = Linkage.fuzzyJoin(left, "probe", right, "p_name", 1)
+      .select($"probe", $"p_name").as[(String, String)].collect().toSeq.sorted
+    // gear x2 -> gears; bolt x1 -> bolts x2 (right dups preserved too)
+    assert(out == Seq("bolt" -> "bolts", "bolt" -> "bolts",
+      "gear" -> "gears", "gear" -> "gears"))
+  }
+
   test("distance-1 threshold is stricter than distance-2, never broader") {
     val probes = Linkage.fuzzyProbes.toDF("probe_id", "probe")
     val names = Tables.load(spark, sf("sf0.001"), "part")
