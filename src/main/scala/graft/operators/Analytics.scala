@@ -141,14 +141,26 @@ object Analytics {
     * stddev over doubles whose result depends on partial-agg order).
     * Two-pass shape: a tiny per-group moments aggregate broadcast back
     * onto the fact rows — at 100 TB the fact side never shuffles. */
-  def zscoreOutliers(rows: DataFrame, groupCol: String, valueCol: String,
-                     k: Double): DataFrame = {
-    require(k > 0, s"zscoreOutliers: k=$k")
+  /** Per-group exact decimal moments (_s1 = sum, _s2 = sum of squares,
+    * _n = count) — the tiny reference artifact [[flagOutliers]] scores
+    * against. Persist it (parquet) to score later data — including a
+    * STREAM ([[graft.streaming.StreamingOps.anomalyStream]]) — against a
+    * frozen baseline. */
+  def momentsOf(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol)
-    val moments = rows.groupBy(col(groupCol)).agg(
+    rows.groupBy(col(groupCol)).agg(
       sum(dec(v)).cast("double").as("_s1"),
       sum(dec(v * v)).cast("double").as("_s2"),
       count(v).as("_n"))
+  }
+
+  /** Score `rows` against precomputed [[momentsOf]] output: keep rows
+    * with |x - mean| > k*std, attach the z-score. Broadcast join — the
+    * scored side never shuffles (and may be a streaming frame). */
+  def flagOutliers(rows: DataFrame, moments: DataFrame, groupCol: String,
+                   valueCol: String, k: Double): DataFrame = {
+    require(k > 0, s"flagOutliers: k=$k")
+    val v = col(valueCol)
     val mean = col("_s1") / col("_n")
     val std = sqrt(col("_s2") / col("_n") - mean * mean)
     rows.join(broadcast(moments), groupCol)
@@ -156,6 +168,10 @@ object Analytics {
       .withColumn("z", dec((v - mean) / std))
       .drop("_s1", "_s2", "_n")
   }
+
+  def zscoreOutliers(rows: DataFrame, groupCol: String, valueCol: String,
+                     k: Double): DataFrame =
+    flagOutliers(rows, momentsOf(rows, groupCol, valueCol), groupCol, valueCol, k)
 
   /** x33's threshold, shared with both SQL twins. An INTEGER-valued
     * double: the twins interpolate it into SQL text, and "2.0" parses to

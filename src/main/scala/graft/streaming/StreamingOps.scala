@@ -250,6 +250,18 @@ object StreamingOps {
       .select(col("doc_id"), col("n_spans"), col("n_hit_spans"))
   }
 
+  /** Streaming z-score anomaly gate: scores live rows against a FROZEN
+    * per-group moments baseline ([[graft.operators.Analytics.momentsOf]]
+    * over a reference corpus, persisted as a KB-scale artifact) via a
+    * stream-static broadcast join — the stream side never shuffles and
+    * carries no state, so the gate adds no backpressure at any scale.
+    * Matches batch [[graft.operators.Analytics.flagOutliers]] on replay
+    * with the same moments (spec-proven), the same discipline as the
+    * decontamination and minhash streaming twins. */
+  def anomalyStream(stream: DataFrame, moments: DataFrame, groupCol: String,
+                    valueCol: String, k: Double): DataFrame =
+    graft.operators.Analytics.flagOutliers(stream, moments, groupCol, valueCol, k)
+
   /** Gap-based sessionization with arbitrary state: emits a session when
     * the event-time timeout fires (no event for `gapMillis` past the
     * watermark). Custom state logic the built-in session_window cannot

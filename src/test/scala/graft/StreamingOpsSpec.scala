@@ -180,6 +180,43 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly gate equals batch flagOutliers on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+    // frozen baseline: moments of the full corpus, round-tripped through
+    // parquet (the persisted-artifact contract)
+    val mPath = java.nio.file.Files.createTempDirectory("moments").toString
+    Analytics.momentsOf(events, "event_type", "value")
+      .write.mode("overwrite").parquet(mPath)
+    val moments = spark.read.parquet(mPath)
+    val batch = Analytics
+      .flagOutliers(events, moments, "event_type", "value", Analytics.AnomalyK)
+      .select($"event_id", $"z".cast("double"))
+      .as[(Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "fixture has no outliers — vacuous test")
+
+    val rows = events.select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = StreamingOps.anomalyStream(
+        stream.toDF().toDF("event_id", "event_type", "value"),
+        moments, "event_type", "value", Analytics.AnomalyK)
+      .select($"event_id", $"z".cast("double"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("anomaly_out")
+        .as[(Long, Double)].collect().toSeq
+      assert(streamed.size == streamed.toSet.size, "a row was emitted twice")
+      assert(streamed.toSet == batch,
+        s"missing: ${batch -- streamed.toSet}; extra: ${streamed.toSet -- batch}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals batch x16 on replay") {
     implicit val sqlCtx = spark.sqlContext
     // the x16 configuration: src0/src1 slices are the held-out reference,
