@@ -97,6 +97,10 @@ object SparkEntry {
     "x31_canonical"     -> (Dedup.canonicalQuery _),
     "x32_moving_avg"    -> (Analytics.movingAvgQuery _),
     "x33_anomaly"       -> (Analytics.anomalyQuery _),
+    // x34-x35: behavioral analytics — windowed conversion funnel and
+    // weekly cohort retention.
+    "x34_funnel"        -> (Analytics.funnelQuery _),
+    "x35_retention"     -> (Analytics.retentionQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -173,6 +173,73 @@ object Analytics {
                      k: Double): DataFrame =
     flagOutliers(rows, momentsOf(rows, groupCol, valueCol), groupCol, valueCol, k)
 
+  /** Ordered-funnel analysis: for each stage sequence step, the users
+    * whose FIRST qualifying event of that type falls strictly after
+    * their previous-stage timestamp and within `windowUs` of it — the
+    * standard conversion funnel. Returns (stage, n_users) with stages
+    * numbered so they sort in order.
+    *
+    * Scale shape: one per-user conditional aggregate per stage, each
+    * joined to the (strictly shrinking) survivor set of the previous
+    * stage on the user key — every join keys on user_id so AQE keeps one
+    * partitioning, and survivor sets broadcast once small. Stages are
+    * sequential by definition (stage k's filter needs stage k-1's
+    * timestamp); the depth is the funnel length, not the data size. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String], windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel: at least one stage")
+    require(windowUs > 0, s"funnel: windowUs=$windowUs")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_stage_ts"))
+    val survivors = stages.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (stage, _)) =>
+        events.filter(col(typeCol) === stage)
+          .join(prev, userCol)
+          .filter(col(tsCol) > col("_stage_ts") &&
+            unix_micros(col(tsCol)) - unix_micros(col("_stage_ts")) <= windowUs)
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("_stage_ts"))
+    }
+    stages.zip(survivors).zipWithIndex.map { case ((stage, s), i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  /** x34's conversion window (24 h in micros) and stage sequence, shared
+    * with both SQL twins. */
+  private[graft] val FunnelWindowUs: Long = 86400000000L
+  private[graft] val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** x34: view → click → purchase funnel with 24-hour stage windows. */
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.load(spark, dir, "events"),
+      "user_id", "event_type", "ts", FunnelStages, FunnelWindowUs)
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of the
+    * user's first event; one output row per (cohort_week, week_k) with
+    * the distinct users active in that week. Exact integer arithmetic
+    * throughout (truncated-date day-diffs are multiples of 7).
+    *
+    * Scale shape: a per-user min (one hash agg), a distinct over
+    * (user, cohort, week) — both shuffle on user-rooted keys — then a
+    * small rollup. No windows, no skew axis beyond user activity. */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    events.join(first, userCol)
+      .select(col(userCol), col("cohort_week"),
+        (datediff(date_trunc("week", col(tsCol)).cast("date"), col("cohort_week")) / 7)
+          .cast("int").as("week_k"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** x35: weekly retention cohorts over the events table. */
+  def retentionQuery(spark: SparkSession, dir: String): DataFrame =
+    weeklyRetention(Tables.load(spark, dir, "events"), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_k"))
+
   /** x33's threshold, shared with both SQL twins. An INTEGER-valued
     * double: the twins interpolate it into SQL text, and "2.0" parses to
     * the identical double everywhere. */

@@ -445,6 +445,8 @@ object RelationalSql {
     "x30_unpivot" -> unpivotSql,
     "x32_moving_avg" -> movingAvgSql,
     "x33_anomaly" -> anomalySql,
+    "x34_funnel" -> funnelSql,
+    "x35_retention" -> retentionSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -675,6 +677,38 @@ object RelationalSql {
       |FROM events e JOIN s USING (event_type)
       |WHERE abs(e.value - s1/n) > """.stripMargin +
       s"${Analytics.AnomalyK} * sqrt(s2/n - (s1/n)*(s1/n))\nORDER BY event_id"
+
+  /** Spark-SQL face of Analytics.funnelQuery — same constants. */
+  private def funnelSql: String = {
+    val w = Analytics.FunnelWindowUs
+    val stages = Analytics.FunnelStages
+    val ctes = stages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, MIN(ts) AS st FROM events WHERE event_type = '$stage' GROUP BY user_id)"
+      else
+        s"""s$i AS (
+           |  SELECT e.user_id, MIN(e.ts) AS st FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$stage' AND e.ts > p.st
+           |    AND unix_micros(e.ts) - unix_micros(p.st) <= $w GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val counts = stages.zipWithIndex.map { case (stage, i) =>
+      s"SELECT '${i + 1}_$stage' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH $ctes\nSELECT * FROM (\n$counts)\nORDER BY stage"
+  }
+
+  /** Spark-SQL face of Analytics.retentionQuery. */
+  private def retentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_week,
+      |    CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE), f.cohort_week) / 7 AS INT) AS week_k
+      |  FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_week, week_k, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM activity GROUP BY cohort_week, week_k
+      |ORDER BY cohort_week, week_k""".stripMargin
 
   /** Spark-SQL face of Sampling.mixWeightedQuery: the weights TABLE as a
     * VALUES CTE left-joined onto the corpus — the SQL a user types for

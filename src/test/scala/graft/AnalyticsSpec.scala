@@ -173,6 +173,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(b == flagged)
   }
 
+  test("funnel: strict order, conversion window, first-event anchoring") {
+    def e(rows: (Long, Long, String, Long)*) =
+      rows.toSeq.map { case (eid, uid, t, sec) =>
+        (eid, uid, t, new Timestamp(sec * 1000))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+    val d = e(
+      // user 1: full conversion within windows
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L), (3L, 1L, "purchase", 20L),
+      // user 2: click BEFORE view → not converted past stage 1
+      (4L, 2L, "click", 0L), (5L, 2L, "view", 10L),
+      // user 3: click too late (past the 60s window)
+      (6L, 3L, "view", 0L), (7L, 3L, "click", 100L),
+      // user 4: converts on a LATER click, but the window anchors at the
+      // FIRST qualifying click (t=10), so the purchase at t=200 misses
+      (8L, 4L, "view", 0L), (9L, 4L, "click", 10L), (10L, 4L, "click", 150L),
+      (11L, 4L, "purchase", 200L))
+    val out = Analytics.funnel(d, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), 60L * 1000000)
+      .as[(String, Long)].collect().toSeq
+    // views: users 1,2,3,4; clicks-after-view-in-window: 1,4; purchases: 1
+    assert(out == Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
+  test("retention: cohort anchoring and weekly distinct counting") {
+    val day = 86400L
+    // epoch day 0 = THURSDAY 1970-01-01; Monday truncation: day 3 (Sun
+    // Jan 4) belongs to the week of Mon Dec 29, day 5 (Tue Jan 6) to the
+    // week of Mon Jan 5, day 17 (Sun Jan 18) to the week of Mon Jan 12.
+    val d = Seq(
+      // user 1: cohort = week of Dec 29; active weeks 0, 1, 2
+      (1L, 1L, 3 * day), (2L, 1L, 5 * day), (3L, 1L, 17 * day),
+      // user 2: cohort = week of Jan 5 (days 8,9 = Fri,Sat same week)
+      (4L, 2L, 8 * day), (5L, 2L, 9 * day))
+      .map { case (eid, uid, sec) => (eid, uid, new Timestamp(sec * 1000)) }
+      .toDF("event_id", "user_id", "ts")
+    val out = Analytics.weeklyRetention(d, "user_id", "ts")
+      .orderBy($"cohort_week", $"week_k")
+      .select($"week_k", $"n_users").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((0, 1L), (1, 1L), (2, 1L), (0, 1L)))
+  }
+
   test("pivot plan: explicit values — no distinct-values job at plan-build time") {
     // an implicit pivot (no value list) must run a blocking distinct job
     // to discover the columns BEFORE the plan exists; the explicit form

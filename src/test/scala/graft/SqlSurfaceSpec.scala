@@ -42,7 +42,7 @@ class SqlSurfaceSpec extends SparkSpec {
     RelationalSql.extrasSql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       withClue(name)(assertSame(name, text))
     }
-    assert(RelationalSql.extrasSql.size == 26)
+    assert(RelationalSql.extrasSql.size == 28)
   }
 
   test("Q20: the pipeline as one SQL statement equals SensorPipeline.run") {
