@@ -156,15 +156,25 @@ object Analytics {
 
   /** Score `rows` against precomputed [[momentsOf]] output: keep rows
     * with |x - mean| > k*std, attach the z-score. Broadcast join — the
-    * scored side never shuffles (and may be a streaming frame). */
+    * scored side never shuffles (and may be a streaming frame).
+    *
+    * Rows whose group is ABSENT from the baseline (possible when the
+    * moments are a frozen artifact and new data carries new groups) are
+    * DROPPED by default — the batch-identity behavior — or, with
+    * `flagUnseen = true`, emitted as anomalies with a null z (a
+    * never-seen group is arguably the strongest anomaly; a frozen-
+    * baseline gate should usually turn this on). */
   def flagOutliers(rows: DataFrame, moments: DataFrame, groupCol: String,
-                   valueCol: String, k: Double): DataFrame = {
+                   valueCol: String, k: Double,
+                   flagUnseen: Boolean = false): DataFrame = {
     require(k > 0, s"flagOutliers: k=$k")
     val v = col(valueCol)
     val mean = col("_s1") / col("_n")
     val std = sqrt(col("_s2") / col("_n") - mean * mean)
-    rows.join(broadcast(moments), groupCol)
-      .filter(abs(v - mean) > lit(k) * std)
+    val unseen = col("_n").isNull
+    rows.join(broadcast(moments), Seq(groupCol), "left")
+      .filter(if (flagUnseen) unseen || abs(v - mean) > lit(k) * std
+              else abs(v - mean) > lit(k) * std)
       .withColumn("z", dec((v - mean) / std))
       .drop("_s1", "_s2", "_n")
   }
@@ -191,19 +201,24 @@ object Analytics {
     require(windowUs > 0, s"funnel: windowUs=$windowUs")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("_stage_ts"))
-    val survivors = stages.tail.zipWithIndex.scanLeft(first) {
-      case (prev, (stage, _)) =>
-        events.filter(col(typeCol) === stage)
-          .join(prev, userCol)
-          .filter(col(tsCol) > col("_stage_ts") &&
-            unix_micros(col(tsCol)) - unix_micros(col("_stage_ts")) <= windowUs)
-          .groupBy(col(userCol)).agg(min(col(tsCol)).as("_stage_ts"))
+    val survivors = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .join(prev, userCol)
+        .filter(col(tsCol) > col("_stage_ts") &&
+          unix_micros(col(tsCol)) - unix_micros(col("_stage_ts")) <= windowUs)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_stage_ts"))
     }
     stages.zip(survivors).zipWithIndex.map { case ((stage, s), i) =>
       s.agg(count(lit(1)).as("n_users"))
-        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+        .select(lit(stageLabel(i, stage)).as("stage"), col("n_users"))
     }.reduce(_ unionByName _).orderBy(col("stage"))
   }
+
+  /** Stage label shared by the DataFrame face and both SQL twins:
+    * ZERO-PADDED index so the output's ORDER BY stage is the funnel
+    * order even past 9 stages (lexicographic "10_" < "2_" otherwise). */
+  private[graft] def stageLabel(i: Int, stage: String): String =
+    f"${i + 1}%02d_$stage"
 
   /** x34's conversion window (24 h in micros) and stage sequence, shared
     * with both SQL twins. */

@@ -692,7 +692,7 @@ object RelationalSql {
            |    AND unix_micros(e.ts) - unix_micros(p.st) <= $w GROUP BY e.user_id)""".stripMargin
     }.mkString(",\n")
     val counts = stages.zipWithIndex.map { case (stage, i) =>
-      s"SELECT '${i + 1}_$stage' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s$i"
+      s"SELECT '${Analytics.stageLabel(i, stage)}' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s$i"
     }.mkString("\nUNION ALL ")
     s"WITH $ctes\nSELECT * FROM (\n$counts)\nORDER BY stage"
   }

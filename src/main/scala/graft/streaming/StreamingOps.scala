@@ -257,10 +257,17 @@ object StreamingOps {
     * carries no state, so the gate adds no backpressure at any scale.
     * Matches batch [[graft.operators.Analytics.flagOutliers]] on replay
     * with the same moments (spec-proven), the same discipline as the
-    * decontamination and minhash streaming twins. */
+    * decontamination and minhash streaming twins.
+    *
+    * `flagUnseen` defaults ON here (unlike the batch face): a frozen
+    * baseline will eventually meet groups it has never seen, and for a
+    * live gate those rows are anomalies (emitted with null z), not rows
+    * to silently drop. */
   def anomalyStream(stream: DataFrame, moments: DataFrame, groupCol: String,
-                    valueCol: String, k: Double): DataFrame =
-    graft.operators.Analytics.flagOutliers(stream, moments, groupCol, valueCol, k)
+                    valueCol: String, k: Double,
+                    flagUnseen: Boolean = true): DataFrame =
+    graft.operators.Analytics.flagOutliers(stream, moments, groupCol, valueCol, k,
+      flagUnseen)
 
   /** Gap-based sessionization with arbitrary state: emits a session when
     * the event-time timeout fires (no event for `gapMillis` past the

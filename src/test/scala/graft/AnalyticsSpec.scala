@@ -193,7 +193,23 @@ class AnalyticsSpec extends SparkSpec {
         Seq("view", "click", "purchase"), 60L * 1000000)
       .as[(String, Long)].collect().toSeq
     // views: users 1,2,3,4; clicks-after-view-in-window: 1,4; purchases: 1
-    assert(out == Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
+    assert(out == Seq(("01_view", 4L), ("02_click", 2L), ("03_purchase", 1L)))
+  }
+
+  test("flagOutliers: unseen groups drop by default, flag with null z when asked") {
+    val rows = Seq((1L, "a", 10.0), (2L, "b", 99.0))
+      .toDF("event_id", "event_type", "value")
+    // baseline knows only group a (mean 10, std>0 via two values)
+    val baseline = Seq((10L, "a", 9.0), (11L, "a", 11.0))
+      .toDF("event_id", "event_type", "value")
+    val moments = Analytics.momentsOf(baseline, "event_type", "value")
+    val dropped = Analytics.flagOutliers(rows, moments, "event_type", "value", 2.0)
+      .select($"event_id").as[Long].collect().toSeq
+    assert(dropped == Seq.empty, "group-a row within 2 std; group-b row must drop")
+    val flagged = Analytics
+      .flagOutliers(rows, moments, "event_type", "value", 2.0, flagUnseen = true)
+      .select($"event_id", $"z".isNull).as[(Long, Boolean)].collect().toSeq
+    assert(flagged == Seq((2L, true)), "unseen group must surface with null z")
   }
 
   test("retention: cohort anchoring and weekly distinct counting") {
