@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, DocPrep, ExtrasOracle, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, TextAnalysis, TextSearch}
+import graft.operators.{Analytics, Dedup, DocPrep, ExtrasOracle, Graph, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -101,6 +101,17 @@ object SparkEntry {
     // weekly cohort retention.
     "x34_funnel"        -> (Analytics.funnelQuery _),
     "x35_retention"     -> (Analytics.retentionQuery _),
+    // x36-x40: scale-path primitives, each oracle-checked against the
+    // simple form it replaces — dense global ids without a global sort
+    // (vs row_number), the bounded-heap stratified sample (vs x26's
+    // window, SAME oracle SQL), the salted skew join (vs the plain
+    // join), unrolled-decimal PageRank on the x03 graph, and A-ES
+    // weighted sampling (vs the same arithmetic in DuckDB).
+    "x36_dense_ids"       -> (Sampling.denseIdQuery _),
+    "x37_stratified_heap" -> (Sampling.stratifiedHeapQuery _),
+    "x38_salted_join"     -> (SkewTools.saltedJoinQuery _),
+    "x39_pagerank"        -> (Graph.pageRankQuery _),
+    "x40_weighted_sample" -> (Sampling.weightedSampleQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared machinery for iterative fixpoint operators (connected
+  * components, PageRank): per-round lineage cuts so the plan stays
+  * constant-size across iterations, prompt freeing of the previous
+  * round's blocks, and idempotent reliable-checkpoint-dir setup for
+  * multi-executor durability (see the durability discussion on
+  * [[graft.operators.Dedup.connectedComponents]]).
+  */
+object IterUtil {
+
+  /** Set the session checkpoint dir to `dir` if not already pointing
+    * there. getCheckpointDir returns the qualified dir plus a per-set
+    * random UUID subdir, so equality with `dir` never holds — the
+    * idempotence test is "the current dir's PARENT is the qualified
+    * requested dir" (substring matching would treat "/data/cc-1" as
+    * already set while "/data/cc-12/<uuid>" is current, silently landing
+    * checkpoints in the wrong directory). Without the test every
+    * invocation would re-set the session-global dir and mint an orphan
+    * UUID directory. */
+  def ensureCheckpointDir(spark: SparkSession, dir: Option[String]): Unit =
+    dir.foreach { d =>
+      val sc = spark.sparkContext
+      val requested = new org.apache.hadoop.fs.Path(d)
+      val qualified = requested.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(requested)
+      val alreadySet = sc.getCheckpointDir.exists(cur =>
+        Option(new org.apache.hadoop.fs.Path(cur).getParent).contains(qualified))
+      if (!alreadySet) sc.setCheckpointDir(d)
+    }
+
+  /** Eager lineage cut: reliable `checkpoint()` when the caller set up a
+    * checkpoint dir (survives executor loss), executor-local
+    * `localCheckpoint()` otherwise (right for tests and local mode). */
+  def cut(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
+  /** Free a cut round's blocks. Both checkpoint flavors are eager, so
+    * once the NEXT round is cut it no longer reads its predecessor's
+    * blocks — safe to unpersist. Must be handed the checkpointed handle
+    * itself (a projection over it would not expose the LogicalRDD). */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    case _ => ()
+  }
+}

@@ -231,30 +231,10 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    checkpointDir.foreach { dir =>
-      val sc = nodes.sparkSession.sparkContext
-      // getCheckpointDir returns the qualified dir plus a per-set random
-      // UUID subdir, so equality with `dir` never holds — the idempotence
-      // test is "the current dir's PARENT is the qualified requested dir"
-      // (substring matching would treat "/data/cc-1" as already set while
-      // "/data/cc-12/<uuid>" is current, silently landing checkpoints in
-      // the wrong directory). Without the test every invocation would
-      // re-set the session-global dir and mint an orphan UUID directory.
-      val requested = new org.apache.hadoop.fs.Path(dir)
-      val qualified = requested.getFileSystem(sc.hadoopConfiguration)
-        .makeQualified(requested)
-      val alreadySet = sc.getCheckpointDir.exists(cur =>
-        Option(new org.apache.hadoop.fs.Path(cur).getParent).contains(qualified))
-      if (!alreadySet) sc.setCheckpointDir(dir)
-    }
+    graft.core.IterUtil.ensureCheckpointDir(nodes.sparkSession, checkpointDir)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // both checkpoint flavors are eager, so after cut() returns the new
-    // round no longer reads its predecessor's blocks — safe to free them
-    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+      graft.core.IterUtil.cut(df, checkpointDir.isDefined)
+    def free(df: DataFrame): Unit = graft.core.IterUtil.free(df)
     val bidir = cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // `cp` is the checkpointed handle of the current round (what free()

@@ -252,6 +252,13 @@ object ExtrasOracle {
     "x24_sessions" -> sessionSql,
     "x25_fuzzy_join" -> fuzzySql,
     "x26_stratified" -> stratifiedSql,
+    "x36_dense_ids" -> denseIdsSql,
+    // x37 is the bounded-heap plan of the SAME selection as x26 — the
+    // oracle SQL is shared verbatim, which is the point.
+    "x37_stratified_heap" -> stratifiedSql,
+    "x38_salted_join" -> saltedJoinSql,
+    "x39_pagerank" -> pageRankSql,
+    "x40_weighted_sample" -> weightedSampleSql,
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
     "x29_pivot" -> pivotSql,
@@ -281,8 +288,11 @@ object ExtrasOracle {
     * then the exact transitive closure; ends at the `reach` relation so
     * callers append either the label projection (x14) or the winner
     * selection (x31). */
-  private def dupClusterCte: String =
-    """WITH RECURSIVE toks AS (
+  /** x03's candidate-pair graph as a CTE body (toks → … → pairs →
+    * symmetrized edges), shared by the closure (x14/x31) and PageRank
+    * (x39) oracles so the three cannot drift from the x03 semantics. */
+  private def pairsCteBody: String =
+    """toks AS (
       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),
       |grams AS (
@@ -295,7 +305,10 @@ object ExtrasOracle {
       |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 2),
-      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+
+  private def dupClusterCte: String =
+    s"""WITH RECURSIVE $pairsCteBody,
       |reach(n, m) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
@@ -422,6 +435,72 @@ object ExtrasOracle {
 
   /** DuckDB twin of Sampling.stratifiedQuery: same bucket, same
     * per-stratum bottom-12 by (bucket, doc_id). */
+  /** DuckDB twin of Sampling.denseIdQuery — the window form the Spark
+    * face deliberately avoids (fine at oracle scale, a one-partition
+    * global sort at 100 TB). */
+  private def denseIdsSql: String =
+    """SELECT doc_id, source,
+      |  CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS dense_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of SkewTools.saltedJoinQuery: the PLAIN join — salting
+    * must be result-invisible. */
+  private def saltedJoinSql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey AS partkey, p.p_brand
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+
+  /** DuckDB twin of Sampling.weightedSampleQuery, sharing WeightedN and
+    * the (key, salt) bucket arithmetic. u = (bucket+1)/2^32 ∈ (0,1] is
+    * exact (dyadic denominator); pow/1-over-w match the Spark ops. */
+  private def weightedSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    ${bucketSql("doc_id::VARCHAR", "aes")} AS b
+       |  FROM documents)
+       |SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, POW((b + 1) / ${Sampling.BucketSpace}, 1.0 / n_tokens) AS k
+       |  FROM t WHERE n_tokens > 0
+       |  ORDER BY k DESC, doc_id LIMIT ${Sampling.WeightedN})
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Graph.pageRankQuery: the same five damped iterations
+    * UNROLLED as chained CTEs over [[pairsCteBody]]'s edge list, in the
+    * SAME fixed-point integer arithmetic as the Spark face — truncating
+    * `//` mirrors Spark's `div`, BIGINT sums are exact, and the one
+    * float op (the final display division) is exact-then-correctly-
+    * rounded on both engines. Zero-tolerance hash check by construction. */
+  private def pageRankSql: String = {
+    val dp = Graph.PageRankDampingPct
+    val units = Graph.RankUnits
+    val iterCtes = (1 to Graph.PageRankIters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT COALESCE(SUM(r.rank), 0) AS ds
+         |  FROM $prev r LEFT JOIN deg ON deg.id = r.id WHERE deg.id IS NULL),
+         |m$i AS (
+         |  SELECT e.v AS id, SUM(r.rank // deg.deg) AS msg
+         |  FROM edges e JOIN $prev r ON e.u = r.id JOIN deg ON deg.id = r.id
+         |  GROUP BY e.v),
+         |r$i AS (
+         |  SELECT r.id, CAST(c.base +
+         |      ($dp * (d$i.ds // c.n + COALESCE(m$i.msg, 0))) // 100 AS BIGINT) AS rank
+         |  FROM $prev r CROSS JOIN d$i CROSS JOIN c
+         |  LEFT JOIN m$i ON m$i.id = r.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsCteBody,
+       |deg AS (SELECT u AS id, COUNT(*) AS deg FROM edges GROUP BY u),
+       |c AS (SELECT COUNT(*) AS n, $units // COUNT(*) AS unit,
+       |             ((100 - $dp) * ($units // COUNT(*))) // 100 AS base
+       |      FROM documents),
+       |r0 AS (SELECT doc_id AS id, CAST(c.unit AS BIGINT) AS rank
+       |       FROM documents CROSS JOIN c),
+       |$iterCtes
+       |SELECT id AS doc_id, CAST(rank AS DOUBLE) / $units.0 AS rank
+       |FROM r${Graph.PageRankIters} ORDER BY doc_id""".stripMargin
+  }
+
   private def stratifiedSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, source, ${bucketSql("doc_id::VARCHAR", "strat")} AS bucket

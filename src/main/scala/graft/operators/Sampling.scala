@@ -183,6 +183,104 @@ object Sampling {
           floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))).as("pack_id"))
   }
 
+  /** Dense contiguous ids 0..N-1 in `order` — WITHOUT the single-partition
+    * global sort that `row_number() OVER (ORDER BY ...)` compiles to. The
+    * scalable shape: range-repartition on the order keys (each partition
+    * holds a contiguous key range), sort within partitions, then
+    * `zipWithIndex` — which runs one tiny count-per-partition job, turns
+    * the counts into cumulative start offsets, and assigns
+    * `offset + local index` in a second pass. The shuffle output written
+    * by the count job is REUSED by the assignment job (same RDD lineage →
+    * same shuffle dependency), so both passes see identical partition
+    * boundaries even though range boundaries come from sampling.
+    *
+    * Contract: `order` must be a TOTAL order (unique tie-breaker last) —
+    * with ties the ids within a tie group fall back to partition order,
+    * the instability every operator here rules out. Null ordering is
+    * Spark's default (nulls first, ascending).
+    *
+    * This is the one operator in this file built on the RDD API: the
+    * per-partition offset+index assignment is genuinely imperative, and
+    * no Catalyst operator expresses "global row number without a global
+    * sort". Cost at 100 TB: one range shuffle + one O(partitions) count
+    * job — vs. the window form's one-partition sort of the entire corpus. */
+  def denseIds(df: DataFrame, order: Seq[Column], idCol: String = "dense_id",
+               numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "denseIds: at least one order column required")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Bounded-heap form of [[stratifiedSample]] — the huge-strata scale
+    * path its scaladoc points at. Same selection (the stratum's n smallest
+    * (bucket, key) pairs), different plan: a TopKAggregator keeps an O(n)
+    * heap per stratum and PARTIAL-AGGREGATES map-side, so a stratum's
+    * shuffle traffic is O(partitions * n) rows instead of every row, and
+    * nothing ever sorts a whole stratum. The picked (stratum, key) pairs
+    * then semi-join back to the input for the full rows — small side is
+    * |strata| * n rows, typically broadcast.
+    *
+    * `keyCol` must be a LONG column uniquely identifying rows within a
+    * stratum (the heap carries (score, id) pairs); [[stratifiedSample]]
+    * remains the general-key form. Result-identical to it for the same
+    * (stratum, key, salt, n) — spec-asserted, and x37 runs the x26 oracle
+    * SQL verbatim. */
+  def stratifiedSampleAgg(rows: DataFrame, stratum: Column, keyCol: String,
+                          salt: String, n: Int): DataFrame = {
+    require(n > 0, s"stratifiedSampleAgg: n=$n")
+    val topn = udaf(new graft.functions.TopKAggregator(n))
+    // lowest bucket must win and the heap keeps HIGHEST score → negate.
+    // Buckets are < 2^32 so the negated double is exact; heap ties
+    // (equal score) prefer the smaller id — same (bucket, key) asc order
+    // as the window form.
+    val picks = rows
+      .select(stratum.as("_strat"),
+        negate(hashBucket(col(keyCol), salt).cast("double")).as("_score"),
+        col(keyCol).cast("long").as("_k"))
+      .groupBy(col("_strat"))
+      .agg(topn(col("_score"), col("_k")).as("_top"))
+      .select(col("_strat"), explode(col("_top.id")).as("_k"))
+    rows.join(picks,
+      stratum === col("_strat") && col(keyCol).cast("long") === col("_k"),
+      "left_semi")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws a deterministic uniform u = (bucket+1)/2^32 ∈ (0,1]
+    * from its (key, salt) hash and scores `pow(u, 1/weight)`; the sample
+    * is the n highest scores — which selects each row with probability
+    * proportional to its weight, without replacement. Weights must be
+    * strictly positive (enforced by filter: non-positive-weight rows are
+    * ineligible by definition, not an error).
+    *
+    * Scale shape: a pure projection plus a global top-n, which compiles
+    * to TakeOrderedAndProject (per-partition bounded top-n, driver merge
+    * of partitions × n rows) — no global sort, no window. Determinism:
+    * u is exact (dyadic denominator), 1/weight and pow are single
+    * correctly-rounded-to-~1ulp ops on both engines; a cross-engine
+    * order flip would need two scores within 1 ulp, which the unique-key
+    * tie-breaker makes astronomically unlikely on non-adversarial data
+    * (same double-compare discipline as [[keepAtRate]]). */
+  def weightedSample(rows: DataFrame, key: Column, salt: String,
+                     weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"weightedSample: n=$n")
+    val u = (hashBucket(key, salt) + lit(1L)).cast("double") / lit(BucketSpace)
+    rows.filter(weight > 0)
+      .withColumn("_aes", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("_aes").desc, key)
+      .limit(n)
+      .drop("_aes")
+  }
+
   // ------------------------------------------------------ driver queries --
 
   /** Canonical demo weights for [[mixQuery]]: even-numbered sources
@@ -241,4 +339,36 @@ object Sampling {
   def packQuery(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** x36: dense contiguous ids over documents in (source, doc_id) order —
+    * the scalable global row-number. Oracle: row_number() over the same
+    * total order, minus one. */
+  def denseIdQuery(spark: SparkSession, dir: String): DataFrame =
+    denseIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source")),
+      Seq(col("source"), col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** x37: the bounded-heap form of x26 — EXACTLY 12 docs per source,
+    * same hash-deterministic selection, checked against the same oracle
+    * SQL as x26 (the two faces must agree cell-for-cell). */
+  def stratifiedHeapQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleAgg(Tables.load(spark, dir, "documents"),
+        col("source"), "doc_id", "strat", StratifiedN)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** x40's sample size, shared with the SQL twins. */
+  private[graft] val WeightedN: Int = 64
+
+  /** x40: A-ES weighted sample — 64 docs drawn with probability
+    * proportional to whitespace token count. */
+  def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    weightedSample(docs, col("doc_id"), "aes", col("n_tokens"), WeightedN)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Tables
 
 /** Skew mitigation for shuffle joins.
   *
@@ -49,5 +50,21 @@ object SkewTools {
     val salted = df.withColumn("_salt", saltCol(saltFactor, entropy.map(df(_)): _*))
     val part = partial(salted.groupBy(col(key), col("_salt")))
     merge(part.groupBy(col(key)))
+  }
+
+  /** x38: the salted join's oracle-checked face — lineitem against part
+    * on partkey at salt factor 8, result-identical to the plain join (the
+    * oracle IS the plain join SQL; salting must never change the result
+    * set, only how the hot keys spread across shuffle partitions). */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("partkey"))
+    val dim = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    saltedJoin(fact, dim, "partkey", saltFactor = 8,
+        entropy = Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("partkey"), col("p_brand"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 }

@@ -229,4 +229,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"packing must not serialize through one partition:\n$p")
   }
+
+  test("x37: heap stratified sample partial-aggregates, no per-stratum window sort") {
+    val p = plan("x37_stratified_heap")
+    // the bounded-heap UDAF must run as partial + final object-hash
+    // aggregation (map-side combine is the whole point of the plan)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"heap form must not fall back to the window sort:\n$p")
+  }
+
+  test("x40: weighted sample is a bounded top-n, not a global sort or window") {
+    val p = plan("x40_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition bounded top-n:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
 }

@@ -221,4 +221,54 @@ class SamplingSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
     assert(out.map(_._4).toSeq == Seq(0L, 0L, 5L, 5L))
   }
+
+  test("denseIds: exactly 0..N-1, in total order, stable under repartitioning") {
+    val d = docs.select($"doc_id", $"source")
+    val rows = Sampling.denseIds(d, Seq($"source", $"doc_id"))
+      .select($"source", $"doc_id", $"dense_id")
+      .orderBy($"dense_id").as[(String, Long, Long)].collect().toSeq
+    // dense: ids are exactly the contiguous range
+    assert(rows.map(_._3) == (0L until rows.size).toSeq)
+    // ordered: id order IS (source, doc_id) order
+    assert(rows.map(r => (r._1, r._2)) == rows.map(r => (r._1, r._2)).sorted)
+    // the assignment is partition-count independent
+    val again = Sampling.denseIds(d.repartition(13), Seq($"source", $"doc_id"),
+        numPartitions = 5)
+      .select($"source", $"doc_id", $"dense_id")
+      .orderBy($"dense_id").as[(String, Long, Long)].collect().toSeq
+    assert(again == rows, "dense ids flipped under a different partitioning")
+    intercept[IllegalArgumentException] { Sampling.denseIds(d, Seq.empty) }
+  }
+
+  test("stratifiedSampleAgg: cell-identical to the window form") {
+    val win = Sampling.stratifiedSample(docs, $"source", $"doc_id", "strat", 12)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    val heap = Sampling.stratifiedSampleAgg(docs, $"source", "doc_id", "strat", 12)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    assert(heap == win, "heap plan selected a different sample than the window plan")
+    assert(heap.groupBy(_._2).forall(_._2.size == 12))
+  }
+
+  test("weightedSample: weight-proportional selection, non-positive excluded, deterministic") {
+    val rows = spark.range(1000).select($"id".as("k"),
+      when($"id" < 50, 99.0).otherwise(1.0).as("w"))
+    val picked = Sampling.weightedSample(rows, $"k", "t", $"w", 100)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(picked.size == 100)
+    // heavy rows are 50 of 1000 ids but ~84% of total weight: A-ES should
+    // take nearly all of them into a 100-row sample (p(miss) per heavy
+    // row is tiny; 45 is a >5-sigma floor)
+    val heavy = picked.count(_ < 50)
+    assert(heavy >= 45, s"only $heavy of 50 heavy rows selected")
+    // deterministic: same (key, salt, weight) → same sample, any partitioning
+    val again = Sampling.weightedSample(rows.repartition(7), $"k", "t", $"w", 100)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(again == picked, "sample flipped under a different partitioning")
+    // non-positive weights are ineligible, not an error; n caps at the
+    // eligible count
+    val mixed = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 5.0)).toDF("k", "w")
+    val out = Sampling.weightedSample(mixed, $"k", "t2", $"w", 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(out == Set(1L, 4L), s"non-positive-weight rows leaked: $out")
+  }
 }
