@@ -105,7 +105,7 @@ object SparkEntry {
     // simple form it replaces — dense global ids without a global sort
     // (vs row_number), the bounded-heap stratified sample (vs x26's
     // window, SAME oracle SQL), the salted skew join (vs the plain
-    // join), unrolled-decimal PageRank on the x03 graph, and A-ES
+    // join), fixed-point integer PageRank on the x03 graph, and A-ES
     // weighted sampling (vs the same arithmetic in DuckDB).
     "x36_dense_ids"       -> (Sampling.denseIdQuery _),
     "x37_stratified_heap" -> (Sampling.stratifiedHeapQuery _),

@@ -284,10 +284,6 @@ object ExtrasOracle {
         |FROM c ORDER BY doc_id""".stripMargin,
   )
 
-  /** Shared clusters CTE (x14 + x31): x03's rare-gram candidate graph,
-    * then the exact transitive closure; ends at the `reach` relation so
-    * callers append either the label projection (x14) or the winner
-    * selection (x31). */
   /** x03's candidate-pair graph as a CTE body (toks → … → pairs →
     * symmetrized edges), shared by the closure (x14/x31) and PageRank
     * (x39) oracles so the three cannot drift from the x03 semantics. */
@@ -307,6 +303,10 @@ object ExtrasOracle {
       |  HAVING COUNT(*) >= 2),
       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
 
+  /** Shared clusters CTE (x14 + x31): [[pairsCteBody]]'s candidate graph,
+    * then the exact transitive closure; ends at the `reach` relation so
+    * callers append either the label projection (x14) or the winner
+    * selection (x31). */
   private def dupClusterCte: String =
     s"""WITH RECURSIVE $pairsCteBody,
       |reach(n, m) AS (
@@ -433,8 +433,6 @@ object ExtrasOracle {
        |ORDER BY probe_id, dist, p_name""".stripMargin
   }
 
-  /** DuckDB twin of Sampling.stratifiedQuery: same bucket, same
-    * per-stratum bottom-12 by (bucket, doc_id). */
   /** DuckDB twin of Sampling.denseIdQuery — the window form the Spark
     * face deliberately avoids (fine at oracle scale, a one-partition
     * global sort at 100 TB). */
@@ -501,6 +499,8 @@ object ExtrasOracle {
        |FROM r${Graph.PageRankIters} ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of Sampling.stratifiedQuery (and x37's heap form): same
+    * bucket, same per-stratum bottom-12 by (bucket, doc_id). */
   private def stratifiedSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, source, ${bucketSql("doc_id::VARCHAR", "strat")} AS bucket

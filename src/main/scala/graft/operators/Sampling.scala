@@ -187,12 +187,22 @@ object Sampling {
     * global sort that `row_number() OVER (ORDER BY ...)` compiles to. The
     * scalable shape: range-repartition on the order keys (each partition
     * holds a contiguous key range), sort within partitions, then
-    * `zipWithIndex` — which runs one tiny count-per-partition job, turns
-    * the counts into cumulative start offsets, and assigns
+    * `zipWithIndex` — which runs one count-per-partition job, turns the
+    * counts into cumulative start offsets, and assigns
     * `offset + local index` in a second pass. The shuffle output written
     * by the count job is REUSED by the assignment job (same RDD lineage →
     * same shuffle dependency), so both passes see identical partition
     * boundaries even though range boundaries come from sampling.
+    *
+    * Cost honesty: the shuffle WRITE happens once, but the post-shuffle
+    * in-partition sort runs in BOTH jobs (the count job must drain the
+    * sorted iterator; nothing caches between jobs by default). Pass
+    * `persist = true` to cache the sorted rows (memory-and-disk) across
+    * the two passes — trades a corpus-sized spill for the second sort;
+    * the caller owns unpersisting via the returned frame's lineage being
+    * consumed (`spark.sharedState.cacheManager` or just letting the
+    * executors evict). At 100 TB prefer persist=false (re-sort is CPU
+    * only) unless the order keys are expensive to compare.
     *
     * Contract: `order` must be a TOTAL order (unique tie-breaker last) —
     * with ties the ids within a tie group fall back to partition order,
@@ -205,16 +215,19 @@ object Sampling {
     * sort". Cost at 100 TB: one range shuffle + one O(partitions) count
     * job — vs. the window form's one-partition sort of the entire corpus. */
   def denseIds(df: DataFrame, order: Seq[Column], idCol: String = "dense_id",
-               numPartitions: Int = 0): DataFrame = {
+               numPartitions: Int = 0, persist: Boolean = false): DataFrame = {
     require(order.nonEmpty, "denseIds: at least one order column required")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+    val base = if (persist)
+      sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else sorted.rdd
     val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
       org.apache.spark.sql.types.StructField(idCol,
         org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    val rdd = base.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rdd, schema)
@@ -229,9 +242,10 @@ object Sampling {
     * then semi-join back to the input for the full rows — small side is
     * |strata| * n rows, typically broadcast.
     *
-    * `keyCol` must be a LONG column uniquely identifying rows within a
-    * stratum (the heap carries (score, id) pairs); [[stratifiedSample]]
-    * remains the general-key form. Result-identical to it for the same
+    * `keyCol` must be a NON-NULL LONG column uniquely identifying rows
+    * within a stratum (the heap carries (score, id) pairs); a null
+    * stratum is fine and forms its own stratum, same as the window form.
+    * [[stratifiedSample]] remains the general-key form. Result-identical to it for the same
     * (stratum, key, salt, n) — spec-asserted, and x37 runs the x26 oracle
     * SQL verbatim. */
   def stratifiedSampleAgg(rows: DataFrame, stratum: Column, keyCol: String,
@@ -249,8 +263,11 @@ object Sampling {
       .groupBy(col("_strat"))
       .agg(topn(col("_score"), col("_k")).as("_top"))
       .select(col("_strat"), explode(col("_top.id")).as("_k"))
+    // null-SAFE stratum compare: the window form treats a null stratum as
+    // its own partition, so the heap form must join those rows back too
+    // (a plain === would null out and silently drop the whole stratum)
     rows.join(picks,
-      stratum === col("_strat") && col(keyCol).cast("long") === col("_k"),
+      stratum <=> col("_strat") && col(keyCol).cast("long") === col("_k"),
       "left_semi")
   }
 

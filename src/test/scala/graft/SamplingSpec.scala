@@ -249,6 +249,18 @@ class SamplingSpec extends SparkSpec {
     assert(heap.groupBy(_._2).forall(_._2.size == 12))
   }
 
+  test("stratifiedSampleAgg: a null stratum is its own stratum, same as the window form") {
+    val d = spark.range(100).select($"id".as("doc_id"),
+      when($"id" % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), ($"id" % 3).cast("string"))).as("source"))
+    val win = Sampling.stratifiedSample(d, $"source", $"doc_id", "ns", 5)
+      .as[(Long, Option[String])].collect().toSet
+    val heap = Sampling.stratifiedSampleAgg(d, $"source", "doc_id", "ns", 5)
+      .as[(Long, Option[String])].collect().toSet
+    assert(win.count(_._2.isEmpty) == 5, "window form lost the null stratum")
+    assert(heap == win, "null-stratum selection diverged between the two forms")
+  }
+
   test("weightedSample: weight-proportional selection, non-positive excluded, deterministic") {
     val rows = spark.range(1000).select($"id".as("k"),
       when($"id" < 50, 99.0).otherwise(1.0).as("w"))
