@@ -92,10 +92,13 @@ object Bench {
   private def fmt(d: Double): String =
     if (d == d) String.format(java.util.Locale.ROOT, "%.4f", Double.box(d)) else "-1"
 
-  /** Compact-line value format: 3 decimals (1 ms resolution — plenty for
-    * per-query seconds; the full-precision record is the line above). */
+  /** Compact-line value format: 3 SIGNIFICANT digits ("0.773", "1.23",
+    * "99.1" — ms resolution where it matters, short everywhere) so the
+    * line stays inside the driver's 2 KB tail as the query count grows;
+    * the full-precision record is the line above. %g's exponent form
+    * ("1.23e-05") is still a valid JSON number. */
   private def fmt3(d: Double): String =
-    if (d == d) String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)) else "-1"
+    if (d == d) String.format(java.util.Locale.ROOT, "%.3g", Double.box(d)) else "-1"
 
   /** The compact (FINAL) stdout line: total + per-query seconds + the two
     * trust fields. Kept to a size any >= 2 KB tail capture holds whole —
@@ -106,8 +109,11 @@ object Bench {
                   sfDir: String): String = {
     val qs = jsonMap(queries.map { case (n, v) => n -> fmt3(v) })
     val contended = contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sf as basename: the directory prefix is fixed machine context the
+    // tail-captured record doesn't need to spend bytes on.
+    val sf = new java.io.File(sfDir).getName
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sfDir"}"""
+      s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {

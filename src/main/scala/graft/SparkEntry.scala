@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, DocPrep, ExtrasOracle, Graph, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch}
+import graft.operators.{Analytics, Chunking, Dedup, DocPrep, ExtrasOracle, Graph, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,12 @@ object SparkEntry {
     "x38_salted_join"     -> (SkewTools.saltedJoinQuery _),
     "x39_pagerank"        -> (Graph.pageRankQuery _),
     "x40_weighted_sample" -> (Sampling.weightedSampleQuery _),
+    // x41-x43: token-window chunking (docs → overlapping context
+    // windows), per-group A-ES weighted sampling, and per-language
+    // top-terms vocabulary discovery on a bounded term heap.
+    "x41_chunks"          -> (Chunking.chunkQuery _),
+    "x42_weighted_group"  -> (Sampling.weightedGroupSampleQuery _),
+    "x43_top_terms"       -> (TextAnalysis.topTermsQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

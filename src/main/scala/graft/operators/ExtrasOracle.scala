@@ -259,6 +259,9 @@ object ExtrasOracle {
     "x38_salted_join" -> saltedJoinSql,
     "x39_pagerank" -> pageRankSql,
     "x40_weighted_sample" -> weightedSampleSql,
+    "x41_chunks" -> chunkSql,
+    "x42_weighted_group" -> weightedGroupSql,
+    "x43_top_terms" -> topTermsSql,
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
     "x29_pivot" -> pivotSql,
@@ -498,6 +501,56 @@ object ExtrasOracle {
        |SELECT id AS doc_id, CAST(rank AS DOUBLE) / $units.0 AS rank
        |FROM r${Graph.PageRankIters} ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB twin of Chunking.chunkQuery: identical window geometry —
+    * UNNEST(range(0, n, stride)) starts, 1-based end-inclusive list
+    * slice = Spark's 1-based (start, length) slice. */
+  private def chunkSql: String = {
+    val (c, s) = (Chunking.ChunkSize, Chunking.ChunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(s // $s AS BIGINT) AS chunk_id, w[s+1:s+$c] AS ch
+       |  FROM t, UNNEST(range(0, len(w), $s)) AS u(s)
+       |  WHERE len(w) > 0)
+       |SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(ch, ' ') AS chunk
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.weightedGroupSampleQuery: x40's A-ES
+    * arithmetic, ranked within source by the row_number window the heap
+    * form replaces. */
+  private def weightedGroupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    ${bucketSql("doc_id::VARCHAR", "aesg")} AS b
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, POW((b + 1) / ${Sampling.BucketSpace}, 1.0 / n_tokens) AS k
+       |  FROM t WHERE n_tokens > 0),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+       |  FROM s)
+       |SELECT doc_id, source FROM r WHERE rn <= ${Sampling.WeightedPerGroupN}
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.topTermsQuery: per-doc DISTINCT tokens →
+    * (lang, token) document frequency → the row_number window form of the
+    * heap's (df desc, token asc) selection. */
+  private def topTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, UNNEST(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+       |  FROM documents),
+       |d AS (SELECT lang, token, COUNT(*) AS df FROM toks GROUP BY 1, 2),
+       |r AS (SELECT lang, token, df,
+       |        row_number() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn
+       |      FROM d)
+       |SELECT lang, token, df FROM r WHERE rn <= ${TextAnalysis.TopTermsK}
+       |ORDER BY lang, df DESC, token""".stripMargin
 
   /** DuckDB twin of Sampling.stratifiedQuery (and x37's heap form): same
     * bucket, same per-stratum bottom-12 by (bucket, doc_id). */

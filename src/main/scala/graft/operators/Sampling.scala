@@ -298,6 +298,34 @@ object Sampling {
       .drop("_aes")
   }
 
+  /** Per-group [[weightedSample]]: the n highest A-ES scores WITHIN each
+    * group — weighted sampling without replacement per source/shard/
+    * stratum, the mixing-with-quality-weights primitive. Same score
+    * arithmetic as the global form; the per-group top-n runs on the
+    * bounded [[graft.functions.TopKAggregator]] heap (map-side partial
+    * aggregation, O(partitions × n) shuffle rows per group — same scale
+    * shape as [[stratifiedSampleAgg]], which is this operator's
+    * uniform-weight special case). `keyCol`: NON-NULL LONG, unique within
+    * a group; a null group forms its own group. Non-positive-weight rows
+    * are ineligible. Heap ties (equal score) prefer the smaller key —
+    * the `ORDER BY score DESC, key ASC` window order. */
+  def weightedSamplePerGroup(rows: DataFrame, group: Column, keyCol: String,
+                             salt: String, weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"weightedSamplePerGroup: n=$n")
+    val topn = udaf(new graft.functions.TopKAggregator(n))
+    val u = (hashBucket(col(keyCol), salt) + lit(1L)).cast("double") / lit(BucketSpace)
+    val picks = rows.filter(weight > 0)
+      .select(group.as("_grp"),
+        pow(u, lit(1.0) / weight.cast("double")).as("_score"),
+        col(keyCol).cast("long").as("_k"))
+      .groupBy(col("_grp"))
+      .agg(topn(col("_score"), col("_k")).as("_top"))
+      .select(col("_grp"), explode(col("_top.id")).as("_k"))
+    rows.join(picks,
+      group <=> col("_grp") && col(keyCol).cast("long") === col("_k"),
+      "left_semi")
+  }
+
   // ------------------------------------------------------ driver queries --
 
   /** Canonical demo weights for [[mixQuery]]: even-numbered sources
@@ -377,6 +405,21 @@ object Sampling {
 
   /** x40's sample size, shared with the SQL twins. */
   private[graft] val WeightedN: Int = 64
+
+  /** x42's per-group sample size, shared with the SQL twins. */
+  private[graft] val WeightedPerGroupN: Int = 8
+
+  /** x42: 8 docs per source, drawn with probability proportional to
+    * whitespace token count — the per-source quality-weighted pick. */
+  def weightedGroupSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    weightedSamplePerGroup(docs, col("source"), "doc_id", "aesg",
+        col("n_tokens"), WeightedPerGroupN)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 
   /** x40: A-ES weighted sample — 64 docs drawn with probability
     * proportional to whitespace token count. */

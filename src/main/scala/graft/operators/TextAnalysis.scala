@@ -273,6 +273,43 @@ object TextAnalysis {
     }
   }
 
+  // ------------------------------------------------- vocabulary discovery
+
+  /** Top `k` terms per group by DOCUMENT frequency (the stopword/vocab
+    * discovery query). Scale shape: explode per-doc DISTINCT tokens →
+    * two-phase count aggregate keyed on (group, term) — uniform keys, no
+    * hot-group skew — then a bounded [[graft.functions.TopKTermAggregator]]
+    * heap per group. The heap is the load-bearing choice: the per-group
+    * candidate set is the group's distinct VOCABULARY (billions of terms
+    * at corpus scale), which a `row_number` window would have to fully
+    * sort per group; the heap partial-aggregates to k rows per partition
+    * before the final shuffle. Ties: count desc, then term asc. */
+  def topTermsByDf(docs: DataFrame, group: Column, textCol: Column,
+                   k: Int): DataFrame = {
+    require(k > 0, s"topTermsByDf: k=$k")
+    val topk = udaf(new graft.functions.TopKTermAggregator(k))
+    docs
+      .select(group.as("_grp"),
+        explode(array_distinct(wsTokens(textCol))).as("token"))
+      .groupBy(col("_grp"), col("token"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("_grp"))
+      .agg(topk(col("df"), col("token")).as("_top"))
+      .select(col("_grp"), explode(col("_top")).as("_t"))
+      .select(col("_grp"), col("_t.term").as("token"), col("_t.score").as("df"))
+  }
+
+  /** x43's k, shared with the SQL twin. */
+  private[graft] val TopTermsK: Int = 10
+
+  /** x43: the 10 highest-document-frequency tokens per language. Oracle:
+    * the row_number window form of the same selection. */
+  def topTermsQuery(spark: SparkSession, dir: String): DataFrame =
+    topTermsByDf(Tables.load(spark, dir, "documents"),
+        col("lang"), col("text"), TopTermsK)
+      .withColumnRenamed("_grp", "lang")
+      .orderBy(col("lang"), col("df").desc, col("token"))
+
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

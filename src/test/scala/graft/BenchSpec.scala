@@ -45,14 +45,18 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.compactLine(
       total = 123.4567,
-      queries = names.map(_ -> 99.1234), // worst-case width per value
+      queries = names.map(_ -> 0.77345), // typical sub-second width (5 chars at 3 sig digits)
       contendedNames = names.take(3),    // a few flagged entries
       baselineSuspect = false,
       sfDir = "/root/testdata/sf0.1")
     assert(line.getBytes("UTF-8").length <= 1700,
       s"compact bench line is ${line.length} bytes; driver tail keeps 2000")
     assert(line.startsWith("""{"metric":"total","""))
-    assert(line.contains("\"" + names.head + "\":99.123"))
+    assert(line.contains("\"" + names.head + "\":0.773"))
+    assert(line.contains("\"sf\":\"sf0.1\""), "sf should be the basename")
+    // Slow-query values stay short too: 3 significant digits, not 3 decimals.
+    val slow = Bench.compactLine(99.1, Seq("q" -> 99.1234), Nil, false, "sf0.1")
+    assert(slow.contains("\"q\":99.1"))
   }
 
   test("compact line formats locale-independently and handles NaN") {

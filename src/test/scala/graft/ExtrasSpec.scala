@@ -985,6 +985,38 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("topTermsByDf: document frequency, per-doc distinct, count-desc term-asc ties") {
+    val d = Seq(
+      (1L, "en", "the the the cat"),   // "the" counts ONCE for this doc
+      (2L, "en", "the dog"),
+      (3L, "en", "cat dog"),
+      (4L, "fr", "le le chat")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.topTermsByDf(d, $"lang", $"text", 2)
+      .orderBy($"_grp", $"df".desc, $"token")
+      .as[(String, String, Long)].collect().toSeq
+    // en dfs: the=2, cat=2, dog=2 → top-2 by (df desc, term asc) = cat, dog
+    // fr dfs: le=1, chat=1 → chat, le
+    assert(got == Seq(
+      ("en", "cat", 2L), ("en", "dog", 2L),
+      ("fr", "chat", 1L), ("fr", "le", 1L)))
+  }
+
+  test("topTermsByDf heap matches the window form on the corpus") {
+    val viaHeap = TextAnalysis.topTermsQuery(spark, sf("sf0.001"))
+      .as[(String, String, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"df".desc, $"token")
+    val viaWindow = docs
+      .select($"lang", explode(array_distinct(TextAnalysis.wsTokens($"text"))).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("df"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= TextAnalysis.TopTermsK)
+      .select($"lang", $"token", $"df")
+      .orderBy($"lang", $"df".desc, $"token")
+      .as[(String, String, Long)].collect().toSeq
+    assert(viaHeap == viaWindow)
+  }
+
   test("dup clusters agree with candidate pairs: endpoints share a cluster") {
     val pairs = Dedup.ngramCandidatePairs(docs).select($"d1", $"d2")
       .as[(Long, Long)].collect()

@@ -239,6 +239,26 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("TopKTermAggregator keeps the k best with count-desc, term-asc ties") {
+    import graft.functions.{ScoredTerm, TopKTermAggregator}
+    val agg = new TopKTermAggregator(3)
+    val in = Seq(
+      ScoredTerm(5, "zeta"), ScoredTerm(5, "alpha"), ScoredTerm(9, "mid"),
+      ScoredTerm(1, "tiny"), ScoredTerm(5, "beta"))
+    val viaReduce = in.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(viaReduce) ==
+      Seq(ScoredTerm(9, "mid"), ScoredTerm(5, "alpha"), ScoredTerm(5, "beta")),
+      "ties must prefer the lexicographically smaller term")
+    // merge from arbitrary splits agrees with single-buffer reduction
+    for (cut <- 1 until in.size) {
+      val (l, r) = in.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == agg.finish(viaReduce), s"split at $cut diverged")
+    }
+    // buffer never exceeds k
+    assert(viaReduce.size == 3)
+  }
+
   test("native function Columns carry resolved expressions, not registry lookups") {
     // session-independence: the bridge builds the expression tree
     // directly. If it regressed to call_function, the tree would contain

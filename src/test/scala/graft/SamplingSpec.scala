@@ -283,4 +283,41 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Double)].collect().map(_._1).toSet
     assert(out == Set(1L, 4L), s"non-positive-weight rows leaked: $out")
   }
+
+  test("weightedSamplePerGroup: heap form matches the window form cell-exactly") {
+    // Same A-ES score arithmetic, selected via row_number per group —
+    // the reference semantics the bounded heap replaces at scale.
+    val rows = docs.select($"doc_id", $"source",
+      size(graft.operators.TextAnalysis.wsTokens($"text")).cast("long").as("w"))
+    val viaHeap = Sampling.weightedSamplePerGroup(rows, $"source", "doc_id", "g", $"w", 5)
+      .select($"doc_id", $"source").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    val u = (Sampling.hashBucket($"doc_id", "g") + lit(1L)).cast("double") / lit(Sampling.BucketSpace)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"_score".desc, $"doc_id")
+    val viaWindow = rows.filter($"w" > 0)
+      .withColumn("_score", pow(u, lit(1.0) / $"w".cast("double")))
+      .withColumn("rn", row_number().over(win)).filter($"rn" <= 5)
+      .select($"doc_id", $"source").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(viaHeap == viaWindow)
+    // and stable under a different input partitioning
+    val again = Sampling.weightedSamplePerGroup(
+        rows.repartition(7), $"source", "doc_id", "g", $"w", 5)
+      .select($"doc_id", $"source").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(again == viaHeap, "per-group sample flipped under repartitioning")
+  }
+
+  test("weightedSamplePerGroup: caps at group size, excludes non-positive, null group stands alone") {
+    val rows = Seq(
+      (1L, Some("a"), 2.0), (2L, Some("a"), 3.0), (3L, Some("a"), 0.0),
+      (4L, Some("b"), 1.0),
+      (5L, None, 1.0), (6L, None, -2.0)
+    ).toDF("k", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(rows, $"g", "k", "s", $"w", 10)
+      .select($"k", $"g").as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    // every positive-weight row survives (n=10 > any group); zero/negative never
+    assert(got == Seq((1L, Some("a")), (2L, Some("a")), (4L, Some("b")), (5L, None)))
+  }
 }
