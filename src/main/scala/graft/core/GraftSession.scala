@@ -26,9 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps, which the parquet
-      // reader otherwise rejects (PARQUET_TYPE_ILLEGAL). Surface them as
-      // LONG nanos; Tables.load converts to TIMESTAMP via `div 1000`.
+      // events.parquet has carried NANOS or MICROS timestamps depending on
+      // corpus vintage. NANOS files are otherwise rejected by the parquet
+      // reader (PARQUET_TYPE_ILLEGAL); this conf surfaces them as LONG
+      // nanos, and Tables.load converts via `div 1000` ONLY when the column
+      // actually reads as LONG. MICROS files read as TIMESTAMP unaffected.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER")) match {
       case Some(m) => b.master(m)
