@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which has kept the
+// driver's tail-parser from recognizing Bench's JSON line (BENCH_r*
+// "parsed": null every round). With StdoutOutput the compact line starts
+// at column 0 and json.loads-per-line parsers match it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

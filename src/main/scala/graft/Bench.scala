@@ -21,16 +21,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - a fixed CPU-bound calibration job (32-partition range-sum sized to
   *    ~100ms on a quiet machine) runs immediately before AND after every
-  *    query attempt — the sandwich means contention that starts mid-query
-  *    is still caught by the closing probe;
+  *    query attempt — the sandwich means contention alive at either edge
+  *    of the query is caught by a probe;
+  *  - external-CPU attribution: machine busy jiffies (/proc/stat) minus
+  *    this JVM's jiffies (/proc/self/stat), integrated over the timed
+  *    region — a hog that starts AND stops strictly inside a long query
+  *    is invisible to both probes (round 5's driver record carried
+  *    x02=20.6s vs a real 2.27s that way) but cannot hide from the
+  *    jiffy integral; attempts whose external share exceeds
+  *    [[Bench.ExternalShareMax]] retry and flag exactly like poisoned
+  *    calibrations;
   *  - /proc/loadavg is sampled at each query's start and end;
   *  - a query attempt whose worse calibration side exceeds
   *    [[Bench.ContendedFactor]]x the session-start baseline is treated as
   *    poisoned and retried (up to [[Bench.MaxAttempts]] total attempts,
   *    with a short sleep so a transient spike can pass); the reported
   *    time is the min over all attempts, and queries whose BEST attempt
-  *    was still contended are listed in a "contended" field so a reader
-  *    knows exactly which entries not to trust;
+  *    was still contended (by either signal) are listed in a "contended"
+  *    field so a reader knows exactly which entries not to trust;
   *  - the session baseline itself is sanity-checked: the probe is fixed
   *    work, so a baseline above [[Bench.BaselineCeiling]] means the
   *    machine was already contended at calibration time. The EFFECTIVE
@@ -57,11 +65,72 @@ object Bench {
     */
   val BaselineCeiling = 1.0
 
+  /** Max tolerated fraction of the machine's CPU capacity consumed by
+    * OTHER processes during a query's timed region. The probe sandwich
+    * only samples the edges of a run: round-5's driver bench let a
+    * mid-query CPU hog inflate x02 to 20.6s (real: 2.27s) because both
+    * probes landed in quiet moments. External-CPU attribution closes
+    * that window — it integrates over the WHOLE timed region, from
+    * /proc/stat (machine) minus /proc/self/stat (this JVM).
+    */
+  val ExternalShareMax = 0.15
+
   /** First field of /proc/loadavg (1-minute load average), or -1 when
     * unreadable (non-Linux). Parsing isolated for the spec.
     */
   def parseLoadAvg(content: String): Double =
     content.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
+
+  /** Machine-wide busy jiffies from /proc/stat content: the aggregate
+    * "cpu " line summed over every field except idle (4th) and iowait
+    * (5th). -1 when unparseable.
+    */
+  def parseProcStat(content: String): Double =
+    content.linesIterator.find(_.startsWith("cpu ")).map { l =>
+      val f = l.trim.split("\\s+").drop(1)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    }.filter(_ > 0).getOrElse(-1.0)
+
+  /** This process's consumed jiffies from /proc/self/stat content:
+    * utime + stime (fields 14/15, 1-indexed). The comm field (2) can
+    * contain spaces, so parsing anchors on the LAST ')' — everything
+    * after it is whitespace-separated starting at field 3. -1 when
+    * unparseable.
+    */
+  def parseSelfStat(content: String): Double = {
+    val idx = content.lastIndexOf(')')
+    if (idx < 0) -1.0
+    else {
+      val f = content.substring(idx + 1).trim.split("\\s+")
+      // after ')' the tokens start at field 3 (state) → utime is index 11
+      scala.util.Try(f(11).toDouble + f(12).toDouble).getOrElse(-1.0)
+    }
+  }
+
+  /** Fraction of the machine's CPU capacity that OTHER processes used
+    * over a timed region: (machine busy jiffies − this JVM's jiffies) /
+    * (elapsed × cores × USER_HZ). Clamped at 0 (sampling skew can make
+    * the numerator marginally negative on a quiet machine).
+    */
+  def externalShare(machineBusyDelta: Double, selfDelta: Double,
+                    elapsedSec: Double, cores: Int, hz: Double = 100.0): Double =
+    if (elapsedSec <= 0 || cores <= 0) 0.0
+    else math.max(0.0, (machineBusyDelta - selfDelta) / (elapsedSec * cores * hz))
+
+  /** Retry decision for the external-CPU signal (complements
+    * [[shouldRetry]]'s probe-sandwich signal).
+    */
+  def shouldRetryExt(ext: Double, attempt: Int): Boolean =
+    ext > ExternalShareMax && attempt < MaxAttempts
+
+  /** One (machineBusy, self) jiffy sample; (-1,-1) off-Linux. */
+  def readCpuJiffies(): (Double, Double) =
+    try {
+      def slurp(p: String) =
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      (parseProcStat(slurp("/proc/stat")), parseSelfStat(slurp("/proc/self/stat")))
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
   def readLoadAvg(): Double =
     try parseLoadAvg(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/proc/loadavg"))))
@@ -154,47 +223,64 @@ object Bench {
         warm: Double,     // min over all attempts (cold and warm runs)
         cold: Double,     // first attempt's first run
         calib: Double,    // best (lowest) calibration across attempts
+        ext: Double,      // external-CPU share of the BEST attempt (-1 off-Linux)
         attempts: Int,
         load: (Double, Double), // loadavg at query start / end
         contended: Boolean)
 
+    val cores = Runtime.getRuntime.availableProcessors()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val l0 = readLoadAvg()
         var attempt = 0
         var bestTime = Double.MaxValue
         var bestCalib = Double.MaxValue
+        var bestExt = -1.0
         var firstCold = -1.0
         var retry = true
         while (retry) {
           attempt += 1
-          // calibration SANDWICH: probe before and after the timed runs.
-          // The worse side is the attempt's calibration — contention that
-          // begins mid-query inflates the closing probe, so it no longer
-          // slips past a clean opening probe (ADVICE r4).
+          // TWO independent contention signals per attempt:
+          //  - calibration SANDWICH: probe before and after the timed
+          //    runs; the worse side is the attempt's calibration (catches
+          //    contention alive at either edge — ADVICE r4);
+          //  - external-CPU attribution: /proc jiffies integrated over
+          //    the WHOLE timed region (catches a hog that starts and
+          //    stops strictly inside the query — the r5 x02 blind spot).
           val calibPre = calibrate(spark)
+          val (mb0, sj0) = readCpuJiffies()
+          val tq0 = System.nanoTime()
           val cold = run(fn)
           val warm = run(fn)
+          val elapsed = (System.nanoTime() - tq0) / 1e9
+          val (mb1, sj1) = readCpuJiffies()
           val calib = math.max(calibPre, calibrate(spark))
+          val ext =
+            if (mb0 >= 0 && sj0 >= 0 && mb1 >= 0 && sj1 >= 0)
+              externalShare(mb1 - mb0, sj1 - sj0, elapsed, cores)
+            else -1.0
           if (firstCold < 0) firstCold = cold
-          bestTime = math.min(bestTime, math.min(cold, warm))
+          if (math.min(cold, warm) < bestTime) { bestTime = math.min(cold, warm); bestExt = ext }
           bestCalib = math.min(bestCalib, calib)
-          retry = shouldRetry(calib, baseline, attempt)
+          retry = shouldRetry(calib, baseline, attempt) || shouldRetryExt(ext, attempt)
           if (retry) Thread.sleep(3000) // let a transient spike pass
         }
-        QueryResult(name, bestTime, firstCold, bestCalib, attempt, (l0, readLoadAvg()),
-          contended = bestCalib > baseline * ContendedFactor)
+        QueryResult(name, bestTime, firstCold, bestCalib, bestExt, attempt,
+          (l0, readLoadAvg()),
+          contended = bestCalib > baseline * ContendedFactor ||
+            bestExt > ExternalShareMax)
       } catch {
         // Failures are reported as -1 so the driver can tell them from a
         // fast success.
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
-          QueryResult(name, -1.0, -1.0, -1.0, 1, (-1.0, -1.0), contended = false)
+          QueryResult(name, -1.0, -1.0, -1.0, -1.0, 1, (-1.0, -1.0), contended = false)
       }
     }
 
     val colds = jsonMap(results.map(r => r.name -> fmt(r.cold)))
     val calibs = jsonMap(results.map(r => r.name -> fmt(r.calib)))
+    val exts = jsonMap(results.map(r => r.name -> fmt(r.ext)))
     val attempts = jsonMap(results.map(r => r.name -> r.attempts.toString))
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
     val total = results.map(_.warm).filter(_ >= 0).sum
@@ -203,7 +289,7 @@ object Bench {
     println(
       s"""{"metric":"total_attested","value":${fmt(total)},"unit":"sec","queries_cold":$colds,""" +
       s""""calib_baseline":${fmt(measuredBaseline)},"baseline_suspect":$baselineSuspect,""" +
-      s""""queries_calib":$calibs,"queries_attempts":$attempts,""" +
+      s""""queries_calib":$calibs,"queries_extcpu":$exts,"queries_attempts":$attempts,""" +
       s""""queries_load":$loads,"loadavg_start":${fmt(loadStart)},""" +
       s""""loadavg_end":${fmt(readLoadAvg())},"sf":"$sfDir"}""")
     // Line 2 (LAST): the compact record — total, per-query seconds, and

@@ -118,6 +118,12 @@ object SparkEntry {
     "x41_chunks"          -> (Chunking.chunkQuery _),
     "x42_weighted_group"  -> (Sampling.weightedGroupSampleQuery _),
     "x43_top_terms"       -> (TextAnalysis.topTermsQuery _),
+    // x44: x01's exact dedup with hashed (20-byte) shuffle keys instead
+    // of whole-document keys — the 100 TB plan, same oracle SQL as x01.
+    "x44_dedup_hash"      -> (Dedup.exactDedupHashQuery _),
+    // x45: embedding-cosine near-dup pairs (label-blocked exact config;
+    // the LSH/IVF-blocked production faces are spec-gated).
+    "x45_embed_neardup"   -> (Similarity.nearDupQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

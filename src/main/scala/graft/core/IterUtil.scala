@@ -37,6 +37,16 @@ object IterUtil {
   def cut(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint() else df.localCheckpoint()
 
+  /** LAZY lineage cut: same block persistence + lineage truncation as
+    * [[cut]], but materialized by the caller's NEXT action instead of an
+    * extra count job here. Lets an iterative loop fold its convergence
+    * aggregate and its round materialization into ONE Spark job (the agg
+    * action computes the round, persists its blocks, and returns the
+    * convergence scalar). Caller contract: run an action on the returned
+    * frame BEFORE freeing anything the round's plan still reads. */
+  def cutLazy(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+
   /** Free a cut round's blocks. Both checkpoint flavors are eager, so
     * once the NEXT round is cut it no longer reads its predecessor's
     * blocks — safe to unpersist. Must be handed the checkpointed handle

@@ -21,14 +21,35 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact dedup on text: one row per distinct content, keeper = min id. */
-  def exactDedup(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+  /** Exact dedup on text: one row per distinct content, keeper = min id.
+    *
+    * `hashContent = false` groups on the raw text — cross-engine exact,
+    * the oracle face. `hashContent = true` is the 100 TB face: group on
+    * (length, xxhash64, independently-seeded xxhash64) so the shuffle
+    * carries ~20-byte keys instead of whole documents — the same trick
+    * [[gramKey]] plays for grams. The 132-bit discriminator makes a
+    * merged pair of distinct docs a ~n²/2¹³² event, immaterial next to
+    * storage bit-error rates; output is identical modulo that. */
+  def exactDedup(docs: DataFrame, hashContent: Boolean = false): DataFrame = {
+    val key: Seq[Column] =
+      if (hashContent)
+        Seq(length(col("text")).as("_len"), xxhash64(col("text")).as("_h1"),
+          xxhash64(lit(1), col("text")).as("_h2"))
+      else Seq(col("text"))
+    docs.groupBy(key: _*)
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
+  }
 
   def exactDedupQuery(spark: SparkSession, dir: String): DataFrame =
     exactDedup(Tables.load(spark, dir, "documents")).orderBy(col("keep_id"))
+
+  /** x44: the hashed-key form of x01 — same result, 8-byte-class shuffle
+    * keys. Shares x01's oracle SQL verbatim (the outputs are defined to
+    * coincide). */
+  def exactDedupHashQuery(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.load(spark, dir, "documents"), hashContent = true)
+      .orderBy(col("keep_id"))
 
   // -------------------------------------------------------- word shingles
 
@@ -253,14 +274,20 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           (coalesce(col("nbr"), col("label")) < col("label")).as("ch"))
-      val step = cut(m.as("a")
+      // LAZY cut + in-round convergence: the max(changed) aggregate is
+      // the action that materializes (and persists) the round, so each
+      // round is ONE Spark job instead of an eager-checkpoint count plus
+      // a separate convergence scan (VERDICT r5 item 6).
+      val step = graft.core.IterUtil.cutLazy(m.as("a")
         .join(m.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
           col("a.label") === col("b.lid"), "left")
         .select(col("a.id").as("id"),
           coalesce(col("b.llabel"), col("a.label")).as("label"),
           (col("a.ch") ||
-            coalesce(col("b.llabel"), col("a.label")) < col("a.label")).as("changed")))
-      converged = step.filter(col("changed")).limit(1).count() == 0
+            coalesce(col("b.llabel"), col("a.label")) < col("a.label")).as("changed")),
+        checkpointDir.isDefined)
+      val anyChanged = step.agg(max(col("changed"))).head()
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
       free(cp)
       cp = step
       labels = step.select(col("id"), col("label"))

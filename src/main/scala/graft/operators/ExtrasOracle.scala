@@ -58,11 +58,25 @@ object ExtrasOracle {
        |ORDER BY lang, detected""".stripMargin
   }
 
+  /** Shared by x01 (raw-text grouping) and x44 (hashed-key grouping):
+    * the two Spark plans compute one selection. */
+  private val exactDedupSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x08_lang_id" -> langIdSql,
-    "x01_dedup_exact" ->
-      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x01_dedup_exact" -> exactDedupSql,
+    // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
+    // one oracle text, two physical strategies (cf. x26/x37).
+    "x44_dedup_hash" -> exactDedupSql,
+    "x45_embed_neardup" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding)
+         |      >= ${graft.operators.Similarity.NearDupThreshold}
+         |ORDER BY id1, id2""".stripMargin,
 
     "x03_ngram_pairs" ->
       """WITH toks AS (

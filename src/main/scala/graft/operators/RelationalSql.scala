@@ -357,9 +357,10 @@ object RelationalSql {
         |JOIN keepers k ON d.text = k.text
         |LEFT JOIN contam c ON d.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
-    "x01_dedup_exact" ->
-      """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x01_dedup_exact" -> exactDedupSparkSql,
+    // x44 computes the same selection as x01 with hashed shuffle keys —
+    // one SQL text, two physical strategies (cf. x26/x37).
+    "x44_dedup_hash" -> exactDedupSparkSql,
 
     "x09_text_quality" ->
       """SELECT lang, COUNT(1) AS n_docs,
@@ -447,6 +448,24 @@ object RelationalSql {
     "x33_anomaly" -> anomalySql,
     "x34_funnel" -> funnelSql,
     "x35_retention" -> retentionSql,
+    "x36_dense_ids" -> denseIdsSparkSql,
+    // x37 is the bounded-heap plan of the SAME selection as x26 — one
+    // SQL text, two physical strategies.
+    "x37_stratified_heap" -> stratifiedSql,
+    "x38_salted_join" -> saltedJoinSparkSql,
+    "x39_pagerank" -> pageRankSparkSql,
+    "x40_weighted_sample" -> weightedSampleSparkSql,
+    "x41_chunks" -> chunkSparkSql,
+    "x42_weighted_group" -> weightedGroupSparkSql,
+    "x43_top_terms" -> topTermsSparkSql,
+    "x45_embed_neardup" ->
+      s"""SELECT id1, id2 FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         cosine_sim(a.embedding, b.embedding) AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE sim >= CAST(${Similarity.NearDupThreshold} AS DOUBLE)
+         |ORDER BY id1, id2""".stripMargin,
 
     "x21_pack" ->
       """WITH t AS (
@@ -590,6 +609,146 @@ object RelationalSql {
        |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
        |  FROM b)
        |SELECT doc_id, source FROM r WHERE rn <= ${Sampling.StratifiedN} ORDER BY doc_id""".stripMargin
+
+  /** The x01/x44 selection: exact dedup grouped on text. */
+  private def exactDedupSparkSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Spark-SQL face of Sampling.denseIdQuery: the window form of the same
+    * total order (the DataFrame face reaches the identical assignment via
+    * range-repartition + zipWithIndex — result-identity across the two
+    * PLANS is the point of the twin). */
+  private def denseIdsSparkSql: String =
+    """SELECT doc_id, source,
+      |  CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS dense_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of SkewTools.saltedJoinQuery: the PLAIN join — salting
+    * must be result-invisible, so the twin is the query a user writes
+    * before reaching for the salt. */
+  private def saltedJoinSparkSql: String =
+    """SELECT l_orderkey, l_linenumber, partkey, p_brand
+      |FROM (SELECT l_orderkey, l_linenumber, l_partkey AS partkey FROM lineitem) f
+      |JOIN (SELECT p_partkey AS partkey, p_brand FROM part) d USING (partkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Spark-SQL face of Graph.pageRankQuery: the same five fixed-point
+    * integer iterations unrolled as chained CTEs (Spark `div` = DuckDB
+    * `//`), over the same x03 candidate-pair edge CTE. Generated from the
+    * SAME constants as the DataFrame face and the DuckDB oracle. */
+  private def pageRankSparkSql: String = {
+    val dp = Graph.PageRankDampingPct
+    val units = Graph.RankUnits
+    val iters = Graph.PageRankIters
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT COALESCE(SUM(r.rank), CAST(0 AS BIGINT)) AS ds
+         |  FROM $prev r LEFT JOIN deg ON deg.id = r.id WHERE deg.id IS NULL),
+         |m$i AS (
+         |  SELECT e.v AS id, SUM(r.rank div deg.deg) AS msg
+         |  FROM edges e JOIN $prev r ON e.u = r.id JOIN deg ON deg.id = r.id
+         |  GROUP BY e.v),
+         |r$i AS (
+         |  SELECT r.id, CAST(c.base +
+         |      ($dp * (d$i.ds div c.n + COALESCE(m$i.msg, CAST(0 AS BIGINT)))) div 100
+         |    AS BIGINT) AS rank
+         |  FROM $prev r CROSS JOIN d$i CROSS JOIN c
+         |  LEFT JOIN m$i ON m$i.id = r.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang, gram FROM documents
+       |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+       |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 20),
+       |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram)),
+       |pairs AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(1) >= 2),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+       |deg AS (SELECT u AS id, COUNT(1) AS deg FROM edges GROUP BY u),
+       |c AS (SELECT COUNT(1) AS n, $units div COUNT(1) AS unit,
+       |             ((100 - $dp) * ($units div COUNT(1))) div 100 AS base
+       |      FROM documents),
+       |r0 AS (SELECT doc_id AS id, CAST(c.unit AS BIGINT) AS rank
+       |       FROM documents CROSS JOIN c),
+       |$iterCtes
+       |SELECT id AS doc_id, CAST(rank AS DOUBLE) / CAST($units AS DOUBLE) AS rank
+       |FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** The A-ES score expression shared by x40/x42 — identical double ops
+    * to Sampling.weightedSample: u = (bucket+1)/2^32, pow(u, 1/weight). */
+  private def aesScoreSql(salt: String): String =
+    s"POWER(CAST(${sparkBucketSql(salt)} + 1 AS DOUBLE) / ${Sampling.BucketSpace}, " +
+      "CAST(1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+
+  /** Spark-SQL face of Sampling.weightedSampleQuery: the ORDER BY/LIMIT
+    * form of the global A-ES top-n. */
+  private def weightedSampleSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |top AS (
+       |  SELECT doc_id, source FROM (
+       |    SELECT doc_id, source, ${aesScoreSql("aes")} AS sc
+       |    FROM t WHERE n_tokens > 0)
+       |  ORDER BY sc DESC, doc_id LIMIT ${Sampling.WeightedN})
+       |SELECT doc_id, source FROM top ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of Sampling.weightedGroupSampleQuery: the window form
+    * of the per-group A-ES top-n (the DataFrame face runs on a bounded
+    * heap aggregator — same selection). */
+  private def weightedGroupSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, ${aesScoreSql("aesg")} AS sc
+       |  FROM t WHERE n_tokens > 0),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY sc DESC, doc_id) AS rk
+       |  FROM s)
+       |SELECT doc_id, source FROM r WHERE rk <= ${Sampling.WeightedPerGroupN}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of Chunking.chunkQuery: the same stride windows via
+    * posexplode(sequence)/slice. Empty-token docs are filtered BEFORE the
+    * sequence (an empty doc would make sequence(0,-1,48) throw). */
+  private def chunkSparkSql: String = {
+    val (c, s) = (Chunking.ChunkSize, Chunking.ChunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w FROM documents),
+       |nz AS (SELECT doc_id, w FROM t WHERE size(w) > 0),
+       |e AS (
+       |  SELECT doc_id, pos, slice(w, start + 1, $c) AS win
+       |  FROM nz
+       |  LATERAL VIEW posexplode(sequence(0, size(w) - 1, $s)) p AS pos, start)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id,
+       |  CAST(size(win) AS BIGINT) AS n_chunk_tokens,
+       |  array_join(win, ' ') AS chunk
+       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Spark-SQL face of TextAnalysis.topTermsQuery: the row_number window
+    * form of the same per-group top-k (the DataFrame face runs on the
+    * bounded term heap — same selection, same tie rule). */
+  private def topTermsSparkSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, token FROM documents
+       |  LATERAL VIEW explode(array_distinct(filter(split(text, ' '), x -> x != ''))) t AS token),
+       |d AS (SELECT lang, token, COUNT(1) AS df FROM toks GROUP BY lang, token),
+       |r AS (
+       |  SELECT lang, token, df,
+       |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rk
+       |  FROM d)
+       |SELECT lang, token, df FROM r WHERE rk <= ${TextAnalysis.TopTermsK}
+       |ORDER BY lang, df DESC, token""".stripMargin
 
   /** Spark-SQL face of Analytics.scd2Query: NOT(a <=> b) is the null-safe
     * change test (Spark SQL's IS DISTINCT FROM spelling). */

@@ -190,6 +190,23 @@ object Similarity {
     top1(Tables.load(spark, dir, "embeddings"), ColumnBlocking("label"))
       .orderBy(col("vec_id"))
 
+  /** x45's cosine threshold, shared with both SQL twins. Sits just above
+    * the corpus's within-label p99 (~0.28), so the pair set is the real
+    * near-dup tail, not noise. */
+  private[graft] val NearDupThreshold: Double = 0.3
+
+  /** x45: embedding-cosine near-dup pairs within label blocks — the
+    * oracle-checkable ColumnBlocking configuration of [[nearDupPairs]]
+    * (production defaults to LSH/IVF blocking, asserted sub-quadratic in
+    * ExtrasSpec). Pair ids only: the sim column is an engine-local double
+    * whose exactness the threshold test already exercises (x05/x07's
+    * rank-only discipline). */
+  def nearDupQuery(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.load(spark, dir, "embeddings"), NearDupThreshold,
+        ColumnBlocking("label"))
+      .select(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2"))
+
   // ------------------------------------------------------------ sign LSH
 
   /** Fused native bucket-id computation: ARRAY<LONG>, element t = bucket

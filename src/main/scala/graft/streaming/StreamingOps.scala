@@ -269,6 +269,131 @@ object StreamingOps {
     graft.operators.Analytics.flagOutliers(stream, moments, groupCol, valueCol, k,
       flagUnseen)
 
+  // -------------------- streaming funnel / retention (x34/x35 faces) --
+
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+  /** One user's first qualifying arrival at a funnel stage — emitted
+    * exactly once per (user, stage); `COUNT(1) GROUP BY stage` over this
+    * stream IS the batch funnel's (stage, n_users) table. */
+  case class StageAdvance(user_id: Long, stage: String, ts_us: Long)
+  private case class FunnelTimes(times: Seq[Long])
+
+  /** Per-user funnel progress in ValueState: `times(i)` is the micros of
+    * the user's first qualifying stage-i event. An event advances the
+    * funnel iff it is the NEXT stage, strictly after the previous stage's
+    * time, and within the window — the same rule the batch sequential
+    * joins apply. In-order contract: within a batch rows sort by
+    * (ts, event_id); across micro-batches per-user event-time order is
+    * assumed (same contract as every first-arrival stream here) — the
+    * replay spec feeds batches in event order. */
+  class FunnelProcessor(stages: Seq[String], windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, StageAdvance] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelTimes] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelTimes]("times",
+        org.apache.spark.sql.Encoders.product[FunnelTimes], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StageAdvance] = {
+      var times = if (st.exists()) st.get().times.toVector else Vector.empty[Long]
+      val out = scala.collection.mutable.ListBuffer.empty[StageAdvance]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val i = stages.indexOf(e.event_type)
+        if (i == 0 && times.isEmpty) {
+          times = Vector(e.ts_us)
+          out += StageAdvance(key, graft.operators.Analytics.stageLabel(0, e.event_type), e.ts_us)
+        } else if (i > 0 && i == times.length &&
+            e.ts_us > times(i - 1) && e.ts_us - times(i - 1) <= windowUs) {
+          times = times :+ e.ts_us
+          out += StageAdvance(key, graft.operators.Analytics.stageLabel(i, e.event_type), e.ts_us)
+        }
+        // i < 0 (type outside the funnel), an already-reached stage, or a
+        // stage ahead of the user's progress: no effect — in event order
+        // a stage-(k+1) event before stage k's time can never qualify.
+      }
+      st.update(FunnelTimes(times))
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Analytics.funnel]] (x34): emits
+    * a [[StageAdvance]] the moment a user first completes each stage.
+    * Counting advances per stage label reproduces the batch (stage,
+    * n_users) table on in-order replay (spec-asserted). State per user is
+    * one Seq of at most |stages| longs — bounded, keyed, horizontally
+    * scalable; a TTL bounds it further when the funnel window is finite. */
+  def funnelStream(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String, stages: Seq[String],
+                   windowUs: Long): Dataset[StageAdvance] = {
+    require(stages.nonEmpty, "funnelStream: at least one stage")
+    require(windowUs > 0, s"funnelStream: windowUs=$windowUs")
+    import events.sparkSession.implicits._
+    events.select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("event_type"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages, windowUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One user-week activity cell: the user's cohort week plus the offset
+    * (in weeks) of an active week. Distinct cells counted per
+    * (cohort_week, week_k) reproduce the batch retention table. */
+  case class WeekActivity(user_id: Long, cohort_week: java.sql.Date, week_k: Int)
+  case class WeekEvent(user_id: Long, week_day: Int)
+
+  /** Per-user cohort anchor in ValueState: the epoch-day of the
+    * Monday-truncated week of the user's FIRST event (in-order contract
+    * as [[FunnelProcessor]]). Every event emits its (cohort, week_k)
+    * cell; the wrapper dedups so each cell survives once. */
+  class RetentionProcessor
+    extends StatefulProcessor[Long, WeekEvent, WeekActivity] {
+    @transient private var cohort: org.apache.spark.sql.streaming.ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cohort = getHandle.getValueState[Int]("cohort",
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[WeekEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[WeekActivity] = {
+      val sorted = rows.toSeq.sortBy(_.week_day)
+      if (sorted.isEmpty) return Iterator.empty
+      var c = if (cohort.exists()) cohort.get() else {
+        val first = sorted.head.week_day
+        cohort.update(first)
+        first
+      }
+      // first-arrival anchor only ever moves down on a within-batch
+      // straggler (sorted ⇒ head is the batch min; across batches the
+      // in-order contract holds it fixed)
+      if (sorted.head.week_day < c) { c = sorted.head.week_day; cohort.update(c) }
+      val cohortDate = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(c.toLong))
+      sorted.iterator.map(e => WeekActivity(key, cohortDate, (e.week_day - c) / 7))
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Analytics.weeklyRetention]]
+    * (x35): each event maps to its user's (cohort_week, week_k) cell;
+    * the stateful dedup keeps one cell per (user, cohort, week), so
+    * `COUNT(1) GROUP BY cohort_week, week_k` downstream equals the batch
+    * table on in-order replay (spec-asserted). Week truncation runs in
+    * the Spark plan (`date_trunc('week', ts)` — Monday-based, session
+    * UTC), not re-derived in JVM date code, so the two faces share one
+    * calendar. */
+  def retentionStream(events: DataFrame, userCol: String, tsCol: String): Dataset[WeekActivity] = {
+    import events.sparkSession.implicits._
+    events.select(col(userCol).cast("long").as("user_id"),
+        unix_date(date_trunc("week", col(tsCol)).cast("date")).as("week_day"))
+      .as[WeekEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .dropDuplicates("user_id", "cohort_week", "week_k")
+      .as[WeekActivity]
+  }
+
   /** Gap-based sessionization with arbitrary state: emits a session when
     * the event-time timeout fires (no event for `gapMillis` past the
     * watermark). Custom state logic the built-in session_window cannot

@@ -34,6 +34,39 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     assert(!Bench.shouldRetry(calib = baseline * Bench.ContendedFactor, baseline, attempt = 1))
   }
 
+  test("a mid-query CPU hog invisible to the probe sandwich is flagged by external share") {
+    // The r5 x02 scenario: probes at both edges are clean (calibration
+    // passes), but another process burned CPU strictly inside the timed
+    // region. 10s on 32 cores at USER_HZ=100 → 32,000 jiffies capacity;
+    // this JVM used 20,000, the machine 28,000 → 25% external.
+    val ext = Bench.externalShare(
+      machineBusyDelta = 28000, selfDelta = 20000, elapsedSec = 10.0, cores = 32)
+    assert(math.abs(ext - 0.25) < 1e-9)
+    assert(ext > Bench.ExternalShareMax)
+    assert(Bench.shouldRetryExt(ext, attempt = 1), "poisoned middle run must retry")
+    assert(!Bench.shouldRetryExt(ext, attempt = Bench.MaxAttempts),
+      "attempts exhausted: stop and flag contended instead")
+    // A quiet run (all busy jiffies are ours) is not flagged.
+    val quiet = Bench.externalShare(20100, 20000, 10.0, 32)
+    assert(quiet < Bench.ExternalShareMax && !Bench.shouldRetryExt(quiet, 1))
+    // Sampling skew never yields a negative share.
+    assert(Bench.externalShare(19900, 20000, 10.0, 32) == 0.0)
+  }
+
+  test("proc stat parsers extract busy and self jiffies") {
+    val stat = "cpu  100 5 50 10000 200 0 25 0 0 0\ncpu0 10 1 5 1000 20 0 2 0 0 0\n"
+    // busy = 100+5+50+0+25 (idle=10000 and iowait=200 excluded)
+    assert(Bench.parseProcStat(stat) == 180.0)
+    assert(Bench.parseProcStat("") == -1.0)
+    // comm with spaces and parens — parse anchors on the LAST ')'
+    val self = "42 (java (forked)) S 1 42 42 0 -1 4194560 500 0 1 0 777 333 0 0 20 0 33 0 100 0 0"
+    assert(Bench.parseSelfStat(self) == 777.0 + 333.0)
+    assert(Bench.parseSelfStat("garbage") == -1.0)
+    // live read works on the sandbox (Linux)
+    val (mb, sj) = Bench.readCpuJiffies()
+    assert(mb > 0 && sj > 0)
+  }
+
   test("calibration probe runs on a live session and reports elapsed seconds") {
     val secs = Bench.calibrate(spark)
     assert(secs > 0.0 && secs < 60.0)

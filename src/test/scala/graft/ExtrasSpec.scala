@@ -611,6 +611,29 @@ class ExtrasSpec extends SparkSpec {
     assert(out.filter($"n_copies" =!= 2).isEmpty)
   }
 
+  test("hashContent exact dedup equals the raw-text form; no string shuffle keys") {
+    // x44's plan: group on (length, xxhash64, seeded xxhash64) instead of
+    // whole-document keys. Same output on real corpus data...
+    val base = docs.limit(300).select($"doc_id", $"text")
+    val copies = base.limit(40).select(($"doc_id" + 9000).as("doc_id"), $"text")
+    val d = base.unionByName(copies)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.exactDedup(d, hashContent = true)) == rows(Dedup.exactDedup(d)))
+    // ...and the aggregate genuinely groups on fixed-width keys: no
+    // StringType grouping expression survives optimization.
+    val aggs = Dedup.exactDedup(d, hashContent = true)
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(a.groupingExpressions.forall(_.dataType !=
+        org.apache.spark.sql.types.StringType),
+        s"string grouping key survived: ${a.groupingExpressions}")
+    }
+  }
+
   test("word_shingles_all keeps duplicates in position order") {
     val out = Seq("a b a b a").toDF("text")
       .select(Dedup.wordShinglesAll($"text", 2).as("g"))

@@ -251,6 +251,101 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel equals batch x34 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      val batch = Analytics.funnel(events, "user_id", "event_type", "ts",
+          Analytics.FunnelStages, Analytics.FunnelWindowUs)
+        .as[(String, Long)].collect().toMap
+      assert(batch.size == Analytics.FunnelStages.size && batch.values.forall(_ > 0),
+        s"vacuous funnel fixture: $batch")
+
+      // in-order replay: global (ts, event_id) order, three micro-batches
+      val rows = events
+        .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"), $"event_id")
+        .orderBy($"ts_us", $"event_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      val stream = MemoryStream[(Long, String, Long, Long)]
+      val q = StreamingOps.funnelStream(
+          stream.toDF().toDF("user_id", "event_type", "ts_us", "event_id")
+            .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us"),
+          "user_id", "event_type", "ts", "event_id",
+          Analytics.FunnelStages, Analytics.FunnelWindowUs)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("funnel_out").start()
+      try {
+        rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val advances = spark.table("funnel_out")
+          .as[StreamingOps.StageAdvance].collect().toSeq
+        // exactly-once per (user, stage)
+        assert(advances.map(a => (a.user_id, a.stage)).distinct.size == advances.size,
+          "a stage advance was emitted twice")
+        val streamed = advances.groupBy(_.stage).view.mapValues(_.size.toLong).toMap
+        assert(streamed == batch,
+          s"streamed funnel $streamed != batch $batch")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming retention equals batch x35 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      val batch = Analytics.weeklyRetention(events, "user_id", "ts")
+        .as[(java.sql.Date, Int, Long)].collect()
+        .map { case (c, k, n) => (c.toString, k) -> n }.toMap
+      assert(batch.nonEmpty && batch.exists(_._1._2 > 0),
+        "vacuous retention fixture: no post-cohort activity")
+
+      val rows = events
+        .select($"user_id", unix_micros($"ts").as("ts_us"))
+        .orderBy($"ts_us", $"user_id")
+        .as[(Long, Long)].collect().toSeq
+      val stream = MemoryStream[(Long, Long)]
+      val q = StreamingOps.retentionStream(
+          stream.toDF().toDF("user_id", "ts_us")
+            .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us"),
+          "user_id", "ts")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("retention_out").start()
+      try {
+        rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val cells = spark.table("retention_out")
+          .as[StreamingOps.WeekActivity].collect().toSeq
+        assert(cells.map(c => (c.user_id, c.cohort_week.toString, c.week_k))
+          .distinct.size == cells.size, "a user-week cell survived twice")
+        val streamed = cells.groupBy(c => (c.cohort_week.toString, c.week_k))
+          .view.mapValues(_.size.toLong).toMap
+        assert(streamed == batch,
+          s"missing: ${batch.keySet -- streamed.keySet}; extra: ${streamed.keySet -- batch.keySet}; " +
+          s"diffs: ${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) => (k, v, streamed(k)) }}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source generates strict-parse-clean wire records") {
     val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
       .transform(df => SensorPipeline.parseStrict(df))
