@@ -234,6 +234,96 @@ object Multimodal {
     (w, ht, frames)
   }
 
+  /** REAL audio signal features from decoded PCM: [rms, zero-crossing
+    * rate, peak amplitude], each in [0, 1]. The payload is decoded to
+    * 16-bit signed PCM through javax.sound.sampled (WAV/AIFF/AU), and the
+    * stats are exact over every sample: RMS and peak over the full
+    * stream, ZCR counted per channel (interleaving-aware) and normalized
+    * by per-channel sample transitions. None when the JDK cannot decode
+    * the payload to PCM — the caller falls back to the stub, mirroring
+    * [[decodeAudio]]'s real/stub split. These are the quality-gating
+    * signals an audio corpus pipeline filters on (silence → rms ~ 0,
+    * clipping → peak = 1, noise → high zcr); a real embedding model
+    * replaces them by swapping this function, not the plumbing. */
+  private[graft] def audioSignalFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val base = ais0.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          2 * base.getChannels, base.getSampleRate, false)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais0)
+        val bytes = ais.readAllBytes()
+        val ch = math.max(target.getChannels, 1)
+        val nSamples = bytes.length / 2
+        if (nSamples == 0) None
+        else {
+          var i = 0
+          var j = 0
+          var sumSq = 0.0
+          var peak = 0.0
+          var crossings = 0L
+          val prevSign = new Array[Int](ch)
+          while (i + 1 < bytes.length) {
+            val s = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort
+            val v = s / 32768.0
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            val c = j % ch
+            val sign = java.lang.Integer.signum(s.toInt)
+            if (sign != 0) {
+              if (prevSign(c) != 0 && sign != prevSign(c)) crossings += 1
+              prevSign(c) = sign
+            }
+            i += 2
+            j += 1
+          }
+          val transitions = math.max(nSamples - ch, 1)
+          Some(Array(
+            math.sqrt(sumSq / nSamples).toFloat,
+            (crossings.toDouble / transitions).toFloat,
+            peak.toFloat))
+        }
+      } finally ais0.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image signal features from decoded pixels: [width, height,
+    * mean luminance, luminance std] with luminance = Rec.601
+    * (0.299 R + 0.587 G + 0.114 B) / 255 per pixel and a population std
+    * — the blur/blank/exposure gating stats an image corpus pipeline
+    * filters on. None when ImageIO cannot decode (caller stubs). */
+  private[graft] def imageSignalFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    decodeImagePixels(payload).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var sumSq = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)) / 255.0
+          sum += lum
+          sumSq += lum * lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val mean = sum / n
+      val varPop = math.max(sumSq / n - mean * mean, 0.0)
+      Array(w.toFloat, h.toFloat, mean.toFloat, math.sqrt(varPop).toFloat)
+    }
+
+  private def decodeImagePixels(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB: real impl = vision/audio embedding model. Deterministic
     * pseudo-embedding from a rolling hash of the payload. */
   private[graft] def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -278,11 +368,32 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction (fake embedding, real plumbing). */
+  /** Feature extraction. Payloads the JDK can genuinely decode get REAL
+    * signal features — audio: [rms, zcr, peak] from the full PCM stream;
+    * image: [width, height, mean luminance, luminance std] from the
+    * pixels — written into the leading dims of a fixed-width vector
+    * (trailing dims zero, so the schema and every downstream cosine/ANN
+    * operator are unchanged when a real embedding model replaces the
+    * signal stats). Everything else falls back to the deterministic
+    * stub, mirroring [[decode]]'s real/stub split. */
   def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 64): Dataset[MediaFeature] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      it.map(a => MediaFeature(a.asset_id, a.kind, featureStub(a.payload, dim)))
+      it.map { a =>
+        val real = a.kind match {
+          case "audio" => audioSignalFeatures(a.payload)
+          case "image" => imageSignalFeatures(a.payload)
+          case _ => None
+        }
+        val feat = real match {
+          case Some(sig) =>
+            val out = new Array[Float](dim)
+            sig.copyToArray(out, 0, math.min(sig.length, dim))
+            out
+          case None => featureStub(a.payload, dim)
+        }
+        MediaFeature(a.asset_id, a.kind, feat)
+      }
     }
   }
 

@@ -395,6 +395,41 @@ object Similarity {
     } finally sample.unpersist()
   }
 
+  /** Persist an IVF codebook as a (centroid_id, cvec) parquet — the
+    * KB-scale artifact that makes the index REUSABLE across sessions and
+    * batches, the discipline [[graft.operators.Dedup.minhashBuckets]]
+    * already follows for the MinHash index: train once on a corpus,
+    * [[loadCodebook]] later, and [[assignWithCodebook]] any table (the
+    * original corpus, or just a NEW batch to append) in one narrow pass
+    * with zero re-training and zero old-corpus rescans. */
+  def saveCodebook(cents: Array[(Int, Array[Float])], path: String,
+                   spark: SparkSession): Unit = {
+    import spark.implicits._
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("centroid_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebook(spark: SparkSession, path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(path)
+      .select(col("centroid_id"), col("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+
+  /** Nearest-centroid assignment of any vector table under a FROZEN
+    * codebook — the one narrow pass [[ivfIndex]] ends with, exposed so a
+    * persisted codebook can index new data incrementally. Assignments
+    * are a pure per-row function of (embedding, codebook), so assigning
+    * batches separately and unioning equals assigning the union
+    * (spec-asserted). */
+  def assignWithCodebook(vectors: DataFrame,
+                         cents: Array[(Int, Array[Float])]): IvfIndex =
+    IvfIndex(cents, vectors
+      .select(col("vec_id"),
+        element_at(topCentroidsExpr(col("embedding"), cents, 1), 1).as("centroid_id"),
+        col("embedding")))
+
   /** Query the IVF index: rank centroids per query (narrow, against the
     * literal codebook), probe the top nProbe lists, exact cosine within
     * the probed lists only. */

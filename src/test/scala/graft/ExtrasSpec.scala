@@ -189,6 +189,32 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
   }
 
+  test("IVF codebook round-trips through parquet; frozen assignment composes over batches") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val index = Similarity.ivfIndex(emb, nCentroids = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-cb").toString + "/codebook"
+    Similarity.saveCodebook(index.centroids, path, spark)
+    val loaded = Similarity.loadCodebook(spark, path)
+    assert(loaded.map(_._1).toSeq == index.centroids.map(_._1).toSeq)
+    assert(loaded.zip(index.centroids).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq },
+      "centroid vectors corrupted by the parquet round trip")
+    // reloaded codebook serves queries identically to the live index
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def run(ix: Similarity.IvfIndex): Seq[String] =
+      Similarity.ivfTopK(ix, queries, k = 5, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(Similarity.assignWithCodebook(emb, loaded)) == run(index))
+    // incremental contract: assigning two batches under the frozen
+    // codebook and unioning equals assigning the union — new data joins
+    // the index without touching old assignments
+    def cells(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select($"vec_id", $"centroid_id").as[(Long, Int)].collect().toSet
+    val parts = cells(Similarity.assignWithCodebook(emb.filter($"vec_id" % 2 === 0), loaded).assigned) ++
+      cells(Similarity.assignWithCodebook(emb.filter($"vec_id" % 2 === 1), loaded).assigned)
+    assert(parts == cells(Similarity.assignWithCodebook(emb, loaded).assigned))
+  }
+
   test("Lloyd-trained IVF codebook bounds list imbalance on a skew-clustered corpus") {
     // the round-4 caveat: strided-id init mirrors data density only when
     // ids are uniform over space; on a skew-clustered corpus it drops
@@ -452,6 +478,65 @@ class ExtrasSpec extends SparkSpec {
     // WAV header mapped onto (width=sample rate, height=channels, frames)
     assert(out(3).width == 8000 && out(3).height == 1 && out(3).n_frames == 220,
       s"real WAV header misread: ${out(3)}")
+  }
+
+  test("multimodal: real PCM audio and pixel image features, exact on known signals") {
+    // 16-bit mono 8 kHz square wave alternating ±16384: every stat is
+    // known a priori and exact — rms = 0.5, peak = 0.5, and a crossing at
+    // EVERY transition so zcr = 1.0. Non-circular: the expectation comes
+    // from arithmetic, not from running the decoder.
+    val n = 200
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some(Array(rms, zcr, peak)) = Multimodal.audioSignalFeatures(bos.toByteArray)
+    assert(rms == 0.5f && peak == 0.5f && zcr == 1.0f,
+      s"square-wave stats off: rms=$rms zcr=$zcr peak=$peak")
+
+    // solid-white 4x4 PNG: mean luminance 1, std 0, dims real
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, 0xffffff)))
+    val pbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pbos)
+    val Some(Array(w, h, mean, std)) = Multimodal.imageSignalFeatures(pbos.toByteArray)
+    assert(w == 4f && h == 4f)
+    assert(math.abs(mean - 1.0f) < 1e-6 && std < 1e-6,
+      s"white-image stats off: mean=$mean std=$std")
+
+    // end-to-end through extractFeatures: decodable payloads take the
+    // real path (leading dims = signal stats, trailing dims zero);
+    // undecodable ones keep the stub
+    val wavFix = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.tinyWav))
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "audio", bos.toByteArray, Map.empty),
+      Multimodal.MediaAsset(2L, "audio", wavFix, Map.empty),
+      Multimodal.MediaAsset(3L, "audio", "not audio".getBytes("UTF-8"), Map.empty),
+      Multimodal.MediaAsset(4L, "image", pbos.toByteArray, Map.empty)).toDS()
+    val feats = Multimodal.extractFeatures(assets, dim = 8)
+      .collect().map(f => f.asset_id -> f.feature).toMap
+    assert(feats(1L).take(3).toSeq == Seq(0.5f, 1.0f, 0.5f))
+    assert(feats(1L).drop(3).forall(_ == 0f), "trailing dims must stay zero")
+    val fix = feats(2L)
+    assert(fix(0) > 0f && fix(0) <= fix(2) && fix(2) <= 1f,
+      s"fixture WAV stats implausible: ${fix.toSeq}")
+    // undecodable payload under kind=audio: real decoder refuses, the
+    // deterministic stub takes over (identical to featureStub's output)
+    assert(Multimodal.audioSignalFeatures("not audio".getBytes("UTF-8")).isEmpty)
+    assert(feats(3L).toSeq ==
+      Multimodal.featureStub("not audio".getBytes("UTF-8"), 8).toSeq)
+    assert(feats(4L).take(4).toSeq == Seq(4f, 4f, 1.0f, 0f),
+      s"white-image features off: ${feats(4L).toSeq}")
   }
 
   test("multimodal: animated GIF video decodes real frame count and real frames") {
