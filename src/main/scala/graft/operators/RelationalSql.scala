@@ -273,7 +273,12 @@ object RelationalSql {
     * to assert against), and x14's connected-components is an iterative
     * driver loop — each ROUND is plain SQL (two equi-joins + a min
     * aggregate), but the loop-until-fixpoint control flow is not a
-    * single statement in Spark SQL (no recursive CTE). */
+    * single statement: Spark 4.1 DOES parse WITH RECURSIVE, but only
+    * with UNION ALL in the recursive term
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed on 4.1.2), and a
+    * transitive closure over a CYCLIC near-dup graph needs UNION's
+    * dedup to terminate (DuckDB's x14 oracle leans on exactly that).
+    * Revisit when SPARK recursion learns UNION. */
   val extrasSql: Map[String, String] = Map(
     "x03_ngram_pairs" ->
       """WITH grams AS (

@@ -81,6 +81,61 @@ class TablesSpec extends SparkSpec {
     assert(df.schema("ts").dataType == LongType, "only events.ts is converted")
   }
 
+  test("driver corpus: load-bearing column types hold post-normalization") {
+    // Early-warning gate for the NEXT corpus regeneration: only the
+    // columns the query surface actually computes on, by name, so a type
+    // drift fails HERE with the column spelled out instead of as a dozen
+    // cryptic analysis errors downstream. Deliberately NOT a full-schema
+    // assertion — added columns or nullability changes are benign drift
+    // this gate must not veto.
+    import org.apache.spark.sql.types._
+    val d = sf("sf0.001")
+    val expect: Seq[(String, String, DataType)] = Seq(
+      ("events", "ts", TimestampType), // post-normalization, any vintage
+      ("events", "event_id", LongType),
+      ("events", "user_id", LongType),
+      ("events", "event_type", StringType),
+      ("events", "value", DoubleType),
+      ("events", "props", StringType),
+      ("documents", "doc_id", LongType),
+      ("documents", "text", StringType),
+      ("documents", "lang", StringType),
+      ("documents", "source", StringType),
+      ("embeddings", "vec_id", LongType),
+      ("embeddings", "embedding", ArrayType(FloatType)),
+      ("embeddings", "label", IntegerType),
+      ("lineitem", "l_orderkey", LongType),
+      ("lineitem", "l_partkey", LongType),
+      ("lineitem", "l_quantity", DoubleType),
+      ("lineitem", "l_extendedprice", DoubleType),
+      ("lineitem", "l_discount", DoubleType),
+      ("lineitem", "l_shipdate", TimestampNTZType),
+      ("orders", "o_orderkey", LongType),
+      ("orders", "o_custkey", LongType),
+      ("orders", "o_totalprice", DoubleType),
+      ("orders", "o_orderdate", TimestampNTZType),
+      ("customer", "c_custkey", LongType),
+      ("customer", "c_acctbal", DoubleType),
+      ("part", "p_partkey", LongType),
+      ("part", "p_size", IntegerType),
+      ("nation", "n_nationkey", IntegerType),
+      ("region", "r_regionkey", IntegerType))
+    val loaded = expect.map(_._1).distinct
+      .map(t => t -> Tables.load(spark, d, t).schema).toMap
+    val bad = expect.flatMap { case (t, c, want) =>
+      loaded(t).find(_.name == c) match {
+        case None => Some(s"$t.$c: MISSING (corpus drift)")
+        case Some(f) if !(f.dataType == want ||
+            // timestamp columns may arrive NTZ or UTC depending on the
+            // corpus vintage — both are computable for these queries
+            (want == TimestampNTZType && f.dataType == TimestampType)) =>
+          Some(s"$t.$c: ${f.dataType} (expected $want)")
+        case _ => None
+      }
+    }
+    assert(bad.isEmpty, s"driver corpus drifted:\n  ${bad.mkString("\n  ")}")
+  }
+
   test("registerAll isolates a poisoned table: the other views still register") {
     val src = Paths.get(sf("sf0.001"))
     val dir = tempDir("tables-poison")
