@@ -20,6 +20,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = graft.core.GraftSession.getOrCreate("graft-verify")
+    try run(spark, sfDir, outDir) finally spark.stop()
+  }
+
+  /** The dump itself, session-agnostic (specs drive it on the shared
+    * test session; main owns session lifecycle). */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     // oracle_sql.json goes FIRST: if the JVM dies or is timed out partway
     // through the query loop, the driver still has the oracle map and
@@ -44,9 +50,23 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         status(name) = s"failed: ${e.getMessage}"
+        // Leave a READABLE result dir even on failure: a comparator that
+        // iterates oracle keys and opens each dir must meet a parquet
+        // file here, not ENOENT — a missing dir crashing the driver's
+        // loop would zero every OTHER query's signal along with this
+        // one (the leading explanation for round 5's empty record). The
+        // marker column cannot match any oracle, so the query still
+        // reads as a per-query FAIL, never a silent pass.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
+        }
       }
       writeStatus()
     }
-    spark.stop()
   }
 }
