@@ -303,22 +303,30 @@ object ExtrasOracle {
 
   /** x03's candidate-pair graph as a CTE body (toks → … → pairs →
     * symmetrized edges), shared by the closure (x14/x31) and PageRank
-    * (x39) oracles so the three cannot drift from the x03 semantics. */
+    * (x39) oracles so the three cannot drift from the x03 semantics.
+    *
+    * Every stage is `AS MATERIALIZED`: DuckDB's default is to INLINE a
+    * CTE at each reference, and these are referenced multiply — `grams`
+    * twice directly, and the whole pipeline once per downstream use.
+    * Inlining grows the evaluation tree multiplicatively (the unrolled
+    * x39 iterations took it to ~3^6× — measured >10 min at sf0.01 vs
+    * 0.9 s materialized, identical rows), so a non-materialized form is
+    * not budget-safe for the driver's correctness phase. */
   private def pairsCteBody: String =
-    """toks AS (
+    """toks AS MATERIALIZED (
       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),
-      |grams AS (
+      |grams AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
-      |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-      |rg AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
-      |pairs AS (
+      |rare AS MATERIALIZED (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+      |rg AS MATERIALIZED (SELECT g.* FROM grams g JOIN rare USING (gram)),
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2
       |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 2),
-      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+      |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
 
   /** Shared clusters CTE (x14 + x31): [[pairsCteBody]]'s candidate graph,
     * then the exact transitive closure; ends at the `reach` relation so
@@ -491,25 +499,27 @@ object ExtrasOracle {
     val units = Graph.RankUnits
     val iterCtes = (1 to Graph.PageRankIters).map { i =>
       val prev = s"r${i - 1}"
-      s"""d$i AS (
+      // Each r_i is referenced 3× by iteration i+1 (d/m/r) — without
+      // MATERIALIZED the inlined tree grows 3^iters-fold.
+      s"""d$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(r.rank), 0) AS ds
          |  FROM $prev r LEFT JOIN deg ON deg.id = r.id WHERE deg.id IS NULL),
-         |m$i AS (
+         |m$i AS MATERIALIZED (
          |  SELECT e.v AS id, SUM(r.rank // deg.deg) AS msg
          |  FROM edges e JOIN $prev r ON e.u = r.id JOIN deg ON deg.id = r.id
          |  GROUP BY e.v),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT r.id, CAST(c.base +
          |      ($dp * (d$i.ds // c.n + COALESCE(m$i.msg, 0))) // 100 AS BIGINT) AS rank
          |  FROM $prev r CROSS JOIN d$i CROSS JOIN c
          |  LEFT JOIN m$i ON m$i.id = r.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH $pairsCteBody,
-       |deg AS (SELECT u AS id, COUNT(*) AS deg FROM edges GROUP BY u),
-       |c AS (SELECT COUNT(*) AS n, $units // COUNT(*) AS unit,
+       |deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS deg FROM edges GROUP BY u),
+       |c AS MATERIALIZED (SELECT COUNT(*) AS n, $units // COUNT(*) AS unit,
        |             ((100 - $dp) * ($units // COUNT(*))) // 100 AS base
        |      FROM documents),
-       |r0 AS (SELECT doc_id AS id, CAST(c.unit AS BIGINT) AS rank
+       |r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(c.unit AS BIGINT) AS rank
        |       FROM documents CROSS JOIN c),
        |$iterCtes
        |SELECT id AS doc_id, CAST(rank AS DOUBLE) / $units.0 AS rank

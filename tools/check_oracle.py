@@ -6,11 +6,20 @@ runs each oracle SQL in DuckDB against views over the sf tables, and
 compares: column names (sorted), row count, and cell-by-cell values in
 result order (which both sides make total via ORDER BY).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> \
+           [--budget SECONDS] [--json OUT.json]
+
+--budget fails any single oracle whose DuckDB execution exceeds the
+given wall-clock seconds — the guard against oracle SQL that is correct
+but too expensive for the driver's correctness phase (the r6 failure
+mode: one exponentially-inlined CTE chain timed out the whole gate and
+zeroed the round's record). --json writes the per-query outcome as a
+committable artifact (CORRECTNESS_local_rN.json).
 """
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -29,25 +38,30 @@ def canon(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, budget=None, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    record = {}
     for name, sql in sorted(oracle.items()):
+        oracle_sec = None
         try:
             res_dir = f"{out_dir}/{name}"
             got = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             got_cols = [d[0] for d in got.description]
             got_rows = got.fetchall()
+            t0 = time.monotonic()
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
+            oracle_sec = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            record[name] = {"status": "fail", "errs": [f"exception {e}"]}
             n_fail += 1
             continue
         errs = []
@@ -66,15 +80,39 @@ def main(sf_dir, out_dir):
                     errs.append(f"row {r}: spark={gr} duck={er}")
                     if len(errs) > 3:
                         break
+        if budget is not None and oracle_sec > budget:
+            errs.append(
+                f"oracle over budget: {oracle_sec}s > {budget}s "
+                "(would risk timing out the driver's correctness phase)")
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs[:4]))
+            record[name] = {"status": "fail", "oracle_sec": oracle_sec,
+                            "errs": errs[:4]}
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)")
+            print(f"PASS {name} ({len(got_rows)} rows, oracle {oracle_sec}s)")
+            record[name] = {"status": "pass", "rows": len(got_rows),
+                            "oracle_sec": oracle_sec}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        Path(json_out).write_text(json.dumps(
+            {"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+             "budget_sec": budget, "queries": record}, indent=1) + "\n")
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:]]
+    budget = None
+    json_out = None
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        del args[i:i + 2]
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], budget, json_out))
