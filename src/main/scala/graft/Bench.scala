@@ -31,6 +31,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    jiffy integral; attempts whose external share exceeds
   *    [[Bench.ExternalShareMax]] retry and flag exactly like poisoned
   *    calibrations;
+  *  - NON-CPU attribution: GC-pause share (GarbageCollectorMXBean) and
+  *    machine iowait share (/proc/stat field 5) over the same region —
+  *    memory pressure or page-cache eviction stretches wall time with
+  *    no external CPU burn (the r6 driver's x39=15.7s vs real ~4.4s
+  *    passed both CPU signals); over [[Bench.GcShareMax]] /
+  *    [[Bench.IowaitShareMax]] retries and flags the same way;
   *  - /proc/loadavg is sampled at each query's start and end;
   *  - a query attempt whose worse calibration side exceeds
   *    [[Bench.ContendedFactor]]x the session-start baseline is treated as
@@ -75,6 +81,27 @@ object Bench {
     */
   val ExternalShareMax = 0.15
 
+  /** Max tolerated fraction of a query's wall time spent in this JVM's
+    * GC pauses. The external-CPU signal is blind to NON-CPU slowdowns:
+    * the r6 driver bench carried x39=15.7s (three quiet measurements
+    * agree on ~4.4s) with both existing signals green — memory pressure
+    * or page-cache eviction stretches wall time without any external
+    * process burning CPU. GC time (GarbageCollectorMXBean, cumulative
+    * pause ms) over the timed region catches the memory-pressure face
+    * of that blind spot. Healthy queries on this engine run well under
+    * 10% GC; 30% means the measurement, not the plan, was the problem.
+    */
+  val GcShareMax = 0.30
+
+  /** Max tolerated machine-wide iowait share over a query's timed
+    * region. iowait jiffies are deliberately EXCLUDED from busy jiffies
+    * in [[parseProcStat]] (a waiting CPU is idle for attribution), so a
+    * run stalled on disk — the page-cache-eviction face of the non-CPU
+    * blind spot — is invisible to the external-CPU integral. Tracked
+    * separately from /proc/stat field 5 and flagged on its own budget.
+    */
+  val IowaitShareMax = 0.15
+
   /** First field of /proc/loadavg (1-minute load average), or -1 when
     * unreadable (non-Linux). Parsing isolated for the spec.
     */
@@ -82,15 +109,31 @@ object Bench {
     content.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
 
   /** Machine-wide busy jiffies from /proc/stat content: the aggregate
-    * "cpu " line summed over every field except idle (4th) and iowait
-    * (5th). -1 when unparseable.
+    * "cpu " line summed over every field except idle (4th), iowait
+    * (5th), and guest/guest_nice (9th/10th — the kernel already folds
+    * guest time into user/nice, so counting those fields would
+    * double-bill VM guests and inflate the external share into spurious
+    * contended flags on virtualized hosts). -1 when unparseable.
     */
   def parseProcStat(content: String): Double =
     content.linesIterator.find(_.startsWith("cpu ")).map { l =>
       val f = l.trim.split("\\s+").drop(1)
         .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+      }.sum
     }.filter(_ > 0).getOrElse(-1.0)
+
+  /** Machine-wide iowait jiffies (5th field of the aggregate "cpu "
+    * line); -1 when unparseable. Kept OUT of busy jiffies — this is the
+    * disk-stall signal, attributed on its own [[IowaitShareMax]] budget.
+    */
+  def parseIowait(content: String): Double =
+    content.linesIterator.find(_.startsWith("cpu ")).map { l =>
+      val f = l.trim.split("\\s+").drop(1)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      if (f.length > 4) f(4) else -1.0
+    }.getOrElse(-1.0)
 
   /** This process's consumed jiffies from /proc/self/stat content:
     * utime + stime (fields 14/15, 1-indexed). The comm field (2) can
@@ -124,13 +167,47 @@ object Bench {
   def shouldRetryExt(ext: Double, attempt: Int): Boolean =
     ext > ExternalShareMax && attempt < MaxAttempts
 
-  /** One (machineBusy, self) jiffy sample; (-1,-1) off-Linux. */
-  def readCpuJiffies(): (Double, Double) =
+  /** Fraction of a timed region's wall clock spent in this JVM's GC
+    * pauses (gcMillisDelta is cumulative GarbageCollectorMXBean pause
+    * time). Clamped at 0; -1 propagates when either input is missing.
+    */
+  def gcShare(gcMillisDelta: Double, elapsedSec: Double): Double =
+    if (gcMillisDelta < 0 || elapsedSec <= 0) -1.0
+    else math.max(0.0, gcMillisDelta / 1000.0 / elapsedSec)
+
+  /** Machine-wide iowait share of a timed region: iowait jiffies over
+    * elapsed × cores × USER_HZ capacity. Clamped at 0; -1 when missing.
+    */
+  def iowaitShare(iowaitDelta: Double, elapsedSec: Double,
+                  cores: Int, hz: Double = 100.0): Double =
+    if (iowaitDelta < 0 || elapsedSec <= 0 || cores <= 0) -1.0
+    else math.max(0.0, iowaitDelta / (elapsedSec * cores * hz))
+
+  /** Retry decision for the non-CPU signals (GC pressure / disk stall).
+    * Either share over its budget poisons the attempt — these are the
+    * faces the r6 driver's inflated x39 slipped through.
+    */
+  def shouldRetryGcIo(gc: Double, io: Double, attempt: Int): Boolean =
+    (gc > GcShareMax || io > IowaitShareMax) && attempt < MaxAttempts
+
+  /** Cumulative GC pause milliseconds across this JVM's collectors; -1
+    * when the platform reports none.
+    */
+  def readGcMillis(): Double = {
+    import scala.jdk.CollectionConverters._
+    val ts = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0)
+    if (ts.isEmpty) -1.0 else ts.sum.toDouble
+  }
+
+  /** One (machineBusy, self, iowait) jiffy sample; (-1,-1,-1) off-Linux. */
+  def readCpuJiffies(): (Double, Double, Double) =
     try {
       def slurp(p: String) =
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
-      (parseProcStat(slurp("/proc/stat")), parseSelfStat(slurp("/proc/self/stat")))
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      val stat = slurp("/proc/stat")
+      (parseProcStat(stat), parseSelfStat(slurp("/proc/self/stat")), parseIowait(stat))
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
   def readLoadAvg(): Double =
     try parseLoadAvg(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/proc/loadavg"))))
@@ -224,6 +301,8 @@ object Bench {
         cold: Double,     // first attempt's first run
         calib: Double,    // best (lowest) calibration across attempts
         ext: Double,      // external-CPU share of the BEST attempt (-1 off-Linux)
+        gc: Double,       // GC-pause share of the BEST attempt (-1 unavailable)
+        io: Double,       // machine iowait share of the BEST attempt (-1 off-Linux)
         attempts: Int,
         load: (Double, Double), // loadavg at query start / end
         contended: Boolean)
@@ -236,51 +315,71 @@ object Bench {
         var bestTime = Double.MaxValue
         var bestCalib = Double.MaxValue
         var bestExt = -1.0
+        var bestGc = -1.0
+        var bestIo = -1.0
         var firstCold = -1.0
         var retry = true
         while (retry) {
           attempt += 1
-          // TWO independent contention signals per attempt:
+          // FOUR independent contention signals per attempt:
           //  - calibration SANDWICH: probe before and after the timed
           //    runs; the worse side is the attempt's calibration (catches
           //    contention alive at either edge — ADVICE r4);
           //  - external-CPU attribution: /proc jiffies integrated over
           //    the WHOLE timed region (catches a hog that starts and
-          //    stops strictly inside the query — the r5 x02 blind spot).
+          //    stops strictly inside the query — the r5 x02 blind spot);
+          //  - GC-pause share and machine iowait share: the NON-CPU
+          //    blind spot (r6's x39=15.7s vs a real ~4.4s passed both
+          //    CPU signals — memory pressure / page-cache eviction
+          //    stretches wall time without external CPU burn).
           val calibPre = calibrate(spark)
-          val (mb0, sj0) = readCpuJiffies()
+          val gc0 = readGcMillis()
+          val (mb0, sj0, io0) = readCpuJiffies()
           val tq0 = System.nanoTime()
           val cold = run(fn)
           val warm = run(fn)
           val elapsed = (System.nanoTime() - tq0) / 1e9
-          val (mb1, sj1) = readCpuJiffies()
+          val (mb1, sj1, io1) = readCpuJiffies()
+          val gc1 = readGcMillis()
           val calib = math.max(calibPre, calibrate(spark))
           val ext =
             if (mb0 >= 0 && sj0 >= 0 && mb1 >= 0 && sj1 >= 0)
               externalShare(mb1 - mb0, sj1 - sj0, elapsed, cores)
             else -1.0
+          val gcs =
+            if (gc0 >= 0 && gc1 >= 0) gcShare(gc1 - gc0, elapsed) else -1.0
+          val ios =
+            if (io0 >= 0 && io1 >= 0) iowaitShare(io1 - io0, elapsed, cores)
+            else -1.0
           if (firstCold < 0) firstCold = cold
-          if (math.min(cold, warm) < bestTime) { bestTime = math.min(cold, warm); bestExt = ext }
+          if (math.min(cold, warm) < bestTime) {
+            bestTime = math.min(cold, warm); bestExt = ext; bestGc = gcs; bestIo = ios
+          }
           bestCalib = math.min(bestCalib, calib)
-          retry = shouldRetry(calib, baseline, attempt) || shouldRetryExt(ext, attempt)
+          retry = shouldRetry(calib, baseline, attempt) ||
+            shouldRetryExt(ext, attempt) || shouldRetryGcIo(gcs, ios, attempt)
           if (retry) Thread.sleep(3000) // let a transient spike pass
         }
-        QueryResult(name, bestTime, firstCold, bestCalib, bestExt, attempt,
-          (l0, readLoadAvg()),
+        QueryResult(name, bestTime, firstCold, bestCalib, bestExt, bestGc, bestIo,
+          attempt, (l0, readLoadAvg()),
           contended = bestCalib > baseline * ContendedFactor ||
-            bestExt > ExternalShareMax)
+            bestExt > ExternalShareMax ||
+            bestGc > GcShareMax || bestIo > IowaitShareMax)
       } catch {
         // Failures are reported as -1 so the driver can tell them from a
         // fast success.
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
-          QueryResult(name, -1.0, -1.0, -1.0, -1.0, 1, (-1.0, -1.0), contended = false)
+          QueryResult(name, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1, (-1.0, -1.0),
+            contended = false)
       }
     }
 
     val colds = jsonMap(results.map(r => r.name -> fmt(r.cold)))
     val calibs = jsonMap(results.map(r => r.name -> fmt(r.calib)))
     val exts = jsonMap(results.map(r => r.name -> fmt(r.ext)))
+    val gcs = jsonMap(results.map(r => r.name -> fmt(r.gc)))
+    val ios = jsonMap(results.map(r => r.name -> fmt(r.io)))
     val attempts = jsonMap(results.map(r => r.name -> r.attempts.toString))
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
     val total = results.map(_.warm).filter(_ >= 0).sum
@@ -289,7 +388,8 @@ object Bench {
     println(
       s"""{"metric":"total_attested","value":${fmt(total)},"unit":"sec","queries_cold":$colds,""" +
       s""""calib_baseline":${fmt(measuredBaseline)},"baseline_suspect":$baselineSuspect,""" +
-      s""""queries_calib":$calibs,"queries_extcpu":$exts,"queries_attempts":$attempts,""" +
+      s""""queries_calib":$calibs,"queries_extcpu":$exts,"queries_gc":$gcs,""" +
+      s""""queries_iowait":$ios,"queries_attempts":$attempts,""" +
       s""""queries_load":$loads,"loadavg_start":${fmt(loadStart)},""" +
       s""""loadavg_end":${fmt(readLoadAvg())},"sf":"$sfDir"}""")
     // Line 2 (LAST): the compact record — total, per-query seconds, and

@@ -53,18 +53,53 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     assert(Bench.externalShare(19900, 20000, 10.0, 32) == 0.0)
   }
 
-  test("proc stat parsers extract busy and self jiffies") {
+  test("proc stat parsers extract busy, self, and iowait jiffies") {
     val stat = "cpu  100 5 50 10000 200 0 25 0 0 0\ncpu0 10 1 5 1000 20 0 2 0 0 0\n"
     // busy = 100+5+50+0+25 (idle=10000 and iowait=200 excluded)
     assert(Bench.parseProcStat(stat) == 180.0)
     assert(Bench.parseProcStat("") == -1.0)
+    assert(Bench.parseIowait(stat) == 200.0)
+    assert(Bench.parseIowait("") == -1.0)
     // comm with spaces and parens — parse anchors on the LAST ')'
     val self = "42 (java (forked)) S 1 42 42 0 -1 4194560 500 0 1 0 777 333 0 0 20 0 33 0 100 0 0"
     assert(Bench.parseSelfStat(self) == 777.0 + 333.0)
     assert(Bench.parseSelfStat("garbage") == -1.0)
     // live read works on the sandbox (Linux)
-    val (mb, sj) = Bench.readCpuJiffies()
-    assert(mb > 0 && sj > 0)
+    val (mb, sj, io) = Bench.readCpuJiffies()
+    assert(mb > 0 && sj > 0 && io >= 0)
+  }
+
+  test("guest jiffies are not double-counted as busy time") {
+    // The kernel folds guest/guest_nice (fields 9/10) into user/nice;
+    // summing them again would double-bill VM guests and fake external
+    // CPU. user=1000 already CONTAINS guest=900: busy must be
+    // 1000+5+50+25 = 1080, not 1980.
+    val vm = "cpu  1000 5 50 10000 200 0 25 0 900 0\n"
+    assert(Bench.parseProcStat(vm) == 1080.0)
+  }
+
+  test("a memory-pressure-stalled run invisible to CPU signals is flagged by gc/iowait share") {
+    // The r6 x39 scenario: driver reported 15.7s against a real ~4.4s
+    // with calibration sandwich AND external-CPU both green — nothing
+    // else burned CPU; the run itself was stalled. Synthetic attempt:
+    // 10s elapsed, 4s of GC pauses → 40% gc share, over budget.
+    val gc = Bench.gcShare(gcMillisDelta = 4000, elapsedSec = 10.0)
+    assert(math.abs(gc - 0.4) < 1e-9 && gc > Bench.GcShareMax)
+    assert(Bench.shouldRetryGcIo(gc, 0.0, attempt = 1), "gc-poisoned attempt must retry")
+    assert(!Bench.shouldRetryGcIo(gc, 0.0, attempt = Bench.MaxAttempts),
+      "attempts exhausted: stop and flag contended instead")
+    // Disk-stall face: 10s on 32 cores = 32,000 jiffies capacity, 8,000
+    // of them iowait → 25% of the machine waiting on disk.
+    val io = Bench.iowaitShare(iowaitDelta = 8000, elapsedSec = 10.0, cores = 32)
+    assert(math.abs(io - 0.25) < 1e-9 && io > Bench.IowaitShareMax)
+    assert(Bench.shouldRetryGcIo(0.0, io, attempt = 1), "io-poisoned attempt must retry")
+    // A healthy attempt (3% GC, 1% iowait) is not flagged.
+    assert(!Bench.shouldRetryGcIo(Bench.gcShare(300, 10.0),
+      Bench.iowaitShare(320, 10.0, 32), attempt = 1))
+    // Missing inputs propagate -1, never a spurious flag.
+    assert(Bench.gcShare(-1, 10.0) == -1.0)
+    assert(Bench.iowaitShare(-1, 10.0, 32) == -1.0)
+    assert(!Bench.shouldRetryGcIo(-1.0, -1.0, attempt = 1))
   }
 
   test("calibration probe runs on a live session and reports elapsed seconds") {
