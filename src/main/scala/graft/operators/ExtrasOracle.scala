@@ -70,11 +70,17 @@ object ExtrasOracle {
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
     // one oracle text, two physical strategies (cf. x26/x37).
     "x44_dedup_hash" -> exactDedupSql,
+    // ::DOUBLE[] so DuckDB accumulates the cosine at the SAME precision
+    // as Spark's double kernel: membership IS the result here, and a
+    // float-precision DuckDB sim could disagree with Spark's double on a
+    // pair within ~1e-6 of the threshold (sf0.1 has one 8.6e-6 away).
+    // With both engines in double the residual disagreement is ~1e-15;
+    // ExtrasSpec asserts every pair clears the threshold by > 1e-9.
     "x45_embed_neardup" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(a.embedding, b.embedding)
+         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
          |      >= ${graft.operators.Similarity.NearDupThreshold}
          |ORDER BY id1, id2""".stripMargin,
 

@@ -344,39 +344,60 @@ object StreamingOps {
   case class WeekActivity(user_id: Long, cohort_week: java.sql.Date, week_k: Int)
   case class WeekEvent(user_id: Long, week_day: Int)
 
-  /** Per-user cohort anchor in ValueState: the epoch-day of the
-    * Monday-truncated week of the user's FIRST event (in-order contract
-    * as [[FunnelProcessor]]). Every event emits its (cohort, week_k)
-    * cell; the wrapper dedups so each cell survives once. */
+  /** Per-user cohort anchor in ValueState (the epoch-day of the
+    * Monday-truncated week of the user's FIRST event, in-order contract
+    * as [[FunnelProcessor]]) plus a per-user MapState of already-emitted
+    * week offsets. The processor emits each (cohort, week_k) cell
+    * EXACTLY ONCE itself, so no downstream dedup operator is needed —
+    * dedup state lives with the user key, bounded by the number of
+    * distinct active weeks per user (≤ corpus span in weeks), instead of
+    * an unbounded global dropDuplicates store (ADVICE r6 item 3).
+    *
+    * The anchor is FIXED once written: both sides are Monday epoch-days
+    * so week differences are exact multiples of 7 (no truncation), and a
+    * cross-batch straggler OLDER than the anchor — an in-order-contract
+    * violation — surfaces as a visibly impossible negative week_k
+    * (floorDiv) rather than silently re-anchoring and corrupting every
+    * previously emitted offset. */
   class RetentionProcessor
     extends StatefulProcessor[Long, WeekEvent, WeekActivity] {
     @transient private var cohort: org.apache.spark.sql.streaming.ValueState[Int] = _
+    @transient private var emitted: org.apache.spark.sql.streaming.MapState[Int, Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       cohort = getHandle.getValueState[Int]("cohort",
         org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+      emitted = getHandle.getMapState[Int, Boolean]("emittedWeeks",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[WeekEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[WeekActivity] = {
       val sorted = rows.toSeq.sortBy(_.week_day)
       if (sorted.isEmpty) return Iterator.empty
-      var c = if (cohort.exists()) cohort.get() else {
+      val c = if (cohort.exists()) cohort.get() else {
+        // sorted ⇒ head is this batch's min, so a first-batch straggler
+        // can never undercut the anchor we just wrote
         val first = sorted.head.week_day
         cohort.update(first)
         first
       }
-      // first-arrival anchor only ever moves down on a within-batch
-      // straggler (sorted ⇒ head is the batch min; across batches the
-      // in-order contract holds it fixed)
-      if (sorted.head.week_day < c) { c = sorted.head.week_day; cohort.update(c) }
       val cohortDate = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(c.toLong))
-      sorted.iterator.map(e => WeekActivity(key, cohortDate, (e.week_day - c) / 7))
+      sorted.iterator.flatMap { e =>
+        val k = Math.floorDiv(e.week_day - c, 7)
+        if (emitted.containsKey(k)) None
+        else {
+          emitted.updateValue(k, true)
+          Some(WeekActivity(key, cohortDate, k))
+        }
+      }
     }
   }
 
   /** Streaming face of [[graft.operators.Analytics.weeklyRetention]]
-    * (x35): each event maps to its user's (cohort_week, week_k) cell;
-    * the stateful dedup keeps one cell per (user, cohort, week), so
+    * (x35): each event maps to its user's (cohort_week, week_k) cell,
+    * emitted exactly once by [[RetentionProcessor]]'s keyed state, so
     * `COUNT(1) GROUP BY cohort_week, week_k` downstream equals the batch
     * table on in-order replay (spec-asserted). Week truncation runs in
     * the Spark plan (`date_trunc('week', ts)` — Monday-based, session
@@ -390,8 +411,92 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .transformWithState(new RetentionProcessor,
         TimeMode.None(), OutputMode.Append())
-      .dropDuplicates("user_id", "cohort_week", "week_k")
-      .as[WeekActivity]
+  }
+
+  // ---------------------- streaming moving average (x32's face) ------
+
+  case class MavgEvent(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  /** One event's trailing-window average — the streaming image of an
+    * x32 output row. */
+  case class MavgPoint(event_id: Long, user_id: Long, ts_us: Long, mavg: Double)
+  private case class MavgSample(ts_us: Long, scaled4: Long)
+  private case class MavgBuf(rows: Seq[MavgSample])
+
+  /** A double value as the unscaled long of its DECIMAL(18,4) image —
+    * the exact same rounding Spark's `cast(v AS DECIMAL(18,4))` applies
+    * (valueOf = shortest-string reading, HALF_UP), so the streaming sum
+    * is bit-for-bit the batch face's order-independent decimal sum. */
+  private def scaled4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Per-user trailing-window buffer in ValueState: the samples inside
+    * the last `windowUs` microseconds, evicted as event time advances —
+    * state per user is ONE window's worth of (ts, decimal-scaled value)
+    * pairs, bounded by the user's event rate × window, never the full
+    * history. Same in-order contract as the sibling processors, plus:
+    * same-timestamp events must share a micro-batch (the batch face's
+    * RANGE window puts simultaneous events in each other's window, so
+    * an avg emitted before a tie arrives would be missing that value —
+    * within a batch the processor groups ties and emits one shared avg).
+    *
+    * Averages reproduce the batch arithmetic exactly: exact decimal sum
+    * over the window (scale-4 longs, summed as BigInt), one double cast,
+    * one double division — [[graft.core.Determinism]]'s discipline. */
+  class MovingAvgProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, MavgEvent, MavgPoint] {
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[MavgBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[MavgBuf]("mavgBuf",
+        org.apache.spark.sql.Encoders.product[MavgBuf], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[MavgEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[MavgPoint] = {
+      var b = if (buf.exists()) buf.get().rows.toVector else Vector.empty[MavgSample]
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
+      if (sorted.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ListBuffer.empty[MavgPoint]
+      var i = 0
+      while (i < sorted.length) {
+        val ts = sorted(i).ts_us
+        var j = i
+        while (j < sorted.length && sorted(j).ts_us == ts) j += 1
+        val ties = sorted.slice(i, j)
+        // append the WHOLE tie group before emitting: the range window
+        // [ts - w, ts] contains every simultaneous event's value
+        b = (b ++ ties.map(e => MavgSample(e.ts_us, scaled4(e.value))))
+          .filter(_.ts_us >= ts - windowUs)
+        val n = b.length
+        val sum = b.iterator.foldLeft(BigInt(0))(_ + _.scaled4)
+        val mavg = new java.math.BigDecimal(sum.bigInteger, 4).doubleValue() / n
+        ties.foreach(e => out += MavgPoint(e.event_id, key, e.ts_us, mavg))
+        i = j
+      }
+      buf.update(MavgBuf(b))
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Analytics.movingAvgQuery]]
+    * (x32): emits each event's trailing-`windowUs` average the moment
+    * the event arrives, equal to the batch RANGE-window column on
+    * in-order replay (spec-asserted). The one windowed analytic that
+    * previously had no replay==batch twin (x33/x34/x35 all do). */
+  def movingAvgStream(events: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String, idCol: String,
+                      windowUs: Long): Dataset[MavgPoint] = {
+    require(windowUs >= 0, s"movingAvgStream: windowUs=$windowUs")
+    import events.sparkSession.implicits._
+    events.select(col(idCol).cast("long").as("event_id"),
+        col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(valueCol).cast("double").as("value"))
+      .as[MavgEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new MovingAvgProcessor(windowUs),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Gap-based sessionization with arbitrary state: emits a session when

@@ -349,6 +349,32 @@ class ExtrasSpec extends SparkSpec {
     assert((pairs -- expected).forall { case (a, b) => b - a == 100000 })
   }
 
+  test("x45 threshold is not razor-edged: no corpus pair's cosine sits within 1e-9 of it") {
+    // The x45 oracle compares PAIR MEMBERSHIP across engines, so a pair
+    // whose cosine straddles NearDupThreshold between the two engines'
+    // arithmetic flakes the gate — membership IS the result, and the
+    // rank-only discipline (x05/x07) cannot hide it. Both faces now
+    // compute in DOUBLE (the oracle casts ::DOUBLE[] — with FLOAT[]
+    // DuckDB sims differ from Spark's by ~1e-6, and sf0.1 has a pair
+    // 8.6e-6 from the threshold), leaving only double-vs-double
+    // composition noise of ~1e-15. Assert every within-label pair
+    // clears the threshold by > 1e-9 — a million times that noise — at
+    // every scale factor, so a future corpus vintage that lands a pair
+    // inside the band fails HERE loudly instead of flaking the driver.
+    import Similarity.ColumnBlocking
+    for (s <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = Tables.load(spark, sf(s), "embeddings")
+      // threshold -2 keeps every candidate pair (cosine >= -1): the
+      // audit needs the sims the filter would discard.
+      val margin = Similarity.nearDupPairs(emb, -2.0, ColumnBlocking("label"))
+        .select(abs($"sim" - Similarity.NearDupThreshold).as("m"))
+        .agg(min($"m")).as[Double].head()
+      info(f"$s: min |sim - threshold| = $margin%.2e")
+      assert(margin > 1e-9,
+        f"$s has a pair within $margin%.2e of NearDupThreshold — cross-engine flake risk")
+    }
+  }
+
   test("near-dup blocking finds PERTURBED near-duplicates, not just exact copies") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings").limit(50)
     // shift every component by +0.005 (embeddings are unit vectors, so

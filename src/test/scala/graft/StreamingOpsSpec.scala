@@ -346,6 +346,67 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming moving average equals batch x32 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      val batch = Analytics.movingAvgQuery(spark, sf("sf0.001"))
+        .select($"event_id", $"mavg").as[(Long, Double)].collect().toMap
+      // non-vacuous: some window must hold >1 sample (mavg != own value)
+      val own = events.select($"event_id", $"value").as[(Long, Double)].collect().toMap
+      assert(batch.exists { case (id, m) => math.abs(m - own(id)) > 1e-9 },
+        "vacuous fixture: every trailing window holds only its own event")
+
+      // in-order replay: global (ts, event_id) order, three micro-batches
+      // split on a TIMESTAMP boundary (same-ts events must co-batch — the
+      // range window puts simultaneous events in each other's window)
+      val rows = events
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+        .orderBy($"ts_us", $"event_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val stream = MemoryStream[(Long, Long, Long, Double)]
+      val q = StreamingOps.movingAvgStream(
+          stream.toDF().toDF("event_id", "user_id", "ts_us", "value")
+            .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us"),
+          "user_id", "ts", "value", "event_id", Analytics.MovingAvgWindowUs)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mavg_out").start()
+      try {
+        val third = (rows.size + 2) / 3
+        val cut1 = rows.take(third).lastOption.map(_._3)
+        val chunks = Seq(
+          rows.takeWhile(r => cut1.exists(r._3 <= _)),
+          rows.dropWhile(r => cut1.exists(r._3 <= _))).flatMap {
+            case rest if rest.size > third =>
+              val cut2 = rest.take(third).lastOption.map(_._3)
+              Seq(rest.takeWhile(r => cut2.exists(r._3 <= _)),
+                rest.dropWhile(r => cut2.exists(r._3 <= _)))
+            case rest => Seq(rest)
+          }.filter(_.nonEmpty)
+        assert(chunks.map(_.size).sum == rows.size)
+        chunks.foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+        val streamed = spark.table("mavg_out")
+          .as[StreamingOps.MavgPoint].collect().toSeq
+        assert(streamed.size == rows.size,
+          s"${streamed.size} points streamed for ${rows.size} events")
+        val sm = streamed.map(p => p.event_id -> p.mavg).toMap
+        val bad = batch.collect {
+          case (id, m) if sm(id) != m => (id, m, sm(id))
+        }
+        assert(bad.isEmpty, s"mavg mismatches (batch, streamed): ${bad.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source generates strict-parse-clean wire records") {
     val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
       .transform(df => SensorPipeline.parseStrict(df))
