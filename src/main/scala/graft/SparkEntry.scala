@@ -124,6 +124,15 @@ object SparkEntry {
     // x45: embedding-cosine near-dup pairs (label-blocked exact config;
     // the LSH/IVF-blocked production faces are spec-gated).
     "x45_embed_neardup"   -> (Similarity.nearDupQuery _),
+    // x46: Jaccard-VERIFIED near-dup pairs — the accept/reject step after
+    // candidate generation, with candidates from the x03 inverted index
+    // so the whole decision is oracle-checkable (x02's LSH path runs the
+    // same verify rows-only).
+    "x46_jaccard_pairs"   -> (Dedup.verifiedPairsQuery _),
+    // x47: exact heavy-hitter bigrams on a Misra-Gries two-pass plan —
+    // identical output to the plain groupBy/HAVING twin, but the
+    // vocabulary's long tail never enters the shuffle.
+    "x47_heavy_hitters"   -> (TextAnalysis.heavyHittersQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -120,6 +120,38 @@ object Dedup {
     ngramCandidatePairs(Tables.load(spark, dir, "documents"))
       .orderBy(col("lang"), col("d1"), col("d2"))
 
+  /** x46: VERIFIED near-dup pairs — the accept/reject step a dedup
+    * pipeline runs after candidate generation, with candidates from the
+    * deterministic n-gram inverted index ([[ngramCandidatePairs]])
+    * instead of LSH buckets, so the whole decision (not just the
+    * candidate counts) is cross-engine checkable: for each candidate the
+    * EXACT Jaccard over the full shingle sets decides membership. The
+    * threshold test is integer-exact (inter >= 0.5*uni multiplies by a
+    * binary-exact constant, and both sides are integers), so no float
+    * boundary can flake the oracle compare.
+    *
+    * Shape at scale: candidates come from the df-pruned inverted index
+    * (never a cross join), and the corpus is pruned to candidate ids by
+    * a semi-join BEFORE any shingle array enters a shuffle — the verify
+    * cost is O(candidate docs), not O(corpus), the same discipline
+    * [[minhashIncrementalPairs]] follows for its incremental verify. */
+  def verifiedNearDupPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
+                           minInter: Int = 2, jaccardThreshold: Double = 0.5,
+                           hashGrams: Boolean = false): DataFrame = {
+    val cand = ngramCandidatePairs(docs, n, maxDf, minInter, hashGrams)
+      .select(col("d1"), col("d2"))
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val sh = shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
+    jaccardVerify(cand, sh, jaccardThreshold)
+  }
+
+  def verifiedPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    verifiedNearDupPairs(Tables.load(spark, dir, "documents"))
+      .select(col("d1"), col("d2"),
+        col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+      .orderBy(col("d1"), col("d2"))
+
   // -------------------------------------------- cross-doc duplicated spans
 
   /** Positional word n-grams (duplicates kept) — every occurrence is a

@@ -99,6 +99,9 @@ object ExtrasOracle {
         |HAVING COUNT(*) >= 2
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    "x46_jaccard_pairs" -> verifiedPairsSql,
+    "x47_heavy_hitters" -> heavyHittersSql,
+
     "x12_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -333,6 +336,41 @@ object ExtrasOracle {
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 2),
       |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+
+  /** x46: exact-Jaccard verification of [[pairsCteBody]]'s candidates —
+    * the intersection is re-counted over ALL grams (candidates only
+    * counted rare ones), and the 0.5 threshold test is exact integer
+    * arithmetic (inter*2 >= union), so membership cannot flake on float
+    * precision. MATERIALIZED for the same budget-safety reason as every
+    * other consumer of the shared gram pipeline. */
+  private def verifiedPairsSql: String =
+    s"""WITH $pairsCteBody,
+       |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |vint AS MATERIALIZED (
+       |  SELECT p.d1, p.d2, COUNT(*) AS inter
+       |  FROM pairs p JOIN grams g1 ON g1.doc_id = p.d1
+       |               JOIN grams g2 ON g2.doc_id = p.d2 AND g2.gram = g1.gram
+       |  GROUP BY 1, 2)
+       |SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
+       |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+       |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
+       |ORDER BY d1, d2""".stripMargin
+
+  /** x47: the plain one-aggregate twin of the Misra-Gries two-pass heavy
+    * hitters — same selection, share constant taken from the engine face
+    * so the two cannot drift. */
+  private def heavyHittersSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+       |big AS MATERIALIZED (
+       |  SELECT w[g] || ' ' || w[g+1] AS bigram
+       |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+       |tot AS (SELECT COUNT(*) AS n FROM big)
+       |SELECT bigram, COUNT(*) AS freq
+       |FROM big, tot
+       |GROUP BY bigram, tot.n
+       |HAVING COUNT(*) * ${TextAnalysis.HeavyShare} >= tot.n
+       |ORDER BY freq DESC, bigram""".stripMargin
 
   /** Shared clusters CTE (x14 + x31): [[pairsCteBody]]'s candidate graph,
     * then the exact transitive closure; ends at the `reach` relation so

@@ -292,6 +292,39 @@ object RelationalSql {
         |HAVING COUNT(1) >= 2
         |ORDER BY lang, d1, d2""".stripMargin,
 
+    "x46_jaccard_pairs" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, gram FROM documents
+        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 20),
+        |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram)),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING COUNT(1) >= 2),
+        |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
+        |vint AS (
+        |  SELECT c.d1, c.d2, COUNT(1) AS inter
+        |  FROM cand c JOIN grams g1 ON g1.doc_id = c.d1
+        |              JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+        |  GROUP BY c.d1, c.d2)
+        |SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
+        |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+        |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
+        |ORDER BY d1, d2""".stripMargin,
+
+    "x47_heavy_hitters" ->
+      s"""WITH big AS (
+         |  SELECT bigram FROM documents
+         |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 2)) t AS bigram),
+         |tot AS (SELECT COUNT(1) AS n FROM big)
+         |SELECT bigram, COUNT(1) AS freq
+         |FROM big CROSS JOIN tot
+         |GROUP BY bigram, tot.n
+         |HAVING COUNT(1) * ${TextAnalysis.HeavyShare} >= tot.n
+         |ORDER BY freq DESC, bigram""".stripMargin,
+
     "x05_cosine_knn" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),

@@ -310,6 +310,97 @@ object TextAnalysis {
       .withColumnRenamed("_grp", "lang")
       .orderBy(col("lang"), col("df").desc, col("token"))
 
+  // ------------------------------------------------------- heavy hitters
+
+  /** Exact heavy hitters: every item whose frequency is at least a
+    * 1/`share` fraction of the whole stream (freq * share >= N), with
+    * its exact count — identical output to the single
+    * `groupBy(item).count().filter(...)` it replaces. Two passes:
+    *
+    *   pass 1 — per-partition Misra-Gries summaries of `capacity`
+    *     counters. The surviving keys are a guaranteed superset of the
+    *     answer: an item absent from a partition's final summary has
+    *     partition count <= N_p/(capacity+1) (each of its arrivals was
+    *     cancelled by a decrement round that also consumed `capacity`
+    *     other arrivals); if that held in EVERY partition, summing gives
+    *     global count <= N/(capacity+1) < N/share when capacity >= share
+    *     — so a truly heavy item survives somewhere.
+    *   pass 2 — exact recount restricted to the candidates (a semi-join
+    *     whose right side is <= capacity rows per partition, so it
+    *     broadcasts), then the share filter against the exact total.
+    *
+    * Why at 100 TB: the plain groupBy shuffles one partial count per
+    * DISTINCT key per partition — for token/URL/n-gram multisets that is
+    * the full long tail of the vocabulary. Here the tail never leaves
+    * its partition; the shuffle carries candidate keys only.
+    *
+    * @param items    single-column DataFrame (any type; counted as text)
+    * @param share    heaviness denominator: keep freq*share >= N
+    * @param capacity Misra-Gries counters per partition; must be >=
+    *                 share (the superset guarantee above), default =
+    *                 share. More counters = fewer false candidates. */
+  def heavyHitters(items: DataFrame, share: Int, capacity: Int = 0): DataFrame = {
+    require(share >= 2, s"heavyHitters: share=$share")
+    val cap = if (capacity > 0) capacity else share
+    require(cap >= share,
+      s"heavyHitters: capacity=$cap < share=$share loses the superset guarantee")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val itemCol = items.columns.head
+    val str = items.select(col(itemCol).cast("string").as("item"))
+    val cand = str.as[String].mapPartitions(misraGries(_, cap)).toDF("item").distinct()
+    val total = str.agg(count(lit(1)).as("n_total"))
+    str
+      // explicit hint: cand is <= capacity rows per partition by
+      // construction, but the mapPartitions boundary hides that from
+      // Catalyst's size estimate, which would otherwise plan a shuffle
+      .join(broadcast(cand), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total)) // 1-row exact-total frame
+      .filter(col("freq") * share >= col("n_total"))
+      .select(col("item"), col("freq"))
+  }
+
+  /** Misra-Gries streaming summary: at most `capacity` counters; emits
+    * the surviving keys. The decrement-all round is O(capacity) but
+    * amortized O(1) per item — each round consumes capacity+1 arrivals
+    * (the new item plus one unit from every counter). */
+  private[graft] def misraGries(it: Iterator[String],
+                                capacity: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    while (it.hasNext) {
+      val x = it.next()
+      val c = counts.get(x)
+      if (c != null) counts.put(x, c + 1L)
+      else if (counts.size < capacity) counts.put(x, 1L)
+      else {
+        val eit = counts.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.keySet().iterator().asScala
+  }
+
+  /** x47's heaviness denominator: bigrams covering >= 1/800 of all
+    * bigram occurrences (shared with the SQL twin and DuckDB oracle). */
+  private[graft] val HeavyShare: Int = 800
+
+  /** x47: exact heavy-hitter word bigrams via the Misra-Gries two-pass
+    * plan. Oracle: the plain GROUP BY/HAVING twin — outputs are defined
+    * to coincide. */
+  def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bigrams = docs.select(
+      explode(Dedup.wordShinglesAll(col("text"), 2)).as("item"))
+    heavyHitters(bigrams, HeavyShare, capacity = 1024)
+      .withColumnRenamed("item", "bigram")
+      .orderBy(col("freq").desc, col("bigram"))
+  }
+
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

@@ -1162,4 +1162,70 @@ class ExtrasSpec extends SparkSpec {
     // and the label is always the component minimum: no label exceeds its id
     labels.foreach { case (id, l) => assert(l <= id) }
   }
+
+  // ---------------------------------------------------------------- x46
+
+  test("x46: verified pairs = driver-side exact Jaccard over the x03 candidates") {
+    val cand = Dedup.ngramCandidatePairs(docs).select($"d1", $"d2")
+      .as[(Long, Long)].collect()
+    val shing = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = cand.flatMap { case (a, b) =>
+      val (sa, sb) = (shing(a).toSet, shing(b).toSet)
+      val inter = (sa & sb).size
+      val uni = (sa | sb).size
+      if (inter * 2 >= uni) Some((a, b, inter.toLong, uni.toLong)) else None
+    }.toSet
+    val got = Dedup.verifiedPairsQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus should contain at least one verified near-dup")
+    // and the accept step genuinely rejects: some candidates fail verify
+    assert(got.size < cand.length, "threshold rejected nothing — vacuous verify")
+  }
+
+  test("x46: hashed-gram candidate generation yields the identical verified set") {
+    val raw = Dedup.verifiedNearDupPairs(docs).select($"d1", $"d2")
+      .as[(Long, Long)].collect().toSet
+    val hashed = Dedup.verifiedNearDupPairs(docs, hashGrams = true)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(raw == hashed)
+  }
+
+  // ---------------------------------------------------------------- x47
+
+  test("x47: Misra-Gries two-pass equals the plain aggregate under forced pruning") {
+    // one partition whose distinct-bigram vocabulary (~916) exceeds the
+    // summary capacity (800): the decrement rounds actually fire, and the
+    // output must STILL equal the single groupBy it replaces
+    val bigrams = docs
+      .select(explode(Dedup.wordShinglesAll($"text", 2)).as("item"))
+      .repartition(1)
+    val share = TextAnalysis.HeavyShare
+    val got = TextAnalysis.heavyHitters(bigrams, share, capacity = share)
+      .as[(String, Long)].collect().toSet
+    val n = bigrams.count()
+    val expected = bigrams.groupBy($"item").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * share >= n).as[(String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("misra-gries keeps a thinly-spread heavy item and never exceeds capacity") {
+    // heavy item at global share just over 1/(capacity+1), never a local
+    // run: the adversarial layout a naive per-partition top-k would lose
+    val cap = 9
+    val stream = (0 until 1000).map(i => if (i % 10 == 0) "HH" else s"n$i") :+ "HH"
+    val out = TextAnalysis.misraGries(stream.iterator, cap).toSet
+    assert(out.contains("HH"),
+      s"count=101 > N/(cap+1)=${stream.size / (cap + 1)} must survive")
+    assert(out.size <= cap)
+  }
+
+  test("heavyHitters rejects a capacity below the share denominator") {
+    val items = docs.select($"text".as("item"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(items, share = 100, capacity = 50)
+    }
+  }
 }

@@ -246,4 +246,18 @@ class PlanSpec extends SparkSpec {
       s"expected per-partition bounded top-n:\n$p")
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
+
+  test("x46: corpus is semi-join-pruned to candidate ids before the verify join") {
+    val p = plan("x46_jaccard_pairs")
+    assert(p.contains("LeftSemi"),
+      s"expected the candidate-id semi-join prune before shingling:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"verify must stay equi-join-shaped:\n$p")
+  }
+
+  test("x47: candidate recount broadcasts — the vocabulary tail never shuffles") {
+    val p = plan("x47_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast semi-join on the Misra-Gries candidates:\n$p")
+  }
 }

@@ -42,9 +42,9 @@ class SqlSurfaceSpec extends SparkSpec {
     RelationalSql.extrasSql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       withClue(name)(assertSame(name, text))
     }
-    // 28 through x35, plus x36-x45's ten twins (x37/x44 sharing x26/x01
-    // texts — one selection, two physical strategies each)
-    assert(RelationalSql.extrasSql.size == 38)
+    // 28 through x35, plus x36-x47's twelve twins (x37/x44 sharing
+    // x26/x01 texts — one selection, two physical strategies each)
+    assert(RelationalSql.extrasSql.size == 40)
   }
 
   test("Q20: the pipeline as one SQL statement equals SensorPipeline.run") {
