@@ -110,21 +110,36 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
   test("compact final line fits the driver's 2KB tail at the real query count") {
     // The real names at the real count: the bound must hold for exactly
     // what main() will print, so build the line from SparkEntry.queries.
+    // compactLine is self-bounding (3 sig digits -> 2 -> contended
+    // truncation), so the assertion is on the EMITTED line under
+    // worst-case value widths, not on a hoped-for typical width.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.compactLine(
       total = 123.4567,
-      queries = names.map(_ -> 0.77345), // typical sub-second width (5 chars at 3 sig digits)
+      queries = names.map(_ -> 0.77345), // typical sub-second width
       contendedNames = names.take(3),    // a few flagged entries
       baselineSuspect = false,
       sfDir = "/root/testdata/sf0.1")
-    assert(line.getBytes("UTF-8").length <= 1700,
+    assert(line.getBytes("UTF-8").length <= Bench.CompactLineBudget,
       s"compact bench line is ${line.length} bytes; driver tail keeps 2000")
     assert(line.startsWith("""{"metric":"total","""))
-    assert(line.contains("\"" + names.head + "\":0.773"))
     assert(line.contains("\"sf\":\"sf0.1\""), "sf should be the basename")
-    // Slow-query values stay short too: 3 significant digits, not 3 decimals.
+    // Worst case: every value at %g's widest form (8 chars, "0.000773")
+    // and many contended names. The adaptive tiers must still fit.
+    val worst = Bench.compactLine(
+      total = 123.4567,
+      queries = names.map(_ -> 0.00077345),
+      contendedNames = names, // pathological: everything flagged
+      baselineSuspect = false,
+      sfDir = "/root/testdata/sf0.1")
+    assert(worst.getBytes("UTF-8").length <= Bench.CompactLineBudget,
+      s"worst-case compact line is ${worst.length} bytes")
+    // Slow-query values stay short too: significant digits, not decimals.
     val slow = Bench.compactLine(99.1, Seq("q" -> 99.1234), Nil, false, "sf0.1")
     assert(slow.contains("\"q\":99.1"))
+    // At a small query count nothing degrades: full 3-sig-digit values.
+    val small = Bench.compactLine(1.0, Seq("q" -> 0.77345), Nil, false, "sf0.1")
+    assert(small.contains("\"q\":0.773"))
   }
 
   test("compact line formats locale-independently and handles NaN") {
