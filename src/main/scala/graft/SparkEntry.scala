@@ -133,6 +133,18 @@ object SparkEntry {
     // identical output to the plain groupBy/HAVING twin, but the
     // vocabulary's long tail never enters the shuffle.
     "x47_heavy_hitters"   -> (TextAnalysis.heavyHittersQuery _),
+    // x48: per-document top-5 TF-IDF terms — the keyword extractor,
+    // rank-stable cross-engine via the x23 decimal-rounding discipline.
+    "x48_tfidf"           -> (TextAnalysis.tfIdfQuery _),
+    // x49: KLL quantile-sketch rollup (the percentile counterpart of
+    // x15's HLL rollup): per-flag sketches + a TOTAL row by sketch
+    // union, never a second scan. Estimates are rows-only (randomized
+    // compaction); accuracy/mergeability are spec-asserted.
+    "x49_kll_quantiles"   -> (Sketches.kllRollupQuery _),
+    // x50: epoch-weighted corpus upsampling WITH repetition — the >1x
+    // form of x20/x22 (fractional epochs: floor(w) copies + a hash-
+    // deterministic extra), stable (doc, copy) ordinals out.
+    "x50_upsample"        -> (Sampling.upsampleQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
@@ -142,7 +154,7 @@ object SparkEntry {
     * accuracy + mergeability). */
   val rowsOnly: Set[String] =
     Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
-      "x15_hll_rollup", "x17_quant_knn")
+      "x15_hll_rollup", "x17_quant_knn", "x49_kll_quantiles")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -285,6 +285,8 @@ object ExtrasOracle {
     "x41_chunks" -> chunkSql,
     "x42_weighted_group" -> weightedGroupSql,
     "x43_top_terms" -> topTermsSql,
+    "x48_tfidf" -> tfIdfSql,
+    "x50_upsample" -> upsampleSql,
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
     "x29_pivot" -> pivotSql,
@@ -417,6 +419,30 @@ object ExtrasOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of Sampling.upsampleQuery (x50), weights from the SAME
+    * map, CAST AS DOUBLE so both engines compute the identical IEEE
+    * fraction (DuckDB would otherwise read 1.7 as DECIMAL; and its
+    * FLOOR(double) is double, matching Spark's w - floor(w) bitwise). */
+  private def upsampleSql: String = {
+    val whens = Sampling.epochWeights.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"WHEN '$src' THEN CAST($r AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CASE source $whens ELSE CAST(1.0 AS DOUBLE) END AS ew
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    CAST(FLOOR(ew) AS BIGINT) +
+       |    CASE WHEN ${bucketSql("doc_id::VARCHAR", "epoch")}
+       |              < (ew - FLOOR(ew)) * ${Sampling.BucketSpace}
+       |         THEN 1 ELSE 0 END AS n
+       |  FROM w)
+       |SELECT doc_id, source, unnest(range(n)) AS copy
+       |FROM c WHERE n > 0
+       |ORDER BY doc_id, copy""".stripMargin
+  }
+
   /** DuckDB twin of TextSearch.bm25Query, generated from the SAME query
     * set and scoring constants (interpolated as this JVM's shortest
     * round-trip double literals, CAST AS DOUBLE so DuckDB cannot slip
@@ -466,6 +492,37 @@ object ExtrasOracle {
        |SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** DuckDB twin of TextAnalysis.tfIdfQuery (x48): same tokenization,
+    * same tf/df derivation, and the same x23 determinism discipline —
+    * score rounded to 6 decimals through DECIMAL(18,6) before the rank
+    * comparison, so the one transcendental (ln) cannot flip a rank
+    * across engines. k is interpolated from the SAME Scala constant as
+    * the engine face. */
+  private def tfIdfSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |post AS (
+       |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df
+       |  FROM tf),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(CAST(round(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6)
+       |              AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |  FROM post CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, rank
+       |FROM ranked WHERE rank <= ${TextAnalysis.TfIdfK}
+       |ORDER BY doc_id, rank""".stripMargin
 
   /** DuckDB twin of Sessionize.sessionQuery: identical lag/cumsum window
     * pair, microsecond epoch diffs, decimal-summed values. */

@@ -113,6 +113,45 @@ object Sampling {
       .drop("_mix_source", "_mix_rate")
   }
 
+  /** Upsample each source to a fractional EPOCH count — the >1x form of
+    * the corpus mix (LLM data schedules routinely repeat high-quality
+    * sources 2-4x while down-weighting bulk crawl; the x20/x22 mix can
+    * only express rates <= 1). Weight w emits floor(w) full copies of
+    * every doc plus ONE extra copy for the hash-deterministic fraction
+    * frac(w) of docs — so expected token mass per source is exactly w
+    * epochs, and the output carries a stable `copy` ordinal in
+    * [0, ceil(w)) that downstream shuffling/seeding can key on.
+    *
+    * Scale shape: a pure narrow codegen'd projection — the copy fan-out
+    * is `explode(sequence(...))` per row with bounded length ceil(w);
+    * zero shuffle, zero state, decisions a pure function of (key, salt)
+    * like every operator here (nested, append-stable, engine-checked).
+    * The fractional decision intentionally reuses [[keepAtRate]]: the
+    * extra-copy subset at frac(w)=r is the SAME subset x20 would keep
+    * at rate r under the same salt. */
+  def upsampleEpochs(docs: DataFrame, key: Column, salt: String,
+                     epochsBySource: Map[String, Double],
+                     defaultEpochs: Double = 1.0,
+                     sourceCol: Column = col("source")): DataFrame = {
+    require(epochsBySource.values.forall(_ >= 0) && defaultEpochs >= 0,
+      s"upsampleEpochs: negative epoch weight in $epochsBySource / $defaultEpochs")
+    val w = epochsBySource.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultEpochs)) { case (acc, (src, r)) =>
+        when(sourceCol === src, lit(r)).otherwise(acc)
+      }
+    // floor(double) is BIGINT in Spark SQL; frac stays a pure double op
+    // (w - floor(w)) so DuckDB's FLOOR(double)->double twin computes the
+    // bit-identical IEEE fraction.
+    val n = floor(w) + when(keepAtRate(key, salt, w - floor(w)), lit(1L))
+      .otherwise(lit(0L))
+    docs
+      .withColumn("_n_copies", n)
+      .filter(col("_n_copies") > 0) // sequence() rejects empty bounds
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("_n_copies") - 1, lit(1L))))
+      .drop("_n_copies")
+  }
+
   /** Deterministic stratified sample: EXACTLY `n` rows per stratum (all
     * rows when the stratum is smaller), chosen as the stratum's n
     * smallest hash buckets — so like every operator here the selection
@@ -369,6 +408,25 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** Canonical demo epoch weights for [[upsampleQuery]] (x50): the four
+    * regimes an epoch schedule hits — down-sample (0.4), keep exactly
+    * (1.0), repeat-with-fraction (1.7), and multi-epoch (2.5). Shared
+    * with the DuckDB oracle generator so the two faces cannot drift. */
+  private[graft] val epochWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 0.4
+      case 1 => 1.0
+      case 2 => 1.7
+      case _ => 2.5
+    })).toMap
+
+  /** x50: deterministic epoch-weighted upsampling with repetition. */
+  def upsampleQuery(spark: SparkSession, dir: String): DataFrame =
+    upsampleEpochs(Tables.load(spark, dir, "documents"),
+        col("doc_id"), "epoch", epochWeights)
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
 
   /** x26's per-stratum count, shared with both SQL twins. */
   private[graft] val StratifiedN: Int = 12

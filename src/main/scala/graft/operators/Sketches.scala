@@ -46,6 +46,33 @@ object Sketches {
   def hllRollupQuery(spark: SparkSession, dir: String): DataFrame =
     hllRollup(spark, dir)
 
+  /** Two-level QUANTILE rollup on lineitem via KLL sketches — the
+    * percentile counterpart of [[hllRollup]]: per-returnflag sketches of
+    * l_extendedprice, plus a TOTAL row whose sketch is the UNION of the
+    * per-flag sketches (never a second scan of the raw data). The exact
+    * absorbed count (getN, deterministic) rides along; the p50/p95
+    * estimates are rows-only at the driver's gate (KLL compaction is
+    * randomized) with accuracy/mergeability asserted in SketchesSpec. */
+  def kllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.KllFunctions._
+    val li = Tables.load(spark, dir, "lineitem")
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(kllSketchAgg(col("l_extendedprice").cast("double")).as("sk"))
+    val flagRows = perFlag.select(col("l_returnflag").as("grp"), col("sk"))
+    val totalRow = perFlag
+      .agg(kllUnionAgg(col("sk")).as("sk"))
+      .select(lit("TOTAL").as("grp"), col("sk"))
+    flagRows.unionByName(totalRow)
+      .select(col("grp"),
+        kllCount(col("sk")).as("n"),
+        kllQuantile(col("sk"), lit(0.5)).as("p50"),
+        kllQuantile(col("sk"), lit(0.95)).as("p95"))
+      .orderBy(col("grp"))
+  }
+
+  def kllRollupQuery(spark: SparkSession, dir: String): DataFrame =
+    kllRollup(spark, dir)
+
   /** Count-min frequency sketch of a column, as the raw mergeable binary
     * (decode with org.apache.spark.util.sketch.CountMinSketch.readFrom).
     * Deterministic for a fixed seed. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -400,6 +401,49 @@ object TextAnalysis {
       .withColumnRenamed("item", "bigram")
       .orderBy(col("freq").desc, col("bigram"))
   }
+
+  // ------------------------------------------------------------- TF-IDF
+
+  /** x48's k, shared with the SQL twin. */
+  private[graft] val TfIdfK: Int = 5
+
+  /** Per-document top-k TF-IDF terms: the keyword / distinctive-term
+    * extractor of a corpus-analysis pipeline. score = tf * ln(N / df)
+    * with the x23 determinism discipline — the one transcendental (ln)
+    * is rounded to 6 decimals and carried as DECIMAL(18,6), so the value
+    * and every rank comparison are engine-independent (a flip needs the
+    * true score within ~1e-15 of a 5e-7 rounding boundary).
+    *
+    * Scale shape: one scan of the corpus. tf is a two-phase count agg on
+    * (doc_id, term) — uniform composite keys, no hot-key skew; df is a
+    * count over the postings' term partitions (no join back through the
+    * corpus subtree — Catalyst does not dedupe a twice-referenced
+    * aggregate, see the x23 note); N broadcasts as a one-row stats
+    * frame; the final per-doc top-k is a window over doc_id partitions
+    * (high-cardinality key, WindowGroupLimit pushes the k-limit before
+    * the shuffle). */
+  def tfIdfTopK(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"tfIdfTopK: k=$k")
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = tf
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .cast("decimal(18,6)").cast("double").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** x48: top-5 TF-IDF terms per document. */
+  def tfIdfQuery(spark: SparkSession, dir: String): DataFrame =
+    tfIdfTopK(Tables.load(spark, dir, "documents"), TfIdfK)
+      .orderBy(col("doc_id"), col("rank"))
 
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =

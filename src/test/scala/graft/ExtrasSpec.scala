@@ -1228,4 +1228,93 @@ class ExtrasSpec extends SparkSpec {
       TextAnalysis.heavyHitters(items, share = 100, capacity = 50)
     }
   }
+
+  // ------------------------------------------------------ KLL quantiles
+
+  /** Exact normalized rank of `v` in the group: P(x <= v). */
+  private def exactRank(values: Array[Double], v: Double): Double =
+    values.count(_ <= v).toDouble / values.length
+
+  test("kll rollup: per-group and unioned quantile estimates land within rank-error bounds") {
+    import graft.operators.Sketches
+    import graft.functions.expressions.KllOps
+    val eps = 3 * KllOps.epsilon(KllOps.DefaultK) // ~5%: comfortable vs the 1.65% @99% bound
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select($"l_returnflag".as("f"), $"l_extendedprice".cast("double").as("v"))
+    val byFlag = li.collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getDouble(1)) }
+    val all = byFlag.values.flatten.toArray
+    val out = Sketches.kllRollup(spark, sf("sf0.01")).collect()
+    assert(out.map(_.getString(0)).toSeq.sorted ==
+      (byFlag.keys.toSeq :+ "TOTAL").sorted)
+    out.foreach { r =>
+      val grp = r.getString(0)
+      val values = if (grp == "TOTAL") all else byFlag(grp)
+      // getN is exact and deterministic even though estimates are not
+      assert(r.getLong(1) == values.length, s"$grp: n=${r.getLong(1)}")
+      assert(math.abs(exactRank(values, r.getDouble(2)) - 0.50) < eps,
+        s"$grp p50=${r.getDouble(2)} rank=${exactRank(values, r.getDouble(2))}")
+      assert(math.abs(exactRank(values, r.getDouble(3)) - 0.95) < eps,
+        s"$grp p95=${r.getDouble(3)} rank=${exactRank(values, r.getDouble(3))}")
+    }
+  }
+
+  test("kll sketch is partition-tolerant and its binary image round-trips") {
+    import graft.functions.expressions.{KllFunctions, KllOps}
+    import KllFunctions._
+    val eps = 3 * KllOps.epsilon(KllOps.DefaultK)
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select($"l_extendedprice".cast("double").as("v"))
+    val values = li.collect().map(_.getDouble(0))
+    def sketchBytes(parts: Int): Array[Byte] = li.repartition(parts)
+      .agg(kllSketchAgg($"v").as("sk")).head.getAs[Array[Byte]]("sk")
+    // merging 32 partial sketches answers within the same bound as the
+    // single-partition build — what makes the agg safe to distribute
+    // and to pre-aggregate into daily sketch tables
+    Seq(1, 32).foreach { p =>
+      val bytes = sketchBytes(p)
+      // driver-side heapify of the stored image == the sketch the agg built
+      assert(KllOps.count(bytes) == values.length)
+      val p50 = KllOps.quantile(bytes, 0.5).doubleValue()
+      assert(math.abs(exactRank(values, p50) - 0.5) < eps,
+        s"parts=$p p50=$p50 rank=${exactRank(values, p50)}")
+    }
+    // empty input: quantile is null, not a crash
+    val empty = li.filter($"v" < 0).agg(kllSketchAgg($"v").as("sk"))
+      .select(kllQuantile($"sk", lit(0.5)).as("q"), kllCount($"sk").as("n"))
+      .head
+    assert(empty.isNullAt(0) && empty.getLong(1) == 0L)
+  }
+
+  // ------------------------------------------------------------ TF-IDF
+
+  test("tf-idf: hand-computed ranking on a tiny corpus") {
+    // 4 docs; "rare" appears in 1 doc, "pair" in 2, "common" in all.
+    val d = Seq(
+      (1L, "common rare rare pair"),
+      (2L, "common pair"),
+      (3L, "common common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(d, k = 2)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df")
+      .as[(Long, Int, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: rare tf=2 df=1 score=2*ln(4)≈2.77 beats pair tf=1 df=2 ln(2)≈0.69
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((1, "rare"), (2, "pair")))
+    // doc 3: only "common" (df=4, ln(1)=0 → score 0 still ranked, tf=2)
+    assert(out.filter(_._1 == 3L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1, "common", 2L)))
+    // every doc's ranks are contiguous from 1 and bounded by k
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq && rs.length <= 2)
+    }
+  }
+
+  test("tf-idf ranking is stable under repartitioning (decimal-rounded scores)") {
+    val base = TextAnalysis.tfIdfTopK(docs, k = 5)
+      .select($"doc_id", $"rank", $"term").collect().toSet
+    val reparted = TextAnalysis.tfIdfTopK(docs.repartition(13), k = 5)
+      .select($"doc_id", $"rank", $"term").collect().toSet
+    assert(base == reparted)
+  }
 }

@@ -320,4 +320,64 @@ class SamplingSpec extends SparkSpec {
     // every positive-weight row survives (n=10 > any group); zero/negative never
     assert(got == Seq((1L, Some("a")), (2L, Some("a")), (4L, Some("b")), (5L, None)))
   }
+
+  // -------------------------------------------------- epoch upsampling
+
+  test("upsampleEpochs: every doc gets floor(w) or ceil(w) copies with contiguous ordinals") {
+    val n = 4000L
+    val d = spark.range(n).select($"id".as("doc_id"),
+      concat(lit("src"), ($"id" % 4).cast("string")).as("source"))
+    val w = Map("src0" -> 0.4, "src1" -> 1.0, "src2" -> 1.7, "src3" -> 2.5)
+    val out = Sampling.upsampleEpochs(d, $"doc_id", "es", w)
+      .select($"doc_id", $"source", $"copy")
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rs) =>
+      val src = rs.head._2
+      val lo = math.floor(w(src)).toLong
+      assert(rs.length == lo || rs.length == lo + 1,
+        s"doc $id ($src, w=${w(src)}): ${rs.length} copies")
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"doc $id: non-contiguous copy ordinals ${rs.map(_._3).sorted.toSeq}")
+    }
+    // per-source total mass tracks w * n_src within binomial noise
+    // (the fractional coin is the only randomness; sd = sqrt(n p (1-p)))
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      val nSrc = n / 4.0
+      val expected = w(src) * nSrc
+      val frac = w(src) - math.floor(w(src))
+      val sd = math.sqrt(nSrc * frac * (1 - frac))
+      assert(math.abs(rs.length - expected) <= 4 * sd + 1e-9,
+        s"$src: ${rs.length} copies vs expected $expected (sd=$sd)")
+    }
+    // integral weights are exact: every src1 doc exactly once, src3 at
+    // least twice
+    assert(byDoc.collect { case (_, rs) if rs.head._2 == "src1" => rs.length }
+      .forall(_ == 1))
+  }
+
+  test("upsampleEpochs: extra-copy subset IS the keepAtRate subset (nested with the mix)") {
+    val d = spark.range(2000).select($"id".as("doc_id"), lit("srcA").as("source"))
+    val w = 1.3
+    val extras = Sampling.upsampleEpochs(d, $"doc_id", "es", Map("srcA" -> w))
+      .filter($"copy" === 1).select($"doc_id").as[Long].collect().toSet
+    val kept = d.filter(Sampling.keepAtRate($"doc_id", "es", lit(w - 1.0)))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(extras == kept,
+      "fractional extra copies must be the same hash-selected subset the mix keeps")
+  }
+
+  test("upsampleEpochs is a pure narrow plan: zero exchanges, partition-stable") {
+    val d = Tables.load(spark, sf("sf0.001"), "documents")
+    val up = Sampling.upsampleEpochs(d, $"doc_id", "epoch", Sampling.epochWeights)
+      .select($"doc_id", $"source", $"copy")
+    up.collect()
+    val plan = up.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val base = up.as[(Long, String, Long)].collect().toSet
+    val reparted = Sampling.upsampleEpochs(d.repartition(13), $"doc_id", "epoch",
+        Sampling.epochWeights)
+      .select($"doc_id", $"source", $"copy").as[(Long, String, Long)].collect().toSet
+    assert(base == reparted)
+  }
 }
