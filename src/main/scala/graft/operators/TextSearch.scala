@@ -77,11 +77,107 @@ object TextSearch {
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
-        round(
-          idf(col("n_docs"), col("df")) *
-            (col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
-          6).cast("decimal(18,6)").as("c"))
+        contribution(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("avgdl"), k1, b).as("c"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------- persistable index
+
+  /** Partition count of the on-disk postings layout. */
+  val IndexBuckets = 32
+
+  /** Hash bucket a term's postings live in — the partition-pruning key
+    * of the stored index. */
+  private def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+
+  /** Shared BM25 contribution (the x23 determinism discipline: rounded
+    * to 6 decimals, DECIMAL(18,6)) — one definition for the scan path
+    * and the index path so the two cannot drift. */
+  private def contribution(tf: Column, df: Column, dl: Column,
+                           nDocs: Column, avgdl: Column,
+                           k1: Double, b: Double): Column =
+    round(
+      idf(nDocs, df) *
+        (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1) - lit(b) + lit(b) * dl / avgdl)),
+      6).cast("decimal(18,6)")
+
+  /** Build the FULL inverted index once and persist it: `path/postings`
+    * holds (doc_id, term, tf, dl, df) partitioned by a term hash bucket,
+    * `path/stats` the one-row corpus stats. The build is the x23 plan
+    * without the query-term filter (df precomputed, so query time never
+    * windows); the bucket layout is the scale lever — a query touches
+    * only the partitions its terms hash into (static partition pruning,
+    * spec-asserted), so query cost is proportional to matching postings,
+    * not corpus size. Build once per corpus snapshot, query forever. */
+  def saveIndex(docs: DataFrame, path: String,
+                nBuckets: Int = IndexBuckets): Unit = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val postings = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+    postings
+      // co-locate each bucket before the write: one writer task per
+      // bucket -> nBuckets files, not tasks x buckets small files
+      .repartition(nBuckets, col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(path + "/postings")
+    stats.write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Top-k per query over a [[saveIndex]]-built index. Result-identical
+    * to [[bm25TopK]] on the source corpus (spec-asserted cell-exact):
+    * same contribution, same decimal sum, same tie order — but the scan
+    * reads only the query terms' hash-bucket partitions. */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+                      queries: Seq[(Int, String)], k: Int = 10,
+                      k1: Double = DefaultK1, b: Double = DefaultB,
+                      nBuckets: Int = IndexBuckets): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexed: no queries")
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val termSet = queries.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+    // driver-side twin of termBucket: xxhash64(term) is XXH64 over the
+    // UTF8 bytes with Spark's fixed seed 42, so the bucket literals here
+    // are exactly the partition values saveIndex wrote
+    val buckets = termSet.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L)
+      ((h % nBuckets) + nBuckets) % nBuckets
+    }.distinct
+    val postings = spark.read.parquet(path + "/postings")
+      // static partition pruning: term_bucket is a literal IN list the
+      // scan resolves against directory names before reading any data
+      .filter(col("term_bucket").isin(buckets: _*))
+    val stats = spark.read.parquet(path + "/stats")
+    val contrib = postings
+      .filter(col("term").isin(termSet: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        contribution(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("avgdl"), k1, b).as("c"))
     val scored = contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).cast("double").as("score"))

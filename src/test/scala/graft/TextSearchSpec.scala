@@ -58,4 +58,44 @@ class TextSearchSpec extends SparkSpec {
       .orderBy($"query_id", $"rank").collect().toSeq
     assert(a == b, "BM25 output changed under a different partitioning")
   }
+
+  test("persisted index answers cell-identically to the direct scan and prunes to query buckets") {
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextSearch.saveIndex(docs, dir)
+    val direct = TextSearch.bm25TopK(docs, TextSearch.demoQueries)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val indexed = TextSearch.bm25TopKIndexed(spark, dir, TextSearch.demoQueries)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(direct == indexed,
+      "index path drifted from the scan path (same contribution, same ties expected)")
+    // the scale contract: the query reads ONLY the partitions its terms
+    // hash into — never the whole postings layout (inputFiles would lie
+    // here: it lists the relation BEFORE partition pruning, so assert on
+    // the executed scan's numFiles metric instead)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val allBuckets = new java.io.File(dir + "/postings").listFiles()
+      .count(_.getName.startsWith("term_bucket="))
+    val nTerms = TextSearch.demoQueries
+      .flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct.size
+    val df = TextSearch.bm25TopKIndexed(spark, dir, TextSearch.demoQueries)
+    df.collect()
+    // AQE wraps executed subtrees in QueryStageExec leaves that plain
+    // collect() does not descend into
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val read = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+      .map(_.metrics("numFiles").value).sum
+    assert(read > 0 && read <= nTerms && read < allBuckets,
+      s"scanned $read postings files; expected <= $nTerms query-term buckets " +
+        s"of $allBuckets total")
+  }
 }
