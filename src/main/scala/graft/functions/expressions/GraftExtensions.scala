@@ -74,6 +74,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => LshBuckets(args(0),
         intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
         intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))))
+    e.injectFunction(fn("kll_sketch_agg",
+      "kll_sketch_agg(v) - KLL doubles quantile sketch (binary image) of v", 1)(
+      args => KllSketchAgg(args(0)).toAggregateExpression()))
+    e.injectFunction(fn("kll_union_agg",
+      "kll_union_agg(sk) - union of KLL sketch images (binary image out)", 1)(
+      args => KllUnionAgg(args(0)).toAggregateExpression()))
+    e.injectFunction(fn("kll_quantile",
+      "kll_quantile(sk, rank) - quantile estimate at normalized rank", 2)(
+      args => KllQuantile(args(0), args(1))))
+    e.injectFunction(fn("kll_count",
+      "kll_count(sk) - exact item count the sketch absorbed", 1)(
+      args => KllCount(args(0))))
     // TopCentroids is intentionally not SQL-registered: its codebook is
     // runtime driver data (collected centroids), not literal SQL text.
 

@@ -505,6 +505,29 @@ object RelationalSql {
          |WHERE sim >= CAST(${Similarity.NearDupThreshold} AS DOUBLE)
          |ORDER BY id1, id2""".stripMargin,
 
+    "x48_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, term FROM documents
+         |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS term),
+         |tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+         |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+         |post AS (
+         |  SELECT doc_id, term, tf, COUNT(1) OVER (PARTITION BY term) AS df FROM tf),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(CAST(round(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6)
+         |              AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |  FROM post CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score, rank
+         |FROM ranked WHERE rank <= ${TextAnalysis.TfIdfK}
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "x50_upsample" -> upsampleSparkSql,
+
     "x21_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -527,6 +550,28 @@ object RelationalSql {
   private def sparkBucketSql(salt: String): String =
     "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
       s"':$salt')), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Spark-SQL twin of Sampling.upsampleQuery (x50), weights from the
+    * SAME map as the engine face and the DuckDB oracle. */
+  private def upsampleSparkSql: String = {
+    val whens = Sampling.epochWeights.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"WHEN '$src' THEN CAST($r AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CASE source $whens ELSE CAST(1.0 AS DOUBLE) END AS ew
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    FLOOR(ew) + CASE WHEN ${sparkBucketSql("epoch")}
+       |                          < (ew - FLOOR(ew)) * ${Sampling.BucketSpace}
+       |                     THEN 1 ELSE 0 END AS n
+       |  FROM w)
+       |SELECT doc_id, source, copy
+       |FROM (SELECT * FROM c WHERE n > 0)
+       |LATERAL VIEW explode(sequence(CAST(0 AS BIGINT), n - 1)) t AS copy
+       |ORDER BY doc_id, copy""".stripMargin
+  }
 
   /** Generated from the SAME fraction table and threshold arithmetic as
     * Sampling.splitQuery, so the faces cannot drift. */

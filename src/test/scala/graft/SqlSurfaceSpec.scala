@@ -42,9 +42,40 @@ class SqlSurfaceSpec extends SparkSpec {
     RelationalSql.extrasSql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       withClue(name)(assertSame(name, text))
     }
-    // 28 through x35, plus x36-x47's twelve twins (x37/x44 sharing
-    // x26/x01 texts — one selection, two physical strategies each)
-    assert(RelationalSql.extrasSql.size == 40)
+    // 28 through x35, plus x36-x48 and x50's fourteen twins (x37/x44
+    // sharing x26/x01 texts — one selection, two physical strategies
+    // each; x49's sketch twin is the dedicated tolerant test below)
+    assert(RelationalSql.extrasSql.size == 42)
+  }
+
+  test("x49: registered kll_* SQL functions answer the sketch rollup") {
+    Tables.registerAll(spark, dir)
+    // estimates are randomized (KLL compaction), so the SQL face is
+    // checked structurally — same groups, EXACT deterministic counts,
+    // estimates inside the group's value range — not cell-exactly
+    val viaDf = SparkEntry.queries("x49_kll_quantiles")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSql = spark.sql(
+      """WITH per AS (
+        |  SELECT l_returnflag AS grp,
+        |         kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk
+        |  FROM lineitem GROUP BY l_returnflag),
+        |u AS (SELECT * FROM per
+        |      UNION ALL SELECT 'TOTAL' AS grp, kll_union_agg(sk) AS sk FROM per)
+        |SELECT grp, kll_count(sk) AS n,
+        |       kll_quantile(sk, CAST(0.5 AS DOUBLE)) AS p50,
+        |       kll_quantile(sk, CAST(0.95 AS DOUBLE)) AS p95
+        |FROM u ORDER BY grp""".stripMargin).collect()
+    assert(viaSql.map(_.getString(0)).toSeq == viaDf.keys.toSeq.sorted)
+    val Array(lo, hi) = spark.sql(
+      "SELECT CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem")
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    viaSql.foreach { r =>
+      assert(r.getLong(1) == viaDf(r.getString(0)), s"${r.getString(0)}: count drift")
+      Seq(r.getDouble(2), r.getDouble(3)).foreach(q =>
+        assert(q >= lo && q <= hi, s"${r.getString(0)}: estimate $q outside [$lo, $hi]"))
+      assert(r.getDouble(2) <= r.getDouble(3), "p50 above p95")
+    }
   }
 
   test("Q20: the pipeline as one SQL statement equals SensorPipeline.run") {
