@@ -24,23 +24,28 @@ object Sketches {
   val LgK = 12
 
   /** Two-level distinct rollup on lineitem: per-returnflag sketches of
-    * l_partkey, plus a TOTAL row whose sketch is the UNION of the
-    * per-flag sketches — never a second scan. The exact distinct rides
-    * along per flag so the spec (and a reader) can see the error. */
+    * l_partkey plus a TOTAL row, all in ONE scan via `rollup` grouping
+    * sets (Expand feeds each row to both grouping sets; the union-form
+    * alternative — branch per level off one aggregate — re-scans the
+    * raw table per level, because Catalyst does not dedupe a
+    * twice-referenced aggregate subtree). Sketch-UNION mergeability
+    * (`hll_union_agg`, the rollup-a-persisted-sketch-table face) is
+    * spec-asserted separately. The exact distinct rides along per flag
+    * so the spec (and a reader) can see the error. */
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    val perFlag = li.groupBy(col("l_returnflag"))
+    li.rollup(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_partkey"), LgK).as("sk"),
-        count_distinct(col("l_partkey")).as("exact_distinct"))
-    val flagRows = perFlag.select(col("l_returnflag").as("grp"),
-      hll_sketch_estimate(col("sk")).as("approx_distinct"),
-      col("exact_distinct"))
-    val totalRow = perFlag
-      .agg(hll_union_agg(col("sk")).as("sk"))
-      .select(lit("TOTAL").as("grp"),
+        count_distinct(col("l_partkey")).as("exact"),
+        grouping(col("l_returnflag")).as("g"))
+      .select(
+        when(col("g") === 1, lit("TOTAL")).otherwise(col("l_returnflag")).as("grp"),
         hll_sketch_estimate(col("sk")).as("approx_distinct"),
-        lit(null).cast("long").as("exact_distinct"))
-    flagRows.unionByName(totalRow).orderBy(col("grp"))
+        // exact rides along (all grouping sets share one distinct
+        // stream) so the error is visible at the gate; the production
+        // form drops it and pays only the sketch
+        col("exact").as("exact_distinct"))
+      .orderBy(col("grp"))
   }
 
   def hllRollupQuery(spark: SparkSession, dir: String): DataFrame =
@@ -48,22 +53,21 @@ object Sketches {
 
   /** Two-level QUANTILE rollup on lineitem via KLL sketches — the
     * percentile counterpart of [[hllRollup]]: per-returnflag sketches of
-    * l_extendedprice, plus a TOTAL row whose sketch is the UNION of the
-    * per-flag sketches (never a second scan of the raw data). The exact
-    * absorbed count (getN, deterministic) rides along; the p50/p95
-    * estimates are rows-only at the driver's gate (KLL compaction is
-    * randomized) with accuracy/mergeability asserted in SketchesSpec. */
+    * l_extendedprice plus a TOTAL row, all in ONE scan via `rollup`
+    * grouping sets (see hllRollup for why the union-the-branches form
+    * scans twice). Sketch-UNION mergeability (`kll_union_agg`, the
+    * rollup-a-persisted-sketch-table face) is spec-asserted separately.
+    * The exact absorbed count (getN, deterministic) rides along; the
+    * p50/p95 estimates are rows-only at the driver's gate (KLL
+    * compaction is randomized) with accuracy asserted in ExtrasSpec. */
   def kllRollup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.KllFunctions._
     val li = Tables.load(spark, dir, "lineitem")
-    val perFlag = li.groupBy(col("l_returnflag"))
-      .agg(kllSketchAgg(col("l_extendedprice").cast("double")).as("sk"))
-    val flagRows = perFlag.select(col("l_returnflag").as("grp"), col("sk"))
-    val totalRow = perFlag
-      .agg(kllUnionAgg(col("sk")).as("sk"))
-      .select(lit("TOTAL").as("grp"), col("sk"))
-    flagRows.unionByName(totalRow)
-      .select(col("grp"),
+    li.rollup(col("l_returnflag"))
+      .agg(kllSketchAgg(col("l_extendedprice").cast("double")).as("sk"),
+        grouping(col("l_returnflag")).as("g"))
+      .select(
+        when(col("g") === 1, lit("TOTAL")).otherwise(col("l_returnflag")).as("grp"),
         kllCount(col("sk")).as("n"),
         kllQuantile(col("sk"), lit(0.5)).as("p50"),
         kllQuantile(col("sk"), lit(0.95)).as("p95"))
