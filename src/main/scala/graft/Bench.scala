@@ -263,8 +263,8 @@ object Bench {
   def compactLine(total: Double, queries: Seq[(String, Double)],
                   contendedNames: Seq[String], baselineSuspect: Boolean,
                   sfDir: String): String = {
-    def render(sig: Int, maxContended: Int): String = {
-      val qs = jsonMap(queries.map { case (n, v) => n -> fmtSig(v, sig) })
+    def render(fmtV: Double => String, maxContended: Int): String = {
+      val qs = jsonMap(queries.map { case (n, v) => n -> fmtV(v) })
       val contended = contendedNames.take(maxContended)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       // sf as basename: the directory prefix is fixed machine context the
@@ -273,10 +273,16 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sf"}"""
     }
-    val tiers = Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 3), (1, 3))
-    val lines = tiers.iterator.map { case (sig, mc) => render(sig, mc) }
+    // centiseconds — the floor format: bounded 4-5 chars for any sane
+    // query time, so the pathological all-values-wide case stays bounded
+    def fmtCs(d: Double): String =
+      if (d == d) String.format(java.util.Locale.ROOT, "%.2f", Double.box(d)) else "-1"
+    val tiers: Seq[(Double => String, Int)] = Seq(
+      (fmtSig(_, 3), Int.MaxValue), (fmtSig(_, 2), Int.MaxValue),
+      (fmtSig(_, 2), 3), (fmtCs _, 3))
+    val lines = tiers.iterator.map { case (f, mc) => render(f, mc) }
     lines.find(_.getBytes("UTF-8").length <= CompactLineBudget)
-      .getOrElse(render(1, 3))
+      .getOrElse(render(fmtCs, 3))
   }
 
   def main(args: Array[String]): Unit = {
