@@ -946,31 +946,38 @@ class ExtrasSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"reference grams not broadcast:\n$p")
   }
 
-  test("hll rollup: per-group and unioned estimates track exact counts") {
+  test("hll rollup: per-group and total estimates track exact counts") {
     import graft.operators.Sketches
     val out = Sketches.hllRollup(spark, sf("sf0.01")).collect()
+    // truth computed independently here — the QUERY carries no exact
+    // distinct (that dedup shuffle is what the sketch replaces)
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+    val exactByFlag = li.groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val flags = out.filter(_.getString(0) != "TOTAL")
-    assert(flags.nonEmpty)
+    assert(flags.map(_.getString(0)).toSet == exactByFlag.keySet)
     flags.foreach { r =>
       val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
+      val exact = exactByFlag(r.getString(0)).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"flag ${r.getString(0)}: approx $approx vs exact $exact")
     }
-    // mergeability: union of per-group sketches answers the same question
-    // as one direct sketch of the whole column. Estimates are NOT
-    // bit-identical in the sparse regime (a single-partition sketch can
-    // stay in exact coupon mode while a merge promotes to HLL mode), so
-    // the contract is relative: both within the configured rsd of exact.
-    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+    // mergeability: a UNION of per-group sketches answers the same
+    // question as the rollup's direct grand-total sketch. Estimates are
+    // NOT bit-identical in the sparse regime (a single-partition sketch
+    // can stay in exact coupon mode while a merge promotes to HLL mode),
+    // so the contract is relative: both within the configured rsd of
+    // exact.
     val exact = li.agg(count_distinct(col("l_partkey"))).head.getLong(0).toDouble
-    val direct = li.agg(hll_sketch_estimate(
-      hll_sketch_agg(col("l_partkey"), Sketches.LgK)).as("e")).head.getLong(0)
+    val union = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), Sketches.LgK).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e")).head.getLong(0)
     val total = out.find(_.getString(0) == "TOTAL").get.getLong(1)
     assert(math.abs(total - exact) / exact < 0.05,
-      s"union-of-sketches $total vs exact $exact")
-    assert(math.abs(direct - exact) / exact < 0.05,
-      s"direct sketch $direct vs exact $exact")
+      s"rollup total $total vs exact $exact")
+    assert(math.abs(union - exact) / exact < 0.05,
+      s"union-of-sketches $union vs exact $exact")
   }
 
   test("hll sketch estimate is partition-tolerant (mergeable aggregation)") {
