@@ -135,6 +135,18 @@ object Bench {
       if (f.length > 4) f(4) else -1.0
     }.getOrElse(-1.0)
 
+  /** CPU count of the /proc/stat view (the "cpu0".."cpuN" lines) — the
+    * denominator for MACHINE-WIDE jiffy shares. availableProcessors()
+    * is the cgroup/affinity-limited view: in a container capped at 8
+    * CPUs on a 64-core host it undercounts the capacity the aggregate
+    * "cpu " line integrates over, inflating external/iowait shares up
+    * to 8x into spurious retries and contended flags. 0 when
+    * unparseable (callers fall back to availableProcessors).
+    */
+  def parseMachineCores(content: String): Int =
+    content.linesIterator.count(l => l.startsWith("cpu") &&
+      l.length > 3 && l.charAt(3).isDigit)
+
   /** This process's consumed jiffies from /proc/self/stat content:
     * utime + stime (fields 14/15, 1-indexed). The comm field (2) can
     * contain spaces, so parsing anchors on the LAST ')' — everything
@@ -263,16 +275,19 @@ object Bench {
   def compactLine(total: Double, queries: Seq[(String, Double)],
                   contendedNames: Seq[String], baselineSuspect: Boolean,
                   sfDir: String): String = {
-    def render(fmtV: Double => String, maxContended: Int): String = {
-      val qs = jsonMap(queries.map { case (n, v) => n -> fmtV(v) })
+    def render(fmtV: Double => String, maxContended: Int,
+               subset: Seq[(String, Double)], omitted: Int): String = {
+      val qs = jsonMap(subset.map { case (n, v) => n -> fmtV(v) })
       val contended = contendedNames.take(maxContended)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cut = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       // sf as basename: the directory prefix is fixed machine context the
       // tail-captured record doesn't need to spend bytes on.
       val sf = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$cut""" +
         s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sf"}"""
     }
+    def fits(l: String): Boolean = l.getBytes("UTF-8").length <= CompactLineBudget
     // centiseconds — the floor format: bounded 4-5 chars for any sane
     // query time, so the pathological all-values-wide case stays bounded
     def fmtCs(d: Double): String =
@@ -280,9 +295,21 @@ object Bench {
     val tiers: Seq[(Double => String, Int)] = Seq(
       (fmtSig(_, 3), Int.MaxValue), (fmtSig(_, 2), Int.MaxValue),
       (fmtSig(_, 2), 3), (fmtCs _, 3))
-    val lines = tiers.iterator.map { case (f, mc) => render(f, mc) }
-    lines.find(_.getBytes("UTF-8").length <= CompactLineBudget)
-      .getOrElse(render(fmtCs, 3))
+    tiers.iterator.map { case (f, mc) => render(f, mc, queries, 0) }
+      .find(fits)
+      .getOrElse {
+        // TRUE last resort (e.g. a giant-SF run where every value is
+        // wide): keep the SLOWEST entries that fit and say how many
+        // were cut — an over-budget line would lose its head to the
+        // tail capture and the whole record with it (the round-4
+        // failure this method exists to prevent)
+        val bySlow = queries.sortBy { case (_, v) => if (v == v) -v else 0.0 }
+        Iterator.iterate(bySlow.length)(k => (k * 3) / 4)
+          .takeWhile(_ > 0)
+          .map(k => render(fmtCs, 3, bySlow.take(k), queries.length - k))
+          .find(fits)
+          .getOrElse(render(fmtCs, 3, Seq.empty, queries.length))
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -330,7 +357,14 @@ object Bench {
         load: (Double, Double), // loadavg at query start / end
         contended: Boolean)
 
-    val cores = Runtime.getRuntime.availableProcessors()
+    // machine-wide shares must divide by the MACHINE's cores (what the
+    // aggregate /proc/stat line integrates over), not the cgroup view
+    val cores = {
+      val m = scala.util.Try(parseMachineCores(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))))).getOrElse(0)
+      if (m > 0) m else Runtime.getRuntime.availableProcessors()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val l0 = readLoadAvg()

@@ -74,15 +74,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => LshBuckets(args(0),
         intLiteral(args(1), "lsh_buckets"), intLiteral(args(2), "lsh_buckets"),
         intLiteral(args(3), "lsh_buckets"), longLiteral(args(4), "lsh_buckets"))))
+    // numeric arguments go through an explicit Cast: the builder runs
+    // pre-analysis (argument types unknown), and the strict expressions
+    // would otherwise reject natural calls like kll_quantile(sk, 0.5)
+    // (DECIMAL literal) or kll_sketch_agg(some_decimal_col). A
+    // double->double cast is folded away by SimplifyCasts.
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.DoubleType
     e.injectFunction(fn("kll_sketch_agg",
       "kll_sketch_agg(v) - KLL doubles quantile sketch (binary image) of v", 1)(
-      args => KllSketchAgg(args(0)).toAggregateExpression()))
+      args => KllSketchAgg(Cast(args(0), DoubleType)).toAggregateExpression()))
     e.injectFunction(fn("kll_union_agg",
       "kll_union_agg(sk) - union of KLL sketch images (binary image out)", 1)(
       args => KllUnionAgg(args(0)).toAggregateExpression()))
     e.injectFunction(fn("kll_quantile",
       "kll_quantile(sk, rank) - quantile estimate at normalized rank", 2)(
-      args => KllQuantile(args(0), args(1))))
+      args => KllQuantile(args(0), Cast(args(1), DoubleType))))
     e.injectFunction(fn("kll_count",
       "kll_count(sk) - exact item count the sketch absorbed", 1)(
       args => KllCount(args(0))))

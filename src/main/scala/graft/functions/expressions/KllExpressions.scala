@@ -194,16 +194,19 @@ case class KllCount(child: Expression)
     copy(child = newChild)
 }
 
-/** Column faces (session-independent, same pattern as NativeExpressions). */
+/** Column faces (session-independent, same pattern as NativeExpressions).
+  * Numeric inputs are cast to double here — a double->double cast folds
+  * away, and any numeric column (the DECIMAL prices the rollup itself
+  * targets) just works. */
 object KllFunctions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def kllSketchAgg(values: Column, k: Int = KllOps.DefaultK): Column =
-    column(KllSketchAgg(expression(values), k).toAggregateExpression())
+    column(KllSketchAgg(expression(values.cast("double")), k).toAggregateExpression())
   def kllUnionAgg(sketches: Column, k: Int = KllOps.DefaultK): Column =
     column(KllUnionAgg(expression(sketches), k).toAggregateExpression())
   def kllQuantile(sketch: Column, rank: Column): Column =
-    column(KllQuantile(expression(sketch), expression(rank)))
+    column(KllQuantile(expression(sketch), expression(rank.cast("double"))))
   def kllCount(sketch: Column): Column =
     column(KllCount(expression(sketch)))
 }

@@ -121,7 +121,11 @@ object Analytics {
     require(windowUs >= 0, s"movingAvg: windowUs=$windowUs")
     val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-windowUs, Window.currentRow)
-    sum(dec(col(valueCol))).over(w).cast("double") / count(col(valueCol)).over(w)
+    // divisor over the DECIMAL image, not the raw column: dec() nulls a
+    // NaN (ANSI double->decimal), and counting a value the sum skipped
+    // would silently deflate the average. Identical on NaN-free data
+    // (the oracle's domain); the streaming face mirrors this exactly.
+    sum(dec(col(valueCol))).over(w).cast("double") / count(dec(col(valueCol))).over(w)
   }
 
   /** x32's trailing window: 7 days in microseconds — shared with both

@@ -140,8 +140,12 @@ object Dedup {
                            hashGrams: Boolean = false): DataFrame = {
     val cand = ngramCandidatePairs(docs, n, maxDf, minInter, hashGrams)
       .select(col("d1"), col("d2"))
-    val candIds = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    // ONE reference to the candidate aggregate, not two union branches:
+    // Catalyst does not dedupe a multiply-referenced aggregate subtree,
+    // so cand.select(d1) UNION cand.select(d2) would re-run the whole
+    // gram pipeline per branch (plus a third time for the verify join)
+    val candIds = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
     val sh = shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
     jaccardVerify(cand, sh, jaccardThreshold)
   }

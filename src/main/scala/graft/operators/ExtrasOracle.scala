@@ -747,7 +747,11 @@ object ExtrasOracle {
       |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin
 
   /** DuckDB twin of Analytics.movingAvgQuery: the same trailing-7-day
-    * RANGE frame over epoch micros, decimal-summed / counted. */
+    * RANGE frame over epoch micros, decimal-summed / counted. The
+    * divisor stays COUNT(value): DuckDB's NaN->DECIMAL cast errors
+    * rather than nulling, so the Spark faces' NaN semantics are not
+    * expressible here — identical on the NaN-free events corpus the
+    * gate runs on. */
   private def movingAvgSql: String =
     s"""SELECT event_id, user_id, ts,
        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)

@@ -896,11 +896,13 @@ object RelationalSql {
        |ORDER BY n_name, yr""".stripMargin
   }
 
-  /** Spark-SQL face of Analytics.movingAvgQuery. */
+  /** Spark-SQL face of Analytics.movingAvgQuery. The divisor counts the
+    * DECIMAL image, like the DataFrame face — a NaN nulls out of both
+    * the sum and the count. */
   private def movingAvgSql: String =
     s"""SELECT event_id, user_id, ts,
        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-       |    / COUNT(value) OVER w AS mavg
+       |    / COUNT(CAST(value AS DECIMAL(18,4))) OVER w AS mavg
        |FROM events
        |WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
        |             RANGE BETWEEN ${Analytics.MovingAvgWindowUs} PRECEDING AND CURRENT ROW)

@@ -349,16 +349,32 @@ object TextAnalysis {
     import spark.implicits._
     val itemCol = items.columns.head
     val str = items.select(col(itemCol).cast("string").as("item"))
-    val cand = str.as[String].mapPartitions(misraGries(_, cap)).toDF("item").distinct()
-    val total = str.agg(count(lit(1)).as("n_total"))
+    // pass 1 emits each partition's surviving keys PLUS its exact row
+    // count (the marker row), so the exact total needs no extra scan.
+    // The collect is bounded by partitions x (capacity+1) rows — the
+    // same budget the candidate broadcast below already commits to.
+    val summary = str.as[String].mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      val keys = misraGries(counted, cap).toArray // consumes the iterator
+      keys.iterator.map(k => (false, k, 0L)) ++ Iterator.single((true, null: String, n))
+    }.toDF("is_total", "item", "cnt").collect()
+    val nTotal = summary.filter(_.getBoolean(0)).map(_.getLong(2)).sum
+    val candKeys = summary.filter(!_.getBoolean(0))
+      .map(r => if (r.isNullAt(1)) null else r.getString(1)).distinct.toSeq
+    if (candKeys.isEmpty)
+      return str.limit(0).withColumn("freq", lit(0L))
+        .select(col("item"), col("freq"))
+    val cand = candKeys.toDF("_cand_item")
     str
-      // explicit hint: cand is <= capacity rows per partition by
-      // construction, but the mapPartitions boundary hides that from
-      // Catalyst's size estimate, which would otherwise plan a shuffle
-      .join(broadcast(cand), Seq("item"), "left_semi")
+      // null-safe semi join: a heavy NULL item must survive to the
+      // recount exactly as it survives the plain groupBy twin.
+      // explicit hint: cand is bounded by construction, but the local
+      // relation's size estimate could still exceed the broadcast
+      // threshold default
+      .join(broadcast(cand), col("item") <=> col("_cand_item"), "left_semi")
       .groupBy(col("item")).agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(total)) // 1-row exact-total frame
-      .filter(col("freq") * share >= col("n_total"))
+      .filter(col("freq") * share >= lit(nTotal))
       .select(col("item"), col("freq"))
   }
 

@@ -425,11 +425,20 @@ object StreamingOps {
   /** A double value as the unscaled long of its DECIMAL(18,4) image —
     * the exact same rounding Spark's `cast(v AS DECIMAL(18,4))` applies
     * (valueOf = shortest-string reading, HALF_UP), so the streaming sum
-    * is bit-for-bit the batch face's order-independent decimal sum. */
-  private def scaled4(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(4, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    * is bit-for-bit the batch face's order-independent decimal sum.
+    * Mirrors the cast's edge semantics too: NaN/Infinity -> None (the
+    * ANSI cast yields null, and the batch sum AND count both skip it);
+    * a magnitude beyond DECIMAL(18,4) throws, as the batch cast does. */
+  private def scaled4(v: Double): Option[Long] =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) None
+    else {
+      val bd = java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+      if (bd.precision > 18)
+        throw new ArithmeticException(
+          s"$v cannot be represented as DECIMAL(18,4) — failing like the batch face's ANSI cast")
+      Some(bd.unscaledValue().longValueExact())
+    }
 
   /** Per-user trailing-window buffer in ValueState: the samples inside
     * the last `windowUs` microseconds, evicted as event time advances —
@@ -465,12 +474,20 @@ object StreamingOps {
         while (j < sorted.length && sorted(j).ts_us == ts) j += 1
         val ties = sorted.slice(i, j)
         // append the WHOLE tie group before emitting: the range window
-        // [ts - w, ts] contains every simultaneous event's value
-        b = (b ++ ties.map(e => MavgSample(e.ts_us, scaled4(e.value))))
+        // [ts - w, ts] contains every simultaneous event's value.
+        // Non-representable values (scaled4 = None, i.e. the batch
+        // cast's null) enter neither the sum nor the divisor — they
+        // still get an output point over the surviving window.
+        b = (b ++ ties.flatMap(e =>
+            scaled4(e.value).map(s => MavgSample(e.ts_us, s))))
           .filter(_.ts_us >= ts - windowUs)
         val n = b.length
         val sum = b.iterator.foldLeft(BigInt(0))(_ + _.scaled4)
-        val mavg = new java.math.BigDecimal(sum.bigInteger, 4).doubleValue() / n
+        // empty window (every value in range was null-equivalent):
+        // batch emits SQL null; the typed streaming row carries NaN
+        val mavg =
+          if (n == 0) Double.NaN
+          else new java.math.BigDecimal(sum.bigInteger, 4).doubleValue() / n
         ties.foreach(e => out += MavgPoint(e.event_id, key, e.ts_us, mavg))
         i = j
       }

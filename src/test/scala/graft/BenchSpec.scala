@@ -142,6 +142,33 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     assert(small.contains("\"q\":0.773"))
   }
 
+  test("compact line last resort truncates the query map instead of overflowing") {
+    // giant-SF shape: hundreds of wide values — no full-map tier fits,
+    // so the slowest entries survive and the cut is recorded
+    val many = (1 to 300).map(i => f"query_with_a_long_name_$i%03d" -> (1000.0 + i))
+    val line = Bench.compactLine(300000.0, many, Nil, false, "sf100")
+    assert(line.getBytes("UTF-8").length <= Bench.CompactLineBudget,
+      s"last-resort line is ${line.length} bytes")
+    assert(line.contains("\"queries_omitted\":"), "cut must be declared")
+    // the slowest query survives the cut
+    assert(line.contains("query_with_a_long_name_300"))
+  }
+
+  test("machine cores come from /proc/stat cpuN lines, not the cgroup view") {
+    val stat =
+      """cpu  100 0 50 1000 20 0 0 0 0 0
+        |cpu0 25 0 12 250 5 0 0 0 0 0
+        |cpu1 25 0 12 250 5 0 0 0 0 0
+        |cpu2 25 0 13 250 5 0 0 0 0 0
+        |cpu3 25 0 13 250 5 0 0 0 0 0
+        |intr 12345
+        |ctxt 6789""".stripMargin
+    assert(Bench.parseMachineCores(stat) == 4)
+    assert(Bench.parseMachineCores("garbage") == 0)
+    // the aggregate "cpu " line must not count as a core
+    assert(Bench.parseMachineCores("cpu  1 2 3\n") == 0)
+  }
+
   test("compact line formats locale-independently and handles NaN") {
     val line = Bench.compactLine(1.5, Seq("q" -> Double.NaN), Nil, true, "sf")
     assert(line.contains("\"q\":-1"))

@@ -1236,6 +1236,28 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: a heavy NULL item survives, matching the plain twin") {
+    // 60 of 100 rows null: the groupBy twin returns (null, 60); the
+    // candidate semi-join must be null-safe or the heaviest item vanishes
+    val items = spark.range(100)
+      .select(when($"id" % 5 < 3, lit(null).cast("string"))
+        .otherwise(concat(lit("v"), $"id")).as("item"))
+    val share = 2
+    val got = TextAnalysis.heavyHitters(items, share)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    val n = items.count()
+    val expected = items.groupBy($"item").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * share >= n)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    assert(expected.contains(None -> 60L), "twin sanity: null group is heavy")
+    assert(got == expected)
+  }
+
+  test("heavyHitters: empty input yields an empty result, not a crash") {
+    val items = spark.range(0).select(concat(lit("v"), $"id").as("item"))
+    assert(TextAnalysis.heavyHitters(items, share = 2).collect().isEmpty)
+  }
+
   // ------------------------------------------------------ KLL quantiles
 
   /** Exact normalized rank of `v` in the group: P(x <= v). */

@@ -55,16 +55,17 @@ class SqlSurfaceSpec extends SparkSpec {
     // estimates inside the group's value range — not cell-exactly
     val viaDf = SparkEntry.queries("x49_kll_quantiles")(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // natural call forms on purpose: the DECIMAL column and DECIMAL
+    // rank literals must be accepted (the registration casts them)
     val viaSql = spark.sql(
       """WITH per AS (
-        |  SELECT l_returnflag AS grp,
-        |         kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk
+        |  SELECT l_returnflag AS grp, kll_sketch_agg(l_extendedprice) AS sk
         |  FROM lineitem GROUP BY l_returnflag),
         |u AS (SELECT * FROM per
         |      UNION ALL SELECT 'TOTAL' AS grp, kll_union_agg(sk) AS sk FROM per)
         |SELECT grp, kll_count(sk) AS n,
-        |       kll_quantile(sk, CAST(0.5 AS DOUBLE)) AS p50,
-        |       kll_quantile(sk, CAST(0.95 AS DOUBLE)) AS p95
+        |       kll_quantile(sk, 0.5) AS p50,
+        |       kll_quantile(sk, 0.95) AS p95
         |FROM u ORDER BY grp""".stripMargin).collect()
     assert(viaSql.map(_.getString(0)).toSeq == viaDf.keys.toSeq.sorted)
     val Array(lo, hi) = spark.sql(

@@ -407,6 +407,58 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming moving average mirrors the batch cast on NaN values") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    // NaN casts to null DECIMAL(18,4) in batch: excluded from both the
+    // sum AND the divisor, the event still gets an output row. The
+    // streaming face must do exactly that (a NaN used to throw inside
+    // the processor and kill the query). user 2's only event is NaN:
+    // batch emits a null avg, the typed streaming row carries NaN.
+    val rows = Seq(
+      (1L, 1L, 1000L, 10.0), (2L, 1L, 2000L, Double.NaN),
+      (3L, 1L, 3000L, 20.0), (4L, 2L, 1000L, Double.NaN))
+    val batchDf = rows.toDF("event_id", "user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    val batch = batchDf
+      .select($"event_id",
+        Analytics.movingAvg("user_id", "ts", "value", 1000000L).as("mavg"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+      .toMap
+    assert(batch(2L) == 10.0, "NaN must not deflate the window average")
+    assert(batch(4L).isNaN, "empty representable window is null in batch")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Long, Long, Double)]
+      val q = StreamingOps.movingAvgStream(
+          stream.toDF().toDF("event_id", "user_id", "ts_us", "value")
+            .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us"),
+          "user_id", "ts", "value", "event_id", 1000000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mavg_nan_out").start()
+      try {
+        stream.addData(rows)
+        q.processAllAvailable()
+        val streamed = spark.table("mavg_nan_out")
+          .as[StreamingOps.MavgPoint].collect()
+          .map(p => p.event_id -> p.mavg).toMap
+        assert(streamed.keySet == batch.keySet)
+        batch.foreach { case (id, m) =>
+          assert(m == streamed(id) || (m.isNaN && streamed(id).isNaN),
+            s"event $id: batch $m vs streamed ${streamed(id)}")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source generates strict-parse-clean wire records") {
     val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
       .transform(df => SensorPipeline.parseStrict(df))

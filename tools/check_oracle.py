@@ -103,16 +103,31 @@ def main(sf_dir, out_dir, budget=None, json_out=None):
     return 1 if n_fail else 0
 
 
+USAGE = ("usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> "
+         "[--budget SECONDS] [--json OUT.json]")
+
+
+def _flag(args, name):
+    """Pop `name VALUE` from args; None if absent; usage error if the
+    value is missing."""
+    if name not in args:
+        return None
+    i = args.index(name)
+    if i + 1 >= len(args):
+        sys.exit(f"{name} needs a value\n{USAGE}")
+    v = args[i + 1]
+    del args[i:i + 2]
+    return v
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
-    budget = None
-    json_out = None
-    if "--budget" in args:
-        i = args.index("--budget")
-        budget = float(args[i + 1])
-        del args[i:i + 2]
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        del args[i:i + 2]
+    raw_budget = _flag(args, "--budget")
+    try:
+        budget = float(raw_budget) if raw_budget is not None else None
+    except ValueError:
+        sys.exit(f"--budget takes seconds, got {raw_budget!r}\n{USAGE}")
+    json_out = _flag(args, "--json")
+    if len(args) != 2:
+        sys.exit(USAGE)
     sys.exit(main(args[0], args[1], budget, json_out))
