@@ -260,4 +260,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"expected a broadcast semi-join on the Misra-Gries candidates:\n$p")
   }
+
+  test("x15/x49: sketch rollups scan the raw table exactly once (grouping sets)") {
+    // the union-the-branches form re-scans per rollup level (Catalyst
+    // does not dedupe a twice-referenced aggregate) — regression gate
+    // for the single-scan Expand shape
+    Seq("x15_hll_rollup", "x49_kll_quantiles").foreach { q =>
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q: $scans scans (expected 1):\n$p")
+      assert(p.contains("Expand"), s"$q: grouping-sets Expand missing:\n$p")
+    }
+  }
+
+  test("x48: per-doc top-k pushes a partial WindowGroupLimit before the shuffle") {
+    val p = plan("x48_tfidf")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit pair:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    // two scans by design: the tf/df pipeline and the 1-row N stats frame
+    assert(scans <= 2, s"x48: $scans scans (expected <= 2):\n$p")
+  }
 }
