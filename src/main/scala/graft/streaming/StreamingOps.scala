@@ -568,4 +568,68 @@ object StreamingOps {
           }
         })
   }
+
+  // --------------- streaming quantile monitoring (x49's face) --------
+
+  case class QuantileEvent(grp: String, value: Double)
+  /** A group's running quantile estimates after a micro-batch. */
+  case class QuantileEstimate(grp: String, n: Long, p50: Double, p95: Double)
+
+  /** Per-group KLL sketch in ValueState: the streaming face of the x49
+    * quantile rollup. Each micro-batch folds its values into the
+    * group's sketch image and emits refreshed p50/p95 estimates — a
+    * live latency/price dashboard whose per-group state is the ~KB
+    * sketch, BOUNDED regardless of stream length (unlike buffering
+    * values, which grows linearly). The state IS the portable
+    * Datasketches image, so a batch job (or [[graft.operators.Sketches]]
+    * `kll_union_agg` over a persisted copy) can merge it directly.
+    * getN is exact and deterministic; estimates carry the sketch's
+    * rank-error bound (spec-asserted vs exact ranks, like the batch
+    * face). */
+  class QuantileProcessor(k: Int)
+    extends StatefulProcessor[String, QuantileEvent, QuantileEstimate] {
+    import graft.functions.expressions.KllOps
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    @transient private var img: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      img = getHandle.getValueState[Array[Byte]]("kllImage",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[QuantileEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[QuantileEstimate] = {
+      val sk =
+        if (img.exists()) KllDoublesSketch.heapify(Memory.wrap(img.get()))
+        else KllDoublesSketch.newHeapInstance(k)
+      var any = false
+      rows.foreach { e =>
+        // mirror the aggregate's null handling: NaN never enters a
+        // sketch (KLL update on NaN throws)
+        if (!java.lang.Double.isNaN(e.value)) { sk.update(e.value); any = true }
+      }
+      if (!any && sk.isEmpty) return Iterator.empty
+      val bytes = sk.toByteArray
+      img.update(bytes)
+      val p50 = KllOps.quantile(bytes, 0.5)
+      val p95 = KllOps.quantile(bytes, 0.95)
+      Iterator.single(QuantileEstimate(key, sk.getN,
+        if (p50 == null) Double.NaN else p50.doubleValue(),
+        if (p95 == null) Double.NaN else p95.doubleValue()))
+    }
+  }
+
+  /** Streaming quantile estimates per group: emits each group's
+    * refreshed (n, p50, p95) after every micro-batch that touched it. */
+  def quantileStream(events: DataFrame, grpCol: String, valueCol: String,
+                     k: Int = graft.functions.expressions.KllOps.DefaultK)
+      : Dataset[QuantileEstimate] = {
+    import events.sparkSession.implicits._
+    events.select(col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("value"))
+      .as[QuantileEvent]
+      .groupByKey(_.grp)
+      .transformWithState(new QuantileProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -459,6 +459,48 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantile sketch: exact counts, rank-bounded estimates, KB-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.expressions.KllOps
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+        .select($"event_type", $"value").as[(String, Double)].collect().toSeq
+      val byType = events.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2) }
+      val stream = MemoryStream[(String, Double)]
+      val q = StreamingOps.quantileStream(
+          stream.toDF().toDF("event_type", "value"), "event_type", "value")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("kll_stream_out").start()
+      try {
+        // three micro-batches: the sketch must accumulate across them
+        events.grouped((events.size + 2) / 3).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        // LAST estimate per group = the full-stream sketch
+        val finals = spark.table("kll_stream_out")
+          .as[StreamingOps.QuantileEstimate].collect()
+          .groupBy(_.grp).map { case (g, rs) => g -> rs.maxBy(_.n) }
+        assert(finals.keySet == byType.keySet)
+        val eps = 3 * KllOps.epsilon(KllOps.DefaultK)
+        finals.foreach { case (g, est) =>
+          val values = byType(g)
+          assert(est.n == values.length, s"$g: n=${est.n} != ${values.length}")
+          def rank(v: Double) = values.count(_ <= v).toDouble / values.length
+          assert(math.abs(rank(est.p50) - 0.50) < eps, s"$g p50=${est.p50}")
+          assert(math.abs(rank(est.p95) - 0.95) < eps, s"$g p95=${est.p95}")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source generates strict-parse-clean wire records") {
     val q = graft.sources.SensorSources.fromRate(spark, rowsPerSecond = 500)
       .transform(df => SensorPipeline.parseStrict(df))
