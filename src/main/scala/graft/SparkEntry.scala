@@ -145,6 +145,10 @@ object SparkEntry {
     // form of x20/x22 (fractional epochs: floor(w) copies + a hash-
     // deterministic extra), stable (doc, copy) ordinals out.
     "x50_upsample"        -> (Sampling.upsampleQuery _),
+    // x51: the multimodal pipeline (real PNG/WAV/GIF decodes of the
+    // committed fixtures + synthetic payloads) as a deterministic
+    // integer report; rows-only (no DuckDB media decode).
+    "x51_media_probe"     -> (graft.functions.Multimodal.mediaProbeQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
@@ -154,7 +158,8 @@ object SparkEntry {
     * accuracy + mergeability). */
   val rowsOnly: Set[String] =
     Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
-      "x15_hll_rollup", "x17_quant_knn", "x49_kll_quantiles")
+      "x15_hll_rollup", "x17_quant_knn", "x49_kll_quantiles",
+      "x51_media_probe")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -428,6 +428,44 @@ object Multimodal {
     }
   }
 
+  /** x51: the multimodal pipeline as a driver-checkable query — REAL
+    * decodes of the four committed fixtures (PNG, WAV, animated GIF,
+    * inter-frame-optimized GIF) unioned with synthetic payloads built
+    * from the documents table, through [[decode]] and [[frameSample]].
+    * Output is deterministic integers only (dims, frame counts, byte
+    * sizes), so the row set is stable; rows-only at the oracle gate
+    * (DuckDB cannot decode media), with the pixel/PCM-level assertions
+    * in the Multimodal specs. */
+  def mediaProbeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bytes(p: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val fixtures = spark.createDataset(Seq(
+      MediaAsset(9000001L, "image", bytes(graft.Fixtures.tinyPng),
+        Map("origin" -> "fixture")),
+      MediaAsset(9000002L, "audio", bytes(graft.Fixtures.tinyWav),
+        Map("origin" -> "fixture")),
+      MediaAsset(9000003L, "video", bytes(graft.Fixtures.tinyGif),
+        Map("origin" -> "fixture")),
+      MediaAsset(9000004L, "video", bytes(graft.Fixtures.tinyGifPatch),
+        Map("origin" -> "fixture"))))
+    val synth = syntheticAssets(spark,
+      graft.core.Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 100), "doc_id", "text")
+    val assets = fixtures.unionByName(synth)
+    val sampled = frameSample(assets, 4)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).cast("long").as("n_sampled"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+    decode(assets).toDF()
+      .join(sampled, Seq("asset_id"), "left")
+      .na.fill(0L, Seq("n_sampled", "sampled_bytes"))
+      .select(col("asset_id"), col("kind"), col("byte_size"),
+        col("width"), col("height"), col("n_frames"),
+        col("n_sampled"), col("sampled_bytes"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Build a media table from any (id, string) source — test/dev helper
     * that manufactures payloads without external files. */
   def syntheticAssets(spark: SparkSession, src: DataFrame,

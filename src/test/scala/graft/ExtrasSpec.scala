@@ -1258,6 +1258,29 @@ class ExtrasSpec extends SparkSpec {
     assert(TextAnalysis.heavyHitters(items, share = 2).collect().isEmpty)
   }
 
+  // ---------------------------------------------------------------- x51
+
+  test("x51: media probe reports the committed fixtures' real decode values") {
+    val out = Multimodal.mediaProbeQuery(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 4 fixtures + the doc_id < 100 synthetic assets
+    val nSynth = docs.filter($"doc_id" < 100).count()
+    assert(out.size == 4 + nSynth)
+    val png = out(9000001L)
+    assert(png.getInt(3) == 7 && png.getInt(4) == 5, s"png decode: $png")
+    val gif = out(9000003L)
+    assert(gif.getInt(5) == 4, s"animated gif frame count: $gif")
+    // every video asset samples at least one real or sliced frame
+    assert(gif.getLong(6) >= 1)
+    val patch = out(9000004L)
+    assert(patch.getInt(5) == 2 && patch.getInt(3) == 10 && patch.getInt(4) == 8,
+      s"inter-frame-optimized gif: $patch")
+    // deterministic: a second run returns the identical report
+    val again = Multimodal.mediaProbeQuery(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   // ------------------------------------------------------ KLL quantiles
 
   /** Exact normalized rank of `v` in the group: P(x <= v). */
