@@ -149,6 +149,12 @@ object SparkEntry {
     // committed fixtures + synthetic payloads) as a deterministic
     // integer report; rows-only (no DuckDB media decode).
     "x51_media_probe"     -> (graft.functions.Multimodal.mediaProbeQuery _),
+    // x52: cross-source near-dup contamination matrix over x46's
+    // accepted pair set — which feeds copy which.
+    "x52_contamination"   -> (Dedup.contaminationQuery _),
+    // x53: per-language quality deciles (ntile over a total order) —
+    // the "train on the top-k deciles" binning primitive.
+    "x53_quality_deciles" -> (TextAnalysis.qualityDecilesQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -156,6 +156,35 @@ object Dedup {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
       .orderBy(col("d1"), col("d2"))
 
+  /** x52: the cross-SOURCE near-dup contamination matrix — for each
+    * ordered source pair, how many verified near-dup pairs (x46's
+    * accept set) straddle it. The dataset-level report a corpus curator
+    * reads to find which feeds are copying which: a heavy off-diagonal
+    * cell means two sources share content, a heavy diagonal means one
+    * source self-duplicates. Plan: the verified pairs (small by
+    * construction) join the two doc->source sides, then one tiny agg —
+    * the corpus-sized work is all inside [[verifiedNearDupPairs]]'s
+    * already-audited shape. */
+  def contaminationMatrix(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
+                          minInter: Int = 2,
+                          jaccardThreshold: Double = 0.5): DataFrame = {
+    val pairs = verifiedNearDupPairs(docs, n, maxDf, minInter, jaccardThreshold)
+      .select(col("d1"), col("d2"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
+      // order within the cell so (a,b) and (b,a) land in one bucket
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def contaminationQuery(spark: SparkSession, dir: String): DataFrame =
+    contaminationMatrix(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source_a"), col("source_b"))
+
   // -------------------------------------------- cross-doc duplicated spans
 
   /** Positional word n-grams (duplicates kept) — every occurrence is a

@@ -100,6 +100,7 @@ object ExtrasOracle {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "x46_jaccard_pairs" -> verifiedPairsSql,
+    "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
     "x12_repetition" ->
@@ -287,6 +288,16 @@ object ExtrasOracle {
     "x43_top_terms" -> topTermsSql,
     "x48_tfidf" -> tfIdfSql,
     "x50_upsample" -> upsampleSql,
+    "x53_quality_deciles" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+         |    AS n_tokens,
+         |  ntile(${TextAnalysis.QualityDeciles}) OVER (
+         |    PARTITION BY lang
+         |    ORDER BY len(list_filter(string_split(text, ' '), x -> x <> '')), doc_id)
+         |    AS decile
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
     "x29_pivot" -> pivotSql,
@@ -345,18 +356,37 @@ object ExtrasOracle {
     * arithmetic (inter*2 >= union), so membership cannot flake on float
     * precision. MATERIALIZED for the same budget-safety reason as every
     * other consumer of the shared gram pipeline. */
-  private def verifiedPairsSql: String =
-    s"""WITH $pairsCteBody,
+  /** The accepted near-dup pair set as a CTE chain ending at `vpairs`
+    * (d1, d2, inter, uni) — shared by the x46 listing and the x52
+    * contamination matrix so the accept semantics cannot drift. */
+  private def verifiedPairsCte: String =
+    s"""$pairsCteBody,
        |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
        |vint AS MATERIALIZED (
        |  SELECT p.d1, p.d2, COUNT(*) AS inter
        |  FROM pairs p JOIN grams g1 ON g1.doc_id = p.d1
        |               JOIN grams g2 ON g2.doc_id = p.d2 AND g2.gram = g1.gram
-       |  GROUP BY 1, 2)
-       |SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
-       |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
-       |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
-       |ORDER BY d1, d2""".stripMargin
+       |  GROUP BY 1, 2),
+       |vpairs AS MATERIALIZED (
+       |  SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
+       |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+       |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)""".stripMargin
+
+  private def verifiedPairsSql: String =
+    s"""WITH $verifiedPairsCte
+       |SELECT d1, d2, inter, uni FROM vpairs ORDER BY d1, d2""".stripMargin
+
+  /** x52: the cross-source contamination matrix over the SAME accepted
+    * pair set (source pair normalized so (a,b) and (b,a) share a cell). */
+  private def contaminationSql: String =
+    s"""WITH $verifiedPairsCte
+       |SELECT least(a.source, b.source) AS source_a,
+       |       greatest(a.source, b.source) AS source_b,
+       |       COUNT(*) AS n_pairs
+       |FROM vpairs p JOIN documents a ON a.doc_id = p.d1
+       |              JOIN documents b ON b.doc_id = p.d2
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** x47: the plain one-aggregate twin of the Misra-Gries two-pass heavy
     * hitters — same selection, share constant taken from the engine face

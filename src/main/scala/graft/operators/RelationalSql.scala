@@ -293,26 +293,27 @@ object RelationalSql {
         |ORDER BY lang, d1, d2""".stripMargin,
 
     "x46_jaccard_pairs" ->
-      """WITH grams AS (
-        |  SELECT doc_id, lang, gram FROM documents
-        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
-        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 20),
-        |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram)),
-        |cand AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING COUNT(1) >= 2),
-        |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
-        |vint AS (
-        |  SELECT c.d1, c.d2, COUNT(1) AS inter
-        |  FROM cand c JOIN grams g1 ON g1.doc_id = c.d1
-        |              JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
-        |  GROUP BY c.d1, c.d2)
-        |SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
-        |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
-        |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $verifiedPairsSparkCte
+         |SELECT d1, d2, inter, uni FROM vpairs ORDER BY d1, d2""".stripMargin,
+
+    "x52_contamination" ->
+      s"""WITH $verifiedPairsSparkCte
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       COUNT(1) AS n_pairs
+         |FROM vpairs p JOIN documents a ON a.doc_id = p.d1
+         |              JOIN documents b ON b.doc_id = p.d2
+         |GROUP BY least(a.source, b.source), greatest(a.source, b.source)
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x53_quality_deciles" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+         |  ntile(${TextAnalysis.QualityDeciles}) OVER (
+         |    PARTITION BY lang
+         |    ORDER BY size(filter(split(text, ' '), x -> x != '')), doc_id) AS decile
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
 
     "x47_heavy_hitters" ->
       s"""WITH big AS (
@@ -544,6 +545,32 @@ object RelationalSql {
         |    + FLOOR((cum - n_tokens) / CAST(2000.0 AS DOUBLE)) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
   )
+
+  /** x46's accepted pair set as a spark.sql CTE chain ending at
+    * `vpairs` (d1, d2, inter, uni) — shared by the x46 and x52 twins so
+    * the accept semantics cannot drift (mirror of ExtrasOracle's
+    * DuckDB-side verifiedPairsCte). */
+  private def verifiedPairsSparkCte: String =
+    """grams AS (
+      |  SELECT doc_id, lang, gram FROM documents
+      |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+      |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 20),
+      |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram)),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(1) >= 2),
+      |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
+      |vint AS (
+      |  SELECT c.d1, c.d2, COUNT(1) AS inter
+      |  FROM cand c JOIN grams g1 ON g1.doc_id = c.d1
+      |              JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+      |  GROUP BY c.d1, c.d2),
+      |vpairs AS (
+      |  SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
+      |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+      |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)""".stripMargin
 
   /** Spark-SQL face of [[Sampling.hashBucket]] (the spark.sql dialect
     * twin; the DuckDB twin lives in ExtrasOracle). */

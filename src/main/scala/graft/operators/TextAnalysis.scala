@@ -461,6 +461,31 @@ object TextAnalysis {
     tfIdfTopK(Tables.load(spark, dir, "documents"), TfIdfK)
       .orderBy(col("doc_id"), col("rank"))
 
+  // ------------------------------------------------------ quality bins
+
+  /** x53's bucket count, shared with the twins. */
+  private[graft] val QualityDeciles: Int = 10
+
+  /** x53: per-language quality deciles — every document binned 1..10 by
+    * token count within its language (decile 10 = longest). The
+    * corpus-curation primitive behind "train on the top-k quality
+    * deciles" recipes. ntile over a TOTAL order (n_tokens, doc_id), so
+    * bucket boundaries are deterministic cross-engine (both engines
+    * give the first `n mod 10` buckets the extra row, per standard
+    * ntile). Scale shape: one shuffle on lang; the per-language sort is
+    * the window's — fine while a language's docs fit an executor's
+    * spill budget, and languages parallelize. */
+  def qualityDecilesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("decile", ntile(QualityDeciles).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
