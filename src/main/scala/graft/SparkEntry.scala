@@ -41,6 +41,9 @@ object SparkEntry {
     // Q21: the custom as-of join exec (native Catalyst operator), checked
     // against DuckDB's built-in ASOF JOIN.
     "q21_asof_join"      -> (Relational.q21AsOfJoin _),
+    // Q22: the FORWARD direction (next purchase after each click),
+    // checked against DuckDB ASOF in the >= direction.
+    "q22_asof_forward"   -> (Relational.q22AsOfForward _),
     // Q20: the SIMPSS pipeline itself (batch form). Inputs are the
     // committed deterministic fixtures, not the sf tables.
     "q20_sensor_pipeline" -> ((s: SparkSession, _: String) =>

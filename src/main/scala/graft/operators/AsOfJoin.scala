@@ -169,6 +169,34 @@ object AsOfJoin {
       graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, payload, lo))
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * rightTime >= leftTime per key — the "next reading after the event"
+    * lookup (DuckDB/pandas call this direction 'forward'). Composed by
+    * running [[asOf]] over NEGATED timelines: negation reverses the
+    * time order, so backward-latest becomes forward-earliest, and every
+    * property the backward form carries (single shuffle, atomic payload
+    * struct, equal-time inclusivity, deterministic ties) transfers
+    * unchanged. Timestamps negate through unix_micros; numerics negate
+    * arithmetically. The matched right time rides along as payload
+    * (`rightTime` stays a visible output column). */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String): DataFrame = {
+    val same = nameMatcher(left)
+    require(!(left.columns ++ right.columns).exists(same(_, "_fwd_t")),
+      "asOfForward: column _fwd_t is reserved — rename it")
+    def negated(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => -unix_micros(col(c))
+      case _: org.apache.spark.sql.types.NumericType => -col(c)
+      case t => throw new IllegalArgumentException(
+        s"asOfForward: unsupported time type ${t.sql} for $c")
+    }
+    asOf(left.withColumn("_fwd_t", negated(left, leftTime)),
+        right.withColumn("_fwd_t", negated(right, rightTime)),
+        key, "_fwd_t", "_fwd_t")
+      .drop("_fwd_t")
+  }
+
   /** Range-join composition with tolerance: latest right row in
     * [leftTime - tolerance, leftTime]. */
   def asOfRange(left: DataFrame, right: DataFrame, key: String,

@@ -256,4 +256,20 @@ object Relational {
     AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts", "pts")
       .orderBy(col("event_id"))
   }
+
+  /** Q22: FORWARD as-of — each click's NEXT purchase (earliest at-or-
+    * after, per user). Same inputs as q21; checked against DuckDB's
+    * ASOF JOIN in the >= direction. The matched purchase time rides
+    * along so the tie order is visible. */
+  def q22AsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
+    AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts", "pts")
+      .orderBy(col("event_id"))
+  }
 }

@@ -195,5 +195,17 @@ object RelationalOracle {
         |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL) r
         |  ON l.user_id = r.user_id AND r.pts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // q22: the forward direction — DuckDB's ASOF with >= picks the
+    // smallest r.pts at-or-after each click.
+    "q22_asof_forward" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.pts, r.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL) l
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL) r
+        |  ON l.user_id = r.user_id AND r.pts >= l.ts
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

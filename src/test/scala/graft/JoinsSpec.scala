@@ -192,6 +192,51 @@ class JoinsSpec extends SparkSpec {
       (4L, Some(50.0)), (5L, Some(77.0)), (6L, Some(88.0)), (7L, Some(88.0)), (8L, None)))
   }
 
+  test("forward as-of: earliest at-or-after per key, timestamps and brute force") {
+    val quotes = Seq(
+      ("A", "2024-01-01 10:00:00", 100.0),
+      ("A", "2024-01-01 10:05:00", 101.0),
+      ("B", "2024-01-01 10:01:00", 50.0))
+      .toDF("sym", "qt", "price")
+      .withColumn("qt", $"qt".cast("timestamp"))
+    val trades = Seq(
+      ("A", "2024-01-01 10:03:00", 5L),  // next quote at 10:05 → 101.0
+      ("A", "2024-01-01 10:05:00", 6L),  // equal ts is inclusive → 101.0
+      ("B", "2024-01-01 10:00:30", 7L),  // next B quote 10:01 → 50.0
+      ("B", "2024-01-01 11:00:00", 8L))  // nothing after → null
+      .toDF("sym", "tt", "qty")
+      .withColumn("tt", $"tt".cast("timestamp"))
+    val out = AsOfJoin.asOfForward(trades, quotes, "sym", "tt", "qt")
+      .orderBy($"sym", $"tt")
+      .select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((5L, Some(101.0)), (6L, Some(101.0)),
+      (7L, Some(50.0)), (8L, None)))
+
+    // randomized brute-force cross-check on integer times
+    val rnd = new scala.util.Random(11)
+    val lrows = Seq.fill(300)((rnd.nextInt(6).toString, rnd.nextInt(40), rnd.nextInt(1000).toLong))
+    val rrows = Seq.fill(300)((rnd.nextInt(8).toString, rnd.nextInt(40), rnd.nextInt(500).toDouble))
+    val l = lrows.toDF("k", "t", "lval")
+    val r = rrows.toDF("k", "rt", "p")
+    val got = AsOfJoin.asOfForward(l, r, "k", "t", "rt")
+      .select($"k", $"t", $"lval", $"p")
+      .as[(String, Int, Long, Option[Double])].collect().toSeq.sorted
+    val expected = lrows.map { case (k, t, v) =>
+      val matches = rrows.filter(rr => rr._1 == k && rr._2 >= t)
+      val best =
+        if (matches.isEmpty) None
+        else {
+          val minRt = matches.map(_._2).min
+          // the composed form's deterministic tie-break at equal time:
+          // largest payload struct wins
+          Some(matches.filter(_._2 == minRt).map(_._3).max)
+        }
+      (k, t, v, best)
+    }.sorted
+    assert(got == expected)
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
+  }
+
   test("native as-of exec equals the union-timeline form on randomized data") {
     val rnd = new scala.util.Random(7)
     val left = Seq.fill(400)((rnd.nextInt(8).toString, rnd.nextInt(50), rnd.nextInt(1000).toLong))
