@@ -357,17 +357,22 @@ object Multimodal {
       // and lazy; touching it here keeps per-row work pure decode (the
       // same slot where a heavy AV codec would initialize)
       javax.imageio.ImageIO.getUseCache
-      it.map { a =>
-        val real = a.kind match {
-          case "image" => decodeImage(a.payload)
-          case "audio" => decodeAudio(a.payload)
-          case "video" => decodeVideo(a.payload)
-          case _ => None
-        }
-        val (w, h, f) = real.getOrElse(decodeStub(a.kind, a.payload))
-        MediaInfo(a.asset_id, a.kind, a.payload.length, w, h, f)
-      }
+      it.map(decodeInfo)
     }
+  }
+
+  /** One asset's decoded header — the per-row kernel of [[decode]],
+    * shared with [[mediaProbeQuery]]'s single-pass report so the two
+    * cannot drift. */
+  private[graft] def decodeInfo(a: MediaAsset): MediaInfo = {
+    val real = a.kind match {
+      case "image" => decodeImage(a.payload)
+      case "audio" => decodeAudio(a.payload)
+      case "video" => decodeVideo(a.payload)
+      case _ => None
+    }
+    val (w, h, f) = real.getOrElse(decodeStub(a.kind, a.payload))
+    MediaInfo(a.asset_id, a.kind, a.payload.length, w, h, f)
   }
 
   /** Feature extraction. Payloads the JDK can genuinely decode get REAL
@@ -408,23 +413,28 @@ object Multimodal {
     * not plans). */
   def frameSample(assets: Dataset[MediaAsset], n: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
-    assets.flatMap { a =>
-      val real = if (a.kind == "video") videoFrames(a.payload, n) else None
-      real match {
-        case Some(frames) =>
-          frames.iterator.zipWithIndex.map { case (b, i) => Frame(a.asset_id, i, b) }
-        case None =>
-          val len = a.payload.length
-          if (len == 0) Iterator.empty
-          else {
-            val k = math.min(n, len)
-            (0 until k).iterator.map { i =>
-              val from = (i.toLong * len / k).toInt
-              val until = ((i + 1).toLong * len / k).toInt
-              Frame(a.asset_id, i, java.util.Arrays.copyOfRange(a.payload, from, until))
-            }
+    assets.flatMap(a =>
+      sampleFrames(a, n).iterator.map { case (i, b) => Frame(a.asset_id, i, b) })
+  }
+
+  /** One asset's sampled frames — the per-row kernel of [[frameSample]],
+    * shared with [[mediaProbeQuery]]'s single-pass report so the two
+    * cannot drift. */
+  private[graft] def sampleFrames(a: MediaAsset, n: Int): Seq[(Int, Array[Byte])] = {
+    val real = if (a.kind == "video") videoFrames(a.payload, n) else None
+    real match {
+      case Some(frames) => frames.zipWithIndex.map { case (b, i) => (i, b) }
+      case None =>
+        val len = a.payload.length
+        if (len == 0) Seq.empty
+        else {
+          val k = math.min(n, len)
+          (0 until k).map { i =>
+            val from = (i.toLong * len / k).toInt
+            val until = ((i + 1).toLong * len / k).toInt
+            (i, java.util.Arrays.copyOfRange(a.payload, from, until))
           }
-      }
+        }
     }
   }
 
@@ -453,16 +463,21 @@ object Multimodal {
       graft.core.Tables.load(spark, dir, "documents")
         .filter(col("doc_id") < 100), "doc_id", "text")
     val assets = fixtures.unionByName(synth)
-    val sampled = frameSample(assets, 4)
-      .groupBy(col("asset_id"))
-      .agg(count(lit(1)).cast("long").as("n_sampled"),
-        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
-    decode(assets).toDF()
-      .join(sampled, Seq("asset_id"), "left")
-      .na.fill(0L, Seq("n_sampled", "sampled_bytes"))
-      .select(col("asset_id"), col("kind"), col("byte_size"),
-        col("width"), col("height"), col("n_frames"),
-        col("n_sampled"), col("sampled_bytes"))
+    // ONE pass over the assets: decode and frame-sample per asset inside
+    // a single mapPartitions — referencing `assets` from two operators
+    // would run the documents scan + payload build once per reference
+    // (Catalyst does not dedupe a multiply-referenced subtree)
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.getUseCache // once-per-partition decoder touch
+      it.map { a =>
+        val info = decodeInfo(a)
+        val frames = sampleFrames(a, 4)
+        (info.asset_id, info.kind, info.byte_size, info.width, info.height,
+          info.n_frames, frames.length.toLong,
+          frames.map(_._2.length.toLong).sum)
+      }
+    }.toDF("asset_id", "kind", "byte_size", "width", "height", "n_frames",
+        "n_sampled", "sampled_bytes")
       .orderBy(col("asset_id"))
   }
 

@@ -184,15 +184,26 @@ object AsOfJoin {
     val same = nameMatcher(left)
     require(!(left.columns ++ right.columns).exists(same(_, "_fwd_t")),
       "asOfForward: column _fwd_t is reserved — rename it")
-    def negated(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => -unix_micros(col(c))
-      case _: org.apache.spark.sql.types.NumericType => -col(c)
-      case t => throw new IllegalArgumentException(
-        s"asOfForward: unsupported time type ${t.sql} for $c")
+    // resolve the time columns the way every other as-of form does
+    // (per spark.sql.caseSensitive), not by exact schema lookup
+    def negated(df: DataFrame, c: String): Column = {
+      val field = df.schema.fields.find(f => same(f.name, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfForward: no column $c in [${df.columns.mkString(", ")}]"))
+      field.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => -unix_micros(col(field.name))
+        case _: org.apache.spark.sql.types.NumericType => -col(field.name)
+        case t => throw new IllegalArgumentException(
+          s"asOfForward: unsupported time type ${t.sql} for $c")
+      }
     }
+    // the original right time column is EXCLUDED, exactly as the
+    // backward form excludes its rightTime — so the two directions
+    // accept the same input shapes (same-name time columns included)
     asOf(left.withColumn("_fwd_t", negated(left, leftTime)),
-        right.withColumn("_fwd_t", negated(right, rightTime)),
+        right.withColumn("_fwd_t", negated(right, rightTime))
+          .drop(right.columns.filter(same(_, rightTime)): _*),
         key, "_fwd_t", "_fwd_t")
       .drop("_fwd_t")
   }

@@ -258,9 +258,8 @@ object Relational {
   }
 
   /** Q22: FORWARD as-of — each click's NEXT purchase (earliest at-or-
-    * after, per user). Same inputs as q21; checked against DuckDB's
-    * ASOF JOIN in the >= direction. The matched purchase time rides
-    * along so the tie order is visible. */
+    * after, per user). Same inputs and output shape as q21; checked
+    * against DuckDB's ASOF JOIN in the >= direction. */
   def q22AsOfForward(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click" &&

@@ -197,9 +197,10 @@ object RelationalOracle {
         |ORDER BY l.event_id""".stripMargin,
 
     // q22: the forward direction — DuckDB's ASOF with >= picks the
-    // smallest r.pts at-or-after each click.
+    // smallest r.pts at-or-after each click. Tie-free by the same
+    // argument as q21 (purchase timestamps are distinct per user).
     "q22_asof_forward" ->
-      """SELECT l.event_id, l.user_id, l.ts, r.pts, r.value AS purchase_value
+      """SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL) l
         |ASOF LEFT JOIN

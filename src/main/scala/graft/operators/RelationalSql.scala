@@ -186,13 +186,12 @@ object RelationalSql {
         |WHERE c.event_type = 'click' AND c.user_id IS NOT NULL AND c.ts IS NOT NULL
         |ORDER BY c.event_id""".stripMargin,
 
-    // q22: the forward direction — min_by over at-or-after purchases;
-    // the matched time rides along like the DataFrame face's payload.
+    // q22: the forward direction — min_by over at-or-after purchases.
+    // Result-identical to asOfForward for the same reason as q21: no
+    // (user_id, ts) ties in the purchase slice, so min_by's winner is
+    // unique (with ties the faces would each pick their own winner).
     "q22_asof_forward" ->
       """SELECT c.event_id, c.user_id, c.ts,
-        |  (SELECT min(p.ts) FROM events p
-        |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
-        |     AND p.ts >= c.ts) AS pts,
         |  (SELECT min_by(p.value, p.ts) FROM events p
         |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
         |     AND p.ts >= c.ts AND p.ts IS NOT NULL) AS purchase_value

@@ -605,17 +605,17 @@ object StreamingOps {
       var any = false
       rows.foreach { e =>
         // mirror the aggregate's null handling: NaN never enters a
-        // sketch (KLL update on NaN throws)
+        // sketch (KLL update on NaN throws); nulls were filtered before
+        // the typed boundary
         if (!java.lang.Double.isNaN(e.value)) { sk.update(e.value); any = true }
       }
-      if (!any && sk.isEmpty) return Iterator.empty
-      val bytes = sk.toByteArray
-      img.update(bytes)
-      val p50 = KllOps.quantile(bytes, 0.5)
-      val p95 = KllOps.quantile(bytes, 0.95)
+      // nothing absorbed this batch: state is unchanged — skip the
+      // RocksDB rewrite and emit no duplicate estimate row
+      if (!any) return Iterator.empty
+      img.update(sk.toByteArray)
+      // quantiles straight off the live sketch — no re-heapify
       Iterator.single(QuantileEstimate(key, sk.getN,
-        if (p50 == null) Double.NaN else p50.doubleValue(),
-        if (p95 == null) Double.NaN else p95.doubleValue()))
+        sk.getQuantile(0.5), sk.getQuantile(0.95)))
     }
   }
 
@@ -627,6 +627,11 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.select(col(grpCol).cast("string").as("grp"),
         col(valueCol).cast("double").as("value"))
+      // null values skip the sketch exactly as in KllSketchAgg.update —
+      // and a null cannot cross into the non-nullable
+      // QuantileEvent.value primitive (it would kill the query). Null
+      // GROUPS are dropped too: a monitoring key must be present.
+      .filter(col("value").isNotNull && col("grp").isNotNull)
       .as[QuantileEvent]
       .groupByKey(_.grp)
       .transformWithState(new QuantileProcessor(k),

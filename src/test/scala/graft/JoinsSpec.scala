@@ -211,6 +211,16 @@ class JoinsSpec extends SparkSpec {
       .select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
     assert(out == Seq((5L, Some(101.0)), (6L, Some(101.0)),
       (7L, Some(50.0)), (8L, None)))
+    // the original right time column is excluded, like the backward form
+    assert(!AsOfJoin.asOfForward(trades, quotes, "sym", "tt", "qt")
+      .columns.contains("qt"))
+    // shared time-column names work, like the backward form
+    val sameName = AsOfJoin.asOfForward(
+        trades.withColumnRenamed("tt", "ts"),
+        quotes.withColumnRenamed("qt", "ts"), "sym", "ts", "ts")
+      .orderBy($"sym", $"ts")
+      .select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
+    assert(sameName == out)
 
     // randomized brute-force cross-check on integer times
     val rnd = new scala.util.Random(11)
