@@ -163,4 +163,67 @@ class PropertySpec extends SparkSpec {
       assert(rows(true) == rows(false), s"texts=$texts")
     }
   }
+
+  /** Driver-side twin of Sampling.hashBucket: md5("key:salt") first 8
+    * hex chars as a long — the independent reimplementation the
+    * upsample property compares the engine against. */
+  private def bucketOf(key: String, salt: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$key:$salt".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  test("property: upsampleEpochs equals the arithmetic recomputed from first principles") {
+    // arbitrary fractional epoch weights in [0, 3): the engine's
+    // (doc, copy) multiset must equal an independent driver-side
+    // recompute of floor(w) + (md5 bucket < frac(w) * 2^32)
+    val wGen = Gen.choose(0, 2999).map(_ / 1000.0)
+    forAllSamples(Gen.zip(wGen, wGen), n = 8) { case (w0, w1) =>
+      val weights = Map("s0" -> w0, "s1" -> w1)
+      val d = spark.range(300).select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"))
+      val got = graft.operators.Sampling
+        .upsampleEpochs(d, $"doc_id", "prop", weights)
+        .select($"doc_id", $"copy").as[(Long, Long)].collect().toSet
+      val expected = (0L until 300L).flatMap { id =>
+        val w = weights(s"s${id % 2}")
+        val frac = w - math.floor(w)
+        val extra = if (bucketOf(id.toString, "prop") < frac * 4294967296.0) 1 else 0
+        (0L until (math.floor(w).toLong + extra)).map(c => (id, c))
+      }.toSet
+      assert(got == expected, s"w0=$w0 w1=$w1")
+    }
+  }
+
+  test("property: tfIdfTopK equals a from-scratch reimplementation on random corpora") {
+    val docGen = Gen.listOfN(8, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
+      .map(_.mkString(" "))
+    forAllSamples(Gen.listOfN(6, docGen), n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 3
+      val got = graft.operators.TextAnalysis.tfIdfTopK(docs, k)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+        .as[(Long, Int, String, Long, Long, Double)].collect().toSet
+      // independent recompute: same rounding discipline (HALF_UP at 6
+      // decimals), same (score desc, term asc) rank order
+      val n = texts.size
+      val tf = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").filter(_.nonEmpty).groupBy(identity)
+          .map { case (term, hits) => (i.toLong, term, hits.length.toLong) }
+      }
+      val df = tf.groupBy(_._2).map { case (term, rs) => term -> rs.size.toLong }
+      val expected = tf.map { case (id, term, f) =>
+        val score = BigDecimal(f * math.log(n.toDouble / df(term)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, term, f, df(term), score)
+      }.groupBy(_._1).flatMap { case (id, rs) =>
+        rs.sortBy(r => (-r._5, r._2)).take(k).zipWithIndex.map {
+          case ((_, term, f, d, s), i) => (id, i + 1, term, f, d, s)
+        }
+      }.toSet
+      assert(got == expected, s"texts=$texts")
+    }
+  }
 }
