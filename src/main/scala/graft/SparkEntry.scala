@@ -158,6 +158,10 @@ object SparkEntry {
     // x53: per-language quality deciles (ntile over a total order) —
     // the "train on the top-k deciles" binning primitive.
     "x53_quality_deciles" -> (TextAnalysis.qualityDecilesQuery _),
+    // x54: frequent-items sketch rollup — the mergeable, bounded-memory
+    // face of x47's exact heavy hitters; rows-only (merge-order-
+    // dependent estimates), bounds spec-asserted.
+    "x54_freq_topk"       -> (Sketches.freqRollupQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
@@ -168,7 +172,7 @@ object SparkEntry {
   val rowsOnly: Set[String] =
     Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
       "x15_hll_rollup", "x17_quant_knn", "x49_kll_quantiles",
-      "x51_media_probe")
+      "x51_media_probe", "x54_freq_topk")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

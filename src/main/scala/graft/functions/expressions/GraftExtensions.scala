@@ -80,7 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (DECIMAL literal) or kll_sketch_agg(some_decimal_col). A
     // double->double cast is folded away by SimplifyCasts.
     import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     e.injectFunction(fn("kll_sketch_agg",
       "kll_sketch_agg(v) - KLL doubles quantile sketch (binary image) of v", 1)(
       args => KllSketchAgg(Cast(args(0), DoubleType)).toAggregateExpression()))
@@ -93,6 +93,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("kll_count",
       "kll_count(sk) - exact item count the sketch absorbed", 1)(
       args => KllCount(args(0))))
+    e.injectFunction(fn("freq_sketch_agg",
+      "freq_sketch_agg(item) - frequent-items sketch (binary image) of a string column", 1)(
+      args => FreqSketchAgg(Cast(args(0), StringType)).toAggregateExpression()))
+    e.injectFunction(fn("freq_union_agg",
+      "freq_union_agg(sk) - union of frequent-items sketch images", 1)(
+      args => FreqUnionAgg(args(0)).toAggregateExpression()))
+    e.injectFunction(fn("freq_top_items",
+      "freq_top_items(sk, min) - heavy items with bounds (upper bound > min)", 2)(
+      args => FreqTopItems(args(0), Cast(args(1), LongType))))
+    e.injectFunction(fn("freq_stream_weight",
+      "freq_stream_weight(sk) - exact total weight the sketch absorbed", 1)(
+      args => FreqStreamWeight(args(0))))
     // TopCentroids is intentionally not SQL-registered: its codebook is
     // runtime driver data (collected centroids), not literal SQL text.
 

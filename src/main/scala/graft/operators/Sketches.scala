@@ -76,6 +76,44 @@ object Sketches {
   def kllRollupQuery(spark: SparkSession, dir: String): DataFrame =
     kllRollup(spark, dir)
 
+  /** x54's heaviness denominator (upper_bound >= stream_weight/share). */
+  val FreqShare = 400
+
+  /** Frequent-bigram rollup via mergeable frequent-items sketches — the
+    * FREQUENCY member of the sketch family ([[hllRollup]] = distinct,
+    * [[kllRollup]] = quantiles): per-language sketches plus a TOTAL
+    * row, ONE scan via grouping sets, then each group's heavy bigrams
+    * with guaranteed error bounds (NO_FALSE_NEGATIVES: every truly
+    * heavy item is present; lower <= true <= upper per item). The
+    * mergeable face of x47's exact Misra-Gries recount, for when a
+    * second pass over the raw stream is too expensive — e.g. rolling
+    * per-day sketch tables up to any ad-hoc grain. Estimates are
+    * merge-order-dependent (purge timing), so rows-only at the gate;
+    * the bound guarantees are spec-asserted against exact truth. */
+  def freqRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.FreqFunctions._
+    val docs = Tables.load(spark, dir, "documents")
+    val bigrams = docs.select(col("lang"),
+      explode(graft.operators.Dedup.wordShinglesAll(col("text"), 2)).as("item"))
+    bigrams.rollup(col("lang"))
+      .agg(freqSketchAgg(col("item")).as("sk"),
+        grouping(col("lang")).as("g"))
+      .select(
+        when(col("g") === 1, lit("TOTAL")).otherwise(col("lang")).as("grp"),
+        freqStreamWeight(col("sk")).as("n"), col("sk"))
+      .select(col("grp"), col("n"),
+        explode(freqTopItems(col("sk"),
+          (col("n") / lit(FreqShare)).cast("long"))).as("t"))
+      .select(col("grp"), col("n"), col("t.item").as("item"),
+        col("t.estimate").as("estimate"),
+        col("t.lower_bound").as("lower_bound"),
+        col("t.upper_bound").as("upper_bound"))
+      .orderBy(col("grp"), col("estimate").desc, col("item"))
+  }
+
+  def freqRollupQuery(spark: SparkSession, dir: String): DataFrame =
+    freqRollup(spark, dir)
+
   /** Count-min frequency sketch of a column, as the raw mergeable binary
     * (decode with org.apache.spark.util.sketch.CountMinSketch.readFrom).
     * Deterministic for a fixed seed. */

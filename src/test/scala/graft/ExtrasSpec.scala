@@ -1281,6 +1281,78 @@ class ExtrasSpec extends SparkSpec {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  // -------------------------------------------------- FI sketch (x54)
+
+  test("freq rollup: bounds bracket exact counts and no heavy item is missed") {
+    import graft.operators.Sketches
+    val out = Sketches.freqRollup(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // exact truth per (lang, bigram) and per bigram overall
+    val bigrams = docs.select($"lang",
+        explode(graft.operators.Dedup.wordShinglesAll($"text", 2)).as("item"))
+      .groupBy($"lang", $"item").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = bigrams.groupBy(_._1._2).map { case (i, m) => i -> m.values.sum }
+    def truth(grp: String, item: String): Long =
+      if (grp == "TOTAL") totals.getOrElse(item, 0L)
+      else bigrams.getOrElse((grp, item), 0L)
+    val nByGrp = out.map(r => r._1 -> r._2).toMap
+    // exact stream weights ride along
+    val exactN = bigrams.toSeq.map { case ((l, _), c) => l -> c }
+      .groupBy(_._1).map { case (l, cs) => l -> cs.map(_._2).sum }
+    nByGrp.foreach { case (g, n) =>
+      val expect = if (g == "TOTAL") exactN.values.sum else exactN(g)
+      assert(n == expect, s"$g: stream weight $n != $expect")
+    }
+    // every reported item's bounds bracket its true count
+    out.foreach { case (g, _, item, est, lb, ub) =>
+      val t = truth(g, item)
+      assert(lb <= t && t <= ub && lb <= est && est <= ub,
+        s"$g/$item: bounds [$lb, $ub] est $est vs true $t")
+    }
+    // NO FALSE NEGATIVES: every item with true count STRICTLY over the
+    // threshold is reported (the sketch's guarantee is ub > threshold)
+    val reported = out.map(r => (r._1, r._3)).toSet
+    bigrams.foreach { case ((l, i), c) =>
+      if (c > nByGrp(l) / Sketches.FreqShare)
+        assert(reported.contains((l, i)), s"heavy $l/$i (count $c) missing")
+    }
+    totals.foreach { case (i, c) =>
+      if (c > nByGrp("TOTAL") / Sketches.FreqShare)
+        assert(reported.contains(("TOTAL", i)), s"heavy TOTAL/$i (count $c) missing")
+    }
+  }
+
+  test("freq sketch: union of partial sketches keeps the guarantees; image round-trips") {
+    import graft.functions.expressions.{FreqFunctions, FreqOps}
+    import FreqFunctions._
+    val items = docs.select(
+      explode(graft.operators.Dedup.wordShinglesAll($"text", 2)).as("item"))
+    val truthMap = items.groupBy($"item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truthMap.values.sum
+    // per-partition sketches unioned == the distributed aggregation path
+    val merged = items.repartition(16)
+      .agg(freqSketchAgg($"item").as("sk"))
+      .agg(freqUnionAgg($"sk").as("sk")) // degenerate union: exercises the agg
+      .select($"sk").head.getAs[Array[Byte]]("sk")
+    assert(FreqOps.streamWeight(merged) == n)
+    val sk = FreqOps.deserialize(merged)
+    assert(FreqOps.streamWeight(FreqOps.serialize(sk)) == n, "serde round-trip")
+    // threshold at the true maximum: NO_FALSE_NEGATIVES guarantees the
+    // top item itself is reported (ub >= true max >= threshold)
+    val rows = FreqOps.topRows(merged, truthMap.values.max)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val item = r.getString(0)
+      val t = truthMap(item)
+      assert(r.getLong(2) <= t && t <= r.getLong(3),
+        s"$item: [${r.getLong(2)}, ${r.getLong(3)}] vs true $t")
+    }
+  }
+
   // ------------------------------------------------------ KLL quantiles
 
   /** Exact normalized rank of `v` in the group: P(x <= v). */
