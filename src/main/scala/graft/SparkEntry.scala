@@ -162,6 +162,21 @@ object SparkEntry {
     // face of x47's exact heavy hitters; rows-only (merge-order-
     // dependent estimates), bounds spec-asserted.
     "x54_freq_topk"       -> (Sketches.freqRollupQuery _),
+    // x55: x16's decontamination with a Bloom prefilter on the candidate
+    // gram stream (Spark's own BloomFilterAggregate / might_contain, the
+    // runtime-filter kernel) — the >memory-reference scale path; no
+    // false negatives + exact verify ⇒ same oracle SQL as x16.
+    "x55_bloom_decontaminate" -> (Dedup.decontaminateBloomQuery _),
+    // x56: greedy per-source token-budget selection on a distributed
+    // prefix scan (two jobs over one range shuffle — no per-source
+    // single-task window sort).
+    "x56_token_budget"    -> (Sampling.tokenBudgetQuery _),
+    // x57: bigram LM count table with Kneser-Ney continuation counts —
+    // one corpus scan, windows over the aggregated vocabulary only.
+    "x57_ngram_lm"        -> (TextAnalysis.ngramLmQuery _),
+    // x58: winsorized per-group statistics (clip to exact p05/p95,
+    // report clipped counts + decimal-exact winsorized sum).
+    "x58_winsorize"       -> (Analytics.winsorQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

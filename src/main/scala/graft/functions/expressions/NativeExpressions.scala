@@ -832,4 +832,32 @@ object NativeExpressions {
   def topCentroids(vec: Column, centroids: Array[(Int, Array[Float])], nProbe: Int): Column =
     column(TopCentroids(expression(vec),
       centroids.map { case (id, v) => (id, v.toIndexedSeq) }.toIndexedSeq, nProbe))
+
+  /** Spark's own runtime-filter bloom aggregate as a user-callable
+    * Column: one mergeable sketch per group over LONG inputs (feed it
+    * `xxhash64(key)` exactly as `InjectRuntimeFilter` does). The result
+    * is a binary column probed with [[mightContain]] — the same pair of
+    * internal expressions the optimizer injects for join pruning, here
+    * exposed for explicit semi-join prefilters (e.g. bloom-gated
+    * decontamination, Dedup.decontaminateBloom). */
+  def bloomFilterAgg(hashed: Column, estimatedNumItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(hashed),
+      org.apache.spark.sql.catalyst.expressions.Literal(estimatedNumItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** `might_contain(<scalar subquery>, xxhash64(key))` — the probe side
+    * of the pair. `bloomScalar` must be a 1-row 1-column frame (the
+    * [[bloomFilterAgg]] aggregate); it rides into the plan as a
+    * ScalarSubquery, the exact shape `InjectRuntimeFilter` emits (the
+    * expression's analysis rule REJECTS a plain column input — the
+    * sketch must be a constant or scalar subquery so it evaluates once,
+    * not per row). No false negatives, so a downstream exact join sees
+    * every true match; false positives only cost wasted probe rows. */
+  def mightContainOf(bloomScalar: org.apache.spark.sql.DataFrame, hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomScalar.queryExecution.analyzed),
+      expression(hashed)))
 }

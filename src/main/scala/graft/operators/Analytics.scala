@@ -94,6 +94,58 @@ object Analytics {
         Seq("event_type"), "value", percentileSpec)
       .orderBy(col("event_type"))
 
+  /** Winsorized per-group statistics: clip `valueCol` to its group's
+    * [lo, hi] exact interpolated percentiles and report how much was
+    * clipped plus the winsorized sum — the outlier-robust moment pass a
+    * metrics pipeline runs before averaging heavy-tailed values. All
+    * value arithmetic goes through DECIMAL(18,4) (the x28/x33
+    * discipline): the bounds are decimal images of the percentiles, the
+    * clip compares decimals to decimals, and the winsorized sum is an
+    * exact decimal sum surfaced as DOUBLE — every cell cross-engine
+    * exact, no boundary flake (a value AT a bound clips nowhere).
+    *
+    * Scale shape: two scans by construction — exact percentiles cannot
+    * stream ahead of the data they bound, so pass 1 is x28's two-phase
+    * percentile agg (one row per group) and pass 2 re-scans with the
+    * bounds joined back (broadcast — |groups| rows), clips in a
+    * codegen'd projection, and collapses in a second two-phase agg. At
+    * extreme group fan-in swap pass 1's `percentile` for
+    * `percentile_approx` exactly as x28's scaladoc prescribes. */
+  def winsorize(rows: DataFrame, groupCols: Seq[String], valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"winsorize: lo=$lo hi=$hi")
+    val keys = groupCols.map(col)
+    val bounds = rows.groupBy(keys: _*)
+      .agg(dec(percentile(col(valueCol), lit(lo))).as("p_lo"),
+        dec(percentile(col(valueCol), lit(hi))).as("p_hi"))
+    // nulls are dropped BEFORE the clip: greatest/least skip nulls in
+    // BOTH engines, so an unguarded null value would clip to p_lo
+    // instead of staying out of the sum. A group that is all nulls
+    // disappears from the report in both faces.
+    rows
+      .filter(col(valueCol).isNotNull)
+      .join(broadcast(bounds), groupCols)
+      .select(keys :+ dec(col(valueCol)).as("_v") :+ col("p_lo") :+ col("p_hi"): _*)
+      .groupBy(keys: _*)
+      .agg(count(col("_v")).as("n"),
+        count(when(col("_v") < col("p_lo"), 1)).as("n_lo"),
+        count(when(col("_v") > col("p_hi"), 1)).as("n_hi"),
+        first(col("p_lo")).as("p_lo"),
+        first(col("p_hi")).as("p_hi"),
+        sum(least(greatest(col("_v"), col("p_lo")), col("p_hi")))
+          .cast("double").as("sum_w"))
+  }
+
+  /** x58's clip points, shared with both SQL twins. */
+  private[graft] val WinsorLo: Double = 0.05
+  private[graft] val WinsorHi: Double = 0.95
+
+  /** x58: 5%/95% winsorized value statistics per event_type. */
+  def winsorQuery(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.load(spark, dir, "events"),
+        Seq("event_type"), "value", WinsorLo, WinsorHi)
+      .orderBy(col("event_type"))
+
   private[graft] val pivotYears: Seq[Int] = 1995 to 2001
 
   /** x30: the pivot round-trip — melt x29's wide table back to long

@@ -273,6 +273,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter on the candidate side —
+    * the >memory form of the reference-grams probe. [[decontaminate]]
+    * assumes the reference's distinct grams broadcast; once the held-out
+    * corpus outgrows executor memory the exact semi-join must shuffle
+    * BOTH sides, and at 100 TB the candidate side dominates that
+    * exchange. Here the reference grams first fold into one ~numBits/8-
+    * byte Bloom sketch (Spark's own `BloomFilterAggregate`, the runtime-
+    * filter kernel, fed `xxhash64(gram)` exactly as `InjectRuntimeFilter`
+    * feeds it), which rides into the probe as a scalar subquery —
+    * evaluated once, shipped to every candidate partition with the task
+    * closure; only bloom-POSITIVE candidate grams — true hits plus an
+    * fpp sliver — enter the exact semi-join shuffle. No false negatives,
+    * and the exact join clears false positives, so the report is
+    * row-identical to [[decontaminate]] (same oracle SQL, spec-pinned)
+    * while the shuffled candidate volume drops from every gram to
+    * ~hit-rate + fpp of them. */
+  def decontaminateBloom(candidates: DataFrame, reference: DataFrame,
+                         k: Int = 4, hashGrams: Boolean = false,
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.03): DataFrame = {
+    import graft.functions.expressions.NativeExpressions.{bloomFilterAgg, mightContainOf}
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"decontaminateBloom: expectedItems=$expectedItems fpp=$fpp")
+    // optimal bit count for the target fpp (standard Bloom sizing)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val refGrams = referenceGrams(reference, k, hashGrams)
+    val bloom = refGrams
+      .agg(bloomFilterAgg(xxhash64(col("gram")), expectedItems, numBits).as("bf"))
+    val prefiltered = positionalGrams(candidates, k, hashGrams)
+      .filter(mightContainOf(bloom, xxhash64(col("gram"))))
+    spanReport(candidates, prefiltered, refGrams, "n_hit_spans", k)
+  }
+
+  /** x55: bloom-gated decontamination — same inputs, same report, same
+    * oracle SQL as x16; only the plan differs (prefiltered probe). */
+  def decontaminateBloomQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isRef = col("source").isin("src0", "src1")
+    decontaminateBloom(docs.filter(!isRef), docs.filter(isRef))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------- near-dup cluster assignment
 
   /** Connected components by hash-min label propagation with pointer

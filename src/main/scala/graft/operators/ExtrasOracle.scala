@@ -64,6 +64,29 @@ object ExtrasOracle {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** Shared by x16 (broadcast exact semi-join) and x55 (bloom-prefiltered
+    * probe): the two Spark plans compute one contamination report. */
+  private val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |refg AS (
+      |  SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+      |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
+      |  WHERE source IN ('src0', 'src1')),
+      |cand AS (SELECT doc_id, w FROM toks WHERE source NOT IN ('src0', 'src1')),
+      |candg AS (
+      |  SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+      |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS nh FROM candg
+      |  WHERE gram IN (SELECT gram FROM refg) GROUP BY 1)
+      |SELECT c.doc_id,
+      |  CAST(greatest(len(w) - 3, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_spans
+      |FROM cand c LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
@@ -147,26 +170,10 @@ object ExtrasOracle {
         |FROM toks t LEFT JOIN perdoc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    "x16_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |refg AS (
-        |  SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
-        |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
-        |  WHERE source IN ('src0', 'src1')),
-        |cand AS (SELECT doc_id, w FROM toks WHERE source NOT IN ('src0', 'src1')),
-        |candg AS (
-        |  SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
-        |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
-        |hits AS (
-        |  SELECT doc_id, COUNT(*) AS nh FROM candg
-        |  WHERE gram IN (SELECT gram FROM refg) GROUP BY 1)
-        |SELECT c.doc_id,
-        |  CAST(greatest(len(w) - 3, 0) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_spans
-        |FROM cand c LEFT JOIN hits USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "x16_decontaminate" -> decontaminateSql,
+    // x55 is the bloom-prefiltered plan of the SAME report as x16 — one
+    // oracle text, two physical strategies (cf. x01/x44, x26/x37).
+    "x55_bloom_decontaminate" -> decontaminateSql,
 
     "x18_doc_prep" ->
       """WITH tok AS (
@@ -300,6 +307,9 @@ object ExtrasOracle {
          |ORDER BY doc_id""".stripMargin,
     "x27_scd2" -> scd2Sql,
     "x28_percentiles" -> percentileSql,
+    "x56_token_budget" -> tokenBudgetSql,
+    "x57_ngram_lm" -> ngramLmSql,
+    "x58_winsorize" -> winsorSql,
     "x29_pivot" -> pivotSql,
     "x30_unpivot" -> unpivotSql,
     "x32_moving_avg" -> movingAvgSql,
@@ -743,6 +753,67 @@ object ExtrasOracle {
   /** DuckDB twin of Analytics.percentileQuery: quantile_cont is the same
     * linear interpolation over the same sorted doubles as Spark's exact
     * `percentile`; both images go through DECIMAL(18,4). */
+  /** DuckDB twin of Sampling.tokenBudgetQuery: the straightforward
+    * per-source running-sum window — the very plan the engine face's
+    * distributed prefix scan avoids; same budget constant interpolated
+    * from the one definition. */
+  private def tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  cum_tokens - n_tokens < ${Sampling.TokenBudgetPerSource} AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.ngramLmQuery: positional bigrams by
+    * adjacent-index pairing, exact counts, continuation stats as windows
+    * over the aggregated table, one (cnt desc, w1, w2) total order. */
+  private def ngramLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+       |big AS (
+       |  SELECT w[g] AS w1, w[g+1] AS w2
+       |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+       |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY 1, 2)
+       |SELECT w1, w2, cnt,
+       |  CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n_right,
+       |  CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n_left
+       |FROM pc
+       |ORDER BY cnt DESC, w1, w2
+       |LIMIT ${TextAnalysis.NgramLmTopN}""".stripMargin
+
+  /** DuckDB twin of Analytics.winsorQuery: same two-pass shape, same
+    * DECIMAL(18,4) discipline on bounds, clip compares, and the
+    * winsorized sum; nulls dropped before the clip in both faces. */
+  private def winsorSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(quantile_cont(value, ${Analytics.WinsorLo}) AS DECIMAL(18,4)) AS p_lo,
+       |    CAST(quantile_cont(value, ${Analytics.WinsorHi}) AS DECIMAL(18,4)) AS p_hi
+       |  FROM events GROUP BY event_type),
+       |v AS (
+       |  SELECT e.event_type, CAST(value AS DECIMAL(18,4)) AS v, p_lo, p_hi
+       |  FROM events e JOIN b USING (event_type)
+       |  WHERE value IS NOT NULL)
+       |SELECT event_type,
+       |  CAST(COUNT(v) AS BIGINT) AS n,
+       |  CAST(COUNT(CASE WHEN v < p_lo THEN 1 END) AS BIGINT) AS n_lo,
+       |  CAST(COUNT(CASE WHEN v > p_hi THEN 1 END) AS BIGINT) AS n_hi,
+       |  ANY_VALUE(p_lo) AS p_lo, ANY_VALUE(p_hi) AS p_hi,
+       |  -- DuckDB's least/greatest promote DECIMAL args to DOUBLE; the
+       |  -- clipped value IS one of three DECIMAL(18,4)s (each exact in
+       |  -- double), so casting back before the SUM restores the exact
+       |  -- decimal sum Spark computes
+       |  CAST(SUM(CAST(least(greatest(v, p_lo), p_hi) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
+       |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def percentileSql: String = {
     val cols = Analytics.percentileSpec.map { case (name, p) =>
       s"CAST(quantile_cont(value, $p) AS DECIMAL(18,4)) AS $name"

@@ -468,22 +468,10 @@ object RelationalSql {
         |FROM documents d LEFT JOIN perdoc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    "x16_decontaminate" ->
-      """WITH refg AS (
-        |  SELECT DISTINCT gram FROM documents
-        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
-        |  WHERE source IN ('src0', 'src1')),
-        |cand AS (SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1')),
-        |candg AS (
-        |  SELECT doc_id, gram FROM cand
-        |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 4)) t AS gram),
-        |hits AS (
-        |  SELECT doc_id, COUNT(1) AS n_hit_spans FROM candg JOIN refg USING (gram) GROUP BY doc_id)
-        |SELECT c.doc_id,
-        |  CAST(greatest(size(filter(split(text, ' '), x -> x != '')) - 3, 0) AS BIGINT) AS n_spans,
-        |  coalesce(n_hit_spans, 0L) AS n_hit_spans
-        |FROM cand c LEFT JOIN hits USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "x16_decontaminate" -> decontaminateSparkSql,
+    // x55 is the bloom-prefiltered plan of the SAME report as x16 — one
+    // SQL text, two physical strategies (cf. x01/x44, x26/x37).
+    "x55_bloom_decontaminate" -> decontaminateSparkSql,
 
     "x19_split" -> samplingSplitSql,
     "x20_mix" -> samplingMixSql,
@@ -541,6 +529,9 @@ object RelationalSql {
          |ORDER BY doc_id, rank""".stripMargin,
 
     "x50_upsample" -> upsampleSparkSql,
+    "x56_token_budget" -> tokenBudgetSparkSql,
+    "x57_ngram_lm" -> ngramLmSparkSql,
+    "x58_winsorize" -> winsorSparkSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -734,6 +725,77 @@ object RelationalSql {
        |SELECT doc_id, source FROM r WHERE rn <= ${Sampling.StratifiedN} ORDER BY doc_id""".stripMargin
 
   /** The x01/x44 selection: exact dedup grouped on text. */
+  /** Shared by x16 (broadcast exact semi-join) and x55 (bloom-prefiltered
+    * probe): one report, two physical strategies. */
+  private def decontaminateSparkSql: String =
+    """WITH refg AS (
+      |  SELECT DISTINCT gram FROM documents
+      |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+      |  WHERE source IN ('src0', 'src1')),
+      |cand AS (SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |candg AS (
+      |  SELECT doc_id, gram FROM cand
+      |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 4)) t AS gram),
+      |hits AS (
+      |  SELECT doc_id, COUNT(1) AS n_hit_spans FROM candg JOIN refg USING (gram) GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(greatest(size(filter(split(text, ' '), x -> x != '')) - 3, 0) AS BIGINT) AS n_spans,
+      |  coalesce(n_hit_spans, 0L) AS n_hit_spans
+      |FROM cand c LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL twin of Sampling.tokenBudgetQuery (x56): the per-source
+    * running-sum window — the single-task-per-source plan the engine
+    * face's distributed prefix scan replaces. */
+  private def tokenBudgetSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  cum_tokens - n_tokens < ${Sampling.TokenBudgetPerSource} AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL twin of TextAnalysis.ngramLmQuery (x57). */
+  private def ngramLmSparkSql: String =
+    s"""WITH big AS (
+       |  SELECT bg FROM documents
+       |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 2)) t AS bg),
+       |pc AS (
+       |  SELECT substring_index(bg, ' ', 1) AS w1, substring_index(bg, ' ', -1) AS w2,
+       |         COUNT(1) AS cnt
+       |  FROM big GROUP BY 1, 2)
+       |SELECT w1, w2, cnt,
+       |  COUNT(1) OVER (PARTITION BY w1) AS n_right,
+       |  COUNT(1) OVER (PARTITION BY w2) AS n_left
+       |FROM pc
+       |ORDER BY cnt DESC, w1, w2
+       |LIMIT ${TextAnalysis.NgramLmTopN}""".stripMargin
+
+  /** Spark-SQL twin of Analytics.winsorQuery (x58). */
+  private def winsorSparkSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(percentile(value, ${Analytics.WinsorLo}) AS DECIMAL(18,4)) AS p_lo,
+       |    CAST(percentile(value, ${Analytics.WinsorHi}) AS DECIMAL(18,4)) AS p_hi
+       |  FROM events GROUP BY event_type),
+       |v AS (
+       |  SELECT e.event_type, CAST(value AS DECIMAL(18,4)) AS v, p_lo, p_hi
+       |  FROM events e JOIN b USING (event_type)
+       |  WHERE value IS NOT NULL)
+       |SELECT event_type,
+       |  COUNT(v) AS n,
+       |  COUNT(CASE WHEN v < p_lo THEN 1 END) AS n_lo,
+       |  COUNT(CASE WHEN v > p_hi THEN 1 END) AS n_hi,
+       |  first(p_lo) AS p_lo, first(p_hi) AS p_hi,
+       |  CAST(SUM(least(greatest(v, p_lo), p_hi)) AS DOUBLE) AS sum_w
+       |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def exactDedupSparkSql: String =
     """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin

@@ -272,6 +272,94 @@ object Sampling {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Grouped INCLUSIVE prefix sum of a LONG column in (`group`, `order`)
+    * order — WITHOUT the per-group total-order sort that
+    * `sum() OVER (PARTITION BY group ORDER BY order)` compiles to. The
+    * window form shuffles every group into ONE task and sorts it there;
+    * with a handful of giant groups (per-source corpus scans are exactly
+    * that) the biggest group's task is the job. This is the distributed
+    * prefix-scan instead: range-partition on (group, order) — a group
+    * spans a RUN of consecutive partitions, each task holds a contiguous
+    * slice — then two passes over the SAME shuffle output
+    * ([[denseIds]]' two-job discipline): job 1 reduces each partition to
+    * its per-group local totals (O(partitions × groups-per-partition)
+    * rows to the driver — group counts, not data); the driver turns
+    * totals into per-(partition, group) start offsets; job 2 re-reads
+    * the sorted partitions and emits `offset + running local sum`.
+    *
+    * Contract: `valueCol` LONG (cast upstream; null adds 0), (`group`,
+    * `order`) a total order (ties fall back to partition order — same
+    * caveat as [[denseIds]]). Null group keys form their own group.
+    * Result is spec-asserted identical to the window form. */
+  def prefixSum(df: DataFrame, group: Seq[String], order: Seq[Column],
+                valueCol: String, outCol: String = "cum",
+                numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "prefixSum: at least one order column required")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val keys = group.map(col) ++ order
+    val sorted = df.repartitionByRange(p, keys: _*).sortWithinPartitions(keys: _*)
+    val base = sorted.rdd
+    val schema = sorted.schema
+    val gIdx = group.map(schema.fieldIndex).toArray
+    val vIdx = schema.fieldIndex(valueCol)
+    def groupKey(r: org.apache.spark.sql.Row): List[Any] = gIdx.map(r.get).toList
+    def valueOf(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    // job 1: per-partition per-group totals (tiny — one row per run of a
+    // group inside a partition; a group spans ≤ partitions runs).
+    val totals: Array[(Int, List[Any], Long)] = base
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+        it.foreach { r => val k = groupKey(r); acc(k) = acc.getOrElse(k, 0L) + valueOf(r) }
+        acc.iterator.map { case (k, v) => (pid, k, v) }
+      }.collect()
+    // driver: exclusive per-(partition, group) offsets in partition order
+    val offsets: Map[(Int, List[Any]), Long] = {
+      val run = scala.collection.mutable.HashMap.empty[List[Any], Long]
+      totals.sortBy(_._1).map { case (pid, k, v) =>
+        val off = run.getOrElse(k, 0L)
+        run(k) = off + v
+        ((pid, k), off)
+      }.toMap
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    // job 2: same shuffle output, running local sums + broadcast offsets
+    val rdd = base.mapPartitionsWithIndex { (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[List[Any], Long]
+      it.map { r =>
+        val k = groupKey(r)
+        val cum = run.getOrElse(k, bOffsets.value.getOrElse((pid, k), 0L)) + valueOf(r)
+        run(k) = cum
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Greedy per-source token-budget selection: walk each source's docs
+    * in doc_id order, keep documents while the tokens consumed BEFORE
+    * the doc are under `budget` (so the budget-crossing doc is kept —
+    * the standard fill-then-overflow cut that never emits a truncated
+    * corpus slot). The running total comes from [[prefixSum]], so no
+    * source is ever sorted inside one task; the keep decision is then a
+    * pure projection. Emits every doc with its running total and keep
+    * flag — the caller filters `kept` (the report shape keeps the
+    * operator oracle-checkable end to end). */
+  def tokenBudget(docs: DataFrame, budget: Long,
+                  numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"tokenBudget: budget=$budget")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    prefixSum(base, Seq("source"), Seq(col("doc_id")), "n_tokens", "cum_tokens",
+        numPartitions)
+      .withColumn("kept", col("cum_tokens") - col("n_tokens") < budget)
+  }
+
   /** Bounded-heap form of [[stratifiedSample]] — the huge-strata scale
     * path its scaladoc points at. Same selection (the stratum's n smallest
     * (bucket, key) pairs), different plan: a TopKAggregator keeps an O(n)
@@ -436,6 +524,17 @@ object Sampling {
     stratifiedSample(Tables.load(spark, dir, "documents"),
         col("source"), col("doc_id"), "strat", StratifiedN)
       .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** x56's per-source token budget, shared with both SQL twins. Cuts
+    * mid-corpus at sf0.01 (~1.5k tokens/source) and keeps the head slice
+    * at sf0.1 (~13k tokens/source). */
+  private[graft] val TokenBudgetPerSource: Long = 800L
+
+  /** x56: greedy per-source token-budget selection on the distributed
+    * prefix scan (no per-source single-task sort). */
+  def tokenBudgetQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.load(spark, dir, "documents"), TokenBudgetPerSource)
       .orderBy(col("doc_id"))
 
   /** x21: sharded sequence packing at a 2000-token budget. */

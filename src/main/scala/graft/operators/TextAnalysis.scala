@@ -486,6 +486,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- n-gram LM counts
+
+  /** x57's cut, shared with both SQL twins. */
+  private[graft] val NgramLmTopN: Int = 100
+
+  /** Bigram language-model count table with Kneser-Ney continuation
+    * counts: for each (w1, w2) bigram its corpus count, plus the two
+    * distinct-neighbor statistics KN smoothing interpolates with —
+    * `n_right` = |{w : c(w1, w) > 0}| (w1's continuation fan-out) and
+    * `n_left` = |{w : c(w, w2) > 0}| (w2's continuation count, the
+    * numerator of the KN lower-order distribution). Counts are exact
+    * integers, so the table is cell-exact cross-engine.
+    *
+    * Scale shape: ONE corpus scan — bigrams explode from the positional
+    * shingle kernel and collapse in a two-phase count agg keyed on the
+    * (w1, w2) composite (partial agg absorbs hot bigrams map-side);
+    * both continuation stats are windows over the AGGREGATED table
+    * (vocabulary-sized, orders of magnitude under the corpus), never a
+    * second scan or a join back through the corpus subtree (the x23/x48
+    * no-self-join discipline). The top-N cut is a TakeOrderedAndProject
+    * over a deterministic (cnt desc, w1, w2) total order. */
+  def ngramLm(docs: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, s"ngramLm: topN=$topN")
+    val pc = docs
+      .select(explode(graft.functions.expressions.NativeExpressions
+        .wordShinglesAll(wsTokens(col("text")), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    pc
+      .withColumn("n_right", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("n_left", count(lit(1)).over(Window.partitionBy(col("w2"))))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** x57: top-100 bigram LM counts with KN continuation statistics. */
+  def ngramLmQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramLm(Tables.load(spark, dir, "documents"), NgramLmTopN)
+
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

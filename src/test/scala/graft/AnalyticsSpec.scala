@@ -250,4 +250,30 @@ class AnalyticsSpec extends SparkSpec {
       .agg(graft.core.Determinism.dsum($"o_totalprice"))
     assert(jobs > before, "probe insensitive: implicit pivot ran no job?")
   }
+
+  test("winsorize: clip counts, bounds, and winsorized sum on a hand-checked group") {
+    // values 1..20: p05 = 1 + 0.05*19 = 1.95, p95 = 1 + 0.95*19 = 19.05
+    // clipped: {1} below, {20} above; sum_w = sum(2..19) + 1.95 + 19.05 = 210
+    val d = ((1 to 20).map(v => ("a", Some(v.toDouble)))
+        :+ ("a", None)             // null value: dropped BEFORE the clip
+        :+ ("b", Option.empty[Double])) // all-null group: absent from report
+      .toDF("grp", "value")
+    val out = Analytics.winsorize(d, Seq("grp"), "value", 0.05, 0.95)
+      .select($"grp", $"n", $"n_lo", $"n_hi",
+        $"p_lo".cast("double"), $"p_hi".cast("double"), $"sum_w")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 20L, 1L, 1L, 1.95, 19.05, 210.0)))
+  }
+
+  test("winsorize with lo=0/hi=1 clips nothing: sum_w equals the exact decimal sum") {
+    val events = Tables.load(spark, sf("sf0.001"), "events")
+    val out = Analytics.winsorize(events, Seq("event_type"), "value", 0.0, 1.0)
+    assert(out.filter($"n_lo" =!= 0L || $"n_hi" =!= 0L).isEmpty)
+    val expected = events.filter($"value".isNotNull)
+      .groupBy($"event_type")
+      .agg(graft.core.Determinism.dsum($"value").as("s"))
+      .select($"event_type", $"s").as[(String, Double)].collect().toMap
+    val got = out.select($"event_type", $"sum_w").as[(String, Double)].collect().toMap
+    assert(got == expected)
+  }
 }

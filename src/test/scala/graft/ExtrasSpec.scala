@@ -1441,4 +1441,51 @@ class ExtrasSpec extends SparkSpec {
       .select($"doc_id", $"rank", $"term").collect().toSet
     assert(base == reparted)
   }
+
+  test("x55: bloom-prefiltered decontamination is row-identical to the exact form") {
+    // no false negatives (every true hit survives the prefilter) + exact
+    // verify (every false positive dies in the semi-join) ⇒ the report
+    // cannot differ, at any fpp. Checked at two scale factors and at a
+    // deliberately LOUSY fpp to exercise the false-positive path.
+    for (s <- Seq("sf0.001", "sf0.01")) {
+      val exact = Dedup.decontaminateQuery(spark, s"/root/testdata/$s")
+        .collect().toSeq
+      val bloom = Dedup.decontaminateBloomQuery(spark, s"/root/testdata/$s")
+        .collect().toSeq
+      assert(exact == bloom, s"$s: bloom report drifted from the exact report")
+    }
+    val all = Tables.load(spark, sf("sf0.001"), "documents")
+    val isRef = col("source").isin("src0", "src1")
+    val exact = Dedup.decontaminate(all.filter(!isRef), all.filter(isRef))
+      .orderBy($"doc_id").collect().toSeq
+    val sloppy = Dedup.decontaminateBloom(all.filter(!isRef), all.filter(isRef),
+        expectedItems = 64, fpp = 0.5) // undersized + half the probes "hit"
+      .orderBy($"doc_id").collect().toSeq
+    assert(exact == sloppy, "false positives leaked through the exact verify")
+  }
+
+  test("x55: the bloom probe is in the executed plan (prefilter not optimized away)") {
+    val plan = Dedup.decontaminateBloomQuery(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "expected a might_contain bloom probe ahead of the exact semi-join")
+  }
+
+  test("x57: bigram LM counts and KN continuation stats match a hand computation") {
+    val d = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    // bigrams: doc1 (a,b) (b,a) (a,b) (b,c); doc2 (b,c)
+    // counts: (a,b)=2 (b,c)=2 (b,a)=1
+    // n_right: a -> {b} = 1, b -> {a, c} = 2
+    // n_left:  b -> {a} = 1, c -> {b} = 1, a -> {b} = 1
+    val out = TextAnalysis.ngramLm(d, topN = 10)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 1L, 1L),
+      ("b", "c", 2L, 2L, 1L),
+      ("b", "a", 1L, 2L, 1L)))
+    // the top-N cut respects the same (cnt desc, w1, w2) total order
+    val top2 = TextAnalysis.ngramLm(d, topN = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(top2 == out.take(2))
+  }
 }

@@ -281,4 +281,21 @@ class PlanSpec extends SparkSpec {
     // two scans by design: the tf/df pipeline and the 1-row N stats frame
     assert(scans <= 2, s"x48: $scans scans (expected <= 2):\n$p")
   }
+
+  test("x57: top-N is a TakeOrderedAndProject; windows run over the aggregated table only") {
+    val p = plan("x57_ngram_lm")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N global-sorts:\n$p")
+    // one corpus scan: both continuation windows hang off the aggregate,
+    // never a second pass over documents
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected one corpus scan:\n$p")
+    // the count agg is two-phase (partial before the bigram shuffle)
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).size >= 2,
+      s"bigram count not partial-aggregated:\n$p")
+  }
+
+  test("x58: percentile bounds join back as a broadcast — the fact side never shuffles for it") {
+    val p = plan("x58_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"bounds join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
 }

@@ -380,4 +380,52 @@ class SamplingSpec extends SparkSpec {
       .select($"doc_id", $"source", $"copy").as[(Long, String, Long)].collect().toSet
     assert(base == reparted)
   }
+
+  test("prefixSum equals the per-group window cumsum (multi-partition, null group)") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random values; group g6 is NULL (its own group)
+    val rows = (0L until 997L).map { i =>
+      val g = if (i % 7 == 6) None else Some(s"g${i % 7}")
+      (i, g, (i * 2654435761L % 100).toLong)
+    }
+    val df = rows.toDF("id", "g", "v").repartition(5)
+    val win = Window.partitionBy($"g").orderBy($"id").rowsBetween(Window.unboundedPreceding, 0)
+    val expected = df.withColumn("cum", sum($"v").over(win))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val got = Sampling.prefixSum(df, Seq("g"), Seq($"id"), "v", "cum", numPartitions = 6)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == expected, "distributed prefix scan drifted from the window form")
+    // and the scan's partition count is what was asked for, not 1
+    assert(Sampling.prefixSum(df, Seq("g"), Seq($"id"), "v", numPartitions = 6)
+      .rdd.getNumPartitions == 6)
+  }
+
+  test("tokenBudget keeps the budget-crossing doc and drops the rest") {
+    // four 3-token docs per source, budget 8: cum 3,6,9,12 — the doc that
+    // CROSSES the budget (starts at 6 < 8) is kept, the next is not
+    val d = (0L until 8L).map(i => (i, s"s${i / 4}", "w w w")).toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudget(d, budget = 8).orderBy($"doc_id")
+      .select($"doc_id", $"cum_tokens", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, true), (1L, 6L, true), (2L, 9L, true), (3L, 12L, false),
+      (4L, 3L, true), (5L, 6L, true), (6L, 9L, true), (7L, 12L, false)))
+  }
+
+  test("x56 face: prefix-scan token budget matches the window form on real docs") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sf("sf0.001"), "documents")
+    val base = d.select($"doc_id", $"source",
+      size(graft.operators.TextAnalysis.wsTokens($"text")).cast("long").as("n_tokens"))
+    val win = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = base
+      .withColumn("cum_tokens", sum($"n_tokens").over(win))
+      .withColumn("kept", $"cum_tokens" - $"n_tokens" < Sampling.TokenBudgetPerSource)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    val got = Sampling.tokenBudgetQuery(spark, sf("sf0.001"))
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected)
+  }
 }
