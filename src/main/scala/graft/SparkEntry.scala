@@ -177,6 +177,13 @@ object SparkEntry {
     // x58: winsorized per-group statistics (clip to exact p05/p95,
     // report clipped counts + decimal-exact winsorized sum).
     "x58_winsorize"       -> (Analytics.winsorQuery _),
+    // x59: point-in-interval join with NO equi key — binned bucket
+    // equi-join + exact residual instead of the BroadcastNestedLoopJoin
+    // Spark would otherwise plan for a bare BETWEEN.
+    "x59_interval_join"   -> (operators.IntervalJoin.intervalCountQuery _),
+    // x60: median/MAD robust outliers — the breakdown-resistant twin of
+    // x33's z-score detector, exact through the decimal discipline.
+    "x60_mad_outliers"    -> (Analytics.madOutlierQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

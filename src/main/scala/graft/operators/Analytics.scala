@@ -140,6 +140,44 @@ object Analytics {
   private[graft] val WinsorLo: Double = 0.05
   private[graft] val WinsorHi: Double = 0.95
 
+  /** Median/MAD robust outliers: flag rows whose |value - median| exceeds
+    * `k` × MAD (median absolute deviation) within their group — the
+    * breakdown-resistant face of x33's z-score detector (mean and std
+    * move with the outliers they are meant to catch; medians do not,
+    * up to 50% contamination). The default k = 4.4478 = 3 × 1.4826 is
+    * the standard "3 sigma" cut through the normal-consistency constant.
+    *
+    * Exactness: medians come from the x28 `percentile` + DECIMAL(18,4)
+    * image; deviations are decimal subtractions (exact); the threshold
+    * compare is decimal × decimal vs decimal — no float boundary
+    * anywhere, so flag membership is cross-engine exact.
+    *
+    * Scale shape: three scans by construction (med needs a full pass,
+    * MAD needs med, flags need both) with the per-group statistics
+    * broadcast back each time — |groups| rows, never a fact shuffle.
+    * At extreme group fan-in swap `percentile` for `percentile_approx`
+    * (x28's prescription) and the scans pipeline map-side. */
+  def madOutliers(rows: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: java.math.BigDecimal = new java.math.BigDecimal("4.4478"))
+      : DataFrame = {
+    val keys = groupCols.map(col)
+    val nn = rows.filter(col(valueCol).isNotNull)
+    val med = nn.groupBy(keys: _*)
+      .agg(dec(percentile(col(valueCol), lit(0.5))).as("med"))
+    val dev = nn.join(broadcast(med), groupCols)
+      .withColumn("_dev", abs(dec(col(valueCol)) - col("med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(dec(percentile(col("_dev").cast("double"), lit(0.5))).as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .filter(col("_dev") > lit(k).cast("decimal(18,4)") * col("mad"))
+  }
+
+  /** x60: MAD-flagged outlier events, robust twin of x33. */
+  def madOutlierQuery(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.load(spark, dir, "events"), Seq("event_type"), "value")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
   /** x58: 5%/95% winsorized value statistics per event_type. */
   def winsorQuery(spark: SparkSession, dir: String): DataFrame =
     winsorize(Tables.load(spark, dir, "events"),

@@ -310,6 +310,8 @@ object ExtrasOracle {
     "x56_token_budget" -> tokenBudgetSql,
     "x57_ngram_lm" -> ngramLmSql,
     "x58_winsorize" -> winsorSql,
+    "x59_interval_join" -> intervalJoinSql,
+    "x60_mad_outliers" -> madOutlierSql,
     "x29_pivot" -> pivotSql,
     "x30_unpivot" -> unpivotSql,
     "x32_moving_avg" -> movingAvgSql,
@@ -788,6 +790,47 @@ object ExtrasOracle {
        |FROM pc
        |ORDER BY cnt DESC, w1, w2
        |LIMIT ${TextAnalysis.NgramLmTopN}""".stripMargin
+
+  /** DuckDB twin of IntervalJoin.intervalCountQuery: the declarative
+    * BETWEEN join (DuckDB's IEJoin handles the inequality natively —
+    * the engine face bins precisely because Spark has no IEJoin). */
+  private def intervalJoinSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+       |         CAST(o_orderdate AS DATE)
+       |           + CAST(o_orderkey % ${IntervalJoin.WindowModDays} AS INTEGER) AS d1
+       |  FROM orders),
+       |pts AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+       |  WHERE l_quantity >= ${IntervalJoin.PointQuantityMin}),
+       |hits AS (
+       |  SELECT o_orderkey, COUNT(*) AS nh
+       |  FROM iv JOIN pts ON pts.d BETWEEN iv.d0 AND iv.d1
+       |  GROUP BY 1)
+       |SELECT i.o_orderkey, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits
+       |FROM iv i LEFT JOIN hits USING (o_orderkey)
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** DuckDB twin of Analytics.madOutlierQuery: same three-pass shape,
+    * same DECIMAL(18,4) discipline on medians, deviations, and the
+    * threshold product — flag membership is exact in both engines. */
+  private def madOutlierSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS med
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |dev AS (
+      |  SELECT event_id, b.event_type, abs(v - med) AS dv
+      |  FROM base b JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, CAST(quantile_cont(CAST(dv AS DOUBLE), 0.5) AS DECIMAL(18,4)) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT event_id, d.event_type
+      |FROM dev d JOIN mad USING (event_type)
+      |WHERE dv > CAST(4.4478 AS DECIMAL(18,4)) * mad
+      |ORDER BY event_id""".stripMargin
 
   /** DuckDB twin of Analytics.winsorQuery: same two-pass shape, same
     * DECIMAL(18,4) discipline on bounds, clip compares, and the

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Point-in-interval join WITHOUT an equi key — the time-window
+  * attribution / IP-range-lookup shape. Spark plans a bare
+  * `p BETWEEN d0 AND d1` join as BroadcastNestedLoopJoin (every point
+  * against every interval — quadratic, the one join strategy that
+  * cannot scale), so the scalable form bins both sides first: an
+  * interval spanning days [d0, d1] explodes to its covered
+  * `binDays`-wide buckets, a point maps to exactly one bucket, and the
+  * bucket equi-join + exact residual recovers precisely the BETWEEN
+  * pairs. Candidate volume drops from |intervals| × |points| to the
+  * pairs sharing a bucket — with bounded interval length L the blow-up
+  * factor is ceil(L/binDays) + 1 per interval, a constant, so the whole
+  * operator is one explode + one shuffled equi-join, the same
+  * bucket-join discipline every dedup/ANN operator here follows.
+  *
+  * Bin sizing: cost ∝ interval replication (L/binDays) × per-bucket
+  * point density (binDays) — the optimum is binDays ≈ typical interval
+  * length; pass the corpus's p50 length. Unbounded-length outliers
+  * replicate proportionally (they are rare by definition; a corpus of
+  * mostly-unbounded intervals wants an interval TREE, not binning).
+  *
+  * Reference scope: the reference engine (time-series ingestion,
+  * SURVEY §0) has no join at all; this extends the engine per the
+  * north-star contract alongside q07's equi+residual range join.
+  */
+object IntervalJoin {
+
+  /** Per-interval count of points falling in [d0, d1] (both ends
+    * inclusive), zero-count intervals included.
+    *
+    * `intervals`: (id LONG, d0 DATE, d1 DATE) with d0 <= d1;
+    * `points`: (d DATE). Binning arithmetic uses `unix_date` (days
+    * since epoch) with floor division, so pre-1970 dates bin correctly.
+    */
+  def pointInIntervalCount(intervals: DataFrame, points: DataFrame,
+                           binDays: Int): DataFrame = {
+    require(binDays > 0, s"pointInIntervalCount: binDays=$binDays")
+    def bin(d: org.apache.spark.sql.Column) =
+      floor(unix_date(d).cast("long").cast("double") / binDays).cast("long")
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(bin(col("d0")), bin(col("d1")))))
+    val pts = points.select(col("d"), bin(col("d")).as("_bin"))
+    val hits = iv.join(pts, Seq("_bin"))
+      .filter(col("d").between(col("d0"), col("d1")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    intervals.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
+
+  /** x59's point filter and bin width, shared with both SQL twins. The
+    * synthetic windows span 0..28 days, so a 7-day bin keeps interval
+    * replication <= 5 rows. */
+  private[graft] val PointQuantityMin: Double = 48.0
+  private[graft] val BinDays: Int = 7
+  private[graft] val WindowModDays: Int = 29
+
+  /** x59: for every order, how many high-quantity lineitem shipments
+    * (corpus-wide, NO key in common — that is the point) fall inside
+    * the order's synthetic fulfillment window
+    * [o_orderdate, o_orderdate + o_orderkey % 29 days]. */
+  def intervalCountQuery(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      to_date(col("o_orderdate")).as("d0"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % WindowModDays).cast("int")).as("d1"))
+    val pts = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= PointQuantityMin)
+      .select(to_date(col("l_shipdate")).as("d"))
+    pointInIntervalCount(iv, pts, BinDays)
+      .withColumnRenamed("id", "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+}

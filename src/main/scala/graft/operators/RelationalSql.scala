@@ -532,6 +532,8 @@ object RelationalSql {
     "x56_token_budget" -> tokenBudgetSparkSql,
     "x57_ngram_lm" -> ngramLmSparkSql,
     "x58_winsorize" -> winsorSparkSql,
+    "x59_interval_join" -> intervalJoinSparkSql,
+    "x60_mad_outliers" -> madOutlierSparkSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -776,6 +778,47 @@ object RelationalSql {
        |FROM pc
        |ORDER BY cnt DESC, w1, w2
        |LIMIT ${TextAnalysis.NgramLmTopN}""".stripMargin
+
+  /** Spark-SQL twin of IntervalJoin.intervalCountQuery (x59): the
+    * declarative BETWEEN join a SQL user writes — Spark plans it as a
+    * nested-loop join, which is exactly why the engine face bins.
+    * Result-identical at the spec's scale; at corpus scale use the
+    * DataFrame face. */
+  private def intervalJoinSparkSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_orderkey, to_date(o_orderdate) AS d0,
+       |    date_add(to_date(o_orderdate),
+       |             CAST(o_orderkey % ${IntervalJoin.WindowModDays} AS INT)) AS d1
+       |  FROM orders),
+       |pts AS (
+       |  SELECT to_date(l_shipdate) AS d FROM lineitem
+       |  WHERE l_quantity >= ${IntervalJoin.PointQuantityMin}),
+       |hits AS (
+       |  SELECT o_orderkey, COUNT(1) AS nh
+       |  FROM iv JOIN pts ON pts.d BETWEEN iv.d0 AND iv.d1
+       |  GROUP BY o_orderkey)
+       |SELECT i.o_orderkey, coalesce(nh, 0L) AS n_hits
+       |FROM iv i LEFT JOIN hits USING (o_orderkey)
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Spark-SQL twin of Analytics.madOutlierQuery (x60). */
+  private def madOutlierSparkSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, CAST(percentile(value, 0.5) AS DECIMAL(18,4)) AS med
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |dev AS (
+      |  SELECT event_id, b.event_type, abs(v - med) AS dv
+      |  FROM base b JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, CAST(percentile(CAST(dv AS DOUBLE), 0.5) AS DECIMAL(18,4)) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT event_id, d.event_type
+      |FROM dev d JOIN mad USING (event_type)
+      |WHERE dv > CAST(4.4478 AS DECIMAL(18,4)) * mad
+      |ORDER BY event_id""".stripMargin
 
   /** Spark-SQL twin of Analytics.winsorQuery (x58). */
   private def winsorSparkSql: String =

@@ -265,6 +265,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("a", 20L, 1L, 1L, 1.95, 19.05, 210.0)))
   }
 
+  test("madOutliers flags by median/MAD and survives contamination that breaks the z-score") {
+    // group: 20 inliers at 10.0 ± 0.5 plus four gross outliers (1/6
+    // contamination). The MAD detector flags exactly the outliers; a
+    // z-score with k=3 on the same data flags NOTHING because the
+    // outliers inflate the std past their own deviations (3σ ≈ 612 vs
+    // |dev| ≈ 491) — the breakdown this operator exists to resist.
+    val inliers = (1 to 20).map(i => (i.toLong, "g", 10.0 + (i % 2) * 0.5))
+    val d = (inliers ++ Seq((100L, "g", 500.0), (101L, "g", -500.0),
+        (102L, "g", 500.0), (103L, "g", -500.0)))
+      .toDF("event_id", "grp", "value")
+    val flagged = Analytics.madOutliers(d, Seq("grp"), "value")
+      .select($"event_id").as[Long].collect().toSet
+    assert(flagged == Set(100L, 101L, 102L, 103L))
+    val n = d.count().toDouble
+    val (mean, std) = {
+      val vs = d.select($"value").as[Double].collect()
+      val m = vs.sum / n
+      (m, math.sqrt(vs.map(v => (v - m) * (v - m)).sum / n))
+    }
+    assert(!d.select($"value").as[Double].collect()
+      .exists(v => math.abs(v - mean) > 3 * std),
+      "contamination was supposed to blind the 3-sigma z-score")
+  }
+
+  test("madOutliers: null values never flag and an all-null group vanishes") {
+    val d = Seq((1L, "a", Some(1.0)), (2L, "a", Some(1.5)), (3L, "a", None),
+        (4L, "b", Option.empty[Double]))
+      .toDF("event_id", "grp", "value")
+    assert(Analytics.madOutliers(d, Seq("grp"), "value").count() == 0)
+  }
+
   test("winsorize with lo=0/hi=1 clips nothing: sum_w equals the exact decimal sum") {
     val events = Tables.load(spark, sf("sf0.001"), "events")
     val out = Analytics.winsorize(events, Seq("event_type"), "value", 0.0, 1.0)

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, IntervalJoin}
 
 /** Join-shape and aggregate-surface coverage beyond the oracle queries
   * (SURVEY.md §2.B rows not exercised by Q1-Q20): outer/cross joins,
@@ -324,5 +324,45 @@ class JoinsSpec extends SparkSpec {
       expr("INTERVAL 1 MINUTE"))
       .orderBy($"qty").select($"qty", $"price").as[(Long, Option[Double])].collect().toSeq
     assert(out == Seq((1L, Some(100.0)), (2L, None)))
+  }
+
+  test("binned interval join: boundary inclusivity, bin crossings, zero-length, empty intervals") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val iv = Seq(
+      (1L, d("1995-01-01"), d("1995-01-09")), // crosses a 7-day bin edge
+      (2L, d("1995-01-05"), d("1995-01-05")), // zero-length
+      (3L, d("1996-06-01"), d("1996-06-30"))) // no points at all
+      .toDF("id", "d0", "d1")
+    val pts = Seq(
+      d("1995-01-01"),  // == d0 of 1: inclusive
+      d("1995-01-09"),  // == d1 of 1: inclusive
+      d("1995-01-05"),  // inside 1 AND == both ends of 2
+      d("1994-12-31"),  // one day before 1
+      d("1995-01-10"))  // one day after 1
+      .map(Tuple1(_)).toDF("d")
+    val out = IntervalJoin.pointInIntervalCount(iv, pts, binDays = 7)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("binned interval join equals the naive BETWEEN join on real tables") {
+    val dir = sf("sf0.001")
+    val iv = Tables.load(spark, dir, "orders").select(
+      $"o_orderkey".as("id"),
+      to_date($"o_orderdate").as("d0"),
+      date_add(to_date($"o_orderdate"), ($"o_orderkey" % 29).cast("int")).as("d1"))
+    val pts = Tables.load(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 48.0).select(to_date($"l_shipdate").as("d"))
+    val naive = iv.join(pts, $"d".between($"d0", $"d1"))
+      .groupBy($"id").agg(count(lit(1)).as("n_hits"))
+    val expected = iv.select($"id").join(naive, Seq("id"), "left")
+      .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    // every bin width gives the same answer; only the plan changes
+    for (binDays <- Seq(1, 7, 40)) {
+      val got = IntervalJoin.pointInIntervalCount(iv, pts, binDays)
+        .orderBy($"id").as[(Long, Long)].collect().toSeq
+      assert(got == expected, s"binDays=$binDays drifted from the BETWEEN join")
+    }
   }
 }

@@ -298,4 +298,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bounds join should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
   }
+
+  test("x59: the interval join is a binned EQUI join, never a nested loop") {
+    val p = plan("x59_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a quadratic strategy:\n$p")
+    // negative control: the bare BETWEEN join (no bin key) IS a BNLJ —
+    // proves the assertion bites and the binning is what avoids it
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-01-09")))
+      .toDF("id", "d0", "d1")
+    val b = Seq(Tuple1(java.sql.Date.valueOf("1995-01-05"))).toDF("d")
+    val naive = a.join(b, $"d".between($"d0", $"d1"))
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
 }
