@@ -365,7 +365,14 @@ object Bench {
           java.nio.file.Paths.get("/proc/stat"))))).getOrElse(0)
       if (m > 0) m else Runtime.getRuntime.availableProcessors()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-iteration filter: SPARK_GRAFT_ONLY=x59_interval_join
+    // times just the named queries. The driver never sets it; the full
+    // suite remains the default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       try {
         val l0 = readLoadAvg()
         var attempt = 0
