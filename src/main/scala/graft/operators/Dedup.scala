@@ -293,18 +293,66 @@ object Dedup {
                          k: Int = 4, hashGrams: Boolean = false,
                          expectedItems: Long = 1L << 20,
                          fpp: Double = 0.03): DataFrame = {
-    import graft.functions.expressions.NativeExpressions.{bloomFilterAgg, mightContainOf}
-    require(expectedItems > 0 && fpp > 0 && fpp < 1,
-      s"decontaminateBloom: expectedItems=$expectedItems fpp=$fpp")
-    // optimal bit count for the target fpp (standard Bloom sizing)
-    val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val refGrams = referenceGrams(reference, k, hashGrams)
-    val bloom = refGrams
-      .agg(bloomFilterAgg(xxhash64(col("gram")), expectedItems, numBits).as("bf"))
+    decontaminateAgainst(candidates, refGrams,
+      bloomOf(refGrams, expectedItems, fpp), k, hashGrams)
+  }
+
+  /** Optimal Bloom bit count for the target fpp (standard sizing). */
+  private def bloomBits(expectedItems: Long, fpp: Double): Long = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bloom sizing: expectedItems=$expectedItems fpp=$fpp")
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+  }
+
+  /** 1-row (bf BINARY) sketch frame over a gram column. */
+  private def bloomOf(refGrams: DataFrame, expectedItems: Long, fpp: Double): DataFrame =
+    refGrams.agg(graft.functions.expressions.NativeExpressions
+      .bloomFilterAgg(xxhash64(col("gram")), expectedItems, bloomBits(expectedItems, fpp))
+      .as("bf"))
+
+  /** The x55 plan against pre-materialized probe sides: bloom prefilter
+    * (scalar subquery) → exact semi-join → span report. */
+  private def decontaminateAgainst(candidates: DataFrame, refGrams: DataFrame,
+                                   bloom: DataFrame, k: Int,
+                                   hashGrams: Boolean): DataFrame = {
+    import graft.functions.expressions.NativeExpressions.mightContainOf
     val prefiltered = positionalGrams(candidates, k, hashGrams)
       .filter(mightContainOf(bloom, xxhash64(col("gram"))))
     spanReport(candidates, prefiltered, refGrams, "n_hit_spans", k)
+  }
+
+  /** Persist a decontamination index: the reference corpus's distinct
+    * grams (`<path>/grams`) plus their Bloom sketch (`<path>/bloom`) —
+    * the build-once artifact of the x55 gate. Eval suites change on
+    * human timescales while training batches arrive continuously, so
+    * the gram pipeline over the reference should run ONCE and every
+    * future batch should load KB..GB of parquet instead of re-exploding
+    * the held-out corpus — the same persistence discipline as the BM25
+    * postings, the MinHash bucket index, and the IVF codebook. The
+    * sketch is built FROM the written grams, so the two files cannot
+    * drift. Caller contract: load with the same (k, hashGrams) used to
+    * save. */
+  def saveDecontamIndex(reference: DataFrame, path: String, k: Int = 4,
+                        hashGrams: Boolean = false,
+                        expectedItems: Long = 1L << 20,
+                        fpp: Double = 0.03): Unit = {
+    referenceGrams(reference, k, hashGrams)
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val written = reference.sparkSession.read.parquet(s"$path/grams")
+    bloomOf(written, expectedItems, fpp)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+  }
+
+  /** [[decontaminateBloom]] against a persisted index: row-identical to
+    * the direct form for the same reference and (k, hashGrams)
+    * (spec-asserted), with zero reference-corpus work per batch. */
+  def decontaminateWithIndex(candidates: DataFrame, path: String, k: Int = 4,
+                             hashGrams: Boolean = false): DataFrame = {
+    val spark = candidates.sparkSession
+    decontaminateAgainst(candidates,
+      spark.read.parquet(s"$path/grams"),
+      spark.read.parquet(s"$path/bloom"), k, hashGrams)
   }
 
   /** x55: bloom-gated decontamination — same inputs, same report, same

@@ -637,4 +637,58 @@ object StreamingOps {
       .transformWithState(new QuantileProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------ streaming token budget (x56's face) ------
+
+  case class TokenDoc(doc_id: Long, source: String, n_tokens: Long)
+  /** One document's admission decision — the streaming image of an x56
+    * output row. */
+  case class TokenDecision(doc_id: Long, source: String, n_tokens: Long,
+                           cum_tokens: Long, kept: Boolean)
+
+  /** Per-source consumed-token counter in ValueState: admit documents
+    * while the tokens consumed BEFORE each one are under the budget —
+    * the batch face's greedy fill-then-overflow cut, decided at
+    * ingestion time. State per source is ONE long, bounded forever.
+    * Docs are ordered by doc_id within a batch (the sibling processors'
+    * sort-the-batch discipline); the in-order contract across batches is
+    * the same as retention/moving-average: replay in doc_id order
+    * reproduces [[graft.operators.Sampling.tokenBudget]] exactly
+    * (spec-asserted). */
+  class TokenBudgetProcessor(budget: Long)
+    extends StatefulProcessor[String, TokenDoc, TokenDecision] {
+    @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      used = getHandle.getValueState[Long]("usedTokens",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TokenDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TokenDecision] = {
+      var cum = if (used.exists()) used.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val kept = cum < budget
+        cum += d.n_tokens
+        TokenDecision(d.doc_id, d.source, d.n_tokens, cum, kept)
+      }
+      if (out.nonEmpty) used.update(cum)
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Sampling.tokenBudget]] (x56):
+    * corpus assembly as ingestion — each arriving document is admitted
+    * or rejected against its source's remaining token budget the moment
+    * it lands, with the same token counter expression as the batch face
+    * so the two cannot drift. */
+  def tokenBudgetStream(docs: DataFrame, budget: Long): Dataset[TokenDecision] = {
+    require(budget > 0, s"tokenBudgetStream: budget=$budget")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .as[TokenDoc]
+      .groupByKey(_.source)
+      .transformWithState(new TokenBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

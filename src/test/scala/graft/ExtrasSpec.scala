@@ -1464,6 +1464,23 @@ class ExtrasSpec extends SparkSpec {
     assert(exact == sloppy, "false positives leaked through the exact verify")
   }
 
+  test("x55: persisted decontamination index round-trips and gates batches with zero rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("decontam_idx").toString
+    val all = Tables.load(spark, sf("sf0.001"), "documents")
+    val isRef = col("source").isin("src0", "src1")
+    Dedup.saveDecontamIndex(all.filter(isRef), tmp)
+    val direct = Dedup.decontaminateQuery(spark, sf("sf0.001")).collect().toSeq
+    val viaIndex = Dedup.decontaminateWithIndex(all.filter(!isRef), tmp)
+      .orderBy($"doc_id").collect().toSeq
+    assert(viaIndex == direct, "index-gated report drifted from the direct form")
+    // and the per-batch plan touches the PARQUET index, never the
+    // reference corpus's gram pipeline (no explode of reference text)
+    val plan = Dedup.decontaminateWithIndex(all.filter(!isRef), tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"$tmp/grams") && plan.contains(s"$tmp/bloom"),
+      s"expected the persisted index in the plan:\n$plan")
+  }
+
   test("x55: the bloom probe is in the executed plan (prefilter not optimized away)") {
     val plan = Dedup.decontaminateBloomQuery(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

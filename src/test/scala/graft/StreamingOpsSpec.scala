@@ -546,4 +546,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s1.isDefined, s"sensor 1 session not emitted: ${got.toSeq}")
     assert(s1.get.n == 2 && s1.get.max_temp == 25)
   }
+
+  test("streaming token budget equals batch x56 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      val batch = Sampling.tokenBudget(docs, Sampling.TokenBudgetPerSource)
+        .as[(Long, String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(batch.values.exists(!_._5), "vacuous fixture: nothing over budget")
+      assert(batch.values.exists(_._5), "vacuous fixture: nothing admitted")
+
+      val rows = docs.select($"doc_id", $"source", $"text")
+        .orderBy($"doc_id") // the in-order replay contract
+        .as[(Long, String, String)].collect().toSeq
+      val stream = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.tokenBudgetStream(
+          stream.toDF().toDF("doc_id", "source", "text"),
+          Sampling.TokenBudgetPerSource)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("budget_out").start()
+      try {
+        rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val streamed = spark.table("budget_out")
+          .as[StreamingOps.TokenDecision].collect()
+          .map(d => d.doc_id -> ((d.doc_id, d.source, d.n_tokens, d.cum_tokens, d.kept)))
+          .toMap
+        assert(streamed == batch,
+          s"drift: ${batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
