@@ -184,6 +184,9 @@ object SparkEntry {
     // x60: median/MAD robust outliers — the breakdown-resistant twin of
     // x33's z-score detector, exact through the decimal discipline.
     "x60_mad_outliers"    -> (Analytics.madOutlierQuery _),
+    // x61: top-k points per interval — x59's general-payload face; the
+    // point side pre-reduces to per-day top-k before the bucket join.
+    "x61_interval_topk"   -> (operators.IntervalJoin.topKIntervalQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -312,6 +312,7 @@ object ExtrasOracle {
     "x58_winsorize" -> winsorSql,
     "x59_interval_join" -> intervalJoinSql,
     "x60_mad_outliers" -> madOutlierSql,
+    "x61_interval_topk" -> intervalTopKSql,
     "x29_pivot" -> pivotSql,
     "x30_unpivot" -> unpivotSql,
     "x32_moving_avg" -> movingAvgSql,
@@ -810,6 +811,27 @@ object ExtrasOracle {
        |SELECT i.o_orderkey, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits
        |FROM iv i LEFT JOIN hits USING (o_orderkey)
        |ORDER BY o_orderkey""".stripMargin
+
+  /** DuckDB twin of IntervalJoin.topKIntervalQuery: BETWEEN join +
+    * row_number over the (score desc, point id) total order. */
+  private def intervalTopKSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+       |         CAST(o_orderdate AS DATE)
+       |           + CAST(o_orderkey % ${IntervalJoin.WindowModDays} AS INTEGER) AS d1
+       |  FROM orders),
+       |pts AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey AS pt_orderkey,
+       |         l_linenumber AS pt_linenumber, l_extendedprice AS score
+       |  FROM lineitem WHERE l_quantity >= ${IntervalJoin.PointQuantityMin}),
+       |ranked AS (
+       |  SELECT o_orderkey, pt_orderkey, pt_linenumber, score,
+       |         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |                            ORDER BY score DESC, pt_orderkey, pt_linenumber) AS rank
+       |  FROM iv JOIN pts ON pts.d BETWEEN iv.d0 AND iv.d1)
+       |SELECT o_orderkey, CAST(rank AS INTEGER) AS rank, pt_orderkey, pt_linenumber, score
+       |FROM ranked WHERE rank <= ${IntervalJoin.TopKPerInterval}
+       |ORDER BY o_orderkey, rank""".stripMargin
 
   /** DuckDB twin of Analytics.madOutlierQuery: same three-pass shape,
     * same DECIMAL(18,4) discipline on medians, deviations, and the

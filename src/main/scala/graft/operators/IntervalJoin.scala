@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -63,6 +64,45 @@ object IntervalJoin {
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
   }
 
+  /** Top-k points per interval by score — the general-payload form of
+    * [[pointInIntervalCount]] (the joined rows carry point attributes,
+    * not just a count). The same two scale levers apply:
+    *
+    *   - the bucket equi-join replaces the nested loop;
+    *   - top-k is aggregation-commutative like counting, so the point
+    *     side pre-reduces to its per-DAY top-k before the join (an
+    *     interval covers whole days, so its global top-k is a subset of
+    *     its days' top-ks) — join volume is |intervals| ×
+    *     days-per-window × k, independent of the points-per-day rate.
+    *
+    * Both top-k windows are rank-over-high-cardinality-partition shapes
+    * (day, then interval id), so WindowGroupLimit bounds what reaches
+    * each sort. `points`: (d DATE, pt_orderkey, pt_linenumber, score);
+    * ties break on (pt_orderkey, pt_linenumber) — a total order, so the
+    * result is deterministic cross-engine. Intervals with no points in
+    * range are absent (a top-k join, not a report). */
+  def topKPointsPerInterval(intervals: DataFrame, points: DataFrame,
+                            binDays: Int, k: Int): DataFrame = {
+    require(binDays > 0 && k > 0, s"topKPointsPerInterval: binDays=$binDays k=$k")
+    def bin(d: org.apache.spark.sql.Column) =
+      floor(unix_date(d).cast("long").cast("double") / binDays).cast("long")
+    val order = Seq(col("score").desc, col("pt_orderkey"), col("pt_linenumber"))
+    val dayTop = points
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("d")).orderBy(order: _*)))
+      .filter(col("_r") <= k).drop("_r")
+      .withColumn("_bin", bin(col("d")))
+    intervals
+      .withColumn("_bin", explode(sequence(bin(col("d0")), bin(col("d1")))))
+      .join(dayTop, Seq("_bin"))
+      .filter(col("d").between(col("d0"), col("d1")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("pt_orderkey"), col("pt_linenumber"),
+        col("score"))
+  }
+
   /** x59's point filter and bin width, shared with both SQL twins. The
     * synthetic windows span 0..28 days, so a 7-day bin keeps interval
     * replication <= 5 rows. */
@@ -86,5 +126,28 @@ object IntervalJoin {
     pointInIntervalCount(iv, pts, BinDays)
       .withColumnRenamed("id", "o_orderkey")
       .orderBy(col("o_orderkey"))
+  }
+
+  /** x61's cut, shared with both SQL twins. */
+  private[graft] val TopKPerInterval: Int = 3
+
+  /** x61: for every order window (x59's intervals), the top-3 most
+    * expensive high-quantity shipments inside it — the general-payload
+    * face of the binned interval join. */
+  def topKIntervalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      to_date(col("o_orderdate")).as("d0"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % WindowModDays).cast("int")).as("d1"))
+    val pts = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= PointQuantityMin)
+      .select(to_date(col("l_shipdate")).as("d"),
+        col("l_orderkey").as("pt_orderkey"),
+        col("l_linenumber").as("pt_linenumber"),
+        col("l_extendedprice").as("score"))
+    topKPointsPerInterval(iv, pts, BinDays, TopKPerInterval)
+      .withColumnRenamed("id", "o_orderkey")
+      .orderBy(col("o_orderkey"), col("rank"))
   }
 }

@@ -534,6 +534,7 @@ object RelationalSql {
     "x58_winsorize" -> winsorSparkSql,
     "x59_interval_join" -> intervalJoinSparkSql,
     "x60_mad_outliers" -> madOutlierSparkSql,
+    "x61_interval_topk" -> intervalTopKSparkSql,
 
     "x21_pack" ->
       """WITH t AS (
@@ -800,6 +801,28 @@ object RelationalSql {
        |SELECT i.o_orderkey, coalesce(nh, 0L) AS n_hits
        |FROM iv i LEFT JOIN hits USING (o_orderkey)
        |ORDER BY o_orderkey""".stripMargin
+
+  /** Spark-SQL twin of IntervalJoin.topKIntervalQuery (x61): the
+    * declarative BETWEEN join + window rank (same nested-loop caveat as
+    * the x59 twin; the DataFrame face bins and pre-reduces per day). */
+  private def intervalTopKSparkSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_orderkey, to_date(o_orderdate) AS d0,
+       |    date_add(to_date(o_orderdate),
+       |             CAST(o_orderkey % ${IntervalJoin.WindowModDays} AS INT)) AS d1
+       |  FROM orders),
+       |pts AS (
+       |  SELECT to_date(l_shipdate) AS d, l_orderkey AS pt_orderkey,
+       |         l_linenumber AS pt_linenumber, l_extendedprice AS score
+       |  FROM lineitem WHERE l_quantity >= ${IntervalJoin.PointQuantityMin}),
+       |ranked AS (
+       |  SELECT o_orderkey, pt_orderkey, pt_linenumber, score,
+       |         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |                            ORDER BY score DESC, pt_orderkey, pt_linenumber) AS rank
+       |  FROM iv JOIN pts ON pts.d BETWEEN iv.d0 AND iv.d1)
+       |SELECT o_orderkey, rank, pt_orderkey, pt_linenumber, score
+       |FROM ranked WHERE rank <= ${IntervalJoin.TopKPerInterval}
+       |ORDER BY o_orderkey, rank""".stripMargin
 
   /** Spark-SQL twin of Analytics.madOutlierQuery (x60). */
   private def madOutlierSparkSql: String =

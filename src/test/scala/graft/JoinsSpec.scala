@@ -365,4 +365,31 @@ class JoinsSpec extends SparkSpec {
       assert(got == expected, s"binDays=$binDays drifted from the BETWEEN join")
     }
   }
+
+  test("interval top-k equals the naive BETWEEN+rank join; per-day pre-reduction is lossless") {
+    val dir = sf("sf0.001")
+    val iv = Tables.load(spark, dir, "orders").select(
+      $"o_orderkey".as("id"),
+      to_date($"o_orderdate").as("d0"),
+      date_add(to_date($"o_orderdate"), ($"o_orderkey" % 29).cast("int")).as("d1"))
+    val pts = Tables.load(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 48.0)
+      .select(to_date($"l_shipdate").as("d"), $"l_orderkey".as("pt_orderkey"),
+        $"l_linenumber".as("pt_linenumber"), $"l_extendedprice".as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"id")
+      .orderBy($"score".desc, $"pt_orderkey", $"pt_linenumber")
+    val expected = iv.join(pts, $"d".between($"d0", $"d1"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"id", $"rank", $"pt_orderkey", $"pt_linenumber", $"score")
+      .orderBy($"id", $"rank")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(expected.nonEmpty && expected.exists(_._2 == 3),
+      "vacuous fixture: no interval reaches rank 3")
+    for (binDays <- Seq(1, 7, 40)) {
+      val got = IntervalJoin.topKPointsPerInterval(iv, pts, binDays, k = 3)
+        .orderBy($"id", $"rank")
+        .as[(Long, Int, Long, Long, Double)].collect().toSeq
+      assert(got == expected, s"binDays=$binDays drifted from the BETWEEN+rank join")
+    }
+  }
 }
