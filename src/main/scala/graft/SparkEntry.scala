@@ -187,6 +187,9 @@ object SparkEntry {
     // x61: top-k points per interval — x59's general-payload face; the
     // point side pre-reduces to per-day top-k before the bucket join.
     "x61_interval_topk"   -> (operators.IntervalJoin.topKIntervalQuery _),
+    // x62: canonical text normalization (native NFC/casefold/whitespace
+    // kernel) — the pre-dedup projection, DuckDB nfc_normalize twin.
+    "x62_normalize"       -> (TextAnalysis.normalizeQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

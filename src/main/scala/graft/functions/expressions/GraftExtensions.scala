@@ -66,6 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("char_shingles",
       "char_shingles(text, n) - distinct character n-grams", 2)(
       args => CharShingles(args(0), intLiteral(args(1), "char_shingles"))))
+    e.injectFunction(fn("normalize_text",
+      "normalize_text(text) - NFC + lowercase + whitespace-collapsed canonical image", 1)(
+      args => NormalizeText(args(0))))
     e.injectFunction(fn("simhash_chunks",
       "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks", 1)(
       args => SimHashChunks(args(0))))

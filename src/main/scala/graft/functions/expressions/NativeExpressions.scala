@@ -130,6 +130,31 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** Canonical text image for dedup/fingerprinting: NFC-normalize
+    * (composed forms — "Café" typed either way compares equal),
+    * lowercase (Locale.ROOT — no Turkish-i surprises), collapse runs
+    * of RE2-`\s` whitespace ([\t\n\f\r ] — matched exactly so the
+    * DuckDB regexp twin agrees byte-for-byte) to one space, trim. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val norm = java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(norm.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < norm.length) {
+      val c = norm.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+        pendingSpace = sb.length() > 0
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Distinct character n-grams, codepoint-aware via UTF8String. */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
@@ -465,6 +490,34 @@ case class WordShinglesAll(child: Expression, n: Int)
 
 /** Distinct character n-grams of a string (language-ID / char-level
   * near-dup signal). Codepoint-aware via UTF8String substring. */
+/** Canonical text normalization (NFC + casefold + whitespace collapse)
+  * — the projection a corpus runs before exact/near dedup so trivially
+  * different encodings of one document collapse. One JVM kernel call
+  * per row inside whole-stage codegen. */
+case class NormalizeText(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.normalizeText($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CharShingles(child: Expression, n: Int)
   extends UnaryExpression {
 
@@ -815,6 +868,8 @@ object NativeExpressions {
     column(WordShinglesAll(expression(tokens), n))
   def charShingles(text: Column, n: Int): Column =
     column(CharShingles(expression(text), n))
+  def normalizeText(text: Column): Column =
+    column(NormalizeText(expression(text)))
   def substringHits(text: Column, patterns: Seq[String]): Column =
     column(SubstringHits(expression(text), patterns))
   def interleaveBits(a: Column, b: Column, bits: Int): Column =

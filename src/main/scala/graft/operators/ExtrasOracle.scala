@@ -313,6 +313,15 @@ object ExtrasOracle {
     "x59_interval_join" -> intervalJoinSql,
     "x60_mad_outliers" -> madOutlierSql,
     "x61_interval_topk" -> intervalTopKSql,
+    // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
+    // normalize_text kernel (the kernel collapses exactly RE2's \s
+    // class so the two agree byte-for-byte)
+    "x62_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x29_pivot" -> pivotSql,
     "x30_unpivot" -> unpivotSql,
     "x32_moving_avg" -> movingAvgSql,

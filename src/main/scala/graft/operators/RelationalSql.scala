@@ -535,6 +535,10 @@ object RelationalSql {
     "x59_interval_join" -> intervalJoinSparkSql,
     "x60_mad_outliers" -> madOutlierSparkSql,
     "x61_interval_topk" -> intervalTopKSparkSql,
+    "x62_normalize" ->
+      """SELECT doc_id, normalize_text(text) AS norm_text,
+        |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x21_pack" ->
       """WITH t AS (

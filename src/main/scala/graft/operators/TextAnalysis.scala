@@ -527,6 +527,22 @@ object TextAnalysis {
   def ngramLmQuery(spark: SparkSession, dir: String): DataFrame =
     ngramLm(Tables.load(spark, dir, "documents"), NgramLmTopN)
 
+  // --------------------------------------------- text normalization
+
+  /** Canonical text image ([[graft.functions.expressions.NativeOps
+    * .normalizeText]]): NFC + lowercase + whitespace collapse — run
+    * before exact/near dedup so trivially different encodings of one
+    * document collapse to one key. Pure codegen'd projection: zero
+    * shuffle, linear, composes with x01/x44 by swapping `text` for
+    * `norm_text`. */
+  def normalizeQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.expressions.NativeExpressions
+          .normalizeText(col("text")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+
   /** Confusion-style report: labeled lang × detected lang counts. */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

@@ -386,4 +386,30 @@ class FunctionsSpec extends SparkSpec {
     val out = Seq("a b", "c").toDS().flatMap(_.split(" ")).collect().toSeq
     assert(out == Seq("a", "b", "c"))
   }
+
+  test("normalize_text: NFC composition, casefold, whitespace collapse, null safety") {
+    import graft.functions.expressions.NativeExpressions.normalizeText
+    val composed = "Caf\u00e9"       // é as one codepoint
+    val decomposed = "Cafe\u0301"    // e + combining acute
+    val rows = Seq(
+      composed, decomposed,
+      "  Hello\t\n  WORLD \r ",            // runs + edges collapse/trim
+      "already normal",
+      "\t \n",                             // all-whitespace → empty
+      null)
+      .toDF("s").select(normalizeText($"s").as("n")).as[Option[String]]
+      .collect().toSeq
+    assert(rows == Seq(Some("café"), Some("café"),
+      Some("hello world"), Some("already normal"), Some(""), None))
+    // the two encodings of one word now share an exact-dedup key
+    val keys = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      .select(normalizeText($"text")).distinct().count()
+    assert(keys == 1L)
+    // stays inside whole-stage codegen: no CodegenFallback wrapper
+    val plan = Seq("x").toDF("s").select(normalizeText($"s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    // SQL name registered by GraftExtensions
+    assert(spark.sql("SELECT normalize_text('  A  B ')").head().getString(0) == "a b")
+  }
 }
