@@ -226,4 +226,78 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"texts=$texts")
     }
   }
+
+  test("property: prefixSum equals a from-scratch per-group scan on random data") {
+    val rowGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 50L)))
+    forAllSamples(rowGen, n = 8) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "g", "v").repartition(5)
+      val got = graft.operators.Sampling
+        .prefixSum(df, Seq("g"), Seq($"id"), "v", "cum", numPartitions = 4)
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+      val expected = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .groupBy(_._2).values.flatMap { grp =>
+          grp.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, _, v)) =>
+            (id, acc + v)
+          }.tail
+        }.toMap
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("property: binned interval count equals brute force on random intervals/points") {
+    def day(n: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(9000L + n))
+    val ivGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0, 80), Gen.choose(0, 15)))
+    val ptGen = Gen.listOfN(25, Gen.choose(0, 95))
+    forAllSamples(Gen.zip(ivGen, ptGen, Gen.choose(1, 20)), n = 8) {
+      case (ivs, pts, binDays) =>
+        val iv = ivs.zipWithIndex
+          .map { case ((s, len), i) => (i.toLong, day(s), day(s + len)) }
+          .toDF("id", "d0", "d1")
+        val p = pts.map(d => Tuple1(day(d))).toDF("d")
+        val got = graft.operators.IntervalJoin.pointInIntervalCount(iv, p, binDays)
+          .as[(Long, Long)].collect().toMap
+        val expected = ivs.zipWithIndex.map { case ((s, len), i) =>
+          i.toLong -> pts.count(d => d >= s && d <= s + len).toLong
+        }.toMap
+        assert(got == expected, s"ivs=$ivs pts=$pts binDays=$binDays")
+    }
+  }
+
+  test("property: winsorize equals a from-scratch recompute on random groups") {
+    def dec4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    // Spark `percentile`: index p*(n-1), linear interpolation over the
+    // sorted doubles — recomputed here, then the same DECIMAL(18,4) image
+    def pct(sorted: Vector[Double], p: Double): BigDecimal = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      dec4(sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo)))
+    }
+    val grpGen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-100.0, 100.0)))
+    forAllSamples(grpGen, n = 8) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "grp", "value")
+      val got = graft.operators.Analytics
+        .winsorize(df, Seq("grp"), "value", 0.1, 0.9)
+        .select($"grp", $"n", $"n_lo", $"n_hi", $"sum_w")
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map { case (g, n, l, h, s) => g -> ((n, l, h, s)) }.toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted.toVector
+        val (pLo, pHi) = (pct(vs, 0.1), pct(vs, 0.9))
+        val decs = vs.map(dec4)
+        val sumW = decs.map(d => d.max(pLo).min(pHi)).sum
+        g -> ((vs.length.toLong, decs.count(_ < pLo).toLong,
+          decs.count(_ > pHi).toLong, sumW.toDouble))
+      }
+      assert(got == expected, s"rows=$rows")
+    }
+  }
 }
