@@ -638,6 +638,37 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // --------------------- streaming interval attribution (x59's face) --
+
+  /** Streaming face of the binned interval join: each arriving point
+    * row is annotated with every STATIC interval containing its date —
+    * the attribution gate (event → campaign/fulfillment window) run at
+    * ingestion. Same binning arithmetic as
+    * [[graft.operators.IntervalJoin.pointInIntervalCount]] (shared
+    * constant `binDays` contract), so stream and batch agree row-for-row
+    * on replay (spec-asserted). The static side explodes to its bin
+    * buckets ONCE and persists — the stream-static join re-executes the
+    * static sub-plan every micro-batch, and without the cache the
+    * explode would re-run per trigger (the decontaminateStream
+    * discipline). Stateless: no watermark, no store — the stream side
+    * just equi-joins its one bucket and residual-filters, so the gate
+    * adds no backpressure at any scale. Inner join: unmatched points
+    * drop (the attribution contract); use the batch face for
+    * zero-count reports. */
+  def intervalMatchStream(points: DataFrame, intervals: DataFrame,
+                          binDays: Int): DataFrame = {
+    require(binDays > 0, s"intervalMatchStream: binDays=$binDays")
+    def bin(d: org.apache.spark.sql.Column) =
+      floor(unix_date(d).cast("long").cast("double") / binDays).cast("long")
+    val binnedIv = intervals
+      .withColumn("_bin", explode(sequence(bin(col("d0")), bin(col("d1")))))
+      .persist()
+    points.withColumn("_bin", bin(col("d")))
+      .join(binnedIv, Seq("_bin"))
+      .filter(col("d").between(col("d0"), col("d1")))
+      .drop("_bin", "d0", "d1")
+  }
+
   // ------------------------ streaming token budget (x56's face) ------
 
   case class TokenDoc(doc_id: Long, source: String, n_tokens: Long)

@@ -547,6 +547,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s1.get.n == 2 && s1.get.max_temp == 25)
   }
 
+  test("streaming interval attribution equals the batch binned join on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(n: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(9000L + n))
+    val iv = Seq((10L, day(0), day(9)), (20L, day(5), day(5)), (30L, day(40), day(60)))
+      .toDF("id", "d0", "d1")
+    val pts = (0 until 30).map(i => (i.toLong, (i * 7) % 65))
+    val expected = pts.flatMap { case (pid, d) =>
+      Seq((10L, 0, 9), (20L, 5, 5), (30L, 40, 60)).collect {
+        case (id, lo, hi) if d >= lo && d <= hi => (pid, id)
+      }
+    }.toSet
+    assert(expected.nonEmpty && expected.map(_._2).size >= 2, "vacuous fixture")
+    val stream = MemoryStream[(Long, Int)]
+    val q = StreamingOps.intervalMatchStream(
+        stream.toDF().toDF("pid", "dn")
+          .withColumn("d", date_add(lit(java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(9000L))), $"dn")).drop("dn"),
+        iv, binDays = 7)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivmatch_out").start()
+    try {
+      pts.grouped(10).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      val got = spark.table("ivmatch_out")
+        .select($"pid", $"id").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"missing: ${expected -- got}; extra: ${got -- expected}")
+    } finally q.stop()
+  }
+
   test("streaming token budget equals batch x56 on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
