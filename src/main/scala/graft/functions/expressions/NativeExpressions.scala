@@ -155,6 +155,52 @@ object NativeOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Top-k calendar selection for the broadcast interval join: walk the
+    * day range [ud0, ud1] clamped to the calendar, insertion-select the
+    * k best (score desc, key asc) entries across the covered days.
+    * Day arrays are per-day top-k already, so the scan touches at most
+    * days × k candidates. Output: ARRAY<STRUCT<pt_key, score>> best
+    * first. */
+  def intervalTopK(ud0: Int, ud1: Int, ptKeys: Array[Array[Long]],
+                   scores: Array[Array[Double]], minUd: Int, k: Int): ArrayData = {
+    val selK = new Array[Long](k)
+    val selS = new Array[Double](k)
+    var n = 0
+    var d = if (ud0 > minUd) ud0 else minUd
+    val maxUd = minUd + ptKeys.length - 1
+    val dEnd = if (ud1 < maxUd) ud1 else maxUd
+    while (d <= dEnd) {
+      val pk = ptKeys(d - minUd)
+      val sc = scores(d - minUd)
+      var i = 0
+      while (i < pk.length) {
+        val s = sc(i)
+        val key = pk(i)
+        var pos = n
+        while (pos > 0 && (s > selS(pos - 1) ||
+            (s == selS(pos - 1) && key < selK(pos - 1)))) pos -= 1
+        if (pos < k) {
+          val last = if (n < k) n else k - 1
+          var j = last
+          while (j > pos) { selS(j) = selS(j - 1); selK(j) = selK(j - 1); j -= 1 }
+          selS(pos) = s
+          selK(pos) = key
+          if (n < k) n += 1
+        }
+        i += 1
+      }
+      d += 1
+    }
+    val rows = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](selK(j), selS(j)))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Distinct character n-grams, codepoint-aware via UTF8String. */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
@@ -490,6 +536,60 @@ case class WordShinglesAll(child: Expression, n: Int)
 
 /** Distinct character n-grams of a string (language-ID / char-level
   * near-dup signal). Codepoint-aware via UTF8String substring. */
+/** Per-row top-k selection over a broadcast day-calendar (the x61
+  * kernel): children are the interval's [unix_date(d0), unix_date(d1)];
+  * the per-day top-k candidate lists ride as reference objects (the
+  * TopCentroids discipline — bounded days × k data, never per-row
+  * literals), and the whole selection is one JVM call inside
+  * whole-stage codegen — no join, no shuffle, no interpreted
+  * higher-order functions (a transform/array_sort composition of the
+  * same logic is CodegenFallback and measured ~10x slower). */
+case class IntervalTopK(left: Expression, right: Expression,
+                        ptKeys: IndexedSeq[IndexedSeq[Long]],
+                        scores: IndexedSeq[IndexedSeq[Double]],
+                        minUd: Int, k: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pt_key", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "interval_topk"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, IntegerType) =>
+        if (k >= 1 && ptKeys.length == scores.length) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires k >= 1 and aligned calendars")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (INT, INT) day bounds, got $other")
+    }
+
+  @transient private lazy val pkArr: Array[Array[Long]] =
+    ptKeys.map(_.toArray).toArray
+  @transient private lazy val scArr: Array[Array[Double]] =
+    scores.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeOps.intervalTopK(a.asInstanceOf[Int], b.asInstanceOf[Int],
+      pkArr, scArr, minUd, k)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val pkRef = ctx.addReferenceObj("ptKeys", pkArr, "long[][]")
+    val scRef = ctx.addReferenceObj("scores", scArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.intervalTopK(" +
+        s"$a, $b, $pkRef, $scRef, $minUd, $k);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Canonical text normalization (NFC + casefold + whitespace collapse)
   * — the projection a corpus runs before exact/near dedup so trivially
   * different encodings of one document collapse. One JVM kernel call
@@ -870,6 +970,11 @@ object NativeExpressions {
     column(CharShingles(expression(text), n))
   def normalizeText(text: Column): Column =
     column(NormalizeText(expression(text)))
+  def intervalTopK(ud0: Column, ud1: Column, ptKeys: Array[Array[Long]],
+                   scores: Array[Array[Double]], minUd: Int, k: Int): Column =
+    column(IntervalTopK(expression(ud0), expression(ud1),
+      ptKeys.map(_.toIndexedSeq).toIndexedSeq,
+      scores.map(_.toIndexedSeq).toIndexedSeq, minUd, k))
   def substringHits(text: Column, patterns: Seq[String]): Column =
     column(SubstringHits(expression(text), patterns))
   def interleaveBits(a: Column, b: Column, bits: Int): Column =

@@ -103,6 +103,57 @@ object IntervalJoin {
         col("score"))
   }
 
+  /** Broadcast-calendar form of [[topKPointsPerInterval]] — the plan
+    * x61 actually runs, and the scale path whenever the DAY-TOP-K table
+    * is bounded. The join form ships every surviving (interval, point)
+    * pair through a shuffle — |intervals| × days-per-window × k rows no
+    * matter how it is ranked (window or heap; both were measured at
+    * ~5s/sf0.1 against this form's ~0.5s). But after the per-day
+    * pre-reduction the point side is AT MOST |days| × k rows — a
+    * codebook-class artifact (ten years of days at k=3 is ~11k entries),
+    * the same bounded-collect discipline as the IVF codebook and the
+    * PageRank dangling-mass scalar. So: reduce per day distributed,
+    * collect the calendar once, embed it as a map literal, and the
+    * whole query collapses to a SHUFFLE-FREE projection over intervals
+    * — `sequence` over the window's days, one map lookup each, one
+    * in-row array sort of <= days × k candidates, slice k. Zero joins,
+    * zero aggregation over interval-point pairs.
+    *
+    * `points`: (d DATE, pt_key LONG, score DOUBLE), pt_key NON-NULL,
+    * ascending order = the tie-break. Cell-identical to the window form
+    * (JoinsSpec). Falls back to [[topKPointsPerInterval]] when the
+    * calendar outgrows a broadcast (unbounded day domain). */
+  def topKPointsPerIntervalBroadcast(intervals: DataFrame, points: DataFrame,
+                                     k: Int): DataFrame = {
+    require(k > 0, s"topKPointsPerIntervalBroadcast: k=$k")
+    // distributed per-day top-k, then ONE bounded collect (days × k)
+    val dayTop = points
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("d")).orderBy(col("score").desc, col("pt_key"))))
+      .filter(col("_r") <= k)
+      .select(unix_date(col("d")).as("ud"), col("pt_key"), col("score"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // dense day-indexed arrays riding as codegen reference objects (a
+    // literal MAP would linear-scan per lookup; literal-array HOF
+    // compositions are CodegenFallback — both measured 2-8x slower)
+    val (minUd, maxUd) =
+      if (dayTop.isEmpty) (0, -1)
+      else (dayTop.map(_._1).min, dayTop.map(_._1).max)
+    val byDay = dayTop.groupBy(_._1)
+    val days = (minUd to maxUd).map(ud =>
+      byDay.getOrElse(ud, Array.empty[(Int, Long, Double)]))
+    val ptKeys: Array[Array[Long]] = days.map(_.map(_._2).toArray).toArray
+    val scores: Array[Array[Double]] = days.map(_.map(_._3).toArray).toArray
+    intervals
+      .withColumn("_top", graft.functions.expressions.NativeExpressions
+        .intervalTopK(unix_date(col("d0")), unix_date(col("d1")),
+          ptKeys, scores, minUd, k))
+      .select(col("id"), posexplode(col("_top")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.pt_key").as("pt_key"), col("col.score").as("score"))
+  }
+
   /** x59's point filter and bin width, shared with both SQL twins. The
     * synthetic windows span 0..28 days, so a 7-day bin keeps interval
     * replication <= 5 rows. */
@@ -131,9 +182,16 @@ object IntervalJoin {
   /** x61's cut, shared with both SQL twins. */
   private[graft] val TopKPerInterval: Int = 3
 
+  /** pt_key encoding for lineitem points: orderkey * 1000 + linenumber
+    * — order-preserving for the (pt_orderkey, pt_linenumber) tie-break
+    * while linenumber < 1000 (TPC-H linenumbers are 1..7). */
+  private[graft] val PtKeyStride = 1000L
+
   /** x61: for every order window (x59's intervals), the top-3 most
     * expensive high-quantity shipments inside it — the general-payload
-    * face of the binned interval join. */
+    * face of the interval join, on the broadcast-calendar plan
+    * ([[topKPointsPerIntervalBroadcast]]; the window form is the
+    * spec-checked reference twin). */
   def topKIntervalQuery(spark: SparkSession, dir: String): DataFrame = {
     val iv = Tables.load(spark, dir, "orders").select(
       col("o_orderkey").as("id"),
@@ -143,11 +201,13 @@ object IntervalJoin {
     val pts = Tables.load(spark, dir, "lineitem")
       .filter(col("l_quantity") >= PointQuantityMin)
       .select(to_date(col("l_shipdate")).as("d"),
-        col("l_orderkey").as("pt_orderkey"),
-        col("l_linenumber").as("pt_linenumber"),
+        (col("l_orderkey") * PtKeyStride + col("l_linenumber")).as("pt_key"),
         col("l_extendedprice").as("score"))
-    topKPointsPerInterval(iv, pts, BinDays, TopKPerInterval)
-      .withColumnRenamed("id", "o_orderkey")
+    topKPointsPerIntervalBroadcast(iv, pts, TopKPerInterval)
+      .select(col("id").as("o_orderkey"), col("rank"),
+        expr(s"pt_key div $PtKeyStride").as("pt_orderkey"),
+        (col("pt_key") % PtKeyStride).as("pt_linenumber"),
+        col("score"))
       .orderBy(col("o_orderkey"), col("rank"))
   }
 }

@@ -391,5 +391,21 @@ class JoinsSpec extends SparkSpec {
         .as[(Long, Int, Long, Long, Double)].collect().toSeq
       assert(got == expected, s"binDays=$binDays drifted from the BETWEEN+rank join")
     }
+    // the broadcast-calendar plan (what x61 runs) is cell-identical
+    val ptsKeyed = pts.select($"d",
+      ($"pt_orderkey" * IntervalJoin.PtKeyStride + $"pt_linenumber").as("pt_key"),
+      $"score")
+    val viaCal = IntervalJoin.topKPointsPerIntervalBroadcast(iv, ptsKeyed, k = 3)
+      .select($"id", $"rank",
+        expr(s"pt_key div ${IntervalJoin.PtKeyStride}").as("pt_orderkey"),
+        ($"pt_key" % IntervalJoin.PtKeyStride).as("pt_linenumber"), $"score")
+      .orderBy($"id", $"rank")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(viaCal == expected, "broadcast-calendar plan drifted from the window form")
+    // and it is shuffle-free over the interval side: no Exchange above
+    // the orders scan (the one job in the plan is the calendar collect)
+    val plan = IntervalJoin.topKPointsPerIntervalBroadcast(iv, ptsKeyed, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free projection:\n$plan")
   }
 }
