@@ -299,6 +299,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
   }
 
+  test("x61: broadcast-calendar selection — no join, no pre-explode shuffle, kernel in codegen") {
+    val p = plan("x61_interval_topk")
+    assert(!p.contains("Join"), s"x61 should not join at all:\n$p")
+    assert(p.contains("interval_topk"), s"native kernel missing:\n$p")
+    assert(!p.contains("CodegenFallback"), s"kernel fell out of codegen:\n$p")
+    // the only Exchange is the final presentation sort's range
+    // partitioning — the selection itself is a pure projection
+    assert("Exchange".r.findAllIn(p).size == 1, s"extra shuffle in the selection:\n$p")
+  }
+
   test("x59: the interval join is a binned EQUI join, never a nested loop") {
     val p = plan("x59_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
