@@ -113,11 +113,15 @@ object IntervalJoin {
     * codebook-class artifact (ten years of days at k=3 is ~11k entries),
     * the same bounded-collect discipline as the IVF codebook and the
     * PageRank dangling-mass scalar. So: reduce per day distributed,
-    * collect the calendar once, embed it as a map literal, and the
-    * whole query collapses to a SHUFFLE-FREE projection over intervals
-    * — `sequence` over the window's days, one map lookup each, one
-    * in-row array sort of <= days × k candidates, slice k. Zero joins,
-    * zero aggregation over interval-point pairs.
+    * collect the calendar once, and the whole query collapses to a
+    * SHUFFLE-FREE projection over intervals — the native
+    * [[graft.functions.expressions.IntervalTopK]] kernel walks the
+    * window's day slots (dense array index, O(1) per day) and
+    * insertion-selects the k best in one JVM call per row. Zero joins,
+    * zero aggregation over interval-point pairs. (Two rejected
+    * encodings, measured: a literal MAP linear-scans per element_at —
+    * 38s at sf0.1; a transform/array_sort HOF composition is
+    * CodegenFallback — 12.5s; the kernel runs 1.5s.)
     *
     * `points`: (d DATE, pt_key LONG, score DOUBLE), pt_key NON-NULL,
     * ascending order = the tie-break. Cell-identical to the window form
