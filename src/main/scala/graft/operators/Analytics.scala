@@ -159,17 +159,42 @@ object Analytics {
     * (x28's prescription) and the scans pipeline map-side. */
   def madOutliers(rows: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: java.math.BigDecimal = new java.math.BigDecimal("4.4478"))
-      : DataFrame = {
+      : DataFrame =
+    madGate(rows.filter(col(valueCol).isNotNull),
+      madBaselineOf(rows, groupCols, valueCol), groupCols, valueCol, k)
+
+  /** Frozen (group, med, mad) baseline for [[madGate]]: two percentile
+    * passes over a reference corpus, persisted as a |groups|-row
+    * artifact — the MAD counterpart of [[momentsOf]]. */
+  def madBaselineOf(rows: DataFrame, groupCols: Seq[String],
+                    valueCol: String): DataFrame = {
     val keys = groupCols.map(col)
     val nn = rows.filter(col(valueCol).isNotNull)
     val med = nn.groupBy(keys: _*)
       .agg(dec(percentile(col(valueCol), lit(0.5))).as("med"))
-    val dev = nn.join(broadcast(med), groupCols)
+    nn.join(broadcast(med), groupCols)
       .withColumn("_dev", abs(dec(col(valueCol)) - col("med")))
-    val mad = dev.groupBy(keys: _*)
-      .agg(dec(percentile(col("_dev").cast("double"), lit(0.5))).as("mad"))
-    dev.join(broadcast(mad), groupCols)
-      .filter(col("_dev") > lit(k).cast("decimal(18,4)") * col("mad"))
+      .groupBy(keys: _*)
+      .agg(first(col("med")).as("med"),
+        dec(percentile(col("_dev").cast("double"), lit(0.5))).as("mad"))
+  }
+
+  /** Score rows against a precomputed [[madBaselineOf]] artifact: keep
+    * rows with |x - med| > k × MAD, deviation attached. Broadcast join
+    * — the scored side never shuffles (and may be a streaming frame),
+    * the [[flagOutliers]] contract with medians. `flagUnseen` emits
+    * rows whose group is absent from the frozen baseline (null dev)
+    * instead of dropping them — the live-gate default. */
+  def madGate(rows: DataFrame, baseline: DataFrame, groupCols: Seq[String],
+              valueCol: String,
+              k: java.math.BigDecimal = new java.math.BigDecimal("4.4478"),
+              flagUnseen: Boolean = false): DataFrame = {
+    val dev = abs(dec(col(valueCol)) - col("med"))
+    val hit = dev > lit(k).cast("decimal(18,4)") * col("mad")
+    val unseen = col("mad").isNull
+    rows.join(broadcast(baseline), groupCols, "left")
+      .filter(if (flagUnseen) unseen || hit else hit)
+      .withColumn("_dev", dev)
   }
 
   /** x60: MAD-flagged outlier events, robust twin of x33. */

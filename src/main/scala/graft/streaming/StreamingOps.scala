@@ -638,6 +638,23 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming median/MAD outlier gate (x60's face): scores live rows
+    * against a FROZEN per-group (med, mad) baseline
+    * ([[graft.operators.Analytics.madBaselineOf]] over a reference
+    * corpus, persisted as a |groups|-row artifact) via a stream-static
+    * broadcast join — stateless, no backpressure, the [[anomalyStream]]
+    * discipline with the breakdown-resistant statistics. Matches batch
+    * [[graft.operators.Analytics.madGate]] on replay with the same
+    * baseline (spec-proven). `flagUnseen` defaults ON, as for the
+    * z-score gate: a frozen baseline meeting a never-seen group should
+    * surface it, not drop it. */
+  def madStream(stream: DataFrame, baseline: DataFrame, groupCol: String,
+                valueCol: String,
+                k: java.math.BigDecimal = new java.math.BigDecimal("4.4478"),
+                flagUnseen: Boolean = true): DataFrame =
+    graft.operators.Analytics.madGate(stream, baseline, Seq(groupCol), valueCol,
+      k, flagUnseen)
+
   // --------------------- streaming interval attribution (x59's face) --
 
   /** Streaming face of the binned interval join: each arriving point

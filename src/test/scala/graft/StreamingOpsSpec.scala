@@ -217,6 +217,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MAD gate equals batch x60 on replay against a frozen baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+    // frozen baseline: med/mad of the full corpus, round-tripped through
+    // parquet (the persisted-artifact contract)
+    val bPath = java.nio.file.Files.createTempDirectory("madbase").toString
+    Analytics.madBaselineOf(events, Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(bPath)
+    val baseline = spark.read.parquet(bPath)
+    val batch = Analytics
+      .madGate(events.filter($"value".isNotNull), baseline, Seq("event_type"), "value")
+      .select($"event_id").as[Long].collect().toSet
+    assert(batch.nonEmpty, "fixture has no MAD outliers — vacuous test")
+    // and the full-corpus baseline reproduces x60 exactly
+    val viaQuery = Analytics.madOutlierQuery(spark, sf("sf0.001"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(batch == viaQuery, "frozen-baseline gate drifted from x60")
+
+    val rows = events.select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    val stream = MemoryStream[(Long, String, Option[Double])]
+    val q = StreamingOps.madStream(
+        stream.toDF().toDF("event_id", "event_type", "value"),
+        baseline, "event_type", "value")
+      .select($"event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mad_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("mad_out").as[Long].collect().toSeq
+      assert(streamed.size == streamed.toSet.size, "a row was emitted twice")
+      assert(streamed.toSet == batch,
+        s"missing: ${batch -- streamed.toSet}; extra: ${streamed.toSet -- batch}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals batch x16 on replay") {
     implicit val sqlCtx = spark.sqlContext
     // the x16 configuration: src0/src1 slices are the held-out reference,
