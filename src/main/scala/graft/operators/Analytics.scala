@@ -113,11 +113,8 @@ object Analytics {
     * `percentile_approx` exactly as x28's scaladoc prescribes. */
   def winsorize(rows: DataFrame, groupCols: Seq[String], valueCol: String,
                 lo: Double, hi: Double): DataFrame = {
-    require(0 <= lo && lo < hi && hi <= 1, s"winsorize: lo=$lo hi=$hi")
     val keys = groupCols.map(col)
-    val bounds = rows.groupBy(keys: _*)
-      .agg(dec(percentile(col(valueCol), lit(lo))).as("p_lo"),
-        dec(percentile(col(valueCol), lit(hi))).as("p_hi"))
+    val bounds = winsorBoundsOf(rows, groupCols, valueCol, lo, hi)
     // nulls are dropped BEFORE the clip: greatest/least skip nulls in
     // BOTH engines, so an unguarded null value would clip to p_lo
     // instead of staying out of the sum. A group that is all nulls
@@ -134,6 +131,35 @@ object Analytics {
         first(col("p_hi")).as("p_hi"),
         sum(least(greatest(col("_v"), col("p_lo")), col("p_hi")))
           .cast("double").as("sum_w"))
+  }
+
+  /** Frozen (group, p_lo, p_hi) clip bounds for [[clipGate]] — the
+    * winsorize counterpart of [[momentsOf]]/[[madBaselineOf]], persisted
+    * as a |groups|-row artifact. */
+  def winsorBoundsOf(rows: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"winsorBoundsOf: lo=$lo hi=$hi")
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(dec(percentile(col(valueCol), lit(lo))).as("p_lo"),
+        dec(percentile(col(valueCol), lit(hi))).as("p_hi"))
+  }
+
+  /** Clip rows against a precomputed [[winsorBoundsOf]] artifact: every
+    * row comes back with `v_w`, its value clipped to the group's frozen
+    * [p_lo, p_hi] (DECIMAL(18,4), the x58 arithmetic). Broadcast join —
+    * the clipped side never shuffles (and may be a streaming frame).
+    * Null values stay null (never clip to a bound); rows whose group is
+    * absent from the baseline pass through UNCLIPPED (v_w = dec(value))
+    * — a clip gate has no grounds to alter a value it has no bounds
+    * for, unlike the outlier gates' flagUnseen which surfaces them. */
+  def clipGate(rows: DataFrame, bounds: DataFrame, groupCols: Seq[String],
+               valueCol: String): DataFrame = {
+    val v = dec(col(valueCol))
+    rows.join(broadcast(bounds), groupCols, "left")
+      .withColumn("v_w",
+        when(col(valueCol).isNull, lit(null).cast(graft.core.Determinism.Dec))
+          .when(col("p_lo").isNull, v)
+          .otherwise(least(greatest(v, col("p_lo")), col("p_hi"))))
   }
 
   /** x58's clip points, shared with both SQL twins. */

@@ -655,6 +655,18 @@ object StreamingOps {
     graft.operators.Analytics.madGate(stream, baseline, Seq(groupCol), valueCol,
       k, flagUnseen)
 
+  /** Streaming winsorize clip gate (x58's live form): every arriving
+    * row gets `v_w`, its value clipped to its group's FROZEN [p_lo,
+    * p_hi] bounds ([[graft.operators.Analytics.winsorBoundsOf]] over a
+    * reference corpus) via a stream-static broadcast join — stateless,
+    * the third frozen-baseline gate alongside [[anomalyStream]] and
+    * [[madStream]]. Unseen groups pass through unclipped (the
+    * [[graft.operators.Analytics.clipGate]] contract). Matches the
+    * batch gate on replay (spec-proven). */
+  def clipStream(stream: DataFrame, bounds: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.Analytics.clipGate(stream, bounds, Seq(groupCol), valueCol)
+
   // --------------------- streaming interval attribution (x59's face) --
 
   /** Streaming face of the binned interval join: each arriving point

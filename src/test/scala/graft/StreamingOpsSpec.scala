@@ -256,6 +256,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clip gate equals the batch clip; winsorized sum matches x58") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+    val bPath = java.nio.file.Files.createTempDirectory("clipbounds").toString
+    Analytics.winsorBoundsOf(events, Seq("event_type"), "value",
+        Analytics.WinsorLo, Analytics.WinsorHi)
+      .write.mode("overwrite").parquet(bPath)
+    val bounds = spark.read.parquet(bPath)
+    val batchClip = Analytics
+      .clipGate(events, bounds, Seq("event_type"), "value")
+      .select($"event_id", $"v_w".cast("double")).as[(Long, Option[Double])]
+      .collect().toMap
+    // non-vacuous: something actually clips
+    val raw = events.select($"event_id", $"value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(batchClip.exists { case (id, vw) => vw != raw(id) })
+    // the gate's clipped sum IS x58's sum_w (same arithmetic, frozen
+    // bounds == in-query bounds on the same corpus)
+    val viaGate = Analytics.clipGate(events.filter($"value".isNotNull),
+        bounds, Seq("event_type"), "value")
+      .groupBy($"event_type").agg(sum($"v_w").cast("double").as("s"))
+      .as[(String, Double)].collect().toMap
+    val viaX58 = Analytics.winsorQuery(spark, sf("sf0.001"))
+      .select($"event_type", $"sum_w").as[(String, Double)].collect().toMap
+    assert(viaGate == viaX58, "gate sum drifted from x58")
+
+    val rows = events.select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    val stream = MemoryStream[(Long, String, Option[Double])]
+    val q = StreamingOps.clipStream(
+        stream.toDF().toDF("event_id", "event_type", "value"),
+        bounds, "event_type", "value")
+      .select($"event_id", $"v_w".cast("double"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clip_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("clip_out")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(streamed == batchClip,
+        s"diffs: ${batchClip.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals batch x16 on replay") {
     implicit val sqlCtx = spark.sqlContext
     // the x16 configuration: src0/src1 slices are the held-out reference,
