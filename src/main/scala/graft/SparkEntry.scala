@@ -190,6 +190,9 @@ object SparkEntry {
     // x62: canonical text normalization (native NFC/casefold/whitespace
     // kernel) — the pre-dedup projection, DuckDB nfc_normalize twin.
     "x62_normalize"       -> (TextAnalysis.normalizeQuery _),
+    // x63: per-document OOV counts vs the corpus top-50 vocabulary —
+    // the tokenizer/corpus coverage metric (broadcast vocab semi-join).
+    "x63_oov"             -> (TextAnalysis.oovQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -313,6 +313,7 @@ object ExtrasOracle {
     "x59_interval_join" -> intervalJoinSql,
     "x60_mad_outliers" -> madOutlierSql,
     "x61_interval_topk" -> intervalTopKSql,
+    "x63_oov" -> oovSql,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -820,6 +821,25 @@ object ExtrasOracle {
        |SELECT i.o_orderkey, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits
        |FROM iv i LEFT JOIN hits USING (o_orderkey)
        |ORDER BY o_orderkey""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.oovQuery: same top-N vocabulary cut
+    * ((cnt desc, term) total order), same exact integer counts. */
+  private def oovSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+       |    ORDER BY c DESC, term LIMIT ${TextAnalysis.OovVocabN})),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_iv FROM toks
+       |  WHERE term IN (SELECT term FROM vocab) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) - coalesce(n_iv, 0) AS BIGINT) AS n_oov
+       |FROM documents d LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of IntervalJoin.topKIntervalQuery: BETWEEN join +
     * row_number over the (score desc, point id) total order. */

@@ -539,6 +539,23 @@ object RelationalSql {
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x63_oov" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, term FROM documents
+         |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS term),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, COUNT(1) AS c FROM toks GROUP BY term
+         |    ORDER BY c DESC, term LIMIT ${TextAnalysis.OovVocabN})),
+         |hits AS (
+         |  SELECT doc_id, COUNT(1) AS n_iv FROM toks
+         |  WHERE term IN (SELECT term FROM vocab) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+         |  CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)
+         |    - coalesce(n_iv, 0L) AS n_oov
+         |FROM documents d LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "x21_pack" ->
       """WITH t AS (

@@ -527,6 +527,45 @@ object TextAnalysis {
   def ngramLmQuery(spark: SparkSession, dir: String): DataFrame =
     ngramLm(Tables.load(spark, dir, "documents"), NgramLmTopN)
 
+  // --------------------------------------------- vocabulary coverage
+
+  /** x63's vocabulary size, shared with both SQL twins. */
+  private[graft] val OovVocabN: Int = 50
+
+  /** Vocabulary-coverage report: per document, how many tokens fall
+    * OUTSIDE the corpus's top-`vocabN` terms by total count — the
+    * out-of-vocabulary rate a tokenizer/corpus report tracks (high OOV
+    * share → the vocabulary or the document is wrong for the other).
+    * Counts are exact integers, cell-exact cross-engine; the vocabulary
+    * cut is the (cnt desc, term) total order.
+    *
+    * Scale shape: two scans by construction (a frozen vocabulary needs
+    * a full pass before any document can be scored): pass 1 is a
+    * two-phase count agg + TakeOrderedAndProject top-N; pass 2 explodes
+    * tokens once, semi-joins the BROADCAST vocabulary (N rows), and
+    * collapses per doc — the corpus never shuffles on the term key in
+    * pass 2. For a production pipeline the vocabulary persists and
+    * pass 1 amortizes to zero (the frozen-baseline-gate discipline). */
+  def oovReport(docs: DataFrame, vocabN: Int): DataFrame = {
+    require(vocabN > 0, s"oovReport: vocabN=$vocabN")
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("term")).limit(vocabN)
+      .select("term")
+    val hits = toks.join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_n_iv"))
+    docs.select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_oov", col("n_tokens") - coalesce(col("_n_iv"), lit(0L)))
+      .drop("_n_iv")
+  }
+
+  /** x63: per-document OOV counts against the corpus top-50 vocabulary. */
+  def oovQuery(spark: SparkSession, dir: String): DataFrame =
+    oovReport(Tables.load(spark, dir, "documents"), OovVocabN)
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------- text normalization
 
   /** Canonical text image ([[graft.functions.expressions.NativeOps

@@ -1464,6 +1464,24 @@ class ExtrasSpec extends SparkSpec {
     assert(exact == sloppy, "false positives leaked through the exact verify")
   }
 
+  test("x63: OOV counts match a hand computation; vocabulary cut is the (cnt desc, term) order") {
+    // corpus counts: a=4, b=3, c=2, d=1, e=1 → vocab(3) = {a, b, c}
+    // (d and e tie at 1 but fall below the cut; cut ties break by term)
+    val d = Seq((1L, "a a b c d"), (2L, "a b e"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovReport(d, vocabN = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L, 1L), (2L, 3L, 1L), (3L, 3L, 0L)))
+    // tie AT the cut: vocab(4) takes d (term order) over e
+    val out4 = TextAnalysis.oovReport(d, vocabN = 4)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out4 == Seq((1L, 5L, 0L), (2L, 3L, 1L), (3L, 3L, 0L)))
+    // empty doc: zero tokens, zero OOV, still reported
+    val withEmpty = TextAnalysis.oovReport(
+        d.unionByName(Seq((4L, "")).toDF("doc_id", "text")), vocabN = 3)
+      .filter($"doc_id" === 4L).as[(Long, Long, Long)].collect().toSeq
+    assert(withEmpty == Seq((4L, 0L, 0L)))
+  }
+
   test("x55: persisted decontamination index round-trips and gates batches with zero rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("decontam_idx").toString
     val all = Tables.load(spark, sf("sf0.001"), "documents")
