@@ -193,6 +193,10 @@ object SparkEntry {
     // x63: per-document OOV counts vs the corpus top-50 vocabulary —
     // the tokenizer/corpus coverage metric (broadcast vocab semi-join).
     "x63_oov"             -> (TextAnalysis.oovQuery _),
+    // x64: sorted-neighborhood (SNM) blocking — the third near-dup
+    // candidate strategy (normalize-sort, rank-window pairs, x46's
+    // exact Jaccard accept); skew-immune candidate count by design.
+    "x64_snm_pairs"       -> (Dedup.snmQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -314,6 +314,7 @@ object ExtrasOracle {
     "x60_mad_outliers" -> madOutlierSql,
     "x61_interval_topk" -> intervalTopKSql,
     "x63_oov" -> oovSql,
+    "x64_snm_pairs" -> snmSql,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -821,6 +822,37 @@ object ExtrasOracle {
        |SELECT i.o_orderkey, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits
        |FROM iv i LEFT JOIN hits USING (o_orderkey)
        |ORDER BY o_orderkey""".stripMargin
+
+  /** DuckDB twin of Dedup.snmQuery: the same sort key (the x62
+    * nfc_normalize image), rank-window candidates, and x46's exact
+    * integer Jaccard accept test. Every multiply-referenced CTE is
+    * MATERIALIZED (the budget discipline). */
+  private def snmSql: String =
+    s"""WITH ranked AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')),
+      |               doc_id) AS rk
+      |  FROM documents),
+      |cand AS MATERIALIZED (
+      |  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2
+      |  FROM ranked a JOIN ranked b ON b.rk - a.rk BETWEEN 1 AND ${Dedup.SnmWindow - 1}),
+      |grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents),
+      |       UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+      |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |vint AS MATERIALIZED (
+      |  SELECT c.d1, c.d2, COUNT(*) AS inter
+      |  FROM cand c JOIN grams g1 ON g1.doc_id = c.d1
+      |              JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+      |  GROUP BY 1, 2)
+      |SELECT v.d1, v.d2, CAST(v.inter AS BIGINT) AS inter,
+      |  CAST(s1.n + s2.n - v.inter AS BIGINT) AS uni
+      |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+      |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
+      |ORDER BY d1, d2""".stripMargin
 
   /** DuckDB twin of TextAnalysis.oovQuery: same top-N vocabulary cut
     * ((cnt desc, term) total order), same exact integer counts. */

@@ -535,6 +535,7 @@ object RelationalSql {
     "x59_interval_join" -> intervalJoinSparkSql,
     "x60_mad_outliers" -> madOutlierSparkSql,
     "x61_interval_topk" -> intervalTopKSparkSql,
+    "x64_snm_pairs" -> snmSparkSql,
     "x62_normalize" ->
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
@@ -822,6 +823,33 @@ object RelationalSql {
        |SELECT i.o_orderkey, coalesce(nh, 0L) AS n_hits
        |FROM iv i LEFT JOIN hits USING (o_orderkey)
        |ORDER BY o_orderkey""".stripMargin
+
+  /** Spark-SQL twin of Dedup.snmQuery (x64): the same normalize-sort
+    * key via the registered normalize_text function, rank-window
+    * candidates (non-equi rank join — the declarative face; the
+    * DataFrame face explodes offsets into an equi-join), and x46's
+    * integer Jaccard accept. */
+  private def snmSparkSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY normalize_text(text), doc_id) AS rk
+       |  FROM documents),
+       |cand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2
+       |  FROM ranked a JOIN ranked b ON b.rk - a.rk BETWEEN 1 AND ${Dedup.SnmWindow - 1}),
+       |grams AS (
+       |  SELECT doc_id, gram FROM documents
+       |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+       |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
+       |vint AS (
+       |  SELECT c.d1, c.d2, COUNT(1) AS inter
+       |  FROM cand c JOIN grams g1 ON g1.doc_id = c.d1
+       |              JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+       |  GROUP BY c.d1, c.d2)
+       |SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
+       |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+       |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
+       |ORDER BY d1, d2""".stripMargin
 
   /** Spark-SQL twin of IntervalJoin.topKIntervalQuery (x61): the
     * declarative BETWEEN join + window rank (same nested-loop caveat as

@@ -1482,6 +1482,31 @@ class ExtrasSpec extends SparkSpec {
     assert(withEmpty == Seq((4L, 0L, 0L)))
   }
 
+  test("x64: SNM finds planted adjacent near-dups; window bounds the reach") {
+    import graft.operators.Sampling
+    // a near-dup differing only at the TAIL sorts adjacent to its
+    // original under the normalize key — SNM's home case
+    val base = docs.limit(40)
+    val dups = base.limit(5).select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" zzz")).as("text"))
+    val corpus = base.select($"doc_id", $"text").unionByName(dups)
+    val pairs = Dedup.sortedNeighborhoodPairs(corpus)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val planted = base.limit(5).select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted dups: ${planted -- pairs}")
+    // w bounds the reach: with w = 2 only rank-adjacent pairs can appear
+    val ranked = Sampling.denseIds(
+        corpus.select($"doc_id",
+          graft.functions.expressions.NativeExpressions.normalizeText($"text").as("_sk")),
+        Seq($"_sk", $"doc_id"), "_rk")
+      .select($"doc_id", $"_rk").as[(Long, Long)].collect().toMap
+    val w2 = Dedup.sortedNeighborhoodPairs(corpus, w = 2)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(w2.forall { case (a, b) => math.abs(ranked(a) - ranked(b)) == 1 },
+      "w=2 emitted a non-adjacent pair")
+  }
+
   test("x55: persisted decontamination index round-trips and gates batches with zero rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("decontam_idx").toString
     val all = Tables.load(spark, sf("sf0.001"), "documents")
