@@ -546,13 +546,36 @@ object TextAnalysis {
     * collapses per doc — the corpus never shuffles on the term key in
     * pass 2. For a production pipeline the vocabulary persists and
     * pass 1 amortizes to zero (the frozen-baseline-gate discipline). */
-  def oovReport(docs: DataFrame, vocabN: Int): DataFrame = {
-    require(vocabN > 0, s"oovReport: vocabN=$vocabN")
-    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("_c"))
+  def oovReport(docs: DataFrame, vocabN: Int): DataFrame =
+    oovGate(docs, corpusVocab(docs, vocabN))
+
+  /** Pass 1 of [[oovReport]]: the corpus top-`vocabN` terms by total
+    * count on the (cnt desc, term) total order — persist this and feed
+    * [[oovGate]] to amortize the vocabulary scan to zero. */
+  def corpusVocab(docs: DataFrame, vocabN: Int): DataFrame = {
+    require(vocabN > 0, s"corpusVocab: vocabN=$vocabN")
+    docs.select(explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c"))
       .orderBy(col("_c").desc, col("term")).limit(vocabN)
       .select("term")
-    val hits = toks.join(broadcast(vocab), Seq("term"), "left_semi")
+  }
+
+  /** x63: per-document OOV counts against the corpus top-50 vocabulary. */
+  def oovQuery(spark: SparkSession, dir: String): DataFrame =
+    oovReport(Tables.load(spark, dir, "documents"), OovVocabN)
+      .orderBy(col("doc_id"))
+
+  /** [[oovReport]]'s scoring pass against a FROZEN one-column `term`
+    * vocabulary (persist [[oovReport]]'s pass-1 cut, or any external
+    * vocab): per doc, total and out-of-vocabulary token counts. The
+    * scored side never shuffles on terms (broadcast semi-join) and
+    * carries no state — usable on a streaming frame as-is, the fourth
+    * frozen-baseline gate. Equals [[oovReport]] when fed its own
+    * corpus vocabulary (spec-asserted). */
+  def oovGate(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .join(broadcast(vocab.select("term")), Seq("term"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("_n_iv"))
     docs.select(col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_tokens"))
@@ -560,11 +583,6 @@ object TextAnalysis {
       .withColumn("n_oov", col("n_tokens") - coalesce(col("_n_iv"), lit(0L)))
       .drop("_n_iv")
   }
-
-  /** x63: per-document OOV counts against the corpus top-50 vocabulary. */
-  def oovQuery(spark: SparkSession, dir: String): DataFrame =
-    oovReport(Tables.load(spark, dir, "documents"), OovVocabN)
-      .orderBy(col("doc_id"))
 
   // --------------------------------------------- text normalization
 

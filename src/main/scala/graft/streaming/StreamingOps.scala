@@ -667,6 +667,32 @@ object StreamingOps {
                  valueCol: String): DataFrame =
     graft.operators.Analytics.clipGate(stream, bounds, Seq(groupCol), valueCol)
 
+  /** Streaming OOV gate (x63's live form): score each arriving document
+    * against a FROZEN vocabulary ([[graft.operators.TextAnalysis
+    * .corpusVocab]] persisted once, or any external vocab) — same
+    * output schema and values as [[graft.operators.TextAnalysis
+    * .oovGate]] on replay (spec-asserted). The batch gate's
+    * doc-side self-join is not streamable, so this face rides the
+    * [[decontaminateStream]] shape instead: explode_outer the tokens
+    * (zero-token docs stay in the report), mark vocabulary hits via a
+    * broadcast left join, collapse in ONE streaming aggregate whose
+    * grouping key carries n_tokens. Run in UPDATE mode; each doc emits
+    * its final counts in its arrival batch. The static vocabulary is
+    * persist()ed — the stream-static join re-executes its static
+    * sub-plan per micro-batch. */
+  def oovStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.wsTokens
+    val v = vocab.select(col("term")).withColumn("_hit", lit(1L)).persist()
+    docs.select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+        explode_outer(wsTokens(col("text"))).as("term"))
+      .join(broadcast(v), Seq("term"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("_n_iv"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("_n_iv")).as("n_oov"))
+  }
+
   // --------------------- streaming interval attribution (x59's face) --
 
   /** Streaming face of the binned interval join: each arriving point

@@ -303,6 +303,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OOV gate equals batch x63 on replay against a frozen vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    // the frozen-vocab gate reproduces x63 exactly on the same corpus
+    // (at sf0.001 the top-50 vocab covers every token — fine for the
+    // identity check, vacuous for the OOV path, hence the small vocab
+    // below for the streaming half)
+    val viaGate = TextAnalysis
+      .oovGate(docs, TextAnalysis.corpusVocab(docs, TextAnalysis.OovVocabN))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaQuery = TextAnalysis.oovQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaGate == viaQuery, "frozen-vocab gate drifted from x63")
+    // a 10-term vocabulary leaves real OOV mass — the gate's live case
+    val vPath = java.nio.file.Files.createTempDirectory("vocab").toString
+    TextAnalysis.corpusVocab(docs, 10).write.mode("overwrite").parquet(vPath)
+    val vocab = spark.read.parquet(vPath)
+    val batch = TextAnalysis.oovGate(docs, vocab)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 > 0), "vacuous: nothing out-of-vocabulary")
+
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.oovStream(stream.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("oov_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("oov_out").as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing: ${batch -- streamed}; extra: ${streamed -- batch}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals batch x16 on replay") {
     implicit val sqlCtx = spark.sqlContext
     // the x16 configuration: src0/src1 slices are the held-out reference,
