@@ -268,6 +268,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: SNM pairs equal a from-scratch recompute on random corpora") {
+    val docGen = Gen.listOfN(10, Gen.oneOf("ant", "bee", "cat", "dog"))
+      .map(_.mkString(" "))
+    forAllSamples(Gen.zip(Gen.listOfN(12, docGen), Gen.choose(2, 5)), n = 6) {
+      case (texts, w) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = graft.operators.Dedup.sortedNeighborhoodPairs(docs, w)
+          .select($"d1", $"d2", $"inter", $"uni")
+          .as[(Long, Long, Int, Int)].collect().toSet
+        // from scratch: texts are already normal (lowercase, single
+        // spaces), so the sort key is the text itself
+        val ranked = texts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+          .sorted.map(_._2).zipWithIndex.map { case (id, r) => (r, id) }
+        def shingles(t: String) =
+          t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+            .map(_.mkString(" ")).toSet
+        val expected = (for {
+          (ra, ida) <- ranked
+          (rb, idb) <- ranked
+          if rb > ra && rb - ra <= w - 1
+          sa = shingles(texts(ida.toInt))
+          sb = shingles(texts(idb.toInt))
+          if sa.nonEmpty && sb.nonEmpty
+          inter = (sa intersect sb).size
+          uni = (sa union sb).size
+          if 2 * inter >= uni
+        } yield (math.min(ida, idb), math.max(ida, idb), inter, uni)).toSet
+        assert(got == expected, s"texts=$texts w=$w")
+    }
+  }
+
   test("property: winsorize equals a from-scratch recompute on random groups") {
     def dec4(d: Double) =
       BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
