@@ -132,25 +132,32 @@ object NativeOps {
 
   /** Canonical text image for dedup/fingerprinting: NFC-normalize
     * (composed forms — "Café" typed either way compares equal),
-    * lowercase (Locale.ROOT — no Turkish-i surprises), collapse runs
-    * of RE2-`\s` whitespace ([\t\n\f\r ] — matched exactly so the
-    * DuckDB regexp twin agrees byte-for-byte) to one space, trim. */
+    * lowercase codepoint-by-codepoint (`Character.toLowerCase` — the
+    * SIMPLE, context-free Unicode case mapping; `String.toLowerCase`
+    * would be context-SENSITIVE, mapping a trailing Greek Σ to final
+    * sigma ς where DuckDB's utf8proc `lower` — also a simple per-
+    * codepoint map — produces σ, so the twins would diverge on Greek
+    * text), collapse runs of RE2-`\s` whitespace ([\t\n\f\r ] — matched
+    * exactly so the DuckDB regexp twin agrees byte-for-byte) to one
+    * space, trim. */
   def normalizeText(s: UTF8String): UTF8String = {
     val norm = java.text.Normalizer
       .normalize(s.toString, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(norm.length)
     var i = 0
     var pendingSpace = false
     while (i < norm.length) {
-      val c = norm.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+      val cp = norm.codePointAt(i)
+      // lowercase first is safe either way: no codepoint lowercases
+      // INTO the \s class, and \s chars are caseless
+      val lc = Character.toLowerCase(cp)
+      if (lc == ' ' || lc == '\t' || lc == '\n' || lc == '\f' || lc == '\r') {
         pendingSpace = sb.length() > 0
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
+        sb.appendCodePoint(lc)
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

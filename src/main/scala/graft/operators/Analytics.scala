@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Determinism.{dec, dsum}
+import graft.core.Determinism.{dec, decOut, dsum}
 import graft.core.Tables
 
 /** Warehouse-style analytics operators: SCD type-2 history build from a
@@ -73,15 +73,17 @@ object Analytics {
   /** Exact interpolated percentiles of `valueCol` per group — one
     * two-phase hash agg. Results go through DECIMAL(18,4) (both engines
     * interpolate over the same sorted doubles; the decimal image makes
-    * the cross-engine compare exact, same discipline as dsum). */
+    * the cross-engine compare exact, same discipline as dsum), then
+    * widen to the hash-safe presentation type ([[graft.core.Determinism.decOut]]
+    * — narrow output decimals serialize differently across engines). */
   def percentileRollup(rows: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       s"percentileRollup: bad percentile spec $ps")
     rows.groupBy(groupCols.map(col): _*)
-      .agg(dec(percentile(col(valueCol), lit(ps.head._2))).as(ps.head._1),
+      .agg(decOut(dec(percentile(col(valueCol), lit(ps.head._2)))).as(ps.head._1),
         ps.tail.map { case (name, p) =>
-          dec(percentile(col(valueCol), lit(p))).as(name)
+          decOut(dec(percentile(col(valueCol), lit(p)))).as(name)
         }: _*)
   }
 
@@ -127,8 +129,10 @@ object Analytics {
       .agg(count(col("_v")).as("n"),
         count(when(col("_v") < col("p_lo"), 1)).as("n_lo"),
         count(when(col("_v") > col("p_hi"), 1)).as("n_hi"),
-        first(col("p_lo")).as("p_lo"),
-        first(col("p_hi")).as("p_hi"),
+        // bounds widen to the hash-safe presentation decimal ON OUTPUT
+        // only — the clip above compared the exact DECIMAL(18,4) images
+        decOut(first(col("p_lo"))).as("p_lo"),
+        decOut(first(col("p_hi"))).as("p_hi"),
         sum(least(greatest(col("_v"), col("p_lo")), col("p_hi")))
           .cast("double").as("sum_w"))
   }
@@ -320,7 +324,9 @@ object Analytics {
     rows.join(broadcast(moments), Seq(groupCol), "left")
       .filter(if (flagUnseen) unseen || abs(v - mean) > lit(k) * std
               else abs(v - mean) > lit(k) * std)
-      .withColumn("z", dec((v - mean) / std))
+      // z rounds at DECIMAL(18,4) (cross-engine exact), then widens to
+      // the hash-safe presentation decimal — same value, stable hash
+      .withColumn("z", decOut(dec((v - mean) / std)))
       .drop("_s1", "_s2", "_n")
   }
 

@@ -164,14 +164,24 @@ object Dedup {
     * source self-duplicates. Plan: the verified pairs (small by
     * construction) join the two doc->source sides, then one tiny agg —
     * the corpus-sized work is all inside [[verifiedNearDupPairs]]'s
-    * already-audited shape. */
+    * already-audited shape. A pipeline that has already run x46 should
+    * persist the pairs ([[saveVerifiedPairs]]) and feed
+    * [[contaminationFromPairs]] instead — the matrix is then a
+    * sub-second join over the artifact, not a corpus recompute. */
   def contaminationMatrix(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                           minInter: Int = 2,
-                          jaccardThreshold: Double = 0.5): DataFrame = {
-    val pairs = verifiedNearDupPairs(docs, n, maxDf, minInter, jaccardThreshold)
-      .select(col("d1"), col("d2"))
+                          jaccardThreshold: Double = 0.5): DataFrame =
+    contaminationFromPairs(
+      verifiedNearDupPairs(docs, n, maxDf, minInter, jaccardThreshold), docs)
+
+  /** The matrix tail shared by the inline form and the artifact path:
+    * pairs (d1, d2, ...) × doc→source, normalized so (a,b) and (b,a)
+    * land in one cell. `pairs` may be [[verifiedNearDupPairs]] output or
+    * a [[loadVerifiedPairs]] frame — the two are row-identical by the
+    * round-trip spec. */
+  def contaminationFromPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    pairs
+    pairs.select(col("d1"), col("d2"))
       .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
       .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
       // order within the cell so (a,b) and (b,a) land in one bucket
@@ -180,6 +190,29 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Persist the x46 accept set — the verify pass is the expensive leg
+    * (gram pipeline + exact Jaccard over candidate shingles), and every
+    * downstream consumer (x52's matrix, cluster builds, kill-lists) only
+    * needs the four narrow columns. Same build-once discipline as the
+    * BM25 postings / MinHash buckets / decontam grams+bloom; atomic
+    * publish so readers never see a torn write. Caller contract: load
+    * implies the same (n, maxDf, minInter, threshold) used to save. */
+  def saveVerifiedPairs(docs: DataFrame, path: String, n: Int = 3,
+                        maxDf: Int = 20, minInter: Int = 2,
+                        jaccardThreshold: Double = 0.5,
+                        hashGrams: Boolean = false): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      verifiedNearDupPairs(docs, n, maxDf, minInter, jaccardThreshold, hashGrams)
+        .select(col("d1"), col("d2"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The persisted x46 accept set, ready for [[contaminationFromPairs]]
+    * or any other pair-level consumer. */
+  def loadVerifiedPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   def contaminationQuery(spark: SparkSession, dir: String): DataFrame =
     contaminationMatrix(Tables.load(spark, dir, "documents"))
@@ -331,18 +364,22 @@ object Dedup {
     * the held-out corpus — the same persistence discipline as the BM25
     * postings, the MinHash bucket index, and the IVF codebook. The
     * sketch is built FROM the written grams, so the two files cannot
-    * drift. Caller contract: load with the same (k, hashGrams) used to
-    * save. */
+    * drift; the pair publishes ATOMICALLY (staging dir + rename,
+    * [[graft.core.Artifacts.publishAtomic]]) so a failed save can never
+    * leave new grams under a stale bloom — the one mix that would let
+    * the prefilter produce false negatives. Caller contract: load with
+    * the same (k, hashGrams) used to save. */
   def saveDecontamIndex(reference: DataFrame, path: String, k: Int = 4,
                         hashGrams: Boolean = false,
                         expectedItems: Long = 1L << 20,
-                        fpp: Double = 0.03): Unit = {
-    referenceGrams(reference, k, hashGrams)
-      .write.mode("overwrite").parquet(s"$path/grams")
-    val written = reference.sparkSession.read.parquet(s"$path/grams")
-    bloomOf(written, expectedItems, fpp)
-      .write.mode("overwrite").parquet(s"$path/bloom")
-  }
+                        fpp: Double = 0.03): Unit =
+    graft.core.Artifacts.publishAtomic(reference.sparkSession, path) { tmp =>
+      referenceGrams(reference, k, hashGrams)
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+      val written = reference.sparkSession.read.parquet(s"$tmp/grams")
+      bloomOf(written, expectedItems, fpp)
+        .write.mode("overwrite").parquet(s"$tmp/bloom")
+    }
 
   /** [[decontaminateBloom]] against a persisted index: row-identical to
     * the direct form for the same reference and (k, hashGrams)

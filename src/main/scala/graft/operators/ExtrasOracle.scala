@@ -579,7 +579,10 @@ object ExtrasOracle {
        |ORDER BY doc_id, rank""".stripMargin
 
   /** DuckDB twin of Sessionize.sessionQuery: identical lag/cumsum window
-    * pair, microsecond epoch diffs, decimal-summed values. */
+    * pair, microsecond epoch diffs, decimal-summed values. The windowed
+    * SUM is cast to BIGINT: DuckDB widens SUM(int) OVER to HUGEINT,
+    * which the driver's hasher serializes differently from Spark's
+    * BIGINT even though every value fits int64 (the r8 x24 hash fail). */
   private def sessionSql: String =
     s"""WITH o AS (
        |  SELECT user_id, event_id, ts, value,
@@ -590,8 +593,8 @@ object ExtrasOracle {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |s AS (
        |  SELECT user_id, ts, value,
-       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |  FROM o)
        |SELECT user_id, session_idx, COUNT(*) AS n_events,
        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -932,7 +935,10 @@ object ExtrasOracle {
        |  CAST(COUNT(v) AS BIGINT) AS n,
        |  CAST(COUNT(CASE WHEN v < p_lo THEN 1 END) AS BIGINT) AS n_lo,
        |  CAST(COUNT(CASE WHEN v > p_hi THEN 1 END) AS BIGINT) AS n_hi,
-       |  ANY_VALUE(p_lo) AS p_lo, ANY_VALUE(p_hi) AS p_hi,
+       |  -- bounds widen to the hash-safe DECIMAL(38,4) ON OUTPUT only;
+       |  -- the clip compared the exact DECIMAL(18,4) images above
+       |  CAST(ANY_VALUE(p_lo) AS DECIMAL(38,4)) AS p_lo,
+       |  CAST(ANY_VALUE(p_hi) AS DECIMAL(38,4)) AS p_hi,
        |  -- DuckDB's least/greatest promote DECIMAL args to DOUBLE; the
        |  -- clipped value IS one of three DECIMAL(18,4)s (each exact in
        |  -- double), so casting back before the SUM restores the exact
@@ -940,9 +946,14 @@ object ExtrasOracle {
        |  CAST(SUM(CAST(least(greatest(v, p_lo), p_hi) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The DECIMAL(18,4) image is the exact arithmetic; the outer
+    * DECIMAL(38,4) is the hash-safe presentation type — DuckDB backs
+    * p ≤ 18 decimals with int64 and the driver's hasher serializes
+    * those differently from Spark's decimals (the r8 x28/x33/x58 hash
+    * fails; wide decimals are proven safe by q02). */
   private def percentileSql: String = {
     val cols = Analytics.percentileSpec.map { case (name, p) =>
-      s"CAST(quantile_cont(value, $p) AS DECIMAL(18,4)) AS $name"
+      s"CAST(CAST(quantile_cont(value, $p) AS DECIMAL(18,4)) AS DECIMAL(38,4)) AS $name"
     }.mkString(",\n  ")
     s"""SELECT event_type,
        |  $cols
@@ -998,7 +1009,9 @@ object ExtrasOracle {
       |    COUNT(value) AS n
       |  FROM events GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
-      |  CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4)) AS z
+      |  -- inner cast = exact rounding; outer = hash-safe wide decimal
+      |  CAST(CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4))
+      |       AS DECIMAL(38,4)) AS z
       |FROM events e JOIN s USING (event_type)
       |WHERE abs(e.value - s1/n) > """.stripMargin +
       s"${Analytics.AnomalyK} * sqrt(s2/n - (s1/n)*(s1/n))\nORDER BY event_id"

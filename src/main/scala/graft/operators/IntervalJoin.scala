@@ -125,21 +125,60 @@ object IntervalJoin {
     *
     * `points`: (d DATE, pt_key LONG, score DOUBLE), pt_key NON-NULL,
     * ascending order = the tie-break. Cell-identical to the window form
-    * (JoinsSpec). Falls back to [[topKPointsPerInterval]] when the
-    * calendar outgrows a broadcast (unbounded day domain). */
+    * (JoinsSpec).
+    *
+    * The scale guard is SELF-ENFORCING: the collect is capped at
+    * `maxCalendarEntries` rows (a `limit` rides the same job, so an
+    * over-bound domain can never flood the driver), and the dense
+    * [min-day, max-day] slot array — which grows with the SPAN, so one
+    * stray far-past/future date (bad data) would inflate it past the
+    * days-with-data count — is held to the same bound. Either trip
+    * delegates to [[topKPointsPerIntervalJoin]] (`fallbackBinDays`
+    * buckets), the distributed form with identical output. */
   def topKPointsPerIntervalBroadcast(intervals: DataFrame, points: DataFrame,
-                                     k: Int): DataFrame = {
-    require(k > 0, s"topKPointsPerIntervalBroadcast: k=$k")
-    // distributed per-day top-k, then ONE bounded collect (days × k)
-    val dayTop = points
+                                     k: Int,
+                                     maxCalendarEntries: Int = 1 << 20,
+                                     fallbackBinDays: Int = 7): DataFrame =
+    collectDayCalendar(points, k, maxCalendarEntries) match {
+      case Some(dayTop) => calendarKernelProject(intervals, dayTop, k)
+      case None => topKPointsPerIntervalJoin(intervals, points, fallbackBinDays, k)
+    }
+
+  /** Distributed per-day top-k, then ONE bounded collect (days × k,
+    * limit-capped so the driver never sees more than the bound + 1
+    * rows). Returns None when the entry count OR the dense day SPAN
+    * exceeds `maxEntries` — the caller picks the distributed plan. Also
+    * the x61 streaming face's frozen-calendar builder
+    * ([[graft.streaming.StreamingOps.intervalTopKStream]]). */
+  private[graft] def collectDayCalendar(points: DataFrame, k: Int,
+                                        maxEntries: Int)
+      : Option[Array[(Int, Long, Double)]] = {
+    require(k > 0 && maxEntries > 0,
+      s"collectDayCalendar: k=$k maxEntries=$maxEntries")
+    val dayTopDf = points
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("d")).orderBy(col("score").desc, col("pt_key"))))
       .filter(col("_r") <= k)
       .select(unix_date(col("d")).as("ud"), col("pt_key"), col("score"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val head = dayTopDf.limit(maxEntries + 1).collect()
+    if (head.length > maxEntries) return None
+    val dayTop = head.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val (minUd, maxUd) =
+      if (dayTop.isEmpty) (0, -1)
+      else (dayTop.map(_._1).min, dayTop.map(_._1).max)
+    // the dense slot array grows with the SPAN, not days-with-data — one
+    // stray far-past/future date would inflate it, so span trips too
+    if (maxUd.toLong - minUd >= maxEntries) None else Some(dayTop)
+  }
+
+  /** The shuffle-free kernel projection over a collected calendar —
+    * stateless per interval row, so it serves batch AND streaming
+    * interval frames identically. */
+  private[graft] def calendarKernelProject(intervals: DataFrame,
+                                           dayTop: Array[(Int, Long, Double)],
+                                           k: Int): DataFrame = {
     // dense day-indexed arrays riding as codegen reference objects (a
-    // literal MAP would linear-scan per lookup; literal-array HOF
+    // literal MAP would linear-scan per element_at; literal-array HOF
     // compositions are CodegenFallback — both measured 2-8x slower)
     val (minUd, maxUd) =
       if (dayTop.isEmpty) (0, -1)
@@ -156,6 +195,35 @@ object IntervalJoin {
       .select(col("id"), posexplode(col("_top")))
       .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.pt_key").as("pt_key"), col("col.score").as("score"))
+  }
+
+  /** The distributed join form over the broadcast kernel's compact
+    * (d DATE, pt_key LONG, score DOUBLE) point schema — the automatic
+    * fallback when the day calendar outgrows [[topKPointsPerIntervalBroadcast]]'s
+    * bound. Same two-stage top-k as [[topKPointsPerInterval]] (per-day
+    * pre-reduction, bucket equi-join, per-interval re-rank), same output
+    * columns and types as the kernel path, so the guard can switch plans
+    * without the caller noticing anything but the shuffle. */
+  def topKPointsPerIntervalJoin(intervals: DataFrame, points: DataFrame,
+                                binDays: Int, k: Int): DataFrame = {
+    require(binDays > 0 && k > 0, s"topKPointsPerIntervalJoin: binDays=$binDays k=$k")
+    def bin(d: org.apache.spark.sql.Column) =
+      floor(unix_date(d).cast("long").cast("double") / binDays).cast("long")
+    val order = Seq(col("score").desc, col("pt_key"))
+    val dayTop = points
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("d")).orderBy(order: _*)))
+      .filter(col("_r") <= k).drop("_r")
+      .withColumn("_bin", bin(col("d")))
+    intervals
+      .withColumn("_bin", explode(sequence(bin(col("d0")), bin(col("d1")))))
+      .join(dayTop, Seq("_bin"))
+      .filter(col("d").between(col("d0"), col("d1")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("int").as("rank"), col("pt_key"),
+        col("score"))
   }
 
   /** x59's point filter and bin width, shared with both SQL twins. The

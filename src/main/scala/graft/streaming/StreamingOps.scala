@@ -682,7 +682,12 @@ object StreamingOps {
     * sub-plan per micro-batch. */
   def oovStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis.wsTokens
-    val v = vocab.select(col("term")).withColumn("_hit", lit(1L)).persist()
+    // distinct() before the _hit marker: the batch gate's left_semi join
+    // is set-semantics, but this face COUNTS hits — a vocabulary frame
+    // with duplicate term rows ("any external vocab" is the contract)
+    // would double-count _n_iv and could drive n_oov negative
+    val v = vocab.select(col("term")).distinct()
+      .withColumn("_hit", lit(1L)).persist()
     docs.select(col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_tokens"),
         explode_outer(wsTokens(col("text"))).as("term"))
@@ -723,6 +728,31 @@ object StreamingOps {
       .filter(col("d").between(col("d0"), col("d1")))
       .drop("_bin", "d0", "d1")
   }
+
+  /** Streaming face of the interval TOP-K (x61's live form): each
+    * arriving interval row (id, d0 DATE, d1 DATE) gets its top-k points
+    * from a FROZEN day-calendar built once over a static point corpus —
+    * the fourth frozen-baseline gate alongside the x58/x60/x63 shapes.
+    * The calendar ([[graft.operators.IntervalJoin.collectDayCalendar]])
+    * is the same bounded days × k artifact the batch broadcast plan
+    * collects, and the projection is the same stateless codegen kernel,
+    * so replay equals batch CELL-FOR-CELL (spec-asserted) and the gate
+    * adds no state, watermark, or backpressure. Over-bound calendars
+    * FAIL FAST: the batch fallback is a window-over-interval-id join,
+    * which Structured Streaming cannot run — silently switching plans
+    * would break the query at start-up anyway, so the bound violation
+    * surfaces as the error. */
+  def intervalTopKStream(intervals: DataFrame, points: DataFrame, k: Int,
+                         maxCalendarEntries: Int = 1 << 20): DataFrame =
+    graft.operators.IntervalJoin
+      .collectDayCalendar(points, k, maxCalendarEntries) match {
+      case Some(cal) =>
+        graft.operators.IntervalJoin.calendarKernelProject(intervals, cal, k)
+      case None => throw new IllegalArgumentException(
+        s"intervalTopKStream: day calendar exceeds $maxCalendarEntries " +
+          "entries/span — the distributed fallback is not streamable; " +
+          "raise the bound or gate batches with topKPointsPerIntervalJoin")
+    }
 
   // ------------------------ streaming token budget (x56's face) ------
 

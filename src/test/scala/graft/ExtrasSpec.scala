@@ -1524,6 +1524,60 @@ class ExtrasSpec extends SparkSpec {
       s"expected the persisted index in the plan:\n$plan")
   }
 
+  test("x46/x52: persisted verified-pairs artifact round-trips; matrix from pairs equals inline") {
+    val tmp = java.nio.file.Files.createTempDirectory("vpairs").toString + "/pairs"
+    val corpus = Tables.load(spark, sf("sf0.001"), "documents")
+    Dedup.saveVerifiedPairs(corpus, tmp)
+    val inlinePairs = Dedup.verifiedNearDupPairs(corpus)
+      .select($"d1", $"d2", $"inter".cast("long"), $"uni".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val loaded = Dedup.loadVerifiedPairs(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(loaded == inlinePairs, "artifact round-trip drifted from the inline accept set")
+    // x52 fed from the artifact == x52 recomputing the pipeline
+    val inlineMatrix = Dedup.contaminationMatrix(corpus)
+      .orderBy($"source_a", $"source_b")
+      .as[(String, String, Long)].collect().toSeq
+    val viaArtifact = Dedup
+      .contaminationFromPairs(Dedup.loadVerifiedPairs(spark, tmp), corpus)
+      .orderBy($"source_a", $"source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(viaArtifact == inlineMatrix, "artifact-fed matrix drifted from the inline form")
+    // and the artifact path's plan reads PARQUET, not the gram pipeline
+    val plan = Dedup
+      .contaminationFromPairs(Dedup.loadVerifiedPairs(spark, tmp), corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(tmp), s"expected the persisted pairs in the plan:\n$plan")
+    assert(!plan.toLowerCase.contains("shingle"),
+      s"artifact path should never re-run the gram pipeline:\n$plan")
+  }
+
+  test("atomic index publish: a failed save leaves the previous artifact fully intact") {
+    val base = java.nio.file.Files.createTempDirectory("atomic_idx").toString + "/idx"
+    val all = Tables.load(spark, sf("sf0.001"), "documents")
+    val isRef = col("source").isin("src0", "src1")
+    Dedup.saveDecontamIndex(all.filter(isRef), base)
+    val before = Dedup.decontaminateWithIndex(all.filter(!isRef), base)
+      .orderBy($"doc_id").collect().toSeq
+    // a save that dies mid-write (here: corrupt reference frame fails the
+    // gram job) must not touch the published index — no new-grams/stale-
+    // bloom mix, which would silently re-admit contamination
+    val poison = all.filter(isRef)
+      .withColumn("text", udf((s: String) => {
+        throw new RuntimeException("simulated executor failure"); s: String
+      }).apply($"text"))
+    intercept[Exception] { Dedup.saveDecontamIndex(poison, base) }
+    val after = Dedup.decontaminateWithIndex(all.filter(!isRef), base)
+      .orderBy($"doc_id").collect().toSeq
+    assert(after == before, "failed save corrupted the published index")
+    // and a subsequent good save still succeeds (staging dir was not leaked
+    // in a state that blocks the next publish)
+    Dedup.saveDecontamIndex(all.filter(isRef), base)
+    val republished = Dedup.decontaminateWithIndex(all.filter(!isRef), base)
+      .orderBy($"doc_id").collect().toSeq
+    assert(republished == before)
+  }
+
   test("x55: the bloom probe is in the executed plan (prefilter not optimized away)") {
     val plan = Dedup.decontaminateBloomQuery(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

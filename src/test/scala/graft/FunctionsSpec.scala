@@ -412,4 +412,19 @@ class FunctionsSpec extends SparkSpec {
     // SQL name registered by GraftExtensions
     assert(spark.sql("SELECT normalize_text('  A  B ')").head().getString(0) == "a b")
   }
+
+  test("normalize_text lowercases per CODEPOINT (simple mapping), matching utf8proc") {
+    import graft.functions.expressions.NativeExpressions.normalizeText
+    // the two cases where Java's context-sensitive String.toLowerCase
+    // diverges from DuckDB's utf8proc lower (both simple per-codepoint):
+    //   trailing Greek Σ  — String.toLowerCase → ς, simple map → σ
+    //   Turkish İ (U+0130) — String.toLowerCase(ROOT) → i+U+0307, simple → i
+    val rows = Seq("ΟΔΟΣ", "İstanbul", "𝐀 math bold A")
+      .toDF("s").select(normalizeText($"s").as("n")).as[String].collect().toSeq
+    assert(rows(0) == "οδοσ", s"expected simple-mapped sigma, got ${rows(0)}")
+    assert(rows(1) == "istanbul", s"expected bare i for U+0130, got ${rows(1)}")
+    // supplementary-plane codepoints survive the codePointAt walk intact
+    // (MATHEMATICAL BOLD CAPITAL A has no lowercase mapping — unchanged)
+    assert(rows(2) == "𝐀 math bold a")
+  }
 }

@@ -408,4 +408,44 @@ class JoinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected a shuffle-free projection:\n$plan")
   }
+
+  test("broadcast-calendar guard: over-bound domains fall back to the join form, same rows") {
+    val dir = sf("sf0.001")
+    val iv = Tables.load(spark, dir, "orders").select(
+      $"o_orderkey".as("id"),
+      to_date($"o_orderdate").as("d0"),
+      date_add(to_date($"o_orderdate"), ($"o_orderkey" % 29).cast("int")).as("d1"))
+    val ptsKeyed = Tables.load(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 48.0)
+      .select(to_date($"l_shipdate").as("d"),
+        ($"l_orderkey" * IntervalJoin.PtKeyStride + $"l_linenumber").as("pt_key"),
+        $"l_extendedprice".as("score"))
+    val kernel = IntervalJoin.topKPointsPerIntervalBroadcast(iv, ptsKeyed, k = 3)
+      .orderBy($"id", $"rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(kernel.nonEmpty)
+
+    // trip 1: entry count — a 4-entry cap is far below this calendar
+    val viaEntryTrip = IntervalJoin.topKPointsPerIntervalBroadcast(
+      iv, ptsKeyed, k = 3, maxCalendarEntries = 4)
+    assert(viaEntryTrip.queryExecution.executedPlan.toString.contains("Exchange"),
+      "expected the DISTRIBUTED join plan after the entry-count trip")
+    val gotEntry = viaEntryTrip.orderBy($"id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(gotEntry == kernel, "fallback join form drifted from the kernel path")
+
+    // trip 2: dense SPAN — one stray far-future point keeps the entry
+    // count tiny but stretches [min day, max day] past the bound (the
+    // bad-data shape that would otherwise inflate the driver array)
+    val stray = Seq((java.sql.Date.valueOf("2247-01-01"), 1L, 0.0001))
+      .toDF("d", "pt_key", "score")
+    val withStray = ptsKeyed.union(stray)
+    val viaSpanTrip = IntervalJoin.topKPointsPerIntervalBroadcast(
+      iv, withStray, k = 3, maxCalendarEntries = 50000)
+    assert(viaSpanTrip.queryExecution.executedPlan.toString.contains("Exchange"),
+      "expected the DISTRIBUTED join plan after the span trip")
+    // the stray point is outside every interval, so rows are unchanged
+    val gotSpan = viaSpanTrip.orderBy($"id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(gotSpan == kernel, "span-trip fallback drifted from the kernel path")
+  }
 }

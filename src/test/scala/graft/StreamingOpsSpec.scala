@@ -340,6 +340,76 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OOV gate is immune to duplicate vocabulary rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // "any external vocab" is the contract — a vocab frame with repeated
+    // term rows must not double-count hits (the failure mode: counted
+    // _n_iv inflates and n_oov goes negative, diverging from the batch
+    // gate's set-semantics semi-join)
+    val docs = Seq((1L, "a b c d"), (2L, "a a a")).toDF("doc_id", "text")
+    val dupVocab = Seq("a", "a", "a", "b").toDF("term")
+    val clean = TextAnalysis.oovGate(docs, dupVocab.distinct())
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.oovStream(stream.toDF().toDF("doc_id", "text"), dupVocab)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("oov_dup_out").start()
+    try {
+      stream.addData(Seq((1L, "a b c d"), (2L, "a a a")))
+      q.processAllAvailable()
+      val streamed = spark.table("oov_dup_out").as[(Long, Long, Long)].collect().toSet
+      assert(streamed.forall(_._3 >= 0), s"negative n_oov: $streamed")
+      assert(streamed == clean, s"duplicate vocab rows changed the report: $streamed vs $clean")
+    } finally q.stop()
+  }
+
+  test("streaming interval top-k gate equals batch x61 on replay against a frozen calendar") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IntervalJoin
+    val dir = sf("sf0.001")
+    val iv = graft.core.Tables.load(spark, dir, "orders").select(
+      $"o_orderkey".as("id"),
+      to_date($"o_orderdate").as("d0"),
+      date_add(to_date($"o_orderdate"),
+        ($"o_orderkey" % IntervalJoin.WindowModDays).cast("int")).as("d1"))
+    val pts = graft.core.Tables.load(spark, dir, "lineitem")
+      .filter($"l_quantity" >= IntervalJoin.PointQuantityMin)
+      .select(to_date($"l_shipdate").as("d"),
+        ($"l_orderkey" * IntervalJoin.PtKeyStride + $"l_linenumber").as("pt_key"),
+        $"l_extendedprice".as("score"))
+    val batch = IntervalJoin
+      .topKPointsPerIntervalBroadcast(iv, pts, IntervalJoin.TopKPerInterval)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val rows = iv.select($"id", unix_date($"d0"), unix_date($"d1"))
+      .as[(Long, Int, Int)].collect().toSeq
+    val stream = MemoryStream[(Long, Int, Int)]
+    val streamIv = stream.toDF().toDF("id", "_ud0", "_ud1")
+      .select($"id", date_from_unix_date($"_ud0").as("d0"),
+        date_from_unix_date($"_ud1").as("d1"))
+    val q = StreamingOps
+      .intervalTopKStream(streamIv, pts, IntervalJoin.TopKPerInterval)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("itopk_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("itopk_out")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"missing: ${(batch -- streamed).take(3)}; extra: ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+    // over-bound calendars fail fast instead of silently planning an
+    // unstreamable window join
+    intercept[IllegalArgumentException] {
+      StreamingOps.intervalTopKStream(streamIv, pts,
+        IntervalJoin.TopKPerInterval, maxCalendarEntries = 4)
+    }
+  }
+
   test("streaming decontamination gate equals batch x16 on replay") {
     implicit val sqlCtx = spark.sqlContext
     // the x16 configuration: src0/src1 slices are the held-out reference,

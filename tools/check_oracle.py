@@ -16,8 +16,10 @@ mode: one exponentially-inlined CTE chain timed out the whole gate and
 zeroed the round's record). --json writes the per-query outcome as a
 committable artifact (CORRECTNESS_local_rN.json).
 """
+import decimal
 import json
 import math
+import re
 import sys
 import time
 from pathlib import Path
@@ -27,15 +29,46 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Oracle output types the driver's hasher is known to serialize
+# differently from Spark's (r8: the ONLY 4 hash fails were exactly the
+# HUGEINT / DECIMAL(p<=18) oracles; wide decimals and BIGINT are proven
+# safe). Python == is blind to them (Decimal("1.50") == Decimal("1.5"),
+# hugeint == int64), so the gate LINTS the oracle result schema and
+# fails any query that emits one — before value comparison even runs.
+_NARROW_DECIMAL = re.compile(r"DECIMAL\((\d+),\s*\d+\)")
+
+
+def hash_unsafe(duck_type):
+    t = duck_type.upper()
+    if t == "HUGEINT":
+        return "HUGEINT"
+    m = _NARROW_DECIMAL.search(t)
+    if m and int(m.group(1)) <= 18:
+        return t
+    return None
+
 
 def canon(v):
+    """Type-faithful canonical string of a cell — compares the way the
+    driver HASHES (serialization-sensitive), not the way Python == does.
+    Distinguishes int from float from Decimal, preserves decimal scale
+    (Decimal('1.50') != Decimal('1.5')), and normalizes -0.0 to its repr
+    so a sign difference is visible."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
 
 
 def main(sf_dir, out_dir, budget=None, json_out=None):
@@ -59,12 +92,21 @@ def main(sf_dir, out_dir, budget=None, json_out=None):
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
             oracle_sec = round(time.monotonic() - t0, 3)
+            # type LINT on the oracle's own result schema
+            lint = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             record[name] = {"status": "fail", "errs": [f"exception {e}"]}
             n_fail += 1
             continue
         errs = []
+        for cname, ctype, *_ in lint:
+            bad = hash_unsafe(str(ctype))
+            if bad:
+                errs.append(
+                    f"hash-unsafe oracle output type: {cname} is {bad} "
+                    "(cast to BIGINT / DECIMAL(38,s) — driver hashes it "
+                    "differently from Spark even when values match)")
         if sorted(got_cols) != sorted(exp_cols):
             errs.append(f"cols spark={sorted(got_cols)} duck={sorted(exp_cols)}")
         if len(got_rows) != len(exp_rows):
