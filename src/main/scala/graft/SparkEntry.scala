@@ -197,6 +197,27 @@ object SparkEntry {
     // candidate strategy (normalize-sort, rank-window pairs, x46's
     // exact Jaccard accept); skew-immune candidate count by design.
     "x64_snm_pairs"       -> (Dedup.snmQuery _),
+    // x65: the per-source DATA CARD (docs, tokens, langs, dup share,
+    // extremes) plus a TOTAL row from the same scan via rollup.
+    "x65_data_card"       -> (TextAnalysis.dataCardQuery _),
+    // x66: power-of-two length histogram (inference batching prep) —
+    // the bucket is length(bin(n)), integer-exact on both engines.
+    "x66_length_hist"     -> (Sampling.lengthHistQuery _),
+    // x67: per-doc mean bigram log-prob under the corpus's add-one LM —
+    // the KenLM-style perplexity-proxy quality filter, ln through the
+    // x23/x48 6-decimal rounding discipline.
+    "x67_lm_score"        -> (TextAnalysis.lmScoreQuery _),
+    // x68: temperature-balanced source mix at α = 0.5 — keep rate
+    // sqrt(n_min/n_s); division and sqrt are IEEE correctly-rounded, so
+    // the decision thresholds are bit-identical cross-engine.
+    "x68_temp_mix"        -> (Sampling.temperatureMixQuery _),
+    // x69: split-leakage audit — exact-dup text groups straddling two
+    // of x19's splits (train/test answer leakage), md5-keyed groups.
+    "x69_split_leakage"   -> (Sampling.splitLeakageQuery _),
+    // x70: top-100 PMI collocations over the positional bigram table —
+    // the association-mining face of x57 (phrase / tokenizer-merge
+    // discovery), marginals as exact integer window sums.
+    "x70_pmi"             -> (TextAnalysis.pmiQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

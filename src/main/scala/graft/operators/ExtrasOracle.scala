@@ -315,6 +315,12 @@ object ExtrasOracle {
     "x61_interval_topk" -> intervalTopKSql,
     "x63_oov" -> oovSql,
     "x64_snm_pairs" -> snmSql,
+    "x65_data_card" -> dataCardSql,
+    "x66_length_hist" -> lengthHistSql,
+    "x67_lm_score" -> lmScoreSql,
+    "x68_temp_mix" -> temperatureMixSql,
+    "x69_split_leakage" -> splitLeakageSql,
+    "x70_pmi" -> pmiSql,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -444,24 +450,151 @@ object ExtrasOracle {
   private def bucketSql(keySql: String, salt: String): String =
     s"('0x' || substr(md5($keySql || ':$salt'), 1, 8))::BIGINT"
 
-  /** DuckDB twin of Sampling.splitQuery, generated from the SAME
-    * fraction table and threshold arithmetic (cum * 2^32 computed in
-    * this JVM, emitted as an exact double literal) so the two faces
-    * cannot drift. */
-  private def splitSql: String = {
-    val bucket = bucketSql("doc_id::VARCHAR", "graft")
-    val cums = Sampling.splitFractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val whens = Sampling.splitFractions.init.zip(cums.init).map {
-      case ((name, _), cum) =>
-        s"WHEN $bucket < ${cum * Sampling.BucketSpace} THEN '$name'"
+  /** The x19 split assignment as a CASE expression over `keySql` —
+    * generated from the SAME fraction table and threshold arithmetic
+    * (cum * 2^32 computed in this JVM, emitted as an exact double
+    * literal), shared by the x19 listing and the x69 leakage audit so
+    * the two cannot drift. */
+  private def splitCaseSql(keySql: String): String = {
+    val bucket = bucketSql(s"$keySql::VARCHAR", "graft")
+    val whens = Sampling.splitCums.map { case (name, cum) =>
+      s"WHEN $bucket < ${cum * Sampling.BucketSpace} THEN '$name'"
     }.mkString("\n       ")
-    s"""SELECT doc_id,
-       |  CASE WHEN doc_id IS NULL THEN NULL
+    s"""CASE WHEN $keySql IS NULL THEN NULL
        |       $whens
-       |       ELSE '${Sampling.splitFractions.last._1}' END AS split
+       |       ELSE '${Sampling.splitFractions.last._1}' END""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.splitQuery. */
+  private def splitSql: String =
+    s"""SELECT doc_id,
+       |  ${splitCaseSql("doc_id")} AS split
        |FROM documents
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** DuckDB twin of Sampling.splitLeakageQuery (x69): x46's accepted
+    * near-dup pair set (the SHARED verifiedPairsCte, so the accept
+    * semantics cannot drift) × the SAME x19 split CASE applied to each
+    * pair's own ids. */
+  private def splitLeakageSql: String =
+    s"""WITH $verifiedPairsCte,
+       |sp AS (
+       |  SELECT ${splitCaseSql("d1")} AS s1,
+       |         ${splitCaseSql("d2")} AS s2
+       |  FROM vpairs)
+       |SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM sp WHERE s1 <> s2
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.dataCardQuery (x65): same rollup, same
+    * md5 text keys; every SUM/COUNT image cast off HUGEINT (the gate's
+    * hash-unsafe class). */
+  private def dataCardSql: String =
+    """WITH t AS (
+      |  SELECT source, lang, md5(text) AS tk,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+      |  FROM documents)
+      |SELECT coalesce(source, 'TOTAL') AS source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_uniq_texts,
+      |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
+      |  CAST(COUNT(*) - COUNT(DISTINCT tk) AS BIGINT) AS n_dup_docs
+      |FROM t GROUP BY ROLLUP(source)
+      |ORDER BY source""".stripMargin
+
+  /** DuckDB twin of Sampling.lengthHistQuery (x66): the binary-string
+    * length IS floor(log2)+1 — integer-exact, no libm log2 at a
+    * power-of-two boundary. */
+  private def lengthHistSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+      |  FROM documents)
+      |SELECT source, CAST(length(bin(nt)) AS INTEGER) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+      |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens
+      |FROM t GROUP BY 1, 2
+      |ORDER BY source, bucket""".stripMargin
+
+  /** DuckDB twin of Sampling.temperatureMixQuery (x68): same counts,
+    * same α = 0.5 arithmetic — one IEEE division and one sqrt, both
+    * correctly-rounded, so the keep thresholds are bit-identical. */
+  private def temperatureMixSql: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       |m AS (SELECT MIN(n) AS n_min FROM c),
+       |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / n) AS rate
+       |      FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN r USING (source)
+       |WHERE ${bucketSql("d.doc_id::VARCHAR", "temp")} < rate * ${Sampling.BucketSpace}
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.lmScoreQuery (x67): identical add-one
+    * bigram LM, each ln through the 6-decimal rounding discipline, the
+    * per-doc mean an exact decimal dot-product over one double division.
+    * MATERIALIZED per the budget discipline (toks/docbg/corpus are each
+    * referenced more than once). */
+  private def lmScoreSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |bg AS MATERIALIZED (
+      |  SELECT doc_id, w[g] AS w1, w[g+1] AS w2
+      |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+      |docbg AS MATERIALIZED (
+      |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS dc
+      |  FROM bg GROUP BY 1, 2, 3),
+      |corpus AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(SUM(dc) AS BIGINT) AS c12 FROM docbg GROUP BY 1, 2),
+      |ctx AS MATERIALIZED (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM corpus GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT t.term) AS v
+      |      FROM toks, UNNEST(w) AS t(term)),
+      |scored AS (
+      |  SELECT doc_id, dc,
+      |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS lp
+      |  FROM docbg JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+      |per AS (
+      |  SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(dc * lp) AS DOUBLE) / SUM(dc) AS avg_logp
+      |  FROM scored GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, avg_logp
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.pmiQuery (x70): exact integer marginal
+    * window sums; the float image is the SAME expression shape on both
+    * engines — (c12/c1) * (t/c2), each step correctly-rounded — then
+    * the 6-decimal ln discipline. */
+  private def pmiSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT w[g] AS w1, w[g+1] AS w2
+       |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+       |pc AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS t FROM pc),
+       |marg AS (
+       |  SELECT w1, w2, c12,
+       |    CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+       |    CAST(SUM(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2
+       |  FROM pc)
+       |SELECT w1, w2, c12,
+       |  CAST(CAST(round(ln((CAST(c12 AS DOUBLE) / c1) * (CAST(t AS DOUBLE) / c2)), 6)
+       |            AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+       |FROM marg CROSS JOIN tot
+       |WHERE c12 >= ${TextAnalysis.PmiMinCount}
+       |ORDER BY pmi DESC, w1, w2
+       |LIMIT ${TextAnalysis.PmiTopN}""".stripMargin
 
   /** DuckDB twin of Sampling.mixQuery, rates from the SAME map. */
   private def mixSql: String = {

@@ -536,6 +536,12 @@ object RelationalSql {
     "x60_mad_outliers" -> madOutlierSparkSql,
     "x61_interval_topk" -> intervalTopKSparkSql,
     "x64_snm_pairs" -> snmSparkSql,
+    "x65_data_card" -> dataCardSparkSql,
+    "x66_length_hist" -> lengthHistSparkSql,
+    "x67_lm_score" -> lmScoreSparkSql,
+    "x68_temp_mix" -> temperatureMixSparkSql,
+    "x69_split_leakage" -> splitLeakageSparkSql,
+    "x70_pmi" -> pmiSparkSql,
     "x62_normalize" ->
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
@@ -631,19 +637,131 @@ object RelationalSql {
 
   /** Generated from the SAME fraction table and threshold arithmetic as
     * Sampling.splitQuery, so the faces cannot drift. */
-  private def samplingSplitSql: String = {
-    val cums = Sampling.splitFractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val whens = Sampling.splitFractions.init.zip(cums.init).map {
-      case ((name, _), cum) =>
-        s"WHEN ${sparkBucketSql("graft")} < ${cum * Sampling.BucketSpace} THEN '$name'"
+  /** The x19 split CASE over the shared cumulative-threshold table,
+    * parameterized by the id column — reused by the x69 leakage twin on
+    * each pair side. */
+  private def splitCaseSparkSql(keySql: String): String = {
+    val bucket = "CAST(conv(substring(md5(concat(CAST(" + keySql +
+      " AS STRING), ':graft')), 1, 8), 16, 10) AS BIGINT)"
+    val whens = Sampling.splitCums.map { case (name, cum) =>
+      s"WHEN $bucket < ${cum * Sampling.BucketSpace} THEN '$name'"
     }.mkString("\n       ")
-    s"""SELECT doc_id,
-       |  CASE WHEN doc_id IS NULL THEN CAST(NULL AS STRING)
+    s"""CASE WHEN $keySql IS NULL THEN CAST(NULL AS STRING)
        |       $whens
-       |       ELSE '${Sampling.splitFractions.last._1}' END AS split
+       |       ELSE '${Sampling.splitFractions.last._1}' END""".stripMargin
+  }
+
+  private def samplingSplitSql: String =
+    s"""SELECT doc_id,
+       |  ${splitCaseSparkSql("doc_id")} AS split
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL twin of Sampling.splitLeakageQuery (x69) — x46's shared
+    * vpairs CTE, split CASE per pair side. */
+  private def splitLeakageSparkSql: String =
+    s"""WITH $verifiedPairsSparkCte,
+       |sp AS (
+       |  SELECT ${splitCaseSparkSql("d1")} AS s1,
+       |         ${splitCaseSparkSql("d2")} AS s2
+       |  FROM vpairs)
+       |SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+       |       COUNT(1) AS n_pairs
+       |FROM sp WHERE s1 != s2
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
+
+  /** Spark-SQL twin of TextAnalysis.dataCardQuery (x65). */
+  private def dataCardSparkSql: String =
+    """WITH t AS (
+      |  SELECT source, lang, md5(text) AS tk,
+      |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS nt
+      |  FROM documents)
+      |SELECT coalesce(source, 'TOTAL') AS source,
+      |  COUNT(1) AS n_docs,
+      |  SUM(nt) AS n_tokens,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT tk) AS n_uniq_texts,
+      |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
+      |  COUNT(1) - COUNT(DISTINCT tk) AS n_dup_docs
+      |FROM t GROUP BY ROLLUP(source)
+      |ORDER BY source""".stripMargin
+
+  /** Spark-SQL twin of Sampling.lengthHistQuery (x66). */
+  private def lengthHistSparkSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS nt
+      |  FROM documents)
+      |SELECT source, CAST(length(bin(nt)) AS INT) AS bucket,
+      |  COUNT(1) AS n_docs, SUM(nt) AS sum_tokens,
+      |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens
+      |FROM t GROUP BY 1, 2
+      |ORDER BY source, bucket""".stripMargin
+
+  /** Spark-SQL twin of Sampling.temperatureMixQuery (x68). */
+  private def temperatureMixSparkSql: String = {
+    val bucket = "CAST(conv(substring(md5(concat(CAST(d.doc_id AS STRING), " +
+      "':temp')), 1, 8), 16, 10) AS BIGINT)"
+    s"""WITH c AS (SELECT source, COUNT(1) AS n FROM documents GROUP BY source),
+       |m AS (SELECT MIN(n) AS n_min FROM c),
+       |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / n) AS rate
+       |      FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN r USING (source)
+       |WHERE $bucket < rate * ${Sampling.BucketSpace}
+       |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Spark-SQL twin of TextAnalysis.lmScoreQuery (x67) — the injected
+    * word_shingles_all generator for the positional bigrams, then the
+    * same add-one arithmetic and 6-decimal ln image. */
+  private def lmScoreSparkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, substring_index(b, ' ', 1) AS w1,
+      |         substring_index(b, ' ', -1) AS w2
+      |  FROM toks LATERAL VIEW explode(word_shingles_all(w, 2)) t AS b),
+      |docbg AS (SELECT doc_id, w1, w2, COUNT(1) AS dc FROM bg GROUP BY 1, 2, 3),
+      |corpus AS (SELECT w1, w2, SUM(dc) AS c12 FROM docbg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, SUM(c12) AS c1 FROM corpus GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT term) AS v
+      |      FROM toks LATERAL VIEW explode(w) t AS term),
+      |scored AS (
+      |  SELECT doc_id, dc,
+      |    CAST(round(ln(CAST(c12 + 1L AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS lp
+      |  FROM docbg JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+      |per AS (
+      |  SELECT doc_id, SUM(dc) AS n_bigrams,
+      |    CAST(SUM(dc * lp) AS DOUBLE) / SUM(dc) AS avg_logp
+      |  FROM scored GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_bigrams, 0L) AS n_bigrams, avg_logp
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Spark-SQL twin of TextAnalysis.pmiQuery (x70). */
+  private def pmiSparkSql: String =
+    s"""WITH toks AS (
+       |  SELECT filter(split(text, ' '), x -> x != '') AS w FROM documents),
+       |bg AS (
+       |  SELECT substring_index(b, ' ', 1) AS w1, substring_index(b, ' ', -1) AS w2
+       |  FROM toks LATERAL VIEW explode(word_shingles_all(w, 2)) t AS b),
+       |pc AS (SELECT w1, w2, COUNT(1) AS c12 FROM bg GROUP BY 1, 2),
+       |tot AS (SELECT SUM(c12) AS t FROM pc),
+       |marg AS (
+       |  SELECT w1, w2, c12,
+       |    SUM(c12) OVER (PARTITION BY w1) AS c1,
+       |    SUM(c12) OVER (PARTITION BY w2) AS c2
+       |  FROM pc)
+       |SELECT w1, w2, c12,
+       |  CAST(CAST(round(ln((CAST(c12 AS DOUBLE) / c1) * (CAST(t AS DOUBLE) / c2)), 6)
+       |            AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+       |FROM marg CROSS JOIN tot
+       |WHERE c12 >= ${TextAnalysis.PmiMinCount}
+       |ORDER BY pmi DESC, w1, w2
+       |LIMIT ${TextAnalysis.PmiTopN}""".stripMargin
 
   private def samplingMixSql: String = {
     val rates = Sampling.mixRates.toSeq.sortBy(_._1)

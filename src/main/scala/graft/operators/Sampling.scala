@@ -464,6 +464,15 @@ object Sampling {
   private[graft] val splitFractions: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** The non-terminal splits with their cumulative upper bounds — the
+    * CASE-chain inputs shared by [[assignSplit]]'s SQL twins (x19 and
+    * the x69 leakage audit) so the threshold arithmetic has exactly one
+    * definition. */
+  private[graft] val splitCums: Seq[(String, Double)] = {
+    val cums = splitFractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    splitFractions.init.map(_._1).zip(cums.init)
+  }
+
   /** x19: deterministic 80/10/10 train/val/test assignment per doc. */
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -588,4 +597,98 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  // --------------------------------------------- length bucketing (x66)
+
+  /** Power-of-two length bucket of a non-negative token count — the
+    * binary magnitude floor(log2(n))+1 (0 → bucket 1), computed as the
+    * LENGTH OF THE BINARY STRING so it is integer-exact on both engines
+    * (`length(bin(n))`; a float log2 could straddle an exact power of
+    * two differently per libm). Inference batching pads every sequence
+    * in a batch to the batch max, so grouping by binary magnitude bounds
+    * padding waste below 50% per bucket — the standard length-bucketing
+    * prep. */
+  def lengthBucket(nTokens: Column): Column =
+    length(bin(nTokens)).cast("int")
+
+  /** x66: per-(source, bucket) length histogram — doc and token volume
+    * plus the exact extremes. One scan, one two-phase agg; the bucket is
+    * a codegen'd projection. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("_nt"))
+      .withColumn("bucket", lengthBucket(col("_nt")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("sum_tokens"),
+        min(col("_nt")).as("min_tokens"),
+        max(col("_nt")).as("max_tokens"))
+
+  def lengthHistQuery(spark: SparkSession, dir: String): DataFrame =
+    lengthHistogram(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"), col("bucket"))
+
+  // ------------------------------------- temperature-balanced mix (x68)
+
+  /** x68: temperature-balanced source mix at α = 0.5 — the multilingual
+    * sampling standard (downweight head sources so target shares go
+    * ∝ n^α instead of ∝ n): source s keeps at rate sqrt(n_min / n_s),
+    * so the SMALLEST source keeps everything and a source 100× larger
+    * keeps 10%. Deterministic cross-engine BY CONSTRUCTION of α = 0.5:
+    * the rate is one IEEE division and one sqrt, both correctly-rounded
+    * operations, so both engines compute bit-identical rates and the
+    * [[keepAtRate]] decision never sits on an engine-dependent boundary
+    * (a general pow(x, α) is NOT correctly rounded and could differ by
+    * an ulp between libms).
+    *
+    * Scale shape: one tiny count agg (|sources| rows), rates broadcast
+    * back, then a pure filter — the corpus never shuffles. */
+  def temperatureMix(docs: DataFrame, key: Column, salt: String): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val minN = counts.agg(min(col("_n")).as("_n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"),
+        sqrt(col("_n_min").cast("double") / col("_n")).as("_rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(keepAtRate(key, salt, col("_rate")))
+      .drop("_rate")
+  }
+
+  def temperatureMixQuery(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.load(spark, dir, "documents"), col("doc_id"), "temp")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------- split-leakage audit (x69)
+
+  /** x69: the split-hygiene audit a pipeline runs after x19 — for every
+    * unordered split pair, how many VERIFIED near-duplicate pairs
+    * (x46's accept set — or any (d1, d2) pair frame, e.g. a persisted
+    * [[Dedup.loadVerifiedPairs]] artifact) straddle the two sides. A
+    * train/test straddle is answer leakage through a near-copy; the
+    * count should be driven to zero by near-deduplicating BEFORE
+    * splitting, or by splitting on the duplicate-cluster key instead of
+    * the doc id. The split assignment recomputes x19's hash CASE on the
+    * pair's own id columns — no join back to the corpus, so the audit
+    * is a pure projection + tiny agg over the (small by construction)
+    * pair set. */
+  def splitLeakage(pairs: DataFrame, salt: String,
+                   fractions: Seq[(String, Double)]): DataFrame = {
+    val s1 = assignSplit(col("d1"), salt, fractions)
+    val s2 = assignSplit(col("d2"), salt, fractions)
+    pairs.select(s1.as("_s1"), s2.as("_s2"))
+      .filter(col("_s1") =!= col("_s2"))
+      .select(least(col("_s1"), col("_s2")).as("split_a"),
+        greatest(col("_s1"), col("_s2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def splitLeakageQuery(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(
+        Dedup.verifiedNearDupPairs(Tables.load(spark, dir, "documents"))
+          .select(col("d1"), col("d2")),
+        "graft", splitFractions)
+      .orderBy(col("split_a"), col("split_b"))
 }

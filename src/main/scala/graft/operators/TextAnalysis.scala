@@ -607,4 +607,144 @@ object TextAnalysis {
       .groupBy(col("lang"), col("detected"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("detected"))
+
+  // ------------------------------------------------------- data card
+
+  /** x65: the per-source DATA CARD — the one-page corpus summary a
+    * training-data release ships (docs, token volume, language spread,
+    * exact-duplicate share, length extremes), per source plus a TOTAL
+    * row from the same scan via `rollup`. Distinct-text counting keys
+    * on `md5(text)` (identical strings cross-engine), so the shuffle
+    * carries 32-hex keys instead of whole documents — the x44
+    * discipline applied to a distinct-count.
+    *
+    * Scale shape: one corpus scan; rollup = one two-phase agg producing
+    * both grouping sets (the x15 grouping-sets discipline — never a
+    * second scan for the TOTAL row). The distinct-counts make the agg
+    * buffer per-group set-backed; at extreme cardinality swap in
+    * approx_count_distinct (HLL, mergeable — x15's kernel) with the
+    * same call shape. */
+  def dataCard(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), md5(col("text")).as("_tk"),
+        size(wsTokens(col("text"))).cast("long").as("_nt"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("_tk")).as("n_uniq_texts"),
+        min(col("_nt")).as("min_tokens"),
+        max(col("_nt")).as("max_tokens"))
+      .withColumn("source", coalesce(col("source"), lit("TOTAL")))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_uniq_texts"))
+
+  def dataCardQuery(spark: SparkSession, dir: String): DataFrame =
+    dataCard(Tables.load(spark, dir, "documents")).orderBy(col("source"))
+
+  // ---------------------------------------- LM perplexity-proxy score
+
+  /** x67: per-document mean bigram log-probability under the corpus's
+    * own add-one-smoothed bigram LM — the KenLM-style perplexity-proxy
+    * quality filter (docs scoring far below the corpus mean are
+    * boilerplate, noise, or wrong-language; the standard companion to
+    * the x09/x12 heuristic filters). P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)
+    * with V the unigram vocabulary size; each bigram's ln goes through
+    * the x23/x48 determinism discipline (round to 6 decimals into
+    * DECIMAL(18,6)) so the one transcendental cannot flake the
+    * cross-engine compare, and the per-doc mean is an exact decimal
+    * dot-product divided once in double.
+    *
+    * Scale shape: the count tables chain docBg → corpus agg → a context
+    * WINDOW over the vocabulary²-sized aggregate (the x57 discipline —
+    * never a window over per-DOC bigrams, whose hot-bigram partitions
+    * would buffer unboundedly, and never a third aggregate whose
+    * multiply-referenced subtree Catalyst would re-execute); scoring is
+    * ONE keyed join of doc-bigrams to that table. The bigram explode
+    * appears twice in the static plan (both join sides root in docBg —
+    * the no-dedup-of-aggregate-subtrees limitation), but the two
+    * subtrees share their first exchange, which exchange reuse
+    * collapses at runtime. The vocabulary scalar rides a broadcast
+    * cross join (the x48 stats shape). Zero-bigram docs surface with
+    * n_bigrams = 0 and a null score (a report, not a filter). */
+  def lmDocScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), explode(graft.functions.expressions
+        .NativeExpressions.wordShinglesAll(wsTokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("dc"))
+    val corpus = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("dc")).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    val vocab = docs.select(explode(wsTokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val scored = docBg
+      .join(corpus, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("dc"),
+        round(log((col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        (sum(col("dc") * col("lp")).cast("double") / sum(col("dc")))
+          .as("avg_logp"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  def lmScoreQuery(spark: SparkSession, dir: String): DataFrame =
+    lmDocScore(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // --------------------------------------------- PMI collocations
+
+  /** x70's cut and noise floor, shared with both SQL twins. */
+  private[graft] val PmiMinCount: Long = 5L
+  private[graft] val PmiTopN: Int = 100
+
+  /** x70: top-N collocations by pointwise mutual information —
+    * PMI(w1,w2) = ln( P(w1,w2) / (P(w1)P(w2)) ) over the positional
+    * bigram table, the association-mining face of x57's count table
+    * (phrase discovery / tokenizer-merge candidates). Bigrams under
+    * `minCount` are dropped first (PMI's low-frequency pathology).
+    * Determinism: the marginals are exact integer window sums over the
+    * AGGREGATED table; the one float expression is evaluated in the
+    * same shape on both engines — (c12/c1) * (T/c2), each step IEEE
+    * correctly-rounded so the doubles are identical — and the ln goes
+    * through the 6-decimal rounding discipline; ties on the rounded
+    * PMI break on (w1, w2). No i64 overflow at any scale: products
+    * never form, only correctly-rounded double ratios.
+    *
+    * Scale shape: one corpus scan into the (w1,w2) count agg; both
+    * marginals and the total are windows/broadcasts over the
+    * vocabulary-sized table (x57's no-second-scan discipline); the
+    * top-N is a TakeOrderedAndProject on (pmi desc, w1, w2). */
+  def pmiCollocations(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    require(minCount >= 1 && topN > 0, s"pmiCollocations: minCount=$minCount topN=$topN")
+    val pc = docs
+      .select(explode(graft.functions.expressions.NativeExpressions
+        .wordShinglesAll(wsTokens(col("text")), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val tot = pc.agg(sum(col("c12")).as("t"))
+    pc
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy(col("w2"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("c1")) *
+          (col("t").cast("double") / col("c2"))), 6)
+          .cast("decimal(18,6)").cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  def pmiQuery(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.load(spark, dir, "documents"), PmiMinCount, PmiTopN)
 }

@@ -1578,6 +1578,48 @@ class ExtrasSpec extends SparkSpec {
     assert(republished == before)
   }
 
+  test("x65: data card matches a hand computation; TOTAL row from the same rollup") {
+    val d = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s1"), // exact duplicate of 1
+      (3L, "x y", "de", "s1"),
+      (4L, "p q r s", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.dataCard(d).orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("TOTAL", 4L, 12L, 2L, 3L, 2L, 4L, 1L),
+      ("s1", 3L, 8L, 2L, 2L, 2L, 3L, 1L),
+      ("s2", 1L, 4L, 1L, 1L, 4L, 4L, 0L)))
+  }
+
+  test("x67: LM doc score matches a hand computation (add-one, 6-decimal ln image)") {
+    // corpus: bigrams doc1 (a,b); doc2 (a,b),(b,a); doc3 none
+    // counts c(a,b)=2 c(b,a)=1; contexts c(a)=2 c(b)=1; vocab V=3 {a,b,z}
+    // P(b|a) = (2+1)/(2+3) = 0.6; P(a|b) = (1+1)/(1+3) = 0.5
+    val d = Seq((1L, "a b"), (2L, "a b a"), (3L, "z")).toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val e1 = r6(math.log(3.0 / 5)).toDouble
+    val e2 = (r6(math.log(3.0 / 5)) + r6(math.log(2.0 / 4))).toDouble / 2
+    val out = TextAnalysis.lmDocScore(d).orderBy($"doc_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 1L, Some(e1)), (2L, 2L, Some(e2)), (3L, 0L, None)))
+  }
+
+  test("x70: PMI matches a hand computation; rounded ties break on (w1, w2)") {
+    // bigrams: "a b a b" -> (a,b),(b,a),(a,b); "a c" -> (a,c)
+    // c12: ab=2 ba=1 ac=1; T=4; c1: a=3 b=1; c2: b=2 a=1 c=1
+    // pmi(ab) = ln((2/3)*(4/2)) = ln(4/3); pmi(ba) = ln(4); pmi(ac) = ln((1/3)*4)
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.pmiCollocations(d, minCount = 1, topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val pAb = r6(math.log((2.0 / 3) * (4.0 / 2)))
+    val pAc = r6(math.log((1.0 / 3) * (4.0 / 1)))
+    assert(out == Seq(
+      ("b", "a", 1L, r6(math.log((1.0 / 1) * (4.0 / 1)))),
+      ("a", "b", 2L, pAb), ("a", "c", 1L, pAc)))
+  }
+
   test("x55: the bloom probe is in the executed plan (prefilter not optimized away)") {
     val plan = Dedup.decontaminateBloomQuery(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

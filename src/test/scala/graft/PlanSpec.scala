@@ -323,4 +323,41 @@ class PlanSpec extends SparkSpec {
     val naive = a.join(b, $"d".between($"d0", $"d1"))
     assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("x65: the data card (incl. TOTAL row) scans documents exactly once") {
+    val p = plan("x65_data_card")
+    assert("parquet".r.findAllIn(p.toLowerCase).size >= 1)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"rollup should produce both grouping sets from ONE scan:\n$p")
+  }
+
+  test("x68: temperature mix — rates broadcast back, the corpus never shuffles") {
+    val p = plan("x68_temp_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rates should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus side must not shuffle:\n$p")
+  }
+
+  test("x66: length histogram is a two-phase hash agg over a codegen'd bucket projection") {
+    val p = plan("x66_length_hist")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final:\n$p")
+    assert(!p.contains("CodegenFallback"), s"bucket fell out of codegen:\n$p")
+  }
+
+  test("x67/x70: LM marginals are windows over the aggregate, never extra rescans") {
+    // x67's static plan: the bigram explode roots both join sides (the
+    // no-dedup-of-aggregate-subtrees limitation; their shared first
+    // exchange is reused at runtime), plus the vocabulary scalar's scan
+    // and the pruned doc_id report frame — 4 static FileScans, and the
+    // context marginal must NOT add a fifth (it is a window over the
+    // corpus aggregate, not a third aggregate)
+    val p67 = plan("x67_lm_score")
+    assert("FileScan".r.findAllIn(p67).size <= 4, s"corpus rescanned:\n$p67")
+    // x70: the grand-total scalar roots in the same count aggregate as
+    // the marginals (2 static FileScans whose shared partial-agg
+    // exchange is reused at runtime); both marginals are windows, so no
+    // third subtree appears
+    val p70 = plan("x70_pmi")
+    assert("FileScan".r.findAllIn(p70).size <= 2, s"corpus rescanned:\n$p70")
+    assert(p70.contains("TakeOrderedAndProject"), s"top-N should not global-sort:\n$p70")
+  }
 }

@@ -428,4 +428,58 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Boolean)].collect().toSeq
     assert(got == expected)
   }
+
+  test("x66: length buckets are exact binary magnitudes at power-of-two boundaries") {
+    val out = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 127L, 128L).toDF("n")
+      .select(Sampling.lengthBucket($"n")).as[Int].collect().toSeq
+    assert(out == Seq(1, 1, 2, 2, 3, 3, 4, 7, 8))
+    // and the histogram aggregates per (source, bucket) with exact extremes
+    val d = Seq((1L, "s", "a"), (2L, "s", "a b"), (3L, "s", "a b c"),
+      (4L, "t", "a b c d")).toDF("doc_id", "source", "text")
+    val h = Sampling.lengthHistogram(d).orderBy($"source", $"bucket")
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(h == Seq(("s", 1, 1L, 1L, 1L, 1L), ("s", 2, 2L, 5L, 2L, 3L),
+      ("t", 3, 1L, 4L, 4L, 4L)))
+  }
+
+  test("x68: temperature mix keeps the smallest source whole at sqrt-scaled rates") {
+    // counts 4 : 16 → rates sqrt(4/4) = 1.0 and sqrt(4/16) = 0.5
+    val d = ((0L until 4L).map(i => (i, "small")) ++
+      (100L until 116L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(d, $"doc_id", "temp")
+      .select($"doc_id").as[Long].collect().toSet
+    // rate 1.0 keeps every small doc unconditionally
+    assert((0L until 4L).forall(kept), s"small source not fully kept: $kept")
+    // independent recompute of the decisions: pure-JVM md5 arithmetic
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:temp".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = ((0L until 4L) ++
+      (100L until 116L).filter(i => bucket(i) < 0.5 * Sampling.BucketSpace)).toSet
+    assert(kept == expected, s"diff: ${kept.diff(expected)} / ${expected.diff(kept)}")
+  }
+
+  test("x69: straddling pairs are counted per normalized split pair") {
+    // derive each id's actual split, then hand-aggregate the expectation
+    val ids = (0L until 400L)
+    val splits = ids.map(Tuple1(_)).toDF("id")
+      .select($"id", Sampling.assignSplit($"id", "graft", Sampling.splitFractions).as("s"))
+      .as[(Long, String)].collect().toMap
+    // pair consecutive ids — some straddle, some do not
+    val pairRows = ids.sliding(2, 2).map(w => (w(0), w(1))).toSeq
+    val expected = pairRows
+      .map { case (a, b) => (splits(a), splits(b)) }
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sorted
+    assert(expected.nonEmpty, "vacuous: no consecutive-id pair straddles a split")
+    val got = Sampling.splitLeakage(pairRows.toDF("d1", "d2"),
+        "graft", Sampling.splitFractions)
+      .orderBy($"split_a", $"split_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }

@@ -43,12 +43,12 @@ class SqlSurfaceSpec extends SparkSpec {
     RelationalSql.extrasSql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       withClue(name)(assertSame(name, text))
     }
-    // 28 through x35, plus x36-x48, x50, x52-x53, and x55-x64's
-    // twenty-six twins (x37/x44/x55 sharing x26/x01/x16 texts — one
+    // 28 through x35, plus x36-x48, x50, x52-x53, and x55-x70's
+    // thirty-two twins (x37/x44/x55 sharing x26/x01/x16 texts — one
     // selection, two physical strategies each; x49's sketch twin is the
     // dedicated tolerant test below; x51's media decode has no SQL
     // image; x54's estimates are merge-order-dependent)
-    assert(RelationalSql.extrasSql.size == 54)
+    assert(RelationalSql.extrasSql.size == 60)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
