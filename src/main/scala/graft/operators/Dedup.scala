@@ -134,12 +134,22 @@ object Dedup {
     * (never a cross join), and the corpus is pruned to candidate ids by
     * a semi-join BEFORE any shingle array enters a shuffle — the verify
     * cost is O(candidate docs), not O(corpus), the same discipline
-    * [[minhashIncrementalPairs]] follows for its incremental verify. */
+    * [[minhashIncrementalPairs]] follows for its incremental verify.
+    *
+    * `candidateFilter` runs on the candidate (d1, d2) frame BEFORE the
+    * verify join: a consumer that only cares about a pair subset (x69
+    * keeps only pairs whose ids hash to different splits) pushes its
+    * cheap predicate below the expensive shingle shuffle + exact
+    * Jaccard, shrinking BOTH verify inputs — semantics-preserving
+    * because verify decides each pair independently. */
   def verifiedNearDupPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                            minInter: Int = 2, jaccardThreshold: Double = 0.5,
-                           hashGrams: Boolean = false): DataFrame = {
-    val cand = ngramCandidatePairs(docs, n, maxDf, minInter, hashGrams)
-      .select(col("d1"), col("d2"))
+                           hashGrams: Boolean = false,
+                           candidateFilter: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val cand = candidateFilter(
+      ngramCandidatePairs(docs, n, maxDf, minInter, hashGrams)
+        .select(col("d1"), col("d2")))
     // ONE reference to the candidate aggregate, not two union branches:
     // Catalyst does not dedupe a multiply-referenced aggregate subtree,
     // so cand.select(d1) UNION cand.select(d2) would re-run the whole
