@@ -218,6 +218,10 @@ object SparkEntry {
     // the association-mining face of x57 (phrase / tokenizer-merge
     // discovery), marginals as exact integer window sums.
     "x70_pmi"             -> (TextAnalysis.pmiQuery _),
+    // x71: point-in-time enrichment — facts annotated with their SCD2
+    // attribute as of fact time (native as-of exec over the x27
+    // history; DuckDB ASOF twin).
+    "x71_pit_enrich"      -> (Analytics.pitEnrichQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

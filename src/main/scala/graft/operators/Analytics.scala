@@ -47,10 +47,14 @@ object Analytics {
     val keys = keyCols.map(col)
     val order = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tiebreakCol))
     val changes = log
+      .withColumn("_rn", row_number().over(order))
       .withColumn("_prev", lag(col(attrCol), 1).over(order))
-      // null-safe inequality: first row (_prev null sentinel) and every
-      // genuine change survive; consecutive equal values collapse
-      .filter(!(col(attrCol) <=> col("_prev")))
+      // the FIRST row opens a run unconditionally (lag's null sentinel
+      // is indistinguishable from a null attribute VALUE, so the bare
+      // null-safe inequality would silently drop entities whose history
+      // STARTS null); after that, null-safe inequality — genuine changes
+      // survive, consecutive equal values (null == null included) collapse
+      .filter(col("_rn") === 1 || !(col(attrCol) <=> col("_prev")))
       .select(keys :+ col(attrCol) :+ col(tsCol).as("effective_from")
         :+ col(tiebreakCol).as("_tb"): _*)
     val runs = Window.partitionBy(keys: _*).orderBy(col("effective_from"), col("_tb"))
@@ -61,6 +65,75 @@ object Analytics {
       .drop("_tb")
   }
 
+  /** INCREMENTAL SCD2 maintenance: fold a NEW batch of change-log
+    * events into a persisted [[scd2Build]] history without touching
+    * closed runs — the nightly/streaming upkeep of the x27 artifact (a
+    * full rebuild re-reads the entire log; the merge reads the history
+    * plus one batch). Result equals `scd2Build(oldLog ∪ newLog)`
+    * (spec-asserted) under the append contract below.
+    *
+    * Per key: the open run's attribute seeds the change detection (the
+    * first new event opens a run only if its attr differs null-safely —
+    * brand-new keys always open at version 1); the open run closes at
+    * the first new change's timestamp; versions continue from the
+    * stored counter; keys untouched by the batch pass through
+    * BYTE-identical.
+    *
+    * APPEND CONTRACT (caller-owned, standard for incremental history
+    * builds): every new event of a key sorts after ALL of that key's
+    * already-folded events. The history cannot check this itself — it
+    * keeps change points, not the max seen timestamp (an event arriving
+    * between two collapsed same-attr old events would need runs the
+    * history no longer has). Route late data to a rebuild.
+    *
+    * Scale shape: one shuffle of the (small) batch on the key for its
+    * windows, one keyed join against the |keys|-row current slice, one
+    * join of the history against the |touched keys|-row first-change
+    * frame — closed history rows are never shuffled wider than that
+    * join, and at 100 TB the history side can be partition-pruned to
+    * touched keys by the same join. */
+  def scd2Merge(existing: DataFrame, newLog: DataFrame, keyCols: Seq[String],
+                attrCol: String, tsCol: String, tiebreakCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Merge: at least one key column")
+    val keys = keyCols.map(col)
+    val cur = existing.filter(col("is_current"))
+      .select(keys :+ col(attrCol).as("_cur_attr")
+        :+ col("version").as("_cur_ver") :+ lit(true).as("_has_cur"): _*)
+    val order = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tiebreakCol))
+    val seeded = newLog.join(cur, keyCols, "left")
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_lag", lag(col(attrCol), 1).over(order))
+      // previous value: within the batch the lag; for the batch's first
+      // row the stored open-run attribute (may itself be a null VALUE —
+      // distinguished from "no history" by _has_cur)
+      .withColumn("_prev", when(col("_rn") === 1, col("_cur_attr"))
+        .otherwise(col("_lag")))
+      .filter(
+        // a change w.r.t. the previous value, or the very first event of
+        // a key with no history at all
+        !(col(attrCol) <=> col("_prev")) ||
+          (col("_rn") === 1 && col("_has_cur").isNull))
+      .select(keys :+ col(attrCol) :+ col(tsCol).as("effective_from")
+        :+ col(tiebreakCol).as("_tb") :+ col("_cur_ver"): _*)
+    val runs = Window.partitionBy(keys: _*).orderBy(col("effective_from"), col("_tb"))
+    val newRuns = seeded
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(runs))
+      .withColumn("version",
+        (row_number().over(runs) + coalesce(col("_cur_ver"), lit(0L))).cast("long"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("_tb", "_cur_ver")
+    // close each touched key's open run at its first new change
+    val firstNew = newRuns.groupBy(keys: _*)
+      .agg(min(col("effective_from")).as("_first_new"))
+    val updated = existing.join(firstNew, keyCols, "left")
+      .withColumn("effective_to",
+        when(col("is_current") && col("_first_new").isNotNull, col("_first_new"))
+          .otherwise(col("effective_to")))
+      .withColumn("is_current", col("is_current") && col("_first_new").isNull)
+      .drop("_first_new")
+    updated.unionByName(newRuns)
+  }
+
   /** x27: SCD2 history of each user's event_type over the events table —
     * the type-2 face of the reference's type-1 upsert store. */
   def scd2Query(spark: SparkSession, dir: String): DataFrame =
@@ -69,6 +142,37 @@ object Analytics {
         tsCol = "ts", tiebreakCol = "event_id")
       .withColumnRenamed("event_type", "attr")
       .orderBy(col("user_id"), col("version"))
+
+  /** x71: POINT-IN-TIME enrichment — each click event annotated with
+    * its user's SCD2 attribute valid AT the event's own timestamp (the
+    * "dimension as of fact time" lookup every history-preserving
+    * warehouse runs; the exact query x27's scaladoc prescribes for its
+    * output). Composes the x27 history build with the NATIVE as-of exec
+    * ([[AsOfJoin.asOfNative]] — q21's merge-scan operator): hash-cluster
+    * + sort both sides on the user key, one O(|L|+|R|) forward pass per
+    * partition, no per-fact window state. The at-or-before winner is
+    * unique because effective_from values are change-event timestamps
+    * and the corpus carries no (user_id, ts) collisions (verified —
+    * with ties the engines could each pick their own run).
+    *
+    * The history builds from the NON-click events (the dimension log);
+    * clicks are the fact stream being enriched — a click before its
+    * user's first dimension event gets a null attr (the left-join
+    * contract). Null keys/times are dropped from the fact side like
+    * q21, keeping the three faces (native exec, correlated-lookup SQL
+    * twin, DuckDB ASOF) equal by construction. */
+  def pitEnrichQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val hist = scd2Build(ev.filter(col("event_type") =!= "click"),
+        Seq("user_id"), "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("effective_from").as("fts"))
+    AsOfJoin.asOfNative(clicks, hist, "user_id", "ts", "fts")
+      .orderBy(col("event_id"))
+  }
 
   /** Exact interpolated percentiles of `valueCol` per group — one
     * two-phase hash agg. Results go through DECIMAL(18,4) (both engines

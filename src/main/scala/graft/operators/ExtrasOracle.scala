@@ -321,6 +321,7 @@ object ExtrasOracle {
     "x68_temp_mix" -> temperatureMixSql,
     "x69_split_leakage" -> splitLeakageSql,
     "x70_pmi" -> pmiSql,
+    "x71_pit_enrich" -> pitEnrichSql,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -883,22 +884,48 @@ object ExtrasOracle {
     * FROM = Spark's null-safe `<=>` negated), then lead/row_number over
     * the change rows — identical (ts, event_id) total order on both
     * engines. */
-  private def scd2Sql: String =
-    """WITH o AS (
+  /** The x27 history build as a CTE chain ending at `hist` — shared by
+    * the x27 listing and the x71 point-in-time lookup (which builds the
+    * history from the non-click dimension log) so the run semantics
+    * cannot drift. `where` filters the change-log slice ("" = all). */
+  private def scd2Cte(where: String = ""): String =
+    s"""o AS (
       |  SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      |  FROM events),
+      |  FROM events $where),
       |changes AS (
+      |  -- rn = 1 unconditionally: LAG's null sentinel must not swallow
+      |  -- an entity whose history STARTS with a null attribute value
       |  SELECT user_id, event_type, ts, event_id FROM o
-      |  WHERE event_type IS DISTINCT FROM prev_type),
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
       |hist AS (
       |  SELECT user_id, event_type AS attr, ts AS effective_from,
       |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
-      |  FROM changes)
+      |  FROM changes)""".stripMargin
+
+  private def scd2Sql: String =
+    s"""WITH ${scd2Cte()}
       |SELECT user_id, attr, effective_from, effective_to, version,
       |  (effective_to IS NULL) AS is_current
       |FROM hist ORDER BY user_id, version""".stripMargin
+
+  /** DuckDB twin of Analytics.pitEnrichQuery (x71): DuckDB's own ASOF
+    * LEFT JOIN of the click slice against the SHARED x27 history build
+    * over the non-click dimension log — cross-engine check of the
+    * native as-of exec composed with the SCD2 build (the q21 discipline
+    * on the x27 artifact). */
+  private def pitEnrichSql: String =
+    s"""WITH ${scd2Cte("WHERE event_type <> 'click'")},
+       |clicks AS (
+       |  SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL)
+       |SELECT c.event_id, c.user_id, c.ts, h.attr
+       |FROM clicks c ASOF LEFT JOIN
+       |     (SELECT user_id, attr, effective_from FROM hist) h
+       |  ON c.user_id = h.user_id AND h.effective_from <= c.ts
+       |ORDER BY c.event_id""".stripMargin
 
   /** DuckDB twin of Analytics.percentileQuery: quantile_cont is the same
     * linear interpolation over the same sorted doubles as Spark's exact

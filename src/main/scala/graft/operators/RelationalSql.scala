@@ -542,6 +542,7 @@ object RelationalSql {
     "x68_temp_mix" -> temperatureMixSparkSql,
     "x69_split_leakage" -> splitLeakageSparkSql,
     "x70_pmi" -> pmiSparkSql,
+    "x71_pit_enrich" -> pitEnrichSparkSql,
     "x62_normalize" ->
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
@@ -1171,22 +1172,43 @@ object RelationalSql {
 
   /** Spark-SQL face of Analytics.scd2Query: NOT(a <=> b) is the null-safe
     * change test (Spark SQL's IS DISTINCT FROM spelling). */
-  private def scd2Sql: String =
-    """WITH o AS (
+  /** The x27 history build as a CTE chain ending at `hist` — shared by
+    * the x27 and x71 twins (mirror of ExtrasOracle's scd2Cte). */
+  private def scd2SparkCte(where: String = ""): String =
+    s"""o AS (
       |  SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      |  FROM events),
+      |  FROM events $where),
       |changes AS (
+      |  -- rn = 1 unconditionally: LAG's null sentinel must not swallow
+      |  -- an entity whose history STARTS with a null attribute value
       |  SELECT user_id, event_type, ts, event_id FROM o
-      |  WHERE NOT (event_type <=> prev_type)),
+      |  WHERE rn = 1 OR NOT (event_type <=> prev_type)),
       |hist AS (
       |  SELECT user_id, event_type AS attr, ts AS effective_from,
       |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
-      |  FROM changes)
+      |  FROM changes)""".stripMargin
+
+  private def scd2Sql: String =
+    s"""WITH ${scd2SparkCte()}
       |SELECT user_id, attr, effective_from, effective_to, version,
       |  (effective_to IS NULL) AS is_current
       |FROM hist ORDER BY user_id, version""".stripMargin
+
+  /** Spark-SQL twin of Analytics.pitEnrichQuery (x71): the q21
+    * correlated max_by lookup against the shared x27 history CTE built
+    * over the non-click dimension log (Spark has no ASOF syntax; unique
+    * at-or-before winner by the same no-(user, ts)-ties argument). */
+  private def pitEnrichSparkSql: String =
+    s"""WITH ${scd2SparkCte("WHERE event_type != 'click'")}
+       |SELECT c.event_id, c.user_id, c.ts,
+       |  (SELECT max_by(h.attr, h.effective_from) FROM hist h
+       |   WHERE h.user_id = c.user_id AND h.effective_from <= c.ts) AS attr
+       |FROM events c
+       |WHERE c.event_type = 'click' AND c.user_id IS NOT NULL AND c.ts IS NOT NULL
+       |ORDER BY c.event_id""".stripMargin
 
   /** Spark-SQL face of Analytics.percentileQuery. */
   private def percentileSql: String = {

@@ -644,16 +644,35 @@ object Sampling {
     *
     * Scale shape: one tiny count agg (|sources| rows), rates broadcast
     * back, then a pure filter — the corpus never shuffles. */
-  def temperatureMix(docs: DataFrame, key: Column, salt: String): DataFrame = {
+  def temperatureMix(docs: DataFrame, key: Column, salt: String): DataFrame =
+    applyRates(docs, temperatureRatesOf(docs), key, salt)
+
+  /** The frozen (source, rate) artifact of [[temperatureMix]]: one tiny
+    * count agg over a reference corpus, sqrt-scaled. Persist it
+    * (parquet) and feed [[applyRates]] — including on a STREAM
+    * ([[graft.streaming.StreamingOps.temperatureMixStream]]) — to admit
+    * later data at the frozen balance, the frozen-baseline-gate
+    * discipline of x33/x58/x60/x63. */
+  def temperatureRatesOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("_n"))
     val minN = counts.agg(min(col("_n")).as("_n_min"))
-    val rates = counts.crossJoin(broadcast(minN))
+    counts.crossJoin(broadcast(minN))
       .select(col("source"),
-        sqrt(col("_n_min").cast("double") / col("_n")).as("_rate"))
-    docs.join(broadcast(rates), Seq("source"))
-      .filter(keepAtRate(key, salt, col("_rate")))
-      .drop("_rate")
+        sqrt(col("_n_min").cast("double") / col("_n")).as("rate"))
   }
+
+  /** Filter rows to a (source, rate) table's keep-rates — broadcast
+    * left join, so the filtered side never shuffles (and may be a
+    * streaming frame). Sources ABSENT from the rates table keep
+    * everything (rate 1.0): a frozen-balance gate has no grounds to
+    * drop data it has no rate for — surface new sources downstream
+    * rather than silently discarding them. */
+  def applyRates(rows: DataFrame, rates: DataFrame, key: Column,
+                 salt: String): DataFrame =
+    rows.join(broadcast(rates.select(col("source"), col("rate").as("_rate"))),
+        Seq("source"), "left")
+      .filter(keepAtRate(key, salt, coalesce(col("_rate"), lit(1.0))))
+      .drop("_rate")
 
   def temperatureMixQuery(spark: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.load(spark, dir, "documents"), col("doc_id"), "temp")

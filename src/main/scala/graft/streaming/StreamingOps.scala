@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TimeMode, TTLConfig}
@@ -753,6 +753,21 @@ object StreamingOps {
           "entries/span — the distributed fallback is not streamable; " +
           "raise the bound or gate batches with topKPointsPerIntervalJoin")
     }
+
+  /** Streaming temperature-mix admission (x68's live form): arriving
+    * rows are kept at their source's FROZEN sqrt-scaled rate
+    * ([[graft.operators.Sampling.temperatureRatesOf]] over a reference
+    * corpus, persisted as a |sources|-row artifact) — the fifth
+    * frozen-baseline gate. Stateless broadcast join + hash filter, so
+    * the gate adds no watermark, store, or backpressure; decisions are
+    * the [[graft.operators.Sampling.keepAtRate]] md5 arithmetic, so
+    * replay equals the batch mix against the same rates (spec-asserted)
+    * and admission is reproducible across restarts. Unseen sources pass
+    * whole (rate 1.0) — surface new feeds downstream, don't silently
+    * drop them. */
+  def temperatureMixStream(stream: DataFrame, rates: DataFrame, key: Column,
+                           salt: String): DataFrame =
+    graft.operators.Sampling.applyRates(stream, rates, key, salt)
 
   // ------------------------ streaming token budget (x56's face) ------
 

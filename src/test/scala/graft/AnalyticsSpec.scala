@@ -307,4 +307,95 @@ class AnalyticsSpec extends SparkSpec {
     val got = out.select($"event_type", $"sum_w").as[(String, Double)].collect().toMap
     assert(got == expected)
   }
+
+  test("scd2Merge: incremental fold equals the from-scratch rebuild on real events") {
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val cutUs = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
+    val old = ev.filter(unix_micros($"ts") <= cutUs)
+    val neu = ev.filter(unix_micros($"ts") > cutUs)
+    assert(old.count() > 0 && neu.count() > 0, "vacuous time split")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"event_type", $"effective_from", $"effective_to",
+        $"version", $"is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSet
+    val base = Analytics.scd2Build(old, Seq("user_id"), "event_type", "ts", "event_id")
+    val merged = Analytics.scd2Merge(base, neu, Seq("user_id"), "event_type", "ts", "event_id")
+    val rebuilt = Analytics.scd2Build(ev, Seq("user_id"), "event_type", "ts", "event_id")
+    assert(rows(merged) == rows(rebuilt),
+      s"merge drifted: only-merged=${(rows(merged) -- rows(rebuilt)).take(3)} " +
+        s"only-rebuilt=${(rows(rebuilt) -- rows(merged)).take(3)}")
+    // an empty batch is the identity
+    assert(rows(Analytics.scd2Merge(base, neu.limit(0),
+      Seq("user_id"), "event_type", "ts", "event_id")) == rows(base))
+  }
+
+  test("scd2Merge edge cases: continuing run, null attrs, brand-new key") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val old = Seq(
+      (1L, Some("a"), t("2024-01-01 10:00:00"), 1L),
+      (1L, Some("a"), t("2024-01-01 11:00:00"), 2L),  // same-run repeat
+      (2L, Option.empty[String], t("2024-01-01 10:30:00"), 3L)) // null VALUE run
+      .toDF("k", "attr", "ts", "tb")
+    val neu = Seq(
+      (1L, Some("a"), t("2024-01-01 12:00:00"), 4L),  // continues run (no change)
+      (1L, Some("b"), t("2024-01-01 13:00:00"), 5L),  // change -> version 2
+      (2L, Option.empty[String], t("2024-01-01 12:30:00"), 6L), // null == null: continues
+      (3L, Some("z"), t("2024-01-01 09:00:00"), 7L))  // brand-new key -> version 1
+      .toDF("k", "attr", "ts", "tb")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"attr", $"effective_from", $"effective_to", $"version", $"is_current")
+      .as[(Long, Option[String], Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSet
+    val merged = Analytics.scd2Merge(
+      Analytics.scd2Build(old, Seq("k"), "attr", "ts", "tb"),
+      neu, Seq("k"), "attr", "ts", "tb")
+    val rebuilt = Analytics.scd2Build(old.unionByName(neu), Seq("k"), "attr", "ts", "tb")
+    assert(rows(merged) == rows(rebuilt))
+    // and the hand expectation pins the semantics, not just the identity
+    assert(rows(merged) == Set[(Long, Option[String], Timestamp, Option[Timestamp], Long, Boolean)](
+      (1L, Some("a"), t("2024-01-01 10:00:00"), Some(t("2024-01-01 13:00:00")), 1L, false),
+      (1L, Some("b"), t("2024-01-01 13:00:00"), None, 2L, true),
+      (2L, None, t("2024-01-01 10:30:00"), None, 1L, true),
+      (3L, Some("z"), t("2024-01-01 09:00:00"), None, 1L, true)))
+  }
+
+  test("x71: point-in-time lookup returns the run valid AT each fact timestamp") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // dimension log (non-click): user 1 is 'view' from 10:00, 'purchase'
+    // from 12:00; user 2 has no dimension events at all
+    val events = Seq(
+      (1L, 1L, "view", t("2024-01-01 10:00:00")),
+      (2L, 1L, "click", t("2024-01-01 09:00:00")),  // before any dim event
+      (3L, 1L, "click", t("2024-01-01 11:00:00")),  // inside the view run
+      (4L, 1L, "purchase", t("2024-01-01 12:00:00")),
+      (5L, 1L, "click", t("2024-01-01 12:00:00")),  // AT the boundary → new run
+      (6L, 1L, "click", t("2024-01-01 13:00:00")),  // after the boundary
+      (7L, 2L, "click", t("2024-01-01 10:30:00")))  // user with no history
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val hist = Analytics
+      .scd2Build(events.filter($"event_type" =!= "click"),
+        Seq("user_id"), "event_type", "ts", "event_id")
+      .select($"user_id", $"event_type".as("attr"), $"effective_from".as("fts"))
+    val out = graft.operators.AsOfJoin
+      .asOfNative(clicks, hist, "user_id", "ts", "fts")
+      .orderBy($"event_id")
+      .as[(Long, Long, Timestamp, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (2L, 1L, t("2024-01-01 09:00:00"), None),
+      (3L, 1L, t("2024-01-01 11:00:00"), Some("view")),
+      (5L, 1L, t("2024-01-01 12:00:00"), Some("purchase")),
+      (6L, 1L, t("2024-01-01 13:00:00"), Some("purchase")),
+      (7L, 2L, t("2024-01-01 10:30:00"), None)))
+  }
+
+  test("x71: the query plans through the native as-of exec") {
+    val p = Analytics.pitEnrichQuery(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"),
+      s"expected the native as-of operator:\n$p")
+  }
 }

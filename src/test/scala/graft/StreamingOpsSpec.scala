@@ -410,6 +410,40 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming temperature-mix gate equals batch x68 on replay; unseen sources pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"source")
+    val rPath = java.nio.file.Files.createTempDirectory("temp_rates").toString
+    Sampling.temperatureRatesOf(docs).write.mode("overwrite").parquet(rPath)
+    val rates = spark.read.parquet(rPath)
+    val batch = Sampling.applyRates(docs, rates, $"doc_id", "temp")
+      .select($"doc_id").as[Long].collect().toSet
+    // frozen-rate gate == the self-derived mix on the same corpus
+    val selfMix = Sampling.temperatureMix(docs, $"doc_id", "temp")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch == selfMix)
+
+    val rows = docs.as[(Long, String)].collect().toSeq :+
+      (999999L, "brand_new_source") // absent from the frozen rates
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps
+      .temperatureMixStream(stream.toDF().toDF("doc_id", "source"), rates,
+        $"doc_id", "temp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tmix_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("tmix_out").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(streamed == batch + 999999L,
+        s"missing: ${(batch -- streamed).take(5)}; extra: ${(streamed -- batch - 999999L).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals batch x16 on replay") {
     implicit val sqlCtx = spark.sqlContext
     // the x16 configuration: src0/src1 slices are the held-out reference,
