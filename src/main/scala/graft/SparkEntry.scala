@@ -222,6 +222,11 @@ object SparkEntry {
     // attribute as of fact time (native as-of exec over the x27
     // history; DuckDB ASOF twin).
     "x71_pit_enrich"      -> (Analytics.pitEnrichQuery _),
+    // x72: content-defined chunking — gear/rolling-hash boundaries
+    // (token closes a chunk when its md5 bucket ≡ 0 mod 8), the
+    // insertion-resilient dedup-storage chunker next to x41's fixed
+    // stride; chunks re-sync after edits (spec-proven).
+    "x72_cdc_chunks"      -> (Chunking.cdcQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -322,6 +322,7 @@ object ExtrasOracle {
     "x69_split_leakage" -> splitLeakageSql,
     "x70_pmi" -> pmiSql,
     "x71_pit_enrich" -> pitEnrichSql,
+    "x72_cdc_chunks" -> cdcSql,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -450,6 +451,32 @@ object ExtrasOracle {
     * matches Spark's conv(substring(md5,1,8),16,10) bit-for-bit. */
   private def bucketSql(keySql: String, salt: String): String =
     s"('0x' || substr(md5($keySql || ':$salt'), 1, 8))::BIGINT"
+
+  /** DuckDB twin of Chunking.cdcQuery (x72): identical md5 token
+    * buckets, identical boundary rule, chunk text re-joined in position
+    * order. */
+  private def cdcSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, g AS pos, w[g] AS tok
+       |  FROM toks, UNNEST(range(1, len(w) + 1)) AS u(g)),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN ${bucketSql("tok", "cdc")} % ${Chunking.CdcDivisor} = 0
+       |         THEN 1 ELSE 0 END AS bd
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM b)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens,
+       |  string_agg(tok, ' ' ORDER BY pos) AS chunk
+       |FROM c GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   /** The x19 split assignment as a CASE expression over `keySql` —
     * generated from the SAME fraction table and threshold arithmetic

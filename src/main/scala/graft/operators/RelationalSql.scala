@@ -543,6 +543,7 @@ object RelationalSql {
     "x69_split_leakage" -> splitLeakageSparkSql,
     "x70_pmi" -> pmiSparkSql,
     "x71_pit_enrich" -> pitEnrichSparkSql,
+    "x72_cdc_chunks" -> cdcSparkSql,
     "x62_normalize" ->
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
@@ -699,6 +700,30 @@ object RelationalSql {
       |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens
       |FROM t GROUP BY 1, 2
       |ORDER BY source, bucket""".stripMargin
+
+  /** Spark-SQL twin of Chunking.cdcQuery (x72). */
+  private def cdcSparkSql: String = {
+    val bucket = "CAST(conv(substring(md5(concat(tok, ':cdc')), 1, 8), 16, 10) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w FROM documents),
+       |t AS (
+       |  SELECT doc_id, pos, tok FROM toks
+       |  LATERAL VIEW posexplode(w) u AS pos, tok),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN $bucket % ${Chunking.CdcDivisor} = 0 THEN 1L ELSE 0L END AS bd
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS chunk_id
+       |  FROM b)
+       |SELECT doc_id, chunk_id, COUNT(1) AS n_chunk_tokens,
+       |  array_join(transform(array_sort(collect_list(struct(pos, tok))),
+       |                       x -> x.tok), ' ') AS chunk
+       |FROM c GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
 
   /** Spark-SQL twin of Sampling.temperatureMixQuery (x68). */
   private def temperatureMixSparkSql: String = {

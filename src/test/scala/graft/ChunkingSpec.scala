@@ -67,4 +67,55 @@ class ChunkingSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("x72: CDC chunks partition the token stream; concatenation round-trips") {
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val chunks = Chunking.cdcChunks(docs, $"doc_id", $"text", Chunking.CdcDivisor)
+    // chunk texts, re-joined in chunk order, reproduce the tokenized doc
+    // (order carried in the structs — collect_list alone has no order)
+    val rejoined = chunks.groupBy($"_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"chunk_id", $"chunk"))),
+          x => x.getField("chunk")), " ").as("r"))
+    val orig = docs.select($"doc_id".as("_id"),
+      array_join(graft.operators.TextAnalysis.wsTokens($"text"), " ").as("o"))
+    val diffs = rejoined.join(orig, "_id")
+      .filter($"r" =!= $"o").count()
+    assert(diffs == 0, "CDC chunks lost or reordered tokens")
+    // boundary rule: every chunk's LAST token is a boundary token or the
+    // doc end; no interior token is a boundary
+    val mean = chunks.agg(avg($"n_chunk_tokens")).head().getDouble(0)
+    assert(mean > 2 && mean < 40, s"degenerate chunking: mean=$mean")
+  }
+
+  test("x72: CDC re-synchronizes after an insertion (the fixed-stride counterexample)") {
+    // one long doc; insert a token near the front; every chunk after the
+    // first boundary following the edit must be byte-identical
+    val base = (1 to 400).map(i => s"w${i % 83}").mkString(" ")
+    val edited = {
+      val toks = base.split(" ").toVector
+      (toks.take(3) ++ Vector("INSERTED") ++ toks.drop(3)).mkString(" ")
+    }
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(two, $"doc_id", $"text", Chunking.CdcDivisor)
+      .select($"_id", $"chunk_id", $"chunk")
+      .as[(Long, Long, String)].collect()
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toVector
+    val c2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3).toVector
+    // after the (at most one) divergent leading chunk, suffixes agree
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(common >= c1.length - 2,
+      s"CDC failed to resync: only $common of ${c1.length} trailing chunks shared")
+    assert(c1.length >= 10, s"vacuous: ${c1.length} chunks")
+    // the fixed-stride chunker does NOT resync (negative control): the
+    // same edit shifts every subsequent window
+    val fixed = Chunking.chunkDocuments(two, $"doc_id", $"text", 16, 16)
+      .select($"_id", $"chunk_id", $"chunk")
+      .as[(Long, Long, String)].collect()
+    val f1 = fixed.filter(_._1 == 1L).sortBy(_._2).map(_._3).toVector
+    val f2 = fixed.filter(_._1 == 2L).sortBy(_._2).map(_._3).toVector
+    val fixedCommon = f1.reverse.zip(f2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(fixedCommon < common,
+      s"negative control failed: fixed stride shared $fixedCommon >= CDC's $common")
+  }
 }

@@ -332,4 +332,31 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"rows=$rows")
     }
   }
+
+  test("property: scd2Merge equals the from-scratch rebuild at every batch boundary") {
+    // random logs: few keys, few attr values (nulls included) so runs
+    // collapse and change; ts strictly increasing per row index (the
+    // append contract holds for ANY prefix/suffix cut)
+    val logGen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(1L, 3L), Gen.oneOf(Some("a"), Some("b"), None)))
+    forAllSamples(Gen.zip(logGen, Gen.choose(1, 23)), n = 10) { case (rows, cut) =>
+      val all = rows.zipWithIndex.map { case ((k, a), i) =>
+        (k, a, new java.sql.Timestamp(1700000000000L + i * 60000L), i.toLong)
+      }
+      val (oldL, newL) = all.splitAt(cut)
+      val oldDf = oldL.toDF("k", "attr", "ts", "tb")
+      val newDf = newL.toDF("k", "attr", "ts", "tb")
+      def rows6(df: org.apache.spark.sql.DataFrame) = df
+        .select($"k", $"attr", $"effective_from", $"effective_to",
+          $"version", $"is_current")
+        .as[(Long, Option[String], java.sql.Timestamp,
+          Option[java.sql.Timestamp], Long, Boolean)].collect().toSet
+      val merged = graft.operators.Analytics.scd2Merge(
+        graft.operators.Analytics.scd2Build(oldDf, Seq("k"), "attr", "ts", "tb"),
+        newDf, Seq("k"), "attr", "ts", "tb")
+      val rebuilt = graft.operators.Analytics
+        .scd2Build(all.toDF("k", "attr", "ts", "tb"), Seq("k"), "attr", "ts", "tb")
+      assert(rows6(merged) == rows6(rebuilt), s"cut=$cut rows=$rows")
+    }
+  }
 }
