@@ -227,6 +227,11 @@ object SparkEntry {
     // insertion-resilient dedup-storage chunker next to x41's fixed
     // stride; chunks re-sync after edits (spec-proven).
     "x72_cdc_chunks"      -> (Chunking.cdcQuery _),
+    // x73: label-centroid outliers — bottom-5 vectors per label by
+    // cosine to the exact decimal-summed class centroid (embedding
+    // label-consistency curation; cosine scale-invariance drops the
+    // mean's division entirely).
+    "x73_centroid_outliers" -> (Similarity.centroidOutlierQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -323,6 +323,7 @@ object ExtrasOracle {
     "x70_pmi" -> pmiSql,
     "x71_pit_enrich" -> pitEnrichSql,
     "x72_cdc_chunks" -> cdcSql,
+    "x73_centroid_outliers" -> centroidOutlierSql,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -451,6 +452,41 @@ object ExtrasOracle {
     * matches Spark's conv(substring(md5,1,8),16,10) bit-for-bit. */
   private def bucketSql(keySql: String, salt: String): String =
     s"('0x' || substr(md5($keySql || ':$salt'), 1, 8))::BIGINT"
+
+  /** DuckDB twin of Similarity.centroidOutlierQuery (x73): identical
+    * per-component DECIMAL(18,4) sums (order-independent centroid),
+    * list built in component order, list_cosine_similarity over
+    * DOUBLE[] (same sequential double arithmetic class as x45), cosine
+    * through the 6-decimal rounding discipline before the rank.
+    *
+    * The component cast goes FLOAT → DOUBLE → DECIMAL explicitly:
+    * DuckDB's direct FLOAT→DECIMAL rounds the float's shortest decimal
+    * REPRESENTATION (half-even on a manufactured tie — measured:
+    * -0.30825001f → -0.3082), while Spark rounds the exact widened
+    * value (→ -0.3083). The double hop makes both engines round the
+    * same exact value, where the no-ties argument of
+    * [[graft.core.Determinism]] applies. */
+  private def centroidOutlierSql: String =
+    s"""WITH comp AS (
+       |  SELECT label, p AS pos,
+       |    CAST(SUM(CAST(CAST(embedding[p] AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS c
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(p)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+       |scored AS (
+       |  SELECT e.label, e.vec_id,
+       |    CAST(CAST(round(
+       |      list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6)
+       |      AS DECIMAL(18,6)) AS DOUBLE) AS cos_c
+       |  FROM embeddings e JOIN cent c USING (label)),
+       |ranked AS (
+       |  SELECT label, vec_id, cos_c,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rank
+       |  FROM scored)
+       |SELECT label, vec_id, cos_c, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= ${Similarity.CentroidOutlierK}
+       |ORDER BY label, rank""".stripMargin
 
   /** DuckDB twin of Chunking.cdcQuery (x72): identical md5 token
     * buckets, identical boundary rule, chunk text re-joined in position

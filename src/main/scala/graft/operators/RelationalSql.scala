@@ -544,6 +544,7 @@ object RelationalSql {
     "x70_pmi" -> pmiSparkSql,
     "x71_pit_enrich" -> pitEnrichSparkSql,
     "x72_cdc_chunks" -> cdcSparkSql,
+    "x73_centroid_outliers" -> centroidOutlierSparkSql,
     "x62_normalize" ->
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm
@@ -700,6 +701,30 @@ object RelationalSql {
       |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens
       |FROM t GROUP BY 1, 2
       |ORDER BY source, bucket""".stripMargin
+
+  /** Spark-SQL twin of Similarity.centroidOutlierQuery (x73) — the
+    * injected cosine_sim kernel over the same decimal-summed centroid. */
+  private def centroidOutlierSparkSql: String =
+    s"""WITH comp AS (
+       |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS c
+       |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label,
+       |    transform(array_sort(collect_list(struct(pos, c))), x -> x.c) AS centroid
+       |  FROM comp GROUP BY label),
+       |scored AS (
+       |  SELECT e.label, e.vec_id,
+       |    CAST(CAST(round(cosine_sim(e.embedding, c.centroid), 6)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS cos_c
+       |  FROM embeddings e JOIN cent c USING (label)),
+       |ranked AS (
+       |  SELECT label, vec_id, cos_c,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rank
+       |  FROM scored)
+       |SELECT label, vec_id, cos_c, rank
+       |FROM ranked WHERE rank <= ${Similarity.CentroidOutlierK}
+       |ORDER BY label, rank""".stripMargin
 
   /** Spark-SQL twin of Chunking.cdcQuery (x72). */
   private def cdcSparkSql: String = {

@@ -531,4 +531,47 @@ object Similarity {
     quantizedTopK(emb, queries, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // --------------------------------------- class-centroid outliers (x73)
+
+  /** x73's per-label cut, shared with the SQL twins. */
+  private[graft] val CentroidOutlierK: Int = 5
+
+  /** x73: the bottom-k vectors per label by cosine to their LABEL
+    * CENTROID — embedding-space label-consistency curation (a vector far
+    * from its class centroid is mislabeled, an outlier, or a boundary
+    * case worth auditing; the standard companion to x45's pairwise
+    * near-dup check). The "centroid" is the per-component exact decimal
+    * SUM of the label's vectors — cosine is scale-invariant, so the
+    * direction of the sum IS the direction of the mean and the division
+    * by n (a float op that would reorder nothing but could round) is
+    * dropped entirely. Component sums go through DECIMAL(18,4)
+    * (order-independent, cross-engine exact); the one float expression
+    * left is the cosine itself, rounded to 6 decimals (the x23/x48
+    * discipline) before the rank so the output is engine-stable.
+    *
+    * Scale shape: one posexplode + two-phase (label, component) decimal
+    * agg — dims × labels rows — reassembled into |labels| centroid
+    * arrays (order carried in structs, no collect_list-order
+    * dependence) and broadcast back; the vector table never shuffles.
+    * WindowGroupLimit bounds the per-label rank sort. */
+  def centroidOutlierQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Determinism.dec
+    val emb = Tables.load(spark, dir, "embeddings")
+    val comp = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(dec(col("col"))).cast("double").as("c"))
+    val centroids = comp.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val scored = emb.join(broadcast(centroids), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(cosine(col("embedding"), col("centroid")), 6)
+          .cast("decimal(18,6)").cast("double").as("cos_c"))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos_c"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= CentroidOutlierK)
+      .orderBy(col("label"), col("rank"))
+  }
 }

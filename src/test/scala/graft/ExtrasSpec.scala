@@ -1620,6 +1620,37 @@ class ExtrasSpec extends SparkSpec {
       ("a", "b", 2L, pAb), ("a", "c", 1L, pAc)))
   }
 
+  test("x73: centroid outliers rank by cosine to the decimal-summed class centroid") {
+    // label 0: two vectors near the x-axis + one on the y-axis (the
+    // outlier); label 1: a singleton (cosine to itself's direction = 1)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    emb.createOrReplaceTempView("embeddings")
+    val out = spark.sql(graft.operators.RelationalSql.extrasSql("x73_centroid_outliers"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    // centroid(0) = decimal sums (1.9, 1.1); farthest by cosine is vec 3,
+    // then 1, then 2; the singleton's cosine to its own direction is 1
+    assert(out.map(r => (r._1, r._2, r._4)) ==
+      Seq((0, 3L, 1), (0, 1L, 2), (0, 2L, 3), (1, 4L, 1)))
+    val cos = out.map(r => (r._2, r._3)).toMap
+    def c(v: Array[Double]): Double = {
+      val cen = Array(1.9, 1.1)
+      val dot = v(0) * cen(0) + v(1) * cen(1)
+      dot / (math.sqrt(v(0) * v(0) + v(1) * v(1)) * math.sqrt(cen(0) * cen(0) + cen(1) * cen(1)))
+    }
+    assert(math.abs(cos(3L) - BigDecimal(c(Array(0.0, 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(cos(4L) == 1.0)
+    // the DataFrame face agrees on the real table (full twin equality is
+    // SqlSurfaceSpec's job; here: the outlier cut is non-degenerate)
+    val real = graft.operators.Similarity.centroidOutlierQuery(spark, sf("sf0.001"))
+      .as[(Int, Long, Double, Int)].collect()
+    assert(real.nonEmpty && real.forall(_._3 < 1.0))
+  }
+
   test("x55: the bloom probe is in the executed plan (prefilter not optimized away)") {
     val plan = Dedup.decontaminateBloomQuery(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
