@@ -232,6 +232,14 @@ object SparkEntry {
     // label-consistency curation; cosine scale-invariance drops the
     // mean's division entirely).
     "x73_centroid_outliers" -> (Similarity.centroidOutlierQuery _),
+    // x74: CUBE(lang, source) doc/token volumes — all four grouping
+    // sets from one scan (completes the grouping-sets family: q10
+    // ROLLUP, x65 rollup, x15/x49 grouping sets).
+    "x74_cube"            -> (Analytics.cubeVolumesQuery _),
+    // x75: user-behavior transition matrix — consecutive-event
+    // (from, to) counts + per-from marginal (Markov/session modeling,
+    // x34's sequence-mining companion).
+    "x75_transitions"     -> (Analytics.transitionQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

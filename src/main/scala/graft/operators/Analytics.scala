@@ -343,6 +343,48 @@ object Analytics {
         Seq("event_type"), "value", WinsorLo, WinsorHi)
       .orderBy(col("event_type"))
 
+  /** x74: doc/token volumes over CUBE(lang, source) — all four grouping
+    * sets (per pair, per lang, per source, grand total) from ONE scan
+    * and one two-phase agg, completing the grouping-sets family next to
+    * q10's ROLLUP and x65's source rollup. Subtotal rows surface as
+    * 'ALL' (the corpus carries no null lang/source; a null-bearing
+    * corpus would use GROUPING() masks instead of coalesce). */
+  def cubeVolumesQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text")))
+          .cast("long").as("_nt"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  /** x75: the user-behavior TRANSITION MATRIX — for each (from, to)
+    * event-type pair, how many consecutive same-user event pairs step
+    * from one to the other (per-user (ts, event_id) total order), plus
+    * the per-from row total so downstream divides into transition
+    * probabilities without a second scan. The Markov backbone of
+    * session modeling / next-event prediction, the sequence-mining
+    * companion to x34's funnel.
+    *
+    * Scale shape: one shuffle on the user key for the lead window, a
+    * two-phase count agg on the (from, to) composite (|types|² rows),
+    * and the per-from total as a window over that aggregated table
+    * (the x57 marginal discipline — never a second scan). */
+  def transitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("_next", lead(col("event_type"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   private[graft] val pivotYears: Seq[Int] = 1995 to 2001
 
   /** x30: the pivot round-trip — melt x29's wide table back to long

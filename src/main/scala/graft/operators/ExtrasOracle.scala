@@ -324,6 +324,31 @@ object ExtrasOracle {
     "x71_pit_enrich" -> pitEnrichSql,
     "x72_cdc_chunks" -> cdcSql,
     "x73_centroid_outliers" -> centroidOutlierSql,
+    // x74: CUBE over (lang, source) — doc/token volumes for all four
+    // grouping sets in one scan; 'ALL' marks the subtotal rows.
+    "x74_cube" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    // x75: the per-user consecutive-event transition matrix with the
+    // per-from marginal as a window over the aggregated table.
+    "x75_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pc AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+        |FROM pc ORDER BY from_type, to_type""".stripMargin,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)

@@ -545,6 +545,28 @@ object RelationalSql {
     "x71_pit_enrich" -> pitEnrichSparkSql,
     "x72_cdc_chunks" -> cdcSparkSql,
     "x73_centroid_outliers" -> centroidOutlierSparkSql,
+    // x74: the CUBE clause — dialect-identical to the DuckDB twin
+    // modulo the tokenizer functions.
+    "x74_cube" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  COUNT(1) AS n_docs, SUM(nt) AS n_tokens
+        |FROM t GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "x75_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pc AS (
+        |  SELECT from_type, to_type, COUNT(1) AS n
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  SUM(n) OVER (PARTITION BY from_type) AS n_from
+        |FROM pc ORDER BY from_type, to_type""".stripMargin,
     "x62_normalize" ->
       """SELECT doc_id, normalize_text(text) AS norm_text,
         |  CAST(length(normalize_text(text)) AS BIGINT) AS n_chars_norm

@@ -361,6 +361,47 @@ class AnalyticsSpec extends SparkSpec {
       (3L, Some("z"), t("2024-01-01 09:00:00"), None, 1L, true)))
   }
 
+  test("x74: cube emits all four grouping sets, consistent with the pair cells") {
+    val cube = Analytics.cubeVolumesQuery(spark, sf("sf0.001"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    val pairs = cube.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val total = cube.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(total.size == 1)
+    assert(total.head._3 == pairs.map(_._3).sum && total.head._4 == pairs.map(_._4).sum)
+    // each lang subtotal = sum of its pair cells (and same for sources)
+    cube.filter(r => r._1 != "ALL" && r._2 == "ALL").foreach { case (l, _, nd, nt) =>
+      val cells = pairs.filter(_._1 == l)
+      assert(nd == cells.map(_._3).sum && nt == cells.map(_._4).sum, s"lang $l")
+    }
+    cube.filter(r => r._1 == "ALL" && r._2 != "ALL").foreach { case (_, s, nd, nt) =>
+      val cells = pairs.filter(_._2 == s)
+      assert(nd == cells.map(_._3).sum && nt == cells.map(_._4).sum, s"source $s")
+    }
+  }
+
+  test("x75: transition matrix matches a hand computation, marginals consistent") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: a -> b -> a; user 2: a -> a. transitions: (a,b)=1 (b,a)=1 (a,a)=1
+    val events = Seq(
+      (1L, 1L, "a", t("2024-01-01 10:00:00")),
+      (2L, 1L, "b", t("2024-01-01 11:00:00")),
+      (3L, 1L, "a", t("2024-01-01 12:00:00")),
+      (4L, 2L, "a", t("2024-01-01 10:00:00")),
+      (5L, 2L, "a", t("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    events.createOrReplaceTempView("events")
+    val out = spark.sql(graft.operators.RelationalSql.extrasSql("x75_transitions"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", "a", 1L, 2L), ("a", "b", 1L, 2L), ("b", "a", 1L, 1L)))
+    // on the real table: per-from marginal equals the sum of its row
+    val real = Analytics.transitionQuery(spark, sf("sf0.001"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(real.nonEmpty)
+    real.groupBy(_._1).foreach { case (f, rs) =>
+      assert(rs.forall(_._4 == rs.map(_._3).sum), s"marginal drift for $f")
+    }
+  }
+
   test("x71: point-in-time lookup returns the run valid AT each fact timestamp") {
     def t(s: String) = Timestamp.valueOf(s)
     // dimension log (non-click): user 1 is 'view' from 10:00, 'purchase'
