@@ -240,6 +240,11 @@ object SparkEntry {
     // (from, to) counts + per-from marginal (Markov/session modeling,
     // x34's sequence-mining companion).
     "x75_transitions"     -> (Analytics.transitionQuery _),
+    // x76: COMPLETE exact similarity join via prefix filtering (PPJoin
+    // family) — the fourth, LOSSLESS blocking strategy; the oracle is
+    // the brute-force join, so completeness is the driver-checked
+    // property itself.
+    "x76_ppjoin"          -> (Dedup.ppJoinQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -224,6 +224,67 @@ object Dedup {
   def loadVerifiedPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // ----------------------------- prefix-filtered similarity join (x76)
+
+  /** x76's threshold — DYADIC, so t·|x| is exact in double and the
+    * prefix length and accept test cannot round differently across
+    * engines. */
+  private[graft] val PpJoinThreshold: Double = 0.5
+
+  /** The COMPLETE exact set-similarity join via PREFIX FILTERING — the
+    * fourth blocking strategy (inverted index x03/x46, signature
+    * banding x02/x04, sorted neighborhood x64), and unlike the others
+    * it is LOSSLESS: every pair with Jaccard ≥ t is returned, not just
+    * pairs surviving a heuristic candidate gate. The classic prefix
+    * principle (PPJoin family): order each document's gram set by one
+    * GLOBAL total order (df asc, gram asc — rarest first), keep only
+    * the first |x| − ⌈t·|x|⌉ + 1 grams; any pair with J ≥ t must share
+    * a gram inside BOTH prefixes (if the first shared gram in global
+    * order sat beyond x's prefix, ALL shared grams would fit in x's
+    * ⌈t·|x|⌉−1 suffix slots — too few for J ≥ t; symmetrically for y),
+    * so the prefix equi-join loses nothing and the exact verify
+    * ([[jaccardVerify]], x46's integer-exact arithmetic) just confirms.
+    *
+    * Shape at scale: candidates join on PREFIX grams only — the rarest
+    * ~(1−t) share of each document under the df order, so the join's
+    * key-frequency distribution is the low-df tail by construction
+    * (the skew the x03 maxDf cut fights never materializes); the verify
+    * is candidate-pruned like x46. Completeness costs exactly this: no
+    * df cut may drop a gram, so the df aggregate runs over all grams
+    * (two-phase, map-side combined). */
+  def ppJoinPairs(docs: DataFrame, n: Int = 3,
+                  t: Double = PpJoinThreshold): DataFrame = {
+    require(t > 0 && t <= 1, s"ppJoinPairs: t=$t")
+    val sh = shingled(docs, n)
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val dfc = g.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+    val prefix = g.join(dfc, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("_df"), col("gram"))).as("_sg"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.bindArray(
+          transform(array_sort(col("_sg")), x => x.getField("gram"))) { arr =>
+          slice(arr, lit(1),
+            (size(arr) - ceil(lit(t) * size(arr)) + 1).cast("int"))
+        }.as("_pref"))
+    val pg = prefix.select(col("doc_id"), explode(col("_pref")).as("gram"))
+    val cand = pg.as("a").join(pg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    jaccardVerify(cand, sh, t)
+  }
+
+  /** x76: the complete Jaccard-0.5 similarity join over 3-gram shingle
+    * sets — oracle is the UNPRUNED brute-force join (every shared-gram
+    * pair, exact intersection), which the prefix filter must reproduce
+    * exactly (losslessness is the check, not just a spec). */
+  def ppJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    ppJoinPairs(Tables.load(spark, dir, "documents"))
+      .select(col("d1"), col("d2"),
+        col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+      .orderBy(col("d1"), col("d2"))
+
   def contaminationQuery(spark: SparkSession, dir: String): DataFrame =
     contaminationMatrix(Tables.load(spark, dir, "documents"))
       .orderBy(col("source_a"), col("source_b"))

@@ -324,6 +324,25 @@ object ExtrasOracle {
     "x71_pit_enrich" -> pitEnrichSql,
     "x72_cdc_chunks" -> cdcSql,
     "x73_centroid_outliers" -> centroidOutlierSql,
+    // x76: the ground truth IS the check — the unpruned brute-force
+    // similarity join; the engine's prefix filter must be lossless.
+    "x76_ppjoin" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+        |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |vint AS (
+        |  SELECT g1.doc_id AS d1, g2.doc_id AS d2, COUNT(*) AS inter
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT v.d1, v.d2, CAST(v.inter AS BIGINT) AS inter,
+        |  CAST(s1.n + s2.n - v.inter AS BIGINT) AS uni
+        |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+        |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
+        |ORDER BY d1, d2""".stripMargin,
     // x74: CUBE over (lang, source) — doc/token volumes for all four
     // grouping sets in one scan; 'ALL' marks the subtotal rows.
     "x74_cube" ->

@@ -545,6 +545,24 @@ object RelationalSql {
     "x71_pit_enrich" -> pitEnrichSparkSql,
     "x72_cdc_chunks" -> cdcSparkSql,
     "x73_centroid_outliers" -> centroidOutlierSparkSql,
+    // x76: the brute-force similarity join a SQL user writes — the
+    // DataFrame face reaches the same rows through prefix filtering
+    // (result-identity across the two PLANS is the point, the
+    // x36/x37/x25 twin discipline).
+    "x76_ppjoin" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM documents
+        |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+        |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
+        |vint AS (
+        |  SELECT g1.doc_id AS d1, g2.doc_id AS d2, COUNT(1) AS inter
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT v.d1, v.d2, CAST(v.inter AS BIGINT) AS inter,
+        |  CAST(s1.n + s2.n - v.inter AS BIGINT) AS uni
+        |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+        |WHERE v.inter * 2 >= s1.n + s2.n - v.inter
+        |ORDER BY d1, d2""".stripMargin,
     // x74: the CUBE clause — dialect-identical to the DuckDB twin
     // modulo the tokenizer functions.
     "x74_cube" ->

@@ -1651,6 +1651,44 @@ class ExtrasSpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_._3 < 1.0))
   }
 
+  test("x76: prefix-filtered join is LOSSLESS vs brute force, incl. planted dups") {
+    // brute force: every shared-gram pair, exact Jaccard — the complete
+    // ground truth the prefix filter must reproduce
+    def brute(corpus: org.apache.spark.sql.DataFrame) = {
+      val g = corpus.select($"doc_id",
+        explode(Dedup.wordShingles($"text", 3)).as("gram"))
+      val a = g.select($"gram", $"doc_id".as("d1"))
+      val b = g.select($"gram", $"doc_id".as("d2"))
+      val vint = a.join(b, Seq("gram")).filter($"d1" < $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      val gsz = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      vint.join(gsz.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+        .join(gsz.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+        .filter($"inter" * 2 >= $"n1" + $"n2" - $"inter")
+        .select($"d1", $"d2", $"inter", ($"n1" + $"n2" - $"inter").as("uni"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val base = docs.limit(60).select($"doc_id", $"text")
+    val dups = base.limit(6).select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" zz")).as("text"))
+    val corpus = base.unionByName(dups)
+    val got = Dedup.ppJoinPairs(corpus)
+      .select($"d1", $"d2", $"inter".cast("long"), $"uni".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = brute(corpus)
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(3)}; extra: ${(got -- expected).take(3)}")
+    // planted near-identical pairs are in the accept set (non-vacuous)
+    val planted = base.limit(6).select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert(planted.subsetOf(got.map(p => (p._1, p._2))),
+      s"missing planted: ${planted -- got.map(p => (p._1, p._2))}")
+    // and the candidate side never degenerates to a cross product
+    val plan = Dedup.ppJoinPairs(corpus).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated:\n$plan")
+  }
+
   test("x55: the bloom probe is in the executed plan (prefilter not optimized away)") {
     val plan = Dedup.decontaminateBloomQuery(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

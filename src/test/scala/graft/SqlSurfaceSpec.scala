@@ -48,7 +48,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // selection, two physical strategies each; x49's sketch twin is the
     // dedicated tolerant test below; x51's media decode has no SQL
     // image; x54's estimates are merge-order-dependent)
-    assert(RelationalSql.extrasSql.size == 65)
+    assert(RelationalSql.extrasSql.size == 66)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
