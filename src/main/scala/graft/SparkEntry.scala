@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Chunking, Dedup, DocPrep, ExtrasOracle, Graph, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch}
+import graft.operators.{Analytics, Chunking, Dedup, DocPrep, ExtrasOracle, Graph, Layout, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -245,6 +245,11 @@ object SparkEntry {
     // the brute-force join, so completeness is the driver-checked
     // property itself.
     "x76_ppjoin"          -> (Dedup.ppJoinQuery _),
+    // x77: the Z-order zone map — per-zone (count, min/max of BOTH
+    // dimensions) over the Morton curve of (user_id, value); the
+    // data-skipping statistics a lakehouse OPTIMIZE ZORDER buys, made
+    // an inspectable (and here oracle-checked) table.
+    "x77_zonemap"         -> (Layout.zonemapQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

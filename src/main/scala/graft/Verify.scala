@@ -18,21 +18,28 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated query-name filter (builder-side
+    // single-query iteration; the driver always runs the full dump).
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val spark = graft.core.GraftSession.getOrCreate("graft-verify")
-    try run(spark, sfDir, outDir) finally spark.stop()
+    try run(spark, sfDir, outDir, only) finally spark.stop()
   }
 
   /** The dump itself, session-agnostic (specs drive it on the shared
     * test session; main owns session lifecycle). */
-  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String): Unit = {
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]] = None): Unit = {
     new java.io.File(outDir).mkdirs()
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     // oracle_sql.json goes FIRST: if the JVM dies or is timed out partway
     // through the query loop, the driver still has the oracle map and
     // every already-written result dir — a partial round must degrade to
     // partial signal, never to an empty one (round 5's correctness record
     // came back {} with no per-query rows to explain why).
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query status, rewritten after EVERY query: a post-mortem of an
@@ -41,7 +48,7 @@ object Verify {
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def writeStatus(): Unit = Files.writeString(Paths.get(s"$outDir/_status.json"),
       status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1).foreach { case (name, fn) =>
       status(name) = "running"; writeStatus()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

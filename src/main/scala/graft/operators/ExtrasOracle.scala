@@ -324,6 +324,7 @@ object ExtrasOracle {
     "x71_pit_enrich" -> pitEnrichSql,
     "x72_cdc_chunks" -> cdcSql,
     "x73_centroid_outliers" -> centroidOutlierSql,
+    "x77_zonemap" -> zonemapSql,
     // x76: the ground truth IS the check — the unpruned brute-force
     // similarity join; the engine's prefix filter must be lossless.
     "x76_ppjoin" ->
@@ -1329,5 +1330,50 @@ object ExtrasOracle {
        |WHERE ${bucketSql("d.doc_id::VARCHAR", "mixw")}
        |      < coalesce(w.rate, ${Sampling.weightedMixDefault}) * ${Sampling.BucketSpace}
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The Morton interleave of two bucket ordinals as a SQL bit-op sum —
+    * generated from the SAME [[Layout.ZmBits]] the native
+    * `interleave_bits` kernel runs with, so the twins cannot drift. */
+  private def zInterleaveSql(a: String, b: String): String =
+    (0 until Layout.ZmBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** DuckDB twin of Layout.zonemapQuery (x77). Bucket ordinals are the
+    * EXPLICIT floor((v−lo)·2^bits/span) arithmetic (cast-to-double
+    * first, exactly like the Spark face) — every step IEEE
+    * correctly-rounded, so the two engines agree bit-for-bit; the
+    * interleave and everything after is integer-exact, and the per-zone
+    * min/max emit stored values untouched. */
+  private def zonemapSql: String = {
+    val n = 1L << Layout.ZmBits
+    def bucket(v: String, lo: String, span: String): String =
+      s"""CASE WHEN $span = 0 THEN 0
+         |      ELSE least(${n - 1}, greatest(0,
+         |        CAST(floor(((CAST($v AS DOUBLE) - $lo) * $n.0) / $span) AS BIGINT))) END"""
+        .stripMargin.replaceAll("\n\\s*", " ")
+    s"""WITH e AS (
+       |  SELECT user_id, value FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |r AS (
+       |  SELECT CAST(min(user_id) AS DOUBLE) AS lo_u,
+       |         CAST(max(user_id) - min(user_id) AS DOUBLE) AS span_u,
+       |         min(value) AS lo_v, max(value) - min(value) AS span_v
+       |  FROM e),
+       |b AS (
+       |  SELECT user_id, value,
+       |    ${bucket("user_id", "lo_u", "span_u")} AS bu,
+       |    ${bucket("value", "lo_v", "span_v")} AS bv
+       |  FROM e, r),
+       |z AS (
+       |  SELECT user_id, value,
+       |    (${zInterleaveSql("bu", "bv")}) >> ${Layout.ZmShift} AS zbucket
+       |  FROM b)
+       |SELECT CAST(zbucket AS BIGINT) AS zbucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+       |  MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
   }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.Tables
 
 /** Data-layout management: multi-dimensional (Z-order) clustering of a
   * table's files so that selective scans on ANY clustered dimension skip
@@ -67,4 +69,71 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  // -------------------------------------------------- zone map (x77)
+
+  /** Grid resolution for the oracle-checked zone map: 2^ZmBits buckets
+    * per dimension, so the curve value spans [0, 4^ZmBits). */
+  val ZmBits = 8
+
+  /** Right-shift turning a curve value into its zone id — 2*ZmBits − 6
+    * keeps 64 zones (one "file" per zone in the layout story). */
+  val ZmShift = 2 * ZmBits - 6
+
+  /** Bucket ordinal with EXPLICIT arithmetic instead of `width_bucket`
+    * — `floor((v − lo) · 2^bits / (hi − lo))` clamped to [0, 2^bits) —
+    * so a DuckDB twin can reproduce it bit-for-bit: subtraction,
+    * multiply by a power of two, one division and floor are all IEEE
+    * correctly-rounded, whereas the two engines' `width_bucket`s are
+    * free to associate the scale factor differently and disagree by an
+    * ulp at a bucket edge. `v = hi` lands on exactly 2^bits (the
+    * power-of-two multiply is exact, so x·2^bits / x rounds to 2^bits)
+    * and is clamped — deterministically — into the top bucket. */
+  private def exactBucket(c: Column, lo: Double, span: Double): Column = {
+    val n = (1L << ZmBits).toDouble
+    if (span == 0d) lit(0L)
+    else least(lit((1L << ZmBits) - 1),
+      greatest(lit(0L), floor(((c.cast("double") - lit(lo)) * lit(n)) / lit(span))))
+  }
+
+  /** x77: the ZONE MAP of the events table laid out on the Z-curve of
+    * (user_id, value) — per zone: row count and the min/max of BOTH
+    * dimensions. This is the data-skipping contract made inspectable:
+    * after [[zorderWrite]] each file owns one contiguous curve segment
+    * = one small rectangle of (a, b) space, and THIS query computes
+    * exactly the per-file min/max statistics a parquet reader prunes
+    * with. Tight rectangles on both dimensions (spec-asserted: a point
+    * predicate on EITHER dimension touches a small fraction of zones)
+    * are what turn "read 100 TB for any filter off the sort key" into
+    * "read a handful of files for either predicate".
+    *
+    * Scale shape: one 4-scalar range aggregate to the driver, then a
+    * single map-side bucket+interleave (codegen'd native expression)
+    * and one 64-group aggregate — no sort, no window, one shuffle of
+    * 64×5 scalars. Deterministic cross-engine by construction: integer
+    * interleave over [[exactBucket]] ordinals; min/max emit stored
+    * values untouched. */
+  def zonemapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+    val r = ev.agg(min(col("user_id")).cast("long"), max(col("user_id")).cast("long"),
+      min(col("value")).cast("double"), max(col("value")).cast("double")).head()
+    if (r.isNullAt(0)) // empty input: no zones
+      return ev.groupBy(lit(0L).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy(col("zbucket"))
+    val (loU, hiU) = (r.getLong(0), r.getLong(1))
+    val (loV, hiV) = (r.getDouble(2), r.getDouble(3))
+    val z = graft.functions.expressions.NativeExpressions.interleaveBits(
+      exactBucket(col("user_id"), loU.toDouble, (hiU - loU).toDouble).cast("int"),
+      exactBucket(col("value"), loV, hiV - loV).cast("int"), ZmBits)
+    ev.withColumn("zbucket", shiftright(z, ZmShift))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("zbucket"))
+  }
 }

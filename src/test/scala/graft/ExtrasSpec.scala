@@ -1713,4 +1713,27 @@ class ExtrasSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(top2 == out.take(2))
   }
+
+  test("x77: zone map conserves totals and is TIGHT on both dimensions") {
+    import graft.operators.Layout
+    val ev = Tables.load(spark, sf("sf0.01"), "events")
+      .filter($"user_id".isNotNull && $"value".isNotNull)
+    val zm = Layout.zonemapQuery(spark, sf("sf0.01")).collect()
+    // conservation: every row lands in exactly one zone
+    assert(zm.map(_.getLong(1)).sum == ev.count())
+    assert(zm.length <= 64 && zm.length > 8, s"degenerate zoning: ${zm.length}")
+    // the data-skipping contract: a point predicate on EITHER dimension
+    // overlaps only a small fraction of zone rectangles. A 1-D range
+    // layout can be tight on its sort key but every zone spans the full
+    // domain of the other column; the Z-curve bounds both.
+    val (loU, hiU) = (zm.map(_.getLong(2)).min, zm.map(_.getLong(3)).max)
+    val (loV, hiV) = (zm.map(_.getDouble(4)).min, zm.map(_.getDouble(5)).max)
+    val midU = (loU + hiU) / 2
+    val midV = (loV + hiV) / 2
+    val hitU = zm.count(r => r.getLong(2) <= midU && midU <= r.getLong(3))
+    val hitV = zm.count(r => r.getDouble(4) <= midV && midV <= r.getDouble(5))
+    info(s"zones=${zm.length}, mid-point hits: user_id=$hitU value=$hitV")
+    assert(hitU <= zm.length / 2, s"user_id rectangles not tight: $hitU/${zm.length}")
+    assert(hitV <= zm.length / 2, s"value rectangles not tight: $hitV/${zm.length}")
+  }
 }
