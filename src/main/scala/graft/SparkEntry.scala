@@ -250,6 +250,14 @@ object SparkEntry {
     // data-skipping statistics a lakehouse OPTIMIZE ZORDER buys, made
     // an inspectable (and here oracle-checked) table.
     "x77_zonemap"         -> (Layout.zonemapQuery _),
+    // x78: deterministic spherical k-means — per-vector cluster
+    // assignments after fixed Lloyd rounds, every step cross-engine
+    // exact (decimal-sum centroids, 6-decimal cosine quantization).
+    "x78_kmeans"          -> (Similarity.kmeansQuery _),
+    // x79: the corpus-curation funnel report — per quality rule, how
+    // many documents enter, drop, and survive under sequential
+    // precedence; the dataset-card headline table.
+    "x79_funnel"          -> (TextAnalysis.funnelQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

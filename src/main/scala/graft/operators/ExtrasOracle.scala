@@ -325,6 +325,8 @@ object ExtrasOracle {
     "x72_cdc_chunks" -> cdcSql,
     "x73_centroid_outliers" -> centroidOutlierSql,
     "x77_zonemap" -> zonemapSql,
+    "x78_kmeans" -> kmeansSql,
+    "x79_funnel" -> qualityFunnelSql,
     // x76: the ground truth IS the check — the unpruned brute-force
     // similarity join; the engine's prefix filter must be lossless.
     "x76_ppjoin" ->
@@ -1330,6 +1332,107 @@ object ExtrasOracle {
        |WHERE ${bucketSql("d.doc_id::VARCHAR", "mixw")}
        |      < coalesce(w.rate, ${Sampling.weightedMixDefault}) * ${Sampling.BucketSpace}
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.qualityFunnel (x79). The per-doc signal
+    * CTEs are the proven x09/x12 fragments; the stage predicates are the
+    * SAME [[TextAnalysis.FunnelStages]] strings the Spark face `expr`s,
+    * interpolated into one first-match CASE; the funnel arithmetic is a
+    * window cumsum over the |rules|-row aggregate. */
+  private def qualityFunnelSql: String = {
+    val cases = TextAnalysis.FunnelStages.zipWithIndex
+      .map { case ((_, pred), i) => s"WHEN $pred THEN ${i + 1}" }
+      .mkString(" ")
+    val values = TextAnalysis.FunnelStages.zipWithIndex
+      .map { case ((name, _), i) => s"(${i + 1}, '$name')" }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |tokc AS (SELECT doc_id, t.term, COUNT(*) AS c
+       |  FROM toks, UNNEST(w) AS t(term) GROUP BY 1, 2),
+       |tokstats AS (
+       |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_uniq_tok
+       |  FROM tokc GROUP BY 1),
+       |gramc AS (
+       |  SELECT doc_id, term, COUNT(*) AS c FROM (
+       |    SELECT doc_id, w[g] || ' ' || w[g+1] AS term
+       |    FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g))
+       |  GROUP BY 1, 2),
+       |gramstats AS (
+       |  SELECT doc_id, SUM(c) AS n_2gram, MAX(c) AS top_2gram_n
+       |  FROM gramc GROUP BY 1),
+       |sig AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_nonspace,
+       |    CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tok,
+       |    CAST(coalesce(n_uniq_tok, 0) AS BIGINT) AS n_uniq_tok,
+       |    CAST(coalesce(n_2gram, 0) AS BIGINT) AS n_2gram,
+       |    CAST(coalesce(top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+       |  FROM toks t LEFT JOIN tokstats USING (doc_id)
+       |  LEFT JOIN gramstats USING (doc_id)),
+       |dropped AS (
+       |  SELECT CASE $cases END AS stage FROM sig),
+       |c AS (SELECT stage, COUNT(*) AS c FROM dropped
+       |  WHERE stage IS NOT NULL GROUP BY 1),
+       |st(stage, rule) AS (VALUES $values),
+       |tot AS (SELECT COUNT(*) AS n_total FROM sig),
+       |f AS (
+       |  SELECT st.stage, st.rule, coalesce(c.c, 0) AS n_dropped, tot.n_total
+       |  FROM st LEFT JOIN c ON c.stage = st.stage CROSS JOIN tot)
+       |SELECT CAST(stage AS BIGINT) AS stage, rule,
+       |  CAST(n_total - coalesce(SUM(n_dropped) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(n_total - coalesce(SUM(n_dropped) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    - n_dropped AS BIGINT) AS n_out
+       |FROM f ORDER BY stage""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.kmeansQuery (x78), generated for the SAME
+    * [[Similarity.KmeansK]]/[[Similarity.KmeansIters]] the Spark face
+    * runs with. Each Lloyd round is a pair of MATERIALIZED CTEs (assign,
+    * update) so DuckDB computes each round once instead of inlining the
+    * whole chain at every reference (the r6 timeout failure mode).
+    * Assignment quantizes the one float op — the cosine — to 6 decimals
+    * before the argmin rank (ties to the smaller centroid id); centroid
+    * updates are exact DECIMAL(18,4) component sums with an emptied
+    * cluster keeping its previous centroid via the LEFT JOIN coalesce. */
+  private def kmeansSql: String = {
+    val k = Similarity.KmeansK
+    def assign(a: String, c: String): String =
+      s"""$a AS MATERIALIZED (
+         |  SELECT vec_id, cid, sim FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      CAST(round(list_cosine_similarity(e.v, c.cv), 6) AS DECIMAL(18,6)) AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def update(c: String, a: String, prev: String): String =
+      s"""$c AS MATERIALIZED (
+         |  SELECT $prev.cid, coalesce(s.cv, $prev.cv) AS cv
+         |  FROM $prev LEFT JOIN (
+         |    SELECT cid, list(c ORDER BY pos) AS cv FROM (
+         |      SELECT a.cid, p AS pos,
+         |        CAST(SUM(CAST(e.v[p] AS DECIMAL(18,4))) AS DOUBLE) AS c
+         |      FROM $a a JOIN e USING (vec_id),
+         |        UNNEST(range(1, len(e.v) + 1)) AS t(p)
+         |      GROUP BY 1, 2) GROUP BY cid) s ON s.cid = $prev.cid)""".stripMargin
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       |$rounds,
+       |${assign("afin", s"c${Similarity.KmeansIters}")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(sim AS DOUBLE) AS cos_c
+       |FROM afin ORDER BY vec_id""".stripMargin
   }
 
   /** The Morton interleave of two bucket ordinals as a SQL bit-op sum —

@@ -448,6 +448,87 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  // ------------------------------------------------- k-means (x78)
+
+  /** Cluster count / Lloyd update rounds for the oracle-checked k-means. */
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** x78: DETERMINISTIC spherical k-means — the oracle-checked face of
+    * the clustering [[ivfIndex]] does heuristically. Semantic curation
+    * pipelines cluster embeddings to stratify corpora, cap per-topic
+    * volume, or pick prototypes; this variant makes every step
+    * cross-engine exact so a DuckDB twin reproduces the ASSIGNMENTS
+    * bit-for-bit:
+    *
+    *   - init: the vectors of the [[KmeansK]] smallest vec_ids (no RNG);
+    *   - assign: argmax of round(cosine, 6) (the x73 discipline — the
+    *     only float op, quantized before any comparison), ties to the
+    *     smaller centroid id;
+    *   - update: per-component exact DECIMAL(18,4) SUM of the assigned
+    *     vectors (cosine is scale-invariant, so the sum's direction IS
+    *     the mean's — the 1/n division that could round is dropped,
+    *     exactly as x73's label centroids); an emptied cluster keeps its
+    *     previous centroid;
+    *   - [[KmeansIters]] update rounds, then one final assignment pass.
+    *
+    * Scale shape: identical to [[ivfIndex]] — the codebook is a KB-scale
+    * driver artifact (k x dim decimals per round), each round is one
+    * narrow assignment map against literal centroids plus one (cluster,
+    * component) hash agg; the vector table itself never shuffles and the
+    * final output is a single narrow projection. */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame =
+    kmeans(Tables.load(spark, dir, "embeddings"), KmeansK, KmeansIters)
+
+  /** The clustering itself over any (vec_id, embedding) frame — see
+    * [[kmeansQuery]] for semantics. Init takes the vectors of the k
+    * smallest vec_ids (callers guarantee ids 0..k-1 exist, as the corpus
+    * tables do). */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.core.Determinism.dec
+    val emb = vectors
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val init: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    // best (sim, -cid) struct against the literal codebook: array_max
+    // orders lexicographically, so max sim wins and ties go to the
+    // LARGER negid = smaller centroid id
+    def best(cents: Array[(Long, Array[Double])]): Column =
+      array_max(transform(
+        array(cents.map { case (id, v) =>
+          struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cv"))
+        }.toIndexedSeq: _*),
+        c => struct(
+          round(cosine(col("embedding"), c.getField("cv")), 6)
+            .cast("decimal(18,6)").as("sim"),
+          (-c.getField("cid")).as("negid"))))
+    def assigned(cents: Array[(Long, Array[Double])]): DataFrame =
+      emb.select(col("vec_id"), col("embedding"), best(cents).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("b.negid")).as("cluster"), col("b.sim").cast("double").as("cos_c"))
+    val cents = (1 to iters).foldLeft(init) { case (cur, _) =>
+      val sums = assigned(cur)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(dec(col("col"))).cast("double").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          val v = new Array[Double](rows.map(_._2).max + 1)
+          rows.foreach { case (_, pos, c) => v(pos) = c }
+          cid -> v
+        }
+      cur.map { case (cid, old) => cid -> sums.getOrElse(cid, old) }
+    }
+    assigned(cents)
+      .select(col("vec_id"), col("cluster"), col("cos_c"))
+      .orderBy(col("vec_id"))
+  }
+
   /** rows-only queries() entry for the IVF path. */
   def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -109,6 +109,71 @@ object TextAnalysis {
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  // ------------------------------------------------ quality funnel (x79)
+
+  /** The sequential quality-rule funnel (x79), ordered by precedence: a
+    * document drops at its FIRST failing rule. Each predicate is a SQL
+    * string over the per-doc signal columns and is interpolated verbatim
+    * into BOTH the Spark face (`expr`) and the DuckDB twin, so the two
+    * engines run the same rule text — the drift-proofing the x77 zone
+    * map gets from shared constants. Every rule is an INTEGER comparison
+    * (ratios cross-multiplied), so the funnel is exact on any engine:
+    *   - too_short: fewer than 40 whitespace tokens;
+    *   - low_diversity: unique tokens under a third of tokens (the
+    *     Gopher-style repetitive-document cut);
+    *   - repetitive_2gram: the top positional bigram covers over 5%;
+    *   - word_length: mean word length outside [4.25, 4.75] chars
+    *     (tight around this corpus's center so the tail rule is
+    *     exercised; a real corpus would use Gopher's [3, 10]). */
+  val FunnelStages: Seq[(String, String)] = Seq(
+    "too_short"        -> "n_tokens < 40",
+    "low_diversity"    -> "n_uniq_tok * 3 < n_tok",
+    "repetitive_2gram" -> "top_2gram_n * 20 > n_2gram",
+    "word_length"      -> "n_nonspace * 4 < n_tokens * 17 OR n_nonspace * 4 > n_tokens * 19")
+
+  /** x79: the corpus-curation FUNNEL REPORT — one row per quality rule
+    * with (n_in, n_dropped, n_out) under sequential precedence; the last
+    * row's n_out is the surviving corpus. This is the headline table of
+    * a dataset card ("of N raw documents, rule 1 removed a, rule 2
+    * removed b of the remainder, ..."), computed without materializing
+    * any per-stage corpus: one narrow signal pass + the x12 repetition
+    * aggregates produce a per-doc first-failed-stage index, and the
+    * funnel arithmetic runs on the |rules|-row aggregate via a window
+    * cumsum. Scale shape: everything heavy is per-doc hash aggregation
+    * keyed on doc_id (uniform); the window sorts 4 rows. */
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+        (length(col("text")) - regexp_count(col("text"), lit(" ")))
+          .cast("long").as("n_nonspace"))
+      .join(repetitionSignals(docs), Seq("doc_id"))
+    val firstFail = FunnelStages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, ((_, pred), i)) => coalesce(acc, when(expr(pred), lit(i + 1)))
+    }
+    val counts = sig.select(firstFail.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val stages = FunnelStages.zipWithIndex
+      .map { case ((name, _), i) => (i + 1, name) }.toDF("stage", "rule")
+    val prior = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages.join(counts, Seq("stage"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("stage").cast("long"), col("rule"),
+        coalesce(col("c"), lit(0L)).as("n_dropped"), col("n_total"))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(prior), lit(0L)))
+      .select(col("stage"), col("rule"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityFunnel(Tables.load(spark, dir, "documents"))
+
   // ------------------------------------------------------------- PII scrub
 
   /** PII patterns for training-data scrubbing. Order matters: emails are

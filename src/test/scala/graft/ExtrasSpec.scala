@@ -1714,6 +1714,51 @@ class ExtrasSpec extends SparkSpec {
     assert(top2 == out.take(2))
   }
 
+  test("x78: k-means separates planted blobs and partitions the corpus") {
+    import graft.operators.Similarity
+    // two well-separated blobs on axes 0 and 1; ids interleave so the
+    // k=2 init (vec_id 0, 1) lands one seed in each blob
+    val vecs = (0L until 40L).map { i =>
+      val v = new Array[Float](8)
+      v((i % 2).toInt) = 1f
+      v(((i % 3) + 2).toInt) = 0.1f * ((i % 5) + 1) // within-blob jitter
+      (i, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(df, k = 2, iters = 2).collect()
+    // a partition of the input: every vector exactly once, k clusters
+    assert(out.map(_.getLong(0)).toSeq == (0L until 40L))
+    val byCluster = out.groupBy(_.getLong(1))
+    assert(byCluster.keySet == Set(0L, 1L))
+    // purity 1.0: each blob (even/odd ids) maps to one cluster
+    for ((_, members) <- byCluster)
+      assert(members.map(_.getLong(0) % 2).distinct.length == 1,
+        s"mixed blob in a cluster: ${members.map(_.getLong(0)).toSeq}")
+    // determinism under physical layout: repartitioned input, same rows
+    val out2 = Similarity.kmeans(df.repartition(7), k = 2, iters = 2).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
+  test("x79: funnel matches a hand computation, one doc per stage") {
+    import graft.operators.TextAnalysis
+    val short = "a b c"                                // stage 1: 3 tokens
+    val mono = Seq.fill(50)("spark").mkString(" ")     // stage 2: u=1
+    val gram = ((1 to 40).map(i => f"t$i%02d") ++
+      Seq.fill(5)(Seq("x", "y")).flatten).mkString(" ") // stage 3: "x y" x5
+    val longw = (1 to 40).map(i => f"abcdef$i%02d").mkString(" ") // stage 4: len 8
+    val keep = ((1 to 22).map(i => f"ab$i%02d") ++
+      (1 to 23).map(i => f"abc$i%02d")).mkString(" ")  // mean len 4.51, all uniq
+    val docs = Seq((1L, short), (2L, mono), (3L, gram), (4L, longw), (5L, keep))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFunnel(docs)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "too_short", 5L, 1L, 4L),
+      (2L, "low_diversity", 4L, 1L, 3L),
+      (3L, "repetitive_2gram", 3L, 1L, 2L),
+      (4L, "word_length", 2L, 1L, 1L)))
+  }
+
   test("x77: zone map conserves totals and is TIGHT on both dimensions") {
     import graft.operators.Layout
     val ev = Tables.load(spark, sf("sf0.01"), "events")
