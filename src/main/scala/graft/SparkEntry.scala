@@ -258,6 +258,10 @@ object SparkEntry {
     // many documents enter, drop, and survive under sequential
     // precedence; the dataset-card headline table.
     "x79_funnel"          -> (TextAnalysis.funnelQuery _),
+    // x80: per-event-type least-squares value-over-time trend (slope /
+    // intercept / r2) from exact integer+decimal moments — the metric
+    // drift detector, engine-exact up to one rounded double expression.
+    "x80_trend"           -> (Analytics.trendQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -585,4 +585,52 @@ object Analytics {
       .agg(dsum(col("o_totalprice")))
       .orderBy(col("n_name"))
   }
+
+  // ------------------------------------------------- OLS trend (x80)
+
+  /** x80: per-event-type least-squares trend of `value` over time — the
+    * drift detector a data pipeline runs on every metric stream (is this
+    * signal rising, and how well does a line explain it?). Engine-exact
+    * by the moment method: x is the integer day offset from the global
+    * min day, y is the value quantized to DECIMAL(18,4), and the five
+    * sufficient moments (n, Σx, Σx², Σy, Σxy, Σy²) are exact integer /
+    * decimal sums — order-independent, cross-engine identical. Only
+    * then does each moment cast to DOUBLE once, and slope / intercept /
+    * r² are the SAME closed-form expressions on both engines (identical
+    * parenthesization), rounded to 6 decimals. A degenerate group (all
+    * one day) yields null via nullif rather than an engine-specific
+    * division-by-zero image.
+    *
+    * Scale shape: one broadcast 1-row min-day scalar, one narrow
+    * projection, one 5-accumulator hash agg per group — a single
+    * shuffle of |event_type| x 6 scalars; nothing sorts. */
+  def trendQuery(spark: SparkSession, dir: String): DataFrame =
+    trend(Tables.load(spark, dir, "events"))
+
+  /** The regression itself over any (event_type, ts, value) frame — see
+    * [[trendQuery]]. */
+  def trend(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("value").isNotNull && col("ts").isNotNull)
+    val minDay = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val m = ev.crossJoin(broadcast(minDay))
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), col("d0")).cast("long").as("x"),
+        dec(col("value")).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    val (n, sx, sxx) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sxx").cast("double"))
+    val num = n * col("sxy") - sx * col("sy")
+    val den = nullif(n * sxx - sx * sx, lit(0d))
+    m.select(col("event_type"), col("n"),
+        round(num / den, 6).as("slope"),
+        round((col("sy") * sxx - sx * col("sxy")) / den, 6).as("intercept"),
+        round(num * num / (den * (n * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -327,6 +327,36 @@ object ExtrasOracle {
     "x77_zonemap" -> zonemapSql,
     "x78_kmeans" -> kmeansSql,
     "x79_funnel" -> qualityFunnelSql,
+    // x80: OLS trend from exact moments — x/y sums are integer/decimal
+    // (order-independent); each moment casts to DOUBLE once and the
+    // closed forms use the SAME parenthesization as the Spark face.
+    "x80_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events
+        |                      WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |              CAST(ts AS DATE)) AS x,
+        |    CAST(value AS DECIMAL(18,4)) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS slope,
+        |  round((sy * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sxy)
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS intercept,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+        |       * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
     // x76: the ground truth IS the check — the unpruned brute-force
     // similarity join; the engine's prefix filter must be lossless.
     "x76_ppjoin" ->

@@ -439,4 +439,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"),
       s"expected the native as-of operator:\n$p")
   }
+
+  test("x80: trend recovers a planted line exactly; noise lowers r2 only") {
+    def ts(day: Int) = new Timestamp(86400L * 1000 * (19000 + day))
+    // group "lin": y = 2x + 1 exactly on days 0..9
+    val lin = (0 to 9).map(x => ("lin", ts(x), 2.0 * x + 1.0))
+    // group "noise": the line plus a perturbation orthogonal to x
+    // (sum e = 0 and sum x*e = 0 -> slope and intercept are unchanged)
+    val e = Map(0 -> 0.5, 9 -> 0.5, 1 -> -0.5, 8 -> -0.5).withDefaultValue(0.0)
+    val noise = (0 to 9).map(x => ("noise", ts(x), 2.0 * x + 1.0 + e(x)))
+    // group "flat": single day -> degenerate denominator -> nulls
+    val flat = Seq(("flat", ts(3), 1.0), ("flat", ts(3), 2.0))
+    val df = (lin ++ noise ++ flat).toDF("event_type", "ts", "value")
+    val out = Analytics.trend(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("lin").getDouble(2) == 2.0 && out("lin").getDouble(3) == 1.0)
+    assert(out("lin").getDouble(4) == 1.0)
+    assert(out("noise").getDouble(2) == 2.0, "symmetric noise keeps the slope")
+    assert(out("noise").getDouble(4) < 1.0 && out("noise").getDouble(4) > 0.9)
+    assert(out("flat").isNullAt(2) && out("flat").isNullAt(3) && out("flat").isNullAt(4))
+  }
 }
