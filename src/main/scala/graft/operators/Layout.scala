@@ -70,6 +70,27 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  // ------------------------------------------- bucketed layout (joins)
+
+  /** Bucketed + bucket-sorted table layout for a RECURRING equi-join:
+    * write both sides hash-bucketed on their join keys with the same
+    * bucket count, and every later join (or aggregation) on that key
+    * plans with ZERO Exchange — the shuffle is paid once at write time
+    * and amortized over every subsequent query. At 100 TB this is the
+    * difference between re-shuffling the fact table nightly and a
+    * straight merge of pre-aligned files; it composes with
+    * [[zorderWrite]] (bucket on the join key, Z-order within buckets on
+    * the filter columns). The sortBy lets Spark's scan report
+    * per-bucket order, eliminating the merge-join sort too when each
+    * bucket holds one file. Plan shape is gated in PlanSpec: a
+    * bucketed-bucketed join with broadcast disabled contains no
+    * ShuffleExchange (and the groupBy on the same key reuses the
+    * partitioning). */
+  def bucketWrite(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   // -------------------------------------------------- zone map (x77)
 
   /** Grid resolution for the oracle-checked zone map: 2^ZmBits buckets

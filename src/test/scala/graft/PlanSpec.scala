@@ -139,6 +139,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed co-located join and its follow-on agg plan with ZERO exchange") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = graft.core.Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.core.Fs.deleteRecursively(new java.io.File(s"spark-warehouse/$t"))
+    }
+    graft.operators.Layout.bucketWrite(li, "l_orderkey", 8, "li_bucketed")
+    graft.operators.Layout.bucketWrite(ord, "o_orderkey", 8, "ord_bucketed")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")).as("p"))
+      assert(q.count() > 0)
+      val p = q.queryExecution.executedPlan.toString
+      // the whole join+agg pipeline runs on the write-time bucketing:
+      // no shuffle anywhere, for THIS query and every future one
+      assert(!p.contains("Exchange"),
+        s"bucketed join/agg still shuffles:\n$p")
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // The optimizer's InjectRuntimeFilter: a selective filter on the
