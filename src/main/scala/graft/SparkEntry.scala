@@ -211,8 +211,10 @@ object SparkEntry {
     // sqrt(n_min/n_s); division and sqrt are IEEE correctly-rounded, so
     // the decision thresholds are bit-identical cross-engine.
     "x68_temp_mix"        -> (Sampling.temperatureMixQuery _),
-    // x69: split-leakage audit — exact-dup text groups straddling two
-    // of x19's splits (train/test answer leakage), md5-keyed groups.
+    // x69: split-leakage audit — x46's VERIFIED near-dup pairs (n-gram
+    // candidates + exact Jaccard accept) that straddle two of x19's
+    // splits (train/test answer leakage), with the straddle predicate
+    // pushed below the Jaccard verify via candidateFilter.
     "x69_split_leakage"   -> (Sampling.splitLeakageQuery _),
     // x70: top-100 PMI collocations over the positional bigram table —
     // the association-mining face of x57 (phrase / tokenizer-merge

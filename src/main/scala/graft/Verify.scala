@@ -23,6 +23,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [query,query,...]")
+        sys.exit(2)
     }
     val spark = graft.core.GraftSession.getOrCreate("graft-verify")
     try run(spark, sfDir, outDir, only) finally spark.stop()

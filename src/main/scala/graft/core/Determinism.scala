@@ -19,23 +19,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Determinism {
   val Dec: DecimalType = DecimalType(18, 4)
 
-  /** Hash-safe PRESENTATION type for decimal output columns. Narrow
-    * (precision ≤ 18) decimals are int64-backed in both engines but
-    * serialize differently through the driver's hasher (r8: the only 4
-    * hash failures were exactly the DECIMAL(18,4)-output oracles, while
-    * wide decimals — q02, Spark (30,4) vs DuckDB (38,4) — hash equal).
-    * Arithmetic stays in [[Dec]]; only the column as EMITTED widens, so
-    * values are bit-identical and the driver hash is type-stable. */
-  val DecWide: DecimalType = DecimalType(38, 4)
-
   /** Exact-summable image of a double column. */
   def dec(c: Column): Column = c.cast(Dec)
 
-  /** Presentation image of a decimal output column — same value, widened
-    * to the hash-safe [[DecWide]]. Apply to every DECIMAL column that
-    * reaches a query's OUTPUT schema (counts/sums exposed as BIGINT or
-    * DOUBLE are already safe). */
-  def decOut(c: Column): Column = c.cast(DecWide)
+  /** Hash-safe PRESENTATION image of a decimal output column: the
+    * already-exact DECIMAL(18,4) value exposed as DOUBLE. Decimal
+    * output columns of ANY precision hash differently through the
+    * driver's cross-engine hasher (r8 proved p≤18 unsafe; r9 falsified
+    * the "wide is safe" theory at p=38 with value-identical dumps), so
+    * nothing we emit may be decimal-typed. A 4-decimal value converts
+    * to double correctly-rounded and identically in both engines —
+    * proven by dsum/davg and every green DOUBLE oracle column. The
+    * decimal ARITHMETIC (exact, order-independent) is unchanged; only
+    * the emitted type is. Apply to every decimal that reaches a query's
+    * OUTPUT schema. */
+  def decOut(c: Column): Column = c.cast(DoubleType)
 
   /** Order-independent SUM over a double column, exposed as DOUBLE. */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)

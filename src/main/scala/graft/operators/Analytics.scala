@@ -86,6 +86,16 @@ object Analytics {
     * between two collapsed same-attr old events would need runs the
     * history no longer has). Route late data to a rebuild.
     *
+    * NULL-KEY CONTRACT: batch rows with a null in any key column are
+    * DROPPED here. [[scd2Build]]'s window groups null keys into one
+    * entity, but this merge's key equi-joins can never match null
+    * keys — an admitted null-key event would silently restart that
+    * entity at version 1 next to the old open run (two is_current
+    * rows). So the `scd2Build(oldLog ∪ newLog)` equivalence holds on
+    * the non-null-key universe; route null-key data to a rebuild or
+    * clean it upstream. Existing null-key history rows pass through
+    * untouched.
+    *
     * Scale shape: one shuffle of the (small) batch on the key for its
     * windows, one keyed join against the |keys|-row current slice, one
     * join of the history against the |touched keys|-row first-change
@@ -100,7 +110,9 @@ object Analytics {
       .select(keys :+ col(attrCol).as("_cur_attr")
         :+ col("version").as("_cur_ver") :+ lit(true).as("_has_cur"): _*)
     val order = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tiebreakCol))
-    val seeded = newLog.join(cur, keyCols, "left")
+    // null-key batch rows out (see NULL-KEY CONTRACT above)
+    val cleanNew = newLog.filter(keys.map(_.isNotNull).reduce(_ && _))
+    val seeded = cleanNew.join(cur, keyCols, "left")
       .withColumn("_rn", row_number().over(order))
       .withColumn("_lag", lag(col(attrCol), 1).over(order))
       // previous value: within the batch the lag; for the batch's first
@@ -178,8 +190,8 @@ object Analytics {
     * two-phase hash agg. Results go through DECIMAL(18,4) (both engines
     * interpolate over the same sorted doubles; the decimal image makes
     * the cross-engine compare exact, same discipline as dsum), then
-    * widen to the hash-safe presentation type ([[graft.core.Determinism.decOut]]
-    * — narrow output decimals serialize differently across engines). */
+    * present as DOUBLE ([[graft.core.Determinism.decOut]] — decimal
+    * output columns of any precision hash unstably across engines). */
   def percentileRollup(rows: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
@@ -233,8 +245,8 @@ object Analytics {
       .agg(count(col("_v")).as("n"),
         count(when(col("_v") < col("p_lo"), 1)).as("n_lo"),
         count(when(col("_v") > col("p_hi"), 1)).as("n_hi"),
-        // bounds widen to the hash-safe presentation decimal ON OUTPUT
-        // only — the clip above compared the exact DECIMAL(18,4) images
+        // bounds present as hash-safe DOUBLE ON OUTPUT only — the clip
+        // above compared the exact DECIMAL(18,4) images
         decOut(first(col("p_lo"))).as("p_lo"),
         decOut(first(col("p_hi"))).as("p_hi"),
         sum(least(greatest(col("_v"), col("p_lo")), col("p_hi")))
@@ -470,8 +482,8 @@ object Analytics {
     rows.join(broadcast(moments), Seq(groupCol), "left")
       .filter(if (flagUnseen) unseen || abs(v - mean) > lit(k) * std
               else abs(v - mean) > lit(k) * std)
-      // z rounds at DECIMAL(18,4) (cross-engine exact), then widens to
-      // the hash-safe presentation decimal — same value, stable hash
+      // z rounds at DECIMAL(18,4) (cross-engine exact), then presents
+      // as hash-safe DOUBLE — same value, stable hash
       .withColumn("z", decOut(dec((v - mean) / std)))
       .drop("_s1", "_s2", "_n")
   }

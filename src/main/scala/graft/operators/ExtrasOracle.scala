@@ -1235,10 +1235,12 @@ object ExtrasOracle {
        |  CAST(COUNT(v) AS BIGINT) AS n,
        |  CAST(COUNT(CASE WHEN v < p_lo THEN 1 END) AS BIGINT) AS n_lo,
        |  CAST(COUNT(CASE WHEN v > p_hi THEN 1 END) AS BIGINT) AS n_hi,
-       |  -- bounds widen to the hash-safe DECIMAL(38,4) ON OUTPUT only;
-       |  -- the clip compared the exact DECIMAL(18,4) images above
-       |  CAST(ANY_VALUE(p_lo) AS DECIMAL(38,4)) AS p_lo,
-       |  CAST(ANY_VALUE(p_hi) AS DECIMAL(38,4)) AS p_hi,
+       |  -- bounds present as DOUBLE ON OUTPUT only (no decimal-typed
+       |  -- output column hashes stably cross-engine — r9 falsified
+       |  -- wide decimals too); the clip compared the exact
+       |  -- DECIMAL(18,4) images above
+       |  CAST(ANY_VALUE(p_lo) AS DOUBLE) AS p_lo,
+       |  CAST(ANY_VALUE(p_hi) AS DOUBLE) AS p_hi,
        |  -- DuckDB's least/greatest promote DECIMAL args to DOUBLE; the
        |  -- clipped value IS one of three DECIMAL(18,4)s (each exact in
        |  -- double), so casting back before the SUM restores the exact
@@ -1246,14 +1248,15 @@ object ExtrasOracle {
        |  CAST(SUM(CAST(least(greatest(v, p_lo), p_hi) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** The DECIMAL(18,4) image is the exact arithmetic; the outer
-    * DECIMAL(38,4) is the hash-safe presentation type — DuckDB backs
-    * p ≤ 18 decimals with int64 and the driver's hasher serializes
-    * those differently from Spark's decimals (the r8 x28/x33/x58 hash
-    * fails; wide decimals are proven safe by q02). */
+  /** The DECIMAL(18,4) image is the exact arithmetic; the outer DOUBLE
+    * is the hash-safe presentation type — decimal output columns of any
+    * precision hash differently through the driver (r8 proved p≤18
+    * unsafe, r9 falsified p=38 with value-identical dumps), while a
+    * 4-decimal value converts to double correctly-rounded and
+    * identically in both engines. */
   private def percentileSql: String = {
     val cols = Analytics.percentileSpec.map { case (name, p) =>
-      s"CAST(CAST(quantile_cont(value, $p) AS DECIMAL(18,4)) AS DECIMAL(38,4)) AS $name"
+      s"CAST(CAST(quantile_cont(value, $p) AS DECIMAL(18,4)) AS DOUBLE) AS $name"
     }.mkString(",\n  ")
     s"""SELECT event_type,
        |  $cols
@@ -1309,9 +1312,9 @@ object ExtrasOracle {
       |    COUNT(value) AS n
       |  FROM events GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
-      |  -- inner cast = exact rounding; outer = hash-safe wide decimal
+      |  -- inner cast = exact rounding; outer = hash-safe DOUBLE
       |  CAST(CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4))
-      |       AS DECIMAL(38,4)) AS z
+      |       AS DOUBLE) AS z
       |FROM events e JOIN s USING (event_type)
       |WHERE abs(e.value - s1/n) > """.stripMargin +
       s"${Analytics.AnomalyK} * sqrt(s2/n - (s1/n)*(s1/n))\nORDER BY event_id"

@@ -1116,8 +1116,8 @@ object RelationalSql {
        |  COUNT(v) AS n,
        |  COUNT(CASE WHEN v < p_lo THEN 1 END) AS n_lo,
        |  COUNT(CASE WHEN v > p_hi THEN 1 END) AS n_hi,
-       |  CAST(first(p_lo) AS DECIMAL(38,4)) AS p_lo,
-       |  CAST(first(p_hi) AS DECIMAL(38,4)) AS p_hi,
+       |  CAST(first(p_lo) AS DOUBLE) AS p_lo,
+       |  CAST(first(p_hi) AS DOUBLE) AS p_hi,
        |  CAST(SUM(least(greatest(v, p_lo), p_hi)) AS DOUBLE) AS sum_w
        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -1303,7 +1303,7 @@ object RelationalSql {
   /** Spark-SQL face of Analytics.percentileQuery. */
   private def percentileSql: String = {
     val cols = Analytics.percentileSpec.map { case (name, p) =>
-      s"CAST(CAST(percentile(value, CAST($p AS DOUBLE)) AS DECIMAL(18,4)) AS DECIMAL(38,4)) AS $name"
+      s"CAST(CAST(percentile(value, CAST($p AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS $name"
     }.mkString(",\n  ")
     s"""SELECT event_type,
        |  $cols
@@ -1366,7 +1366,7 @@ object RelationalSql {
       |  FROM events GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
       |  CAST(CAST((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS DECIMAL(18,4))
-      |       AS DECIMAL(38,4)) AS z
+      |       AS DOUBLE) AS z
       |FROM events e JOIN s USING (event_type)
       |WHERE abs(e.value - s1/n) > """.stripMargin +
       s"${Analytics.AnomalyK} * sqrt(s2/n - (s1/n)*(s1/n))\nORDER BY event_id"

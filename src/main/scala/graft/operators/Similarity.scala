@@ -430,6 +430,66 @@ object Similarity {
         element_at(topCentroidsExpr(col("embedding"), cents, 1), 1).as("centroid_id"),
         col("embedding")))
 
+  /** Persist the FULL IVF index — `path/codebook` (the KB-scale
+    * [[saveCodebook]] artifact) plus `path/lists`, the assigned
+    * (vec_id, embedding) posting lists partitioned ON DISK by
+    * centroid_id — following the persisted-index discipline of
+    * [[TextSearch.saveIndex]] (bucketed postings) and
+    * [[Dedup.saveDecontamIndex]] (grams+bloom). The pair publishes
+    * atomically ([[graft.core.Artifacts.publishAtomic]]) so codebook
+    * and lists can never drift. The partition layout is the scale
+    * lever: a probe reads ONLY the probed centroids' list partitions
+    * (static partition pruning, spec-asserted), so query cost is
+    * proportional to the probed lists, not corpus size. Build once per
+    * corpus snapshot; [[ivfTopKIndexed]] forever — no re-training, no
+    * re-assignment, no full-corpus scan per session. */
+  def saveIvfIndex(vectors: DataFrame, path: String, nCentroids: Int,
+                   lloydIters: Int = 3): Unit = {
+    val spark = vectors.sparkSession
+    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      val index = ivfIndex(vectors, nCentroids, lloydIters)
+      saveCodebook(index.centroids, s"$tmp/codebook", spark)
+      index.assigned
+        // co-locate each list before the write: one writer task per
+        // centroid -> nCentroids files, not tasks x centroids small files
+        .repartition(nCentroids, col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$tmp/lists")
+    }
+  }
+
+  /** A [[saveIvfIndex]] artifact reloaded: codebook back on the driver
+    * (KBs), lists as the partition-pruned parquet relation. [[ivfTopK]]
+    * over it is result-identical to the inline index (spec-asserted). */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    graft.core.Artifacts.recover(spark, path)
+    IvfIndex(loadCodebook(spark, s"$path/codebook"),
+      spark.read.parquet(s"$path/lists")
+        .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"),
+          col("embedding")))
+  }
+
+  /** [[ivfTopK]] against a persisted index with STATIC partition
+    * pruning: the probed centroid set (≤ queries×nProbe and ≤
+    * nCentroids — a KB-bounded collect over the small query batch
+    * only; the corpus is never touched) pushes into the lists scan as
+    * a partition filter,
+    * so only the probed partitions' files are read (numFiles
+    * spec-gated, the TextSearchSpec discipline). Result-identical to
+    * [[ivfTopK]] on the inline index: the equi-join on centroid_id
+    * could never match an unprobed list anyway. */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, nProbe: Int): DataFrame = {
+    val index = loadIvfIndex(spark, path)
+    val probed = queries
+      .select(explode(topCentroidsExpr(col("qvec"), index.centroids, nProbe))
+        .as("centroid_id"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    ivfTopK(IvfIndex(index.centroids,
+        index.assigned.filter(col("centroid_id").isin(probed.map(Int.box): _*))),
+      queries, k, nProbe)
+  }
+
   /** Query the IVF index: rank centroids per query (narrow, against the
     * literal codebook), probe the top nProbe lists, exact cosine within
     * the probed lists only. */

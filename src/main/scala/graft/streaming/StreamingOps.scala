@@ -822,4 +822,44 @@ object StreamingOps {
       .transformWithState(new TokenBudgetProcessor(budget),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ----------------------- streaming ANN probe (x06's live face) -----
+
+  /** Streaming ANN probe against a FROZEN persisted IVF index
+    * ([[graft.operators.Similarity.saveIvfIndex]]): each arriving
+    * (query_id, qvec) row ranks the KB-scale codebook in a narrow
+    * codegen'd projection (no shuffle), equi-joins its nProbe posting
+    * lists, and keeps its exact-cosine top-k via the bounded-heap
+    * TopKAggregator — a streaming aggregate in UPDATE mode whose state
+    * is O(k) per query, so the query's final neighbor list refreshes
+    * in the batch its last probed row arrives. The static lists
+    * persist()ed once (a stream-static join re-executes its static
+    * sub-plan every micro-batch — the decontaminateStream discipline).
+    * Replay equals batch [[graft.operators.Similarity.ivfTopK]] over
+    * the same loaded index cell-for-cell (spec-asserted): identical
+    * centroid-ranking kernel, identical tie order (higher sim, then
+    * lower id). Completes the frozen-artifact gate family — the
+    * x58/x60/x61/x63/x68 gates all have live faces; with this,
+    * similarity search does too. */
+  def annProbeStream(queries: DataFrame, indexPath: String, k: Int,
+                     nProbe: Int): DataFrame = {
+    require(k > 0 && nProbe > 0, s"annProbeStream: k=$k nProbe=$nProbe")
+    val spark = queries.sparkSession
+    val index = graft.operators.Similarity.loadIvfIndex(spark, indexPath)
+    val lists = index.assigned.persist()
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    queries
+      .select(col("query_id"), col("qvec"),
+        explode(graft.functions.expressions.NativeExpressions.topCentroids(
+          col("qvec"), index.centroids, nProbe)).as("centroid_id"))
+      .join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.cosine(col("qvec"), col("embedding")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }
