@@ -22,6 +22,7 @@ object SparkEntry {
     "q03_join_agg"       -> (Relational.q03JoinAgg _),
     "q04_topk"           -> (Relational.q04TopK _),
     "q05_outer_join"     -> (Relational.q05OuterJoin _),
+    "q05_full_outer"     -> (Relational.q05FullOuter _),
     "q06_semi_join"      -> (Relational.q06Semi _),
     "q06_anti_join"      -> (Relational.q06Anti _),
     "q07_range_join"     -> (Relational.q07RangeJoin _),
@@ -31,6 +32,8 @@ object SparkEntry {
     "q11_count_distinct" -> (Relational.q11CountDistinct _),
     "q12_intersect"      -> (Relational.q12Intersect _),
     "q12_except"         -> (Relational.q12Except _),
+    "q12_intersect_all"  -> (Relational.q12IntersectAll _),
+    "q12_except_all"     -> (Relational.q12ExceptAll _),
     "q13_string_fns"     -> (Relational.q13StringFns _),
     "q14_date_fns"       -> (Relational.q14DateFns _),
     "q15_json_fns"       -> (Relational.q15JsonFns _),

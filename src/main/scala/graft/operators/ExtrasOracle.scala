@@ -400,7 +400,10 @@ object ExtrasOracle {
         |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
         |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
-        |FROM pc ORDER BY from_type, to_type""".stripMargin,
+        |-- NULLS FIRST pinned: Spark asc defaults nulls-first, DuckDB
+        |-- nulls-last — divergent only if event_type were ever null,
+        |-- but the twin should not depend on corpus non-nullness
+        |FROM pc ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin,
     // x62: DuckDB's nfc_normalize + RE2 \s twin of the native
     // normalize_text kernel (the kernel collapses exactly RE2's \s
     // class so the two agree byte-for-byte)
@@ -660,7 +663,9 @@ object ExtrasOracle {
       |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
       |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens
       |FROM t GROUP BY 1, 2
-      |ORDER BY source, bucket""".stripMargin
+      |-- NULLS FIRST pinned to match Spark's asc default (safe even if
+      |-- source were ever null; bucket is non-null by construction)
+      |ORDER BY source NULLS FIRST, bucket""".stripMargin
 
   /** DuckDB twin of Sampling.temperatureMixQuery (x68): same counts,
     * same α = 0.5 arithmetic — one IEEE division and one sqrt, both

@@ -75,6 +75,25 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy(col("n_orders").desc, col("c_custkey"))
 
+  /** Q5b — FULL OUTER join of two disjoint-filtered per-customer
+    * aggregates (finished vs open orders): each side holds keys the
+    * other lacks, so both null-extension directions are non-vacuous at
+    * every sf. Keys are unique per side, so ORDER BY the coalesced key
+    * is total. */
+  def q05FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("custkey_f"))
+      .agg(count(lit(1)).as("n_f"))
+    val o = orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("custkey_o"))
+      .agg(count(lit(1)).as("n_o"))
+    f.join(o, col("custkey_f") === col("custkey_o"), "full_outer")
+      .select(coalesce(col("custkey_f"), col("custkey_o")).as("custkey"),
+        col("n_f"), col("n_o"))
+      .orderBy(col("custkey"))
+  }
+
   /** Q6a — left semi join (EXISTS). */
   def q06Semi(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
@@ -166,6 +185,31 @@ object Relational {
       .except(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey")))
       .orderBy(col("custkey"))
+
+  /** Q12c — INTERSECT ALL (multiset semantics): per-custkey copies =
+    * min(multiplicity left, multiplicity right). Both sides carry real
+    * duplicate custkeys, so the bag semantics are non-vacuous — the
+    * result differs from q12_intersect's set form. Rows of equal key
+    * are identical, so ORDER BY custkey is total. */
+  def q12IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    orders.filter(col("o_totalprice") > lit(150000.0))
+      .select(col("o_custkey").as("custkey"))
+      .intersectAll(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
+
+  /** Q12d — EXCEPT ALL (multiset semantics): keeps multiplicity-left −
+    * multiplicity-right copies per custkey — the bag-difference face of
+    * q12_except. */
+  def q12ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    orders.select(col("o_custkey").as("custkey"))
+      .exceptAll(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
 
   /** Q13 — string function family over documents. */
   def q13StringFns(spark: SparkSession, dir: String): DataFrame =

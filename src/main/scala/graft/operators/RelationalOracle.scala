@@ -60,6 +60,15 @@ object RelationalOracle {
         |GROUP BY c_custkey
         |ORDER BY n_orders DESC, c_custkey""".stripMargin,
 
+    "q05_full_outer" ->
+      """WITH f AS (SELECT o_custkey AS custkey, COUNT(*) AS n_f
+        |           FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |     o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_o
+        |           FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT COALESCE(f.custkey, o.custkey) AS custkey, n_f, n_o
+        |FROM f FULL OUTER JOIN o ON f.custkey = o.custkey
+        |ORDER BY custkey""".stripMargin,
+
     "q06_semi_join" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -122,6 +131,18 @@ object RelationalOracle {
     "q12_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q12_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+        |INTERSECT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q12_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT ALL
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
 

@@ -361,6 +361,36 @@ class AnalyticsSpec extends SparkSpec {
       (3L, Some("z"), t("2024-01-01 09:00:00"), None, 1L, true)))
   }
 
+  test("scd2Merge null-key contract: null-key batch rows drop, history stays single-current") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // old log carries a null-key entity (scd2Build groups it as one)
+    val old = Seq(
+      (Some(1L), Some("a"), t("2024-01-01 10:00:00"), 1L),
+      (Option.empty[Long], Some("n"), t("2024-01-01 10:00:00"), 2L))
+      .toDF("k", "attr", "ts", "tb")
+    val neu = Seq(
+      (Some(1L), Some("b"), t("2024-01-01 12:00:00"), 3L),   // real change
+      (Option.empty[Long], Some("m"), t("2024-01-01 12:00:00"), 4L)) // null key: dropped
+      .toDF("k", "attr", "ts", "tb")
+    val base = Analytics.scd2Build(old, Seq("k"), "attr", "ts", "tb")
+    val merged = Analytics.scd2Merge(base, neu, Seq("k"), "attr", "ts", "tb")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"attr", $"effective_from", $"effective_to", $"version", $"is_current")
+      .as[(Option[Long], Option[String], Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSet
+    // the null-key entity keeps EXACTLY its old open run (never a second
+    // is_current row — the pre-contract failure mode), and the non-null
+    // key folds normally
+    assert(rows(merged) == Set[(Option[Long], Option[String], Timestamp, Option[Timestamp], Long, Boolean)](
+      (Some(1L), Some("a"), t("2024-01-01 10:00:00"), Some(t("2024-01-01 12:00:00")), 1L, false),
+      (Some(1L), Some("b"), t("2024-01-01 12:00:00"), None, 2L, true),
+      (None, Some("n"), t("2024-01-01 10:00:00"), None, 1L, true)))
+    val perEntityCurrent = merged.filter($"is_current")
+      .groupBy($"k").count().as[(Option[Long], Long)].collect()
+    assert(perEntityCurrent.forall(_._2 == 1L),
+      s"an entity has multiple is_current rows: ${perEntityCurrent.toSeq}")
+  }
+
   test("x74: cube emits all four grouping sets, consistent with the pair cells") {
     val cube = Analytics.cubeVolumesQuery(spark, sf("sf0.001"))
       .as[(String, String, Long, Long)].collect().toSeq

@@ -215,6 +215,59 @@ class ExtrasSpec extends SparkSpec {
     assert(parts == cells(Similarity.assignWithCodebook(emb, loaded).assigned))
   }
 
+  test("persisted IVF index: round-trips, prunes the probe to probed lists, heals the crash window") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/ivf"
+    Similarity.saveIvfIndex(emb, root, nCentroids = 16)
+    val loaded = Similarity.loadIvfIndex(spark, root)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // the loaded index answers identically to an inline index under the
+    // SAME frozen codebook (assignment is a pure per-row function)
+    val viaLoaded = rows(Similarity.ivfTopK(loaded, queries, k = 5, nProbe = 1))
+    val viaInline = rows(Similarity.ivfTopK(
+      Similarity.assignWithCodebook(emb, loaded.centroids), queries, k = 5, nProbe = 1))
+    assert(viaLoaded == viaInline, "persisted lists drifted from inline assignment")
+    // the pruned probe path is result-identical...
+    val indexed = Similarity.ivfTopKIndexed(spark, root, queries, k = 5, nProbe = 1)
+    assert(rows(indexed) == viaLoaded, "pruned probe drifted from the full-list probe")
+    // ...and actually prunes: the executed lists scan reads at most the
+    // probed centroids' partitions, never the whole layout (numFiles
+    // metric — inputFiles lists the relation BEFORE pruning)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val allLists = new java.io.File(root + "/lists").listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    val df = Similarity.ivfTopKIndexed(spark, root, queries, k = 5, nProbe = 1)
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val read = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/lists")))
+      .map(_.metrics("numFiles").value).sum
+    assert(read > 0 && read <= 5 && read < allLists,
+      s"scanned $read list files; expected <= 5 probed centroids of $allLists total")
+    // crash-window recovery: a publish that died between the two renames
+    // leaves <path>.old complete and <path> missing — readers heal it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(root + ".old")))
+    val healed = Similarity.loadIvfIndex(spark, root)
+    assert(rows(Similarity.ivfTopK(healed, queries, k = 5, nProbe = 1)) == viaLoaded,
+      "recovered index drifted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(root + ".old")))
+  }
+
   test("Lloyd-trained IVF codebook bounds list imbalance on a skew-clustered corpus") {
     // the round-4 caveat: strided-id init mirrors data density only when
     // ids are uniform over space; on a skew-clustered corpus it drops

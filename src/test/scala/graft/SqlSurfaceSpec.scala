@@ -32,10 +32,11 @@ class SqlSurfaceSpec extends SparkSpec {
     RelationalSql.sql.toSeq.sortBy(_._1).foreach { case (name, text) =>
       withClue(name)(assertSame(name, text))
     }
-    // Q1-Q19 with q06/q12 each contributing two entries, plus Q21 and
-    // Q22 = 23 texts (the as-of twins are correlated lookups — Spark
-    // SQL has no ASOF)
-    assert(RelationalSql.sql.size == 23, "every relational query needs a SQL twin")
+    // Q1-Q19 with q05 contributing two entries (left + full outer),
+    // q06 two, q12 four (set + multiset forms), plus Q21 and Q22 = 26
+    // texts (the as-of twins are correlated lookups — Spark SQL has no
+    // ASOF)
+    assert(RelationalSql.sql.size == 26, "every relational query needs a SQL twin")
   }
 
   test("LLM-pipeline extras: SQL texts (incl. injected shingle fns) equal DataFrame forms") {

@@ -364,6 +364,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN probe equals batch IVF top-k on replay against a frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivf-stream").toString + "/ivf"
+    Similarity.saveIvfIndex(emb, root, nCentroids = 16)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val batch = Similarity
+      .ivfTopK(Similarity.loadIvfIndex(spark, root), queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch.nonEmpty, "vacuous: batch probe returned nothing")
+
+    val rows = queries.as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.annProbeStream(
+        stream.toDF().toDF("query_id", "qvec"), root, k = 5, nProbe = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ann_out").start()
+    try {
+      // each query's rows arrive whole in one chunk, so its final top-k
+      // is emitted exactly once, in its arrival batch
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("ann_out").as[(Long, Long, Int)].collect().toSet
+      assert(streamed == batch,
+        s"missing: ${(batch -- streamed).take(5)}; extra: ${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming interval top-k gate equals batch x61 on replay against a frozen calendar") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IntervalJoin
