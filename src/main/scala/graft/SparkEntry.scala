@@ -267,6 +267,15 @@ object SparkEntry {
     // intercept / r2) from exact integer+decimal moments — the metric
     // drift detector, engine-exact up to one rounded double expression.
     "x80_trend"           -> (Analytics.trendQuery _),
+    // x81: per-document token Shannon entropy — the distribution-shape
+    // quality signal (0 = one token repeated, ln(n) = no repeats);
+    // rounded-ln + exact decimal dot product, the x67 discipline.
+    "x81_token_entropy"   -> (TextAnalysis.tokenEntropyQuery _),
+    // x82: per-source unigram KL divergence from the corpus blend —
+    // the mix-drift detector feeding the x20/x22/x68 re-weighting;
+    // windowed marginals over the (source, term) aggregate, x70's
+    // double-ratio shape into the rounded ln.
+    "x82_kl_drift"        -> (TextAnalysis.klDriftQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

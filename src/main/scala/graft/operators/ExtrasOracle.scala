@@ -327,6 +327,8 @@ object ExtrasOracle {
     "x77_zonemap" -> zonemapSql,
     "x78_kmeans" -> kmeansSql,
     "x79_funnel" -> qualityFunnelSql,
+    "x81_token_entropy" -> tokenEntropySql,
+    "x82_kl_drift" -> klDriftSql,
     // x80: OLS trend from exact moments — x/y sums are integer/decimal
     // (order-independent); each moment casts to DOUBLE once and the
     // closed forms use the SAME parenthesization as the Spark face.
@@ -1517,4 +1519,49 @@ object ExtrasOracle {
        |  MIN(value) AS min_v, MAX(value) AS max_v
        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
   }
+
+  /** DuckDB twin of TextAnalysis.tokenEntropyQuery (x81): same (doc,
+    * term) counts, same 6-decimal-rounded ln into DECIMAL(18,6), same
+    * exact decimal dot product divided once in double. */
+  private def tokenEntropySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |m AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc),
+      |per AS (
+      |  SELECT doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+      |                      AS DECIMAL(18,6))) AS DOUBLE)
+      |      / ANY_VALUE(n) AS entropy
+      |  FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(n_types, 0) AS BIGINT) AS n_types, entropy
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.klDriftQuery (x82): same windowed
+    * marginals over the (source, term) aggregate, same x70-shaped
+    * double ratios into the rounded ln, same decimal dot product. */
+  private def klDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |tc AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+      |m AS (
+      |  SELECT source, c,
+      |    SUM(c) OVER (PARTITION BY source) AS ns,
+      |    SUM(c) OVER (PARTITION BY t) AS ct
+      |  FROM tc)
+      |SELECT source, CAST(ANY_VALUE(ns) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(c * CAST(round(ln((CAST(c AS DOUBLE) / ns) * (CAST(n AS DOUBLE) / ct)), 6)
+      |                    AS DECIMAL(18,6))) AS DOUBLE)
+      |    / ANY_VALUE(ns) AS kl
+      |FROM m CROSS JOIN tot
+      |-- NULLS FIRST pinned to match Spark's asc default (source is
+      |-- non-null in the corpus; the twin should not depend on that)
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 }

@@ -812,4 +812,97 @@ object TextAnalysis {
 
   def pmiQuery(spark: SparkSession, dir: String): DataFrame =
     pmiCollocations(Tables.load(spark, dir, "documents"), PmiMinCount, PmiTopN)
+
+  // ------------------------------------------- token entropy (x81)
+
+  /** x81: per-document unigram (token) Shannon entropy in nats — the
+    * distribution-SHAPE quality signal the x09/x12 heuristics miss: a
+    * doc of one token repeated n times scores 0, a doc with no repeats
+    * scores ln(n). Low entropy flags boilerplate/template repetition
+    * (complementing x12's repeated-ngram share, which sees adjacency
+    * but not global imbalance); anomalously high entropy flags token
+    * soup that defeats every dictionary signal.
+    *
+    * Determinism: H = (Σ_t c_t·lp_t) / n with lp_t = round(ln(n/c_t),
+    * 6) into DECIMAL(18,6) — the x67 discipline: the one transcendental
+    * rounds BEFORE the exact decimal dot product with the integer
+    * counts, and the single division happens once in double. n/c_t is
+    * two correctly-rounded int→double casts and one correctly-rounded
+    * division, so both engines hand ln the identical double.
+    *
+    * Scale shape: one scan → (doc, term) hash agg → per-doc window over
+    * the AGGREGATED table (bounded by the doc's type count — never a
+    * window over raw tokens) → per-doc agg. Zero-token docs surface
+    * with zero counts and a null entropy via the final left join (a
+    * report, not a filter). */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val per = tc
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("c"), col("n"),
+        round(log(col("n").cast("double") / col("c").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (sum(col("c") * col("lp")).cast("double") / first(col("n"))).as("entropy"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        col("entropy"))
+  }
+
+  def tokenEntropyQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // ------------------------------------- per-source KL drift (x82)
+
+  /** x82: per-source unigram KL divergence from the whole-corpus token
+    * distribution — KL(P_s ‖ P_corpus) = Σ_t (c_st/n_s)·ln((c_st/n_s) /
+    * (C_t/N)) — the corpus-mix drift detector: which feeds' token
+    * distributions sit far from the blend they are mixed into. A crawl
+    * snapshot whose KL jumps between ingests is the re-weight trigger
+    * for the x20/x22/x68 mixers; a source whose KL ≈ 0 adds volume but
+    * no distributional diversity. Every source term appears in the
+    * corpus marginal by construction, so no smoothing is needed and
+    * every ln argument is finite and positive (KL ≥ 0 exactly).
+    *
+    * Determinism: the ln argument is (c_st/n_s)·(N/C_t) — two
+    * correctly-rounded divisions and one multiplication, the exact x70
+    * PMI shape (no i64 product can overflow: products never form, only
+    * double ratios) — rounded at 6 decimals into DECIMAL(18,6); the sum
+    * is the exact decimal dot product with the integer counts, divided
+    * once in double (the x67/x81 weighted-mean discipline).
+    *
+    * Scale shape: one scan → (source, term) hash agg; the term marginal
+    * and per-source total are windows over the vocabulary-sized
+    * aggregate, the corpus total a broadcast 1-row cross join (the
+    * x57/x70 no-second-scan discipline). Output is |sources| rows. */
+  def sourceKlDrift(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(wsTokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tc.agg(sum(col("c")).as("n"))
+    tc
+      .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("ct", sum(col("c")).over(Window.partitionBy(col("t"))))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("c"), col("ns"),
+        round(log((col("c").cast("double") / col("ns")) *
+          (col("n").cast("double") / col("ct"))), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (sum(col("c") * col("lp")).cast("double") / first(col("ns"))).as("kl"))
+  }
+
+  def klDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    sourceKlDrift(Tables.load(spark, dir, "documents")).orderBy(col("source"))
 }

@@ -1631,6 +1631,56 @@ class ExtrasSpec extends SparkSpec {
     assert(republished == before)
   }
 
+  test("x81: token entropy matches a hand computation; bounds hold on the corpus") {
+    import graft.operators.TextAnalysis
+    def lp(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d = Seq(
+      (1L, "a a b"),   // n=3: H = (2·ln(3/2) + ln(3)) / 3, lns rounded
+      (2L, "x"),       // single token: H = 0
+      (3L, " "),       // zero tokens: null entropy
+      (4L, "p q r"))   // all distinct: H = ln(3) rounded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d).orderBy($"doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    val h1 = ((lp(3.0 / 2.0) * 2 + lp(3.0)).toDouble / 3)
+    assert(out == Seq(
+      (1L, 3L, 2L, Some(h1)),
+      (2L, 1L, 1L, Some(0.0)),
+      (3L, 0L, 0L, None),
+      (4L, 3L, 3L, Some(lp(3.0).toDouble))))
+    // corpus-wide bounds: 0 <= H <= ln(n_tokens) (+ rounding slack)
+    val all = TextAnalysis.tokenEntropyQuery(spark, sf("sf0.001"))
+      .filter($"entropy".isNotNull)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(all.nonEmpty)
+    assert(all.forall { case (_, n, _, h) =>
+      h >= -1e-6 && h <= math.log(n.toDouble) + 1e-6 })
+  }
+
+  test("x82: per-source KL drift matches a hand computation; single source is zero") {
+    import graft.operators.TextAnalysis
+    def lp(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d = Seq(
+      (1L, "a a b", "s1"),  // s1: a=2, b=1, ns=3
+      (2L, "a c", "s2"))    // s2: a=1, c=1, ns=2; corpus: N=5, C_a=3, C_b=C_c=1
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceKlDrift(d).orderBy($"source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val kl1 = ((lp((2.0 / 3.0) * (5.0 / 3.0)) * 2 + lp((1.0 / 3.0) * (5.0 / 1.0))).toDouble / 3)
+    val kl2 = ((lp((1.0 / 2.0) * (5.0 / 3.0)) + lp((1.0 / 2.0) * (5.0 / 1.0))).toDouble / 2)
+    assert(out == Seq(("s1", 3L, 2L, kl1), ("s2", 2L, 2L, kl2)))
+    // a lone source IS the corpus: every ln argument is 1, KL exactly 0
+    val lone = TextAnalysis.sourceKlDrift(d.withColumn("source", lit("only")))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(lone == Seq(("only", 5L, 3L, 0.0)))
+    // corpus-wide: KL is non-negative everywhere
+    val all = TextAnalysis.klDriftQuery(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(all.nonEmpty && all.forall(_._4 >= -1e-6))
+  }
+
   test("x65: data card matches a hand computation; TOTAL row from the same rollup") {
     val d = Seq(
       (1L, "a b c", "en", "s1"),
