@@ -40,9 +40,15 @@ object Relational {
         // scale-8 product sum reaches ~18 significant digits at sf>=0.1 —
         // beyond double, and Spark (BigDecimal, correctly rounded) and
         // DuckDB (hugeint/10^8, double-rounded) disagree in the last ulp.
-        // Rescale to DECIMAL(30,4) instead: exact in both engines.
+        // Rescale to DECIMAL(30,4) (exact in both engines), then present
+        // as DOUBLE like every other exact sum: decimal output of ANY
+        // precision hashes unstably cross-engine (r8-r10), and this was
+        // the last grandfathered exception. The scale-4 image stays below
+        // 2^53 through sf1, so decimal→double converts identically
+        // (exact integer then one correctly-rounded /10^4) in both.
         sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
-          .cast(org.apache.spark.sql.types.DecimalType(30, 4)).as("sum_disc_price"),
+          .cast(org.apache.spark.sql.types.DecimalType(30, 4))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 

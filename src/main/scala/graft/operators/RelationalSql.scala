@@ -26,9 +26,9 @@ object RelationalSql {
       """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-        |       AS DECIMAL(30,4)) AS sum_disc_price,
+        |       AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus

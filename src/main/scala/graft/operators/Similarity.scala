@@ -450,8 +450,11 @@ object Similarity {
       val index = ivfIndex(vectors, nCentroids, lloydIters)
       saveCodebook(index.centroids, s"$tmp/codebook", spark)
       index.assigned
-        // co-locate each list before the write: one writer task per
-        // centroid -> nCentroids files, not tasks x centroids small files
+        // co-locate each list before the write: hash-repartitioning on
+        // centroid_id puts ALL of a centroid's rows in one task (two
+        // centroids may share a task on hash collision), so each
+        // partition directory holds exactly one file — nCentroids files
+        // total, not tasks x centroids small files
         .repartition(nCentroids, col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$tmp/lists")
@@ -460,11 +463,17 @@ object Similarity {
 
   /** A [[saveIvfIndex]] artifact reloaded: codebook back on the driver
     * (KBs), lists as the partition-pruned parquet relation. [[ivfTopK]]
-    * over it is result-identical to the inline index (spec-asserted). */
+    * over it is result-identical to the inline index (spec-asserted).
+    * READ-ONLY: the crash/publish window (index momentarily at
+    * `<path>.old`) is bridged by [[graft.core.Artifacts.readablePath]]
+    * — resolved ONCE so codebook and lists come from the same snapshot
+    * — rather than by mutating recover(), which raced an in-flight
+    * publishAtomic (ADVICE r10). Healing the window is the next
+    * publish's (or an explicit Artifacts.recover caller's) job. */
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    graft.core.Artifacts.recover(spark, path)
-    IvfIndex(loadCodebook(spark, s"$path/codebook"),
-      spark.read.parquet(s"$path/lists")
+    val root = graft.core.Artifacts.readablePath(spark, path)
+    IvfIndex(loadCodebook(spark, s"$root/codebook"),
+      spark.read.parquet(s"$root/lists")
         .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"),
           col("embedding")))
   }

@@ -256,11 +256,22 @@ class ExtrasSpec extends SparkSpec {
     assert(read > 0 && read <= 5 && read < allLists,
       s"scanned $read list files; expected <= 5 probed centroids of $allLists total")
     // crash-window recovery: a publish that died between the two renames
-    // leaves <path>.old complete and <path> missing — readers heal it
+    // leaves <path>.old complete and <path> missing. Readers bridge the
+    // window READ-ONLY (no rename — a mutating read raced an in-flight
+    // publish, ADVICE r10); the writer-side recover() heals the layout.
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(root),
       new org.apache.hadoop.fs.Path(root + ".old")))
+    val bridged = Similarity.loadIvfIndex(spark, root)
+    assert(rows(Similarity.ivfTopK(bridged, queries, k = 5, nProbe = 1)) == viaLoaded,
+      "read through the crash window drifted")
+    // the read-only bridge must NOT have mutated the layout
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root)) &&
+      fs.exists(new org.apache.hadoop.fs.Path(root + ".old")),
+      "reader mutated the crash-window layout")
+    // explicit writer-side heal restores <path> and clears the aside
+    assert(graft.core.Artifacts.recover(spark, root))
     val healed = Similarity.loadIvfIndex(spark, root)
     assert(rows(Similarity.ivfTopK(healed, queries, k = 5, nProbe = 1)) == viaLoaded,
       "recovered index drifted")

@@ -42,17 +42,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # before value comparison even runs.
 _DECIMAL = re.compile(r"DECIMAL\(\d+,\s*\d+\)")
 
-# q02's DECIMAL(30,4) sum has hash-matched the driver every round since
-# r1 — grandfathered until it is migrated, everything else must be
-# decimal-free on output.
-_DECIMAL_GRANDFATHER = {("q02_agg", "sum_disc_price")}
-
 
 def hash_unsafe(duck_type, query=None, column=None):
     t = duck_type.upper()
     if t == "HUGEINT":
         return "HUGEINT"
-    if _DECIMAL.search(t) and (query, column) not in _DECIMAL_GRANDFATHER:
+    if _DECIMAL.search(t):
         return t
     return None
 
