@@ -50,7 +50,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    machine was already contended at calibration time. The EFFECTIVE
   *    baseline for retry/flag decisions is clamped to the ceiling
   *    (otherwise an inflated baseline would silently disable the
-  *    detector), and the record carries `baseline_suspect: true`.
+  *    detector), and the record carries `baseline_suspect: true`;
+  *  - BOTH stdout lines carry `value_attested`: the total with each
+  *    query deflated by its own calibration's slowdown against the
+  *    run's best observed probe ([[Bench.attestedTime]]). The r10
+  *    driver record was ~1.4x machine-inflated while reading
+  *    `contended:[]` — a uniform sub-threshold load trips no retry yet
+  *    distorts every number; the attested total makes that distortion
+  *    quantifiable from the committed record alone, with no re-run.
   */
 object Bench {
   /** Attempts whose calibration exceeds baseline by this factor are
@@ -231,6 +238,36 @@ object Bench {
   def shouldRetry(calib: Double, baseline: Double, attempt: Int): Boolean =
     calib > baseline * ContendedFactor && attempt < MaxAttempts
 
+  /** Contention-deflated estimate of a query's quiet-machine time. The
+    * calibration probe is FIXED work, so the ratio of a query's own
+    * calibration to the best probe observed anywhere in the run (`ref`)
+    * measures how much slower the machine ran during that query than it
+    * is capable of; dividing it out estimates the quiet time. Deflates
+    * only — a probe can only be slowed down, never sped up, so warm is
+    * never inflated. The r10 driver record needed exactly this: a
+    * uniform ~1.4x machine load sat below every retry threshold
+    * (ContendedFactor=3, ext share blind to sibling-cgroup contention)
+    * yet inflated the committed total 43% with `contended:[]` — the
+    * evidence existed per query but never reached the compact line the
+    * driver tails. Failed queries (warm<0) and missing calibrations
+    * pass through unadjusted.
+    */
+  def attestedTime(warm: Double, calib: Double, ref: Double): Double =
+    if (warm < 0 || calib <= 0 || ref <= 0 || calib <= ref) warm
+    else warm * (ref / calib)
+
+  /** The run's best evidence of quiet-machine capability: the minimum
+    * over the session-start baseline and every per-query calibration.
+    * Using the global min (not the start-of-run baseline alone) keeps
+    * the attestation meaningful even when the machine was ALREADY
+    * loaded at session start — any quiet moment anywhere in the run
+    * reveals the true capability.
+    */
+  def attestRef(baseline: Double, queryCalibs: Seq[Double]): Double = {
+    val valid = (baseline +: queryCalibs).filter(_ > 0)
+    if (valid.isEmpty) -1.0 else valid.min
+  }
+
   /** Fixed CPU-bound probe: one task per local core, arithmetic-only so
     * its runtime tracks available CPU, not I/O. Returns elapsed seconds.
     */
@@ -272,9 +309,9 @@ object Bench {
     * queries in round 7). BenchSpec pins the bound at the real query
     * count under worst-case value widths.
     */
-  def compactLine(total: Double, queries: Seq[(String, Double)],
+  def compactLine(total: Double, attested: Double, queries: Seq[(String, Double)],
                   contendedNames: Seq[String], baselineSuspect: Boolean,
-                  sfDir: String): String = {
+                  sfDir: String, extra: Seq[(String, String)] = Nil): String = {
     def render(fmtV: Double => String, maxContended: Int,
                subset: Seq[(String, Double)], omitted: Int): String = {
       val qs = jsonMap(subset.map { case (n, v) => n -> fmtV(v) })
@@ -284,7 +321,11 @@ object Bench {
       // sf as basename: the directory prefix is fixed machine context the
       // tail-captured record doesn't need to spend bytes on.
       val sf = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$cut""" +
+      // extra fields (e.g. the streaming-throughput record) are small and
+      // never degraded — they ride every tier.
+      val xtr = extra.map { case (k, v) => s""""$k":$v,""" }.mkString
+      s"""{"metric":"total","value":${fmt(total)},"value_attested":${fmt(attested)},""" +
+        s""""unit":"sec","queries":$qs,$cut$xtr""" +
         s""""contended":$contended,"baseline_suspect":$baselineSuspect,"sf":"$sf"}"""
     }
     def fits(l: String): Boolean = l.getBytes("UTF-8").length <= CompactLineBudget
@@ -447,10 +488,19 @@ object Bench {
     val attempts = jsonMap(results.map(r => r.name -> r.attempts.toString))
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
     val total = results.map(_.warm).filter(_ >= 0).sum
+    // Attested total: each query deflated by its own calibration's
+    // slowdown vs the run's best observed probe — the number a reader
+    // should compare across rounds when the raw total and the attested
+    // one disagree (they diverge exactly when the machine was loaded).
+    val ref = attestRef(measuredBaseline, results.map(_.calib))
+    val attestedTotal = results.filter(_.warm >= 0)
+      .map(r => attestedTime(r.warm, r.calib, ref)).sum
     // Line 1: the full self-attested record (for a reader with the whole
     // stdout). ~4.5 KB — larger than the driver's tail-capture window.
     println(
-      s"""{"metric":"total_attested","value":${fmt(total)},"unit":"sec","queries_cold":$colds,""" +
+      s"""{"metric":"total_attested","value":${fmt(total)},""" +
+      s""""value_attested":${fmt(attestedTotal)},"attest_ref":${fmt(ref)},""" +
+      s""""unit":"sec","queries_cold":$colds,""" +
       s""""calib_baseline":${fmt(measuredBaseline)},"baseline_suspect":$baselineSuspect,""" +
       s""""queries_calib":$calibs,"queries_extcpu":$exts,"queries_gc":$gcs,""" +
       s""""queries_iowait":$ios,"queries_attempts":$attempts,""" +
@@ -461,7 +511,7 @@ object Bench {
     // always holds the complete line (round-4 lesson: the attested line
     // alone grew past the tail window and the committed bench lost its
     // per-query numbers).
-    println(compactLine(total, results.map(r => r.name -> r.warm),
+    println(compactLine(total, attestedTotal, results.map(r => r.name -> r.warm),
       results.filter(_.contended).map(_.name), baselineSuspect, sfDir))
     spark.stop()
   }

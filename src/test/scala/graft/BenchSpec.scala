@@ -114,39 +114,82 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     // truncation), so the assertion is on the EMITTED line under
     // worst-case value widths, not on a hoped-for typical width.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst-realistic extra payload: the streaming-throughput record
+    val extra = Seq(
+      "stream_rows_per_sec" -> "123456.7", "stream_batches" -> "1234",
+      "stream_rows" -> "12345678", "stream_restarted" -> "true")
     val line = Bench.compactLine(
       total = 123.4567,
+      attested = 98.7654,
       queries = names.map(_ -> 0.77345), // typical sub-second width
       contendedNames = names.take(3),    // a few flagged entries
       baselineSuspect = false,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      extra = extra)
     assert(line.getBytes("UTF-8").length <= Bench.CompactLineBudget,
       s"compact bench line is ${line.length} bytes; driver tail keeps 2000")
     assert(line.startsWith("""{"metric":"total","""))
+    assert(line.contains("\"value_attested\":98.7654"),
+      "attested total must reach the driver-tailed line")
+    assert(line.contains("\"stream_rows_per_sec\":123456.7"),
+      "extra fields must ride the compact line")
     assert(line.contains("\"sf\":\"sf0.1\""), "sf should be the basename")
     // Worst case: every value at %g's widest form (8 chars, "0.000773")
     // and many contended names. The adaptive tiers must still fit.
     val worst = Bench.compactLine(
       total = 123.4567,
+      attested = 123.4567,
       queries = names.map(_ -> 0.00077345),
       contendedNames = names, // pathological: everything flagged
       baselineSuspect = false,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      extra = extra)
     assert(worst.getBytes("UTF-8").length <= Bench.CompactLineBudget,
       s"worst-case compact line is ${worst.length} bytes")
+    assert(worst.contains("\"value_attested\":") &&
+      worst.contains("\"stream_rows_per_sec\":"),
+      "attestation and extra fields must survive every degradation tier")
     // Slow-query values stay short too: significant digits, not decimals.
-    val slow = Bench.compactLine(99.1, Seq("q" -> 99.1234), Nil, false, "sf0.1")
+    val slow = Bench.compactLine(99.1, 99.1, Seq("q" -> 99.1234), Nil, false, "sf0.1")
     assert(slow.contains("\"q\":99.1"))
     // At a small query count nothing degrades: full 3-sig-digit values.
-    val small = Bench.compactLine(1.0, Seq("q" -> 0.77345), Nil, false, "sf0.1")
+    val small = Bench.compactLine(1.0, 1.0, Seq("q" -> 0.77345), Nil, false, "sf0.1")
     assert(small.contains("\"q\":0.773"))
+  }
+
+  test("attested time deflates by the calibration ratio and never inflates") {
+    // The r10 shape: a uniform 1.4x load — calib 0.14 vs quiet ref 0.10
+    // — trips no retry threshold but inflates every query 1.4x. The
+    // attested time divides the measured slowdown back out.
+    val t = Bench.attestedTime(warm = 1.4, calib = 0.14, ref = 0.10)
+    assert(math.abs(t - 1.0) < 1e-9, s"expected ~1.0, got $t")
+    // A quiet query (calib == ref) passes through untouched.
+    assert(Bench.attestedTime(2.0, 0.10, 0.10) == 2.0)
+    // calib below ref (can't happen by construction of attestRef, but
+    // guard anyway): never inflate.
+    assert(Bench.attestedTime(2.0, 0.08, 0.10) == 2.0)
+    // Failure and missing-signal sentinels pass through.
+    assert(Bench.attestedTime(-1.0, 0.14, 0.10) == -1.0)
+    assert(Bench.attestedTime(2.0, -1.0, 0.10) == 2.0)
+    assert(Bench.attestedTime(2.0, 0.14, -1.0) == 2.0)
+  }
+
+  test("attestation reference is the best probe seen anywhere in the run") {
+    // Session start already loaded (baseline 0.3) but one mid-run quiet
+    // moment (0.1) reveals true capability — the ref must find it.
+    assert(Bench.attestRef(0.3, Seq(0.2, 0.1, 0.25)) == 0.1)
+    // Start-quiet case: the baseline itself is the ref.
+    assert(Bench.attestRef(0.1, Seq(0.2, 0.15)) == 0.1)
+    // Invalid calibs are ignored; all-invalid yields the -1 sentinel.
+    assert(Bench.attestRef(0.1, Seq(-1.0)) == 0.1)
+    assert(Bench.attestRef(-1.0, Seq(-1.0)) == -1.0)
   }
 
   test("compact line last resort truncates the query map instead of overflowing") {
     // giant-SF shape: hundreds of wide values — no full-map tier fits,
     // so the slowest entries survive and the cut is recorded
     val many = (1 to 300).map(i => f"query_with_a_long_name_$i%03d" -> (1000.0 + i))
-    val line = Bench.compactLine(300000.0, many, Nil, false, "sf100")
+    val line = Bench.compactLine(300000.0, 300000.0, many, Nil, false, "sf100")
     assert(line.getBytes("UTF-8").length <= Bench.CompactLineBudget,
       s"last-resort line is ${line.length} bytes")
     assert(line.contains("\"queries_omitted\":"), "cut must be declared")
@@ -170,7 +213,7 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("compact line formats locale-independently and handles NaN") {
-    val line = Bench.compactLine(1.5, Seq("q" -> Double.NaN), Nil, true, "sf")
+    val line = Bench.compactLine(1.5, 1.5, Seq("q" -> Double.NaN), Nil, true, "sf")
     assert(line.contains("\"q\":-1"))
     assert(line.contains("\"baseline_suspect\":true"))
     // value uses a dot decimal separator regardless of default locale
