@@ -489,14 +489,30 @@ object Similarity {
     * could never match an unprobed list anyway. */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, nProbe: Int): DataFrame = {
-    val index = loadIvfIndex(spark, path)
+    val root = graft.core.Artifacts.readablePath(spark, path)
+    ivfTopKPruned(spark, s"$root/lists", loadCodebook(spark, s"$root/codebook"),
+      queries, k, nProbe)
+  }
+
+  /** The pruned-probe core [[ivfTopKIndexed]] and the streaming face
+    * ([[graft.streaming.StreamingOps.annProbeBatch]]) share: collect the
+    * query batch's probed centroid set (bounded by queries×nProbe and by
+    * nCentroids — KBs; the corpus is never touched), push it into the
+    * lists scan as a partition filter, probe only those lists. Takes a
+    * pre-loaded codebook so a long-running stream ranks against the
+    * driver-resident KB-scale array without re-reading it per batch. */
+  def ivfTopKPruned(spark: SparkSession, listsPath: String,
+                    cents: Array[(Int, Array[Float])], queries: DataFrame,
+                    k: Int, nProbe: Int): DataFrame = {
     val probed = queries
-      .select(explode(topCentroidsExpr(col("qvec"), index.centroids, nProbe))
+      .select(explode(topCentroidsExpr(col("qvec"), cents, nProbe))
         .as("centroid_id"))
       .distinct().collect().map(_.getInt(0)).sorted
-    ivfTopK(IvfIndex(index.centroids,
-        index.assigned.filter(col("centroid_id").isin(probed.map(Int.box): _*))),
-      queries, k, nProbe)
+    val lists = spark.read.parquet(listsPath)
+      .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"),
+        col("embedding"))
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+    ivfTopK(IvfIndex(cents, lists), queries, k, nProbe)
   }
 
   /** Query the IVF index: rank centroids per query (narrow, against the

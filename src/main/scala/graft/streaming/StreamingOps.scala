@@ -826,40 +826,54 @@ object StreamingOps {
   // ----------------------- streaming ANN probe (x06's live face) -----
 
   /** Streaming ANN probe against a FROZEN persisted IVF index
-    * ([[graft.operators.Similarity.saveIvfIndex]]): each arriving
-    * (query_id, qvec) row ranks the KB-scale codebook in a narrow
-    * codegen'd projection (no shuffle), equi-joins its nProbe posting
-    * lists, and keeps its exact-cosine top-k via the bounded-heap
-    * TopKAggregator — a streaming aggregate in UPDATE mode whose state
-    * is O(k) per query, so the query's final neighbor list refreshes
-    * in the batch its last probed row arrives. The static lists
-    * persist()ed once (a stream-static join re-executes its static
-    * sub-plan every micro-batch — the decontaminateStream discipline).
-    * Replay equals batch [[graft.operators.Similarity.ivfTopK]] over
-    * the same loaded index cell-for-cell (spec-asserted): identical
-    * centroid-ranking kernel, identical tie order (higher sim, then
-    * lower id). Completes the frozen-artifact gate family — the
-    * x58/x60/x61/x63/x68 gates all have live faces; with this,
-    * similarity search does too. */
-  def annProbeStream(queries: DataFrame, indexPath: String, k: Int,
-                     nProbe: Int): DataFrame = {
-    require(k > 0 && nProbe > 0, s"annProbeStream: k=$k nProbe=$nProbe")
-    val spark = queries.sparkSession
-    val index = graft.operators.Similarity.loadIvfIndex(spark, indexPath)
-    val lists = index.assigned.persist()
-    val topk = udaf(new graft.functions.TopKAggregator(k))
-    queries
-      .select(col("query_id"), col("qvec"),
-        explode(graft.functions.expressions.NativeExpressions.topCentroids(
-          col("qvec"), index.centroids, nProbe)).as("centroid_id"))
-      .join(lists, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.VectorFunctions.cosine(col("qvec"), col("embedding")).as("sim"))
-      .groupBy(col("query_id"))
-      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"))
+    * ([[graft.operators.Similarity.saveIvfIndex]]), as a
+    * `writeStream.foreachBatch` body: each micro-batch of (query_id,
+    * qvec) rows runs the SAME pruned probe as the batch path
+    * ([[graft.operators.Similarity.ivfTopKPruned]]) — rank the
+    * driver-resident KB-scale codebook (loaded ONCE at stream start,
+    * not per batch), collect the batch's probed centroid ids (bounded
+    * by batchSize×nProbe and by nCentroids), and read ONLY those list
+    * partitions before the exact-cosine top-k. The result lands in
+    * `emit(resultDf, batchId)`.
+    *
+    * Why foreachBatch and not a stream-static join: the previous
+    * incarnation persisted the ENTIRE posting-lists relation and
+    * stream-static-joined against it — at 100 TB the lists ARE the
+    * corpus embeddings, so the static side's cache was a scale-killer
+    * and every micro-batch re-scanned all lists regardless of which
+    * centroids the arriving queries probed (r10 VERDICT). A static
+    * partition filter can't be dynamic per micro-batch inside one
+    * incremental plan, but foreachBatch re-plans per batch, so the
+    * probed-centroid pruning the batch path already had applies to
+    * every batch read (numFiles spec-gated, like the batch IVF gate).
+    * Per-batch cost is O(probed lists), independent of corpus size.
+    *
+    * Semantics: each query's top-k is computed in the batch its row
+    * arrives (queries are single rows by contract, so no cross-batch
+    * state is needed — the old UPDATE-mode aggregate kept O(k) state
+    * per query forever to support a row split that cannot happen).
+    * Replay over any chunking equals batch
+    * [[graft.operators.Similarity.ivfTopK]] over the same loaded index
+    * cell-for-cell (spec-asserted): identical centroid-ranking kernel,
+    * identical tie order (higher sim, then lower id). */
+  def annProbeBatch(indexPath: String, k: Int, nProbe: Int)
+                   (emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    require(k > 0 && nProbe > 0, s"annProbeBatch: k=$k nProbe=$nProbe")
+    // Lazy one-time load keyed off the first batch's session: the frozen
+    // index's root is resolved ONCE (read-only crash-window bridge), so
+    // every batch probes the same snapshot even across a concurrent
+    // republish.
+    var loaded: (String, Array[(Int, Array[Float])]) = null
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (loaded == null) {
+        val root = graft.core.Artifacts.readablePath(spark, indexPath)
+        loaded = (s"$root/lists",
+          graft.operators.Similarity.loadCodebook(spark, s"$root/codebook"))
+      }
+      val (listsPath, cents) = loaded
+      emit(graft.operators.Similarity.ivfTopKPruned(
+        spark, listsPath, cents, batch, k, nProbe), batchId)
+    }
   }
 }

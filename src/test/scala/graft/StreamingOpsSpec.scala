@@ -364,7 +364,7 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming ANN probe equals batch IVF top-k on replay against a frozen index") {
+  test("streaming ANN probe equals batch IVF top-k on replay and prunes each batch's read") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
     val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
@@ -377,21 +377,60 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(batch.nonEmpty, "vacuous: batch probe returned nothing")
 
+    val allLists = new java.io.File(root + "/lists").listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    // per-batch evidence: result rows + how many list files the pruned
+    // scan actually read (the batch IVF gate's numFiles discipline)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val batchSizes = scala.collection.mutable.Map.empty[Long, Int]
+    val filesRead = scala.collection.mutable.Map.empty[Long, Long]
+    val probe = StreamingOps.annProbeBatch(root, k = 5, nProbe = 2) { (out, id) =>
+      // walk the SAME dataset that was executed: .as[] builds a new
+      // Dataset whose queryExecution is the one collect() runs
+      val typed = out.as[(Long, Long, Int)]
+      collected ++= typed.collect()
+      filesRead(id) = scans(typed.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/lists")))
+        .map(_.metrics("numFiles").value).sum
+    }
+
     val rows = queries.as[(Long, Seq[Float])].collect().toSeq
     val stream = MemoryStream[(Long, Seq[Float])]
-    val q = StreamingOps.annProbeStream(
-        stream.toDF().toDF("query_id", "qvec"), root, k = 5, nProbe = 2)
-      .writeStream.outputMode("update")
-      .format("memory").queryName("ann_out").start()
+    val q = stream.toDF().toDF("query_id", "qvec")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchSizes(id) = b.count().toInt
+        probe(b, id)
+      }
+      .start()
     try {
-      // each query's rows arrive whole in one chunk, so its final top-k
-      // is emitted exactly once, in its arrival batch
+      // each query is a single row, so its top-k is complete in its
+      // arrival batch; any chunking replays to the same union
       rows.grouped((rows.size + 2) / 3).foreach { chunk =>
         stream.addData(chunk); q.processAllAvailable()
       }
-      val streamed = spark.table("ann_out").as[(Long, Long, Int)].collect().toSet
-      assert(streamed == batch,
-        s"missing: ${(batch -- streamed).take(5)}; extra: ${(streamed -- batch).take(5)}")
+      assert(collected.toSet == batch,
+        s"missing: ${(batch -- collected).take(5)}; extra: ${(collected.toSet -- batch).take(5)}")
+      // the scale gate: every micro-batch read at most its own probed
+      // centroids' partitions (<= batchSize x nProbe), never the whole
+      // layout — the r10 static-side persist() scanned all lists per batch
+      val nonEmpty = batchSizes.filter(_._2 > 0).keys
+      assert(nonEmpty.nonEmpty && nonEmpty.forall(filesRead.contains), "no batches probed")
+      nonEmpty.foreach { id =>
+        val cap = math.min(batchSizes(id) * 2, allLists)
+        assert(filesRead(id) > 0 && filesRead(id) <= cap && filesRead(id) < allLists,
+          s"batch $id read ${filesRead(id)} list files (cap $cap of $allLists total)")
+      }
     } finally q.stop()
   }
 
