@@ -276,6 +276,12 @@ object SparkEntry {
     // windowed marginals over the (source, term) aggregate, x70's
     // double-ratio shape into the rounded ln.
     "x82_kl_drift"        -> (TextAnalysis.klDriftQuery _),
+    // x83: ORACLE-CHECKED ANN — the IVF probe shape (centroid rank →
+    // posting-list equi-join → exact top-k in probed lists) under the
+    // x78-pinned deterministic codebook, graduating the ANN family's
+    // probe mechanics from rows-only to driver-hash-gated (x06's
+    // engine-hashing variants keep their recall specs).
+    "x83_ann_exact"       -> (Similarity.annExactQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -326,6 +326,7 @@ object ExtrasOracle {
     "x73_centroid_outliers" -> centroidOutlierSql,
     "x77_zonemap" -> zonemapSql,
     "x78_kmeans" -> kmeansSql,
+    "x83_ann_exact" -> annExactSql,
     "x79_funnel" -> qualityFunnelSql,
     "x81_token_entropy" -> tokenEntropySql,
     "x82_kl_drift" -> klDriftSql,
@@ -1441,39 +1442,73 @@ object ExtrasOracle {
     * before the argmin rank (ties to the smaller centroid id); centroid
     * updates are exact DECIMAL(18,4) component sums with an emptied
     * cluster keeping its previous centroid via the LEFT JOIN coalesce. */
-  private def kmeansSql: String = {
-    val k = Similarity.KmeansK
-    def assign(a: String, c: String): String =
-      s"""$a AS MATERIALIZED (
-         |  SELECT vec_id, cid, sim FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      CAST(round(list_cosine_similarity(e.v, c.cv), 6) AS DECIMAL(18,6)) AS sim,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-         |    FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-    def update(c: String, a: String, prev: String): String =
-      s"""$c AS MATERIALIZED (
-         |  SELECT $prev.cid, coalesce(s.cv, $prev.cv) AS cv
-         |  FROM $prev LEFT JOIN (
-         |    SELECT cid, list(c ORDER BY pos) AS cv FROM (
-         |      SELECT a.cid, p AS pos,
-         |        CAST(SUM(CAST(e.v[p] AS DECIMAL(18,4))) AS DOUBLE) AS c
-         |      FROM $a a JOIN e USING (vec_id),
-         |        UNNEST(range(1, len(e.v) + 1)) AS t(p)
-         |      GROUP BY 1, 2) GROUP BY cid) s ON s.cid = $prev.cid)""".stripMargin
+  private def kmAssignCte(a: String, c: String): String =
+    s"""$a AS MATERIALIZED (
+       |  SELECT vec_id, cid, sim FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      CAST(round(list_cosine_similarity(e.v, c.cv), 6) AS DECIMAL(18,6)) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCte(c: String, a: String, prev: String): String =
+    s"""$c AS MATERIALIZED (
+       |  SELECT $prev.cid, coalesce(s.cv, $prev.cv) AS cv
+       |  FROM $prev LEFT JOIN (
+       |    SELECT cid, list(c ORDER BY pos) AS cv FROM (
+       |      SELECT a.cid, p AS pos,
+       |        CAST(SUM(CAST(e.v[p] AS DECIMAL(18,4))) AS DOUBLE) AS c
+       |      FROM $a a JOIN e USING (vec_id),
+       |        UNNEST(range(1, len(e.v) + 1)) AS t(p)
+       |      GROUP BY 1, 2) GROUP BY cid) s ON s.cid = $prev.cid)""".stripMargin
+
+  /** The shared deterministic-k-means CTE chain (x78 + x83): cleaned
+    * vectors `e`, init codebook `c0`, [[Similarity.KmeansIters]] Lloyd
+    * rounds ending at `c<iters>`, final assignment `afin`. */
+  private def kmCtes: String = {
     val rounds = (1 to Similarity.KmeansIters).map { i =>
-      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i", s"c${i - 1}")
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" + kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |c0 AS MATERIALIZED (
-       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${Similarity.KmeansK}),
        |$rounds,
-       |${assign("afin", s"c${Similarity.KmeansIters}")}
+       |${kmAssignCte("afin", s"c${Similarity.KmeansIters}")}""".stripMargin
+  }
+
+  private def kmeansSql: String =
+    s"""WITH $kmCtes
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(sim AS DOUBLE) AS cos_c
        |FROM afin ORDER BY vec_id""".stripMargin
-  }
+
+  /** DuckDB twin of Similarity.annExactQuery (x83): the IVF probe over
+    * the x78-pinned codebook — probe rank and candidate rank both by
+    * round-6 cosine with id tie-breaks, candidates only from each
+    * query's probed clusters (afin IS the posting-list assignment). */
+  private def annExactSql: String =
+    s"""WITH $kmCtes,
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id < ${Similarity.AnnExactQueryIds}),
+       |pr AS MATERIALIZED (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN c${Similarity.KmeansIters} c)
+       |  WHERE prn <= ${Similarity.AnnExactProbes}),
+       |scored AS (
+       |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.query_id
+       |      ORDER BY round(list_cosine_similarity(pr.qv, e.v), 6) DESC, a.vec_id)
+       |      AS "rank"
+       |  FROM pr JOIN afin a ON a.cid = pr.cid AND a.vec_id <> pr.query_id
+       |  JOIN e ON e.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank"
+       |FROM scored WHERE "rank" <= ${Similarity.AnnExactK}
+       |ORDER BY query_id, "rank"""".stripMargin
 
   /** The Morton interleave of two bucket ordinals as a SQL bit-op sum —
     * generated from the SAME [[Layout.ZmBits]] the native

@@ -570,6 +570,38 @@ object Similarity {
     * smallest vec_ids (callers guarantee ids 0..k-1 exist, as the corpus
     * tables do). */
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (emb, cents) = kmeansFit(vectors, k, iters)
+    kmeansAssigned(emb, cents)
+      .select(col("vec_id"), col("cluster"), col("cos_c"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Best (sim, -cid) struct against the literal deterministic codebook:
+    * array_max orders lexicographically, so max round-6 sim wins and
+    * ties go to the LARGER negid = smaller centroid id. */
+  private def kmBest(cents: Array[(Long, Array[Double])], vec: Column): Column =
+    array_max(transform(
+      array(cents.map { case (id, v) =>
+        struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cv"))
+      }.toIndexedSeq: _*),
+      c => struct(
+        round(cosine(vec, c.getField("cv")), 6)
+          .cast("decimal(18,6)").as("sim"),
+        (-c.getField("cid")).as("negid"))))
+
+  private def kmeansAssigned(emb: DataFrame,
+                             cents: Array[(Long, Array[Double])]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        kmBest(cents, col("embedding")).as("b"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("b.negid")).as("cluster"), col("b.sim").cast("double").as("cos_c"))
+
+  /** The deterministic Lloyd loop behind [[kmeans]], exposed so x83's
+    * oracle-checked ANN probe can pin its codebook with the SAME
+    * cross-engine-exact discipline: returns the cleaned (vec_id,
+    * embedding) frame and the final exact-decimal-sum centroids. */
+  private[graft] def kmeansFit(vectors: DataFrame, k: Int,
+                               iters: Int): (DataFrame, Array[(Long, Array[Double])]) = {
     import graft.core.Determinism.dec
     val emb = vectors
       .filter(col("embedding").isNotNull)
@@ -578,24 +610,8 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
-    // best (sim, -cid) struct against the literal codebook: array_max
-    // orders lexicographically, so max sim wins and ties go to the
-    // LARGER negid = smaller centroid id
-    def best(cents: Array[(Long, Array[Double])]): Column =
-      array_max(transform(
-        array(cents.map { case (id, v) =>
-          struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cv"))
-        }.toIndexedSeq: _*),
-        c => struct(
-          round(cosine(col("embedding"), c.getField("cv")), 6)
-            .cast("decimal(18,6)").as("sim"),
-          (-c.getField("cid")).as("negid"))))
-    def assigned(cents: Array[(Long, Array[Double])]): DataFrame =
-      emb.select(col("vec_id"), col("embedding"), best(cents).as("b"))
-        .select(col("vec_id"), col("embedding"),
-          (-col("b.negid")).as("cluster"), col("b.sim").cast("double").as("cos_c"))
     val cents = (1 to iters).foldLeft(init) { case (cur, _) =>
-      val sums = assigned(cur)
+      val sums = kmeansAssigned(emb, cur)
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(dec(col("col"))).cast("double").as("c"))
@@ -609,9 +625,75 @@ object Similarity {
         }
       cur.map { case (cid, old) => cid -> sums.getOrElse(cid, old) }
     }
-    assigned(cents)
-      .select(col("vec_id"), col("cluster"), col("cos_c"))
-      .orderBy(col("vec_id"))
+    (emb, cents)
+  }
+
+  // ---------------------------------------- oracle-checked ANN (x83)
+
+  /** x83 probe geometry: top-[[AnnExactK]] of the candidates found in
+    * each query's [[AnnExactProbes]] best clusters, for the first
+    * [[AnnExactQueryIds]] vectors as queries. */
+  val AnnExactK = 5
+  val AnnExactProbes = 2
+  val AnnExactQueryIds = 20
+
+  /** x83: ORACLE-CHECKED ANN — the IVF probe shape (centroid rank →
+    * posting-list equi-join → exact top-k within probed lists) under a
+    * codebook pinned by the x78 deterministic k-means, making every
+    * step cross-engine exact and the whole probe DuckDB-expressible:
+    *
+    *   - codebook: [[kmeansFit]]'s exact-decimal-sum centroids
+    *     ([[KmeansK]] clusters, [[KmeansIters]] Lloyd rounds, no RNG);
+    *   - posting lists: the final deterministic assignment (argmax of
+    *     round(cosine, 6), ties to the smaller cluster id) — each
+    *     vector in exactly one list;
+    *   - probe: each query ranks the literal codebook by round-6
+    *     cosine (ties smaller cid) and keeps [[AnnExactProbes]]
+    *     clusters — a narrow codegen'd projection, no shuffle;
+    *   - candidates: equi-join on cluster id (vectors outside probed
+    *     lists are never scored — the IVF bargain the x06 recall specs
+    *     measure, here made bit-reproducible);
+    *   - exact top-[[AnnExactK]] by round-6 cosine, ties to the
+    *     smaller neighbor id.
+    *
+    * Scale shape: identical to [[ivfTopK]] — KB-scale driver codebook,
+    * one narrow ranking pass per side, one candidate equi-join whose
+    * fan-in is bounded by list sizes, one per-query k-row window.
+    * This graduates the ANN family from rows-only to hash-checked:
+    * x06's engine-specific variants keep their recall specs, but the
+    * probe MECHANICS are now driver-oracle-gated here. */
+  def annExactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, cents) = kmeansFit(Tables.load(spark, dir, "embeddings"),
+      KmeansK, KmeansIters)
+    val lists = kmeansAssigned(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val queries = emb.filter(col("vec_id") < AnnExactQueryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // per-(query, centroid) round-6 sim over the literal codebook
+    val centArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cv"))
+    }.toIndexedSeq: _*)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probed = queries
+      .select(col("query_id"), col("qvec"), explode(centArr).as("c"))
+      .select(col("query_id"), col("qvec"), col("c.cid").as("cid"),
+        round(cosine(col("qvec"), col("c.cv")), 6)
+          .cast("decimal(18,6)").as("psim"))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= AnnExactProbes)
+      .select(col("query_id"), col("qvec"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(lists, probed("cid") === lists("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qvec"), col("embedding")), 6)
+          .cast("decimal(18,6)").as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnExactK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** rows-only queries() entry for the IVF path. */

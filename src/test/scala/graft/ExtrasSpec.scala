@@ -189,6 +189,32 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below probe fraction")
   }
 
+  test("x83 oracle-checked ANN: valid probe semantics and recall above probe fraction") {
+    val dir = sf("sf0.001")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val out = Similarity.annExactQuery(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect()
+    // shape: every query returns exactly k dense ranks, never itself
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == Similarity.AnnExactQueryIds)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to Similarity.AnnExactK),
+        s"query $q ranks not dense: ${rows.map(_._3).sorted.toSeq}")
+      assert(!rows.exists(_._2 == q), s"query $q returned itself")
+    }
+    // semantics: recall vs brute force at the probe fraction (2/8
+    // clusters on random-ish vectors ~ 25% expected; assert mechanism)
+    val queries = emb.filter($"vec_id" < Similarity.AnnExactQueryIds)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, Similarity.AnnExactK)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = out.map(r => (r._1, r._2)).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    info(f"x83 recall@5 = $recall%.2f")
+    assert(recall >= 0.15, f"recall $recall%.2f below probe fraction")
+  }
+
   test("IVF codebook round-trips through parquet; frozen assignment composes over batches") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val index = Similarity.ivfIndex(emb, nCentroids = 8)
