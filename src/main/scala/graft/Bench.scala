@@ -485,6 +485,20 @@ object Bench {
     val exts = jsonMap(results.map(r => r.name -> fmt(r.ext)))
     val gcs = jsonMap(results.map(r => r.name -> fmt(r.gc)))
     val ios = jsonMap(results.map(r => r.name -> fmt(r.io)))
+    // Streaming throughput (SURVEY §6): NDJSON replay → full pipeline →
+    // PK-upsert store, with a verified mid-run checkpoint restart. A
+    // failure degrades to a -1 record, never kills the batch numbers.
+    // SPARK_GRAFT_SKIP_STREAM=1 skips it for query-only local iteration.
+    val stream: Option[StreamBench.Result] =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) None
+      else Some(try StreamBench.run(spark) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream bench failed: $e")
+          StreamBench.Result(ok = false, rows = -1, batches = -1,
+            elapsedSec = -1, rowsPerSec = -1, batchMsAvg = -1,
+            restartedMidRun = false)
+      })
+
     val attempts = jsonMap(results.map(r => r.name -> r.attempts.toString))
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
     val total = results.map(_.warm).filter(_ >= 0).sum
@@ -511,8 +525,18 @@ object Bench {
     // always holds the complete line (round-4 lesson: the attested line
     // alone grew past the tail window and the committed bench lost its
     // per-query numbers).
+    // The streaming record gets its own full line AND compact fields on
+    // the final line (the tail window only reliably keeps the last line).
+    stream.foreach(r => println(StreamBench.record(r)))
+    val streamExtra = stream.toSeq.flatMap { r =>
+      Seq(
+        "stream_rows_per_sec" -> fmtSig(r.rowsPerSec, 5),
+        "stream_batches" -> r.batches.toString,
+        "stream_ok" -> r.ok.toString)
+    }
     println(compactLine(total, attestedTotal, results.map(r => r.name -> r.warm),
-      results.filter(_.contended).map(_.name), baselineSuspect, sfDir))
+      results.filter(_.contended).map(_.name), baselineSuspect, sfDir,
+      extra = streamExtra))
     spark.stop()
   }
 }

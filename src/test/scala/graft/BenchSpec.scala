@@ -220,6 +220,32 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     assert(line.contains("\"value\":1.5000") && !line.contains("1,5000"))
   }
 
+  test("stream bench: deterministic generator, planted dups, exact expected rows") {
+    val ids = (100 to 139).toIndexedSeq
+    val lines = StreamBench.genLines(100, ids).toSeq
+    // deterministic: same call, same lines
+    assert(lines == StreamBench.genLines(100, ids).toSeq)
+    // every 10th line re-emits the previous PK with a later seq
+    assert(lines(9).contains("\"seq\":9"))
+    val pk = (s: String) => s.replaceAll(""".*"id":(\d+).*"time_received":"([^"]+)".*""", "$1|$2")
+    assert(pk(lines(8)) == pk(lines(9)), "planted dup must share the PK")
+    assert(pk(lines(7)) != pk(lines(8)), "non-dup neighbors must differ")
+    assert(StreamBench.expectedRows(100) == 90)
+    // wire arity: exactly the 11 wire keys, parseable by the pipeline
+    val parsed = graft.pipeline.SensorPipeline.parseStrict(
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value"))
+    assert(parsed.filter(org.apache.spark.sql.functions.col("_violation").isNotNull).isEmpty,
+      "generator emitted records the strict parser rejects")
+  }
+
+  test("stream bench end-to-end at toy scale: exactly-once through a mid-run restart") {
+    val r = StreamBench.run(spark, lines = 2000, linesPerTrigger = 150L)
+    assert(r.restartedMidRun, "phase 1 drained the whole log before the restart")
+    assert(r.rows == StreamBench.expectedRows(2000),
+      s"store rows ${r.rows} != expected ${StreamBench.expectedRows(2000)}")
+    assert(r.ok && r.batches > 0 && r.rowsPerSec > 0)
+  }
+
   test("baseline ceiling bounds a contended-at-start calibration") {
     // The effective baseline decision: with a clamped baseline, a calib
     // probe that is merely as slow as the inflated measurement is still
