@@ -282,6 +282,15 @@ object SparkEntry {
     // probe mechanics from rows-only to driver-hash-gated (x06's
     // engine-hashing variants keep their recall specs).
     "x83_ann_exact"       -> (Similarity.annExactQuery _),
+    // x84-x86: EXACT faces of the three sketch rollups (x15 HLL distinct,
+    // x49 KLL quantiles, x54 frequent items) — same grouping sets, same
+    // TOTAL presentation, true answers. The sketch estimates stay
+    // rows-only (engine-specific); these oracle-check the grouping/
+    // rollup plumbing around them and price the exact alternative the
+    // sketches exist to avoid.
+    "x84_distinct_exact"  -> (Sketches.distinctExactQuery _),
+    "x85_quantiles_exact" -> (Sketches.quantilesExactQuery _),
+    "x86_freq_exact"      -> (Sketches.freqExactQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

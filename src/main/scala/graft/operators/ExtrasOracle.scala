@@ -327,6 +327,59 @@ object ExtrasOracle {
     "x77_zonemap" -> zonemapSql,
     "x78_kmeans" -> kmeansSql,
     "x83_ann_exact" -> annExactSql,
+
+    // x84: exact twin of the HLL rollup — COUNT(DISTINCT) at the same
+    // grouping sets with the same TOTAL presentation.
+    "x84_distinct_exact" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'TOTAL'
+        |            ELSE l_returnflag END AS grp,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag)
+        |ORDER BY grp NULLS FIRST""".stripMargin,
+
+    // x85: exact discrete quantiles at the KLL rollup's grouping sets —
+    // histogram once, TOTAL derived from the histogram, cumulative
+    // counts windowed over the aggregate, value at integer index
+    // ceil(p*n) ((n+1)//2 and (19n+19)//20 — no float index math).
+    "x85_quantiles_exact" ->
+      """WITH hist AS MATERIALIZED (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |allh AS MATERIALIZED (
+        |  SELECT grp, v, c FROM hist
+        |  UNION ALL
+        |  SELECT 'TOTAL', v, SUM(c) FROM hist GROUP BY 2),
+        |cum AS (
+        |  SELECT grp, v,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY grp) AS n
+        |  FROM allh)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+        |  MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS p95
+        |FROM cum GROUP BY grp
+        |ORDER BY grp NULLS FIRST""".stripMargin,
+
+    // x86: exact heavy hitters at the frequent-items rollup's grouping
+    // sets — true counts, same integer heaviness test (c*share >= n).
+    "x86_freq_exact" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |big AS MATERIALIZED (
+         |  SELECT lang, w[g] || ' ' || w[g+1] AS item
+         |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+         |counts AS MATERIALIZED (
+         |  SELECT lang, item, COUNT(*) AS c FROM big GROUP BY 1, 2),
+         |allc AS MATERIALIZED (
+         |  SELECT lang AS grp, item, c FROM counts
+         |  UNION ALL
+         |  SELECT 'TOTAL', item, SUM(c) FROM counts GROUP BY 2),
+         |m AS (SELECT grp, item, c, SUM(c) OVER (PARTITION BY grp) AS n FROM allc)
+         |SELECT grp, CAST(n AS BIGINT) AS n, item, CAST(c AS BIGINT) AS freq
+         |FROM m WHERE c * ${Sketches.FreqShare} >= n
+         |ORDER BY grp NULLS FIRST, freq DESC, item""".stripMargin,
     "x79_funnel" -> qualityFunnelSql,
     "x81_token_entropy" -> tokenEntropySql,
     "x82_kl_drift" -> klDriftSql,

@@ -114,6 +114,81 @@ object Sketches {
   def freqRollupQuery(spark: SparkSession, dir: String): DataFrame =
     freqRollup(spark, dir)
 
+  // ------------------------- exact faces of the sketch rollups (x84-x86)
+
+  /** x84: the EXACT twin of [[hllRollup]] — same grouping sets, same
+    * TOTAL row, same output shape, but a real COUNT(DISTINCT) instead
+    * of the HLL estimate. The sketch estimates are engine-specific
+    * (rows-only at the gate); this oracle-checks the grouping/rollup
+    * PLUMBING around them, leaving only the sketch internals
+    * spec-gated. It is also the honest cost statement the sketch is
+    * measured against: this shuffles a deduplicated key stream per
+    * grouping set (the 1.9x the hllRollup scaladoc prices); at 100 TB
+    * you run THIS once to calibrate and the sketch ever after. */
+  def distinctExactQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_distinct"),
+        grouping(col("l_returnflag")).as("g"))
+      .select(
+        when(col("g") === 1, lit("TOTAL")).otherwise(col("l_returnflag")).as("grp"),
+        col("n_distinct"))
+      .orderBy(col("grp"))
+
+  /** x85: the EXACT quantile twin of [[kllRollup]] — per-returnflag and
+    * TOTAL p50/p95 of l_extendedprice as discrete order statistics
+    * (value at 1-indexed position ceil(p·n), computed with INTEGER
+    * index arithmetic — (n+1) div 2 and (19n+19) div 20 — so no float
+    * enters until the stored value itself is emitted untouched).
+    *
+    * Shape: one (group, value) histogram aggregation, the TOTAL level
+    * derived from the histogram (never a second raw scan), cumulative
+    * counts as windows over the aggregated table, then min-value-at-
+    * index per group. The TOTAL partition's window runs over the
+    * distinct-value histogram, not raw rows — the x66/x82 marginal
+    * discipline. The KLL sketch remains the scale path; this gates the
+    * grouping plumbing and prices the exact alternative. */
+  def quantilesExactQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val total = hist.groupBy(col("v")).agg(sum(col("c")).as("c"))
+      .select(lit("TOTAL").as("grp"), col("v"), col("c"))
+    val all = hist.select(col("grp"), col("v"), col("c")).unionByName(total)
+    val cum = all.select(col("grp"), col("v"),
+      sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("grp"))).as("n"))
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("p50"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("v"))).as("p95"))
+      .orderBy(col("grp"))
+  }
+
+  /** x86: the EXACT heavy-hitters twin of [[freqRollup]] — same bigram
+    * stream, same grouping sets (per-lang + TOTAL), same heaviness
+    * threshold family (count·[[FreqShare]] ≥ group weight, integer
+    * arithmetic), but true counts instead of sketch estimates. The
+    * TOTAL level and each group's weight come from the (lang, item)
+    * aggregate via windows — the raw bigram stream is scanned once. */
+  def freqExactQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(graft.operators.Dedup.wordShinglesAll(col("text"), 2)).as("item"))
+      .groupBy(col("lang"), col("item"))
+      .agg(count(lit(1)).as("c"))
+    val total = counts.groupBy(col("item")).agg(sum(col("c")).as("c"))
+      .select(lit("TOTAL").as("grp"), col("item"), col("c"))
+    val all = counts.select(col("lang").as("grp"), col("item"), col("c"))
+      .unionByName(total)
+    all.withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .filter(col("c") * FreqShare >= col("n"))
+      .select(col("grp"), col("n"), col("item"), col("c").as("freq"))
+      .orderBy(col("grp"), col("freq").desc, col("item"))
+  }
+
   /** Count-min frequency sketch of a column, as the raw mergeable binary
     * (decode with org.apache.spark.util.sketch.CountMinSketch.readFrom).
     * Deterministic for a fixed seed. */

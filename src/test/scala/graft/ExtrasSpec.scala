@@ -1036,6 +1036,35 @@ class ExtrasSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"reference grams not broadcast:\n$p")
   }
 
+  test("x84-x86 exact faces agree with their sketch twins' guarantees") {
+    import graft.operators.Sketches
+    val dir = sf("sf0.001")
+    // x84 vs x15: the HLL estimate tracks the exact face's answer
+    val exact = Sketches.distinctExactQuery(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.hllRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet, "grouping sets drifted between faces")
+    exact.foreach { case (g, e) =>
+      assert(math.abs(approx(g) - e).toDouble / e < 0.05,
+        s"$g: sketch ${approx(g)} vs exact $e")
+    }
+    // x85 sanity: per-group quantiles are real values with p50 <= p95,
+    // n matches the exact face's group weights
+    val q = Sketches.quantilesExactQuery(spark, dir).collect()
+    assert(q.map(_.getString(0)).toSet == exact.keySet)
+    q.foreach { r => assert(r.getDouble(2) <= r.getDouble(3),
+      s"${r.getString(0)}: p50 > p95") }
+    // x86 vs x54: NO_FALSE_NEGATIVES — every exactly-heavy item appears
+    // in the sketch rollup's report for its group
+    val exactHeavy = Sketches.freqExactQuery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    val sketched = Sketches.freqRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    val missed = exactHeavy -- sketched
+    assert(missed.isEmpty, s"sketch missed exactly-heavy items: ${missed.take(5)}")
+  }
+
   test("hll rollup: per-group and total estimates track exact counts") {
     import graft.operators.Sketches
     val out = Sketches.hllRollup(spark, sf("sf0.01")).collect()
