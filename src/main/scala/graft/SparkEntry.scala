@@ -291,6 +291,23 @@ object SparkEntry {
     "x84_distinct_exact"  -> (Sketches.distinctExactQuery _),
     "x85_quantiles_exact" -> (Sketches.quantilesExactQuery _),
     "x86_freq_exact"      -> (Sketches.freqExactQuery _),
+    // x87: asymmetric n-gram containment pairs — the subset-duplication
+    // detector (quotes, wrapped reposts) the Jaccard-gated dedup family
+    // structurally misses; same rare-gram candidate shape as x46, exact
+    // integer accept test.
+    "x87_containment"     -> (Dedup.containmentQuery _),
+    // x88: corpus snapshot diff — per-source added/removed/changed/
+    // unchanged between two releases (full-outer key join + narrow
+    // classification), the dataset-versioning report.
+    "x88_snapshot_diff"   -> (DocPrep.snapshotDiffQuery _),
+    // x89: per-doc boilerplate share — fraction of positional grams that
+    // recur across >= 1/20 of the corpus (template/chrome detector, the
+    // rare-gram dedup signal inverted).
+    "x89_boilerplate"     -> (TextAnalysis.boilerplateQuery _),
+    // x90: per-doc gram novelty under ingestion order — share of a doc's
+    // distinct grams first seen at that doc (diminishing-returns screen
+    // for appending crawl batches).
+    "x90_novelty"         -> (TextAnalysis.noveltyQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

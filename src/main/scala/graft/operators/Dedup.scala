@@ -166,6 +166,49 @@ object Dedup {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
       .orderBy(col("d1"), col("d2"))
 
+  /** x87 acceptance: max-direction containment ≥ ContainNum/ContainDen
+    * (0.6), tested in exact integer arithmetic. */
+  val ContainNum = 3
+  val ContainDen = 5
+
+  /** x87: asymmetric n-gram CONTAINMENT pairs — the subset-duplication
+    * detector Jaccard-gated dedup (x46/x76) structurally misses: a short
+    * document fully quoted inside a long one has J = |A|/|B| (tiny) but
+    * containment C(A→B) = |grams(A)∩grams(B)|/|grams(A)| = 1. Quotes,
+    * wrapped reposts, and boilerplate-padded copies are exactly this
+    * shape, and a curator must catch them BEFORE mixing (the long doc
+    * leaks the short doc's content into every split it lands in).
+    *
+    * Same audited scale shape as [[verifiedNearDupPairs]]: candidates
+    * from the df-pruned rare-gram inverted index (never a cross join),
+    * corpus semi-joined down to candidate ids before any shingle array
+    * shuffles, then one exact set-intersection per candidate pair. The
+    * accept test keeps max(C(A→B), C(B→A)) ≥ 0.6 as the integer
+    * inequality inter·[[ContainDen]] ≥ min(n1,n2)·[[ContainNum]] — no
+    * float division can flake the oracle compare. Both per-side gram
+    * counts ride along so a consumer can re-derive either direction. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
+                       minInter: Int = 2): DataFrame = {
+    val cand = ngramCandidatePairs(docs, n, maxDf, minInter)
+      .select(col("d1"), col("d2"))
+    val candIds = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sh = shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
+    val sh1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val sh2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand.join(sh1, "d1").join(sh2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("n1", size(col("sh1")))
+      .withColumn("n2", size(col("sh2")))
+      .filter(col("inter") * ContainDen >= least(col("n1"), col("n2")) * ContainNum)
+      .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+  }
+
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.load(spark, dir, "documents"))
+      .orderBy(col("d1"), col("d2"))
+
   /** x52: the cross-SOURCE near-dup contamination matrix — for each
     * ordered source pair, how many verified near-dup pairs (x46's
     * accept set) straddle it. The dataset-level report a corpus curator

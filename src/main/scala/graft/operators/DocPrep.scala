@@ -53,4 +53,58 @@ object DocPrep {
 
   def prepQuery(spark: SparkSession, dir: String): DataFrame =
     prepare(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // ------------------------------------------------ snapshot diff (x88)
+
+  /** x88: corpus SNAPSHOT DIFF — the dataset-versioning report a
+    * pipeline emits between two releases: per source, how many
+    * documents were added, removed, changed (same key, different
+    * content), or untouched. The operator is one full-outer join on the
+    * document key plus a narrow classification — at 100 TB both sides
+    * would key on xxhash64(text) for the change test (kept as raw text
+    * equality here so the report is cross-engine exact), and the join
+    * shuffles only (key, source, content-key), never document bodies.
+    *
+    * `source` comes from whichever side has the row (they agree when
+    * both do — a key's source does not change between snapshots in
+    * this corpus; a production diff would diff source too). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), col("source").as("src_o"),
+      col("text").as("text_o"))
+    val n = newSnap.select(col("doc_id"), col("source").as("src_n"),
+      col("text").as("text_n"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("text_o").isNull, "added")
+          .when(col("text_n").isNull, "removed")
+          .when(col("text_o") =!= col("text_n"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
+  /** The x88 queries() face: both snapshots derived DETERMINISTICALLY
+    * from the one corpus table so the oracle can rebuild them —
+    * old = every doc except id ≡ 0 (mod 17), with docs id ≡ 0 (mod 23)
+    * carrying their text minus its last token (the "edited" rows);
+    * new = every doc except id ≡ 0 (mod 19) with original text. So
+    * id ≡ 0 (mod 17) rows read as added, ≡ 0 (mod 19) as removed,
+    * ≡ 0 (mod 23) surviving both filters as changed. */
+  def snapshotDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 23 === 0,
+          array_join(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))), " "))
+          .otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 19 =!= 0)
+    snapshotDiff(oldSnap, newSnap)
+  }
 }

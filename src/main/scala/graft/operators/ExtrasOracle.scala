@@ -327,6 +327,10 @@ object ExtrasOracle {
     "x77_zonemap" -> zonemapSql,
     "x78_kmeans" -> kmeansSql,
     "x83_ann_exact" -> annExactSql,
+    "x87_containment" -> containmentSql,
+    "x88_snapshot_diff" -> snapshotDiffSql,
+    "x89_boilerplate" -> boilerplateSql,
+    "x90_novelty" -> noveltySql,
 
     // x84: exact twin of the HLL rollup — COUNT(DISTINCT) at the same
     // grouping sets with the same TOTAL presentation.
@@ -544,6 +548,95 @@ object ExtrasOracle {
   private def verifiedPairsSql: String =
     s"""WITH $verifiedPairsCte
        |SELECT d1, d2, inter, uni FROM vpairs ORDER BY d1, d2""".stripMargin
+
+  /** x87: containment over the SAME candidate graph — the intersection
+    * recount of x46 but accepted on inter·den ≥ min(n1,n2)·num (the
+    * asymmetric subset-duplication test). */
+  private def containmentSql: String =
+    s"""WITH $pairsCteBody,
+       |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |cint AS MATERIALIZED (
+       |  SELECT p.d1, p.d2, COUNT(*) AS inter
+       |  FROM pairs p JOIN grams g1 ON g1.doc_id = p.d1
+       |               JOIN grams g2 ON g2.doc_id = p.d2 AND g2.gram = g1.gram
+       |  GROUP BY 1, 2)
+       |SELECT c.d1, c.d2, c.inter, s1.n AS n1, s2.n AS n2
+       |FROM cint c JOIN gsz s1 ON s1.doc_id = c.d1
+       |            JOIN gsz s2 ON s2.doc_id = c.d2
+       |WHERE c.inter * ${Dedup.ContainDen} >= least(s1.n, s2.n) * ${Dedup.ContainNum}
+       |ORDER BY d1, d2""".stripMargin
+
+  /** x88: the snapshot-diff twin — rebuilds the same two deterministic
+    * snapshots (mod-17/19 membership, mod-23 last-token edit) and
+    * full-outer-diffs them per source. */
+  private def snapshotDiffSql: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |o AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 23 = 0
+      |         THEN array_to_string(w[1:len(w)-1], ' ')
+      |         ELSE text END AS text
+      |  FROM w WHERE doc_id % 17 <> 0),
+      |n AS MATERIALIZED (
+      |  SELECT doc_id, source, text FROM w WHERE doc_id % 19 <> 0)
+      |SELECT coalesce(n.source, o.source) AS source,
+      |  CAST(SUM(CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+      |                 AND o.text <> n.text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+      |                 AND o.text = n.text THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
+
+  /** x89: per-doc boilerplate share — positional trigrams against the
+    * common-gram set cut at df·share ≥ n_docs. */
+  private def boilerplateSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+       |df AS MATERIALIZED (
+       |  SELECT gram, COUNT(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, gram FROM pos) GROUP BY gram),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |common AS MATERIALIZED (
+       |  SELECT gram FROM df, nd WHERE df * ${TextAnalysis.BoilerDocShare} >= n_docs),
+       |per AS (
+       |  SELECT p.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       |  FROM pos p LEFT JOIN common c ON c.gram = p.gram
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  CASE WHEN n_grams > 0 THEN CAST(n_boiler AS DOUBLE) / n_grams END AS boiler_share
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** x90: per-doc gram novelty — first-seen owner per DISTINCT gram is
+    * min(doc_id); novelty is the share a doc owns. */
+  private def noveltySql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |dg AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+      |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+      |fs AS MATERIALIZED (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram),
+      |per AS (
+      |  SELECT dg.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM dg JOIN fs USING (gram) GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+      |  CASE WHEN n_grams > 0 THEN CAST(n_new AS DOUBLE) / n_grams END AS novelty
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** x52: the cross-source contamination matrix over the SAME accepted
     * pair set (source pair normalized so (a,b) and (b,a) share a cell). */

@@ -905,4 +905,89 @@ object TextAnalysis {
 
   def klDriftQuery(spark: SparkSession, dir: String): DataFrame =
     sourceKlDrift(Tables.load(spark, dir, "documents")).orderBy(col("source"))
+
+  // ------------------------------------------- boilerplate share (x89)
+
+  /** x89 commonness cut: a gram is boilerplate when it appears in at
+    * least 1/[[BoilerDocShare]] of all documents (integer test
+    * df·share ≥ n_docs). */
+  val BoilerDocShare = 20
+
+  /** x89: per-document BOILERPLATE SHARE — what fraction of a document
+    * is made of n-grams that recur across a large slice of the corpus
+    * (navigation chrome, license headers, templated phrasing). The
+    * mirror image of the rare-gram dedup signal: x03 keeps rare grams
+    * to find copies, this counts COMMON grams to find documents that
+    * are mostly template — the CCNet-style cleaning cut that length and
+    * punctuation heuristics miss. A doc with n_boiler ≈ n_grams carries
+    * no novel content regardless of its length score.
+    *
+    * Scale shape: one scan → positional grams; the document-frequency
+    * cut comes from the DISTINCT (doc, gram) aggregate (never raw
+    * positions), the corpus doc count is a broadcast 1-row cross join,
+    * and the per-doc recount joins positions against the small common
+    * set — the x16 decontamination discipline with the df filter
+    * inverted. Output is |docs| rows. */
+  def boilerplateShare(docs: DataFrame, n: Int = 3): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"),
+        explode(Dedup.wordShinglesAll(col("text"), n)).as("gram"))
+    val df = pos.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val common = df.crossJoin(broadcast(nDocs))
+      .filter(col("df") * BoilerDocShare >= col("n_docs"))
+      .select(col("gram"))
+    val per = pos
+      .join(common.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        // explicit null for gram-less docs: double 0/0 is engine-NaN in
+        // Spark but NULL in DuckDB — don't let the corpus decide
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams")).as("boiler_share"))
+  }
+
+  def boilerplateQuery(spark: SparkSession, dir: String): DataFrame =
+    boilerplateShare(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // ---------------------------------------------- gram novelty (x90)
+
+  /** x90: per-document GRAM NOVELTY under the corpus's doc_id ingestion
+    * order — the share of a document's distinct n-grams that no
+    * earlier document contains (first_seen == this doc). The
+    * incremental-corpus growth curve: novelty ≈ 1 means genuinely new
+    * content, novelty ≈ 0 means the document restates what the corpus
+    * already holds — the document-level screen for diminishing returns
+    * when appending crawl batches (x55's decontamination machinery
+    * asks "is it in the eval set"; this asks "is it already in the
+    * corpus").
+    *
+    * Scale shape: the first-seen owner per gram is a min over the
+    * DISTINCT (doc, gram) aggregate; the per-doc shares are one more
+    * aggregate over the same frame — the raw positional stream is
+    * never shuffled, and nothing is quadratic. Output is |docs| rows. */
+  def gramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val dg = docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+    val firstSeen = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val per = dg.join(firstSeen, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_grams") > 0,
+          col("n_new").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  def noveltyQuery(spark: SparkSession, dir: String): DataFrame =
+    gramNovelty(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 }

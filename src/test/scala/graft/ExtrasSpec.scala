@@ -27,6 +27,75 @@ class ExtrasSpec extends SparkSpec {
       s"missing planted pairs: ${expected -- pairs}")
   }
 
+  test("x87 containment catches a full quote the Jaccard gate misses") {
+    // docA's 6 tokens appear verbatim inside docB's 26 — containment
+    // C(A→B)=1 but Jaccard = 4/24 ≈ 0.17, far under the 0.5 dedup gate.
+    val quote = "alpha bravo charlie delta echo foxtrot"
+    val tail = (1 to 20).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq(
+      (1L, quote),
+      (2L, s"$quote $tail"),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val contain = Dedup.containmentPairs(corpus)
+      .select($"d1", $"d2", $"inter", $"n1", $"n2")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(contain.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted quote pair, got ${contain.toSeq}")
+    // the quote's 4 trigrams all intersect; sizes pin the asymmetry
+    val (_, _, inter, n1, n2) = contain.head
+    assert(inter == 4 && n1 == 4 && n2 == 24, s"got inter=$inter n1=$n1 n2=$n2")
+    // and the symmetric Jaccard gate indeed rejects it (4/24 < 0.5)
+    val jac = Dedup.verifiedNearDupPairs(corpus)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)),
+      "Jaccard gate accepted the quote pair — spec premise broken")
+  }
+
+  test("x88 snapshot diff classifies added/removed/changed/unchanged per source") {
+    val oldSnap = Seq(
+      (1L, "s", "one"), (2L, "s", "two"), (3L, "t", "three"))
+      .toDF("doc_id", "source", "text")
+    val newSnap = Seq(
+      (2L, "s", "two"), (3L, "t", "three prime"), (4L, "s", "four"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.DocPrep.snapshotDiff(oldSnap, newSnap)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("s") == ((1L, 1L, 0L, 1L)), s"s: ${out("s")}") // +4, -1, =2
+    assert(out("t") == ((0L, 0L, 1L, 0L)), s"t: ${out("t")}") // 3 changed
+  }
+
+  test("x89 boilerplate share separates the shared template gram from unique tails") {
+    // 30 docs, each "a b c u_i v_i w_i": gram "a b c" has df=30 (common
+    // at the 1/20 cut), every other gram df=1 — so each doc's 4
+    // positional grams contain exactly 1 boilerplate gram.
+    val corpus = (0 until 30)
+      .map(i => (i.toLong, s"a b c u$i v$i w$i")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.boilerplateShare(corpus)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(out.length == 30)
+    out.foreach { case (id, nGrams, nBoiler, share) =>
+      assert(nGrams == 4 && nBoiler == 1 && share.contains(0.25),
+        s"doc $id: n_grams=$nGrams n_boiler=$nBoiler share=$share")
+    }
+  }
+
+  test("x90 novelty: first doc owns its grams, copies own none, partial overlaps split") {
+    val corpus = Seq(
+      (0L, "a b c d"),   // grams "a b c","b c d" both first-seen → 1.0
+      (1L, "a b c d"),   // exact copy → 0.0
+      (2L, "a b c x"),   // "a b c" seen, "b c x" new → 0.5
+      (3L, "")           // gram-less → nulls
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gramNovelty(corpus)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 2L, 2L, Some(1.0))), s"doc0: ${out(0)}")
+    assert(out(1) == ((1L, 2L, 0L, Some(0.0))), s"doc1: ${out(1)}")
+    assert(out(2) == ((2L, 2L, 1L, Some(0.5))), s"doc2: ${out(2)}")
+    assert(out(3) == ((3L, 0L, 0L, None)), s"doc3: ${out(3)}")
+  }
+
   test("minhash-LSH pairs are verified by exact jaccard >= threshold") {
     val pairs = Dedup.minhashLshPairs(docs).collect()
     pairs.foreach { r =>
