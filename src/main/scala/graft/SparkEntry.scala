@@ -308,6 +308,11 @@ object SparkEntry {
     // distinct grams first seen at that doc (diminishing-returns screen
     // for appending crawl batches).
     "x90_novelty"         -> (TextAnalysis.noveltyQuery _),
+    // x91: x90's production face — the arriving batch scored against the
+    // corpus-so-far's (persistable) gram index; batch cost O(batch
+    // grams), independent of corpus size. Persisted-index + streaming
+    // faces spec-gated.
+    "x91_novelty_incr"    -> (TextAnalysis.noveltyIncrQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

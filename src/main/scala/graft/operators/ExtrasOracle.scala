@@ -331,6 +331,7 @@ object ExtrasOracle {
     "x88_snapshot_diff" -> snapshotDiffSql,
     "x89_boilerplate" -> boilerplateSql,
     "x90_novelty" -> noveltySql,
+    "x91_novelty_incr" -> noveltyIncrSql,
 
     // x84: exact twin of the HLL rollup — COUNT(DISTINCT) at the same
     // grouping sets with the same TOTAL presentation.
@@ -616,6 +617,33 @@ object ExtrasOracle {
        |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
        |  CASE WHEN n_grams > 0 THEN CAST(n_boiler AS DOUBLE) / n_grams END AS boiler_share
        |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** x91: novelty of the arriving batch (doc_id ≥ split) against the
+    * corpus-so-far's distinct gram set (doc_id < split) — the
+    * incremental-index face of x90. */
+  private def noveltyIncrSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |dg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+       |idx AS MATERIALIZED (
+       |  SELECT DISTINCT gram FROM dg
+       |  WHERE doc_id < ${TextAnalysis.NoveltySplitId}),
+       |per AS (
+       |  SELECT dg.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN i.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+       |  FROM dg LEFT JOIN idx i USING (gram)
+       |  WHERE dg.doc_id >= ${TextAnalysis.NoveltySplitId}
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(n_unseen, 0) AS BIGINT) AS n_unseen,
+       |  CASE WHEN n_grams > 0 THEN CAST(n_unseen AS DOUBLE) / n_grams END AS novelty
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id >= ${TextAnalysis.NoveltySplitId}) d
+       |LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
   /** x90: per-doc gram novelty — first-seen owner per DISTINCT gram is

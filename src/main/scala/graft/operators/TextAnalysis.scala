@@ -990,4 +990,75 @@ object TextAnalysis {
 
   def noveltyQuery(spark: SparkSession, dir: String): DataFrame =
     gramNovelty(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // ------------------- novelty against a persisted corpus index (x91)
+
+  /** The queries()-face split: docs below this id are "the corpus so
+    * far", the rest are "the arriving batch" (the documents table holds
+    * 500 rows at every shipped SF). */
+  val NoveltySplitId = 400L
+
+  /** Persist a corpus's distinct n-gram set — the NOVELTY INDEX an
+    * incremental ingestion pipeline scores each new crawl batch
+    * against (x90 answers "what was novel under ingestion order",
+    * offline; this is its production face: the corpus is already
+    * ingested, batches arrive forever, and re-scanning old data per
+    * batch is the thing a 100 TB pipeline cannot do). Atomic publish,
+    * same artifact discipline as the decontamination grams / MinHash
+    * buckets / IVF lists. At scale, store hashed gram keys
+    * ([[graft.operators.Dedup.gramKey]]) to shuffle 8-byte longs. */
+  def saveGramIndex(docs: DataFrame, path: String, n: Int = 3): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      docs.select(explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+    }
+
+  /** Read-only load (crash-window bridged like every artifact reader). */
+  def loadGramIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = graft.core.Artifacts.readablePath(spark, path)
+    spark.read.parquet(s"$root/grams")
+  }
+
+  /** Per-doc novelty of `batch` against a frozen gram set: the share of
+    * each document's distinct n-grams ABSENT from the index. Unlike
+    * x90's order-based first-seen, batch-internal repeats do not claim
+    * ownership — two new docs sharing a new gram both count it unseen
+    * (the index updates between batches, not within one).
+    *
+    * Shape: one distinct-gram projection of the batch, one equi-join
+    * against the index on gram (shuffle on gram keys — a corpus-scale
+    * gram index is NOT broadcastable, unlike x16's eval-set grams), one
+    * per-doc aggregate. Batch cost is O(batch grams), independent of
+    * corpus size — the point of the persisted index. */
+  def noveltyAgainst(batch: DataFrame, indexGrams: DataFrame, n: Int = 3): DataFrame = {
+    val dg = batch
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+    val marked = dg
+      // index grams are distinct by construction → the join marks, never
+      // fans out
+      .join(indexGrams.select(col("gram")).withColumn("_known", lit(1L)),
+        Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_unseen"))
+    batch.select(col("doc_id")).join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        when(col("n_grams") > 0,
+          col("n_unseen").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  /** x91 queries() face: the corpus-so-far/arriving-batch split derived
+    * deterministically from doc_id so the oracle can rebuild both sides
+    * (the persisted-index path is spec-gated, the x55 discipline). */
+  def noveltyIncrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val old = docs.filter(col("doc_id") < NoveltySplitId)
+    val batch = docs.filter(col("doc_id") >= NoveltySplitId)
+    val idx = old.select(explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+      .distinct()
+    noveltyAgainst(batch, idx).orderBy(col("doc_id"))
+  }
 }

@@ -856,6 +856,34 @@ object StreamingOps {
     * [[graft.operators.Similarity.ivfTopK]] over the same loaded index
     * cell-for-cell (spec-asserted): identical centroid-ranking kernel,
     * identical tie order (higher sim, then lower id). */
+  /** Streaming face of [[graft.operators.TextAnalysis.noveltyAgainst]]
+    * (x91): each arriving document is scored against the FROZEN
+    * persisted gram index the moment it lands — the live
+    * diminishing-returns gate on an ingestion stream (admit / deprioritize
+    * a doc by how much of it the corpus already holds). Same
+    * distinct-gram projection, same mark-join, same per-doc aggregate
+    * as the batch face, so replay equals batch row-for-row
+    * (spec-asserted). The index relation re-executes per micro-batch
+    * (stream-static join) as a gram-keyed equi-join — a corpus-scale
+    * gram index is NOT broadcastable, unlike x16's eval-set grams.
+    * Aggregation state is the per-doc scorecard, final in the doc's
+    * arrival batch (docs are single rows); UPDATE mode emits each doc
+    * once. */
+  def noveltyStream(docs: DataFrame, indexPath: String, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = graft.operators.TextAnalysis.loadGramIndex(spark, indexPath)
+      .select(col("gram")).withColumn("_known", lit(1L))
+    docs
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.wordShingles(col("text"), n)).as("gram"))
+      .join(idx, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .select(col("doc_id"), col("n_grams"), col("n_unseen"),
+        (col("n_unseen").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   def annProbeBatch(indexPath: String, k: Int, nProbe: Int)
                    (emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(k > 0 && nProbe > 0, s"annProbeBatch: k=$k nProbe=$nProbe")

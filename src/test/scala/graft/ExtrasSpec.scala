@@ -96,6 +96,68 @@ class ExtrasSpec extends SparkSpec {
     assert(out(3) == ((3L, 0L, 0L, None)), s"doc3: ${out(3)}")
   }
 
+  test("x91 novelty-vs-index: hand-computed shares; persisted index round-trips") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq((0L, "a b c d"), (1L, "c d e f")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d"),   // grams "a b c","b c d" both known → 0.0
+      (11L, "x y z w"),   // both unseen → 1.0
+      (12L, "b c d e"),   // "b c d" known, "c d e" known (doc1) → 0.0
+      (13L, "d e f x")    // "d e f" known, "e f x" unseen → 0.5
+    ).toDF("doc_id", "text")
+    val inlineIdx = corpus
+      .select(explode(graft.operators.Dedup.wordShingles($"text", 3)).as("gram"))
+      .distinct()
+    val out = TextAnalysis.noveltyAgainst(batch, inlineIdx)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((10L, 2L, 0L, Some(0.0))), s"${out(0)}")
+    assert(out(1) == ((11L, 2L, 2L, Some(1.0))), s"${out(1)}")
+    assert(out(2) == ((12L, 2L, 0L, Some(0.0))), s"${out(2)}")
+    assert(out(3) == ((13L, 2L, 1L, Some(0.5))), s"${out(3)}")
+    // persisted index answers identically to the inline gram set
+    val root = java.nio.file.Files.createTempDirectory("gram-idx").toString + "/idx"
+    TextAnalysis.saveGramIndex(corpus, root)
+    val viaIdx = TextAnalysis.noveltyAgainst(batch, TextAnalysis.loadGramIndex(spark, root))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(viaIdx.toSeq == out.toSeq, "persisted index drifted from inline grams")
+  }
+
+  test("x91 streaming novelty gate equals batch replay against the frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = sf("sf0.001")
+    val all = Tables.load(spark, dir, "documents")
+    val old = all.filter($"doc_id" < TextAnalysis.NoveltySplitId)
+    val root = java.nio.file.Files.createTempDirectory("gram-idx-s").toString + "/idx"
+    TextAnalysis.saveGramIndex(old, root)
+    val batchDocs = all.filter($"doc_id" >= TextAnalysis.NoveltySplitId)
+      .select($"doc_id", $"text")
+    val expected = TextAnalysis
+      .noveltyAgainst(batchDocs, TextAnalysis.loadGramIndex(spark, root))
+      // the stream face reports only docs that produced grams (no
+      // left-join backfill — a streaming aggregate can't enumerate
+      // absent keys); restrict the comparison accordingly
+      .filter($"n_grams" > 0)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(expected.nonEmpty, "vacuous: no batch docs scored")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.noveltyStream(
+        stream.toDF().toDF("doc_id", "text"), root)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      val rows = batchDocs.as[(Long, String)].collect().toSeq
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("novelty_out")
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+      assert(streamed == expected,
+        s"missing: ${(expected -- streamed).take(3)}; extra: ${(streamed -- expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("minhash-LSH pairs are verified by exact jaccard >= threshold") {
     val pairs = Dedup.minhashLshPairs(docs).collect()
     pairs.foreach { r =>
