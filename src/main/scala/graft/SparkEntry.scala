@@ -313,6 +313,25 @@ object SparkEntry {
     // grams), independent of corpus size. Persisted-index + streaming
     // faces spec-gated.
     "x91_novelty_incr"    -> (TextAnalysis.noveltyIncrQuery _),
+    // x92: SEMANTIC dedup (SemDeDup) — within-cluster lower-id-wins
+    // drop verdicts under the x78 deterministic codebook + round-6
+    // cosine, making the whole keep/drop decision driver-hash-gated.
+    "x92_semdedup"        -> (Similarity.semDedupQuery _),
+    // x93: k-anonymity audit over (lang, source, size-magnitude) —
+    // the release-governance gate; one metadata-only aggregate.
+    "x93_kanon"           -> (DocPrep.kAnonQuery _),
+    // x94: margin-scored neighbor mining (CCMatrix criterion) —
+    // cos(best) over mean(top-k), hub-corrected match confidence;
+    // shape-pinned two-op float image over exact decimal inputs.
+    "x94_margin"          -> (Similarity.marginQuery _),
+    // x95: source-overlap matrix — exact pairwise Jaccard between
+    // sources' distinct gram sets (corpus-level redundancy between
+    // feeds; the source-granular face of x90's novelty).
+    "x95_source_overlap"  -> (TextAnalysis.sourceOverlapQuery _),
+    // x96: corpus growth curve — per ingestion bucket: docs/tokens
+    // added, grams first seen, cumulative distinct grams (the
+    // diminishing-returns report; x90 per doc, this per batch).
+    "x96_growth"          -> (TextAnalysis.growthCurveQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -107,4 +107,37 @@ object DocPrep {
     val newSnap = docs.filter(col("doc_id") % 19 =!= 0)
     snapshotDiff(oldSnap, newSnap)
   }
+
+  // ------------------------------------------ k-anonymity audit (x93)
+
+  /** x93's anonymity threshold — shared with the DuckDB twin. */
+  val KAnonK = 5L
+
+  /** x93: K-ANONYMITY audit over the corpus's quasi-identifiers — the
+    * release-governance check a training-data pipeline runs before
+    * publishing corpus metadata: every (lang, source, size-bucket)
+    * combination occurring fewer than k times is a re-identification
+    * risk (its members are nearly unique under the published
+    * attributes and must be suppressed or generalized). Output is one
+    * row per observed combination with its population and an at_risk
+    * verdict, plus the count of risky DOCS the suppression step would
+    * touch (n_docs of risky rows sums to it).
+    *
+    * The size bucket is x66's power-of-two magnitude `length(bin(n))`
+    * — integer-exact on both engines, no libm — a realistic
+    * generalization ladder (publish magnitude, not exact length).
+    *
+    * Scale shape: one two-phase hash aggregate over narrow metadata
+    * columns (text never scans); distinct-combination cardinality is
+    * bounded by the attribute-domain product, not the corpus. */
+  def kAnonymity(docs: DataFrame, k: Long): DataFrame =
+    docs.groupBy(col("lang"), col("source"),
+        length(bin(col("n_chars"))).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("size_bucket"), col("n_docs"),
+        when(col("n_docs") < k, 1L).otherwise(0L).as("at_risk"))
+
+  def kAnonQuery(spark: SparkSession, dir: String): DataFrame =
+    kAnonymity(Tables.load(spark, dir, "documents"), KAnonK)
+      .orderBy(col("lang"), col("source"), col("size_bucket"))
 }

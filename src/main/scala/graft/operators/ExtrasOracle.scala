@@ -332,6 +332,22 @@ object ExtrasOracle {
     "x89_boilerplate" -> boilerplateSql,
     "x90_novelty" -> noveltySql,
     "x91_novelty_incr" -> noveltyIncrSql,
+    "x92_semdedup" -> semDedupSql,
+    "x94_margin" -> marginSql,
+    "x95_source_overlap" -> sourceOverlapSql,
+    "x96_growth" -> growthSql,
+
+    // x93: the k-anonymity audit — one metadata aggregate; the size
+    // bucket is x66's integer-exact power-of-two magnitude.
+    "x93_kanon" ->
+      s"""SELECT lang, source,
+         |  CAST(length(bin(n_chars)) AS BIGINT) AS size_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN COUNT(*) < ${DocPrep.KAnonK} THEN 1 ELSE 0 END
+         |    AS BIGINT) AS at_risk
+         |FROM documents
+         |GROUP BY 1, 2, 3
+         |ORDER BY lang, source, size_bucket""".stripMargin,
 
     // x84: exact twin of the HLL rollup — COUNT(DISTINCT) at the same
     // grouping sets with the same TOTAL presentation.
@@ -1683,6 +1699,100 @@ object ExtrasOracle {
        |SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank"
        |FROM scored WHERE "rank" <= ${Similarity.AnnExactK}
        |ORDER BY query_id, "rank"""".stripMargin
+
+  /** DuckDB twin of Similarity.semDedupQuery (x92): the x78 k-means CTE
+    * chain, then within-cluster lower-id-wins duplicate counting at the
+    * same round-6 cosine threshold. */
+  private def semDedupSql: String =
+    s"""WITH $kmCtes,
+       |p AS (
+       |  SELECT a2.vec_id AS vec_id, COUNT(*) AS n_dups
+       |  FROM afin a1 JOIN afin a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN e e1 ON e1.vec_id = a1.vec_id
+       |  JOIN e e2 ON e2.vec_id = a2.vec_id
+       |  WHERE round(list_cosine_similarity(e1.v, e2.v), 6) >= ${Similarity.SemDedupTau}
+       |  GROUP BY 1)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       |  CAST(coalesce(p.n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(CASE WHEN p.n_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM afin a LEFT JOIN p USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** DuckDB twin of Similarity.marginQuery (x94): round-6 cosine rank
+    * with id tie-breaks, exact decimal top-k sum, the margin as the
+    * SAME two-op float image (cos1·k)/sum. */
+  private def marginSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < ${Similarity.MarginQueryIds}),
+       |sc AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    CAST(round(list_cosine_similarity(q.qv, e.v), 6) AS DECIMAL(18,6)) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rn
+       |  FROM q JOIN e ON e.vec_id <> q.query_id)
+       |SELECT query_id,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN neighbor_id END) AS BIGINT) AS best_id,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN sim END) AS DOUBLE) * ${Similarity.MarginK}
+       |    / CAST(SUM(sim) AS DOUBLE) AS margin
+       |FROM sc WHERE rn <= ${Similarity.MarginK}
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.sourceOverlapQuery (x95): distinct
+    * trigram sets per source, gram-keyed intersection counts, the full
+    * ordered pair grid left-joined so empty intersections read 0. */
+  private def sourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sg AS MATERIALIZED (
+      |  SELECT DISTINCT source, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+      |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+      |sizes AS MATERIALIZED (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      |  FROM sg a JOIN sg b USING (gram)
+      |  WHERE a.source < b.source GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+      |  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source)
+      |SELECT source_a, source_b,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(n_a + n_b - coalesce(n_inter, 0) AS BIGINT) AS n_union,
+      |  CAST(coalesce(n_inter, 0) AS DOUBLE)
+      |    / (n_a + n_b - coalesce(n_inter, 0)) AS jaccard
+      |FROM grid LEFT JOIN inter USING (source_a, source_b)
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.growthCurveQuery (x96): per-bucket doc
+    * and token volumes, first-seen gram counts (x90's min-owner frame),
+    * and the running distinct-gram total over the bucket-grain table. */
+  private def growthSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id // ${TextAnalysis.GrowthBucketDocs} AS bucket,
+       |    COUNT(*) AS n_docs, SUM(len(w)) AS n_tokens
+       |  FROM toks GROUP BY 1),
+       |dg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+       |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY 1),
+       |ng AS (SELECT first_doc // ${TextAnalysis.GrowthBucketDocs} AS bucket,
+       |       COUNT(*) AS n_new_grams FROM fs GROUP BY 1)
+       |SELECT CAST(p.bucket AS BIGINT) AS bucket,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(n_new_grams, 0) AS BIGINT) AS n_new_grams,
+       |  CAST(SUM(coalesce(n_new_grams, 0)) OVER (ORDER BY p.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_grams
+       |FROM per p LEFT JOIN ng USING (bucket)
+       |ORDER BY bucket""".stripMargin
 
   /** The Morton interleave of two bucket ordinals as a SQL bit-op sum —
     * generated from the SAME [[Layout.ZmBits]] the native

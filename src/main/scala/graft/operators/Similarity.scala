@@ -696,6 +696,120 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------- semantic dedup (x92, SemDeDup)
+
+  /** x92's cosine accept threshold — shared with the DuckDB twin. Sits
+    * at the x45 near-dup cut (within-label p99 ≈ 0.28), so the
+    * within-cluster pair tail is real duplication, not noise. */
+  val SemDedupTau = 0.3
+
+  /** x92: SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every vector that has a higher-priority (here:
+    * smaller vec_id) cluster-mate above a cosine threshold. The
+    * embedding-space answer to "these documents say the same thing in
+    * different words" — exact dedup (x01), gram Jaccard (x46/x76) and
+    * embedding near-dup pairs (x45) all key on surface overlap; this
+    * keys on meaning, with the cluster as the blocking unit.
+    *
+    * Determinism discipline: the codebook is [[kmeansFit]]'s (x78 —
+    * no RNG, exact decimal centroid sums), the pair accept is the one
+    * float op round(cosine, 6) compared in double — every decision
+    * cross-engine exact, so the WHOLE keep/drop verdict is
+    * driver-hash-gated (upstream SemDeDup is RNG-seeded and
+    * irreproducible across engines by construction).
+    *
+    * Scale shape: the quadratic term is per-cluster — production runs
+    * k ≈ corpus/10⁴ so lists stay bounded (the paper uses 50k clusters
+    * for LAION); the cluster equi-join IS the blocking join, vectors
+    * never pair across clusters, and the verdict aggregate touches
+    * O(accepted pairs). At 100 TB the assignment comes from
+    * [[ivfIndex]]/[[assignWithCodebook]]'s persisted codebook instead
+    * of an in-run fit — same probe mechanics, zero retraining. */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int,
+               tau: Double): DataFrame = {
+    val (emb, cents) = kmeansFit(vectors, k, iters)
+    val assigned = kmeansAssigned(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    // lower id wins: a vector is dropped iff SOME smaller-id cluster-mate
+    // clears tau (count emitted for the report; keep = n_dups == 0)
+    val dups = l.join(r, "cluster")
+      .filter(col("id1") < col("id2"))
+      .filter(round(cosine(col("e1"), col("e2")), 6) >= tau)
+      .groupBy(col("id2").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("n_dups").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.load(spark, dir, "embeddings"), KmeansK, KmeansIters,
+        SemDedupTau)
+      .orderBy(col("vec_id"))
+
+  // ------------------------------- margin-scored mining (x94, CCMatrix)
+
+  /** x94 geometry: queries, neighborhood size for the margin
+    * denominator. Shared with the DuckDB twin. */
+  val MarginQueryIds = 50
+  val MarginK = 8
+
+  /** x94: MARGIN-scored nearest-neighbor mining (the CCMatrix/LASER
+    * bitext-mining criterion, Artetxe & Schwenk 2019): a candidate
+    * match is trusted not by its absolute cosine — dense hubs score
+    * high against everything — but by its MARGIN over the query's own
+    * neighborhood: cos(x, best) / mean(cos(x, top-k)). Margin ≈ 1
+    * means "best is no better than the local hub density" (reject);
+    * margin >> 1 means a genuinely isolated match. The mining step
+    * behind parallel-corpus extraction and cross-lingual alignment.
+    *
+    * Determinism: candidate ranking on round-6 cosine with id
+    * tie-breaks (x83's discipline); the denominator sum is EXACT over
+    * the round-6 decimals, and the margin image is the shape-pinned
+    * two-op float expression (cos1·k)/sum — identical op order in the
+    * twin, so the doubles agree bit-for-bit.
+    *
+    * Scale shape: brute-force per-query scan here (the oracle-checkable
+    * face, like x05); production swaps the candidate generator for the
+    * [[ivfTopKIndexed]] probe — margin only needs the top-k list, which
+    * any ANN path already produces. */
+  def marginMining(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val emb = vectors.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    queries.join(emb, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qvec"), col("embedding")), 6)
+          .cast("decimal(18,6)").as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank") === 1, col("neighbor_id"))).as("best_id"),
+        max(when(col("rank") === 1, col("sim"))).as("cos1"),
+        // decimal sum of decimal(18,6) inputs — exact, order-independent
+        sum(col("sim")).as("s"))
+      .select(col("query_id"), col("best_id"),
+        // shape-pinned float image: exactly (cos1 * k) / sum, both
+        // operands correctly-rounded casts of exact decimals
+        (col("cos1").cast("double") * lit(k) / col("s").cast("double"))
+          .as("margin"))
+  }
+
+  def marginQuery(spark: SparkSession, dir: String): DataFrame =
+    marginMining(Tables.load(spark, dir, "embeddings"), MarginQueryIds, MarginK)
+      .orderBy(col("query_id"))
+
   /** rows-only queries() entry for the IVF path. */
   def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

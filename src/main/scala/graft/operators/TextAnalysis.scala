@@ -1061,4 +1061,88 @@ object TextAnalysis {
       .distinct()
     noveltyAgainst(batch, idx).orderBy(col("doc_id"))
   }
+
+  // --------------------------------- source vocabulary overlap (x95)
+
+  /** x95: the SOURCE OVERLAP MATRIX — exact Jaccard between every pair
+    * of sources' distinct n-gram sets. x52's contamination matrix
+    * counts verified DOC pairs (who copied whom); this measures
+    * corpus-level REDUNDANCY between feeds (how much of src_a's
+    * content-space src_b already covers) — the "is this new crawl feed
+    * worth licensing" number, and the source-granular form of x90's
+    * novelty. All-integer set arithmetic; the one jaccard double is a
+    * single division of exact longs (IEEE correctly-rounded, identical
+    * cross-engine).
+    *
+    * Scale shape: the gram-keyed self-join is df-bounded per gram (a
+    * gram in s sources contributes C(s,2) pairs, s ≤ |sources|); the
+    * pair grid is |sources|² rows — driver-scale — so the left-join
+    * back fills absent intersections with 0 deterministically. The
+    * sketch swap-in at 10⁵+ sources is x15's HLL union per pair. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sg = docs.select(col("source"),
+        explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.select(col("source").as("source_a"), col("gram"))
+      .join(sg.select(col("source").as("source_b"), col("gram")), "gram")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val grid = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    grid.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union"))
+  }
+
+  def sourceOverlapQuery(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  // --------------------------------------- corpus growth curve (x96)
+
+  /** x96's ingestion-bucket width (docs per batch) — shared with the
+    * DuckDB twin. */
+  val GrowthBucketDocs = 50L
+
+  /** x96: the CORPUS GROWTH CURVE — per ingestion bucket (doc_id
+    * order, [[GrowthBucketDocs]] docs each): docs and tokens added,
+    * distinct n-grams FIRST SEEN in that bucket, and the cumulative
+    * distinct-gram count. The diminishing-returns report behind "stop
+    * crawling this feed": x90 scores novelty per document, this is the
+    * corpus-level curve procurement actually reads (when new-grams per
+    * bucket flattens, more of the same data buys nothing).
+    *
+    * Scale shape: first-seen owner per gram is a min over the DISTINCT
+    * (doc, gram) aggregate (x90's frame); everything after is
+    * bucket-grain — the running total is a window over |buckets| rows,
+    * never raw data. All-integer output. */
+  def growthCurve(docs: DataFrame, n: Int = 3): DataFrame = {
+    val bucketOf = (c: Column) => floor(c / GrowthBucketDocs).cast("long")
+    val perBucket = docs
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(wsTokens(col("text"))).cast("long")).as("n_tokens"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val newGrams = firstSeen
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("n_new_grams"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newGrams, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+      .withColumn("cum_grams", sum(col("n_new_grams")).over(w))
+  }
+
+  def growthCurveQuery(spark: SparkSession, dir: String): DataFrame =
+    growthCurve(Tables.load(spark, dir, "documents"))
+      .orderBy(col("bucket"))
 }

@@ -158,6 +158,73 @@ class ExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x92 semdedup: lower id wins inside a cluster, cross-cluster twins both survive") {
+    // k=2 init centroids = vectors of ids 0/1. id2 ≈ id0 (same cluster,
+    // cos ≈ 0.99995 ≥ 0.9 → dropped); id3 = exact copy of id1 (dropped);
+    // id4 lands in cluster 1 but cos(id4, mates) ≈ 0.2/0.58 < 0.9 → kept.
+    val vecs = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 2L -> Array(1f, 0.01f),
+      3L -> Array(0f, 1f), 4L -> Array(-1f, 0.2f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, k = 2, iters = 1, tau = 0.9)
+      .select($"vec_id", $"n_dups", $"keep")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 1L), (1L, 0L, 1L), (2L, 1L, 0L),
+      (3L, 1L, 0L), (4L, 0L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("x93 k-anonymity: small combos flagged, populous ones pass") {
+    val d = Seq(
+      (0L, "en", "s", 5L), (1L, "en", "s", 6L), // bucket 3 (bin '101'/'110'), n=2
+      (2L, "en", "t", 5L)                       // n=1 → risky at k=2
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = graft.operators.DocPrep.kAnonymity(d, k = 2L)
+      .select($"lang", $"source", $"size_bucket", $"n_docs", $"at_risk")
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(("en", "s", 3L, 2L, 0L), ("en", "t", 3L, 1L, 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("x94 margin: isolated match scores high, hub neighborhood scores 1") {
+    // query 0 vs {id1 dup, id2 orthogonal}: top-2 sims (1, 0) → margin 2;
+    // then vs {two dups}: flat neighborhood → margin exactly 1.
+    val isolated = Seq(0L -> Array(1f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(0f, 1f)).toDF("vec_id", "embedding")
+    val o1 = Similarity.marginMining(isolated, nQueries = 1, k = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(o1.toSeq == Seq((0L, 1L, 2.0)), s"got ${o1.toSeq}")
+    val hub = Seq(0L -> Array(1f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val o2 = Similarity.marginMining(hub, nQueries = 1, k = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(o2.toSeq == Seq((0L, 1L, 1.0)), s"got ${o2.toSeq}")
+  }
+
+  test("x95 source overlap: shared gram counted once, disjoint pair reads zero") {
+    val d = Seq(
+      (0L, "A", "a b c d"),  // grams: "a b c", "b c d"
+      (1L, "B", "a b c x"),  // grams: "a b c", "b c x"
+      (2L, "C", "p q r s")   // grams: "p q r", "q r s"
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.sourceOverlap(d)
+      .select($"source_a", $"source_b", $"n_inter", $"n_union", $"jaccard")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("A", "B")) == ((1L, 3L, 1.0 / 3)), s"AB: ${out(("A", "B"))}")
+    assert(out(("A", "C")) == ((0L, 4L, 0.0)), s"AC: ${out(("A", "C"))}")
+    assert(out(("B", "C")) == ((0L, 4L, 0.0)), s"BC: ${out(("B", "C"))}")
+  }
+
+  test("x96 growth curve: first-seen grams land in their bucket, total runs") {
+    // ids 0,1 → bucket 0 (copy adds no gram); id 50 → bucket 1
+    val d = Seq((0L, "a b c"), (1L, "a b c"), (50L, "a b x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.growthCurve(d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 2L, 6L, 1L, 1L), (1L, 1L, 3L, 1L, 2L)),
+      s"got ${out.toSeq}")
+  }
+
   test("minhash-LSH pairs are verified by exact jaccard >= threshold") {
     val pairs = Dedup.minhashLshPairs(docs).collect()
     pairs.foreach { r =>
