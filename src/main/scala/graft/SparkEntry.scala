@@ -332,6 +332,23 @@ object SparkEntry {
     // added, grams first seen, cumulative distinct grams (the
     // diminishing-returns report; x90 per doc, this per batch).
     "x96_growth"          -> (TextAnalysis.growthCurveQuery _),
+    // x97: PII detection + redaction audit — per-doc email/phone/IPv4
+    // counts and post-redaction length over a deterministically
+    // planted corpus (the privacy gate before release; patterns
+    // chosen for identical Java-regex/RE2 semantics).
+    "x97_pii_audit"       -> (DocPrep.piiQuery _),
+    // x98: per-source quota cap — the C4/CCNet host-cap discipline:
+    // md5-priority rank within source, keep the first N, audit shape
+    // (every doc with rank + verdict, not a silent filter).
+    "x98_source_cap"      -> (Sampling.sourceCapQuery _),
+    // x99: annotator agreement — RLHF preference-label QC: first-vote
+    // dedup, deterministic majority (count desc, label asc), per-rater
+    // agreement rate (exact counts, one rounded division).
+    "x99_annotator"       -> (Analytics.annotatorQuery _),
+    // x100: edit-distance verified near-dup pairs — levenshtein over
+    // canonical 80-char prefixes on the x64 sorted-neighborhood
+    // candidate frame; the typo-level verify tier Jaccard misses.
+    "x100_edit_pairs"     -> (Dedup.editPairsQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -645,4 +645,62 @@ object Analytics {
           .as("r2"))
       .orderBy(col("event_type"))
   }
+
+  // -------------------------------------- annotator agreement (x99)
+
+  /** x99: ANNOTATOR AGREEMENT — the preference-label QC report an RLHF
+    * data pipeline runs over raw human annotations: per annotator, how
+    * many items they labeled, how often their label matched the item's
+    * majority verdict, and the resulting agreement rate (the screen
+    * that catches low-quality or adversarial raters before their
+    * labels enter training).
+    *
+    * Semantics, all deterministic: an annotator's vote on an item is
+    * their FIRST label (min event id) — re-labels don't double-count;
+    * the majority label is the item's most-voted label, ties broken to
+    * the lexicographically smallest (so a 1-1 tie has a well-defined
+    * verdict on both engines); agreement is the one float division at
+    * the very end (exact BIGINT counts until presentation).
+    *
+    * Scale shape: two hash aggregates (first-vote dedup, per-item
+    * label counts) + a rank window partitioned by item (bounded by the
+    * label alphabet, ≤ a handful of rows per item) + one final
+    * annotator rollup. Everything keys on item or annotator — no
+    * quadratic term, no driver state. */
+  def annotatorAgreement(votes: DataFrame): DataFrame = {
+    // first vote per (item, annotator) — min vote_id wins
+    val first = votes
+      .groupBy(col("item"), col("annotator"))
+      .agg(min_by(col("label"), col("vote_id")).as("label"))
+    val majority = first.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("item"), col("label").as("maj_label"),
+        row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("c").desc, col("label"))).as("_r"))
+      .filter(col("_r") === 1)
+      .drop("_r")
+    first.join(majority, Seq("item"))
+      .groupBy(col("annotator"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("label") === col("maj_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("annotator"), col("n_items"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_items").cast("double"), 6)
+          .as("agreement"))
+  }
+
+  /** The x99 queries() face: a synthetic annotation frame derived
+    * DETERMINISTICALLY from events (so the DuckDB twin rebuilds it):
+    * annotator = user_id mod 7, item = event_id mod 500, label =
+    * event_type, vote id = event_id. Each item collects ~20 votes
+    * across the 7 raters at sf0.01 — enough collisions to exercise
+    * the first-vote dedup and the majority tie-break. */
+  def annotatorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select((col("user_id") % 7).as("annotator"),
+        (col("event_id") % 500).as("item"),
+        col("event_type").as("label"), col("event_id").as("vote_id"))
+    annotatorAgreement(votes).orderBy(col("annotator"))
+  }
 }

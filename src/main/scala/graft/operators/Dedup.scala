@@ -589,6 +589,70 @@ object Dedup {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
       .orderBy(col("d1"), col("d2"))
 
+  // --------------------------------- edit-distance verify (x100)
+
+  /** x100's verify prefix length, shared with the DuckDB twin. The
+    * distance is computed over the first `EditPrefix` characters of
+    * the canonical image — bounding the O(m·n) DP cell count per pair
+    * to a constant regardless of document length (the discipline that
+    * keeps the verify affordable; a full-text distance on a 100 KB
+    * doc pair is 10^10 cells). */
+  private[graft] val EditPrefix: Int = 80
+
+  /** x100: EDIT-DISTANCE VERIFIED near-dup pairs — the typo-level
+    * verify tier under the set-overlap family: Jaccard over shingles
+    * (x46/x64) is blind to single-character noise inside tokens
+    * (OCR errors, mojibake, diff-sized typos), Levenshtein is exactly
+    * that signal. Candidates come from the SAME sorted-neighborhood
+    * frame as x64 (canonical-image sort, every pair within `w`
+    * positions — (w-1)·N candidates, skew-immune by construction);
+    * each candidate pair is then scored with the exact edit distance
+    * between the two canonical-prefix images, plus the integer accept
+    * verdict `10·dist ≤ max(len_a, len_b)` (≤10% of the longer prefix
+    * edited — float-free, engine-exact).
+    *
+    * Emitting EVERY candidate with its distance (not just accepts) is
+    * deliberate: the distance distribution is how a pipeline tunes the
+    * threshold, and the all-candidates shape keeps the output size at
+    * the known (w-1)·N bound.
+    *
+    * Scale shape: rank from [[Sampling.denseIds]] (range shuffle, no
+    * single-task window), candidates by offset equi-join on rank, one
+    * text equi-join to attach prefixes, then a map-only `levenshtein`
+    * over codegen — no quadratic term anywhere. */
+  def editDistancePairs(docs: DataFrame, w: Int = SnmWindow,
+                        prefix: Int = EditPrefix): DataFrame = {
+    require(w >= 2, s"editDistancePairs: w=$w (need >= 2)")
+    val keyed = docs.select(col("doc_id"),
+      substring(graft.functions.expressions.NativeExpressions
+        .normalizeText(col("text")), 1, prefix).as("_pfx"))
+    val ranked = Sampling.denseIds(
+        keyed.select(col("doc_id"), col("_pfx").as("_sk")),
+        Seq(col("_sk"), col("doc_id")), "_rk")
+      .select(col("doc_id"), col("_rk"))
+    val cand = ranked.select(col("doc_id").as("_ida"), col("_rk").as("_ra"))
+      .withColumn("_j", explode(sequence(lit(1), lit(w - 1))))
+      .withColumn("_rb", col("_ra") + col("_j"))
+      .join(ranked.select(col("doc_id").as("_idb"), col("_rk").as("_rb")),
+        Seq("_rb"))
+      .select(least(col("_ida"), col("_idb")).as("d1"),
+        greatest(col("_ida"), col("_idb")).as("d2"))
+    cand
+      .join(keyed.select(col("doc_id").as("d1"), col("_pfx").as("_pa")), Seq("d1"))
+      .join(keyed.select(col("doc_id").as("d2"), col("_pfx").as("_pb")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("_pa"), col("_pb")).cast("long").as("dist"),
+        when(levenshtein(col("_pa"), col("_pb")) * 10
+          <= greatest(length(col("_pa")), length(col("_pb"))), 1L)
+          .otherwise(0L).as("near"))
+  }
+
+  /** x100: the queries() face — SNM candidates scored with exact
+    * prefix edit distance. */
+  def editPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.load(spark, dir, "documents"))
+      .orderBy(col("d1"), col("d2"))
+
   // --------------------------------------- near-dup cluster assignment
 
   /** Connected components by hash-min label propagation with pointer

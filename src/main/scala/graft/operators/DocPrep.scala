@@ -140,4 +140,73 @@ object DocPrep {
   def kAnonQuery(spark: SparkSession, dir: String): DataFrame =
     kAnonymity(Tables.load(spark, dir, "documents"), KAnonK)
       .orderBy(col("lang"), col("source"), col("size_bucket"))
+
+  // ------------------------------------------------- PII audit (x97)
+
+  /** x97's detector set — deliberately simple patterns that mean the
+    * SAME thing to Java's regex engine (Spark codegen) and RE2
+    * (DuckDB): character classes, bounded repetition, `\b` word
+    * boundaries; no backreferences, no lookaround (RE2 has neither),
+    * no alternation whose ordered-preference semantics could diverge
+    * (redaction applies the three patterns SEQUENTIALLY instead).
+    * A production deployment swaps in a vetted detector battery; the
+    * pipeline shape — count, redact, audit — is what this face pins. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val PiiIpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** x97: PII detection + redaction audit — the privacy gate a
+    * training-data pipeline runs before release: per document, how many
+    * email / US-phone / IPv4 literals appear, and the text length after
+    * redacting each class to its `[CLASS]` token (the number every
+    * downstream token-budget recomputation needs). Detection is
+    * `regexp_count` over codegen'd regex — a narrow projection, no
+    * shuffle, no UDF; at 100 TB this is a map-only pass whose cost is
+    * the text scan itself.
+    *
+    * Redaction replaces classes in a FIXED order (email, phone, ip) so
+    * the result is well-defined even where patterns could overlap —
+    * and identical across engines without relying on alternation
+    * preference semantics. */
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, PiiEmailRe, "[EMAIL]"),
+        PiiPhoneRe, "[PHONE]"),
+      PiiIpRe, "[IP]")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phone"),
+      regexp_count(t, lit(PiiIpRe)).cast("long").as("n_ip"),
+      length(t).cast("long").as("raw_len"),
+      length(redacted).cast("long").as("redacted_len"))
+      .withColumn("pii_total", (col("n_email") + col("n_phone") + col("n_ip")))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("pii_total"), col("raw_len"), col("redacted_len"))
+  }
+
+  /** The x97 queries() face: the corpus text carries no PII (synthetic
+    * words), so the face PLANTS it deterministically — doc_id residues
+    * select which docs get an email (mod 5), phone (mod 7), or IPv4
+    * (mod 11) literal appended, value derived from doc_id so the
+    * DuckDB twin rebuilds the exact same corpus. Residue overlaps
+    * (mod 35, 55, 77) yield multi-class docs; everything else is the
+    * zero-count negative. */
+  def piiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val planted = docs.withColumn("text", concat(col("text"),
+      when(id % 5 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com ok")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" call 555-867-"),
+          lpad((id % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" host 10."), (id % 256).cast("string"), lit(".0.1 up")))
+        .otherwise(lit(""))))
+    piiAudit(planted).orderBy(col("doc_id"))
+  }
 }

@@ -337,6 +337,11 @@ object ExtrasOracle {
     "x95_source_overlap" -> sourceOverlapSql,
     "x96_growth" -> growthSql,
 
+    "x97_pii_audit" -> piiSql,
+    "x98_source_cap" -> sourceCapSql,
+    "x99_annotator" -> annotatorSql,
+    "x100_edit_pairs" -> editPairsSql,
+
     // x93: the k-anonymity audit — one metadata aggregate; the size
     // bucket is x66's integer-exact power-of-two magnitude.
     "x93_kanon" ->
@@ -1883,4 +1888,108 @@ object ExtrasOracle {
       |-- NULLS FIRST pinned to match Spark's asc default (source is
       |-- non-null in the corpus; the twin should not depend on that)
       |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+
+  /** DuckDB twin of DocPrep.piiQuery (x97): the SAME planted-PII
+    * corpus rebuilt from doc_id residues, the SAME regex constants
+    * interpolated from [[DocPrep]] (single source of truth — both
+    * engines compile the identical pattern text), counts via
+    * len(regexp_extract_all) (= Spark's regexp_count non-overlapping
+    * scan), redaction via the same SEQUENTIAL three replaces with the
+    * 'g' flag (DuckDB replaces only the first match by default —
+    * Spark replaces all). */
+  private def piiSql: String = {
+    val (em, ph, ip) = (DocPrep.PiiEmailRe, DocPrep.PiiPhoneRe, DocPrep.PiiIpRe)
+    s"""WITH planted AS MATERIALIZED (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+       |      CAST(doc_id AS VARCHAR) || '@example.com ok' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.' ||
+       |      CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '$em')) +
+       |       len(regexp_extract_all(text, '$ph')) +
+       |       len(regexp_extract_all(text, '$ip')) AS BIGINT) AS pii_total,
+       |  CAST(length(text) AS BIGINT) AS raw_len,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
+       |    AS BIGINT) AS redacted_len
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.sourceCapQuery (x98): the same md5
+    * priority ([[bucketSql]] = Sampling.hashBucket bit-for-bit), the
+    * same per-source rank window, the same cap verdict. */
+  private def sourceCapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${bucketSql("CAST(doc_id AS VARCHAR)", "cap")}, doc_id)
+       |      AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       |  CAST(CASE WHEN rk <= ${Sampling.SourceCapN} THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Analytics.annotatorQuery (x99): same synthetic
+    * vote frame from events, arg_min first-vote dedup (= Spark's
+    * min_by), the same count-desc/label-asc majority tie-break, exact
+    * BIGINT counts with the one double division (round 6, x80's
+    * presentation discipline) at the end. */
+  private def annotatorSql: String =
+    """WITH votes AS MATERIALIZED (
+      |  SELECT user_id % 7 AS annotator, event_id % 500 AS item,
+      |    event_type AS label, event_id AS vote_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |firstv AS MATERIALIZED (
+      |  SELECT item, annotator, arg_min(label, vote_id) AS label
+      |  FROM votes GROUP BY 1, 2),
+      |maj AS (
+      |  SELECT item, label AS maj_label FROM (
+      |    SELECT item, label,
+      |      ROW_NUMBER() OVER (PARTITION BY item
+      |        ORDER BY COUNT(*) DESC, label) AS r
+      |    FROM firstv GROUP BY item, label)
+      |  WHERE r = 1)
+      |SELECT f.annotator, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CASE WHEN f.label = m.maj_label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_agree,
+      |  round(CAST(SUM(CASE WHEN f.label = m.maj_label THEN 1 ELSE 0 END)
+      |          AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
+      |FROM firstv f JOIN maj m USING (item)
+      |GROUP BY f.annotator ORDER BY annotator""".stripMargin
+
+  /** DuckDB twin of Dedup.editPairsQuery (x100): the same canonical
+    * prefix (NFC + lower + whitespace collapse + trim, then the first
+    * EditPrefix chars), the same sorted-neighborhood candidate frame
+    * (x64's), levenshtein over the prefixes with the same integer
+    * accept test. Distance and lengths are symmetric, so pa/pb
+    * orientation (rank order here, id order in Spark) cannot differ. */
+  private def editPairsSql: String =
+    s"""WITH norm AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    substr(trim(regexp_replace(lower(nfc_normalize(text)),
+       |      '\\s+', ' ', 'g')), 1, ${Dedup.EditPrefix}) AS pfx
+       |  FROM documents),
+       |ranked AS MATERIALIZED (
+       |  SELECT doc_id, pfx,
+       |    ROW_NUMBER() OVER (ORDER BY pfx, doc_id) AS rk
+       |  FROM norm)
+       |SELECT least(a.doc_id, b.doc_id) AS d1,
+       |  greatest(a.doc_id, b.doc_id) AS d2,
+       |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist,
+       |  CAST(CASE WHEN levenshtein(a.pfx, b.pfx) * 10
+       |         <= greatest(length(a.pfx), length(b.pfx))
+       |       THEN 1 ELSE 0 END AS BIGINT) AS near
+       |FROM ranked a JOIN ranked b
+       |  ON b.rk - a.rk BETWEEN 1 AND ${Dedup.SnmWindow - 1}
+       |ORDER BY d1, d2""".stripMargin
 }

@@ -724,4 +724,37 @@ object Sampling {
         "graft", splitFractions)
       .orderBy(col("split_a"), col("split_b"))
   }
+
+  // ------------------------------------------ per-source quota (x98)
+
+  /** x98's per-source document cap, shared with the DuckDB twin. */
+  private[graft] val SourceCapN: Long = 20L
+
+  /** x98: PER-SOURCE QUOTA CAP — the host-level cap a web-corpus
+    * pipeline applies so no single feed dominates the mix (the
+    * C4/CCNet url-host discipline): within each source, rank documents
+    * by a deterministic md5 priority ([[hashBucket]], doc_id
+    * tie-broken) and keep the first `cap`. Every document comes back
+    * with its rank and verdict — the audit shape, not a silent filter.
+    *
+    * Scale shape: one rank window PARTITIONED BY source — parallel
+    * across sources, and per-source work is a partition-local sort.
+    * When a single source outgrows an executor (the true 100 TB hot
+    * host), swap the window for the x37 bounded-heap aggregate at the
+    * same (priority, doc_id) order — the cap is a top-k per group, so
+    * the heap form is semantics-identical; the window form is kept
+    * here because ranks for ALL rows (not just keepers) are part of
+    * the audit contract. */
+  def sourceCap(docs: DataFrame, cap: Long): DataFrame = {
+    val prio = hashBucket(col("doc_id"), "cap")
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(prio, col("doc_id")))
+          .cast("long").as("rk"))
+      .withColumn("kept", when(col("rk") <= cap, 1L).otherwise(0L))
+  }
+
+  def sourceCapQuery(spark: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.load(spark, dir, "documents"), SourceCapN)
+      .orderBy(col("doc_id"))
 }

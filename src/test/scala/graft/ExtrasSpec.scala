@@ -225,6 +225,60 @@ class ExtrasSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("x97 pii audit: planted classes counted, clean doc untouched") {
+    val d = Seq(
+      (1L, "plain words only"),
+      (2L, "mail bob@x.io and sue.k+1@my-site.org then call 555-123-4567 from 10.0.0.1 done"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.DocPrep.piiAudit(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val clean = out(0)
+    assert((clean._2, clean._3, clean._4, clean._5) == ((0L, 0L, 0L, 0L)) &&
+      clean._6 == clean._7, s"clean doc mutated: $clean")
+    val hit = out(1)
+    val expectRedacted =
+      "mail [EMAIL] and [EMAIL] then call [PHONE] from [IP] done".length.toLong
+    assert(hit == ((2L, 2L, 1L, 1L, 4L, 79L, expectRedacted)), s"got $hit")
+  }
+
+  test("x98 source cap: ranks are a per-source permutation, cap kept") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("doc_id", "source")
+    val out = graft.operators.Sampling.sourceCap(d, cap = 2L)
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("a").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(bySrc("b").map(_._3).sorted.toSeq == Seq(1L, 2L))
+    out.foreach { r =>
+      assert(r._4 == (if (r._3 <= 2L) 1L else 0L), s"verdict wrong: $r") }
+    assert(out.count(_._4 == 1L) == 5, s"kept != 5: ${out.toSeq}")
+  }
+
+  test("x99 annotator agreement: first vote wins, majority tie to lex-min") {
+    // item 1: a,a,b(first of re-voter) -> majority a; item 2: a/b tie -> a
+    val votes = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "a", 2L), (1L, 3L, "b", 3L),
+      (1L, 3L, "a", 4L), // re-vote on item 1 by annotator 3 — ignored
+      (2L, 1L, "b", 5L), (2L, 2L, "a", 6L))
+      .toDF("item", "annotator", "label", "vote_id")
+    val out = graft.operators.Analytics.annotatorAgreement(votes)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0),
+      (3L, 1L, 0L, 0.0)), s"got ${out.toSeq}")
+  }
+
+  test("x100 edit pairs: one-char typo accepted, disjoint neighbor not") {
+    val d = Seq((1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb cccx"),
+      (3L, "qqqq wwww eeee")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.editDistancePairs(d, w = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // sort order: doc1, doc2 (shared prefix), doc3; adjacent pairs only.
+    // dist(1,2)=1 sub -> near (10*1 <= 14); dist(2,3)=12 subs (no shared
+    // non-space chars, equal length -> pure substitution) -> far.
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1L), (2L, 3L, 12L, 0L)),
+      s"got ${out.toSeq}")
+  }
+
   test("minhash-LSH pairs are verified by exact jaccard >= threshold") {
     val pairs = Dedup.minhashLshPairs(docs).collect()
     pairs.foreach { r =>
