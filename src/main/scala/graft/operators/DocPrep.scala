@@ -168,13 +168,19 @@ object DocPrep {
     * the result is well-defined even where patterns could overlap —
     * and identical across engines without relying on alternation
     * preference semantics. */
-  def piiAudit(docs: DataFrame): DataFrame = {
-    val t = col("text")
-    val redacted = regexp_replace(
+  /** The x97 redaction image: the three classes replaced SEQUENTIALLY
+    * in a fixed order (shared by the audit, the streaming gate, and
+    * the DuckDB twin). */
+  def redactPii(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(t, PiiEmailRe, "[EMAIL]"),
         PiiPhoneRe, "[PHONE]"),
       PiiIpRe, "[IP]")
+
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val redacted = redactPii(t)
     docs.select(col("doc_id"),
       regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_email"),
       regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phone"),

@@ -869,6 +869,71 @@ object StreamingOps {
     * Aggregation state is the per-doc scorecard, final in the doc's
     * arrival batch (docs are single rows); UPDATE mode emits each doc
     * once. */
+  /** Streaming face of [[graft.operators.DocPrep.piiAudit]] (x97): the
+    * live privacy gate — each arriving document is redacted and
+    * admitted/flagged the moment it lands. Stateless (the regex
+    * battery is frozen in the plan), so replay trivially equals batch
+    * under any chunking (spec-asserted); map-only cost per batch.
+    * Emits every doc with its redacted text, per-class counts, and the
+    * admission verdict (≤ maxPii residual findings — 0 means "only
+    * fully-redacted docs pass"): the audit shape, so the quarantine
+    * leg is a filter away. */
+  def piiGateStream(docs: DataFrame, maxPii: Long = 0L): DataFrame = {
+    import graft.operators.DocPrep
+    val t = col("text")
+    val total = (regexp_count(t, lit(DocPrep.PiiEmailRe)) +
+      regexp_count(t, lit(DocPrep.PiiPhoneRe)) +
+      regexp_count(t, lit(DocPrep.PiiIpRe))).cast("long")
+    docs.select(col("doc_id"), DocPrep.redactPii(t).as("text"),
+      total.as("pii_total"),
+      when(total <= maxPii, lit(true)).otherwise(lit(false)).as("admitted"))
+  }
+
+  case class QuotaDoc(doc_id: Long, source: String)
+  case class QuotaDecision(doc_id: Long, source: String, rk: Long,
+                           kept: Boolean)
+
+  private class SourceQuotaProcessor(cap: Long)
+    extends StatefulProcessor[String, QuotaDoc, QuotaDecision] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seenDocs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[QuotaDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[QuotaDecision] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        n += 1L
+        QuotaDecision(d.doc_id, d.source, n, n <= cap)
+      }
+      if (out.nonEmpty) seen.update(n)
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Sampling.sourceCap]] (x98):
+    * per-source quota ADMISSION on an ingestion stream — each arriving
+    * document takes the next rank in its source's count and is admitted
+    * while the quota lasts. The batch face ranks by md5 priority (a
+    * fair draw over a corpus it can see whole); a stream cannot rank
+    * what hasn't arrived, so the live form admits in arrival order
+    * (doc_id-sorted within a micro-batch for determinism) — the
+    * standard first-come quota trade-off, stated rather than hidden.
+    * State per source is ONE counter (same shape as
+    * [[tokenBudgetStream]]); replay in arrival order is chunking-
+    * invariant (spec-asserted). */
+  def sourceQuotaStream(docs: DataFrame, cap: Long): Dataset[QuotaDecision] = {
+    require(cap > 0, s"sourceQuotaStream: cap=$cap")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .as[QuotaDoc]
+      .groupByKey(_.source)
+      .transformWithState(new SourceQuotaProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def noveltyStream(docs: DataFrame, indexPath: String, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val idx = graft.operators.TextAnalysis.loadGramIndex(spark, indexPath)

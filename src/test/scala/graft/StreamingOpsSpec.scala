@@ -873,6 +873,66 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pii gate redacts and gates each arriving doc (== batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "plain words"),
+      (2L, "mail bob@x.io now"),
+      (3L, "call 555-123-4567 from 10.0.0.1"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.piiGateStream(
+        stream.toDF().toDF("doc_id", "text"), maxPii = 0L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    try {
+      rows.grouped(2).foreach { c => stream.addData(c); q.processAllAvailable() }
+      val got = spark.table("pii_out")
+        .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "plain words", 0L, true),
+        (2L, "mail [EMAIL] now", 1L, false),
+        (3L, "call [PHONE] from [IP]", 2L, false)), s"got ${got.toSeq}")
+      // chunking-invariance vs the stateless batch image
+      val batch = StreamingOps.piiGateStream(
+          rows.toDF("doc_id", "text"), maxPii = 0L)
+        .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming source quota admits first cap per source, replay-stable") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = (1L to 9L).map(i => (i, if (i % 3 == 0) "b" else "a"))
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.sourceQuotaStream(
+          stream.toDF().toDF("doc_id", "source"), cap = 2L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("quota_out").start()
+      try {
+        // uneven chunking straddling the quota boundary
+        rows.grouped(4).foreach { c => stream.addData(c); q.processAllAvailable() }
+        val got = spark.table("quota_out")
+          .as[StreamingOps.QuotaDecision].collect()
+          .map(d => (d.doc_id, d.source, d.rk, d.kept)).sortBy(_._1)
+        // source a gets ids 1,2,4,5,7,8 in order; b gets 3,6,9
+        assert(got.toSeq == Seq(
+          (1L, "a", 1L, true), (2L, "a", 2L, true), (3L, "b", 1L, true),
+          (4L, "a", 3L, false), (5L, "a", 4L, false), (6L, "b", 2L, true),
+          (7L, "a", 5L, false), (8L, "a", 6L, false), (9L, "b", 3L, false)),
+          s"got ${got.toSeq}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming token budget equals batch x56 on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
