@@ -349,6 +349,10 @@ object SparkEntry {
     // canonical 80-char prefixes on the x64 sorted-neighborhood
     // candidate frame; the typo-level verify tier Jaccard misses.
     "x100_edit_pairs"     -> (Dedup.editPairsQuery _),
+    // x101: one Dawid-Skene EM step — accuracy-weighted revote over
+    // x99's vote frame with integer floor-division weights (exact
+    // BIGINT sums, no float in any aggregate), flip report per item.
+    "x101_dawid_skene"    -> (Analytics.dawidSkeneQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -689,6 +689,66 @@ object Analytics {
           .as("agreement"))
   }
 
+  /** x101: one DAWID-SKENE-STYLE EM step — the accuracy-weighted
+    * revote that upgrades x99's naive majority: round 1 scores every
+    * annotator by majority agreement (x99's frame); round 2 re-decides
+    * each item with votes weighted by their annotator's round-1
+    * score, flipping items where a reliable minority outvotes an
+    * unreliable crowd (the core Dawid & Skene 1979 move, one
+    * iteration).
+    *
+    * Exactness discipline: the weight is the INTEGER
+    * `(1_000_000 · n_agree) div n_items` — floor division of exact
+    * BIGINTs, so per-label weight sums are order-independent BIGINT
+    * arithmetic and the argmax (weight desc, label asc) is
+    * cross-engine exact; no float ever enters a sum.
+    *
+    * Scale shape: x99's aggregates plus one broadcast-sized join
+    * (weights: one row per annotator) and a second label-alphabet-
+    * bounded window — nothing new shuffles the vote stream. */
+  def dawidSkeneStep(votes: DataFrame): DataFrame = {
+    val first = votes
+      .groupBy(col("item"), col("annotator"))
+      .agg(min_by(col("label"), col("vote_id")).as("label"))
+    val majority = first.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("item"), col("label").as("maj_label"),
+        row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("c").desc, col("label"))).as("_r"))
+      .filter(col("_r") === 1)
+      .drop("_r")
+    val weights = first.join(majority, Seq("item"))
+      .groupBy(col("annotator"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("label") === col("maj_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("annotator"),
+        expr("(1000000L * n_agree) div n_items").as("iw"))
+    val revote = first.join(broadcast(weights), Seq("annotator"))
+      .groupBy(col("item"), col("label"))
+      .agg(sum(col("iw")).as("w"))
+      .select(col("item"), col("label").as("ds_label"),
+        row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("w").desc, col("label"))).as("_r"))
+      .filter(col("_r") === 1)
+      .drop("_r")
+    first.groupBy(col("item")).agg(count(lit(1)).as("n_votes"))
+      .join(majority, Seq("item")).join(revote, Seq("item"))
+      .select(col("item"), col("n_votes"), col("maj_label"), col("ds_label"),
+        when(col("maj_label") =!= col("ds_label"), 1L).otherwise(0L)
+          .as("flipped"))
+  }
+
+  /** x101's queries() face over x99's synthetic vote frame. */
+  def dawidSkeneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select((col("user_id") % 7).as("annotator"),
+        (col("event_id") % 500).as("item"),
+        col("event_type").as("label"), col("event_id").as("vote_id"))
+    dawidSkeneStep(votes).orderBy(col("item"))
+  }
+
   /** The x99 queries() face: a synthetic annotation frame derived
     * DETERMINISTICALLY from events (so the DuckDB twin rebuilds it):
     * annotator = user_id mod 7, item = event_id mod 500, label =

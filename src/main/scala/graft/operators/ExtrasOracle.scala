@@ -340,6 +340,7 @@ object ExtrasOracle {
     "x97_pii_audit" -> piiSql,
     "x98_source_cap" -> sourceCapSql,
     "x99_annotator" -> annotatorSql,
+    "x101_dawid_skene" -> dawidSkeneSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -1966,6 +1967,48 @@ object ExtrasOracle {
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
       |FROM firstv f JOIN maj m USING (item)
       |GROUP BY f.annotator ORDER BY annotator""".stripMargin
+
+  /** DuckDB twin of Analytics.dawidSkeneQuery (x101): x99's frame plus
+    * the integer weight `(1000000 * n_agree) // n_items` (DuckDB `//`
+    * = floor division = Spark's `div` on non-negative BIGINTs), exact
+    * BIGINT weight sums, the same (weight desc, label asc) argmax. */
+  private def dawidSkeneSql: String =
+    """WITH votes AS MATERIALIZED (
+      |  SELECT user_id % 7 AS annotator, event_id % 500 AS item,
+      |    event_type AS label, event_id AS vote_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |firstv AS MATERIALIZED (
+      |  SELECT item, annotator, arg_min(label, vote_id) AS label
+      |  FROM votes GROUP BY 1, 2),
+      |maj AS MATERIALIZED (
+      |  SELECT item, label AS maj_label FROM (
+      |    SELECT item, label,
+      |      ROW_NUMBER() OVER (PARTITION BY item
+      |        ORDER BY COUNT(*) DESC, label) AS r
+      |    FROM firstv GROUP BY item, label)
+      |  WHERE r = 1),
+      |wts AS MATERIALIZED (
+      |  SELECT f.annotator,
+      |    (1000000 * SUM(CASE WHEN f.label = m.maj_label THEN 1 ELSE 0 END))
+      |      // COUNT(*) AS iw
+      |  FROM firstv f JOIN maj m USING (item)
+      |  GROUP BY f.annotator),
+      |revote AS (
+      |  SELECT item, label AS ds_label FROM (
+      |    SELECT f.item, f.label,
+      |      ROW_NUMBER() OVER (PARTITION BY f.item
+      |        ORDER BY SUM(w.iw) DESC, f.label) AS r
+      |    FROM firstv f JOIN wts w USING (annotator)
+      |    GROUP BY f.item, f.label)
+      |  WHERE r = 1),
+      |nv AS (SELECT item, COUNT(*) AS n_votes FROM firstv GROUP BY item)
+      |SELECT n.item, CAST(n.n_votes AS BIGINT) AS n_votes,
+      |  m.maj_label, r.ds_label,
+      |  CAST(CASE WHEN m.maj_label <> r.ds_label THEN 1 ELSE 0 END
+      |    AS BIGINT) AS flipped
+      |FROM nv n JOIN maj m USING (item) JOIN revote r USING (item)
+      |ORDER BY item""".stripMargin
 
   /** DuckDB twin of Dedup.editPairsQuery (x100): the same canonical
     * prefix (NFC + lower + whitespace collapse + trim, then the first

@@ -267,6 +267,25 @@ class ExtrasSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0)), s"got ${out.toSeq}")
   }
 
+  test("x101 dawid-skene: reliable minority flips the unweighted majority") {
+    // items 10-12: ann3 votes "a" and wins each three-way tie (lex min),
+    // so ann3 scores 3/4 = iw 750000 and ann1/ann2 score 1/4 = 250000.
+    // item 1: ann1+ann2 vote "b" (majority), ann3 votes "a" — weighted
+    // revote 750000 vs 500000 flips it to "a".
+    val votes = Seq(
+      (1L, 1L, "b", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L),
+      (10L, 1L, "y", 4L), (10L, 2L, "z", 5L), (10L, 3L, "a", 6L),
+      (11L, 1L, "y", 7L), (11L, 2L, "z", 8L), (11L, 3L, "a", 9L),
+      (12L, 1L, "y", 10L), (12L, 2L, "z", 11L), (12L, 3L, "a", 12L))
+      .toDF("item", "annotator", "label", "vote_id")
+    val out = graft.operators.Analytics.dawidSkeneStep(votes)
+      .as[(Long, Long, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, "b", "a", 1L), (10L, 3L, "a", "a", 0L),
+      (11L, 3L, "a", "a", 0L), (12L, 3L, "a", "a", 0L)),
+      s"got ${out.toSeq}")
+  }
+
   test("x100 edit pairs: one-char typo accepted, disjoint neighbor not") {
     val d = Seq((1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb cccx"),
       (3L, "qqqq wwww eeee")).toDF("doc_id", "text")
