@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Chunking, Dedup, DocPrep, ExtrasOracle, Graph, Layout, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch}
+import graft.operators.{Analytics, Chunking, Dedup, DocPrep, ExtrasOracle, Graph, Layout, Linkage, Relational, RelationalOracle, Sampling, Sessionize, Similarity, Sketches, SkewTools, TextAnalysis, TextSearch, WebPrep}
 import graft.pipeline.SensorPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -353,6 +353,15 @@ object SparkEntry {
     // x99's vote frame with integer floor-division weights (exact
     // BIGINT sums, no float in any aggregate), flip report per item.
     "x101_dawid_skene"    -> (Analytics.dawidSkeneQuery _),
+    // x102: URL canonicalization — fragment/tracking-param strip,
+    // host lowercasing, scheme/www/trailing-slash removal on a
+    // deterministically planted URL column; the crawl-dedup key and
+    // x98's host-cap input. Map-only.
+    "x102_url_canon"      -> (WebPrep.urlQuery _),
+    // x103: markup strip + field extraction — title pull, link count,
+    // tag strip with whitespace collapse over deterministic synthetic
+    // HTML; the raw-crawl-to-text stage. Map-only.
+    "x103_markup_strip"   -> (WebPrep.markupQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -341,6 +341,8 @@ object ExtrasOracle {
     "x98_source_cap" -> sourceCapSql,
     "x99_annotator" -> annotatorSql,
     "x101_dawid_skene" -> dawidSkeneSql,
+    "x102_url_canon" -> urlCanonSql,
+    "x103_markup_strip" -> markupSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2009,6 +2011,77 @@ object ExtrasOracle {
       |    AS BIGINT) AS flipped
       |FROM nv n JOIN maj m USING (item) JOIN revote r USING (item)
       |ORDER BY item""".stripMargin
+
+  /** DuckDB twin of WebPrep.urlQuery (x102): the same planted URL, the
+    * same canonicalization ladder in the same order. Every replace
+    * carries the 'g' flag (Spark's regexp_replace is always global;
+    * DuckDB's defaults to first-match-only) and group references use
+    * RE2's `\1` where Spark writes `$1`. */
+  private def urlCanonSql: String =
+    """WITH planted AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |      THEN '?utm_source=feed&page=' || CAST(doc_id % 4 AS VARCHAR)
+      |      ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS url
+      |  FROM documents),
+      |tidy AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(url, '#.*$', '', 'g'),
+      |          '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+      |        '\?&', '?', 'g'),
+      |      '[?&]$', '', 'g') AS t
+      |  FROM planted),
+      |hosted AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |      THEN lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+      |           || regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1)
+      |      ELSE t END AS h
+      |  FROM tidy),
+      |canoned AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(h, '^[a-z][a-z0-9+.-]*://', '', 'g'),
+      |        '^www\.', '', 'g'),
+      |      '(.)/$', '\1', 'g') AS canon
+      |  FROM hosted)
+      |SELECT doc_id, canon,
+      |  regexp_replace(regexp_extract(canon, '^([^/]*)', 1), ':[0-9]+$', '', 'g')
+      |    AS host,
+      |  CAST(CASE WHEN url <> canon THEN 1 ELSE 0 END AS BIGINT) AS changed
+      |FROM canoned ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of WebPrep.markupQuery (x103): identical planted
+    * markup, identical tag-strip + whitespace-collapse image, title
+    * group extract, link count via len(regexp_extract_all). */
+  private def markupSql: String =
+    """WITH planted AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body><p>' || text || '</p>' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '<a href="/x">x</a>' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN '<a href="/y">y</a>' ELSE '' END) ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS text
+      |  FROM planted)
+      |SELECT doc_id,
+      |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      |  CAST(len(regexp_extract_all(html, '<a ')) AS BIGINT) AS n_links,
+      |  text, CAST(length(text) AS BIGINT) AS clean_len
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.editPairsQuery (x100): the same canonical
     * prefix (NFC + lower + whitespace collapse + trim, then the first

@@ -453,8 +453,9 @@ object Similarity {
         // co-locate each list before the write: hash-repartitioning on
         // centroid_id puts ALL of a centroid's rows in one task (two
         // centroids may share a task on hash collision), so each
-        // partition directory holds exactly one file — nCentroids files
-        // total, not tasks x centroids small files
+        // partition directory holds exactly one file — one file per
+        // NON-EMPTY centroid (a centroid with no vectors writes no
+        // dir), not tasks x centroids small files
         .repartition(nCentroids, col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$tmp/lists")

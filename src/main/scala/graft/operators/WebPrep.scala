@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Web-corpus preparation stages: URL canonicalization (the key under
+  * which crawl dedup and host-level policy actually operate) and
+  * markup stripping / field extraction (the first transform applied to
+  * raw crawled HTML before any text analysis).
+  *
+  * Both are map-only projections built from the regex subset Java's
+  * engine and RE2 interpret identically (character classes, bounded
+  * repetition, anchors; no lookaround, no backreferences) — at 100 TB
+  * these run inside the scan's codegen stage at I/O cost.
+  */
+object WebPrep {
+
+  // --------------------------------------- URL canonicalization (x102)
+
+  /** Canonical URL image, the standard crawl-dedup ladder applied in a
+    * FIXED order (each step a sequential replace — no alternation-
+    * preference dependence):
+    *   1. drop the `#fragment` (never reaches the server);
+    *   2. drop tracking params (`utm_*`, `fbclid`, `gclid`) wherever
+    *      they sit in the query string, then sweep the leftover
+    *      separator (`?&` → `?`, trailing `?`/`&` dropped);
+    *   3. lowercase the scheme+host (path stays case-sensitive per
+    *      RFC 3986);
+    *   4. strip the scheme and a leading `www.`;
+    *   5. drop one trailing slash on a non-root path.
+    * Two URLs that differ only in these dimensions are the same fetch
+    * — collapsing them is the first dedup tier of every crawl
+    * pipeline (and the key for x98's host caps). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    // lowercase scheme://host (everything before the first single /
+    // after the authority), preserving the path's case; a scheme-less
+    // input skips the step rather than being wiped by a no-match
+    val hostLower = when(tidy.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(
+        lower(regexp_extract(tidy, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+        regexp_extract(tidy, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$", 1)))
+      .otherwise(tidy)
+    val noScheme = regexp_replace(hostLower, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    regexp_replace(noWww, "(.)/$", "$1")
+  }
+
+  /** The registrable host of a canonical URL (everything before the
+    * first `/`, port dropped) — x98's quota key and the blocklist
+    * join key. */
+  def urlHost(canon: Column): Column =
+    regexp_replace(regexp_extract(canon, "^([^/]*)", 1), ":[0-9]+$", "")
+
+  /** x102: URL CANONICALIZATION audit — per document: the canonical
+    * URL, its host, and whether canonicalization changed anything
+    * (the fraction that changed is the dedup headroom a crawl gains
+    * from the ladder). One narrow projection; grouping by `host`
+    * afterwards is x98's quota input. */
+  def urlCanonicalize(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.select(col("doc_id"), col(urlCol).as("url"))
+      .withColumn("canon", canonicalUrl(col("url")))
+      .select(col("doc_id"), col("canon"), urlHost(col("canon")).as("host"),
+        when(col("url") =!= col("canon"), 1L).otherwise(0L).as("changed"))
+
+  /** The x102 queries() face: the corpus carries no URL column, so the
+    * face PLANTS one deterministically from (source, doc_id) — with
+    * residue-selected noise (scheme case, `www.`, utm params, a
+    * fragment, a trailing slash) so every ladder rule fires on a known
+    * subset and the DuckDB twin rebuilds the exact same input. */
+  def urlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS://").otherwise(lit("https://")),
+      when(id % 3 === 0, "WWW.").otherwise(lit("")),
+      col("source"), lit(".example.com/Docs/"), id.cast("string"),
+      when(id % 7 === 0, "/").otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("?utm_source=feed&page="), (id % 4).cast("string")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, "#sec2").otherwise(lit("")))
+    urlCanonicalize(docs.withColumn("url", url)).orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------- markup strip / extract (x103)
+
+  /** x103: MARKUP STRIP + FIELD EXTRACTION — the raw-HTML-to-text
+    * stage: pull the `<title>`, count outbound links, drop every tag,
+    * collapse the whitespace the tags leave behind. Regex-grade
+    * stripping (no entity decoding, no script-content awareness) is
+    * exactly what large crawl pipelines run at scale before a real
+    * parser ever sees the survivors; the contract here is the Spark
+    * plumbing and a deterministic, engine-exact image of that stage. */
+  def stripMarkup(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    val text = trim(regexp_replace(
+      regexp_replace(h, "<[^>]*>", " "), "\\s+", " "))
+    docs.select(col("doc_id"),
+      regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
+      regexp_count(h, lit("<a ")).cast("long").as("n_links"),
+      text.as("text"),
+      length(text).cast("long").as("clean_len"))
+  }
+
+  /** The x103 queries() face: deterministic synthetic markup around the
+    * corpus text — a title derived from doc_id, the body split by a
+    * mid-document tag boundary, and a residue-selected number of links
+    * — so the twin rebuilds the identical raw HTML. */
+  def markupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title></head><body><p>"), col("text"), lit("</p>"),
+      when(id % 3 === 0, "<a href=\"/x\">x</a>").otherwise(lit("")),
+      when(id % 9 === 0, "<a href=\"/y\">y</a>").otherwise(lit("")),
+      lit("</body></html>"))
+    stripMarkup(docs.withColumn("html", html)).orderBy(col("doc_id"))
+  }
+}

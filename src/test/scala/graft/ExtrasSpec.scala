@@ -286,6 +286,35 @@ class ExtrasSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("x102 url canon: every ladder rule fires; already-canonical passes through") {
+    val d = Seq(
+      (1L, "HTTPS://WWW.News.Example.com/A/B?utm_source=x&id=2&fbclid=z#top"),
+      (2L, "https://example.com:8080/p/"),
+      (3L, "example.com/plain"))
+      .toDF("doc_id", "url")
+    val out = graft.operators.WebPrep.urlCanonicalize(d)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      // scheme+www stripped, host lowercased (path case kept), utm and
+      // fbclid dropped with separators swept, fragment dropped
+      (1L, "news.example.com/A/B?id=2", "news.example.com", 1L),
+      // trailing slash dropped; host (for the quota key) drops the port
+      (2L, "example.com:8080/p", "example.com", 1L),
+      // scheme-less input survives untouched
+      (3L, "example.com/plain", "example.com", 0L)), s"got ${out.toSeq}")
+  }
+
+  test("x103 markup strip: title extracted, links counted, tags gone") {
+    val d = Seq(
+      (1L, "<html><head><title>Hi there</title></head><body><p>a  b</p>" +
+        "<a href=\"/x\">x</a><a href=\"/y\">y</a></body></html>"))
+      .toDF("doc_id", "html")
+    val out = graft.operators.WebPrep.stripMarkup(d)
+      .as[(Long, String, Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "Hi there", 2L, "Hi there a b x y", 16L)),
+      s"got ${out.toSeq}")
+  }
+
   test("x100 edit pairs: one-char typo accepted, disjoint neighbor not") {
     val d = Seq((1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb cccx"),
       (3L, "qqqq wwww eeee")).toDF("doc_id", "text")
