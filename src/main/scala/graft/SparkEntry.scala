@@ -362,6 +362,14 @@ object SparkEntry {
     // tag strip with whitespace collapse over deterministic synthetic
     // HTML; the raw-crawl-to-text stage. Map-only.
     "x103_markup_strip"   -> (WebPrep.markupQuery _),
+    // x104: canonical-URL dedup — x01's min-keeper rule on x102's
+    // canonical key over a plant that genuinely collides; the
+    // crawl-frontier tier that fires before any fetch.
+    "x104_url_dedup"      -> (WebPrep.urlDedupQuery _),
+    // x105: Krippendorff's alpha (nominal) — campaign-level
+    // inter-rater reliability over x99's frame; decimal-summed Do
+    // terms, BIGINT De, pinned final double image.
+    "x105_kripp_alpha"    -> (Analytics.krippendorffQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

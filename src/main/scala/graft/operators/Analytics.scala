@@ -739,6 +739,60 @@ object Analytics {
           .as("flipped"))
   }
 
+  /** x105: KRIPPENDORFF'S ALPHA (nominal) — the inter-rater
+    * reliability coefficient reported for every human-annotation
+    * campaign, over x99's vote frame: alpha = 1 − Do/De, with observed
+    * disagreement Do = (1/n)·Σᵢ Σₗ nᵢₗ(nᵢ−nᵢₗ)/(nᵢ−1) over pairable
+    * items (nᵢ ≥ 2 votes) and expected disagreement
+    * De = Σₗ n̂ₗ(n−n̂ₗ) / (n(n−1)).
+    *
+    * Exactness discipline: the only non-integer intermediate is the
+    * per-(item,label) Do term — rounded to 6 decimals and summed as
+    * DECIMAL (order-independent; x82's proven pattern). Everything in
+    * De is BIGINT. The final alpha is a pinned two-division,
+    * one-subtraction DOUBLE image, round 6 (both engines spell the
+    * identical parenthesization).
+    *
+    * Scale shape: two hash aggregates keyed on item, one on label
+    * (label-alphabet-sized), and single-row reductions — the vote
+    * stream shuffles once. */
+  def krippendorffAlpha(votes: DataFrame): DataFrame = {
+    val first = votes
+      .groupBy(col("item"), col("annotator"))
+      .agg(min_by(col("label"), col("vote_id")).as("label"))
+    val byIl = first.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("n_il"))
+    val byI = byIl.groupBy(col("item")).agg(sum(col("n_il")).as("n_i"))
+      .filter(col("n_i") >= 2)
+    val il = byIl.join(byI, Seq("item"))
+    val doSum = il.select(
+        round((col("n_il") * (col("n_i") - col("n_il"))).cast("double")
+          / (col("n_i") - 1).cast("double"), 6)
+          .cast("decimal(18,6)").as("t"))
+      .agg(sum(col("t")).as("do_sum"))
+    val totals = il.groupBy(col("label")).agg(sum(col("n_il")).as("n_l"))
+      .crossJoin(broadcast(byI.agg(sum(col("n_i")).as("n"),
+        count(lit(1)).as("n_items"))))
+      .groupBy(col("n"), col("n_items"))
+      .agg(sum(col("n_l") * (col("n") - col("n_l"))).as("de_num"))
+    totals.crossJoin(broadcast(doSum))
+      .select(col("n"), col("n_items"),
+        round(lit(1.0d) -
+          (col("do_sum").cast("double") / col("n").cast("double")) /
+            (col("de_num").cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")), 6).as("alpha"))
+  }
+
+  /** x105's queries() face over x99's synthetic vote frame. */
+  def krippendorffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select((col("user_id") % 7).as("annotator"),
+        (col("event_id") % 500).as("item"),
+        col("event_type").as("label"), col("event_id").as("vote_id"))
+    krippendorffAlpha(votes).orderBy(col("n"))
+  }
+
   /** x101's queries() face over x99's synthetic vote frame. */
   def dawidSkeneQuery(spark: SparkSession, dir: String): DataFrame = {
     val votes = Tables.load(spark, dir, "events")

@@ -343,6 +343,8 @@ object ExtrasOracle {
     "x101_dawid_skene" -> dawidSkeneSql,
     "x102_url_canon" -> urlCanonSql,
     "x103_markup_strip" -> markupSql,
+    "x104_url_dedup" -> urlDedupSql,
+    "x105_kripp_alpha" -> krippSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2059,6 +2061,89 @@ object ExtrasOracle {
       |    AS host,
       |  CAST(CASE WHEN url <> canon THEN 1 ELSE 0 END AS BIGINT) AS changed
       |FROM canoned ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of WebPrep.urlDedupQuery (x104): the same colliding
+    * plant (path = doc_id mod 23), the same canonicalization ladder,
+    * min-keeper per canonical key. */
+  private def urlDedupSql: String =
+    """WITH planted AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.example.com/p/' || CAST(doc_id % 23 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS url
+      |  FROM documents),
+      |tidy AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(url, '#.*$', '', 'g'),
+      |          '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+      |        '\?&', '?', 'g'),
+      |      '[?&]$', '', 'g') AS t
+      |  FROM planted),
+      |canoned AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          CASE WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |            THEN lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+      |                 || regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1)
+      |            ELSE t END,
+      |          '^[a-z][a-z0-9+.-]*://', '', 'g'),
+      |        '^www\.', '', 'g'),
+      |      '(.)/$', '\1', 'g') AS canon
+      |  FROM tidy)
+      |SELECT c.doc_id, c.canon, k.keep_id,
+      |  CAST(CASE WHEN c.doc_id <> k.keep_id THEN 1 ELSE 0 END AS BIGINT)
+      |    AS dup
+      |FROM canoned c
+      |JOIN (SELECT canon, MIN(doc_id) AS keep_id FROM canoned GROUP BY canon) k
+      |  USING (canon)
+      |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Analytics.krippendorffQuery (x105): identical
+    * aggregates; the Do term rounds to 6 decimals and sums as
+    * DECIMAL(18,6) (x82's order-independent discipline), De is pure
+    * BIGINT, and alpha's final two-division/one-subtraction DOUBLE
+    * image spells the same parenthesization as the Spark face. */
+  private def krippSql: String =
+    """WITH votes AS MATERIALIZED (
+      |  SELECT user_id % 7 AS annotator, event_id % 500 AS item,
+      |    event_type AS label, event_id AS vote_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |firstv AS MATERIALIZED (
+      |  SELECT item, annotator, arg_min(label, vote_id) AS label
+      |  FROM votes GROUP BY 1, 2),
+      |byil AS MATERIALIZED (
+      |  SELECT item, label, COUNT(*) AS n_il FROM firstv GROUP BY 1, 2),
+      |byi AS MATERIALIZED (
+      |  SELECT item, SUM(n_il) AS n_i FROM byil GROUP BY 1
+      |  HAVING SUM(n_il) >= 2),
+      |il AS MATERIALIZED (
+      |  SELECT b.item, b.label, b.n_il, i.n_i FROM byil b JOIN byi i USING (item)),
+      |dosum AS (
+      |  SELECT SUM(CAST(round(CAST(n_il * (n_i - n_il) AS DOUBLE)
+      |                          / CAST(n_i - 1 AS DOUBLE), 6)
+      |               AS DECIMAL(18,6))) AS do_sum
+      |  FROM il),
+      |tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+      |               CAST(COUNT(*) AS BIGINT) AS n_items FROM byi),
+      |denum AS (
+      |  SELECT CAST(SUM(n_l * (n - n_l)) AS BIGINT) AS de_num, n, n_items
+      |  FROM (SELECT label, SUM(n_il) AS n_l FROM il GROUP BY label)
+      |       CROSS JOIN tot
+      |  GROUP BY n, n_items)
+      |SELECT n, n_items,
+      |  round(1.0 - (CAST(do_sum AS DOUBLE) / CAST(n AS DOUBLE))
+      |              / (CAST(de_num AS DOUBLE)
+      |                 / CAST(n * (n - 1) AS DOUBLE)), 6) AS alpha
+      |FROM denum CROSS JOIN dosum
+      |ORDER BY n""".stripMargin
 
   /** DuckDB twin of WebPrep.markupQuery (x103): identical planted
     * markup, identical tag-strip + whitespace-collapse image, title

@@ -86,6 +86,44 @@ object WebPrep {
     urlCanonicalize(docs.withColumn("url", url)).orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------- URL-level dedup (x104)
+
+  /** x104: CANONICAL-URL DEDUP — the crawl-frontier tier that fires
+    * BEFORE any content is fetched or hashed: two records whose URLs
+    * canonicalize identically are the same fetch, and the min-doc_id
+    * keeper wins (x01's keeper rule on the x102 key). Emits every
+    * record with its canonical key, keeper, and verdict — the audit
+    * shape. One hash aggregate on the canonical key + an equi-join
+    * back; at 100 TB both sides would key on xxhash64(canon) to
+    * narrow the shuffle (kept raw here so the report is cross-engine
+    * exact). */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canoned = docs.select(col("doc_id"), col(urlCol).as("url"))
+      .withColumn("canon", canonicalUrl(col("url")))
+    val keepers = canoned.groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    canoned.join(keepers, Seq("canon"))
+      .select(col("doc_id"), col("canon"), col("keep_id"),
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("dup"))
+  }
+
+  /** The x104 queries() face: planted URLs that genuinely COLLIDE —
+    * the path is doc_id mod 23 (so ~ n/460 records share each
+    * (source, slot) fetch at sf0.01) and the noise residues (scheme
+    * case, www, utm, fragment) differ per doc_id, so the collapse is
+    * the canonicalizer's doing, not string equality on the plant. */
+  def urlDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS://").otherwise(lit("https://")),
+      when(id % 3 === 0, "WWW.").otherwise(lit("")),
+      col("source"), lit(".example.com/p/"), (id % 23).cast("string"),
+      when(id % 5 === 0, "?utm_source=feed").otherwise(lit("")),
+      when(id % 11 === 0, "#sec2").otherwise(lit("")))
+    urlDedup(docs.withColumn("url", url)).orderBy(col("doc_id"))
+  }
+
   // ------------------------------------- markup strip / extract (x103)
 
   /** x103: MARKUP STRIP + FIELD EXTRACTION — the raw-HTML-to-text

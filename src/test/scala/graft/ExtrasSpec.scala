@@ -315,6 +315,33 @@ class ExtrasSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("x104 url dedup: noise variants collapse to one fetch, min keeper wins") {
+    val d = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "HTTPS://WWW.A.com/x#f"), // same fetch, canonicalizer's doing
+      (3L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val out = graft.operators.WebPrep.urlDedup(d)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a.com/x", 1L, 0L), (2L, "a.com/x", 1L, 1L),
+      (3L, "a.com/y", 3L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("x105 krippendorff alpha: hand-computed nominal case, singletons excluded") {
+    // i1: a,a; i2: b,b; i3: a,b; i4: single vote (not pairable).
+    // Do = 2/6, De = 18/30 -> alpha = 1 - (1/3)/(3/5) = 4/9.
+    val votes = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "a", 2L),
+      (2L, 1L, "b", 3L), (2L, 2L, "b", 4L),
+      (3L, 1L, "a", 5L), (3L, 2L, "b", 6L),
+      (4L, 1L, "a", 7L))
+      .toDF("item", "annotator", "label", "vote_id")
+    val out = graft.operators.Analytics.krippendorffAlpha(votes)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((6L, 3L, 0.444444)), s"got ${out.toSeq}")
+  }
+
   test("x100 edit pairs: one-char typo accepted, disjoint neighbor not") {
     val d = Seq((1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb cccx"),
       (3L, "qqqq wwww eeee")).toDF("doc_id", "text")
