@@ -889,6 +889,51 @@ object StreamingOps {
       when(total <= maxPii, lit(true)).otherwise(lit(false)).as("admitted"))
   }
 
+  case class UrlArrival(doc_id: Long, canon: String)
+  case class FrontierDecision(doc_id: Long, canon: String, keep_id: Long,
+                              admitted: Boolean)
+
+  private class UrlFrontierProcessor
+    extends StatefulProcessor[String, UrlArrival, FrontierDecision] {
+    @transient private var keeper: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      keeper = getHandle.getValueState[Long]("keeperId",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[UrlArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FrontierDecision] = {
+      var keep = if (keeper.exists()) keeper.get() else -1L
+      val out = rows.toSeq.sortBy(_.doc_id).map { u =>
+        val first = keep < 0L
+        if (first) { keep = u.doc_id; keeper.update(keep) }
+        FrontierDecision(u.doc_id, u.canon, keep, first)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming URL FRONTIER — [[graft.operators.WebPrep.urlDedup]]'s
+    * (x104) live form, and the shape a crawler actually runs: each
+    * arriving record's URL is canonicalized (same x102 ladder, frozen
+    * in the plan) and admitted iff its canonical key was never seen;
+    * later arrivals carry the keeper's id (the dedup audit trail).
+    * State is ONE long per DISTINCT canonical key — the frontier set
+    * itself, which is exactly the state any crawler must hold; it
+    * lives in the state store (RocksDB at scale), partitioned by the
+    * canon hash, never on the driver. On in-order replay the
+    * first-arrival keeper IS the batch face's min-id keeper, so
+    * replay equals batch verdict-for-verdict (spec-asserted). */
+  def urlFrontierStream(docs: DataFrame, urlCol: String = "url"): Dataset[FrontierDecision] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.WebPrep.canonicalUrl(col(urlCol)).as("canon"))
+      .as[UrlArrival]
+      .groupByKey(_.canon)
+      .transformWithState(new UrlFrontierProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class QuotaDoc(doc_id: Long, source: String)
   case class QuotaDecision(doc_id: Long, source: String, rk: Long,
                            kept: Boolean)

@@ -933,6 +933,48 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming url frontier equals batch x104 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the x104 plant: noise variants that collide after canonicalization
+      val rows = (1L to 40L).map { i =>
+        val noise = (if (i % 2 == 0) "HTTPS://" else "https://") +
+          (if (i % 3 == 0) "WWW." else "")
+        (i, s"${noise}s${i % 4}.example.com/p/${i % 5}" +
+          (if (i % 7 == 0) "#f" else ""))
+      }
+      val batch = graft.operators.WebPrep.urlDedup(
+          rows.toDF("doc_id", "url"))
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(batch.values.exists(_._4 == 1L), "vacuous fixture: no dups")
+
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.urlFrontierStream(
+          stream.toDF().toDF("doc_id", "url"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("frontier_out").start()
+      try {
+        rows.grouped(9).foreach { c => stream.addData(c); q.processAllAvailable() }
+        val got = spark.table("frontier_out")
+          .as[StreamingOps.FrontierDecision].collect()
+          .map(d => d.doc_id ->
+            ((d.doc_id, d.canon, d.keep_id, if (d.admitted) 0L else 1L)))
+          .toMap
+        assert(got == batch,
+          s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming token budget equals batch x56 on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
