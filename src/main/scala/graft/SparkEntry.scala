@@ -370,6 +370,11 @@ object SparkEntry {
     // inter-rater reliability over x99's frame; decimal-summed Do
     // terms, BIGINT De, pinned final double image.
     "x105_kripp_alpha"    -> (Analytics.krippendorffQuery _),
+    // x106: incremental exact dedup — an arriving batch deduped
+    // against the frozen corpus keeper index plus itself (corpus
+    // keeper wins, else batch min-id), novel-content flag per first
+    // sighting; batch cost O(batch keys), never O(corpus).
+    "x106_dedup_incr"     -> (Dedup.dedupIncrQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -589,6 +589,82 @@ object Dedup {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
       .orderBy(col("d1"), col("d2"))
 
+  // ----------------------------- incremental exact dedup (x106)
+
+  /** x106's corpus/batch split id (x91's discipline), shared with the
+    * DuckDB twin. */
+  private[graft] val DedupSplitId = 400L
+
+  /** Persist a corpus's exact-dedup index — one (content key, keeper
+    * id) row per DISTINCT text — the artifact a daily-append pipeline
+    * deduplicates each new crawl batch against without ever rescanning
+    * the corpus (x01 answers "dedup this corpus", offline; this is its
+    * production face). Published atomically like every graft artifact.
+    * The key is raw text here so the whole family stays cross-engine
+    * exact; at 100 TB the index would store xxhash64(text) (x44's
+    * 20-byte-key discipline) and be bucketed by it, making the batch
+    * join a hash-key equi-join against a layout-aligned relation. */
+  def saveDedupIndex(docs: DataFrame, path: String): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      docs.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+        .write.mode("overwrite").parquet(s"$tmp/keys")
+    }
+
+  /** Read-only load (crash-window bridged like every artifact reader). */
+  def loadDedupIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = graft.core.Artifacts.readablePath(spark, path)
+    spark.read.parquet(s"$root/keys")
+  }
+
+  /** x106: deduplicate an arriving batch against a frozen corpus index
+    * plus itself: a batch document is a `dup` if its content already
+    * has a keeper — the corpus's (corpus keepers always win: they were
+    * published first) or an earlier batch document's (min doc_id). The
+    * `novel` flag marks each batch's first sighting of genuinely new
+    * content — exactly the rows an index refresh appends.
+    *
+    * Shape: one hash aggregate over the batch + TWO equi-joins on the
+    * content key (index-side and batch-keeper-side); batch cost is
+    * O(batch keys), never O(corpus) — the point of the index. */
+  def dedupAgainst(batch: DataFrame, index: DataFrame): DataFrame = {
+    val batchKeepers = batch.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("_batch_keep"))
+    batch.select(col("doc_id"), col("text"))
+      .join(index.select(col("text"), col("keep_id").as("_corpus_keep")),
+        Seq("text"), "left")
+      .join(batchKeepers, Seq("text"))
+      .select(col("doc_id"),
+        coalesce(col("_corpus_keep"), col("_batch_keep")).as("keep_id"),
+        when(col("doc_id") =!=
+          coalesce(col("_corpus_keep"), col("_batch_keep")), 1L)
+          .otherwise(0L).as("dup"),
+        when(col("_corpus_keep").isNull &&
+          col("doc_id") === col("_batch_keep"), 1L).otherwise(0L).as("novel"))
+  }
+
+  /** x106 queries() face: corpus = ids below the split, batch = the
+    * rest with PLANTED collisions — id ≡ 0 (mod 3) takes the text of
+    * doc id−400 (a corpus hit for ids < 800, an echo of another raw
+    * text above), id ≡ 0 (mod 7, not 3) a shared synthetic text (two
+    * within-batch dup families) — so corpus-hit, within-batch-dup and
+    * novel verdicts all fire. The persisted-index path is spec-gated
+    * (x55/x91 discipline); the oracle rebuilds the index in SQL. */
+  def dedupIncrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val id = col("doc_id")
+    val batch = base.filter(id >= DedupSplitId)
+      .join(base.select((col("doc_id") + DedupSplitId).as("doc_id"),
+        col("text").as("_etext")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(id % 3 === 0, col("_etext"))
+          .when(id % 7 === 0,
+            concat(lit("novel shared batch text "), (id % 2).cast("string")))
+          .otherwise(col("text")).as("text"))
+    val index = base.filter(id < DedupSplitId)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+    dedupAgainst(batch, index).orderBy(col("doc_id"))
+  }
+
   // --------------------------------- edit-distance verify (x100)
 
   /** x100's verify prefix length, shared with the DuckDB twin. The
@@ -626,21 +702,23 @@ object Dedup {
     val keyed = docs.select(col("doc_id"),
       substring(graft.functions.expressions.NativeExpressions
         .normalizeText(col("text")), 1, prefix).as("_pfx"))
-    val ranked = Sampling.denseIds(
-        keyed.select(col("doc_id"), col("_pfx").as("_sk")),
-        Seq(col("_sk"), col("doc_id")), "_rk")
-      .select(col("doc_id"), col("_rk"))
-    val cand = ranked.select(col("doc_id").as("_ida"), col("_rk").as("_ra"))
+    // the rank frame CARRIES the prefix, so the neighborhood equi-join
+    // on rank delivers both operands directly — no join back to the
+    // text afterwards (the prefix is a bounded 80-char payload, cheaper
+    // to shuffle once alongside the rank than to re-attach with two
+    // more doc_id-keyed joins)
+    val ranked = Sampling.denseIds(keyed,
+      Seq(col("_pfx"), col("doc_id")), "_rk")
+    val cand = ranked.select(col("doc_id").as("_ida"),
+        col("_pfx").as("_pa"), col("_rk").as("_ra"))
       .withColumn("_j", explode(sequence(lit(1), lit(w - 1))))
       .withColumn("_rb", col("_ra") + col("_j"))
-      .join(ranked.select(col("doc_id").as("_idb"), col("_rk").as("_rb")),
-        Seq("_rb"))
-      .select(least(col("_ida"), col("_idb")).as("d1"),
-        greatest(col("_ida"), col("_idb")).as("d2"))
-    cand
-      .join(keyed.select(col("doc_id").as("d1"), col("_pfx").as("_pa")), Seq("d1"))
-      .join(keyed.select(col("doc_id").as("d2"), col("_pfx").as("_pb")), Seq("d2"))
-      .select(col("d1"), col("d2"),
+      .join(ranked.select(col("doc_id").as("_idb"),
+        col("_pfx").as("_pb"), col("_rk").as("_rb")), Seq("_rb"))
+    // dist and the accept test are symmetric in (_pa, _pb), so the
+    // least/greatest id normalization never has to swap the operands
+    cand.select(least(col("_ida"), col("_idb")).as("d1"),
+        greatest(col("_ida"), col("_idb")).as("d2"),
         levenshtein(col("_pa"), col("_pb")).cast("long").as("dist"),
         when(levenshtein(col("_pa"), col("_pb")) * 10
           <= greatest(length(col("_pa")), length(col("_pb"))), 1L)

@@ -345,6 +345,7 @@ object ExtrasOracle {
     "x103_markup_strip" -> markupSql,
     "x104_url_dedup" -> urlDedupSql,
     "x105_kripp_alpha" -> krippSql,
+    "x106_dedup_incr" -> dedupIncrSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2061,6 +2062,37 @@ object ExtrasOracle {
       |    AS host,
       |  CAST(CASE WHEN url <> canon THEN 1 ELSE 0 END AS BIGINT) AS changed
       |FROM canoned ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
+    * batch (echo of doc id−400, shared synthetic family), the corpus
+    * index rebuilt in SQL (min keeper per distinct text below the
+    * split), identical corpus-wins-then-batch-min keeper rule. */
+  private def dedupIncrSql: String =
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, text FROM documents),
+       |batch AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |    CASE WHEN b.doc_id % 3 = 0 THEN e.text
+       |         WHEN b.doc_id % 7 = 0
+       |           THEN 'novel shared batch text ' || CAST(b.doc_id % 2 AS VARCHAR)
+       |         ELSE b.text END AS text
+       |  FROM base b LEFT JOIN base e
+       |    ON e.doc_id = b.doc_id - ${Dedup.DedupSplitId}
+       |  WHERE b.doc_id >= ${Dedup.DedupSplitId}),
+       |idx AS MATERIALIZED (
+       |  SELECT text, MIN(doc_id) AS corpus_keep FROM base
+       |  WHERE doc_id < ${Dedup.DedupSplitId} GROUP BY text),
+       |bk AS MATERIALIZED (
+       |  SELECT text, MIN(doc_id) AS batch_keep FROM batch GROUP BY text)
+       |SELECT t.doc_id,
+       |  COALESCE(i.corpus_keep, k.batch_keep) AS keep_id,
+       |  CAST(CASE WHEN t.doc_id <> COALESCE(i.corpus_keep, k.batch_keep)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS dup,
+       |  CAST(CASE WHEN i.corpus_keep IS NULL AND t.doc_id = k.batch_keep
+       |       THEN 1 ELSE 0 END AS BIGINT) AS novel
+       |FROM batch t
+       |LEFT JOIN idx i USING (text)
+       |JOIN bk k USING (text)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of WebPrep.urlDedupQuery (x104): the same colliding
     * plant (path = doc_id mod 23), the same canonicalization ladder,

@@ -342,6 +342,41 @@ class ExtrasSpec extends SparkSpec {
     assert(out.toSeq == Seq((6L, 3L, 0.444444)), s"got ${out.toSeq}")
   }
 
+  test("x106 dedup-incr: corpus keeper wins, batch min next, novel flagged once") {
+    val index = Seq(("old text", 3L)).toDF("text", "keep_id")
+    val batch = Seq(
+      (10L, "old text"),   // corpus hit -> keeper 3
+      (11L, "fresh"),      // first sighting -> novel keeper
+      (12L, "fresh"),      // within-batch dup of 11
+      (13L, "alone"))      // novel singleton
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupAgainst(batch, index)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (10L, 3L, 1L, 0L), (11L, 11L, 0L, 1L),
+      (12L, 11L, 1L, 0L), (13L, 13L, 0L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("x106 persisted dedup index round-trips and matches the inline frame") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    val corpus = docs.limit(30).select($"doc_id", $"text")
+    graft.operators.Dedup.saveDedupIndex(corpus, s"$dir/idx")
+    val loaded = graft.operators.Dedup.loadDedupIndex(spark, s"$dir/idx")
+    val inline = corpus.groupBy($"text").agg(min($"doc_id").as("keep_id"))
+    assert(loaded.as[(String, Long)].collect().toSet ==
+      inline.as[(String, Long)].collect().toSet)
+    // dedup a shifted copy of the corpus against it: every row is a dup
+    // of its original keeper
+    val batch = corpus.select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val out = graft.operators.Dedup.dedupAgainst(batch, loaded)
+    assert(out.filter($"dup" === 0L || $"novel" === 1L).count() == 0)
+    val keepers = inline.as[(String, Long)].collect().toMap
+    val byDoc = batch.as[(Long, String)].collect().toMap
+    graft.operators.Dedup.dedupAgainst(batch, loaded)
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { r => assert(r._2 == keepers(byDoc(r._1)), s"keeper wrong: $r") }
+  }
+
   test("x100 edit pairs: one-char typo accepted, disjoint neighbor not") {
     val d = Seq((1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb cccx"),
       (3L, "qqqq wwww eeee")).toDF("doc_id", "text")

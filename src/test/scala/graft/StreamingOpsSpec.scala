@@ -975,6 +975,51 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup equals batch x106 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+      val corpus = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+        .limit(25).select($"doc_id", $"text")
+      graft.operators.Dedup.saveDedupIndex(corpus, s"$dir/idx")
+      // batch: corpus echoes (dups) + fresh docs + a within-stream dup pair
+      val rows = corpus.limit(10)
+        .select(($"doc_id" + 500L).as("doc_id"), $"text")
+        .as[(Long, String)].collect().toSeq ++
+        Seq((600L, "fresh one"), (601L, "fresh two"), (602L, "fresh one"))
+      val batchFace = graft.operators.Dedup.dedupAgainst(
+          rows.toDF("doc_id", "text"),
+          graft.operators.Dedup.loadDedupIndex(spark, s"$dir/idx"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._1, r._2, r._3 == 1L))).toMap
+      assert(batchFace.values.exists(_._3) && batchFace.values.exists(!_._3))
+
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupStream(
+          stream.toDF().toDF("doc_id", "text"), s"$dir/idx")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out").start()
+      try {
+        rows.sortBy(_._1).grouped(5).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        val got = spark.table("dedup_out")
+          .as[StreamingOps.DedupDecision].collect()
+          .map(d => d.doc_id -> ((d.doc_id, d.keep_id, d.dup))).toMap
+        assert(got == batchFace,
+          s"drift: ${batchFace.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming token budget equals batch x56 on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
