@@ -375,6 +375,10 @@ object SparkEntry {
     // keeper wins, else batch min-id), novel-content flag per first
     // sighting; batch cost O(batch keys), never O(corpus).
     "x106_dedup_incr"     -> (Dedup.dedupIncrQuery _),
+    // x107: corpus-assembly waterfall — per (source, gate) doc + token
+    // accounting over x18's attribution; the release report that
+    // justifies each gate and alarms on drift.
+    "x107_waterfall"      -> (DocPrep.waterfallQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

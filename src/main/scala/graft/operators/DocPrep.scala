@@ -54,6 +54,28 @@ object DocPrep {
   def prepQuery(spark: SparkSession, dir: String): DataFrame =
     prepare(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  /** x107: the corpus-assembly WATERFALL — the report a pipeline
+    * publishes with every release: per source and per gate (kept /
+    * reference / too_short / duplicate / contaminated), how many
+    * documents and tokens land there. [[prepare]] already attributes
+    * every document to exactly one gate; this is its per-source
+    * token-accounted rollup — the number that justifies each gate's
+    * existence ("dedup removed N% of src3's tokens") and the drift
+    * alarm between releases. One extra narrow join (doc_id → source)
+    * and a bounded aggregate (|sources| × |gates| rows) on top of the
+    * x18 plan. */
+  def waterfall(docs: DataFrame, refSources: Seq[String] = Seq("src0", "src1"),
+                minTokens: Int = 40, k: Int = 4): DataFrame =
+    prepare(docs, refSources, minTokens, k)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"),
+        coalesce(col("drop_reason"), lit("kept")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  def waterfallQuery(spark: SparkSession, dir: String): DataFrame =
+    waterfall(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"), col("stage"))
+
   // ------------------------------------------------ snapshot diff (x88)
 
   /** x88: corpus SNAPSHOT DIFF — the dataset-versioning report a

@@ -346,6 +346,7 @@ object ExtrasOracle {
     "x104_url_dedup" -> urlDedupSql,
     "x105_kripp_alpha" -> krippSql,
     "x106_dedup_incr" -> dedupIncrSql,
+    "x107_waterfall" -> waterfallSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2062,6 +2063,45 @@ object ExtrasOracle {
       |    AS host,
       |  CAST(CASE WHEN url <> canon THEN 1 ELSE 0 END AS BIGINT) AS changed
       |FROM canoned ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of DocPrep.waterfallQuery (x107): the x18 gate
+    * attribution (same CTEs, same precedence) rolled up per source and
+    * stage with token accounting; shared CTEs MATERIALIZED (budget
+    * discipline). */
+  private def waterfallSql: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |keep AS MATERIALIZED (
+      |  SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |refg AS MATERIALIZED (
+      |  SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+      |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
+      |  WHERE source IN ('src0', 'src1')),
+      |contam AS MATERIALIZED (
+      |  SELECT DISTINCT cg.doc_id
+      |  FROM (SELECT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+      |        FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)
+      |        WHERE source NOT IN ('src0', 'src1')) cg
+      |  JOIN refg USING (gram)),
+      |prep AS (
+      |  SELECT t.source, n_tokens,
+      |    CASE WHEN source IN ('src0', 'src1') THEN 'reference'
+      |         WHEN n_tokens < 40 THEN 'too_short'
+      |         WHEN t.doc_id <> k.keep_id THEN 'duplicate'
+      |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |         ELSE 'kept' END AS stage
+      |  FROM tok t
+      |  LEFT JOIN keep k USING (text)
+      |  LEFT JOIN contam c ON c.doc_id = t.doc_id)
+      |SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |FROM prep GROUP BY 1, 2
+      |ORDER BY source, stage""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

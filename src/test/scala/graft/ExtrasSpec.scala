@@ -342,6 +342,22 @@ class ExtrasSpec extends SparkSpec {
     assert(out.toSeq == Seq((6L, 3L, 0.444444)), s"got ${out.toSeq}")
   }
 
+  test("x107 waterfall: every doc lands in exactly one stage, tokens conserved") {
+    val d = Tables.load(spark, sf("sf0.001"), "documents")
+    val out = graft.operators.DocPrep.waterfall(d)
+      .as[(String, String, Long, Long)].collect()
+    // partition property: stage counts sum to the corpus size
+    assert(out.map(_._3).sum == d.count(), s"doc counts not a partition")
+    // token conservation: stage token sums equal the corpus token total
+    val totalTokens = d.select(
+        sum(size(graft.operators.TextAnalysis.wsTokens($"text")).cast("long")))
+      .as[Long].head()
+    assert(out.map(_._4).sum == totalTokens, "token sums drifted")
+    // the reference gate owns ALL of src0/src1
+    out.filter(r => Set("src0", "src1")(r._1))
+      .foreach(r => assert(r._2 == "reference", s"ref leak: $r"))
+  }
+
   test("x106 dedup-incr: corpus keeper wins, batch min next, novel flagged once") {
     val index = Seq(("old text", 3L)).toDF("text", "keep_id")
     val batch = Seq(
