@@ -379,6 +379,11 @@ object SparkEntry {
     // accounting over x18's attribution; the release report that
     // justifies each gate and alarms on drift.
     "x107_waterfall"      -> (DocPrep.waterfallQuery _),
+    // x108: script mix — per-doc writing-system character counts +
+    // fixed-order dominance; the pre-language-ID routing step for a
+    // multilingual crawl. Literal-range classes (the Java∩RE2 dialect),
+    // planted script blocks, map-only.
+    "x108_script_mix"     -> (TextAnalysis.scriptMixQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -347,6 +347,7 @@ object ExtrasOracle {
     "x105_kripp_alpha" -> krippSql,
     "x106_dedup_incr" -> dedupIncrSql,
     "x107_waterfall" -> waterfallSql,
+    "x108_script_mix" -> scriptMixSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2063,6 +2064,37 @@ object ExtrasOracle {
       |    AS host,
       |  CAST(CASE WHEN url <> canon THEN 1 ELSE 0 END AS BIGINT) AS changed
       |FROM canoned ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.scriptMixQuery (x108): the same
+    * planted script blocks, the same literal-range character classes
+    * (interpolated from the shared constants), the same fixed-order
+    * dominance CASE. */
+  private def scriptMixSql: String = {
+    import TextAnalysis.{LatinRe, CyrillicRe, GreekRe, CjkRe}
+    s"""WITH planted AS MATERIALIZED (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ' привет мир да' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN ' αβγ δεζ' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 9 = 0 THEN ' 你好世界' ELSE '' END) AS text
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$LatinRe')) AS BIGINT) AS n_latin,
+       |    CAST(len(regexp_extract_all(text, '$CyrillicRe')) AS BIGINT) AS n_cyrillic,
+       |    CAST(len(regexp_extract_all(text, '$GreekRe')) AS BIGINT) AS n_greek,
+       |    CAST(len(regexp_extract_all(text, '$CjkRe')) AS BIGINT) AS n_cjk,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+       |  FROM planted)
+       |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit,
+       |  CASE WHEN n_cyrillic > n_latin AND n_cyrillic >= n_greek
+       |            AND n_cyrillic >= n_cjk THEN 'cyrillic'
+       |       WHEN n_greek > n_latin AND n_greek > n_cyrillic
+       |            AND n_greek >= n_cjk THEN 'greek'
+       |       WHEN n_cjk > n_latin AND n_cjk > n_cyrillic
+       |            AND n_cjk > n_greek THEN 'cjk'
+       |       ELSE 'latin' END AS script
+       |FROM counted ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of DocPrep.waterfallQuery (x107): the x18 gate
     * attribution (same CTEs, same precedence) rolled up per source and

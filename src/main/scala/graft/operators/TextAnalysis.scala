@@ -1062,6 +1062,64 @@ object TextAnalysis {
     noveltyAgainst(batch, idx).orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- script mix (x108)
+
+  /** x108's script ranges as LITERAL character-class regexes — actual
+    * characters, not engine-specific `\p{...}` names (Java spells
+    * scripts `\p{IsCyrillic}`, RE2 `\p{Cyrillic}` — the literal-range
+    * subset is the dialect both engines read identically, per-codepoint).
+    * BMP, non-combining ranges only, so DuckDB's grapheme-counting and
+    * Spark's codepoint-counting semantics also agree. */
+  val LatinRe    = "[A-Za-z]"
+  val CyrillicRe = "[Ѐ-ӿ]"
+  val GreekRe    = "[Ͱ-Ͽ]"
+  val CjkRe      = "[一-鿿]"
+
+  /** x108: SCRIPT MIX — per document, how many characters belong to
+    * each writing system (Latin / Cyrillic / Greek / CJK / digits) and
+    * which script dominates (count argmax, ties broken by the fixed
+    * list order above). Script detection is the step BEFORE language
+    * ID in a multilingual crawl — x08's n-gram heuristic only makes
+    * sense within a script, and mixed-script documents (spam,
+    * transliteration, mojibake) get routed to their own lane. Map-only
+    * regex counting at scan cost. */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val counted = docs.select(col("doc_id"),
+      regexp_count(t, lit(LatinRe)).cast("long").as("n_latin"),
+      regexp_count(t, lit(CyrillicRe)).cast("long").as("n_cyrillic"),
+      regexp_count(t, lit(GreekRe)).cast("long").as("n_greek"),
+      regexp_count(t, lit(CjkRe)).cast("long").as("n_cjk"),
+      regexp_count(t, lit("[0-9]")).cast("long").as("n_digit"))
+    counted.withColumn("script",
+      // strict-> on later entries = earlier script wins ties (fixed order)
+      when(col("n_cyrillic") > col("n_latin") &&
+        col("n_cyrillic") >= col("n_greek") &&
+        col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+        .when(col("n_greek") > col("n_latin") &&
+          col("n_greek") > col("n_cyrillic") &&
+          col("n_greek") >= col("n_cjk"), "greek")
+        .when(col("n_cjk") > col("n_latin") &&
+          col("n_cjk") > col("n_cyrillic") &&
+          col("n_cjk") > col("n_greek"), "cjk")
+        .otherwise("latin"))
+  }
+
+  /** The x108 queries() face: the corpus is pure ASCII, so script
+    * blocks are PLANTED by doc_id residue (Cyrillic at mod 4, Greek at
+    * mod 6, CJK at mod 9 — overlaps give mixed-script docs); the twin
+    * rebuilds the identical text, and only counts/labels are emitted
+    * (no unicode column reaches the hasher). */
+  def scriptMixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val planted = docs.withColumn("text", concat(col("text"),
+      when(id % 4 === 0, " привет мир да").otherwise(lit("")),
+      when(id % 6 === 0, " αβγ δεζ").otherwise(lit("")),
+      when(id % 9 === 0, " 你好世界").otherwise(lit(""))))
+    scriptMix(planted).orderBy(col("doc_id"))
+  }
+
   // --------------------------------- source vocabulary overlap (x95)
 
   /** x95: the SOURCE OVERLAP MATRIX — exact Jaccard between every pair

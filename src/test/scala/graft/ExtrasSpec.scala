@@ -342,6 +342,22 @@ class ExtrasSpec extends SparkSpec {
     assert(out.toSeq == Seq((6L, 3L, 0.444444)), s"got ${out.toSeq}")
   }
 
+  test("x108 script mix: per-script counts and fixed-order dominance") {
+    val d = Seq(
+      (1L, "hello мир"),          // 5 latin vs 3 cyrillic -> latin
+      (2L, "ok привет мир"),      // 2 latin vs 9 cyrillic -> cyrillic
+      (3L, "αβγδ 你好三字 x9"),    // greek 4, cjk 4 -> tie, greek (order)
+      (4L, "你好世界12345"))       // cjk 4 dominates, digits counted
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.scriptMix(d)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 5L, 3L, 0L, 0L, 0L, "latin"),
+      (2L, 2L, 9L, 0L, 0L, 0L, "cyrillic"),
+      (3L, 1L, 0L, 4L, 4L, 1L, "greek"),
+      (4L, 0L, 0L, 0L, 4L, 5L, "cjk")), s"got ${out.toSeq}")
+  }
+
   test("x107 waterfall: every doc lands in exactly one stage, tokens conserved") {
     val d = Tables.load(spark, sf("sf0.001"), "documents")
     val out = graft.operators.DocPrep.waterfall(d)
