@@ -629,10 +629,16 @@ object Dedup {
   def dedupAgainst(batch: DataFrame, index: DataFrame): DataFrame = {
     val batchKeepers = batch.groupBy(col("text"))
       .agg(min(col("doc_id")).as("_batch_keep"))
+      .withColumnRenamed("text", "_ktext")
+    // null-safe (<=>) joins: groupBy already treats NULL text as one
+    // group, and an audit that silently loses null-content rows is not
+    // an audit — null-text docs form their own dup family (min id
+    // keeps), mirroring the streaming face's null-keyed state
     batch.select(col("doc_id"), col("text"))
-      .join(index.select(col("text"), col("keep_id").as("_corpus_keep")),
-        Seq("text"), "left")
-      .join(batchKeepers, Seq("text"))
+      .join(index.select(col("text").as("_itext"),
+        col("keep_id").as("_corpus_keep")),
+        col("text") <=> col("_itext"), "left")
+      .join(batchKeepers, col("text") <=> col("_ktext"))
       .select(col("doc_id"),
         coalesce(col("_corpus_keep"), col("_batch_keep")).as("keep_id"),
         when(col("doc_id") =!=

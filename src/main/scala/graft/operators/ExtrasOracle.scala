@@ -1748,7 +1748,9 @@ object ExtrasOracle {
        |  FROM q JOIN e ON e.vec_id <> q.query_id)
        |SELECT query_id,
        |  CAST(MAX(CASE WHEN rn = 1 THEN neighbor_id END) AS BIGINT) AS best_id,
-       |  CAST(MAX(CASE WHEN rn = 1 THEN sim END) AS DOUBLE) * ${Similarity.MarginK}
+       |  -- COUNT(*), not the constant k: with < k candidates the mean
+       |  -- must divide by what was summed (matches the Spark face)
+       |  CAST(MAX(CASE WHEN rn = 1 THEN sim END) AS DOUBLE) * COUNT(*)
        |    / CAST(SUM(sim) AS DOUBLE) AS margin
        |FROM sc WHERE rn <= ${Similarity.MarginK}
        |GROUP BY query_id ORDER BY query_id""".stripMargin
@@ -2040,8 +2042,8 @@ object ExtrasOracle {
       |      regexp_replace(
       |        regexp_replace(
       |          regexp_replace(url, '#.*$', '', 'g'),
-      |          '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
-      |        '\?&', '?', 'g'),
+      |          '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |        '([?&])&+', '\1', 'g'),
       |      '[?&]$', '', 'g') AS t
       |  FROM planted),
       |hosted AS (
@@ -2184,8 +2186,8 @@ object ExtrasOracle {
       |      regexp_replace(
       |        regexp_replace(
       |          regexp_replace(url, '#.*$', '', 'g'),
-      |          '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
-      |        '\?&', '?', 'g'),
+      |          '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |        '([?&])&+', '\1', 'g'),
       |      '[?&]$', '', 'g') AS t
       |  FROM planted),
       |canoned AS MATERIALIZED (

@@ -799,11 +799,17 @@ object Similarity {
         max(when(col("rank") === 1, col("neighbor_id"))).as("best_id"),
         max(when(col("rank") === 1, col("sim"))).as("cos1"),
         // decimal sum of decimal(18,6) inputs — exact, order-independent
-        sum(col("sim")).as("s"))
+        sum(col("sim")).as("s"),
+        // the ACTUAL neighborhood size: with fewer than k candidates
+        // (tiny source, or a production ANN probe returning < k) the
+        // denominator's mean must divide by what was summed — a
+        // constant k would score a 1-neighbor hub as margin k,
+        // i.e. "maximally isolated", the exact inversion of the signal
+        count(lit(1)).as("m"))
       .select(col("query_id"), col("best_id"),
-        // shape-pinned float image: exactly (cos1 * k) / sum, both
+        // shape-pinned float image: exactly (cos1 * m) / sum, both
         // operands correctly-rounded casts of exact decimals
-        (col("cos1").cast("double") * lit(k) / col("s").cast("double"))
+        (col("cos1").cast("double") * col("m") / col("s").cast("double"))
           .as("margin"))
   }
 

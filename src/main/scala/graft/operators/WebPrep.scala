@@ -34,9 +34,13 @@ object WebPrep {
     * pipeline (and the key for x98's host caps). */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
+    // the tracking param must START at a ?/& separator (kept via $1) —
+    // an unanchored pattern would also gut innocents like `myutm_x=2`;
+    // the kept separators leave runs (`?&`, `&&`) for the sweep below
     val noTrack = regexp_replace(noFrag,
-      "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
-    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    val tidy = regexp_replace(regexp_replace(noTrack, "([?&])&+", "$1"),
+      "[?&]$", "")
     // lowercase scheme://host (everything before the first single /
     // after the authority), preserving the path's case; a scheme-less
     // input skips the step rather than being wiped by a no-match

@@ -825,50 +825,6 @@ object StreamingOps {
 
   // ----------------------- streaming ANN probe (x06's live face) -----
 
-  /** Streaming ANN probe against a FROZEN persisted IVF index
-    * ([[graft.operators.Similarity.saveIvfIndex]]), as a
-    * `writeStream.foreachBatch` body: each micro-batch of (query_id,
-    * qvec) rows runs the SAME pruned probe as the batch path
-    * ([[graft.operators.Similarity.ivfTopKPruned]]) — rank the
-    * driver-resident KB-scale codebook (loaded ONCE at stream start,
-    * not per batch), collect the batch's probed centroid ids (bounded
-    * by batchSize×nProbe and by nCentroids), and read ONLY those list
-    * partitions before the exact-cosine top-k. The result lands in
-    * `emit(resultDf, batchId)`.
-    *
-    * Why foreachBatch and not a stream-static join: the previous
-    * incarnation persisted the ENTIRE posting-lists relation and
-    * stream-static-joined against it — at 100 TB the lists ARE the
-    * corpus embeddings, so the static side's cache was a scale-killer
-    * and every micro-batch re-scanned all lists regardless of which
-    * centroids the arriving queries probed (r10 VERDICT). A static
-    * partition filter can't be dynamic per micro-batch inside one
-    * incremental plan, but foreachBatch re-plans per batch, so the
-    * probed-centroid pruning the batch path already had applies to
-    * every batch read (numFiles spec-gated, like the batch IVF gate).
-    * Per-batch cost is O(probed lists), independent of corpus size.
-    *
-    * Semantics: each query's top-k is computed in the batch its row
-    * arrives (queries are single rows by contract, so no cross-batch
-    * state is needed — the old UPDATE-mode aggregate kept O(k) state
-    * per query forever to support a row split that cannot happen).
-    * Replay over any chunking equals batch
-    * [[graft.operators.Similarity.ivfTopK]] over the same loaded index
-    * cell-for-cell (spec-asserted): identical centroid-ranking kernel,
-    * identical tie order (higher sim, then lower id). */
-  /** Streaming face of [[graft.operators.TextAnalysis.noveltyAgainst]]
-    * (x91): each arriving document is scored against the FROZEN
-    * persisted gram index the moment it lands — the live
-    * diminishing-returns gate on an ingestion stream (admit / deprioritize
-    * a doc by how much of it the corpus already holds). Same
-    * distinct-gram projection, same mark-join, same per-doc aggregate
-    * as the batch face, so replay equals batch row-for-row
-    * (spec-asserted). The index relation re-executes per micro-batch
-    * (stream-static join) as a gram-keyed equi-join — a corpus-scale
-    * gram index is NOT broadcastable, unlike x16's eval-set grams.
-    * Aggregation state is the per-doc scorecard, final in the doc's
-    * arrival batch (docs are single rows); UPDATE mode emits each doc
-    * once. */
   /** Streaming face of [[graft.operators.DocPrep.piiAudit]] (x97): the
     * live privacy gate — each arriving document is redacted and
     * admitted/flagged the moment it lands. Stateless (the regex
@@ -1032,33 +988,119 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One exploded gram arrival: mark = 1 known, 0 unseen, -1 the
+    * explode_outer sentinel of a doc with no grams at all. */
+  case class GramArrival(doc_id: Long, mark: Long)
+  case class NoveltyScore(doc_id: Long, n_grams: Long, n_unseen: Long,
+                          novelty: Option[Double])
+
+  /** STATELESS per-doc reducer: a document is a single input row, so
+    * ALL its exploded grams land in its arrival micro-batch and the
+    * scorecard is final there — nothing is stored, so streaming state
+    * is ZERO regardless of how long the ingestion stream runs (the
+    * groupBy-aggregate form this replaces kept one dead state row per
+    * ever-seen doc_id forever). */
+  private class NoveltyProcessor
+    extends StatefulProcessor[Long, GramArrival, NoveltyScore] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[GramArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[NoveltyScore] = {
+      var n = 0L; var unseen = 0L
+      rows.foreach { g =>
+        if (g.mark >= 0L) { n += 1L; if (g.mark == 0L) unseen += 1L }
+      }
+      Iterator.single(NoveltyScore(key, n, unseen,
+        if (n > 0L) Some(unseen.toDouble / n) else None))
+    }
+  }
+
+  /** Streaming face of [[graft.operators.TextAnalysis.noveltyAgainst]]
+    * (x91): each arriving document is scored against the FROZEN
+    * persisted gram index the moment it lands — the live
+    * diminishing-returns gate on an ingestion stream (admit /
+    * deprioritize a doc by how much of it the corpus already holds).
+    * Same gram projection (explode_outer, so a doc with no grams still
+    * gets its (0, 0, null) verdict — a gate that loses documents is
+    * not a gate), same mark-join, same per-doc scorecard as the batch
+    * face, so replay equals batch row-for-row (spec-asserted). The
+    * index relation re-executes per micro-batch (stream-static join)
+    * as a gram-keyed equi-join — a corpus-scale gram index is NOT
+    * broadcastable, unlike x16's eval-set grams. The reducer is the
+    * stateless [[NoveltyProcessor]]. */
   def noveltyStream(docs: DataFrame, indexPath: String, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val idx = graft.operators.TextAnalysis.loadGramIndex(spark, indexPath)
       .select(col("gram")).withColumn("_known", lit(1L))
     docs
-      .select(col("doc_id"),
-        explode(graft.operators.Dedup.wordShingles(col("text"), n)).as("gram"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode_outer(graft.operators.Dedup.wordShingles(col("text"), n)).as("gram"))
       .join(idx, Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_unseen"))
-      .select(col("doc_id"), col("n_grams"), col("n_unseen"),
-        (col("n_unseen").cast("double") / col("n_grams")).as("novelty"))
+      .select(col("doc_id"),
+        when(col("gram").isNull, -1L)
+          .when(col("_known").isNotNull, 1L).otherwise(0L).as("mark"))
+      .as[GramArrival]
+      .groupByKey(_.doc_id)
+      .transformWithState(new NoveltyProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 
+  /** Streaming ANN probe against a FROZEN persisted IVF index
+    * ([[graft.operators.Similarity.saveIvfIndex]]), as a
+    * `writeStream.foreachBatch` body: each micro-batch of (query_id,
+    * qvec) rows runs the SAME pruned probe as the batch path
+    * ([[graft.operators.Similarity.ivfTopKPruned]]) — rank the
+    * driver-resident KB-scale codebook (reloaded only when the
+    * readable snapshot root changes — see below), collect the batch's probed centroid ids (bounded
+    * by batchSize×nProbe and by nCentroids), and read ONLY those list
+    * partitions before the exact-cosine top-k. The result lands in
+    * `emit(resultDf, batchId)`.
+    *
+    * Why foreachBatch and not a stream-static join: the previous
+    * incarnation persisted the ENTIRE posting-lists relation and
+    * stream-static-joined against it — at 100 TB the lists ARE the
+    * corpus embeddings, so the static side's cache was a scale-killer
+    * and every micro-batch re-scanned all lists regardless of which
+    * centroids the arriving queries probed (r10 VERDICT). A static
+    * partition filter can't be dynamic per micro-batch inside one
+    * incremental plan, but foreachBatch re-plans per batch, so the
+    * probed-centroid pruning the batch path already had applies to
+    * every batch read (numFiles spec-gated, like the batch IVF gate).
+    * Per-batch cost is O(probed lists), independent of corpus size.
+    *
+    * Semantics: each query's top-k is computed in the batch its row
+    * arrives (queries are single rows by contract, so no cross-batch
+    * state is needed — the old UPDATE-mode aggregate kept O(k) state
+    * per query forever to support a row split that cannot happen).
+    * Replay over any chunking equals batch
+    * [[graft.operators.Similarity.ivfTopK]] over the same loaded index
+    * cell-for-cell (spec-asserted): identical centroid-ranking kernel,
+    * identical tie order (higher sim, then lower id).
+    *
+    * Snapshot handling: the artifact root is re-resolved through
+    * [[graft.core.Artifacts.readablePath]] at EVERY batch (one
+    * existence check), so a stream started inside the crash window
+    * (root at `<path>.old`) heals the moment the next publish lands
+    * instead of reading the by-then-deleted aside forever; a
+    * republish mid-stream switches codebook and lists TOGETHER at a
+    * batch boundary (they can never drift within one batch). */
   def annProbeBatch(indexPath: String, k: Int, nProbe: Int)
                    (emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(k > 0 && nProbe > 0, s"annProbeBatch: k=$k nProbe=$nProbe")
-    // Lazy one-time load keyed off the first batch's session: the frozen
-    // index's root is resolved ONCE (read-only crash-window bridge), so
-    // every batch probes the same snapshot even across a concurrent
-    // republish.
+    // The readable root is re-resolved EVERY batch (one FS existence
+    // check): a stream started inside the crash window (root at
+    // <path>.old) heals when the next publish restores <path>, instead
+    // of reading the by-then-deleted aside forever. The KB-scale
+    // codebook is reloaded only when the root actually changes, so
+    // codebook and lists always come from the same snapshot and a
+    // republish switches both together at a batch boundary.
     var loaded: (String, Array[(Int, Array[Float])]) = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (loaded == null) {
-        val root = graft.core.Artifacts.readablePath(spark, indexPath)
+      val root = graft.core.Artifacts.readablePath(spark, indexPath)
+      if (loaded == null || loaded._1 != s"$root/lists") {
         loaded = (s"$root/lists",
           graft.operators.Similarity.loadCodebook(spark, s"$root/codebook"))
       }

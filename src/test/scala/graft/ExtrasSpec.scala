@@ -135,19 +135,19 @@ class ExtrasSpec extends SparkSpec {
       .select($"doc_id", $"text")
     val expected = TextAnalysis
       .noveltyAgainst(batchDocs, TextAnalysis.loadGramIndex(spark, root))
-      // the stream face reports only docs that produced grams (no
-      // left-join backfill — a streaming aggregate can't enumerate
-      // absent keys); restrict the comparison accordingly
-      .filter($"n_grams" > 0)
-      .as[(Long, Long, Long, Option[Double])].collect().toSet
+      .as[(Long, Long, Long, Option[Double])].collect().toSet ++
+      // a doc with no grams must STILL get its (0, 0, null) verdict from
+      // the gate (explode_outer sentinel) — plant one to prove it
+      Set((999999L, 0L, 0L, Option.empty[Double]))
     assert(expected.nonEmpty, "vacuous: no batch docs scored")
     val stream = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingOps.noveltyStream(
         stream.toDF().toDF("doc_id", "text"), root)
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("novelty_out").start()
     try {
-      val rows = batchDocs.as[(Long, String)].collect().toSeq
+      val rows = batchDocs.as[(Long, String)].collect().toSeq :+
+        ((999999L, "two words"))
       rows.grouped((rows.size + 2) / 3).foreach { chunk =>
         stream.addData(chunk); q.processAllAvailable()
       }
@@ -290,7 +290,9 @@ class ExtrasSpec extends SparkSpec {
     val d = Seq(
       (1L, "HTTPS://WWW.News.Example.com/A/B?utm_source=x&id=2&fbclid=z#top"),
       (2L, "https://example.com:8080/p/"),
-      (3L, "example.com/plain"))
+      (3L, "example.com/plain"),
+      (4L, "https://b.com/p?id=1&myutm_x=2"),
+      (5L, "https://c.com/p?utm_a=1&utm_b=2"))
       .toDF("doc_id", "url")
     val out = graft.operators.WebPrep.urlCanonicalize(d)
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
@@ -301,7 +303,12 @@ class ExtrasSpec extends SparkSpec {
       // trailing slash dropped; host (for the quota key) drops the port
       (2L, "example.com:8080/p", "example.com", 1L),
       // scheme-less input survives untouched
-      (3L, "example.com/plain", "example.com", 0L)), s"got ${out.toSeq}")
+      (3L, "example.com/plain", "example.com", 0L),
+      // a param whose name merely CONTAINS utm_ is not tracking — the
+      // separator anchor protects it
+      (4L, "b.com/p?id=1&myutm_x=2", "b.com", 1L),
+      // consecutive tracking params both stripped, query gone entirely
+      (5L, "c.com/p", "c.com", 1L)), s"got ${out.toSeq}")
   }
 
   test("x103 markup strip: title extracted, links counted, tags gone") {
@@ -377,16 +384,19 @@ class ExtrasSpec extends SparkSpec {
   test("x106 dedup-incr: corpus keeper wins, batch min next, novel flagged once") {
     val index = Seq(("old text", 3L)).toDF("text", "keep_id")
     val batch = Seq(
-      (10L, "old text"),   // corpus hit -> keeper 3
-      (11L, "fresh"),      // first sighting -> novel keeper
-      (12L, "fresh"),      // within-batch dup of 11
-      (13L, "alone"))      // novel singleton
+      (10L, "old text"),            // corpus hit -> keeper 3
+      (11L, "fresh"),               // first sighting -> novel keeper
+      (12L, "fresh"),               // within-batch dup of 11
+      (13L, "alone"),               // novel singleton
+      (14L, null: String),          // null content: own dup family,
+      (15L, null: String))          //   min id keeps — never dropped
       .toDF("doc_id", "text")
     val out = graft.operators.Dedup.dedupAgainst(batch, index)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq(
       (10L, 3L, 1L, 0L), (11L, 11L, 0L, 1L),
-      (12L, 11L, 1L, 0L), (13L, 13L, 0L, 1L)), s"got ${out.toSeq}")
+      (12L, 11L, 1L, 0L), (13L, 13L, 0L, 1L),
+      (14L, 14L, 0L, 1L), (15L, 14L, 1L, 0L)), s"got ${out.toSeq}")
   }
 
   test("x106 persisted dedup index round-trips and matches the inline frame") {
