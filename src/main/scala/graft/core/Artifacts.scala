@@ -142,4 +142,32 @@ object Artifacts {
     val aside = new Path(path + ".old")
     if (!fs.exists(target) && fs.exists(aside)) aside.toString else path
   }
+
+  /** A snapshot IDENTITY for the artifact readable at `root` right now:
+    * the resolved root plus every file's (name, length, mtime) under it,
+    * recursively. Each [[publishAtomic]] writes brand-new files into the
+    * staging dir before the swap, so the signature changes on EVERY
+    * publish even when the resolved root path does not — which is the
+    * normal case (`readablePath` returns `path` whenever it exists).
+    * Long-lived readers that cache a driver-side piece of a multi-part
+    * artifact (e.g. the IVF codebook next to its posting lists) must key
+    * the cache on this, not on the path: a path-keyed cache serves STALE
+    * centroids against freshly re-read new lists after a mid-stream
+    * republish. One recursive listing per call — cheap at KB-scale
+    * artifact roots, and only the metadata is touched. */
+  def snapshotSig(spark: SparkSession, root: String): String = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sb = new StringBuilder(root)
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+      entries.sorted.foreach { e => sb.append('\n').append(e) }
+    }
+    sb.toString
+  }
 }

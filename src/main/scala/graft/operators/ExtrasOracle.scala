@@ -2062,7 +2062,7 @@ object ExtrasOracle {
       |      '(.)/$', '\1', 'g') AS canon
       |  FROM hosted)
       |SELECT doc_id, canon,
-      |  regexp_replace(regexp_extract(canon, '^([^/]*)', 1), ':[0-9]+$', '', 'g')
+      |  regexp_replace(regexp_extract(canon, '^([^/?#]*)', 1), ':[0-9]+$', '', 'g')
       |    AS host,
       |  CAST(CASE WHEN url <> canon THEN 1 ELSE 0 END AS BIGINT) AS changed
       |FROM canoned ORDER BY doc_id""".stripMargin
@@ -2140,7 +2140,10 @@ object ExtrasOracle {
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus
     * index rebuilt in SQL (min keeper per distinct text below the
-    * split), identical corpus-wins-then-batch-min keeper rule. */
+    * split), identical corpus-wins-then-batch-min keeper rule. Joins
+    * are IS NOT DISTINCT FROM, mirroring the Spark face's null-safe
+    * `<=>`: a NULL-text doc forms its own dup family instead of being
+    * dropped at the inner bk join. */
   private def dedupIncrSql: String =
     s"""WITH base AS MATERIALIZED (SELECT doc_id, text FROM documents),
        |batch AS MATERIALIZED (
@@ -2164,9 +2167,9 @@ object ExtrasOracle {
        |  CAST(CASE WHEN i.corpus_keep IS NULL AND t.doc_id = k.batch_keep
        |       THEN 1 ELSE 0 END AS BIGINT) AS novel
        |FROM batch t
-       |LEFT JOIN idx i USING (text)
-       |JOIN bk k USING (text)
-       |ORDER BY doc_id""".stripMargin
+       |LEFT JOIN idx i ON i.text IS NOT DISTINCT FROM t.text
+       |JOIN bk k ON k.text IS NOT DISTINCT FROM t.text
+       |ORDER BY t.doc_id""".stripMargin
 
   /** DuckDB twin of WebPrep.urlDedupQuery (x104): the same colliding
     * plant (path = doc_id mod 23), the same canonicalization ladder,

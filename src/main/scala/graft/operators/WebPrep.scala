@@ -55,10 +55,13 @@ object WebPrep {
   }
 
   /** The registrable host of a canonical URL (everything before the
-    * first `/`, port dropped) — x98's quota key and the blocklist
-    * join key. */
+    * first `/`, `?` or `#`, port dropped) — x98's quota key and the
+    * blocklist join key. The `?`/`#` cuts matter for a canonical URL
+    * with a query but no path (`example.com?x=1`): host-before-`/`
+    * alone would keep the query glued to the host AND defeat the
+    * trailing-anchored port strip. */
   def urlHost(canon: Column): Column =
-    regexp_replace(regexp_extract(canon, "^([^/]*)", 1), ":[0-9]+$", "")
+    regexp_replace(regexp_extract(canon, "^([^/?#]*)", 1), ":[0-9]+$", "")
 
   /** x102: URL CANONICALIZATION audit — per document: the canonical
     * URL, its host, and whether canonicalization changed anything

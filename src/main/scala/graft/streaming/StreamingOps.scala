@@ -830,9 +830,13 @@ object StreamingOps {
     * admitted/flagged the moment it lands. Stateless (the regex
     * battery is frozen in the plan), so replay trivially equals batch
     * under any chunking (spec-asserted); map-only cost per batch.
-    * Emits every doc with its redacted text, per-class counts, and the
-    * admission verdict (≤ maxPii residual findings — 0 means "only
-    * fully-redacted docs pass"): the audit shape, so the quarantine
+    * Emits every doc with its redacted text, the finding count, and
+    * the admission verdict: admitted iff the RAW text carried ≤ maxPii
+    * DETECTED findings (pre-redaction count — the redactor uses the
+    * same regex battery, so a post-redaction "residual" count would be
+    * trivially zero and gate nothing; the detected count is what a
+    * privacy budget actually caps). maxPii=0 admits only docs that
+    * needed no redaction at all. The audit shape, so the quarantine
     * leg is a filter away. */
   def piiGateStream(docs: DataFrame, maxPii: Long = 0L): DataFrame = {
     import graft.operators.DocPrep
@@ -1052,8 +1056,8 @@ object StreamingOps {
     * `writeStream.foreachBatch` body: each micro-batch of (query_id,
     * qvec) rows runs the SAME pruned probe as the batch path
     * ([[graft.operators.Similarity.ivfTopKPruned]]) — rank the
-    * driver-resident KB-scale codebook (reloaded only when the
-    * readable snapshot root changes — see below), collect the batch's probed centroid ids (bounded
+    * driver-resident KB-scale codebook (reloaded whenever the snapshot
+    * SIGNATURE changes — see below), collect the batch's probed centroid ids (bounded
     * by batchSize×nProbe and by nCentroids), and read ONLY those list
     * partitions before the exact-cosine top-k. The result lands in
     * `emit(resultDf, batchId)`.
@@ -1083,9 +1087,11 @@ object StreamingOps {
     * [[graft.core.Artifacts.readablePath]] at EVERY batch (one
     * existence check), so a stream started inside the crash window
     * (root at `<path>.old`) heals the moment the next publish lands
-    * instead of reading the by-then-deleted aside forever; a
-    * republish mid-stream switches codebook and lists TOGETHER at a
-    * batch boundary (they can never drift within one batch). */
+    * instead of reading the by-then-deleted aside forever; the cached
+    * codebook is keyed on [[graft.core.Artifacts.snapshotSig]] (which
+    * changes on EVERY publish, even when the resolved root does not),
+    * so a republish mid-stream switches codebook and lists TOGETHER at
+    * a batch boundary (they can never drift within one batch). */
   def annProbeBatch(indexPath: String, k: Int, nProbe: Int)
                    (emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(k > 0 && nProbe > 0, s"annProbeBatch: k=$k nProbe=$nProbe")
@@ -1093,18 +1099,26 @@ object StreamingOps {
     // check): a stream started inside the crash window (root at
     // <path>.old) heals when the next publish restores <path>, instead
     // of reading the by-then-deleted aside forever. The KB-scale
-    // codebook is reloaded only when the root actually changes, so
-    // codebook and lists always come from the same snapshot and a
-    // republish switches both together at a batch boundary.
+    // codebook cache is keyed on the SNAPSHOT SIGNATURE (file listing
+    // of the codebook dir), NOT the root path: a normal mid-stream
+    // republish leaves the root unchanged (readablePath returns `path`
+    // whenever it exists), so a path-keyed cache would rank with stale
+    // centroids against freshly re-read new lists — codebook/lists
+    // drift. Every publishAtomic writes new codebook files, so the
+    // signature changes on every publish and the reload fires exactly
+    // when it must; codebook and lists still switch together at a
+    // batch boundary.
     var loaded: (String, Array[(Int, Array[Float])]) = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val root = graft.core.Artifacts.readablePath(spark, indexPath)
-      if (loaded == null || loaded._1 != s"$root/lists") {
-        loaded = (s"$root/lists",
+      val sig = graft.core.Artifacts.snapshotSig(spark, s"$root/codebook")
+      if (loaded == null || loaded._1 != sig) {
+        loaded = (sig,
           graft.operators.Similarity.loadCodebook(spark, s"$root/codebook"))
       }
-      val (listsPath, cents) = loaded
+      val cents = loaded._2
+      val listsPath = s"$root/lists"
       emit(graft.operators.Similarity.ivfTopKPruned(
         spark, listsPath, cents, batch, k, nProbe), batchId)
     }

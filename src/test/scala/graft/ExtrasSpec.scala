@@ -292,7 +292,9 @@ class ExtrasSpec extends SparkSpec {
       (2L, "https://example.com:8080/p/"),
       (3L, "example.com/plain"),
       (4L, "https://b.com/p?id=1&myutm_x=2"),
-      (5L, "https://c.com/p?utm_a=1&utm_b=2"))
+      (5L, "https://c.com/p?utm_a=1&utm_b=2"),
+      (6L, "https://d.com?x=1"),
+      (7L, "https://e.com:8080?x=1"))
       .toDF("doc_id", "url")
     val out = graft.operators.WebPrep.urlCanonicalize(d)
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
@@ -308,7 +310,11 @@ class ExtrasSpec extends SparkSpec {
       // separator anchor protects it
       (4L, "b.com/p?id=1&myutm_x=2", "b.com", 1L),
       // consecutive tracking params both stripped, query gone entirely
-      (5L, "c.com/p", "c.com", 1L)), s"got ${out.toSeq}")
+      (5L, "c.com/p", "c.com", 1L),
+      // query with NO path: the host cut must fire at '?', not only '/'
+      (6L, "d.com?x=1", "d.com", 1L),
+      // ...and the port strip still lands once the query is cut away
+      (7L, "e.com:8080?x=1", "e.com", 1L)), s"got ${out.toSeq}")
   }
 
   test("x103 markup strip: title extracted, links counted, tags gone") {

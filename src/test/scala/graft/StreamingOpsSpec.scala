@@ -434,6 +434,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN probe reloads the codebook after a mid-stream republish at an UNCHANGED root") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    // the r11 ADVICE failure mode: a normal republish leaves the
+    // resolved root unchanged (readablePath returns `path` whenever it
+    // exists), so a cache keyed on the PATH would keep ranking with the
+    // old codebook's centroids against the freshly re-read NEW lists —
+    // silent codebook/lists drift. The cache is keyed on the snapshot
+    // signature instead; this pins the reload.
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivf-republish").toString + "/ivf"
+    Similarity.saveIvfIndex(emb, root, nCentroids = 16)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val rows = queries.as[(Long, Seq[Float])].collect().toSeq
+
+    val collected = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int)]]
+    val probe = StreamingOps.annProbeBatch(root, k = 5, nProbe = 2) { (out, id) =>
+      collected(id) = out.as[(Long, Long, Int)].collect().toSet
+    }
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("query_id", "qvec")
+      .writeStream.foreachBatch(probe).start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      val before = Similarity
+        .ivfTopK(Similarity.loadIvfIndex(spark, root), queries, k = 5, nProbe = 2)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(collected.nonEmpty && collected(collected.keys.min) == before,
+        "pre-republish batch diverged from the batch path")
+      // republish at the SAME root with a materially different index
+      // (4 centroids, not 16): only the snapshot underneath changes
+      Similarity.saveIvfIndex(emb, root, nCentroids = 4)
+      val after = Similarity
+        .ivfTopK(Similarity.loadIvfIndex(spark, root), queries, k = 5, nProbe = 2)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(after != before,
+        "vacuous: the republished index probes identically to the old one")
+      stream.addData(rows); q.processAllAvailable()
+      val post = collected(collected.keys.max)
+      assert(post == after,
+        s"stale codebook served against new lists after republish: " +
+          s"missing ${(after -- post).take(5)}; extra ${(post -- after).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming interval top-k gate equals batch x61 on replay against a frozen calendar") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IntervalJoin
