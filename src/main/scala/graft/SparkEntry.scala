@@ -384,6 +384,34 @@ object SparkEntry {
     // multilingual crawl. Literal-range classes (the Java∩RE2 dialect),
     // planted script blocks, map-only.
     "x108_script_mix"     -> (TextAnalysis.scriptMixQuery _),
+    // x109: one BPE merge iteration — the most frequent adjacent
+    // character pairs inside words, occurrence-weighted; run to a
+    // fixed point this IS tokenizer vocab induction.
+    "x109_bpe_pairs"      -> (TextAnalysis.bpePairsQuery _),
+    // x110: length-bucket packing audit — padding waste + fill
+    // efficiency under power-of-two bucketed batching; the quantified
+    // argument for sequence packing (x21) over padding.
+    "x110_pack_audit"     -> (Sampling.packAuditQuery _),
+    // x111: time-decayed popularity — exponentially-decayed event
+    // counts at the corpus max day (halflife 7d); the recency-aware
+    // leaderboard. Live form: StreamingOps.decayStream.
+    "x111_decay_pop"      -> (Analytics.decayPopularityQuery _),
+    // x112: per-source Zipf slope — OLS of ln(freq) on ln(rank) over
+    // top terms; intrinsic distributional health per feed (flat head =
+    // boilerplate, steep = degenerate repetition).
+    "x112_zipf_slope"     -> (TextAnalysis.zipfSlopeQuery _),
+    // x113: truncation-loss accounting at a fixed context budget — per
+    // source, tokens kept/dropped if cut at L tokens; decides
+    // truncation vs chunked ingestion (x41) per feed.
+    "x113_truncation"     -> (DocPrep.truncationLossQuery _),
+    // x114: link-graph construction from raw markup — href extraction,
+    // x102 canonicalization, host-grain edge aggregation; the PageRank
+    // (x39) input built from the crawl itself.
+    "x114_link_graph"     -> (WebPrep.linkGraphQuery _),
+    // x115: split label-balance audit — chi-square contingency between
+    // x19's hash splits and the language label; the WITHIN-assignment
+    // balance check complementing x69's cross-split leakage audit.
+    "x115_split_balance"  -> (Sampling.splitBalanceQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -817,4 +817,48 @@ object Analytics {
         col("event_type").as("label"), col("event_id").as("vote_id"))
     annotatorAgreement(votes).orderBy(col("annotator"))
   }
+
+  // --------------------------------- time-decayed popularity (x111)
+
+  /** x111's half-life in days, shared with the DuckDB twin. */
+  private[graft] val DecayHalflifeDays: Double = 7.0
+
+  /** x111: TIME-DECAYED POPULARITY — per event type, the
+    * exponentially-decayed event count at the corpus's newest day:
+    * each event contributes 0.5^(age_days / halflife), so a signal's
+    * score halves every `halflife` days of silence. The recency-aware
+    * leaderboard every feed-prioritization / trending-source ranking
+    * runs — a raw count ranks a dead-but-huge source above a live one;
+    * the decayed count does not. The live form is
+    * [[graft.streaming.StreamingOps.decayStream]], whose converged
+    * state equals this batch face at the same reference day.
+    *
+    * Determinism: age_days is an exact integer day difference from the
+    * corpus max day (data-derived, so the query is self-contained and
+    * re-runnable); each per-event weight is one correctly-rounded
+    * division and one pow, pinned at 6 decimals into DECIMAL(18,6)
+    * (the x81/x82 transcendental discipline); the per-type sum is
+    * exact decimal arithmetic, emitted as DOUBLE (decOut).
+    *
+    * Shape: a broadcast 1-row max-day scalar, one narrow projection,
+    * one hash agg on |event_type| keys — map-side partials collapse
+    * everything; the shuffle carries a handful of rows. */
+  def decayPopularity(events: DataFrame,
+                      halflifeDays: Double = DecayHalflifeDays): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+    val refDay = ev.agg(max(to_date(col("ts"))).as("d1"))
+    ev.crossJoin(broadcast(refDay))
+      .select(col("event_type"),
+        round(pow(lit(0.5),
+          datediff(col("d1"), to_date(col("ts"))).cast("double") /
+            lit(halflifeDays)), 6)
+          .cast("decimal(18,6)").as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).cast("double").as("decayed_count"))
+  }
+
+  def decayPopularityQuery(spark: SparkSession, dir: String): DataFrame =
+    decayPopularity(Tables.load(spark, dir, "events"))
+      .orderBy(col("event_type"))
 }

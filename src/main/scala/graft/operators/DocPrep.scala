@@ -237,4 +237,45 @@ object DocPrep {
         .otherwise(lit(""))))
     piiAudit(planted).orderBy(col("doc_id"))
   }
+
+  // ------------------------------------- truncation accounting (x113)
+
+  /** x113's context budget in tokens, shared with the DuckDB twin.
+    * Sits at the corpus median (~56 at sf0.01), so roughly half the
+    * docs truncate — both regimes exercised at every SF. */
+  private[graft] val TruncMaxTokens: Long = 48L
+
+  /** x113: TRUNCATION-LOSS ACCOUNTING — if every document is cut at a
+    * fixed context budget of L tokens (the simplest fill strategy:
+    * one doc per sequence, truncate the tail), how much of each
+    * source's data survives? Per source: doc count, docs over budget,
+    * total / kept / dropped tokens, and the drop rate. The report
+    * that decides between truncation and chunking (x41) per source —
+    * a feed losing 40% of its tokens to the cut needs chunked
+    * ingestion, not a bigger corpus. All-integer except `drop_rate`:
+    * ONE double division of two exact integers.
+    *
+    * Shape: one scan → narrow token count → hash agg on |source| keys;
+    * map-side partials collapse everything before the shuffle. */
+  def truncationLoss(docs: DataFrame, maxTokens: Long = TruncMaxTokens): DataFrame = {
+    require(maxTokens > 0, s"truncationLoss: maxTokens=$maxTokens")
+    val n = col("n_tokens")
+    docs
+      .select(col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(n > maxTokens, 1L).otherwise(0L)).as("n_truncated"),
+        sum(n).as("tokens_total"),
+        sum(least(n, lit(maxTokens))).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_dropped"),
+        round((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total").cast("double"), 6).as("drop_rate"))
+  }
+
+  def truncationLossQuery(spark: SparkSession, dir: String): DataFrame =
+    truncationLoss(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 }

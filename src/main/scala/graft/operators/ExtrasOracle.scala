@@ -348,6 +348,13 @@ object ExtrasOracle {
     "x106_dedup_incr" -> dedupIncrSql,
     "x107_waterfall" -> waterfallSql,
     "x108_script_mix" -> scriptMixSql,
+    "x109_bpe_pairs" -> bpePairsSql,
+    "x110_pack_audit" -> packAuditSql,
+    "x111_decay_pop" -> decayPopSql,
+    "x112_zipf_slope" -> zipfSlopeSql,
+    "x113_truncation" -> truncationSql,
+    "x114_link_graph" -> linkGraphSql,
+    "x115_split_balance" -> splitBalanceSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2136,6 +2143,188 @@ object ExtrasOracle {
       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       |FROM prep GROUP BY 1, 2
       |ORDER BY source, stage""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.bpePairsQuery (x109): same word
+    * stream (un-deduplicated — BPE weights by occurrence), same
+    * adjacent-pair extraction (list_transform over generate_series,
+    * char-based substr in both engines), same total order. */
+  private def bpePairsSql: String =
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |                               i -> substr(w, i, 2))) AS pair
+       |  FROM words WHERE len(w) >= 2)
+       |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |FROM pairs GROUP BY pair
+       |ORDER BY n_pair DESC, pair
+       |LIMIT ${TextAnalysis.BpeTopPairs}""".stripMargin
+
+  /** DuckDB twin of Sampling.packAuditQuery (x110): the same integer
+    * bit-length capacity (`1 << length(bin(n-1))`, n=1 pinned), exact
+    * integer accounting, one double division for efficiency. */
+  private def packAuditSql: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens = 1 THEN CAST(1 AS BIGINT)
+      |         ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END
+      |      AS capacity
+      |  FROM tok WHERE n_tokens >= 1)
+      |SELECT capacity, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) * capacity AS BIGINT) AS padded_slots,
+      |  CAST(COUNT(*) * capacity - SUM(n_tokens) AS BIGINT) AS padding,
+      |  ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+      |        / CAST(COUNT(*) * capacity AS DOUBLE), 6) AS efficiency
+      |FROM b GROUP BY capacity ORDER BY capacity""".stripMargin
+
+  /** DuckDB twin of Analytics.decayPopularityQuery (x111): the same
+    * data-derived reference day, integer day ages, per-event weight
+    * pinned at 6 decimals into DECIMAL(18,6), exact decimal sum. */
+  private def decayPopSql: String =
+    s"""WITH ref AS MATERIALIZED (
+       |  SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events WHERE ts IS NOT NULL),
+       |w AS (
+       |  SELECT event_type,
+       |    CAST(ROUND(pow(0.5,
+       |      CAST(date_diff('day', CAST(ts AS DATE), d1) AS DOUBLE)
+       |        / ${Analytics.DecayHalflifeDays}), 6) AS DECIMAL(18,6)) AS w
+       |  FROM events, ref WHERE ts IS NOT NULL)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(w) AS DOUBLE) AS decayed_count
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.zipfSlopeQuery (x112): same totally-
+    * ordered ranks (count desc, term asc), same 6-decimal ln images,
+    * exact decimal moments, one closed-form double slope (x80's
+    * parenthesization). */
+  private def zipfSlopeSql: String =
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |  FROM documents),
+       |tc AS (SELECT source, t, COUNT(*) AS c FROM words GROUP BY source, t),
+       |ranked AS (
+       |  SELECT source, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r
+       |  FROM tc),
+       |xy AS (
+       |  SELECT source,
+       |    CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+       |    CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+       |  FROM ranked WHERE r <= ${TextAnalysis.ZipfTopTerms}),
+       |m AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+       |  FROM xy GROUP BY source)
+       |SELECT source, n_terms,
+       |  ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |    / nullif(CAST(n_terms AS DOUBLE) * sxx - sx * sx, 0), 6)
+       |    AS zipf_slope
+       |FROM m ORDER BY source""".stripMargin
+
+  /** DuckDB twin of DocPrep.truncationLossQuery (x113): all-integer
+    * token accounting at the shared budget, one double division. */
+  private def truncationSql: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |         AS BIGINT) AS n
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n > ${DocPrep.TruncMaxTokens} THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_truncated,
+       |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(LEAST(n, ${DocPrep.TruncMaxTokens})) AS BIGINT) AS tokens_kept,
+       |  CAST(SUM(n) - SUM(LEAST(n, ${DocPrep.TruncMaxTokens})) AS BIGINT)
+       |    AS tokens_dropped,
+       |  ROUND(CAST(SUM(n) - SUM(LEAST(n, ${DocPrep.TruncMaxTokens})) AS DOUBLE)
+       |        / CAST(SUM(n) AS DOUBLE), 6) AS drop_rate
+       |FROM tok GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of WebPrep.linkGraphQuery (x114): the same planted
+    * markup, the same href extraction, the same canonicalization
+    * ladder and host cut as the x102/x104 twins, edge-grain counts. */
+  private def linkGraphSql: String =
+    """WITH planted AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    '<p>see <a href="https://src' || CAST((doc_id * 7) % 20 AS VARCHAR) ||
+      |    '.example.com/p/' || CAST(doc_id % 13 AS VARCHAR) || '">a</a>' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |      THEN '<a href="HTTPS://WWW.src' || CAST((doc_id * 3) % 20 AS VARCHAR)
+      |           || '.example.com/q?utm_source=feed&x=1">b</a>' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |      THEN '<a href="https://hub.example.com/h#frag">c</a>' ELSE '' END) ||
+      |    '</p>' AS html
+      |  FROM documents),
+      |urls AS (
+      |  SELECT source || '.example.com' AS src_host,
+      |    unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+      |  FROM planted),
+      |tidy AS (
+      |  SELECT src_host,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(url, '#.*$', '', 'g'),
+      |          '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |        '([?&])&+', '\1', 'g'),
+      |      '[?&]$', '', 'g') AS t
+      |  FROM urls),
+      |canoned AS (
+      |  SELECT src_host,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          CASE WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |            THEN lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+      |                 || regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1)
+      |            ELSE t END,
+      |          '^[a-z][a-z0-9+.-]*://', '', 'g'),
+      |        '^www\.', '', 'g'),
+      |      '(.)/$', '\1', 'g') AS canon
+      |  FROM tidy)
+      |SELECT src_host,
+      |  regexp_replace(regexp_extract(canon, '^([^/?#]*)', 1), ':[0-9]+$', '', 'g')
+      |    AS dst_host,
+      |  CAST(COUNT(*) AS BIGINT) AS n_links
+      |FROM canoned GROUP BY 1, 2
+      |ORDER BY src_host, dst_host""".stripMargin
+
+  /** DuckDB twin of Sampling.splitBalanceQuery (x115): the SAME x19
+    * split CASE (shared splitCaseSql — the assignment cannot drift),
+    * exact integer marginals, identical closed-form expected /
+    * chi-square-term arithmetic (three int->double conversions, two
+    * IEEE ops, same parenthesization), round 6. */
+  private def splitBalanceSql: String =
+    s"""WITH cell AS MATERIALIZED (
+       |  SELECT ${splitCaseSql("doc_id")} AS split,
+       |    lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1, 2),
+       |m AS (
+       |  SELECT split, lang, n_docs,
+       |    CAST(SUM(n_docs) OVER (PARTITION BY split) AS BIGINT) AS split_total,
+       |    CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       |    (SELECT CAST(SUM(n_docs) AS BIGINT) FROM cell) AS total
+       |  FROM cell)
+       |SELECT split, lang, n_docs,
+       |  ROUND(CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+       |        / CAST(total AS DOUBLE), 6) AS expected,
+       |  ROUND((CAST(n_docs AS DOUBLE)
+       |          - CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+       |            / CAST(total AS DOUBLE))
+       |        * (CAST(n_docs AS DOUBLE)
+       |          - CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+       |            / CAST(total AS DOUBLE))
+       |        / (CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+       |           / CAST(total AS DOUBLE)), 6) AS chi2_term
+       |FROM m ORDER BY split, lang""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

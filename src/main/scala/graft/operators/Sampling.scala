@@ -757,4 +757,94 @@ object Sampling {
   def sourceCapQuery(spark: SparkSession, dir: String): DataFrame =
     sourceCap(Tables.load(spark, dir, "documents"), SourceCapN)
       .orderBy(col("doc_id"))
+
+  // ------------------------------------- packing / padding audit (x110)
+
+  /** x110: LENGTH-BUCKET PACKING AUDIT — if batches are built by
+    * bucketing documents into power-of-two token-length buckets and
+    * padding each to its bucket capacity (the fixed-shape batching
+    * most training stacks run), how much compute is padding? Per
+    * bucket: capacity (smallest 2^k ≥ n_tokens), document and token
+    * counts, padded-slot total, the padding waste, and the fill
+    * efficiency. The report that picks bucket boundaries — and the
+    * quantified argument for sequence packing (x21) over padding.
+    *
+    * Integer-exact except `efficiency`, which is ONE double division
+    * of two exact integers (deterministic, cross-engine identical).
+    * The capacity expression `1 << length(bin(n-1))` (n=1 pinned to 1)
+    * avoids any float log2: both engines compute the bit length of
+    * n−1 on the integer itself.
+    *
+    * Shape: one scan → narrow token count → hash agg on ~60 buckets;
+    * partial aggregation collapses everything map-side, the shuffle
+    * carries |buckets| rows. */
+  def packAudit(docs: DataFrame): DataFrame = {
+    val n = col("n_tokens")
+    docs
+      .select(size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(n >= 1L)
+      .withColumn("capacity",
+        // SQL-form shiftleft: the Scala DSL overload only takes a
+        // literal shift amount, the SQL function shifts by a column
+        when(n === 1L, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(n_tokens - 1)))")))
+      .groupBy(col("capacity"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(n).as("n_tokens"))
+      .select(col("capacity"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") * col("capacity")).as("padded_slots"),
+        (col("n_docs") * col("capacity") - col("n_tokens")).as("padding"),
+        round(col("n_tokens").cast("double") /
+          (col("n_docs") * col("capacity")).cast("double"), 6).as("efficiency"))
+  }
+
+  def packAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    packAudit(Tables.load(spark, dir, "documents"))
+      .orderBy(col("capacity"))
+
+  // --------------------------------------- split balance audit (x115)
+
+  /** x115: SPLIT LABEL-BALANCE AUDIT — the chi-square contingency table
+    * between x19's hash splits and the language label: per (split,
+    * lang) cell, the observed count, the count expected under
+    * independence, and the cell's chi-square contribution. A healthy
+    * hash split is label-blind, so large contributions localize WHERE
+    * stratification broke (e.g. a language whose doc_ids cluster) —
+    * the audit run before accepting a split for eval. Complements x69
+    * (which audits content leakage ACROSS splits; this audits label
+    * balance WITHIN the assignment).
+    *
+    * Determinism: observed counts and marginals are exact integers;
+    * `expected` = split_total·lang_total/N as three exact-int→double
+    * conversions and two IEEE ops, and the contribution is the same
+    * closed form on both engines (identical parenthesization), each
+    * rounded to 6 (the x80 closed-form discipline).
+    *
+    * Shape: one scan → (split, lang) hash agg; marginals are windows
+    * over the |splits|·|langs| aggregate, never a second scan. */
+  def splitBalance(docs: DataFrame): DataFrame = {
+    val cell = docs
+      .select(assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
+        col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wSplit = Window.partitionBy(col("split"))
+    val wLang = Window.partitionBy(col("lang"))
+    val tot = cell.agg(sum(col("n_docs")).as("total"))
+    val expected = col("split_total").cast("double") *
+      col("lang_total").cast("double") / col("total").cast("double")
+    cell
+      .withColumn("split_total", sum(col("n_docs")).over(wSplit))
+      .withColumn("lang_total", sum(col("n_docs")).over(wLang))
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("lang"), col("n_docs"),
+        round(expected, 6).as("expected"),
+        round((col("n_docs").cast("double") - expected) *
+          (col("n_docs").cast("double") - expected) / expected, 6)
+          .as("chi2_term"))
+  }
+
+  def splitBalanceQuery(spark: SparkSession, dir: String): DataFrame =
+    splitBalance(Tables.load(spark, dir, "documents"))
+      .orderBy(col("split"), col("lang"))
 }

@@ -1203,4 +1203,98 @@ object TextAnalysis {
   def growthCurveQuery(spark: SparkSession, dir: String): DataFrame =
     growthCurve(Tables.load(spark, dir, "documents"))
       .orderBy(col("bucket"))
+
+  // ------------------------------------ BPE pair-merge step (x109)
+
+  /** x109's pair budget, shared with the DuckDB twin. */
+  private[graft] val BpeTopPairs: Int = 50
+
+  /** x109: one BPE MERGE ITERATION at the character level — the most
+    * frequent ADJACENT character pairs inside whitespace words, weighted
+    * by word occurrence (not word type): exactly the statistic byte-pair
+    * encoding ranks to pick its next merge, so running this to a fixed
+    * point IS tokenizer vocabulary induction over the corpus. Words
+    * stay un-deduplicated on purpose — BPE counts a pair once per
+    * occurrence, and deduplicating first would re-weight the corpus by
+    * type instead of token.
+    *
+    * Shape: one scan → explode words → explode per-word adjacent pairs
+    * (`transform` over `sequence`, codegen'd; single-char words are
+    * filtered BEFORE the sequence so Spark's descending `sequence(1,0)`
+    * corner never fires) → hash count with map-side partial aggregation
+    * → `TakeOrderedAndProject` for the top-N. The pair space is tiny
+    * (alphabet², independent of corpus size), so the post-shuffle state
+    * is KBs at any scale; the explode itself is the irreducible
+    * tokenizer-induction cost and stays embarrassingly parallel. */
+  def bpePairs(docs: DataFrame, topN: Int = BpeTopPairs): DataFrame = {
+    val w = col("w")
+    docs.select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(w) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), (length(w) - 1).cast("int")),
+        i => w.substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair"))
+      .limit(topN)
+  }
+
+  def bpePairsQuery(spark: SparkSession, dir: String): DataFrame =
+    bpePairs(Tables.load(spark, dir, "documents"))
+
+  // ------------------------------------------- Zipf slope (x112)
+
+  /** x112's per-source rank budget, shared with the DuckDB twin. */
+  private[graft] val ZipfTopTerms: Int = 100
+
+  /** x112: per-source ZIPF SLOPE — an OLS fit of ln(frequency) on
+    * ln(rank) over each source's top terms. A healthy natural-language
+    * corpus sits near slope −1 (Zipf's law); a source whose slope is
+    * much shallower is template/boilerplate-heavy (flat head), much
+    * steeper is degenerate repetition — so the slope is a one-number
+    * distributional health check per feed, complementing x82's KL
+    * drift (which needs the corpus blend; this is intrinsic).
+    *
+    * Determinism, the x80 moment method: ln(rank) and ln(count) are
+    * rounded at 6 decimals into DECIMAL(18,6) (the x81/x82
+    * transcendental discipline); the four OLS moments (Σx, Σy, Σxy,
+    * Σx²) are exact decimal sums over those pinned images — order-
+    * independent, cross-engine identical — and each moment casts to
+    * DOUBLE once before the SAME closed-form slope expression
+    * (identical parenthesization) runs on both engines, rounded to 6.
+    * Ranks are total-ordered (count desc, term asc), so both engines
+    * agree on rank assignment exactly.
+    *
+    * Shape: one scan → (source, term) hash agg → per-source top-K via a
+    * rank window over the aggregated (vocabulary-sized, not corpus-
+    * sized) frame → |sources|·K rows into the OLS aggregate. Nothing
+    * after the first aggregate touches raw data. */
+  def zipfSlope(docs: DataFrame, topK: Int = ZipfTopTerms): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(wsTokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("t"))
+    val m = tc.withColumn("r", row_number().over(rw))
+      .filter(col("r") <= topK)
+      .select(col("source"),
+        round(log(col("r").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("c").cast("double")), 6).cast("decimal(18,6)").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val n = col("n_terms").cast("double")
+    m.select(col("source"), col("n_terms"),
+      round((n * col("sxy") - col("sx") * col("sy")) /
+        nullif(n * col("sxx") - col("sx") * col("sx"), lit(0d)), 6)
+        .as("zipf_slope"))
+  }
+
+  def zipfSlopeQuery(spark: SparkSession, dir: String): DataFrame =
+    zipfSlope(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 }

@@ -166,4 +166,53 @@ object WebPrep {
       lit("</body></html>"))
     stripMarkup(docs.withColumn("html", html)).orderBy(col("doc_id"))
   }
+
+  // -------------------------------------------- link graph (x114)
+
+  /** x114: LINK-GRAPH CONSTRUCTION from raw markup — extract every
+    * `href`, canonicalize it with the x102 ladder, reduce to the
+    * registrable host, and aggregate (src_host, dst_host) edge counts:
+    * the web graph that feeds PageRank (x39), host reputation, and
+    * crawl frontier prioritization, built straight from the crawl
+    * instead of arriving as a given edge table. Canonicalizing BEFORE
+    * hosting matters: `HTTPS://WWW.a.com/x` and `https://a.com/y` are
+    * the same destination host, and tracking-param noise never splits
+    * an edge.
+    *
+    * Shape: one scan → regexp href extraction (map-only, codegen'd) →
+    * explode (fan-out bounded by links-per-doc) → hash agg on the edge
+    * key. At 100 TB the edge aggregate is the only shuffle and its key
+    * space is |hosts|², already the PageRank input grain; partial
+    * aggregation collapses repeated edges map-side. */
+  def linkGraph(docs: DataFrame, srcHost: Column, html: Column): DataFrame =
+    docs.select(srcHost.as("src_host"),
+        explode(regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1)))
+          .as("url"))
+      .select(col("src_host"),
+        urlHost(canonicalUrl(col("url"))).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** The x114 queries() face: links are PLANTED with residue-selected
+    * noise (scheme case, `www.`, a utm param, a fragment) so the
+    * canonicalization ladder demonstrably collapses variants into one
+    * edge, and a hub target gives every source a shared sink; the
+    * DuckDB twin rebuilds the identical markup. */
+  def linkGraphQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val html = concat(
+      lit("<p>see <a href=\"https://src"), ((id * 7) % 20).cast("string"),
+      lit(".example.com/p/"), (id % 13).cast("string"), lit("\">a</a>"),
+      when(id % 3 === 0, concat(lit("<a href=\"HTTPS://WWW.src"),
+        ((id * 3) % 20).cast("string"),
+        lit(".example.com/q?utm_source=feed&x=1\">b</a>"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        lit("<a href=\"https://hub.example.com/h#frag\">c</a>"))
+        .otherwise(lit("")),
+      lit("</p>"))
+    linkGraph(docs.withColumn("html", html),
+        concat(col("source"), lit(".example.com")), col("html"))
+      .orderBy(col("src_host"), col("dst_host"))
+  }
 }

@@ -823,6 +823,72 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // --------------------- streaming decayed popularity (x111's face) --
+
+  case class DecayScore(event_type: String, n_events: Long,
+                        decayed_count: Double)
+
+  /** Per-type (count, micro-unit weight sum) in ValueState — the weight
+    * arithmetic lives in the PLAN (same expression as the batch face),
+    * the processor only adds exact integers. */
+  private class DecayProcessor
+    extends StatefulProcessor[String, (String, Long), DecayScore] {
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[(Long, Long)]("decayAcc",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DecayScore] = {
+      var (n, micro) = if (acc.exists()) acc.get() else (0L, 0L)
+      rows.foreach { case (_, m) => n += 1; micro += m }
+      acc.update((n, micro))
+      Iterator.single(DecayScore(key, n, micro / 1e6))
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Analytics.decayPopularity]]
+    * (x111): the LIVE decayed leaderboard — each arriving event adds
+    * its exponential recency weight to its type's score the moment it
+    * lands. The reference day is FROZEN as a parameter (the batch face
+    * derives it from the corpus max; a live gate pins it per
+    * deployment window — the frozen-artifact discipline of the other
+    * gate faces), so every event's weight is a pure function of the
+    * row and the accumulation is order-independent: replay over any
+    * chunking equals the batch face at the same reference day,
+    * cell-exactly (spec-asserted).
+    *
+    * Exactness across the two faces: the weight is computed by the
+    * SAME plan expression as batch (round(pow,6) into DECIMAL(18,6)),
+    * then carried into state as its UNSCALED micro-units long
+    * (`unscaledValueExact`, no double round-trip), so the streamed sum
+    * is the batch face's exact decimal sum; the one double division
+    * happens only at emission. State per event type is two longs,
+    * bounded forever; per-batch cost is map-only plus a |types|-key
+    * state update. */
+  def decayStream(events: DataFrame, refDay: java.time.LocalDate,
+                  halflifeDays: Double =
+                    graft.operators.Analytics.DecayHalflifeDays): Dataset[DecayScore] = {
+    require(halflifeDays > 0, s"decayStream: halflifeDays=$halflifeDays")
+    import events.sparkSession.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        round(pow(lit(0.5),
+          datediff(lit(java.sql.Date.valueOf(refDay)), to_date(col("ts")))
+            .cast("double") / lit(halflifeDays)), 6)
+          .cast("decimal(18,6)").as("w"))
+      .as[(String, java.math.BigDecimal)]
+      .map { case (t, w) =>
+        (t, w.setScale(6).unscaledValue().longValueExact()) }
+      .groupByKey(_._1)
+      .transformWithState(new DecayProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ----------------------- streaming ANN probe (x06's live face) -----
 
   /** Streaming face of [[graft.operators.DocPrep.piiAudit]] (x97): the

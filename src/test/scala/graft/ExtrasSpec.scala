@@ -2360,4 +2360,94 @@ class ExtrasSpec extends SparkSpec {
     assert(hitU <= zm.length / 2, s"user_id rectangles not tight: $hitU/${zm.length}")
     assert(hitV <= zm.length / 2, s"value rectangles not tight: $hitV/${zm.length}")
   }
+
+  test("x109 bpe pairs: occurrence-weighted adjacent pairs, single-char words skipped") {
+    val d = Seq((1L, "ab ab cd x"), (2L, "abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairs(d)
+      .as[(String, Long)].collect().toSeq
+    // 'ab' x2 (two word occurrences) + 1 from 'abc'; 'bc' from 'abc';
+    // 'cd' once; the 1-char word 'x' contributes nothing
+    assert(out == Seq(("ab", 3L), ("bc", 1L), ("cd", 1L)), s"got $out")
+  }
+
+  test("x110 pack audit: power-of-two capacities with exact padding accounting") {
+    val d = Seq((1L, "t"), (2L, "t t"), (3L, "t t t"), (4L, "t t t t t"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Sampling.packAudit(d)
+      .orderBy($"capacity")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 1L, 0L, 1.0),   // n=1 pins to capacity 1, not 2
+      (2L, 1L, 2L, 2L, 0L, 1.0),
+      (4L, 1L, 3L, 4L, 1L, 0.75),
+      (8L, 1L, 5L, 8L, 3L, 0.625)), s"got $out")
+  }
+
+  test("x111 decayed popularity: hand-computed half-life weights") {
+    // ref day = max day = 2024-01-15; ages 0 / 7 / 14 days at halflife 7
+    // -> weights 1.0, 0.5, 0.25
+    val ev = Seq(
+      (1L, "2024-01-15 10:00:00", "click"),
+      (2L, "2024-01-08 09:00:00", "click"),
+      (3L, "2024-01-01 08:00:00", "view"))
+      .toDF("event_id", "s", "event_type")
+      .select($"event_id", to_timestamp($"s").as("ts"), $"event_type")
+    val out = graft.operators.Analytics.decayPopularity(ev)
+      .orderBy($"event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("click", 2L, 1.5), ("view", 1L, 0.25)), s"got $out")
+  }
+
+  test("x112 zipf slope: a perfect 1/rank source fits slope -1") {
+    // counts 6,3,2 over ranks 1,2,3 are exactly c = 6/r, so
+    // ln c = ln 6 - ln r: OLS slope -1 (up to the 6-decimal ln pins)
+    val d = Seq((1L, "a a a a a a b b b c c")).toDF("doc_id", "text")
+      .withColumn("source", lit("s0"))
+    val out = TextAnalysis.zipfSlope(d)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out.size == 1 && out.head._1 == "s0" && out.head._2 == 3L, s"got $out")
+    assert(math.abs(out.head._3 + 1.0) < 1e-4, s"slope ${out.head._3} != -1")
+  }
+
+  test("x113 truncation loss: exact token accounting at the budget") {
+    val d = Seq((1L, "t t t"), (2L, "t t t t t t")).toDF("doc_id", "text")
+      .withColumn("source", lit("s0"))
+    val out = graft.operators.DocPrep.truncationLoss(d, maxTokens = 4L)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // doc2 (6 tokens) truncates to 4: total 9, kept 7, dropped 2
+    assert(out == Seq(("s0", 2L, 1L, 9L, 7L, 2L, 0.222222)), s"got $out")
+  }
+
+  test("x114 link graph: canonicalization collapses host variants into one edge") {
+    val d = Seq((1L,
+      "<a href=\"HTTPS://WWW.a.com/x\">1</a>" +
+        "<a href=\"https://a.com/y?utm_source=z\">2</a>" +
+        "<a href=\"https://b.com:8080/q#f\">3</a>"))
+      .toDF("doc_id", "html")
+    val out = graft.operators.WebPrep
+      .linkGraph(d, lit("s.com"), $"html")
+      .orderBy($"dst_host")
+      .as[(String, String, Long)].collect().toSeq
+    // www/scheme-case/utm noise all map to host a.com; the port drops
+    assert(out == Seq(("s.com", "a.com", 2L), ("s.com", "b.com", 1L)), s"got $out")
+  }
+
+  test("x115 split balance: marginals conserve and cells recompute exactly") {
+    val out = graft.operators.Sampling
+      .splitBalance(Tables.load(spark, sf("sf0.001"), "documents"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    val total = out.map(_._3).sum
+    assert(total == docs.count(), s"cells lost docs: $total")
+    val bySplit = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    out.foreach { case (sp, lg, n, expd, chi2) =>
+      val e = bySplit(sp).toDouble * byLang(lg).toDouble / total.toDouble
+      val rexp = BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val c = (n.toDouble - e) * (n.toDouble - e) / e
+      val rc = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(expd == rexp, s"($sp,$lg) expected $expd != $rexp")
+      assert(chi2 == rc, s"($sp,$lg) chi2 $chi2 != $rc")
+      assert(chi2 >= 0.0)
+    }
+  }
 }

@@ -1066,6 +1066,53 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming decayed popularity equals batch x111 at the frozen reference day") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+        .filter($"ts".isNotNull)
+      val batch = Analytics.decayPopularity(ev)
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(batch.nonEmpty && batch.values.exists(v => v._3 < v._2),
+        "vacuous fixture: no decay observed (all weights 1.0)")
+      // the batch face derives its reference from the corpus max day;
+      // the stream freezes the SAME day, so the two faces must agree
+      // cell-exactly under any replay chunking (order-independent sums)
+      val refDay = ev.agg(max(to_date($"ts"))).as[java.sql.Date].head().toLocalDate
+      val rows = ev.select($"event_type", $"ts".cast("long"))
+        .as[(String, Long)].collect().toSeq
+      val stream = MemoryStream[(String, Long)]
+      val q = StreamingOps.decayStream(
+          stream.toDF().toDF("event_type", "_sec")
+            .select($"event_type", $"_sec".cast("timestamp").as("ts")), refDay)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("decay_out").start()
+      try {
+        rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        // UPDATE mode: the last row per key is the converged score
+        val streamed = spark.table("decay_out")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"event_type").orderBy($"n_events".desc)))
+          .filter($"rn" === 1).drop("rn")
+          .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+        assert(streamed == batch,
+          s"drift: ${batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming token budget equals batch x56 on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
