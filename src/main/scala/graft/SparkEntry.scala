@@ -412,6 +412,18 @@ object SparkEntry {
     // x19's hash splits and the language label; the WITHIN-assignment
     // balance check complementing x69's cross-split leakage audit.
     "x115_split_balance"  -> (Sampling.splitBalanceQuery _),
+    // x116: anchor-text aggregation — terms inside <a> tags pooled per
+    // canonical destination host; the off-page relevance signal
+    // companion to x114's edge counts.
+    "x116_anchor_text"    -> (WebPrep.anchorTextQuery _),
+    // x117: conversion lag — seconds between each user's first view
+    // and first purchase (first-touch); the latency dimension x34's
+    // funnel counts don't carry.
+    "x117_conversion_lag" -> (Analytics.conversionLagQuery _),
+    // x118: vocabulary concentration — top terms covering 90% of each
+    // source's token mass; the empirical operating point next to
+    // x112's parametric Zipf slope.
+    "x118_vocab90"        -> (TextAnalysis.vocabCoverageQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -861,4 +861,38 @@ object Analytics {
   def decayPopularityQuery(spark: SparkSession, dir: String): DataFrame =
     decayPopularity(Tables.load(spark, dir, "events"))
       .orderBy(col("event_type"))
+
+  // ------------------------------------- conversion lag (x117)
+
+  /** x117: CONVERSION LAG — per user, the seconds between their FIRST
+    * `from` event and their FIRST `to` event (first-touch attribution;
+    * users whose first `to` precedes their first `from` never
+    * converted THROUGH the funnel and are excluded): the latency
+    * dimension x34's funnel counts don't carry, and the input to any
+    * time-to-convert percentile or cohort curve. All-integer output
+    * (unix seconds both sides — both engines floor the microseconds),
+    * one row per converting user.
+    *
+    * Shape: two filtered min-aggregates over one scan range, then an
+    * equi-join on user_id — both sides pre-aggregated to one row per
+    * user before the join, so the shuffle carries |users|, not
+    * |events|, and AQE can broadcast the smaller (converter) side. */
+  def conversionLag(events: DataFrame, from: String = "view",
+                    to: String = "purchase"): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+    def firstOf(t: String, as: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(min(col("ts")).as(as))
+    firstOf(from, "t_from").join(firstOf(to, "t_to"), Seq("user_id"))
+      .filter(col("t_to") >= col("t_from"))
+      .select(col("user_id"),
+        unix_timestamp(col("t_from")).as("from_sec"),
+        unix_timestamp(col("t_to")).as("to_sec"),
+        (unix_timestamp(col("t_to")) - unix_timestamp(col("t_from")))
+          .as("lag_sec"))
+  }
+
+  def conversionLagQuery(spark: SparkSession, dir: String): DataFrame =
+    conversionLag(Tables.load(spark, dir, "events"))
+      .orderBy(col("user_id"))
 }

@@ -355,6 +355,9 @@ object ExtrasOracle {
     "x113_truncation" -> truncationSql,
     "x114_link_graph" -> linkGraphSql,
     "x115_split_balance" -> splitBalanceSql,
+    "x116_anchor_text" -> anchorTextSql,
+    "x117_conversion_lag" -> conversionLagSql,
+    "x118_vocab90" -> vocabCoverageSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2325,6 +2328,110 @@ object ExtrasOracle {
        |        / (CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
        |           / CAST(total AS DOUBLE)), 6) AS chi2_term
        |FROM m ORDER BY split, lang""".stripMargin
+
+  /** DuckDB twin of WebPrep.anchorTextQuery (x116): the same planted
+    * anchors, the same whole-tag extraction then per-tag href/text
+    * pulls, the x102 ladder + host cut on the destination. */
+  private def anchorTextSql: String =
+    """WITH planted AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    '<p><a href="https://src' || CAST((doc_id * 7) % 20 AS VARCHAR) ||
+      |    '.example.com/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+      |    '">read src' || CAST((doc_id * 7) % 20 AS VARCHAR) ||
+      |    ' item ' || CAST(doc_id % 13 AS VARCHAR) || '</a>' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |      THEN '<a href="HTTPS://WWW.src' || CAST((doc_id * 3) % 20 AS VARCHAR)
+      |           || '.example.com/q?utm_source=x">visit src'
+      |           || CAST((doc_id * 3) % 20 AS VARCHAR) || ' now</a>'
+      |      ELSE '' END) || '</p>' AS html
+      |  FROM documents),
+      |anchors AS (
+      |  SELECT unnest(regexp_extract_all(html,
+      |    '<a href="[^"]*"[^>]*>[^<]*</a>')) AS a
+      |  FROM planted),
+      |parts AS (
+      |  SELECT regexp_extract(a, 'href="([^"]+)"', 1) AS url,
+      |    regexp_extract(a, '>([^<]*)</a>', 1) AS atext
+      |  FROM anchors),
+      |tidy AS (
+      |  SELECT atext,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(url, '#.*$', '', 'g'),
+      |          '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |        '([?&])&+', '\1', 'g'),
+      |      '[?&]$', '', 'g') AS t
+      |  FROM parts),
+      |canoned AS (
+      |  SELECT atext,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          CASE WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |            THEN lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+      |                 || regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1)
+      |            ELSE t END,
+      |          '^[a-z][a-z0-9+.-]*://', '', 'g'),
+      |        '^www\.', '', 'g'),
+      |      '(.)/$', '\1', 'g') AS canon
+      |  FROM tidy),
+      |terms AS (
+      |  SELECT
+      |    regexp_replace(regexp_extract(canon, '^([^/?#]*)', 1),
+      |      ':[0-9]+$', '', 'g') AS dst_host,
+      |    unnest(list_filter(string_split(atext, ' '), x -> x <> '')) AS term
+      |  FROM canoned)
+      |SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n_anchors
+      |FROM terms GROUP BY 1, 2
+      |ORDER BY dst_host, term""".stripMargin
+
+  /** DuckDB twin of Analytics.conversionLagQuery (x117): first-touch
+    * min timestamps per side, the same join + direction filter,
+    * epoch-second integers (both engines floor the microseconds). */
+  private def conversionLagSql: String =
+    """WITH f AS MATERIALIZED (
+      |  SELECT user_id, MIN(ts) AS t_from FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id),
+      |t AS MATERIALIZED (
+      |  SELECT user_id, MIN(ts) AS t_to FROM events
+      |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id)
+      |SELECT f.user_id,
+      |  CAST(floor(epoch(t_from)) AS BIGINT) AS from_sec,
+      |  CAST(floor(epoch(t_to)) AS BIGINT) AS to_sec,
+      |  CAST(floor(epoch(t_to)) - floor(epoch(t_from)) AS BIGINT) AS lag_sec
+      |FROM f JOIN t ON f.user_id = t.user_id
+      |WHERE t_to >= t_from
+      |ORDER BY f.user_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.vocabCoverageQuery (x118): the same
+    * totally-ordered ranks and running sums, the same all-integer
+    * `cum*100 >= pct*total` cut, one double division at the end. */
+  private def vocabCoverageSql: String =
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |  FROM documents),
+       |tc AS (SELECT source, t, COUNT(*) AS c FROM words GROUP BY source, t),
+       |ranked AS (
+       |  SELECT source, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY c DESC, t
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS total
+       |  FROM tc)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+       |  CAST(MIN(total) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(CASE WHEN cum * 100 >= ${TextAnalysis.VocabCoverPct} * total
+       |                THEN r END) AS BIGINT) AS head_types,
+       |  CAST(MIN(CASE WHEN cum * 100 >= ${TextAnalysis.VocabCoverPct} * total
+       |                THEN cum END) AS BIGINT) AS head_tokens,
+       |  ROUND(CAST(MIN(CASE WHEN cum * 100 >= ${TextAnalysis.VocabCoverPct} * total
+       |                  THEN cum END) AS DOUBLE)
+       |        / CAST(MIN(total) AS DOUBLE), 6) AS head_share
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

@@ -1297,4 +1297,56 @@ object TextAnalysis {
   def zipfSlopeQuery(spark: SparkSession, dir: String): DataFrame =
     zipfSlope(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
+
+  // ------------------------------- vocabulary concentration (x118)
+
+  /** x118's coverage target in percent, shared with the DuckDB twin. */
+  private[graft] val VocabCoverPct: Long = 90L
+
+  /** x118: VOCABULARY CONCENTRATION — per source: how many of its
+    * top-ranked terms cover `pct`% of its token mass, and the share
+    * the head actually covers at that cut. A tokenizer-budget and
+    * diversity statistic in one: a source whose 90% cut is a handful
+    * of types is templated/repetitive (cheap to tokenize, poor
+    * diversity); a long-tailed source needs vocabulary. Complements
+    * x112 (a parametric slope; this is the empirical curve's one
+    * operating point).
+    *
+    * All-integer decision arithmetic: the cut tests
+    * `cum·100 ≥ pct·total` on exact counts (no division), and the
+    * emitted head_share is ONE double division rounded at 6. Ranks
+    * are total-ordered (count desc, term asc).
+    *
+    * Shape: one scan → (source, term) hash agg → rank + running-sum
+    * windows over the vocabulary-sized aggregate (partitioned by
+    * source, never a global window) → conditional-min rollup to
+    * |sources| rows. */
+  def vocabCoverage(docs: DataFrame, pct: Long = VocabCoverPct): DataFrame = {
+    require(pct > 0 && pct <= 100, s"vocabCoverage: pct=$pct")
+    val tc = docs
+      .select(col("source"), explode(wsTokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("t"))
+    tc.withColumn("r", row_number().over(rw))
+      .withColumn("cum", sum(col("c")).over(
+        rw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        first(col("total")).as("n_tokens"),
+        min(when(col("cum") * 100 >= lit(pct) * col("total"), col("r")))
+          .as("head_types"),
+        min(when(col("cum") * 100 >= lit(pct) * col("total"), col("cum")))
+          .as("head_tokens"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        col("head_types"), col("head_tokens"),
+        round(col("head_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("head_share"))
+  }
+
+  def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 }

@@ -215,4 +215,47 @@ object WebPrep {
         concat(col("source"), lit(".example.com")), col("html"))
       .orderBy(col("src_host"), col("dst_host"))
   }
+
+  // ------------------------------------------ anchor text (x116)
+
+  /** x116: ANCHOR-TEXT AGGREGATION — the text inside `<a>` tags,
+    * term-exploded and aggregated per canonical DESTINATION host: the
+    * classic off-page relevance signal (what the web calls a page,
+    * not what the page calls itself), and the companion to x114's
+    * edge counts. Two-level explode (anchors per doc, terms per
+    * anchor), both bounded by markup size; the aggregate key space is
+    * |hosts|·|vocabulary| and collapses map-side. The href is
+    * canonicalized with the x102 ladder BEFORE hosting, so noise
+    * variants of one destination pool their anchor terms. */
+  def anchorText(docs: DataFrame, html: Column): DataFrame =
+    docs.select(explode(regexp_extract_all(html,
+        lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("a"))
+      .select(
+        urlHost(canonicalUrl(regexp_extract(col("a"), "href=\"([^\"]+)\"", 1)))
+          .as("dst_host"),
+        explode(TextAnalysis.wsTokens(
+          regexp_extract(col("a"), ">([^<]*)</a>", 1))).as("term"))
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).as("n_anchors"))
+
+  /** The x116 queries() face: anchors PLANTED with per-destination
+    * text (so the aggregation provably pools terms across source
+    * docs) and the x114 noise residues on the href; the DuckDB twin
+    * rebuilds the identical markup. */
+  def anchorTextQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val html = concat(
+      lit("<p><a href=\"https://src"), ((id * 7) % 20).cast("string"),
+      lit(".example.com/p/"), (id % 13).cast("string"),
+      lit("\">read src"), ((id * 7) % 20).cast("string"),
+      lit(" item "), (id % 13).cast("string"), lit("</a>"),
+      when(id % 3 === 0, concat(lit("<a href=\"HTTPS://WWW.src"),
+        ((id * 3) % 20).cast("string"),
+        lit(".example.com/q?utm_source=x\">visit src"),
+        ((id * 3) % 20).cast("string"), lit(" now</a>"))).otherwise(lit("")),
+      lit("</p>"))
+    anchorText(docs.withColumn("html", html), col("html"))
+      .orderBy(col("dst_host"), col("term"))
+  }
 }

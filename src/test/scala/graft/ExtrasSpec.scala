@@ -2450,4 +2450,41 @@ class ExtrasSpec extends SparkSpec {
       assert(chi2 >= 0.0)
     }
   }
+
+  test("x116 anchor text: terms pool across docs onto the canonical destination host") {
+    val d = Seq(
+      (1L, "<a href=\"HTTPS://WWW.a.com/x\">best widgets</a>"),
+      (2L, "<a href=\"https://a.com/y?utm_source=z\">cheap widgets</a>" +
+        "<a href=\"https://b.com/q\">other stuff</a>"))
+      .toDF("doc_id", "html")
+    val out = graft.operators.WebPrep.anchorText(d, $"html")
+      .orderBy($"dst_host", $"term")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a.com", "best", 1L), ("a.com", "cheap", 1L), ("a.com", "widgets", 2L),
+      ("b.com", "other", 1L), ("b.com", "stuff", 1L)), s"got $out")
+  }
+
+  test("x117 conversion lag: first-touch pairing, reverse-order users excluded") {
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "purchase", "2024-01-01 10:00:30"),
+      (1L, "view", "2024-01-01 09:00:00"),     // earlier first view wins
+      (2L, "purchase", "2024-01-01 08:00:00"), // purchased BEFORE ever viewing
+      (2L, "view", "2024-01-01 09:00:00"),
+      (3L, "view", "2024-01-01 10:00:00"))     // never converted
+      .toDF("user_id", "event_type", "s")
+      .select($"user_id", $"event_type", to_timestamp($"s").as("ts"))
+    val out = graft.operators.Analytics.conversionLag(ev)
+      .select($"user_id", $"lag_sec").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3630L)), s"got $out")
+  }
+
+  test("x118 vocab coverage: exact integer cut at the 90% token mass") {
+    // counts a:6 b:3 c:1 -> cum 6,9,10 of 10; 90% reached at rank 2
+    val d = Seq((1L, "a a a a a a b b b c")).toDF("doc_id", "text")
+      .withColumn("source", lit("s0"))
+    val out = TextAnalysis.vocabCoverage(d)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s0", 3L, 10L, 2L, 9L, 0.9)), s"got $out")
+  }
 }
