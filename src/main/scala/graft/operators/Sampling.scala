@@ -830,13 +830,17 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
     val wSplit = Window.partitionBy(col("split"))
     val wLang = Window.partitionBy(col("lang"))
-    val tot = cell.agg(sum(col("n_docs")).as("total"))
+    // the grand total is an unpartitioned window — over the ALREADY
+    // AGGREGATED |splits|·|langs| frame (bounded at any corpus scale),
+    // not raw data, so the one-partition WindowExec is harmless and a
+    // broadcast-scalar cross join would re-scan the corpus instead
+    val wAll = Window.partitionBy()
     val expected = col("split_total").cast("double") *
       col("lang_total").cast("double") / col("total").cast("double")
     cell
       .withColumn("split_total", sum(col("n_docs")).over(wSplit))
       .withColumn("lang_total", sum(col("n_docs")).over(wLang))
-      .crossJoin(broadcast(tot))
+      .withColumn("total", sum(col("n_docs")).over(wAll))
       .select(col("split"), col("lang"), col("n_docs"),
         round(expected, 6).as("expected"),
         round((col("n_docs").cast("double") - expected) *
