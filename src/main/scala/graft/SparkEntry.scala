@@ -424,6 +424,18 @@ object SparkEntry {
     // source's token mass; the empirical operating point next to
     // x112's parametric Zipf slope.
     "x118_vocab90"        -> (TextAnalysis.vocabCoverageQuery _),
+    // x119: host-reputation gate — domain-level filtering: admit each
+    // doc by its HOST's length-gate pass share (all-integer 2·pass ≥
+    // docs cut); the CCNet/RefinedWeb domain-filtering move.
+    "x119_host_reputation" -> (WebPrep.hostReputationQuery _),
+    // x120: hard-negative mining — nearest same-label (positive) and
+    // nearest different-label (hardest negative) per anchor; the
+    // triplet-mining step for contrastive training. Exact baseline
+    // face; the scale path mines from ANN candidates.
+    "x120_hard_negatives" -> (Similarity.hardNegativesQuery _),
+    // x121: tokenizer fertility per language — BPE-ish tokens per word
+    // + chars per token; the vocabulary-rebalancing statistic.
+    "x121_fertility"      -> (TextAnalysis.fertilityQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

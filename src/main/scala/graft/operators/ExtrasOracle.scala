@@ -358,6 +358,9 @@ object ExtrasOracle {
     "x116_anchor_text" -> anchorTextSql,
     "x117_conversion_lag" -> conversionLagSql,
     "x118_vocab90" -> vocabCoverageSql,
+    "x119_host_reputation" -> hostReputationSql,
+    "x120_hard_negatives" -> hardNegativesSql,
+    "x121_fertility" -> fertilitySql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2432,6 +2435,61 @@ object ExtrasOracle {
        |                  THEN cum END) AS DOUBLE)
        |        / CAST(MIN(total) AS DOUBLE), 6) AS head_share
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of WebPrep.hostReputationQuery (x119): the same
+    * planted host, the same all-integer 2*pass >= docs cut. */
+  private def hostReputationSql: String =
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT doc_id, source || '.example.com' AS host,
+       |    CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |           >= ${WebPrep.HostRepMinTokens} THEN 1 ELSE 0 END AS pass
+       |  FROM documents),
+       |rep AS MATERIALIZED (
+       |  SELECT host, CAST(COUNT(*) AS BIGINT) AS host_docs,
+       |    CAST(SUM(pass) AS BIGINT) AS host_pass
+       |  FROM scored GROUP BY host)
+       |SELECT s.doc_id, s.host, r.host_docs, r.host_pass,
+       |  CAST(CASE WHEN r.host_pass * 2 >= r.host_docs THEN 1 ELSE 0 END
+       |       AS BIGINT) AS admitted
+       |FROM scored s JOIN rep r USING (host)
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** DuckDB twin of Similarity.hardNegativesQuery (x120): brute-force
+    * sims, the same two-leg (anchor x is_pos) rank window with the
+    * (sim desc, nid) tie-break, ids only (x05/x07 discipline). */
+  private def hardNegativesSql: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+      |sims AS (
+      |  SELECT a.vec_id, b.vec_id AS nid, (a.label = b.label) AS is_pos,
+      |    list_cosine_similarity(a.embedding, b.embedding) AS sim
+      |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT vec_id, nid, is_pos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, is_pos
+      |                       ORDER BY sim DESC, nid) AS rk
+      |  FROM sims)
+      |SELECT vec_id,
+      |  MIN(CASE WHEN is_pos THEN nid END) AS pos_id,
+      |  MIN(CASE WHEN NOT is_pos THEN nid END) AS neg_id
+      |FROM r WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.fertilityQuery (x121): exact integer
+    * sums (x10's lexer expression), two double divisions, round 6. */
+  private def fertilitySql: String =
+    s"""WITH agg AS MATERIALIZED (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+       |         AS BIGINT) AS n_words,
+       |    CAST(SUM(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')))
+       |         AS BIGINT) AS n_bpe,
+       |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_bpe, n_chars,
+       |  ROUND(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
+       |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM agg ORDER BY lang""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

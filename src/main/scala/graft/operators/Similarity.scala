@@ -207,6 +207,48 @@ object Similarity {
       .select(col("id1"), col("id2"))
       .orderBy(col("id1"), col("id2"))
 
+  // ------------------------------------------ hard-negative mining (x120)
+
+  /** x120: HARD-NEGATIVE MINING — for every anchor vector, its nearest
+    * SAME-label neighbor (the positive) and its nearest DIFFERENT-label
+    * neighbor (the hardest negative): the triplet-mining step that
+    * turns a labeled embedding table into contrastive training pairs,
+    * where random negatives are too easy to carry gradient. Ids only
+    * (the x05/x07/x45 rank-only discipline — sims order, never emit).
+    *
+    * This face is the exact brute-force baseline (the x05 contract);
+    * the scale path mines negatives from ANN candidates
+    * ([[ivfTopK]] filtered to a different label) instead of the full
+    * pair grid, trading the guaranteed-hardest negative for
+    * O(probed-lists) cost — recall of that trade is what the x06
+    * recall specs measure. An anchor whose label has no other member
+    * keeps a null positive rather than vanishing.
+    *
+    * Shape: one symmetric sim computation, one two-leg rank window
+    * (partitioned by anchor x leg), conditional-min rollup to one row
+    * per anchor. */
+  def hardNegatives(vectors: DataFrame): DataFrame = {
+    val a = vectors.select(col("vec_id"), col("label"), col("embedding"))
+    val b = vectors.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("nemb"))
+    val w = Window.partitionBy(col("vec_id"), col("is_pos"))
+      .orderBy(col("sim").desc, col("nid"))
+    a.join(b, col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        (col("label") === col("nlabel")).as("is_pos"),
+        cosine(col("embedding"), col("nemb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("is_pos"), col("nid"))).as("pos_id"),
+        min(when(!col("is_pos"), col("nid"))).as("neg_id"))
+  }
+
+  def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 200))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------------ sign LSH
 
   /** Fused native bucket-id computation: ARRAY<LONG>, element t = bucket

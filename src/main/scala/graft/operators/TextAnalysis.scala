@@ -1349,4 +1349,38 @@ object TextAnalysis {
   def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
+
+  // ---------------------------------- tokenizer fertility (x121)
+
+  /** x121: TOKENIZER FERTILITY — per language: whitespace words,
+    * BPE-ish tokens (the [[tokenPattern]] lexer), characters, and the
+    * fertility ratio tokens/word — the standard tokenizer-evaluation
+    * statistic (how many subword tokens a word costs in each
+    * language). A language whose fertility is far above the corpus
+    * mean is under-served by the tokenizer and over-pays context
+    * budget; the number that drives vocabulary rebalancing. Exact
+    * integer sums + two double divisions rounded at 6.
+    *
+    * Shape: one scan, two regexp/split counters per row, |lang|-key
+    * hash agg with map-side partials. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(wsTokens(col("text"))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit(tokenPattern)).cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        col("n_chars"),
+        round(col("n_bpe").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6)
+          .as("chars_per_token"))
+
+  def fertilityQuery(spark: SparkSession, dir: String): DataFrame =
+    fertility(Tables.load(spark, dir, "documents"))
+      .orderBy(col("lang"))
 }

@@ -258,4 +258,43 @@ object WebPrep {
     anchorText(docs.withColumn("html", html), col("html"))
       .orderBy(col("dst_host"), col("term"))
   }
+
+  // --------------------------------------- host reputation gate (x119)
+
+  /** x119's length-gate threshold (the x18 minTokens) and the
+    * reputation cut (half the host's docs must pass), shared with the
+    * DuckDB twin. */
+  private[graft] val HostRepMinTokens: Long = 40L
+
+  /** x119: HOST-REPUTATION GATE — domain-level filtering (the
+    * CCNet/RefinedWeb move): score every HOST by the share of its
+    * documents passing a per-doc quality gate (here the x18 length
+    * gate), then admit or reject each document BY ITS HOST's score,
+    * not its own. The point of the host grain: a spam domain's
+    * individually-plausible pages all fall together, and a reputable
+    * domain's one short page survives. All-integer decision arithmetic
+    * (`2·host_pass ≥ host_docs` — no division), audit-shaped output.
+    *
+    * Shape: one scan → per-doc narrow token count → host-grain hash
+    * agg (|hosts| rows) → equi-join back on host. At 100 TB the
+    * join-back broadcasts the host table (domains are millions, not
+    * billions) and the doc side never shuffles. */
+  def hostReputation(docs: DataFrame, host: Column,
+                     minTokens: Long = HostRepMinTokens): DataFrame = {
+    val scored = docs.select(host.as("host"), col("doc_id"),
+      (size(TextAnalysis.wsTokens(col("text"))) >= minTokens).as("pass"))
+    val rep = scored.groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("host_pass"))
+    scored.join(broadcast(rep), Seq("host"))
+      .select(col("doc_id"), col("host"), col("host_docs"), col("host_pass"),
+        when(col("host_pass") * 2 >= col("host_docs"), 1L).otherwise(0L)
+          .as("admitted"))
+  }
+
+  def hostReputationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    hostReputation(docs, concat(col("source"), lit(".example.com")))
+      .orderBy(col("doc_id"))
+  }
 }

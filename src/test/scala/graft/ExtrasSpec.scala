@@ -2487,4 +2487,47 @@ class ExtrasSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq(("s0", 3L, 10L, 2L, 9L, 0.9)), s"got $out")
   }
+
+  test("x119 host reputation: a host's pass share gates every doc on it") {
+    val long = ("w " * 45).trim
+    val short = "too short"
+    val d = Seq(
+      (1L, "a", long), (2L, "a", short),   // host a: 1/2 pass -> admitted
+      (3L, "b", short), (4L, "b", short))  // host b: 0/2 pass -> rejected
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.WebPrep
+      .hostReputation(d, concat($"source", lit(".example.com")))
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a.example.com", 2L, 1L, 1L), (2L, "a.example.com", 2L, 1L, 1L),
+      (3L, "b.example.com", 2L, 0L, 0L), (4L, "b.example.com", 2L, 0L, 0L)),
+      s"got $out")
+  }
+
+  test("x120 hard negatives: nearest same-label positive, nearest cross-label negative, singleton label keeps null positive") {
+    val vecs = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0.9f, 0.1f)),
+      (2L, 1, Seq(0f, 1f)), (3L, 1, Seq(0.1f, 0.9f)),
+      (4L, 2, Seq(1f, 0.01f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(vecs)
+      .orderBy($"vec_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (0L, Some(1L), Some(4L)),  // 4 is nearly parallel to 0 but other-label
+      (1L, Some(0L), Some(4L)),
+      (2L, Some(3L), Some(1L)),  // cross-label best for (0,1): cos with 1 beats 0 and 4
+      (3L, Some(2L), Some(1L)),
+      (4L, None, Some(0L))), s"got $out")
+  }
+
+  test("x121 fertility: lexer token and char accounting") {
+    val d = Seq((1L, "ab cd, 12")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val out = TextAnalysis.fertility(d)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // words: [ab][cd,][12] = 3; bpe: [ab][cd][,][12] = 4; chars = 9
+    assert(out == Seq(("en", 1L, 3L, 4L, 9L, 1.333333, 2.25)), s"got $out")
+  }
 }
