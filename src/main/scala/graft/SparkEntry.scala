@@ -436,6 +436,14 @@ object SparkEntry {
     // x121: tokenizer fertility per language — BPE-ish tokens per word
     // + chars per token; the vocabulary-rebalancing statistic.
     "x121_fertility"      -> (TextAnalysis.fertilityQuery _),
+    // x122: event co-occurrence lift — unordered type pairs at the user
+    // grain with N·n_ab/(n_a·n_b); the order-free association view next
+    // to x75's sequential transitions.
+    "x122_cooccur_lift"   -> (Analytics.cooccurrenceLiftQuery _),
+    // x123: link-graph degree/reciprocity profile per host over x114's
+    // edge grain — the crawl-prioritizer features next to x119's
+    // content reputation (link farms reciprocate; organic graphs don't).
+    "x123_link_degrees"   -> (WebPrep.linkDegreesQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

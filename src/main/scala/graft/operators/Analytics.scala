@@ -895,4 +895,50 @@ object Analytics {
   def conversionLagQuery(spark: SparkSession, dir: String): DataFrame =
     conversionLag(Tables.load(spark, dir, "events"))
       .orderBy(col("user_id"))
+
+  // ------------------------------------ co-occurrence lift (x122)
+
+  /** x122: EVENT CO-OCCURRENCE LIFT — for every unordered pair of
+    * event types, how many users did both, and the lift
+    * N·n_ab / (n_a·n_b): >1 means doing one predicts doing the other
+    * (market-basket association at the user grain). Complements x75's
+    * transition matrix (sequential, order-sensitive) with the
+    * order-free association view.
+    *
+    * Determinism: all supports are exact distinct-user counts; the
+    * lift converts each count to double FIRST and uses the same
+    * parenthesization on both engines (no i64 product can overflow —
+    * products never form in integers), round 6.
+    *
+    * Shape: one scan → per-user distinct type set (hash agg) → a
+    * per-user self-join whose fan-out is |types|² per user (types are
+    * a handful, so the pair explosion is bounded) → |types|²-keyed
+    * aggregate; type marginals and the user total are aggregate-grain
+    * side tables, broadcast back. */
+  def cooccurrenceLift(events: DataFrame): DataFrame = {
+    val ut = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val tot = ut.agg(count_distinct(col("user_id")).as("n_users"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_users").cast("double") * col("n_ab").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
+
+  def cooccurrenceLiftQuery(spark: SparkSession, dir: String): DataFrame =
+    cooccurrenceLift(Tables.load(spark, dir, "events"))
+      .orderBy(col("type_a"), col("type_b"))
 }

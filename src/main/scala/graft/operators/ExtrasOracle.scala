@@ -361,6 +361,8 @@ object ExtrasOracle {
     "x119_host_reputation" -> hostReputationSql,
     "x120_hard_negatives" -> hardNegativesSql,
     "x121_fertility" -> fertilitySql,
+    "x122_cooccur_lift" -> cooccurLiftSql,
+    "x123_link_degrees" -> linkDegreesSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2490,6 +2492,69 @@ object ExtrasOracle {
        |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6)
        |    AS chars_per_token
        |FROM agg ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of Analytics.cooccurrenceLiftQuery (x122): the same
+    * distinct (user, type) frame, unordered pairs, exact supports,
+    * identical double-first lift parenthesization. */
+  private def cooccurLiftSql: String =
+    """WITH ut AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |marg AS MATERIALIZED (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+      |tot AS MATERIALIZED (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ma.n_t AS n_a, mb.n_t AS n_b, n_ab,
+      |  ROUND(CAST(n_users AS DOUBLE) * CAST(n_ab AS DOUBLE)
+      |        / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)), 6) AS lift
+      |FROM pairs
+      |JOIN marg ma ON ma.event_type = type_a
+      |JOIN marg mb ON mb.event_type = type_b, tot
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** DuckDB twin of WebPrep.linkDegreesQuery (x123): x114's twin as the
+    * edge CTE (the same planted graph), self-loop-free reciprocity via
+    * EXISTS on the swapped key. */
+  private def linkDegreesSql: String =
+    // the edge CTE is concatenated OUTSIDE stripMargin: linkGraphSql has
+    // continuation lines that BEGIN with the `||` concat operator, and a
+    // second stripMargin pass would eat one pipe ('||' -> '|', a binder
+    // error in DuckDB)
+    "WITH edges AS MATERIALIZED (\n" +
+      linkGraphSql.linesIterator.map("  " + _).mkString("\n") + "\n),\n" +
+    """outs AS (
+       |  SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS out_deg,
+       |    CAST(SUM(n_links) AS BIGINT) AS out_links
+       |  FROM edges GROUP BY 1),
+       |ins AS (
+       |  SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_deg,
+       |    CAST(SUM(n_links) AS BIGINT) AS in_links
+       |  FROM edges GROUP BY 1),
+       |ks AS MATERIALIZED (
+       |  SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host),
+       |recip AS (
+       |  SELECT k.src_host AS host, CAST(COUNT(*) AS BIGINT) AS recip_deg
+       |  FROM ks k
+       |  WHERE EXISTS (SELECT 1 FROM ks r
+       |                WHERE r.src_host = k.dst_host
+       |                  AND r.dst_host = k.src_host)
+       |  GROUP BY 1)
+       |SELECT COALESCE(o.host, i.host) AS host,
+       |  COALESCE(out_deg, CAST(0 AS BIGINT)) AS out_deg,
+       |  COALESCE(out_links, CAST(0 AS BIGINT)) AS out_links,
+       |  COALESCE(in_deg, CAST(0 AS BIGINT)) AS in_deg,
+       |  COALESCE(in_links, CAST(0 AS BIGINT)) AS in_links,
+       |  COALESCE(recip_deg, CAST(0 AS BIGINT)) AS recip_deg
+       |FROM outs o
+       |FULL OUTER JOIN ins i ON o.host = i.host
+       |LEFT JOIN recip r ON r.host = COALESCE(o.host, i.host)
+       |ORDER BY host""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

@@ -297,4 +297,47 @@ object WebPrep {
     hostReputation(docs, concat(col("source"), lit(".example.com")))
       .orderBy(col("doc_id"))
   }
+
+  // --------------------------------------- link-graph degrees (x123)
+
+  /** x123: LINK-GRAPH DEGREE / RECIPROCITY PROFILE — per host over an
+    * (src_host, dst_host, n_links) edge table (x114's output grain):
+    * distinct out/in neighbors, total out/in link volume, and how many
+    * of its out-neighbors link BACK (reciprocity — link farms
+    * reciprocate near 100%, organic linking doesn't; self-loops are
+    * excluded as trivially reciprocal). The host-level features a
+    * crawl prioritizer or spam model consumes next to x119's content
+    * reputation. All-integer.
+    *
+    * Shape: aggregate-grain all the way — two |hosts|-keyed rollups of
+    * the edge table, a self-join of the edge KEY SET with src/dst
+    * swapped for reciprocity (edge-grain, not corpus-grain), one full
+    * outer join to keep pure sources and pure sinks both. */
+  def linkDegrees(edges: DataFrame): DataFrame = {
+    val outs = edges.groupBy(col("src_host").as("host"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("n_links")).as("out_links"))
+    val ins = edges.groupBy(col("dst_host").as("host"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("n_links")).as("in_links"))
+    val keys = edges.select(col("src_host"), col("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+    val recip = keys.join(
+        keys.select(col("src_host").as("dst_host"), col("dst_host").as("src_host")),
+        Seq("src_host", "dst_host"), "left_semi")
+      .groupBy(col("src_host").as("host"))
+      .agg(count(lit(1)).as("recip_deg"))
+    outs.join(ins, Seq("host"), "full_outer")
+      .join(recip, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"),
+        coalesce(col("recip_deg"), lit(0L)).as("recip_deg"))
+  }
+
+  /** The x123 queries() face: degrees of the SAME planted graph x114
+    * aggregates, so the two reports cross-check. */
+  def linkDegreesQuery(spark: SparkSession, dir: String): DataFrame =
+    linkDegrees(linkGraphQuery(spark, dir))
+      .orderBy(col("host"))
 }

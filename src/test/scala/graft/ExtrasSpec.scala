@@ -2530,4 +2530,34 @@ class ExtrasSpec extends SparkSpec {
     // words: [ab][cd,][12] = 3; bpe: [ab][cd][,][12] = 4; chars = 9
     assert(out == Seq(("en", 1L, 3L, 4L, 9L, 1.333333, 2.25)), s"got $out")
   }
+
+  test("x122 co-occurrence lift: hand-computed supports, duplicates collapse") {
+    // users: 1 {a,b} (b twice — distinct set semantics), 2 {a,b}, 3 {a}, 4 {c}
+    // N=4; n_a=3, n_b=2, n_ab=2 -> lift(a,b) = 4*2/(3*2) = 1.333333
+    // n_c=1, n_ac=0 -> (a,c) pair absent (no co-occurrence row)
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    val out = graft.operators.Analytics.cooccurrenceLift(ev)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 3L, 2L, 2L, 1.333333)), s"got $out")
+  }
+
+  test("x123 link degrees: reciprocity excludes self-loops, sinks and sources both survive") {
+    val edges = Seq(
+      ("a", "b", 3L), ("b", "a", 1L),  // reciprocal pair
+      ("a", "c", 2L),                  // c is a pure sink
+      ("d", "d", 5L),                  // self-loop: volume counts, recip does not
+      ("d", "a", 1L))
+      .toDF("src_host", "dst_host", "n_links")
+    val out = graft.operators.WebPrep.linkDegrees(edges)
+      .orderBy($"host")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 5L, 2L, 2L, 1L),   // out: b,c; in: b,d; recip: only b
+      ("b", 1L, 1L, 1L, 3L, 1L),
+      ("c", 0L, 0L, 1L, 2L, 0L),
+      ("d", 2L, 6L, 1L, 5L, 0L)),  // self-loop in volumes, not reciprocity
+      s"got $out")
+  }
 }
