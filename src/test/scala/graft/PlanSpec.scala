@@ -393,4 +393,40 @@ class PlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p70).size <= 2, s"corpus rescanned:\n$p70")
     assert(p70.contains("TakeOrderedAndProject"), s"top-N should not global-sort:\n$p70")
   }
+
+  test("x109: BPE pair counting partial-aggregates before the shuffle; top-N never global-sorts") {
+    val p = plan("x109_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final:\n$p")
+  }
+
+  test("x115: split balance scans documents exactly once (marginals + total are windows over the cell aggregate)") {
+    val p = plan("x115_split_balance")
+    assert("FileScan".r.findAllIn(p).size == 1, s"corpus rescanned:\n$p")
+  }
+
+  test("x119: host reputation joins the host aggregate back as a broadcast — docs never shuffle for it") {
+    val p = plan("x119_host_reputation")
+    assert(p.contains("BroadcastHashJoin"), s"host table should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the document side must not shuffle:\n$p")
+  }
+
+  test("x112/x118: term ranking prunes with WindowGroupLimit / stays on the vocabulary-grain aggregate") {
+    val p12 = plan("x112_zipf_slope")
+    assert(p12.contains("WindowGroupLimit"),
+      s"rank<=K should prune before the full window sort:\n$p12")
+    // x118 keeps the whole vocabulary (the cut needs the full running
+    // sum), but both windows must share ONE exchange on source
+    val p18 = plan("x118_vocab90")
+    assert("FileScan".r.findAllIn(p18).size == 1, s"corpus rescanned:\n$p18")
+  }
+
+  test("x113/x121: per-source accounting never reads unneeded columns") {
+    val p13 = plan("x113_truncation")
+    assert(p13.contains("ReadSchema") && !p13.contains("n_chars") && !p13.contains("lang"),
+      s"unneeded columns read:\n$p13")
+    val p21 = plan("x121_fertility")
+    assert(!p21.contains("source") || !p21.contains("doc_id"),
+      s"unneeded columns read:\n$p21")
+  }
 }
