@@ -444,6 +444,10 @@ object SparkEntry {
     // edge grain — the crawl-prioritizer features next to x119's
     // content reputation (link farms reciprocate; organic graphs don't).
     "x123_link_degrees"   -> (WebPrep.linkDegreesQuery _),
+    // x124: robots-style path blocklist — (host, path_prefix) disallow
+    // table on the canonical key, longest matched prefix as the audit
+    // trail; the fetch-policy gate between frontier dedup and fetch.
+    "x124_robots_gate"    -> (WebPrep.robotsGateQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -363,6 +363,7 @@ object ExtrasOracle {
     "x121_fertility" -> fertilitySql,
     "x122_cooccur_lift" -> cooccurLiftSql,
     "x123_link_degrees" -> linkDegreesSql,
+    "x124_robots_gate" -> robotsGateSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2555,6 +2556,62 @@ object ExtrasOracle {
        |FULL OUTER JOIN ins i ON o.host = i.host
        |LEFT JOIN recip r ON r.host = COALESCE(o.host, i.host)
        |ORDER BY host""".stripMargin
+
+  /** DuckDB twin of WebPrep.robotsGateQuery (x124): the x104 plant and
+    * ladder, the rule VALUES generated from the SAME RobotsRules
+    * constant, host-equality + starts_with prefix match, lexicographic
+    * MAX = longest matching prefix (matching prefixes are nested). */
+  private def robotsGateSql: String = {
+    val ruleRows = WebPrep.RobotsRules
+      .map { case (h, p) => s"('$h', '$p')" }.mkString(", ")
+    s"""WITH planted AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    source || '.example.com/p/' || CAST(doc_id % 23 AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS url
+       |  FROM documents),
+       |tidy AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(url, '#.*$$', '', 'g'),
+       |          '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+       |        '([?&])&+', '\\1', 'g'),
+       |      '[?&]$$', '', 'g') AS t
+       |  FROM planted),
+       |canoned AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          CASE WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |            THEN lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+       |                 || regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$$', 1)
+       |            ELSE t END,
+       |          '^[a-z][a-z0-9+.-]*://', '', 'g'),
+       |        '^www\\.', '', 'g'),
+       |      '(.)/$$', '\\1', 'g') AS canon
+       |  FROM tidy),
+       |c2 AS (
+       |  SELECT doc_id, canon,
+       |    regexp_replace(regexp_extract(canon, '^([^/?#]*)', 1),
+       |      ':[0-9]+$$', '', 'g') AS host,
+       |    regexp_extract(canon, '(/.*)$$', 1) AS path
+       |  FROM canoned),
+       |rules(host, path_prefix) AS (VALUES $ruleRows),
+       |m AS (
+       |  SELECT c.doc_id, c.canon, c.host, MAX(r.path_prefix) AS matched_prefix
+       |  FROM c2 c LEFT JOIN rules r
+       |    ON r.host = c.host AND starts_with(c.path, r.path_prefix)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, canon, host, matched_prefix,
+       |  CAST(CASE WHEN matched_prefix IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS admitted
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

@@ -340,4 +340,65 @@ object WebPrep {
   def linkDegreesQuery(spark: SparkSession, dir: String): DataFrame =
     linkDegrees(linkGraphQuery(spark, dir))
       .orderBy(col("host"))
+
+  // ------------------------------------------- robots-style gate (x124)
+
+  /** x124's demo rule table, shared with the DuckDB twin: a full-host
+    * block, a path-prefix block, and a prefix that must NOT match
+    * mid-segment lookalikes. */
+  private[graft] val RobotsRules: Seq[(String, String)] = Seq(
+    ("src3.example.com", "/"),        // whole host disallowed
+    ("src7.example.com", "/p/1"),     // path-prefix disallow
+    ("src11.example.com", "/private"))// prefix that never matches the plant
+
+  /** x124: ROBOTS-STYLE PATH BLOCKLIST — the fetch-policy gate a
+    * crawler applies between frontier dedup (x104) and the fetch:
+    * a (host, path_prefix) disallow table, matched by host equality
+    * plus literal path-prefix (`Disallow:` semantics — no globbing),
+    * admit iff NO rule matches. Emits every record with the matched
+    * prefix (null when admitted) — the audit shape, and the matched
+    * rule is exactly what a crawl debugger asks for.
+    *
+    * Shape: canonicalize (map-only), LEFT join against the broadcast
+    * KB-scale rule table on host with the prefix test in the join
+    * condition, aggregate-free. At 100 TB the rule table is the small
+    * side by ~9 orders of magnitude; the corpus never shuffles. A URL
+    * matched by SEVERAL rules keeps the LONGEST prefix (most-specific,
+    * deterministic). */
+  def robotsGate(docs: DataFrame, rules: DataFrame,
+                 urlCol: String = "url"): DataFrame = {
+    val canoned = docs.select(col("doc_id"), col(urlCol).as("url"))
+      .withColumn("canon", canonicalUrl(col("url")))
+      .withColumn("host", urlHost(col("canon")))
+      // the path is everything from the first '/', '' for a bare host;
+      // query/fragment are gone or inert after canonicalization
+      .withColumn("path", regexp_extract(col("canon"), "(/.*)$", 1))
+    canoned
+      .join(broadcast(rules.select(col("host"), col("path_prefix"))),
+        canoned("host") === rules("host") &&
+          startswith(col("path"), col("path_prefix")), "left")
+      .groupBy(canoned("doc_id"), canoned("canon"), canoned("host"))
+      // all prefixes matching ONE path are prefixes of that path, hence
+      // nested — so the lexicographic max IS the longest (most-specific)
+      .agg(max(col("path_prefix")).as("matched_prefix"))
+      .select(col("doc_id"), col("canon"), col("host"), col("matched_prefix"),
+        when(col("matched_prefix").isNull, 1L).otherwise(0L).as("admitted"))
+  }
+
+  /** The x124 queries() face: the x104 colliding URL plant against
+    * [[RobotsRules]] — src3 fully blocked, src7 blocked only on the
+    * /p/1* slots, src11's rule never fires. */
+  def robotsGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS://").otherwise(lit("https://")),
+      when(id % 3 === 0, "WWW.").otherwise(lit("")),
+      col("source"), lit(".example.com/p/"), (id % 23).cast("string"),
+      when(id % 5 === 0, "?utm_source=feed").otherwise(lit("")),
+      when(id % 11 === 0, "#sec2").otherwise(lit("")))
+    val rules = RobotsRules.toDF("host", "path_prefix")
+    robotsGate(docs.withColumn("url", url), rules).orderBy(col("doc_id"))
+  }
 }

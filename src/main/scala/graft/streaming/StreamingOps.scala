@@ -823,6 +823,30 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------- streaming host-reputation gate (x119's face) --
+
+  /** Streaming face of [[graft.operators.WebPrep.hostReputation]]
+    * (x119): the live domain filter — each arriving document is
+    * admitted or rejected by its HOST's FROZEN reputation (the
+    * host-grain (host_docs, host_pass) aggregate computed over a
+    * reference crawl and handed in as a bounded table — the
+    * frozen-baseline discipline of the temperature/OOV/clip gates).
+    * Stateless: a broadcast join plus the SAME all-integer
+    * `2·host_pass ≥ host_docs` cut as the batch face, so replay over
+    * any chunking equals batch x119 against the same reputation
+    * (spec-asserted). An UNSEEN host passes with null reputation
+    * fields rather than being silently dropped — new domains surface
+    * downstream, the x68 unseen-source contract. */
+  def hostRepGateStream(docs: DataFrame, reputation: DataFrame,
+                        host: Column): DataFrame =
+    docs.withColumn("host", host)
+      .join(broadcast(reputation.select(col("host"), col("host_docs"),
+        col("host_pass"))), Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("host_docs"), col("host_pass"),
+        when(col("host_docs").isNull, 1L)
+          .otherwise(when(col("host_pass") * 2 >= col("host_docs"), 1L)
+            .otherwise(0L)).as("admitted"))
+
   // --------------------- streaming decayed popularity (x111's face) --
 
   case class DecayScore(event_type: String, n_events: Long,

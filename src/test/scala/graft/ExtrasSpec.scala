@@ -2560,4 +2560,67 @@ class ExtrasSpec extends SparkSpec {
       ("d", 2L, 6L, 1L, 5L, 0L)),  // self-loop in volumes, not reciprocity
       s"got $out")
   }
+
+  test("x124 robots gate: host match + path prefix, longest rule wins, unlisted hosts pass") {
+    val rules = Seq(("a.com", "/"), ("a.com", "/p/1"), ("b.com", "/private"))
+      .toDF("host", "path_prefix")
+    val d = Seq(
+      (1L, "https://a.com/p/1x"),   // matches '/' AND '/p/1' -> longest
+      (2L, "https://a.com/q"),      // matches only '/'
+      (3L, "https://b.com/public"), // rule host matches, prefix does not
+      (4L, "https://c.com/p/1"))    // unlisted host
+      .toDF("doc_id", "url")
+    val out = graft.operators.WebPrep.robotsGate(d, rules)
+      .orderBy($"doc_id")
+      .as[(Long, String, String, Option[String], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a.com/p/1x", "a.com", Some("/p/1"), 0L),
+      (2L, "a.com/q", "a.com", Some("/"), 0L),
+      (3L, "b.com/public", "b.com", None, 1L),
+      (4L, "c.com/p/1", "c.com", None, 1L)), s"got $out")
+  }
+
+  test("x119 streaming host-reputation gate equals batch on replay; unseen hosts pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = Tables.load(spark, sf("sf0.001"), "documents")
+    val hostCol = concat($"source", lit(".example.com"))
+    // minTokens=60 (not the default 40): at sf0.001 every host passes
+    // the default gate, which would make the equality vacuous
+    val batch = graft.operators.WebPrep.hostReputation(d, hostCol, minTokens = 60L)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(batch.values.map(_._5).toSet == Set(0L, 1L),
+      s"vacuous fixture: gate never splits")
+    // the frozen reputation = the same reference crawl's host aggregate
+    val rep = graft.operators.WebPrep.hostReputation(d, hostCol, minTokens = 60L)
+      .select($"host", $"host_docs", $"host_pass").distinct()
+    val rows = d.select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingOps.hostRepGateStream(
+        stream.toDF().toDF("doc_id", "source", "text"), rep,
+        concat($"source", lit(".example.com")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hostrep_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("hostrep_out")
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(streamed == batch,
+        s"drift: ${batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }.take(5)}")
+      // the unseen-host contract: a doc from a host absent in the
+      // frozen reputation passes with null reputation fields
+      stream.addData(Seq((999999L, "brandnew", "hello fresh host")))
+      q.processAllAvailable()
+      val fresh = spark.table("hostrep_out")
+        .filter($"doc_id" === 999999L)
+        .select($"admitted", $"host_docs".isNull, $"host_pass".isNull)
+        .as[(Long, Boolean, Boolean)].collect().toSeq
+      assert(fresh == Seq((1L, true, true)), s"got $fresh")
+    } finally q.stop()
+  }
 }
