@@ -448,6 +448,14 @@ object SparkEntry {
     // table on the canonical key, longest matched prefix as the audit
     // trail; the fetch-policy gate between frontier dedup and fetch.
     "x124_robots_gate"    -> (WebPrep.robotsGateQuery _),
+    // x125: dialog/sequence-integrity audit — per thread: turns, roles,
+    // alternation breaks in a total (ts, event_id) order, span; the
+    // malformed-conversation screen for instruction data.
+    "x125_dialog_audit"   -> (Analytics.dialogAuditQuery _),
+    // x126: rate-burst detection — hourly counts per type z-scored
+    // against the type's own hourly distribution; the volume-anomaly
+    // complement to x33's value anomalies.
+    "x126_rate_bursts"    -> (Analytics.rateBurstsQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

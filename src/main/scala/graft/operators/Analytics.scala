@@ -941,4 +941,80 @@ object Analytics {
   def cooccurrenceLiftQuery(spark: SparkSession, dir: String): DataFrame =
     cooccurrenceLift(Tables.load(spark, dir, "events"))
       .orderBy(col("type_a"), col("type_b"))
+
+  // ------------------------------------- dialog sequence audit (x125)
+
+  /** x125: DIALOG / SEQUENCE-INTEGRITY AUDIT — per thread (here the
+    * user's event stream as the stand-in conversation): turn count,
+    * distinct roles, ALTERNATION BREAKS (consecutive turns by the same
+    * role — the malformed-conversation signal an instruction-data
+    * pipeline rejects before pairing turns into training examples),
+    * and the thread's time span. The sequence-validation shape: one
+    * lag window per thread in a total (ts, event_id) order, so ties
+    * cannot flip verdicts between engines.
+    *
+    * Shape: one scan → per-thread window (partitioned — no global
+    * sort) → per-thread hash agg. All-integer output. */
+  def dialogAudit(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").as("thread_id"), col("event_type").as("role"),
+        col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("thread_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_role", lag(col("role"), 1).over(w))
+      .groupBy(col("thread_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        count_distinct(col("role")).as("n_roles"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_breaks"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("span_sec"))
+  }
+
+  def dialogAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    dialogAudit(Tables.load(spark, dir, "events"))
+      .orderBy(col("thread_id"))
+
+  // ------------------------------------------- rate bursts (x126)
+
+  /** x126's z threshold, shared with the DuckDB twin. */
+  private[graft] val BurstZ: Double = 2.0
+
+  /** x126: RATE-BURST DETECTION — hourly event counts per type, each
+    * hour z-scored against ITS TYPE's own hourly distribution; hours
+    * with z ≥ 2 flag as bursts. The volume-anomaly complement to x33
+    * (which z-scores the VALUE column): an ingestion spike, a bot
+    * burst, a dead feed's flatline all show up here first. Counts and
+    * their moments are exact integers (no decimal needed — the x80
+    * argument specialized to integer observations); mean/variance/z
+    * are the same closed-form double expressions on both engines,
+    * round 6. Single-bucket types yield null z via nullif.
+    *
+    * Shape: one scan → (type, hour) hash agg → per-type moments over
+    * the bucket-grain aggregate (a second tiny agg + broadcast back)
+    * — raw events shuffle once. */
+  def rateBursts(events: DataFrame, zThreshold: Double = BurstZ): DataFrame = {
+    val buckets = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"))
+      .agg(count(lit(1)).as("c"))
+    val m = buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val (n, sc, scc) = (col("n").cast("double"), col("sc").cast("double"),
+      col("scc").cast("double"))
+    val mean = sc / n
+    val variance = (n * scc - sc * sc) / nullif(n * (n - 1), lit(0d))
+    val z = (col("c").cast("double") - mean) / nullif(sqrt(variance), lit(0d))
+    buckets.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), col("hour_sec"), col("c"),
+        round(z, 6).as("z"),
+        when(round(z, 6) >= zThreshold, 1L).otherwise(0L).as("burst"))
+  }
+
+  def rateBurstsQuery(spark: SparkSession, dir: String): DataFrame =
+    rateBursts(Tables.load(spark, dir, "events"))
+      .orderBy(col("event_type"), col("hour_sec"))
 }

@@ -364,6 +364,8 @@ object ExtrasOracle {
     "x122_cooccur_lift" -> cooccurLiftSql,
     "x123_link_degrees" -> linkDegreesSql,
     "x124_robots_gate" -> robotsGateSql,
+    "x125_dialog_audit" -> dialogAuditSql,
+    "x126_rate_bursts" -> rateBurstsSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2612,6 +2614,54 @@ object ExtrasOracle {
        |    AS admitted
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB twin of Analytics.dialogAuditQuery (x125): the same total
+    * (ts, event_id) lag order, floored-epoch span. */
+  private def dialogAuditSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id AS thread_id, event_type AS role, ts, event_id
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |lagged AS (
+      |  SELECT thread_id, role, ts,
+      |    lag(role) OVER (PARTITION BY thread_id ORDER BY ts, event_id)
+      |      AS prev_role
+      |  FROM ev)
+      |SELECT thread_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles,
+      |  CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_breaks,
+      |  CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT)
+      |    AS span_sec
+      |FROM lagged GROUP BY thread_id ORDER BY thread_id""".stripMargin
+
+  /** DuckDB twin of Analytics.rateBurstsQuery (x126): exact integer
+    * bucket counts and moments, the identical closed-form z (x80's
+    * parenthesization), round 6, the same round-then-compare burst
+    * flag. */
+  private def rateBurstsSql: String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_sec,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+       |  FROM b GROUP BY 1),
+       |j AS (
+       |  SELECT b.event_type, hour_sec, c,
+       |    ROUND((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / nullif(sqrt((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+       |                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+       |                    / nullif(CAST(n AS DOUBLE)
+       |                             * (CAST(n AS DOUBLE) - 1), 0)), 0), 6) AS z
+       |  FROM b JOIN m ON m.event_type = b.event_type)
+       |SELECT event_type, hour_sec, c, z,
+       |  CAST(CASE WHEN z >= ${Analytics.BurstZ} THEN 1 ELSE 0 END AS BIGINT)
+       |    AS burst
+       |FROM j ORDER BY event_type, hour_sec""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

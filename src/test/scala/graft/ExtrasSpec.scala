@@ -2623,4 +2623,36 @@ class ExtrasSpec extends SparkSpec {
       assert(fresh == Seq((1L, true, true)), s"got $fresh")
     } finally q.stop()
   }
+
+  test("x125 dialog audit: alternation breaks counted in (ts, event_id) order") {
+    val ev = Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "b", "2024-01-01 10:00:10"),
+      (3L, 1L, "b", "2024-01-01 10:00:20"),  // break: b after b
+      (4L, 1L, "a", "2024-01-01 10:01:00"),
+      (5L, 2L, "a", "2024-01-01 11:00:00"))  // singleton thread
+      .toDF("event_id", "user_id", "event_type", "s")
+      .select($"event_id", $"user_id", $"event_type",
+        to_timestamp($"s").as("ts"))
+    val out = graft.operators.Analytics.dialogAudit(ev)
+      .orderBy($"thread_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 1L, 60L), (2L, 1L, 1L, 0L, 0L)),
+      s"got $out")
+  }
+
+  test("x126 rate bursts: a 20x hour flags, quiet hours do not") {
+    // 7 quiet hours (1 event) + one 20-event hour: z = 2.4748 >= 2
+    val rows = (0 until 7).map(h => (h.toLong, s"2024-01-01 0$h:30:00")) ++
+      (0 until 20).map(i => (100L + i, "2024-01-01 07:15:00"))
+    val ev = rows.toDF("event_id", "s")
+      .select($"event_id", to_timestamp($"s").as("ts"),
+        lit("click").as("event_type"))
+    val out = graft.operators.Analytics.rateBursts(ev)
+      .select($"hour_sec", $"burst").as[(Long, Long)].collect().toMap
+    assert(out.size == 8 && out.values.sum == 1L, s"got $out")
+    val burstHour = out.collectFirst { case (h, 1L) => h }.get
+    assert(burstHour == java.time.Instant.parse("2024-01-01T07:00:00Z")
+      .getEpochSecond, s"wrong hour flagged: $burstHour")
+  }
 }
