@@ -456,6 +456,14 @@ object SparkEntry {
     // against the type's own hourly distribution; the volume-anomaly
     // complement to x33's value anomalies.
     "x126_rate_bursts"    -> (Analytics.rateBurstsQuery _),
+    // x127: two-sample KS between train and val token-length ECDFs per
+    // source — the continuous-variable split audit next to x115's
+    // label contingency.
+    "x127_ks_audit"       -> (Sampling.ksSplitAuditQuery _),
+    // x128: PSI between train/val token-length buckets (Laplace +1 over
+    // observed buckets) per source — the binned drift metric; the same
+    // shape later certifies corpus snapshots against each other.
+    "x128_psi_drift"      -> (Sampling.psiSplitAuditQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

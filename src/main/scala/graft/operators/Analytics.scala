@@ -996,10 +996,7 @@ object Analytics {
     * the bucket-grain aggregate (a second tiny agg + broadcast back)
     * — raw events shuffle once. */
   def rateBursts(events: DataFrame, zThreshold: Double = BurstZ): DataFrame = {
-    val buckets = events.filter(col("ts").isNotNull)
-      .groupBy(col("event_type"),
-        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"))
-      .agg(count(lit(1)).as("c"))
+    val buckets = hourlyBuckets(events)
     val m = buckets.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
         sum(col("c") * col("c")).as("scc"))
@@ -1013,6 +1010,21 @@ object Analytics {
         round(z, 6).as("z"),
         when(round(z, 6) >= zThreshold, 1L).otherwise(0L).as("burst"))
   }
+
+  /** x126's (type, hour) count grain, shared by the batch face and the
+    * moment extraction the streaming face freezes. */
+  def hourlyBuckets(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The per-type hourly moments (n, Σc, Σc²) over a reference window —
+    * what [[graft.streaming.StreamingOps.burstStream]] freezes. */
+  def rateMoments(events: DataFrame): DataFrame =
+    hourlyBuckets(events).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
 
   def rateBurstsQuery(spark: SparkSession, dir: String): DataFrame =
     rateBursts(Tables.load(spark, dir, "events"))

@@ -366,6 +366,8 @@ object ExtrasOracle {
     "x124_robots_gate" -> robotsGateSql,
     "x125_dialog_audit" -> dialogAuditSql,
     "x126_rate_bursts" -> rateBurstsSql,
+    "x127_ks_audit" -> ksAuditSql,
+    "x128_psi_drift" -> psiDriftSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2662,6 +2664,73 @@ object ExtrasOracle {
        |  CAST(CASE WHEN z >= ${Analytics.BurstZ} THEN 1 ELSE 0 END AS BIGINT)
        |    AS burst
        |FROM j ORDER BY event_type, hour_sec""".stripMargin
+
+  /** DuckDB twin of Sampling.ksSplitAuditQuery (x127): the shared x19
+    * split CASE, exact cumulative counts over a total length order,
+    * identical double ECDF-gap tree, order-free MAX, round 6. */
+  private def ksAuditSql: String =
+    s"""WITH tagged AS MATERIALIZED (
+       |  SELECT source, ${splitCaseSql("doc_id")} AS split,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |         AS BIGINT) AS len
+       |  FROM documents),
+       |f AS (
+       |  SELECT source, len,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c1,
+       |    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c2
+       |  FROM tagged WHERE split IN ('train', 'val') GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source,
+       |    SUM(c1) OVER (PARTITION BY source ORDER BY len
+       |                  ROWS UNBOUNDED PRECEDING) AS cum1,
+       |    SUM(c2) OVER (PARTITION BY source ORDER BY len
+       |                  ROWS UNBOUNDED PRECEDING) AS cum2,
+       |    SUM(c1) OVER (PARTITION BY source) AS n1,
+       |    SUM(c2) OVER (PARTITION BY source) AS n2
+       |  FROM f)
+       |SELECT source, CAST(MIN(n1) AS BIGINT) AS n_train,
+       |  CAST(MIN(n2) AS BIGINT) AS n_val,
+       |  ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |                - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of Sampling.psiSplitAuditQuery (x128): the x110 bucket
+    * expression, +1 Laplace smoothing over the source's observed
+    * buckets, per-bucket term pinned at 6 into DECIMAL(18,6) with the
+    * identical (p−q)·round6(ln(p/q)) tree, exact decimal sum. */
+  private def psiDriftSql: String =
+    s"""WITH tagged AS MATERIALIZED (
+       |  SELECT source, ${splitCaseSql("doc_id")} AS split,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |         AS BIGINT) AS len
+       |  FROM documents),
+       |b AS (
+       |  SELECT source,
+       |    CASE WHEN len = 1 THEN CAST(1 AS BIGINT)
+       |         ELSE (CAST(1 AS BIGINT) << length(bin(len - 1))) END AS bucket,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c1,
+       |    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c2
+       |  FROM tagged WHERE split IN ('train', 'val') AND len >= 1
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT source, c1, c2,
+       |    SUM(c1) OVER (PARTITION BY source) AS n1,
+       |    SUM(c2) OVER (PARTITION BY source) AS n2,
+       |    COUNT(*) OVER (PARTITION BY source) AS nb
+       |  FROM b),
+       |t AS (
+       |  SELECT source, n1, n2, nb,
+       |    CAST(ROUND((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+       |                - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+       |      * ROUND(ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+       |                 / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))),
+       |              6), 6) AS DECIMAL(18,6)) AS term
+       |  FROM w)
+       |SELECT source, CAST(MIN(n1) AS BIGINT) AS n_train,
+       |  CAST(MIN(n2) AS BIGINT) AS n_val,
+       |  CAST(MIN(nb) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(term) AS DOUBLE) AS psi
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

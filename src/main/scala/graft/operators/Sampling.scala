@@ -851,4 +851,103 @@ object Sampling {
   def splitBalanceQuery(spark: SparkSession, dir: String): DataFrame =
     splitBalance(Tables.load(spark, dir, "documents"))
       .orderBy(col("split"), col("lang"))
+
+  // -------------------------------- split KS distribution audit (x127)
+
+  /** x127: SPLIT KS AUDIT — the two-sample Kolmogorov–Smirnov statistic
+    * between train's and val's token-length distributions, per source:
+    * D = max over x of |F_train(x) − F_val(x)|. x115 checks the LABEL
+    * contingency; this is the continuous-variable counterpart — a hash
+    * split that accidentally correlates with length (e.g. id-ordered
+    * ingestion + length drift) shows up here before it poisons eval.
+    *
+    * Determinism: cumulative counts are exact integers over a total
+    * value order; each ECDF gap is two correctly-rounded divisions and
+    * a subtraction (identical tree both engines), and D is the max of
+    * those per-value doubles (order-free), round 6. The double form
+    * (not cum1·n2 − cum2·n1 integers) is deliberate: the integer cross
+    * product overflows i64 once both splits exceed ~3·10⁹ rows.
+    *
+    * Shape: one scan → (source, split, length) hash agg → rank/cumsum
+    * windows partitioned by source over the value-grain aggregate →
+    * per-source max rollup. */
+  def ksSplitAudit(docs: DataFrame): DataFrame = {
+    val tagged = docs.select(col("source"),
+        assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len"))
+      .filter(col("split").isin("train", "val"))
+    val perVal = tagged.groupBy(col("source"), col("len"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    perVal
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .groupBy(col("source"))
+      .agg(first(col("n1")).as("n_train"), first(col("n2")).as("n_val"),
+        round(max(abs(col("cum1").cast("double") / col("n1").cast("double") -
+          col("cum2").cast("double") / col("n2").cast("double"))), 6).as("ks"))
+  }
+
+  def ksSplitAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    ksSplitAudit(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
+
+  // ------------------------------------------- split PSI drift (x128)
+
+  /** x128: SPLIT PSI — the population stability index between train's
+    * and val's token-length BUCKET distributions (x110's power-of-two
+    * capacities), per source: Σ_b (p_b − q_b)·ln(p_b/q_b) with +1
+    * Laplace smoothing over the source's observed buckets (so an
+    * empty-on-one-side bucket contributes a finite, deterministic
+    * term instead of ±∞). The binned drift metric ML monitoring runs
+    * on every feature; here it certifies the split, and later the
+    * same shape certifies corpus snapshots against each other.
+    * PSI < 0.1 is the conventional "stable" band.
+    *
+    * Determinism: p and q are single divisions of exact integers; each
+    * bucket term is rounded at 6 into DECIMAL(18,6) (per-row
+    * engine-identical), the per-source sum is exact decimal, emitted
+    * as DOUBLE — the x82 discipline with the transcendental pinned
+    * inside the term.
+    *
+    * Shape: one scan → (source, bucket) hash agg → totals as windows
+    * over the bucket-grain aggregate → per-source decimal sum. */
+  def psiSplitAudit(docs: DataFrame): DataFrame = {
+    val n = col("len")
+    val tagged = docs.select(col("source"),
+        assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len"))
+      .filter(col("split").isin("train", "val") && n >= 1L)
+      .withColumn("bucket",
+        when(n === 1L, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(len - 1)))")))
+    val perBucket = tagged.groupBy(col("source"), col("bucket"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c2"))
+    val wAll = Window.partitionBy(col("source"))
+    val p = (col("c1") + 1).cast("double") /
+      (col("n1") + col("nb")).cast("double")
+    val q = (col("c2") + 1).cast("double") /
+      (col("n2") + col("nb")).cast("double")
+    perBucket
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .select(col("source"), col("n1"), col("n2"), col("nb"),
+        round((p - q) * round(log(p / q), 6), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("source"))
+      .agg(first(col("n1")).as("n_train"), first(col("n2")).as("n_val"),
+        first(col("nb")).as("n_buckets"),
+        sum(col("term")).cast("double").as("psi"))
+  }
+
+  def psiSplitAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    psiSplitAudit(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 }

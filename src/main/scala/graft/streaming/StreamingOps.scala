@@ -847,6 +847,41 @@ object StreamingOps {
           .otherwise(when(col("host_pass") * 2 >= col("host_docs"), 1L)
             .otherwise(0L)).as("admitted"))
 
+  // ------------------------ streaming rate bursts (x126's face) ------
+
+  /** Streaming face of [[graft.operators.Analytics.rateBursts]] (x126):
+    * the live volume-anomaly monitor — a watermarked tumbling 1-hour
+    * count per event type, z-scored against FROZEN per-type hourly
+    * moments (n, Σc, Σc² from a reference window — the frozen-baseline
+    * discipline) the moment the hour closes. Append mode: each (type,
+    * hour) verdict emits exactly once, when the watermark passes the
+    * window end. The z arithmetic is the SAME closed form as the batch
+    * face (identical parenthesization), so replay over in-horizon data
+    * equals batch x126 against the same moments (spec-asserted). A
+    * type absent from the moments yields null z / burst=0 rather than
+    * dropping (the unseen-key contract). */
+  def burstStream(events: DataFrame, moments: DataFrame,
+                  zThreshold: Double = graft.operators.Analytics.BurstZ,
+                  watermark: String = "2 hours"): DataFrame = {
+    val counted = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("hour_sec"), col("c"))
+    val (n, sc, scc) = (col("n").cast("double"), col("sc").cast("double"),
+      col("scc").cast("double"))
+    val mean = sc / n
+    val variance = (n * scc - sc * sc) / nullif(n * (n - 1), lit(0d))
+    val z = (col("c").cast("double") - mean) / nullif(sqrt(variance), lit(0d))
+    counted
+      .join(broadcast(moments.select(col("event_type"), col("n"), col("sc"),
+        col("scc"))), Seq("event_type"), "left")
+      .select(col("event_type"), col("hour_sec"), col("c"),
+        round(z, 6).as("z"),
+        when(round(z, 6) >= zThreshold, 1L).otherwise(0L).as("burst"))
+  }
+
   // --------------------- streaming decayed popularity (x111's face) --
 
   case class DecayScore(event_type: String, n_events: Long,

@@ -2655,4 +2655,70 @@ class ExtrasSpec extends SparkSpec {
     assert(burstHour == java.time.Instant.parse("2024-01-01T07:00:00Z")
       .getEpochSecond, s"wrong hour flagged: $burstHour")
   }
+
+  test("x127 ks audit: disjoint length distributions give ks 1, length-blind splits stay low") {
+    import graft.operators.Sampling
+    // find which split the REAL hash sends each candidate id to, then
+    // plant train docs at 5 tokens and val docs at 50 -> ECDFs are
+    // fully separated -> D = 1 exactly
+    val assign = (0L until 500L).toDF("doc_id")
+      .select($"doc_id",
+        Sampling.assignSplit($"doc_id", "graft", Seq(
+          "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .as[(Long, String)].collect()
+    val planted = assign.collect {
+      case (id, "train") => (id, "s0", ("w " * 5).trim)
+      case (id, "val")   => (id, "s0", ("w " * 50).trim)
+    }.toSeq.toDF("doc_id", "source", "text")
+    val out = Sampling.ksSplitAudit(planted)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.length == 1 && out.head._4 == 1.0, s"got $out")
+    assert(out.head._2 > 0 && out.head._3 > 0, s"vacuous split: $out")
+    // the real corpus: only bounds — at sf0.001 val has 1-5 docs per
+    // source, so the small-sample KS is legitimately large (src11's
+    // single val doc gives D=1.0); the statistic itself is what's
+    // under test, not the corpus
+    val real = Sampling
+      .ksSplitAudit(Tables.load(spark, sf("sf0.001"), "documents"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(real.length == 20 && real.forall(r => r._4 >= 0.0 && r._4 <= 1.0),
+      s"ks out of range: ${real.maxBy(_._4)}")
+  }
+
+  test("x128 psi drift: hand-computed two-bucket case; real corpus in range") {
+    import graft.operators.Sampling
+    // train docs at 5 tokens (bucket 8), val docs at 50 (bucket 64):
+    // fully separated buckets, psi recomputed here with the op's exact
+    // arithmetic (round-6 ln, round-6 term, HALF_UP)
+    val assign = (0L until 500L).toDF("doc_id")
+      .select($"doc_id",
+        Sampling.assignSplit($"doc_id", "graft", Seq(
+          "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .as[(Long, String)].collect()
+    val planted = assign.collect {
+      case (id, "train") => (id, "s0", ("w " * 5).trim)
+      case (id, "val")   => (id, "s0", ("w " * 50).trim)
+    }.toSeq.toDF("doc_id", "source", "text")
+    val t = assign.count(_._2 == "train").toLong
+    val v = assign.count(_._2 == "val").toLong
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(c1: Long, c2: Long): Double = {
+      val p = (c1 + 1).toDouble / (t + 2).toDouble
+      val q = (c2 + 1).toDouble / (v + 2).toDouble
+      r6((p - q) * r6(math.log(p / q)))
+    }
+    val expectedPsi = BigDecimal(term(t, 0L)) + BigDecimal(term(0L, v))
+    val out = Sampling.psiSplitAudit(planted)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s0", t, v, 2L, expectedPsi.toDouble)), s"got $out")
+    // real corpus: PSI is finite and >= 0 up to term rounding (val has
+    // 1-5 docs per source at sf0.001, so magnitudes are legitimately
+    // large — bounds only)
+    val real = Sampling
+      .psiSplitAudit(Tables.load(spark, sf("sf0.001"), "documents"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(real.length == 20 && real.forall(r => r._5 > -1e-4 && !r._5.isNaN),
+      s"bad psi: ${real.minBy(_._5)}")
+  }
 }

@@ -1113,6 +1113,40 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming rate bursts equal batch x126 against the frozen moments") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val ev = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      .filter($"ts".isNotNull)
+    val moments = Analytics.rateMoments(ev)
+    val batch = Analytics.rateBursts(ev)
+      .as[(String, Long, Long, Option[Double], Long)].collect().toSet
+    assert(batch.exists(_._5 == 1L), "vacuous fixture: no burst hour")
+
+    // time-ascending chunks so the watermark closes windows as it
+    // advances; a far-future sentinel closes the final real hour (its
+    // own window never closes, so it never emits)
+    val rows = ev.select($"event_type", $"ts".cast("long"))
+      .orderBy($"ts").as[(String, Long)].collect().toSeq
+    val sentinel = ("zzz_sentinel", rows.map(_._2).max + 10L * 86400L)
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamingOps.burstStream(
+        stream.toDF().toDF("event_type", "_sec")
+          .select($"event_type", $"_sec".cast("timestamp").as("ts")),
+        moments)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("burst_out").start()
+    try {
+      (rows.grouped((rows.size + 2) / 3).toSeq :+ Seq(sentinel)).foreach {
+        chunk => stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("burst_out")
+        .as[(String, Long, Long, Option[Double], Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing: ${(batch -- streamed).take(3)}; extra: ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming token budget equals batch x56 on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
