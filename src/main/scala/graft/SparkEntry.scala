@@ -464,6 +464,10 @@ object SparkEntry {
     // observed buckets) per source — the binned drift metric; the same
     // shape later certifies corpus snapshots against each other.
     "x128_psi_drift"      -> (Sampling.psiSplitAuditQuery _),
+    // x129: fixed-size nearest-neighbor image resize (the vision-encoder
+    // preprocessing stage) over fixtures + synthetic payloads; pixel
+    // hash pins the raster, PNG bytes stay out of the output.
+    "x129_media_resize"   -> (graft.functions.Multimodal.mediaResizeQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
@@ -474,7 +478,7 @@ object SparkEntry {
   val rowsOnly: Set[String] =
     Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
       "x15_hll_rollup", "x17_quant_knn", "x49_kll_quantiles",
-      "x51_media_probe", "x54_freq_topk")
+      "x51_media_probe", "x54_freq_topk", "x129_media_resize")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

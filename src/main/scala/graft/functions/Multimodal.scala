@@ -481,6 +481,118 @@ object Multimodal {
       .orderBy(col("asset_id"))
   }
 
+  // ------------------------------------------------ resize (x129) ----
+
+  /** One resized image: PNG bytes of the output raster plus a rolling
+    * hash over its ARGB ints (row-major, base 31 mod 2^31−1 — the x11
+    * fingerprint arithmetic on pixels), so a spec can pin the exact
+    * pixel content without a golden blob. `real=false` marks payloads
+    * ImageIO could not decode (stub: empty bytes, hash of the payload
+    * instead — plans and schema identical either way). */
+  case class Resized(asset_id: Long, kind: String, out_w: Int, out_h: Int,
+                     real: Boolean, px_hash: Long, png: Array[Byte])
+
+  /** REAL nearest-neighbor resample of a decoded raster: source index
+    * sx = ⌊x·w/ow⌋, sy = ⌊y·h/oh⌋ — pure integer math, so the output
+    * raster is bit-deterministic for a given decode (no interpolation,
+    * no float rounding). The standard thumbnail/preprocess step before
+    * a vision encoder with a fixed input size; swapping in area-average
+    * or a GPU kernel changes this function, not the plumbing. */
+  private[graft] def resizeNearest(img: java.awt.image.BufferedImage,
+                                   ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, img.getRGB((x.toLong * w / ow).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private[graft] def pixelHash(img: java.awt.image.BufferedImage): Long = {
+    var acc = 7L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = (acc * 31 + (img.getRGB(x, y) & 0xffffffffL)) % 2147483647L
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  private[graft] def payloadHash(payload: Array[Byte]): Long = {
+    var acc = 7L
+    var i = 0
+    while (i < payload.length) {
+      acc = (acc * 31 + (payload(i) & 0xff)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  /** Resize every decodable image asset to a fixed (ow, oh) — the
+    * vision-encoder preprocessing stage, completing the
+    * decode / feature-extract / frame-sample / RESIZE quartet.
+    * mapPartitions (the [[decode]] batch shape); undecodable payloads
+    * keep their row with `real=false` and a payload hash, so the
+    * output is total over the input and the quarantine leg is a
+    * filter. */
+  def resize(assets: Dataset[MediaAsset], ow: Int, oh: Int): Dataset[Resized] = {
+    require(ow > 0 && oh > 0, s"resize: ${ow}x$oh")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.getUseCache
+      it.map { a =>
+        decodeImagePixels(a.payload) match {
+          case Some(img) =>
+            val r = resizeNearest(img, ow, oh)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r, "png", bos)
+            Resized(a.asset_id, a.kind, ow, oh, real = true,
+              pixelHash(r), bos.toByteArray)
+          case None =>
+            Resized(a.asset_id, a.kind, ow, oh, real = false,
+              payloadHash(a.payload), Array.emptyByteArray)
+        }
+      }
+    }
+  }
+
+  /** x129: the resize stage as a driver-checkable query — the committed
+    * image fixtures plus synthetic payloads through [[resize]] at 8×8.
+    * Deterministic integers only (the PNG bytes stay out of the
+    * output: PNG encoding is deflate-parameterized and not pinned
+    * cross-JVM; the pixel hash IS pinned because the raster is).
+    * Rows-only at the oracle gate (DuckDB cannot decode), pixel-exact
+    * assertions in MultimodalSpec. */
+  def mediaResizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bytes(p: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val fixtures = spark.createDataset(Seq(
+      MediaAsset(9000001L, "image", bytes(graft.Fixtures.tinyPng),
+        Map("origin" -> "fixture")),
+      MediaAsset(9000003L, "video", bytes(graft.Fixtures.tinyGif),
+        Map("origin" -> "fixture"))))
+    val synth = syntheticAssets(spark,
+      graft.core.Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 100), "doc_id", "text")
+    resize(fixtures.unionByName(synth), 8, 8)
+      .select(col("asset_id"), col("kind"), col("out_w"), col("out_h"),
+        col("real"), col("px_hash"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Build a media table from any (id, string) source — test/dev helper
     * that manufactures payloads without external files. */
   def syntheticAssets(spark: SparkSession, src: DataFrame,

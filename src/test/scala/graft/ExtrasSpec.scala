@@ -2721,4 +2721,32 @@ class ExtrasSpec extends SparkSpec {
     assert(real.length == 20 && real.forall(r => r._5 > -1e-4 && !r._5.isNaN),
       s"bad psi: ${real.minBy(_._5)}")
   }
+
+  test("x129 resize: nearest-neighbor pixels equal the independent source-index recomputation") {
+    import graft.functions.Multimodal
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.tinyPng))
+    val assets = spark.createDataset(Seq(
+      Multimodal.MediaAsset(1L, "image", png, Map.empty),
+      Multimodal.MediaAsset(2L, "audio", Array[Byte](1, 2, 3), Map.empty)))
+    val out = Multimodal.resize(assets, 3, 2).collect().sortBy(_.asset_id)
+    // independent recomputation: decode the fixture HERE and apply the
+    // NN index mapping sx = floor(x*w/ow), sy = floor(y*h/oh) directly
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).png))
+    assert(out(0).real && resized.getWidth == 3 && resized.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (sx, sy) = (x * src.getWidth / 3, y * src.getHeight / 2)
+      assert(resized.getRGB(x, y) == src.getRGB(sx, sy),
+        s"pixel ($x,$y) != source ($sx,$sy)")
+    }
+    // the emitted hash is the hash OF THAT RASTER (the spec-pinnable
+    // image of the pixels, PNG encoding kept out of the contract)
+    assert(out(0).px_hash == Multimodal.pixelHash(
+      Multimodal.resizeNearest(src, 3, 2)))
+    // undecodable payload keeps its row: stub hash, empty bytes
+    assert(!out(1).real && out(1).png.isEmpty &&
+      out(1).px_hash == Multimodal.payloadHash(Array[Byte](1, 2, 3)))
+  }
 }
