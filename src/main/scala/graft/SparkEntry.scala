@@ -468,6 +468,14 @@ object SparkEntry {
     // preprocessing stage) over fixtures + synthetic payloads; pixel
     // hash pins the raster, PNG bytes stay out of the output.
     "x129_media_resize"   -> (graft.functions.Multimodal.mediaResizeQuery _),
+    // x130: snapshot PSI — x128's drift metric between the x88 old/new
+    // corpus snapshots; the one-number release gate that fires on a
+    // distributional shift even when doc counts look normal.
+    "x130_snapshot_psi"   -> (Sampling.snapshotPsiQuery _),
+    // x131: join-key skew profile — distinct keys, heaviest key, exact
+    // frequency percentiles, max/mean skew ratio; the measurement that
+    // decides when x38's salting is worth its overhead.
+    "x131_skew_profile"   -> (SkewTools.skewProfileQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -368,6 +368,8 @@ object ExtrasOracle {
     "x126_rate_bursts" -> rateBurstsSql,
     "x127_ks_audit" -> ksAuditSql,
     "x128_psi_drift" -> psiDriftSql,
+    "x130_snapshot_psi" -> snapshotPsiSql,
+    "x131_skew_profile" -> skewProfileSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2731,6 +2733,71 @@ object ExtrasOracle {
        |  CAST(MIN(nb) AS BIGINT) AS n_buckets,
        |  CAST(SUM(term) AS DOUBLE) AS psi
        |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of Sampling.snapshotPsiQuery (x130): the x88 snapshot
+    * plant, the x128 PSI arithmetic verbatim (shared psiCore on the
+    * Spark side; shared term/window shape here). */
+  private def snapshotPsiSql: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |tagged AS MATERIALIZED (
+      |  SELECT source, TRUE AS is_a,
+      |    CAST(CASE WHEN doc_id % 23 = 0 THEN greatest(len(w) - 1, 0)
+      |              ELSE len(w) END AS BIGINT) AS len
+      |  FROM w WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT source, FALSE AS is_a, CAST(len(w) AS BIGINT) AS len
+      |  FROM w WHERE doc_id % 19 <> 0),
+      |b AS (
+      |  SELECT source,
+      |    CASE WHEN len = 1 THEN CAST(1 AS BIGINT)
+      |         ELSE (CAST(1 AS BIGINT) << length(bin(len - 1))) END AS bucket,
+      |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS c2
+      |  FROM tagged WHERE len >= 1 GROUP BY 1, 2),
+      |ww AS (
+      |  SELECT source, c1, c2,
+      |    SUM(c1) OVER (PARTITION BY source) AS n1,
+      |    SUM(c2) OVER (PARTITION BY source) AS n2,
+      |    COUNT(*) OVER (PARTITION BY source) AS nb
+      |  FROM b),
+      |t AS (
+      |  SELECT source, n1, n2, nb,
+      |    CAST(ROUND((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+      |                - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+      |      * ROUND(ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+      |                 / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))),
+      |              6), 6) AS DECIMAL(18,6)) AS term
+      |  FROM ww)
+      |SELECT source, CAST(MIN(n1) AS BIGINT) AS n_old,
+      |  CAST(MIN(n2) AS BIGINT) AS n_new,
+      |  CAST(MIN(nb) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(term) AS DOUBLE) AS psi
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of SkewTools.skewProfileQuery (x131): per-key counts,
+    * quantile_cont through DECIMAL(18,4) (the x28 percentile idiom),
+    * identical three-conversion skew tree. */
+  private def skewProfileSql: String = {
+    def one(table: String, key: String) =
+      s"""SELECT '$table.$key' AS key_name,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(c) AS BIGINT) AS n_rows,
+         |    CAST(MAX(c) AS BIGINT) AS max_c,
+         |    CAST(CAST(quantile_cont(c, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50_c,
+         |    CAST(CAST(quantile_cont(c, 0.99) AS DECIMAL(18,4)) AS DOUBLE) AS p99_c
+         |  FROM (SELECT $key, COUNT(*) AS c FROM $table GROUP BY 1)""".stripMargin
+    s"""WITH u AS (
+       |  ${one("lineitem", "l_orderkey")}
+       |  UNION ALL
+       |  ${one("orders", "o_custkey")})
+       |SELECT key_name, n_keys, n_rows, max_c, p50_c, p99_c,
+       |  ROUND(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |        / CAST(n_rows AS DOUBLE), 6) AS skew
+       |FROM u ORDER BY key_name""".stripMargin
+  }
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

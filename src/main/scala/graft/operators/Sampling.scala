@@ -918,17 +918,29 @@ object Sampling {
     * Shape: one scan → (source, bucket) hash agg → totals as windows
     * over the bucket-grain aggregate → per-source decimal sum. */
   def psiSplitAudit(docs: DataFrame): DataFrame = {
-    val n = col("len")
     val tagged = docs.select(col("source"),
         assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
         size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len"))
-      .filter(col("split").isin("train", "val") && n >= 1L)
+      .filter(col("split").isin("train", "val"))
+      .select(col("source"), (col("split") === "train").as("is_a"), col("len"))
+    psiCore(tagged)
+      .select(col("source"), col("n_a").as("n_train"), col("n_b").as("n_val"),
+        col("n_buckets"), col("psi"))
+  }
+
+  /** The PSI kernel x128 and x130 share: a tagged (source, is_a, len)
+    * frame → per-source PSI over the x110 power-of-two length buckets
+    * with +1 Laplace smoothing. See [[psiSplitAudit]] for the
+    * determinism discipline. */
+  private[graft] def psiCore(tagged: DataFrame): DataFrame = {
+    val n = col("len")
+    val perBucket = tagged.filter(n >= 1L)
       .withColumn("bucket",
         when(n === 1L, 1L)
           .otherwise(expr("shiftleft(1L, length(bin(len - 1)))")))
-    val perBucket = tagged.groupBy(col("source"), col("bucket"))
-      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c2"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
     val wAll = Window.partitionBy(col("source"))
     val p = (col("c1") + 1).cast("double") /
       (col("n1") + col("nb")).cast("double")
@@ -942,7 +954,7 @@ object Sampling {
         round((p - q) * round(log(p / q), 6), 6)
           .cast("decimal(18,6)").as("term"))
       .groupBy(col("source"))
-      .agg(first(col("n1")).as("n_train"), first(col("n2")).as("n_val"),
+      .agg(first(col("n1")).as("n_a"), first(col("n2")).as("n_b"),
         first(col("nb")).as("n_buckets"),
         sum(col("term")).cast("double").as("psi"))
   }
@@ -950,4 +962,39 @@ object Sampling {
   def psiSplitAuditQuery(spark: SparkSession, dir: String): DataFrame =
     psiSplitAudit(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
+
+  // --------------------------------------- snapshot PSI drift (x130)
+
+  /** x130: SNAPSHOT PSI — the x128 drift metric between two CORPUS
+    * SNAPSHOTS (x88's old/new pair) instead of two splits: per source,
+    * did this release's token-length distribution move? x88 answers
+    * WHICH documents changed; this answers whether the change matters
+    * distributionally — the one-number release gate that fires on a
+    * truncation bug or an ingest regime change even when doc counts
+    * look normal. Shares [[psiCore]] with x128 verbatim, cashing the
+    * "same shape certifies corpus snapshots" claim. */
+  def snapshotPsi(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def tag(df: DataFrame, a: Boolean) =
+      df.select(col("source"), lit(a).as("is_a"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len"))
+    psiCore(tag(oldSnap, a = true).unionByName(tag(newSnap, a = false)))
+      .select(col("source"), col("n_a").as("n_old"), col("n_b").as("n_new"),
+        col("n_buckets"), col("psi"))
+  }
+
+  /** The x130 queries() face: the SAME deterministic x88 snapshot plant
+    * (old = drop id≡0 mod 17, edit id≡0 mod 23 by one token; new =
+    * drop id≡0 mod 19), so diff and drift read the same release. */
+  def snapshotPsiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 23 === 0,
+          array_join(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))), " "))
+          .otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 19 =!= 0)
+    snapshotPsi(oldSnap, newSnap).orderBy(col("source"))
+  }
 }

@@ -67,4 +67,47 @@ object SkewTools {
       .select(col("l_orderkey"), col("l_linenumber"), col("partkey"), col("p_brand"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
+
+  // --------------------------------------------- skew profiler (x131)
+
+  /** x131: JOIN-KEY SKEW PROFILE — the measurement that DECIDES when
+    * [[saltedJoin]] (x38) or AQE skew splitting is worth its overhead:
+    * per candidate key column, the distinct-key count, row count, the
+    * heaviest key's frequency, exact frequency percentiles, and the
+    * skew ratio max/mean. A ratio near 1 means salting only adds
+    * shuffle width; a ratio of 10³ means one task owns the stage.
+    *
+    * Determinism: counts are exact; p50/p99 follow the x28 discipline
+    * (exact interpolated percentile through DECIMAL(18,4), emitted
+    * DOUBLE); skew is max_c·n_keys/n_rows as three exact-int→double
+    * conversions in an identical tree, round 6.
+    *
+    * Shape per profiled key: one (key) hash agg (map-side partials),
+    * then a 1-row rollup of the |keys|-grain counts — the profile
+    * costs one shuffle of key cardinality, nothing more. */
+  def keySkewProfile(df: DataFrame, keyCol: String,
+                     label: String): DataFrame = {
+    import graft.core.Determinism.{dec, decOut}
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        decOut(dec(percentile(col("c"), lit(0.5)))).as("p50_c"),
+        decOut(dec(percentile(col("c"), lit(0.99)))).as("p99_c"))
+      .select(lit(label).as("key_name"), col("n_keys"), col("n_rows"),
+        col("max_c"), col("p50_c"), col("p99_c"),
+        round(col("max_c").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 6).as("skew"))
+  }
+
+  /** The x131 queries() face: the two join keys the relational suite
+    * actually shuffles on — lineitem.l_orderkey (near-uniform) and
+    * orders.o_custkey (mild natural skew). */
+  def skewProfileQuery(spark: SparkSession, dir: String): DataFrame =
+    keySkewProfile(Tables.load(spark, dir, "lineitem"), "l_orderkey",
+        "lineitem.l_orderkey")
+      .unionByName(keySkewProfile(Tables.load(spark, dir, "orders"),
+        "o_custkey", "orders.o_custkey"))
+      .orderBy(col("key_name"))
 }

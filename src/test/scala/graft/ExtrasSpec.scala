@@ -2749,4 +2749,39 @@ class ExtrasSpec extends SparkSpec {
     assert(!out(1).real && out(1).png.isEmpty &&
       out(1).px_hash == Multimodal.payloadHash(Array[Byte](1, 2, 3)))
   }
+
+  test("x130 snapshot psi: identical snapshots read zero, a shifted one reads positive") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"source", $"text")
+    // identical snapshots: every bucket has c1 = c2 and n1 = n2, so
+    // every smoothed term is exactly 0 -> psi 0 on every source
+    val same = Sampling.snapshotPsi(docs, docs)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(same.length == 20 && same.forall(_._5 == 0.0),
+      s"identical snapshots drifted: ${same.maxBy(_._5)}")
+    // a new snapshot with every text halved shifts the whole length
+    // distribution down one-plus buckets -> strictly positive psi
+    val toks = graft.operators.TextAnalysis.wsTokens($"text")
+    val halved = docs.withColumn("text",
+      array_join(slice(toks, lit(1), greatest(size(toks) / 2, lit(1))), " "))
+    val moved = Sampling.snapshotPsi(docs, halved)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(moved.forall(_._5 > 0.05), s"shift not detected: ${moved.minBy(_._5)}")
+  }
+
+  test("x131 skew profile: a planted hot key dominates the ratio") {
+    import graft.operators.SkewTools
+    // 99 singleton keys + one key with 100 rows: max_c=100, n_keys=100,
+    // n_rows=199 -> skew = 100*100/199 = 50.251256
+    val rows = (1L to 99L).map(k => (k, "x")) ++ (0 until 100).map(_ => (1000L, "x"))
+    val df = rows.toDF("k", "pad")
+    val out = SkewTools.keySkewProfile(df, "k", "t.k")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(out._1 == "t.k" && out._2 == 100L && out._3 == 199L && out._4 == 100L,
+      s"got $out")
+    assert(out._7 == BigDecimal(100.0 * 100.0 / 199.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"skew ${out._7}")
+    assert(out._5 == 1.0, s"p50 ${out._5}") // median of 99x1 and 1x100
+  }
 }
