@@ -476,6 +476,10 @@ object SparkEntry {
     // frequency percentiles, max/mean skew ratio; the measurement that
     // decides when x38's salting is worth its overhead.
     "x131_skew_profile"   -> (SkewTools.skewProfileQuery _),
+    // x132: exact-proportion stratified split — md5-rank within source
+    // cut at integer thresholds; guarantees per-stratum counts where
+    // x19's hash ranges only guarantee expectations.
+    "x132_exact_split"    -> (Sampling.exactSplitQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

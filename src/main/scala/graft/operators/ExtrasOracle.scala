@@ -370,6 +370,7 @@ object ExtrasOracle {
     "x128_psi_drift" -> psiDriftSql,
     "x130_snapshot_psi" -> snapshotPsiSql,
     "x131_skew_profile" -> skewProfileSql,
+    "x132_exact_split" -> exactSplitSql,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size
@@ -2797,6 +2798,24 @@ object ExtrasOracle {
        |  ROUND(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE)
        |        / CAST(n_rows AS DOUBLE), 6) AS skew
        |FROM u ORDER BY key_name""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.exactSplitQuery (x132): the same
+    * (bucket, doc_id) total rank, the same integer floor thresholds
+    * (DuckDB // = Spark div). */
+  private def exactSplitSql: String = {
+    val bucket = bucketSql("doc_id::VARCHAR", "graft")
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY $bucket, doc_id) AS r,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents)
+       |SELECT doc_id, source,
+       |  CASE WHEN r <= n * 8 // 10 THEN 'train'
+       |       WHEN r <= n * 9 // 10 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted

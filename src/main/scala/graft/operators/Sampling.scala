@@ -963,6 +963,43 @@ object Sampling {
     psiSplitAudit(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
 
+  // ---------------------------------- exact-proportion split (x132)
+
+  /** x132: EXACT-PROPORTION STRATIFIED SPLIT — the complement of x19's
+    * hash-range split: within each source, rank docs by the SAME md5
+    * priority and cut at exact integer thresholds, so every source
+    * lands exactly ⌊n·80%⌋ / ⌊n·90%⌋−⌊n·80%⌋ / rest in
+    * train/val/test. x19 is O(0) state and append-stable but only
+    * EXPECTED proportions — a 30-doc source can put 0 docs in val;
+    * this form spends one rank window per source to guarantee counts
+    * (what eval needs for small strata). The same trade as x26 vs
+    * x37's heap.
+    *
+    * Determinism: the priority is (hashBucket, doc_id) — totally
+    * ordered; thresholds are integer floor products (`n·8 div 10`),
+    * exact in both engines.
+    *
+    * Shape: one scan → per-source rank window (partitioned, no global
+    * sort) over the doc grain. At 100 TB this is the expensive split
+    * (a full shuffle on source); x19 stays the default, this is the
+    * small-strata tool. */
+  def exactSplit(docs: DataFrame, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hashBucket(col("doc_id"), salt), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("source"),
+        when(col("r") <= expr("n * 8 div 10"), "train")
+          .when(col("r") <= expr("n * 9 div 10"), "val")
+          .otherwise("test").as("split"))
+  }
+
+  def exactSplitQuery(spark: SparkSession, dir: String): DataFrame =
+    exactSplit(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------- snapshot PSI drift (x130)
 
   /** x130: SNAPSHOT PSI — the x128 drift metric between two CORPUS

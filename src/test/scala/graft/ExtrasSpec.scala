@@ -2784,4 +2784,19 @@ class ExtrasSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"skew ${out._7}")
     assert(out._5 == 1.0, s"p50 ${out._5}") // median of 99x1 and 1x100
   }
+
+  test("x132 exact split: every source lands exactly floor-threshold counts") {
+    import graft.operators.Sampling
+    val out = Sampling.exactSplit(Tables.load(spark, sf("sf0.001"), "documents"))
+      .groupBy($"source", $"split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // 25 docs per source at sf0.001: train floor(25*8/10)=20,
+    // val floor(25*9/10)-20=2, test 3 — EXACT on every source (the
+    // guarantee x19's hash ranges cannot give)
+    out.foreach { case (src, m) =>
+      assert(m == Map("train" -> 20L, "val" -> 2L, "test" -> 3L),
+        s"$src split counts: $m")
+    }
+  }
 }
