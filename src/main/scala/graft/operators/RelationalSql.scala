@@ -519,6 +519,313 @@ object RelationalSql {
     "x41_chunks" -> chunkSparkSql,
     "x42_weighted_group" -> weightedGroupSparkSql,
     "x43_top_terms" -> topTermsSparkSql,
+
+    // ---- r12 extensions (x109+): the SQL a user would type for each,
+    // result-identical to the DataFrame faces (SqlSurfaceSpec).
+    "x109_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT w FROM documents
+         |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS w),
+         |pairs AS (
+         |  SELECT pair FROM words
+         |  LATERAL VIEW explode(transform(sequence(1, CAST(length(w) - 1 AS INT)),
+         |                                 i -> substring(w, i, 2))) t AS pair
+         |  WHERE length(w) >= 2)
+         |SELECT pair, COUNT(1) AS n_pair FROM pairs GROUP BY pair
+         |ORDER BY n_pair DESC, pair LIMIT ${TextAnalysis.BpeTopPairs}""".stripMargin,
+
+    "x110_pack_audit" ->
+      """WITH tok AS (
+        |  SELECT CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)
+        |    AS n_tokens FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN n_tokens = 1 THEN 1L
+        |         ELSE shiftleft(1L, length(bin(n_tokens - 1))) END AS capacity
+        |  FROM tok WHERE n_tokens >= 1)
+        |SELECT capacity, COUNT(1) AS n_docs, SUM(n_tokens) AS n_tokens,
+        |  COUNT(1) * capacity AS padded_slots,
+        |  COUNT(1) * capacity - SUM(n_tokens) AS padding,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE)
+        |        / CAST(COUNT(1) * capacity AS DOUBLE), 6) AS efficiency
+        |FROM b GROUP BY capacity ORDER BY capacity""".stripMargin,
+
+    "x111_decay_pop" ->
+      s"""WITH ref AS (
+         |  SELECT max(to_date(ts)) AS d1 FROM events WHERE ts IS NOT NULL),
+         |w AS (
+         |  SELECT event_type,
+         |    CAST(round(pow(0.5D, CAST(datediff(d1, to_date(ts)) AS DOUBLE)
+         |                         / ${Analytics.DecayHalflifeDays}D), 6)
+         |         AS DECIMAL(18,6)) AS w
+         |  FROM events CROSS JOIN ref WHERE ts IS NOT NULL)
+         |SELECT event_type, COUNT(1) AS n_events,
+         |  CAST(SUM(w) AS DOUBLE) AS decayed_count
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x112_zipf_slope" ->
+      s"""WITH tc AS (
+         |  SELECT source, t, COUNT(1) AS c FROM documents
+         |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) v AS t
+         |  GROUP BY source, t),
+         |ranked AS (
+         |  SELECT source, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r
+         |  FROM tc),
+         |m AS (
+         |  SELECT source, COUNT(1) AS n_terms,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+         |  FROM (SELECT source,
+         |          CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |          CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |        FROM ranked WHERE r <= ${TextAnalysis.ZipfTopTerms})
+         |  GROUP BY source)
+         |SELECT source, n_terms,
+         |  round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+         |    / nullif(CAST(n_terms AS DOUBLE) * sxx - sx * sx, 0.0D), 6)
+         |    AS zipf_slope
+         |FROM m ORDER BY source""".stripMargin,
+
+    "x113_truncation" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT source, COUNT(1) AS n_docs,
+         |  SUM(CASE WHEN n > ${DocPrep.TruncMaxTokens}L THEN 1L ELSE 0L END)
+         |    AS n_truncated,
+         |  SUM(n) AS tokens_total,
+         |  SUM(least(n, ${DocPrep.TruncMaxTokens}L)) AS tokens_kept,
+         |  SUM(n) - SUM(least(n, ${DocPrep.TruncMaxTokens}L)) AS tokens_dropped,
+         |  round(CAST(SUM(n) - SUM(least(n, ${DocPrep.TruncMaxTokens}L)) AS DOUBLE)
+         |        / CAST(SUM(n) AS DOUBLE), 6) AS drop_rate
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "x115_split_balance" ->
+      s"""WITH cell AS (
+         |  SELECT ${splitCaseSparkSql("doc_id")} AS split,
+         |    lang, COUNT(1) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |m AS (
+         |  SELECT split, lang, n_docs,
+         |    SUM(n_docs) OVER (PARTITION BY split) AS split_total,
+         |    SUM(n_docs) OVER (PARTITION BY lang) AS lang_total,
+         |    SUM(n_docs) OVER () AS total
+         |  FROM cell)
+         |SELECT split, lang, n_docs,
+         |  round(CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+         |        / CAST(total AS DOUBLE), 6) AS expected,
+         |  round((CAST(n_docs AS DOUBLE)
+         |          - CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+         |            / CAST(total AS DOUBLE))
+         |        * (CAST(n_docs AS DOUBLE)
+         |          - CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+         |            / CAST(total AS DOUBLE))
+         |        / (CAST(split_total AS DOUBLE) * CAST(lang_total AS DOUBLE)
+         |           / CAST(total AS DOUBLE)), 6) AS chi2_term
+         |FROM m ORDER BY split, lang""".stripMargin,
+
+    "x117_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(ts) AS t_from FROM events
+        |  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |t AS (
+        |  SELECT user_id, MIN(ts) AS t_to FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT f.user_id,
+        |  unix_timestamp(t_from) AS from_sec,
+        |  unix_timestamp(t_to) AS to_sec,
+        |  unix_timestamp(t_to) - unix_timestamp(t_from) AS lag_sec
+        |FROM f JOIN t ON f.user_id = t.user_id
+        |WHERE t_to >= t_from
+        |ORDER BY f.user_id""".stripMargin,
+
+    "x118_vocab90" ->
+      s"""WITH tc AS (
+         |  SELECT source, t, COUNT(1) AS c FROM documents
+         |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) v AS t
+         |  GROUP BY source, t),
+         |ranked AS (
+         |  SELECT source, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY c DESC, t
+         |                 ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS total
+         |  FROM tc)
+         |SELECT source, COUNT(1) AS n_types, MIN(total) AS n_tokens,
+         |  MIN(CASE WHEN cum * 100 >= ${TextAnalysis.VocabCoverPct}L * total
+         |           THEN r END) AS head_types,
+         |  MIN(CASE WHEN cum * 100 >= ${TextAnalysis.VocabCoverPct}L * total
+         |           THEN cum END) AS head_tokens,
+         |  round(CAST(MIN(CASE WHEN cum * 100 >= ${TextAnalysis.VocabCoverPct}L * total
+         |                      THEN cum END) AS DOUBLE)
+         |        / CAST(MIN(total) AS DOUBLE), 6) AS head_share
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    "x121_fertility" ->
+      s"""WITH agg AS (
+         |  SELECT lang, COUNT(1) AS n_docs,
+         |    CAST(SUM(size(filter(split(text, ' '), x -> x != ''))) AS BIGINT)
+         |      AS n_words,
+         |    CAST(SUM(regexp_count(text, '${TextAnalysis.tokenPattern}'))
+         |         AS BIGINT) AS n_bpe,
+         |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_bpe, n_chars,
+         |  round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6)
+         |    AS chars_per_token
+         |FROM agg ORDER BY lang""".stripMargin,
+
+    "x122_cooccur_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |marg AS (SELECT event_type, COUNT(1) AS n_t FROM ut GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(1) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ma.n_t AS n_a, mb.n_t AS n_b, n_ab,
+        |  round(CAST(n_users AS DOUBLE) * CAST(n_ab AS DOUBLE)
+        |        / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.event_type = type_a
+        |JOIN marg mb ON mb.event_type = type_b
+        |CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "x125_dialog_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id AS thread_id, event_type AS role, ts, event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |lagged AS (
+        |  SELECT thread_id, role, ts,
+        |    lag(role) OVER (PARTITION BY thread_id ORDER BY ts, event_id)
+        |      AS prev_role
+        |  FROM ev)
+        |SELECT thread_id, COUNT(1) AS n_turns,
+        |  COUNT(DISTINCT role) AS n_roles,
+        |  SUM(CASE WHEN role = prev_role THEN 1L ELSE 0L END) AS n_breaks,
+        |  unix_timestamp(MAX(ts)) - unix_timestamp(MIN(ts)) AS span_sec
+        |FROM lagged GROUP BY thread_id ORDER BY thread_id""".stripMargin,
+
+    "x126_rate_bursts" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    unix_timestamp(date_trunc('hour', ts)) AS hour_sec,
+         |    COUNT(1) AS c
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, COUNT(1) AS n, SUM(c) AS sc, SUM(c * c) AS scc
+         |  FROM b GROUP BY 1),
+         |j AS (
+         |  SELECT b.event_type, hour_sec, c,
+         |    round((CAST(c AS DOUBLE)
+         |           - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / nullif(sqrt((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+         |                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+         |                    / nullif(CAST(n AS DOUBLE)
+         |                             * (CAST(n AS DOUBLE) - 1), 0.0D)),
+         |               0.0D), 6) AS z
+         |  FROM b JOIN m ON m.event_type = b.event_type)
+         |SELECT event_type, hour_sec, c, z,
+         |  CASE WHEN z >= ${Analytics.BurstZ}D THEN 1L ELSE 0L END AS burst
+         |FROM j ORDER BY event_type, hour_sec""".stripMargin,
+
+    "x127_ks_audit" ->
+      s"""WITH tagged AS (
+         |  SELECT source, ${splitCaseSparkSql("doc_id")} AS split,
+         |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS len
+         |  FROM documents),
+         |f AS (
+         |  SELECT source, len,
+         |    SUM(CASE WHEN split = 'train' THEN 1L ELSE 0L END) AS c1,
+         |    SUM(CASE WHEN split = 'val' THEN 1L ELSE 0L END) AS c2
+         |  FROM tagged WHERE split IN ('train', 'val') GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source,
+         |    SUM(c1) OVER (PARTITION BY source ORDER BY len
+         |                  ROWS UNBOUNDED PRECEDING) AS cum1,
+         |    SUM(c2) OVER (PARTITION BY source ORDER BY len
+         |                  ROWS UNBOUNDED PRECEDING) AS cum2,
+         |    SUM(c1) OVER (PARTITION BY source) AS n1,
+         |    SUM(c2) OVER (PARTITION BY source) AS n2
+         |  FROM f)
+         |SELECT source, MIN(n1) AS n_train, MIN(n2) AS n_val,
+         |  round(MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |                - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+
+    "x128_psi_drift" ->
+      s"""WITH tagged AS (
+         |  SELECT source, ${splitCaseSparkSql("doc_id")} AS split,
+         |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS len
+         |  FROM documents),
+         |b AS (
+         |  SELECT source,
+         |    CASE WHEN len = 1 THEN 1L
+         |         ELSE shiftleft(1L, length(bin(len - 1))) END AS bucket,
+         |    SUM(CASE WHEN split = 'train' THEN 1L ELSE 0L END) AS c1,
+         |    SUM(CASE WHEN split = 'val' THEN 1L ELSE 0L END) AS c2
+         |  FROM tagged WHERE split IN ('train', 'val') AND len >= 1
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT source, c1, c2,
+         |    SUM(c1) OVER (PARTITION BY source) AS n1,
+         |    SUM(c2) OVER (PARTITION BY source) AS n2,
+         |    COUNT(1) OVER (PARTITION BY source) AS nb
+         |  FROM b),
+         |t AS (
+         |  SELECT source, n1, n2, nb,
+         |    CAST(round((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+         |                - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+         |      * round(ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+         |                 / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))),
+         |              6), 6) AS DECIMAL(18,6)) AS term
+         |  FROM w)
+         |SELECT source, MIN(n1) AS n_train, MIN(n2) AS n_val,
+         |  MIN(nb) AS n_buckets, CAST(SUM(term) AS DOUBLE) AS psi
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "x131_skew_profile" ->
+      """WITH u AS (
+        |  SELECT 'lineitem.l_orderkey' AS key_name, COUNT(1) AS n_keys,
+        |    SUM(c) AS n_rows, MAX(c) AS max_c,
+        |    CAST(CAST(percentile(c, 0.5D) AS DECIMAL(18,4)) AS DOUBLE) AS p50_c,
+        |    CAST(CAST(percentile(c, 0.99D) AS DECIMAL(18,4)) AS DOUBLE) AS p99_c
+        |  FROM (SELECT l_orderkey, COUNT(1) AS c FROM lineitem GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey' AS key_name, COUNT(1) AS n_keys,
+        |    SUM(c) AS n_rows, MAX(c) AS max_c,
+        |    CAST(CAST(percentile(c, 0.5D) AS DECIMAL(18,4)) AS DOUBLE) AS p50_c,
+        |    CAST(CAST(percentile(c, 0.99D) AS DECIMAL(18,4)) AS DOUBLE) AS p99_c
+        |  FROM (SELECT o_custkey, COUNT(1) AS c FROM orders GROUP BY 1))
+        |SELECT key_name, n_keys, n_rows, max_c, p50_c, p99_c,
+        |  round(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE), 6) AS skew
+        |FROM u ORDER BY key_name""".stripMargin,
+
+    "x132_exact_split" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY ${sparkBucketSql("graft")}, doc_id) AS r,
+         |    COUNT(1) OVER (PARTITION BY source) AS n
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CASE WHEN r <= n * 8 div 10 THEN 'train'
+         |       WHEN r <= n * 9 div 10 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
     "x45_embed_neardup" ->
       s"""SELECT id1, id2 FROM (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,

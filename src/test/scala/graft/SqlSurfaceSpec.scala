@@ -48,8 +48,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // thirty-two twins (x37/x44/x55 sharing x26/x01/x16 texts — one
     // selection, two physical strategies each; x49's sketch twin is the
     // dedicated tolerant test below; x51's media decode has no SQL
-    // image; x54's estimates are merge-order-dependent)
-    assert(RelationalSql.extrasSql.size == 66)
+    // image; x54's estimates are merge-order-dependent), plus sixteen
+    // r12 texts (x109-x113, x115, x117-x118, x121-x122, x125-x128,
+    // x131-x132 — the URL/markup plants embed page-sized literal
+    // expressions and stay DataFrame-first; x129 has no SQL image)
+    assert(RelationalSql.extrasSql.size == 82)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
