@@ -823,6 +823,68 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ---------------------- streaming dialog audit (x125's face) -------
+
+  case class Turn(thread_id: Long, role: String, ts_us: Long, event_id: Long)
+  case class DialogState(n_turns: Long, n_breaks: Long, min_ts: Long,
+                         max_ts: Long, last_role: String, roles: List[String])
+  case class DialogAudit(thread_id: Long, n_turns: Long, n_roles: Long,
+                         n_breaks: Long, span_sec: Long)
+
+  private class DialogProcessor
+    extends StatefulProcessor[Long, Turn, DialogAudit] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[DialogState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DialogState]("dialog",
+        org.apache.spark.sql.Encoders.product[DialogState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Turn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DialogAudit] = {
+      var s = if (st.exists()) st.get()
+              else DialogState(0L, 0L, Long.MaxValue, Long.MinValue, null, Nil)
+      // the sibling processors' in-order contract: (ts, event_id) within
+      // the batch; cross-batch order is the caller's replay contract
+      // order on MICROSECONDS (the batch face's lag window orders on
+      // the full-precision timestamp); the span floors to seconds only
+      // at emission, exactly like batch's unix_timestamp(max)-(min)
+      rows.toSeq.sortBy(t => (t.ts_us, t.event_id)).foreach { t =>
+        val breaks = s.n_breaks + (if (t.role == s.last_role) 1L else 0L)
+        val roles = if (s.roles.contains(t.role)) s.roles else t.role :: s.roles
+        s = DialogState(s.n_turns + 1, breaks,
+          math.min(s.min_ts, t.ts_us), math.max(s.max_ts, t.ts_us),
+          t.role, roles)
+      }
+      st.update(s)
+      Iterator.single(DialogAudit(key, s.n_turns, s.roles.size.toLong,
+        s.n_breaks, s.max_ts / 1000000L - s.min_ts / 1000000L))
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Analytics.dialogAudit]]
+    * (x125): the live malformed-conversation screen — each thread's
+    * turn count, distinct roles, alternation breaks, and span update
+    * the moment a turn lands (Update mode; the latest row per thread
+    * is the audit). State per thread is a handful of scalars plus the
+    * DISTINCT role list — bounded by the role vocabulary (a dialog
+    * format has a handful), not by turns. In-(ts, event_id)-order
+    * replay equals batch x125 (spec-asserted); the batch face stays
+    * the backfill tool. */
+  def dialogAuditStream(events: DataFrame): Dataset[DialogAudit] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").cast("long").as("thread_id"),
+        col("event_type").as("role"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
+      .as[Turn]
+      .groupByKey(_.thread_id)
+      .transformWithState(new DialogProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ------------------- streaming host-reputation gate (x119's face) --
 
   /** Streaming face of [[graft.operators.WebPrep.hostReputation]]

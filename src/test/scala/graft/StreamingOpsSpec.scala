@@ -1113,6 +1113,43 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dialog audit equals batch x125 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val ev = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+    val batch = Analytics.dialogAudit(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.exists(_._4 > 0), "vacuous fixture: no breaks anywhere")
+
+    val rows = ev.select($"user_id", $"event_type", $"ts".cast("long") * 1000000L
+        + (unix_micros($"ts") - $"ts".cast("long") * 1000000L), $"event_id")
+      .orderBy($"ts", $"event_id") // the in-order replay contract
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Long, Long)]
+    val q = StreamingOps.dialogAuditStream(
+        stream.toDF().toDF("user_id", "event_type", "_us", "event_id")
+          .select($"user_id", $"event_type",
+            timestamp_micros($"_us").as("ts"), $"event_id"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dialog_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      // UPDATE mode: the row with the max turn count per thread is the
+      // converged audit
+      val streamed = spark.table("dialog_out")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"thread_id").orderBy($"n_turns".desc)))
+        .filter($"rn" === 1).drop("rn")
+        .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(streamed == batch,
+        s"drift: ${batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
