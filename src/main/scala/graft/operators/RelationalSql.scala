@@ -520,6 +520,53 @@ object RelationalSql {
     "x42_weighted_group" -> weightedGroupSparkSql,
     "x43_top_terms" -> topTermsSparkSql,
 
+    // ---- r11 extensions, SQL-friendly subset.
+    "x84_distinct_exact" ->
+      """SELECT
+        |  CASE WHEN g = 1 THEN 'TOTAL' ELSE l_returnflag END AS grp, n_distinct
+        |FROM (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct,
+        |    grouping(l_returnflag) AS g
+        |  FROM lineitem GROUP BY ROLLUP(l_returnflag))
+        |ORDER BY grp""".stripMargin,
+
+    "x93_kanon" ->
+      s"""SELECT lang, source, size_bucket, n_docs,
+         |  CASE WHEN n_docs < ${DocPrep.KAnonK}L THEN 1L ELSE 0L END AS at_risk
+         |FROM (
+         |  SELECT lang, source,
+         |    CAST(length(bin(n_chars)) AS BIGINT) AS size_bucket,
+         |    COUNT(1) AS n_docs
+         |  FROM documents GROUP BY 1, 2, 3)
+         |ORDER BY lang, source, size_bucket""".stripMargin,
+
+    "x108_script_mix" -> {
+      import TextAnalysis.{CjkRe, CyrillicRe, GreekRe, LatinRe}
+      s"""WITH planted AS (
+         |  SELECT doc_id, concat(text,
+         |    CASE WHEN doc_id % 4 = 0 THEN ' привет мир да' ELSE '' END,
+         |    CASE WHEN doc_id % 6 = 0 THEN ' αβγ δεζ' ELSE '' END,
+         |    CASE WHEN doc_id % 9 = 0 THEN ' 你好世界' ELSE '' END) AS text
+         |  FROM documents),
+         |counted AS (
+         |  SELECT doc_id,
+         |    CAST(regexp_count(text, '$LatinRe') AS BIGINT) AS n_latin,
+         |    CAST(regexp_count(text, '$CyrillicRe') AS BIGINT) AS n_cyrillic,
+         |    CAST(regexp_count(text, '$GreekRe') AS BIGINT) AS n_greek,
+         |    CAST(regexp_count(text, '$CjkRe') AS BIGINT) AS n_cjk,
+         |    CAST(regexp_count(text, '[0-9]') AS BIGINT) AS n_digit
+         |  FROM planted)
+         |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit,
+         |  CASE WHEN n_cyrillic > n_latin AND n_cyrillic >= n_greek
+         |            AND n_cyrillic >= n_cjk THEN 'cyrillic'
+         |       WHEN n_greek > n_latin AND n_greek > n_cyrillic
+         |            AND n_greek >= n_cjk THEN 'greek'
+         |       WHEN n_cjk > n_latin AND n_cjk > n_cyrillic
+         |            AND n_cjk > n_greek THEN 'cjk'
+         |       ELSE 'latin' END AS script
+         |FROM counted ORDER BY doc_id""".stripMargin
+    },
+
     // ---- r12 extensions (x109+): the SQL a user would type for each,
     // result-identical to the DataFrame faces (SqlSurfaceSpec).
     "x109_bpe_pairs" ->

@@ -51,8 +51,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // image; x54's estimates are merge-order-dependent), plus sixteen
     // r12 texts (x109-x113, x115, x117-x118, x121-x122, x125-x128,
     // x131-x132 — the URL/markup plants embed page-sized literal
-    // expressions and stay DataFrame-first; x129 has no SQL image)
-    assert(RelationalSql.extrasSql.size == 82)
+    // expressions and stay DataFrame-first; x129 has no SQL image),
+    // plus the r11 SQL-friendly trio x84/x93/x108
+    assert(RelationalSql.extrasSql.size == 85)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
