@@ -480,6 +480,10 @@ object SparkEntry {
     // cut at integer thresholds; guarantees per-stratum counts where
     // x19's hash ranges only guarantee expectations.
     "x132_exact_split"    -> (Sampling.exactSplitQuery _),
+    // x133: exact-dup cluster-size histogram — the dedup savings curve
+    // (few huge families vs a long tail of pairs decides whether exact
+    // dedup alone pays); md5-keyed shuffle, all-integer.
+    "x133_dup_histogram"  -> (Dedup.dupSizeHistogramQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

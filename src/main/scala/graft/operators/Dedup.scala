@@ -1041,4 +1041,28 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------- dup-cluster size histogram (x133)
+
+  /** x133: EXACT-DUPLICATE CLUSTER-SIZE HISTOGRAM — how many identical-
+    * content groups exist at each size, with the doc and removable-dup
+    * mass per size. The dedup savings CURVE (x01 decides per doc, x107
+    * attributes per source; this answers "is duplication a few huge
+    * families or a long tail of pairs?" — which decides whether exact
+    * dedup alone pays or near-dup tiers are needed). Keys on md5(text)
+    * in BOTH engines (the x44 hashed-shuffle-key discipline): the
+    * shuffle carries 32-hex keys, never documents, and the aggregate
+    * collapses to |distinct sizes| rows. All-integer. */
+  def dupSizeHistogram(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        ((col("group_size") - 1) * col("n_groups")).as("removable_dups"))
+
+  def dupSizeHistogramQuery(spark: SparkSession, dir: String): DataFrame =
+    dupSizeHistogram(Tables.load(spark, dir, "documents"))
+      .orderBy(col("group_size"))
 }

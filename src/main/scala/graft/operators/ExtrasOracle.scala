@@ -371,6 +371,16 @@ object ExtrasOracle {
     "x130_snapshot_psi" -> snapshotPsiSql,
     "x131_skew_profile" -> skewProfileSql,
     "x132_exact_split" -> exactSplitSql,
+    // x133: same md5 keying in both engines — the shuffle-key is part
+    // of the contract, and DuckDB's md5() agrees byte-for-byte.
+    "x133_dup_histogram" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT md5(text) AS k, CAST(COUNT(*) AS BIGINT) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(group_size * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST((group_size - 1) * COUNT(*) AS BIGINT) AS removable_dups
+        |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
     "x100_edit_pairs" -> editPairsSql,
 
     // x93: the k-anonymity audit — one metadata aggregate; the size

@@ -861,6 +861,15 @@ object RelationalSql {
         |        / CAST(n_rows AS DOUBLE), 6) AS skew
         |FROM u ORDER BY key_name""".stripMargin,
 
+    "x133_dup_histogram" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS k, COUNT(1) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT group_size, COUNT(1) AS n_groups,
+        |  group_size * COUNT(1) AS n_docs,
+        |  (group_size - 1) * COUNT(1) AS removable_dups
+        |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+
     "x132_exact_split" ->
       s"""WITH r AS (
          |  SELECT doc_id, source,

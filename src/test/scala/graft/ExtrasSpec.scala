@@ -2799,4 +2799,16 @@ class ExtrasSpec extends SparkSpec {
         s"$src split counts: $m")
     }
   }
+
+  test("x133 dup histogram: planted families land at their sizes, mass conserves") {
+    // 3 singletons, one pair, one triple -> sizes {1:3, 2:1, 3:1}
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "dup1"), (5L, "dup1"),
+      (6L, "dup2"), (7L, "dup2"), (8L, "dup2")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupSizeHistogram(d)
+      .orderBy($"group_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)),
+      s"got $out")
+    assert(out.map(_._3).sum == 8L, "doc mass not conserved")
+  }
 }

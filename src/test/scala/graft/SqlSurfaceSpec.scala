@@ -53,7 +53,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // x131-x132 — the URL/markup plants embed page-sized literal
     // expressions and stay DataFrame-first; x129 has no SQL image),
     // plus the r11 SQL-friendly trio x84/x93/x108
-    assert(RelationalSql.extrasSql.size == 85)
+    assert(RelationalSql.extrasSql.size == 86)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
