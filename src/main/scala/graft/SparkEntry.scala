@@ -484,6 +484,10 @@ object SparkEntry {
     // (few huge families vs a long tail of pairs decides whether exact
     // dedup alone pays); md5-keyed shuffle, all-integer.
     "x133_dup_histogram"  -> (Dedup.dupSizeHistogramQuery _),
+    // x134: Spearman rank correlation (tokens vs punctuation) per
+    // source — the is-quality-just-length confounding check; integer
+    // permutation ranks, one double division.
+    "x134_spearman"       -> (Analytics.spearmanQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1029,4 +1029,46 @@ object Analytics {
   def rateBurstsQuery(spark: SparkSession, dir: String): DataFrame =
     rateBursts(Tables.load(spark, dir, "events"))
       .orderBy(col("event_type"), col("hour_sec"))
+
+  // ------------------------------------ Spearman correlation (x134)
+
+  /** x134: SPEARMAN RANK CORRELATION between two per-doc quality
+    * signals (token count vs punctuation count), per source — the
+    * confounding check run before trusting any single quality score:
+    * a source where "quality" is just length in disguise (|ρ| near 1)
+    * needs decorrelated gates. Ranks are row_number over a TOTAL
+    * (value, doc_id) order — the deterministic tie policy, chosen over
+    * classical average-rank ties because it keeps every rank an exact
+    * integer (average ranks are .5-fractional under ties); under heavy
+    * ties the statistic is the tie-broken variant and is documented as
+    * such. With permutation ranks both marginals are fixed, so
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) exactly; Σd² and n(n²−1) are exact
+    * integers (Σd² ≤ n³ — fits i64 to n ≈ 2M rows per source; beyond
+    * that the moments convert to double first), and ρ is ONE double
+    * division, round 6.
+    *
+    * Shape: one scan → two per-source rank windows over the narrow
+    * (source, len, punct, doc_id) projection → per-source sum. */
+  def spearman(docs: DataFrame): DataFrame = {
+    val wLen = Window.partitionBy(col("source"))
+      .orderBy(col("len"), col("doc_id"))
+    val wPun = Window.partitionBy(col("source"))
+      .orderBy(col("punct"), col("doc_id"))
+    val d = col("rx") - col("ry")
+    docs.select(col("source"), col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len"),
+        regexp_count(col("text"), lit("[.!?,;:]")).cast("long").as("punct"))
+      .withColumn("rx", row_number().over(wLen).cast("long"))
+      .withColumn("ry", row_number().over(wPun).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(d * d).as("sum_d2"))
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n_docs") * (col("n_docs") * col("n_docs") - 1)).cast("double"),
+          6).as("rho"))
+  }
+
+  def spearmanQuery(spark: SparkSession, dir: String): DataFrame =
+    spearman(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 }

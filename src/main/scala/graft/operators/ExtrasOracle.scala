@@ -373,6 +373,27 @@ object ExtrasOracle {
     "x132_exact_split" -> exactSplitSql,
     // x133: same md5 keying in both engines — the shuffle-key is part
     // of the contract, and DuckDB's md5() agrees byte-for-byte.
+    // x134: same total (value, doc_id) rank order, same closed form.
+    "x134_spearman" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |         AS BIGINT) AS len,
+        |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS punct
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+        |         AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY punct, doc_id)
+        |         AS BIGINT) AS ry
+        |  FROM v)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+        |  ROUND(1.0 - 6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+        |    / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6) AS rho
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "x133_dup_histogram" ->
       """WITH g AS MATERIALIZED (
         |  SELECT md5(text) AS k, CAST(COUNT(*) AS BIGINT) AS group_size

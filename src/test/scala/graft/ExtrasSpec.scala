@@ -2811,4 +2811,18 @@ class ExtrasSpec extends SparkSpec {
       s"got $out")
     assert(out.map(_._3).sum == 8L, "doc mass not conserved")
   }
+
+  test("x134 spearman: perfectly aligned ranks read 1, reversed read -1") {
+    import graft.operators.Analytics
+    // aligned: longer docs carry more punctuation (ranks identical)
+    val aligned = Seq(
+      (1L, "a", "w."), (2L, "a", "w w.,"), (3L, "a", "w w w.,;"),
+      // reversed: the longest doc has the least punctuation
+      (4L, "b", "w.,;"), (5L, "b", "w w.,"), (6L, "b", "w w w."))
+      .toDF("doc_id", "source", "text")
+    val out = Analytics.spearman(aligned)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 3L, 0L, 1.0), ("b", 3L, 8L, -1.0)), s"got $out")
+  }
 }
