@@ -925,6 +925,26 @@ object StreamingOps {
   def burstStream(events: DataFrame, moments: DataFrame,
                   zThreshold: Double = graft.operators.Analytics.BurstZ,
                   watermark: String = "2 hours"): DataFrame = {
+    // freeze the moments AS VALUES, not as a plan: a stream-static join
+    // re-executes the static subplan every micro-batch, so a moments
+    // DataFrame derived from a live table would silently recompute (and
+    // drift) per batch AND re-pay its aggregation each hour. The table
+    // is |event types| rows — collecting it is the cheap way to make
+    // "frozen" true by construction.
+    val spark = events.sparkSession
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        moments.select(col("event_type"), col("n").cast("long"),
+          col("sc").cast("long"), col("scc").cast("long")).collect().toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scc",
+          org.apache.spark.sql.types.LongType))))
     val counted = events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -937,8 +957,7 @@ object StreamingOps {
     val variance = (n * scc - sc * sc) / nullif(n * (n - 1), lit(0d))
     val z = (col("c").cast("double") - mean) / nullif(sqrt(variance), lit(0d))
     counted
-      .join(broadcast(moments.select(col("event_type"), col("n"), col("sc"),
-        col("scc"))), Seq("event_type"), "left")
+      .join(broadcast(frozen), Seq("event_type"), "left")
       .select(col("event_type"), col("hour_sec"), col("c"),
         round(z, 6).as("z"),
         when(round(z, 6) >= zThreshold, 1L).otherwise(0L).as("burst"))
@@ -1004,6 +1023,13 @@ object StreamingOps {
           .cast("decimal(18,6)").as("w"))
       .as[(String, java.math.BigDecimal)]
       .map { case (t, w) =>
+        // w is null only when the DECIMAL(18,6) image overflowed — an
+        // event so far AFTER the frozen reference day that 0.5^(-age)
+        // exceeds 12 integer digits. That's a misconfigured refDay
+        // (the reference must sit at or after the deployment window's
+        // data), not a value to silently drop or zero.
+        require(w != null,
+          s"decayStream: weight overflow for '$t' — event far after refDay")
         (t, w.setScale(6).unscaledValue().longValueExact()) }
       .groupByKey(_._1)
       .transformWithState(new DecayProcessor, TimeMode.None(),
