@@ -276,9 +276,14 @@ object WebPrep {
     * (`2·host_pass ≥ host_docs` — no division), audit-shaped output.
     *
     * Shape: one scan → per-doc narrow token count → host-grain hash
-    * agg (|hosts| rows) → equi-join back on host. At 100 TB the
-    * join-back broadcasts the host table (domains are millions, not
-    * billions) and the doc side never shuffles. */
+    * agg (|hosts| rows) → equi-join back on host. The broadcast hint
+    * on the join-back is sized to the web's registrable-domain scale
+    * (single-digit millions of rows × a few scalars — hundreds of MB,
+    * inside a healthy driver/executor budget) and keeps the document
+    * side from ever shuffling; a deployment whose host key is FINER
+    * than registrable domains (full subdomains, ports) should drop the
+    * hint and let AQE pick, trading a doc-side shuffle for driver
+    * safety. */
   def hostReputation(docs: DataFrame, host: Column,
                      minTokens: Long = HostRepMinTokens): DataFrame = {
     val scored = docs.select(host.as("host"), col("doc_id"),
