@@ -488,6 +488,14 @@ object SparkEntry {
     // source — the is-quality-just-length confounding check; integer
     // permutation ranks, one double division.
     "x134_spearman"       -> (Analytics.spearmanQuery _),
+    // x135: source diversity per split — Shannon entropy of the source
+    // mixture inside each x19 split; the one-number mixture score next
+    // to x115's cell-level chi-square.
+    "x135_split_diversity" -> (Sampling.splitDiversityQuery _),
+    // x136: effective token mass under exact dedup — each identical-
+    // content family's tokens counted once, credit split over copies;
+    // the post-dedup mixture-weighting input.
+    "x136_effective_tokens" -> (Dedup.effectiveTokensQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

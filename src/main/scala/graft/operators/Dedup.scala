@@ -1065,4 +1065,41 @@ object Dedup {
   def dupSizeHistogramQuery(spark: SparkSession, dir: String): DataFrame =
     dupSizeHistogram(Tables.load(spark, dir, "documents"))
       .orderBy(col("group_size"))
+
+  // --------------------------------- effective token mass (x136)
+
+  /** x136: EFFECTIVE TOKEN MASS under exact dedup — per source, the
+    * raw token count next to the dedup-discounted count where every
+    * doc in an identical-content family of size k contributes 1/k of
+    * its tokens (so each distinct CONTENT counts its tokens once, with
+    * the credit split over the copies' sources). The mixture-weighting
+    * input after dedup: a source that is 90% copies of another feed
+    * keeps its raw volume but almost no effective mass. Family sizes
+    * key on md5(text) (the x44/x133 hashed-shuffle discipline).
+    *
+    * Determinism: 1/k is one correctly-rounded double division pinned
+    * at 6 into DECIMAL(18,6); tokens·(1/k) is an exact decimal product
+    * summed exactly, emitted DOUBLE.
+    *
+    * Shape: one scan → (key) family sizes (hash agg on 32-hex keys) →
+    * join back → per-source rollup; documents shuffle once, as hashes. */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), md5(col("text")).as("k"),
+      size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val fam = toks.groupBy(col("k")).agg(count(lit(1)).as("fam"))
+    toks.join(fam, Seq("k"))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") *
+          round(lit(1.0) / col("fam").cast("double"), 6)
+            .cast("decimal(18,6)")).as("eff"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_raw"),
+        sum(col("eff")).cast("double").as("tokens_effective"))
+  }
+
+  def effectiveTokensQuery(spark: SparkSession, dir: String): DataFrame =
+    effectiveTokens(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 }

@@ -373,6 +373,25 @@ object ExtrasOracle {
     "x132_exact_split" -> exactSplitSql,
     // x133: same md5 keying in both engines — the shuffle-key is part
     // of the contract, and DuckDB's md5() agrees byte-for-byte.
+    // x135: the x81/x82 entropy discipline over the split x source cells.
+    "x135_split_diversity" -> splitDiversitySql,
+    // x136: same md5 family keys, same pinned 1/k image.
+    "x136_effective_tokens" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT source, md5(text) AS k,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |fam AS MATERIALIZED (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS fam FROM toks GROUP BY k)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+        |  CAST(SUM(n_tokens * CAST(ROUND(1.0 / CAST(fam AS DOUBLE), 6)
+        |                           AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS tokens_effective
+        |FROM toks JOIN fam USING (k)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // x134: same total (value, doc_id) rank order, same closed form.
     "x134_spearman" ->
       """WITH v AS MATERIALIZED (
@@ -2848,6 +2867,24 @@ object ExtrasOracle {
        |       ELSE 'test' END AS split
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB twin of Sampling.splitDiversityQuery (x135): the shared
+    * x19 split CASE, the x81/x82 pinned-ln decimal dot product. */
+  private def splitDiversitySql: String =
+    s"""WITH cell AS MATERIALIZED (
+       |  SELECT ${splitCaseSql("doc_id")} AS split,
+       |    source, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (
+       |  SELECT split, c,
+       |    SUM(c) OVER (PARTITION BY split) AS n,
+       |    CAST(ROUND(ln(CAST(SUM(c) OVER (PARTITION BY split) AS DOUBLE)
+       |                  / CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM cell)
+       |SELECT split, CAST(MIN(n) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |  CAST(SUM(c * lp) AS DOUBLE) / CAST(MIN(n) AS BIGINT) AS entropy
+       |FROM t GROUP BY split ORDER BY split""".stripMargin
 
   /** DuckDB twin of Dedup.dedupIncrQuery (x106): the same planted
     * batch (echo of doc id−400, shared synthetic family), the corpus

@@ -1000,6 +1000,45 @@ object Sampling {
     exactSplit(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------ split diversity index (x135)
+
+  /** x135: SOURCE DIVERSITY of each split — the Shannon entropy of the
+    * source distribution inside every x19 split: H = Σ (c/N)·ln(N/c).
+    * A split whose entropy sits far below the corpus's is
+    * source-skewed (one feed dominates eval); ln|sources| is the
+    * uniform ceiling. The corpus-composition number next to x115's
+    * label chi-square — x115 localizes WHICH cells misalign, this
+    * scores the split's overall mixture in one number.
+    *
+    * Determinism: the x81/x82 discipline — per-(split, source) term
+    * ln(N/c) rounded at 6 into DECIMAL(18,6), the exact decimal dot
+    * product with integer counts, ONE double division by N.
+    *
+    * Shape: one scan → (split, source) hash agg → windows over the
+    * |splits|·|sources| aggregate. */
+  def splitDiversity(docs: DataFrame): DataFrame = {
+    val cell = docs
+      .select(assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
+        col("source"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("split"))
+    cell
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col("split"), col("c"), col("n"),
+        round(log(col("n").cast("double") / col("c").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("split"))
+      .agg(first(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        (sum(col("c") * col("lp")).cast("double") / first(col("n")))
+          .as("entropy"))
+  }
+
+  def splitDiversityQuery(spark: SparkSession, dir: String): DataFrame =
+    splitDiversity(Tables.load(spark, dir, "documents"))
+      .orderBy(col("split"))
+
   // --------------------------------------- snapshot PSI drift (x130)
 
   /** x130: SNAPSHOT PSI — the x128 drift metric between two CORPUS

@@ -2825,4 +2825,33 @@ class ExtrasSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(out == Seq(("a", 3L, 0L, 1.0), ("b", 3L, 8L, -1.0)), s"got $out")
   }
+
+  test("x135 split diversity: uniform mixture reads ln(k), single-source reads 0") {
+    import graft.operators.Sampling
+    val out = Sampling.splitDiversity(
+        Tables.load(spark, sf("sf0.001"), "documents"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    // entropy bounded by ln(n_sources); the 20-source corpus is near
+    // uniform so train (400 docs) sits close to the ceiling
+    out.values.foreach { case (sp, n, k, h) =>
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-4, s"$sp: H=$h of ln($k)")
+    }
+    assert(out("train")._4 > 0.9 * math.log(out("train")._3.toDouble),
+      s"train mixture unexpectedly skewed: ${out("train")}")
+  }
+
+  test("x136 effective tokens: copies split their credit, uniques keep it") {
+    // s0: one unique 4-token doc; s1+s2: an identical 6-token doc each
+    // (family size 2 -> each source credits 3.0)
+    val d = Seq(
+      (1L, "s0", "w w w w"),
+      (2L, "s1", "d d d d d d"), (3L, "s2", "d d d d d d"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup.effectiveTokens(d)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s0", 1L, 4L, 4.0), ("s1", 1L, 6L, 3.0),
+      ("s2", 1L, 6L, 3.0)), s"got $out")
+  }
 }
