@@ -70,6 +70,15 @@ object Artifacts {
       recover(spark, path)
       if (fs.exists(staging)) fs.delete(staging, true)
       write(staging.toString)
+      // Unique publish marker: snapshotSig fingerprints a publish from
+      // its (path, length, mtime) listing, which collides when two
+      // byte-identical-size republishes land within the filesystem's
+      // mtime granularity. A fresh random basename (underscore-prefixed,
+      // so Spark/DuckDB table readers ignore it) makes every publish
+      // observably distinct to signature-keyed caches.
+      val marker = new Path(staging,
+        s"_publish_${java.util.UUID.randomUUID().toString}")
+      fs.create(marker, true).close()
       if (fs.exists(aside)) fs.delete(aside, true)
       if (fs.exists(target) && !fs.rename(target, aside))
         throw new java.io.IOException(
@@ -153,7 +162,10 @@ object Artifacts {
     * artifact (e.g. the IVF codebook next to its posting lists) must key
     * the cache on this, not on the path: a path-keyed cache serves STALE
     * centroids against freshly re-read new lists after a mid-stream
-    * republish. One recursive listing per call — cheap at KB-scale
+    * republish. The `_publish_<uuid>` marker [[publishAtomic]] drops in
+    * every snapshot guarantees distinct signatures even for
+    * byte-identical republishes inside the filesystem's mtime
+    * granularity. One recursive listing per call — cheap at KB-scale
     * artifact roots, and only the metadata is touched. */
   def snapshotSig(spark: SparkSession, root: String): String = {
     val p = new Path(root)

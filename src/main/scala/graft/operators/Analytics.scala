@@ -1042,10 +1042,11 @@ object Analytics {
     * integer (average ranks are .5-fractional under ties); under heavy
     * ties the statistic is the tie-broken variant and is documented as
     * such. With permutation ranks both marginals are fixed, so
-    * ρ = 1 − 6·Σd²/(n·(n²−1)) exactly; Σd² and n(n²−1) are exact
-    * integers (Σd² ≤ n³ — fits i64 to n ≈ 2M rows per source; beyond
-    * that the moments convert to double first), and ρ is ONE double
-    * division, round 6.
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) exactly; each d² is an exact i64 but
+    * Σd² ≤ n³ outgrows i64 near n ≈ 2M rows per source, so the sum
+    * accumulates in DECIMAL(38,0) (exact to n ≈ 10¹², matching
+    * DuckDB's HUGEINT accumulator) and is emitted as its
+    * correctly-rounded double; ρ is ONE double division, round 6.
     *
     * Shape: one scan → two per-source rank windows over the narrow
     * (source, len, punct, doc_id) projection → per-source sum. */
@@ -1061,10 +1062,14 @@ object Analytics {
       .withColumn("rx", row_number().over(wLen).cast("long"))
       .withColumn("ry", row_number().over(wPun).cast("long"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(d * d).as("sum_d2"))
-      .select(col("source"), col("n_docs"), col("sum_d2"),
-        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
-          (col("n_docs") * (col("n_docs") * col("n_docs") - 1)).cast("double"),
+      .agg(count(lit(1)).as("n_docs"),
+        sum((d * d).cast("decimal(38,0)")).as("d2"))
+      .select(col("source"), col("n_docs"),
+        col("d2").cast("double").as("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("d2").cast("double") /
+          (col("n_docs").cast("decimal(38,0)") *
+            (col("n_docs").cast("decimal(38,0)") *
+              col("n_docs").cast("decimal(38,0)") - 1)).cast("double"),
           6).as("rho"))
   }
 

@@ -392,7 +392,9 @@ object ExtrasOracle {
         |FROM toks JOIN fam USING (k)
         |GROUP BY source ORDER BY source""".stripMargin,
 
-    // x134: same total (value, doc_id) rank order, same closed form.
+    // x134: same total (value, doc_id) rank order, same closed form;
+    // SUM(d*d) accumulates in HUGEINT (exact, like Spark's
+    // DECIMAL(38,0)) and is emitted as its correctly-rounded double.
     "x134_spearman" ->
       """WITH v AS MATERIALIZED (
         |  SELECT source, doc_id,
@@ -408,9 +410,11 @@ object ExtrasOracle {
         |         AS BIGINT) AS ry
         |  FROM v)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+        |  CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE) AS sum_d2,
         |  ROUND(1.0 - 6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE)
-        |    / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6) AS rho
+        |    / CAST(CAST(COUNT(*) AS HUGEINT)
+        |           * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1) AS DOUBLE),
+        |      6) AS rho
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "x133_dup_histogram" ->
@@ -2515,14 +2519,17 @@ object ExtrasOracle {
        |ORDER BY s.doc_id""".stripMargin
 
   /** DuckDB twin of Similarity.hardNegativesQuery (x120): brute-force
-    * sims, the same two-leg (anchor x is_pos) rank window with the
-    * (sim desc, nid) tie-break, ids only (x05/x07 discipline). */
+    * sims accumulated in DOUBLE (the ::DOUBLE[] cast — DuckDB folds
+    * FLOAT lists in float otherwise), the same two-leg (anchor x
+    * is_pos) rank window on round(sim, 6) with the nid tie-break
+    * (x45/x73 argmax discipline), ids only (x05/x07 discipline). */
   private def hardNegativesSql: String =
     """WITH v AS MATERIALIZED (
       |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
       |sims AS (
       |  SELECT a.vec_id, b.vec_id AS nid, (a.label = b.label) AS is_pos,
-      |    list_cosine_similarity(a.embedding, b.embedding) AS sim
+      |    ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                                 b.embedding::DOUBLE[]), 6) AS sim
       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
       |r AS (
       |  SELECT vec_id, nid, is_pos,
@@ -2743,8 +2750,9 @@ object ExtrasOracle {
        |  FROM f)
        |SELECT source, CAST(MIN(n1) AS BIGINT) AS n_train,
        |  CAST(MIN(n2) AS BIGINT) AS n_val,
-       |  ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-       |                - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks
+       |  ROUND(MAX(ABS(
+       |    CAST(cum1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0)
+       |    - CAST(cum2 AS DOUBLE) / NULLIF(CAST(n2 AS DOUBLE), 0))), 6) AS ks
        |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB twin of Sampling.psiSplitAuditQuery (x128): the x110 bucket

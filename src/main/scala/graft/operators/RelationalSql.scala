@@ -808,8 +808,9 @@ object RelationalSql {
          |    SUM(c2) OVER (PARTITION BY source) AS n2
          |  FROM f)
          |SELECT source, MIN(n1) AS n_train, MIN(n2) AS n_val,
-         |  round(MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-         |                - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks
+         |  round(MAX(abs(
+         |    CAST(cum1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0D)
+         |    - CAST(cum2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0D))), 6) AS ks
          |FROM cum GROUP BY source ORDER BY source""".stripMargin,
 
     "x128_psi_drift" ->
@@ -1006,6 +1007,26 @@ object RelationalSql {
         |  shard * CAST(1099511627776 AS BIGINT) -- 2^40 shard stride
         |    + FLOOR((cum - n_tokens) / CAST(2000.0 AS DOUBLE)) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // r13: the plain-aggregate extras that had DataFrame-only faces —
+    // every one a straight SQL statement of the same Catalyst plan.
+    "x79_funnel" -> funnelSparkSql,
+    "x80_trend" -> trendSparkSql,
+    "x81_token_entropy" -> tokenEntropySparkSql,
+    "x82_kl_drift" -> klDriftSparkSql,
+    "x85_quantiles_exact" -> quantilesExactSparkSql,
+    "x86_freq_exact" -> freqExactSparkSql,
+    "x88_snapshot_diff" -> snapshotDiffSparkSql,
+    "x89_boilerplate" -> boilerplateSparkSql,
+    "x90_novelty" -> noveltySparkSql,
+    "x95_source_overlap" -> sourceOverlapSparkSql,
+    "x96_growth" -> growthSparkSql,
+    "x97_pii_audit" -> piiSparkSql,
+    "x98_source_cap" -> sourceCapSparkSql,
+    "x99_annotator" -> annotatorSparkSql,
+    "x134_spearman" -> spearmanSparkSql,
+    "x135_split_diversity" -> splitDiversitySparkSql,
+    "x136_effective_tokens" -> effectiveTokensSparkSql,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -1801,4 +1822,438 @@ object RelationalSql {
        |        * ${Sampling.BucketSpace}
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** The whitespace lexer as SQL text — one definition for every r13
+    * twin (the exact image of TextAnalysis.wsTokens). A `def`, not a
+    * `val`: the extrasSql map initializes before anything declared
+    * below it, and a not-yet-assigned val would interpolate "null"
+    * into every twin text. */
+  private def wSql = "filter(split(text, ' '), x -> x != '')"
+
+  /** A Scala regex constant as a spark.sql string literal: the SQL
+    * parser processes backslash escapes, so each backslash doubles. */
+  private def sqlRe(re: String): String = re.replace("\\", "\\\\")
+
+  /** Spark-SQL face of TextAnalysis.funnelQuery (x79): the same rule
+    * texts (interpolated verbatim from FunnelStages, like the engine
+    * face and the DuckDB twin), first-failed-stage CASE, window cumsum
+    * over the |rules|-row aggregate. */
+  private def funnelSparkSql: String = {
+    val cases = TextAnalysis.FunnelStages.zipWithIndex
+      .map { case ((_, pred), i) => s"WHEN $pred THEN ${i + 1}" }
+      .mkString(" ")
+    val values = TextAnalysis.FunnelStages.zipWithIndex
+      .map { case ((name, _), i) => s"(${i + 1}, '$name')" }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, $wSql AS w FROM documents),
+       |tokc AS (
+       |  SELECT doc_id, term, COUNT(1) AS c FROM toks
+       |  LATERAL VIEW explode(w) t AS term GROUP BY doc_id, term),
+       |tokstats AS (
+       |  SELECT doc_id, SUM(c) AS n_tok, COUNT(1) AS n_uniq_tok
+       |  FROM tokc GROUP BY doc_id),
+       |gramc AS (
+       |  SELECT doc_id, term, COUNT(1) AS c FROM toks
+       |  LATERAL VIEW explode(word_shingles_all(w, 2)) t AS term
+       |  GROUP BY doc_id, term),
+       |gramstats AS (
+       |  SELECT doc_id, SUM(c) AS n_2gram, MAX(c) AS top_2gram_n
+       |  FROM gramc GROUP BY doc_id),
+       |sig AS (
+       |  SELECT t.doc_id,
+       |    CAST(size(w) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - regexp_count(text, ' ') AS BIGINT) AS n_nonspace,
+       |    coalesce(n_tok, 0L) AS n_tok,
+       |    coalesce(n_uniq_tok, 0L) AS n_uniq_tok,
+       |    coalesce(n_2gram, 0L) AS n_2gram,
+       |    coalesce(top_2gram_n, 0L) AS top_2gram_n
+       |  FROM toks t LEFT JOIN tokstats USING (doc_id)
+       |  LEFT JOIN gramstats USING (doc_id)),
+       |dropped AS (SELECT CASE $cases END AS stage FROM sig),
+       |c AS (SELECT stage, COUNT(1) AS c FROM dropped
+       |  WHERE stage IS NOT NULL GROUP BY stage),
+       |st AS (SELECT * FROM VALUES $values AS t(stage, rule)),
+       |tot AS (SELECT COUNT(1) AS n_total FROM sig),
+       |f AS (
+       |  SELECT st.stage, st.rule, coalesce(c.c, 0L) AS n_dropped, tot.n_total
+       |  FROM st LEFT JOIN c ON c.stage = st.stage CROSS JOIN tot)
+       |SELECT CAST(stage AS BIGINT) AS stage, rule,
+       |  n_total - coalesce(SUM(n_dropped) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS n_in,
+       |  n_dropped,
+       |  n_total - coalesce(SUM(n_dropped) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+       |    - n_dropped AS n_out
+       |FROM f ORDER BY stage""".stripMargin
+  }
+
+  /** Spark-SQL face of Analytics.trendQuery (x80): exact moments (x as
+    * the integer day offset from the global min day via a scalar
+    * subquery, y in DECIMAL(18,4)), each moment cast to DOUBLE once,
+    * identical closed-form parenthesization, nullif degenerate guard. */
+  private def trendSparkSql: String = {
+    val den = """nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0D)"""
+      .stripMargin
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(datediff(to_date(ts),
+       |      (SELECT MIN(to_date(ts)) FROM events
+       |       WHERE value IS NOT NULL AND ts IS NOT NULL)) AS BIGINT) AS x,
+       |    CAST(value AS DECIMAL(18,4)) AS y
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       |m AS (
+       |  SELECT event_type, COUNT(1) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+       |    CAST(SUM(y * y) AS DOUBLE) AS syy
+       |  FROM e GROUP BY event_type)
+       |SELECT event_type, n,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / $den, 6) AS slope,
+       |  round((sy * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sxy)
+       |    / $den, 6) AS intercept,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / ($den
+       |       * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
+  /** Spark-SQL face of TextAnalysis.tokenEntropyQuery (x81): per-doc
+    * window over the (doc, term) aggregate, ln term rounded at 6 into
+    * DECIMAL(18,6) before the exact decimal dot product. */
+  private def tokenEntropySparkSql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, t, COUNT(1) AS c FROM documents
+       |  LATERAL VIEW explode($wSql) tt AS t
+       |  GROUP BY doc_id, t),
+       |per AS (
+       |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc),
+       |lp AS (
+       |  SELECT doc_id, c, n,
+       |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM per),
+       |agg AS (
+       |  SELECT doc_id, MIN(n) AS n_tokens, COUNT(1) AS n_types,
+       |    CAST(SUM(c * lp) AS DOUBLE) / MIN(n) AS entropy
+       |  FROM lp GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_tokens, 0L) AS n_tokens,
+       |  coalesce(n_types, 0L) AS n_types, entropy
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Spark-SQL face of TextAnalysis.klDriftQuery (x82): source and term
+    * marginals as windows over the (source, term) aggregate, the corpus
+    * total via one cross-joined 1-row CTE, the x70 ratio-of-ratios ln
+    * argument rounded at 6 into DECIMAL(18,6). */
+  private def klDriftSparkSql: String =
+    s"""WITH tc AS (
+       |  SELECT source, t, COUNT(1) AS c FROM documents
+       |  LATERAL VIEW explode($wSql) tt AS t
+       |  GROUP BY source, t),
+       |tot AS (SELECT SUM(c) AS n FROM tc),
+       |w AS (
+       |  SELECT source, c,
+       |    SUM(c) OVER (PARTITION BY source) AS ns,
+       |    SUM(c) OVER (PARTITION BY t) AS ct
+       |  FROM tc),
+       |lp AS (
+       |  SELECT source, c, ns,
+       |    CAST(round(ln((CAST(c AS DOUBLE) / ns) * (CAST(n AS DOUBLE) / ct)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM w CROSS JOIN tot)
+       |SELECT source, MIN(ns) AS n_tokens, COUNT(1) AS n_types,
+       |  CAST(SUM(c * lp) AS DOUBLE) / MIN(ns) AS kl
+       |FROM lp GROUP BY source ORDER BY source""".stripMargin
+
+  /** Spark-SQL face of Sketches.quantilesExactQuery (x85): histogram
+    * once, TOTAL derived from the histogram, discrete order statistics
+    * at integer indices (n+1) div 2 and (19n+19) div 20. */
+  private def quantilesExactSparkSql: String =
+    """WITH hist AS (
+      |  SELECT l_returnflag AS grp, l_extendedprice AS v, COUNT(1) AS c
+      |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+      |allh AS (
+      |  SELECT grp, v, c FROM hist
+      |  UNION ALL
+      |  SELECT 'TOTAL' AS grp, v, SUM(c) AS c FROM hist GROUP BY v),
+      |cum AS (
+      |  SELECT grp, v,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+      |    SUM(c) OVER (PARTITION BY grp) AS n
+      |  FROM allh)
+      |SELECT grp, MAX(n) AS n,
+      |  MIN(CASE WHEN cum >= (n + 1) div 2 THEN v END) AS p50,
+      |  MIN(CASE WHEN cum >= (19 * n + 19) div 20 THEN v END) AS p95
+      |FROM cum GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** Spark-SQL face of Sketches.freqExactQuery (x86): one bigram
+    * aggregate, TOTAL level derived from it, the same integer heaviness
+    * test count·share ≥ group weight. */
+  private def freqExactSparkSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, item, COUNT(1) AS c FROM documents
+       |  LATERAL VIEW explode(word_shingles_all($wSql, 2)) t AS item
+       |  GROUP BY lang, item),
+       |allc AS (
+       |  SELECT lang AS grp, item, c FROM counts
+       |  UNION ALL
+       |  SELECT 'TOTAL' AS grp, item, SUM(c) AS c FROM counts GROUP BY item),
+       |m AS (SELECT grp, item, c, SUM(c) OVER (PARTITION BY grp) AS n FROM allc)
+       |SELECT grp, n, item, c AS freq FROM m
+       |WHERE c * ${Sketches.FreqShare} >= n
+       |ORDER BY grp, freq DESC, item""".stripMargin
+
+  /** Spark-SQL face of DocPrep.snapshotDiffQuery (x88): the same
+    * deterministically-derived old/new snapshots (mod-17/19/23
+    * residues), full outer join, per-source status rollup. */
+  private def snapshotDiffSparkSql: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, source AS src_o,
+       |    CASE WHEN doc_id % 23 = 0
+       |      THEN array_join(slice($wSql, 1, greatest(size($wSql) - 1, 0)), ' ')
+       |      ELSE text END AS text_o
+       |  FROM documents WHERE doc_id % 17 != 0),
+       |n AS (
+       |  SELECT doc_id, source AS src_n, text AS text_n
+       |  FROM documents WHERE doc_id % 19 != 0),
+       |j AS (
+       |  SELECT coalesce(src_n, src_o) AS source,
+       |    CASE WHEN text_o IS NULL THEN 'added'
+       |         WHEN text_n IS NULL THEN 'removed'
+       |         WHEN text_o != text_n THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM o FULL OUTER JOIN n USING (doc_id))
+       |SELECT source,
+       |  SUM(CASE WHEN status = 'added' THEN 1L ELSE 0L END) AS n_added,
+       |  SUM(CASE WHEN status = 'removed' THEN 1L ELSE 0L END) AS n_removed,
+       |  SUM(CASE WHEN status = 'changed' THEN 1L ELSE 0L END) AS n_changed,
+       |  SUM(CASE WHEN status = 'unchanged' THEN 1L ELSE 0L END) AS n_unchanged
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** Spark-SQL face of TextAnalysis.boilerplateQuery (x89): the
+    * document-frequency cut over the DISTINCT (doc, gram) aggregate,
+    * corpus doc count cross-joined, per-doc recount via left join. */
+  private def boilerplateSparkSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, gram FROM documents
+       |  LATERAL VIEW explode(word_shingles_all($wSql, 3)) t AS gram),
+       |df AS (
+       |  SELECT gram, COUNT(1) AS df
+       |  FROM (SELECT DISTINCT doc_id, gram FROM pos) GROUP BY gram),
+       |nd AS (SELECT COUNT(1) AS n_docs FROM documents),
+       |common AS (
+       |  SELECT gram, 1L AS hit FROM df CROSS JOIN nd
+       |  WHERE df * ${TextAnalysis.BoilerDocShare} >= n_docs),
+       |per AS (
+       |  SELECT doc_id, COUNT(1) AS n_grams,
+       |    SUM(coalesce(hit, 0L)) AS n_boiler
+       |  FROM pos LEFT JOIN common USING (gram) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0L) AS n_grams,
+       |  coalesce(n_boiler, 0L) AS n_boiler,
+       |  CASE WHEN n_grams > 0
+       |    THEN CAST(n_boiler AS DOUBLE) / n_grams END AS boiler_share
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Spark-SQL face of TextAnalysis.noveltyQuery (x90): first-seen
+    * owner per gram over the distinct-gram stream, per-doc share. */
+  private def noveltySparkSql: String =
+    s"""WITH dg AS (
+       |  SELECT doc_id, gram FROM documents
+       |  LATERAL VIEW explode(word_shingles($wSql, 3)) t AS gram),
+       |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram),
+       |per AS (
+       |  SELECT dg.doc_id, COUNT(1) AS n_grams,
+       |    SUM(CASE WHEN fs.first_doc = dg.doc_id THEN 1L ELSE 0L END) AS n_new
+       |  FROM dg JOIN fs ON dg.gram = fs.gram GROUP BY dg.doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0L) AS n_grams,
+       |  coalesce(n_new, 0L) AS n_new,
+       |  CASE WHEN n_grams > 0
+       |    THEN CAST(n_new AS DOUBLE) / n_grams END AS novelty
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Spark-SQL face of TextAnalysis.sourceOverlapQuery (x95): exact
+    * Jaccard between source gram sets; the |sources|² grid left-joined
+    * so absent intersections read 0. */
+  private def sourceOverlapSparkSql: String =
+    s"""WITH sg AS (
+       |  SELECT DISTINCT source, gram FROM documents
+       |  LATERAL VIEW explode(word_shingles($wSql, 3)) t AS gram),
+       |sizes AS (SELECT source, COUNT(1) AS n FROM sg GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(1) AS n_inter
+       |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY a.source, b.source),
+       |grid AS (
+       |  SELECT a.source AS source_a, a.n AS n_a,
+       |         b.source AS source_b, b.n AS n_b
+       |  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source)
+       |SELECT g.source_a, g.source_b, n_a, n_b,
+       |  coalesce(n_inter, 0L) AS n_inter,
+       |  n_a + n_b - coalesce(n_inter, 0L) AS n_union,
+       |  CAST(coalesce(n_inter, 0L) AS DOUBLE)
+       |    / (n_a + n_b - coalesce(n_inter, 0L)) AS jaccard
+       |FROM grid g LEFT JOIN inter i
+       |  ON g.source_a = i.source_a AND g.source_b = i.source_b
+       |ORDER BY g.source_a, g.source_b""".stripMargin
+
+  /** Spark-SQL face of TextAnalysis.growthCurveQuery (x96): per-bucket
+    * rollup + first-seen grams per bucket + running distinct total. */
+  private def growthSparkSql: String =
+    s"""WITH pb AS (
+       |  SELECT CAST(FLOOR(doc_id / ${TextAnalysis.GrowthBucketDocs}) AS BIGINT)
+       |      AS bucket,
+       |    COUNT(1) AS n_docs,
+       |    SUM(CAST(size($wSql) AS BIGINT)) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |fs AS (
+       |  SELECT gram, MIN(doc_id) AS first_doc FROM documents
+       |  LATERAL VIEW explode(word_shingles($wSql, 3)) t AS gram
+       |  GROUP BY gram),
+       |ng AS (
+       |  SELECT CAST(FLOOR(first_doc / ${TextAnalysis.GrowthBucketDocs}) AS BIGINT)
+       |      AS bucket,
+       |    COUNT(1) AS n_new_grams
+       |  FROM fs GROUP BY 1)
+       |SELECT pb.bucket, n_docs, n_tokens,
+       |  coalesce(n_new_grams, 0L) AS n_new_grams,
+       |  SUM(coalesce(n_new_grams, 0L)) OVER (ORDER BY pb.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_grams
+       |FROM pb LEFT JOIN ng ON pb.bucket = ng.bucket
+       |ORDER BY pb.bucket""".stripMargin
+
+  /** Spark-SQL face of DocPrep.piiQuery (x97): the same deterministic
+    * plant (mod-5/7/11 residues), regexp_count over the shared regex
+    * constants, fixed-order sequential redaction. */
+  private def piiSparkSql: String = {
+    val (em, ph, ip) =
+      (sqlRe(DocPrep.PiiEmailRe), sqlRe(DocPrep.PiiPhoneRe), sqlRe(DocPrep.PiiIpRe))
+    s"""WITH planted AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN concat(' contact user', CAST(doc_id AS STRING),
+       |                  '@example.com ok') ELSE '' END,
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN concat(' call 555-867-',
+       |                  lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+       |                  ' now') ELSE '' END,
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN concat(' host 10.', CAST(doc_id % 256 AS STRING),
+       |                  '.0.1 up') ELSE '' END) AS text
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id,
+       |    CAST(regexp_count(text, '$em') AS BIGINT) AS n_email,
+       |    CAST(regexp_count(text, '$ph') AS BIGINT) AS n_phone,
+       |    CAST(regexp_count(text, '$ip') AS BIGINT) AS n_ip,
+       |    CAST(length(text) AS BIGINT) AS raw_len,
+       |    CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$em', '[EMAIL]'), '$ph', '[PHONE]'), '$ip', '[IP]'))
+       |      AS BIGINT) AS redacted_len
+       |  FROM planted)
+       |SELECT doc_id, n_email, n_phone, n_ip,
+       |  n_email + n_phone + n_ip AS pii_total, raw_len, redacted_len
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.sourceCapQuery (x98): the hash-priority
+    * rank window with the shared bucket expression. */
+  private def sourceCapSparkSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sparkBucketSql("cap")}, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, rk,
+       |  CASE WHEN rk <= ${Sampling.SourceCapN} THEN 1L ELSE 0L END AS kept
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of Analytics.annotatorQuery (x99): the same
+    * synthetic vote frame, min_by first-vote dedup, count-desc /
+    * label-asc majority tie-break, one double division at the end. */
+  private def annotatorSparkSql: String =
+    """WITH votes AS (
+      |  SELECT user_id % 7 AS annotator, event_id % 500 AS item,
+      |    event_type AS label, event_id AS vote_id
+      |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |fv AS (
+      |  SELECT item, annotator, min_by(label, vote_id) AS label
+      |  FROM votes GROUP BY item, annotator),
+      |mj AS (
+      |  SELECT item, label AS maj_label,
+      |    row_number() OVER (PARTITION BY item ORDER BY c DESC, label) AS rn
+      |  FROM (SELECT item, label, COUNT(1) AS c FROM fv GROUP BY item, label)),
+      |per AS (
+      |  SELECT f.annotator, COUNT(1) AS n_items,
+      |    SUM(CASE WHEN f.label = m.maj_label THEN 1L ELSE 0L END) AS n_agree
+      |  FROM fv f JOIN (SELECT item, maj_label FROM mj WHERE rn = 1) m
+      |    ON f.item = m.item
+      |  GROUP BY f.annotator)
+      |SELECT annotator, n_items, n_agree,
+      |  round(CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS agreement
+      |FROM per ORDER BY annotator""".stripMargin
+
+  /** Spark-SQL face of Analytics.spearmanQuery (x134): two permutation
+    * rank windows, Σd² exact in DECIMAL(38,0), n(n²−1) exact in
+    * decimal, one double division rounded at 6. */
+  private def spearmanSparkSql: String =
+    s"""WITH v AS (
+       |  SELECT source, doc_id,
+       |    CAST(size($wSql) AS BIGINT) AS len,
+       |    CAST(regexp_count(text, '[.!?,;:]') AS BIGINT) AS punct
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+       |         AS BIGINT) AS rx,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY punct, doc_id)
+       |         AS BIGINT) AS ry
+       |  FROM v)
+       |SELECT source, COUNT(1) AS n_docs,
+       |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS DOUBLE)
+       |    AS sum_d2,
+       |  round(1.0D - 6.0D
+       |      * CAST(SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / CAST(CAST(COUNT(1) AS DECIMAL(38,0))
+       |             * (CAST(COUNT(1) AS DECIMAL(38,0))
+       |                * CAST(COUNT(1) AS DECIMAL(38,0)) - 1) AS DOUBLE),
+       |    6) AS rho
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Spark-SQL face of Sampling.splitDiversityQuery (x135): the x81
+    * entropy discipline over the (split, source) cells. */
+  private def splitDiversitySparkSql: String =
+    s"""WITH cell AS (
+       |  SELECT ${splitCaseSparkSql("doc_id")} AS split, source,
+       |    COUNT(1) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (SELECT split, c, SUM(c) OVER (PARTITION BY split) AS n FROM cell),
+       |lp AS (
+       |  SELECT split, c, n,
+       |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM t)
+       |SELECT split, MIN(n) AS n_docs, COUNT(1) AS n_sources,
+       |  CAST(SUM(c * lp) AS DOUBLE) / MIN(n) AS entropy
+       |FROM lp GROUP BY split ORDER BY split""".stripMargin
+
+  /** Spark-SQL face of Dedup.effectiveTokensQuery (x136): md5 family
+    * keys, pinned 1/k image in DECIMAL(18,6), exact decimal sum. */
+  private def effectiveTokensSparkSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, md5(text) AS k,
+       |    CAST(size($wSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |fam AS (SELECT k, COUNT(1) AS fam FROM toks GROUP BY k)
+       |SELECT source, COUNT(1) AS n_docs, SUM(n_tokens) AS tokens_raw,
+       |  CAST(SUM(n_tokens * CAST(round(1.0D / CAST(fam AS DOUBLE), 6)
+       |                           AS DECIMAL(18,6))) AS DOUBLE)
+       |    AS tokens_effective
+       |FROM toks t JOIN fam f ON t.k = f.k
+       |GROUP BY source ORDER BY source""".stripMargin
 }

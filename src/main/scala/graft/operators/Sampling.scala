@@ -889,8 +889,13 @@ object Sampling {
       .withColumn("n2", sum(col("c2")).over(wAll))
       .groupBy(col("source"))
       .agg(first(col("n1")).as("n_train"), first(col("n2")).as("n_val"),
-        round(max(abs(col("cum1").cast("double") / col("n1").cast("double") -
-          col("cum2").cast("double") / col("n2").cast("double"))), 6).as("ks"))
+        // nullif on the split totals (the zipfSlope/rateBursts guard):
+        // a source whose docs all land in one split reports a null ks
+        // rather than an engine-specific NaN/Infinity.
+        round(max(abs(
+          col("cum1").cast("double") / nullif(col("n1").cast("double"), lit(0d)) -
+          col("cum2").cast("double") / nullif(col("n2").cast("double"), lit(0d)))),
+          6).as("ks"))
   }
 
   def ksSplitAuditQuery(spark: SparkSession, dir: String): DataFrame =

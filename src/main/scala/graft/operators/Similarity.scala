@@ -231,12 +231,15 @@ object Similarity {
     val a = vectors.select(col("vec_id"), col("label"), col("embedding"))
     val b = vectors.select(col("vec_id").as("nid"), col("label").as("nlabel"),
       col("embedding").as("nemb"))
+    // Rank on round(sim, 6) with the nid tie-break — the x45/x73 argmax
+    // discipline — so float-accumulation jitter between engines cannot
+    // flip near-tie anchors to different pos/neg ids.
     val w = Window.partitionBy(col("vec_id"), col("is_pos"))
       .orderBy(col("sim").desc, col("nid"))
     a.join(b, col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"),
         (col("label") === col("nlabel")).as("is_pos"),
-        cosine(col("embedding"), col("nemb")).as("sim"))
+        round(cosine(col("embedding"), col("nemb")), 6).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .groupBy(col("vec_id"))
