@@ -499,6 +499,26 @@ object Bench {
             restartedMidRun = false)
       })
 
+    // ANN quality attestation: recall@5 of each approximate face vs the
+    // exact x05 answer, re-measured EVERY bench run so index/codebook
+    // drift shows up in the committed record like a wall-time regression
+    // would (the specs assert recall once at fixed fixtures; this tracks
+    // it at the bench SF). Pairs compare as (query_id, neighbor_id) sets.
+    val annRecalls: Seq[(String, Double)] =
+      try {
+        val exact = SparkEntry.queries("x05_cosine_knn")(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        Seq("x06_ann_ivf", "x06_ann_lsh", "x17_quant_knn", "x140_jl_knn").map { name =>
+          val approx = SparkEntry.queries(name)(spark, sfDir)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          name -> (exact intersect approx).size.toDouble / exact.size
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann recall failed: $e")
+          Seq.empty
+      }
+
     val attempts = jsonMap(results.map(r => r.name -> r.attempts.toString))
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
     val total = results.map(_.warm).filter(_ >= 0).sum
@@ -528,11 +548,19 @@ object Bench {
     // The streaming record gets its own full line AND compact fields on
     // the final line (the tail window only reliably keeps the last line).
     stream.foreach(r => println(StreamBench.record(r)))
+    // One ann_recall line per approximate face (short — they sit inside
+    // the driver's 2 KB stdout tail next to the compact line).
+    annRecalls.foreach { case (name, rec) =>
+      println(s"""{"metric":"ann_recall","query":"$name","k":5,""" +
+        s""""vs":"x05_cosine_knn","value":${fmt(rec)},"sf":"$sfDir"}""")
+    }
     val streamExtra = stream.toSeq.flatMap { r =>
       Seq(
         "stream_rows_per_sec" -> fmtSig(r.rowsPerSec, 5),
         "stream_batches" -> r.batches.toString,
         "stream_ok" -> r.ok.toString)
+    } ++ annRecalls.map { case (name, rec) =>
+      s"recall_${name.stripPrefix("x06_ann_").stripPrefix("x17_")}" -> fmt(rec)
     }
     println(compactLine(total, attestedTotal, results.map(r => r.name -> r.warm),
       results.filter(_.contended).map(_.name), baselineSuspect, sfDir,

@@ -496,6 +496,21 @@ object SparkEntry {
     // content family's tokens counted once, credit split over copies;
     // the post-dedup mixture-weighting input.
     "x136_effective_tokens" -> (Dedup.effectiveTokensQuery _),
+    // x137: hybrid retrieval fusion — lexical 3-gram rank + exact
+    // cosine rank merged by reciprocal-rank fusion (no score
+    // calibration; rank is the only currency).
+    "x137_hybrid_rrf"     -> (TextSearch.hybridQuery _),
+    // x138: one label-propagation step over the x114 link graph with
+    // x119's host verdicts as seeds — guilt-by-association labeling
+    // for hosts the content model never saw.
+    "x138_label_prop"     -> (WebPrep.labelPropagationQuery _),
+    // x139: CCNet-style line-level dedup — corpus-repeated fixed-width
+    // lines drop everywhere, documents reassemble from what survives.
+    "x139_line_dedup"     -> (Dedup.lineDedupQuery _),
+    // x140: top-k retrieval in the Johnson-Lindenstrauss-projected
+    // space (64 -> 16 dims) — the index-shrinking move; recall vs the
+    // exact x05 answer is spec- and bench-tracked.
+    "x140_jl_knn"         -> (Similarity.jlKnnQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64
@@ -506,7 +521,8 @@ object SparkEntry {
   val rowsOnly: Set[String] =
     Set("x02_minhash_pairs", "x04_simhash", "x06_ann_lsh", "x06_ann_ivf",
       "x15_hll_rollup", "x17_quant_knn", "x49_kll_quantiles",
-      "x51_media_probe", "x54_freq_topk", "x129_media_resize")
+      "x51_media_probe", "x54_freq_topk", "x129_media_resize",
+      "x140_jl_knn")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

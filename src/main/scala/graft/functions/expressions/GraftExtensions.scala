@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("simhash_chunks",
       "simhash_chunks(tokens) - 64-bit SimHash as 4x16-bit chunks", 1)(
       args => SimHashChunks(args(0))))
+    e.injectFunction(fn("jl_project",
+      "jl_project(vec, outDim, dim, seed) - Johnson-Lindenstrauss projection to outDim dims", 4)(
+      args => JlProject(args(0), intLiteral(args(1), "jl_project"),
+        intLiteral(args(2), "jl_project"), longLiteral(args(3), "jl_project"))))
     e.injectFunction(fn("lsh_buckets",
       "lsh_buckets(vec, nTables, bits, dim, seed) - sign-LSH bucket id per hyperplane table", 5)(
       args => LshBuckets(args(0),

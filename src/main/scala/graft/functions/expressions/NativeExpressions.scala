@@ -367,6 +367,42 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** Johnson-Lindenstrauss random projection: out_k = (1/√outDim) ·
+    * Σ_j v_j · g_kj with g the seeded Gaussian plane stream — the
+    * dimensionality-reduction kernel that shrinks an embedding before
+    * indexing. Same strictness as [[lshBuckets]]: mismatched length or
+    * null elements fail loudly (a silently zero-padded vector would
+    * project to a wrong but plausible point). */
+  def jlProject(vec: ArrayData, planes: Array[Double], outDim: Int,
+                dim: Int, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"jl_project: input vector has $n elements but the projection is " +
+        s"configured for dim=$dim — set dim to the embedding dimension")
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) throw new IllegalArgumentException(
+        s"jl_project: null element at position $i — filter or impute " +
+          "null-bearing vectors before projecting")
+      v(i) = elem(vec, i, isFloat)
+      i += 1
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var k = 0
+    var off = 0
+    while (k < outDim) {
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += v(j) * planes(off + j); j += 1 }
+      out(k) = d * scale
+      off += dim
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Ids of the `nProbe` best centroids for a vector by exact cosine,
     * ordered best-first (ties: smaller centroid id). Per-centroid cosine
     * keeps NativeOps.cosineSim's exact semantics — the composed form this
@@ -901,6 +937,48 @@ case class LshBuckets(child: Expression, nTables: Int, bits: Int, dim: Int, seed
     copy(child = newChild)
 }
 
+/** Johnson-Lindenstrauss projection of a float/double vector to `outDim`
+  * dimensions: ARRAY<DOUBLE> with out_k = (1/√outDim)·dot(vec, plane_k),
+  * planes the deterministic seeded Gaussian stream (the [[LshBuckets]]
+  * generator without the sign quantization — LSH IS this projection's
+  * 1-bit extreme). One kernel call per row; the outDim×dim plane matrix
+  * rides as a reference object. */
+case class JlProject(child: Expression, outDim: Int, dim: Int, seed: Long)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Flattened [outDim][dim] planes — the LshBuckets Gaussian stream. */
+  @transient private lazy val planes: Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim * dim)(rnd.nextGaussian())
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeOps.jlProject(input.asInstanceOf[ArrayData], planes, outDim, dim, isFloat)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.jlProject(" +
+        s"$c, $planesRef, $outDim, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Ids of the nProbe nearest centroids (exact cosine, best first, ties to
   * the smaller id) against a driver-collected codebook.
   *
@@ -994,6 +1072,8 @@ object NativeExpressions {
     column(CosineSim(expression(a), expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def jlProject(vec: Column, outDim: Int, dim: Int, seed: Long): Column =
+    column(JlProject(expression(vec), outDim, dim, seed))
   def lshBuckets(vec: Column, nTables: Int, bits: Int, dim: Int, seed: Long): Column =
     column(LshBuckets(expression(vec), nTables, bits, dim, seed))
   def topCentroids(vec: Column, centroids: Array[(Int, Array[Float])], nProbe: Int): Column =

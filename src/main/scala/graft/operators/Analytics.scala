@@ -1049,7 +1049,13 @@ object Analytics {
     * correctly-rounded double; ρ is ONE double division, round 6.
     *
     * Shape: one scan → two per-source rank windows over the narrow
-    * (source, len, punct, doc_id) projection → per-source sum. */
+    * (source, len, punct, doc_id) projection → per-source sum. The
+    * window form funnels each source through ONE task (the per-group
+    * rank sort is partition-local); when a single source outgrows an
+    * executor, use [[spearmanDistributed]] — the identical statistic
+    * with ranks from the range-partitioned grouped prefix scan
+    * ([[Sampling.groupedRanks]]), spec-asserted row-identical on a
+    * skewed fixture. */
   def spearman(docs: DataFrame): DataFrame = {
     val wLen = Window.partitionBy(col("source"))
       .orderBy(col("len"), col("doc_id"))
@@ -1076,4 +1082,33 @@ object Analytics {
   def spearmanQuery(spark: SparkSession, dir: String): DataFrame =
     spearman(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
+
+  /** The 100 TB face of [[spearman]]: identical statistic, but each
+    * permutation rank comes from [[Sampling.groupedRanks]] — a range
+    * partition on (source, signal, doc_id) plus a two-job grouped
+    * prefix scan — instead of a rank window, so a monster source spans
+    * MANY tasks rather than sorting inside one. Two range shuffles (one
+    * per signal) replace the window form's single hash shuffle: pay
+    * that when any one group can exceed an executor's spill budget. */
+  def spearmanDistributed(docs: DataFrame, numPartitions: Int = 0): DataFrame = {
+    val base = docs.select(col("source"), col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len"),
+      regexp_count(col("text"), lit("[.!?,;:]")).cast("long").as("punct"))
+    val withRx = Sampling.groupedRanks(base, Seq("source"),
+      Seq(col("len"), col("doc_id")), "rx", numPartitions)
+    val ranked = Sampling.groupedRanks(withRx, Seq("source"),
+      Seq(col("punct"), col("doc_id")), "ry", numPartitions)
+    val d = col("rx") - col("ry")
+    ranked
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((d * d).cast("decimal(38,0)")).as("d2"))
+      .select(col("source"), col("n_docs"),
+        col("d2").cast("double").as("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("d2").cast("double") /
+          (col("n_docs").cast("decimal(38,0)") *
+            (col("n_docs").cast("decimal(38,0)") *
+              col("n_docs").cast("decimal(38,0)") - 1)).cast("double"),
+          6).as("rho"))
+  }
 }

@@ -147,9 +147,18 @@ object Dedup {
                            hashGrams: Boolean = false,
                            candidateFilter: DataFrame => DataFrame = identity)
       : DataFrame = {
+    // Persist the mined pairs: the frame is referenced twice (the
+    // id-prune semi-join AND the verify join), Catalyst does not dedupe
+    // a multiply-referenced aggregate subtree, and AQE stage reuse only
+    // recovers the shuffled stages — the corpus scan + shingle explode
+    // feeding the first exchange would still run once per reference.
+    // The pair set is small by construction (df-pruned candidates), so
+    // the blocks are KBs; ContextCleaner unpersists them when the
+    // returned frame is dropped.
     val cand = candidateFilter(
       ngramCandidatePairs(docs, n, maxDf, minInter, hashGrams)
         .select(col("d1"), col("d2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE reference to the candidate aggregate, not two union branches:
     // Catalyst does not dedupe a multiply-referenced aggregate subtree,
     // so cand.select(d1) UNION cand.select(d2) would re-run the whole
@@ -189,8 +198,11 @@ object Dedup {
     * counts ride along so a consumer can re-derive either direction. */
   def containmentPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                        minInter: Int = 2): DataFrame = {
+    // Persisted for the same two-reference reason as
+    // [[verifiedNearDupPairs]]: one gram-pipeline execution, not two.
     val cand = ngramCandidatePairs(docs, n, maxDf, minInter)
       .select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
     val sh = shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
@@ -1102,4 +1114,68 @@ object Dedup {
   def effectiveTokensQuery(spark: SparkSession, dir: String): DataFrame =
     effectiveTokens(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
+
+  // ----------------------------------- line-grain dedup rewrite (x139)
+
+  /** x139 constants, shared with the DuckDB twin. */
+  private[graft] val LineTokens: Int = 10
+  private[graft] val LineDupMin: Long = 3L
+
+  /** x139: LINE-LEVEL DEDUP WITH REASSEMBLY — the CCNet-style cleaning
+    * cut that REWRITES documents instead of scoring them: each document
+    * splits into consecutive [[LineTokens]]-token lines, a line whose
+    * corpus-wide occurrence count reaches [[LineDupMin]] is boilerplate
+    * (navigation chrome, license headers, templated intros) and is
+    * dropped EVERYWHERE, and each document reassembles from its
+    * surviving lines in order. x89 measures boilerplate share; x01/x46
+    * drop whole documents; this is the middle grain — the document
+    * survives, its repeated furniture doesn't.
+    *
+    * Output is the audit grain: per doc the line counts, the surviving
+    * token count, and md5 of the reassembled text (the content key
+    * downstream exact-dedup consumes) — narrow enough to shuffle, and
+    * cross-engine exact. Lines key on raw text here (oracle face); the
+    * 100 TB form keys the frequency aggregate on xxhash64(line)
+    * ([[gramKey]]'s discipline) so the one corpus-sized shuffle carries
+    * 8-byte keys.
+    *
+    * Shape: one scan → positional line explode (bounded: ~n_tokens/L
+    * rows per doc) → line-frequency hash agg → join back → per-doc
+    * ordered reassembly (collect_list over ≤ lines-per-doc rows). */
+  def lineDedup(docs: DataFrame, lineTokens: Int = LineTokens,
+                dupMin: Long = LineDupMin): DataFrame = {
+    val nLines = ceil(size(col("w")) / lit(lineTokens.toDouble)).cast("long")
+    val lines = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(when(nLines > 0,
+          transform(sequence(lit(0L), nLines - 1),
+            i => array_join(
+              slice(col("w"), (i * lineTokens + 1).cast("int"), lit(lineTokens)),
+              " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "idx", "line")
+    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("c"))
+    val per = lines.join(freq, Seq("line"))
+      .select(col("doc_id"), col("idx"), col("line"),
+        (col("c") < dupMin).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("out"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        size(TextAnalysis.wsTokens(coalesce(col("out"), lit(""))))
+          .cast("long").as("n_tokens_kept"),
+        md5(coalesce(col("out"), lit(""))).as("out_key"))
+  }
+
+  def lineDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 }

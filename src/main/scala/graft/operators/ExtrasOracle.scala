@@ -392,6 +392,17 @@ object ExtrasOracle {
         |FROM toks JOIN fam USING (k)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // x137: both leg ranks rebuilt brute-force (distinct-3gram overlap
+    // + DOUBLE[]-accumulated cosine rounded at 6), identical RRF term
+    // pinning, rank INT like the x05 twin.
+    "x137_hybrid_rrf" -> hybridRrfSql,
+    // x138: x114's edges + x119's host verdicts as seeds, all-integer
+    // symmetrized majority vote.
+    "x138_label_prop" -> labelPropSql,
+    // x139: the same fixed-width line chunking, corpus line counts,
+    // ordered reassembly; md5 of the rebuilt text agrees byte-for-byte.
+    "x139_line_dedup" -> lineDedupSql,
+
     // x134: same total (value, doc_id) rank order, same closed form;
     // SUM(d*d) accumulates in HUGEINT (exact, like Spark's
     // DECIMAL(38,0)) and is emitted as its correctly-rounded double.
@@ -2621,6 +2632,78 @@ object ExtrasOracle {
        |LEFT JOIN recip r ON r.host = COALESCE(o.host, i.host)
        |ORDER BY host""".stripMargin
 
+  /** DuckDB twin of WebPrep.labelPropagationQuery (x138): x114's twin
+    * as the edge CTE, the x119 host verdict rebuilt at host grain as
+    * seeds, the same symmetrized vote and majority/tie rules. */
+  private def labelPropSql: String =
+    "WITH edges AS MATERIALIZED (\n" +
+      linkGraphSql.linesIterator.map("  " + _).mkString("\n") + "\n),\n" +
+    s"""seeds AS MATERIALIZED (
+       |  SELECT source || '.example.com' AS host,
+       |    CAST(CASE WHEN SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+       |                   x -> x <> '')) >= ${WebPrep.HostRepMinTokens}
+       |                 THEN 1 ELSE 0 END) * 2 >= COUNT(*)
+       |         THEN 1 ELSE 0 END AS BIGINT) AS seed
+       |  FROM documents GROUP BY 1),
+       |ks AS (
+       |  SELECT src_host, dst_host, n_links FROM edges
+       |  WHERE src_host <> dst_host),
+       |und AS (
+       |  SELECT host, nbr, SUM(n_links) AS w FROM (
+       |    SELECT src_host AS host, dst_host AS nbr, n_links FROM ks
+       |    UNION ALL
+       |    SELECT dst_host AS host, src_host AS nbr, n_links FROM ks)
+       |  GROUP BY 1, 2),
+       |votes AS (
+       |  SELECT u.host,
+       |    CAST(SUM(CASE WHEN s.seed = 1 THEN u.w ELSE 0 END) AS BIGINT)
+       |      AS votes_ok,
+       |    CAST(SUM(CASE WHEN s.seed = 0 THEN u.w ELSE 0 END) AS BIGINT)
+       |      AS votes_bad
+       |  FROM und u LEFT JOIN seeds s ON s.host = u.nbr
+       |  GROUP BY 1)
+       |SELECT v.host, CAST(COALESCE(s.seed, -1) AS BIGINT) AS seed,
+       |  votes_ok, votes_bad,
+       |  CAST(CASE WHEN votes_ok > votes_bad THEN 1
+       |            WHEN votes_bad > votes_ok THEN 0
+       |            ELSE COALESCE(s.seed, -1) END AS BIGINT) AS propagated
+       |FROM votes v LEFT JOIN seeds s ON s.host = v.host
+       |ORDER BY v.host""".stripMargin
+
+  /** DuckDB twin of Dedup.lineDedupQuery (x139): identical 1-based
+    * fixed-width line slicing, occurrence-count cut, string_agg ordered
+    * by line index (COALESCE'd to '' so the all-dropped doc hashes the
+    * empty string like Spark's concat_ws over an empty array). */
+  private def lineDedupSql: String = {
+    val (lt, min) = (Dedup.LineTokens, Dedup.LineDupMin)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |lines AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+       |    array_to_string(w[(i*$lt+1):(i*$lt+$lt)], ' ') AS line
+       |  FROM toks,
+       |    UNNEST(range(0, CAST(ceil(len(w) / $lt.0) AS BIGINT))) AS t(i)),
+       |freq AS MATERIALIZED (
+       |  SELECT line, COUNT(*) AS c FROM lines GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN c < $min THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_dropped,
+       |    COALESCE(string_agg(CASE WHEN c < $min THEN line END, ' '
+       |                        ORDER BY idx), '') AS out
+       |  FROM lines JOIN freq USING (line)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       |  COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       |  CAST(len(list_filter(string_split(COALESCE(out, ''), ' '),
+       |                       x -> x <> '')) AS BIGINT) AS n_tokens_kept,
+       |  md5(COALESCE(out, '')) AS out_key
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of WebPrep.robotsGateQuery (x124): the x104 plant and
     * ladder, the rule VALUES generated from the SAME RobotsRules
     * constant, host-equality + starts_with prefix match, lexicographic
@@ -3059,4 +3142,59 @@ object ExtrasOracle {
        |FROM ranked a JOIN ranked b
        |  ON b.rk - a.rk BETWEEN 1 AND ${Dedup.SnmWindow - 1}
        |ORDER BY d1, d2""".stripMargin
+
+  /** DuckDB twin of TextSearch.hybridQuery (x137): the lexical leg's
+    * distinct-3gram intersection counts, the vector leg's cosine in
+    * DOUBLE accumulation rounded at 6 (the x120 discipline), the same
+    * integer rank windows, each RRF term one rounded division pinned
+    * into DECIMAL(18,6), exact decimal fusion sum, rank INT (x05). */
+  private def hybridRrfSql: String = {
+    val (rrfK, legK, topK, qMax) = (TextSearch.RrfK, TextSearch.HybridLegK,
+      TextSearch.HybridTopK, TextSearch.HybridQueryMax)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |dg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+       |qg AS MATERIALIZED (
+       |  SELECT doc_id AS query_id, gram FROM dg WHERE doc_id < $qMax),
+       |lexinter AS (
+       |  SELECT q.query_id, d.doc_id, COUNT(*) AS inter
+       |  FROM qg q JOIN dg d USING (gram)
+       |  WHERE d.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id, r FROM (
+       |    SELECT query_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY inter DESC, doc_id) AS r
+       |    FROM lexinter) WHERE r <= $legK),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+       |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                 v.embedding::DOUBLE[]), 6) AS sim
+       |  FROM embeddings q JOIN embeddings v
+       |    ON q.vec_id < $qMax AND v.vec_id <> q.vec_id),
+       |vec AS (
+       |  SELECT query_id, doc_id, r FROM (
+       |    SELECT query_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, doc_id) AS r
+       |    FROM sims) WHERE r <= $legK),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(SUM(CAST(ROUND(1.0 / CAST($rrfK + r AS DOUBLE), 6)
+       |                  AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score,
+       |  CAST("rank" AS INT) AS "rank"
+       |FROM (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS "rank"
+       |  FROM fused)
+       |WHERE "rank" <= $topK ORDER BY query_id, "rank"""".stripMargin
+  }
 }

@@ -1027,6 +1027,8 @@ object RelationalSql {
     "x134_spearman" -> spearmanSparkSql,
     "x135_split_diversity" -> splitDiversitySparkSql,
     "x136_effective_tokens" -> effectiveTokensSparkSql,
+    "x137_hybrid_rrf" -> hybridRrfSparkSql,
+    "x139_line_dedup" -> lineDedupSparkSql,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -2241,6 +2243,83 @@ object RelationalSql {
        |SELECT split, MIN(n) AS n_docs, COUNT(1) AS n_sources,
        |  CAST(SUM(c * lp) AS DOUBLE) / MIN(n) AS entropy
        |FROM lp GROUP BY split ORDER BY split""".stripMargin
+
+  /** Spark-SQL face of TextSearch.hybridQuery (x137): both leg ranks
+    * over injected word_shingles / cosine_sim, identical RRF pinning. */
+  private def hybridRrfSparkSql: String = {
+    val (rrfK, legK, topK, qMax) = (TextSearch.RrfK, TextSearch.HybridLegK,
+      TextSearch.HybridTopK, TextSearch.HybridQueryMax)
+    s"""WITH dg AS (
+       |  SELECT doc_id, gram FROM documents
+       |  LATERAL VIEW explode(word_shingles($wSql, 3)) t AS gram),
+       |qg AS (SELECT doc_id AS query_id, gram FROM dg WHERE doc_id < $qMax),
+       |lexinter AS (
+       |  SELECT q.query_id, d.doc_id, COUNT(1) AS inter
+       |  FROM qg q JOIN dg d ON q.gram = d.gram
+       |  WHERE d.doc_id != q.query_id
+       |  GROUP BY q.query_id, d.doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, r FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY inter DESC, doc_id) AS r
+       |    FROM lexinter) WHERE r <= $legK),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+       |    round(cosine_sim(q.embedding, v.embedding), 6) AS sim
+       |  FROM embeddings q JOIN embeddings v
+       |    ON q.vec_id < $qMax AND v.vec_id != q.vec_id),
+       |vec AS (
+       |  SELECT query_id, doc_id, r FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, doc_id) AS r
+       |    FROM sims) WHERE r <= $legK),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(SUM(CAST(round(1.0D / CAST($rrfK + r AS DOUBLE), 6)
+       |                  AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+       |  GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Spark-SQL face of Dedup.lineDedupQuery (x139): the same fixed-
+    * width line chunking, occurrence cut, and ordered reassembly. */
+  private def lineDedupSparkSql: String = {
+    val (lt, min) = (graft.operators.Dedup.LineTokens,
+      graft.operators.Dedup.LineDupMin)
+    s"""WITH toks AS (SELECT doc_id, $wSql AS w FROM documents),
+       |lines AS (
+       |  SELECT doc_id, idx, line FROM toks
+       |  LATERAL VIEW posexplode(
+       |    CASE WHEN size(w) > 0
+       |      THEN transform(
+       |        sequence(0L, CAST(ceil(size(w) / $lt.0) AS BIGINT) - 1),
+       |        i -> array_join(slice(w, CAST(i * $lt + 1 AS INT), $lt), ' '))
+       |      ELSE CAST(array() AS ARRAY<STRING>) END) t AS idx, line),
+       |freq AS (SELECT line, COUNT(1) AS c FROM lines GROUP BY line),
+       |per AS (
+       |  SELECT doc_id, COUNT(1) AS n_lines,
+       |    SUM(CASE WHEN c < $min THEN 0L ELSE 1L END) AS n_dropped,
+       |    concat_ws(' ', transform(array_sort(collect_list(
+       |      CASE WHEN c < $min THEN struct(idx, line) END)),
+       |      s -> s.line)) AS out
+       |  FROM lines JOIN freq USING (line) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_lines, 0L) AS n_lines,
+       |  coalesce(n_dropped, 0L) AS n_dropped,
+       |  CAST(size(filter(split(coalesce(out, ''), ' '), x -> x != ''))
+       |       AS BIGINT) AS n_tokens_kept,
+       |  md5(coalesce(out, '')) AS out_key
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Spark-SQL face of Dedup.effectiveTokensQuery (x136): md5 family
     * keys, pinned 1/k image in DECIMAL(18,6), exact decimal sum. */

@@ -341,6 +341,19 @@ object Sampling {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-group 1-based row_number over a total (`group`, `order`) order —
+    * WITHOUT the single-task-per-group sort that
+    * `row_number() OVER (PARTITION BY group ORDER BY order)` compiles
+    * to: the rank IS the grouped inclusive [[prefixSum]] of the
+    * constant 1, so one monster group spans a run of range partitions
+    * instead of funneling through one reducer. Same contract as
+    * prefixSum: `order` must be a total order within each group. */
+  def groupedRanks(df: DataFrame, group: Seq[String], order: Seq[Column],
+                   outCol: String = "rk", numPartitions: Int = 0): DataFrame =
+    prefixSum(df.withColumn("_graft_one", lit(1L)), group, order,
+        "_graft_one", outCol, numPartitions)
+      .drop("_graft_one")
+
   /** Greedy per-source token-budget selection: walk each source's docs
     * in doc_id order, keep documents while the tokens consumed BEFORE
     * the doc are under `budget` (so the budget-crossing doc is kept —

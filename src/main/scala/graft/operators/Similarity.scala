@@ -936,6 +936,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  // ---------------------------- JL-projected two-stage search (x140)
+
+  /** x140 defaults, shared with the specs: 64 → 32 dims, 100 coarse
+    * candidates reranked exactly to top-5. */
+  private[graft] val JlOutDim: Int = 32
+  private[graft] val JlSeed: Long = 97L
+  private[graft] val JlCandidates: Int = 100
+
+  /** Project an embedding column to `outDim` dims via the native
+    * Johnson-Lindenstrauss expression — the index-shrinking move a
+    * 100 TB vector pipeline runs before indexing (a 2× narrower vector
+    * is 2× less shuffle, scan, and distance arithmetic; the JL lemma
+    * prices the distortion, and the spec measures it). */
+  def jlProject(vec: Column, outDim: Int = JlOutDim, dim: Int = 64,
+                seed: Long = JlSeed): Column =
+    graft.functions.expressions.NativeExpressions.jlProject(vec, outDim, dim, seed)
+
+  /** x140: TWO-STAGE retrieval — a coarse top-`candidates` search in
+    * the JL-projected space (cheap: narrow vectors) reranked EXACTLY
+    * in the original space to top-k. The production coarse-then-rerank
+    * shape: the expensive exact cosine touches only
+    * |queries|·candidates pairs instead of |queries|·corpus, and the
+    * projection is where the 100 TB saving lives (the corpus-sized
+    * pass runs at outDim, not dim). Engine-local floats (rows-only at
+    * the gate); recall vs the exact x05 answer is spec-asserted and
+    * bench-tracked next to the IVF/LSH paths. */
+  def jlTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             outDim: Int = JlOutDim, dim: Int = 64, seed: Long = JlSeed,
+             candidates: Int = JlCandidates): DataFrame = {
+    val pv = vectors.select(col("vec_id"),
+      jlProject(col("embedding"), outDim, dim, seed).as("embedding"))
+    val pq = queries.select(col("query_id"),
+      jlProject(col("qvec"), outDim, dim, seed).as("qvec"))
+    val coarse = bruteForceTopK(pv, pq, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    coarse
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  def jlKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    jlTopK(emb, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** rows-only queries() entry for the quantized path (same queries as
     * x05; recall vs brute force asserted in ExtrasSpec). */
   def quantizedQuery(spark: SparkSession, dir: String): DataFrame = {

@@ -539,7 +539,10 @@ object TextAnalysis {
     * give the first `n mod 10` buckets the extra row, per standard
     * ntile). Scale shape: one shuffle on lang; the per-language sort is
     * the window's — fine while a language's docs fit an executor's
-    * spill budget, and languages parallelize. */
+    * spill budget, and languages parallelize. When one language
+    * outgrows that (the true 100 TB hot group), use
+    * [[qualityDecilesDistributed]] — identical buckets from the
+    * range-partitioned grouped rank, spec-asserted row-identical. */
   def qualityDecilesQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val w = Window.partitionBy(col("lang"))
@@ -549,6 +552,32 @@ object TextAnalysis {
         size(wsTokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("decile", ntile(QualityDeciles).over(w))
       .orderBy(col("doc_id"))
+  }
+
+  /** The 100 TB face of x53: the same deciles WITHOUT the per-language
+    * window sort. Rank within language comes from
+    * [[graft.operators.Sampling.groupedRanks]] (range partition + two-
+    * job grouped prefix scan — a hot language spans many tasks), the
+    * per-language count joins back as a broadcast (|languages| rows),
+    * and the bucket is ntile's closed form on (rank, n): with
+    * q = n div k and rem = n mod k, the first rem buckets hold q+1 rows.
+    * Integer-exact, row-identical to the window form by spec. */
+  def qualityDecilesDistributed(docs: DataFrame,
+                                numPartitions: Int = 0): DataFrame = {
+    val k = QualityDeciles
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val ranked = graft.operators.Sampling.groupedRanks(base, Seq("lang"),
+      Seq(col("n_tokens"), col("doc_id")), "rk", numPartitions)
+    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumn("decile",
+        (when(col("rk") <= (expr(s"n div $k") + 1) * (col("n") % k),
+          expr(s"(rk - 1) div (n div $k + 1)"))
+          .otherwise(col("n") % k +
+            expr(s"(rk - 1 - (n div $k + 1) * (n % $k)) div (n div $k)"))
+          + 1).cast("int"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("decile"))
   }
 
   // ------------------------------------------------- n-gram LM counts

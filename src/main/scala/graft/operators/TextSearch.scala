@@ -199,4 +199,85 @@ object TextSearch {
   def bm25Query(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables.load(spark, dir, "documents"), demoQueries)
       .orderBy(col("query_id"), col("rank"))
+
+  // --------------------------------- hybrid retrieval fusion (x137)
+
+  /** x137 constants, shared with the DuckDB twin. RrfK=60 is the
+    * standard reciprocal-rank-fusion damping (Cormack et al.). */
+  private[graft] val RrfK: Int = 60
+  private[graft] val HybridLegK: Int = 20
+  private[graft] val HybridTopK: Int = 10
+  private[graft] val HybridQueryMax: Long = 10L
+
+  /** x137: HYBRID RETRIEVAL FUSION — for each query document, a lexical
+    * ranking (distinct 3-gram overlap) and a vector ranking (exact
+    * cosine over the aligned embedding) fused by reciprocal-rank fusion:
+    * score(d) = Σ_legs 1/(RrfK + rank_leg(d)), a leg a document missed
+    * contributing 0. The RAG-era retrieval step sitting on top of the
+    * x23/x05 primitives: lexical catches exact-term matches embeddings
+    * smooth over, vectors catch paraphrases sharing no grams, and RRF
+    * needs no score calibration between the two scales — rank is the
+    * only currency.
+    *
+    * Determinism: both leg ranks are integers from total (signal desc,
+    * doc_id) orders — the cosine quantized at 6 first (the x45/x73
+    * argmax discipline); each RRF term is ONE correctly-rounded double
+    * division pinned at 6 into DECIMAL(18,6) so the fused score is an
+    * exact decimal sum; the final rank breaks score ties by doc_id.
+    *
+    * Scale shape: the lexical leg builds postings ONLY for query grams
+    * (the x23 discipline — a semi-join prunes the corpus gram stream
+    * before its one shuffle); the vector leg broadcasts the query set
+    * (x05's shape; swap [[Similarity.ivfTopK]] for the probed form at
+    * corpus scale — RRF consumes ranks, so the fusion is oblivious to
+    * which leg implementation produced them); fusion itself is a
+    * |queries × ≤2·legK|-row aggregate. */
+  def hybridTopK(docs: DataFrame, vectors: DataFrame,
+                 queryMax: Long = HybridQueryMax, legK: Int = HybridLegK,
+                 k: Int = HybridTopK): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val qg = docs.filter(col("doc_id") < queryMax)
+      .select(col("doc_id").as("query_id"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+    val dg = docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+      .join(qg.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("inter").desc, col("doc_id"))
+    val lex = qg.join(dg, Seq("gram"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("r", row_number().over(wLex))
+      .filter(col("r") <= legK)
+      .select(col("query_id"), col("doc_id"), col("r"))
+    val q = vectors.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = vectors.as("v")
+      .join(broadcast(q), col("v.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("v.vec_id").as("doc_id"),
+        round(cosine(col("qvec"), col("v.embedding")), 6).as("sim"))
+      .withColumn("r", row_number().over(wVec))
+      .filter(col("r") <= legK)
+      .select(col("query_id"), col("doc_id"), col("r"))
+    val wFused = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lex.unionByName(vec)
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(RrfK) + col("r")).cast("double"), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= k)
+  }
+
+  /** x137 queries() face: fuse over the aligned documents/embeddings
+    * tables (vec_id ≡ doc_id in this corpus). */
+  def hybridQuery(spark: SparkSession, dir: String): DataFrame =
+    hybridTopK(Tables.load(spark, dir, "documents"),
+        Tables.load(spark, dir, "embeddings"))
+      .orderBy(col("query_id"), col("rank"))
 }

@@ -346,6 +346,61 @@ object WebPrep {
     linkDegrees(linkGraphQuery(spark, dir))
       .orderBy(col("host"))
 
+  // ------------------------------------ label propagation (x138)
+
+  /** x138: one synchronous LABEL-PROPAGATION step over the link graph —
+    * each host collects a link-weighted vote of its NEIGHBORS' seed
+    * labels (x119's content reputation: admitted 0/1) and takes the
+    * majority: the guilt-by-association spam/quality spreading move
+    * (TrustRank's core step) that labels hosts the content model never
+    * saw (pure link hubs, new hosts) and flags seeded hosts whose
+    * neighborhood disagrees with their own content score. Edges are
+    * treated undirected (linking to a farm and being linked by one are
+    * both signal); self-loops drop; unseeded neighbors cast no vote.
+    * Majority ties and vote-less hosts keep their own seed (-1 when
+    * also unseeded). All-integer — oracle-exact.
+    *
+    * Shape: the symmetrized edge list is two projections of the edge
+    * aggregate unioned then re-aggregated (edge-grain); votes are one
+    * |hosts|-keyed rollup after a broadcast-sized seed join. One
+    * propagation step per call — iterate k times for k-hop spreading
+    * (each step is the same bounded shuffle; see x14/x39 for the
+    * lineage-cut discipline an unbounded iteration needs). */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val keyed = edges.filter(col("src_host") =!= col("dst_host"))
+    val und = keyed
+      .select(col("src_host").as("host"), col("dst_host").as("nbr"),
+        col("n_links"))
+      .unionByName(keyed.select(col("dst_host").as("host"),
+        col("src_host").as("nbr"), col("n_links")))
+      .groupBy(col("host"), col("nbr"))
+      .agg(sum(col("n_links")).as("w"))
+    val votes = und
+      .join(broadcast(seeds.select(col("host").as("nbr"),
+        col("seed").as("nseed"))), Seq("nbr"), "left")
+      .groupBy(col("host"))
+      .agg(sum(when(col("nseed") === 1L, col("w")).otherwise(0L)).as("votes_ok"),
+        sum(when(col("nseed") === 0L, col("w")).otherwise(0L)).as("votes_bad"))
+    votes.join(broadcast(seeds), Seq("host"), "left")
+      .select(col("host"), coalesce(col("seed"), lit(-1L)).as("seed"),
+        col("votes_ok"), col("votes_bad"),
+        when(col("votes_ok") > col("votes_bad"), 1L)
+          .when(col("votes_bad") > col("votes_ok"), 0L)
+          .otherwise(coalesce(col("seed"), lit(-1L))).as("propagated"))
+  }
+
+  /** The x138 queries() face: one step over the x114 planted graph with
+    * x119's host verdicts as seeds — hub.example.com (unseeded, never a
+    * document host) gets labeled purely from its neighborhood. */
+  def labelPropagationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val seeds = hostReputation(docs,
+        concat(col("source"), lit(".example.com")))
+      .select(col("host"), col("admitted").as("seed")).distinct()
+    labelPropagation(linkGraphQuery(spark, dir), seeds)
+      .orderBy(col("host"))
+  }
+
   // ------------------------------------------- robots-style gate (x124)
 
   /** x124's demo rule table, shared with the DuckDB twin: a full-host

@@ -1160,6 +1160,131 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class EffArrival(doc_id: Long, source: String, k: String,
+                        n_tokens: Long)
+  case class EffFamilyUpdate(k: String, source: String, fam: Long,
+                             n_docs: Long, n_tokens: Long)
+
+  private class EffTokensProcessor
+    extends StatefulProcessor[String, EffArrival, EffFamilyUpdate] {
+    @transient private var fam: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var perSource:
+      org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      fam = getHandle.getValueState[Long]("famSize",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      perSource = getHandle.getMapState[String, (Long, Long)]("perSource",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[EffArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EffFamilyUpdate] = {
+      var k = if (fam.exists()) fam.get() else 0L
+      rows.foreach { r =>
+        k += 1L
+        val (d, t) = if (perSource.containsKey(r.source))
+          perSource.getValue(r.source) else (0L, 0L)
+        perSource.updateValue(r.source, (d + 1L, t + r.n_tokens))
+      }
+      fam.update(k)
+      // snapshot the WHOLE family, not just the arriving sources: a
+      // grown family size k retroactively shrinks every member's 1/k
+      // credit, so consumers need fresh rows for the silent sources too
+      perSource.iterator().map { p =>
+        EffFamilyUpdate(key, p._1, k, p._2._1, p._2._2)
+      }
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Dedup.effectiveTokens]] (x136):
+    * dedup-discounted token mass AS ingestion. Documents arrive keyed on
+    * their md5 content key (the x44/x106 hashed-family discipline); per
+    * key the processor maintains the family size and each source's
+    * (docs, tokens) inside the family, and on every arrival emits the
+    * family's full per-source snapshot at the NEW size — update-stream
+    * semantics, because a grown family retroactively dilutes every
+    * member's 1/k credit. A consumer keeps the latest row per
+    * (k, source) and folds `tokens · round(1/fam, 6)::DECIMAL(18,6)`
+    * per source — after full replay that fold is row-identical to the
+    * batch x136 report (spec-asserted). State per distinct content key:
+    * one long + |sources-in-family| counters, RocksDB-backed. */
+  def effectiveTokensStream(docs: DataFrame): Dataset[EffFamilyUpdate] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        md5(col("text")).as("k"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .as[EffArrival]
+      .groupByKey(_.k)
+      .transformWithState(new EffTokensProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  case class LpArrival(host: String, nseed: Long, w: Long, hseed: Long)
+  case class LpUpdate(host: String, seed: Long, votes_ok: Long,
+                      votes_bad: Long, propagated: Long)
+
+  private class LabelPropProcessor
+    extends StatefulProcessor[String, LpArrival, LpUpdate] {
+    @transient private var votes:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      votes = getHandle.getValueState[(Long, Long)]("votes",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[LpArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[LpUpdate] = {
+      var (ok, bad) = if (votes.exists()) votes.get() else (0L, 0L)
+      var hseed = -1L
+      rows.foreach { r =>
+        hseed = r.hseed
+        if (r.nseed == 1L) ok += r.w else if (r.nseed == 0L) bad += r.w
+      }
+      votes.update((ok, bad))
+      Iterator.single(LpUpdate(key, hseed, ok, bad,
+        if (ok > bad) 1L else if (bad > ok) 0L else hseed))
+    }
+  }
+
+  /** Streaming face of [[graft.operators.WebPrep.labelPropagation]]
+    * (x138): guilt-by-association labeling AS the link stream arrives.
+    * Each edge event symmetrizes into two keyed vote updates (self-
+    * loops drop), seeds join statically (broadcast — host-label tables
+    * are registrable-domain scale), and per-host state is TWO counters;
+    * every batch re-emits each touched host's current verdict (update
+    * semantics — votes only accumulate, so the majority can flip as
+    * links arrive; a consumer keeps the latest row per host). Additive
+    * votes make replay order-invariant: after full replay the last
+    * emission per host equals the batch x138 row (spec-asserted). */
+  def labelPropagationStream(edges: DataFrame, seeds: DataFrame): Dataset[LpUpdate] = {
+    import edges.sparkSession.implicits._
+    val keyed = edges.filter(col("src_host") =!= col("dst_host"))
+    val sym = keyed
+      .select(col("src_host").as("host"), col("dst_host").as("nbr"),
+        col("n_links").cast("long").as("w"))
+      .unionByName(keyed.select(col("dst_host").as("host"),
+        col("src_host").as("nbr"), col("n_links").cast("long").as("w")))
+    val s = seeds.select(col("host"), col("seed").cast("long").as("seed"))
+    sym
+      .join(broadcast(s.select(col("host").as("nbr"), col("seed").as("nseed"))),
+        Seq("nbr"), "left")
+      .join(broadcast(s.select(col("host"), col("seed").as("hseed"))),
+        Seq("host"), "left")
+      .select(col("host"), coalesce(col("nseed"), lit(-1L)).as("nseed"),
+        col("w"), coalesce(col("hseed"), lit(-1L)).as("hseed"))
+      .as[LpArrival]
+      .groupByKey(_.host)
+      .transformWithState(new LabelPropProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class QuotaDoc(doc_id: Long, source: String)
   case class QuotaDecision(doc_id: Long, source: String, rk: Long,
                            kept: Boolean)

@@ -489,4 +489,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("noise").getDouble(4) < 1.0 && out("noise").getDouble(4) > 0.9)
     assert(out("flat").isNullAt(2) && out("flat").isNullAt(3) && out("flat").isNullAt(4))
   }
+
+  /** Skewed fixture for the window-vs-distributed rank identity specs:
+    * one monster source (the shape that funnels a rank window into one
+    * task at scale) next to several small ones, with heavy value ties
+    * so the doc_id tie-break is exercised, spread over enough input
+    * partitions that the grouped prefix scan crosses range-partition
+    * boundaries inside the monster group. */
+  private def skewedDocs = {
+    val rows = (0L until 3000L).map { i =>
+      val src = if (i < 2400) "monster" else s"small${i % 7}"
+      // short repetitive texts -> massive len/punct ties
+      (i, src, ("tok " * ((i % 5).toInt + 1)).trim + (if (i % 3 == 0) "." else ""))
+    }
+    rows.toDF("doc_id", "source", "text").repartition(13)
+  }
+
+  test("x134: spearmanDistributed is row-identical to the window form on a skewed fixture") {
+    val d = skewedDocs
+    val w = Analytics.spearman(d).orderBy($"source").collect().toSeq
+    val p = Analytics.spearmanDistributed(d, numPartitions = 11)
+      .orderBy($"source").collect().toSeq
+    assert(w == p, s"window:\n${w.mkString("\n")}\ndistributed:\n${p.mkString("\n")}")
+  }
+
+  test("x53: qualityDecilesDistributed equals the ntile window form on a skewed fixture") {
+    import graft.operators.TextAnalysis
+    val d = skewedDocs.withColumnRenamed("source", "lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+    val windowForm = d.select($"doc_id", $"lang",
+        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w))
+      .orderBy($"doc_id").collect().toSeq
+    val dist = TextAnalysis.qualityDecilesDistributed(d, numPartitions = 11)
+      .orderBy($"doc_id").collect().toSeq
+    assert(windowForm == dist,
+      s"first diff: ${windowForm.zip(dist).find { case (a, b) => a != b }}")
+  }
 }

@@ -2822,8 +2822,8 @@ class ExtrasSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
     val out = Analytics.spearman(aligned)
       .orderBy($"source")
-      .as[(String, Long, Long, Double)].collect().toSeq
-    assert(out == Seq(("a", 3L, 0L, 1.0), ("b", 3L, 8L, -1.0)), s"got $out")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 3L, 0.0, 1.0), ("b", 3L, 8.0, -1.0)), s"got $out")
   }
 
   test("x135 split diversity: uniform mixture reads ln(k), single-source reads 0") {
@@ -2839,6 +2839,151 @@ class ExtrasSpec extends SparkSpec {
     }
     assert(out("train")._4 > 0.9 * math.log(out("train")._3.toDouble),
       s"train mixture unexpectedly skewed: ${out("train")}")
+  }
+
+  test("x129 resize property: arbitrary (w,h)->(ow,oh) stays in bounds; identical size is identity") {
+    import graft.functions.Multimodal
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic seeded sampling (PropertySpec's offline-classpath
+    // discipline — no scalatest-scalacheck bridge available)
+    def mkImg(w: Int, h: Int, salt: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 2654435761L + y * 40503L + salt).toInt)
+      img
+    }
+    val gen = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      ow <- Gen.choose(1, 40); oh <- Gen.choose(1, 40)
+    } yield (w, h, ow, oh)
+    (1 to 40).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (w, h, ow, oh) =>
+          val src = mkImg(w, h, i)
+          // bounds: every (ow, oh) — up- AND down-scale, extreme aspect
+          // ratios — must index inside the source (a wrong rounding
+          // direction throws ArrayIndexOutOfBounds in getRGB)
+          val out = Multimodal.resizeNearest(src, ow, oh)
+          assert(out.getWidth == ow && out.getHeight == oh)
+          // spot the corner pixels against the index contract
+          assert(out.getRGB(0, 0) == src.getRGB(0, 0))
+          assert(out.getRGB(ow - 1, oh - 1) == src.getRGB(
+            ((ow - 1).toLong * w / ow).toInt, ((oh - 1).toLong * h / oh).toInt))
+          // identity: resizing to the identical size is pixel-exact
+          val same = Multimodal.resizeNearest(src, w, h)
+          assert(Multimodal.pixelHash(same) == Multimodal.pixelHash(src),
+            s"identity resize changed pixels at ${(w, h)}")
+      }
+    }
+  }
+
+  test("x137 hybrid RRF: both-leg doc outranks single-leg docs; terms match hand RRF") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (0L, "a b c d e f"),   // the query doc
+      (10L, "a b c d e f"),  // lexical echo AND vector runner-up -> both legs
+      (11L, "a b c d zz qq"),// partial lexical overlap, worst vector
+      (12L, "zz qq ww ee"))  // no shared grams, best vector
+      .toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (10L, Array(0.9f, 0.1f)),
+      (11L, Array(0f, 1f)), (12L, Array(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val out = TextSearch.hybridTopK(docs, vecs, queryMax = 1L)
+      .orderBy($"rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rrf(rs: Int*) = (BigDecimal(0) /: rs.map(r => BigDecimal(r6(1.0 / (60 + r)))))(_ + _).toDouble
+    // lex ranks: 10->1, 11->2 (12 shares nothing); vec ranks: 12->1, 10->2, 11->3
+    assert(out == Seq(
+      (0L, 10L, rrf(1, 2), 1),   // present in both legs wins
+      (0L, 11L, rrf(2, 3), 2),
+      (0L, 12L, rrf(1), 3)), s"got $out")
+  }
+
+  test("x138 label propagation: majority flips, ties keep seed, unseeded hosts get labeled") {
+    import graft.operators.WebPrep
+    val edges = Seq(
+      ("a", "b", 5L), ("c", "b", 3L), ("b", "d", 2L), // b's tied vote (5 vs 5)
+      ("a", "a", 9L),                                  // self-loop: dropped
+      ("e", "a", 7L),                                  // e: labeled from a alone
+      ("g", "f", 4L), ("h", "f", 5L))                  // f: outvoted by g+h
+      .toDF("src_host", "dst_host", "n_links")
+    val seeds = Seq(("a", 0L), ("c", 1L), ("d", 1L), ("f", 1L),
+      ("g", 0L), ("h", 0L)).toDF("host", "seed")
+    val out = WebPrep.labelPropagation(edges, seeds)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // b (unseeded): ok = w(c)+w(d) = 5, bad = w(a) = 5 -> tie keeps -1
+    assert(out("b") == ("b", -1L, 5L, 5L, -1L), s"got ${out("b")}")
+    // e (unseeded): one bad neighbor -> labeled 0
+    assert(out("e") == ("e", -1L, 0L, 7L, 0L))
+    // f (seed 1): outvoted 0:9 by its two bad neighbors -> flips to 0
+    assert(out("f") == ("f", 1L, 0L, 9L, 0L))
+    // g (seed 0): its only neighbor f is seeded 1 -> flips to 1
+    assert(out("g") == ("g", 0L, 4L, 0L, 1L))
+    // a: neighbors b (unseeded, no vote) + e (unseeded) -> keeps seed 0;
+    // the self-loop's weight 9 must NOT appear anywhere
+    assert(out("a") == ("a", 0L, 0L, 0L, 0L))
+  }
+
+  test("x139 line dedup: corpus-repeated lines drop everywhere, partial tails survive") {
+    import graft.operators.Dedup
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")   // the boilerplate line
+    val u = (1 to 10).map(i => s"u$i").mkString(" ")   // unique full line
+    val tail4 = "t1 t2 t3 t4"                           // partial final line
+    val docs = Seq(
+      (1L, s"$b $u"),      // boiler + unique -> keeps u only
+      (2L, b),             // all boiler -> empty rewrite
+      (3L, s"$b $tail4"),  // boiler + 4-token tail -> keeps the tail
+      (4L, s"$u $tail4"))  // nothing repeated -> identity rewrite
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(
+      (1L, 2L, 1L, 10L, m(u)),
+      (2L, 1L, 1L, 0L, m("")),
+      (3L, 2L, 1L, 4L, m(tail4)),
+      (4L, 2L, 0L, 14L, m(s"$u $tail4"))), s"got $out")
+  }
+
+  test("x140 JL two-stage recall@5 vs exact x05 meets target; distortion bounded; SQL face agrees") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    val exact = SparkEntry.queries("x05_cosine_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jl = SparkEntry.queries("x140_jl_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect jl).size.toDouble / exact.size
+    info(f"JL two-stage recall@5 = $recall%.2f")
+    // 0.77 measured at (outDim 32, 100 candidates) on this corpus's
+    // near-tied neighborhoods; 0.6 leaves jitter headroom
+    assert(recall >= 0.6, f"recall $recall%.2f too low")
+    // JL lemma sanity: pairwise cosine distortion at outDim 32 stays
+    // moderate (measured mean ~0.13 on consecutive-id pairs)
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val proj = emb.select($"vec_id",
+      Similarity.jlProject($"embedding").as("p"), $"embedding")
+    val d = proj.as("a").join(proj.as("b"), $"a.vec_id" + 1 === $"b.vec_id")
+      .select(abs(
+        graft.functions.VectorFunctions.cosine($"a.embedding", $"b.embedding") -
+        graft.functions.VectorFunctions.cosine($"a.p", $"b.p")).as("d"))
+      .agg(avg($"d"), max($"d")).as[(Double, Double)].head()
+    info(f"JL cosine distortion mean=${d._1}%.3f max=${d._2}%.3f")
+    assert(d._1 <= 0.2 && d._2 <= 0.7, s"distortion out of bounds: $d")
+    // the injected SQL function computes the identical projection
+    emb.createOrReplaceTempView("x140_emb")
+    val viaSql = spark.sql(
+      s"SELECT vec_id, jl_project(embedding, ${Similarity.JlOutDim}, 64, " +
+        s"${Similarity.JlSeed}L) AS p FROM x140_emb ORDER BY vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaCol = proj.select($"vec_id", $"p").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql == viaCol, "SQL and Column jl_project faces disagree")
   }
 
   test("x136 effective tokens: copies split their credit, uniques keep it") {

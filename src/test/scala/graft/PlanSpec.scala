@@ -288,6 +288,35 @@ class PlanSpec extends SparkSpec {
       s"verify must stay equi-join-shaped:\n$p")
   }
 
+  test("x87/x46: candidate pairs are mined ONCE (one shared cache); no live gram pipeline") {
+    for (name <- Seq("x87_containment", "x46_jaccard_pairs")) {
+      val opt = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.optimizedPlan
+      // every reference to the mined pair set (the verify probe plus the
+      // id-prune semi-joins under sh1/sh2) must read ONE shared cache —
+      // the gram pipeline executes once, not once per reference
+      val caches = opt.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(caches.size == 3,
+        s"$name: expected the candidate cache read 3x, got ${caches.size}:\n$opt")
+      assert(caches.map(_.cacheBuilder).distinct.size == 1,
+        s"$name: all candidate reads must share one cached relation")
+      // outside the cache only the verify-side shingle projection remains,
+      // duplicated across the sh1/sh2 legs — the miner's three full-corpus
+      // shingle passes are behind the cache boundary (was 5 live, now 2).
+      // Count Projects only: the pushed size(shingles)>0 filter repeats
+      // the expression in its Filter node by design.
+      val liveShingles = opt.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.count(_.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.expressions.WordShingles])))
+      assert(liveShingles == 2,
+        s"$name: expected the two verify-leg shingle projections only, " +
+          s"got $liveShingles:\n$opt")
+    }
+  }
+
   test("x47: candidate recount broadcasts — the vocabulary tail never shuffles") {
     val p = plan("x47_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

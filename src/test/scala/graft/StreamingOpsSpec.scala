@@ -1225,4 +1225,107 @@ class StreamingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming label propagation equals batch x138 after full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val edges = graft.operators.WebPrep.linkGraphQuery(spark, sf("sf0.001"))
+      val seeds = graft.operators.WebPrep.hostReputation(
+          graft.core.Tables.load(spark, sf("sf0.001"), "documents"),
+          concat(col("source"), lit(".example.com")))
+        .select(col("host"), col("admitted").as("seed")).distinct()
+      val batch = graft.operators.WebPrep.labelPropagation(edges, seeds)
+        .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+      val rows = edges.as[(String, String, Long)].collect().toSeq.sorted
+      val stream = MemoryStream[(String, String, Long)]
+      val q = StreamingOps.labelPropagationStream(
+          stream.toDF().toDF("src_host", "dst_host", "n_links"), seeds)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("lp_out").start()
+      try {
+        rows.grouped((rows.size + 3) / 4).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        // latest emission per host: votes only accumulate, so the row
+        // with the max (votes_ok + votes_bad) is the final one
+        val got = spark.table("lp_out")
+          .groupBy($"host")
+          .agg(max_by(struct($"seed", $"votes_ok", $"votes_bad", $"propagated"),
+            $"votes_ok" + $"votes_bad").as("s"))
+          .select($"host", $"s.seed", $"s.votes_ok", $"s.votes_bad", $"s.propagated")
+          .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+        assert(got == batch,
+          s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming effective token mass equals batch x136 after full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // sf0.001 carries no exact-dup families, so plant them: 10 echo
+      // docs under a DIFFERENT source, exercising the cross-source 1/k
+      // credit split (and the retroactive dilution of the originals)
+      val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      val docs = base.select($"doc_id", $"source", $"text").unionByName(
+        base.filter($"doc_id" < 10)
+          .select(($"doc_id" + 1000L).as("doc_id"),
+            lit("echo_feed").as("source"), $"text"))
+      val batch = graft.operators.Dedup.effectiveTokens(docs)
+        .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+      val rows = docs
+        .orderBy($"doc_id")
+        .as[(Long, String, String)].collect().toSeq
+      val stream = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.effectiveTokensStream(
+          stream.toDF().toDF("doc_id", "source", "text"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("eff_out").start()
+      try {
+        rows.grouped((rows.size + 3) / 4).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        // consumer contract: latest emission per (family, source) — fam
+        // only grows, so max-fam is the latest (ties are identical rows)
+        val latest = spark.table("eff_out")
+          .groupBy($"k", $"source")
+          .agg(max_by(struct($"fam", $"n_docs", $"n_tokens"), $"fam").as("s"))
+          .select($"source", $"s.fam", $"s.n_docs", $"s.n_tokens")
+        val folded = latest
+          .select($"source", $"n_docs", $"n_tokens",
+            ($"n_tokens" * round(lit(1.0) / $"fam".cast("double"), 6)
+              .cast("decimal(18,6)")).as("eff"))
+          .groupBy($"source")
+          .agg(sum($"n_docs").as("n_docs"),
+            sum($"n_tokens").as("tokens_raw"),
+            sum($"eff").cast("double").as("tokens_effective"))
+          .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+        // non-vacuous: the corpus must actually contain dup families
+        assert(spark.table("eff_out").filter($"fam" > 1).count() > 0,
+          "vacuous fixture: no family ever exceeded size 1")
+        assert(folded == batch,
+          s"drift: ${batch.collect { case (k, v) if folded.get(k) != Some(v) => (k, v, folded.get(k)) }.take(5)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
