@@ -508,9 +508,22 @@ object SparkEntry {
     // lines drop everywhere, documents reassemble from what survives.
     "x139_line_dedup"     -> (Dedup.lineDedupQuery _),
     // x140: top-k retrieval in the Johnson-Lindenstrauss-projected
-    // space (64 -> 16 dims) — the index-shrinking move; recall vs the
+    // space (64 -> 32 dims) — the index-shrinking move; recall vs the
     // exact x05 answer is spec- and bench-tracked.
     "x140_jl_knn"         -> (Similarity.jlKnnQuery _),
+    // x141: per-epoch deterministic training order — a reproducible
+    // full permutation per epoch, ranked by the distributed grouped
+    // prefix scan (no one-task-per-epoch window sort).
+    "x141_epoch_order"    -> (Sampling.epochOrderQuery _),
+    // x142: deterministic BERT-style 15% masking — the same positions
+    // mask on every engine/run/worker; masked text pinned by md5.
+    "x142_mlm_mask"       -> (DocPrep.mlmMaskQuery _),
+    // x143: the pack manifest — x21's bins rolled to pack grain with
+    // doc-boundary offsets, the dataloader's consumption format.
+    "x143_pack_manifest"  -> (Sampling.packManifestQuery _),
+    // x144: the dedup threshold sweep — pairs surviving each Jaccard
+    // cut from one pass over x46's verified-pair table.
+    "x144_threshold_sweep" -> (Dedup.thresholdSweepQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

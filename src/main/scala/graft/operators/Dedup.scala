@@ -1178,4 +1178,40 @@ object Dedup {
   def lineDedupQuery(spark: SparkSession, dir: String): DataFrame =
     lineDedup(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  // --------------------------------- dedup threshold sweep (x144)
+
+  /** x144 sweep grid (percent), shared with the DuckDB twin. */
+  private[graft] val SweepThresholds: Seq[Int] = Seq(50, 55, 60, 65, 70,
+    75, 80, 85, 90, 95, 100)
+
+  /** x144: the DEDUP THRESHOLD SWEEP — from one verified-pair table
+    * (x46's exact inter/uni counts), how many pairs survive each
+    * candidate Jaccard threshold: the pick-your-threshold curve a
+    * curator reads before committing to a dedup cut (too low merges
+    * near-misses, too high leaves templated copies). Each test is the
+    * exact integer inequality inter·100 ≥ t·uni — no float boundary —
+    * and the whole sweep is ONE pass over the pair table (pairs are
+    * small by construction; the grid is a literal explode).
+    *
+    * A pipeline that persisted the x46 pairs ([[saveVerifiedPairs]])
+    * sweeps the artifact in sub-second time instead of re-verifying. */
+  def thresholdSweep(pairs: DataFrame,
+                     thresholds: Seq[Int] = SweepThresholds): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 0 && t <= 100),
+      s"thresholdSweep: bad grid $thresholds")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val grid = thresholds.map(_.toLong).toDF("threshold_pct")
+    pairs.select(col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("threshold_pct"))
+      .agg(sum(when(col("inter") * 100 >= col("threshold_pct") * col("uni"), 1L)
+        .otherwise(0L)).as("n_pairs"))
+  }
+
+  def thresholdSweepQuery(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweep(verifiedNearDupPairs(Tables.load(spark, dir, "documents")))
+      .orderBy(col("threshold_pct"))
 }

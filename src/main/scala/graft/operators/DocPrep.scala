@@ -278,4 +278,49 @@ object DocPrep {
   def truncationLossQuery(spark: SparkSession, dir: String): DataFrame =
     truncationLoss(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
+
+  // ------------------------------------- MLM masking audit (x142)
+
+  /** x142's mask rate, shared with the DuckDB twin. */
+  private[graft] val MaskRate: Double = 0.15
+
+  /** x142: MASKED-LM PREPROCESSING AUDIT — the BERT-style 15% token
+    * masking made deterministic: token (doc, pos) masks iff
+    * hash(doc:pos) lands under [[MaskRate]] ([[Sampling.keepAtRate]]'s
+    * bucket arithmetic, so the SAME positions mask on every engine,
+    * every run, every worker — reproducible pretraining batches with
+    * no RNG state to ship). Emits per doc the token/mask counts and
+    * md5 of the masked text ('[MASK]' substituted in place) — the
+    * content key that pins the full rewrite without shipping it.
+    *
+    * Shape: one scan → positional token explode → pure projection for
+    * the mask decision (no shuffle — the decision is a hash of the
+    * row) → per-doc ordered reassembly. */
+  def mlmMaskAudit(docs: DataFrame, rate: Double = MaskRate): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"mlmMaskAudit: rate=$rate")
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.wsTokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val masked = toks.withColumn("m",
+      graft.operators.Sampling.keepAtRate(
+        concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string")),
+        "mask", lit(rate)))
+    val per = masked
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            when(col("m"), lit("[MASK]")).otherwise(col("tok")).as("t")))),
+          s => s.getField("t"))).as("out"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        md5(coalesce(col("out"), lit(""))).as("masked_key"))
+  }
+
+  def mlmMaskQuery(spark: SparkSession, dir: String): DataFrame =
+    mlmMaskAudit(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 }

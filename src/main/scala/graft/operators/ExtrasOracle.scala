@@ -402,6 +402,35 @@ object ExtrasOracle {
     // x139: the same fixed-width line chunking, corpus line counts,
     // ordered reassembly; md5 of the rebuilt text agrees byte-for-byte.
     "x139_line_dedup" -> lineDedupSql,
+    // x141: the same md5(doc:ord:epoch) permutation key, rank per epoch.
+    "x141_epoch_order" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, CAST(t.epoch AS BIGINT) AS epoch,
+         |    md5(CAST(doc_id AS VARCHAR) || ':ord:' || CAST(t.epoch AS VARCHAR))
+         |      AS k
+         |  FROM documents,
+         |    UNNEST(range(0, ${Sampling.EpochCount})) AS t(epoch))
+         |SELECT epoch, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+         |       AS BIGINT) AS ord
+         |FROM e ORDER BY epoch, ord""".stripMargin,
+    // x142: the shared bucket arithmetic picks the identical mask
+    // positions; masked text re-joined in position order, md5-pinned.
+    "x142_mlm_mask" -> mlmMaskSql,
+    // x143: x21's bin assignment rolled to pack grain with exclusive
+    // prefix-sum offsets; id/offset lists as comma-joined strings.
+    "x143_pack_manifest" -> packManifestSql,
+    // x144: x46's vpairs swept over the literal grid with the same
+    // integer test inter*100 >= t*uni.
+    "x144_threshold_sweep" ->
+      s"""WITH $verifiedPairsCte,
+         |grid AS (SELECT CAST(t.t AS BIGINT) AS threshold_pct
+         |         FROM UNNEST([${Dedup.SweepThresholds.mkString(", ")}]) AS t(t))
+         |SELECT threshold_pct,
+         |  CAST(SUM(CASE WHEN inter * 100 >= threshold_pct * uni
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM vpairs CROSS JOIN grid
+         |GROUP BY threshold_pct ORDER BY threshold_pct""".stripMargin,
 
     // x134: same total (value, doc_id) rank order, same closed form;
     // SUM(d*d) accumulates in HUGEINT (exact, like Spark's
@@ -2703,6 +2732,71 @@ object ExtrasOracle {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** DuckDB twin of DocPrep.mlmMaskQuery (x142): positional tokens,
+    * the shared keepAtRate bucket test on 'doc:pos', '[MASK]'
+    * substitution, position-ordered string_agg (COALESCE'd to '' for
+    * token-less docs, matching Spark's empty concat_ws). */
+  private def mlmMaskSql: String = {
+    val thresh = DocPrep.MaskRate * Sampling.BucketSpace
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, CAST(g - 1 AS BIGINT) AS pos, w[g] AS tok
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |        FROM documents),
+       |    UNNEST(range(1, len(w) + 1)) AS t(g)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN ${bucketSql(
+                  "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)",
+                  "mask")} < $thresh
+       |      THEN 1 ELSE 0 END AS msk,
+       |    tok
+       |  FROM toks),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(msk) AS BIGINT) AS n_masked,
+       |    COALESCE(string_agg(CASE WHEN msk = 1 THEN '[MASK]' ELSE tok END,
+       |                        ' ' ORDER BY pos), '') AS out
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(n_masked, CAST(0 AS BIGINT)) AS n_masked,
+       |  md5(COALESCE(out, '')) AS masked_key
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.packManifestQuery (x143): x21's twin
+    * arithmetic to pack ids, exclusive prefix-sum offsets, id/offset
+    * lists as comma-joined strings in doc_id order. */
+  private def packManifestSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |         AS BIGINT) AS n_tokens,
+      |    doc_id % 32 AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens, shard,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    shard * 1099511627776
+      |      + CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+      |  FROM c),
+      |o AS (
+      |  SELECT pack_id, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY pack_id ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      |  FROM p)
+      |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+      |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets
+      |FROM o GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
   /** DuckDB twin of WebPrep.robotsGateQuery (x124): the x104 plant and
     * ladder, the rule VALUES generated from the SAME RobotsRules

@@ -1029,6 +1029,33 @@ object RelationalSql {
     "x136_effective_tokens" -> effectiveTokensSparkSql,
     "x137_hybrid_rrf" -> hybridRrfSparkSql,
     "x139_line_dedup" -> lineDedupSparkSql,
+    // x141's SQL face is the window form — value-identical to the
+    // engine face's distributed grouped prefix scan (the spec asserts
+    // it), differing only in physical strategy, like x26 vs x37.
+    "x141_epoch_order" ->
+      s"""SELECT epoch, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+         |       AS BIGINT) AS ord
+         |FROM (
+         |  SELECT doc_id, epoch,
+         |    md5(concat(CAST(doc_id AS STRING), ':ord:',
+         |               CAST(epoch AS STRING))) AS k
+         |  FROM documents
+         |  LATERAL VIEW explode(sequence(0L, ${Sampling.EpochCount - 1}L))
+         |    t AS epoch)
+         |ORDER BY epoch, ord""".stripMargin,
+    "x142_mlm_mask" -> mlmMaskSparkSql,
+    "x143_pack_manifest" -> packManifestSparkSql,
+    "x144_threshold_sweep" ->
+      s"""WITH $verifiedPairsSparkCte,
+         |grid AS (SELECT CAST(t AS BIGINT) AS threshold_pct
+         |  FROM (SELECT explode(array(${
+           graft.operators.Dedup.SweepThresholds.mkString(", ")})) AS t))
+         |SELECT threshold_pct,
+         |  SUM(CASE WHEN inter * 100 >= threshold_pct * uni
+         |      THEN 1L ELSE 0L END) AS n_pairs
+         |FROM vpairs CROSS JOIN grid
+         |GROUP BY threshold_pct ORDER BY threshold_pct""".stripMargin,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -2320,6 +2347,65 @@ object RelationalSql {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Spark-SQL face of DocPrep.mlmMaskQuery (x142): the same bucket
+    * test on 'doc:pos' (keepAtRate's arithmetic inlined), '[MASK]'
+    * substitution, position-ordered reassembly. */
+  private def mlmMaskSparkSql: String = {
+    val thresh = DocPrep.MaskRate * Sampling.BucketSpace
+    s"""WITH toks AS (
+       |  SELECT doc_id, pos, tok FROM documents
+       |  LATERAL VIEW posexplode($wSql) t AS pos, tok),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN CAST(conv(substring(md5(concat(
+       |        CAST(doc_id AS STRING), ':', CAST(pos AS STRING), ':mask')),
+       |        1, 8), 16, 10) AS BIGINT) < ${thresh}D
+       |      THEN '[MASK]' ELSE tok END AS t2
+       |  FROM toks),
+       |per AS (
+       |  SELECT doc_id, COUNT(1) AS n_tokens,
+       |    SUM(CASE WHEN t2 = '[MASK]' THEN 1L ELSE 0L END) AS n_masked,
+       |    concat_ws(' ', transform(array_sort(collect_list(
+       |      struct(pos, t2))), s -> s.t2)) AS out
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_tokens, 0L) AS n_tokens,
+       |  coalesce(n_masked, 0L) AS n_masked,
+       |  md5(coalesce(out, '')) AS masked_key
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.packManifestQuery (x143): x21's text
+    * extended with the per-pack offset window and ordered CSV rollup. */
+  private def packManifestSparkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+      |    doc_id % 32 AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens, shard,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    shard * CAST(1099511627776 AS BIGINT)
+      |      + FLOOR((cum - n_tokens) / CAST(2000.0 AS DOUBLE)) AS pack_id
+      |  FROM c),
+      |o AS (
+      |  SELECT pack_id, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY pack_id ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      |  FROM p)
+      |SELECT pack_id, COUNT(1) AS n_docs, SUM(n_tokens) AS pack_tokens,
+      |  concat_ws(',', transform(array_sort(collect_list(
+      |    struct(doc_id, off))), s -> CAST(s.doc_id AS STRING))) AS doc_ids,
+      |  concat_ws(',', transform(array_sort(collect_list(
+      |    struct(doc_id, off))), s -> CAST(s.off AS STRING))) AS offsets
+      |FROM o GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
   /** Spark-SQL face of Dedup.effectiveTokensQuery (x136): md5 family
     * keys, pinned 1/k image in DECIMAL(18,6), exact decimal sum. */

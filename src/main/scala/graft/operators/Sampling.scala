@@ -354,6 +354,76 @@ object Sampling {
         "_graft_one", outCol, numPartitions)
       .drop("_graft_one")
 
+  // ------------------------------------ per-epoch training order (x141)
+
+  /** x141's epoch count, shared with the DuckDB twin. */
+  private[graft] val EpochCount: Int = 3
+
+  /** x141: PER-EPOCH TRAINING ORDER — for each of E epochs, a full
+    * deterministic permutation of the corpus: rank within epoch over
+    * (md5(doc:ord:epoch), doc_id). The data-order randomization every
+    * trainer needs (seeing docs in the same order each epoch biases
+    * optimization) made REPRODUCIBLE: the permutation is a pure
+    * function of (doc_id, epoch), so any worker can recompute any
+    * epoch's order without coordination, and a resumed run continues
+    * from the same order a fresh run would have produced.
+    *
+    * Shape: the rank comes from [[groupedRanks]] — a range partition
+    * on (epoch, key) plus the two-job grouped prefix scan — NOT
+    * `row_number() OVER (PARTITION BY epoch ORDER BY ...)`, which
+    * funnels each epoch's ENTIRE corpus through one task. */
+  def epochOrder(docs: DataFrame, epochs: Int = EpochCount,
+                 numPartitions: Int = 0): DataFrame = {
+    require(epochs > 0, s"epochOrder: epochs=$epochs")
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("k", md5(concat(col("doc_id").cast("string"),
+        lit(":ord:"), col("epoch").cast("string"))))
+    groupedRanks(keyed, Seq("epoch"), Seq(col("k"), col("doc_id")), "ord",
+        numPartitions)
+      .select(col("epoch"), col("doc_id"), col("ord"))
+  }
+
+  def epochOrderQuery(spark: SparkSession, dir: String): DataFrame =
+    epochOrder(Tables.load(spark, dir, "documents"))
+      .orderBy(col("epoch"), col("ord"))
+
+  // --------------------------------------- pack manifest (x143)
+
+  /** x143: the PACK MANIFEST — x21's bin assignment rolled to pack
+    * grain: per pack its member count, total tokens, and the member
+    * doc ids with their exclusive token OFFSETS inside the packed
+    * sequence (doc-boundary indices — what the dataloader and the
+    * x110-style attention-mask builder actually consume). Offsets are
+    * exact integer prefix sums in doc_id order; the id/offset lists
+    * are emitted as comma-joined strings (cross-engine-stable cell
+    * encoding; an array output column has no portable hash image).
+    *
+    * Shape: x21's windowed bin assignment, one more window partitioned
+    * by pack_id (high-cardinality key — packs hold a handful of docs,
+    * so per-partition state is bounded by the token budget), one
+    * pack-grain aggregate. */
+  def packManifest(docs: DataFrame, budget: Long = 2000L,
+                   shards: Int = 32): DataFrame = {
+    val packed = packSequences(docs, budget, shards)
+    val w = Window.partitionBy(col("pack_id")).orderBy(col("doc_id"))
+    packed
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("off")))),
+          s => s.getField("doc_id").cast("string"))).as("doc_ids"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("off")))),
+          s => s.getField("off").cast("string"))).as("offsets"))
+  }
+
+  def packManifestQuery(spark: SparkSession, dir: String): DataFrame =
+    packManifest(Tables.load(spark, dir, "documents"))
+      .orderBy(col("pack_id"))
+
   /** Greedy per-source token-budget selection: walk each source's docs
     * in doc_id order, keep documents while the tokens consumed BEFORE
     * the doc are under `budget` (so the budget-crossing doc is kept —

@@ -2986,6 +2986,82 @@ class ExtrasSpec extends SparkSpec {
     assert(viaSql == viaCol, "SQL and Column jl_project faces disagree")
   }
 
+  test("x141 epoch order: each epoch is a full permutation, epochs differ") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val n = docs.count()
+    val out = Sampling.epochOrder(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.map(_._3).sorted == (1L to n).toSeq,
+        s"epoch $e is not a 1..$n permutation")
+    }
+    val ord0 = byEpoch(0L).map(r => r._2 -> r._3).toMap
+    val ord1 = byEpoch(1L).map(r => r._2 -> r._3).toMap
+    assert(ord0 != ord1, "epoch 0 and 1 produced the identical order")
+  }
+
+  test("x142 MLM mask: independent hash recomputation agrees; rate in band; deterministic") {
+    import graft.operators.{DocPrep, Sampling}
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val out = DocPrep.mlmMaskAudit(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val toks = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // independent recomputation: pure-Scala md5 bucket, same contract as
+    // Sampling.hashBucket (first 8 hex chars of md5(key || ':mask'))
+    def bucket(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((key + ":mask").getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def md5s(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val thresh = DocPrep.MaskRate * Sampling.BucketSpace
+    toks.take(50).foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val masked = ws.zipWithIndex.map { case (t, p) =>
+        if (bucket(s"$id:$p") < thresh) "[MASK]" else t
+      }
+      val exp = (id, ws.length.toLong,
+        masked.count(_ == "[MASK]").toLong, md5s(masked.mkString(" ")))
+      assert(out(id) == exp, s"doc $id: got ${out(id)}, expected $exp")
+    }
+    val rate = out.values.map(_._3).sum.toDouble / out.values.map(_._2).sum
+    assert(rate > 0.10 && rate < 0.20, s"global mask rate $rate out of band")
+  }
+
+  test("x143 pack manifest: offsets are exclusive prefix sums closing at pack_tokens") {
+    import graft.operators.Sampling
+    val out = Sampling.packManifest(Tables.load(spark, sf("sf0.001"), "documents"))
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(out.nonEmpty && out.exists(_._2 > 1), "vacuous: no multi-doc pack")
+    out.foreach { case (pid, nDocs, total, ids, offs) =>
+      val idArr = ids.split(",").map(_.toLong)
+      val offArr = offs.split(",").map(_.toLong)
+      assert(idArr.length == nDocs && offArr.length == nDocs, s"pack $pid arity")
+      assert(idArr.sorted.sameElements(idArr), s"pack $pid ids not in order")
+      assert(offArr.head == 0L, s"pack $pid first offset != 0")
+      assert(offArr.sorted.sameElements(offArr), s"pack $pid offsets not monotone")
+      assert(offArr.forall(_ < total || total == 0L), s"pack $pid offset >= total")
+    }
+  }
+
+  test("x144 threshold sweep: inclusive integer boundaries, monotone curve") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L, 5L, 10L),   // J = 0.50 -> survives t <= 50
+      (3L, 4L, 8L, 10L),                 // J = 0.80 -> t <= 80 (inclusive)
+      (5L, 6L, 10L, 10L))                // J = 1.00 -> every t
+      .toDF("d1", "d2", "inter", "uni")
+    val out = Dedup.thresholdSweep(pairs).orderBy($"threshold_pct")
+      .as[(Long, Long)].collect().toSeq
+    val expected = Dedup.SweepThresholds.map(_.toLong).sorted.map { t =>
+      t -> Seq(50L, 80L, 100L).count(j => 100 * j >= t * 100L).toLong
+    }
+    assert(out == expected, s"got $out expected $expected")
+  }
+
   test("x136 effective tokens: copies split their credit, uniques keep it") {
     // s0: one unique 4-token doc; s1+s2: an identical 6-token doc each
     // (family size 2 -> each source credits 3.0)

@@ -52,12 +52,16 @@ class SqlSurfaceSpec extends SparkSpec {
     // r12 texts (x109-x113, x115, x117-x118, x121-x122, x125-x128,
     // x131-x132 — the URL/markup plants embed page-sized literal
     // expressions and stay DataFrame-first; x129 has no SQL image),
-    // plus the r11 SQL-friendly trio x84/x93/x108, plus the nineteen
-    // r13 texts (the plain aggregates x79-x82, x85-x86, x88-x90,
-    // x95-x99, x134-x136, the x137 hybrid-RRF fusion, and the x139
-    // line-dedup rewrite; x138's markup plant stays DataFrame-first
-    // like x114/x123)
-    assert(RelationalSql.extrasSql.size == 105)
+    // plus the r11 SQL-friendly trio x84/x93/x108, plus the
+    // twenty-two r13 texts (the plain aggregates x79-x82, x85-x86,
+    // x88-x90, x95-x99, x134-x136, the x137 hybrid-RRF fusion, the
+    // x139 line-dedup rewrite, the x141-x143 training-prep trio, and
+    // the x144 threshold sweep (sharing x46's vpairs CTE) —
+    // x141's SQL face is the window form of the engine's distributed
+    // rank; x138's markup plant stays DataFrame-first like x114/x123;
+    // x140's JL floats have no portable SQL image beyond the
+    // registered jl_project function itself)
+    assert(RelationalSql.extrasSql.size == 109)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
