@@ -524,6 +524,9 @@ object SparkEntry {
     // x144: the dedup threshold sweep — pairs surviving each Jaccard
     // cut from one pass over x46's verified-pair table.
     "x144_threshold_sweep" -> (Dedup.thresholdSweepQuery _),
+    // x145: triangles + clustering coefficient per host — the density
+    // signature separating link farms (cliques) from organic hubs.
+    "x145_triangles"      -> (WebPrep.triangleQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -420,6 +420,8 @@ object ExtrasOracle {
     // x143: x21's bin assignment rolled to pack grain with exclusive
     // prefix-sum offsets; id/offset lists as comma-joined strings.
     "x143_pack_manifest" -> packManifestSql,
+    // x145: x114's edges, undirected dedup, oriented wedge closure.
+    "x145_triangles" -> triangleSql,
     // x144: x46's vpairs swept over the literal grid with the same
     // integer test inter*100 >= t*uni.
     "x144_threshold_sweep" ->
@@ -2698,6 +2700,36 @@ object ExtrasOracle {
        |            ELSE COALESCE(s.seed, -1) END AS BIGINT) AS propagated
        |FROM votes v LEFT JOIN seeds s ON s.host = v.host
        |ORDER BY v.host""".stripMargin
+
+  /** DuckDB twin of WebPrep.triangleQuery (x145): x114's twin as the
+    * edge CTE, the same undirected dedup, oriented wedge closure, and
+    * corner credit; degree<2 hosts read NULL clustering. */
+  private def triangleSql: String =
+    "WITH edges AS MATERIALIZED (\n" +
+      linkGraphSql.linesIterator.map("  " + _).mkString("\n") + "\n),\n" +
+    """und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src_host, dst_host) AS a,
+       |    greatest(src_host, dst_host) AS b
+       |  FROM edges WHERE src_host <> dst_host),
+       |deg AS (
+       |  SELECT host, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS host FROM und UNION ALL SELECT b AS host FROM und)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT UNNEST([e1.a, e1.b, e2.b]) AS host
+       |    FROM und e1
+       |    JOIN und e2 ON e2.a = e1.b
+       |    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |  GROUP BY 1)
+       |SELECT d.host, d.degree,
+       |  COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       |  CASE WHEN d.degree >= 2 THEN
+       |    ROUND(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+       |          / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       |  END AS clustering
+       |FROM deg d LEFT JOIN tri t ON t.host = d.host
+       |ORDER BY d.host""".stripMargin
 
   /** DuckDB twin of Dedup.lineDedupQuery (x139): identical 1-based
     * fixed-width line slicing, occurrence-count cut, string_agg ordered

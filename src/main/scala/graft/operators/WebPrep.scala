@@ -389,6 +389,57 @@ object WebPrep {
           .otherwise(coalesce(col("seed"), lit(-1L))).as("propagated"))
   }
 
+  // ------------------------- triangles / clustering coefficient (x145)
+
+  /** x145: TRIANGLE COUNT and local CLUSTERING COEFFICIENT per host
+    * over the undirected link graph — the density signature that
+    * separates link FARMS (cliques: coefficient near 1) from organic
+    * hubs (stars: near 0); the structural companion to x123's
+    * degree/reciprocity profile and x138's label spreading. Edges
+    * dedup to undirected distinct pairs (self-loops drop); triangles
+    * enumerate ONCE via the a<b<c orientation join, then credit all
+    * three corners. Coefficient = 2T / (d·(d−1)) with d the distinct
+    * undirected degree — one double division rounded at 6; degree-0/1
+    * hosts read null (no possible triangle) rather than an
+    * engine-specific 0/0.
+    *
+    * Scale shape: the orientation join keys every wedge on its middle
+    * vertex pair — candidate wedges per edge are bounded by the
+    * smaller endpoint's neighbor list, and the classic
+    * orient-by-degree refinement (low-degree vertex first) bounds the
+    * join fan-out at sqrt(|E|) per edge on skewed graphs; edges here
+    * are host-grain (registrable-domain scale), far below corpus
+    * size. */
+  def triangleProfile(edges: DataFrame): DataFrame = {
+    val keyed = edges.filter(col("src_host") =!= col("dst_host"))
+    val und = keyed
+      .select(least(col("src_host"), col("dst_host")).as("a"),
+        greatest(col("src_host"), col("dst_host")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("host"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("host"), col("a").as("nbr")))
+      .groupBy(col("host")).agg(count(lit(1)).as("degree"))
+    // wedges (a<b, b<c) closed by (a<c): each triangle found exactly once
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+        .as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("host"), "left")
+      .select(col("host"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering"))
+  }
+
+  def triangleQuery(spark: SparkSession, dir: String): DataFrame =
+    triangleProfile(linkGraphQuery(spark, dir))
+      .orderBy(col("host"))
+
   /** The x138 queries() face: one step over the x114 planted graph with
     * x119's host verdicts as seeds — hub.example.com (unseeded, never a
     * document host) gets labeled purely from its neighborhood. */

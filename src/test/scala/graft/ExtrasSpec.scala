@@ -3062,6 +3062,26 @@ class ExtrasSpec extends SparkSpec {
     assert(out == expected, s"got $out expected $expected")
   }
 
+  test("x145 triangles: clique reads 1.0, star reads 0.0, leaves read null") {
+    import graft.operators.WebPrep
+    // K4 clique on a..d (each edge once, mixed directions + a duplicate
+    // reverse edge and a self-loop to exercise the undirected dedup),
+    // plus a star s -> t1..t3
+    val edges = Seq(
+      ("a","b",1L),("b","c",2L),("c","a",1L),("a","d",1L),("b","d",3L),
+      ("d","c",1L),("c","d",9L),("a","a",5L),
+      ("s","t1",1L),("s","t2",1L),("s","t3",1L))
+      .toDF("src_host","dst_host","n_links")
+    val out = WebPrep.triangleProfile(edges)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    Seq("a","b","c","d").foreach { h =>
+      assert(out(h) == ((3L, 3L, 1.0)), s"$h: ${out(h)}") }
+    assert(out("s") == ((3L, 0L, 0.0)))
+    Seq("t1","t2","t3").foreach { h =>
+      assert(out(h) == ((1L, 0L, null)), s"$h: ${out(h)}") }
+  }
+
   test("x136 effective tokens: copies split their credit, uniques keep it") {
     // s0: one unique 4-token doc; s1+s2: an identical 6-token doc each
     // (family size 2 -> each source credits 3.0)
