@@ -1142,18 +1142,23 @@ object Dedup {
     * Shape: one scan → positional line explode (bounded: ~n_tokens/L
     * rows per doc) → line-frequency hash agg → join back → per-doc
     * ordered reassembly (collect_list over ≤ lines-per-doc rows). */
+  /** The fixed-width line chunking shared by the batch face, the index
+    * builder, and the streaming gate: consecutive `lineTokens`-token
+    * lines of `text`, in order (empty array for token-less text). */
+  private[graft] def lineChunks(text: Column, lineTokens: Int): Column =
+    graft.functions.VectorFunctions.bindArray(TextAnalysis.wsTokens(text)) { w =>
+      val nLines = ceil(size(w) / lit(lineTokens.toDouble)).cast("long")
+      when(nLines > 0,
+        transform(sequence(lit(0L), nLines - 1),
+          i => array_join(
+            slice(w, (i * lineTokens + 1).cast("int"), lit(lineTokens)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+
   def lineDedup(docs: DataFrame, lineTokens: Int = LineTokens,
                 dupMin: Long = LineDupMin): DataFrame = {
-    val nLines = ceil(size(col("w")) / lit(lineTokens.toDouble)).cast("long")
     val lines = docs
-      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        posexplode(when(nLines > 0,
-          transform(sequence(lit(0L), nLines - 1),
-            i => array_join(
-              slice(col("w"), (i * lineTokens + 1).cast("int"), lit(lineTokens)),
-              " ")))
-          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), posexplode(lineChunks(col("text"), lineTokens)))
       .toDF("doc_id", "idx", "line")
     val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("c"))
     val per = lines.join(freq, Seq("line"))
@@ -1178,6 +1183,28 @@ object Dedup {
   def lineDedupQuery(spark: SparkSession, dir: String): DataFrame =
     lineDedup(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** Persist x139's BOILERPLATE LINE SET — the lines a reference corpus
+    * repeats at least `dupMin` times — as the artifact a live ingestion
+    * gate scrubs against ([[graft.streaming.StreamingOps.lineDedupStream]]).
+    * Same atomic-publish discipline as the dedup keeper index / decontam
+    * grams. Narrow by construction: boilerplate is the REPEATED tail of
+    * the line distribution, not the corpus. */
+  def saveLineIndex(docs: DataFrame, path: String,
+                    lineTokens: Int = LineTokens,
+                    dupMin: Long = LineDupMin): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      docs.select(explode(lineChunks(col("text"), lineTokens)).as("line"))
+        .groupBy(col("line")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= dupMin)
+        .select(col("line"))
+        .write.mode("overwrite").parquet(s"$tmp/lines")
+    }
+
+  def loadLineIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = graft.core.Artifacts.readablePath(spark, path)
+    spark.read.parquet(s"$root/lines")
+  }
 
   // --------------------------------- dedup threshold sweep (x144)
 

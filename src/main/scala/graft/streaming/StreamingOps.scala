@@ -1160,6 +1160,41 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming face of [[graft.operators.Dedup.lineDedup]] (x139):
+    * line-level boilerplate scrubbing AS ingestion — each arriving
+    * document's fixed-width lines check against the FROZEN boilerplate
+    * line set ([[graft.operators.Dedup.saveLineIndex]], broadcast:
+    * boilerplate is the repeated tail of the line distribution, not
+    * the corpus) and the document reassembles from what survives. The
+    * per-doc grouping is batch-local in effect (a document's lines
+    * arrive together), carries no cross-batch state, and the stream
+    * side never shuffles more than its own batch. Against an index
+    * built from the replayed corpus itself, replay equals the batch
+    * x139 report row-for-row (spec-asserted). */
+  def lineDedupStream(docs: DataFrame, indexPath: String,
+                      lineTokens: Int = graft.operators.Dedup.LineTokens): DataFrame = {
+    val boiler = graft.operators.Dedup
+      .loadLineIndex(docs.sparkSession, indexPath)
+      .withColumn("_boiler", lit(1L))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode_outer(graft.operators.Dedup.lineChunks(col("text"), lineTokens)))
+      .toDF("doc_id", "idx", "line")
+      .join(broadcast(boiler), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("idx")).as("n_lines"),
+        coalesce(sum(col("_boiler")), lit(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_boiler").isNull && col("idx").isNotNull,
+              struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("out"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        size(graft.operators.TextAnalysis.wsTokens(col("out")))
+          .cast("long").as("n_tokens_kept"),
+        md5(col("out")).as("out_key"))
+  }
+
   case class EffArrival(doc_id: Long, source: String, k: String,
                         n_tokens: Long)
   case class EffFamilyUpdate(k: String, source: String, fam: Long,

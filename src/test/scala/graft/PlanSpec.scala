@@ -317,6 +317,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x137: lexical postings prune to query grams; queries broadcast; no cross product") {
+    val p = plan("x137_hybrid_rrf")
+    assert(p.contains("LeftSemi"),
+      s"corpus grams must semi-join-prune to the query gram set:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the query set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unkeyed product anywhere in the fusion:\n$p")
+  }
+
   test("x47: candidate recount broadcasts — the vocabulary tail never shuffles") {
     val p = plan("x47_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

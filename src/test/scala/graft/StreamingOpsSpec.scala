@@ -1270,6 +1270,38 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming line dedup equals batch x139 against a corpus-built line index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("linestream").toString
+    // plant corpus-repeated lines so the boiler set is non-empty
+    val b = (1 to 10).map(i => s"bb$i").mkString(" ")
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .limit(40).select($"doc_id",
+        when($"doc_id" % 4 === 0, concat(lit(b + " "), $"text"))
+          .otherwise($"text").as("text"))
+    graft.operators.Dedup.saveLineIndex(base, s"$dir/idx")
+    val batch = graft.operators.Dedup.lineDedup(base)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.exists(_._3 > 0), "vacuous fixture: nothing dropped")
+
+    val rows = base.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.lineDedupStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/idx")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("linededup_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("linededup_out")
+        .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming effective token mass equals batch x136 after full replay") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
