@@ -527,6 +527,9 @@ object SparkEntry {
     // x145: triangles + clustering coefficient per host — the density
     // signature separating link farms (cliques) from organic hubs.
     "x145_triangles"      -> (WebPrep.triangleQuery _),
+    // x146: SFT turn-pair extraction — alternating (prompt, response)
+    // adjacent turns per thread, the step x125's audit gates.
+    "x146_sft_pairs"      -> (Analytics.sftPairsQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

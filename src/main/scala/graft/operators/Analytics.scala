@@ -977,6 +977,46 @@ object Analytics {
     dialogAudit(Tables.load(spark, dir, "events"))
       .orderBy(col("thread_id"))
 
+  // ----------------------------------- SFT pair extraction (x146)
+
+  /** x146: SFT TURN-PAIR EXTRACTION — the step x125's audit gates:
+    * pair each turn with its PREDECESSOR when the roles alternate
+    * (prompt → response), per thread in the same total (ts, event_id)
+    * order. Same-role consecutive turns (x125's breaks) pair with
+    * nothing — exactly the malformed spans the audit counts — so the
+    * two operators reconcile: pairs-per-thread = turns − breaks − 1
+    * for single-break-free threads. Emits ids + roles + the response
+    * gap, never payloads (the x05 ids-only discipline: downstream
+    * joins fetch text by event id).
+    *
+    * Shape: one scan → per-thread lag + rank windows (partitioned,
+    * same order — ONE sort serves both) → pure filter. */
+  def sftPairs(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").as("thread_id"), col("event_type").as("role"),
+        col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("thread_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_event", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("turn_idx", row_number().over(w).cast("long"))
+      .filter(col("prev_role").isNotNull && col("prev_role") =!= col("role"))
+      .select(col("thread_id"), col("turn_idx"),
+        col("prev_event").as("prompt_event"),
+        col("event_id").as("response_event"),
+        col("prev_role").as("prompt_role"),
+        col("role").as("response_role"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+          .as("gap_sec"))
+  }
+
+  def sftPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    sftPairs(Tables.load(spark, dir, "events"))
+      .orderBy(col("thread_id"), col("turn_idx"))
+
   // ------------------------------------------- rate bursts (x126)
 
   /** x126's z threshold, shared with the DuckDB twin. */

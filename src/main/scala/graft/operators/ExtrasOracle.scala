@@ -365,6 +365,29 @@ object ExtrasOracle {
     "x123_link_degrees" -> linkDegreesSql,
     "x124_robots_gate" -> robotsGateSql,
     "x125_dialog_audit" -> dialogAuditSql,
+    // x146: the same total (ts, event_id) thread order as x125, lag'd
+    // role/event/ts, alternating pairs only, floor-epoch gap.
+    "x146_sft_pairs" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS thread_id, event_type AS role, ts, event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |lagged AS (
+        |  SELECT thread_id, role, ts, event_id,
+        |    lag(role) OVER w AS prev_role,
+        |    lag(event_id) OVER w AS prev_event,
+        |    lag(ts) OVER w AS prev_ts,
+        |    CAST(row_number() OVER w AS BIGINT) AS turn_idx
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY thread_id ORDER BY ts, event_id))
+        |SELECT thread_id, turn_idx,
+        |  prev_event AS prompt_event, event_id AS response_event,
+        |  prev_role AS prompt_role, role AS response_role,
+        |  CAST(floor(epoch(ts)) - floor(epoch(prev_ts)) AS BIGINT) AS gap_sec
+        |FROM lagged
+        |WHERE prev_role IS NOT NULL AND prev_role <> role
+        |ORDER BY thread_id, turn_idx""".stripMargin,
     "x126_rate_bursts" -> rateBurstsSql,
     "x127_ks_audit" -> ksAuditSql,
     "x128_psi_drift" -> psiDriftSql,

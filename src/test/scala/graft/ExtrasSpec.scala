@@ -3082,6 +3082,33 @@ class ExtrasSpec extends SparkSpec {
       assert(out(h) == ((1L, 0L, null)), s"$h: ${out(h)}") }
   }
 
+  test("x146 SFT pairs reconcile with x125: pairs = turns - 1 - breaks per thread") {
+    import graft.operators.Analytics
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+    val audit = Analytics.dialogAudit(ev)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val pairs = Analytics.sftPairs(ev).groupBy($"thread_id").count()
+      .as[(Long, Long)].collect().toMap
+    audit.foreach { case (t, (_, turns, _, breaks, _)) =>
+      val expected = turns - 1 - breaks
+      assert(pairs.getOrElse(t, 0L) == expected,
+        s"thread $t: ${pairs.getOrElse(t, 0L)} pairs vs turns=$turns breaks=$breaks")
+    }
+    // hand fixture: u,a,u,u,a -> adjacencies (u,a)(a,u)(u,u)(u,a):
+    // three alternating pairs, one break
+    val d = Seq((1L, 10L, "u", 100L), (2L, 10L, "a", 200L),
+      (3L, 10L, "u", 300L), (4L, 10L, "u", 400L), (5L, 10L, "a", 500L))
+      .map { case (e, u, r, s) => (e, u, r, new java.sql.Timestamp(s * 1000)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.sftPairs(d).orderBy($"turn_idx")
+      .as[(Long, Long, Long, Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 2L, 1L, 2L, "u", "a", 100L),
+      (10L, 3L, 2L, 3L, "a", "u", 100L),
+      (10L, 5L, 4L, 5L, "u", "a", 100L)), s"got $out")
+  }
+
   test("x136 effective tokens: copies split their credit, uniques keep it") {
     // s0: one unique 4-token doc; s1+s2: an identical 6-token doc each
     // (family size 2 -> each source credits 3.0)
