@@ -1046,6 +1046,27 @@ object RelationalSql {
          |ORDER BY epoch, ord""".stripMargin,
     "x142_mlm_mask" -> mlmMaskSparkSql,
     "x143_pack_manifest" -> packManifestSparkSql,
+    "x146_sft_pairs" ->
+      """WITH ev AS (
+        |  SELECT user_id AS thread_id, event_type AS role, ts, event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |lagged AS (
+        |  SELECT thread_id, role, ts, event_id,
+        |    lag(role) OVER w AS prev_role,
+        |    lag(event_id) OVER w AS prev_event,
+        |    lag(ts) OVER w AS prev_ts,
+        |    CAST(row_number() OVER w AS BIGINT) AS turn_idx
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY thread_id ORDER BY ts, event_id))
+        |SELECT thread_id, turn_idx,
+        |  prev_event AS prompt_event, event_id AS response_event,
+        |  prev_role AS prompt_role, role AS response_role,
+        |  unix_timestamp(ts) - unix_timestamp(prev_ts) AS gap_sec
+        |FROM lagged
+        |WHERE prev_role IS NOT NULL AND prev_role != role
+        |ORDER BY thread_id, turn_idx""".stripMargin,
     "x144_threshold_sweep" ->
       s"""WITH $verifiedPairsSparkCte,
          |grid AS (SELECT CAST(t AS BIGINT) AS threshold_pct

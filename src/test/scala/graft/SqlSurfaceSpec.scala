@@ -56,12 +56,13 @@ class SqlSurfaceSpec extends SparkSpec {
     // twenty-two r13 texts (the plain aggregates x79-x82, x85-x86,
     // x88-x90, x95-x99, x134-x136, the x137 hybrid-RRF fusion, the
     // x139 line-dedup rewrite, the x141-x143 training-prep trio, and
-    // the x144 threshold sweep (sharing x46's vpairs CTE) —
+    // the x144 threshold sweep (sharing x46's vpairs CTE), and the
+    // x146 SFT pair extraction —
     // x141's SQL face is the window form of the engine's distributed
     // rank; x138's markup plant stays DataFrame-first like x114/x123;
     // x140's JL floats have no portable SQL image beyond the
     // registered jl_project function itself)
-    assert(RelationalSql.extrasSql.size == 109)
+    assert(RelationalSql.extrasSql.size == 110)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
