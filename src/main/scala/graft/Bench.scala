@@ -508,7 +508,14 @@ object Bench {
       try {
         val exact = SparkEntry.queries("x05_cosine_knn")(spark, sfDir)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        Seq("x06_ann_ivf", "x06_ann_lsh", "x17_quant_knn", "x140_jl_knn").map { name =>
+        // An empty exact answer (possible at a tiny bench SF) would make
+        // every recall 0/0 = NaN — which is not valid JSON and breaks
+        // downstream artifact parsing; skip the block instead, matching
+        // the catch arm's "absent, not garbage" contract.
+        if (exact.isEmpty) {
+          System.err.println("[bench] ann recall skipped: exact x05 empty")
+          Seq.empty
+        } else Seq("x06_ann_ivf", "x06_ann_lsh", "x17_quant_knn", "x140_jl_knn").map { name =>
           val approx = SparkEntry.queries(name)(spark, sfDir)
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           name -> (exact intersect approx).size.toDouble / exact.size

@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded registry for the library's internal plan caches.
+  *
+  * A handful of operators persist a small intermediate frame because it
+  * is referenced twice in one returned plan (Catalyst does not dedupe a
+  * multiply-referenced aggregate subtree — see
+  * [[graft.operators.Dedup.verifiedNearDupPairs]]). Those frames cannot
+  * be unpersisted eagerly: the RETURNED DataFrame is lazy, so the cache
+  * must outlive the call and be alive at action time. Left untracked,
+  * though, each invocation pins a new cached relation until the
+  * ContextCleaner happens to GC the plan — a long-lived driver (bench
+  * retry loops, notebook sessions) accumulates storage-memory pressure
+  * without bound.
+  *
+  * This registry caps that: every internal persist routes through
+  * [[bounded]], which tracks insertion order and unpersists the OLDEST
+  * tracked frame once more than [[MaxTracked]] are alive. Unpersisting
+  * early is always SAFE — a consumer still holding the old plan simply
+  * recomputes it (correctness is lineage's, not the cache's); the cap
+  * only bounds how much storage memory the library may silently occupy.
+  * [[MaxTracked]] is sized to the worst legitimate burst (a bench run
+  * touching every pair-mining query back-to-back) while staying far
+  * below executor storage-fraction budgets at the frames' KB..MB grain.
+  */
+object Caches {
+
+  private[graft] val MaxTracked = 16
+
+  private val tracked = new java.util.ArrayDeque[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK) and track it; evict (unpersist,
+    * non-blocking) the oldest tracked frame beyond [[MaxTracked]]. */
+  def bounded(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.addLast(p)
+    while (tracked.size > MaxTracked) tracked.removeFirst().unpersist(blocking = false)
+    p
+  }
+
+  /** Number of currently tracked cached frames (spec hook). */
+  private[graft] def trackedCount: Int = synchronized(tracked.size)
+}

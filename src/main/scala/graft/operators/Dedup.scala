@@ -153,12 +153,12 @@ object Dedup {
     // recovers the shuffled stages — the corpus scan + shingle explode
     // feeding the first exchange would still run once per reference.
     // The pair set is small by construction (df-pruned candidates), so
-    // the blocks are KBs; ContextCleaner unpersists them when the
-    // returned frame is dropped.
-    val cand = candidateFilter(
+    // the blocks are KBs; the bounded registry (core.Caches) evicts the
+    // oldest such cache once 16 are alive, so repeated calls in a
+    // long-lived driver never accumulate storage pressure.
+    val cand = graft.core.Caches.bounded(candidateFilter(
       ngramCandidatePairs(docs, n, maxDf, minInter, hashGrams)
-        .select(col("d1"), col("d2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("d1"), col("d2"))))
     // ONE reference to the candidate aggregate, not two union branches:
     // Catalyst does not dedupe a multiply-referenced aggregate subtree,
     // so cand.select(d1) UNION cand.select(d2) would re-run the whole
@@ -199,10 +199,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                        minInter: Int = 2): DataFrame = {
     // Persisted for the same two-reference reason as
-    // [[verifiedNearDupPairs]]: one gram-pipeline execution, not two.
-    val cand = ngramCandidatePairs(docs, n, maxDf, minInter)
-      .select(col("d1"), col("d2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // [[verifiedNearDupPairs]], through the same bounded registry.
+    val cand = graft.core.Caches.bounded(
+      ngramCandidatePairs(docs, n, maxDf, minInter)
+        .select(col("d1"), col("d2")))
     val candIds = cand
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
     val sh = shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n)

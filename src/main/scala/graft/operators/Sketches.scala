@@ -158,8 +158,8 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
     val total = hist.groupBy(col("v")).agg(sum(col("c")).as("c"))
       .select(lit("TOTAL").as("grp"), col("v"), col("c"))
-    val all = hist.select(col("grp"), col("v"), col("c")).unionByName(total)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = graft.core.Caches.bounded(
+      hist.select(col("grp"), col("v"), col("c")).unionByName(total))
     val ns = all.groupBy(col("grp")).agg(sum(col("c")).as("n"))
     val cum = graft.operators.Sampling.prefixSum(
       all, Seq("grp"), Seq(col("v")), "c", "cum")

@@ -1160,39 +1160,82 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class LineArrival(doc_id: Long, idx: Option[Int],
+                         line: Option[String], boiler: Option[Long])
+  case class LineDedupRow(doc_id: Long, n_lines: Long, n_dropped: Long,
+                          n_tokens_kept: Long, out_key: String)
+
+  /** Spark's md5(): lowercase hex over UTF-8 bytes — recomputed here so
+    * the processor's driver-free reassembly emits the same out_key the
+    * batch face derives with the SQL function. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  private class LineDedupProcessor
+    extends StatefulProcessor[Long, LineArrival, LineDedupRow] {
+
+    // Deliberately registers NO state: the per-doc grouping is batch-
+    // local (a document's lines arrive together), so the processor
+    // reassembles from the batch's rows alone and the state store holds
+    // nothing between batches — an ingestion gate must not grow state
+    // with corpus size. A plain streaming groupBy/agg here would keep
+    // every doc_id's aggregation state forever.
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[LineArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[LineDedupRow] = {
+      // buffer bound: lines-per-document (doc tokens / LineTokens), the
+      // same grain one batch task holds — never corpus-sized
+      val rs = rows.toVector
+      val nLines = rs.count(_.idx.isDefined)
+      val nDropped = rs.count(r => r.idx.isDefined && r.boiler.isDefined)
+      val out = rs.filter(r => r.idx.isDefined && r.boiler.isEmpty)
+        .sortBy(_.idx.get).flatMap(_.line).mkString(" ")
+      val nKept = out.split(" ").count(_.nonEmpty).toLong
+      Iterator.single(LineDedupRow(key, nLines, nDropped, nKept, md5Hex(out)))
+    }
+  }
+
   /** Streaming face of [[graft.operators.Dedup.lineDedup]] (x139):
     * line-level boilerplate scrubbing AS ingestion — each arriving
     * document's fixed-width lines check against the FROZEN boilerplate
     * line set ([[graft.operators.Dedup.saveLineIndex]], broadcast:
     * boilerplate is the repeated tail of the line distribution, not
-    * the corpus) and the document reassembles from what survives. The
-    * per-doc grouping is batch-local in effect (a document's lines
-    * arrive together), carries no cross-batch state, and the stream
-    * side never shuffles more than its own batch. Against an index
-    * built from the replayed corpus itself, replay equals the batch
-    * x139 report row-for-row (spec-asserted). */
+    * the corpus) and the document reassembles from what survives.
+    *
+    * The reassembly runs in a [[LineDedupProcessor]] that registers NO
+    * state — each batch's rows group per doc, emit, and vanish, so the
+    * state store is empty between batches (a plain streaming
+    * groupBy/agg would retain every doc_id's aggregate forever and
+    * silently MERGE a redelivered doc into its old row). Under
+    * at-least-once redelivery a doc_id re-arriving in a LATER batch
+    * re-emits a fresh, identical row instead — duplicate-visible, never
+    * divergent; a doc whose lines straddle a batch boundary emits one
+    * partial row per batch (the ingestion contract is doc-atomic
+    * arrival, as with the other per-doc faces). Against an index built
+    * from the replayed corpus itself, replay equals the batch x139
+    * report row-for-row (spec-asserted). */
   def lineDedupStream(docs: DataFrame, indexPath: String,
                       lineTokens: Int = graft.operators.Dedup.LineTokens): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val boiler = graft.operators.Dedup
-      .loadLineIndex(docs.sparkSession, indexPath)
+      .loadLineIndex(spark, indexPath)
       .withColumn("_boiler", lit(1L))
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
         posexplode_outer(graft.operators.Dedup.lineChunks(col("text"), lineTokens)))
       .toDF("doc_id", "idx", "line")
       .join(broadcast(boiler), Seq("line"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(col("idx")).as("n_lines"),
-        coalesce(sum(col("_boiler")), lit(0L)).as("n_dropped"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(
-            when(col("_boiler").isNull && col("idx").isNotNull,
-              struct(col("idx"), col("line"))))),
-          s => s.getField("line"))).as("out"))
-      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
-        size(graft.operators.TextAnalysis.wsTokens(col("out")))
-          .cast("long").as("n_tokens_kept"),
-        md5(col("out")).as("out_key"))
+      .select(col("doc_id"), col("idx"), col("line"),
+        col("_boiler").as("boiler"))
+      .as[LineArrival]
+      .groupByKey(_.doc_id)
+      .transformWithState(new LineDedupProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 
   case class EffArrival(doc_id: Long, source: String, k: String,
@@ -1249,7 +1292,13 @@ object StreamingOps {
     * one long + |sources-in-family| counters, RocksDB-backed. */
   def effectiveTokensStream(docs: DataFrame): Dataset[EffFamilyUpdate] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+    // Null-text rows are dropped EXPLICITLY: the batch face sheds them
+    // implicitly (md5(null) keys never match the inner family join),
+    // but here a null size(...) would hit EffArrival's non-nullable
+    // n_tokens and throw at the encoder — the live face must not be
+    // stricter than the batch face it mirrors.
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         md5(col("text")).as("k"),
         size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long")
           .as("n_tokens"))

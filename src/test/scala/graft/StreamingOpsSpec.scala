@@ -1289,7 +1289,7 @@ class StreamingOpsSpec extends SparkSpec {
     val stream = MemoryStream[(Long, String)]
     val q = StreamingOps.lineDedupStream(
         stream.toDF().toDF("doc_id", "text"), s"$dir/idx")
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("linededup_out").start()
     try {
       rows.grouped((rows.size + 2) / 3).foreach { c =>
@@ -1313,10 +1313,15 @@ class StreamingOpsSpec extends SparkSpec {
       // docs under a DIFFERENT source, exercising the cross-source 1/k
       // credit split (and the retroactive dilution of the originals)
       val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      // plus one NULL-text row: the batch face sheds it implicitly (null
+      // md5 key never joins), the live face must tolerate it too rather
+      // than throwing at the non-nullable encoder field
       val docs = base.select($"doc_id", $"source", $"text").unionByName(
         base.filter($"doc_id" < 10)
           .select(($"doc_id" + 1000L).as("doc_id"),
             lit("echo_feed").as("source"), $"text"))
+        .unionByName(spark.range(1).select(lit(9999L).as("doc_id"),
+          lit("null_feed").as("source"), lit(null).cast("string").as("text")))
       val batch = graft.operators.Dedup.effectiveTokens(docs)
         .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
 
