@@ -1077,6 +1077,24 @@ object RelationalSql {
          |      THEN 1L ELSE 0L END) AS n_pairs
          |FROM vpairs CROSS JOIN grid
          |GROUP BY threshold_pct ORDER BY threshold_pct""".stripMargin,
+
+    // ---- r14 extensions: the web-prep family — the x102 URL ladder,
+    // its markup/link-graph consumers, and the drift/propagation
+    // rollups — all regexp chains + aggregates a SQL user can type over
+    // the registered views (the page-sized plants are CTE stages, not
+    // a reason to stay DataFrame-only).
+    "x102_url_canon" -> urlCanonSparkSql,
+    "x103_markup_strip" -> markupStripSparkSql,
+    "x104_url_dedup" -> urlDedupSparkSql,
+    "x107_waterfall" -> waterfallSparkSql,
+    "x114_link_graph" -> linkGraphSparkSql,
+    "x116_anchor_text" -> anchorTextSparkSql,
+    "x119_host_reputation" -> hostReputationSparkSql,
+    "x123_link_degrees" -> linkDegreesSparkSql,
+    "x124_robots_gate" -> robotsGateSparkSql,
+    "x130_snapshot_psi" -> snapshotPsiSparkSql,
+    "x138_label_prop" -> labelPropSparkSql,
+    "x145_triangles" -> trianglesSparkSql,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -2442,4 +2460,310 @@ object RelationalSql {
        |    AS tokens_effective
        |FROM toks t JOIN fam f ON t.k = f.k
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // r14 web-prep twins. The x102 canonicalization ladder is one shared
+  // CTE-stage generator (plain concatenation, NOT s-interpolation, so
+  // the `$1` regex backrefs survive untouched); every consumer —
+  // x102/x104/x114/x116/x124/x138/x145 — reuses it, so the ladder
+  // semantics cannot drift between twins.
+
+  /** CTE stages applying WebPrep.canonicalUrl to a column named `_u0`
+    * in CTE `inCte`, carrying `carry` columns through; ends at `_c`
+    * with (carry, url, canon). */
+  private def canonStagesSql(inCte: String, carry: String): String =
+    "_t1 AS (SELECT " + carry + ", _u0,\n" +
+    "  regexp_replace(regexp_replace(regexp_replace(regexp_replace(_u0,\n" +
+    "    '#.*$', ''),\n" +
+    "    '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '$1'),\n" +
+    "    '([?&])&+', '$1'),\n" +
+    "    '[?&]$', '') AS _tidy FROM " + inCte + "),\n" +
+    "_t2 AS (SELECT " + carry + ", _u0,\n" +
+    "  CASE WHEN _tidy RLIKE '^[A-Za-z][A-Za-z0-9+.-]*://'\n" +
+    "       THEN concat(lower(regexp_extract(_tidy, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)),\n" +
+    "                   regexp_extract(_tidy, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1))\n" +
+    "       ELSE _tidy END AS _hl FROM _t1),\n" +
+    "_c AS (SELECT " + carry + ", _u0 AS url,\n" +
+    "  regexp_replace(regexp_replace(regexp_replace(_hl,\n" +
+    "    '^[a-z][a-z0-9+.-]*://', ''), '^www\\\\.', ''), '(.)/$', '$1') AS canon\n" +
+    "  FROM _t2)"
+
+  /** WebPrep.urlHost over a canonical-URL SQL expression. */
+  private def urlHostSql(c: String): String =
+    "regexp_replace(regexp_extract(" + c + ", '^([^/?#]*)', 1), ':[0-9]+$', '')"
+
+  /** The x102 queries()-face URL plant (Docs path, all noise residues). */
+  private def urlPlantDocsSql: String =
+    """concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |    source, '.example.com/Docs/', CAST(doc_id AS STRING),
+      |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&page=', CAST(doc_id % 4 AS STRING)) ELSE '' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END)""".stripMargin
+
+  /** The x104/x124 colliding URL plant (path = doc_id mod 23). */
+  private def urlPlantCollideSql: String =
+    """concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |    source, '.example.com/p/', CAST(doc_id % 23 AS STRING),
+      |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END)""".stripMargin
+
+  /** Spark-SQL face of WebPrep.urlQuery (x102). */
+  private def urlCanonSparkSql: String =
+    "WITH u AS (SELECT doc_id, " + urlPlantDocsSql + " AS _u0 FROM documents),\n" +
+    canonStagesSql("u", "doc_id") + "\n" +
+    "SELECT doc_id, canon, " + urlHostSql("canon") + " AS host,\n" +
+    "  CASE WHEN url != canon THEN 1L ELSE 0L END AS changed\n" +
+    "FROM _c ORDER BY doc_id"
+
+  /** Spark-SQL face of WebPrep.urlDedupQuery (x104). */
+  private def urlDedupSparkSql: String =
+    "WITH u AS (SELECT doc_id, " + urlPlantCollideSql + " AS _u0 FROM documents),\n" +
+    canonStagesSql("u", "doc_id") + ",\n" +
+    "k AS (SELECT canon, MIN(doc_id) AS keep_id FROM _c GROUP BY canon)\n" +
+    "SELECT doc_id, canon, keep_id,\n" +
+    "  CASE WHEN doc_id != keep_id THEN 1L ELSE 0L END AS dup\n" +
+    "FROM _c JOIN k USING (canon) ORDER BY doc_id"
+
+  /** Spark-SQL face of WebPrep.markupQuery (x103). */
+  private def markupStripSparkSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+      |    '</title></head><body><p>', text, '</p>',
+      |    CASE WHEN doc_id % 3 = 0 THEN '<a href="/x">x</a>' ELSE '' END,
+      |    CASE WHEN doc_id % 9 = 0 THEN '<a href="/y">y</a>' ELSE '' END,
+      |    '</body></html>') AS html FROM documents),
+      |s AS (SELECT doc_id, html,
+      |  trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' '), '\\s+', ' ')) AS text
+      |  FROM h)
+      |SELECT doc_id,
+      |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      |  CAST(regexp_count(html, '<a ') AS BIGINT) AS n_links,
+      |  text, CAST(length(text) AS BIGINT) AS clean_len
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of DocPrep.waterfallQuery (x107): the x18 gate
+    * CTEs rolled to (source, stage) with token accounting. */
+  private def waterfallSparkSql: String =
+    """WITH refg AS (
+      |  SELECT DISTINCT gram FROM documents
+      |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+      |  WHERE source IN ('src0', 'src1')),
+      |candg AS (
+      |  SELECT doc_id, gram FROM documents
+      |  LATERAL VIEW explode(word_shingles_all(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+      |  WHERE source NOT IN ('src0', 'src1')),
+      |contam AS (SELECT DISTINCT doc_id FROM candg JOIN refg USING (gram)),
+      |keepers AS (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+      |prep AS (
+      |  SELECT d.source,
+      |    CAST(size(filter(split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN d.source IN ('src0', 'src1') THEN 'reference'
+      |         WHEN size(filter(split(d.text, ' '), x -> x != '')) < 40 THEN 'too_short'
+      |         WHEN d.doc_id != k.keep_id THEN 'duplicate'
+      |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |         ELSE NULL END AS drop_reason
+      |  FROM documents d
+      |  JOIN keepers k ON d.text = k.text
+      |  LEFT JOIN contam c ON d.doc_id = c.doc_id)
+      |SELECT source, coalesce(drop_reason, 'kept') AS stage,
+      |  COUNT(1) AS n_docs, SUM(n_tokens) AS n_tokens
+      |FROM prep GROUP BY source, coalesce(drop_reason, 'kept')
+      |ORDER BY source, stage""".stripMargin
+
+  /** The x114 planted-markup link-graph as CTE stages ending at `lg`
+    * (src_host, dst_host, n_links) — shared by x114/x123/x138/x145. */
+  private def linkGraphCtesSql: String =
+    """h AS (
+      |  SELECT concat(source, '.example.com') AS src_host,
+      |    concat('<p>see <a href="https://src', CAST((doc_id * 7) % 20 AS STRING),
+      |      '.example.com/p/', CAST(doc_id % 13 AS STRING), '">a</a>',
+      |      CASE WHEN doc_id % 3 = 0 THEN concat('<a href="HTTPS://WWW.src',
+      |        CAST((doc_id * 3) % 20 AS STRING),
+      |        '.example.com/q?utm_source=feed&x=1">b</a>') ELSE '' END,
+      |      CASE WHEN doc_id % 5 = 0 THEN '<a href="https://hub.example.com/h#frag">c</a>' ELSE '' END,
+      |      '</p>') AS html FROM documents),
+      |xu AS (
+      |  SELECT src_host, url AS _u0 FROM h
+      |  LATERAL VIEW explode(regexp_extract_all(html, 'href="([^"]+)"', 1)) t AS url),
+      |""".stripMargin +
+    canonStagesSql("xu", "src_host") + ",\n" +
+    "lg AS (\n" +
+    "  SELECT src_host, " + urlHostSql("canon") + " AS dst_host,\n" +
+    "    COUNT(1) AS n_links\n" +
+    "  FROM _c GROUP BY src_host, dst_host)"
+
+  /** Spark-SQL face of WebPrep.linkGraphQuery (x114). */
+  private def linkGraphSparkSql: String =
+    "WITH " + linkGraphCtesSql + "\n" +
+    "SELECT src_host, dst_host, n_links FROM lg ORDER BY src_host, dst_host"
+
+  /** Spark-SQL face of WebPrep.anchorTextQuery (x116). */
+  private def anchorTextSparkSql: String =
+    """WITH h AS (
+      |  SELECT concat('<p><a href="https://src', CAST((doc_id * 7) % 20 AS STRING),
+      |    '.example.com/p/', CAST(doc_id % 13 AS STRING),
+      |    '">read src', CAST((doc_id * 7) % 20 AS STRING),
+      |    ' item ', CAST(doc_id % 13 AS STRING), '</a>',
+      |    CASE WHEN doc_id % 3 = 0 THEN concat('<a href="HTTPS://WWW.src',
+      |      CAST((doc_id * 3) % 20 AS STRING),
+      |      '.example.com/q?utm_source=x">visit src',
+      |      CAST((doc_id * 3) % 20 AS STRING), ' now</a>') ELSE '' END,
+      |    '</p>') AS html FROM documents),
+      |an AS (
+      |  SELECT a FROM h
+      |  LATERAL VIEW explode(regexp_extract_all(html, '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) t AS a),
+      |hr AS (SELECT a, regexp_extract(a, 'href="([^"]+)"', 1) AS _u0 FROM an),
+      |""".stripMargin +
+    canonStagesSql("hr", "a") + "\n" +
+    "SELECT " + urlHostSql("canon") + " AS dst_host, term, COUNT(1) AS n_anchors\n" +
+    "FROM _c\n" +
+    "LATERAL VIEW explode(filter(split(regexp_extract(a, '>([^<]*)</a>', 1), ' '), x -> x != '')) t AS term\n" +
+    "GROUP BY dst_host, term ORDER BY dst_host, term"
+
+  /** Spark-SQL face of WebPrep.hostReputationQuery (x119) — same
+    * broadcast hint, same all-integer admit arithmetic. */
+  private def hostReputationSparkSql: String =
+    "WITH s AS (SELECT doc_id, concat(source, '.example.com') AS host,\n" +
+    "  size(filter(split(text, ' '), x -> x != '')) >= " + WebPrep.HostRepMinTokens + " AS pass\n" +
+    "  FROM documents),\n" +
+    """r AS (SELECT host, COUNT(1) AS host_docs,
+      |  SUM(CASE WHEN pass THEN 1L ELSE 0L END) AS host_pass FROM s GROUP BY host)
+      |SELECT /*+ BROADCAST(r) */ doc_id, host, host_docs, host_pass,
+      |  CASE WHEN host_pass * 2 >= host_docs THEN 1L ELSE 0L END AS admitted
+      |FROM s JOIN r USING (host) ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of WebPrep.linkDegreesQuery (x123). */
+  private def linkDegreesSparkSql: String =
+    "WITH " + linkGraphCtesSql + ",\n" +
+    """outs AS (SELECT src_host AS host, COUNT(1) AS out_deg,
+      |  SUM(n_links) AS out_links FROM lg GROUP BY src_host),
+      |ins AS (SELECT dst_host AS host, COUNT(1) AS in_deg,
+      |  SUM(n_links) AS in_links FROM lg GROUP BY dst_host),
+      |ks AS (SELECT src_host, dst_host FROM lg WHERE src_host != dst_host),
+      |recip AS (
+      |  SELECT k.src_host AS host, COUNT(1) AS recip_deg FROM ks k
+      |  LEFT SEMI JOIN ks r ON r.src_host = k.dst_host AND r.dst_host = k.src_host
+      |  GROUP BY k.src_host)
+      |SELECT host, coalesce(out_deg, 0L) AS out_deg,
+      |  coalesce(out_links, 0L) AS out_links,
+      |  coalesce(in_deg, 0L) AS in_deg,
+      |  coalesce(in_links, 0L) AS in_links,
+      |  coalesce(recip_deg, 0L) AS recip_deg
+      |FROM outs FULL OUTER JOIN ins USING (host) LEFT JOIN recip USING (host)
+      |ORDER BY host""".stripMargin
+
+  /** Spark-SQL face of WebPrep.robotsGateQuery (x124): rule table as
+    * inline VALUES, longest (lexicographic max — nested prefixes)
+    * match, admit iff no rule fires. */
+  private def robotsGateSparkSql: String =
+    "WITH u AS (SELECT doc_id, " + urlPlantCollideSql + " AS _u0 FROM documents),\n" +
+    canonStagesSql("u", "doc_id") + ",\n" +
+    "p AS (SELECT doc_id, canon, " + urlHostSql("canon") + " AS host,\n" +
+    "  regexp_extract(canon, '(/.*)$', 1) AS path FROM _c),\n" +
+    "rules AS (SELECT host AS r_host, path_prefix FROM VALUES\n  " +
+    WebPrep.RobotsRules.map { case (h, p) => "(" + sqlStr(h) + ", " + sqlStr(p) + ")" }
+      .mkString(",\n  ") + " AS r(host, path_prefix))\n" +
+    """SELECT doc_id, canon, host, MAX(path_prefix) AS matched_prefix,
+      |  CASE WHEN MAX(path_prefix) IS NULL THEN 1L ELSE 0L END AS admitted
+      |FROM p LEFT JOIN rules
+      |  ON p.host = r_host AND startswith(p.path, path_prefix)
+      |GROUP BY doc_id, canon, host ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of Sampling.snapshotPsiQuery (x130): the x88
+    * snapshot plant through the x128 PSI discipline (power-of-two
+    * buckets, +1 Laplace, term-rounded decimal sum). */
+  private def snapshotPsiSparkSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text,
+      |    filter(split(text, ' '), x -> x != '') AS w FROM documents),
+      |snap AS (
+      |  SELECT source, true AS is_a,
+      |    CAST(CASE WHEN doc_id % 23 = 0
+      |      THEN size(filter(split(array_join(slice(w, 1, greatest(size(w) - 1, 0)), ' '), ' '), x -> x != ''))
+      |      ELSE size(w) END AS BIGINT) AS len
+      |  FROM base WHERE doc_id % 17 != 0
+      |  UNION ALL
+      |  SELECT source, false AS is_a, CAST(size(w) AS BIGINT) AS len
+      |  FROM base WHERE doc_id % 19 != 0),
+      |b AS (
+      |  SELECT source,
+      |    CASE WHEN len = 1 THEN 1L
+      |         ELSE shiftleft(1L, length(bin(len - 1))) END AS bucket,
+      |    SUM(CASE WHEN is_a THEN 1L ELSE 0L END) AS c1,
+      |    SUM(CASE WHEN NOT is_a THEN 1L ELSE 0L END) AS c2
+      |  FROM snap WHERE len >= 1
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT source, c1, c2,
+      |    SUM(c1) OVER (PARTITION BY source) AS n1,
+      |    SUM(c2) OVER (PARTITION BY source) AS n2,
+      |    COUNT(1) OVER (PARTITION BY source) AS nb
+      |  FROM b),
+      |t AS (
+      |  SELECT source, n1, n2, nb,
+      |    CAST(round((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+      |                - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+      |      * round(ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+      |                 / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))),
+      |              6), 6) AS DECIMAL(18,6)) AS term
+      |  FROM w)
+      |SELECT source, MIN(n1) AS n_old, MIN(n2) AS n_new,
+      |  MIN(nb) AS n_buckets, CAST(SUM(term) AS DOUBLE) AS psi
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Spark-SQL face of WebPrep.labelPropagationQuery (x138): one
+    * synchronous vote step over the x114 graph with x119 seeds. */
+  private def labelPropSparkSql: String =
+    "WITH " + linkGraphCtesSql + ",\n" +
+    "rep AS (SELECT concat(source, '.example.com') AS host, COUNT(1) AS hd,\n" +
+    "  SUM(CASE WHEN size(filter(split(text, ' '), x -> x != '')) >= " +
+    WebPrep.HostRepMinTokens + " THEN 1L ELSE 0L END) AS hp\n" +
+    "  FROM documents GROUP BY concat(source, '.example.com')),\n" +
+    """seeds AS (SELECT host, CASE WHEN hp * 2 >= hd THEN 1L ELSE 0L END AS seed FROM rep),
+      |ke AS (SELECT src_host, dst_host, n_links FROM lg WHERE src_host != dst_host),
+      |und AS (
+      |  SELECT host, nbr, SUM(n_links) AS w FROM (
+      |    SELECT src_host AS host, dst_host AS nbr, n_links FROM ke
+      |    UNION ALL
+      |    SELECT dst_host AS host, src_host AS nbr, n_links FROM ke)
+      |  GROUP BY host, nbr),
+      |votes AS (
+      |  SELECT u.host,
+      |    SUM(CASE WHEN s.seed = 1L THEN u.w ELSE 0L END) AS votes_ok,
+      |    SUM(CASE WHEN s.seed = 0L THEN u.w ELSE 0L END) AS votes_bad
+      |  FROM und u LEFT JOIN seeds s ON u.nbr = s.host GROUP BY u.host)
+      |SELECT v.host, coalesce(s.seed, -1L) AS seed, votes_ok, votes_bad,
+      |  CASE WHEN votes_ok > votes_bad THEN 1L
+      |       WHEN votes_bad > votes_ok THEN 0L
+      |       ELSE coalesce(s.seed, -1L) END AS propagated
+      |FROM votes v LEFT JOIN seeds s ON v.host = s.host ORDER BY v.host""".stripMargin
+
+  /** Spark-SQL face of WebPrep.triangleQuery (x145): the id-ordered
+    * wedge join a SQL user types — same rows as the engine face's
+    * degree-oriented plan (orientation is output-invariant). */
+  private def trianglesSparkSql: String =
+    "WITH " + linkGraphCtesSql + ",\n" +
+    """und AS (
+      |  SELECT DISTINCT least(src_host, dst_host) AS a,
+      |    greatest(src_host, dst_host) AS b
+      |  FROM lg WHERE src_host != dst_host),
+      |deg AS (
+      |  SELECT host, COUNT(1) AS degree FROM (
+      |    SELECT a AS host FROM und UNION ALL SELECT b AS host FROM und)
+      |  GROUP BY host),
+      |tri AS (
+      |  SELECT host, COUNT(1) AS n_triangles FROM (
+      |    SELECT e1.a AS ca, e1.b AS cb, e2.b AS cc
+      |    FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) wdg
+      |  LATERAL VIEW explode(array(ca, cb, cc)) t AS host
+      |  GROUP BY host)
+      |SELECT host, degree, coalesce(n_triangles, 0L) AS n_triangles,
+      |  CASE WHEN degree >= 2 THEN
+      |    round(2.0D * CAST(coalesce(n_triangles, 0L) AS DOUBLE)
+      |          / CAST(degree * (degree - 1) AS DOUBLE), 6)
+      |  END AS clustering
+      |FROM deg LEFT JOIN tri USING (host) ORDER BY host""".stripMargin
 }

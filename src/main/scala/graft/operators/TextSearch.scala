@@ -232,10 +232,11 @@ object TextSearch {
     * corpus scale — RRF consumes ranks, so the fusion is oblivious to
     * which leg implementation produced them); fusion itself is a
     * |queries × ≤2·legK|-row aggregate. */
-  def hybridTopK(docs: DataFrame, vectors: DataFrame,
-                 queryMax: Long = HybridQueryMax, legK: Int = HybridLegK,
-                 k: Int = HybridTopK): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
+  /** The x137 lexical leg: (query_id, doc_id, r) — distinct-3-gram
+    * overlap ranked per query, postings pruned to query grams before
+    * the one shuffle. */
+  private[graft] def lexLeg(docs: DataFrame, queryMax: Long,
+                            legK: Int): DataFrame = {
     val qg = docs.filter(col("doc_id") < queryMax)
       .select(col("doc_id").as("query_id"),
         explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
@@ -244,13 +245,39 @@ object TextSearch {
       .join(qg.select(col("gram")).distinct(), Seq("gram"), "left_semi")
     val wLex = Window.partitionBy(col("query_id"))
       .orderBy(col("inter").desc, col("doc_id"))
-    val lex = qg.join(dg, Seq("gram"))
+    qg.join(dg, Seq("gram"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("r", row_number().over(wLex))
       .filter(col("r") <= legK)
       .select(col("query_id"), col("doc_id"), col("r"))
+  }
+
+  /** RRF over any union of (query_id, doc_id, r) leg frames: each term
+    * ONE correctly-rounded double division pinned at 6 into
+    * DECIMAL(18,6) (exact decimal sum), final rank breaking score ties
+    * by doc_id. Rank is the only currency — the fusion is oblivious to
+    * which leg implementation produced the ranks, which is exactly what
+    * lets [[hybridTopKIvf]] swap the exact vector leg for the probed
+    * index without touching fusion semantics. */
+  private[graft] def rrfFuse(legs: DataFrame, k: Int): DataFrame = {
+    val wFused = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    legs
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(RrfK) + col("r")).cast("double"), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= k)
+  }
+
+  def hybridTopK(docs: DataFrame, vectors: DataFrame,
+                 queryMax: Long = HybridQueryMax, legK: Int = HybridLegK,
+                 k: Int = HybridTopK): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
     val q = vectors.filter(col("vec_id") < queryMax)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val wVec = Window.partitionBy(col("query_id"))
@@ -262,16 +289,30 @@ object TextSearch {
       .withColumn("r", row_number().over(wVec))
       .filter(col("r") <= legK)
       .select(col("query_id"), col("doc_id"), col("r"))
-    val wFused = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    lex.unionByName(vec)
-      .select(col("query_id"), col("doc_id"),
-        round(lit(1.0) / (lit(RrfK) + col("r")).cast("double"), 6)
-          .cast("decimal(18,6)").as("c"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c")).cast("double").as("score"))
-      .withColumn("rank", row_number().over(wFused))
-      .filter(col("rank") <= k)
+    rrfFuse(lexLeg(docs, queryMax, legK).unionByName(vec), k)
+  }
+
+  /** [[hybridTopK]] with the CORPUS-SCALE vector leg: ranks from the
+    * persisted, partition-pruned IVF index
+    * ([[Similarity.ivfTopKIndexed]] — x06's scale path) instead of the
+    * exact broadcast kNN. The documented composition cashed: RRF
+    * consumes ranks, so fusion is leg-implementation-oblivious, and at
+    * full probe (nProbe = nCentroids) the probed leg returns the exact
+    * leg's candidate set — fused output identical to [[hybridTopK]]
+    * up to sub-1e-6 cosine ties (spec-asserted on the fixture); at
+    * partial probe the leg trades recall for reading only the probed
+    * lists' files. The lexical leg and fusion are shared code paths
+    * with the exact face, so the two forms cannot drift. */
+  def hybridTopKIvf(docs: DataFrame, vectors: DataFrame, indexPath: String,
+                    nProbe: Int, queryMax: Long = HybridQueryMax,
+                    legK: Int = HybridLegK, k: Int = HybridTopK): DataFrame = {
+    val spark = docs.sparkSession
+    val q = vectors.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val vec = Similarity.ivfTopKIndexed(spark, indexPath, q, legK, nProbe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r"))
+    rrfFuse(lexLeg(docs, queryMax, legK).unionByName(vec), k)
   }
 
   /** x137 queries() face: fuse over the aligned documents/embeddings

@@ -362,10 +362,19 @@ object WebPrep {
     *
     * Shape: the symmetrized edge list is two projections of the edge
     * aggregate unioned then re-aggregated (edge-grain); votes are one
-    * |hosts|-keyed rollup after a broadcast-sized seed join. One
-    * propagation step per call — iterate k times for k-hop spreading
-    * (each step is the same bounded shuffle; see x14/x39 for the
-    * lineage-cut discipline an unbounded iteration needs). */
+    * |hosts|-keyed rollup after the seed join. The broadcast hints on
+    * BOTH seed joins carry the same sizing contract as x119's
+    * join-back ([[hostReputation]]): seeds are host-grain at the web's
+    * registrable-domain scale — single-digit millions of rows × two
+    * longs, tens of MB, inside a healthy driver/executor budget — and
+    * broadcasting keeps the edge aggregate from shuffling a second
+    * time for the vote join. A deployment whose seed key is FINER than
+    * registrable domains (full subdomains, ports, per-URL labels)
+    * should drop the hints and let AQE pick, trading an edge-side
+    * shuffle for driver safety. One propagation step per call —
+    * iterate k times for k-hop spreading (each step is the same
+    * bounded shuffle; see x14/x39 for the lineage-cut discipline an
+    * unbounded iteration needs). */
   def labelPropagation(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val keyed = edges.filter(col("src_host") =!= col("dst_host"))
     val und = keyed
@@ -403,13 +412,35 @@ object WebPrep {
     * hosts read null (no possible triangle) rather than an
     * engine-specific 0/0.
     *
-    * Scale shape: the orientation join keys every wedge on its middle
-    * vertex pair — candidate wedges per edge are bounded by the
-    * smaller endpoint's neighbor list, and the classic
-    * orient-by-degree refinement (low-degree vertex first) bounds the
-    * join fan-out at sqrt(|E|) per edge on skewed graphs; edges here
-    * are host-grain (registrable-domain scale), far below corpus
-    * size. */
+    * Scale shape: DEGREE-ORIENTED wedge enumeration (the classic
+    * compact-forward refinement) — each undirected edge orients from
+    * its LOWER-(degree, host) endpoint, so every vertex's oriented
+    * out-degree is O(sqrt(|E|)) and the wedge join (two out-edges of
+    * one source) is bounded by outdeg² per vertex even on a skewed
+    * graph. Id-ordered enumeration (the naive `a<b, b<c` join) puts
+    * O(d_hub²) candidate wedges on any small-id hub — the classic
+    * triangle-counting scale-killer this orientation exists to kill;
+    * a pure star enumerates ZERO wedges here (all edges point AT the
+    * hub, which then has no out-pairs — spec-asserted on a planted
+    * hub fixture). Orientation is output-invariant: the triangle set
+    * is identical, each found exactly once at its lowest-rank corner. */
+  private[graft] def orientByDegree(und: DataFrame, deg: DataFrame): DataFrame = {
+    val da = deg.select(col("host").as("a"), col("degree").as("da"))
+    val db = deg.select(col("host").as("b"), col("degree").as("db"))
+    // und carries a<b, so the degree tie breaks lexicographically via
+    // the existing endpoint order; rank = (degree, host)
+    und.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(col("da") < col("db"), struct(col("a").as("src"),
+            col("b").as("dst"), col("db").as("ddst")))
+          .when(col("da") === col("db"), struct(col("a").as("src"),
+            col("b").as("dst"), col("db").as("ddst")))
+          .otherwise(struct(col("b").as("src"),
+            col("a").as("dst"), col("da").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddst").as("ddst"))
+  }
+
   def triangleProfile(edges: DataFrame): DataFrame = {
     val keyed = edges.filter(col("src_host") =!= col("dst_host"))
     val und = keyed
@@ -419,12 +450,19 @@ object WebPrep {
     val deg = und.select(col("a").as("host"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("host"), col("a").as("nbr")))
       .groupBy(col("host")).agg(count(lit(1)).as("degree"))
-    // wedges (a<b, b<c) closed by (a<c): each triangle found exactly once
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+    val o = orientByDegree(und, deg)
+    // wedges = pairs of out-edges of one source, the pair ordered by
+    // rank so each wedge enumerates once; closed iff the (v → w)
+    // oriented edge exists (rank(v) < rank(w) makes that the only
+    // possible orientation of the closing edge)
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .join(o.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"),
+        "left_semi")
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
         .as("host"))
       .groupBy(col("host")).agg(count(lit(1)).as("n_triangles"))
     deg.join(tri, Seq("host"), "left")

@@ -885,6 +885,85 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  // ---------------------- streaming SFT pair extraction (x146's face)
+
+  case class SftState(turn_idx: Long, last_role: String, last_event: Long,
+                      last_ts_us: Long)
+  case class SftPair(thread_id: Long, turn_idx: Long, prompt_event: Long,
+                     response_event: Long, prompt_role: String,
+                     response_role: String, gap_sec: Long)
+
+  private class SftPairsProcessor
+    extends StatefulProcessor[Long, Turn, SftPair] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SftState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SftState]("sft",
+        org.apache.spark.sql.Encoders.product[SftState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Turn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SftPair] = {
+      var s = if (st.exists()) st.get() else SftState(0L, null, 0L, 0L)
+      val out = scala.collection.mutable.ListBuffer.empty[SftPair]
+      // same in-(ts, event_id)-order contract as DialogProcessor; the
+      // gap floors each endpoint to seconds BEFORE subtracting, exactly
+      // like batch's unix_timestamp(ts) - unix_timestamp(prev_ts)
+      rows.toSeq.sortBy(t => (t.ts_us, t.event_id)).foreach { t =>
+        val idx = s.turn_idx + 1L
+        if (s.last_role != null && s.last_role != t.role)
+          out += SftPair(key, idx, s.last_event, t.event_id, s.last_role,
+            t.role, t.ts_us / 1000000L - s.last_ts_us / 1000000L)
+        s = SftState(idx, t.role, t.event_id, t.ts_us)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Analytics.sftPairs]] (x146):
+    * prompt→response pair extraction AS the turn stream arrives — the
+    * live form of the step x125's audit gates. Each thread's state is
+    * the LAST turn only ((role, event, ts) plus the running turn
+    * index — O(threads), the x125 shape, never O(turns)); an arriving
+    * turn that alternates against it emits the pair immediately,
+    * same-role repeats (x125's breaks) emit nothing, exactly the batch
+    * lag-filter semantics. Append mode: a pair, once emitted, is
+    * final. In-(ts, event_id)-order replay equals batch x146
+    * row-for-row (spec-asserted). */
+  def sftPairsStream(events: DataFrame): Dataset[SftPair] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").cast("long").as("thread_id"),
+        col("event_type").as("role"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
+      .as[Turn]
+      .groupByKey(_.thread_id)
+      .transformWithState(new SftPairsProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  // ---------------------- streaming epoch-order keys (x141's face)
+
+  /** Streaming face of [[graft.operators.Sampling.epochOrder]] (x141):
+    * the per-epoch permutation KEY, emitted live as documents land.
+    * The x141 rank is a pure function of the corpus's sorted
+    * (k, doc_id) sets, so the only streamable grain is the key
+    * itself — md5(doc:ord:epoch), stateless, one row per (doc,
+    * epoch) — and any consumer (or any worker, independently)
+    * materializes an epoch's order by sorting its accumulated keys;
+    * after full replay that sort IS the batch x141 permutation
+    * (spec-asserted). No state, no shuffle on the stream side. */
+  def epochKeyStream(docs: DataFrame,
+                     epochs: Int = graft.operators.Sampling.EpochCount): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("k", md5(concat(col("doc_id").cast("string"),
+        lit(":ord:"), col("epoch").cast("string"))))
+      .select(col("epoch"), col("doc_id"), col("k"))
+
   // ------------------- streaming host-reputation gate (x119's face) --
 
   /** Streaming face of [[graft.operators.WebPrep.hostReputation]]

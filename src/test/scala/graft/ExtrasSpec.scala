@@ -2904,6 +2904,32 @@ class ExtrasSpec extends SparkSpec {
       (0L, 12L, rrf(1), 3)), s"got $out")
   }
 
+  test("x137 fused form: IVF vector leg at full probe equals the exact face") {
+    import graft.operators.{Similarity, TextSearch}
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("hybrid-ivf").toString + "/ivf"
+    Similarity.saveIvfIndex(emb, root, nCentroids = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    val exact = rows(TextSearch.hybridTopK(docs, emb))
+    assert(exact.nonEmpty, "vacuous fixture")
+    // full probe (nProbe = nCentroids): the probed leg's candidate set
+    // is the whole corpus, so RRF over its ranks reproduces the exact
+    // face row-for-row — the leg-oblivious fusion contract, cashed
+    val fused = rows(TextSearch.hybridTopKIvf(docs, emb, root, nProbe = 16))
+    assert(fused == exact,
+      s"drift: ${exact.zip(fused).collectFirst { case (a, b) if a != b => (a, b) }}")
+    // partial probe still returns k fused rows per query (recall may
+    // drop — that is the trade the probed leg exists to make)
+    val partial = TextSearch.hybridTopKIvf(docs, emb, root, nProbe = 2)
+    val perQuery = partial.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    exact.map(_._1).distinct.foreach { q =>
+      assert(perQuery.getOrElse(q, 0L) > 0L, s"query $q lost all fused rows at nProbe=2")
+    }
+  }
+
   test("x138 label propagation: majority flips, ties keep seed, unseeded hosts get labeled") {
     import graft.operators.WebPrep
     val edges = Seq(
@@ -3080,6 +3106,45 @@ class ExtrasSpec extends SparkSpec {
     assert(out("s") == ((3L, 0L, 0.0)))
     Seq("t1","t2","t3").foreach { h =>
       assert(out(h) == ((1L, 0L, null)), s"$h: ${out(h)}") }
+  }
+
+  test("x145 skewed hub: degree orientation keeps the wedge join bounded") {
+    import graft.operators.WebPrep
+    import org.apache.spark.sql.functions.{col, count, least, greatest, lit}
+    // one mid-ranked hub (leaves on both lexicographic sides — the case
+    // where id-ordered wedge enumeration anchors ~d²/4 candidates on
+    // the hub's middle slot) plus one triangle hanging off it
+    val leaves = (0 until 100).map(i => f"a_$i%03d") ++
+      (0 until 100).map(i => f"z_$i%03d")
+    val edges = (leaves.map(l => (l, "m_hub", 1L)) ++ Seq(
+      ("x1", "x2", 1L), ("x2", "x3", 1L), ("x3", "x1", 1L),
+      ("m_hub", "x1", 1L))).toDF("src_host", "dst_host", "n_links")
+    val out = WebPrep.triangleProfile(edges)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out("m_hub") == ((201L, 0L, 0.0)), s"hub: ${out("m_hub")}")
+    assert(out("x1") == ((3L, 1L, 0.333333)), s"x1: ${out("x1")}")
+    assert(out("x2") == ((2L, 1L, 1.0)) && out("x3") == ((2L, 1L, 1.0)))
+    leaves.foreach { l => assert(out(l) == ((1L, 0L, null)), s"$l: ${out(l)}") }
+
+    // the scale claim itself: oriented out-degrees (the wedge join's
+    // per-key fan-out) stay near sqrt(|E|), and the hub — every edge
+    // pointing AT it — contributes ZERO wedges
+    val keyed = edges.filter(col("src_host") =!= col("dst_host"))
+    val und = keyed.select(least(col("src_host"), col("dst_host")).as("a"),
+      greatest(col("src_host"), col("dst_host")).as("b")).distinct()
+    val deg = und.select(col("a").as("host"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("host"), col("a").as("nbr")))
+      .groupBy(col("host")).agg(count(lit(1)).as("degree"))
+    val outdeg = WebPrep.orientByDegree(und, deg)
+      .groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .as[(String, Long)].collect().toMap
+    val e = und.count()
+    assert(!outdeg.contains("m_hub"), s"hub has out-edges: ${outdeg.get("m_hub")}")
+    assert(outdeg.values.max <= math.ceil(math.sqrt(2.0 * e)).toLong,
+      s"out-degree ${outdeg.values.max} exceeds sqrt bound for |E|=$e")
+    val wedges = outdeg.values.map(d => d * (d - 1) / 2).sum
+    assert(wedges == 1L, s"wedge candidates: $wedges (want exactly the one closing wedge)")
   }
 
   test("x146 SFT pairs reconcile with x125: pairs = turns - 1 - breaks per thread") {

@@ -59,10 +59,14 @@ class SqlSurfaceSpec extends SparkSpec {
     // the x144 threshold sweep (sharing x46's vpairs CTE), and the
     // x146 SFT pair extraction —
     // x141's SQL face is the window form of the engine's distributed
-    // rank; x138's markup plant stays DataFrame-first like x114/x123;
-    // x140's JL floats have no portable SQL image beyond the
-    // registered jl_project function itself)
-    assert(RelationalSql.extrasSql.size == 110)
+    // rank; x140's JL floats have no portable SQL image beyond the
+    // registered jl_project function itself), plus the twelve r14
+    // web-prep texts (x102-x104 URL/markup ladders, x107 waterfall,
+    // x114/x116/x123 link-graph family, x119 host reputation, x124
+    // robots gate, x130 snapshot PSI, x138 label propagation, x145
+    // triangles — the planted pages are CTE stages over one shared
+    // canonicalization generator)
+    assert(RelationalSql.extrasSql.size == 122)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

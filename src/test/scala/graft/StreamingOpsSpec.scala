@@ -1150,6 +1150,66 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SFT pairs equal batch x146 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val ev = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+    val batch = Analytics.sftPairs(ev)
+      .as[(Long, Long, Long, Long, String, String, Long)].collect().toSet
+    assert(batch.nonEmpty, "vacuous fixture: no pairs")
+
+    val rows = ev.select($"user_id", $"event_type", unix_micros($"ts"), $"event_id")
+      .orderBy($"ts", $"event_id") // the in-order replay contract
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Long, Long)]
+    val q = StreamingOps.sftPairsStream(
+        stream.toDF().toDF("user_id", "event_type", "_us", "event_id")
+          .select($"user_id", $"event_type",
+            timestamp_micros($"_us").as("ts"), $"event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sft_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      // APPEND mode: each pair is emitted exactly once, final on emit
+      val streamed = spark.table("sft_out")
+        .as[(Long, Long, Long, Long, String, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"drift: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming epoch keys sort to the batch x141 permutation after replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val batch = Sampling.epochOrder(docs)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    val ids = docs.select($"doc_id").as[Long].collect().toSeq.sorted
+    val stream = MemoryStream[Long]
+    val q = StreamingOps.epochKeyStream(stream.toDF().toDF("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("epochkey_out").start()
+    try {
+      ids.grouped((ids.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      // the consumer contract: an epoch's order IS the sort of its
+      // accumulated (k, doc_id) keys
+      val streamed = spark.table("epochkey_out")
+        .withColumn("ord", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"epoch").orderBy($"k", $"doc_id")).cast("long"))
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      assert(streamed == batch,
+        s"drift: ${batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
