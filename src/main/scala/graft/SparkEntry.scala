@@ -530,6 +530,20 @@ object SparkEntry {
     // x146: SFT turn-pair extraction — alternating (prompt, response)
     // adjacent turns per thread, the step x125's audit gates.
     "x146_sft_pairs"      -> (Analytics.sftPairsQuery _),
+    // x147: the Gopher rule battery (Rae et al. 2021) — all-integer
+    // published quality gates, every metric emitted beside the verdict.
+    "x147_gopher_rules"   -> (TextAnalysis.gopherQuery _),
+    // x148: Flesch-style readability — vowel-group syllables, [.!?]+
+    // sentences, each ratio one round-at-6 division (x134 discipline).
+    "x148_readability"    -> (TextAnalysis.readabilityQuery _),
+    // x149: split gram-leakage summary — distinct 4-grams shared
+    // between every x19 split pair, the release-note contamination
+    // headline over x69's doc-pair listing.
+    "x149_gram_leakage"   -> (Sampling.gramLeakageQuery _),
+    // x150: curriculum length bands — global (n_tokens, doc_id) rank
+    // via the distributed prefix scan (constant group), integer
+    // quartile band edges.
+    "x150_curriculum"     -> (Sampling.curriculumQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

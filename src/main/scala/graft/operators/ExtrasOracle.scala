@@ -88,6 +88,18 @@ object ExtrasOracle {
       |ORDER BY doc_id""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // x147: the Gopher rule battery — all-integer gates, shared
+    // constants with TextAnalysis so thresholds cannot drift.
+    "x147_gopher_rules" -> gopherSql,
+    // x148: Flesch-style readability — each ratio one round-at-6
+    // double division (the x134 discipline), ::DOUBLE literals so
+    // DuckDB does not fall into decimal arithmetic.
+    "x148_readability" -> readabilitySql,
+    // x149: distinct 4-grams shared between split pairs — the x19
+    // split CASE (shared splitCaseSql) over the x16 span grain.
+    "x149_gram_leakage" -> gramLeakageSql,
+    // x150: global (n_tokens, doc_id) rank + integer quartile bands.
+    "x150_curriculum" -> curriculumSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3346,4 +3358,87 @@ object ExtrasOracle {
        |  FROM fused)
        |WHERE "rank" <= $topK ORDER BY query_id, "rank"""".stripMargin
   }
+
+  /** DuckDB twin of TextAnalysis.gopherQuery (x147): same integer
+    * gates, same shared constants. */
+  private def gopherSql: String = {
+    val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |m AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, n_chars,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct(w), [$stops])) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_chars, n_alpha, n_stop,
+       |  CAST(CASE WHEN n_tokens BETWEEN ${TextAnalysis.GopherMinTokens}
+       |                 AND ${TextAnalysis.GopherMaxTokens}
+       |            AND 3 * n_tokens <= n_chars AND n_chars <= 10 * n_tokens
+       |            AND 5 * n_alpha >= 4 * n_tokens
+       |            AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.readabilityQuery (x148): vowel-group
+    * syllables, [.!?]+ sentences, round-at-6 ratios; every constant
+    * ::DOUBLE so DuckDB's decimal-literal default cannot change the
+    * arithmetic. */
+  private def readabilitySql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN
+      |    ROUND(206.835::DOUBLE
+      |      - 1.015::DOUBLE * ROUND(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+      |      - 84.6::DOUBLE * ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6), 6)
+      |  END AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Sampling.gramLeakageQuery (x149): per-split
+    * DISTINCT 4-gram sets, pair grid from the split list so empty
+    * overlaps still emit. */
+  private def gramLeakageSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |g4 AS MATERIALIZED (
+       |  SELECT DISTINCT ${splitCaseSql("doc_id")} AS split,
+       |    w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+       |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+       |sz AS MATERIALIZED (
+       |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM g4 GROUP BY split),
+       |sh AS MATERIALIZED (
+       |  SELECT a.split AS split_a, b.split AS split_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM g4 a JOIN g4 b ON a.gram = b.gram AND a.split < b.split
+       |  GROUP BY 1, 2)
+       |SELECT p.split_a, p.split_b, p.grams_a, p.grams_b,
+       |  CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams
+       |FROM (SELECT a.split AS split_a, b.split AS split_b,
+       |        a.n AS grams_a, b.n AS grams_b
+       |      FROM sz a JOIN sz b ON a.split < b.split) p
+       |LEFT JOIN sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
+       |ORDER BY p.split_a, p.split_b""".stripMargin
+
+  /** DuckDB twin of Sampling.curriculumQuery (x150): the window form
+    * of the engine's distributed global rank; integer band edges. */
+  private def curriculumSql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS "rank",
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM t)
+       |SELECT doc_id, n_tokens, "rank",
+       |  CAST((${Sampling.CurriculumBands} * ("rank" - 1)) // n AS BIGINT) AS band
+       |FROM r ORDER BY doc_id""".stripMargin
 }

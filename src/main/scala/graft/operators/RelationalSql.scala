@@ -1095,6 +1095,11 @@ object RelationalSql {
     "x130_snapshot_psi" -> snapshotPsiSparkSql,
     "x138_label_prop" -> labelPropSparkSql,
     "x145_triangles" -> trianglesSparkSql,
+    // ---- r14 quality/curriculum quartet.
+    "x147_gopher_rules" -> gopherSparkSql,
+    "x148_readability" -> readabilitySparkSql,
+    "x149_gram_leakage" -> gramLeakageSparkSql,
+    "x150_curriculum" -> curriculumSparkSql,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -2766,4 +2771,79 @@ object RelationalSql {
       |          / CAST(degree * (degree - 1) AS DOUBLE), 6)
       |  END AS clustering
       |FROM deg LEFT JOIN tri USING (host) ORDER BY host""".stripMargin
+
+  /** Spark-SQL face of TextAnalysis.gopherQuery (x147). */
+  private def gopherSparkSql: String = {
+    val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w,
+       |    CAST(length(regexp_replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(size(w) AS BIGINT) AS n_tokens, n_chars,
+       |    CAST(size(filter(w, x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       |    CAST(size(array_intersect(array_distinct(w), array($stops))) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_chars, n_alpha, n_stop,
+       |  CASE WHEN n_tokens BETWEEN ${TextAnalysis.GopherMinTokens}
+       |            AND ${TextAnalysis.GopherMaxTokens}
+       |       AND 3 * n_tokens <= n_chars AND n_chars <= 10 * n_tokens
+       |       AND 5 * n_alpha >= 4 * n_tokens
+       |       AND n_stop >= 2 THEN 1L ELSE 0L END AS admitted
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of TextAnalysis.readabilityQuery (x148). */
+  private def readabilitySparkSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+      |    CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS n_sentences,
+      |    CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN
+      |    round(206.835D
+      |      - 1.015D * round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+      |      - 84.6D * round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6), 6)
+      |  END AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Spark-SQL face of Sampling.gramLeakageQuery (x149). */
+  private def gramLeakageSparkSql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT ${splitCaseSparkSql("doc_id")} AS split, gram
+       |  FROM documents
+       |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), ${Sampling.LeakGramN})) t AS gram),
+       |sz AS (SELECT split, COUNT(1) AS n_grams FROM g GROUP BY split),
+       |sh AS (
+       |  SELECT a.split AS split_a, b.split AS split_b,
+       |    COUNT(1) AS shared_grams
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.split < b.split
+       |  GROUP BY 1, 2)
+       |SELECT p.split_a, p.split_b, p.grams_a, p.grams_b,
+       |  coalesce(sh.shared_grams, 0L) AS shared_grams
+       |FROM (SELECT a.split AS split_a, b.split AS split_b,
+       |        a.n_grams AS grams_a, b.n_grams AS grams_b
+       |      FROM sz a JOIN sz b ON a.split < b.split) p
+       |LEFT JOIN sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
+       |ORDER BY split_a, split_b""".stripMargin
+
+  /** Spark-SQL face of Sampling.curriculumQuery (x150): the window
+    * form — value-identical to the engine face's distributed prefix
+    * scan (the spec asserts it), differing only in physical strategy,
+    * like x26 vs x37 and x141. */
+  private def curriculumSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+       |    CAST(COUNT(1) OVER () AS BIGINT) AS n
+       |  FROM t)
+       |SELECT doc_id, n_tokens, rank,
+       |  (${Sampling.CurriculumBands} * (rank - 1)) div n AS band
+       |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -1161,4 +1161,83 @@ object Sampling {
     val newSnap = docs.filter(col("doc_id") % 19 =!= 0)
     snapshotPsi(oldSnap, newSnap).orderBy(col("source"))
   }
+
+  // ------------------------------- split gram-leakage summary (x149)
+
+  /** x149's shingle width, shared with the DuckDB twin (x16's span
+    * grain). */
+  private[graft] val LeakGramN: Int = 4
+
+  /** x149: SPLIT GRAM-LEAKAGE SUMMARY (splitGramLeakage — x69's splitLeakage lists doc pairs) — for every pair of x19 splits,
+    * how many distinct [[LeakGramN]]-grams they SHARE: the train/eval
+    * contamination headline x69 lists pair-by-pair and x16 gates
+    * doc-by-doc, collapsed to the release-note number ("val shares N
+    * spans with train"). Gram sets are per-split DISTINCT, so a gram
+    * repeated inside one split counts once; pairs with zero overlap
+    * still emit (the grid comes from the split list, not the overlap).
+    *
+    * Shape: one scan → (split, gram) distinct (gram-keyed shuffle,
+    * partial-agg collapsed) → gram-keyed self-join of the DISTINCT set
+    * (each gram meets ≤ |splits| rows — fan-out bounded by the split
+    * count, never corpus-sized) → |splits|²-row grid. At 100 TB grams
+    * would carry as xxhash64 keys, the x44 discipline. */
+  def splitGramLeakage(docs: DataFrame, n: Int = LeakGramN): DataFrame = {
+    val g = docs
+      .select(assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
+        explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+      .distinct()
+    val sizes = g.groupBy(col("split")).agg(count(lit(1)).as("n_grams"))
+    val grid = sizes.select(col("split").as("split_a"), col("n_grams").as("grams_a"))
+      .crossJoin(sizes.select(col("split").as("split_b"), col("n_grams").as("grams_b")))
+      .filter(col("split_a") < col("split_b"))
+    val shared = g.as("a")
+      .join(g.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    grid.join(shared, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+  }
+
+  def gramLeakageQuery(spark: SparkSession, dir: String): DataFrame =
+    splitGramLeakage(Tables.load(spark, dir, "documents"))
+      .orderBy(col("split_a"), col("split_b"))
+
+  // ------------------------------- curriculum length bands (x150)
+
+  /** x150's band count, shared with the DuckDB twin. */
+  private[graft] val CurriculumBands: Int = 4
+
+  /** x150: CURRICULUM LENGTH BANDS — every document's GLOBAL rank in
+    * the total (n_tokens, doc_id) order and its quartile band
+    * `(B·(rank−1)) div N`: the assignment a length-curriculum trainer
+    * consumes (short-to-long scheduling), with band edges that are
+    * exact integer arithmetic over the rank — no percentile estimate,
+    * no float boundary.
+    *
+    * Shape: the rank is [[groupedRanks]] under ONE constant group —
+    * i.e. the distributed two-job prefix scan over a range partition
+    * on the sort key — NOT `row_number() OVER ()`, which funnels the
+    * ENTIRE corpus through a single task (the x85/x141 discipline,
+    * applied to the one case where the group really is global). N
+    * arrives as a 1-row broadcast aggregate. */
+  def curriculumBands(docs: DataFrame, bands: Int = CurriculumBands,
+                      numPartitions: Int = 0): DataFrame = {
+    require(bands > 0, s"curriculumBands: bands=$bands")
+    val t = docs.select(col("doc_id"),
+      size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val ranked = groupedRanks(t.withColumn("_g", lit(1)), Seq("_g"),
+        Seq(col("n_tokens"), col("doc_id")), "rank", numPartitions)
+      .drop("_g")
+    ranked
+      .crossJoin(broadcast(t.groupBy().agg(count(lit(1)).as("_n"))))
+      .select(col("doc_id"), col("n_tokens"), col("rank"),
+        expr(s"($bands * (rank - 1)) div _n").as("band"))
+  }
+
+  def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
+    curriculumBands(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 }

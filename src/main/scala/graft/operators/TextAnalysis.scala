@@ -1412,4 +1412,91 @@ object TextAnalysis {
   def fertilityQuery(spark: SparkSession, dir: String): DataFrame =
     fertility(Tables.load(spark, dir, "documents"))
       .orderBy(col("lang"))
+
+  // --------------------------------- Gopher-style quality rules (x147)
+
+  /** x147 rule constants, shared with the DuckDB twin. The stop list is
+    * Gopher's "must contain 2 of 8 common English words" rule (Rae et
+    * al. 2021, table A1) with `a` standing in for `have` — the two-hit
+    * requirement is the point, not the exact lexicon. */
+  private[graft] val GopherMinTokens: Long = 40L
+  private[graft] val GopherMaxTokens: Long = 100000L
+  private[graft] val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "a", "that", "with")
+
+  /** x147: GOPHER-STYLE QUALITY RULE GATE — the published rule battery
+    * (Rae et al. 2021) that large web pipelines run as the FIRST
+    * content filter, each rule kept all-integer so no float boundary
+    * can flake the verdict:
+    *   - token count in [[[GopherMinTokens]], [[GopherMaxTokens]]];
+    *   - mean word length in [3, 10] as `3·n ≤ chars ≤ 10·n`
+    *     (chars = non-space length — exactly the token mass);
+    *   - ≥ 80% of words contain a letter as `5·alpha ≥ 4·n`;
+    *   - ≥ 2 distinct [[GopherStops]] hits.
+    * Emits every metric next to the verdict (the audit shape — a
+    * curator re-cuts thresholds without rescanning). The x09 quality
+    * profile measures; this DECIDES, with the decision re-derivable
+    * from the emitted integers.
+    *
+    * Shape: one scan, pure narrow projection — no shuffle at all; at
+    * 100 TB this is the map-side gate fused into whatever scan follows
+    * it (Catalyst collapses the projection into the consumer). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val stops = array(GopherStops.map(lit): _*)
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(toks), stops)).cast("long").as("n_stop"))
+      .withColumn("admitted",
+        when(col("n_tokens") >= GopherMinTokens &&
+          col("n_tokens") <= GopherMaxTokens &&
+          lit(3L) * col("n_tokens") <= col("n_chars") &&
+          col("n_chars") <= lit(10L) * col("n_tokens") &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_tokens") &&
+          col("n_stop") >= 2L, 1L).otherwise(0L))
+  }
+
+  def gopherQuery(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------- readability score (x148)
+
+  /** x148: FLESCH-STYLE READABILITY — sentences as `[.!?]+` runs
+    * (floored at 1: an unpunctuated doc is one long sentence),
+    * syllables as `[aeiouy]+` vowel-group runs (the standard cheap
+    * estimator), score = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). The curriculum/quality signal reading
+    * difficulty adds next to x147's structural gates — used to bucket
+    * corpora by difficulty or to flag machine-generated run-ons.
+    *
+    * Determinism: each ratio is ONE correctly-rounded double division
+    * pinned at 6 BEFORE entering the linear form, and the final score
+    * rounds at 6 — the x134 discipline, so DuckDB and Spark agree
+    * bit-for-bit. Empty docs read null, not a fake score.
+    *
+    * Shape: one scan, narrow projection, shuffle-free (like x147). */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(wsTokens(col("text"))).cast("long")
+    val sents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syls = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syls.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0L,
+          round(lit(206.835)
+            - lit(1.015) * round(col("n_words").cast("double")
+                / col("n_sentences").cast("double"), 6)
+            - lit(84.6) * round(col("n_syllables").cast("double")
+                / col("n_words").cast("double"), 6), 6)))
+  }
+
+  def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 }

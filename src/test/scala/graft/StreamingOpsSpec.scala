@@ -1210,6 +1210,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gopher gate: the x147 projection runs as-is on a stream, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // x147 is a stateless narrow projection, so the operator IS its own
+    // streaming face — the live content filter a crawler runs at the
+    // ingestion edge, no wrapper needed
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    val batch = TextAnalysis.gopherRules(base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = TextAnalysis.gopherRules(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("gopher_out")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
