@@ -544,6 +544,9 @@ object SparkEntry {
     // via the distributed prefix scan (constant group), integer
     // quartile band edges.
     "x150_curriculum"     -> (Sampling.curriculumQuery _),
+    // x151: contamination excision — x16's hit spans CUT from the
+    // document instead of dropping it; reassembly audit grain (x139).
+    "x151_contam_excise"  -> (Dedup.exciseQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1241,4 +1241,65 @@ object Dedup {
   def thresholdSweepQuery(spark: SparkSession, dir: String): DataFrame =
     thresholdSweep(verifiedNearDupPairs(Tables.load(spark, dir, "documents")))
       .orderBy(col("threshold_pct"))
+
+  // -------------------------------- contamination excision (x151)
+
+  /** x151: CONTAMINATION EXCISION — decontamination by SPAN REWRITE
+    * instead of document drop: every token covered by any k-gram that
+    * appears in the reference set is cut, and the document reassembles
+    * from what survives (the Llama-style move that keeps a 10k-token
+    * document which quotes one benchmark item, where x16/x18 would
+    * discard it whole). The span semantics are exactly x16's hit
+    * grain — a hit at gram start g condemns tokens [g, g+k−1], and
+    * overlapping hits union. x139 cuts corpus-repeated furniture; this
+    * cuts benchmark text; both emit the audit grain (counts + md5 of
+    * the rebuilt text, never the payload).
+    *
+    * Shape: reference grams are a distinct aggregate (benchmark-grain,
+    * small); the candidate gram stream semi-joins it (x16's plan —
+    * broadcast-friendly, corpus never shuffles for the probe), hit
+    * starts explode to ≤ k dropped positions each and DISTINCT-union,
+    * tokens anti-join the dropped set per (doc, pos), and reassembly
+    * is one per-doc sort-aggregate exactly like x139's. Everything
+    * shuffles on (doc_id) or (gram) keys — no corpus self-join. */
+  def exciseContamination(candidates: DataFrame, reference: DataFrame,
+                          k: Int = 4): DataFrame = {
+    val refg = reference
+      .select(explode(wordShingles(col("text"), k)).as("gram")).distinct()
+    val cand = candidates.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("w"))
+    val hits = cand
+      .select(col("doc_id"), posexplode(
+        graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(col("w"), k)))
+      .toDF("doc_id", "g", "gram")
+      .join(refg, Seq("gram"), "left_semi")
+    val dropped = hits
+      .select(col("doc_id"),
+        explode(sequence(col("g"), col("g") + (k - 1))).as("p"))
+      .distinct()
+    val kept = cand
+      .select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "p", "tok")
+      .join(dropped, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("out"))
+    cand.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("out"), lit(""))).as("out_key"))
+  }
+
+  /** The x151 queries() face: x16's reference convention (src0/src1
+    * held out), rewrite everything else. */
+  def exciseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isRef = col("source").isin("src0", "src1")
+    exciseContamination(docs.filter(!isRef), docs.filter(isRef))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -100,6 +100,10 @@ object ExtrasOracle {
     "x149_gram_leakage" -> gramLeakageSql,
     // x150: global (n_tokens, doc_id) rank + integer quartile bands.
     "x150_curriculum" -> curriculumSql,
+    // x151: x16's hit spans excised token-by-token, md5 of the rebuilt
+    // text; DuckDB positions are 1-based, Spark's 0-based — internal
+    // only, the emitted image is identical.
+    "x151_contam_excise" -> exciseSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3425,6 +3429,40 @@ object ExtrasOracle {
        |      FROM sz a JOIN sz b ON a.split < b.split) p
        |LEFT JOIN sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
        |ORDER BY p.split_a, p.split_b""".stripMargin
+
+  /** DuckDB twin of Dedup.exciseQuery (x151). */
+  private def exciseSql: String =
+    """WITH toksr AS MATERIALIZED (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |refg AS MATERIALIZED (
+      |  SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+      |  FROM toksr, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+      |cand AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |grams AS (
+      |  SELECT doc_id, g, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+      |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+      |hits AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, g FROM grams JOIN refg USING (gram)),
+      |dropped AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, p FROM hits, UNNEST(range(g, g + 4)) AS t(p)),
+      |tokens AS (
+      |  SELECT doc_id, p, w[p] AS tok
+      |  FROM cand, UNNEST(range(1, len(w) + 1)) AS t(p)),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok FROM tokens t
+      |  ANTI JOIN dropped d ON t.doc_id = d.doc_id AND t.p = d.p),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p) AS out
+      |  FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(len(c.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(c.w) - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(out, '')) AS out_key
+      |FROM cand c LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Sampling.curriculumQuery (x150): the window form
     * of the engine's distributed global rank; integer band edges. */

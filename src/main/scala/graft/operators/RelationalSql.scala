@@ -1100,6 +1100,7 @@ object RelationalSql {
     "x148_readability" -> readabilitySparkSql,
     "x149_gram_leakage" -> gramLeakageSparkSql,
     "x150_curriculum" -> curriculumSparkSql,
+    "x151_contam_excise" -> exciseSparkSql,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -2828,6 +2829,39 @@ object RelationalSql {
        |      FROM sz a JOIN sz b ON a.split < b.split) p
        |LEFT JOIN sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
        |ORDER BY split_a, split_b""".stripMargin
+
+  /** Spark-SQL face of Dedup.exciseQuery (x151). */
+  private def exciseSparkSql: String =
+    """WITH refg AS (
+      |  SELECT DISTINCT gram FROM documents
+      |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 4)) t AS gram
+      |  WHERE source IN ('src0', 'src1')),
+      |cand AS (
+      |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+      |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |grams AS (
+      |  SELECT doc_id, g, gram FROM cand
+      |  LATERAL VIEW posexplode(word_shingles_all(w, 4)) t AS g, gram),
+      |hits AS (SELECT DISTINCT doc_id, g FROM grams JOIN refg USING (gram)),
+      |dropped AS (
+      |  SELECT DISTINCT doc_id, p FROM hits
+      |  LATERAL VIEW explode(sequence(g, g + 3)) t AS p),
+      |tokens AS (
+      |  SELECT doc_id, p, tok FROM cand
+      |  LATERAL VIEW posexplode(w) t AS p, tok),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok FROM tokens t
+      |  LEFT ANTI JOIN dropped d ON t.doc_id = d.doc_id AND t.p = d.p),
+      |agg AS (
+      |  SELECT doc_id, COUNT(1) AS n_kept,
+      |    concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))),
+      |      s -> s.tok)) AS out
+      |  FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(size(w) AS BIGINT) AS n_tokens,
+      |  CAST(size(w) - coalesce(n_kept, 0L) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(out, '')) AS out_key
+      |FROM cand c LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Spark-SQL face of Sampling.curriculumQuery (x150): the window
     * form — value-identical to the engine face's distributed prefix

@@ -1499,4 +1499,5 @@ object TextAnalysis {
   def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
 }

@@ -3256,6 +3256,34 @@ class ExtrasSpec extends SparkSpec {
     assert(got.exists(_._5 > 0L), "vacuous fixture: no shared grams anywhere")
   }
 
+  test("x151 contamination excision: overlapping hit spans union, clean docs untouched") {
+    import graft.operators.Dedup
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ref = Seq((1L, "r1 r2 r3 r4 r5")).toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b r1 r2 r3 r4 c d"),   // one hit span mid-doc
+      (11L, "x y z w q"),             // clean
+      (12L, "r1 r2 r3 r4 r5"),        // fully condemned (two overlapping hits)
+      (13L, "a r1 r2 r3 r4 r5 b"))    // overlap union {1..5}
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseContamination(cand, ref)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 8L, 4L, md5("a b c d"))), s"got ${out(10L)}")
+    assert(out(11L) == ((11L, 5L, 0L, md5("x y z w q"))))
+    assert(out(12L) == ((12L, 5L, 5L, md5(""))))
+    assert(out(13L) == ((13L, 7L, 5L, md5("a b"))))
+    // corpus reconciliation with x16: exactly the docs with hit spans
+    // lose tokens, everyone else's rewrite is a no-op
+    val hitDocs = graft.operators.Dedup
+      .decontaminateQuery(spark, sf("sf0.001"))
+      .filter($"n_hit_spans" >= 1).select($"doc_id").as[Long].collect().toSet
+    val dropped = Dedup.exciseQuery(spark, sf("sf0.001"))
+      .filter($"n_dropped" > 0).select($"doc_id").as[Long].collect().toSet
+    assert(dropped == hitDocs, s"excision/x16 drift: ${(dropped diff hitDocs) ++ (hitDocs diff dropped)}")
+    assert(hitDocs.nonEmpty, "vacuous fixture: no contamination at sf0.001")
+  }
+
   test("x150 curriculum bands: exact global rank with tie-break, integer band edges") {
     import graft.operators.Sampling
     // planted lengths with ties: two 3-token docs, id breaks the tie

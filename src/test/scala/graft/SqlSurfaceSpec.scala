@@ -66,8 +66,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // robots gate, x130 snapshot PSI, x138 label propagation, x145
     // triangles — the planted pages are CTE stages over one shared
     // canonicalization generator)
-    // plus the r14 quality/curriculum quartet x147-x150
-    assert(RelationalSql.extrasSql.size == 126)
+    // plus the r14 quality/curriculum quartet x147-x150 and the
+    // x151 contamination excision
+    assert(RelationalSql.extrasSql.size == 127)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
