@@ -33,11 +33,30 @@ object Caches {
   private val tracked = new java.util.ArrayDeque[DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) and track it; evict (unpersist,
-    * non-blocking) the oldest tracked frame beyond [[MaxTracked]]. */
+    * non-blocking) the oldest tracked frames down to [[MaxTracked]].
+    *
+    * Eviction runs BEFORE the new persist, and an evicted frame whose
+    * logical plan another tracked frame still shares is dropped from
+    * the registry without unpersisting: Spark's CacheManager dedupes
+    * cache entries BY PLAN, so unpersisting one frame uncaches every
+    * equivalent frame — evict-after-persist silently killed the entry
+    * just added whenever the same query was re-mined past the cap
+    * (caught by PlanSpec's shared-cache gate under the full suite). */
   def bounded(df: DataFrame): DataFrame = synchronized {
+    while (tracked.size >= MaxTracked) {
+      val old = tracked.removeFirst()
+      val oldPlan = old.queryExecution.analyzed
+      val stillShared = {
+        val it = tracked.iterator()
+        var shared = false
+        while (!shared && it.hasNext)
+          shared = it.next().queryExecution.analyzed.sameResult(oldPlan)
+        shared
+      }
+      if (!stillShared) old.unpersist(blocking = false)
+    }
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.addLast(p)
-    while (tracked.size > MaxTracked) tracked.removeFirst().unpersist(blocking = false)
     p
   }
 

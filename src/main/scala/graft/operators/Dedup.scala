@@ -1257,41 +1257,37 @@ object Dedup {
     *
     * Shape: reference grams are a distinct aggregate (benchmark-grain,
     * small); the candidate gram stream semi-joins it (x16's plan —
-    * broadcast-friendly, corpus never shuffles for the probe), hit
-    * starts explode to ≤ k dropped positions each and DISTINCT-union,
-    * tokens anti-join the dropped set per (doc, pos), and reassembly
-    * is one per-doc sort-aggregate exactly like x139's. Everything
-    * shuffles on (doc_id) or (gram) keys — no corpus self-join. */
+    * broadcast-friendly, corpus never shuffles for the probe); hit
+    * starts explode to ≤ k dropped positions each and collect into ONE
+    * position set per contaminated doc (hit-grain, bounded by
+    * contamination volume, not corpus size); the cut itself is a
+    * filter-with-index INSIDE the document row after a doc-grain join
+    * of that set — the corpus is never exploded to token grain for the
+    * rewrite (a per-(doc, pos) anti-join would shuffle every token in
+    * the corpus to drop a handful). Clean docs join nothing and pass
+    * through a null set. */
   def exciseContamination(candidates: DataFrame, reference: DataFrame,
                           k: Int = 4): DataFrame = {
     val refg = reference
       .select(explode(wordShingles(col("text"), k)).as("gram")).distinct()
     val cand = candidates.select(col("doc_id"),
       TextAnalysis.wsTokens(col("text")).as("w"))
-    val hits = cand
+    val dropped = cand
       .select(col("doc_id"), posexplode(
         graft.functions.expressions.NativeExpressions
           .wordShinglesAll(col("w"), k)))
       .toDF("doc_id", "g", "gram")
       .join(refg, Seq("gram"), "left_semi")
-    val dropped = hits
       .select(col("doc_id"),
         explode(sequence(col("g"), col("g") + (k - 1))).as("p"))
-      .distinct()
-    val kept = cand
-      .select(col("doc_id"), posexplode(col("w")))
-      .toDF("doc_id", "p", "tok")
-      .join(dropped, Seq("doc_id", "p"), "left_anti")
-    val agg = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("p"), col("tok")))),
-          s => s.getField("tok"))).as("out"))
-    cand.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        md5(coalesce(col("out"), lit(""))).as("out_key"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("dp"))
+    cand.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("dp")), lit(0)).cast("long").as("n_dropped"),
+        md5(concat_ws(" ",
+          filter(col("w"), (t, i) => !array_contains(
+            coalesce(col("dp"), lit(Array.empty[Int])), i)))).as("out_key"))
   }
 
   /** The x151 queries() face: x16's reference convention (src0/src1

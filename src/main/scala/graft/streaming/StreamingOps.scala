@@ -885,6 +885,71 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  // ---------------------- streaming contamination excision (x151's face)
+
+  case class ExciseArrival(doc_id: Long, g: Int, text: Option[String])
+  case class ExciseResult(doc_id: Long, n_tokens: Long, n_dropped: Long,
+                          out_key: String)
+
+  private class ExciseProcessor(k: Int)
+    extends StatefulProcessor[Long, ExciseArrival, ExciseResult] {
+
+    // stateless, like LineDedupProcessor: the doc row and its hit rows
+    // arrive in the same batch (one input row explodes within the
+    // batch), so nothing persists between batches
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[ExciseArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ExciseResult] = {
+      val rs = rows.toVector
+      rs.collectFirst { case r if r.g < 0 => r.text }.flatten match {
+        case None => Iterator.empty // no doc row this batch: nothing to rebuild
+        case Some(t) =>
+          val w = t.split(" ").filter(_.nonEmpty)
+          val dropped = scala.collection.mutable.BitSet.empty
+          rs.foreach { r =>
+            if (r.g >= 0)
+              (r.g until math.min(r.g + k, w.length)).foreach(dropped += _)
+          }
+          val kept = w.zipWithIndex.collect { case (tok, i) if !dropped(i) => tok }
+          Iterator.single(ExciseResult(key, w.length.toLong,
+            dropped.size.toLong, md5Hex(kept.mkString(" "))))
+      }
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Dedup.exciseContamination]]
+    * (x151): benchmark-span excision AS ingestion — each arriving
+    * document's k-grams probe the FROZEN reference gram index
+    * ([[graft.operators.Dedup.saveDecontamIndex]]'s `grams` leg —
+    * benchmark-grain, a stream-static semi-join), hit spans union, and
+    * the document re-emits rewritten. Like the x139 line face the
+    * processor registers NO state: a document's gram rows explode from
+    * its one input row, so doc and hits share a batch by construction
+    * and the state store holds nothing between batches. Against the
+    * same reference, replay equals the batch x151 report row-for-row
+    * (spec-asserted). */
+  def exciseStream(docs: DataFrame, indexPath: String, k: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = spark.read.parquet(s"$indexPath/grams")
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val hits = toks
+      .select(col("doc_id"), posexplode(
+        graft.functions.expressions.NativeExpressions.wordShinglesAll(
+          graft.operators.TextAnalysis.wsTokens(col("text")), k)))
+      .toDF("doc_id", "g", "gram")
+      .join(grams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("g"), lit(null).cast("string").as("text"))
+    toks.select(col("doc_id"), lit(-1).as("g"), col("text"))
+      .unionByName(hits)
+      .as[ExciseArrival]
+      .groupByKey(_.doc_id)
+      .transformWithState(new ExciseProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   // ---------------------- streaming SFT pair extraction (x146's face)
 
   case class SftState(turn_idx: Long, last_role: String, last_event: Long,

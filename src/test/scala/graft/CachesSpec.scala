@@ -25,4 +25,21 @@ class CachesSpec extends SparkSpec {
     // an evicted frame still computes correctly off lineage
     assert(frames.head.collect().map(_.getInt(0)).toSeq == Seq(0))
   }
+
+  test("evicting a duplicate-plan frame never uncaches the live copy") {
+    // Spark's CacheManager dedupes cache entries BY PLAN: re-mining the
+    // same pair set past the registry cap once evicted the entry the
+    // newest call had JUST registered (the oldest tracked frame had an
+    // equivalent plan). The fresh call must keep its cache.
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents").limit(30)
+    (0 until graft.core.Caches.MaxTracked + 2).foreach { _ =>
+      graft.operators.Dedup.verifiedNearDupPairs(docs).count()
+    }
+    val opt = graft.operators.Dedup.verifiedNearDupPairs(docs)
+      .queryExecution.optimizedPlan
+    val caches = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty, "fresh call lost its cache to duplicate-plan eviction")
+  }
 }

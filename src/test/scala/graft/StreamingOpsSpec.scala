@@ -1210,6 +1210,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination excision equals batch x151 against the frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("excisestream").toString
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val isRef = $"source".isin("src0", "src1")
+    val ref = docs.filter(isRef)
+    val cand = docs.filter(!isRef).select($"doc_id", $"text")
+    Dedup.saveDecontamIndex(ref, s"$dir/idx")
+    val batch = Dedup.exciseContamination(cand, ref)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.exists(_._3 > 0), "vacuous fixture: nothing excised")
+
+    val rows = cand.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.exciseStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/idx")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("excise_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("excise_out")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming gopher gate: the x147 projection runs as-is on a stream, replay equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
