@@ -317,6 +317,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x147/x148: quality gates are shuffle-free narrow projections") {
+    for (name <- Seq("x147_gopher_rules", "x148_readability")) {
+      val p = plan(name)
+      // the ONLY exchange is the presentation ORDER BY's range
+      // partitioning; the gate itself must stay map-side (at 100 TB it
+      // fuses into whatever scan consumes it)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$name: gate must not shuffle:\n$p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$name: gate must be a pure projection:\n$p")
+    }
+  }
+
+  test("x150: the global rank has no window — the prefix scan carries it") {
+    val p = plan("x150_curriculum")
+    assert(!p.contains("Window"),
+      s"global rank fell back to a single-task window sort:\n$p")
+  }
+
+  test("x151: excision probes via semi-join and rewrites at doc grain") {
+    val p = plan("x151_contam_excise")
+    assert(p.contains("LeftSemi"),
+      s"expected the reference-gram semi-join probe:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"probe must stay equi-join-shaped:\n$p")
+    // the rewrite is filter-with-index INSIDE the row after ONE
+    // doc-grain join — a per-(doc, pos) anti-join (token-grain shuffle
+    // of the whole corpus) must never come back
+    assert(!p.contains("LeftAnti"),
+      s"token-grain anti-join resurfaced:\n$p")
+  }
+
   test("x137: lexical postings prune to query grams; queries broadcast; no cross product") {
     val p = plan("x137_hybrid_rrf")
     assert(p.contains("LeftSemi"),
