@@ -885,6 +885,58 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  // ---------------------- streaming pack assignment (x21/x143's face)
+
+  case class PackArrival(doc_id: Long, n_tokens: Long, shard: Long)
+  case class PackDecision(doc_id: Long, n_tokens: Long, shard: Long,
+                          pack_id: Long)
+
+  private class PackProcessor(budget: Long)
+    extends StatefulProcessor[Long, PackArrival, PackDecision] {
+    @transient private var cum: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cumTokens",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PackArrival],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[PackDecision] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        c += r.n_tokens
+        // (c - n) / budget over non-negative longs == the batch face's
+        // floor((cum - n_tokens) / budget), without the double detour
+        PackDecision(r.doc_id, r.n_tokens, key,
+          key * graft.operators.Sampling.ShardStride + (c - r.n_tokens) / budget)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** Streaming face of [[graft.operators.Sampling.packSequences]]
+    * (x21, and the assignment grain under x143's manifest): bin-fill
+    * AS ingestion — each arriving document lands in the pack its
+    * STARTING offset falls in, per shard, exactly the batch
+    * streaming-fill rule run live. State per shard is ONE long (the
+    * running token count) — bounded by the shard count, never by the
+    * corpus. On in-doc_id-order replay the assignments equal batch
+    * x21 row-for-row (spec-asserted); x143's manifest is then a
+    * consumer-side rollup of the emitted (pack_id, doc_id, offset)
+    * stream, the same aggregation the batch face runs. */
+  def packStream(docs: DataFrame, budget: Long = 2000L,
+                 shards: Int = 32): Dataset[PackDecision] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        (col("doc_id") % shards).cast("long").as("shard"))
+      .as[PackArrival]
+      .groupByKey(_.shard)
+      .transformWithState(new PackProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---------------------- streaming contamination excision (x151's face)
 
   case class ExciseArrival(doc_id: Long, g: Int, text: Option[String])

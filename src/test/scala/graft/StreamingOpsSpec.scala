@@ -1210,6 +1210,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack assignment equals batch x21 on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    val batch = Sampling.packSequences(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.map(_._4).toSet.size > 1, "vacuous fixture: one pack")
+
+    val rows = docs.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.packStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("pack_out")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming contamination excision equals batch x151 against the frozen index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
