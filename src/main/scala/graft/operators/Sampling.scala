@@ -1182,10 +1182,17 @@ object Sampling {
     * count, never corpus-sized) → |splits|²-row grid. At 100 TB grams
     * would carry as xxhash64 keys, the x44 discipline. */
   def splitGramLeakage(docs: DataFrame, n: Int = LeakGramN): DataFrame = {
-    val g = docs
+    // The distinct (split, gram) set is referenced THREE times (the
+    // per-split sizes plus both self-join legs) and Catalyst does not
+    // dedupe a multiply-referenced aggregate subtree — cache it once
+    // through the bounded registry so the scan+explode+distinct
+    // pipeline runs once, not three times. At 100 TB this set is a
+    // persisted parquet artifact (hashed grams, the x44 discipline),
+    // not an in-memory cache.
+    val g = graft.core.Caches.bounded(docs
       .select(assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
         explode(Dedup.wordShingles(col("text"), n)).as("gram"))
-      .distinct()
+      .distinct())
     val sizes = g.groupBy(col("split")).agg(count(lit(1)).as("n_grams"))
     val grid = sizes.select(col("split").as("split_a"), col("n_grams").as("grams_a"))
       .crossJoin(sizes.select(col("split").as("split_b"), col("n_grams").as("grams_b")))

@@ -423,7 +423,11 @@ object WebPrep {
     * a pure star enumerates ZERO wedges here (all edges point AT the
     * hub, which then has no out-pairs — spec-asserted on a planted
     * hub fixture). Orientation is output-invariant: the triangle set
-    * is identical, each found exactly once at its lowest-rank corner. */
+    * is identical, each found exactly once at its lowest-rank corner.
+    * The two degree-attach joins are host-grain (the x119/x138
+    * registrable-domain sizing) with no broadcast hint — AQE picks
+    * broadcast at demo scale and a shuffle join when degrees outgrow
+    * the driver budget. */
   private[graft] def orientByDegree(und: DataFrame, deg: DataFrame): DataFrame = {
     val da = deg.select(col("host").as("a"), col("degree").as("da"))
     val db = deg.select(col("host").as("b"), col("degree").as("db"))
