@@ -1101,6 +1101,21 @@ object RelationalSql {
     "x149_gram_leakage" -> gramLeakageSparkSql,
     "x150_curriculum" -> curriculumSparkSql,
     "x151_contam_excise" -> exciseSparkSql,
+    // ---- r14 second wave: five twins for operators previously listed
+    // as DataFrame-first that ARE plainly expressible (the DuckDB
+    // oracle proved the semantics portable; these are the Spark texts).
+    "x87_containment" -> containmentSparkSql,
+    "x94_margin" -> marginSparkSql,
+    "x100_edit_pairs" -> editPairsSparkSql,
+    "x105_kripp_alpha" -> krippSparkSql,
+    "x120_hard_negatives" -> hardNegativesSparkSql,
+    "x77_zonemap" -> zonemapSparkSql,
+    // the deterministic k-means family: the same unrolled Lloyd CTE
+    // chain the DuckDB oracle runs, in Spark dialect over the injected
+    // cosine_sim kernel.
+    "x78_kmeans" -> kmeansSparkSql,
+    "x83_ann_exact" -> annExactSparkSql,
+    "x92_semdedup" -> semDedupSparkSql,
   )
 
   /** x46's accepted pair set as a spark.sql CTE chain ending at
@@ -2880,4 +2895,251 @@ object RelationalSql {
        |SELECT doc_id, n_tokens, rank,
        |  (${Sampling.CurriculumBands} * (rank - 1)) div n AS band
        |FROM r ORDER BY doc_id""".stripMargin
+  /** Spark-SQL face of Dedup.containmentQuery (x87): the x46 candidate
+    * CTE with the asymmetric containment accept
+    * inter·5 >= min(n1,n2)·3 instead of the Jaccard cut. */
+  private def containmentSparkSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, gram FROM documents
+      |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+      |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 20),
+      |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram)),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(1) >= 2),
+      |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
+      |vint AS (
+      |  SELECT c.d1, c.d2, COUNT(1) AS inter
+      |  FROM cand c JOIN grams g1 ON g1.doc_id = c.d1
+      |               JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+      |  GROUP BY c.d1, c.d2)
+      |SELECT v.d1, v.d2, CAST(v.inter AS BIGINT) AS inter,
+      |  CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2
+      |FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1
+      |            JOIN gsz s2 ON s2.doc_id = v.d2
+      |WHERE v.inter * 5 >= least(s1.n, s2.n) * 3
+      |ORDER BY d1, d2""".stripMargin
+
+  /** Spark-SQL face of Similarity.marginQuery (x94): round-6 decimal
+    * sims, rank tie-broken on neighbor id, exact decimal top-k sum,
+    * the margin as the same (cos1·m)/sum float image. */
+  private def marginSparkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e
+       |      WHERE vec_id < ${Similarity.MarginQueryIds}),
+       |sc AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    CAST(round(cosine_sim(q.qvec, e.embedding), 6) AS DECIMAL(18,6)) AS sim
+       |  FROM q JOIN e ON e.vec_id != q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id,
+       |  MAX(CASE WHEN rk = 1 THEN neighbor_id END) AS best_id,
+       |  CAST(MAX(CASE WHEN rk = 1 THEN sim END) AS DOUBLE) * COUNT(1)
+       |    / CAST(SUM(sim) AS DOUBLE) AS margin
+       |FROM r WHERE rk <= ${Similarity.MarginK}
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  /** Spark-SQL face of Dedup.editPairsQuery (x100): the SNM rank
+    * window a SQL user writes — same pair set as the engine's
+    * denseIds-ranked neighborhood equi-join, same integer accept. */
+  private def editPairsSparkSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    substring(normalize_text(text), 1, ${Dedup.EditPrefix}) AS pfx
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, pfx,
+       |    ROW_NUMBER() OVER (ORDER BY pfx, doc_id) AS rk
+       |  FROM norm)
+       |SELECT least(a.doc_id, b.doc_id) AS d1,
+       |  greatest(a.doc_id, b.doc_id) AS d2,
+       |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist,
+       |  CASE WHEN levenshtein(a.pfx, b.pfx) * 10
+       |         <= greatest(length(a.pfx), length(b.pfx))
+       |       THEN 1L ELSE 0L END AS near
+       |FROM ranked a JOIN ranked b
+       |  ON b.rk - a.rk BETWEEN 1 AND ${Dedup.SnmWindow - 1}
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Spark-SQL face of Analytics.krippendorffQuery (x105): the same
+    * closed-form alpha with min_by first-vote dedup and the round-6
+    * decimal D_o terms. */
+  private def krippSparkSql: String =
+    """WITH votes AS (
+      |  SELECT user_id % 7 AS annotator, event_id % 500 AS item,
+      |    event_type AS label, event_id AS vote_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |firstv AS (
+      |  SELECT item, annotator, min_by(label, vote_id) AS label
+      |  FROM votes GROUP BY item, annotator),
+      |byil AS (
+      |  SELECT item, label, COUNT(1) AS n_il FROM firstv GROUP BY item, label),
+      |byi AS (
+      |  SELECT item, SUM(n_il) AS n_i FROM byil GROUP BY item
+      |  HAVING SUM(n_il) >= 2),
+      |il AS (
+      |  SELECT b.item, b.label, b.n_il, i.n_i FROM byil b JOIN byi i USING (item)),
+      |dosum AS (
+      |  SELECT SUM(CAST(round(CAST(n_il * (n_i - n_il) AS DOUBLE)
+      |                          / CAST(n_i - 1 AS DOUBLE), 6)
+      |               AS DECIMAL(18,6))) AS do_sum
+      |  FROM il),
+      |tot AS (SELECT SUM(n_i) AS n, COUNT(1) AS n_items FROM byi),
+      |denum AS (
+      |  SELECT SUM(n_l * (n - n_l)) AS de_num, n, n_items
+      |  FROM (SELECT label, SUM(n_il) AS n_l FROM il GROUP BY label)
+      |       CROSS JOIN tot
+      |  GROUP BY n, n_items)
+      |SELECT n, n_items,
+      |  round(1.0D - (CAST(do_sum AS DOUBLE) / CAST(n AS DOUBLE))
+      |              / (CAST(de_num AS DOUBLE)
+      |                 / CAST(n * (n - 1) AS DOUBLE)), 6) AS alpha
+      |FROM denum CROSS JOIN dosum
+      |ORDER BY n""".stripMargin
+
+  /** Spark-SQL face of Similarity.hardNegativesQuery (x120): two-leg
+    * (anchor × is_pos) rank on the round-6 sim, nid tie-break. */
+  private def hardNegativesSparkSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+      |sims AS (
+      |  SELECT a.vec_id, b.vec_id AS nid, a.label = b.label AS is_pos,
+      |    round(cosine_sim(a.embedding, b.embedding), 6) AS sim
+      |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+      |r AS (
+      |  SELECT vec_id, nid, is_pos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, is_pos
+      |                       ORDER BY sim DESC, nid) AS rk
+      |  FROM sims)
+      |SELECT vec_id,
+      |  MIN(CASE WHEN is_pos THEN nid END) AS pos_id,
+      |  MIN(CASE WHEN NOT is_pos THEN nid END) AS neg_id
+      |FROM r WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  /** Spark-SQL face of Layout.zonemapQuery (x77): lo/span as a 1-row
+    * CTE instead of the engine's driver-collected literals — same
+    * explicit bucket arithmetic, same interleave kernel. */
+  private def zonemapSparkSql: String = {
+    val n = 1L << graft.operators.Layout.ZmBits
+    def bucket(v: String, lo: String, span: String): String =
+      s"CASE WHEN $span = 0D THEN 0L ELSE least(${n - 1}L, greatest(0L, " +
+        s"floor(((CAST($v AS DOUBLE) - $lo) * $n.0D) / $span))) END"
+    s"""WITH e AS (
+       |  SELECT user_id, value FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |r AS (
+       |  SELECT CAST(min(user_id) AS DOUBLE) AS lo_u,
+       |         CAST(max(user_id) - min(user_id) AS DOUBLE) AS span_u,
+       |         CAST(min(value) AS DOUBLE) AS lo_v,
+       |         CAST(max(value) AS DOUBLE) - CAST(min(value) AS DOUBLE) AS span_v
+       |  FROM e),
+       |z AS (
+       |  SELECT user_id, value,
+       |    shiftright(interleave_bits(
+       |      CAST(${bucket("user_id", "lo_u", "span_u")} AS INT),
+       |      CAST(${bucket("value", "lo_v", "span_v")} AS INT),
+       |      ${graft.operators.Layout.ZmBits}), ${graft.operators.Layout.ZmShift}) AS zbucket
+       |  FROM e CROSS JOIN r)
+       |SELECT zbucket, COUNT(1) AS n,
+       |  MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+       |  MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
+  // ---- the deterministic k-means CTE chain (x78/x83/x92), mirroring
+  // ExtrasOracle's kmCtes in Spark dialect: assignment = argmax of the
+  // round-6 cosine (cid tie-break), update = per-component exact
+  // DECIMAL(18,4) sums cast to double, emptied clusters keep their
+  // previous centroid.
+
+  private def kmAssignSparkCte(a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cid, sim FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      CAST(round(cosine_sim(e.v, c.cv), 6) AS DECIMAL(18,6)) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(cosine_sim(e.v, c.cv), 6) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateSparkCte(c: String, a: String, prev: String): String =
+    s"""$c AS (
+       |  SELECT $prev.cid, coalesce(s.cv, $prev.cv) AS cv
+       |  FROM $prev LEFT JOIN (
+       |    SELECT cid,
+       |      transform(array_sort(collect_list(struct(pos, cs))), x -> x.cs) AS cv
+       |    FROM (
+       |      SELECT a.cid, pos,
+       |        CAST(SUM(CAST(el AS DECIMAL(18,4))) AS DOUBLE) AS cs
+       |      FROM $a a JOIN e USING (vec_id)
+       |      LATERAL VIEW posexplode(e.v) t AS pos, el
+       |      GROUP BY a.cid, pos) GROUP BY cid) s ON s.cid = $prev.cid)""".stripMargin
+
+  private def kmSparkCtes: String = {
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      kmAssignSparkCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmUpdateSparkCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |c0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${Similarity.KmeansK}),
+       |$rounds,
+       |${kmAssignSparkCte("afin", s"c${Similarity.KmeansIters}")}""".stripMargin
+  }
+
+  /** Spark-SQL face of Similarity.kmeansQuery (x78). */
+  private def kmeansSparkSql: String =
+    s"""WITH $kmSparkCtes
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+       |  CAST(sim AS DOUBLE) AS cos_c
+       |FROM afin ORDER BY vec_id""".stripMargin
+
+  /** Spark-SQL face of Similarity.annExactQuery (x83): the IVF probe
+    * over the x78-pinned codebook. */
+  private def annExactSparkSql: String =
+    s"""WITH $kmSparkCtes,
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id < ${Similarity.AnnExactQueryIds}),
+       |pr AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(cosine_sim(q.qv, c.cv), 6) DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN c${Similarity.KmeansIters} c)
+       |  WHERE prn <= ${Similarity.AnnExactProbes}),
+       |scored AS (
+       |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.query_id
+       |      ORDER BY round(cosine_sim(pr.qv, e.v), 6) DESC, a.vec_id) AS rank
+       |  FROM pr JOIN afin a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       |  JOIN e ON e.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |FROM scored WHERE rank <= ${Similarity.AnnExactK}
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Spark-SQL face of Similarity.semDedupQuery (x92): within-cluster
+    * lower-id-wins duplicate counting at the round-6 cosine cut. */
+  private def semDedupSparkSql: String =
+    s"""WITH $kmSparkCtes,
+       |p AS (
+       |  SELECT a2.vec_id AS vec_id, COUNT(1) AS n_dups
+       |  FROM afin a1 JOIN afin a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN e e1 ON e1.vec_id = a1.vec_id
+       |  JOIN e e2 ON e2.vec_id = a2.vec_id
+       |  WHERE round(cosine_sim(e1.v, e2.v), 6) >= ${Similarity.SemDedupTau}
+       |  GROUP BY a2.vec_id)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       |  coalesce(p.n_dups, 0L) AS n_dups,
+       |  CASE WHEN p.n_dups IS NULL THEN 1L ELSE 0L END AS keep
+       |FROM afin a LEFT JOIN p USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
 }

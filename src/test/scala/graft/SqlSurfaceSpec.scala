@@ -66,9 +66,13 @@ class SqlSurfaceSpec extends SparkSpec {
     // robots gate, x130 snapshot PSI, x138 label propagation, x145
     // triangles — the planted pages are CTE stages over one shared
     // canonicalization generator)
-    // plus the r14 quality/curriculum quartet x147-x150 and the
-    // x151 contamination excision
-    assert(RelationalSql.extrasSql.size == 127)
+    // plus the r14 quality/curriculum quartet x147-x150, the x151
+    // contamination excision, and the second-wave five (x87/x94/x100/
+    // x105/x120 — previously DataFrame-first, but their DuckDB oracles
+    // proved the semantics portable)
+    // plus x77's zone map and the unrolled deterministic k-means
+    // chain (x78/x83/x92)
+    assert(RelationalSql.extrasSql.size == 136)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
