@@ -1114,6 +1114,7 @@ object RelationalSql {
     // chain the DuckDB oracle runs, in Spark dialect over the injected
     // cosine_sim kernel.
     "x78_kmeans" -> kmeansSparkSql,
+    "x101_dawid_skene" -> dawidSkeneSparkSql,
     "x83_ann_exact" -> annExactSparkSql,
     "x92_semdedup" -> semDedupSparkSql,
   )
@@ -3142,4 +3143,42 @@ object RelationalSql {
        |  CASE WHEN p.n_dups IS NULL THEN 1L ELSE 0L END AS keep
        |FROM afin a LEFT JOIN p USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+  /** Spark-SQL face of Analytics.dawidSkeneQuery (x101): the one
+    * closed-form majority -> integer-weight -> revote round, integer
+    * weights via `div` so no float enters the rank order. */
+  private def dawidSkeneSparkSql: String =
+    """WITH votes AS (
+      |  SELECT user_id % 7 AS annotator, event_id % 500 AS item,
+      |    event_type AS label, event_id AS vote_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |firstv AS (
+      |  SELECT item, annotator, min_by(label, vote_id) AS label
+      |  FROM votes GROUP BY item, annotator),
+      |maj AS (
+      |  SELECT item, label AS maj_label FROM (
+      |    SELECT item, label,
+      |      ROW_NUMBER() OVER (PARTITION BY item
+      |        ORDER BY COUNT(1) DESC, label) AS r
+      |    FROM firstv GROUP BY item, label)
+      |  WHERE r = 1),
+      |wts AS (
+      |  SELECT f.annotator,
+      |    (1000000L * SUM(CASE WHEN f.label = m.maj_label THEN 1L ELSE 0L END))
+      |      div COUNT(1) AS iw
+      |  FROM firstv f JOIN maj m USING (item)
+      |  GROUP BY f.annotator),
+      |revote AS (
+      |  SELECT item, label AS ds_label FROM (
+      |    SELECT f.item, f.label,
+      |      ROW_NUMBER() OVER (PARTITION BY f.item
+      |        ORDER BY SUM(w.iw) DESC, f.label) AS r
+      |    FROM firstv f JOIN wts w USING (annotator)
+      |    GROUP BY f.item, f.label)
+      |  WHERE r = 1),
+      |nv AS (SELECT item, COUNT(1) AS n_votes FROM firstv GROUP BY item)
+      |SELECT n.item, n.n_votes, m.maj_label, r.ds_label,
+      |  CASE WHEN m.maj_label != r.ds_label THEN 1L ELSE 0L END AS flipped
+      |FROM nv n JOIN maj m USING (item) JOIN revote r USING (item)
+      |ORDER BY item""".stripMargin
 }

@@ -70,9 +70,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // contamination excision, and the second-wave five (x87/x94/x100/
     // x105/x120 — previously DataFrame-first, but their DuckDB oracles
     // proved the semantics portable)
-    // plus x77's zone map and the unrolled deterministic k-means
-    // chain (x78/x83/x92)
-    assert(RelationalSql.extrasSql.size == 136)
+    // plus x77's zone map, the unrolled deterministic k-means chain
+    // (x78/x83/x92), and x101's closed-form Dawid-Skene round
+    assert(RelationalSql.extrasSql.size == 137)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
