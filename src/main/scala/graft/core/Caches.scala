@@ -43,6 +43,12 @@ object Caches {
     * just added whenever the same query was re-mined past the cap
     * (caught by PlanSpec's shared-cache gate under the full suite). */
   def bounded(df: DataFrame): DataFrame = synchronized {
+    // the registry is JVM-global and can outlive a SparkSession: a frame
+    // tracked before a session restart would make eviction touch a
+    // stopped SparkContext (IllegalStateException) and fail an unrelated
+    // bounded() call in the NEW session — drop dead-session frames first,
+    // and treat any residual unpersist failure as already-evicted
+    tracked.removeIf(t => t.sparkSession.sparkContext.isStopped)
     while (tracked.size >= MaxTracked) {
       val old = tracked.removeFirst()
       val oldPlan = old.queryExecution.analyzed
@@ -53,7 +59,9 @@ object Caches {
           shared = it.next().queryExecution.analyzed.sameResult(oldPlan)
         shared
       }
-      if (!stillShared) old.unpersist(blocking = false)
+      if (!stillShared)
+        try old.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.addLast(p)

@@ -1265,13 +1265,19 @@ object Dedup {
     * of that set — the corpus is never exploded to token grain for the
     * rewrite (a per-(doc, pos) anti-join would shuffle every token in
     * the corpus to drop a handful). Clean docs join nothing and pass
-    * through a null set. */
+    * through a null set.
+    *
+    * Null-text documents are DROPPED, in this face and the streaming one
+    * ([[graft.streaming.StreamingOps.exciseStream]]) alike: there is no
+    * text to rewrite, and the live face (which rebuilds from the text it
+    * ingested) could only ever emit a placeholder — agreeing on "absent"
+    * keeps replay == batch row-for-row (spec-asserted). */
   def exciseContamination(candidates: DataFrame, reference: DataFrame,
                           k: Int = 4): DataFrame = {
     val refg = reference
       .select(explode(wordShingles(col("text"), k)).as("gram")).distinct()
-    val cand = candidates.select(col("doc_id"),
-      TextAnalysis.wsTokens(col("text")).as("w"))
+    val cand = candidates.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
     val dropped = cand
       .select(col("doc_id"), posexplode(
         graft.functions.expressions.NativeExpressions

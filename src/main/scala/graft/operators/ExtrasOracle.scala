@@ -3440,7 +3440,8 @@ object ExtrasOracle {
       |  FROM toksr, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
       |cand AS MATERIALIZED (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-      |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |  FROM documents
+      |  WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
       |grams AS (
       |  SELECT doc_id, g, w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
       |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),

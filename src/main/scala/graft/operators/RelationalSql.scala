@@ -2854,7 +2854,8 @@ object RelationalSql {
       |  WHERE source IN ('src0', 'src1')),
       |cand AS (
       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
-      |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |  FROM documents
+      |  WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
       |grams AS (
       |  SELECT doc_id, g, gram FROM cand
       |  LATERAL VIEW posexplode(word_shingles_all(w, 4)) t AS g, gram),

@@ -1186,13 +1186,24 @@ object Sampling {
     // per-split sizes plus both self-join legs) and Catalyst does not
     // dedupe a multiply-referenced aggregate subtree — cache it once
     // through the bounded registry so the scan+explode+distinct
-    // pipeline runs once, not three times. At 100 TB this set is a
-    // persisted parquet artifact (hashed grams, the x44 discipline),
-    // not an in-memory cache.
-    val g = graft.core.Caches.bounded(docs
-      .select(assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
-        explode(Dedup.wordShingles(col("text"), n)).as("gram"))
-      .distinct())
+    // pipeline runs once, not three times. At 100 TB this set is the
+    // persisted parquet artifact ([[saveLeakageIndex]] — hashed grams,
+    // the x44 discipline), not an in-memory cache.
+    leakageGrid(graft.core.Caches.bounded(
+      distinctSplitGrams(docs, n).distinct()))
+  }
+
+  /** The (split, gram) grain both x149 faces share: every document's
+    * distinct [[LeakGramN]]-grams keyed by its x19 split. NOT yet
+    * distinct — the callers choose cache-then-distinct (direct face) or
+    * hash-then-distinct ([[saveLeakageIndex]]). */
+  private def distinctSplitGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(assignSplit(col("doc_id"), "graft", splitFractions).as("split"),
+      explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+
+  /** The |splits|²-row leakage grid over a distinct (split, gram) set —
+    * the aggregate+self-join tail both x149 faces share verbatim. */
+  private def leakageGrid(g: DataFrame): DataFrame = {
     val sizes = g.groupBy(col("split")).agg(count(lit(1)).as("n_grams"))
     val grid = sizes.select(col("split").as("split_a"), col("n_grams").as("grams_a"))
       .crossJoin(sizes.select(col("split").as("split_b"), col("n_grams").as("grams_b")))
@@ -1205,6 +1216,33 @@ object Sampling {
     grid.join(shared, Seq("split_a", "split_b"), "left")
       .select(col("split_a"), col("split_b"), col("grams_a"), col("grams_b"),
         coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+  }
+
+  /** Persist the x149 leakage index: the distinct (split, gram-key) set
+    * with grams carried as xxhash64 — the x44 20-byte-key discipline —
+    * so release-over-release leakage audits load KB..GB of parquet
+    * instead of re-exploding the corpus (the x91/x55 persistence
+    * discipline: the corpus-sized gram pipeline runs ONCE per release,
+    * every later audit is index-only). Published atomically; the key
+    * hash makes the artifact constant-width regardless of gram text
+    * size, and [[leakageFromIndex]] is count-identical to the direct
+    * face up to xxhash64 collisions (~n²/2⁶⁵ expected — zero at any
+    * realistic gram count; round-trip equality spec-asserted). */
+  def saveLeakageIndex(docs: DataFrame, path: String, n: Int = LeakGramN): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      distinctSplitGrams(docs, n)
+        .select(col("split"), xxhash64(col("gram")).as("gram"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+    }
+
+  /** x149 against a persisted [[saveLeakageIndex]] artifact: the same
+    * grid, with ZERO corpus work — the plan reads only the index
+    * parquet (spec-gated: no documents scan). The audit a release
+    * pipeline re-runs after every split re-cut. */
+  def leakageFromIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = graft.core.Artifacts.readablePath(spark, path)
+    leakageGrid(spark.read.parquet(s"$root/grams"))
   }
 
   def gramLeakageQuery(spark: SparkSession, dir: String): DataFrame =

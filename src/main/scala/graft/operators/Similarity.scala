@@ -325,14 +325,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Scale-aware LSH table count: `max(20, ceil(4 * log2(n / 62.5)))`.
+    *
+    * The recall-vs-cost scaling law: per-table match probability for a
+    * true neighbor is sim-dependent only (p ~ 0.63^bits at cos ~0.4), so
+    * recall = 1 - (1 - p)^T does NOT decay with n in theory — but the
+    * top-5 bar is empirically harder at SMALL n (the 5th-best cosine of
+    * 500 random vectors sits lower than of 2000, so each true neighbor
+    * collides less), hence a floor of 20, and more distractors crowd the
+    * exact answer as n grows, hence the log term. Tuned grid, bits=6:
+    * n=500: T=12 -> 0.46, T=20 -> 0.62; n=2000: T=12 -> 0.53,
+    * T=20 -> 0.72, T=24 -> 0.75. Candidate cost grows only as
+    * n * log n / 2^bits — the probe fraction per table is unchanged.
+    * Anchors: n<=2000 -> 20, n=10^5 -> 43, n=10^6 -> 56. */
+  private[graft] def lshTablesFor(n: Long): Int =
+    math.max(20, math.ceil(4.0 * (math.log(math.max(n, 1L).toDouble / 62.5) / math.log(2.0))).toInt)
+
   /** rows-only queries() entry for the ANN path (bucket assignment depends
     * on engine-local float dot signs, so no cross-engine oracle; recall
-    * vs brute force is asserted in ScalaTest instead). */
+    * vs brute force is asserted in ScalaTest instead, and re-measured at
+    * the bench SF every round). Table count scales with corpus size via
+    * [[lshTablesFor]] — the parquet count is metadata-only, never a scan. */
   def annQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
+    lshTopK(emb, queries, 5, nTables = lshTablesFor(emb.count()))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ----------------------------------------------------------------- IVF
@@ -984,11 +1003,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Scale-aware coarse-candidate count: `max(100, ceil(n / 5))`.
+    *
+    * The recall-vs-cost scaling law: JL distortion is fixed by outDim
+    * (~1/sqrt(32) per pair), so the number of DISTRACTORS whose projected
+    * sim lands inside the distortion band of the true top-k grows
+    * linearly with n on low-similarity corpora — the coarse rank cutoff
+    * must track it, i.e. the candidate FRACTION (not count) is the
+    * invariant. Tuned grid at n=2000 / outDim=32: cand=100 -> 0.47,
+    * cand=400 -> 0.78, cand=800 -> 0.94. Cost: the exact rerank touches
+    * |queries| * candidates pairs — linear in n but with a tiny constant,
+    * always dominated by the corpus-sized coarse pass it gates; the JL
+    * saving (the corpus pass runs at outDim, not dim) is untouched. On
+    * genuinely clustered corpora (true neighbors far above the noise
+    * floor) a fixed candidate count suffices and the max() floor is what
+    * you get at small n. */
+  private[graft] def jlCandidatesFor(n: Long): Int =
+    math.max(JlCandidates, math.ceil(math.max(n, 1L).toDouble / 5.0).toInt)
+
   def jlKnnQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    jlTopK(emb, queries, 5)
+    jlTopK(emb, queries, 5, candidates = jlCandidatesFor(emb.count()))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -375,15 +375,26 @@ object WebPrep {
     * iterate k times for k-hop spreading (each step is the same
     * bounded shuffle; see x14/x39 for the lineage-cut discipline an
     * unbounded iteration needs). */
-  def labelPropagation(edges: DataFrame, seeds: DataFrame): DataFrame = {
+  def labelPropagation(edges: DataFrame, seeds: DataFrame): DataFrame =
+    propagateStep(symmetrizedWeights(edges), seeds)
+
+  /** The symmetrized (host, nbr, w) weight aggregate one propagation
+    * step votes over — computed once per [[labelPropagation]] call, and
+    * ONCE TOTAL (then lineage-cut) by [[labelPropagationConverged]]. */
+  private def symmetrizedWeights(edges: DataFrame): DataFrame = {
     val keyed = edges.filter(col("src_host") =!= col("dst_host"))
-    val und = keyed
+    keyed
       .select(col("src_host").as("host"), col("dst_host").as("nbr"),
         col("n_links"))
       .unionByName(keyed.select(col("dst_host").as("host"),
         col("src_host").as("nbr"), col("n_links")))
       .groupBy(col("host"), col("nbr"))
       .agg(sum(col("n_links")).as("w"))
+  }
+
+  /** One synchronous vote round over a prebuilt [[symmetrizedWeights]]
+    * aggregate — the body both x138 faces share verbatim. */
+  private def propagateStep(und: DataFrame, seeds: DataFrame): DataFrame = {
     val votes = und
       .join(broadcast(seeds.select(col("host").as("nbr"),
         col("seed").as("nseed"))), Seq("nbr"), "left")
@@ -396,6 +407,66 @@ object WebPrep {
         when(col("votes_ok") > col("votes_bad"), 1L)
           .when(col("votes_bad") > col("votes_ok"), 0L)
           .otherwise(coalesce(col("seed"), lit(-1L))).as("propagated"))
+  }
+
+  /** x138 iterated to a FIXED POINT: each round's propagated labels seed
+    * the next (unknown −1 verdicts stay unseeded — they cast no vote),
+    * until no host's label changes or `maxIters` rounds — the full
+    * TrustRank spreading rather than the single hop labelPropagation
+    * answers (a host two links from any seed is unreachable in one
+    * step; here labels flow outward a hop per round). Labels are only
+    * ever ADDED or FLIPPED by a strict majority, never removed, so
+    * "zero flips in a round" is a true fixed point; a bipartite
+    * flip-flop core (the classic synchronous-LP oscillation) is bounded
+    * by `maxIters`, and the committed answer is that round's frame.
+    *
+    * Output schema and semantics match [[labelPropagation]] exactly —
+    * `seed` is the ORIGINAL seed, `propagated` the final label, votes
+    * the final round's tallies — so `maxIters = 1` is the identity
+    * (spec-asserted).
+    *
+    * Scale shape: the x39/x14 iteration discipline — the symmetrized
+    * edge aggregate builds once and is lineage-cut; every round is one
+    * bounded vote shuffle plus a host-grain label frame, itself cut, so
+    * the plan never grows with the round count; the previous round's
+    * blocks free as soon as its successor is cut. The per-round
+    * convergence probe is ONE count on the host-grain step frame (the
+    * connectedComponents budget). Pass `checkpointDir` on real clusters
+    * for executor-loss durability. */
+  def labelPropagationConverged(edges: DataFrame, seeds: DataFrame,
+                                maxIters: Int = 10,
+                                checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIters > 0, s"labelPropagationConverged: maxIters=$maxIters")
+    graft.core.IterUtil.ensureCheckpointDir(edges.sparkSession, checkpointDir)
+    def cut(df: DataFrame): DataFrame =
+      graft.core.IterUtil.cut(df, checkpointDir.isDefined)
+
+    val und = cut(symmetrizedWeights(edges))
+    var labels = seeds.select(col("host"), col("seed"))
+    var prevCut: Option[DataFrame] = None
+    var last: DataFrame = null
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val step = cut(propagateStep(und, labels))
+      // a round is converged when every host kept its incoming label —
+      // labels monotonically cover (propagated is never -1 where seed
+      // wasn't), so zero flips means the assignment is stable
+      converged = step.filter(not(col("propagated") <=> col("seed"))).isEmpty
+      prevCut.foreach(graft.core.IterUtil.free)
+      prevCut = Some(step)
+      last = step
+      labels = step.filter(col("propagated") =!= -1L)
+        .select(col("host"), col("propagated").as("seed"))
+      it += 1
+    }
+    graft.core.IterUtil.free(und)
+    // commit the final round with the ORIGINAL seeds in the seed column
+    // (each round's own seed column carries the PREVIOUS round's labels)
+    last.drop("seed")
+      .join(broadcast(seeds.select(col("host"), col("seed"))), Seq("host"), "left")
+      .select(col("host"), coalesce(col("seed"), lit(-1L)).as("seed"),
+        col("votes_ok"), col("votes_bad"), col("propagated"))
   }
 
   // ------------------------- triangles / clustering coefficient (x145)

@@ -926,6 +926,11 @@ object StreamingOps {
     * stream, the same aggregation the batch face runs. */
   def packStream(docs: DataFrame, budget: Long = 2000L,
                  shards: Int = 32): Dataset[PackDecision] = {
+    // mirror packSequences' guards: budget=0 would otherwise surface as a
+    // per-row ArithmeticException inside the processor, and an oversized
+    // shard count would wrap pack_id negative via the ShardStride multiply
+    require(budget > 0 && shards > 0, s"budget=$budget shards=$shards")
+    require(shards <= (1 << 22), s"shards=$shards exceeds the 2^22 id-space bound")
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long").as("doc_id"),
         size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long")
@@ -985,7 +990,12 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = spark.read.parquet(s"$indexPath/grams")
-    val toks = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // null-text documents are dropped EXPLICITLY, matching the batch
+    // face's filter (Dedup.exciseContamination) — before this filter the
+    // live face silently emitted nothing for them while the batch face
+    // emitted a null-metrics row; both now agree on "absent"
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val hits = toks
       .select(col("doc_id"), posexplode(
         graft.functions.expressions.NativeExpressions.wordShinglesAll(
@@ -1074,12 +1084,16 @@ object StreamingOps {
     * after full replay that sort IS the batch x141 permutation
     * (spec-asserted). No state, no shuffle on the stream side. */
   def epochKeyStream(docs: DataFrame,
-                     epochs: Int = graft.operators.Sampling.EpochCount): DataFrame =
+                     epochs: Int = graft.operators.Sampling.EpochCount): DataFrame = {
+    // epochs=0 would build sequence(0, -1), which Spark evaluates as the
+    // DESCENDING array [0, -1] — two bogus epoch rows per doc, not zero
+    require(epochs > 0, s"epochs=$epochs")
     docs.select(col("doc_id").cast("long").as("doc_id"))
       .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
       .withColumn("k", md5(concat(col("doc_id").cast("string"),
         lit(":ord:"), col("epoch").cast("string"))))
       .select(col("epoch"), col("doc_id"), col("k"))
+  }
 
   // ------------------- streaming host-reputation gate (x119's face) --
 

@@ -551,6 +551,29 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.2f too low")
   }
 
+  test("scale-aware ANN defaults: law anchors and monotonicity") {
+    // LSH tables: a floor of 20 (small corpora have the LOWER top-5
+    // cosine bar, so they need the extra tables most), growing ~4 tables
+    // per corpus doubling past n=2000 (tuned grid: n=500 T=20 -> 0.62,
+    // n=2000 T=20 -> 0.72 vs the old default T=12's 0.46/0.53).
+    assert(Similarity.lshTablesFor(500L) == 20)
+    assert(Similarity.lshTablesFor(2000L) == 20)
+    assert(Similarity.lshTablesFor(1L) == 20)
+    assert(Similarity.lshTablesFor(1000000L) == 56)
+    // JL candidates: the candidate FRACTION is the invariant (n/5),
+    // floored at the fixture default 100.
+    assert(Similarity.jlCandidatesFor(500L) == 100)
+    assert(Similarity.jlCandidatesFor(2000L) == 400)
+    assert(Similarity.jlCandidatesFor(1L) == 100)
+    // both laws are monotone in n (a bigger corpus never gets a weaker
+    // search), and never go below the fixture-tuned floors
+    val ns = Seq(1L, 100L, 500L, 2000L, 10000L, 1000000L)
+    val lsh = ns.map(Similarity.lshTablesFor)
+    val jl = ns.map(Similarity.jlCandidatesFor)
+    assert(lsh == lsh.sorted && jl == jl.sorted, s"non-monotone: $lsh / $jl")
+    assert(lsh.forall(_ >= 12) && jl.forall(_ >= 100))
+  }
+
   test("lshTopK candidate dedup shuffles ids only, vectors re-join after") {
     // the (query_id, neighbor_id) dedup exchange must carry two longs per
     // row, not the embedding payloads (~16x wider at dim=64) — the
@@ -2955,6 +2978,43 @@ class ExtrasSpec extends SparkSpec {
     assert(out("a") == ("a", 0L, 0L, 0L, 0L))
   }
 
+  test("x138 fixed point: labels flow hop-by-hop to convergence; one iter is the single step") {
+    import graft.operators.WebPrep
+    // a 5-hop chain off one seed: single-step x138 labels only s's
+    // direct neighbor; the fixed point floods the whole chain
+    val chain = Seq(("s", "v1", 1L), ("v1", "v2", 1L), ("v2", "v3", 1L),
+      ("v3", "v4", 1L), ("v4", "v5", 1L))
+      .toDF("src_host", "dst_host", "n_links")
+    val seed = Seq(("s", 1L)).toDF("host", "seed")
+    val fixed = WebPrep.labelPropagationConverged(chain, seed)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r._5).toMap
+    assert(Seq("v1", "v2", "v3", "v4", "v5").forall(fixed(_) == 1L),
+      s"chain not flooded: $fixed")
+    // one step from the same inputs reaches only v1
+    val one = WebPrep.labelPropagation(chain, seed)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r._5).toMap
+    assert(one("v1") == 1L && one("v2") == -1L && one("v5") == -1L, s"got $one")
+    // maxIters = 1 IS the single-step face, row-for-row (the identity
+    // contract: same schema, seed column = original seeds)
+    val e2 = Seq(("a", "b", 5L), ("c", "b", 3L), ("b", "d", 2L),
+      ("e", "a", 7L), ("g", "f", 4L), ("h", "f", 5L))
+      .toDF("src_host", "dst_host", "n_links")
+    val s2 = Seq(("a", 0L), ("c", 1L), ("d", 1L), ("f", 1L),
+      ("g", 0L), ("h", 0L)).toDF("host", "seed")
+    val viaConverged = WebPrep.labelPropagationConverged(e2, s2, maxIters = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val viaStep = WebPrep.labelPropagation(e2, s2)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(viaConverged == viaStep, s"step-1 drifted: $viaConverged vs $viaStep")
+    // a bipartite flip-flop core terminates at maxIters rather than
+    // spinning (the classic synchronous-LP oscillation)
+    val flip = Seq(("p", "q", 1L)).toDF("src_host", "dst_host", "n_links")
+    val fs = Seq(("p", 1L), ("q", 0L)).toDF("host", "seed")
+    val bounded = WebPrep.labelPropagationConverged(flip, fs, maxIters = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(bounded.length == 2, s"flip-flop emitted ${bounded.toSeq}")
+  }
+
   test("x139 line dedup: corpus-repeated lines drop everywhere, partial tails survive") {
     import graft.operators.Dedup
     val b = (1 to 10).map(i => s"b$i").mkString(" ")   // the boilerplate line
@@ -3256,6 +3316,29 @@ class ExtrasSpec extends SparkSpec {
     assert(got.exists(_._5 > 0L), "vacuous fixture: no shared grams anywhere")
   }
 
+  test("x149: persisted leakage index round-trips; audit plan never rescans the corpus") {
+    import graft.operators.Sampling
+    val tmp = java.nio.file.Files.createTempDirectory("leak_idx").toString + "/idx"
+    val d = Tables.load(spark, sf("sf0.001"), "documents")
+    Sampling.saveLeakageIndex(d, tmp)
+    val direct = Sampling.splitGramLeakage(d)
+      .orderBy($"split_a", $"split_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val viaIndex = Sampling.leakageFromIndex(spark, tmp)
+      .orderBy($"split_a", $"split_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(viaIndex == direct, s"index audit drifted: $viaIndex vs $direct")
+    // no-rescan gate: the from-index plan reads ONLY the parquet
+    // artifact — the corpus never appears (that is the artifact's point:
+    // release-over-release audits at index cost, not corpus cost)
+    val plan = Sampling.leakageFromIndex(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"$tmp/grams"),
+      s"expected the persisted index in the plan:\n$plan")
+    assert(!plan.contains("documents"),
+      s"from-index audit still scans the corpus:\n$plan")
+  }
+
   test("x151 contamination excision: overlapping hit spans union, clean docs untouched") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
@@ -3265,7 +3348,8 @@ class ExtrasSpec extends SparkSpec {
       (10L, "a b r1 r2 r3 r4 c d"),   // one hit span mid-doc
       (11L, "x y z w q"),             // clean
       (12L, "r1 r2 r3 r4 r5"),        // fully condemned (two overlapping hits)
-      (13L, "a r1 r2 r3 r4 r5 b"))    // overlap union {1..5}
+      (13L, "a r1 r2 r3 r4 r5 b"),    // overlap union {1..5}
+      (14L, null))                    // null text: dropped in BOTH faces
       .toDF("doc_id", "text")
     val out = Dedup.exciseContamination(cand, ref)
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
@@ -3273,6 +3357,10 @@ class ExtrasSpec extends SparkSpec {
     assert(out(11L) == ((11L, 5L, 0L, md5("x y z w q"))))
     assert(out(12L) == ((12L, 5L, 5L, md5(""))))
     assert(out(13L) == ((13L, 7L, 5L, md5("a b"))))
+    // the null-text doc emits NOTHING — there is no text to rewrite, and
+    // the streaming face (which rebuilds from ingested text) agrees on
+    // "absent", keeping replay == batch row-for-row
+    assert(!out.contains(14L), s"null-text doc emitted: ${out.get(14L)}")
     // corpus reconciliation with x16: exactly the docs with hit spans
     // lose tokens, everyone else's rewrite is a no-op
     val hitDocs = graft.operators.Dedup
