@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("interleave_bits",
       "interleave_bits(a, b, bits) - Morton z-value of two bucket ordinals", 3)(
       args => InterleaveBits(args(0), args(1), intLiteral(args(2), "interleave_bits"))))
+    e.injectFunction(fn("sorted_array_contains",
+      "sorted_array_contains(arr, key) - binary-search membership in an ascending-sorted int array", 2)(
+      args => SortedArrayContains(args(0), args(1))))
     e.injectFunction(fn("minhash_signature",
       "minhash_signature(shingles, k) - k min-hashes (XXH64 seeds 0..k-1)", 2)(
       args => MinHashSignature(args(0), intLiteral(args(1), "minhash_signature"))))

@@ -130,6 +130,25 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** Binary-search membership in an ASCENDING-sorted int array —
+    * O(log n) per probe vs array_contains' linear scan; the per-token
+    * kernel under x151's in-row excision filter (a fully-contaminated
+    * doc probes |w| times against a |w|-sized position set: linear
+    * membership is |w|² there, this is |w| log |w|). Caller contract:
+    * sorted ascending, no null elements (sort_array over a collect_set
+    * of non-null ints — exactly how x151 builds it). */
+  def sortedContains(arr: ArrayData, key: Int): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = arr.getInt(mid)
+      if (v == key) return true
+      if (v < key) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
   /** Canonical text image for dedup/fingerprinting: NFC-normalize
     * (composed forms — "Café" typed either way compares equal),
     * lowercase codepoint-by-codepoint (`Character.toLowerCase` — the
@@ -724,6 +743,38 @@ case class DotProductBytes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe into an ASCENDING-sorted ARRAY<INT> via binary
+  * search ([[NativeOps.sortedContains]]) — array_contains' semantics at
+  * O(log n) per probe, for hot in-row filters over a presorted set
+  * (x151's excision filter). Null if either side is null; the sortedness
+  * contract is the CALLER's (an unsorted array silently misses). */
+case class SortedArrayContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_array_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<INT>, INT), got $other")
+    }
+
+  override def nullSafeEval(arr: Any, key: Any): Any =
+    NativeOps.sortedContains(arr.asInstanceOf[ArrayData], key.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.sortedContains($a, $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Morton (Z-order) bit interleave of two bucket ordinals — the curve
   * value behind multi-dimensional layout clustering (see
   * operators.Layout). Null if either side is null. */
@@ -1064,6 +1115,8 @@ object NativeExpressions {
     column(SubstringHits(expression(text), patterns))
   def interleaveBits(a: Column, b: Column, bits: Int): Column =
     column(InterleaveBits(expression(a), expression(b), bits))
+  def sortedArrayContains(arr: Column, key: Column): Column =
+    column(SortedArrayContains(expression(arr), expression(key)))
   def dotProductBytes(a: Column, b: Column): Column =
     column(DotProductBytes(expression(a), expression(b)))
   def simhashChunks(tokens: Column): Column =

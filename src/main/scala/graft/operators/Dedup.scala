@@ -1287,13 +1287,20 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("g"), col("g") + (k - 1))).as("p"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("p")).as("dp"))
+      // sorted ONCE per doc at the aggregate so the per-token membership
+      // probe below can binary-search: a fully-contaminated doc probes
+      // |w| positions against a |w|-sized set — linear array_contains is
+      // |w|² there (the pathological bound flagged in r14), the sorted
+      // kernel is |w| log |w|. Bit-identical to the array_contains form
+      // (spec-asserted)
+      .agg(sort_array(collect_set(col("p"))).as("dp"))
     cand.join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
         coalesce(size(col("dp")), lit(0)).cast("long").as("n_dropped"),
         md5(concat_ws(" ",
-          filter(col("w"), (t, i) => !array_contains(
-            coalesce(col("dp"), lit(Array.empty[Int])), i)))).as("out_key"))
+          filter(col("w"), (t, i) =>
+            !graft.functions.expressions.NativeExpressions.sortedArrayContains(
+              coalesce(col("dp"), lit(Array.empty[Int])), i)))).as("out_key"))
   }
 
   /** The x151 queries() face: x16's reference convention (src0/src1

@@ -1285,4 +1285,20 @@ object Sampling {
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
     curriculumBands(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** x150's FROZEN BAND EDGES: each band's lowest n_tokens under the
+    * reference corpus's exact rank-based assignment — the ≤`bands`-row
+    * artifact the live curriculum gate
+    * ([[graft.streaming.StreamingOps.curriculumStream]]) assigns
+    * against (the madStream/clipStream frozen-baseline discipline:
+    * compute the boundary batch-side once, broadcast it, gate live
+    * rows statelessly). A document lands in the HIGHEST band whose
+    * edge ≤ its n_tokens, so a live doc tied exactly on a boundary
+    * value goes to the upper band (the batch face splits such ties by
+    * doc_id rank — the one divergence a value-only gate can't see;
+    * tie-free corpora replay exactly, spec-asserted). */
+  def curriculumEdgesOf(docs: DataFrame, bands: Int = CurriculumBands,
+                        numPartitions: Int = 0): DataFrame =
+    curriculumBands(docs, bands, numPartitions)
+      .groupBy(col("band")).agg(min(col("n_tokens")).as("lo"))
 }

@@ -1095,6 +1095,39 @@ object StreamingOps {
       .select(col("epoch"), col("doc_id"), col("k"))
   }
 
+  // ----------------- streaming curriculum band gate (x150's face) ----
+
+  /** Streaming face of [[graft.operators.Sampling.curriculumBands]]
+    * (x150): assign each arriving document its length band against the
+    * FROZEN band edges ([[graft.operators.Sampling.curriculumEdgesOf]]
+    * over a reference corpus — a ≤|bands|-row artifact), the
+    * madStream/clipStream frozen-baseline shape. The edge table is
+    * collected once at plan-build time (bounded by the band count, the
+    * frozen-moments discipline of [[rateBursts]]'s face) and compiled
+    * into ONE stateless integer CASE chain — no join, no state, no
+    * shuffle: the gate fuses into the ingestion scan like x147/x148.
+    *
+    * A document lands in the HIGHEST band whose edge ≤ its n_tokens
+    * (docs shorter than every reference doc clamp to the lowest band,
+    * longer ones to the top — the unseen-value contract). Replay over
+    * a boundary-tie-free corpus equals batch x150's band column
+    * row-for-row (spec-asserted); the live face necessarily omits the
+    * batch face's global `rank`, which no per-row gate can know. */
+  def curriculumStream(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val es = edges.select(col("band").cast("long"), col("lo").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(es.nonEmpty, "curriculumStream: empty edge table")
+    val nTok = size(graft.operators.TextAnalysis.wsTokens(col("text")))
+      .cast("long")
+    // ascending fold: later (higher) bands overwrite when their edge is
+    // met, so the result is the highest band whose lo <= n_tokens
+    val band = es.tail.foldLeft(lit(es.head._1): Column) {
+      case (acc, (b, lo)) => when(nTok >= lo, b).otherwise(acc)
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      nTok.as("n_tokens"), band.as("band"))
+  }
+
   // ------------------- streaming host-reputation gate (x119's face) --
 
   /** Streaming face of [[graft.operators.WebPrep.hostReputation]]

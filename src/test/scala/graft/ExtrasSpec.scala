@@ -3361,6 +3361,33 @@ class ExtrasSpec extends SparkSpec {
     // the streaming face (which rebuilds from ingested text) agrees on
     // "absent", keeping replay == batch row-for-row
     assert(!out.contains(14L), s"null-text doc emitted: ${out.get(14L)}")
+    // the sorted-membership kernel is bit-identical to the linear
+    // array_contains form it replaced (same filter, O(log) per probe),
+    // checked over the real corpus: same doc set, same rewrite keys
+    val docsAll = Tables.load(spark, sf("sf0.001"), "documents")
+    val isRef2 = col("source").isin("src0", "src1")
+    val viaKernel = Dedup.exciseContamination(
+        docsAll.filter(!isRef2), docsAll.filter(isRef2))
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val candRef = docsAll.filter(!isRef2).filter($"text".isNotNull)
+      .select($"doc_id", graft.operators.TextAnalysis.wsTokens($"text").as("w"))
+    val refgRef = docsAll.filter(isRef2)
+      .select(explode(Dedup.wordShingles($"text", 4)).as("gram")).distinct()
+    val droppedRef = candRef
+      .select($"doc_id", posexplode(
+        graft.functions.expressions.NativeExpressions.wordShinglesAll($"w", 4)))
+      .toDF("doc_id", "g", "gram")
+      .join(refgRef, Seq("gram"), "left_semi")
+      .select($"doc_id", explode(sequence($"g", $"g" + 3)).as("p"))
+      .groupBy($"doc_id").agg(collect_set($"p").as("dp"))
+    val viaLinear = candRef.join(droppedRef, Seq("doc_id"), "left")
+      .select($"doc_id", size($"w").cast("long").as("n_tokens"),
+        coalesce(size($"dp"), lit(0)).cast("long").as("n_dropped"),
+        org.apache.spark.sql.functions.md5(concat_ws(" ",
+          filter($"w", (t, i) => !array_contains(
+            coalesce($"dp", lit(Array.empty[Int])), i)))).as("out_key"))
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaKernel == viaLinear, "sorted kernel drifted from array_contains form")
     // corpus reconciliation with x16: exactly the docs with hit spans
     // lose tokens, everyone else's rewrite is a no-op
     val hitDocs = graft.operators.Dedup

@@ -334,6 +334,25 @@ class FunctionsSpec extends SparkSpec {
     assert(z == 9L) // a bit0 -> pos0, b bit1 -> pos3
     val zbad = intercept[Exception](spark.sql("SELECT interleave_bits(1, 2, 40)").collect())
     assert(zbad.getMessage.contains("interleave_bits"))
+    // sorted_array_contains: hits and misses at every binary-search
+    // boundary (first, last, middle, between, below, above), empty array,
+    // null propagation
+    val sc = spark.sql(
+      """SELECT sorted_array_contains(array(1, 3, 5, 9), 1) AS a,
+        |  sorted_array_contains(array(1, 3, 5, 9), 9) AS b,
+        |  sorted_array_contains(array(1, 3, 5, 9), 5) AS c,
+        |  sorted_array_contains(array(1, 3, 5, 9), 4) AS d,
+        |  sorted_array_contains(array(1, 3, 5, 9), 0) AS e,
+        |  sorted_array_contains(array(1, 3, 5, 9), 10) AS f,
+        |  sorted_array_contains(array(CAST(NULL AS INT)), 7) IS NOT NULL AS g,
+        |  sorted_array_contains(CAST(NULL AS ARRAY<INT>), 7) IS NULL AS h""".stripMargin)
+      .head()
+    assert(sc.getBoolean(0) && sc.getBoolean(1) && sc.getBoolean(2))
+    assert(!sc.getBoolean(3) && !sc.getBoolean(4) && !sc.getBoolean(5))
+    assert(sc.getBoolean(6) && sc.getBoolean(7))
+    // empty set: never contains
+    assert(!spark.sql("SELECT sorted_array_contains(array_remove(array(1), 1), 1) AS x")
+      .head().getBoolean(0))
   }
 
   test("injected functions report usable arity errors, not raw index failures") {

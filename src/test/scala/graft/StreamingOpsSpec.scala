@@ -1291,6 +1291,65 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming readability: the x148 projection runs as-is on a stream, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // x148, like x147, is a stateless narrow projection — the operator
+    // IS its own streaming face (the live difficulty signal at the
+    // ingestion edge, no wrapper needed)
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    val batch = TextAnalysis.readability(base)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = TextAnalysis.readability(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("readability_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("readability_out")
+        .as[(Long, Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming curriculum gate equals batch x150 bands against the frozen edges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    // distinct per-doc lengths (doc i has i tokens) so no tie can span a
+    // band boundary — the regime where the value-only live gate equals
+    // the rank-based batch assignment exactly
+    val ref = (1 to 40).map(i => (i.toLong, (1 to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Sampling.curriculumBands(ref)
+      .select($"doc_id", $"band").as[(Long, Long)].collect().toMap
+    val edges = Sampling.curriculumEdgesOf(ref)
+    val rows = ref.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.curriculumStream(
+        stream.toDF().toDF("doc_id", "text"), edges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curriculum_out").start()
+    try {
+      rows.grouped(15).foreach { c => stream.addData(c); q.processAllAvailable() }
+      // unseen lengths clamp: shorter than every reference doc -> lowest
+      // band; longer than every reference doc -> top band
+      stream.addData(Seq((100L, ""), (101L, (1 to 99).map(j => s"x$j").mkString(" "))))
+      q.processAllAvailable()
+      val got = spark.table("curriculum_out")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(batch.forall { case (id, b) => got(id) == b },
+        s"drift: ${batch.collect { case (id, b) if got(id) != b => (id, b, got(id)) }.take(5)}")
+      assert(got(100L) == 0L, s"short unseen doc got band ${got(100L)}")
+      assert(got(101L) == Sampling.curriculumBands(ref)
+        .agg(max($"band")).as[Long].head(), s"long unseen doc got band ${got(101L)}")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
