@@ -547,6 +547,10 @@ object SparkEntry {
     // x151: contamination excision — x16's hit spans CUT from the
     // document instead of dropping it; reassembly audit grain (x139).
     "x151_contam_excise"  -> (Dedup.exciseQuery _),
+    // x152: per-doc leakage probe — the doc-grain drill-down under
+    // x149's split-pair headline (which documents leak, into which
+    // split, by how many grams); hashed-gram join, hit-grain output.
+    "x152_leak_probe"     -> (Sampling.leakProbeQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -104,6 +104,10 @@ object ExtrasOracle {
     // text; DuckDB positions are 1-based, Spark's 0-based — internal
     // only, the emitted image is identical.
     "x151_contam_excise" -> exciseSql,
+    // x152: per-doc distinct-gram overlap with each OTHER split — the
+    // engine joins on xxhash64 keys, the twin on raw grams (same counts
+    // up to hash collision, the x44 equivalence).
+    "x152_leak_probe" -> leakProbeSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3429,6 +3433,26 @@ object ExtrasOracle {
        |      FROM sz a JOIN sz b ON a.split < b.split) p
        |LEFT JOIN sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
        |ORDER BY p.split_a, p.split_b""".stripMargin
+
+  /** DuckDB twin of Sampling.leakProbeQuery (x152): per-doc distinct
+    * grams joined against the per-split distinct gram sets, own split
+    * excluded; raw grams where the engine carries xxhash64 keys (same
+    * counts — the x44 hashed-key equivalence). */
+  private def leakProbeSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, ${splitCaseSql("doc_id")} AS own,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |dg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, own,
+       |    w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+       |  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+       |idx AS MATERIALIZED (
+       |  SELECT DISTINCT own AS split, gram FROM dg)
+       |SELECT d.doc_id, i.split, CAST(COUNT(*) AS BIGINT) AS shared_grams
+       |FROM dg d JOIN idx i ON d.gram = i.gram AND i.split <> d.own
+       |GROUP BY 1, 2
+       |ORDER BY d.doc_id, i.split""".stripMargin
 
   /** DuckDB twin of Dedup.exciseQuery (x151). */
   private def exciseSql: String =

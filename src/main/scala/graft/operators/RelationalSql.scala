@@ -1101,6 +1101,7 @@ object RelationalSql {
     "x149_gram_leakage" -> gramLeakageSparkSql,
     "x150_curriculum" -> curriculumSparkSql,
     "x151_contam_excise" -> exciseSparkSql,
+    "x152_leak_probe" -> leakProbeSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -2845,6 +2846,20 @@ object RelationalSql {
        |      FROM sz a JOIN sz b ON a.split < b.split) p
        |LEFT JOIN sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
        |ORDER BY split_a, split_b""".stripMargin
+
+  /** Spark-SQL face of Sampling.leakProbeQuery (x152): raw grams where
+    * the engine face carries xxhash64 keys — same counts, the x44
+    * hashed-key equivalence. */
+  private def leakProbeSparkSql: String =
+    s"""WITH dg AS (
+       |  SELECT DISTINCT doc_id, ${splitCaseSparkSql("doc_id")} AS own, gram
+       |  FROM documents
+       |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), ${Sampling.LeakGramN})) t AS gram),
+       |idx AS (SELECT DISTINCT own AS split, gram FROM dg)
+       |SELECT d.doc_id, i.split, COUNT(1) AS shared_grams
+       |FROM dg d JOIN idx i ON d.gram = i.gram AND i.split != d.own
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, split""".stripMargin
 
   /** Spark-SQL face of Dedup.exciseQuery (x151). */
   private def exciseSparkSql: String =

@@ -1282,6 +1282,50 @@ object Sampling {
         expr(s"($bands * (rank - 1)) div _n").as("band"))
   }
 
+  // ------------------------------- per-doc leakage probe (x152)
+
+  /** x152: PER-DOCUMENT LEAKAGE PROBE — for each document, how many of
+    * its distinct [[LeakGramN]]-grams appear in each split's gram set
+    * (`index`: the distinct (split, xxhash64-gram) relation, typically
+    * the persisted [[saveLeakageIndex]] artifact): the doc-grain
+    * drill-down under x149's split-pair headline. x149 says "val shares
+    * N grams with train"; this NAMES the documents carrying the leak
+    * and how much each contributes — the row a curator acts on (drop,
+    * re-split, or excise via x151). Zero-overlap (doc, split) pairs
+    * don't emit: the report is hit-grain, bounded by actual leakage,
+    * never |docs|·|splits|.
+    *
+    * Shape: doc grams carry as xxhash64 keys from the first projection
+    * (the x44 discipline — the gram-keyed equi-join shuffles 8-byte
+    * keys, never gram text); the index side is already distinct, the
+    * doc side distinct per doc (wordShingles), so the (doc, split)
+    * count IS the distinct shared-gram count with no extra dedup. One
+    * join + one aggregate; no broadcast hint — a 100 TB corpus's gram
+    * index is itself corpus-scale, AQE picks the strategy. The live
+    * form ([[graft.streaming.StreamingOps.leakageProbeStream]]) runs
+    * this same body against the frozen artifact. */
+  def leakageProbe(docs: DataFrame, index: DataFrame,
+                   n: Int = LeakGramN): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .join(index, Seq("gram"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("shared_grams"))
+
+  /** The x152 queries() face: every document probed against the OTHER
+    * splits' gram sets (its own split trivially contains all its grams
+    * — that row is noise, not leakage). */
+  def leakProbeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val index = distinctSplitGrams(docs, LeakGramN)
+      .select(col("split"), xxhash64(col("gram")).as("gram")).distinct()
+    leakageProbe(docs, index)
+      .filter(col("split") =!=
+        assignSplit(col("doc_id"), "graft", splitFractions))
+      .orderBy(col("doc_id"), col("split"))
+  }
+
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
     curriculumBands(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))

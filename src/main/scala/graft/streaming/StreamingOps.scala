@@ -1095,6 +1095,26 @@ object StreamingOps {
       .select(col("epoch"), col("doc_id"), col("k"))
   }
 
+  // --------------- streaming per-doc leakage probe (x152's face) -----
+
+  /** Streaming face of [[graft.operators.Sampling.leakageProbe]]
+    * (x152): each arriving document's distinct grams probe the FROZEN
+    * split-gram index ([[graft.operators.Sampling.saveLeakageIndex]]'s
+    * hashed (split, gram) artifact) and the doc emits its per-split
+    * shared-gram counts — the live "does this new document leak a held-
+    * out split" audit, the x55/x91 frozen-reference discipline at doc
+    * grain. The probe IS the batch body run on the stream (one
+    * stream-static equi-join on 8-byte gram keys + one streaming
+    * aggregate keyed (doc, split) — the oovStream shape). Run in UPDATE
+    * mode; replay equals the batch probe against the same index
+    * (spec-asserted). */
+  def leakageProbeStream(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    graft.operators.Sampling.leakageProbe(docs,
+      spark.read.parquet(s"$root/grams"))
+  }
+
   // ----------------- streaming curriculum band gate (x150's face) ----
 
   /** Streaming face of [[graft.operators.Sampling.curriculumBands]]

@@ -3339,6 +3339,28 @@ class ExtrasSpec extends SparkSpec {
       s"from-index audit still scans the corpus:\n$plan")
   }
 
+  test("x152 leakage probe: planted overlaps count distinct shared grams per (doc, split)") {
+    import graft.operators.Sampling
+    // doc 1: grams "a b c d", "b c d e"; doc 2: gram "x y z w" twice in
+    // text (distinct-gram contract: counts once); doc 3: too short for
+    // any 4-gram (never emits)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y z w x y z w"),
+      (3L, "p q")).toDF("doc_id", "text")
+    val index = Seq(
+      ("train", "a b c d"), ("train", "x y z w"),
+      ("val", "a b c d"), ("val", "b c d e"),
+      ("val", "nope nope nope nope")).toDF("split", "g")
+      .select($"split", xxhash64($"g").as("gram"))
+    val out = Sampling.leakageProbe(docs, index)
+      .as[(Long, String, Long)].collect().toSet
+    // doc 2's "x y z w" appears at two positions but is ONE distinct
+    // gram; "w x y z"/"z w x y"/"y z w x" miss the index
+    assert(out == Set((1L, "train", 1L), (1L, "val", 2L), (2L, "train", 1L)),
+      s"got $out")
+  }
+
   test("x151 contamination excision: overlapping hit spans union, clean docs untouched") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

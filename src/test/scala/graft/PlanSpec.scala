@@ -349,6 +349,21 @@ class PlanSpec extends SparkSpec {
       s"token-grain anti-join resurfaced:\n$p")
   }
 
+  test("x152: probe joins on hashed gram keys, never gram text; no unkeyed product") {
+    val p = plan("x152_leak_probe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"probe must stay equi-join-shaped:\n$p")
+    // the join key is the 8-byte xxhash64 image — gram TEXT must not be
+    // a join key anywhere (the x44 narrow-shuffle discipline)
+    assert(p.contains("xxhash64"), s"hashed gram key missing from plan:\n$p")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, s"no join in the probe plan:\n$p")
+    val textKeyed = joinLines.filter(l =>
+      "gram#\\d+[,\\]]".r.findFirstIn(l).isDefined)
+    assert(textKeyed.isEmpty,
+      s"a join carries gram text instead of the hash:\n${textKeyed.mkString("\n")}")
+  }
+
   test("x137: lexical postings prune to query grams; queries broadcast; no cross product") {
     val p = plan("x137_hybrid_rrf")
     assert(p.contains("LeftSemi"),

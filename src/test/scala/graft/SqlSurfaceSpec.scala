@@ -71,8 +71,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // x105/x120 — previously DataFrame-first, but their DuckDB oracles
     // proved the semantics portable)
     // plus x77's zone map, the unrolled deterministic k-means chain
-    // (x78/x83/x92), and x101's closed-form Dawid-Skene round
-    assert(RelationalSql.extrasSql.size == 137)
+    // (x78/x83/x92), and x101's closed-form Dawid-Skene round,
+    // plus the r15 x152 per-doc leakage probe
+    assert(RelationalSql.extrasSql.size == 138)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

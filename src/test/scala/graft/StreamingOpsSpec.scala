@@ -1350,6 +1350,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming leakage probe equals batch x152 against the frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("leak_probe").toString
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    Sampling.saveLeakageIndex(base, s"$dir/idx")
+    val index = spark.read.parquet(
+      graft.core.Artifacts.readablePath(spark, s"$dir/idx") + "/grams")
+    val batch = Sampling.leakageProbe(
+        base.select($"doc_id", $"text"), index)
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val rows = base.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.leakageProbeStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/idx")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("leak_probe_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      // update mode re-emits a refined row per batch; the LAST emission
+      // per (doc, split) is the final count — docs arrive whole, so one
+      // emission each, but dedup defensively by keeping the max
+      val got = spark.table("leak_probe_out")
+        .groupBy($"doc_id", $"split").agg(max($"shared_grams").as("sg"))
+        .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
