@@ -551,6 +551,10 @@ object SparkEntry {
     // x149's split-pair headline (which documents leak, into which
     // split, by how many grams); hashed-gram join, hit-grain output.
     "x152_leak_probe"     -> (Sampling.leakProbeQuery _),
+    // x153: DSIR importance weights — per-doc avg log-ratio of
+    // target-vs-raw hashed-token likelihood (Xie et al. 2023); the
+    // importance-resampling signal behind target-driven data selection.
+    "x153_dsir_weights"   -> (Sampling.dsirQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -108,6 +108,10 @@ object ExtrasOracle {
     // engine joins on xxhash64 keys, the twin on raw grams (same counts
     // up to hash collision, the x44 equivalence).
     "x152_leak_probe" -> leakProbeSql,
+    // x153: DSIR avg log-ratio weights — cross-engine md5 token buckets
+    // (bucket identity changes counts, so no engine-local hash here),
+    // each ln through the x67 round-at-6 decimal discipline.
+    "x153_dsir_weights" -> dsirSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3453,6 +3457,47 @@ object ExtrasOracle {
        |FROM dg d JOIN idx i ON d.gram = i.gram AND i.split <> d.own
        |GROUP BY 1, 2
        |ORDER BY d.doc_id, i.split""".stripMargin
+
+  /** DuckDB twin of Sampling.dsirQuery (x153): identical md5 token
+    * buckets, add-one smoothing, each ln rounded at 6 into
+    * DECIMAL(18,6), λ an exact decimal subtraction, per-doc mean the
+    * exact decimal dot product over one double division (x67's shape). */
+  private def dsirSql: String = {
+    val b = Sampling.DsirBuckets
+    def bkt(tok: String) = s"${bucketSql(tok, Sampling.DsirSalt)} % $b"
+    s"""WITH ttok AS MATERIALIZED (
+       |  SELECT ${bkt("t.term")} AS b
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |        FROM documents WHERE source = 'src0') t),
+       |tc AS MATERIALIZED (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM ttok GROUP BY b),
+       |rtok AS MATERIALIZED (
+       |  SELECT doc_id, ${bkt("t.term")} AS b
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |        FROM documents WHERE source <> 'src0') t),
+       |rbd AS MATERIALIZED (
+       |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM rtok GROUP BY 1, 2),
+       |rc AS MATERIALIZED (
+       |  SELECT b, CAST(SUM(n) AS BIGINT) AS rc FROM rbd GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT coalesce(SUM(tc), 0) FROM tc) AS tt,
+       |         (SELECT coalesce(SUM(rc), 0) FROM rc) AS rt),
+       |lam AS MATERIALIZED (
+       |  SELECT rc.b,
+       |    CAST(round(ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+       |                  / CAST(tot.tt + $b AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |    - CAST(round(ln(CAST(rc.rc + 1 AS DOUBLE)
+       |                    / CAST(tot.rt + $b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam
+       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+       |per AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n * lam) AS DOUBLE) / SUM(n) AS avg_lr
+       |  FROM rbd JOIN lam USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, avg_lr
+       |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+       |LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB twin of Dedup.exciseQuery (x151). */
   private def exciseSql: String =

@@ -1102,6 +1102,7 @@ object RelationalSql {
     "x150_curriculum" -> curriculumSparkSql,
     "x151_contam_excise" -> exciseSparkSql,
     "x152_leak_probe" -> leakProbeSparkSql,
+    "x153_dsir_weights" -> dsirSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -2860,6 +2861,42 @@ object RelationalSql {
        |FROM dg d JOIN idx i ON d.gram = i.gram AND i.split != d.own
        |GROUP BY 1, 2
        |ORDER BY doc_id, split""".stripMargin
+
+  /** Spark-SQL face of Sampling.dsirQuery (x153). */
+  private def dsirSparkSql: String = {
+    val b = Sampling.DsirBuckets
+    def bkt(tok: String) =
+      s"CAST(conv(substring(md5(concat($tok, ':${Sampling.DsirSalt}')), 1, 8), 16, 10) AS BIGINT) % $b"
+    s"""WITH ttok AS (
+       |  SELECT ${bkt("term")} AS b FROM documents
+       |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS term
+       |  WHERE source = 'src0'),
+       |tc AS (SELECT b, COUNT(1) AS tc FROM ttok GROUP BY b),
+       |rtok AS (
+       |  SELECT doc_id, ${bkt("term")} AS b FROM documents
+       |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS term
+       |  WHERE source != 'src0'),
+       |rbd AS (SELECT doc_id, b, COUNT(1) AS n FROM rtok GROUP BY 1, 2),
+       |rc AS (SELECT b, SUM(n) AS rc FROM rbd GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT coalesce(SUM(tc), 0L) FROM tc) AS tt,
+       |         (SELECT coalesce(SUM(rc), 0L) FROM rc) AS rt),
+       |lam AS (
+       |  SELECT rc.b,
+       |    CAST(round(ln(CAST(coalesce(tc.tc, 0L) + 1 AS DOUBLE)
+       |                  / CAST(tot.tt + $b AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |    - CAST(round(ln(CAST(rc.rc + 1 AS DOUBLE)
+       |                    / CAST(tot.rt + $b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam
+       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+       |per AS (
+       |  SELECT doc_id, SUM(n) AS n_tokens,
+       |    CAST(SUM(n * lam) AS DOUBLE) / SUM(n) AS avg_lr
+       |  FROM rbd JOIN lam USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_tokens, 0L) AS n_tokens, avg_lr
+       |FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+       |LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Spark-SQL face of Dedup.exciseQuery (x151). */
   private def exciseSparkSql: String =

@@ -1326,6 +1326,81 @@ object Sampling {
       .orderBy(col("doc_id"), col("split"))
   }
 
+  // ------------------------------- DSIR importance weights (x153)
+
+  /** x153's bucket count and hash salt, shared with both SQL twins. 256
+    * buckets is the demo setting; real deployments use 10^4..10^5 (the
+    * published method hashes n-grams into 10^4 buckets). */
+  private[graft] val DsirBuckets: Int = 256
+  private[graft] val DsirSalt: String = "dsir"
+
+  /** x153: HASHED-TOKEN IMPORTANCE WEIGHTS — the DSIR move (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how target-like its
+    * token distribution is — avg over tokens of
+    * `λ_b = ln p̂_target(b) − ln p̂_raw(b)`, with tokens hashed into
+    * [[DsirBuckets]] md5 buckets and both distributions add-one
+    * smoothed. Docs with high weight read like the curated target
+    * corpus; importance RESAMPLING is then just [[keepAtRate]] (or
+    * x40's weighted sampler) driven by this column — the principled
+    * upgrade over per-source temperature mixing (x68) when the target
+    * is a corpus, not a source list.
+    *
+    * Determinism: the bucket hash is the cross-engine [[hashBucket]]
+    * md5 image (never engine-local xxhash — bucket identity CHANGES the
+    * counts, unlike x44's carrier hashing); each of the two lns goes
+    * through the x67 round-at-6-into-DECIMAL discipline, λ is an exact
+    * decimal subtraction, and the per-doc mean is an exact decimal dot
+    * product over one double division. Zero-token docs surface with
+    * n_tokens = 0 and a null weight (a report, not a filter).
+    *
+    * Scale shape: bucket tables are B-row aggregates (broadcast-sized
+    * at any realistic B); the per-(doc, bucket) aggregate is referenced
+    * twice (the raw marginal and the scoring join) — both subtrees root
+    * in the same (doc_id, b) exchange, which exchange reuse collapses
+    * at runtime (the x67 discipline). Scoring is one broadcast join of
+    * doc-buckets to the B-row λ table plus a doc-grain aggregate; the
+    * corpus never shuffles wider than (doc_id, bucket, count). */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  buckets: Int = DsirBuckets): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets=$buckets")
+    val b = lit(buckets.toLong)
+    def tokenBuckets(df: DataFrame) = df
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("t"))
+      .select(col("doc_id"), (hashBucket(col("t"), DsirSalt) % buckets).as("b"))
+    val tc = tokenBuckets(target).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val rbd = tokenBuckets(raw).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val rc = rbd.groupBy(col("b")).agg(sum(col("n")).as("rc"))
+    val totals = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
+      .crossJoin(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("rt")))
+    val lam = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round(log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tt") + b).cast("double")), 6).cast("decimal(18,6)")
+          - round(log((col("rc") + lit(1L)).cast("double") /
+            (col("rt") + b).cast("double")), 6).cast("decimal(18,6)"))
+          .as("lam"))
+    val per = rbd.join(lam, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        (sum(col("n") * col("lam")).cast("double") / sum(col("n")))
+          .as("avg_lr"))
+    raw.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
+  /** The x153 queries() face: src0 is the curated target (the corpus
+    * every other source is scored against); everything else is raw. */
+  def dsirQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dsirWeights(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
     curriculumBands(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))

@@ -3361,6 +3361,27 @@ class ExtrasSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("x153 DSIR weights: target-like docs outscore alien docs; zero-token docs are null reports") {
+    import graft.operators.Sampling
+    val target = Seq((900L, "alpha beta gamma delta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma"),  // every token in the target
+      (2L, "zork quux blarg frotz"),   // no token in the target
+      (3L, "alpha zork beta quux"),    // half and half
+      (4L, ""))                        // zero tokens
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(raw, target)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val w = out.view.mapValues(_._3).toMap
+    assert(w(1L).get > w(3L).get && w(3L).get > w(2L).get,
+      s"importance order broken: $w")
+    // absolute signs are smoothing-dominated at fixture scale (6 target
+    // tokens vs 256 buckets); the ORDERING is the resampling contract
+    assert(out(4L) == ((4L, 0L, None)), s"zero-token doc: ${out(4L)}")
+    assert(out(1L)._2 == 4L, s"n_tokens: ${out(1L)}")
+  }
+
   test("x151 contamination excision: overlapping hit spans union, clean docs untouched") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

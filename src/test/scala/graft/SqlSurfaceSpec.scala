@@ -72,8 +72,8 @@ class SqlSurfaceSpec extends SparkSpec {
     // proved the semantics portable)
     // plus x77's zone map, the unrolled deterministic k-means chain
     // (x78/x83/x92), and x101's closed-form Dawid-Skene round,
-    // plus the r15 x152 per-doc leakage probe
-    assert(RelationalSql.extrasSql.size == 138)
+    // plus the r15 x152 per-doc leakage probe and x153 DSIR weights
+    assert(RelationalSql.extrasSql.size == 139)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
