@@ -707,24 +707,49 @@ object Analytics {
     * (weights: one row per annotator) and a second label-alphabet-
     * bounded window — nothing new shuffles the vote stream. */
   def dawidSkeneStep(votes: DataFrame): DataFrame = {
-    val first = votes
-      .groupBy(col("item"), col("annotator"))
+    val first = firstVotes(votes)
+    val majority = majorityOf(first)
+    val revote = revoteWith(first,
+      weightsAgainst(first, majority.withColumnRenamed("maj_label", "ref_label")))
+    first.groupBy(col("item")).agg(count(lit(1)).as("n_votes"))
+      .join(majority, Seq("item")).join(revote, Seq("item"))
+      .select(col("item"), col("n_votes"), col("maj_label"), col("ds_label"),
+        when(col("maj_label") =!= col("ds_label"), 1L).otherwise(0L)
+          .as("flipped"))
+  }
+
+  /** First vote per (item, annotator) — min vote_id wins (the shared
+    * dedup grain of x99/x101/x105). */
+  private def firstVotes(votes: DataFrame): DataFrame =
+    votes.groupBy(col("item"), col("annotator"))
       .agg(min_by(col("label"), col("vote_id")).as("label"))
-    val majority = first.groupBy(col("item"), col("label"))
+
+  /** Per-item majority label, count-desc / label-asc ties (x99's rule). */
+  private def majorityOf(first: DataFrame): DataFrame =
+    first.groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("c"))
       .select(col("item"), col("label").as("maj_label"),
         row_number().over(Window.partitionBy(col("item"))
           .orderBy(col("c").desc, col("label"))).as("_r"))
       .filter(col("_r") === 1)
       .drop("_r")
-    val weights = first.join(majority, Seq("item"))
+
+  /** Integer annotator weights: agreement of each annotator's first
+    * votes against a reference labeling (`ref`: (item, ref_label)) —
+    * `(10^6 · n_agree) div n_items`, exact BIGINT floor division. */
+  private def weightsAgainst(first: DataFrame, ref: DataFrame): DataFrame =
+    first.join(ref, Seq("item"))
       .groupBy(col("annotator"))
       .agg(count(lit(1)).as("n_items"),
-        sum(when(col("label") === col("maj_label"), 1L).otherwise(0L))
+        sum(when(col("label") === col("ref_label"), 1L).otherwise(0L))
           .as("n_agree"))
       .select(col("annotator"),
         expr("(1000000L * n_agree) div n_items").as("iw"))
-    val revote = first.join(broadcast(weights), Seq("annotator"))
+
+  /** Weighted argmax revote: per item, the label with the highest
+    * summed annotator weight (weight desc, label asc — exact BIGINTs). */
+  private def revoteWith(first: DataFrame, weights: DataFrame): DataFrame =
+    first.join(broadcast(weights), Seq("annotator"))
       .groupBy(col("item"), col("label"))
       .agg(sum(col("iw")).as("w"))
       .select(col("item"), col("label").as("ds_label"),
@@ -732,8 +757,61 @@ object Analytics {
           .orderBy(col("w").desc, col("label"))).as("_r"))
       .filter(col("_r") === 1)
       .drop("_r")
+
+  /** x101 iterated to a FIXED POINT — the full Dawid & Skene (1979) EM
+    * alternation rather than the single accuracy-weighted revote:
+    * round r scores every annotator against the CURRENT consensus
+    * (round 0's consensus is the x99 majority), re-decides every item
+    * with those weights, and stops when no item's label changes or
+    * after `maxIters` rounds. Every quantity stays exact BIGINT (the
+    * x101 integer-weight discipline), so each round — and therefore
+    * the fixed point — is cross-engine deterministic; a label cycle
+    * (possible for EM on ties) is bounded by `maxIters`, committing
+    * that round's frame.
+    *
+    * Output schema matches [[dawidSkeneStep]] — `maj_label` the round-0
+    * majority, `ds_label` the FINAL consensus, `flipped` their
+    * disagreement — so `maxIters = 1` is the identity (spec-asserted).
+    *
+    * Scale shape: the x39/x138 iteration discipline — the first-vote
+    * aggregate builds once and is lineage-cut; each round is one
+    * annotator-grain weight aggregate (broadcast back) plus one
+    * label-alphabet-bounded window, both keyed on item/annotator; the
+    * consensus frame (item-grain) is cut per round and its predecessor
+    * freed, so the plan never grows with the round count. */
+  def dawidSkeneConverged(votes: DataFrame, maxIters: Int = 10,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIters > 0, s"dawidSkeneConverged: maxIters=$maxIters")
+    graft.core.IterUtil.ensureCheckpointDir(votes.sparkSession, checkpointDir)
+    def cut(df: DataFrame): DataFrame =
+      graft.core.IterUtil.cut(df, checkpointDir.isDefined)
+
+    val first = cut(firstVotes(votes))
+    val majority = cut(majorityOf(first))
+    var consensus = majority.select(col("item"),
+      col("maj_label").as("ref_label"))
+    var prevCut: Option[DataFrame] = None
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = cut(
+        revoteWith(first, weightsAgainst(first, consensus))
+          .select(col("item"), col("ds_label").as("ref_label")))
+      converged = next.as("n")
+        .join(consensus.as("c"), Seq("item"))
+        .filter(col("n.ref_label") =!= col("c.ref_label")).isEmpty
+      prevCut.foreach(graft.core.IterUtil.free)
+      prevCut = Some(next)
+      consensus = next
+      it += 1
+    }
+    // first/majority stay persisted: the returned frame still reads both
+    // (a localCheckpoint's blocks are its ONLY copy — freeing them before
+    // the caller materializes would lose the lineage-cut data)
     first.groupBy(col("item")).agg(count(lit(1)).as("n_votes"))
-      .join(majority, Seq("item")).join(revote, Seq("item"))
+      .join(majority, Seq("item"))
+      .join(consensus.select(col("item"), col("ref_label").as("ds_label")),
+        Seq("item"))
       .select(col("item"), col("n_votes"), col("maj_label"), col("ds_label"),
         when(col("maj_label") =!= col("ds_label"), 1L).otherwise(0L)
           .as("flipped"))

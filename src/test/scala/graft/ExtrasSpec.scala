@@ -286,6 +286,36 @@ class ExtrasSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("x101 fixed point: one iter is the single step; the EM alternation reaches a stable consensus") {
+    import graft.operators.Analytics
+    val votes = Seq(
+      (1L, 1L, "b", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L),
+      (10L, 1L, "y", 4L), (10L, 2L, "z", 5L), (10L, 3L, "a", 6L),
+      (11L, 1L, "y", 7L), (11L, 2L, "z", 8L), (11L, 3L, "a", 9L),
+      (12L, 1L, "y", 10L), (12L, 2L, "z", 11L), (12L, 3L, "a", 12L))
+      .toDF("item", "annotator", "label", "vote_id")
+    // maxIters = 1 IS dawidSkeneStep, row-for-row (the identity contract)
+    val one = Analytics.dawidSkeneConverged(votes, maxIters = 1)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    val step = Analytics.dawidSkeneStep(votes)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(one == step, s"step-1 drifted: $one vs $step")
+    // the fixed point is STABLE: a larger iteration budget lands on the
+    // same consensus (the converged-or-max contract — here convergence
+    // fires well under both budgets)
+    val fixA = Analytics.dawidSkeneConverged(votes, maxIters = 10)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    val fixB = Analytics.dawidSkeneConverged(votes, maxIters = 15)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(fixA == fixB, s"not a fixed point: $fixA vs $fixB")
+    // ds_label carries the FINAL consensus, maj_label stays round-0:
+    // item 1 keeps its round-1 flip at the fixed point (ann3's weight
+    // only grows once its 'a' verdicts become consensus)
+    val byItem = fixA.map(r => r._1 -> r).toMap
+    assert(byItem(1L)._4 == "a" && byItem(1L)._3 == "b" && byItem(1L)._5 == 1L,
+      s"item 1 at the fixed point: ${byItem(1L)}")
+  }
+
   test("x102 url canon: every ladder rule fires; already-canonical passes through") {
     val d = Seq(
       (1L, "HTTPS://WWW.News.Example.com/A/B?utm_source=x&id=2&fbclid=z#top"),
