@@ -1364,26 +1364,13 @@ object Sampling {
   def dsirWeights(raw: DataFrame, target: DataFrame,
                   buckets: Int = DsirBuckets): DataFrame = {
     require(buckets > 0, s"dsirWeights: buckets=$buckets")
-    val b = lit(buckets.toLong)
-    def tokenBuckets(df: DataFrame) = df
-      .select(col("doc_id"),
-        explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("t"))
-      .select(col("doc_id"), (hashBucket(col("t"), DsirSalt) % buckets).as("b"))
-    val tc = tokenBuckets(target).groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val rbd = tokenBuckets(raw).groupBy(col("doc_id"), col("b"))
+    val rbd = tokenBuckets(raw, buckets).groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("n"))
+    // the raw marginal derives FROM the per-doc aggregate so both
+    // subtrees root in the same (doc_id, b) exchange (runtime exchange
+    // reuse — the x67 discipline), not from a second corpus explode
     val rc = rbd.groupBy(col("b")).agg(sum(col("n")).as("rc"))
-    val totals = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
-      .crossJoin(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("rt")))
-    val lam = rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("b"),
-        (round(log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
-            (col("tt") + b).cast("double")), 6).cast("decimal(18,6)")
-          - round(log((col("rc") + lit(1L)).cast("double") /
-            (col("rt") + b).cast("double")), 6).cast("decimal(18,6)"))
-          .as("lam"))
-    val per = rbd.join(lam, Seq("b"))
+    val per = rbd.join(dsirLambda(rc, target, buckets), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"),
         (sum(col("n") * col("lam")).cast("double") / sum(col("n")))
@@ -1391,6 +1378,72 @@ object Sampling {
     raw.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
+
+  private def tokenBuckets(df: DataFrame, buckets: Int): DataFrame = df
+    .select(col("doc_id"),
+      explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("t"))
+    .select(col("doc_id"), (hashBucket(col("t"), DsirSalt) % buckets).as("b"))
+
+  /** The x153 λ table: one row per bucket any RAW token landed in
+    * (`rc`: the (b, rc) raw bucket marginal),
+    * `λ_b = round6(ln p̂_target(b)) − round6(ln p̂_raw(b))` as an exact
+    * DECIMAL(18,6) difference — the model both [[dsirWeights]] and the
+    * persisted [[saveDsirModel]] share verbatim. */
+  private def dsirLambda(rc: DataFrame, target: DataFrame,
+                         buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val tc = tokenBuckets(target, buckets).groupBy(col("b"))
+      .agg(count(lit(1)).as("tc"))
+    val totals = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
+      .crossJoin(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("rt")))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round(log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tt") + b).cast("double")), 6).cast("decimal(18,6)")
+          - round(log((col("rc") + lit(1L)).cast("double") /
+            (col("rt") + b).cast("double")), 6).cast("decimal(18,6)"))
+          .as("lam"))
+  }
+
+  /** Persist the x153 DSIR model: the B-row λ table (bucket →
+    * DECIMAL(18,6) log-ratio) fit once from a (raw, target) corpus pair
+    * — the frozen artifact the live gate
+    * ([[graft.streaming.StreamingOps.dsirStream]]) scores arriving
+    * documents against (the madStream/clipStream frozen-baseline
+    * discipline; at B = 256..10^5 the artifact is KBs). Published
+    * atomically. Buckets NO raw document touched carry no row — the
+    * live face treats them as λ = the all-smoothing ratio is absent, so
+    * such tokens contribute nothing, exactly like the batch face where
+    * they cannot occur. */
+  def saveDsirModel(raw: DataFrame, target: DataFrame, path: String,
+                    buckets: Int = DsirBuckets): Unit =
+    graft.core.Artifacts.publishAtomic(raw.sparkSession, path) { tmp =>
+      dsirLambda(
+          tokenBuckets(raw, buckets).groupBy(col("b"))
+            .agg(count(lit(1)).as("rc")),
+          target, buckets)
+        .write.mode("overwrite").parquet(s"$tmp/lambda")
+    }
+
+  /** Score documents against a frozen λ table (the body both the
+    * batch-vs-model spec face and the streaming gate share): per doc,
+    * the count of MODELED tokens (bucket present in λ) and their avg λ —
+    * identical arithmetic to [[dsirWeights]]' scoring tail when every
+    * token is modeled (same-corpus replay; spec-asserted). explode_outer
+    * keeps zero-token docs in the report (n_tokens 0, null weight — the
+    * oovStream discipline); a token in an unmodeled bucket contributes
+    * to neither numerator nor denominator. */
+  def dsirScoreAgainst(docs: DataFrame, lambda: DataFrame,
+                       buckets: Int = DsirBuckets): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode_outer(graft.operators.TextAnalysis.wsTokens(col("text"))).as("t"))
+      .select(col("doc_id"), (hashBucket(col("t"), DsirSalt) % buckets).as("b"))
+      .join(broadcast(lambda), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("lam")).as("n_tokens"),
+        (sum(col("lam")).cast("double") / count(col("lam"))).as("avg_lr"))
 
   /** The x153 queries() face: src0 is the curated target (the corpus
     * every other source is scored against); everything else is raw. */

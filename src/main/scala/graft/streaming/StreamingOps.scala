@@ -1115,6 +1115,26 @@ object StreamingOps {
       spark.read.parquet(s"$root/grams"))
   }
 
+  // ------------------ streaming DSIR scoring gate (x153's face) ------
+
+  /** Streaming face of [[graft.operators.Sampling.dsirWeights]] (x153):
+    * score each arriving document against the FROZEN DSIR model
+    * ([[graft.operators.Sampling.saveDsirModel]]'s B-row λ table) — the
+    * live importance gate a target-driven selection pipeline runs at
+    * the ingestion edge, the frozen-baseline discipline of the
+    * temperature/OOV/clip gates. One stream-static broadcast join of
+    * exploded token buckets to the λ table plus one UPDATE-mode
+    * aggregate (the oovStream shape); zero-token docs stay in the
+    * report via explode_outer. Over the model's own raw corpus, replay
+    * equals batch x153 row-for-row (spec-asserted). */
+  def dsirStream(docs: DataFrame, modelPath: String,
+                 buckets: Int = graft.operators.Sampling.DsirBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, modelPath)
+    graft.operators.Sampling.dsirScoreAgainst(docs,
+      spark.read.parquet(s"$root/lambda"), buckets)
+  }
+
   // ----------------- streaming curriculum band gate (x150's face) ----
 
   /** Streaming face of [[graft.operators.Sampling.curriculumBands]]

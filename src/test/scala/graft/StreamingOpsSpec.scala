@@ -1382,6 +1382,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate equals batch x153 against the frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val raw = base.filter($"source" =!= "src0").select($"doc_id", $"text")
+    val target = base.filter($"source" === "src0").select($"doc_id", $"text")
+    Sampling.saveDsirModel(raw, target, s"$dir/model")
+    val batch = Sampling.dsirWeights(raw, target)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val rows = raw.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.dsirStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/model")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dsir_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("dsir_out")
+        .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
