@@ -555,6 +555,10 @@ object SparkEntry {
     // target-vs-raw hashed-token likelihood (Xie et al. 2023); the
     // importance-resampling signal behind target-driven data selection.
     "x153_dsir_weights"   -> (Sampling.dsirQuery _),
+    // x154: within-doc duplicate-line signals — the Gopher dup-line
+    // rule grain between x12 (tokens) and x139 (corpus lines); exact
+    // integer line/token repeat mass per document.
+    "x154_line_rep"       -> (Dedup.lineRepetitionQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

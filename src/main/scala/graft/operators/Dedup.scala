@@ -1184,6 +1184,55 @@ object Dedup {
     lineDedup(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  // ------------------------- within-doc line repetition (x154)
+
+  /** x154: WITHIN-DOCUMENT DUPLICATE-LINE SIGNALS — the published
+    * "duplicate line fraction" rule grain (Rae et al. 2021 table A1)
+    * sitting between x12's token/2-gram multiplicity and x139's
+    * CORPUS-level boilerplate cut: per document, how many of its own
+    * [[lineChunks]] lines repeat inside the document and how much token
+    * mass the repeats beyond each first occurrence carry — the spam/
+    * template signature (a scraped page that repeats its nav block five
+    * times scores five dup lines here while x139 only fires if the
+    * block recurs across the corpus). All exact BIGINTs; fractions are
+    * consumer arithmetic (the x12 contract).
+    *
+    * Shape: explode → two-level hash aggregate keyed (doc_id, line)
+    * then doc_id — partial aggregation collapses repeats before the
+    * shuffle and every shuffle key includes doc_id, so a hot LINE never
+    * concentrates on one reducer (x12's skew discipline at line grain);
+    * one doc-grain join back for empty docs. */
+  def lineRepetition(docs: DataFrame, lineTokens: Int = LineTokens): DataFrame = {
+    val per = docs
+      .select(col("doc_id"), explode(lineChunks(col("text"), lineTokens)).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("c"),
+        size(TextAnalysis.wsTokens(col("line"))).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_dup_lines"),
+        sum(when(col("c") > 1L, (col("c") - 1L) * col("len")).otherwise(0L))
+          .as("dup_tokens"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left").na.fill(0L)
+  }
+
+  /** The x154 queries() face: the synthetic corpus has no within-doc
+    * repeats, so the face PLANTS them deterministically (the x97
+    * discipline — the DuckDB twin rebuilds the same corpus): docs with
+    * id ≡ 0 (mod 6) get their own first [[LineTokens]] tokens PREPENDED
+    * — exactly one line width, so line 2 (the original first line)
+    * equals line 1 and every later line keeps its original alignment.
+    * Everything else is the zero-dup negative. */
+  def lineRepetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val first = concat_ws(" ",
+      slice(TextAnalysis.wsTokens(col("text")), 1, LineTokens))
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 6 === 0 && col("text").isNotNull,
+        concat_ws(" ", first, col("text"))).otherwise(col("text")))
+    lineRepetition(planted).orderBy(col("doc_id"))
+  }
+
   /** Persist x139's BOILERPLATE LINE SET — the lines a reference corpus
     * repeats at least `dupMin` times — as the artifact a live ingestion
     * gate scrubs against ([[graft.streaming.StreamingOps.lineDedupStream]]).

@@ -112,6 +112,9 @@ object ExtrasOracle {
     // (bucket identity changes counts, so no engine-local hash here),
     // each ln through the x67 round-at-6 decimal discipline.
     "x153_dsir_weights" -> dsirSql,
+    // x154: within-doc duplicate-line mass over x139's fixed-width
+    // lines, planted by prepending each id%6==0 doc's own first line.
+    "x154_line_rep" -> lineRepSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3496,6 +3499,46 @@ object ExtrasOracle {
        |SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, avg_lr
        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
        |LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.lineRepetitionQuery (x154): identical
+    * first-line plant, fixed-width lines, exact integer repeat mass. */
+  private def lineRepSql: String = {
+    val lt = Dedup.LineTokens
+    s"""WITH planted AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 6 = 0 AND text IS NOT NULL THEN
+       |      array_to_string(
+       |        list_filter(string_split(text, ' '), x -> x <> '')[1:$lt], ' ')
+       |      || ' ' || text
+       |    ELSE text END AS text
+       |  FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM planted),
+       |lines AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    array_to_string(w[(i*$lt+1):(i*$lt+$lt)], ' ') AS line
+       |  FROM toks,
+       |    UNNEST(range(0, CAST(ceil(len(w) / $lt.0) AS BIGINT))) AS t(i)),
+       |grp AS (
+       |  SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(len(list_filter(string_split(line, ' '), x -> x <> ''))
+       |         AS BIGINT) AS len
+       |  FROM lines GROUP BY doc_id, line),
+       |per AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_dup_lines,
+       |    CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END) AS BIGINT)
+       |      AS dup_tokens
+       |  FROM grp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       |  COALESCE(n_dup_lines, CAST(0 AS BIGINT)) AS n_dup_lines,
+       |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
 

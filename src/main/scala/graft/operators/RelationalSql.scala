@@ -1103,6 +1103,7 @@ object RelationalSql {
     "x151_contam_excise" -> exciseSparkSql,
     "x152_leak_probe" -> leakProbeSparkSql,
     "x153_dsir_weights" -> dsirSparkSql,
+    "x154_line_rep" -> lineRepSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -2895,6 +2896,45 @@ object RelationalSql {
        |SELECT d.doc_id, coalesce(n_tokens, 0L) AS n_tokens, avg_lr
        |FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
        |LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Dedup.lineRepetitionQuery (x154). */
+  private def lineRepSparkSql: String = {
+    val lt = Dedup.LineTokens
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 6 = 0 AND text IS NOT NULL THEN
+       |      concat_ws(' ',
+       |        concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, $lt)),
+       |        text)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+       |  FROM planted),
+       |lines AS (
+       |  SELECT doc_id, line FROM toks
+       |  LATERAL VIEW explode(
+       |    CASE WHEN size(w) > 0
+       |      THEN transform(
+       |        sequence(0L, CAST(ceil(size(w) / $lt.0) AS BIGINT) - 1),
+       |        i -> array_join(slice(w, CAST(i * $lt + 1 AS INT), $lt), ' '))
+       |      ELSE CAST(array() AS ARRAY<STRING>) END) t AS line),
+       |grp AS (
+       |  SELECT doc_id, line, COUNT(1) AS c,
+       |    CAST(size(filter(split(line, ' '), x -> x != '')) AS BIGINT) AS len
+       |  FROM lines GROUP BY doc_id, line),
+       |per AS (
+       |  SELECT doc_id, SUM(c) AS n_lines,
+       |    SUM(CASE WHEN c > 1 THEN c ELSE 0L END) AS n_dup_lines,
+       |    SUM(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0L END) AS dup_tokens
+       |  FROM grp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_lines, 0L) AS n_lines,
+       |  COALESCE(n_dup_lines, 0L) AS n_dup_lines,
+       |  COALESCE(dup_tokens, 0L) AS dup_tokens
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
 

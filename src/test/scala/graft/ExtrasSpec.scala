@@ -3391,6 +3391,34 @@ class ExtrasSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("x154 line repetition: within-doc repeats count, cross-doc repeats don't") {
+    import graft.operators.Dedup
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")   // one full line
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val tail5 = (1 to 5).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $a $b"),        // line a twice + b: 3 lines, 2 dup, 10 dup tokens
+      (2L, s"$a $tail5"),       // doc 1's line a again — CROSS-doc, no dup here
+      (3L, s"$a $b $tail5"),    // 3 lines, no repeats
+      (4L, ""))                 // token-less: zero lines
+      .toDF("doc_id", "text")
+    val out = Dedup.lineRepetition(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 10L)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 0L, 0L)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, 0L, 0L)), s"got ${out(3L)}")
+    assert(out(4L) == ((4L, 0L, 0L, 0L)), s"got ${out(4L)}")
+    // the query face's plant: prepending one line width makes line 2
+    // (the doc's own original first line) equal line 1 — every id%6==0
+    // doc with >= one full line reports dup mass
+    val planted = Dedup.lineRepetitionQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(planted.exists(r => r._1 % 6 == 0 && r._3 >= 2L),
+      "plant produced no within-doc dup lines")
+    assert(planted.filter(_._1 % 6 != 0).forall(_._3 == 0L),
+      "unplanted doc reports dup lines")
+  }
+
   test("x153 DSIR weights: target-like docs outscore alien docs; zero-token docs are null reports") {
     import graft.operators.Sampling
     val target = Seq((900L, "alpha beta gamma delta alpha beta"))

@@ -72,8 +72,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // proved the semantics portable)
     // plus x77's zone map, the unrolled deterministic k-means chain
     // (x78/x83/x92), and x101's closed-form Dawid-Skene round,
-    // plus the r15 x152 per-doc leakage probe and x153 DSIR weights
-    assert(RelationalSql.extrasSql.size == 139)
+    // plus the r15 trio: x152 per-doc leakage probe, x153 DSIR weights,
+    // x154 within-doc line repetition
+    assert(RelationalSql.extrasSql.size == 140)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
