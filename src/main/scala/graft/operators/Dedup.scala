@@ -1197,23 +1197,40 @@ object Dedup {
     * block recurs across the corpus). All exact BIGINTs; fractions are
     * consumer arithmetic (the x12 contract).
     *
-    * Shape: explode → two-level hash aggregate keyed (doc_id, line)
-    * then doc_id — partial aggregation collapses repeats before the
-    * shuffle and every shuffle key includes doc_id, so a hot LINE never
-    * concentrates on one reducer (x12's skew discipline at line grain);
-    * one doc-grain join back for empty docs. */
+    * Shape: the signal is PER-DOCUMENT, so it never leaves the row — the
+    * doc's lines sort IN-ROW (sort_array) and duplicates are adjacent-
+    * equal runs: one narrow projection, NO shuffle at all (explode +
+    * (doc, line) re-aggregate would shuffle the whole corpus to compute
+    * a quantity each row already holds). O(L log L) per doc via the
+    * sort — never the O(L²) per-element rescan (the x151 lesson). Like
+    * x147/x148 the projection IS its own streaming face, and at 100 TB
+    * it fuses into whatever scan consumes it. */
   def lineRepetition(docs: DataFrame, lineTokens: Int = LineTokens): DataFrame = {
-    val per = docs
-      .select(col("doc_id"), explode(lineChunks(col("text"), lineTokens)).as("line"))
-      .groupBy(col("doc_id"), col("line"))
-      .agg(count(lit(1)).as("c"),
-        size(TextAnalysis.wsTokens(col("line"))).cast("long").as("len"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_lines"),
-        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_dup_lines"),
-        sum(when(col("c") > 1L, (col("c") - 1L) * col("len")).otherwise(0L))
-          .as("dup_tokens"))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left").na.fill(0L)
+    import graft.functions.VectorFunctions.bindArray
+    val sig = bindArray(sort_array(lineChunks(col("text"), lineTokens))) { s =>
+      val n = size(s)
+      // idx is 1-based (element_at): element i is part of a duplicate
+      // run iff it equals either sorted neighbor
+      val dupFlags = filter(sequence(lit(1), n), i =>
+        (i > 1 && element_at(s, i) === element_at(s, i - 1)) ||
+          (i < n && element_at(s, i) === element_at(s, i + 1)))
+      // each repeat BEYOND the first of a content: positions equal to
+      // their left neighbor; its token mass is the removable dup mass
+      val repeatTokens = aggregate(
+        filter(sequence(lit(1), n), i =>
+          i > 1 && element_at(s, i) === element_at(s, i - 1)),
+        lit(0L),
+        (acc, i) => acc +
+          size(TextAnalysis.wsTokens(element_at(s, i))).cast("long"))
+      struct(n.cast("long").as("n_lines"),
+        size(dupFlags).cast("long").as("n_dup_lines"),
+        repeatTokens.as("dup_tokens"))
+    }
+    docs.select(col("doc_id"), sig.as("_s"))
+      .select(col("doc_id"),
+        coalesce(col("_s.n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("_s.n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("_s.dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
   /** The x154 queries() face: the synthetic corpus has no within-doc

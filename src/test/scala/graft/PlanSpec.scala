@@ -317,8 +317,8 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x147/x148: quality gates are shuffle-free narrow projections") {
-    for (name <- Seq("x147_gopher_rules", "x148_readability")) {
+  test("x147/x148/x154: quality gates are shuffle-free narrow projections") {
+    for (name <- Seq("x147_gopher_rules", "x148_readability", "x154_line_rep")) {
       val p = plan(name)
       // the ONLY exchange is the presentation ORDER BY's range
       // partitioning; the gate itself must stay map-side (at 100 TB it

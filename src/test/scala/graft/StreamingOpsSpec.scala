@@ -1317,6 +1317,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line repetition: the x154 projection runs as-is on a stream, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // x154 is per-document and in-row (sorted adjacent-equal runs), so
+    // like x147/x148 the operator IS its own streaming face
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    val batch = Dedup.lineRepetition(base)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = Dedup.lineRepetition(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("line_rep_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("line_rep_out")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming curriculum gate equals batch x150 bands against the frozen edges") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
