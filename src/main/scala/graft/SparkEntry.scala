@@ -559,6 +559,19 @@ object SparkEntry {
     // rule grain between x12 (tokens) and x139 (corpus lines); exact
     // integer line/token repeat mass per document.
     "x154_line_rep"       -> (Dedup.lineRepetitionQuery _),
+    // x155: seed-labeled NB quality classifier (CCNet/fastText) —
+    // hashed unigram+bigram features, curated-vs-crawl log-odds plus
+    // prior, and the gate decision; x153's supervised counterpart.
+    "x155_nb_quality"     -> (TextAnalysis.nbQualityQuery _),
+    // x156: DoReMi-style domain reweighting — one exponentiated-
+    // gradient step on the mixture, driven by each source's excess
+    // cross-entropy under the corpus token model; x68's needs-based
+    // upgrade.
+    "x156_doremi"         -> (Sampling.doremiQuery _),
+    // x157: exact-substring self-dedup (Lee et al. 2022) — every
+    // corpus-repeated k-gram span cut from all but its globally first
+    // occurrence; the rewrite x13 only counts.
+    "x157_self_excise"    -> (Dedup.selfExciseQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1377,4 +1377,74 @@ object Dedup {
     exciseContamination(docs.filter(!isRef), docs.filter(isRef))
       .orderBy(col("doc_id"))
   }
+
+  // --------------------------------- corpus self-excision (x157)
+
+  /** The x157 occurrence-id stride: occurrences order by
+    * doc_id·2^20 + position, so the "first occurrence" is well defined
+    * up to documents of 2^20 tokens (declared bound — a 1M-token
+    * document is pathological at any SF; beyond it the keeper CHOICE
+    * could differ, never the cut semantics). */
+  private[graft] val SelfExciseStride: Long = 1L << 20
+
+  /** x157: EXACT-SUBSTRING SELF-DEDUP — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * suffix-array move re-expressed at k-gram grain: every k-token
+    * span that occurs MORE THAN ONCE ANYWHERE in the corpus (across
+    * documents or inside one) is cut from every occurrence EXCEPT the
+    * globally first (min doc_id·stride + position), and each document
+    * reassembles from what survives. This closes the dedup family's
+    * remaining gap: x01/x44 drop whole exact copies, x02/x46 drop
+    * whole near-copies, x151 cuts spans found in an EXTERNAL
+    * reference, x13 [[dupSpans]] only COUNTS self-duplicated spans — x157
+    * is the rewrite that keeps exactly one copy of every repeated
+    * passage corpus-wide (boilerplate headers, licence blocks, quoted
+    * chain mail) while preserving each document's unique remainder.
+    *
+    * Shape at scale: one positional-gram explode → gram-keyed count +
+    * argmin aggregate (the inverted-index shape; partial aggregation
+    * collapses within-partition repeats) → the occurrence stream joins
+    * back only the DUPLICATED grams (the repeated tail of the gram
+    * distribution — small next to the corpus; AQE broadcasts it when
+    * it fits and handles hot-gram skew when it does not) → hit-grain
+    * position sets per doc → the x151 in-row rewrite (sorted position
+    * set + binary-search filter inside the document row; the corpus is
+    * never exploded to token grain for the cut). `hashGrams = true` is
+    * the 100 TB form: identical plan, 8-byte shuffle keys (x44's
+    * carrier discipline — collisions can only over-cut a span pair in
+    * 2^-64, which the default never does). */
+  def selfExcise(docs: DataFrame, k: Int = 4,
+                 hashGrams: Boolean = false): DataFrame = {
+    require(k > 0, s"selfExcise: k=$k")
+    val cand = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+    val occ = cand
+      .select(col("doc_id"), posexplode(
+        graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(col("w"), k)))
+      .toDF("doc_id", "g", "gram")
+      .select(col("doc_id"), col("g"),
+        gramKey(col("gram"), hashGrams).as("gram"))
+    val oid = col("doc_id") * SelfExciseStride + col("g")
+    val dup = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), min(oid).as("keep_oid"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"), col("keep_oid"))
+    val dropped = occ.join(dup, Seq("gram"))
+      .filter(oid =!= col("keep_oid"))
+      .select(col("doc_id"),
+        explode(sequence(col("g"), col("g") + (k - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p"))).as("dp"))
+    cand.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("dp")), lit(0)).cast("long").as("n_dropped"),
+        md5(concat_ws(" ",
+          filter(col("w"), (t, i) =>
+            !graft.functions.expressions.NativeExpressions.sortedArrayContains(
+              coalesce(col("dp"), lit(Array.empty[Int])), i)))).as("out_key"))
+  }
+
+  def selfExciseQuery(spark: SparkSession, dir: String): DataFrame =
+    selfExcise(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 }

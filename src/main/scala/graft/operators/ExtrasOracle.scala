@@ -115,6 +115,18 @@ object ExtrasOracle {
     // x154: within-doc duplicate-line mass over x139's fixed-width
     // lines, planted by prepending each id%6==0 doc's own first line.
     "x154_line_rep" -> lineRepSql,
+    // x155: seed-labeled NB quality classifier — md5 feature buckets
+    // (x153's cross-engine discipline), each ln rounded at 6 into
+    // DECIMAL, log-odds an exact decimal dot product + prior.
+    "x155_nb_quality" -> nbQualitySql,
+    // x156: DoReMi exponentiated-gradient domain reweighting — excess
+    // cross-entropy under the corpus bucket model, round-at-6 before
+    // AND after the exp, exact decimal normalization sum.
+    "x156_doremi" -> doremiSql,
+    // x157: exact-substring self-dedup — corpus-repeated 4-gram spans
+    // cut everywhere but the min-(doc,pos) occurrence; same rewrite
+    // tail as x151 (1-based positions internal only).
+    "x157_self_excise" -> selfExciseSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3502,6 +3514,115 @@ object ExtrasOracle {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of TextAnalysis.nbQualityQuery (x155): identical md5
+    * unigram+bigram feature buckets, add-one smoothed class
+    * conditionals, each ln rounded at 6 into DECIMAL(18,6), the
+    * per-doc log-odds an exact decimal dot product plus the prior,
+    * cast to double once at the output (x153's discipline). */
+  private def nbQualitySql: String = {
+    val b = TextAnalysis.NbBuckets
+    def bkt(tok: String) = s"${bucketSql(tok, TextAnalysis.NbSalt)} % $b"
+    s"""WITH lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END
+       |         AS BIGINT) AS y,
+       |    text
+       |  FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM lab WHERE text IS NOT NULL),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, y, ${bkt("t.term")} AS bk FROM (
+       |    SELECT doc_id, y, unnest(w) AS term FROM toks
+       |    UNION ALL
+       |    SELECT doc_id, y, w[g] || ' ' || w[g+1] AS term
+       |    FROM toks, UNNEST(range(1, len(w))) AS t(g)) t),
+       |dbc AS MATERIALIZED (
+       |  SELECT doc_id, y, bk, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM feats GROUP BY 1, 2, 3),
+       |cb AS MATERIALIZED (
+       |  SELECT bk,
+       |    CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS pc,
+       |    CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS nc
+       |  FROM dbc GROUP BY bk),
+       |tot AS (
+       |  SELECT CAST(coalesce(SUM(pc), 0) AS BIGINT) AS pt,
+       |         CAST(coalesce(SUM(nc), 0) AS BIGINT) AS nt FROM cb),
+       |wts AS MATERIALIZED (
+       |  SELECT bk,
+       |    CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(pt + $b AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6))
+       |    - CAST(round(ln(CAST(nc + 1 AS DOUBLE) / CAST(nt + $b AS DOUBLE)), 6)
+       |           AS DECIMAL(18,6)) AS wb
+       |  FROM cb CROSS JOIN tot),
+       |pri AS (
+       |  SELECT CAST(round(ln(CAST(coalesce(SUM(y), 0) + 1 AS DOUBLE)
+       |      / CAST(COUNT(*) - coalesce(SUM(y), 0) + 1 AS DOUBLE)), 6)
+       |    AS DECIMAL(18,6)) AS w0
+       |  FROM lab),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+       |    SUM(n * wb) AS s
+       |  FROM dbc JOIN wts USING (bk) GROUP BY doc_id)
+       |SELECT l.doc_id, l.y,
+       |  CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(w0 + coalesce(s, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS log_odds,
+       |  CAST(CASE WHEN w0 + coalesce(s, CAST(0 AS DECIMAL(18,6))) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM lab l LEFT JOIN sc USING (doc_id) CROSS JOIN pri
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Sampling.doremiQuery (x156): identical md5 token
+    * buckets, round-at-6 decimal log-probs, exact decimal dot products
+    * with one double division per domain, round-at-6 before and after
+    * the exp, exact decimal normalization sum, ::DOUBLE literals so the
+    * linear form never enters DuckDB decimal arithmetic. */
+  private def doremiSql: String = {
+    val b = Sampling.DoremiBuckets
+    val keep = s"(${Sampling.DoremiKeep})::DOUBLE"
+    val smooth = s"(${Sampling.DoremiSmooth})::DOUBLE"
+    val eta = s"(${Sampling.DoremiEta})::DOUBLE"
+    def bkt(tok: String) = s"${bucketSql(tok, Sampling.DoremiSalt)} % $b"
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, ${bkt("t.term")} AS b FROM (
+       |    SELECT source,
+       |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |    FROM documents) t),
+       |sbc AS MATERIALIZED (
+       |  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tok GROUP BY 1, 2),
+       |cb AS MATERIALIZED (
+       |  SELECT b, CAST(SUM(n) AS BIGINT) AS cn FROM sbc GROUP BY b),
+       |nt AS (SELECT CAST(coalesce(SUM(cn), 0) AS BIGINT) AS nn FROM cb),
+       |lp AS MATERIALIZED (
+       |  SELECT b, cn,
+       |    CAST(round(ln(CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM cb CROSS JOIN nt),
+       |h AS (
+       |  SELECT -CAST(SUM(cn * lp) AS DOUBLE)
+       |    / CAST((SELECT nn FROM nt) AS DOUBLE) AS h FROM lp),
+       |ce AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |    -CAST(SUM(n * lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ce
+       |  FROM sbc JOIN lp USING (b) GROUP BY source),
+       |ex AS MATERIALIZED (
+       |  SELECT source, n_tokens, ce,
+       |    greatest(round(ce - h, 6), (0)::DOUBLE) AS excess,
+       |    CAST(round(exp($eta * greatest(round(ce - h, 6), (0)::DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS e
+       |  FROM ce CROSS JOIN h),
+       |nrm AS (
+       |  SELECT SUM(e) AS se, CAST(COUNT(*) AS DOUBLE) AS k FROM ex)
+       |SELECT source, n_tokens, ce, excess,
+       |  $keep * (CAST(e AS DOUBLE) / CAST(se AS DOUBLE)) + $smooth / k
+       |    AS weight
+       |FROM ex CROSS JOIN nrm
+       |ORDER BY source""".stripMargin
+  }
+
   /** DuckDB twin of Dedup.lineRepetitionQuery (x154): identical
     * first-line plant, fixed-width lines, exact integer repeat mass. */
   private def lineRepSql: String = {
@@ -3576,6 +3697,46 @@ object ExtrasOracle {
       |  md5(coalesce(out, '')) AS out_key
       |FROM cand c LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Dedup.selfExciseQuery (x157): identical keeper
+    * rule (min doc_id·2^20 + position over each duplicated gram's
+    * occurrences — both engines' position bases shift every occurrence
+    * equally, so the argmin picks the same one), x151's rewrite tail. */
+  private def selfExciseSql: String = {
+    val stride = Dedup.SelfExciseStride
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, g,
+       |    w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] AS gram
+       |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
+       |keepers AS MATERIALIZED (
+       |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    MIN(doc_id * $stride + g) AS keep_oid
+       |  FROM occ GROUP BY gram),
+       |cut AS MATERIALIZED (
+       |  SELECT o.doc_id, o.g
+       |  FROM occ o JOIN keepers k USING (gram)
+       |  WHERE k.cnt >= 2 AND o.doc_id * $stride + o.g <> k.keep_oid),
+       |dropped AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, p FROM cut, UNNEST(range(g, g + 4)) AS t(p)),
+       |tokens AS (
+       |  SELECT doc_id, p, w[p] AS tok
+       |  FROM cand, UNNEST(range(1, len(w) + 1)) AS t(p)),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM tokens t
+       |  ANTI JOIN dropped d ON t.doc_id = d.doc_id AND t.p = d.p),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS out
+       |  FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(len(c.w) AS BIGINT) AS n_tokens,
+       |  CAST(len(c.w) - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(out, '')) AS out_key
+       |FROM cand c LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of Sampling.curriculumQuery (x150): the window form
     * of the engine's distributed global rank; integer band edges. */

@@ -1104,6 +1104,9 @@ object RelationalSql {
     "x152_leak_probe" -> leakProbeSparkSql,
     "x153_dsir_weights" -> dsirSparkSql,
     "x154_line_rep" -> lineRepSparkSql,
+    "x155_nb_quality" -> nbQualitySparkSql,
+    "x156_doremi" -> doremiSparkSql,
+    "x157_self_excise" -> selfExciseSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -2936,6 +2939,123 @@ object RelationalSql {
        |  COALESCE(dup_tokens, 0L) AS dup_tokens
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of TextAnalysis.nbQualityQuery (x155). */
+  private def nbQualitySparkSql: String = {
+    val b = TextAnalysis.NbBuckets
+    def bkt(tok: String) =
+      s"CAST(conv(substring(md5(concat($tok, ':${TextAnalysis.NbSalt}')), 1, 8), 16, 10) AS BIGINT) % $b"
+    s"""WITH lab AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, y, filter(split(text, ' '), x -> x != '') AS w
+       |  FROM lab WHERE text IS NOT NULL),
+       |feats AS (
+       |  SELECT doc_id, y, ${bkt("term")} AS bk FROM toks
+       |  LATERAL VIEW explode(concat(w, word_shingles_all(w, 2))) t AS term),
+       |dbc AS (SELECT doc_id, y, bk, COUNT(1) AS n FROM feats GROUP BY 1, 2, 3),
+       |cb AS (
+       |  SELECT bk, SUM(CASE WHEN y = 1 THEN n ELSE 0L END) AS pc,
+       |         SUM(CASE WHEN y = 0 THEN n ELSE 0L END) AS nc
+       |  FROM dbc GROUP BY bk),
+       |tot AS (SELECT coalesce(SUM(pc), 0L) AS pt, coalesce(SUM(nc), 0L) AS nt FROM cb),
+       |wts AS (
+       |  SELECT bk,
+       |    CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(pt + $b AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |    - CAST(round(ln(CAST(nc + 1 AS DOUBLE) / CAST(nt + $b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wb
+       |  FROM cb CROSS JOIN tot),
+       |pri AS (
+       |  SELECT CAST(round(ln(CAST(coalesce(SUM(y), 0L) + 1 AS DOUBLE)
+       |      / CAST(COUNT(1) - coalesce(SUM(y), 0L) + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w0
+       |  FROM lab),
+       |sc AS (
+       |  SELECT doc_id, SUM(n) AS n_feats, SUM(n * wb) AS s
+       |  FROM dbc JOIN wts USING (bk) GROUP BY doc_id)
+       |SELECT l.doc_id, l.y, coalesce(n_feats, 0L) AS n_feats,
+       |  CAST(w0 + coalesce(s, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS log_odds,
+       |  CAST(CASE WHEN w0 + coalesce(s, CAST(0 AS DECIMAL(18,6))) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM lab l LEFT JOIN sc USING (doc_id) CROSS JOIN pri
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.doremiQuery (x156). */
+  private def doremiSparkSql: String = {
+    val b = Sampling.DoremiBuckets
+    val keep = s"CAST(${Sampling.DoremiKeep} AS DOUBLE)"
+    val smooth = s"CAST(${Sampling.DoremiSmooth} AS DOUBLE)"
+    val eta = s"CAST(${Sampling.DoremiEta} AS DOUBLE)"
+    def bkt(tok: String) =
+      s"CAST(conv(substring(md5(concat($tok, ':${Sampling.DoremiSalt}')), 1, 8), 16, 10) AS BIGINT) % $b"
+    s"""WITH tok AS (
+       |  SELECT source, ${bkt("term")} AS b FROM documents
+       |  LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS term),
+       |sbc AS (SELECT source, b, COUNT(1) AS n FROM tok GROUP BY 1, 2),
+       |cb AS (SELECT b, SUM(n) AS cn FROM sbc GROUP BY b),
+       |nt AS (SELECT coalesce(SUM(cn), 0L) AS nn FROM cb),
+       |lp AS (
+       |  SELECT b, cn,
+       |    CAST(round(ln(CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM cb CROSS JOIN nt),
+       |h AS (
+       |  SELECT -CAST(SUM(cn * lp) AS DOUBLE)
+       |    / CAST((SELECT nn FROM nt) AS DOUBLE) AS h FROM lp),
+       |ce AS (
+       |  SELECT source, SUM(n) AS n_tokens,
+       |    -CAST(SUM(n * lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ce
+       |  FROM sbc JOIN lp USING (b) GROUP BY source),
+       |ex AS (
+       |  SELECT source, n_tokens, ce,
+       |    greatest(round(ce - h, 6), CAST(0 AS DOUBLE)) AS excess,
+       |    CAST(round(exp($eta * greatest(round(ce - h, 6), CAST(0 AS DOUBLE))), 6)
+       |         AS DECIMAL(18,6)) AS e
+       |  FROM ce CROSS JOIN h),
+       |nrm AS (SELECT SUM(e) AS se, CAST(COUNT(1) AS DOUBLE) AS k FROM ex)
+       |SELECT source, n_tokens, ce, excess,
+       |  $keep * (CAST(e AS DOUBLE) / CAST(se AS DOUBLE)) + $smooth / k AS weight
+       |FROM ex CROSS JOIN nrm
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Spark-SQL face of Dedup.selfExciseQuery (x157). */
+  private def selfExciseSparkSql: String = {
+    val stride = Dedup.SelfExciseStride
+    s"""WITH cand AS (
+       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |occ AS (
+       |  SELECT doc_id, g, gram FROM cand
+       |  LATERAL VIEW posexplode(word_shingles_all(w, 4)) t AS g, gram),
+       |keepers AS (
+       |  SELECT gram, COUNT(1) AS cnt, MIN(doc_id * $stride + g) AS keep_oid
+       |  FROM occ GROUP BY gram),
+       |cut AS (
+       |  SELECT o.doc_id, o.g FROM occ o JOIN keepers k USING (gram)
+       |  WHERE k.cnt >= 2 AND o.doc_id * $stride + o.g != k.keep_oid),
+       |dropped AS (
+       |  SELECT DISTINCT doc_id, p FROM cut
+       |  LATERAL VIEW explode(sequence(g, g + 3)) t AS p),
+       |tokens AS (
+       |  SELECT doc_id, p, tok FROM cand
+       |  LATERAL VIEW posexplode(w) t AS p, tok),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM tokens t
+       |  LEFT ANTI JOIN dropped d ON t.doc_id = d.doc_id AND t.p = d.p),
+       |agg AS (
+       |  SELECT doc_id, COUNT(1) AS n_kept,
+       |    concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))),
+       |      s -> s.tok)) AS out
+       |  FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(size(w) AS BIGINT) AS n_tokens,
+       |  CAST(size(w) - coalesce(n_kept, 0L) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(out, '')) AS out_key
+       |FROM cand c LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Spark-SQL face of Dedup.exciseQuery (x151). */

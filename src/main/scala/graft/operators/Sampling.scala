@@ -1473,4 +1473,107 @@ object Sampling {
                         numPartitions: Int = 0): DataFrame =
     curriculumBands(docs, bands, numPartitions)
       .groupBy(col("band")).agg(min(col("n_tokens")).as("lo"))
+
+  // ----------------------------- DoReMi domain reweighting (x156)
+
+  /** x156's bucket count, hash salt, step size and smoothing mix,
+    * shared with both SQL twins. */
+  private[graft] val DoremiBuckets: Int = 256
+  private[graft] val DoremiSalt: String = "doremi"
+  private[graft] val DoremiEta: Double = 1.0
+  private[graft] val DoremiSmooth: Double = 0.2
+  /** 1 − [[DoremiSmooth]] as its OWN literal: computing `1.0 - 0.2` in
+    * IEEE gives 0.7999…889 while the twin's parsed "0.8" is
+    * 0.8000…044 — the two engines must start from the same double. */
+  private[graft] val DoremiKeep: Double = 0.8
+
+  /** x156: DOREMI-STYLE DOMAIN REWEIGHTING (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): one exponentiated-gradient step over the
+    * per-domain mixture weights, upweighting domains with EXCESS LOSS.
+    * The published method measures excess loss as proxy-model minus
+    * reference-model loss per domain; a data engine has no models, so
+    * this face uses the principled stand-in it CAN measure exactly:
+    * each domain's cross-entropy under the corpus-wide hashed-token
+    * unigram distribution, in excess of the corpus's own entropy — a
+    * domain whose tokens are corpus-rare "surprises" the corpus model
+    * exactly like a high-loss domain surprises the reference (real
+    * deployments feed measured per-domain losses into the same update;
+    * the update arithmetic is what this operator owns). Update:
+    * α_s ∝ exp(η·excess_s), then mixed (1−c)·softmax + c·uniform —
+    * the paper's smoothing. The x68 temperature mixer reweights by
+    * SIZE alone; x156 reweights by distributional NEED, and its output
+    * column drives the same [[keepAtRate]] sampler.
+    *
+    * Determinism: bucket log-probs round-at-6 into DECIMAL(18,6) (the
+    * x153 model); each domain's Σ c_sb·lp_b is an exact decimal dot
+    * product with ONE double division per domain; excess rounds at 6
+    * BEFORE exp, exp rounds at 6 into DECIMAL for the exact
+    * normalization sum; the final weight is one double division plus
+    * literal-constant arithmetic (the x148 linear-form discipline).
+    *
+    * Scale shape: the domain grain is SMALL (tens of sources) — every
+    * table after the one (source, bucket) hash aggregate is K- or
+    * B-row; the corpus marginal derives FROM the per-source aggregate
+    * so both subtrees root in one exchange (exchange reuse, the x153
+    * discipline). The corpus never shuffles wider than
+    * (source, bucket, count). */
+  def doremiWeights(docs: DataFrame,
+                    buckets: Int = DoremiBuckets): DataFrame = {
+    require(buckets > 0, s"doremiWeights: buckets=$buckets")
+    val sbc = docs
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("t"))
+      .select(col("source"),
+        (hashBucket(col("t"), DoremiSalt) % buckets).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+    val cb = sbc.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+    val nTot = cb.agg(coalesce(sum(col("cn")), lit(0L)).as("nn"))
+    // bucket log-prob under the corpus model (negative; rounded decimal)
+    val lp = cb.crossJoin(broadcast(nTot))
+      .select(col("b"), col("cn"),
+        round(log(col("cn").cast("double") / col("nn").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    // corpus entropy H = −Σ_b cn·lp / N (the shared reference loss)
+    val h = lp.crossJoin(broadcast(nTot))
+      .agg((-sum(col("cn") * col("lp")).cast("double") / first(col("nn")))
+        .as("h"))
+    val ce = sbc.join(broadcast(lp.select(col("b"), col("lp"))), Seq("b"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        (-sum(col("n") * col("lp")).cast("double") / sum(col("n")))
+          .as("ce"))
+    val ex = ce.crossJoin(broadcast(h))
+      .select(col("source"), col("n_tokens"), col("ce"),
+        greatest(round(col("ce") - col("h"), 6), lit(0.0d)).as("excess"))
+      .withColumn("e",
+        round(exp(lit(DoremiEta) * col("excess")), 6).cast("decimal(18,6)"))
+    val norm = ex.agg(sum(col("e")).as("se"),
+      count(lit(1)).cast("double").as("k"))
+    ex.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_tokens"), col("ce"), col("excess"),
+        (lit(DoremiKeep)
+          * (col("e").cast("double") / col("se").cast("double"))
+          + lit(DoremiSmooth) / col("k")).as("weight"))
+  }
+
+  def doremiQuery(spark: SparkSession, dir: String): DataFrame =
+    doremiWeights(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
+
+  /** The x156 weights as a frozen (source, rate) KEEP-RATE artifact:
+    * each mixture weight normalized by the maximum, so the most-needed
+    * domain keeps everything and the rest thin proportionally. Feed
+    * [[applyRates]] — including on a STREAM
+    * ([[graft.streaming.StreamingOps.temperatureMixStream]]) — to admit
+    * later data at the DoReMi balance: the same frozen-gate discipline
+    * as [[temperatureRatesOf]], with need-driven rates in place of
+    * size-driven ones (spec-asserted composition). */
+  def doremiRatesOf(docs: DataFrame,
+                    buckets: Int = DoremiBuckets): DataFrame = {
+    val wts = doremiWeights(docs, buckets).select(col("source"), col("weight"))
+    val top = wts.agg(max(col("weight")).as("_w_max"))
+    wts.crossJoin(broadcast(top))
+      .select(col("source"), (col("weight") / col("_w_max")).as("rate"))
+  }
 }

@@ -1500,4 +1500,168 @@ object TextAnalysis {
     readability(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  // ------------------- seed-labeled quality classifier (x155)
+
+  /** x155's feature-bucket count and hash salt, shared with both SQL
+    * twins. 256 is the demo setting; fastText-style deployments hash
+    * into 10^5..10^6 buckets — the plan shape is B-independent. */
+  private[graft] val NbBuckets: Int = 256
+  private[graft] val NbSalt: String = "nbq"
+
+  /** Hashed unigram + bigram feature buckets of a labeled document set:
+    * (doc_id, y, bk) — one row per feature OCCURRENCE (counts matter to
+    * the multinomial model). The bigrams ride the same native shingle
+    * kernel as x03/x67; the bucket hash is the cross-engine md5 image
+    * ([[Sampling.hashBucket]] — bucket identity changes the counts, so
+    * it can never be engine-local xxhash). */
+  private def nbFeatures(labeled: DataFrame, buckets: Int): DataFrame = {
+    val w = wsTokens(col("text"))
+    labeled.select(col("doc_id"), col("y"),
+        explode(concat(w, graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(w, 2))).as("t"))
+      .select(col("doc_id"), col("y"),
+        (Sampling.hashBucket(col("t"), NbSalt) % buckets).as("bk"))
+  }
+
+  /** x155: SEED-LABELED QUALITY CLASSIFIER — the CCNet/fastText move
+    * (Wenzek et al. 2020; Joulin et al. 2017): train a multinomial
+    * Naive Bayes model on hashed unigram+bigram features with a seed
+    * labeling (curated sources positive, the crawl negative) and score
+    * every document's log-odds of being curated-like. This is the
+    * SUPERVISED counterpart to x153's unsupervised importance weight:
+    * x153 asks "how target-like is this token distribution", x155 asks
+    * "which side of a labeled boundary does this document fall on",
+    * adds the class prior, and emits a DECISION (`pred`) a funnel rule
+    * (x79) can consume directly. Real deployments train on seeds and
+    * score fresh crawls — that split is [[saveNbModel]] /
+    * [[nbScoreAgainst]]; this face trains and scores one corpus.
+    *
+    * Determinism: per-bucket weight w_b = round6(ln p̂(b|pos)) −
+    * round6(ln p̂(b|neg)) (add-one smoothed) as an exact DECIMAL(18,6)
+    * difference, prior w0 = round6(ln((n_pos+1)/(n_neg+1))); each doc's
+    * log-odds = w0 + Σ_b n_db·w_b is an exact decimal dot product, cast
+    * to double ONCE at the output column, and `pred` compares the exact
+    * decimal against zero — the x67/x153 discipline end to end.
+    *
+    * Scale shape: the per-(doc, y, bk) aggregate is referenced twice
+    * (class-conditional marginals and scoring) — both subtrees root in
+    * the same exchange, which runtime exchange reuse collapses (the
+    * x153 discipline); the label rides the feature stream so no
+    * doc-grain join happens before the final report join. The weight
+    * and prior tables are B-row / 1-row broadcasts; the corpus never
+    * shuffles wider than (doc_id, y, bucket, count). Zero-feature docs
+    * score the PRIOR alone (n_feats 0) — the principled posterior, not
+    * a null. */
+  def nbQualityClassifier(docs: DataFrame, positive: Column,
+                          buckets: Int = NbBuckets): DataFrame = {
+    require(buckets > 0, s"nbQualityClassifier: buckets=$buckets")
+    val b = lit(buckets.toLong)
+    val labeled = docs.select(col("doc_id"),
+      when(positive, 1L).otherwise(0L).as("y"), col("text"))
+    val dbc = nbFeatures(labeled, buckets)
+      .groupBy(col("doc_id"), col("y"), col("bk"))
+      .agg(count(lit(1)).as("n"))
+    val classBucket = dbc.groupBy(col("bk"))
+      .agg(sum(when(col("y") === 1L, col("n")).otherwise(0L)).as("pc"),
+        sum(when(col("y") === 0L, col("n")).otherwise(0L)).as("nc"))
+    val totals = classBucket.agg(
+      coalesce(sum(col("pc")), lit(0L)).as("pt"),
+      coalesce(sum(col("nc")), lit(0L)).as("nt"))
+    val weights = classBucket.crossJoin(broadcast(totals))
+      .select(col("bk"),
+        (round(log((col("pc") + lit(1L)).cast("double") /
+            (col("pt") + b).cast("double")), 6).cast("decimal(18,6)")
+          - round(log((col("nc") + lit(1L)).cast("double") /
+            (col("nt") + b).cast("double")), 6).cast("decimal(18,6)"))
+          .as("wb"))
+    val prior = labeled.agg(
+      round(log((coalesce(sum(col("y")), lit(0L)) + lit(1L)).cast("double") /
+        (count(lit(1)) - coalesce(sum(col("y")), lit(0L)) + lit(1L))
+          .cast("double")), 6).cast("decimal(18,6)").as("w0"))
+    val scored = dbc.join(broadcast(weights), Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("wb")).as("s"))
+    val zeroS = lit(0).cast("decimal(18,6)")
+    labeled.select(col("doc_id"), col("y"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("y"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        (col("w0") + coalesce(col("s"), zeroS)).cast("double").as("log_odds"),
+        when(col("w0") + coalesce(col("s"), zeroS) > 0, 1L).otherwise(0L)
+          .as("pred"))
+  }
+
+  /** The x155 queries() face: the x16/x151 seed convention — src0/src1
+    * stand in as the curated positives, everything else is the crawl. */
+  def nbQualityQuery(spark: SparkSession, dir: String): DataFrame =
+    nbQualityClassifier(Tables.load(spark, dir, "documents"),
+      col("source").isin("src0", "src1"))
+      .orderBy(col("doc_id"))
+
+  /** Persist the x155 NB model: the B-row (bk, wb) weight table plus
+    * the 1-row prior — the frozen artifact the live gate
+    * ([[graft.streaming.StreamingOps.nbGateStream]]) scores arriving
+    * documents against (the saveDsirModel discipline; KBs at any
+    * realistic B). Published atomically. The training arithmetic is
+    * [[nbQualityClassifier]]'s verbatim — one body, two faces. */
+  def saveNbModel(docs: DataFrame, positive: Column, path: String,
+                  buckets: Int = NbBuckets): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      val b = lit(buckets.toLong)
+      val labeled = docs.select(col("doc_id"),
+        when(positive, 1L).otherwise(0L).as("y"), col("text"))
+      val classBucket = nbFeatures(labeled, buckets)
+        .groupBy(col("bk"))
+        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pc"),
+          sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nc"))
+      val totals = classBucket.agg(
+        coalesce(sum(col("pc")), lit(0L)).as("pt"),
+        coalesce(sum(col("nc")), lit(0L)).as("nt"))
+      classBucket.crossJoin(broadcast(totals))
+        .select(col("bk"),
+          (round(log((col("pc") + lit(1L)).cast("double") /
+              (col("pt") + b).cast("double")), 6).cast("decimal(18,6)")
+            - round(log((col("nc") + lit(1L)).cast("double") /
+              (col("nt") + b).cast("double")), 6).cast("decimal(18,6)"))
+            .as("wb"))
+        .write.mode("overwrite").parquet(s"$tmp/weights")
+      labeled.agg(
+          round(log((coalesce(sum(col("y")), lit(0L)) + lit(1L)).cast("double") /
+            (count(lit(1)) - coalesce(sum(col("y")), lit(0L)) + lit(1L))
+              .cast("double")), 6).cast("decimal(18,6)").as("w0"))
+        .write.mode("overwrite").parquet(s"$tmp/prior")
+    }
+
+  /** Score documents against a frozen NB model (the body the
+    * batch-vs-model spec face and the live gate share): per doc, the
+    * count of MODELED feature occurrences and w0 + their weight sum —
+    * identical arithmetic to [[nbQualityClassifier]]'s scoring tail
+    * when every feature is modeled (same-corpus replay;
+    * spec-asserted). explode_outer keeps featureless docs in the
+    * report (they score the prior, exactly like the batch face); a
+    * feature in an unmodeled bucket contributes to neither count nor
+    * sum (the dsirScoreAgainst discipline). The live face necessarily
+    * omits the batch face's `y` column — an arriving document carries
+    * no label. */
+  def nbScoreAgainst(docs: DataFrame, weights: DataFrame, prior: DataFrame,
+                     buckets: Int = NbBuckets): DataFrame = {
+    val w = wsTokens(col("text"))
+    val zeroS = lit(0).cast("decimal(18,6)")
+    docs
+      .select(col("doc_id"),
+        explode_outer(concat(w, graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(w, 2))).as("t"))
+      .select(col("doc_id"),
+        (Sampling.hashBucket(col("t"), NbSalt) % buckets).as("bk"))
+      .join(broadcast(weights), Seq("bk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("wb")).as("n_feats"),
+        coalesce(sum(col("wb")), zeroS).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_feats"),
+        (col("w0") + col("s")).cast("double").as("log_odds"),
+        when(col("w0") + col("s") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
 }

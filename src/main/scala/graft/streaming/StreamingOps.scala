@@ -1135,6 +1135,29 @@ object StreamingOps {
       spark.read.parquet(s"$root/lambda"), buckets)
   }
 
+  // --------------- streaming NB quality gate (x155's face) -----------
+
+  /** Streaming face of
+    * [[graft.operators.TextAnalysis.nbQualityClassifier]] (x155):
+    * score each arriving document's curated-vs-crawl log-odds against
+    * the FROZEN NB model ([[graft.operators.TextAnalysis.saveNbModel]]'s
+    * weight + prior artifact) and emit the gate decision — the live
+    * quality classifier every CCNet-style ingestion front-end runs
+    * (train on seeds batch-side, gate the crawl live). Stateless: one
+    * broadcast join per micro-batch plus a per-doc aggregate; the
+    * dsirStream frozen-model discipline. Same-corpus replay equals the
+    * batch x155 report row-for-row modulo the label column no live
+    * document carries (spec-asserted). */
+  def nbGateStream(docs: DataFrame, modelPath: String,
+                   buckets: Int = graft.operators.TextAnalysis.NbBuckets)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, modelPath)
+    graft.operators.TextAnalysis.nbScoreAgainst(docs,
+      spark.read.parquet(s"$root/weights"),
+      spark.read.parquet(s"$root/prior"), buckets)
+  }
+
   // ----------------- streaming curriculum band gate (x150's face) ----
 
   /** Streaming face of [[graft.operators.Sampling.curriculumBands]]

@@ -3523,4 +3523,72 @@ class ExtrasSpec extends SparkSpec {
     (0L to 2L).foreach { b =>
       assert(byBand(b)._2 < byBand(b + 1)._1, s"band $b overlaps ${b + 1}") }
   }
+
+  test("x155 NB classifier: separable vocab classifies; featureless docs score the prior") {
+    import graft.operators.TextAnalysis
+    val posText = "solid careful prose with varied real words"
+    val negText = "buy click buy click spam offer spam offer"
+    val docs = ((1L to 6L).map(i => (i, posText)) ++
+      (11L to 16L).map(i => (i, negText)) ++
+      Seq((30L, ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.nbQualityClassifier(docs, col("doc_id") <= 6L)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    (1L to 6L).foreach { i =>
+      assert(out(i)._5 == 1L && out(i)._4 > 0, s"positive doc $i: ${out(i)}") }
+    (11L to 16L).foreach { i =>
+      assert(out(i)._5 == 0L && out(i)._4 < 0, s"negative doc $i: ${out(i)}") }
+    // the featureless doc scores the PRIOR alone: 6 positives vs 7
+    // negatives -> w0 = round6(ln(7/8)) < 0 -> pred 0, n_feats 0
+    val w0 = BigDecimal(math.log(7.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(30L)._3 == 0L && out(30L)._4 == w0 && out(30L)._5 == 0L,
+      s"featureless doc: ${out(30L)} expected log_odds $w0")
+  }
+
+  test("x156 DoReMi: corpus-rare domains upweight; weights are a smoothed simplex") {
+    import graft.operators.Sampling
+    // "common" dominates the corpus model; "alien"'s tokens are rare
+    val docs = ((1L to 9L).map(i => (i, "the quick brown fox jumps", "common")) ++
+      Seq((20L, "zorkmid frobnitz quux xyzzy grue", "alien")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.doremiWeights(docs)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("alien")._4 > 0 && out("common")._4 == 0.0,
+      s"excess: $out")
+    assert(out("alien")._5 > out("common")._5,
+      s"alien domain must upweight: $out")
+    val total = out.values.map(_._5).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1: $total")
+    // the smoothing floor: no domain below c/K
+    val floor = Sampling.DoremiSmooth / out.size
+    assert(out.values.forall(_._5 >= floor - 1e-12), s"floor broken: $out")
+  }
+
+  test("x157 self-excision: repeated spans keep their first occurrence only") {
+    import graft.operators.Dedup
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Seq(
+      (1L, "h1 h2 h3 h4 a b c"),        // first occurrence of h1..h4: kept
+      (2L, "x y h1 h2 h3 h4 z"),        // cross-doc repeat: cut
+      (3L, "p q r s t"),                // first occurrence: kept
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4"),  // WITHIN-doc repeat: second half cut
+      (5L, "p q r s t"),                // exact copy of doc 3: fully cut
+      (6L, null))                       // null text: absent (x151 contract)
+      .toDF("doc_id", "text")
+    val out = Dedup.selfExcise(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 7L, 0L, md5("h1 h2 h3 h4 a b c"))), s"${out(1L)}")
+    assert(out(2L) == ((2L, 7L, 4L, md5("x y z"))), s"${out(2L)}")
+    assert(out(3L) == ((3L, 5L, 0L, md5("p q r s t"))), s"${out(3L)}")
+    assert(out(4L) == ((4L, 8L, 4L, md5("r1 r2 r3 r4"))), s"${out(4L)}")
+    assert(out(5L) == ((5L, 5L, 5L, md5(""))), s"${out(5L)}")
+    assert(!out.contains(6L), "null-text doc emitted")
+    // hashed-carrier form is row-identical (the x44 equivalence)
+    val hashed = Dedup.selfExcise(docs, hashGrams = true)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(hashed == out, "hashGrams=true must not change the rewrite")
+  }
 }

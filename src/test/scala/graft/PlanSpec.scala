@@ -349,6 +349,33 @@ class PlanSpec extends SparkSpec {
       s"token-grain anti-join resurfaced:\n$p")
   }
 
+  test("x155/x156: model tables broadcast; no unkeyed product; no window") {
+    for (name <- Seq("x155_nb_quality", "x156_doremi")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: unkeyed product in the model pipeline:\n$p")
+      assert(!p.contains("Window"),
+        s"$name: window crept into an aggregate-only pipeline:\n$p")
+      // the B-row weight/log-prob table must ride a broadcast into the
+      // scoring join — the corpus side must never shuffle for the model
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: model table is not broadcast:\n$p")
+    }
+  }
+
+  test("x157: self-excision joins only duplicated grams; rewrite stays at doc grain") {
+    val p = plan("x157_self_excise")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"probe must stay equi-join-shaped:\n$p")
+    // the rewrite is filter-with-index INSIDE the row (x151's tail) — a
+    // per-(doc, pos) anti-join must never come back
+    assert(!p.contains("LeftAnti"),
+      s"token-grain anti-join resurfaced:\n$p")
+    // the keeper table derives from a gram-keyed aggregate (the
+    // inverted-index shape), not a window over occurrences
+    assert(!p.contains("Window"), s"window over the occurrence stream:\n$p")
+  }
+
   test("x152: probe joins on hashed gram keys, never gram text; no unkeyed product") {
     val p = plan("x152_leak_probe")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -73,8 +73,10 @@ class SqlSurfaceSpec extends SparkSpec {
     // plus x77's zone map, the unrolled deterministic k-means chain
     // (x78/x83/x92), and x101's closed-form Dawid-Skene round,
     // plus the r15 trio: x152 per-doc leakage probe, x153 DSIR weights,
-    // x154 within-doc line repetition
-    assert(RelationalSql.extrasSql.size == 140)
+    // x154 within-doc line repetition,
+    // plus the r15 second wave: x155 NB quality classifier, x156
+    // DoReMi reweighting, x157 exact-substring self-excision
+    assert(RelationalSql.extrasSql.size == 143)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

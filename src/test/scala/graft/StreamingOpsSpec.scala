@@ -1434,6 +1434,66 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB quality gate equals batch x155 against the frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("nb_model").toString
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val positive = $"source".isin("src0", "src1")
+    TextAnalysis.saveNbModel(base, positive, s"$dir/model")
+    // the live face drops the label column no arriving doc carries
+    val batch = TextAnalysis.nbQualityClassifier(base, positive)
+      .select($"doc_id", $"n_feats", $"log_odds", $"pred")
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val rows = base.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.nbGateStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/model")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("nb_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("nb_out")
+        .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
+  test("x156 rates drive the live mixer: frozen DoReMi gate admits at the need balance") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val rates = Sampling.doremiRatesOf(base)
+    val rateMap = rates.as[(String, Double)].collect().toMap
+    // the most-needed domain keeps everything; every rate is a valid
+    // admission fraction
+    assert(rateMap.values.max == 1.0 && rateMap.values.forall(r => r > 0 && r <= 1.0),
+      s"rates not normalized: $rateMap")
+    val batch = Sampling.applyRates(
+        base.select($"doc_id", $"source"), rates, $"doc_id", "doremi")
+      .select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet
+    val rows = base.select($"doc_id", $"source").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.temperatureMixStream(
+        stream.toDF().toDF("doc_id", "source"), rates, $"doc_id", "doremi")
+      .select($"doc_id", $"source")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doremi_mix_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("doremi_mix_out").as[(Long, String)].collect().toSet
+      assert(got == batch, s"live admission drifted from batch: " +
+        s"${(batch -- got).take(3)} missing, ${(got -- batch).take(3)} extra")
+    } finally q.stop()
+  }
+
   test("streaming rate bursts equal batch x126 against the frozen moments") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
