@@ -572,6 +572,10 @@ object SparkEntry {
     // corpus-repeated k-gram span cut from all but its globally first
     // occurrence; the rewrite x13 only counts.
     "x157_self_excise"    -> (Dedup.selfExciseQuery _),
+    // x158: embedding principal axis + per-vector projection — power
+    // iteration on the exact decimal Gram matrix (drift/whitening/
+    // anisotropy audits); only d² rows ever cross the wire.
+    "x158_pca_proj"       -> (Similarity.pcaProjectionQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

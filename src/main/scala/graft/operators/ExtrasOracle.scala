@@ -127,6 +127,11 @@ object ExtrasOracle {
     // cut everywhere but the min-(doc,pos) occurrence; same rewrite
     // tail as x151 (1-based positions internal only).
     "x157_self_excise" -> selfExciseSql,
+    // x158: embedding principal axis — exact decimal Gram matrix, the
+    // power iteration UNROLLED as CTE stages with the engine's
+    // round-at-6 re-synchronization at every step, x45's sequential
+    // double fold for the projection.
+    "x158_pca_proj" -> pcaProjSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3736,6 +3741,55 @@ object ExtrasOracle {
        |  md5(coalesce(out, '')) AS out_key
        |FROM cand c LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.pcaProjectionQuery (x158): the exact
+    * decimal Gram matrix (components through the x73
+    * FLOAT→DOUBLE→DECIMAL(18,4) hop), then [[Similarity.PcaIters]]
+    * power-iteration steps UNROLLED as CTE stages — each step one exact
+    * decimal matvec (scale 14), the engine's round-at-6 double
+    * re-synchronization, one exact decimal norm (scale 12) — and the
+    * x45 sequential-fold projection. Value-identical to the engine's
+    * driver-side BigDecimal iteration because every inexact operation
+    * happens in the same place with the same rounding. */
+  private def pcaProjSql: String = {
+    val iters = Similarity.PcaIters
+    val steps = (1 to iters).map { t =>
+      s"""y$t AS MATERIALIZED (
+         |  SELECT g.j AS i, SUM(g.gv * x${t - 1}.x) AS y
+         |  FROM g JOIN x${t - 1} ON g.i = x${t - 1}.i GROUP BY g.j),
+         |n$t AS (
+         |  SELECT sqrt(CAST(SUM(yd * yd) AS DOUBLE)) AS nrm FROM
+         |    (SELECT CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS yd
+         |     FROM y$t) s),
+         |x$t AS MATERIALIZED (
+         |  SELECT i, CAST(round(round(CAST(y AS DOUBLE), 6) / nrm, 6)
+         |         AS DECIMAL(12,6)) AS x
+         |  FROM y$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT i, j,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))
+       |           * CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(18,4)))
+       |         AS DECIMAL(24,8)) AS gv
+       |  FROM embeddings,
+       |    UNNEST(range(1, len(embedding) + 1)) AS a(i),
+       |    UNNEST(range(1, len(embedding) + 1)) AS b(j)
+       |  GROUP BY 1, 2),
+       |dims AS (SELECT DISTINCT i FROM g),
+       |x0 AS MATERIALIZED (
+       |  SELECT i, CAST(round(1.0 / sqrt((SELECT CAST(COUNT(*) AS DOUBLE)
+       |                                   FROM dims)), 6)
+       |         AS DECIMAL(12,6)) AS x
+       |  FROM dims),
+       |$steps,
+       |axis AS (
+       |  SELECT list(CAST(x AS DOUBLE) ORDER BY i) AS a FROM x$iters)
+       |SELECT vec_id, label,
+       |  CAST(CAST(round(list_dot_product(embedding::DOUBLE[], axis.a), 6)
+       |       AS DECIMAL(18,6)) AS DOUBLE) AS proj
+       |FROM embeddings, axis
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB twin of Sampling.curriculumQuery (x150): the window form

@@ -1107,6 +1107,7 @@ object RelationalSql {
     "x155_nb_quality" -> nbQualitySparkSql,
     "x156_doremi" -> doremiSparkSql,
     "x157_self_excise" -> selfExciseSparkSql,
+    "x158_pca_proj" -> pcaProjSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -3056,6 +3057,52 @@ object RelationalSql {
        |  md5(coalesce(out, '')) AS out_key
        |FROM cand c LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Similarity.pcaProjectionQuery (x158): the
+    * whole power iteration IN-ENGINE as unrolled CTE stages — a second
+    * physical strategy for the same arithmetic (the engine face
+    * iterates the collected d×d matrix driver-side), value-identical
+    * because every inexact step rounds at the same place. */
+  private def pcaProjSparkSql: String = {
+    val iters = Similarity.PcaIters
+    val steps = (1 to iters).map { t =>
+      s"""y$t AS (
+         |  SELECT g.j AS i, SUM(g.gv * x${t - 1}.x) AS y
+         |  FROM g JOIN x${t - 1} ON g.i = x${t - 1}.i GROUP BY g.j),
+         |n$t AS (
+         |  SELECT sqrt(CAST(SUM(yd * yd) AS DOUBLE)) AS nrm FROM
+         |    (SELECT CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS yd
+         |     FROM y$t) s),
+         |x$t AS (
+         |  SELECT i, CAST(round(round(CAST(y AS DOUBLE), 6) / nrm, 6)
+         |         AS DECIMAL(12,6)) AS x
+         |  FROM y$t CROSS JOIN n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT i, j,
+       |    CAST(SUM(CAST(vi AS DECIMAL(18,4)) * CAST(vj AS DECIMAL(18,4)))
+       |         AS DECIMAL(24,8)) AS gv
+       |  FROM embeddings
+       |  LATERAL VIEW posexplode(embedding) a AS i, vi
+       |  LATERAL VIEW posexplode(embedding) b AS j, vj
+       |  GROUP BY 1, 2),
+       |dims AS (SELECT DISTINCT i FROM g),
+       |x0 AS (
+       |  SELECT i, CAST(round(1.0 / sqrt((SELECT CAST(COUNT(1) AS DOUBLE)
+       |                                   FROM dims)), 6)
+       |         AS DECIMAL(12,6)) AS x
+       |  FROM dims),
+       |$steps,
+       |axis AS (
+       |  SELECT transform(array_sort(collect_list(struct(i, x))),
+       |           s -> CAST(s.x AS DOUBLE)) AS a
+       |  FROM x$iters)
+       |SELECT vec_id, label,
+       |  CAST(CAST(round(dot_product(embedding, axis.a), 6)
+       |       AS DECIMAL(18,6)) AS DOUBLE) AS proj
+       |FROM embeddings CROSS JOIN axis
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Spark-SQL face of Dedup.exciseQuery (x151). */

@@ -1081,4 +1081,101 @@ object Similarity {
       .filter(col("rank") <= CentroidOutlierK)
       .orderBy(col("label"), col("rank"))
   }
+
+  // --------------------------- embedding principal axis (x158)
+
+  /** x158's power-iteration count, shared with both SQL twins. Eight
+    * steps from the uniform start separate PC1 on any spectrum with a
+    * non-trivial eigengap; the CONTRACT is "exactly [[PcaIters]] steps",
+    * so both engines land on the identical axis whether or not the
+    * iteration has numerically converged. */
+  private[graft] val PcaIters: Int = 8
+
+  /** x158: EMBEDDING PRINCIPAL AXIS + PER-VECTOR PROJECTION — the PCA
+    * move every embedding-space curation step leans on (drift
+    * monitoring between crawl snapshots, whitening before ANN indexing,
+    * anisotropy audits à la Ethayarajh 2019): the corpus's top
+    * principal direction by power iteration on the Gram matrix
+    * G = Σ_d v_d·v_dᵀ, then each vector's coordinate along it.
+    *
+    * Determinism (the reason this is oracle-checkable AT ALL): every
+    * Gram entry is an exact DECIMAL dot product (components through the
+    * x73 FLOAT→DOUBLE→DECIMAL(18,4) hop, products at scale 8, sums
+    * exact); each power-iteration step does the one inexact operation
+    * — the normalize — in double with a round-at-6 on both the matvec
+    * image and the normalized component, so engines re-synchronize at
+    * every step (the x67 discipline, iterated); the final projection is
+    * the x45 sequential double fold rounded at 6. The matvec
+    * Σ_i G(i,j)·x_i is exact decimal at scale 14 (24,8 × 12,6 — chosen
+    * to stay inside DECIMAL(38) on every engine).
+    *
+    * Scale shape: the Gram build is the ONLY corpus-sized work — two
+    * chained in-row posexplodes (d² rows per vector) into a d²-key hash
+    * aggregate, where partial aggregation collapses everything map-side
+    * before a d²-row shuffle (at d = 64: 4096 rows TOTAL cross the
+    * wire, whatever the corpus size). The iteration itself runs on the
+    * collected d×d matrix — a driver-side collect BOUNDED BY d², the
+    * codebook discipline, never corpus-sized — and the axis returns to
+    * the executors as a 64-literal array in the projection, a narrow
+    * shuffle-free map over the corpus. One corpus scan for G, one for
+    * the projection. */
+  def pcaProjection(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    import graft.core.Determinism.dec
+    require(iters > 0, s"pcaProjection: iters=$iters")
+    val withI = emb.select(col("embedding"), posexplode(col("embedding")))
+      .toDF("e", "i", "vi")
+    val gram = withI.select(col("i"), col("vi"), posexplode(col("e")))
+      .toDF("i", "vi", "j", "vj")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(dec(col("vi")) * dec(col("vj"))).cast("decimal(24,8)").as("gv"))
+    val rows = gram.collect()
+    require(rows.nonEmpty, "pcaProjection: empty embedding table")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    val g = Array.ofDim[java.math.BigDecimal](d, d)
+    rows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2))
+    val axis = powerIterate(g, d, iters)
+    val axisCol = array(axis.map(lit): _*)
+    emb.select(col("vec_id"), col("label"),
+      round(dot(col("embedding"), axisCol), 6)
+        .cast("decimal(18,6)").cast("double").as("proj"))
+  }
+
+  /** [[PcaIters]] exact-replay power-iteration steps on the collected
+    * Gram matrix — BigDecimal products/sums exact (identical to the SQL
+    * twins' bounded-precision decimals: scale 14 matvec terms, scale 12
+    * norm squares, both inside DECIMAL(38)), doubles only where the
+    * twins cast, rounds HALF_UP at 6 exactly where the twins round. */
+  private def powerIterate(g: Array[Array[java.math.BigDecimal]], d: Int,
+                           iters: Int): Array[Double] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // valueOf (shortest decimal repr), not new JBD (exact expansion):
+    // Spark's round(double, 6) goes through scala BigDecimal(d) =
+    // java valueOf — the driver mirror must round the SAME image
+    def round6(v: Double): JBD =
+      JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+    // x0_i = round6(1/sqrt(d)), the uniform start (exactly 0.125 at d=64)
+    var x: Array[JBD] = Array.fill(d)(round6(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { j =>
+        var acc = JBD.ZERO
+        var i = 0
+        while (i < d) {
+          if (g(i)(j) != null) acc = acc.add(g(i)(j).multiply(x(i)))
+          i += 1
+        }
+        acc
+      }
+      // the twins' re-synchronization point: matvec image to double,
+      // rounded at 6 (yd), exact decimal norm of the rounded vector
+      val yd = y.map(v => round6(v.doubleValue))
+      val norm = math.sqrt(
+        yd.foldLeft(JBD.ZERO)((a, v) => a.add(v.multiply(v))).doubleValue)
+      x = yd.map(v => round6(v.doubleValue / norm))
+    }
+    x.map(_.doubleValue)
+  }
+
+  def pcaProjectionQuery(spark: SparkSession, dir: String): DataFrame =
+    pcaProjection(Tables.load(spark, dir, "embeddings"))
+      .orderBy(col("vec_id"))
 }

@@ -3566,6 +3566,34 @@ class ExtrasSpec extends SparkSpec {
     assert(out.values.forall(_._5 >= floor - 1e-12), s"floor broken: $out")
   }
 
+  test("x158 PCA projection: a planted dominant axis is recovered") {
+    import graft.operators.Similarity
+    // 40 vectors hugging the e0/e1 diagonal (the planted PC1) with a
+    // tiny alternating off-axis wiggle, split into two opposite lobes
+    val d = 8
+    val vecs = (0 until 40).map { k =>
+      val sign = if (k % 2 == 0) 1.0f else -1.0f
+      val base = Array.fill(d)(0.0f)
+      base(0) = 10.0f * sign; base(1) = 10.0f * sign
+      base(2 + (k % 3)) = 0.5f * (if (k % 4 < 2) 1.0f else -1.0f)
+      (k.toLong, base.toSeq, k % 2)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Similarity.pcaProjection(emb)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    // the two lobes project to opposite signs of (nearly) equal
+    // magnitude ~ |v| = sqrt(200); off-axis energy is ~0.5
+    val pos = out.values.filter(_._2 == 0).map(_._3)
+    val neg = out.values.filter(_._2 == 1).map(_._3)
+    assert(pos.forall(p => math.abs(math.abs(p) - math.sqrt(200.0)) < 1.0),
+      s"magnitude off: ${pos.take(3)}")
+    assert(pos.map(math.signum).toSet.size == 1 &&
+      neg.map(math.signum).toSet.size == 1 &&
+      math.signum(pos.head) == -math.signum(neg.head),
+      s"lobes must project to opposite signs: ${pos.head}, ${neg.head}")
+  }
+
   test("x157 self-excision: repeated spans keep their first occurrence only") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

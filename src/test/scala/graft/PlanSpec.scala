@@ -363,6 +363,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x158: the projection plan is scan-and-map — the axis rides as a literal") {
+    val p = plan("x158_pca_proj")
+    // the Gram aggregate + driver iteration happen at plan-BUILD time
+    // on d² rows; the emitted per-corpus plan must be x147-class: one
+    // presentation-sort exchange, no join, no aggregate — at 100 TB the
+    // projection fuses into whatever scan consumes it
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"projection must be a pure map over the corpus:\n$p")
+  }
+
   test("x157: self-excision joins only duplicated grams; rewrite stays at doc grain") {
     val p = plan("x157_self_excise")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

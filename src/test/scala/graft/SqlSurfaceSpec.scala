@@ -75,8 +75,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // plus the r15 trio: x152 per-doc leakage probe, x153 DSIR weights,
     // x154 within-doc line repetition,
     // plus the r15 second wave: x155 NB quality classifier, x156
-    // DoReMi reweighting, x157 exact-substring self-excision
-    assert(RelationalSql.extrasSql.size == 143)
+    // DoReMi reweighting, x157 exact-substring self-excision, and
+    // x158's in-engine unrolled power iteration (the engine face
+    // iterates the collected d×d Gram driver-side — two strategies,
+    // one arithmetic)
+    assert(RelationalSql.extrasSql.size == 144)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
