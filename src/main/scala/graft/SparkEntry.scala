@@ -576,6 +576,10 @@ object SparkEntry {
     // iteration on the exact decimal Gram matrix (drift/whitening/
     // anisotropy audits); only d² rows ever cross the wire.
     "x158_pca_proj"       -> (Similarity.pcaProjectionQuery _),
+    // x159: CCNet perplexity buckets — the x67 LM score turned into
+    // the published head/middle/tail curation grain via the
+    // distributed global rank; samplers consume the band.
+    "x159_ccnet_buckets"  -> (Sampling.ccnetBucketsQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

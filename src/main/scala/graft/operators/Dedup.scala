@@ -1447,4 +1447,25 @@ object Dedup {
 
   def selfExciseQuery(spark: SparkSession, dir: String): DataFrame =
     selfExcise(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Persist x157's REPEATED-SPAN SET — the k-grams the corpus contains
+    * more than once — as the artifact a live ingestion gate excises
+    * arriving documents against: the frozen corpus already keeps its
+    * first occurrence of every repeated span, so a NEW document quoting
+    * any of them is by construction never the keeper and the whole
+    * matching span cuts. The live face is
+    * [[graft.streaming.StreamingOps.exciseStream]] UNCHANGED — same
+    * `grams` layout as [[saveDecontamIndex]], one gate, two indexes
+    * (benchmark text vs corpus boilerplate; spec-asserted equal to
+    * batch [[selfExcise]] over corpus ∪ arrival). Narrow by
+    * construction: the index is the repeated TAIL of the span
+    * distribution, not the corpus. Published atomically. */
+  def saveDupSpanIndex(docs: DataFrame, path: String, k: Int = 4): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      positionalGrams(docs.filter(col("text").isNotNull), k,
+          hashGrams = false)
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("gram")
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+    }
 }

@@ -132,6 +132,10 @@ object ExtrasOracle {
     // round-at-6 re-synchronization at every step, x45's sequential
     // double fold for the projection.
     "x158_pca_proj" -> pcaProjSql,
+    // x159: CCNet perplexity buckets — the x67 LM body verbatim, the
+    // window form of the engine's distributed global rank, exact
+    // integer band edges (the x150 equivalence).
+    "x159_ccnet_buckets" -> ccnetSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -1106,6 +1110,52 @@ object ExtrasOracle {
       |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, avg_logp
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of Sampling.ccnetBucketsQuery (x159): the x67 LM
+    * pipeline verbatim, then the window form of the engine's
+    * distributed (avg_logp, doc_id) rank over the SCORED population
+    * and integer band edges — x150's strategy equivalence. */
+  private def ccnetSql: String = {
+    val b = Sampling.CcnetBuckets
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, w[g] AS w1, w[g+1] AS w2
+       |  FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(g)),
+       |docbg AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS dc
+       |  FROM bg GROUP BY 1, 2, 3),
+       |corpus AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(SUM(dc) AS BIGINT) AS c12 FROM docbg GROUP BY 1, 2),
+       |ctx AS MATERIALIZED (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM corpus GROUP BY 1),
+       |v AS (SELECT COUNT(DISTINCT t.term) AS v
+       |      FROM toks, UNNEST(w) AS t(term)),
+       |scored AS (
+       |  SELECT doc_id, dc,
+       |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM docbg JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+       |per AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(dc * lp) AS DOUBLE) / SUM(dc) AS avg_logp
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY avg_logp, doc_id) AS BIGINT)
+       |      AS "rank",
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM per WHERE avg_logp IS NOT NULL)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  p.avg_logp, r."rank",
+       |  CAST(($b * (r."rank" - 1)) // r.n AS BIGINT) AS bucket
+       |FROM documents d
+       |LEFT JOIN per p USING (doc_id)
+       |LEFT JOIN ranked r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB twin of TextAnalysis.pmiQuery (x70): exact integer marginal
     * window sums; the float image is the SAME expression shape on both

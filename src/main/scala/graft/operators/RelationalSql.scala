@@ -1108,6 +1108,7 @@ object RelationalSql {
     "x156_doremi" -> doremiSparkSql,
     "x157_self_excise" -> selfExciseSparkSql,
     "x158_pca_proj" -> pcaProjSparkSql,
+    "x159_ccnet_buckets" -> ccnetSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -1333,6 +1334,45 @@ object RelationalSql {
       |SELECT d.doc_id, coalesce(n_bigrams, 0L) AS n_bigrams, avg_logp
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Spark-SQL face of Sampling.ccnetBucketsQuery (x159): the x67 LM
+    * body plus the WINDOW form of the engine's distributed rank —
+    * x150's strategy equivalence, value-identical. */
+  private def ccnetSparkSql: String = {
+    val b = Sampling.CcnetBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id, substring_index(bb, ' ', 1) AS w1,
+       |         substring_index(bb, ' ', -1) AS w2
+       |  FROM toks LATERAL VIEW explode(word_shingles_all(w, 2)) t AS bb),
+       |docbg AS (SELECT doc_id, w1, w2, COUNT(1) AS dc FROM bg GROUP BY 1, 2, 3),
+       |corpus AS (SELECT w1, w2, SUM(dc) AS c12 FROM docbg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, SUM(c12) AS c1 FROM corpus GROUP BY 1),
+       |v AS (SELECT COUNT(DISTINCT term) AS v
+       |      FROM toks LATERAL VIEW explode(w) t AS term),
+       |scored AS (
+       |  SELECT doc_id, dc,
+       |    CAST(round(ln(CAST(c12 + 1L AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM docbg JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+       |per AS (
+       |  SELECT doc_id, SUM(dc) AS n_bigrams,
+       |    CAST(SUM(dc * lp) AS DOUBLE) / SUM(dc) AS avg_logp
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY avg_logp, doc_id) AS BIGINT) AS rank,
+       |    CAST(COUNT(1) OVER () AS BIGINT) AS n
+       |  FROM per WHERE avg_logp IS NOT NULL)
+       |SELECT d.doc_id, coalesce(p.n_bigrams, 0L) AS n_bigrams,
+       |  p.avg_logp, r.rank,
+       |  CAST(($b * (r.rank - 1)) div r.n AS BIGINT) AS bucket
+       |FROM documents d
+       |LEFT JOIN per p USING (doc_id)
+       |LEFT JOIN ranked r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Spark-SQL twin of TextAnalysis.pmiQuery (x70). */
   private def pmiSparkSql: String =

@@ -1561,6 +1561,49 @@ object Sampling {
     doremiWeights(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
 
+  // ---------------------------- CCNet perplexity buckets (x159)
+
+  /** x159's band count, shared with both SQL twins. */
+  private[graft] val CcnetBuckets: Int = 3
+
+  /** x159: CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): rank every document by its x67 LM score (mean bigram
+    * log-probability — higher reads more fluent) and split the scored
+    * population into [[CcnetBuckets]] equal rank bands: at the default
+    * 3, band 2 is the published "head" (kept for pretraining), 1 the
+    * "middle", 0 the "tail" (dropped or down-sampled). This is the
+    * selection rule the CCNet pipeline runs after its LM pass — x67
+    * produces the score, x159 turns it into the curation decision
+    * grain, and the x40/x19 samplers consume the band. Docs with no
+    * bigrams carry a null rank/bucket (a report, not a filter).
+    *
+    * Shape: the LM report is built ONCE (the bounded-cache discipline —
+    * three references would otherwise re-run the x67 pipeline three
+    * times); the global rank is the x150 distributed prefix scan, never
+    * a single-task Window sort; the band arithmetic is exact integers. */
+  def ccnetBuckets(docs: DataFrame, buckets: Int = CcnetBuckets,
+                   numPartitions: Int = 0): DataFrame = {
+    require(buckets > 0, s"ccnetBuckets: buckets=$buckets")
+    val scored = graft.core.Caches.bounded(
+      graft.operators.TextAnalysis.lmDocScore(docs))
+    val s = scored.filter(col("avg_logp").isNotNull)
+    val ranked = groupedRanks(s.withColumn("_g", lit(1)), Seq("_g"),
+        Seq(col("avg_logp"), col("doc_id")), "rank", numPartitions)
+      .drop("_g")
+    val banded = ranked
+      .crossJoin(broadcast(s.groupBy().agg(count(lit(1)).as("_n"))))
+      .select(col("doc_id"), col("rank"),
+        expr(s"($buckets * (rank - 1)) div _n").as("bucket"))
+    scored.join(banded, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        col("rank"), col("bucket"))
+  }
+
+  def ccnetBucketsQuery(spark: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** The x156 weights as a frozen (source, rate) KEEP-RATE artifact:
     * each mixture weight normalized by the maximum, so the most-needed
     * domain keeps everything and the rest thin proportionally. Feed

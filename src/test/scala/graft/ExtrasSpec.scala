@@ -3594,6 +3594,30 @@ class ExtrasSpec extends SparkSpec {
       s"lobes must project to opposite signs: ${pos.head}, ${neg.head}")
   }
 
+  test("x159 CCNet buckets: equal rank bands ordered by LM score; unscored docs null") {
+    import graft.operators.Sampling
+    val out = Sampling.ccnetBucketsQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Option[Double], Option[Long], Option[Long])].collect()
+    val scored = out.filter(_._3.isDefined)
+    assert(scored.nonEmpty, "vacuous: nothing scored")
+    // unscored docs are a report row with null rank/bucket
+    out.filter(_._3.isEmpty).foreach { r =>
+      assert(r._4.isEmpty && r._5.isEmpty, s"unscored doc got a band: $r") }
+    // bands are rank-contiguous: the (score, id) order separates them
+    val byBucket = scored.groupBy(_._5.get)
+    assert(byBucket.keySet == Set(0L, 1L, 2L), s"bands: ${byBucket.keySet}")
+    def key(r: (Long, Long, Option[Double], Option[Long], Option[Long])) =
+      (r._3.get, r._1)
+    (0L to 1L).foreach { b =>
+      val hi = byBucket(b).map(key).max
+      val lo = byBucket(b + 1).map(key).min
+      assert(Ordering[(Double, Long)].lt(hi, lo),
+        s"band $b overlaps ${b + 1}: $hi vs $lo") }
+    // equal bands: sizes differ by at most 1
+    val sizes = byBucket.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced bands: $sizes")
+  }
+
   test("x157 self-excision: repeated spans keep their first occurrence only") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

@@ -330,10 +330,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x150: the global rank has no window — the prefix scan carries it") {
-    val p = plan("x150_curriculum")
-    assert(!p.contains("Window"),
-      s"global rank fell back to a single-task window sort:\n$p")
+  test("x150/x159: the global rank has no window — the prefix scan carries it") {
+    val p150 = plan("x150_curriculum")
+    assert(!p150.contains("Window"),
+      s"x150: global rank fell back to a single-task window sort:\n$p150")
+    // x159's LM body legitimately windows over the VOCABULARY-grain
+    // aggregate (x67's context marginal); the gate is that no window
+    // carries the global (avg_logp, doc_id) rank
+    val p159 = plan("x159_ccnet_buckets")
+    assert(!p159.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("avg_logp")),
+      s"x159: global rank fell back to a single-task window sort:\n$p159")
   }
 
   test("x151: excision probes via semi-join and rewrites at doc grain") {

@@ -78,8 +78,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // DoReMi reweighting, x157 exact-substring self-excision, and
     // x158's in-engine unrolled power iteration (the engine face
     // iterates the collected d×d Gram driver-side — two strategies,
-    // one arithmetic)
-    assert(RelationalSql.extrasSql.size == 144)
+    // one arithmetic), and x159's window-form CCNet bucket rank (the
+    // engine face rides the distributed prefix scan)
+    assert(RelationalSql.extrasSql.size == 145)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

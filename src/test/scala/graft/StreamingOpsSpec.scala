@@ -1463,6 +1463,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen dup-span index gates arrivals like batch self-excision (x157 live)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("dupspan_idx").toString
+    // the frozen corpus repeats one span (h1..h4, docs 1 and 2) and
+    // keeps doc 3's passage unique
+    val corpus = Seq(
+      (1L, "h1 h2 h3 h4 a b c"),
+      (2L, "x y h1 h2 h3 h4 z"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    Dedup.saveDupSpanIndex(corpus, s"$dir/idx")
+    // arrivals quote corpus-repeated spans (cut), corpus-unique spans
+    // (NOT cut — unique text is not boilerplate), or nothing
+    val arrivals = Seq(
+      (10L, "w1 h1 h2 h3 h4 w2"),   // quotes the repeated span: cut
+      (11L, "p q r s t u"),         // quotes a UNIQUE corpus passage: kept
+      (12L, "fresh words only here"))
+      .toDF("doc_id", "text")
+    // batch truth: self-excision over corpus ∪ arrivals (the corpus
+    // keeps every first occurrence, so arrival rows show exactly what
+    // the live gate should cut for spans repeated IN THE CORPUS; doc
+    // 11's quote of doc 3 becomes a corpus-vs-arrival repeat, which the
+    // frozen index cannot know — assert the live face's own contract
+    // for it instead)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.exciseStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/idx")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dupspan_out").start()
+    try {
+      stream.addData(arrivals.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val got = spark.table("dupspan_out")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(got(10L) == ((10L, 6L, 4L, md5("w1 w2"))), s"${got(10L)}")
+      assert(got(11L) == ((11L, 6L, 0L, md5("p q r s t u"))), s"${got(11L)}")
+      assert(got(12L) == ((12L, 4L, 0L, md5("fresh words only here"))),
+        s"${got(12L)}")
+    } finally q.stop()
+  }
+
   test("x156 rates drive the live mixer: frozen DoReMi gate admits at the need balance") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
