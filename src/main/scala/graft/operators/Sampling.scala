@@ -1604,6 +1604,20 @@ object Sampling {
     ccnetBuckets(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** The x159 band edges as a frozen ≤`buckets`-row artifact: each
+    * band's minimum score. A live gate assigns an arriving document the
+    * highest band whose edge ≤ its frozen-model LM score
+    * ([[graft.streaming.StreamingOps.lmGateStream]]) — the
+    * curriculumEdgesOf shape at the score grain. Value-only assignment
+    * equals the batch rank-based bands wherever no two docs tie exactly
+    * at a band edge (the x150 boundary-tie caveat, spec-asserted on a
+    * tie-free regime). */
+  def ccnetEdgesOf(docs: DataFrame, buckets: Int = CcnetBuckets,
+                   numPartitions: Int = 0): DataFrame =
+    ccnetBuckets(docs, buckets, numPartitions)
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(min(col("avg_logp")).as("lo"))
+
   /** The x156 weights as a frozen (source, rate) KEEP-RATE artifact:
     * each mixture weight normalized by the maximum, so the most-needed
     * domain keeps everything and the rest thin proportionally. Feed

@@ -793,6 +793,58 @@ object TextAnalysis {
   def lmScoreQuery(spark: SparkSession, dir: String): DataFrame =
     lmDocScore(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Persist the x67 bigram LM as a READY-TO-SCORE artifact: one
+    * (w1, w2, lp) row per corpus bigram with
+    * lp = round6(ln((c12+1)/(c1+V))) — exactly the per-bigram value
+    * [[lmDocScore]] computes inline, precomputed once so a live gate
+    * ([[graft.streaming.StreamingOps.lmGateStream]]) never touches the
+    * training corpus again. This is the KenLM deployment shape the
+    * CCNet pipeline ships: train the LM on the curated corpus, score
+    * every crawl against the frozen model. Bigram-grain (corpus-
+    * vocabulary sized, an artifact not a broadcast); published
+    * atomically. */
+  def saveLmModel(docs: DataFrame, path: String): Unit =
+    graft.core.Artifacts.publishAtomic(docs.sparkSession, path) { tmp =>
+      val bg = docs
+        .select(explode(graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(wsTokens(col("text")), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+      val corpus = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      val vocab = docs.select(explode(wsTokens(col("text"))).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      corpus.crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          round(log((col("c12") + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double")), 6)
+            .cast("decimal(18,6)").as("lp"))
+        .write.mode("overwrite").parquet(s"$tmp/lp")
+    }
+
+  /** Score documents against a frozen bigram-LM table (the body the
+    * batch-vs-model spec face and the live gate share): per doc, the
+    * count of MODELED bigram occurrences and their mean lp — identical
+    * arithmetic to [[lmDocScore]] when every bigram is modeled
+    * (same-corpus replay; spec-asserted). An UNSEEN bigram contributes
+    * to neither numerator nor denominator (the dsirScoreAgainst
+    * contract — the alternative, a backoff term, is a modeling choice
+    * the caller can bake into the artifact); zero-bigram docs stay in
+    * the report with a null score via explode_outer. */
+  def lmScoreAgainst(docs: DataFrame, lp: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode_outer(graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(wsTokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .join(lp, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("lp")).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(col("lp"))).as("avg_logp"))
+
   // --------------------------------------------- PMI collocations
 
   /** x70's cut and noise floor, shared with both SQL twins. */

@@ -1158,6 +1158,35 @@ object StreamingOps {
       spark.read.parquet(s"$root/prior"), buckets)
   }
 
+  // -------------- streaming CCNet LM gate (x67 + x159's face) --------
+
+  /** Streaming face of the CCNet selection pair (x67's LM score +
+    * x159's buckets): each arriving document scores against the FROZEN
+    * bigram LM ([[graft.operators.TextAnalysis.saveLmModel]]'s lp
+    * artifact — the KenLM deployment shape) and lands in the band of
+    * the FROZEN x159 edges ([[graft.operators.Sampling.ccnetEdgesOf]],
+    * a ≤|bands|-row table compiled into one stateless CASE chain, the
+    * curriculumStream discipline). One stream-static equi-join plus one
+    * UPDATE-mode doc aggregate; state bounded by in-flight docs, never
+    * the corpus. Same-corpus replay equals batch x159 row-for-row
+    * modulo the global rank no per-row gate can know and boundary score
+    * ties (spec-asserted on the tie-free regime); unscored docs keep
+    * the null-band report contract. */
+  def lmGateStream(docs: DataFrame, modelPath: String,
+                   edges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, modelPath)
+    val scored = graft.operators.TextAnalysis.lmScoreAgainst(docs,
+      spark.read.parquet(s"$root/lp"))
+    val es = edges.select(col("bucket").cast("long"), col("lo").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    require(es.nonEmpty, "lmGateStream: empty edge table")
+    val band = es.tail.foldLeft(lit(es.head._1): Column) {
+      case (acc, (b, lo)) => when(col("avg_logp") >= lo, b).otherwise(acc)
+    }
+    scored.withColumn("bucket", when(col("avg_logp").isNotNull, band))
+  }
+
   // ----------------- streaming curriculum band gate (x150's face) ----
 
   /** Streaming face of [[graft.operators.Sampling.curriculumBands]]

@@ -516,7 +516,18 @@ class PlanSpec extends SparkSpec {
     // context marginal must NOT add a fifth (it is a window over the
     // corpus aggregate, not a third aggregate)
     val p67 = plan("x67_lm_score")
-    assert("FileScan".r.findAllIn(p67).size <= 4, s"corpus rescanned:\n$p67")
+    if (p67.contains("InMemoryTableScan")) {
+      // a sibling query (x159 shares the whole LM report through the
+      // bounded cache, and Spark's CacheManager dedupes BY PLAN) already
+      // materialized the report — x67 must then read the cache and scan
+      // NOTHING live; the FileScans rendered under InMemoryRelation are
+      // the cached build plan, not live work
+      val live = p67.linesIterator
+        .takeWhile(l => !l.contains("InMemoryRelation")).mkString("\n")
+      assert(!live.contains("FileScan"),
+        s"corpus scanned live beside the cached LM report:\n$p67")
+    } else
+      assert("FileScan".r.findAllIn(p67).size <= 4, s"corpus rescanned:\n$p67")
     // x70: the grand-total scalar roots in the same count aggregate as
     // the marginals (2 static FileScans whose shared partial-agg
     // exchange is reused at runtime); both marginals are windows, so no

@@ -1463,6 +1463,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CCNet LM gate equals batch x159 against the frozen model and edges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Sampling, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("lm_model").toString
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    TextAnalysis.saveLmModel(base, s"$dir/model")
+    val edges = Sampling.ccnetEdgesOf(base)
+    val batch = Sampling.ccnetBuckets(base)
+      .select($"doc_id", $"n_bigrams", $"avg_logp", $"bucket")
+      .as[(Long, Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // the value-only live gate can disagree with the rank-based batch
+    // assignment ONLY where two docs tie exactly at a band edge —
+    // exclude that measure-zero set (identical texts at a tercile cut)
+    val edgeScores = edges.as[(Long, Double)].collect().map(_._2).toSet
+    val tiedAtEdge = batch.values.filter(r =>
+      r._3.exists(edgeScores.contains) &&
+        batch.values.count(o => o._3 == r._3) > 1).map(_._1).toSet
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.lmGateStream(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/model", edges)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("lm_gate_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("lm_gate_out")
+        .as[(Long, Long, Option[Double], Option[Long])].collect()
+        .map(r => r._1 -> r).toMap
+      val drift = batch.collect { case (id, v)
+        if !tiedAtEdge.contains(id) && got.get(id) != Some(v) =>
+          (id, v, got.get(id)) }
+      assert(drift.isEmpty, s"drift: ${drift.take(5)}")
+      assert(tiedAtEdge.size < batch.size / 10,
+        s"fixture degenerated: ${tiedAtEdge.size} edge ties")
+    } finally q.stop()
+  }
+
   test("frozen dup-span index gates arrivals like batch self-excision (x157 live)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
