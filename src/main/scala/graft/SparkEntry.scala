@@ -580,6 +580,10 @@ object SparkEntry {
     // the published head/middle/tail curation grain via the
     // distributed global rank; samplers consume the band.
     "x159_ccnet_buckets"  -> (Sampling.ccnetBucketsQuery _),
+    // x160: the data-budget plan — x156's mixture weights turned into
+    // per-domain token allocations under a training budget and the
+    // published ~4-epoch repeat cap; the provisioning table.
+    "x160_data_budget"    -> (Sampling.dataBudgetQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

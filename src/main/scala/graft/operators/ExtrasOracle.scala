@@ -136,6 +136,9 @@ object ExtrasOracle {
     // window form of the engine's distributed global rank, exact
     // integer band edges (the x150 equivalence).
     "x159_ccnet_buckets" -> ccnetSql,
+    // x160: data-budget plan — the x156 core verbatim plus the
+    // single-pass epoch-capped allocation arithmetic.
+    "x160_data_budget" -> dataBudgetSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3634,7 +3637,10 @@ object ExtrasOracle {
     * with one double division per domain, round-at-6 before and after
     * the exp, exact decimal normalization sum, ::DOUBLE literals so the
     * linear form never enters DuckDB decimal arithmetic. */
-  private def doremiSql: String = {
+  /** The x156 weight pipeline as a WITH-clause prefix ending in a
+    * `wts2(source, n_tokens, ce, excess, weight)` CTE — shared verbatim
+    * by the x156 face and the x160 planner built on it. */
+  private def doremiCoreSql: String = {
     val b = Sampling.DoremiBuckets
     val keep = s"(${Sampling.DoremiKeep})::DOUBLE"
     val smooth = s"(${Sampling.DoremiSmooth})::DOUBLE"
@@ -3670,11 +3676,40 @@ object ExtrasOracle {
        |         AS DECIMAL(18,6)) AS e
        |  FROM ce CROSS JOIN h),
        |nrm AS (
-       |  SELECT SUM(e) AS se, CAST(COUNT(*) AS DOUBLE) AS k FROM ex)
-       |SELECT source, n_tokens, ce, excess,
-       |  $keep * (CAST(e AS DOUBLE) / CAST(se AS DOUBLE)) + $smooth / k
-       |    AS weight
-       |FROM ex CROSS JOIN nrm
+       |  SELECT SUM(e) AS se, CAST(COUNT(*) AS DOUBLE) AS k FROM ex),
+       |wts2 AS MATERIALIZED (
+       |  SELECT source, n_tokens, ce, excess,
+       |    $keep * (CAST(e AS DOUBLE) / CAST(se AS DOUBLE)) + $smooth / k
+       |      AS weight
+       |  FROM ex CROSS JOIN nrm)""".stripMargin
+  }
+
+  private def doremiSql: String =
+    s"""$doremiCoreSql
+       |SELECT source, n_tokens, ce, excess, weight
+       |FROM wts2
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB twin of Sampling.dataBudgetQuery (x160): the x156 core
+    * verbatim, then the single-pass epoch-capped allocation —
+    * round-at-6 demand, exact-double cap, `least`, round-at-6 ratio. */
+  private def dataBudgetSql: String = {
+    val bf = s"(${Sampling.BudgetFactor})::DOUBLE"
+    val cap = s"(${Sampling.BudgetEpochCap})::DOUBLE"
+    s"""$doremiCoreSql,
+       |tot AS (SELECT CAST(coalesce(SUM(n_tokens), 0) AS DOUBLE) AS t
+       |        FROM wts2),
+       |plan2 AS (
+       |  SELECT source, n_tokens, weight,
+       |    round($bf * t * weight, 6) AS demand
+       |  FROM wts2 CROSS JOIN tot),
+       |alloc2 AS (
+       |  SELECT source, n_tokens, weight, demand,
+       |    least(demand, $cap * CAST(n_tokens AS DOUBLE)) AS alloc
+       |  FROM plan2)
+       |SELECT source, n_tokens, weight, demand, alloc,
+       |  round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs
+       |FROM alloc2
        |ORDER BY source""".stripMargin
   }
 

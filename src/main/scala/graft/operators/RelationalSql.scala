@@ -1109,6 +1109,7 @@ object RelationalSql {
     "x157_self_excise" -> selfExciseSparkSql,
     "x158_pca_proj" -> pcaProjSparkSql,
     "x159_ccnet_buckets" -> ccnetSparkSql,
+    "x160_data_budget" -> dataBudgetSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -3024,8 +3025,9 @@ object RelationalSql {
        |ORDER BY l.doc_id""".stripMargin
   }
 
-  /** Spark-SQL face of Sampling.doremiQuery (x156). */
-  private def doremiSparkSql: String = {
+  /** The x156 weight pipeline as a WITH-clause prefix ending in
+    * `wts2` — shared by the x156 face and the x160 planner. */
+  private def doremiCoreSparkSql: String = {
     val b = Sampling.DoremiBuckets
     val keep = s"CAST(${Sampling.DoremiKeep} AS DOUBLE)"
     val smooth = s"CAST(${Sampling.DoremiSmooth} AS DOUBLE)"
@@ -3056,10 +3058,38 @@ object RelationalSql {
        |    CAST(round(exp($eta * greatest(round(ce - h, 6), CAST(0 AS DOUBLE))), 6)
        |         AS DECIMAL(18,6)) AS e
        |  FROM ce CROSS JOIN h),
-       |nrm AS (SELECT SUM(e) AS se, CAST(COUNT(1) AS DOUBLE) AS k FROM ex)
-       |SELECT source, n_tokens, ce, excess,
-       |  $keep * (CAST(e AS DOUBLE) / CAST(se AS DOUBLE)) + $smooth / k AS weight
-       |FROM ex CROSS JOIN nrm
+       |nrm AS (SELECT SUM(e) AS se, CAST(COUNT(1) AS DOUBLE) AS k FROM ex),
+       |wts2 AS (
+       |  SELECT source, n_tokens, ce, excess,
+       |    $keep * (CAST(e AS DOUBLE) / CAST(se AS DOUBLE)) + $smooth / k AS weight
+       |  FROM ex CROSS JOIN nrm)""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.doremiQuery (x156). */
+  private def doremiSparkSql: String =
+    s"""$doremiCoreSparkSql
+       |SELECT source, n_tokens, ce, excess, weight
+       |FROM wts2
+       |ORDER BY source""".stripMargin
+
+  /** Spark-SQL face of Sampling.dataBudgetQuery (x160). */
+  private def dataBudgetSparkSql: String = {
+    val bf = s"CAST(${Sampling.BudgetFactor} AS DOUBLE)"
+    val cap = s"CAST(${Sampling.BudgetEpochCap} AS DOUBLE)"
+    s"""$doremiCoreSparkSql,
+       |tot AS (SELECT CAST(coalesce(SUM(n_tokens), 0L) AS DOUBLE) AS t
+       |        FROM wts2),
+       |plan2 AS (
+       |  SELECT source, n_tokens, weight,
+       |    round($bf * t * weight, 6) AS demand
+       |  FROM wts2 CROSS JOIN tot),
+       |alloc2 AS (
+       |  SELECT source, n_tokens, weight, demand,
+       |    least(demand, $cap * CAST(n_tokens AS DOUBLE)) AS alloc
+       |  FROM plan2)
+       |SELECT source, n_tokens, weight, demand, alloc,
+       |  round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs
+       |FROM alloc2
        |ORDER BY source""".stripMargin
   }
 

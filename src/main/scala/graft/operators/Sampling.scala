@@ -1561,6 +1561,55 @@ object Sampling {
     doremiWeights(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
 
+  // ------------------------------ data-budget planner (x160)
+
+  /** x160's defaults, shared with both SQL twins: repeat a source at
+    * most [[BudgetEpochCap]] times (the Muennighoff et al. 2023
+    * "Scaling Data-Constrained Language Models" finding — value decays
+    * past ~4 epochs), and the query face plans for a budget of
+    * [[BudgetFactor]] × the corpus's own token count. */
+  private[graft] val BudgetEpochCap: Double = 4.0
+  private[graft] val BudgetFactor: Double = 2.0
+
+  /** x160: THE DATA-BUDGET PLAN — turn the x156 mixture weights into
+    * per-domain token allocations under a total training budget and an
+    * epoch cap: demand_s = B·w_s, alloc_s = min(demand_s,
+    * cap·tokens_s), epochs_s = alloc_s/tokens_s. This is the table a
+    * data-constrained pretraining run is provisioned from (Muennighoff
+    * et al. 2023: sources repeat up to ~4 epochs before marginal value
+    * dies): x156 says how much each domain SHOULD contribute, x160 says
+    * how much it CAN, and the gap (demand − alloc, summed) is the
+    * budget the curator must re-source. Single-pass by contract — the
+    * capped surplus is REPORTED, not redistributed (iterative
+    * water-filling is a consumer loop over this K-row table).
+    *
+    * Determinism: demand is one round-at-6 on B·w (both engines build
+    * the identical weight doubles — x156's discipline); the cap side
+    * cap·tokens is exact double arithmetic on integers; `least` and the
+    * final ratio round-at-6 follow. Scale shape: everything after
+    * x156's one corpus scan is K-row. */
+  def dataBudget(docs: DataFrame, budgetFactor: Double = BudgetFactor,
+                 epochCap: Double = BudgetEpochCap): DataFrame = {
+    require(budgetFactor > 0 && epochCap > 0,
+      s"dataBudget: budgetFactor=$budgetFactor epochCap=$epochCap")
+    val w = doremiWeights(docs)
+    val tot = w.agg(coalesce(sum(col("n_tokens")), lit(0L)).cast("double")
+      .as("_t"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("demand",
+        round(lit(budgetFactor) * col("_t") * col("weight"), 6))
+      .withColumn("alloc",
+        least(col("demand"), lit(epochCap) * col("n_tokens").cast("double")))
+      .withColumn("epochs",
+        round(col("alloc") / col("n_tokens").cast("double"), 6))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("demand"), col("alloc"), col("epochs"))
+  }
+
+  def dataBudgetQuery(spark: SparkSession, dir: String): DataFrame =
+    dataBudget(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
+
   // ---------------------------- CCNet perplexity buckets (x159)
 
   /** x159's band count, shared with both SQL twins. */

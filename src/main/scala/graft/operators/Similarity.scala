@@ -1110,10 +1110,11 @@ object Similarity {
     * to stay inside DECIMAL(38) on every engine).
     *
     * Scale shape: the Gram build is the ONLY corpus-sized work — two
-    * chained in-row posexplodes (d² rows per vector) into a d²-key hash
-    * aggregate, where partial aggregation collapses everything map-side
-    * before a d²-row shuffle (at d = 64: 4096 rows TOTAL cross the
-    * wire, whatever the corpus size). The iteration itself runs on the
+    * chained in-row posexplodes (d²/2 upper-triangle pairs per vector,
+    * fixed-point LONG products) into a hash aggregate where partial
+    * aggregation collapses everything map-side before a ≤d²-row shuffle
+    * (at d = 64: 2080 rows TOTAL cross the wire, whatever the corpus
+    * size). The iteration itself runs on the
     * collected d×d matrix — a driver-side collect BOUNDED BY d², the
     * codebook discipline, never corpus-sized — and the axis returns to
     * the executors as a 64-literal array in the projection, a narrow
@@ -1122,17 +1123,35 @@ object Similarity {
   def pcaProjection(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
     import graft.core.Determinism.dec
     require(iters > 0, s"pcaProjection: iters=$iters")
-    val withI = emb.select(col("embedding"), posexplode(col("embedding")))
-      .toDF("e", "i", "vi")
-    val gram = withI.select(col("i"), col("vi"), posexplode(col("e")))
-      .toDF("i", "vi", "j", "vj")
+    // G in FIXED-POINT LONGS: each component becomes its exact
+    // DECIMAL(18,4) image scaled to an integer (×10^4, in-row, d ops
+    // per vector), so the d²/2 hot-path products are long·long and the
+    // per-cell sum is a long — value-identical to the decimal form
+    // (gv = Σ li·lj / 10^8, rebuilt exactly at collect time) at a
+    // fraction of the CPU. The Gram is symmetric, so only j ≥ i pairs
+    // are generated and the mirror is filled driver-side. Declared
+    // bound: n·(10^4·|v|max)² < 2^63 — components |v| ≤ 9 up to a
+    // BILLION vectors before the long sum could wrap (embeddings are
+    // unit-normalized in practice; widen the fixture, not the engine,
+    // past that).
+    val le = emb.select(transform(col("embedding"),
+      v => (dec(v) * lit(10000)).cast("long")).as("le"))
+    val gram = le.select(col("le"), posexplode(col("le")))
+      .toDF("le", "i", "li")
+      .select(col("i"), col("li"), posexplode(col("le")))
+      .toDF("i", "li", "j", "lj")
+      .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(dec(col("vi")) * dec(col("vj"))).cast("decimal(24,8)").as("gv"))
+      .agg(sum(col("li") * col("lj")).as("gs"))
     val rows = gram.collect()
     require(rows.nonEmpty, "pcaProjection: empty embedding table")
     val d = rows.iterator.map(_.getInt(0)).max + 1
     val g = Array.ofDim[java.math.BigDecimal](d, d)
-    rows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2))
+    rows.foreach { r =>
+      val v = java.math.BigDecimal.valueOf(r.getLong(2), 8)
+      g(r.getInt(0))(r.getInt(1)) = v
+      g(r.getInt(1))(r.getInt(0)) = v
+    }
     val axis = powerIterate(g, d, iters)
     val axisCol = array(axis.map(lit): _*)
     emb.select(col("vec_id"), col("label"),

@@ -3618,6 +3618,31 @@ class ExtrasSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"unbalanced bands: $sizes")
   }
 
+  test("x160 data budget: upweighted scarce domains hit the epoch cap, abundant ones fill demand") {
+    import graft.operators.Sampling
+    // "common" holds ~90% of tokens; "alien" is scarce AND upweighted
+    // (corpus-rare vocabulary), so at a 2x-corpus budget it must cap at
+    // 4 epochs while common fills its demand from supply
+    val docs = ((1L to 9L).map(i => (i, "the quick brown fox jumps", "common")) ++
+      Seq((20L, "zorkmid frobnitz quux xyzzy grue", "alien")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.dataBudget(docs)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (alien, common) = (out("alien"), out("common"))
+    // alien: 5 tokens of supply x 4-epoch cap = 20; its demand (2x50
+    // corpus tokens x a dominant weight) far exceeds it
+    assert(alien._4 > alien._5 && alien._5 == 20.0 && alien._6 == 4.0,
+      s"alien must cap: $alien")
+    // common: supply 45x4 = 180 >= demand -> alloc == demand, epochs < cap
+    assert(common._5 == common._4 && common._6 < Sampling.BudgetEpochCap,
+      s"common must fill demand: $common")
+    // the plan never allocates beyond the budget
+    val budget = Sampling.BudgetFactor * out.values.map(_._2).sum
+    assert(out.values.map(_._5).sum <= budget + 1e-6,
+      s"over-allocated: ${out.values.map(_._5).sum} vs $budget")
+  }
+
   test("x157 self-excision: repeated spans keep their first occurrence only") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

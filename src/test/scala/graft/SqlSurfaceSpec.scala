@@ -78,9 +78,10 @@ class SqlSurfaceSpec extends SparkSpec {
     // DoReMi reweighting, x157 exact-substring self-excision, and
     // x158's in-engine unrolled power iteration (the engine face
     // iterates the collected d×d Gram driver-side — two strategies,
-    // one arithmetic), and x159's window-form CCNet bucket rank (the
-    // engine face rides the distributed prefix scan)
-    assert(RelationalSql.extrasSql.size == 145)
+    // one arithmetic), x159's window-form CCNet bucket rank (the
+    // engine face rides the distributed prefix scan), and x160's
+    // budget planner over the shared x156 core
+    assert(RelationalSql.extrasSql.size == 146)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
