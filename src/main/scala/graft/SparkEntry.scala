@@ -584,6 +584,10 @@ object SparkEntry {
     // per-domain token allocations under a training budget and the
     // published ~4-epoch repeat cap; the provisioning table.
     "x160_data_budget"    -> (Sampling.dataBudgetQuery _),
+    // x161: iterated BPE vocabulary induction — k full merge rounds
+    // over the corpus; the output IS the trained tokenizer's merge
+    // table (x109 is one round's statistic, x161 runs the loop).
+    "x161_bpe_merges"     -> (TextAnalysis.bpeMergeQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

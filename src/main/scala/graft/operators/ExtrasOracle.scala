@@ -139,6 +139,11 @@ object ExtrasOracle {
     // x160: data-budget plan — the x156 core verbatim plus the
     // single-pass epoch-capped allocation arithmetic.
     "x160_data_budget" -> dataBudgetSql,
+    // x161: iterated BPE merges — the engine's leftmost-greedy in-row
+    // fold re-expressed as run-parity window SQL (same non-overlapping
+    // semantics), steps unrolled; chr(1) pair keys match the engine's
+    // separator byte so tie-break ordering is identical.
+    "x161_bpe_merges" -> bpeMergesSql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3875,6 +3880,71 @@ object ExtrasOracle {
        |       AS DECIMAL(18,6)) AS DOUBLE) AS proj
        |FROM embeddings, axis
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.bpeMergeQuery (x161): the merge loop
+    * UNROLLED — per step, pair counts over the current symbol arrays,
+    * the (count DESC, key ASC) top-1, and the leftmost-greedy
+    * non-overlapping rewrite via run-parity windows (islands of
+    * consecutive matches; even offsets merge, odd ones are consumed) —
+    * provably the same rewrite as the engine's left fold, since a
+    * merged symbol can never restart the same pair. */
+  private def bpeMergesSql: String = {
+    val steps = (1 to TextAnalysis.BpeMergeSteps).map { t =>
+      val prev = s"w${t - 1}"
+      s"""p$t AS (
+         |  SELECT s[i] || chr(1) || s[i+1] AS p
+         |  FROM $prev, UNNEST(range(1, len(s))) AS t(i)
+         |  WHERE len(s) >= 2),
+         |top$t AS MATERIALIZED (
+         |  SELECT split_part(p, chr(1), 1) AS a,
+         |         split_part(p, chr(1), 2) AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p$t GROUP BY p ORDER BY n DESC, p LIMIT 1),
+         |pos$t AS (
+         |  SELECT wid, i, s[i] AS sym
+         |  FROM $prev, UNNEST(range(1, len(s) + 1)) AS t(i)),
+         |m$t AS (
+         |  SELECT wid, i, sym,
+         |    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt,
+         |    CASE WHEN sym = (SELECT a FROM top$t)
+         |          AND lead(sym) OVER (PARTITION BY wid ORDER BY i)
+         |              = (SELECT b FROM top$t)
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM pos$t),
+         |r$t AS (
+         |  SELECT wid, i, sym, nxt, m,
+         |    CASE WHEN m = 1 THEN
+         |      i - row_number() OVER (PARTITION BY wid, m ORDER BY i) END AS grp
+         |  FROM m$t),
+         |k$t AS (
+         |  SELECT wid, i, sym, nxt, m,
+         |    CASE WHEN m = 1
+         |          AND (i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0
+         |         THEN 1 ELSE 0 END AS take
+         |  FROM r$t),
+         |e$t AS (
+         |  SELECT wid, i,
+         |    CASE WHEN take = 1 THEN sym || nxt ELSE sym END AS sym,
+         |    lag(take) OVER (PARTITION BY wid ORDER BY i) AS consumed
+         |  FROM k$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT wid, list(sym ORDER BY i) AS s
+         |  FROM e$t WHERE coalesce(consumed, 0) = 0
+         |  GROUP BY wid)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to TextAnalysis.BpeMergeSteps).map { t =>
+      s"""SELECT CAST($t AS INT) AS step, a AS lhs, b AS rhs,
+         |  a || b AS merged, n AS n_pair FROM top$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT row_number() OVER () AS wid, string_split(w, '') AS s
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |        FROM documents) t
+       |  WHERE len(w) >= 2),
+       |$steps
+       |$unions
+       |ORDER BY step""".stripMargin
   }
 
   /** DuckDB twin of Sampling.curriculumQuery (x150): the window form

@@ -1323,6 +1323,109 @@ object TextAnalysis {
   def bpePairsQuery(spark: SparkSession, dir: String): DataFrame =
     bpePairs(Tables.load(spark, dir, "documents"))
 
+  // --------------------------- iterated BPE merge table (x161)
+
+  /** x161's merge-step count and the pair-key separator (a control
+    * char outside every corpus symbol), shared with the DuckDB twin. */
+  private[graft] val BpeMergeSteps: Int = 3
+  private[graft] val BpeSep: String = "\u0001"
+
+  /** Adjacent symbol pairs of one word's symbol array, keyed
+    * `a SEP b` — empty for single-symbol words. */
+  private def symbolPairs(s: Column): Column =
+    when(size(s) >= 2,
+      transform(sequence(lit(1), size(s) - 1),
+        i => concat(element_at(s, i), lit(BpeSep), element_at(s, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One leftmost-greedy merge pass: every non-overlapping occurrence
+    * of adjacent (a, b) becomes the single symbol a||b, scanning left
+    * to right — BPE's exact rewrite rule. A fold suffices because a
+    * merged symbol can never itself be the LEFT half of the same pair
+    * (a||b = a would need b empty), so "aaa" under (a,a) correctly
+    * gives [aa, a]. In-row, shuffle-free. */
+  private def mergePass(s: Column, a: String, b: String): Column =
+    aggregate(s, array().cast("array<string>"), (acc, sym) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && sym === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(sym))))
+
+  /** x161: ITERATED BPE VOCABULARY INDUCTION — [[BpeMergeSteps]] full
+    * merge rounds of byte-pair encoding over the corpus (Sennrich et
+    * al. 2016): each round counts adjacent symbol pairs across every
+    * word OCCURRENCE (x109's statistic), merges the most frequent pair
+    * everywhere (leftmost-greedy, non-overlapping), and repeats on the
+    * REWRITTEN corpus. The output is the merge TABLE — (step, left,
+    * right, merged, n_pair) — which IS the trained tokenizer artifact
+    * every BPE implementation replays at encode time; x109 is one round
+    * of this loop's statistic, x161 runs the loop. Ties break
+    * (count DESC, pair ASC) — deterministic on any engine.
+    *
+    * Shape at scale: each round is ONE explode→count aggregate (pair
+    * space alphabet²-ish, partial aggregation collapses it map-side), a
+    * 1-row TakeOrdered collect (bounded — the codebook discipline), and
+    * one narrow in-row merge map; the rewritten corpus is cut through
+    * the bounded cache each round (the x39 lineage discipline), so
+    * round k never re-runs rounds 1..k−1's rewrites. k rounds = k
+    * corpus scans, each embarrassingly parallel. */
+  def bpeMergeTable(docs: DataFrame,
+                    steps: Int = BpeMergeSteps): DataFrame = {
+    require(steps > 0, s"bpeMergeTable: steps=$steps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(split(col("w"), "").as("s"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = words.select(explode(symbolPairs(col("s"))).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val parts = top(0).getString(0).split(BpeSep, 2)
+        val (a, b, n) = (parts(0), parts(1), top(0).getLong(1))
+        out += ((step, a, b, a + b, n))
+        words = graft.core.Caches.bounded(
+          words.select(mergePass(col("s"), a, b).as("s")))
+      }
+      step += 1
+    }
+    out.toSeq.toDF("step", "lhs", "rhs", "merged", "n_pair")
+  }
+
+  def bpeMergeQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeTable(Tables.load(spark, dir, "documents"))
+      .orderBy(col("step"))
+
+  /** ENCODE with a frozen x161 merge table: replay the merges in step
+    * order over each document's words — exactly what a BPE tokenizer
+    * does at inference — and report the per-document token count under
+    * the trained vocabulary (chars before any merge, fewer after).
+    * The merge table is collected once (k rows, bounded by the trained
+    * vocabulary size) and compiled into k chained in-row folds: ONE
+    * stateless narrow projection, so it runs unchanged on a stream —
+    * the live "how many tokens will this document cost" meter behind
+    * every token-budget gate (x56), priced in the TRAINED tokenizer
+    * instead of the whitespace proxy. Same-corpus replay equals the
+    * training loop's final state (spec-asserted). */
+  def bpeEncodedCounts(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val steps = merges.select(col("step"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = wsTokens(col("text"))
+    val perWord = steps.foldLeft(
+        (w: Column) => split(w, "")) { (enc, ab) =>
+      (w: Column) => mergePass(enc(w), ab._1, ab._2)
+    }
+    docs.select(col("doc_id"),
+      coalesce(size(words), lit(0)).cast("long").as("n_words"),
+      coalesce(aggregate(transform(words, w => size(perWord(w))),
+        lit(0L), (acc, n) => acc + n), lit(0L)).as("n_bpe_tokens"))
+  }
+
   // ------------------------------------------- Zipf slope (x112)
 
   /** x112's per-source rank budget, shared with the DuckDB twin. */

@@ -3643,6 +3643,47 @@ class ExtrasSpec extends SparkSpec {
       s"over-allocated: ${out.values.map(_._5).sum} vs $budget")
   }
 
+  test("x161 BPE merges: overlap parity, occurrence weighting, and tie-breaks") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "xy xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeTable(docs)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    // step 1: (a,a) = 5 (two per "aaab" occurrence x2 + one in "aab");
+    // the rewrite of "aaab" is leftmost-greedy: [aa, a, b], NOT [a, aa, b]
+    // step 2: three-way tie at 2 — (a \x01 b) sorts before (aa \x01 a)
+    // and (x \x01 y), so (a,b) merges; "aab" -> [aa, b] is untouched
+    // step 3: (aa, ab) = 2 beats (x, y) = 2 on the key sort
+    assert(out.toSeq == Seq(
+      (1, "a", "a", "aa", 5L),
+      (2, "a", "b", "ab", 2L),
+      (3, "aa", "ab", "aaab", 2L)), s"got ${out.toSeq}")
+  }
+
+  test("BPE encode replays the frozen merge table (x161's inference face)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "xy xy")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergeTable(docs)
+    val out = TextAnalysis.bpeEncodedCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "aaab": [a,a,a,b] -> [aa,a,b] -> [aa,ab] -> [aaab] = 1 token;
+    // "aab": [a,a,b] -> [aa,b] (no adjacent (a,b) left) = 2 tokens
+    assert(out(1L) == ((1L, 3L, 4L)), s"${out(1L)}")
+    // "xy" never merges: 2 chars each
+    assert(out(2L) == ((2L, 2L, 4L)), s"${out(2L)}")
+    // corpus-wide sanity on real data: trained-vocab tokens are never
+    // more than characters and never fewer than words
+    val real = Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text").limit(50)
+    val mt = TextAnalysis.bpeMergeTable(real)
+    val enc = TextAnalysis.bpeEncodedCounts(real, mt)
+      .join(real, Seq("doc_id"))
+      .select($"n_words", $"n_bpe_tokens",
+        length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    assert(enc.forall(r => r._2 <= r._3 && r._2 >= r._1),
+      s"token-count bounds broken: ${enc.find(r => !(r._2 <= r._3 && r._2 >= r._1))}")
+  }
+
   test("x157 self-excision: repeated spans keep their first occurrence only") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

@@ -1463,6 +1463,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE encode: the frozen-merge-table projection runs as-is, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text").limit(100)
+    val merges = TextAnalysis.bpeMergeTable(base)
+    val batch = TextAnalysis.bpeEncodedCounts(base, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    // the merge table is collected at plan-build time and compiled into
+    // chained in-row folds — a stateless projection, its own live face
+    val q = TextAnalysis.bpeEncodedCounts(
+        stream.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_encode_out").start()
+    try {
+      rows.grouped((rows.size + 1) / 2).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("bpe_encode_out")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming CCNet LM gate equals batch x159 against the frozen model and edges") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Sampling, TextAnalysis}
