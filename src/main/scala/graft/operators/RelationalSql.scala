@@ -1110,6 +1110,7 @@ object RelationalSql {
     "x158_pca_proj" -> pcaProjSparkSql,
     "x159_ccnet_buckets" -> ccnetSparkSql,
     "x160_data_budget" -> dataBudgetSparkSql,
+    "x161_bpe_merges" -> bpeMergesSparkSql,
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -3091,6 +3092,72 @@ object RelationalSql {
        |  round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs
        |FROM alloc2
        |ORDER BY source""".stripMargin
+  }
+
+  /** Spark-SQL face of TextAnalysis.bpeMergeQuery (x161): the DuckDB
+    * twin's run-parity window rewrite in Spark dialect — a THIRD
+    * strategy for the same loop (the engine face folds in-row), value-
+    * identical. wid comes from monotonically_increasing_id(); its
+    * values are per-evaluation, but only the pos→merge→regroup chain
+    * reads it and each step's chain evaluates its source once — the
+    * pair-count legs never touch wid. */
+  private def bpeMergesSparkSql: String = {
+    val steps = (1 to TextAnalysis.BpeMergeSteps).map { t =>
+      val prev = s"w${t - 1}"
+      s"""p$t AS (
+         |  SELECT concat(element_at(s, i), chr(1), element_at(s, i + 1)) AS p
+         |  FROM $prev LATERAL VIEW explode(sequence(1, size(s) - 1)) t AS i
+         |  WHERE size(s) >= 2),
+         |top$t AS (
+         |  SELECT split_part(p, chr(1), 1) AS a,
+         |         split_part(p, chr(1), 2) AS b,
+         |         COUNT(1) AS n
+         |  FROM p$t GROUP BY p ORDER BY n DESC, p LIMIT 1),
+         |pos$t AS (
+         |  SELECT wid, i + 1 AS i, sym
+         |  FROM $prev LATERAL VIEW posexplode(s) t AS i, sym),
+         |m$t AS (
+         |  SELECT wid, i, sym,
+         |    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt,
+         |    CASE WHEN sym = (SELECT a FROM top$t)
+         |          AND lead(sym) OVER (PARTITION BY wid ORDER BY i)
+         |              = (SELECT b FROM top$t)
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM pos$t),
+         |r$t AS (
+         |  SELECT wid, i, sym, nxt, m,
+         |    CASE WHEN m = 1 THEN
+         |      i - row_number() OVER (PARTITION BY wid, m ORDER BY i) END AS grp
+         |  FROM m$t),
+         |k$t AS (
+         |  SELECT wid, i, sym, nxt, m,
+         |    CASE WHEN m = 1
+         |          AND (i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0
+         |         THEN 1 ELSE 0 END AS take
+         |  FROM r$t),
+         |e$t AS (
+         |  SELECT wid, i,
+         |    CASE WHEN take = 1 THEN concat(sym, nxt) ELSE sym END AS sym,
+         |    lag(take) OVER (PARTITION BY wid ORDER BY i) AS consumed
+         |  FROM k$t),
+         |w$t AS (
+         |  SELECT wid, transform(array_sort(collect_list(struct(i, sym))),
+         |           x -> x.sym) AS s
+         |  FROM e$t WHERE coalesce(consumed, 0) = 0
+         |  GROUP BY wid)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to TextAnalysis.BpeMergeSteps).map { t =>
+      s"""SELECT CAST($t AS INT) AS step, a AS lhs, b AS rhs,
+         |  concat(a, b) AS merged, n AS n_pair FROM top$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT monotonically_increasing_id() AS wid, split(w, '') AS s
+       |  FROM (SELECT explode(filter(split(text, ' '), x -> x != '')) AS w
+       |        FROM documents) t
+       |  WHERE length(w) >= 2),
+       |$steps
+       |$unions
+       |ORDER BY step""".stripMargin
   }
 
   /** Spark-SQL face of Dedup.selfExciseQuery (x157). */

@@ -79,9 +79,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // x158's in-engine unrolled power iteration (the engine face
     // iterates the collected d×d Gram driver-side — two strategies,
     // one arithmetic), x159's window-form CCNet bucket rank (the
-    // engine face rides the distributed prefix scan), and x160's
-    // budget planner over the shared x156 core
-    assert(RelationalSql.extrasSql.size == 146)
+    // engine face rides the distributed prefix scan), x160's budget
+    // planner over the shared x156 core, and x161's run-parity window
+    // rewrite (a THIRD strategy beside the engine fold and the DuckDB
+    // windows — all value-identical)
+    assert(RelationalSql.extrasSql.size == 147)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
