@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the unrolled-iteration SQL twins (x158/x161/x162) analyze as very
+  // deep plan trees; Catalyst's recursive analysis rules overflow the
+  // default 1m thread stack in the forked JVMs
+  "-Xss64m",
 )

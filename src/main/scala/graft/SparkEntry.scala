@@ -588,6 +588,10 @@ object SparkEntry {
     // over the corpus; the output IS the trained tokenizer's merge
     // table (x109 is one round's statistic, x161 runs the loop).
     "x161_bpe_merges"     -> (TextAnalysis.bpeMergeQuery _),
+    // x162: top-two principal components by Hotelling deflation — the
+    // 2-D PCA map (cluster structure, drift plane) with x158's
+    // cross-engine exactness budget.
+    "x162_pca_two"        -> (Similarity.pcaProjection2Query _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

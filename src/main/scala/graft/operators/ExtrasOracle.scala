@@ -144,6 +144,10 @@ object ExtrasOracle {
     // semantics), steps unrolled; chr(1) pair keys match the engine's
     // separator byte so tie-break ordering is identical.
     "x161_bpe_merges" -> bpeMergesSql,
+    // x162: top-two PCA by Hotelling deflation — PC1's chain, λ₁ and
+    // the deflated Gram re-rounded where the engine rounds, PC2's
+    // chain, both projections.
+    "x162_pca_two" -> pcaProj2Sql,
     "x08_lang_id" -> langIdSql,
     "x01_dedup_exact" -> exactDedupSql,
     // x44 is the hashed-shuffle-key plan of the SAME selection as x01 —
@@ -3833,52 +3837,103 @@ object ExtrasOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB twin of Similarity.pcaProjectionQuery (x158): the exact
-    * decimal Gram matrix (components through the x73
-    * FLOAT→DOUBLE→DECIMAL(18,4) hop), then [[Similarity.PcaIters]]
-    * power-iteration steps UNROLLED as CTE stages — each step one exact
-    * decimal matvec (scale 14), the engine's round-at-6 double
-    * re-synchronization, one exact decimal norm (scale 12) — and the
-    * x45 sequential-fold projection. Value-identical to the engine's
-    * driver-side BigDecimal iteration because every inexact operation
-    * happens in the same place with the same rounding. */
-  private def pcaProjSql: String = {
-    val iters = Similarity.PcaIters
-    val steps = (1 to iters).map { t =>
-      s"""y$t AS MATERIALIZED (
-         |  SELECT g.j AS i, SUM(g.gv * x${t - 1}.x) AS y
-         |  FROM g JOIN x${t - 1} ON g.i = x${t - 1}.i GROUP BY g.j),
-         |n$t AS (
+  // --- x158/x162 PCA twins: the exact decimal Gram matrix (components
+  // through the x73 FLOAT→DOUBLE→DECIMAL(18,4) hop), power-iteration
+  // steps UNROLLED as CTE stages — each step one exact decimal matvec
+  // (scale 14), the engine's round-at-6 double re-synchronization, one
+  // exact decimal norm (scale 12) — and the x45 sequential-fold
+  // projection. Value-identical to the engine's driver-side BigDecimal
+  // iteration because every inexact operation happens in the same
+  // place with the same rounding.
+
+  /** One unrolled power-iteration chain over Gram CTE `g` with
+    * variable prefix `xp` (CTEs `<xp>{y|n|}t`), starting from
+    * `${xp}0`. Shared by the x158 twin and x162's two chains. */
+  private def pcaStepsSql(g: String, xp: String, iters: Int): String =
+    (1 to iters).map { t =>
+      s"""${xp}y$t AS MATERIALIZED (
+         |  SELECT $g.j AS i, SUM($g.gv * $xp${t - 1}.x) AS y
+         |  FROM $g JOIN $xp${t - 1} ON $g.i = $xp${t - 1}.i GROUP BY $g.j),
+         |${xp}n$t AS (
          |  SELECT sqrt(CAST(SUM(yd * yd) AS DOUBLE)) AS nrm FROM
          |    (SELECT CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS yd
-         |     FROM y$t) s),
-         |x$t AS MATERIALIZED (
+         |     FROM ${xp}y$t) s),
+         |$xp$t AS MATERIALIZED (
          |  SELECT i, CAST(round(round(CAST(y AS DOUBLE), 6) / nrm, 6)
          |         AS DECIMAL(12,6)) AS x
-         |  FROM y$t, n$t)""".stripMargin
+         |  FROM ${xp}y$t, ${xp}n$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH g AS MATERIALIZED (
-       |  SELECT i, j,
-       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))
-       |           * CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(18,4)))
-       |         AS DECIMAL(24,8)) AS gv
-       |  FROM embeddings,
-       |    UNNEST(range(1, len(embedding) + 1)) AS a(i),
-       |    UNNEST(range(1, len(embedding) + 1)) AS b(j)
-       |  GROUP BY 1, 2),
-       |dims AS (SELECT DISTINCT i FROM g),
-       |x0 AS MATERIALIZED (
-       |  SELECT i, CAST(round(1.0 / sqrt((SELECT CAST(COUNT(*) AS DOUBLE)
-       |                                   FROM dims)), 6)
-       |         AS DECIMAL(12,6)) AS x
-       |  FROM dims),
-       |$steps,
+
+  /** The shared x158/x162 Gram + dims + uniform-start prefix. */
+  private def pcaGramSql: String =
+    """g AS MATERIALIZED (
+      |  SELECT i, j,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))
+      |           * CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(18,4)))
+      |         AS DECIMAL(24,8)) AS gv
+      |  FROM embeddings,
+      |    UNNEST(range(1, len(embedding) + 1)) AS a(i),
+      |    UNNEST(range(1, len(embedding) + 1)) AS b(j)
+      |  GROUP BY 1, 2),
+      |dims AS (SELECT DISTINCT i FROM g),
+      |x0 AS MATERIALIZED (
+      |  SELECT i, CAST(round(1.0 / sqrt((SELECT CAST(COUNT(*) AS DOUBLE)
+      |                                   FROM dims)), 6)
+      |         AS DECIMAL(12,6)) AS x
+      |  FROM dims)""".stripMargin
+
+  private def pcaProjSql: String = {
+    val iters = Similarity.PcaIters
+    s"""WITH $pcaGramSql,
+       |${pcaStepsSql("g", "x", iters)},
        |axis AS (
        |  SELECT list(CAST(x AS DOUBLE) ORDER BY i) AS a FROM x$iters)
        |SELECT vec_id, label,
        |  CAST(CAST(round(list_dot_product(embedding::DOUBLE[], axis.a), 6)
        |       AS DECIMAL(18,6)) AS DOUBLE) AS proj
        |FROM embeddings, axis
+       |ORDER BY vec_id""".stripMargin
+  }
+  /** DuckDB twin of Similarity.pcaProjection2Query (x162): PC1's
+    * chain, Hotelling deflation (λ₁ from the rounded matvec image, each
+    * deflated cell re-rounded at 8 through the double image), PC2's
+    * chain over g2, both projections — every inexact step lands where
+    * the engine's driver-side BigDecimal mirror lands it. */
+  private def pcaProj2Sql: String = {
+    val iters = Similarity.PcaIters
+    s"""WITH $pcaGramSql,
+       |${pcaStepsSql("g", "x", iters)},
+       |ylam AS (
+       |  SELECT g.j AS i, SUM(g.gv * x$iters.x) AS y
+       |  FROM g JOIN x$iters ON g.i = x$iters.i GROUP BY g.j),
+       |lam AS (
+       |  SELECT CAST(round(CAST(SUM(s.yd * xx.x) AS DOUBLE), 6)
+       |         AS DECIMAL(18,6)) AS l
+       |  FROM (SELECT i, CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6))
+       |          AS yd FROM ylam) s
+       |  JOIN x$iters xx ON s.i = xx.i),
+       |z0 AS MATERIALIZED (SELECT i, x FROM x0),
+       |g2 AS MATERIALIZED (
+       |  SELECT gg.i, gg.j,
+       |    CAST(round(CAST(gg.gv
+       |      - lam.l * CAST(round(CAST(xi.x * xj.x AS DOUBLE), 6)
+       |                     AS DECIMAL(18,6))
+       |      AS DOUBLE), 8) AS DECIMAL(24,8)) AS gv
+       |  FROM g gg
+       |  JOIN x$iters xi ON gg.i = xi.i
+       |  JOIN x$iters xj ON gg.j = xj.i
+       |  CROSS JOIN lam),
+       |${pcaStepsSql("g2", "z", iters)},
+       |axis1 AS (
+       |  SELECT list(CAST(x AS DOUBLE) ORDER BY i) AS a FROM x$iters),
+       |axis2 AS (
+       |  SELECT list(CAST(x AS DOUBLE) ORDER BY i) AS a FROM z$iters)
+       |SELECT vec_id, label,
+       |  CAST(CAST(round(list_dot_product(embedding::DOUBLE[], axis1.a), 6)
+       |       AS DECIMAL(18,6)) AS DOUBLE) AS proj1,
+       |  CAST(CAST(round(list_dot_product(embedding::DOUBLE[], axis2.a), 6)
+       |       AS DECIMAL(18,6)) AS DOUBLE) AS proj2
+       |FROM embeddings, axis1, axis2
        |ORDER BY vec_id""".stripMargin
   }
 

@@ -1111,6 +1111,11 @@ object RelationalSql {
     "x159_ccnet_buckets" -> ccnetSparkSql,
     "x160_data_budget" -> dataBudgetSparkSql,
     "x161_bpe_merges" -> bpeMergesSparkSql,
+    // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
+    // chain plus deflation exceeds Spark's CTE analysis budget (the
+    // logical tree re-expands past the 8g test heap), where DuckDB's
+    // MATERIALIZED CTEs evaluate each stage once. The engine face and
+    // the DuckDB oracle stay cross-checked.
     // ---- r14 second wave: five twins for operators previously listed
     // as DataFrame-first that ARE plainly expressible (the DuckDB
     // oracle proved the semantics portable; these are the Spark texts).
@@ -3201,40 +3206,50 @@ object RelationalSql {
     * physical strategy for the same arithmetic (the engine face
     * iterates the collected d×d matrix driver-side), value-identical
     * because every inexact step rounds at the same place. */
-  private def pcaProjSparkSql: String = {
-    val iters = Similarity.PcaIters
-    val steps = (1 to iters).map { t =>
-      s"""y$t AS (
-         |  SELECT g.j AS i, SUM(g.gv * x${t - 1}.x) AS y
-         |  FROM g JOIN x${t - 1} ON g.i = x${t - 1}.i GROUP BY g.j),
-         |n$t AS (
+  /** One unrolled power-iteration chain (Spark dialect) over Gram CTE
+    * `g` with variable prefix `xp`, starting from `${xp}0`. */
+  private def pcaStepsSparkSql(g: String, xp: String, iters: Int): String =
+    (1 to iters).map { t =>
+      s"""${xp}y$t AS (
+         |  SELECT $g.j AS i, SUM($g.gv * $xp${t - 1}.x) AS y
+         |  FROM $g JOIN $xp${t - 1} ON $g.i = $xp${t - 1}.i GROUP BY $g.j),
+         |${xp}n$t AS (
          |  SELECT sqrt(CAST(SUM(yd * yd) AS DOUBLE)) AS nrm FROM
          |    (SELECT CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS yd
-         |     FROM y$t) s),
-         |x$t AS (
+         |     FROM ${xp}y$t) s),
+         |$xp$t AS (
          |  SELECT i, CAST(round(round(CAST(y AS DOUBLE), 6) / nrm, 6)
          |         AS DECIMAL(12,6)) AS x
-         |  FROM y$t CROSS JOIN n$t)""".stripMargin
+         |  FROM ${xp}y$t CROSS JOIN ${xp}n$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH g AS (
-       |  SELECT i, j,
-       |    CAST(SUM(CAST(vi AS DECIMAL(18,4)) * CAST(vj AS DECIMAL(18,4)))
-       |         AS DECIMAL(24,8)) AS gv
-       |  FROM embeddings
-       |  LATERAL VIEW posexplode(embedding) a AS i, vi
-       |  LATERAL VIEW posexplode(embedding) b AS j, vj
-       |  GROUP BY 1, 2),
-       |dims AS (SELECT DISTINCT i FROM g),
-       |x0 AS (
-       |  SELECT i, CAST(round(1.0 / sqrt((SELECT CAST(COUNT(1) AS DOUBLE)
-       |                                   FROM dims)), 6)
-       |         AS DECIMAL(12,6)) AS x
-       |  FROM dims),
-       |$steps,
-       |axis AS (
+
+  private def pcaGramSparkSql: String =
+    """g AS (
+      |  SELECT i, j,
+      |    CAST(SUM(CAST(vi AS DECIMAL(18,4)) * CAST(vj AS DECIMAL(18,4)))
+      |         AS DECIMAL(24,8)) AS gv
+      |  FROM embeddings
+      |  LATERAL VIEW posexplode(embedding) a AS i, vi
+      |  LATERAL VIEW posexplode(embedding) b AS j, vj
+      |  GROUP BY 1, 2),
+      |dims AS (SELECT DISTINCT i FROM g),
+      |x0 AS (
+      |  SELECT i, CAST(round(1.0 / sqrt((SELECT CAST(COUNT(1) AS DOUBLE)
+      |                                   FROM dims)), 6)
+      |         AS DECIMAL(12,6)) AS x
+      |  FROM dims)""".stripMargin
+
+  private def pcaAxisSparkSql(from: String, name: String): String =
+    s"""$name AS (
        |  SELECT transform(array_sort(collect_list(struct(i, x))),
        |           s -> CAST(s.x AS DOUBLE)) AS a
-       |  FROM x$iters)
+       |  FROM $from)""".stripMargin
+
+  private def pcaProjSparkSql: String = {
+    val iters = Similarity.PcaIters
+    s"""WITH $pcaGramSparkSql,
+       |${pcaStepsSparkSql("g", "x", iters)},
+       |${pcaAxisSparkSql(s"x$iters", "axis")}
        |SELECT vec_id, label,
        |  CAST(CAST(round(dot_product(embedding, axis.a), 6)
        |       AS DECIMAL(18,6)) AS DOUBLE) AS proj

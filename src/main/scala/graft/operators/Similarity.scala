@@ -1134,6 +1134,18 @@ object Similarity {
     // BILLION vectors before the long sum could wrap (embeddings are
     // unit-normalized in practice; widen the fixture, not the engine,
     // past that).
+    val (g, d) = gramOf(emb)
+    val axis = powerIterate(g, d, iters).map(_.doubleValue)
+    val axisCol = array(axis.map(lit): _*)
+    emb.select(col("vec_id"), col("label"),
+      round(dot(col("embedding"), axisCol), 6)
+        .cast("decimal(18,6)").cast("double").as("proj"))
+  }
+
+  /** The collected exact-decimal Gram matrix (see [[pcaProjection]]'s
+    * fixed-point build) and its dimensionality. */
+  private def gramOf(emb: DataFrame): (Array[Array[java.math.BigDecimal]], Int) = {
+    import graft.core.Determinism.dec
     val le = emb.select(transform(col("embedding"),
       v => (dec(v) * lit(10000)).cast("long")).as("le"))
     val gram = le.select(col("le"), posexplode(col("le")))
@@ -1152,11 +1164,7 @@ object Similarity {
       g(r.getInt(0))(r.getInt(1)) = v
       g(r.getInt(1))(r.getInt(0)) = v
     }
-    val axis = powerIterate(g, d, iters)
-    val axisCol = array(axis.map(lit): _*)
-    emb.select(col("vec_id"), col("label"),
-      round(dot(col("embedding"), axisCol), 6)
-        .cast("decimal(18,6)").cast("double").as("proj"))
+    (g, d)
   }
 
   /** [[PcaIters]] exact-replay power-iteration steps on the collected
@@ -1164,37 +1172,88 @@ object Similarity {
     * twins' bounded-precision decimals: scale 14 matvec terms, scale 12
     * norm squares, both inside DECIMAL(38)), doubles only where the
     * twins cast, rounds HALF_UP at 6 exactly where the twins round. */
-  private def powerIterate(g: Array[Array[java.math.BigDecimal]], d: Int,
-                           iters: Int): Array[Double] = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    // valueOf (shortest decimal repr), not new JBD (exact expansion):
-    // Spark's round(double, 6) goes through scala BigDecimal(d) =
-    // java valueOf — the driver mirror must round the SAME image
-    def round6(v: Double): JBD =
-      JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP)
-    // x0_i = round6(1/sqrt(d)), the uniform start (exactly 0.125 at d=64)
-    var x: Array[JBD] = Array.fill(d)(round6(1.0 / math.sqrt(d.toDouble)))
-    for (_ <- 1 to iters) {
-      val y = Array.tabulate(d) { j =>
-        var acc = JBD.ZERO
-        var i = 0
-        while (i < d) {
-          if (g(i)(j) != null) acc = acc.add(g(i)(j).multiply(x(i)))
-          i += 1
-        }
-        acc
+  // valueOf (shortest decimal repr), not new JBD (exact expansion):
+  // Spark's round(double, 6) goes through scala BigDecimal(d) =
+  // java valueOf — the driver mirror must round the SAME image
+  private def roundAt(v: Double, scale: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+
+  /** The exact-decimal matvec Σ_i G(i,j)·x_i (scale g.scale + x.scale,
+    * the twins' DECIMAL(38) budget). */
+  private def matvec(g: Array[Array[java.math.BigDecimal]], d: Int,
+                     x: Array[java.math.BigDecimal])
+      : Array[java.math.BigDecimal] =
+    Array.tabulate(d) { j =>
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < d) {
+        if (g(i)(j) != null) acc = acc.add(g(i)(j).multiply(x(i)))
+        i += 1
       }
+      acc
+    }
+
+  private def powerIterate(g: Array[Array[java.math.BigDecimal]], d: Int,
+                           iters: Int): Array[java.math.BigDecimal] = {
+    import java.math.{BigDecimal => JBD}
+    // x0_i = round6(1/sqrt(d)), the uniform start (exactly 0.125 at d=64)
+    var x: Array[JBD] = Array.fill(d)(roundAt(1.0 / math.sqrt(d.toDouble), 6))
+    for (_ <- 1 to iters) {
       // the twins' re-synchronization point: matvec image to double,
       // rounded at 6 (yd), exact decimal norm of the rounded vector
-      val yd = y.map(v => round6(v.doubleValue))
+      val yd = matvec(g, d, x).map(v => roundAt(v.doubleValue, 6))
       val norm = math.sqrt(
         yd.foldLeft(JBD.ZERO)((a, v) => a.add(v.multiply(v))).doubleValue)
-      x = yd.map(v => round6(v.doubleValue / norm))
+      x = yd.map(v => roundAt(v.doubleValue / norm, 6))
     }
-    x.map(_.doubleValue)
+    x
   }
 
   def pcaProjectionQuery(spark: SparkSession, dir: String): DataFrame =
     pcaProjection(Tables.load(spark, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
+  /** x162: TOP-TWO PRINCIPAL COMPONENTS BY DEFLATION — x158's axis
+    * plus the second one: λ₁ removed from the Gram
+    * (G₂ = G − λ₁·v₁v₁ᵀ, Hotelling deflation) and the power iteration
+    * re-run, giving the 2-D PCA map every embedding-space audit plots
+    * (cluster structure, drift direction, anisotropy plane). Output is
+    * each vector's (proj1, proj2) coordinates.
+    *
+    * Determinism, same budget as x158: λ₁ = round6(Σ yd_j·v_j) with yd
+    * the rounded matvec image (exact scale-12 dot product); each
+    * deflated cell re-rounds at 8 through the double image
+    * (G(24,8) − λ₆·round6(v_i·v_j) is exact at scale 12 and re-enters
+    * the iteration as DECIMAL(24,8)) — every inexact step lands where
+    * both SQL twins land it. Deflation is driver-side d×d arithmetic
+    * on the already-collected matrix; the corpus pays nothing beyond
+    * x158's one Gram scan plus the one projection map. */
+  def pcaProjection2(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    require(iters > 0, s"pcaProjection2: iters=$iters")
+    val (g, d) = gramOf(emb)
+    val v1 = powerIterate(g, d, iters)
+    val yd = matvec(g, d, v1).map(v => roundAt(v.doubleValue, 6))
+    val lam = roundAt(
+      yd.zip(v1).foldLeft(JBD.ZERO) { case (a, (y, v)) =>
+        a.add(y.multiply(v)) }.doubleValue, 6)
+    val g2 = Array.tabulate(d, d) { (i, j) =>
+      val base = if (g(i)(j) != null) g(i)(j) else JBD.ZERO
+      val uv = roundAt(v1(i).multiply(v1(j)).doubleValue, 6)
+      roundAt(base.subtract(lam.multiply(uv)).doubleValue, 8)
+    }
+    val v2 = powerIterate(g2, d, iters)
+    def projCol(v: Array[JBD]) = {
+      val axisCol = array(v.map(x => lit(x.doubleValue)): _*)
+      round(dot(col("embedding"), axisCol), 6)
+        .cast("decimal(18,6)").cast("double")
+    }
+    emb.select(col("vec_id"), col("label"),
+      projCol(v1).as("proj1"), projCol(v2).as("proj2"))
+  }
+
+  def pcaProjection2Query(spark: SparkSession, dir: String): DataFrame =
+    pcaProjection2(Tables.load(spark, dir, "embeddings"))
       .orderBy(col("vec_id"))
 }

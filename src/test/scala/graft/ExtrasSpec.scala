@@ -3684,6 +3684,35 @@ class ExtrasSpec extends SparkSpec {
       s"token-count bounds broken: ${enc.find(r => !(r._2 <= r._3 && r._2 >= r._1))}")
   }
 
+  test("x162 two-component PCA: deflation recovers the orthogonal second axis exactly") {
+    import graft.operators.Similarity
+    // two exactly-axis-aligned lobes with distinct variances: PC1 must
+    // be e0 (spectral mass 2000 vs 320), PC2 after deflation must be e1
+    val d = 6
+    def axisVec(ax: Int, mag: Float) = {
+      val a = Array.fill(d)(0.0f); a(ax) = mag; a.toSeq
+    }
+    val vecs =
+      (0 until 20).map(k => (k.toLong,
+        axisVec(0, if (k % 2 == 0) 10.0f else -10.0f), 0)) ++
+      (20 until 40).map(k => (k.toLong,
+        axisVec(1, if (k % 2 == 0) 4.0f else -4.0f), 1))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Similarity.pcaProjection2(emb)
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    vecs.foreach { case (id, v, label) =>
+      val (p1, p2) = (out(id)._3, out(id)._4)
+      if (label == 0) {
+        assert(p1 == v.head.toDouble && p2 == 0.0,
+          s"e0-lobe vec $id: ($p1, $p2) expected (${v.head}, 0)")
+      } else {
+        assert(p1 == 0.0 && p2 == v(1).toDouble,
+          s"e1-lobe vec $id: ($p1, $p2) expected (0, ${v(1)})")
+      }
+    }
+  }
+
   test("x157 self-excision: repeated spans keep their first occurrence only") {
     import graft.operators.Dedup
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")

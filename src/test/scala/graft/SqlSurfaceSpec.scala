@@ -82,7 +82,8 @@ class SqlSurfaceSpec extends SparkSpec {
     // engine face rides the distributed prefix scan), x160's budget
     // planner over the shared x156 core, and x161's run-parity window
     // rewrite (a THIRD strategy beside the engine fold and the DuckDB
-    // windows — all value-identical)
+    // windows — all value-identical); x162's deflation chain exceeds
+    // Spark's CTE analysis budget and stays DuckDB-oracle-only
     assert(RelationalSql.extrasSql.size == 147)
   }
 
