@@ -1380,19 +1380,14 @@ object Dedup {
 
   // --------------------------------- corpus self-excision (x157)
 
-  /** The x157 occurrence-id stride: occurrences order by
-    * doc_id·2^20 + position, so the "first occurrence" is well defined
-    * up to documents of 2^20 tokens (declared bound — a 1M-token
-    * document is pathological at any SF; beyond it the keeper CHOICE
-    * could differ, never the cut semantics). */
-  private[graft] val SelfExciseStride: Long = 1L << 20
-
   /** x157: EXACT-SUBSTRING SELF-DEDUP — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * suffix-array move re-expressed at k-gram grain: every k-token
     * span that occurs MORE THAN ONCE ANYWHERE in the corpus (across
     * documents or inside one) is cut from every occurrence EXCEPT the
-    * globally first (min doc_id·stride + position), and each document
+    * globally first (lexicographic min over (doc_id, position) — an
+    * exact struct argmin, collision-free for any document length and
+    * any doc_id range), and each document
     * reassembles from what survives. This closes the dedup family's
     * remaining gap: x01/x44 drop whole exact copies, x02/x46 drop
     * whole near-copies, x151 cuts spans found in an EXTERNAL
@@ -1425,7 +1420,7 @@ object Dedup {
       .toDF("doc_id", "g", "gram")
       .select(col("doc_id"), col("g"),
         gramKey(col("gram"), hashGrams).as("gram"))
-    val oid = col("doc_id") * SelfExciseStride + col("g")
+    val oid = struct(col("doc_id"), col("g"))
     val dup = occ.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"), min(oid).as("keep_oid"))
       .filter(col("cnt") >= 2)
@@ -1456,8 +1451,13 @@ object Dedup {
     * matching span cuts. The live face is
     * [[graft.streaming.StreamingOps.exciseStream]] UNCHANGED — same
     * `grams` layout as [[saveDecontamIndex]], one gate, two indexes
-    * (benchmark text vs corpus boilerplate; spec-asserted equal to
-    * batch [[selfExcise]] over corpus ∪ arrival). Narrow by
+    * (benchmark text vs corpus boilerplate). The frozen-index gate
+    * equals batch [[selfExcise]] ONLY for spans already repeated
+    * within the frozen corpus (spec-asserted on exactly that set):
+    * spans that duplicate a corpus-UNIQUE passage, or repeat only
+    * between arriving documents, are outside the frozen index by
+    * construction and pass uncut — recompute the index (or run batch
+    * selfExcise over corpus ∪ arrival) to catch those. Narrow by
     * construction: the index is the repeated TAIL of the span
     * distribution, not the corpus. Published atomically. */
   def saveDupSpanIndex(docs: DataFrame, path: String, k: Int = 4): Unit =

@@ -3798,11 +3798,12 @@ object ExtrasOracle {
       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.selfExciseQuery (x157): identical keeper
-    * rule (min doc_id·2^20 + position over each duplicated gram's
-    * occurrences — both engines' position bases shift every occurrence
-    * equally, so the argmin picks the same one), x151's rewrite tail. */
-  private def selfExciseSql: String = {
-    val stride = Dedup.SelfExciseStride
+    * rule (lexicographic min over (doc_id, position) for each
+    * duplicated gram's occurrences — a struct argmin, exact for any
+    * document length; both engines' position bases shift every
+    * occurrence of a doc equally, so the argmin picks the same one),
+    * x151's rewrite tail. */
+  private def selfExciseSql: String =
     s"""WITH cand AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
        |  FROM documents WHERE text IS NOT NULL),
@@ -3812,12 +3813,13 @@ object ExtrasOracle {
        |  FROM cand, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(g)),
        |keepers AS MATERIALIZED (
        |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
-       |    MIN(doc_id * $stride + g) AS keep_oid
+       |    MIN({'doc_id': doc_id, 'g': g}) AS keep_oid
        |  FROM occ GROUP BY gram),
        |cut AS MATERIALIZED (
        |  SELECT o.doc_id, o.g
        |  FROM occ o JOIN keepers k USING (gram)
-       |  WHERE k.cnt >= 2 AND o.doc_id * $stride + o.g <> k.keep_oid),
+       |  WHERE k.cnt >= 2
+       |    AND {'doc_id': o.doc_id, 'g': o.g} <> k.keep_oid),
        |dropped AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, p FROM cut, UNNEST(range(g, g + 4)) AS t(p)),
        |tokens AS (
@@ -3835,7 +3837,6 @@ object ExtrasOracle {
        |  md5(coalesce(out, '')) AS out_key
        |FROM cand c LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // --- x158/x162 PCA twins: the exact decimal Gram matrix (components
   // through the x73 FLOAT→DOUBLE→DECIMAL(18,4) hop), power-iteration
@@ -3938,29 +3939,33 @@ object ExtrasOracle {
   }
 
   /** DuckDB twin of TextAnalysis.bpeMergeQuery (x161): the merge loop
-    * UNROLLED — per step, pair counts over the current symbol arrays,
-    * the (count DESC, key ASC) top-1, and the leftmost-greedy
+    * UNROLLED at the engine's distinct-word grain — w0 aggregates
+    * occurrences to (word, n) once, each step counts pairs weighted by
+    * n (the same statistic as counting raw occurrences), takes the
+    * (count DESC, key ASC) top-1, and applies the leftmost-greedy
     * non-overlapping rewrite via run-parity windows (islands of
     * consecutive matches; even offsets merge, odd ones are consumed) —
     * provably the same rewrite as the engine's left fold, since a
-    * merged symbol can never restart the same pair. */
+    * merged symbol can never restart the same pair. The word string
+    * itself is the partition key (distinct words stay distinct under
+    * every merge), so no synthetic row ids are needed. */
   private def bpeMergesSql: String = {
     val steps = (1 to TextAnalysis.BpeMergeSteps).map { t =>
       val prev = s"w${t - 1}"
       s"""p$t AS (
-         |  SELECT s[i] || chr(1) || s[i+1] AS p
+         |  SELECT s[i] || chr(1) || s[i+1] AS p, n
          |  FROM $prev, UNNEST(range(1, len(s))) AS t(i)
          |  WHERE len(s) >= 2),
          |top$t AS MATERIALIZED (
          |  SELECT split_part(p, chr(1), 1) AS a,
          |         split_part(p, chr(1), 2) AS b,
-         |         CAST(COUNT(*) AS BIGINT) AS n
+         |         CAST(SUM(n) AS BIGINT) AS n
          |  FROM p$t GROUP BY p ORDER BY n DESC, p LIMIT 1),
          |pos$t AS (
-         |  SELECT wid, i, s[i] AS sym
+         |  SELECT wid, n, i, s[i] AS sym
          |  FROM $prev, UNNEST(range(1, len(s) + 1)) AS t(i)),
          |m$t AS (
-         |  SELECT wid, i, sym,
+         |  SELECT wid, n, i, sym,
          |    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt,
          |    CASE WHEN sym = (SELECT a FROM top$t)
          |          AND lead(sym) OVER (PARTITION BY wid ORDER BY i)
@@ -3968,35 +3973,36 @@ object ExtrasOracle {
          |         THEN 1 ELSE 0 END AS m
          |  FROM pos$t),
          |r$t AS (
-         |  SELECT wid, i, sym, nxt, m,
+         |  SELECT wid, n, i, sym, nxt, m,
          |    CASE WHEN m = 1 THEN
          |      i - row_number() OVER (PARTITION BY wid, m ORDER BY i) END AS grp
          |  FROM m$t),
          |k$t AS (
-         |  SELECT wid, i, sym, nxt, m,
+         |  SELECT wid, n, i, sym, nxt, m,
          |    CASE WHEN m = 1
          |          AND (i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0
          |         THEN 1 ELSE 0 END AS take
          |  FROM r$t),
          |e$t AS (
-         |  SELECT wid, i,
+         |  SELECT wid, n, i,
          |    CASE WHEN take = 1 THEN sym || nxt ELSE sym END AS sym,
          |    lag(take) OVER (PARTITION BY wid ORDER BY i) AS consumed
          |  FROM k$t),
          |w$t AS MATERIALIZED (
-         |  SELECT wid, list(sym ORDER BY i) AS s
+         |  SELECT wid, n, list(sym ORDER BY i) AS s
          |  FROM e$t WHERE coalesce(consumed, 0) = 0
-         |  GROUP BY wid)""".stripMargin
+         |  GROUP BY wid, n)""".stripMargin
     }.mkString(",\n")
     val unions = (1 to TextAnalysis.BpeMergeSteps).map { t =>
       s"""SELECT CAST($t AS INT) AS step, a AS lhs, b AS rhs,
          |  a || b AS merged, n AS n_pair FROM top$t""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH w0 AS MATERIALIZED (
-       |  SELECT row_number() OVER () AS wid, string_split(w, '') AS s
+       |  SELECT w AS wid, CAST(COUNT(*) AS BIGINT) AS n, string_split(w, '') AS s
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
        |        FROM documents) t
-       |  WHERE len(w) >= 2),
+       |  WHERE len(w) >= 2
+       |  GROUP BY w),
        |$steps
        |$unions
        |ORDER BY step""".stripMargin

@@ -3102,27 +3102,28 @@ object RelationalSql {
   /** Spark-SQL face of TextAnalysis.bpeMergeQuery (x161): the DuckDB
     * twin's run-parity window rewrite in Spark dialect — a THIRD
     * strategy for the same loop (the engine face folds in-row), value-
-    * identical. wid comes from monotonically_increasing_id(); its
-    * values are per-evaluation, but only the pos→merge→regroup chain
-    * reads it and each step's chain evaluates its source once — the
-    * pair-count legs never touch wid. */
+    * identical, at the engine's distinct-word grain: w0 aggregates
+    * occurrences to (word, n) once, pair counts weight by n, and the
+    * word string itself is the window partition key — deterministic
+    * under stage retry / speculative re-execution, unlike a
+    * monotonically_increasing_id row id (SPARK-23207-class hazard). */
   private def bpeMergesSparkSql: String = {
     val steps = (1 to TextAnalysis.BpeMergeSteps).map { t =>
       val prev = s"w${t - 1}"
       s"""p$t AS (
-         |  SELECT concat(element_at(s, i), chr(1), element_at(s, i + 1)) AS p
+         |  SELECT concat(element_at(s, i), chr(1), element_at(s, i + 1)) AS p, n
          |  FROM $prev LATERAL VIEW explode(sequence(1, size(s) - 1)) t AS i
          |  WHERE size(s) >= 2),
          |top$t AS (
          |  SELECT split_part(p, chr(1), 1) AS a,
          |         split_part(p, chr(1), 2) AS b,
-         |         COUNT(1) AS n
+         |         SUM(n) AS n
          |  FROM p$t GROUP BY p ORDER BY n DESC, p LIMIT 1),
          |pos$t AS (
-         |  SELECT wid, i + 1 AS i, sym
+         |  SELECT wid, n, i + 1 AS i, sym
          |  FROM $prev LATERAL VIEW posexplode(s) t AS i, sym),
          |m$t AS (
-         |  SELECT wid, i, sym,
+         |  SELECT wid, n, i, sym,
          |    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt,
          |    CASE WHEN sym = (SELECT a FROM top$t)
          |          AND lead(sym) OVER (PARTITION BY wid ORDER BY i)
@@ -3130,44 +3131,45 @@ object RelationalSql {
          |         THEN 1 ELSE 0 END AS m
          |  FROM pos$t),
          |r$t AS (
-         |  SELECT wid, i, sym, nxt, m,
+         |  SELECT wid, n, i, sym, nxt, m,
          |    CASE WHEN m = 1 THEN
          |      i - row_number() OVER (PARTITION BY wid, m ORDER BY i) END AS grp
          |  FROM m$t),
          |k$t AS (
-         |  SELECT wid, i, sym, nxt, m,
+         |  SELECT wid, n, i, sym, nxt, m,
          |    CASE WHEN m = 1
          |          AND (i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0
          |         THEN 1 ELSE 0 END AS take
          |  FROM r$t),
          |e$t AS (
-         |  SELECT wid, i,
+         |  SELECT wid, n, i,
          |    CASE WHEN take = 1 THEN concat(sym, nxt) ELSE sym END AS sym,
          |    lag(take) OVER (PARTITION BY wid ORDER BY i) AS consumed
          |  FROM k$t),
          |w$t AS (
-         |  SELECT wid, transform(array_sort(collect_list(struct(i, sym))),
+         |  SELECT wid, n, transform(array_sort(collect_list(struct(i, sym))),
          |           x -> x.sym) AS s
          |  FROM e$t WHERE coalesce(consumed, 0) = 0
-         |  GROUP BY wid)""".stripMargin
+         |  GROUP BY wid, n)""".stripMargin
     }.mkString(",\n")
     val unions = (1 to TextAnalysis.BpeMergeSteps).map { t =>
       s"""SELECT CAST($t AS INT) AS step, a AS lhs, b AS rhs,
          |  concat(a, b) AS merged, n AS n_pair FROM top$t""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH w0 AS (
-       |  SELECT monotonically_increasing_id() AS wid, split(w, '') AS s
+       |  SELECT w AS wid, CAST(COUNT(1) AS BIGINT) AS n, split(w, '') AS s
        |  FROM (SELECT explode(filter(split(text, ' '), x -> x != '')) AS w
        |        FROM documents) t
-       |  WHERE length(w) >= 2),
+       |  WHERE length(w) >= 2
+       |  GROUP BY w),
        |$steps
        |$unions
        |ORDER BY step""".stripMargin
   }
 
-  /** Spark-SQL face of Dedup.selfExciseQuery (x157). */
-  private def selfExciseSparkSql: String = {
-    val stride = Dedup.SelfExciseStride
+  /** Spark-SQL face of Dedup.selfExciseQuery (x157): the engine's
+    * exact lexicographic (doc_id, g) struct argmin keeper. */
+  private def selfExciseSparkSql: String =
     s"""WITH cand AS (
        |  SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
        |  FROM documents WHERE text IS NOT NULL),
@@ -3175,11 +3177,12 @@ object RelationalSql {
        |  SELECT doc_id, g, gram FROM cand
        |  LATERAL VIEW posexplode(word_shingles_all(w, 4)) t AS g, gram),
        |keepers AS (
-       |  SELECT gram, COUNT(1) AS cnt, MIN(doc_id * $stride + g) AS keep_oid
+       |  SELECT gram, COUNT(1) AS cnt,
+       |    MIN(struct(doc_id, g)) AS keep_oid
        |  FROM occ GROUP BY gram),
        |cut AS (
        |  SELECT o.doc_id, o.g FROM occ o JOIN keepers k USING (gram)
-       |  WHERE k.cnt >= 2 AND o.doc_id * $stride + o.g != k.keep_oid),
+       |  WHERE k.cnt >= 2 AND struct(o.doc_id, o.g) != k.keep_oid),
        |dropped AS (
        |  SELECT DISTINCT doc_id, p FROM cut
        |  LATERAL VIEW explode(sequence(g, g + 3)) t AS p),
@@ -3199,7 +3202,6 @@ object RelationalSql {
        |  md5(coalesce(out, '')) AS out_key
        |FROM cand c LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Spark-SQL face of Similarity.pcaProjectionQuery (x158): the
     * whole power iteration IN-ENGINE as unrolled CTE stages — a second

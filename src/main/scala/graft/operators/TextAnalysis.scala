@@ -1332,7 +1332,7 @@ object TextAnalysis {
 
   /** Adjacent symbol pairs of one word's symbol array, keyed
     * `a SEP b` — empty for single-symbol words. */
-  private def symbolPairs(s: Column): Column =
+  private[graft] def symbolPairs(s: Column): Column =
     when(size(s) >= 2,
       transform(sequence(lit(1), size(s) - 1),
         i => concat(element_at(s, i), lit(BpeSep), element_at(s, i + 1))))
@@ -1344,7 +1344,7 @@ object TextAnalysis {
     * merged symbol can never itself be the LEFT half of the same pair
     * (a||b = a would need b empty), so "aaa" under (a,a) correctly
     * gives [aa, a]. In-row, shuffle-free. */
-  private def mergePass(s: Column, a: String, b: String): Column =
+  private[graft] def mergePass(s: Column, a: String, b: String): Column =
     aggregate(s, array().cast("array<string>"), (acc, sym) =>
       when(size(acc) > 0 &&
           element_at(acc, -1) === lit(a) && sym === lit(b),
@@ -1362,38 +1362,89 @@ object TextAnalysis {
     * of this loop's statistic, x161 runs the loop. Ties break
     * (count DESC, pair ASC) — deterministic on any engine.
     *
-    * Shape at scale: each round is ONE explode→count aggregate (pair
-    * space alphabet²-ish, partial aggregation collapses it map-side), a
-    * 1-row TakeOrdered collect (bounded — the codebook discipline), and
-    * one narrow in-row merge map; the rewritten corpus is cut through
-    * the bounded cache each round (the x39 lineage discipline), so
-    * round k never re-runs rounds 1..k−1's rewrites. k rounds = k
-    * corpus scans, each embarrassingly parallel. */
+    * Shape at scale — the Sennrich et al. 2016 grain: the corpus is
+    * scanned ONCE, aggregating occurrences down to the DISTINCT-word
+    * table (symbols, n) ([[bpeWordTable]]; distinct words stay
+    * distinct under every merge — symbol arrays concatenate back to
+    * the word — so the table never needs re-aggregation). Every merge
+    * round then costs VOCABULARY-sized work: one explode→sum pair
+    * aggregate weighted by n (identical statistic to counting raw
+    * occurrences), a 1-row TakeOrdered collect (bounded — the codebook
+    * discipline), and one narrow in-row merge map over the word table,
+    * LINEAGE-CUT each round (the x101/x138 fixpoint discipline —
+    * lazily, so the next round's pair-count action is also the round's
+    * materialization, and the round-before-last's blocks are freed as
+    * soon as they are no longer read). The cut matters twice over: it
+    * keeps round k's plan constant-size (a chain of k cached rewrites
+    * is linear to EXECUTE but exponential to RENDER — each nested AQE
+    * subplan prints both its Final and Initial sections — which at
+    * realistic k kills the driver before any arithmetic does), and it
+    * never re-runs rounds 1..k−1's rewrites. Realistic merge counts
+    * (k in the tens of thousands) therefore cost k·|vocab|, not k
+    * corpus scans — corpus-size-independent after the first aggregate.
+    * PlanSpec gates that no round past the word-table build ever scans
+    * the corpus. Pass `checkpointDir` on real clusters so round blocks
+    * survive executor loss (reliable checkpoints instead of
+    * executor-local ones). */
   def bpeMergeTable(docs: DataFrame,
-                    steps: Int = BpeMergeSteps): DataFrame = {
+                    steps: Int = BpeMergeSteps,
+                    checkpointDir: Option[String] = None): DataFrame =
+    bpeMergeTableImpl(docs, steps, (_, _) => (), checkpointDir)
+
+  /** The one corpus scan behind x161: whitespace words aggregated to
+    * the distinct-word grain, each carried as its current symbol
+    * array plus its corpus occurrence count. */
+  private[graft] def bpeWordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("s"), col("n"))
+
+  /** Loop body with a per-round plan probe (spec hook): `probe(step,
+    * pairCounts)` fires before each round's top-1 collect, letting
+    * PlanSpec assert no merge round ever rescans the corpus. */
+  private[graft] def bpeMergeTableImpl(docs: DataFrame, steps: Int,
+      probe: (Int, DataFrame) => Unit,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(steps > 0, s"bpeMergeTable: steps=$steps")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs.select(explode(wsTokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .select(split(col("w"), "").as("s"))
+    import graft.core.IterUtil
+    IterUtil.ensureCheckpointDir(spark, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    // the one corpus scan; cached so round 1's count and round 1's
+    // rewrite share a single build
+    var words = graft.core.Caches.bounded(bpeWordTable(docs))
+    // lineage-cut handles: `last` backs the CURRENT words (must stay
+    // alive until the next round materializes), `beforeLast` is freed
+    // as soon as that happens
+    var last: Option[DataFrame] = None
+    var beforeLast: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
-      val top = words.select(explode(symbolPairs(col("s"))).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("p")).limit(1).collect()
+      val pairCounts = words.select(explode(symbolPairs(col("s"))).as("p"), col("n"))
+        .groupBy(col("p")).agg(sum(col("n")).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(1)
+      probe(step, pairCounts)
+      val top = pairCounts.collect() // also materializes the lazy cut
+      beforeLast.foreach(IterUtil.free)
+      beforeLast = last
       if (top.isEmpty) exhausted = true
       else {
         val parts = top(0).getString(0).split(BpeSep, 2)
         val (a, b, n) = (parts(0), parts(1), top(0).getLong(1))
         out += ((step, a, b, a + b, n))
-        words = graft.core.Caches.bounded(
-          words.select(mergePass(col("s"), a, b).as("s")))
+        val cut = IterUtil.cutLazy(
+          words.select(mergePass(col("s"), a, b).as("s"), col("n")), reliable)
+        last = Some(cut)
+        words = cut
       }
       step += 1
     }
+    last.foreach(IterUtil.free)
+    beforeLast.foreach(IterUtil.free)
     out.toSeq.toDF("step", "lhs", "rhs", "merged", "n_pair")
   }
 

@@ -3659,6 +3659,68 @@ class ExtrasSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 2L)), s"got ${out.toSeq}")
   }
 
+  test("x161 word-grain training is bit-identical to the occurrence-grain form") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.DataFrame
+    // the occurrence-grain reference loop (round-15's form): every word
+    // OCCURRENCE is a row, pair counts are plain COUNT(1) — the grain
+    // Sennrich et al. 2016 aggregates away; identical statistic because
+    // sum over occurrences == count-weighted sum over distinct words
+    def occurrenceGrain(docs: DataFrame, steps: Int): DataFrame = {
+      var words = docs.select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(split(col("w"), "").as("s"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= steps && !exhausted) {
+        val top = words.select(explode(TextAnalysis.symbolPairs(col("s"))).as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("p")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val parts = top(0).getString(0).split(TextAnalysis.BpeSep, 2)
+          out += ((step, parts(0), parts(1), parts(0) + parts(1), top(0).getLong(1)))
+          words = words.select(TextAnalysis.mergePass(col("s"), parts(0), parts(1)).as("s"))
+        }
+        step += 1
+      }
+      words.sparkSession.createDataFrame(out.toSeq)
+        .toDF("step", "lhs", "rhs", "merged", "n_pair")
+    }
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text").limit(60)
+    val fast = TextAnalysis.bpeMergeTable(docs, 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val slow = occurrenceGrain(docs, 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == slow, s"grain change altered the merge table:\n$fast\nvs\n$slow")
+  }
+
+  test("x161 at realistic depth: k=50 merge rounds stay vocabulary-sized and well-ordered") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text").limit(30)
+    val mt = TextAnalysis.bpeMergeTable(docs, 50)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(mt.nonEmpty && mt.size <= 50, s"size ${mt.size}")
+    assert(mt.map(_._1) == (1 to mt.size), s"steps not contiguous: ${mt.map(_._1)}")
+    // the max pair count can never increase: a new pair touching the
+    // merged symbol is bounded by the merge's own occurrence count
+    assert(mt.sliding(2).forall { case Seq(a, b) => b._5 <= a._5; case _ => true },
+      s"pair counts increased: ${mt.map(_._5)}")
+    // a fully-merged pair can never regain adjacency, so no pair repeats
+    assert(mt.map(m => (m._2, m._3)).distinct.size == mt.size, "repeated merge pair")
+    // the frozen-table replay stays within the char/word token bounds
+    val enc = TextAnalysis.bpeEncodedCounts(docs, mt.toDF("step", "lhs", "rhs", "merged", "n_pair"))
+      .join(docs, Seq("doc_id"))
+      .select($"n_words", $"n_bpe_tokens",
+        length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    assert(enc.forall(r => r._2 <= r._3 && r._2 >= r._1),
+      s"token-count bounds broken at k=50")
+  }
+
   test("BPE encode replays the frozen merge table (x161's inference face)") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "aaab aaab aab"), (2L, "xy xy")).toDF("doc_id", "text")

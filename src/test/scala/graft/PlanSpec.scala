@@ -11,6 +11,27 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
 
+  /** Count the LIVE FileScans of a physical plan — structurally, not
+    * by string parsing (nested-AQE rendering re-bases `== Final Plan
+    * ==` sections shallower than their parent, so indentation is not
+    * a tree). Descends across AQE boundaries (AdaptiveSparkPlanExec /
+    * QueryStageExec are leaf nodes to `collect`) and into subquery
+    * plans, and STOPS at InMemoryTableScanExec: everything beneath a
+    * cache hit is the cached relation's build plan, rendered but not
+    * live work — so the count is cache-state- and suite-order-free. */
+  private def liveFileScans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec  => liveFileScans(a.executedPlan)
+      case q: QueryStageExec         => liveFileScans(q.plan)
+      case _: InMemoryTableScanExec  => 0
+      case _: FileSourceScanExec     => 1
+      case other => (other.children ++ other.subqueries).map(liveFileScans).sum
+    }
+  }
+
   test("q01: filter and projection are pushed to the parquet scan") {
     val p = plan("q01_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate") && p.contains("l_discount"),
@@ -515,16 +536,18 @@ class PlanSpec extends SparkSpec {
     // and the pruned doc_id report frame — 4 static FileScans, and the
     // context marginal must NOT add a fifth (it is a window over the
     // corpus aggregate, not a third aggregate)
-    val p67 = plan("x67_lm_score")
+    val e67 = SparkEntry.queries("x67_lm_score")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val p67 = e67.toString
     if (p67.contains("InMemoryTableScan")) {
       // a sibling query (x159 shares the whole LM report through the
       // bounded cache, and Spark's CacheManager dedupes BY PLAN) already
       // materialized the report — x67 must then read the cache and scan
       // NOTHING live; the FileScans rendered under InMemoryRelation are
-      // the cached build plan, not live work
-      val live = p67.linesIterator
-        .takeWhile(l => !l.contains("InMemoryRelation")).mkString("\n")
-      assert(!live.contains("FileScan"),
+      // the cached build plan, not live work (counted STRUCTURALLY, so
+      // a live scan beside a cached subtree is caught regardless of
+      // where the renderer puts it — cache-order-free strength)
+      assert(liveFileScans(e67) == 0,
         s"corpus scanned live beside the cached LM report:\n$p67")
     } else
       assert("FileScan".r.findAllIn(p67).size <= 4, s"corpus rescanned:\n$p67")
@@ -535,6 +558,32 @@ class PlanSpec extends SparkSpec {
     val p70 = plan("x70_pmi")
     assert("FileScan".r.findAllIn(p70).size <= 2, s"corpus rescanned:\n$p70")
     assert(p70.contains("TakeOrderedAndProject"), s"top-N should not global-sort:\n$p70")
+  }
+
+  test("x161: every merge round reads the cached word table — the corpus is scanned once, never per round") {
+    import graft.core.Tables
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val plans = scala.collection.mutable.Map.empty[Int, String]
+    val execs = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.execution.SparkPlan]
+    TextAnalysis.bpeMergeTableImpl(docs, 3,
+      (step, pairs) => execs(step) = pairs.queryExecution.executedPlan)
+    assert(execs.keySet == Set(1, 2, 3), s"probe missed rounds: ${execs.keySet}")
+    for ((step, p) <- execs.toSeq.sortBy(_._1)) {
+      if (step == 1)
+        // round 1 counts over the CACHED word table (the one corpus
+        // scan lives under its InMemoryRelation as build plan)
+        assert(p.toString.contains("InMemoryTableScan"),
+          s"round 1 bypassed the cached word table:\n$p")
+      else
+        // later rounds read the previous round's LINEAGE-CUT rewrite —
+        // a LogicalRDD leaf, so the plan stays constant-size at any k
+        assert(p.toString.contains("ExistingRDD"),
+          s"round $step is not reading the lineage-cut word table:\n$p")
+      // NO round may scan the corpus live
+      assert(liveFileScans(p) == 0,
+        s"round $step rescanned the corpus (vocabulary-grain contract broken):\n$p")
+    }
   }
 
   test("x109: BPE pair counting partial-aggregates before the shuffle; top-N never global-sorts") {
