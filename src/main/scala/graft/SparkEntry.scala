@@ -592,6 +592,10 @@ object SparkEntry {
     // 2-D PCA map (cluster structure, drift plane) with x158's
     // cross-engine exactness budget.
     "x162_pca_two"        -> (Similarity.pcaProjection2Query _),
+    // x163: one-scan quality panel — x147/x148/x154/x97 fused into a
+    // single narrow projection (the run-all-audits release job reads
+    // the corpus once, not four times).
+    "x163_quality_panel"  -> (TextAnalysis.qualityPanelQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

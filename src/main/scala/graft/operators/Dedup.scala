@@ -1205,9 +1205,16 @@ object Dedup {
     * sort — never the O(L²) per-element rescan (the x151 lesson). Like
     * x147/x148 the projection IS its own streaming face, and at 100 TB
     * it fuses into whatever scan consumes it. */
-  def lineRepetition(docs: DataFrame, lineTokens: Int = LineTokens): DataFrame = {
+  def lineRepetition(docs: DataFrame, lineTokens: Int = LineTokens): DataFrame =
+    docs.select(col("doc_id"), lineRepSig(lineTokens).as("_s"))
+      .select(col("doc_id") +: lineRepFinalCols("_s"): _*)
+
+  /** x154's in-row signal struct and its null-to-zero unpacking,
+    * shared verbatim with the x163 fused panel (identity by
+    * construction). */
+  private[graft] def lineRepSig(lineTokens: Int): Column = {
     import graft.functions.VectorFunctions.bindArray
-    val sig = bindArray(sort_array(lineChunks(col("text"), lineTokens))) { s =>
+    bindArray(sort_array(lineChunks(col("text"), lineTokens))) { s =>
       val n = size(s)
       // idx is 1-based (element_at): element i is part of a duplicate
       // run iff it equals either sorted neighbor
@@ -1226,12 +1233,12 @@ object Dedup {
         size(dupFlags).cast("long").as("n_dup_lines"),
         repeatTokens.as("dup_tokens"))
     }
-    docs.select(col("doc_id"), sig.as("_s"))
-      .select(col("doc_id"),
-        coalesce(col("_s.n_lines"), lit(0L)).as("n_lines"),
-        coalesce(col("_s.n_dup_lines"), lit(0L)).as("n_dup_lines"),
-        coalesce(col("_s.dup_tokens"), lit(0L)).as("dup_tokens"))
   }
+
+  private[graft] def lineRepFinalCols(sig: String): Seq[Column] = Seq(
+    coalesce(col(s"$sig.n_lines"), lit(0L)).as("n_lines"),
+    coalesce(col(s"$sig.n_dup_lines"), lit(0L)).as("n_dup_lines"),
+    coalesce(col(s"$sig.dup_tokens"), lit(0L)).as("dup_tokens"))
 
   /** The x154 queries() face: the synthetic corpus has no within-doc
     * repeats, so the face PLANTS them deterministically (the x97

@@ -200,19 +200,26 @@ object DocPrep {
         PiiPhoneRe, "[PHONE]"),
       PiiIpRe, "[IP]")
 
-  def piiAudit(docs: DataFrame): DataFrame = {
+  def piiAudit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: piiBaseCols: _*)
+      .withColumn("pii_total", piiTotalExpr)
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("pii_total"), col("raw_len"), col("redacted_len"))
+
+  /** x97's count/length columns and total expression, shared verbatim
+    * with the x163 fused panel (identity by construction). */
+  private[graft] def piiBaseCols: Seq[org.apache.spark.sql.Column] = {
     val t = col("text")
     val redacted = redactPii(t)
-    docs.select(col("doc_id"),
-      regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_email"),
+    Seq(regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_email"),
       regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phone"),
       regexp_count(t, lit(PiiIpRe)).cast("long").as("n_ip"),
       length(t).cast("long").as("raw_len"),
       length(redacted).cast("long").as("redacted_len"))
-      .withColumn("pii_total", (col("n_email") + col("n_phone") + col("n_ip")))
-      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
-        col("pii_total"), col("raw_len"), col("redacted_len"))
   }
+
+  private[graft] def piiTotalExpr: org.apache.spark.sql.Column =
+    col("n_email") + col("n_phone") + col("n_ip")
 
   /** The x97 queries() face: the corpus text carries no PII (synthetic
     * words), so the face PLANTS it deterministically — doc_id residues

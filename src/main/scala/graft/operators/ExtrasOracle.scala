@@ -112,6 +112,10 @@ object ExtrasOracle {
     // (bucket identity changes counts, so no engine-local hash here),
     // each ln through the x67 round-at-6 decimal discipline.
     "x153_dsir_weights" -> dsirSql,
+    // x163: the fused quality panel — x147/x148/x154/x97 columns from
+    // one scan; RAW corpus (no plants), so dup/PII legs exercise their
+    // zero paths while gopher/readability carry the live signal.
+    "x163_quality_panel" -> qualityPanelSql,
     // x154: within-doc duplicate-line mass over x139's fixed-width
     // lines, planted by prepending each id%6==0 doc's own first line.
     "x154_line_rep" -> lineRepSql,
@@ -3760,6 +3764,80 @@ object ExtrasOracle {
        |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.qualityPanelQuery (x163): the
+    * x147/x148/x154/x97 twins' arithmetic verbatim over the RAW corpus
+    * (no plants), stitched on doc_id — DuckDB's strategy for the fused
+    * scan is its own business; the engine's is one projection. */
+  private def qualityPanelSql: String = {
+    val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
+    val lt = Dedup.LineTokens
+    val (em, ph, ip) = (DocPrep.PiiEmailRe, DocPrep.PiiPhoneRe, DocPrep.PiiIpRe)
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |gm AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, n_chars,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct(w), [$stops])) AS BIGINT) AS n_stop
+       |  FROM t),
+       |rm AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM t),
+       |lines AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    array_to_string(w[(i*$lt+1):(i*$lt+$lt)], ' ') AS line
+       |  FROM t,
+       |    UNNEST(range(0, CAST(ceil(len(w) / $lt.0) AS BIGINT))) AS t2(i)),
+       |grp AS (
+       |  SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(len(list_filter(string_split(line, ' '), x -> x <> ''))
+       |         AS BIGINT) AS len
+       |  FROM lines GROUP BY doc_id, line),
+       |per AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_dup_lines,
+       |    CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END) AS BIGINT)
+       |      AS dup_tokens
+       |  FROM grp GROUP BY doc_id),
+       |pa AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+       |    CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+       |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       |    CAST(length(text) AS BIGINT) AS raw_len,
+       |    CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
+       |      AS BIGINT) AS redacted_len
+       |  FROM t)
+       |SELECT gm.doc_id, gm.n_tokens, gm.n_chars, gm.n_alpha, gm.n_stop,
+       |  CAST(CASE WHEN gm.n_tokens BETWEEN ${TextAnalysis.GopherMinTokens}
+       |                 AND ${TextAnalysis.GopherMaxTokens}
+       |            AND 3 * gm.n_tokens <= gm.n_chars
+       |            AND gm.n_chars <= 10 * gm.n_tokens
+       |            AND 5 * gm.n_alpha >= 4 * gm.n_tokens
+       |            AND gm.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+       |  rm.n_words, rm.n_sentences, rm.n_syllables,
+       |  CASE WHEN rm.n_words > 0 THEN
+       |    ROUND(206.835::DOUBLE
+       |      - 1.015::DOUBLE * ROUND(CAST(rm.n_words AS DOUBLE) / CAST(rm.n_sentences AS DOUBLE), 6)
+       |      - 84.6::DOUBLE * ROUND(CAST(rm.n_syllables AS DOUBLE) / CAST(rm.n_words AS DOUBLE), 6), 6)
+       |  END AS flesch,
+       |  COALESCE(per.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       |  COALESCE(per.n_dup_lines, CAST(0 AS BIGINT)) AS n_dup_lines,
+       |  COALESCE(per.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |  pa.n_email, pa.n_phone, pa.n_ip,
+       |  pa.n_email + pa.n_phone + pa.n_ip AS pii_total,
+       |  pa.raw_len, pa.redacted_len
+       |FROM gm JOIN rm USING (doc_id) LEFT JOIN per USING (doc_id)
+       |  JOIN pa USING (doc_id)
+       |ORDER BY gm.doc_id""".stripMargin
   }
 
   /** DuckDB twin of Dedup.exciseQuery (x151). */

@@ -1111,6 +1111,7 @@ object RelationalSql {
     "x159_ccnet_buckets" -> ccnetSparkSql,
     "x160_data_budget" -> dataBudgetSparkSql,
     "x161_bpe_merges" -> bpeMergesSparkSql,
+    "x163_quality_panel" -> qualityPanelSparkSql,
     // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
     // chain plus deflation exceeds Spark's CTE analysis budget (the
     // logical tree re-expands past the 8g test heap), where DuckDB's
@@ -2987,6 +2988,79 @@ object RelationalSql {
        |  COALESCE(dup_tokens, 0L) AS dup_tokens
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of TextAnalysis.qualityPanelQuery (x163): the
+    * x147/x148/x154/x97 twins' arithmetic over the RAW corpus,
+    * stitched on doc_id. */
+  private def qualityPanelSparkSql: String = {
+    val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
+    val lt = Dedup.LineTokens
+    val (em, ph, ip) =
+      (sqlRe(DocPrep.PiiEmailRe), sqlRe(DocPrep.PiiPhoneRe), sqlRe(DocPrep.PiiIpRe))
+    s"""WITH t AS (
+       |  SELECT doc_id, text, filter(split(text, ' '), x -> x != '') AS w,
+       |    CAST(length(regexp_replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |gm AS (
+       |  SELECT doc_id, CAST(size(w) AS BIGINT) AS n_tokens, n_chars,
+       |    CAST(size(filter(w, x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       |    CAST(size(array_intersect(array_distinct(w), array($stops))) AS BIGINT) AS n_stop
+       |  FROM t),
+       |rm AS (
+       |  SELECT doc_id, CAST(size(w) AS BIGINT) AS n_words,
+       |    CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS n_sentences,
+       |    CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS n_syllables
+       |  FROM t),
+       |lines AS (
+       |  SELECT doc_id, line FROM t
+       |  LATERAL VIEW explode(
+       |    CASE WHEN size(w) > 0
+       |      THEN transform(
+       |        sequence(0L, CAST(ceil(size(w) / $lt.0) AS BIGINT) - 1),
+       |        i -> array_join(slice(w, CAST(i * $lt + 1 AS INT), $lt), ' '))
+       |      ELSE CAST(array() AS ARRAY<STRING>) END) t2 AS line),
+       |grp AS (
+       |  SELECT doc_id, line, COUNT(1) AS c,
+       |    CAST(size(filter(split(line, ' '), x -> x != '')) AS BIGINT) AS len
+       |  FROM lines GROUP BY doc_id, line),
+       |per AS (
+       |  SELECT doc_id, SUM(c) AS n_lines,
+       |    SUM(CASE WHEN c > 1 THEN c ELSE 0L END) AS n_dup_lines,
+       |    SUM(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0L END) AS dup_tokens
+       |  FROM grp GROUP BY doc_id),
+       |pa AS (
+       |  SELECT doc_id,
+       |    CAST(regexp_count(text, '$em') AS BIGINT) AS n_email,
+       |    CAST(regexp_count(text, '$ph') AS BIGINT) AS n_phone,
+       |    CAST(regexp_count(text, '$ip') AS BIGINT) AS n_ip,
+       |    CAST(length(text) AS BIGINT) AS raw_len,
+       |    CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$em', '[EMAIL]'), '$ph', '[PHONE]'), '$ip', '[IP]'))
+       |      AS BIGINT) AS redacted_len
+       |  FROM t)
+       |SELECT gm.doc_id, gm.n_tokens, gm.n_chars, gm.n_alpha, gm.n_stop,
+       |  CASE WHEN gm.n_tokens BETWEEN ${TextAnalysis.GopherMinTokens}
+       |            AND ${TextAnalysis.GopherMaxTokens}
+       |       AND 3 * gm.n_tokens <= gm.n_chars
+       |       AND gm.n_chars <= 10 * gm.n_tokens
+       |       AND 5 * gm.n_alpha >= 4 * gm.n_tokens
+       |       AND gm.n_stop >= 2 THEN 1L ELSE 0L END AS admitted,
+       |  rm.n_words, rm.n_sentences, rm.n_syllables,
+       |  CASE WHEN rm.n_words > 0 THEN
+       |    round(206.835D
+       |      - 1.015D * round(CAST(rm.n_words AS DOUBLE) / CAST(rm.n_sentences AS DOUBLE), 6)
+       |      - 84.6D * round(CAST(rm.n_syllables AS DOUBLE) / CAST(rm.n_words AS DOUBLE), 6), 6)
+       |  END AS flesch,
+       |  COALESCE(per.n_lines, 0L) AS n_lines,
+       |  COALESCE(per.n_dup_lines, 0L) AS n_dup_lines,
+       |  COALESCE(per.dup_tokens, 0L) AS dup_tokens,
+       |  pa.n_email, pa.n_phone, pa.n_ip,
+       |  pa.n_email + pa.n_phone + pa.n_ip AS pii_total,
+       |  pa.raw_len, pa.redacted_len
+       |FROM gm JOIN rm USING (doc_id) LEFT JOIN per USING (doc_id)
+       |  JOIN pa USING (doc_id)
+       |ORDER BY gm.doc_id""".stripMargin
   }
 
   /** Spark-SQL face of TextAnalysis.nbQualityQuery (x155). */

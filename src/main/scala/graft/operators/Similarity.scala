@@ -1142,19 +1142,31 @@ object Similarity {
         .cast("decimal(18,6)").cast("double").as("proj"))
   }
 
-  /** The collected exact-decimal Gram matrix (see [[pcaProjection]]'s
-    * fixed-point build) and its dimensionality. */
-  private def gramOf(emb: DataFrame): (Array[Array[java.math.BigDecimal]], Int) = {
+  /** The ≤d²-row Gram aggregate plan (see [[pcaProjection]]'s
+    * fixed-point build) — exposed so PlanSpec can assert the
+    * cross-query cache share below. */
+  private[graft] def gramFrame(emb: DataFrame): DataFrame = {
     import graft.core.Determinism.dec
     val le = emb.select(transform(col("embedding"),
       v => (dec(v) * lit(10000)).cast("long")).as("le"))
-    val gram = le.select(col("le"), posexplode(col("le")))
+    le.select(col("le"), posexplode(col("le")))
       .toDF("le", "i", "li")
       .select(col("i"), col("li"), posexplode(col("le")))
       .toDF("i", "li", "j", "lj")
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("li") * col("lj")).as("gs"))
+  }
+
+  /** The collected exact-decimal Gram matrix (see [[pcaProjection]]'s
+    * fixed-point build) and its dimensionality. Routed through the
+    * bounded cache (the x149 gram-set discipline): x158, x162, and the
+    * frozen-axis artifact build all collect the SAME ≤d²-row aggregate,
+    * and Spark's CacheManager dedupes by plan — so a query set that
+    * runs several of them pays ONE corpus Gram scan, not one each
+    * (PlanSpec-gated). */
+  private def gramOf(emb: DataFrame): (Array[Array[java.math.BigDecimal]], Int) = {
+    val gram = graft.core.Caches.bounded(gramFrame(emb))
     val rows = gram.collect()
     require(rows.nonEmpty, "pcaProjection: empty embedding table")
     val d = rows.iterator.map(_.getInt(0)).max + 1
@@ -1230,8 +1242,17 @@ object Similarity {
     * on the already-collected matrix; the corpus pays nothing beyond
     * x158's one Gram scan plus the one projection map. */
   def pcaProjection2(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val (v1, v2) = pcaAxes(emb, iters)
+    projectOnto(emb, v1.map(_.doubleValue), v2.map(_.doubleValue))
+  }
+
+  /** x162's trained artifact in memory: the top-two principal axes
+    * (power iteration, then Hotelling deflation for the second — see
+    * [[pcaProjection2]]'s determinism note). */
+  private[graft] def pcaAxes(emb: DataFrame, iters: Int = PcaIters)
+      : (Array[java.math.BigDecimal], Array[java.math.BigDecimal]) = {
     import java.math.{BigDecimal => JBD}
-    require(iters > 0, s"pcaProjection2: iters=$iters")
+    require(iters > 0, s"pcaAxes: iters=$iters")
     val (g, d) = gramOf(emb)
     val v1 = powerIterate(g, d, iters)
     val yd = matvec(g, d, v1).map(v => roundAt(v.doubleValue, 6))
@@ -1243,9 +1264,16 @@ object Similarity {
       val uv = roundAt(v1(i).multiply(v1(j)).doubleValue, 6)
       roundAt(base.subtract(lam.multiply(uv)).doubleValue, 8)
     }
-    val v2 = powerIterate(g2, d, iters)
-    def projCol(v: Array[JBD]) = {
-      val axisCol = array(v.map(x => lit(x.doubleValue)): _*)
+    (v1, powerIterate(g2, d, iters))
+  }
+
+  /** The shared x158/x162 projection tail: both axes as literal arrays
+    * in ONE stateless narrow map over the vectors — shuffle-free, so it
+    * runs unchanged on a stream. */
+  private def projectOnto(emb: DataFrame, v1: Array[Double],
+                          v2: Array[Double]): DataFrame = {
+    def projCol(v: Array[Double]) = {
+      val axisCol = array(v.map(lit).toIndexedSeq: _*)
       round(dot(col("embedding"), axisCol), 6)
         .cast("decimal(18,6)").cast("double")
     }
@@ -1256,4 +1284,45 @@ object Similarity {
   def pcaProjection2Query(spark: SparkSession, dir: String): DataFrame =
     pcaProjection2(Tables.load(spark, dir, "embeddings"))
       .orderBy(col("vec_id"))
+
+  /** Persist x162's trained axes as a 2×d-row parquet artifact
+    * (`axes`: axis ∈ {1,2}, i, x) — the frozen coordinate system a
+    * live embedding-drift monitor projects arrivals into
+    * ([[graft.streaming.StreamingOps.pcaProjectionStream]], the
+    * clipStream frozen-baseline shape). Doubles round-trip parquet
+    * exactly, so the frozen projection is bit-identical to the batch
+    * x162 map (spec-asserted). Published atomically. */
+  def savePcaAxes(emb: DataFrame, path: String,
+                  iters: Int = PcaIters): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v1, v2) = pcaAxes(emb, iters)
+    val rows =
+      v1.toIndexedSeq.zipWithIndex.map { case (x, i) => (1, i, x.doubleValue) } ++
+      v2.toIndexedSeq.zipWithIndex.map { case (x, i) => (2, i, x.doubleValue) }
+    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      rows.toDF("axis", "i", "x").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/axes")
+    }
+  }
+
+  /** Project vectors into a FROZEN axes table ([[savePcaAxes]]'s
+    * layout): the ≤2d-row artifact is collected once at plan-build
+    * time (the frozen-moments discipline) and compiled into the same
+    * literal-array stateless map batch x162 ends with — no join, no
+    * state, no shuffle. */
+  def pcaProjectAgainst(emb: DataFrame, axes: DataFrame): DataFrame = {
+    val rows = axes
+      .select(col("axis").cast("int"), col("i").cast("int"),
+        col("x").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    def axisOf(a: Int): Array[Double] = {
+      val v = rows.filter(_._1 == a).sortBy(_._2)
+      require(v.nonEmpty, s"pcaProjectAgainst: axis $a missing from the artifact")
+      require(v.map(_._2).toSeq == (0 until v.length),
+        s"pcaProjectAgainst: axis $a has gaps")
+      v.map(_._3)
+    }
+    projectOnto(emb, axisOf(1), axisOf(2))
+  }
 }

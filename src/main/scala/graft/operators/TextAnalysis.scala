@@ -1647,22 +1647,28 @@ object TextAnalysis {
     * Shape: one scan, pure narrow projection — no shuffle at all; at
     * 100 TB this is the map-side gate fused into whatever scan follows
     * it (Catalyst collapses the projection into the consumer). */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: gopherBaseCols: _*)
+      .withColumn("admitted", gopherAdmittedExpr)
+
+  /** x147's metric columns and verdict expression, shared verbatim
+    * with the x163 fused panel (identity by construction). */
+  private[graft] def gopherBaseCols: Seq[Column] = {
     val toks = wsTokens(col("text"))
     val stops = array(GopherStops.map(lit): _*)
-    docs.select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
-        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-        size(array_intersect(array_distinct(toks), stops)).cast("long").as("n_stop"))
-      .withColumn("admitted",
-        when(col("n_tokens") >= GopherMinTokens &&
-          col("n_tokens") <= GopherMaxTokens &&
-          lit(3L) * col("n_tokens") <= col("n_chars") &&
-          col("n_chars") <= lit(10L) * col("n_tokens") &&
-          lit(5L) * col("n_alpha") >= lit(4L) * col("n_tokens") &&
-          col("n_stop") >= 2L, 1L).otherwise(0L))
+    Seq(size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(array_intersect(array_distinct(toks), stops)).cast("long").as("n_stop"))
   }
+
+  private[graft] def gopherAdmittedExpr: Column =
+    when(col("n_tokens") >= GopherMinTokens &&
+      col("n_tokens") <= GopherMaxTokens &&
+      lit(3L) * col("n_tokens") <= col("n_chars") &&
+      col("n_chars") <= lit(10L) * col("n_tokens") &&
+      lit(5L) * col("n_alpha") >= lit(4L) * col("n_tokens") &&
+      col("n_stop") >= 2L, 1L).otherwise(0L)
 
   def gopherQuery(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.load(spark, dir, "documents"))
@@ -1684,26 +1690,70 @@ object TextAnalysis {
     * bit-for-bit. Empty docs read null, not a fake score.
     *
     * Shape: one scan, narrow projection, shuffle-free (like x147). */
-  def readability(docs: DataFrame): DataFrame = {
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: readabilityBaseCols: _*)
+      .withColumn("flesch", fleschExpr)
+
+  /** x148's count columns and score expression, shared verbatim with
+    * the x163 fused panel (identity by construction). */
+  private[graft] def readabilityBaseCols: Seq[Column] = {
     val words = size(wsTokens(col("text"))).cast("long")
     val sents = greatest(
       size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
       lit(1L))
     val syls = size(regexp_extract_all(lower(col("text")),
       lit("[aeiouy]+"), lit(0))).cast("long")
-    docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
-        syls.as("n_syllables"))
-      .withColumn("flesch",
-        when(col("n_words") > 0L,
-          round(lit(206.835)
-            - lit(1.015) * round(col("n_words").cast("double")
-                / col("n_sentences").cast("double"), 6)
-            - lit(84.6) * round(col("n_syllables").cast("double")
-                / col("n_words").cast("double"), 6), 6)))
+    Seq(words.as("n_words"), sents.as("n_sentences"), syls.as("n_syllables"))
   }
+
+  private[graft] def fleschExpr: Column =
+    when(col("n_words") > 0L,
+      round(lit(206.835)
+        - lit(1.015) * round(col("n_words").cast("double")
+            / col("n_sentences").cast("double"), 6)
+        - lit(84.6) * round(col("n_syllables").cast("double")
+            / col("n_words").cast("double"), 6), 6))
 
   def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------- one-scan quality panel (x163)
+
+  /** x163: ONE-SCAN QUALITY-SIGNAL PANEL — the stateless release-audit
+    * gates (x147 Gopher rules, x148 readability, x154 within-doc line
+    * repetition, x97 PII audit) FUSED into a single narrow projection
+    * emitting every gate's columns side by side. Each is individually
+    * a shuffle-free map over (doc_id, text); run as four separate
+    * queries the run-all-audits release job reads the corpus four
+    * times — fused, it reads it ONCE, and each signal column is the
+    * same EXPRESSION OBJECT its standalone face builds
+    * ([[gopherBaseCols]]/[[readabilityBaseCols]]/
+    * [[graft.operators.Dedup.lineRepSig]]/
+    * [[graft.operators.DocPrep.piiBaseCols]] — identity by
+    * construction, spec-asserted column-for-column against all four).
+    *
+    * Shape at scale: one FileScan, zero Exchanges (PlanSpec-gated);
+    * still a pure projection, so it runs unchanged on a stream — the
+    * live everything-at-once quality meter
+    * ([[graft.streaming.StreamingOps.qualityPanelStream]]). */
+  def qualityPanel(docs: DataFrame,
+                   lineTokens: Int = Dedup.LineTokens): DataFrame =
+    docs.select(Seq(col("doc_id")) ++ gopherBaseCols ++ readabilityBaseCols ++
+        Seq(Dedup.lineRepSig(lineTokens).as("_lr")) ++ DocPrep.piiBaseCols: _*)
+      .withColumn("admitted", gopherAdmittedExpr)
+      .withColumn("flesch", fleschExpr)
+      .withColumn("pii_total", DocPrep.piiTotalExpr)
+      .select(Seq(col("doc_id"),
+        col("n_tokens"), col("n_chars"), col("n_alpha"), col("n_stop"),
+        col("admitted"),
+        col("n_words"), col("n_sentences"), col("n_syllables"), col("flesch")) ++
+        Dedup.lineRepFinalCols("_lr") ++
+        Seq(col("n_email"), col("n_phone"), col("n_ip"), col("pii_total"),
+          col("raw_len"), col("redacted_len")): _*)
+
+  def qualityPanelQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityPanel(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
   // ------------------- seed-labeled quality classifier (x155)

@@ -823,6 +823,63 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[TokenBudgetProcessor]] with a PER-SOURCE cap table instead of
+    * one uniform budget — x56's exact fill-then-overflow rule, keyed
+    * by the x160 provisioning plan. A source absent from the plan has
+    * cap 0: nothing was provisioned for it, so every arrival is
+    * emitted rejected (surfaced, never silently dropped — the budget
+    * analogue of the temperature gate's unseen-source contract, with
+    * the opposite default because admitting unbudgeted mass breaks the
+    * plan's total). */
+  class PlannedBudgetProcessor(caps: Map[String, Long])
+    extends StatefulProcessor[String, TokenDoc, TokenDecision] {
+    @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      used = getHandle.getValueState[Long]("usedTokens",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TokenDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TokenDecision] = {
+      val budget = caps.getOrElse(key, 0L)
+      var cum = if (used.exists()) used.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val kept = cum < budget
+        cum += d.n_tokens
+        TokenDecision(d.doc_id, d.source, d.n_tokens, cum, kept)
+      }
+      if (out.nonEmpty) used.update(cum)
+      out.iterator
+    }
+  }
+
+  /** x160 → x56 COMPOSITION: the data-budget PROVISIONING TABLE as a
+    * live admission gate. [[graft.operators.Sampling.dataBudget]]
+    * plans each source's token allocation (DoReMi demand under the
+    * epoch cap); this face freezes that plan — the ≤|sources|-row
+    * `alloc` column, collected once at plan-build time (the
+    * frozen-moments discipline) — and admits arriving documents
+    * against their source's own allocation with x56's exact greedy
+    * fill-then-overflow rule. State per source stays ONE long. Per
+    * source, replay in doc_id order equals batch
+    * [[graft.operators.Sampling.tokenBudget]] run at that source's cap
+    * (spec-asserted), so the provisioning table and the ingestion edge
+    * cannot drift. */
+  def budgetAdmissionStream(docs: DataFrame,
+                            allocPlan: DataFrame): Dataset[TokenDecision] = {
+    val caps = allocPlan.select(col("source"), col("alloc").cast("double"))
+      .collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1)).toLong).toMap
+    require(caps.nonEmpty, "budgetAdmissionStream: empty allocation plan")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .as[TokenDoc]
+      .groupByKey(_.source)
+      .transformWithState(new PlannedBudgetProcessor(caps),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---------------------- streaming dialog audit (x125's face) -------
 
   case class Turn(thread_id: Long, role: String, ts_us: Long, event_id: Long)
@@ -1113,6 +1170,37 @@ object StreamingOps {
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
     graft.operators.Sampling.leakageProbe(docs,
       spark.read.parquet(s"$root/grams"))
+  }
+
+  // ------------- streaming quality panel (x163's face) ---------------
+
+  /** Streaming face of
+    * [[graft.operators.TextAnalysis.qualityPanel]] (x163): the fused
+    * x147/x148/x154/x97 projection run AS-IS on the stream — it is a
+    * pure stateless narrow map, so the batch function IS the streaming
+    * gate (the x147/x148 pattern, now one pass for the whole audit
+    * battery). Replay equals batch row-for-row (spec-asserted). */
+  def qualityPanelStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.qualityPanel(docs)
+
+  // ------------- streaming PCA projection (x158/x162's face) ---------
+
+  /** Streaming face of [[graft.operators.Similarity.pcaProjection2]]
+    * (x158/x162): project each arriving vector into the FROZEN
+    * principal plane ([[graft.operators.Similarity.savePcaAxes]]'s
+    * 2×d-row artifact) — the live embedding-drift monitor (arrivals
+    * whose (proj1, proj2) cloud wanders off the trained corpus's
+    * signal a distribution shift in the exact coordinates batch x162
+    * plotted). The artifact is collected once at plan-build time
+    * (bounded by 2d — the frozen-moments discipline) and compiled into
+    * ONE stateless literal-array map: no join, no state, no shuffle —
+    * the clipStream shape. Same-corpus replay is bit-identical to
+    * batch x162's (proj1, proj2) (spec-asserted). */
+  def pcaProjectionStream(emb: DataFrame, axesPath: String): DataFrame = {
+    val spark = emb.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, axesPath)
+    graft.operators.Similarity.pcaProjectAgainst(emb,
+      spark.read.parquet(s"$root/axes"))
   }
 
   // ------------------ streaming DSIR scoring gate (x153's face) ------

@@ -3643,6 +3643,47 @@ class ExtrasSpec extends SparkSpec {
       s"over-allocated: ${out.values.map(_._5).sum} vs $budget")
   }
 
+  test("x163 quality panel equals each standalone face column-for-column (planted corpus)") {
+    import graft.operators.{Dedup, DocPrep, TextAnalysis}
+    // plant BOTH the x154 dup-line prepend and the x97 PII appends so
+    // every panel leg carries live signal, then feed the SAME frame to
+    // the panel and to each standalone face
+    val raw = Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text").limit(120)
+    val first = concat_ws(" ",
+      slice(TextAnalysis.wsTokens($"text"), 1, Dedup.LineTokens))
+    val docs = raw.withColumn("text",
+        when($"doc_id" % 6 === 0 && $"text".isNotNull,
+          concat_ws(" ", first, $"text")).otherwise($"text"))
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com ok"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" call 555-867-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" now"))).otherwise(lit(""))))
+    val panel = TextAnalysis.qualityPanel(docs)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(rowsOf(panel.select($"doc_id", $"n_tokens", $"n_chars",
+        $"n_alpha", $"n_stop", $"admitted"))
+      == rowsOf(TextAnalysis.gopherRules(docs)), "gopher leg drifted")
+    assert(rowsOf(panel.select($"doc_id", $"n_words", $"n_sentences",
+        $"n_syllables", $"flesch"))
+      == rowsOf(TextAnalysis.readability(docs)), "readability leg drifted")
+    assert(rowsOf(panel.select($"doc_id", $"n_lines", $"n_dup_lines",
+        $"dup_tokens"))
+      == rowsOf(Dedup.lineRepetition(docs)), "line-repetition leg drifted")
+    assert(rowsOf(panel.select($"doc_id", $"n_email", $"n_phone", $"n_ip",
+        $"pii_total", $"raw_len", $"redacted_len"))
+      == rowsOf(DocPrep.piiAudit(docs)), "pii leg drifted")
+    // and the plants actually fired (the legs are not comparing zeros)
+    val sums = panel.agg(sum($"n_dup_lines"), sum($"pii_total"))
+      .collect()(0)
+    assert(sums.getLong(0) > 0 && sums.getLong(1) > 0, s"plants missing: $sums")
+  }
+
   test("x161 BPE merges: overlap parity, occurrence weighting, and tie-breaks") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "aaab aaab aab"), (2L, "xy xy")).toDF("doc_id", "text")

@@ -586,6 +586,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x163: the fused quality panel is ONE corpus scan and ZERO shuffles") {
+    import graft.core.Tables
+    import graft.operators.TextAnalysis
+    // the panel itself, without the oracle face's presentation orderBy
+    val exec = TextAnalysis.qualityPanel(
+      Tables.load(spark, sf("sf0.001"), "documents"))
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"the run-all-audits panel must read the corpus once:\n$p")
+    assert(!p.contains("Exchange"),
+      s"a pure projection panel must not shuffle:\n$p")
+  }
+
+  test("x158/x162: the PCA Gram aggregate is shared through the bounded cache — one corpus scan for the query set") {
+    import graft.core.Tables
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    // x158 builds, caches, and collects the Gram...
+    Similarity.pcaProjection(emb)
+    // ...so the Gram read x162 (or the frozen-axis artifact build)
+    // would issue — a FRESH plan over a FRESH load — must resolve to
+    // the cached relation and scan nothing live
+    val again = Similarity.gramFrame(
+      Tables.load(spark, sf("sf0.001"), "embeddings"))
+      .queryExecution.executedPlan
+    assert(again.toString.contains("InMemoryTableScan"),
+      s"second Gram read missed the shared cache:\n$again")
+    assert(liveFileScans(again) == 0,
+      s"second Gram read rescans the corpus:\n$again")
+  }
+
   test("x109: BPE pair counting partial-aggregates before the shuffle; top-N never global-sorts") {
     val p = plan("x109_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")

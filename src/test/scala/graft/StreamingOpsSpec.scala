@@ -1265,6 +1265,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality panel: the fused x163 projection runs as-is on a stream, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+    val batch = TextAnalysis.qualityPanel(base)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityPanelStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qpanel_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("qpanel_out")
+        .collect().map(r => key(r) -> r.toSeq).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming gopher gate: the x147 projection runs as-is on a stream, replay equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
@@ -1402,6 +1426,34 @@ class StreamingOpsSpec extends SparkSpec {
       val got = spark.table("leak_probe_out")
         .groupBy($"doc_id", $"split").agg(max($"shared_grams").as("sg"))
         .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming PCA projection equals batch x162 against the frozen axes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("pca_axes").toString
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    Similarity.savePcaAxes(base, s"$dir/axes")
+    val batch = Similarity.pcaProjection2(base)
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val rows = base.select($"vec_id", $"embedding".cast("array<double>"), $"label")
+      .as[(Long, Seq[Double], Int)].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Double], Int)]
+    val q = StreamingOps.pcaProjectionStream(
+        stream.toDF().toDF("vec_id", "embedding", "label")
+          .withColumn("embedding", $"embedding".cast("array<float>")),
+        s"$dir/axes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pca_proj_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("pca_proj_out")
+        .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
       assert(got == batch,
         s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
     } finally q.stop()
@@ -1636,6 +1688,52 @@ class StreamingOpsSpec extends SparkSpec {
         .as[(String, Long, Long, Option[Double], Long)].collect().toSet
       assert(streamed == batch,
         s"missing: ${(batch -- streamed).take(3)}; extra: ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("x160 allocations drive the live admission gate: per source, replay equals batch x56 at that source's cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val plan = Sampling.dataBudget(base)
+    val caps = plan.select($"source", $"alloc").as[(String, Double)]
+      .collect().map { case (s, a) => s -> math.floor(a).toLong }.toMap
+    val docs = base.select($"doc_id", $"source", $"text")
+    val rows = docs.as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.budgetAdmissionStream(
+        stream.toDF().toDF("doc_id", "source", "text"), plan)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_admit_out").start()
+    try {
+      // in-doc_id-order replay, chunked — the x56 replay contract
+      rows.grouped((rows.size + 3) / 4).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("budget_admit_out")
+        .as[(Long, String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      // per source, the stream's decisions equal batch x56 run at that
+      // source's own x160 cap
+      for ((src, cap) <- caps if cap > 0) {
+        val batch = Sampling.tokenBudget(docs.filter($"source" === src), cap)
+          .as[(Long, String, Long, Long, Boolean)].collect()
+          .map(r => r._1 -> r).toMap
+        val mine = got.filter(_._2._2 == src)
+        assert(mine == batch,
+          s"$src drift: ${batch.collect { case (k, v) if mine.get(k) != Some(v) => (k, v, mine.get(k)) }.take(3)}")
+        // and the provisioning bound holds: admitted mass minus the one
+        // overflow doc stays under the allocation
+        val admitted = mine.values.filter(_._5).toSeq
+        if (admitted.nonEmpty) {
+          val mass = admitted.map(_._3).sum
+          val lastTok = admitted.maxBy(_._1)._3
+          assert(mass - lastTok < cap,
+            s"$src over-admitted: mass=$mass lastTok=$lastTok cap=$cap")
+        }
+      }
+      // total coverage: every doc got a decision
+      assert(got.size == rows.size, s"${got.size} != ${rows.size}")
     } finally q.stop()
   }
 
