@@ -596,6 +596,18 @@ object SparkEntry {
     // single narrow projection (the run-all-audits release job reads
     // the corpus once, not four times).
     "x163_quality_panel"  -> (TextAnalysis.qualityPanelQuery _),
+    // x164: encoding-damage audit — replacement-char / control-byte /
+    // layout-run battery, the "is this even text" gate before any
+    // model-based filter (deterministically planted damage).
+    "x164_encoding"       -> (DocPrep.encodingQuery _),
+    // x165: context-length provisioning sweep — the truncation-vs-
+    // padding tradeoff curve over candidate max_len values (x113 is
+    // one point of this table).
+    "x165_context_sweep"  -> (DocPrep.contextSweepQuery _),
+    // x166: T5-style span corruption — stride-aligned cells, unique
+    // <extra_id_k> sentinels, deterministic hash-driven spans (x142
+    // is the BERT token-grain sibling).
+    "x166_span_corrupt"   -> (DocPrep.spanCorruptQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -245,6 +245,114 @@ object DocPrep {
     piiAudit(planted).orderBy(col("doc_id"))
   }
 
+  // ------------------------------------- encoding-damage audit (x164)
+
+  /** x164's detector constants, shared with both SQL twins (the x97
+    * single-source-of-truth discipline; every pattern means the same
+    * thing to Java regex and RE2 — char classes only). */
+  /** Unicode replacement character — the scar a lossy decode leaves. */
+  private[graft] val ReplChar: String = "�"
+  /** C0 controls except \t\n\r, plus DEL — bytes no clean text carries. */
+  private[graft] val CtrlRe: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  /** Everything OUTSIDE printable ASCII (strip target for the ascii mass). */
+  private[graft] val NonAsciiRe: String = "[^ -~]"
+  /** A run of 4+ spaces — table/layout debris that survives markup
+    * stripping. */
+  private[graft] val LongSpaceRe: String = " {4,}"
+
+  /** x164: ENCODING-DAMAGE AUDIT — the structural cleanliness battery
+    * a web-scale pipeline runs right after decode (the CCNet/FineWeb
+    * "is this even text" grain, before any language or quality model):
+    * per document, counts of U+FFFD replacement characters (lossy
+    * decode scars), raw control bytes, printable-ASCII character mass,
+    * and 4+-space layout runs, plus the all-integer verdict
+    * `clean` = no replacement chars ∧ no control bytes ∧ no long
+    * space runs. The ascii mass is a REPORT column (a ratio gate would
+    * be wrong for non-Latin corpora — the curator decides per
+    * language); the verdict gates only on unambiguous damage.
+    *
+    * Shape: one scan, narrow projection, shuffle-free — the x147
+    * pattern, so the operator IS its own streaming face and fuses into
+    * whatever scan consumes it. */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        regexp_count(t, lit(ReplChar)).cast("long").as("n_repl"),
+        regexp_count(t, lit(CtrlRe)).cast("long").as("n_ctrl"),
+        length(regexp_replace(t, NonAsciiRe, "")).cast("long").as("n_ascii"),
+        regexp_count(t, lit(LongSpaceRe)).cast("long").as("n_longspace"))
+      .withColumn("clean",
+        when(col("n_repl") === 0L && col("n_ctrl") === 0L &&
+          col("n_longspace") === 0L, 1L).otherwise(0L))
+  }
+
+  /** The x164 queries() face: the synthetic corpus is clean, so the
+    * face PLANTS damage deterministically (the x97 residue
+    * discipline): mod-9 docs get a replacement char, mod-13 a BEL
+    * control byte, mod-17 a four-space run; everything else is the
+    * all-clean negative. */
+  def encodingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val planted = docs.withColumn("text", concat(col("text"),
+      when(id % 9 === 0, lit(" bad" + ReplChar + "decode")).otherwise(lit("")),
+      when(id % 13 === 0, lit(" bell\u0007byte")).otherwise(lit("")),
+      when(id % 17 === 0, lit(" wide    gap")).otherwise(lit(""))))
+    encodingAudit(planted).orderBy(col("doc_id"))
+  }
+
+  // --------------------------- context-length provisioning (x165)
+
+  /** x165's candidate context lengths, shared with both SQL twins.
+    * Spans the sf0.01 length distribution (median ≈ 56) so every grid
+    * point exercises both loss regimes. */
+  private[graft] val ContextGrid: Seq[Long] = Seq(16L, 32L, 64L, 128L)
+
+  /** x165: CONTEXT-LENGTH PROVISIONING SWEEP — x113 measures ONE
+    * budget's truncation loss; this sweeps the whole tradeoff curve a
+    * training run actually provisions against: for each candidate
+    * max_len L, how many docs truncate, how much token mass the cut
+    * drops (one doc per slot, tail truncated), how much PADDING the
+    * un-dropped slots waste (L − kept per doc), and the resulting slot
+    * utilization. Short L burns data to truncation; long L burns
+    * compute to padding — this table is where the two curves cross
+    * (packing, x21/x110, is the escape hatch; `util` prices exactly
+    * what packing would recover). All-integer except the two
+    * round-at-6 rates.
+    *
+    * Shape: ONE scan → narrow per-doc token count → the tiny grid
+    * explodes per doc (|grid| rows each, a constant) → hash agg on
+    * |grid| keys, partials collapsing map-side. The x144 sweep
+    * discipline: the corpus is never rescanned per candidate. */
+  def contextSweep(docs: DataFrame,
+                   grid: Seq[Long] = ContextGrid): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0), s"contextSweep: grid=$grid")
+    val n = col("n_tokens")
+    val l = col("max_len")
+    docs
+      .select(size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .select(n, explode(array(grid.map(lit): _*)).as("max_len"))
+      .groupBy(l)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(n > l, 1L).otherwise(0L)).as("n_truncated"),
+        sum(n).as("tokens_total"),
+        sum(least(n, l)).as("tokens_kept"),
+        sum(l - least(n, l)).as("pad_tokens"))
+      .select(l, col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_dropped"),
+        col("pad_tokens"),
+        round((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total").cast("double"), 6).as("drop_rate"),
+        round(col("tokens_kept").cast("double") /
+          (col("n_docs") * l).cast("double"), 6).as("util"))
+  }
+
+  def contextSweepQuery(spark: SparkSession, dir: String): DataFrame =
+    contextSweep(Tables.load(spark, dir, "documents"))
+      .orderBy(col("max_len"))
+
   // ------------------------------------- truncation accounting (x113)
 
   /** x113's context budget in tokens, shared with the DuckDB twin.
@@ -329,5 +437,85 @@ object DocPrep {
 
   def mlmMaskQuery(spark: SparkSession, dir: String): DataFrame =
     mlmMaskAudit(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------- span-corruption audit (x166)
+
+  /** x166's span length / corruption rate / hash salt, shared with
+    * both SQL twins. */
+  private[graft] val SpanLen: Int = 3
+  private[graft] val SpanRate: Double = 0.15
+  private[graft] val SpanSalt: String = "t5span"
+
+  /** x166: SPAN-CORRUPTION PREPROCESSING AUDIT — the T5 pretraining
+    * objective's input rewrite (Raffel et al. 2020: mask contiguous
+    * spans, replace each with a unique `<extra_id_k>` sentinel) made
+    * deterministic and shuffle-free: spans are STRIDE-ALIGNED — the
+    * token stream tiles into [[SpanLen]]-token cells, and cell s
+    * corrupts iff hash(doc:s) lands under [[SpanRate]] (x142's
+    * keepAtRate arithmetic). Alignment is the scale move: whether
+    * position i is inside a corrupted span depends ONLY on
+    * hash(i − i mod L) — no sequential "does a previous span cover
+    * me" chain, so the decision is a pure per-position expression on
+    * any engine, any partitioning, identical everywhere (the
+    * published sampler walks left to right; expected mask fraction
+    * and span-length grain match at rate·L tokens per hit cell).
+    * Emits per doc the token/span/masked counts and the md5 of the
+    * sentinel-rewritten text — the content key that pins the exact
+    * batch a trainer would see.
+    *
+    * Shape: ONE narrow in-row projection (the x154 pattern): the
+    * token array binds once, per-cell hash flags and the sentinel
+    * fold all run inside the row — no explode, no shuffle; the
+    * operator is its own streaming face. */
+  def spanCorruptAudit(docs: DataFrame, rate: Double = SpanRate,
+                       spanLen: Int = SpanLen): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"spanCorruptAudit: rate=$rate")
+    require(spanLen > 0, s"spanCorruptAudit: spanLen=$spanLen")
+    import graft.functions.VectorFunctions.bindArray
+    val emptyPieces =
+      array().cast("array<struct<hit:boolean,st:boolean,tok:string>>")
+    val sig = bindArray(TextAnalysis.wsTokens(col("text"))) { w =>
+      val n = size(w)
+      val pieces = when(n >= 1,
+        transform(sequence(lit(0), n - 1), i => {
+          val s = i - (i % spanLen)
+          val hit = Sampling.keepAtRate(
+            concat(col("doc_id").cast("string"), lit(":"), s.cast("string")),
+            SpanSalt, lit(rate))
+          struct(hit.as("hit"), (i === s).as("st"),
+            element_at(w, (i + 1).cast("int")).as("tok"))
+        })).otherwise(emptyPieces)
+      bindArray(pieces) { ps =>
+        val folded = aggregate(ps,
+          struct(lit(0L).as("k"), lit("").as("o")),
+          (acc, p) => {
+            val k = acc.getField("k")
+            val o = acc.getField("o")
+            def app(piece: org.apache.spark.sql.Column) =
+              when(o === "", piece).otherwise(concat(o, lit(" "), piece))
+            when(p.getField("hit") && p.getField("st"),
+              struct((k + 1L).as("k"),
+                app(concat(lit("<extra_id_"), k.cast("string"), lit(">"))).as("o")))
+              .when(p.getField("hit"), struct(k.as("k"), o.as("o")))
+              .otherwise(struct(k.as("k"), app(p.getField("tok")).as("o")))
+          })
+        struct(n.cast("long").as("n_tokens"),
+          size(filter(ps, p =>
+            p.getField("hit") && p.getField("st"))).cast("long").as("n_spans"),
+          size(filter(ps, p => p.getField("hit"))).cast("long").as("n_masked"),
+          folded.getField("o").as("out"))
+      }
+    }
+    docs.select(col("doc_id"), sig.as("_sc"))
+      .select(col("doc_id"),
+        coalesce(col("_sc.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("_sc.n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("_sc.n_masked"), lit(0L)).as("n_masked"),
+        md5(coalesce(col("_sc.out"), lit(""))).as("masked_key"))
+  }
+
+  def spanCorruptQuery(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptAudit(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 }

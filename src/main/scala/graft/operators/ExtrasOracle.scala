@@ -402,6 +402,10 @@ object ExtrasOracle {
     "x96_growth" -> growthSql,
 
     "x97_pii_audit" -> piiSql,
+    // x164: encoding-damage battery over the same deterministic plant.
+    "x164_encoding" -> encodingSql,
+    // x165: the context-length tradeoff sweep (x144's grid discipline).
+    "x165_context_sweep" -> contextSweepSql,
     "x98_source_cap" -> sourceCapSql,
     "x99_annotator" -> annotatorSql,
     "x101_dawid_skene" -> dawidSkeneSql,
@@ -501,6 +505,9 @@ object ExtrasOracle {
          |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
          |       AS BIGINT) AS ord
          |FROM e ORDER BY epoch, ord""".stripMargin,
+    // x166: span corruption — stride-aligned cells, the same bucket
+    // arithmetic, sentinel ordinals via one per-doc window.
+    "x166_span_corrupt" -> spanCorruptSql,
     // x142: the shared bucket arithmetic picks the identical mask
     // positions; masked text re-joined in position order, md5-pinned.
     "x142_mlm_mask" -> mlmMaskSql,
@@ -2184,6 +2191,62 @@ object ExtrasOracle {
        |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of DocPrep.encodingQuery (x164): the SAME planted
+    * damage rebuilt from doc_id residues (replacement char / BEL /
+    * four-space run via chr()), the SAME pattern constants
+    * interpolated from [[DocPrep]] — char classes only, identical to
+    * Java regex and RE2. */
+  private def encodingSql: String = {
+    val (ctrl, nonAscii, longSp) =
+      (DocPrep.CtrlRe, DocPrep.NonAsciiRe, DocPrep.LongSpaceRe)
+    s"""WITH planted AS MATERIALIZED (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN ' bad' || chr(65533) || 'decode' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0
+       |      THEN ' bell' || chr(7) || 'byte' ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0 THEN ' wide    gap' ELSE '' END AS text
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_repl,
+       |    CAST(len(regexp_extract_all(text, '$ctrl')) AS BIGINT) AS n_ctrl,
+       |    CAST(length(regexp_replace(text, '$nonAscii', '', 'g')) AS BIGINT) AS n_ascii,
+       |    CAST(len(regexp_extract_all(text, '$longSp')) AS BIGINT) AS n_longspace
+       |  FROM planted)
+       |SELECT doc_id, n_chars, n_repl, n_ctrl, n_ascii, n_longspace,
+       |  CAST(CASE WHEN n_repl = 0 AND n_ctrl = 0 AND n_longspace = 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS clean
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of DocPrep.contextSweepQuery (x165): the same grid
+    * exploded over the per-doc token count, exact BIGINT sums, two
+    * round-at-6 rates. */
+  private def contextSweepSql: String = {
+    val grid = DocPrep.ContextGrid.map(l => s"$l::BIGINT").mkString(", ")
+    s"""WITH nn AS MATERIALIZED (
+       |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (SELECT n, max_len FROM nn, UNNEST([$grid]) AS t(max_len)),
+       |a AS (
+       |  SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |    CAST(SUM(n) AS BIGINT) AS tokens_total,
+       |    CAST(SUM(least(n, max_len)) AS BIGINT) AS tokens_kept,
+       |    CAST(SUM(max_len - least(n, max_len)) AS BIGINT) AS pad_tokens
+       |  FROM g GROUP BY max_len)
+       |SELECT max_len, n_docs, n_truncated, tokens_total, tokens_kept,
+       |  tokens_total - tokens_kept AS tokens_dropped, pad_tokens,
+       |  round(CAST(tokens_total - tokens_kept AS DOUBLE)
+       |    / CAST(tokens_total AS DOUBLE), 6) AS drop_rate,
+       |  round(CAST(tokens_kept AS DOUBLE)
+       |    / CAST(n_docs * max_len AS DOUBLE), 6) AS util
+       |FROM a ORDER BY max_len""".stripMargin
+  }
+
   /** DuckDB twin of Sampling.sourceCapQuery (x98): the same md5
     * priority ([[bucketSql]] = Sampling.hashBucket bit-for-bit), the
     * same per-source rank window, the same cap verdict. */
@@ -2926,6 +2989,52 @@ object ExtrasOracle {
        |  FROM m GROUP BY doc_id)
        |SELECT d.doc_id,
        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(n_masked, CAST(0 AS BIGINT)) AS n_masked,
+       |  md5(COALESCE(out, '')) AS masked_key
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of DocPrep.spanCorruptQuery (x166): positional
+    * tokens, the shared keepAtRate bucket test on each token's
+    * ALIGNED cell start 'doc:cell', sentinel ordinals via one per-doc
+    * running count window, in-span tokens dropped (string_agg skips
+    * the NULL pieces). */
+  private def spanCorruptSql: String = {
+    val l = DocPrep.SpanLen
+    val thresh = DocPrep.SpanRate * Sampling.BucketSpace
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, CAST(g - 1 AS BIGINT) AS pos, w[g] AS tok
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |        FROM documents),
+       |    UNNEST(range(1, len(w) + 1)) AS t(g)),
+       |m AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN ${bucketSql(
+                  "CAST(doc_id AS VARCHAR) || ':' || CAST(pos - pos % " + l +
+                    " AS VARCHAR)",
+                  DocPrep.SpanSalt)} < $thresh
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM toks),
+       |k AS (
+       |  SELECT doc_id, pos, tok, hit,
+       |    CASE WHEN hit = 1 AND pos % $l = 0 THEN 1 ELSE 0 END AS st,
+       |    SUM(CASE WHEN hit = 1 AND pos % $l = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS ks
+       |  FROM m),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(st) AS BIGINT) AS n_spans,
+       |    CAST(SUM(hit) AS BIGINT) AS n_masked,
+       |    COALESCE(string_agg(
+       |      CASE WHEN st = 1 THEN '<extra_id_' || CAST(ks - 1 AS VARCHAR) || '>'
+       |           WHEN hit = 1 THEN NULL ELSE tok END, ' ' ORDER BY pos),
+       |      '') AS out
+       |  FROM k GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(n_spans, CAST(0 AS BIGINT)) AS n_spans,
        |  COALESCE(n_masked, CAST(0 AS BIGINT)) AS n_masked,
        |  md5(COALESCE(out, '')) AS masked_key
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id

@@ -1112,6 +1112,9 @@ object RelationalSql {
     "x160_data_budget" -> dataBudgetSparkSql,
     "x161_bpe_merges" -> bpeMergesSparkSql,
     "x163_quality_panel" -> qualityPanelSparkSql,
+    "x164_encoding" -> encodingSparkSql,
+    "x165_context_sweep" -> contextSweepSparkSql,
+    "x166_span_corrupt" -> spanCorruptSparkSql,
     // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
     // chain plus deflation exceeds Spark's CTE analysis budget (the
     // logical tree re-expands past the 8g test heap), where DuckDB's
@@ -2986,6 +2989,102 @@ object RelationalSql {
        |  COALESCE(n_lines, 0L) AS n_lines,
        |  COALESCE(n_dup_lines, 0L) AS n_dup_lines,
        |  COALESCE(dup_tokens, 0L) AS dup_tokens
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of DocPrep.encodingQuery (x164): the same plant
+    * (char() instead of chr()), the same shared pattern constants. */
+  private def encodingSparkSql: String = {
+    val (ctrl, nonAscii, longSp) =
+      (sqlRe(DocPrep.CtrlRe), sqlRe(DocPrep.NonAsciiRe), sqlRe(DocPrep.LongSpaceRe))
+    s"""WITH planted AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN concat(' bad', char(65533), 'decode') ELSE '' END,
+       |    CASE WHEN doc_id % 13 = 0
+       |      THEN concat(' bell', char(7), 'byte') ELSE '' END,
+       |    CASE WHEN doc_id % 17 = 0 THEN ' wide    gap' ELSE '' END) AS text
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(regexp_count(text, char(65533)) AS BIGINT) AS n_repl,
+       |    CAST(regexp_count(text, '$ctrl') AS BIGINT) AS n_ctrl,
+       |    CAST(length(regexp_replace(text, '$nonAscii', '')) AS BIGINT) AS n_ascii,
+       |    CAST(regexp_count(text, '$longSp') AS BIGINT) AS n_longspace
+       |  FROM planted)
+       |SELECT doc_id, n_chars, n_repl, n_ctrl, n_ascii, n_longspace,
+       |  CASE WHEN n_repl = 0 AND n_ctrl = 0 AND n_longspace = 0
+       |       THEN 1L ELSE 0L END AS clean
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of DocPrep.contextSweepQuery (x165). */
+  private def contextSweepSparkSql: String = {
+    val grid = DocPrep.ContextGrid.map(l => s"${l}L").mkString(", ")
+    s"""WITH nn AS (
+       |  SELECT CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (
+       |  SELECT n, max_len FROM nn
+       |  LATERAL VIEW explode(array($grid)) t AS max_len),
+       |a AS (
+       |  SELECT max_len, COUNT(1) AS n_docs,
+       |    SUM(CASE WHEN n > max_len THEN 1L ELSE 0L END) AS n_truncated,
+       |    SUM(n) AS tokens_total,
+       |    SUM(least(n, max_len)) AS tokens_kept,
+       |    SUM(max_len - least(n, max_len)) AS pad_tokens
+       |  FROM g GROUP BY max_len)
+       |SELECT max_len, n_docs, n_truncated, tokens_total, tokens_kept,
+       |  tokens_total - tokens_kept AS tokens_dropped, pad_tokens,
+       |  round(CAST(tokens_total - tokens_kept AS DOUBLE)
+       |    / CAST(tokens_total AS DOUBLE), 6) AS drop_rate,
+       |  round(CAST(tokens_kept AS DOUBLE)
+       |    / CAST(n_docs * max_len AS DOUBLE), 6) AS util
+       |FROM a ORDER BY max_len""".stripMargin
+  }
+
+  /** Spark-SQL face of DocPrep.spanCorruptQuery (x166): the engine's
+    * aligned-cell hash decisions re-derived per position, sentinel
+    * ordinals via one per-doc window, position-ordered reassembly. */
+  private def spanCorruptSparkSql: String = {
+    val l = DocPrep.SpanLen
+    val thresh = DocPrep.SpanRate * graft.operators.Sampling.BucketSpace
+    val bucket = "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+      s"CAST(pos - pos % $l AS STRING), ':${DocPrep.SpanSalt}')), 1, 8), 16, 10) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+       |  FROM (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+       |        FROM documents)
+       |  LATERAL VIEW posexplode(w) t AS pos, tok),
+       |m AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN $bucket < ${thresh}D THEN 1 ELSE 0 END AS hit
+       |  FROM toks),
+       |k AS (
+       |  SELECT doc_id, pos, tok, hit,
+       |    CASE WHEN hit = 1 AND pos % $l = 0 THEN 1 ELSE 0 END AS st,
+       |    SUM(CASE WHEN hit = 1 AND pos % $l = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS ks
+       |  FROM m),
+       |per AS (
+       |  SELECT doc_id, COUNT(1) AS n_tokens,
+       |    SUM(st) AS n_spans,
+       |    SUM(hit) AS n_masked,
+       |    concat_ws(' ', transform(
+       |      array_sort(collect_list(named_struct('p', pos, 'x',
+       |        CASE WHEN st = 1
+       |               THEN concat('<extra_id_', CAST(ks - 1 AS STRING), '>')
+       |             WHEN hit = 1 THEN CAST(NULL AS STRING)
+       |             ELSE tok END))),
+       |      s -> s.x)) AS out
+       |  FROM k GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_tokens, 0L) AS n_tokens,
+       |  COALESCE(n_spans, 0L) AS n_spans,
+       |  COALESCE(n_masked, 0L) AS n_masked,
+       |  md5(COALESCE(out, '')) AS masked_key
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }

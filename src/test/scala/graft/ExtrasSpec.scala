@@ -3643,6 +3643,89 @@ class ExtrasSpec extends SparkSpec {
       s"over-allocated: ${out.values.map(_._5).sum} vs $budget")
   }
 
+  test("x164 encoding audit: damage classes count exactly, clean verdict gates on unambiguous damage only") {
+    import graft.operators.DocPrep
+    val docs = Seq(
+      (1L, "clean ascii text."),
+      (2L, "bad �� decode"),              // 2 replacement chars
+      (3L, "bell\u0007 and null\u0000 byte"),       // 2 control bytes
+      (4L, "wide    gap  here"),                    // one 4-space run, one 2-space (no hit)
+      (5L, "café naïve"),                 // non-ascii but NOT damage -> clean
+      (6L, "tab\tand\nnewline\rok")                 // \t\n\r are NOT control hits
+    ).toDF("doc_id", "text")
+    val out = DocPrep.encodingAudit(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 0 && out(1L)._4 == 0 && out(1L)._6 == 0 && out(1L)._7 == 1)
+    assert(out(2L)._3 == 2 && out(2L)._7 == 0, s"${out(2L)}")
+    assert(out(3L)._4 == 2 && out(3L)._7 == 0, s"${out(3L)}")
+    assert(out(4L)._6 == 1 && out(4L)._7 == 0, s"${out(4L)}")
+    // accented text: lower ascii mass, but clean — the report-not-gate contract
+    assert(out(5L)._5 == out(5L)._2 - 2 && out(5L)._7 == 1, s"${out(5L)}")
+    assert(out(6L)._4 == 0 && out(6L)._7 == 1, s"${out(6L)}")
+  }
+
+  test("x165 context sweep: exact truncation/padding accounting at every grid point") {
+    import graft.operators.DocPrep
+    // lengths 2, 5, 8 tokens against grid {4, 8}
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d e"), (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = DocPrep.contextSweep(docs, Seq(4L, 8L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // L=4: kept = 2+4+4 = 10, dropped = 0+1+4 = 5, pad = 2+0+0 = 2,
+    //      truncated docs = 2, util = 10/12
+    assert(out(4L) == ((4L, 3L, 2L, 15L, 10L, 5L, 2L,
+      math.rint(5.0 / 15.0 * 1e6) / 1e6, math.rint(10.0 / 12.0 * 1e6) / 1e6)),
+      s"${out(4L)}")
+    // L=8: kept = 2+5+8 = 15, dropped = 0, pad = 6+3+0 = 9, util = 15/24
+    assert(out(8L) == ((8L, 3L, 0L, 15L, 15L, 0L, 9L, 0.0, 0.625)),
+      s"${out(8L)}")
+  }
+
+  test("x166 span corruption matches an independent JVM reference bit-for-bit") {
+    import graft.operators.DocPrep
+    // independent reference: replicate keepAtRate's md5-bucket test in
+    // plain JVM code and build the expected corrupted text by hand
+    def bucket(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val thresh = DocPrep.SpanRate * graft.operators.Sampling.BucketSpace
+    def reference(docId: Long, text: String): (Long, Long, Long, String) = {
+      val w = text.split(" ").filter(_.nonEmpty)
+      def hit(cell: Int) =
+        bucket(s"$docId:$cell:${DocPrep.SpanSalt}") < thresh
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0
+      for (i <- w.indices) {
+        val cell = i - i % DocPrep.SpanLen
+        if (hit(cell)) {
+          if (i == cell) { pieces += s"<extra_id_$k>"; k += 1 }
+        } else pieces += w(i)
+      }
+      val masked = w.indices.count(i => hit(i - i % DocPrep.SpanLen))
+      val spans = w.indices.count(i => i % DocPrep.SpanLen == 0 && hit(i))
+      (w.length.toLong, spans.toLong, masked.toLong, pieces.mkString(" "))
+    }
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull).limit(60)
+    val expected = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val (n, s, m, out) = reference(id, t)
+      id -> ((id, n, s, m,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(out.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    }.toMap
+    val got = DocPrep.spanCorruptAudit(docs)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got == expected,
+      s"drift: ${expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+    // corruption actually fired somewhere
+    assert(got.values.exists(_._4 > 0), "no spans hit at all")
+  }
+
   test("x163 quality panel equals each standalone face column-for-column (planted corpus)") {
     import graft.operators.{Dedup, DocPrep, TextAnalysis}
     // plant BOTH the x154 dup-line prepend and the x97 PII appends so

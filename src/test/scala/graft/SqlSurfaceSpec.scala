@@ -83,8 +83,10 @@ class SqlSurfaceSpec extends SparkSpec {
     // planner over the shared x156 core, and x161's run-parity window
     // rewrite (a THIRD strategy beside the engine fold and the DuckDB
     // windows — all value-identical); x162's deflation chain exceeds
-    // Spark's CTE analysis budget and stays DuckDB-oracle-only
-    assert(RelationalSql.extrasSql.size == 147)
+    // Spark's CTE analysis budget and stays DuckDB-oracle-only,
+    // plus the r16 quartet: x163 fused quality panel, x164 encoding
+    // damage, x165 context sweep, x166 span corruption
+    assert(RelationalSql.extrasSql.size == 151)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

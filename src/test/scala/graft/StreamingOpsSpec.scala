@@ -1289,6 +1289,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming encoding audit: the x164 projection runs as-is on a stream, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DocPrep
+    // plant damage the way the batch face does, then replay
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 9 === 0, lit(" bad" + DocPrep.ReplChar + "decode"))
+          .otherwise(lit("")),
+        when($"doc_id" % 13 === 0, lit(" bell\u0007byte")).otherwise(lit(""))))
+      .select($"doc_id", $"text")
+    val batch = DocPrep.encodingAudit(base)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = DocPrep.encodingAudit(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("encoding_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("encoding_out")
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+      assert(batch.values.exists(_._3 > 0) && batch.values.exists(_._4 > 0),
+        "plants missing")
+    } finally q.stop()
+  }
+
   test("streaming gopher gate: the x147 projection runs as-is on a stream, replay equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
