@@ -608,6 +608,10 @@ object SparkEntry {
     // <extra_id_k> sentinels, deterministic hash-driven spans (x142
     // is the BERT token-grain sibling).
     "x166_span_corrupt"   -> (DocPrep.spanCorruptQuery _),
+    // x167: Bradley-Terry preference-strength fit — the RLHF
+    // comparison-data quality ladder (MM fixed point on the collected
+    // pair table; the planted winner rule IS a BT model).
+    "x167_bradley_terry"  -> (Analytics.bradleyTerryQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1201,6 +1201,109 @@ object Analytics {
     spearman(Tables.load(spark, dir, "documents"))
       .orderBy(col("source"))
 
+  // ------------------------- Bradley-Terry preference fit (x167)
+
+  /** x167's iteration count, shared with the DuckDB twin. */
+  private[graft] val BtIters: Int = 5
+
+  /** x167: BRADLEY-TERRY PREFERENCE-STRENGTH FIT — the pairwise-
+    * preference analytics an RLHF data pipeline runs over its
+    * comparison data (which completion source / model variant /
+    * prompt family actually wins head-to-heads): Hunter (2004)'s MM
+    * fixed point w_i ← W_i / Σ_j n_ij/(w_i+w_j), run [[BtIters]]
+    * rounds from the uniform start over add-one-smoothed pair counts
+    * (one pseudo-win each way per observed pair keeps every strength
+    * strictly positive and the recursion division-safe), then
+    * normalized to Σw = |items|. x99/x101/x105 audit LABEL quality;
+    * x167 is the companion for PREFERENCE data — its strengths are
+    * the quality ladder a comparison-data release publishes.
+    *
+    * Determinism (the x158 collected-iteration discipline): the pair
+    * aggregate is exact BIGINTs; each MM term n'/(w_i+w_j) rounds at
+    * 6 into DECIMAL(18,6) and the per-item denominator is an exact
+    * decimal sum of those pinned images (order-independent), as is
+    * the normalization mass of the round-6 weights — so DuckDB's
+    * unrolled CTE chain and this driver-side loop cannot drift.
+    *
+    * Scale shape: the comparison stream aggregates ONCE to the
+    * unordered-pair grain — the only corpus-sized work, a two-phase
+    * hash agg on (min,max) item keys — and the fit runs on the
+    * COLLECTED pair table, bounded by |items|² (the codebook
+    * discipline: a rating universe is model variants or prompt
+    * sources, not documents). Output is |items| rows. */
+  def bradleyTerry(prefs: DataFrame, iters: Int = BtIters): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    require(iters > 0, s"bradleyTerry: iters=$iters")
+    val spark = prefs.sparkSession
+    import spark.implicits._
+    val a = least(col("winner"), col("loser"))
+    val b = greatest(col("winner"), col("loser"))
+    val rows = prefs
+      .filter(col("winner").isNotNull && col("loser").isNotNull &&
+        col("winner") =!= col("loser"))
+      .select(a.cast("long").as("a"), b.cast("long").as("b"),
+        when(col("winner") < col("loser"), 1L).otherwise(0L).as("win_a"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("win_a")).as("wins_a"))
+      .collect()
+    require(rows.nonEmpty, "bradleyTerry: no valid comparisons")
+    // smoothed directed view: (item, other, n' = n+2, wins' = wins+1)
+    val pairs = rows.flatMap { r =>
+      val (pa, pb, n, wa) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      Seq((pa, pb, n + 2L, wa + 1L), (pb, pa, n + 2L, n - wa + 1L))
+    }
+    val items = pairs.map(_._1).distinct.sorted
+    val k = items.length
+    val byItem = pairs.groupBy(_._1)
+    val winsOf = byItem.map { case (i, ps) => i -> ps.map(_._4).sum }
+    def r6(v: Double): JBD =
+      JBD.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    var w: Map[Long, JBD] = items.map(_ -> r6(1.0)).toMap
+    for (_ <- 1 to iters) {
+      val raw = items.map { i =>
+        // exact decimal sum of the round-6 term images
+        val den = byItem(i).foldLeft(JBD.ZERO) { case (acc, (_, j, n2, _)) =>
+          acc.add(r6(n2.toDouble /
+            (w(i).doubleValue + w(j).doubleValue)))
+        }
+        i -> r6(winsOf(i).toDouble / den.doubleValue)
+      }
+      val mass = raw.foldLeft(JBD.ZERO)((acc, iv) => acc.add(iv._2))
+      w = raw.map { case (i, v) =>
+        i -> r6(v.doubleValue * k / mass.doubleValue)
+      }.toMap
+    }
+    val rawWins = rows.flatMap { r =>
+      Seq((r.getLong(0), r.getLong(2), r.getLong(3)),
+        (r.getLong(1), r.getLong(2), r.getLong(2) - r.getLong(3)))
+    }.groupBy(_._1).map { case (i, ps) =>
+      i -> (ps.map(_._2).sum, ps.map(_._3).sum)
+    }
+    items.map { i =>
+      val (g, wn) = rawWins(i)
+      (i, g, wn, w(i).doubleValue)
+    }.toSeq.toDF("item", "n_games", "n_wins", "strength")
+  }
+
+  /** The x167 queries() face: synthetic comparisons derived
+    * DETERMINISTICALLY from events so the oracle rebuilds them — items
+    * 0..4, pair (a, b) from user_id residues (offset 1..4 keeps
+    * a ≠ b), and the planted winner rule
+    * `event_id % (a+b+2) < a+1` IS a Bradley-Terry model with
+    * strengths ∝ item+1 — so the fit must recover the ascending
+    * ladder (spec-asserted). */
+  def bradleyTerryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+    val pa = col("user_id") % 5
+    val pb = (pa + 1 + (col("user_id") % 4)) % 5
+    val aWins = (col("event_id") % (pa + pb + 2)) < (pa + 1)
+    bradleyTerry(events.select(
+        when(aWins, pa).otherwise(pb).cast("long").as("winner"),
+        when(aWins, pb).otherwise(pa).cast("long").as("loser")))
+      .orderBy(col("item"))
+  }
+
   /** The 100 TB face of [[spearman]]: identical statistic, but each
     * permutation rank comes from [[Sampling.groupedRanks]] — a range
     * partition on (source, signal, doc_id) plus a two-job grouped

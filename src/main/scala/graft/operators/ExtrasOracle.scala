@@ -406,6 +406,10 @@ object ExtrasOracle {
     "x164_encoding" -> encodingSql,
     // x165: the context-length tradeoff sweep (x144's grid discipline).
     "x165_context_sweep" -> contextSweepSql,
+    // x167: Bradley-Terry — the same planted comparison model, the MM
+    // fixed point unrolled as CTE stages with the x158 decimal-resync
+    // discipline at every inexact step.
+    "x167_bradley_terry" -> bradleyTerrySql,
     "x98_source_cap" -> sourceCapSql,
     "x99_annotator" -> annotatorSql,
     "x101_dawid_skene" -> dawidSkeneSql,
@@ -2245,6 +2249,76 @@ object ExtrasOracle {
        |  round(CAST(tokens_kept AS DOUBLE)
        |    / CAST(n_docs * max_len AS DOUBLE), 6) AS util
        |FROM a ORDER BY max_len""".stripMargin
+  }
+
+  /** DuckDB twin of Analytics.bradleyTerryQuery (x167): the planted
+    * comparison frame rebuilt from the same residue arithmetic, the
+    * pair aggregate in exact BIGINTs, and [[Analytics.BtIters]] MM
+    * iterations UNROLLED — each n'/(wᵢ+wⱼ) term rounds at 6 into
+    * DECIMAL(18,6) before the exact decimal denominator sum, the
+    * update and the normalization round at 6 — exactly where the
+    * engine's driver-side loop rounds, so the two cannot drift. */
+  private def bradleyTerrySql: String = {
+    val steps = (1 to Analytics.BtIters).map { t =>
+      val prev = s"w${t - 1}"
+      s"""d$t AS (
+         |  SELECT d.item,
+         |    SUM(CAST(round(CAST(d.n2 AS DOUBLE)
+         |          / (CAST(wi.w AS DOUBLE) + CAST(wj.w AS DOUBLE)), 6)
+         |        AS DECIMAL(18,6))) AS den
+         |  FROM dir d
+         |  JOIN $prev wi ON wi.item = d.item
+         |  JOIN $prev wj ON wj.item = d.other
+         |  GROUP BY d.item),
+         |r$t AS (
+         |  SELECT t.item,
+         |    CAST(round(CAST(wt.wtot AS DOUBLE) / CAST(t.den AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS r
+         |  FROM d$t t JOIN wtot wt ON wt.item = t.item),
+         |m$t AS (SELECT SUM(r) AS mass FROM r$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT item,
+         |    CAST(round(CAST(r AS DOUBLE) * kk.k / CAST(mass AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS w
+         |  FROM r$t CROSS JOIN m$t CROSS JOIN kk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT user_id % 5 AS pa,
+       |    (user_id % 5 + 1 + user_id % 4) % 5 AS pb,
+       |    event_id
+       |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |cmp AS (
+       |  SELECT CASE WHEN event_id % (pa + pb + 2) < pa + 1
+       |              THEN pa ELSE pb END AS winner,
+       |         CASE WHEN event_id % (pa + pb + 2) < pa + 1
+       |              THEN pb ELSE pa END AS loser
+       |  FROM base),
+       |agg AS MATERIALIZED (
+       |  SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wins_a
+       |  FROM cmp GROUP BY 1, 2),
+       |dir AS MATERIALIZED (
+       |  SELECT a AS item, b AS other, n + 2 AS n2, wins_a + 1 AS wins
+       |  FROM agg
+       |  UNION ALL
+       |  SELECT b, a, n + 2, n - wins_a + 1 FROM agg),
+       |wtot AS MATERIALIZED (
+       |  SELECT item, CAST(SUM(wins) AS BIGINT) AS wtot FROM dir GROUP BY item),
+       |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM wtot),
+       |games AS (
+       |  SELECT item, CAST(SUM(n) AS BIGINT) AS n_games,
+       |    CAST(SUM(wr) AS BIGINT) AS n_wins
+       |  FROM (SELECT a AS item, n, wins_a AS wr FROM agg
+       |        UNION ALL SELECT b, n, n - wins_a FROM agg)
+       |  GROUP BY item),
+       |w0 AS (SELECT item, CAST(1.000000 AS DECIMAL(18,6)) AS w FROM wtot),
+       |$steps
+       |SELECT g.item, g.n_games, g.n_wins,
+       |  CAST(w.w AS DOUBLE) AS strength
+       |FROM w${Analytics.BtIters} w JOIN games g ON g.item = w.item
+       |ORDER BY g.item""".stripMargin
   }
 
   /** DuckDB twin of Sampling.sourceCapQuery (x98): the same md5

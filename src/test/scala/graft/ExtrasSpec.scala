@@ -3684,6 +3684,24 @@ class ExtrasSpec extends SparkSpec {
       s"${out(8L)}")
   }
 
+  test("x167 Bradley-Terry recovers the planted strength ladder") {
+    import graft.operators.Analytics
+    val out = Analytics.bradleyTerryQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L to 4L), s"items: ${out.map(_._1).toSeq}")
+    // the planted winner rule is EXACTLY a BT model with strengths
+    // proportional to item+1 — the fit must recover the ascending ladder
+    assert(out.sliding(2).forall { case Array(lo, hi) => hi._4 > lo._4 },
+      s"ladder broken: ${out.map(r => r._1 -> r._4).toSeq}")
+    // strengths are positive, normalized to sum |items|
+    assert(out.forall(_._4 > 0))
+    assert(math.abs(out.map(_._4).sum - 5.0) < 1e-3, s"${out.map(_._4).sum}")
+    // every game has one winner: wins sum to games/2 (each game counted
+    // once per participant in n_games)
+    assert(out.map(_._3).sum * 2 == out.map(_._2).sum,
+      s"wins ${out.map(_._3).sum} games ${out.map(_._2).sum}")
+  }
+
   test("x166 span corruption matches an independent JVM reference bit-for-bit") {
     import graft.operators.DocPrep
     // independent reference: replicate keepAtRate's md5-bucket test in

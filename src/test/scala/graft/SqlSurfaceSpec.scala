@@ -85,7 +85,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // windows — all value-identical); x162's deflation chain exceeds
     // Spark's CTE analysis budget and stays DuckDB-oracle-only,
     // plus the r16 quartet: x163 fused quality panel, x164 encoding
-    // damage, x165 context sweep, x166 span corruption
+    // damage, x165 context sweep, x166 span corruption (x167's
+    // Bradley-Terry chain re-references each round twice, the x162
+    // doubling class — DuckDB-oracle-only)
     assert(RelationalSql.extrasSql.size == 151)
   }
 
