@@ -274,18 +274,26 @@ object DocPrep {
     * Shape: one scan, narrow projection, shuffle-free — the x147
     * pattern, so the operator IS its own streaming face and fuses into
     * whatever scan consumes it. */
-  def encodingAudit(docs: DataFrame): DataFrame = {
+  def encodingAudit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+        length(col("text")).cast("long").as("n_chars") +: encodingBaseCols: _*)
+      .withColumn("clean", encodingCleanExpr)
+
+  /** x164's damage-count columns and verdict expression, shared
+    * verbatim with the x163 fused panel (identity by construction;
+    * the panel omits x164's `n_chars` — it equals x97's `raw_len`,
+    * already on the panel). */
+  private[graft] def encodingBaseCols: Seq[org.apache.spark.sql.Column] = {
     val t = col("text")
-    docs.select(col("doc_id"),
-        length(t).cast("long").as("n_chars"),
-        regexp_count(t, lit(ReplChar)).cast("long").as("n_repl"),
-        regexp_count(t, lit(CtrlRe)).cast("long").as("n_ctrl"),
-        length(regexp_replace(t, NonAsciiRe, "")).cast("long").as("n_ascii"),
-        regexp_count(t, lit(LongSpaceRe)).cast("long").as("n_longspace"))
-      .withColumn("clean",
-        when(col("n_repl") === 0L && col("n_ctrl") === 0L &&
-          col("n_longspace") === 0L, 1L).otherwise(0L))
+    Seq(regexp_count(t, lit(ReplChar)).cast("long").as("n_repl"),
+      regexp_count(t, lit(CtrlRe)).cast("long").as("n_ctrl"),
+      length(regexp_replace(t, NonAsciiRe, "")).cast("long").as("n_ascii"),
+      regexp_count(t, lit(LongSpaceRe)).cast("long").as("n_longspace"))
   }
+
+  private[graft] def encodingCleanExpr: org.apache.spark.sql.Column =
+    when(col("n_repl") === 0L && col("n_ctrl") === 0L &&
+      col("n_longspace") === 0L, 1L).otherwise(0L)
 
   /** The x164 queries() face: the synthetic corpus is clean, so the
     * face PLANTS damage deterministically (the x97 residue

@@ -3957,6 +3957,8 @@ object ExtrasOracle {
     val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
     val lt = Dedup.LineTokens
     val (em, ph, ip) = (DocPrep.PiiEmailRe, DocPrep.PiiPhoneRe, DocPrep.PiiIpRe)
+    val (ctrl, nonAscii, longSp) =
+      (DocPrep.CtrlRe, DocPrep.NonAsciiRe, DocPrep.LongSpaceRe)
     s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
@@ -3998,6 +4000,13 @@ object ExtrasOracle {
        |    CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
        |      '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
        |      AS BIGINT) AS redacted_len
+       |  FROM t),
+       |enc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_repl,
+       |    CAST(len(regexp_extract_all(text, '$ctrl')) AS BIGINT) AS n_ctrl,
+       |    CAST(length(regexp_replace(text, '$nonAscii', '', 'g')) AS BIGINT) AS n_ascii,
+       |    CAST(len(regexp_extract_all(text, '$longSp')) AS BIGINT) AS n_longspace
        |  FROM t)
        |SELECT gm.doc_id, gm.n_tokens, gm.n_chars, gm.n_alpha, gm.n_stop,
        |  CAST(CASE WHEN gm.n_tokens BETWEEN ${TextAnalysis.GopherMinTokens}
@@ -4017,9 +4026,13 @@ object ExtrasOracle {
        |  COALESCE(per.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
        |  pa.n_email, pa.n_phone, pa.n_ip,
        |  pa.n_email + pa.n_phone + pa.n_ip AS pii_total,
-       |  pa.raw_len, pa.redacted_len
+       |  pa.raw_len, pa.redacted_len,
+       |  enc.n_repl, enc.n_ctrl, enc.n_ascii, enc.n_longspace,
+       |  CAST(CASE WHEN enc.n_repl = 0 AND enc.n_ctrl = 0
+       |             AND enc.n_longspace = 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS clean
        |FROM gm JOIN rm USING (doc_id) LEFT JOIN per USING (doc_id)
-       |  JOIN pa USING (doc_id)
+       |  JOIN pa USING (doc_id) JOIN enc USING (doc_id)
        |ORDER BY gm.doc_id""".stripMargin
   }
 

@@ -3097,6 +3097,8 @@ object RelationalSql {
     val lt = Dedup.LineTokens
     val (em, ph, ip) =
       (sqlRe(DocPrep.PiiEmailRe), sqlRe(DocPrep.PiiPhoneRe), sqlRe(DocPrep.PiiIpRe))
+    val (ctrl, nonAscii, longSp) =
+      (sqlRe(DocPrep.CtrlRe), sqlRe(DocPrep.NonAsciiRe), sqlRe(DocPrep.LongSpaceRe))
     s"""WITH t AS (
        |  SELECT doc_id, text, filter(split(text, ' '), x -> x != '') AS w,
        |    CAST(length(regexp_replace(text, ' ', '')) AS BIGINT) AS n_chars
@@ -3137,6 +3139,13 @@ object RelationalSql {
        |    CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
        |      '$em', '[EMAIL]'), '$ph', '[PHONE]'), '$ip', '[IP]'))
        |      AS BIGINT) AS redacted_len
+       |  FROM t),
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(regexp_count(text, char(65533)) AS BIGINT) AS n_repl,
+       |    CAST(regexp_count(text, '$ctrl') AS BIGINT) AS n_ctrl,
+       |    CAST(length(regexp_replace(text, '$nonAscii', '')) AS BIGINT) AS n_ascii,
+       |    CAST(regexp_count(text, '$longSp') AS BIGINT) AS n_longspace
        |  FROM t)
        |SELECT gm.doc_id, gm.n_tokens, gm.n_chars, gm.n_alpha, gm.n_stop,
        |  CASE WHEN gm.n_tokens BETWEEN ${TextAnalysis.GopherMinTokens}
@@ -3156,9 +3165,13 @@ object RelationalSql {
        |  COALESCE(per.dup_tokens, 0L) AS dup_tokens,
        |  pa.n_email, pa.n_phone, pa.n_ip,
        |  pa.n_email + pa.n_phone + pa.n_ip AS pii_total,
-       |  pa.raw_len, pa.redacted_len
+       |  pa.raw_len, pa.redacted_len,
+       |  enc.n_repl, enc.n_ctrl, enc.n_ascii, enc.n_longspace,
+       |  CASE WHEN enc.n_repl = 0 AND enc.n_ctrl = 0
+       |        AND enc.n_longspace = 0
+       |       THEN 1L ELSE 0L END AS clean
        |FROM gm JOIN rm USING (doc_id) LEFT JOIN per USING (doc_id)
-       |  JOIN pa USING (doc_id)
+       |  JOIN pa USING (doc_id) JOIN enc USING (doc_id)
        |ORDER BY gm.doc_id""".stripMargin
   }
 

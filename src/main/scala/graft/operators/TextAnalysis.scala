@@ -1722,16 +1722,19 @@ object TextAnalysis {
 
   /** x163: ONE-SCAN QUALITY-SIGNAL PANEL — the stateless release-audit
     * gates (x147 Gopher rules, x148 readability, x154 within-doc line
-    * repetition, x97 PII audit) FUSED into a single narrow projection
+    * repetition, x97 PII audit, x164 encoding damage) FUSED into a
+    * single narrow projection
     * emitting every gate's columns side by side. Each is individually
-    * a shuffle-free map over (doc_id, text); run as four separate
-    * queries the run-all-audits release job reads the corpus four
+    * a shuffle-free map over (doc_id, text); run as five separate
+    * queries the run-all-audits release job reads the corpus five
     * times — fused, it reads it ONCE, and each signal column is the
     * same EXPRESSION OBJECT its standalone face builds
     * ([[gopherBaseCols]]/[[readabilityBaseCols]]/
     * [[graft.operators.Dedup.lineRepSig]]/
-    * [[graft.operators.DocPrep.piiBaseCols]] — identity by
-    * construction, spec-asserted column-for-column against all four).
+    * [[graft.operators.DocPrep.piiBaseCols]]/
+    * [[graft.operators.DocPrep.encodingBaseCols]] — identity by
+    * construction, spec-asserted column-for-column against all five;
+    * x164's `n_chars` is omitted as it equals x97's `raw_len`).
     *
     * Shape at scale: one FileScan, zero Exchanges (PlanSpec-gated);
     * still a pure projection, so it runs unchanged on a stream — the
@@ -1740,17 +1743,21 @@ object TextAnalysis {
   def qualityPanel(docs: DataFrame,
                    lineTokens: Int = Dedup.LineTokens): DataFrame =
     docs.select(Seq(col("doc_id")) ++ gopherBaseCols ++ readabilityBaseCols ++
-        Seq(Dedup.lineRepSig(lineTokens).as("_lr")) ++ DocPrep.piiBaseCols: _*)
+        Seq(Dedup.lineRepSig(lineTokens).as("_lr")) ++ DocPrep.piiBaseCols ++
+        DocPrep.encodingBaseCols: _*)
       .withColumn("admitted", gopherAdmittedExpr)
       .withColumn("flesch", fleschExpr)
       .withColumn("pii_total", DocPrep.piiTotalExpr)
+      .withColumn("clean", DocPrep.encodingCleanExpr)
       .select(Seq(col("doc_id"),
         col("n_tokens"), col("n_chars"), col("n_alpha"), col("n_stop"),
         col("admitted"),
         col("n_words"), col("n_sentences"), col("n_syllables"), col("flesch")) ++
         Dedup.lineRepFinalCols("_lr") ++
         Seq(col("n_email"), col("n_phone"), col("n_ip"), col("pii_total"),
-          col("raw_len"), col("redacted_len")): _*)
+          col("raw_len"), col("redacted_len"),
+          col("n_repl"), col("n_ctrl"), col("n_ascii"), col("n_longspace"),
+          col("clean")): _*)
 
   def qualityPanelQuery(spark: SparkSession, dir: String): DataFrame =
     qualityPanel(Tables.load(spark, dir, "documents"))

@@ -3763,7 +3763,9 @@ class ExtrasSpec extends SparkSpec {
         when($"doc_id" % 7 === 0,
           concat(lit(" call 555-867-"),
             lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
-            lit(" now"))).otherwise(lit(""))))
+            lit(" now"))).otherwise(lit("")),
+        when($"doc_id" % 9 === 0,
+          lit(" bad" + DocPrep.ReplChar + "decode")).otherwise(lit(""))))
     val panel = TextAnalysis.qualityPanel(docs)
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.orderBy($"doc_id").collect().map(_.toSeq).toSeq
@@ -3779,10 +3781,15 @@ class ExtrasSpec extends SparkSpec {
     assert(rowsOf(panel.select($"doc_id", $"n_email", $"n_phone", $"n_ip",
         $"pii_total", $"raw_len", $"redacted_len"))
       == rowsOf(DocPrep.piiAudit(docs)), "pii leg drifted")
+    // the encoding leg (x164's n_chars is the panel's raw_len)
+    assert(rowsOf(panel.select($"doc_id", $"raw_len".as("n_chars"), $"n_repl",
+        $"n_ctrl", $"n_ascii", $"n_longspace", $"clean"))
+      == rowsOf(DocPrep.encodingAudit(docs)), "encoding leg drifted")
     // and the plants actually fired (the legs are not comparing zeros)
-    val sums = panel.agg(sum($"n_dup_lines"), sum($"pii_total"))
+    val sums = panel.agg(sum($"n_dup_lines"), sum($"pii_total"), sum($"n_repl"))
       .collect()(0)
-    assert(sums.getLong(0) > 0 && sums.getLong(1) > 0, s"plants missing: $sums")
+    assert(sums.getLong(0) > 0 && sums.getLong(1) > 0 && sums.getLong(2) > 0,
+      s"plants missing: $sums")
   }
 
   test("x161 BPE merges: overlap parity, occurrence weighting, and tie-breaks") {

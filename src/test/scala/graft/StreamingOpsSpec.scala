@@ -1289,6 +1289,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span corruption: the x166 in-row fold runs as-is on a stream, replay equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DocPrep
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text")
+    val batch = DocPrep.spanCorruptAudit(base)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val rows = base.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = DocPrep.spanCorruptAudit(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("span_corrupt_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("span_corrupt_out")
+        .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming encoding audit: the x164 projection runs as-is on a stream, replay equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.DocPrep
