@@ -612,6 +612,10 @@ object SparkEntry {
     // comparison-data quality ladder (MM fixed point on the collected
     // pair table; the planted winner rule IS a BT model).
     "x167_bradley_terry"  -> (Analytics.bradleyTerryQuery _),
+    // x168: per-source quality scorecard — the x163 panel rolled up
+    // to the per-feed dashboard (same one-scan projection, one
+    // |sources|-key aggregate on top).
+    "x168_source_scorecard" -> (TextAnalysis.sourceScorecardQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -116,6 +116,8 @@ object ExtrasOracle {
     // one scan; RAW corpus (no plants), so dup/PII legs exercise their
     // zero paths while gopher/readability carry the live signal.
     "x163_quality_panel" -> qualityPanelSql,
+    // x168: the panel rolled up per source — the feed scorecard.
+    "x168_source_scorecard" -> sourceScorecardSql,
     // x154: within-doc duplicate-line mass over x139's fixed-width
     // lines, planted by prepending each id%6==0 doc's own first line.
     "x154_line_rep" -> lineRepSql,
@@ -3953,7 +3955,12 @@ object ExtrasOracle {
     * x147/x148/x154/x97 twins' arithmetic verbatim over the RAW corpus
     * (no plants), stitched on doc_id — DuckDB's strategy for the fused
     * scan is its own business; the engine's is one projection. */
-  private def qualityPanelSql: String = {
+  private def qualityPanelSql: String =
+    qualityPanelInnerSql + "\nORDER BY gm.doc_id"
+
+  /** The x163 per-doc panel query WITHOUT presentation order — shared
+    * by the x168 rollup twin. */
+  private def qualityPanelInnerSql: String = {
     val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
     val lt = Dedup.LineTokens
     val (em, ph, ip) = (DocPrep.PiiEmailRe, DocPrep.PiiPhoneRe, DocPrep.PiiIpRe)
@@ -4032,9 +4039,30 @@ object ExtrasOracle {
        |             AND enc.n_longspace = 0
        |       THEN 1 ELSE 0 END AS BIGINT) AS clean
        |FROM gm JOIN rm USING (doc_id) LEFT JOIN per USING (doc_id)
-       |  JOIN pa USING (doc_id) JOIN enc USING (doc_id)
-       |ORDER BY gm.doc_id""".stripMargin
+       |  JOIN pa USING (doc_id) JOIN enc USING (doc_id)""".stripMargin
   }
+
+  /** DuckDB twin of TextAnalysis.sourceScorecardQuery (x168): the
+    * x163 panel body verbatim, rolled up per source — exact BIGINT
+    * counts, one decimal-summed round-6 mean. */
+  private def sourceScorecardSql: String =
+    s"""WITH panel AS MATERIALIZED (
+       |${qualityPanelInnerSql}
+       |)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.admitted) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(p.clean) AS BIGINT) AS n_clean,
+       |  CAST(SUM(CASE WHEN p.pii_total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pii_docs,
+       |  CAST(SUM(CASE WHEN p.n_dup_lines > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(COALESCE(SUM(p.n_tokens), 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN COUNT(p.flesch) > 0 THEN
+       |    round(CAST(SUM(CAST(p.flesch AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(p.flesch), 6) END AS avg_flesch
+       |FROM panel p JOIN documents d USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 
   /** DuckDB twin of Dedup.exciseQuery (x151). */
   private def exciseSql: String =

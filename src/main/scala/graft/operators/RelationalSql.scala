@@ -1115,6 +1115,7 @@ object RelationalSql {
     "x164_encoding" -> encodingSparkSql,
     "x165_context_sweep" -> contextSweepSparkSql,
     "x166_span_corrupt" -> spanCorruptSparkSql,
+    "x168_source_scorecard" -> sourceScorecardSparkSql,
     // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
     // chain plus deflation exceeds Spark's CTE analysis budget (the
     // logical tree re-expands past the 8g test heap), where DuckDB's
@@ -3092,7 +3093,12 @@ object RelationalSql {
   /** Spark-SQL face of TextAnalysis.qualityPanelQuery (x163): the
     * x147/x148/x154/x97 twins' arithmetic over the RAW corpus,
     * stitched on doc_id. */
-  private def qualityPanelSparkSql: String = {
+  private def qualityPanelSparkSql: String =
+    qualityPanelInnerSparkSql + "\nORDER BY gm.doc_id"
+
+  /** The x163 per-doc panel text WITHOUT presentation order — shared
+    * by the x168 rollup twin. */
+  private def qualityPanelInnerSparkSql: String = {
     val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
     val lt = Dedup.LineTokens
     val (em, ph, ip) =
@@ -3171,9 +3177,26 @@ object RelationalSql {
        |        AND enc.n_longspace = 0
        |       THEN 1L ELSE 0L END AS clean
        |FROM gm JOIN rm USING (doc_id) LEFT JOIN per USING (doc_id)
-       |  JOIN pa USING (doc_id) JOIN enc USING (doc_id)
-       |ORDER BY gm.doc_id""".stripMargin
+       |  JOIN pa USING (doc_id) JOIN enc USING (doc_id)""".stripMargin
   }
+
+  /** Spark-SQL face of TextAnalysis.sourceScorecardQuery (x168). */
+  private def sourceScorecardSparkSql: String =
+    s"""WITH panel AS (
+       |${qualityPanelInnerSparkSql}
+       |)
+       |SELECT d.source, COUNT(1) AS n_docs,
+       |  SUM(p.admitted) AS n_admitted,
+       |  SUM(p.clean) AS n_clean,
+       |  SUM(CASE WHEN p.pii_total > 0 THEN 1L ELSE 0L END) AS n_pii_docs,
+       |  SUM(CASE WHEN p.n_dup_lines > 0 THEN 1L ELSE 0L END) AS n_dup_docs,
+       |  COALESCE(SUM(p.n_tokens), 0L) AS n_tokens,
+       |  CASE WHEN COUNT(p.flesch) > 0 THEN
+       |    round(CAST(SUM(CAST(p.flesch AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(p.flesch) AS DOUBLE), 6) END AS avg_flesch
+       |FROM panel p JOIN documents d USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 
   /** Spark-SQL face of TextAnalysis.nbQualityQuery (x155). */
   private def nbQualitySparkSql: String = {

@@ -1742,14 +1742,21 @@ object TextAnalysis {
     * ([[graft.streaming.StreamingOps.qualityPanelStream]]). */
   def qualityPanel(docs: DataFrame,
                    lineTokens: Int = Dedup.LineTokens): DataFrame =
-    docs.select(Seq(col("doc_id")) ++ gopherBaseCols ++ readabilityBaseCols ++
+    panelProjection(docs, lineTokens, Nil)
+
+  /** The one fused projection, with optional carried-through columns
+    * (x168 threads `source` for its rollup). */
+  private def panelProjection(docs: DataFrame, lineTokens: Int,
+                              extra: Seq[Column]): DataFrame =
+    docs.select(extra ++ Seq(col("doc_id")) ++ gopherBaseCols ++
+        readabilityBaseCols ++
         Seq(Dedup.lineRepSig(lineTokens).as("_lr")) ++ DocPrep.piiBaseCols ++
         DocPrep.encodingBaseCols: _*)
       .withColumn("admitted", gopherAdmittedExpr)
       .withColumn("flesch", fleschExpr)
       .withColumn("pii_total", DocPrep.piiTotalExpr)
       .withColumn("clean", DocPrep.encodingCleanExpr)
-      .select(Seq(col("doc_id"),
+      .select(extra ++ Seq(col("doc_id"),
         col("n_tokens"), col("n_chars"), col("n_alpha"), col("n_stop"),
         col("admitted"),
         col("n_words"), col("n_sentences"), col("n_syllables"), col("flesch")) ++
@@ -1762,6 +1769,42 @@ object TextAnalysis {
   def qualityPanelQuery(spark: SparkSession, dir: String): DataFrame =
     qualityPanel(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** x168: PER-SOURCE QUALITY SCORECARD — the x163 panel rolled up to
+    * the per-feed dashboard every curation review reads first: per
+    * source, how many documents pass the Gopher gate, how many are
+    * structurally clean, how many carry PII or within-doc dup lines,
+    * the token mass, and the mean readability. Exact BIGINT counts;
+    * the one mean is a decimal sum of the panel's already-round-6
+    * flesch doubles divided once (order-independent — the x80 moment
+    * discipline), null for sources with no scorable doc.
+    *
+    * Shape: the SAME one-scan panel projection (x168 pays no second
+    * scan over x163's — `source` just rides along) followed by one
+    * |sources|-key hash aggregate with map-side partials. */
+  def sourceScorecard(docs: DataFrame,
+                      lineTokens: Int = Dedup.LineTokens): DataFrame = {
+    val p = panelProjection(docs, lineTokens, Seq(col("source")))
+    p.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("admitted")).as("n_admitted"),
+        sum(col("clean")).as("n_clean"),
+        sum(when(col("pii_total") > 0L, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(when(col("n_dup_lines") > 0L, 1L).otherwise(0L)).as("n_dup_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        count(col("flesch")).as("n_scored"),
+        sum(col("flesch").cast("decimal(18,6)")).as("_fs"))
+      .select(col("source"), col("n_docs"), col("n_admitted"),
+        col("n_clean"), col("n_pii_docs"), col("n_dup_docs"),
+        col("n_tokens"),
+        when(col("n_scored") > 0L,
+          round(col("_fs").cast("double") / col("n_scored").cast("double"), 6))
+          .as("avg_flesch"))
+  }
+
+  def sourceScorecardQuery(spark: SparkSession, dir: String): DataFrame =
+    sourceScorecard(Tables.load(spark, dir, "documents"))
+      .orderBy(col("source"))
 
   // ------------------- seed-labeled quality classifier (x155)
 

@@ -3684,6 +3684,31 @@ class ExtrasSpec extends SparkSpec {
       s"${out(8L)}")
   }
 
+  test("x168 source scorecard equals a hand rollup of the x163 panel") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val panel = TextAnalysis.qualityPanel(docs)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    val expected = panel.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"admitted").as("n_admitted"),
+        sum($"clean").as("n_clean"),
+        sum(when($"pii_total" > 0L, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(when($"n_dup_lines" > 0L, 1L).otherwise(0L)).as("n_dup_docs"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("n_tokens"),
+        count($"flesch").as("ns"),
+        sum($"flesch".cast("decimal(18,6)")).as("fs"))
+      .select($"source", $"n_docs", $"n_admitted", $"n_clean",
+        $"n_pii_docs", $"n_dup_docs", $"n_tokens",
+        when($"ns" > 0L, round($"fs".cast("double") / $"ns".cast("double"), 6))
+          .as("avg_flesch"))
+      .orderBy($"source").collect().map(_.toSeq).toSeq
+    val got = TextAnalysis.sourceScorecard(docs)
+      .orderBy($"source").collect().map(_.toSeq).toSeq
+    assert(got == expected, s"drift:\n$got\nvs\n$expected")
+    assert(got.nonEmpty && got.forall(_.head != null))
+  }
+
   test("x167 Bradley-Terry recovers the planted strength ladder") {
     import graft.operators.Analytics
     val out = Analytics.bradleyTerryQuery(spark, sf("sf0.001"))

@@ -600,6 +600,12 @@ class PlanSpec extends SparkSpec {
       s"a pure projection panel must not shuffle:\n$p")
   }
 
+  test("x168: the scorecard rides the panel's one scan — no second corpus read for source") {
+    val p = plan("x168_source_scorecard")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"source must ride the panel scan, not a join back:\n$p")
+  }
+
   test("x158/x162: the PCA Gram aggregate is shared through the bounded cache — one corpus scan for the query set") {
     import graft.core.Tables
     import graft.operators.Similarity

@@ -84,11 +84,12 @@ class SqlSurfaceSpec extends SparkSpec {
     // rewrite (a THIRD strategy beside the engine fold and the DuckDB
     // windows — all value-identical); x162's deflation chain exceeds
     // Spark's CTE analysis budget and stays DuckDB-oracle-only,
-    // plus the r16 quartet: x163 fused quality panel, x164 encoding
-    // damage, x165 context sweep, x166 span corruption (x167's
-    // Bradley-Terry chain re-references each round twice, the x162
-    // doubling class — DuckDB-oracle-only)
-    assert(RelationalSql.extrasSql.size == 151)
+    // plus the r16 batch: x163 fused quality panel, x164 encoding
+    // damage, x165 context sweep, x166 span corruption, x168 source
+    // scorecard over the shared panel body (x167's Bradley-Terry
+    // chain re-references each round twice, the x162 doubling class —
+    // DuckDB-oracle-only)
+    assert(RelationalSql.extrasSql.size == 152)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
