@@ -616,6 +616,10 @@ object SparkEntry {
     // to the per-feed dashboard (same one-scan projection, one
     // |sources|-key aggregate on top).
     "x168_source_scorecard" -> (TextAnalysis.sourceScorecardQuery _),
+    // x169: cross-corpus near-dup probe — the bipartite x46: which
+    // candidate docs near-duplicate the frozen reference corpus
+    // (the pre-ingestion "do we already have this" acceptance audit).
+    "x169_cross_probe"    -> (Dedup.crossProbeQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -175,6 +175,83 @@ object Dedup {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
       .orderBy(col("d1"), col("d2"))
 
+  /** x169: CROSS-CORPUS NEAR-DUP PROBE — the bipartite form of x46:
+    * which CANDIDATE documents (a new crawl, a vendor drop) near-
+    * duplicate the FROZEN reference corpus, without ever mining
+    * reference-internal or candidate-internal pairs. This is the
+    * "how much of this delivery do we already have" acceptance audit
+    * run before paying for ingestion — x106/x91 answer it for EXACT
+    * copies and novel grams; x169 answers it at near-dup grain with
+    * exact-Jaccard evidence per pair.
+    *
+    * Shape: one fused corpus (the union is never materialized twice)
+    * through x46's df-pruned candidate miner; the cross-side filter
+    * runs INSIDE candidate generation (two id-table left joins on the
+    * already-pruned pair stream — AQE broadcasts the id tables when
+    * they fit), so same-side pairs never reach the verify join. The
+    * verify stays exact integer Jaccard on candidate pairs only. */
+  def crossNearDupProbe(candidates: DataFrame, reference: DataFrame,
+                        n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                        jaccardThreshold: Double = 0.5,
+                        hashGrams: Boolean = false): DataFrame = {
+    val refIds = reference.select(col("doc_id").as("_rid"))
+    val docs = candidates.select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(reference.select(col("doc_id"), col("lang"), col("text")))
+    val crossOnly: DataFrame => DataFrame = pairs =>
+      pairs
+        .join(refIds.select(col("_rid").as("_r1")),
+          col("d1") === col("_r1"), "left")
+        .join(refIds.select(col("_rid").as("_r2")),
+          col("d2") === col("_r2"), "left")
+        .filter(col("_r1").isNotNull =!= col("_r2").isNotNull)
+        .drop("_r1", "_r2")
+    val verified = verifiedNearDupPairs(docs, n, maxDf, minInter,
+      jaccardThreshold, hashGrams, crossOnly)
+    // orient: cand_id is the non-reference side (exactly one by the
+    // cross filter)
+    verified
+      .join(refIds.select(col("_rid").as("d1"), lit(1).as("_f1")),
+        Seq("d1"), "left")
+      .select(
+        when(col("_f1").isNotNull, col("d2")).otherwise(col("d1")).as("cand_id"),
+        when(col("_f1").isNotNull, col("d1")).otherwise(col("d2")).as("ref_id"),
+        col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"))
+  }
+
+  /** The x169 queries() face: reference = src0/src1 (the x16
+    * convention), candidates = everything else, with PLANTED cross
+    * duplicates (the x97 residue discipline, twin-rebuildable):
+    * candidate docs with id ≡ 0 (mod 23) and reference docs with
+    * id ≡ 0 (mod 11) have text AND lang replaced by a shared
+    * key-derived block (key = (id div m) mod 3), so every planted
+    * candidate near-dups every planted reference with the same key
+    * (Jaccard 1), while natural same-lang cross pairs keep flowing.
+    * maxDf is raised to 100: the planted gram's document frequency
+    * grows with SF (≈50 at sf0.1) and must stay under the rare-gram
+    * prune for the plant to block. */
+  def crossProbeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isRef = col("source").isin("src0", "src1")
+    def key(m: Int) =
+      (floor(col("doc_id") / m).cast("long") % 3).cast("string")
+    def ptext(k: Column) = concat(lit("planteddup"), k,
+      repeat(concat(lit(" block"), k), 25))
+    def plang(k: Column) = concat(lit("zz"), k)
+    val planted = docs
+      .withColumn("text",
+        when(!isRef && col("doc_id") % 23 === 0, ptext(key(23)))
+          .when(isRef && col("doc_id") % 11 === 0, ptext(key(11)))
+          .otherwise(col("text")))
+      .withColumn("lang",
+        when(!isRef && col("doc_id") % 23 === 0, plang(key(23)))
+          .when(isRef && col("doc_id") % 11 === 0, plang(key(11)))
+          .otherwise(col("lang")))
+    crossNearDupProbe(planted.filter(!isRef), planted.filter(isRef),
+        maxDf = 100)
+      .orderBy(col("cand_id"), col("ref_id"))
+  }
+
   /** x87 acceptance: max-direction containment ≥ ContainNum/ContainDen
     * (0.6), tested in exact integer arithmetic. */
   val ContainNum = 3

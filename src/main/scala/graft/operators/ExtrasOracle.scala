@@ -189,6 +189,9 @@ object ExtrasOracle {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "x46_jaccard_pairs" -> verifiedPairsSql,
+    // x169: the bipartite x46 — candidate-vs-reference near-dups with
+    // the same planted cross blocks and the same exact-Jaccard accept.
+    "x169_cross_probe" -> crossProbeSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -797,6 +800,60 @@ object ExtrasOracle {
   private def verifiedPairsSql: String =
     s"""WITH $verifiedPairsCte
        |SELECT d1, d2, inter, uni FROM vpairs ORDER BY d1, d2""".stripMargin
+
+  /** DuckDB twin of Dedup.crossProbeQuery (x169): the x46 chain over
+    * the PLANTED bipartite corpus, pairs kept only when exactly one
+    * side is reference, then oriented (cand_id, ref_id). maxDf = 100
+    * as in the engine face. */
+  private def crossProbeSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT doc_id, source IN ('src0', 'src1') AS isref,
+      |    CASE WHEN source NOT IN ('src0', 'src1') AND doc_id % 23 = 0 THEN
+      |      'planteddup' || CAST((doc_id // 23) % 3 AS VARCHAR) ||
+      |        repeat(' block' || CAST((doc_id // 23) % 3 AS VARCHAR), 25)
+      |    WHEN source IN ('src0', 'src1') AND doc_id % 11 = 0 THEN
+      |      'planteddup' || CAST((doc_id // 11) % 3 AS VARCHAR) ||
+      |        repeat(' block' || CAST((doc_id // 11) % 3 AS VARCHAR), 25)
+      |    ELSE text END AS text,
+      |    CASE WHEN source NOT IN ('src0', 'src1') AND doc_id % 23 = 0
+      |         THEN 'zz' || CAST((doc_id // 23) % 3 AS VARCHAR)
+      |    WHEN source IN ('src0', 'src1') AND doc_id % 11 = 0
+      |         THEN 'zz' || CAST((doc_id // 11) % 3 AS VARCHAR)
+      |    ELSE lang END AS lang
+      |  FROM documents),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM base),
+      |grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
+      |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+      |rare AS MATERIALIZED (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 100),
+      |rg AS MATERIALIZED (SELECT g.* FROM grams g JOIN rare USING (gram)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |xp AS MATERIALIZED (
+      |  SELECT p.d1, p.d2, f1.isref AS r1
+      |  FROM pairs p JOIN base f1 ON f1.doc_id = p.d1
+      |               JOIN base f2 ON f2.doc_id = p.d2
+      |  WHERE f1.isref <> f2.isref),
+      |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |vint AS MATERIALIZED (
+      |  SELECT p.d1, p.d2, p.r1, COUNT(*) AS inter
+      |  FROM xp p JOIN grams g1 ON g1.doc_id = p.d1
+      |            JOIN grams g2 ON g2.doc_id = p.d2 AND g2.gram = g1.gram
+      |  GROUP BY 1, 2, 3),
+      |vpairs AS MATERIALIZED (
+      |  SELECT v.d1, v.d2, v.r1, v.inter, s1.n + s2.n - v.inter AS uni
+      |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+      |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)
+      |SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+      |  CASE WHEN r1 THEN d1 ELSE d2 END AS ref_id,
+      |  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+      |FROM vpairs
+      |ORDER BY cand_id, ref_id""".stripMargin
 
   /** x87: containment over the SAME candidate graph — the intersection
     * recount of x46 but accepted on inter·den ≥ min(n1,n2)·num (the

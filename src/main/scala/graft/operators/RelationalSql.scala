@@ -1116,6 +1116,7 @@ object RelationalSql {
     "x165_context_sweep" -> contextSweepSparkSql,
     "x166_span_corrupt" -> spanCorruptSparkSql,
     "x168_source_scorecard" -> sourceScorecardSparkSql,
+    "x169_cross_probe" -> crossProbeSparkSql,
     // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
     // chain plus deflation exceeds Spark's CTE analysis budget (the
     // logical tree re-expands past the 8g test heap), where DuckDB's
@@ -1164,6 +1165,56 @@ object RelationalSql {
       |  SELECT v.d1, v.d2, v.inter, s1.n + s2.n - v.inter AS uni
       |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
       |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)""".stripMargin
+
+  /** Spark-SQL face of Dedup.crossProbeQuery (x169): the x46 chain
+    * over the planted bipartite corpus, cross-side pairs only,
+    * oriented (cand_id, ref_id); maxDf = 100 as in the engine face. */
+  private def crossProbeSparkSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source IN ('src0', 'src1') AS isref,
+      |    CASE WHEN source NOT IN ('src0', 'src1') AND doc_id % 23 = 0 THEN
+      |      concat('planteddup', CAST((doc_id div 23) % 3 AS STRING),
+      |        repeat(concat(' block', CAST((doc_id div 23) % 3 AS STRING)), 25))
+      |    WHEN source IN ('src0', 'src1') AND doc_id % 11 = 0 THEN
+      |      concat('planteddup', CAST((doc_id div 11) % 3 AS STRING),
+      |        repeat(concat(' block', CAST((doc_id div 11) % 3 AS STRING)), 25))
+      |    ELSE text END AS text,
+      |    CASE WHEN source NOT IN ('src0', 'src1') AND doc_id % 23 = 0
+      |         THEN concat('zz', CAST((doc_id div 23) % 3 AS STRING))
+      |    WHEN source IN ('src0', 'src1') AND doc_id % 11 = 0
+      |         THEN concat('zz', CAST((doc_id div 11) % 3 AS STRING))
+      |    ELSE lang END AS lang
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang, gram FROM base
+      |  LATERAL VIEW explode(word_shingles(filter(split(text, ' '), x -> x != ''), 3)) t AS gram),
+      |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) <= 100),
+      |rg AS (SELECT g.doc_id, g.lang, g.gram FROM grams g JOIN rare USING (gram)),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(1) >= 2),
+      |xp AS (
+      |  SELECT c.d1, c.d2, f1.isref AS r1
+      |  FROM cand c JOIN base f1 ON f1.doc_id = c.d1
+      |              JOIN base f2 ON f2.doc_id = c.d2
+      |  WHERE f1.isref != f2.isref),
+      |gsz AS (SELECT doc_id, COUNT(1) AS n FROM grams GROUP BY doc_id),
+      |vint AS (
+      |  SELECT c.d1, c.d2, c.r1, COUNT(1) AS inter
+      |  FROM xp c JOIN grams g1 ON g1.doc_id = c.d1
+      |            JOIN grams g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+      |  GROUP BY c.d1, c.d2, c.r1),
+      |vpairs AS (
+      |  SELECT v.d1, v.d2, v.r1, v.inter, s1.n + s2.n - v.inter AS uni
+      |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+      |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)
+      |SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+      |  CASE WHEN r1 THEN d1 ELSE d2 END AS ref_id,
+      |  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+      |FROM vpairs
+      |ORDER BY cand_id, ref_id""".stripMargin
 
   /** Spark-SQL face of [[Sampling.hashBucket]] (the spark.sql dialect
     * twin; the DuckDB twin lives in ExtrasOracle). */

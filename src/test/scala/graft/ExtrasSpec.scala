@@ -3684,6 +3684,27 @@ class ExtrasSpec extends SparkSpec {
       s"${out(8L)}")
   }
 
+  test("x169 cross probe finds exactly the cross-side near-dups, never in-corpus pairs") {
+    import graft.operators.Dedup
+    // hand-built bipartite corpus: candidate 1 copies reference 100,
+    // candidates 2 and 3 copy EACH OTHER (in-corpus pair — must NOT
+    // surface), references 101/102 copy each other (same), candidate 4
+    // and reference 103 are unrelated singletons
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val cand = Seq(
+      (1L, "en", blk("shared")), (2L, "en", blk("candpair")),
+      (3L, "en", blk("candpair")), (4L, "en", blk("lonelyc"))
+    ).toDF("doc_id", "lang", "text")
+    val ref = Seq(
+      (100L, "en", blk("shared")), (101L, "en", blk("refpair")),
+      (102L, "en", blk("refpair")), (103L, "en", blk("lonelyr"))
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.crossNearDupProbe(cand, ref)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // ONE pair: candidate 1 vs reference 100, identical shingle sets
+    assert(out == Set((1L, 100L, 10L, 10L)), s"got $out")
+  }
+
   test("x168 source scorecard equals a hand rollup of the x163 panel") {
     import graft.operators.TextAnalysis
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -86,10 +86,10 @@ class SqlSurfaceSpec extends SparkSpec {
     // Spark's CTE analysis budget and stays DuckDB-oracle-only,
     // plus the r16 batch: x163 fused quality panel, x164 encoding
     // damage, x165 context sweep, x166 span corruption, x168 source
-    // scorecard over the shared panel body (x167's Bradley-Terry
+    // scorecard over the shared panel body, x169 bipartite cross probe (x167's Bradley-Terry
     // chain re-references each round twice, the x162 doubling class —
     // DuckDB-oracle-only)
-    assert(RelationalSql.extrasSql.size == 152)
+    assert(RelationalSql.extrasSql.size == 153)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {
