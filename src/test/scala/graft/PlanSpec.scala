@@ -600,6 +600,33 @@ class PlanSpec extends SparkSpec {
       s"a pure projection panel must not shuffle:\n$p")
   }
 
+  test("x164/x166: the damage audit and the span-corruption rewrite are pure shuffle-free projections") {
+    import graft.core.Tables
+    import graft.operators.DocPrep
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    for ((name, df) <- Seq(
+        "x164" -> DocPrep.encodingAudit(docs),
+        "x166" -> DocPrep.spanCorruptAudit(docs))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert("FileScan".r.findAllIn(p).size == 1, s"$name rescans:\n$p")
+      assert(!p.contains("Exchange"), s"$name shuffles a pure projection:\n$p")
+    }
+  }
+
+  test("x165: the whole provisioning grid costs ONE corpus scan (the x144 sweep discipline)") {
+    val p = plan("x165_context_sweep")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"grid candidates must not rescan the corpus:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final over the exploded grid:\n$p")
+  }
+
+  test("x169: the bipartite probe mines candidates by gram join — no cartesian product, no corpus-side window") {
+    val p = plan("x169_cross_probe")
+    assert(!p.contains("CartesianProduct"), s"cross join crept in:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
   test("x168: the scorecard rides the panel's one scan — no second corpus read for source") {
     val p = plan("x168_source_scorecard")
     assert("FileScan".r.findAllIn(p).size == 1,
