@@ -620,6 +620,23 @@ object SparkEntry {
     // candidate docs near-duplicate the frozen reference corpus
     // (the pre-ingestion "do we already have this" acceptance audit).
     "x169_cross_probe"    -> (Dedup.crossProbeQuery _),
+    // x170: bipartite SemDeDup — the SEMANTIC tier of the acceptance
+    // audit: candidate-vs-frozen-reference drop verdicts under the
+    // reference-fit x78 codebook (paraphrased duplicates the surface
+    // x169 probe structurally misses).
+    "x170_sem_probe"      -> (Similarity.crossSemProbeQuery _),
+    // x171: x169's incremental form — the delivery probes the frozen
+    // reference gram index (grams/df/sizes) instead of refusing the
+    // union each time; result-identical to x169 by construction.
+    "x171_cross_probe_incr" -> (Dedup.crossProbeIncrQuery _),
+    // x172: upset scoring against the frozen x167 ladder — expected
+    // win probability + upset flag per comparison (the live rater/
+    // variant drift monitor's batch face).
+    "x172_bt_upsets"      -> (Analytics.btUpsetsQuery _),
+    // x173: x165's provisioning decision made executable — the sweep's
+    // constrained-argmax context length becomes x21's truncation cap
+    // and bin budget.
+    "x173_pack_winner"    -> (Sampling.packWinnerQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

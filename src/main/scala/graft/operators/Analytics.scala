@@ -1292,16 +1292,80 @@ object Analytics {
     * `event_id % (a+b+2) < a+1` IS a Bradley-Terry model with
     * strengths ∝ item+1 — so the fit must recover the ascending
     * ladder (spec-asserted). */
-  def bradleyTerryQuery(spark: SparkSession, dir: String): DataFrame = {
+  def bradleyTerryQuery(spark: SparkSession, dir: String): DataFrame =
+    bradleyTerry(plantedComparisons(spark, dir).select(
+        col("winner"), col("loser")))
+      .orderBy(col("item"))
+
+  /** The planted comparison frame x167 and x172 share: (cmp_id, winner,
+    * loser) — see [[bradleyTerryQuery]] for the residue model. */
+  private def plantedComparisons(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .filter(col("event_id").isNotNull && col("user_id").isNotNull)
     val pa = col("user_id") % 5
     val pb = (pa + 1 + (col("user_id") % 4)) % 5
     val aWins = (col("event_id") % (pa + pb + 2)) < (pa + 1)
-    bradleyTerry(events.select(
-        when(aWins, pa).otherwise(pb).cast("long").as("winner"),
-        when(aWins, pb).otherwise(pa).cast("long").as("loser")))
-      .orderBy(col("item"))
+    events.select(col("event_id").as("cmp_id"),
+      when(aWins, pa).otherwise(pb).cast("long").as("winner"),
+      when(aWins, pb).otherwise(pa).cast("long").as("loser"))
+  }
+
+  // ----------- frozen-ladder upset scoring (x172 + artifact) ----------
+
+  /** Persist the [[bradleyTerry]] ladder as a frozen artifact
+    * (`path/strengths`, |items| rows — KBs): the published quality
+    * ladder of a comparison-data release, and the frozen side of the
+    * live upset monitor ([[btUpsetsAgainst]] /
+    * [[graft.streaming.StreamingOps.btUpsetStream]]). Atomic publish so
+    * a reader never sees a half-written ladder. */
+  def saveBtStrengths(prefs: DataFrame, path: String,
+                      iters: Int = BtIters): Unit = {
+    val spark = prefs.sparkSession
+    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      bradleyTerry(prefs, iters).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/strengths")
+    }
+  }
+
+  /** x172: UPSET SCORING against a frozen Bradley-Terry ladder — each
+    * comparison (cmp_id, winner, loser) gets the model's expected
+    * win probability for the observed winner,
+    * p_win = round(s_w / (s_w + s_l), 6), and an upset flag
+    * (p_win < 0.5: the model expected the other side). The monitor an
+    * RLHF pipeline runs over arriving comparisons — a rater or a
+    * model-variant drifting off the published ladder shows up as an
+    * upset-rate shift long before the next full refit. Comparisons
+    * whose items are off the ladder carry no expectation and are
+    * dropped (inner joins — the x60/x68 frozen-gate convention is
+    * pass-through; HERE an unknown item means the probability is
+    * undefined, not neutral).
+    *
+    * Determinism: strengths are x167's round-6 images; both engines
+    * then run the IDENTICAL double add + divide on the identical
+    * operands and round the one image at 6 — the x94 margin
+    * discipline (multiple float ops, same operand order, pinned
+    * presentation). Stateless: two broadcast-sized joins + a
+    * projection — stream-safe as-is. */
+  def btUpsetsAgainst(comparisons: DataFrame, strengths: DataFrame): DataFrame =
+    comparisons
+      .join(strengths.select(col("item").as("winner"),
+        col("strength").as("_sw")), Seq("winner"))
+      .join(strengths.select(col("item").as("loser"),
+        col("strength").as("_sl")), Seq("loser"))
+      .select(col("cmp_id"), col("winner"), col("loser"),
+        round(col("_sw") / (col("_sw") + col("_sl")), 6).as("p_win"))
+      .withColumn("upset", when(col("p_win") < 0.5, 1L).otherwise(0L))
+
+  /** The x172 queries() face: the x167 planted comparisons scored
+    * against the ladder fit on those same comparisons (in-run frozen
+    * copy; the disk round-trip is spec-gated). The planted model's
+    * ascending ladder makes every pa-beats-pb row with pa < pb a
+    * non-upset and the reverse rows upsets — spec-asserted against the
+    * residue rule directly. */
+  def btUpsetsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cmp = plantedComparisons(spark, dir)
+    btUpsetsAgainst(cmp, bradleyTerry(cmp.select(col("winner"), col("loser"))))
+      .orderBy(col("cmp_id"))
   }
 
   /** The 100 TB face of [[spearman]]: identical statistic, but each

@@ -231,7 +231,14 @@ object Dedup {
     * grows with SF (≈50 at sf0.1) and must stay under the rare-gram
     * prune for the plant to block. */
   def crossProbeQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val (cand, ref) = plantedCrossCorpus(Tables.load(spark, dir, "documents"))
+    crossNearDupProbe(cand, ref, maxDf = 100)
+      .orderBy(col("cand_id"), col("ref_id"))
+  }
+
+  /** The planted bipartite corpus x169 and x171 share: (candidates,
+    * reference) — see [[crossProbeQuery]] for the residue scheme. */
+  private def plantedCrossCorpus(docs: DataFrame): (DataFrame, DataFrame) = {
     val isRef = col("source").isin("src0", "src1")
     def key(m: Int) =
       (floor(col("doc_id") / m).cast("long") % 3).cast("string")
@@ -247,7 +254,134 @@ object Dedup {
         when(!isRef && col("doc_id") % 23 === 0, plang(key(23)))
           .when(isRef && col("doc_id") % 11 === 0, plang(key(11)))
           .otherwise(col("lang")))
-    crossNearDupProbe(planted.filter(!isRef), planted.filter(isRef),
+    (planted.filter(!isRef), planted.filter(isRef))
+  }
+
+  // ------------------- incremental cross-corpus probe (x171) ----------
+
+  /** The exploded distinct-gram view both sides of the incremental
+    * probe are built from: (doc_id, lang, gram). */
+  private def probeGrams(docs: DataFrame, n: Int,
+                         hashGrams: Boolean): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(wordShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("lang"), gramKey(col("g"), hashGrams).as("gram"))
+
+  /** Persist the frozen reference side of [[crossNearDupProbe]] so
+    * repeated vendor deliveries probe an ARTIFACT instead of refusing
+    * the union each time (the saveDecontamIndex layout discipline):
+    * `path/grams` — the reference's distinct word n-grams, one row per
+    * (doc, gram); `path/df` — per-gram reference document frequency
+    * (the frozen half of the union-df prune); `path/sizes` — per-doc
+    * gram-set sizes (the frozen half of the exact-Jaccard union).
+    * df and sizes are derived by re-reading the just-written narrow
+    * gram files, so the reference corpus is scanned ONCE at build.
+    * Published atomically so the three parts can never mix
+    * generations. */
+  def saveCrossProbeIndex(reference: DataFrame, path: String, n: Int = 3,
+                          hashGrams: Boolean = false): Unit = {
+    val spark = reference.sparkSession
+    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      probeGrams(reference, n, hashGrams)
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+      val g = spark.read.parquet(s"$tmp/grams")
+      g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/df")
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$tmp/sizes")
+    }
+  }
+
+  /** x171: the INCREMENTAL form of x169 — probe a delivery against the
+    * frozen reference gram index without ever rescanning the reference
+    * corpus. Result-identical to [[crossNearDupProbe]] on the same
+    * (candidates, reference) split (spec-asserted; the x171 oracle is
+    * x169's SQL verbatim):
+    *
+    *   - the union-df prune becomes candidate-df + FROZEN reference-df
+    *     (only grams the delivery itself carries can mint cross pairs,
+    *     so reference-only grams never enter the test);
+    *   - pair mining joins the delivery's rare grams to the index
+    *     postings on (gram, lang) — batch cost O(delivery grams), the
+    *     reference side touched only where a delivery gram hits;
+    *   - the exact-Jaccard verify recounts the intersection through the
+    *     SAME gram join (shingle sets are distinct per doc, so the
+    *     gram-join count IS the array_intersect size) with reference
+    *     set sizes read from the frozen `sizes` table.
+    *
+    * The three index parts arrive as DataFrames so the in-run face
+    * (x171's oracle query) and the disk round-trip
+    * ([[crossProbeIndexed]], plan-gated to read only index files) share
+    * one body. */
+  def crossProbeAgainst(candidates: DataFrame, indexGrams: DataFrame,
+                        indexDf: DataFrame, indexSizes: DataFrame,
+                        n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                        jaccardThreshold: Double = 0.5,
+                        hashGrams: Boolean = false): DataFrame = {
+    // referenced by the df prune, the pair miner AND the verify recount
+    // — cache once (bounded registry), never three gram explosions
+    val candGrams = graft.core.Caches.bounded(
+      probeGrams(candidates, n, hashGrams)
+        .select(col("doc_id").as("cand_id"), col("lang"), col("gram")))
+    val rare = candGrams.groupBy(col("gram")).agg(count(lit(1)).as("_dfc"))
+      .join(indexDf.select(col("gram"), col("df").as("_dfr")),
+        Seq("gram"), "left")
+      .filter(col("_dfc") + coalesce(col("_dfr"), lit(0L)) <= maxDf)
+      .select("gram")
+    val refGrams = indexGrams
+      .select(col("doc_id").as("ref_id"), col("lang"), col("gram"))
+    val pairs = candGrams.join(rare, "gram")
+      .join(refGrams.join(rare, "gram"), Seq("gram", "lang"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minInter)
+      .select(col("cand_id"), col("ref_id"))
+    val inter = pairs
+      .join(candGrams.select(col("cand_id"), col("gram")), Seq("cand_id"))
+      .join(refGrams.select(col("ref_id"), col("gram")), Seq("ref_id", "gram"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(candGrams.groupBy(col("cand_id")).agg(count(lit(1)).as("_nc")),
+        Seq("cand_id"))
+      .join(indexSizes.select(col("doc_id").as("ref_id"), col("n").as("_nr")),
+        Seq("ref_id"))
+      .withColumn("uni", col("_nc") + col("_nr") - col("inter"))
+      .filter(col("inter").cast("double") >=
+        lit(jaccardThreshold) * col("uni").cast("double"))
+      .select(col("cand_id"), col("ref_id"),
+        col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+  }
+
+  /** [[crossProbeAgainst]] over a [[saveCrossProbeIndex]] artifact —
+    * the per-delivery production face. Every file this plan reads is
+    * under the index root (plan-gated): the reference CORPUS is gone
+    * from the probe entirely. */
+  def crossProbeIndexed(candidates: DataFrame, indexPath: String,
+                        n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                        jaccardThreshold: Double = 0.5,
+                        hashGrams: Boolean = false): DataFrame = {
+    val spark = candidates.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    crossProbeAgainst(candidates,
+      spark.read.parquet(s"$root/grams"),
+      spark.read.parquet(s"$root/df"),
+      spark.read.parquet(s"$root/sizes"),
+      n, maxDf, minInter, jaccardThreshold, hashGrams)
+  }
+
+  /** The x171 queries() face: x169's planted corpus, the reference side
+    * frozen into its three index tables in-run (the dedupIncrQuery
+    * in-memory-index discipline; the disk round-trip is spec-gated),
+    * then probed. Shares x169's oracle SQL — the two are defined to
+    * coincide. */
+  def crossProbeIncrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, ref) = plantedCrossCorpus(Tables.load(spark, dir, "documents"))
+    val refGrams = graft.core.Caches.bounded(probeGrams(ref, 3, hashGrams = false))
+    crossProbeAgainst(cand, refGrams,
+        refGrams.groupBy(col("gram")).agg(count(lit(1)).as("df")),
+        refGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
         maxDf = 100)
       .orderBy(col("cand_id"), col("ref_id"))
   }

@@ -192,6 +192,13 @@ object ExtrasOracle {
     // x169: the bipartite x46 — candidate-vs-reference near-dups with
     // the same planted cross blocks and the same exact-Jaccard accept.
     "x169_cross_probe" -> crossProbeSql,
+    // x171: the INCREMENTAL form of x169 — same planted corpus, same
+    // accept semantics, so the batch twin is shared verbatim (the
+    // probe-vs-index equality is the x106/x91 discipline).
+    "x171_cross_probe_incr" -> crossProbeSql,
+    // x170: the SEMANTIC tier of the acceptance audit — x92's
+    // within-cluster cosine test restricted to cross-side pairs.
+    "x170_sem_probe" -> crossSemSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -411,10 +418,14 @@ object ExtrasOracle {
     "x164_encoding" -> encodingSql,
     // x165: the context-length tradeoff sweep (x144's grid discipline).
     "x165_context_sweep" -> contextSweepSql,
+    // x173: the sweep winner fed into x21's packing as its bin budget.
+    "x173_pack_winner" -> packWinnerSql,
     // x167: Bradley-Terry — the same planted comparison model, the MM
     // fixed point unrolled as CTE stages with the x158 decimal-resync
     // discipline at every inexact step.
     "x167_bradley_terry" -> bradleyTerrySql,
+    // x172: the x167 ladder frozen, each comparison scored against it.
+    "x172_bt_upsets" -> btUpsetsSql,
     "x98_source_cap" -> sourceCapSql,
     "x99_annotator" -> annotatorSql,
     "x101_dawid_skene" -> dawidSkeneSql,
@@ -1967,24 +1978,25 @@ object ExtrasOracle {
     * before the argmin rank (ties to the smaller centroid id); centroid
     * updates are exact DECIMAL(18,4) component sums with an emptied
     * cluster keeping its previous centroid via the LEFT JOIN coalesce. */
-  private def kmAssignCte(a: String, c: String): String =
+  private def kmAssignCte(a: String, c: String, e: String = "e"): String =
     s"""$a AS MATERIALIZED (
        |  SELECT vec_id, cid, sim FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      CAST(round(list_cosine_similarity(e.v, c.cv), 6) AS DECIMAL(18,6)) AS sim,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+       |    SELECT $e.vec_id, c.cid,
+       |      CAST(round(list_cosine_similarity($e.v, c.cv), 6) AS DECIMAL(18,6)) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY $e.vec_id
+       |        ORDER BY round(list_cosine_similarity($e.v, c.cv), 6) DESC, c.cid) AS rn
+       |    FROM $e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
 
-  private def kmUpdateCte(c: String, a: String, prev: String): String =
+  private def kmUpdateCte(c: String, a: String, prev: String,
+                          e: String = "e"): String =
     s"""$c AS MATERIALIZED (
        |  SELECT $prev.cid, coalesce(s.cv, $prev.cv) AS cv
        |  FROM $prev LEFT JOIN (
        |    SELECT cid, list(c ORDER BY pos) AS cv FROM (
        |      SELECT a.cid, p AS pos,
-       |        CAST(SUM(CAST(e.v[p] AS DECIMAL(18,4))) AS DOUBLE) AS c
-       |      FROM $a a JOIN e USING (vec_id),
-       |        UNNEST(range(1, len(e.v) + 1)) AS t(p)
+       |        CAST(SUM(CAST($e.v[p] AS DECIMAL(18,4))) AS DOUBLE) AS c
+       |      FROM $a a JOIN $e USING (vec_id),
+       |        UNNEST(range(1, len($e.v) + 1)) AS t(p)
        |      GROUP BY 1, 2) GROUP BY cid) s ON s.cid = $prev.cid)""".stripMargin
 
   /** The shared deterministic-k-means CTE chain (x78 + x83): cleaned
@@ -2052,6 +2064,57 @@ object ExtrasOracle {
        |  CAST(CASE WHEN p.n_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM afin a LEFT JOIN p USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+
+  /** DuckDB twin of Similarity.crossSemProbeQuery (x170): the x78
+    * k-means chain fit on the REFERENCE half only (init = the k
+    * smallest reference vec_ids), both halves assigned against the
+    * final codebook, then the per-candidate cross-side verdict at the
+    * same round-6 cosine threshold — best match ranked (sim DESC,
+    * ref_id) exactly like the engine's max(struct(sim, -ref_id)). */
+  private def crossSemSql: String = {
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+       |cde AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT ${Similarity.KmeansK}),
+       |$rounds,
+       |${kmAssignCte("afin", s"c${Similarity.KmeansIters}")},
+       |${kmAssignCte("ca", s"c${Similarity.KmeansIters}", "cde")},
+       |hits AS MATERIALIZED (
+       |  SELECT ca.vec_id AS cand_id, a.vec_id AS ref_id,
+       |    round(list_cosine_similarity(ce.v, re.v), 6) AS sim
+       |  FROM ca JOIN afin a ON a.cid = ca.cid
+       |  JOIN cde ce ON ce.vec_id = ca.vec_id
+       |  JOIN e re ON re.vec_id = a.vec_id
+       |  WHERE round(list_cosine_similarity(ce.v, re.v), 6)
+       |    >= ${Similarity.SemDedupTau}),
+       |best AS (
+       |  SELECT cand_id, ref_id, sim FROM (
+       |    SELECT cand_id, ref_id, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cand_id
+       |        ORDER BY sim DESC, ref_id) AS rn
+       |    FROM hits) WHERE rn = 1),
+       |agg AS (
+       |  SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+       |  FROM hits GROUP BY cand_id)
+       |SELECT ca.vec_id AS cand_id, CAST(ca.cid AS BIGINT) AS cluster,
+       |  CAST(coalesce(agg.n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(CASE WHEN agg.cand_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep,
+       |  CAST(best.ref_id AS BIGINT) AS best_ref_id,
+       |  CAST(best.sim AS DOUBLE) AS best_cos
+       |FROM ca LEFT JOIN agg ON agg.cand_id = ca.vec_id
+       |        LEFT JOIN best ON best.cand_id = ca.vec_id
+       |ORDER BY cand_id""".stripMargin
+  }
 
   /** DuckDB twin of Similarity.marginQuery (x94): round-6 cosine rank
     * with id tie-breaks, exact decimal top-k sum, the margin as the
@@ -2310,6 +2373,46 @@ object ExtrasOracle {
        |FROM a ORDER BY max_len""".stripMargin
   }
 
+  /** DuckDB twin of Sampling.packWinnerQuery (x173): the x165 sweep
+    * aggregates rebuilt, the constrained argmax (round-6 drop/util
+    * images of exact integers, ties to the smaller L), then the x21
+    * pack chain with the winner as both truncation cap and bin
+    * budget. */
+  private def packWinnerSql: String = {
+    val grid = DocPrep.ContextGrid.map(l => s"$l::BIGINT").mkString(", ")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n,
+       |    doc_id % 32 AS shard
+       |  FROM documents),
+       |g AS (SELECT n, max_len FROM t, UNNEST([$grid]) AS u(max_len)),
+       |a AS (
+       |  SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS tot,
+       |    CAST(SUM(least(n, max_len)) AS BIGINT) AS kept
+       |  FROM g GROUP BY max_len),
+       |win AS (
+       |  SELECT max_len FROM a
+       |  WHERE round(CAST(tot - kept AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |    <= ${Sampling.PackWinnerMaxDrop}
+       |  ORDER BY round(CAST(kept AS DOUBLE)
+       |    / CAST(n_docs * max_len AS DOUBLE), 6) DESC, max_len
+       |  LIMIT 1),
+       |c AS (
+       |  SELECT t.doc_id, least(t.n, w.max_len) AS n_tokens, t.shard,
+       |    w.max_len,
+       |    SUM(least(t.n, w.max_len)) OVER (PARTITION BY t.shard
+       |      ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t CROSS JOIN win w)
+       |SELECT doc_id, n_tokens, shard,
+       |  shard * 1099511627776
+       |    + CAST(FLOOR((cum - n_tokens) / (max_len * 1.0)) AS BIGINT)
+       |    AS pack_id,
+       |  max_len
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of Analytics.bradleyTerryQuery (x167): the planted
     * comparison frame rebuilt from the same residue arithmetic, the
     * pair aggregate in exact BIGINTs, and [[Analytics.BtIters]] MM
@@ -2317,7 +2420,35 @@ object ExtrasOracle {
     * DECIMAL(18,6) before the exact decimal denominator sum, the
     * update and the normalization round at 6 — exactly where the
     * engine's driver-side loop rounds, so the two cannot drift. */
-  private def bradleyTerrySql: String = {
+  private def bradleyTerrySql: String =
+    s"""WITH $btCtes
+       |SELECT g.item, g.n_games, g.n_wins,
+       |  CAST(w.w AS DOUBLE) AS strength
+       |FROM w${Analytics.BtIters} w JOIN games g ON g.item = w.item
+       |ORDER BY g.item""".stripMargin
+
+  /** DuckDB twin of Analytics.btUpsetsQuery (x172): the x167 ladder
+    * CTEs verbatim, then each planted comparison joined to the final
+    * round-6 weights — the same double add + divide on the same
+    * operands, the one p_win image rounded at 6 (the x94 multi-float-op
+    * discipline). */
+  private def btUpsetsSql: String = {
+    val p = s"round(CAST(ww.w AS DOUBLE) / (CAST(ww.w AS DOUBLE)" +
+      s" + CAST(wl.w AS DOUBLE)), 6)"
+    s"""WITH $btCtes
+       |SELECT c.cmp_id, c.winner, c.loser, $p AS p_win,
+       |  CAST(CASE WHEN $p < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS upset
+       |FROM cmp c
+       |JOIN w${Analytics.BtIters} ww ON ww.item = c.winner
+       |JOIN w${Analytics.BtIters} wl ON wl.item = c.loser
+       |ORDER BY c.cmp_id""".stripMargin
+  }
+
+  /** The shared x167/x172 CTE chain: planted comparisons (with their
+    * cmp_id), smoothed directed pair counts, and [[Analytics.BtIters]]
+    * unrolled MM rounds ending at `w<iters>` (+ the raw `games`
+    * tallies). */
+  private def btCtes: String = {
     val steps = (1 to Analytics.BtIters).map { t =>
       val prev = s"w${t - 1}"
       s"""d$t AS (
@@ -2341,13 +2472,14 @@ object ExtrasOracle {
          |      AS DECIMAL(18,6)) AS w
          |  FROM r$t CROSS JOIN m$t CROSS JOIN kk)""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS MATERIALIZED (
+    s"""base AS MATERIALIZED (
        |  SELECT user_id % 5 AS pa,
        |    (user_id % 5 + 1 + user_id % 4) % 5 AS pb,
        |    event_id
        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
-       |cmp AS (
-       |  SELECT CASE WHEN event_id % (pa + pb + 2) < pa + 1
+       |cmp AS MATERIALIZED (
+       |  SELECT event_id AS cmp_id,
+       |         CASE WHEN event_id % (pa + pb + 2) < pa + 1
        |              THEN pa ELSE pb END AS winner,
        |         CASE WHEN event_id % (pa + pb + 2) < pa + 1
        |              THEN pb ELSE pa END AS loser
@@ -2373,11 +2505,7 @@ object ExtrasOracle {
        |        UNION ALL SELECT b, n, n - wins_a FROM agg)
        |  GROUP BY item),
        |w0 AS (SELECT item, CAST(1.000000 AS DECIMAL(18,6)) AS w FROM wtot),
-       |$steps
-       |SELECT g.item, g.n_games, g.n_wins,
-       |  CAST(w.w AS DOUBLE) AS strength
-       |FROM w${Analytics.BtIters} w JOIN games g ON g.item = w.item
-       |ORDER BY g.item""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** DuckDB twin of Sampling.sourceCapQuery (x98): the same md5

@@ -634,6 +634,70 @@ object Sampling {
     packSequences(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  // ------------------ provisioned packing (x173 = x165 -> x21) --------
+
+  /** x173's truncation-loss ceiling: the sweep winner is the
+    * largest-utilization L whose drop rate stays under this. Shared
+    * with the DuckDB twin. 0.15 picks L=64 on the corpus tables (the
+    * knee of the curve) at every SF. */
+  val PackWinnerMaxDrop: Double = 0.15
+
+  /** The x165 provisioning decision made EXECUTABLE: argmax `util`
+    * over [[graft.operators.DocPrep.contextSweep]]'s grid subject to
+    * `drop_rate <= maxDrop`, ties to the SMALLER L (both columns are
+    * round-6 images of exact integers, so the choice is cross-engine
+    * exact). A |grid|-row collect — the codebook discipline. */
+  def sweepWinner(docs: DataFrame,
+                  grid: Seq[Long] = DocPrep.ContextGrid,
+                  maxDrop: Double = PackWinnerMaxDrop): Long = {
+    val rows = DocPrep.contextSweep(docs, grid)
+      .filter(col("drop_rate") <= maxDrop)
+      .orderBy(col("util").desc, col("max_len"))
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"sweepWinner: no grid point holds drop_rate <= $maxDrop")
+    rows.head.getAs[Long]("max_len")
+  }
+
+  /** x173: PACKING AT THE SWEEP WINNER — x165's provisioning table
+    * feeding x21's bin assembly, the composition a training run
+    * actually executes: pick the context length (the sweep's
+    * constrained argmax), truncate every document's token count at it
+    * (exactly the regime the sweep priced), and pack the truncated
+    * counts into L-token bins. The spec pins the composition contract:
+    * kept tokens are conserved (packing moves padding, never data) and
+    * the packed regime's padding never exceeds the one-doc-per-slot
+    * `pad_tokens` the sweep predicted — `util` priced exactly what
+    * packing recovers.
+    *
+    * Shape: one corpus scan for the sweep (the x144 discipline), a
+    * 1-row driver decision, then x21's sharded window — a second scan.
+    * At 100 TB the sweep is a dashboard table refreshed out-of-band;
+    * the winner arrives as a config constant and this is ONE scan. */
+  def packAtSweepWinner(docs: DataFrame,
+                        grid: Seq[Long] = DocPrep.ContextGrid,
+                        maxDrop: Double = PackWinnerMaxDrop,
+                        shards: Int = 32): DataFrame = {
+    require(shards > 0 && shards <= (1 << 22), s"shards=$shards")
+    val l = sweepWinner(docs, grid, maxDrop)
+    val base = docs.select(
+      col("doc_id"),
+      least(size(TextAnalysis.wsTokens(col("text"))).cast("long"), lit(l))
+        .as("n_tokens"),
+      (col("doc_id") % shards).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("shard") * lit(ShardStride) +
+          floor((col("cum") - col("n_tokens")) / lit(l.toDouble))).as("pack_id"),
+        lit(l).as("max_len"))
+  }
+
+  def packWinnerQuery(spark: SparkSession, dir: String): DataFrame =
+    packAtSweepWinner(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** x36: dense contiguous ids over documents in (source, doc_id) order —
     * the scalable global row-number. Oracle: row_number() over the same
     * total order, minus one. */

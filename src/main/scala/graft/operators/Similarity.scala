@@ -671,7 +671,13 @@ object Similarity {
     val emb = vectors
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    val init: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < k)
+    // init: the vectors of the k SMALLEST vec_ids present. On the corpus
+    // tables (dense ids from 0) this is exactly the historical
+    // `vec_id < k` init, so x78/x83/x92's oracle results are unchanged;
+    // on a FILTERED input (x170 fits on the reference half only) it
+    // stays well-defined without requiring ids 0..k-1 to exist. The
+    // TakeOrdered limit is k rows — driver-bounded by construction.
+    val init: Array[(Long, Array[Double])] = emb.orderBy(col("vec_id")).limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
@@ -1324,5 +1330,144 @@ object Similarity {
       v.map(_._3)
     }
     projectOnto(emb, axisOf(1), axisOf(2))
+  }
+
+  // --------------------------- bipartite SemDeDup (x170) ---------------
+
+  /** x170: BIPARTITE SEMANTIC near-dup probe — the semantic tier of the
+    * x169 acceptance audit: which CANDIDATE vectors (a new delivery)
+    * say the same thing as the FROZEN reference corpus, in the x92
+    * SemDeDup sense (within-cluster cosine over a deterministic
+    * codebook), restricted to cross-side pairs only. x169 probes a
+    * delivery at SURFACE grain (shared rare n-grams) — a paraphrased or
+    * re-rendered vendor duplicate shares no grams and passes it
+    * untouched; this probe keys on the embedding, exactly the failure
+    * class SemDeDup exists for (Abbas et al. 2023, arXiv:2303.09540).
+    *
+    * Semantics: the codebook is the x78 deterministic k-means fit ON
+    * THE REFERENCE SIDE (frozen when the reference was ingested — the
+    * x55/x91 frozen-reference discipline); both sides assign against it
+    * (argmax round-6 cosine, ties to the smaller centroid id); a
+    * candidate's verdict aggregates its REFERENCE cluster-mates with
+    * round(cosine, 6) >= tau — count, keep flag, and the best-match
+    * reference (max round-6 cosine, ties to the smaller ref_id via the
+    * kmBest struct trick). Reference-internal and candidate-internal
+    * pairs never exist by construction. Every float op is the one
+    * round-at-6 cosine image, so the WHOLE verdict — including which
+    * reference is "best" — is cross-engine exact and driver-hash-gated.
+    *
+    * Scale shape: x92's — the quadratic term is per-cluster and only
+    * cand x ref; the cluster equi-join IS the blocking join; the
+    * codebook is a KB driver artifact. At 100 TB the reference side
+    * comes from [[saveSemRefIndex]]'s persisted centroid-partitioned
+    * lists ([[semProbeAgainst]]) so the reference corpus is never
+    * rescanned per delivery. */
+  def crossSemProbe(candidates: DataFrame, reference: DataFrame,
+                    k: Int = KmeansK, iters: Int = KmeansIters,
+                    tau: Double = SemDedupTau): DataFrame = {
+    val (refEmb, cents) = kmeansFit(reference, k, iters)
+    val refA = kmeansAssigned(refEmb, cents)
+      .select(col("cluster"), col("vec_id").as("ref_id"),
+        col("embedding").as("_re"))
+    semVerdict(assignCandidates(candidates, cents), refA, tau)
+  }
+
+  /** Candidate side of the probe: cleaned and assigned against the
+    * FROZEN codebook — a pure stateless projection (literal centroids,
+    * no join), so it runs unchanged on a stream. */
+  private def assignCandidates(candidates: DataFrame,
+                               cents: Array[(Long, Array[Double])]): DataFrame =
+    kmeansAssigned(
+        candidates.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")),
+        cents)
+      .select(col("vec_id").as("cand_id"), col("cluster"),
+        col("embedding").as("_ce"))
+
+  /** The per-candidate verdict over (cand, cluster) x (cluster, ref)
+    * rows: LEFT join keeps candidates whose cluster holds no accepted
+    * reference (keep = 1), the accept is the single round-6 cosine, and
+    * best-match is the x78 struct-argmax (max sim, ties to the SMALLER
+    * ref_id). Shared verbatim by the in-run fit ([[crossSemProbe]]), the
+    * persisted-index probe ([[semProbeAgainst]]) and the streaming face
+    * — the three cannot drift. */
+  private def semVerdict(candA: DataFrame, refA: DataFrame,
+                         tau: Double): DataFrame = {
+    val scored = candA.join(refA, Seq("cluster"), "left")
+      .select(col("cand_id"), col("cluster"), col("ref_id"),
+        round(cosine(col("_ce"), col("_re")), 6).as("_sim"))
+    val hit = col("_sim").isNotNull && col("_sim") >= tau
+    scored
+      .groupBy(col("cand_id"), col("cluster"))
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_dups"),
+        max(when(hit, struct(
+          col("_sim").cast("decimal(18,6)").as("sim"),
+          (-col("ref_id")).as("negid")))).as("_b"))
+      .select(col("cand_id"), col("cluster"), col("n_dups"),
+        when(col("n_dups") === 0L, 1L).otherwise(0L).as("keep"),
+        (-col("_b.negid")).cast("long").as("best_ref_id"),
+        col("_b.sim").cast("double").as("best_cos"))
+  }
+
+  /** The x170 queries() face: even vec_ids are the frozen reference,
+    * odd the arriving delivery (deterministic, twin-rebuildable — the
+    * x106 split discipline). Natural cross pairs clear tau at every SF
+    * (the corpus's label structure puts same-label vectors above the
+    * x45 near-dup cut). */
+  def crossSemProbeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val isRef = col("vec_id") % 2 === 0
+    crossSemProbe(emb.filter(!isRef), emb.filter(isRef))
+      .orderBy(col("cand_id"))
+  }
+
+  /** Persist the frozen reference side of [[crossSemProbe]]:
+    * `path/codebook` — the k x d exact-decimal-sum centroids as (cid,
+    * cv DOUBLE[]) rows (KBs, driver-resident on load); `path/lists` —
+    * the assigned reference vectors, partitioned by cluster so a probe
+    * that touches few clusters prunes its read. Published atomically
+    * ([[graft.core.Artifacts.publishAtomic]]) so codebook and lists can
+    * never mix generations. */
+  def saveSemRefIndex(reference: DataFrame, path: String,
+                      k: Int = KmeansK, iters: Int = KmeansIters): Unit = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val (refEmb, cents) = kmeansFit(reference, k, iters)
+    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      cents.toIndexedSeq.map { case (cid, cv) => (cid, cv.toSeq: Seq[Double]) }
+        .toDF("cid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/codebook")
+      kmeansAssigned(refEmb, cents)
+        .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding"))
+        // one file per NON-EMPTY cluster, not tasks x clusters
+        .repartition(k, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$tmp/lists")
+    }
+  }
+
+  /** Probe a [[saveSemRefIndex]] artifact: the codebook collects back to
+    * the driver (k x d — KBs), candidate assignment compiles it into the
+    * same stateless literal-centroid map, and the verdict joins the
+    * partition-pruned lists relation — the reference corpus itself is
+    * never rescanned (plan-gated: every file read is under the index
+    * root). Result-identical to [[crossSemProbe]] on the same reference
+    * (spec-asserted); stream-safe (one stream-static left join + one
+    * update-mode aggregate — the leakageProbeStream shape). */
+  def semProbeAgainst(candidates: DataFrame, indexPath: String,
+                      tau: Double = SemDedupTau): DataFrame = {
+    val spark = candidates.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val cents: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$root/codebook")
+        .select(col("cid").cast("long"), col("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+    val lists = spark.read.parquet(s"$root/lists")
+      .select(col("cluster").cast("long").as("cluster"),
+        col("ref_id"), col("embedding").as("_re"))
+    semVerdict(assignCandidates(candidates, cents), lists, tau)
   }
 }

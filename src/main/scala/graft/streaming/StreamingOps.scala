@@ -1968,4 +1968,55 @@ object StreamingOps {
         spark, listsPath, cents, batch, k, nProbe), batchId)
     }
   }
+
+  // ---------- streaming bipartite SemDeDup probe (x170's face) -------
+
+  /** Streaming face of
+    * [[graft.operators.Similarity.semProbeAgainst]] (x170): each
+    * arriving candidate vector assigns against the FROZEN reference
+    * codebook ([[graft.operators.Similarity.saveSemRefIndex]]'s KB
+    * artifact, compiled into one stateless literal-centroid map — the
+    * pcaProjectionStream discipline) and takes its semantic-duplicate
+    * verdict from a stream-static LEFT join to the centroid-partitioned
+    * reference lists plus one UPDATE-mode per-candidate aggregate (the
+    * leakageProbeStream shape; state bounded by in-flight candidates,
+    * never the reference). The live "is this delivery paraphrasing what
+    * we already have" gate — replay equals batch x170 row-for-row over
+    * the same index (spec-asserted). */
+  def semProbeStream(emb: DataFrame, indexPath: String,
+                     tau: Double = graft.operators.Similarity.SemDedupTau)
+      : DataFrame =
+    graft.operators.Similarity.semProbeAgainst(emb, indexPath, tau)
+
+  // ------------- streaming upset monitor (x172's face) ---------------
+
+  /** Streaming face of
+    * [[graft.operators.Analytics.btUpsetsAgainst]] (x172): arriving
+    * comparisons score against the FROZEN Bradley-Terry ladder
+    * ([[graft.operators.Analytics.saveBtStrengths]]'s |items|-row
+    * artifact) — expected win probability + upset flag, the live
+    * rater-drift/variant-upset monitor an RLHF comparison pipeline
+    * keeps on its published ladder. Stateless: two broadcast-sized
+    * stream-static joins and a projection (the nbGateStream frozen-
+    * model discipline). Same-data replay equals batch x172 row-for-row
+    * (spec-asserted). */
+  def btUpsetStream(comparisons: DataFrame, strengthsPath: String): DataFrame = {
+    val spark = comparisons.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, strengthsPath)
+    graft.operators.Analytics.btUpsetsAgainst(comparisons,
+      spark.read.parquet(s"$root/strengths"))
+  }
+
+  // ----------- streaming per-source scorecard (x168's face) ----------
+
+  /** Streaming face of
+    * [[graft.operators.TextAnalysis.sourceScorecard]] (x168): the fused
+    * x163 panel projection runs statelessly on each arriving document
+    * and folds into the per-source COMPLETE-mode aggregate — the live
+    * curation dashboard (counts and sums are running-aggregable; the
+    * one ratio is computed FROM the sums at emit, so the streaming
+    * state is exactly the batch aggregate's). State is |sources| rows.
+    * Replay equals batch x168 row-for-row (spec-asserted). */
+  def sourceScorecardStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.sourceScorecard(docs)
 }
