@@ -1299,7 +1299,7 @@ object Analytics {
 
   /** The planted comparison frame x167 and x172 share: (cmp_id, winner,
     * loser) — see [[bradleyTerryQuery]] for the residue model. */
-  private def plantedComparisons(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def plantedComparisons(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .filter(col("event_id").isNotNull && col("user_id").isNotNull)
     val pa = col("user_id") % 5

@@ -238,7 +238,7 @@ object Dedup {
 
   /** The planted bipartite corpus x169 and x171 share: (candidates,
     * reference) — see [[crossProbeQuery]] for the residue scheme. */
-  private def plantedCrossCorpus(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def plantedCrossCorpus(docs: DataFrame): (DataFrame, DataFrame) = {
     val isRef = col("source").isin("src0", "src1")
     def key(m: Int) =
       (floor(col("doc_id") / m).cast("long") % 3).cast("string")

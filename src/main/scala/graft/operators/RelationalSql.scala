@@ -1117,6 +1117,13 @@ object RelationalSql {
     "x166_span_corrupt" -> spanCorruptSparkSql,
     "x168_source_scorecard" -> sourceScorecardSparkSql,
     "x169_cross_probe" -> crossProbeSparkSql,
+    // x171 is DEFINED to coincide with x169 (frozen-index probe vs
+    // union re-mine — two physical strategies, one selection), so it
+    // shares the text, the x44/x55 discipline. x170 joins the k-means
+    // chain class (x78/x83/x92) and x172 the x167 unrolled-MM doubling
+    // class — DuckDB-oracle-only.
+    "x171_cross_probe_incr" -> crossProbeSparkSql,
+    "x173_pack_winner" -> packWinnerSparkSql,
     // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
     // chain plus deflation exceeds Spark's CTE analysis budget (the
     // logical tree re-expands past the 8g test heap), where DuckDB's
@@ -3095,6 +3102,43 @@ object RelationalSql {
        |  round(CAST(tokens_kept AS DOUBLE)
        |    / CAST(n_docs * max_len AS DOUBLE), 6) AS util
        |FROM a ORDER BY max_len""".stripMargin
+  }
+
+  /** Spark-SQL face of Sampling.packWinnerQuery (x173): the x165 sweep
+    * aggregates, the constrained argmax (LIMIT 1 over round-6 images of
+    * exact integers), then the x21 pack window with the winner as both
+    * truncation cap and bin budget. */
+  private def packWinnerSparkSql: String = {
+    val grid = DocPrep.ContextGrid.map(l => s"${l}L").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n,
+       |    doc_id % 32 AS shard
+       |  FROM documents),
+       |g AS (SELECT n, max_len FROM t
+       |      LATERAL VIEW explode(array($grid)) u AS max_len),
+       |a AS (
+       |  SELECT max_len, COUNT(1) AS n_docs, SUM(n) AS tot,
+       |    SUM(least(n, max_len)) AS kept
+       |  FROM g GROUP BY max_len),
+       |win AS (
+       |  SELECT max_len FROM a
+       |  WHERE round(CAST(tot - kept AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |    <= ${Sampling.PackWinnerMaxDrop}
+       |  ORDER BY round(CAST(kept AS DOUBLE)
+       |    / CAST(n_docs * max_len AS DOUBLE), 6) DESC, max_len
+       |  LIMIT 1),
+       |c AS (
+       |  SELECT t.doc_id, least(t.n, w.max_len) AS n_tokens, t.shard,
+       |    w.max_len,
+       |    SUM(least(t.n, w.max_len)) OVER (PARTITION BY t.shard
+       |      ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t CROSS JOIN win w)
+       |SELECT doc_id, n_tokens, shard,
+       |  shard * CAST(1099511627776 AS BIGINT) -- 2^40 shard stride
+       |    + FLOOR((cum - n_tokens) / CAST(max_len AS DOUBLE)) AS pack_id,
+       |  max_len
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   /** Spark-SQL face of DocPrep.spanCorruptQuery (x166): the engine's

@@ -3995,4 +3995,124 @@ class ExtrasSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(hashed == out, "hashGrams=true must not change the rewrite")
   }
+
+  test("x170 catches a planted paraphrase the surface x169 probe provably misses") {
+    // candidate 1 PARAPHRASES reference 100: same meaning (near-parallel
+    // embeddings), ZERO shared word 3-grams — the SemDeDup failure class.
+    // candidate 3 is semantically unrelated to everything (orthogonal-ish).
+    val refTexts = Seq(
+      (100L, "en", "the quick brown fox jumped over the lazy dog today"),
+      (101L, "en", "completely different reference material about cooking pasta")
+    ).toDF("doc_id", "lang", "text")
+    val candTexts = Seq(
+      (1L, "en", "a fast auburn canine leapt across one sleepy hound yesterday"),
+      (3L, "en", "unrelated candidate chatter concerning quarterly tax filings")
+    ).toDF("doc_id", "lang", "text")
+    // the surface probe sees nothing: no shared grams at all
+    assert(Dedup.crossNearDupProbe(candTexts, refTexts).count() == 0,
+      "surface probe unexpectedly fired — the plant is not a pure paraphrase")
+    // the semantic probe, under the reference-fit codebook, flags it
+    val refVecs = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val candVecs = Seq(1L -> Array(0.99f, 0.01f), 3L -> Array(-0.7f, 0.7f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.crossSemProbe(candVecs, refVecs,
+        k = 2, iters = 1, tau = 0.9)
+      .select($"cand_id", $"n_dups", $"keep", $"best_ref_id")
+      .as[(Long, Long, Long, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 0L, Some(100L))), s"${out(1L)}")
+    assert(out(3L)._3 == 1L && out(3L)._4.isEmpty, s"${out(3L)}")
+  }
+
+  test("x170 probe against the persisted reference index equals the in-run fit") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_ref_idx").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val isRef = $"vec_id" % 2 === 0
+    val batch = Similarity.crossSemProbe(emb.filter(!isRef), emb.filter(isRef))
+      .collect().map(_.toSeq).toSet
+    assert(batch.exists(r => r(2).asInstanceOf[Long] > 0L),
+      "no semantic hits at sf0.001 — vacuous round trip")
+    Similarity.saveSemRefIndex(emb.filter(isRef), s"$dir/idx")
+    val viaIdx = Similarity.semProbeAgainst(emb.filter(!isRef), s"$dir/idx")
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx == batch,
+      s"index drift: ${(batch -- viaIdx).take(3)} vs ${(viaIdx -- batch).take(3)}")
+  }
+
+  test("x171 incremental cross probe equals batch x169 — in-run and through the disk index") {
+    // the oracle faces (same planted corpus, two strategies)
+    val batch = Dedup.crossProbeQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "no planted cross pairs — vacuous equality")
+    val incr = Dedup.crossProbeIncrQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(incr == batch,
+      s"missing: ${(batch -- incr).take(3)}; extra: ${(incr -- batch).take(3)}")
+    // disk round trip on the same split
+    val (cand, ref) = Dedup.plantedCrossCorpus(
+      Tables.load(spark, sf("sf0.001"), "documents"))
+    val dir = java.nio.file.Files.createTempDirectory("xprobe_idx").toString
+    Dedup.saveCrossProbeIndex(ref, s"$dir/idx")
+    val viaIdx = Dedup.crossProbeIndexed(cand, s"$dir/idx", maxDf = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaIdx == batch,
+      s"missing: ${(batch -- viaIdx).take(3)}; extra: ${(viaIdx -- batch).take(3)}")
+  }
+
+  test("x172 upsets are exactly the planted ladder's downhill wins; frozen artifact round-trips") {
+    import graft.operators.Analytics
+    val out = Analytics.btUpsetsQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // the x167 ladder is ascending in the item id (spec-asserted there),
+    // so the model expects the HIGHER item to win: every lower-item win
+    // is an upset, every higher-item win is not, and p_win + p_loss = 1
+    // is the complementary row's image
+    out.foreach { case (id, w, l, p, u) =>
+      assert(u == (if (w < l) 1L else 0L), s"cmp $id: winner $w loser $l upset $u")
+      assert(p > 0.0 && p < 1.0, s"cmp $id: p_win $p")
+    }
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L),
+      "planted model produced no mix of upsets and expected wins")
+    // frozen-ladder artifact round trip
+    val cmp = Analytics.plantedComparisons(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("bt_ladder").toString
+    Analytics.saveBtStrengths(cmp.select($"winner", $"loser"), s"$dir/l")
+    val viaIdx = Analytics.btUpsetsAgainst(cmp,
+        spark.read.parquet(graft.core.Artifacts.readablePath(spark, s"$dir/l")
+          + "/strengths"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(viaIdx == out.toSet, "frozen-ladder scoring drifted from in-run")
+  }
+
+  test("x173 packs at the sweep winner: choice, conservation, and padding recovery") {
+    import graft.operators.{DocPrep, Sampling}
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    // the winner is the constrained argmax, recomputed by hand
+    val sweep = DocPrep.contextSweep(docs)
+      .select($"max_len", $"tokens_kept", $"pad_tokens", $"drop_rate", $"util")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val eligible = sweep.filter(_._4 <= Sampling.PackWinnerMaxDrop)
+    assert(eligible.nonEmpty)
+    val byHand = eligible.sortBy(r => (-r._5, r._1)).head
+    assert(Sampling.sweepWinner(docs) == byHand._1)
+    val packed = Sampling.packAtSweepWinner(docs)
+      .select($"n_tokens", $"pack_id", $"max_len")
+      .as[(Long, Long, Long)].collect()
+    val l = byHand._1
+    assert(packed.forall(_._3 == l))
+    // conservation: packing moves padding, never data — the packed
+    // token mass IS the sweep's tokens_kept at the winner
+    assert(packed.map(_._1).sum == byHand._2,
+      s"kept-token mass drifted: ${packed.map(_._1).sum} vs ${byHand._2}")
+    // padding recovery: the packed regime's total padding (bins filled
+    // to L) never exceeds the one-doc-per-slot pad_tokens the sweep
+    // priced — `util` priced exactly what packing recovers
+    val binPad = packed.groupBy(_._2).values
+      .map(docsInBin => math.max(0L, l - docsInBin.map(_._1).sum)).sum
+    assert(binPad <= byHand._3,
+      s"packed padding $binPad exceeds the sweep's predicted ${byHand._3}")
+    // and it genuinely recovers: strictly fewer slots than one-per-doc
+    assert(packed.map(_._2).distinct.length < packed.length)
+  }
 }

@@ -627,6 +627,65 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
+  test("x170: the semantic probe blocks on the cluster equi-join — no cartesian, no window") {
+    val p = plan("x170_sem_probe")
+    assert(!p.contains("CartesianProduct"), s"cross join crept in:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  /** LIVE FileScan root paths, structurally (the liveFileScans
+    * traversal): descends AQE boundaries and subqueries, stops at a
+    * cache hit (the cached build plan is rendered, not live work). */
+  private def scanRoots(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec => scanRoots(a.executedPlan)
+      case q: QueryStageExec        => scanRoots(q.plan)
+      case _: InMemoryTableScanExec => Nil
+      case f: FileSourceScanExec    =>
+        f.relation.location.rootPaths.map(_.toString)
+      case other => (other.children ++ other.subqueries).flatMap(scanRoots)
+    }
+  }
+
+  test("x170/x171: probing a frozen index reads ONLY index files — the reference corpus never rescans") {
+    import graft.core.Tables
+    import graft.operators.{Dedup, Similarity}
+    import spark.implicits._
+    // x170: semantic probe over the persisted centroid-partitioned lists
+    val semDir = java.nio.file.Files.createTempDirectory("gate_sem_idx").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val isRef = $"vec_id" % 2 === 0
+    Similarity.saveSemRefIndex(emb.filter(isRef), s"$semDir/idx")
+    // candidates as an IN-MEMORY frame: any FileScan in the probe plan
+    // can then only be the index (or a leaked reference-corpus read)
+    val candVecs = emb.filter(!isRef).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val semPlan = Similarity.semProbeAgainst(candVecs, s"$semDir/idx")
+      .queryExecution.executedPlan
+    val semScans = scanRoots(semPlan)
+    assert(semScans.nonEmpty, s"expected live index scans:\n$semPlan")
+    assert(semScans.forall(_.contains(semDir)),
+      s"non-index file read in the probe: $semScans")
+    // x171: gram probe over the persisted grams/df/sizes artifact
+    val xDir = java.nio.file.Files.createTempDirectory("gate_xprobe_idx").toString
+    val (cand, ref) = Dedup.plantedCrossCorpus(
+      Tables.load(spark, sf("sf0.001"), "documents"))
+    Dedup.saveCrossProbeIndex(ref, s"$xDir/idx")
+    val candDocs = cand.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+      .toDF("doc_id", "lang", "text")
+    val xPlan = Dedup.crossProbeIndexed(candDocs, s"$xDir/idx", maxDf = 100)
+      .queryExecution.executedPlan
+    val xScans = scanRoots(xPlan)
+    assert(xScans.nonEmpty, s"expected live index scans:\n$xPlan")
+    assert(xScans.forall(_.contains(xDir)),
+      s"non-index file read in the probe: $xScans")
+  }
+
   test("x168: the scorecard rides the panel's one scan — no second corpus read for source") {
     val p = plan("x168_source_scorecard")
     assert("FileScan".r.findAllIn(p).size == 1,

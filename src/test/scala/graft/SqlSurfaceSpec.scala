@@ -88,8 +88,12 @@ class SqlSurfaceSpec extends SparkSpec {
     // damage, x165 context sweep, x166 span corruption, x168 source
     // scorecard over the shared panel body, x169 bipartite cross probe (x167's Bradley-Terry
     // chain re-references each round twice, the x162 doubling class —
-    // DuckDB-oracle-only)
-    assert(RelationalSql.extrasSql.size == 153)
+    // DuckDB-oracle-only),
+    // plus the r17 pair: x171 sharing x169's text (frozen-index probe
+    // vs union re-mine — two strategies, one selection) and x173's
+    // sweep-winner packing (x170 joins the k-means chain class,
+    // x172 the x167 doubling class — DuckDB-oracle-only)
+    assert(RelationalSql.extrasSql.size == 155)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

@@ -1973,4 +1973,90 @@ class StreamingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming semantic probe equals batch x170 against the frozen reference index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("sem_probe").toString
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val isRef = $"vec_id" % 2 === 0
+    Similarity.saveSemRefIndex(emb.filter(isRef), s"$dir/idx")
+    val batch = Similarity.semProbeAgainst(emb.filter(!isRef), s"$dir/idx")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(batch.exists(_._3 > 0L), "no semantic hits — vacuous replay")
+    val rows = emb.filter(!isRef).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.semProbeStream(
+        stream.toDF().toDF("vec_id", "embedding"), s"$dir/idx")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sem_probe_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("sem_probe_out")
+        .as[(Long, Long, Long, Long, Option[Long], Option[Double])]
+        .collect().toSeq
+      // candidates arrive whole, so each verdict key emits exactly once
+      assert(got.map(_._1).distinct.size == got.size, "a candidate re-emitted")
+      assert(got.toSet == batch,
+        s"missing: ${(batch -- got.toSet).take(3)}; extra: ${(got.toSet -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming upset monitor equals batch x172 against the frozen ladder") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val dir = java.nio.file.Files.createTempDirectory("bt_upsets").toString
+    val cmp = Analytics.plantedComparisons(spark, sf("sf0.001"))
+    Analytics.saveBtStrengths(cmp.select($"winner", $"loser"), s"$dir/l")
+    val batch = Analytics.btUpsetsAgainst(cmp,
+        spark.read.parquet(graft.core.Artifacts.readablePath(spark, s"$dir/l")
+          + "/strengths"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(batch.exists(_._5 == 1L) && batch.exists(_._5 == 0L))
+    val rows = cmp.as[(Long, Long, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.btUpsetStream(
+        stream.toDF().toDF("cmp_id", "winner", "loser"), s"$dir/l")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bt_upset_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("bt_upset_out")
+        .as[(Long, Long, Long, Double, Long)].collect().toSet
+      assert(got == batch,
+        s"missing: ${(batch -- got).take(3)}; extra: ${(got -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming source scorecard equals batch x168 on replay (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val base = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"text", $"source")
+    val batch = TextAnalysis.sourceScorecard(base)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val rows = base.as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.sourceScorecardStream(
+        stream.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("scorecard_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      // complete mode rewrites the sink each trigger: the table IS the
+      // final scorecard
+      val got = spark.table("scorecard_out")
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+    } finally q.stop()
+  }
 }
