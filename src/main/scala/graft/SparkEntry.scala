@@ -637,6 +637,11 @@ object SparkEntry {
     // constrained-argmax context length becomes x21's truncation cap
     // and bin budget.
     "x173_pack_winner"    -> (Sampling.packWinnerQuery _),
+    // x174: the delivery acceptance REPORT — exact (x106 grain) +
+    // surface (x169) + semantic (x170) tiers fused into one
+    // per-candidate verdict (reject / review / admit), composed from
+    // the proven tier faces so it cannot drift from them.
+    "x174_acceptance"     -> (Dedup.acceptanceQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

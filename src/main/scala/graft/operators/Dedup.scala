@@ -293,6 +293,38 @@ object Dedup {
     }
   }
 
+  /** INDEX MAINTENANCE (the x175 loop-closer): fold an ADMITTED
+    * delivery into a [[saveCrossProbeIndex]] artifact, producing the
+    * next-generation index — equal to a full rebuild over
+    * reference ∪ delivery (spec-asserted) while reading ONLY the
+    * current index and the delivery (the reference corpus is gone):
+    * grams append, df merges by gram-key sum, sizes append. Published
+    * atomically to the same root, so concurrent probes see the old or
+    * the new generation, never a mix. At 100 TB the grams rewrite
+    * becomes a partition append and the df merge stays the one
+    * index-df-sized aggregate here. */
+  def appendToCrossProbeIndex(admitted: DataFrame, indexPath: String,
+                              n: Int = 3, hashGrams: Boolean = false): Unit = {
+    val spark = admitted.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val oldGrams = spark.read.parquet(s"$root/grams")
+    val oldDf = spark.read.parquet(s"$root/df")
+    val oldSizes = spark.read.parquet(s"$root/sizes")
+    val delta = probeGrams(admitted, n, hashGrams)
+    graft.core.Artifacts.publishAtomic(spark, indexPath) { tmp =>
+      oldGrams.unionByName(delta)
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+      val deltaDf = delta.groupBy(col("gram")).agg(count(lit(1)).as("_d"))
+      oldDf.join(deltaDf, Seq("gram"), "full_outer")
+        .select(col("gram"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/df")
+      oldSizes.unionByName(
+          delta.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+        .write.mode("overwrite").parquet(s"$tmp/sizes")
+    }
+  }
+
   /** x171: the INCREMENTAL form of x169 — probe a delivery against the
     * frozen reference gram index without ever rescanning the reference
     * corpus. Result-identical to [[crossNearDupProbe]] on the same
@@ -384,6 +416,84 @@ object Dedup {
         refGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
         maxDf = 100)
       .orderBy(col("cand_id"), col("ref_id"))
+  }
+
+  // ------------------- delivery acceptance report (x174) --------------
+
+  /** x174: DELIVERY ACCEPTANCE REPORT — the three acceptance tiers a
+    * vendor drop runs before ingestion, fused into ONE per-candidate
+    * verdict table:
+    *
+    *   - EXACT (x106 grain): the candidate's text equals some reference
+    *     document's — `exact_ref` carries the smallest matching
+    *     reference id; verdict `reject` (we literally have it).
+    *   - SURFACE near-dup (x169): accepted cross-side Jaccard pairs —
+    *     `n_surface`; verdict `review`.
+    *   - SEMANTIC near-dup (x170): cross-side within-cluster cosine
+    *     hits under the reference-fit codebook — `n_sem`; verdict
+    *     `review` (same meaning, different words).
+    *   - neither: `admit`.
+    *
+    * The tiers are the PROVEN faces composed, not re-implementations:
+    * surface counts come from [[crossNearDupProbe]] and semantic counts
+    * from [[graft.operators.Similarity.crossSemProbe]] — so x174 cannot
+    * drift from x169/x170 (and the x174 oracle twin is their CTE chains
+    * joined). Embeddings pair to documents by vec_id == doc_id (the
+    * corpus-table contract).
+    *
+    * Scale shape: each tier is its own bounded pipeline (hash join on
+    * text keys / df-pruned gram join / cluster-blocked cosine); the
+    * final assembly is three left joins on cand_id. At 100 TB the
+    * surface and semantic tiers read their PERSISTED indexes
+    * ([[crossProbeIndexed]] / [[Similarity.semProbeAgainst]]) instead
+    * of the in-run forms — same verdict columns. */
+  def acceptanceReport(candDocs: DataFrame, refDocs: DataFrame,
+                       candVecs: DataFrame, refVecs: DataFrame,
+                       n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                       jaccardThreshold: Double = 0.5,
+                       hashGrams: Boolean = false,
+                       k: Int = Similarity.KmeansK,
+                       iters: Int = Similarity.KmeansIters,
+                       tau: Double = Similarity.SemDedupTau): DataFrame = {
+    val exact = candDocs.select(col("doc_id").as("cand_id"), col("text"))
+      .join(refDocs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("exact_ref")), Seq("text"))
+      .select(col("cand_id"), col("exact_ref"))
+    val surface = crossNearDupProbe(candDocs, refDocs, n, maxDf, minInter,
+        jaccardThreshold, hashGrams)
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("n_surface"))
+    val sem = Similarity.crossSemProbe(candVecs, refVecs, k, iters, tau)
+      .select(col("cand_id"), col("n_dups").as("n_sem"))
+    candDocs.select(col("doc_id").as("cand_id"))
+      .join(exact, Seq("cand_id"), "left")
+      .join(surface, Seq("cand_id"), "left")
+      .join(sem, Seq("cand_id"), "left")
+      .select(col("cand_id"),
+        col("exact_ref").cast("long").as("exact_ref"),
+        coalesce(col("n_surface"), lit(0L)).as("n_surface"),
+        coalesce(col("n_sem"), lit(0L)).as("n_sem"),
+        when(col("exact_ref").isNotNull, "reject")
+          .when(coalesce(col("n_surface"), lit(0L)) +
+            coalesce(col("n_sem"), lit(0L)) > 0L, "review")
+          .otherwise("admit").as("verdict"))
+  }
+
+  /** The x174 queries() face: x169's planted corpus for the text tiers
+    * (the planted cross blocks are EXACT text equalities, so the reject
+    * tier fires), embeddings split by the documents' source via
+    * vec_id == doc_id for the semantic tier (untouched by the text
+    * plant — the tier keys on meaning). */
+  def acceptanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (cand, ref) = plantedCrossCorpus(docs)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val refIds = docs.filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id").as("vec_id"))
+    val refVecs = emb.join(refIds, Seq("vec_id"), "left_semi")
+    val candVecs = emb.join(refIds, Seq("vec_id"), "left_anti")
+    acceptanceReport(cand, ref, candVecs, refVecs, maxDf = 100)
+      .orderBy(col("cand_id"))
   }
 
   /** x87 acceptance: max-direction containment ≥ ContainNum/ContainDen

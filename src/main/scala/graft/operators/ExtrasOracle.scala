@@ -199,6 +199,8 @@ object ExtrasOracle {
     // x170: the SEMANTIC tier of the acceptance audit — x92's
     // within-cluster cosine test restricted to cross-side pairs.
     "x170_sem_probe" -> crossSemSql,
+    // x174: the three acceptance tiers fused to one verdict table.
+    "x174_acceptance" -> acceptanceSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -817,7 +819,18 @@ object ExtrasOracle {
     * side is reference, then oriented (cand_id, ref_id). maxDf = 100
     * as in the engine face. */
   private def crossProbeSql: String =
-    """WITH base AS MATERIALIZED (
+    s"""WITH $crossProbeCtes
+       |SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+       |  CASE WHEN r1 THEN d1 ELSE d2 END AS ref_id,
+       |  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+       |FROM vpairs
+       |ORDER BY cand_id, ref_id""".stripMargin
+
+  /** The planted-bipartite CTE chain x169/x171/x174 share: `base` (the
+    * planted corpus with its isref flag) through `vpairs` (accepted
+    * cross pairs with exact inter/uni evidence). */
+  private def crossProbeCtes: String =
+    """base AS MATERIALIZED (
       |  SELECT doc_id, source IN ('src0', 'src1') AS isref,
       |    CASE WHEN source NOT IN ('src0', 'src1') AND doc_id % 23 = 0 THEN
       |      'planteddup' || CAST((doc_id // 23) % 3 AS VARCHAR) ||
@@ -859,12 +872,64 @@ object ExtrasOracle {
       |vpairs AS MATERIALIZED (
       |  SELECT v.d1, v.d2, v.r1, v.inter, s1.n + s2.n - v.inter AS uni
       |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
-      |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)
-      |SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
-      |  CASE WHEN r1 THEN d1 ELSE d2 END AS ref_id,
-      |  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
-      |FROM vpairs
-      |ORDER BY cand_id, ref_id""".stripMargin
+      |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)""".stripMargin
+
+  /** DuckDB twin of Dedup.acceptanceQuery (x174): the x169 chain's
+    * per-candidate surface counts, an exact-text tier over the same
+    * planted `base`, and the x170 semantic chain with the embedding
+    * halves split by the documents' source (vec_id == doc_id) — all
+    * left-joined onto the candidate list with the same verdict CASE. */
+  private def acceptanceSql: String = {
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH $crossProbeCtes,
+       |surf AS (
+       |  SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_surface
+       |  FROM vpairs GROUP BY 1),
+       |cands AS MATERIALIZED (SELECT doc_id, text FROM base WHERE NOT isref),
+       |ex AS (
+       |  SELECT c.doc_id AS cand_id, r.exact_ref FROM cands c
+       |  JOIN (SELECT text, MIN(doc_id) AS exact_ref FROM base
+       |        WHERE isref GROUP BY text) r ON r.text = c.text),
+       |e AS MATERIALIZED (
+       |  SELECT em.vec_id, em.embedding::DOUBLE[] AS v
+       |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+       |  WHERE em.embedding IS NOT NULL AND d.source IN ('src0', 'src1')),
+       |cde AS MATERIALIZED (
+       |  SELECT em.vec_id, em.embedding::DOUBLE[] AS v
+       |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+       |  WHERE em.embedding IS NOT NULL AND d.source NOT IN ('src0', 'src1')),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT ${Similarity.KmeansK}),
+       |$rounds,
+       |${kmAssignCte("afin", s"c${Similarity.KmeansIters}")},
+       |${kmAssignCte("ca", s"c${Similarity.KmeansIters}", "cde")},
+       |semc AS (
+       |  SELECT ca.vec_id AS cand_id, CAST(COUNT(*) AS BIGINT) AS n_sem
+       |  FROM ca JOIN afin a ON a.cid = ca.cid
+       |  JOIN cde ce ON ce.vec_id = ca.vec_id
+       |  JOIN e re ON re.vec_id = a.vec_id
+       |  WHERE round(list_cosine_similarity(ce.v, re.v), 6)
+       |    >= ${Similarity.SemDedupTau}
+       |  GROUP BY 1)
+       |SELECT c.doc_id AS cand_id,
+       |  CAST(ex.exact_ref AS BIGINT) AS exact_ref,
+       |  CAST(coalesce(surf.n_surface, 0) AS BIGINT) AS n_surface,
+       |  CAST(coalesce(semc.n_sem, 0) AS BIGINT) AS n_sem,
+       |  CASE WHEN ex.exact_ref IS NOT NULL THEN 'reject'
+       |       WHEN coalesce(surf.n_surface, 0) + coalesce(semc.n_sem, 0) > 0
+       |         THEN 'review'
+       |       ELSE 'admit' END AS verdict
+       |FROM cands c
+       |LEFT JOIN ex ON ex.cand_id = c.doc_id
+       |LEFT JOIN surf ON surf.cand_id = c.doc_id
+       |LEFT JOIN semc ON semc.cand_id = c.doc_id
+       |ORDER BY cand_id""".stripMargin
+  }
 
   /** x87: containment over the SAME candidate graph — the intersection
     * recount of x46 but accepted on inter·den ≥ min(n1,n2)·num (the

@@ -4085,6 +4085,65 @@ class ExtrasSpec extends SparkSpec {
     assert(viaIdx == out.toSet, "frozen-ladder scoring drifted from in-run")
   }
 
+  test("x174 acceptance report routes each tier to its verdict on a hand-built delivery") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq(
+      (100L, "en", blk("alpha")), (101L, "en", blk("beta"))
+    ).toDF("doc_id", "lang", "text")
+    val refVecs = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val cand = Seq(
+      (1L, "en", blk("alpha")),                      // EXACT copy -> reject
+      (2L, "en", (1 to 11).map(i => s"beta$i")       // near-dup of 101
+        .mkString(" ") + " changed"),                //   (9/11 Jaccard) -> review
+      (3L, "en", "a fast auburn canine leapt " +     // PARAPHRASE: novel
+        "across one sleepy hound yesterday"),        //   words, parallel vec
+      (4L, "en", "quarterly tax filing chatter " +   // novel text AND
+        "nobody has seen before")                    //   meaning -> admit
+    ).toDF("doc_id", "lang", "text")
+    val candVecs = Seq(
+      // 1 and 2 land in ref-100's cluster but under tau (the exact and
+      // surface tiers must fire ALONE); 3 is the sem-only paraphrase
+      1L -> Array(0.55f, -0.84f), 2L -> Array(0.6f, -0.8f),
+      3L -> Array(0.99f, 0.01f), 4L -> Array(-0.7f, 0.7f)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.acceptanceReport(cand, ref, candVecs, refVecs,
+        k = 2, iters = 1, tau = 0.9)
+      .select($"cand_id", $"exact_ref", $"n_surface", $"n_sem", $"verdict")
+      .as[(Long, Option[Long], Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(100L), 1L, 0L, "reject")), s"${out(1L)}")
+    assert(out(2L) == ((2L, None, 1L, 0L, "review")), s"${out(2L)}")
+    assert(out(3L) == ((3L, None, 0L, 1L, "review")), s"${out(3L)}")
+    assert(out(4L) == ((4L, None, 0L, 0L, "admit")), s"${out(4L)}")
+  }
+
+  test("x175 index append equals a full rebuild, and the next delivery probes identically") {
+    val (cand, ref) = Dedup.plantedCrossCorpus(
+      Tables.load(spark, sf("sf0.001"), "documents"))
+    val d1 = cand.filter($"doc_id" % 2 === 0)
+    val d2 = cand.filter($"doc_id" % 2 =!= 0)
+    val dirA = java.nio.file.Files.createTempDirectory("xappend_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("xappend_b").toString
+    Dedup.saveCrossProbeIndex(ref, s"$dirA/idx")
+    Dedup.appendToCrossProbeIndex(d1, s"$dirA/idx")
+    val grown = ref.unionByName(d1)
+    Dedup.saveCrossProbeIndex(grown, s"$dirB/idx")
+    for (part <- Seq("grams", "df", "sizes")) {
+      def read(d: String) = spark.read.parquet(
+        graft.core.Artifacts.readablePath(spark, s"$d/idx") + s"/$part")
+        .collect().map(_.toSeq).toSet
+      assert(read(dirA) == read(dirB), s"$part drifted from the rebuild")
+    }
+    val viaAppend = Dedup.crossProbeIndexed(d2, s"$dirA/idx", maxDf = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Dedup.crossNearDupProbe(d2, grown, maxDf = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaAppend.nonEmpty, "no cross pairs after the append — vacuous")
+    assert(viaAppend == batch,
+      s"missing: ${(batch -- viaAppend).take(3)}; extra: ${(viaAppend -- batch).take(3)}")
+  }
+
   test("x173 packs at the sweep winner: choice, conservation, and padding recovery") {
     import graft.operators.{DocPrep, Sampling}
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

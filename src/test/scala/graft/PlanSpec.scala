@@ -633,6 +633,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
+  test("x174: every acceptance tier stays blocked — no cartesian anywhere in the fused report") {
+    val p = plan("x174_acceptance")
+    assert(!p.contains("CartesianProduct"), s"cross join crept in:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
   /** LIVE FileScan root paths, structurally (the liveFileScans
     * traversal): descends AQE boundaries and subqueries, stops at a
     * cache hit (the cached build plan is rendered, not live work). */
