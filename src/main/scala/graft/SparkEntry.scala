@@ -642,6 +642,11 @@ object SparkEntry {
     // per-candidate verdict (reject / review / admit), composed from
     // the proven tier faces so it cannot drift from them.
     "x174_acceptance"     -> (Dedup.acceptanceQuery _),
+    // x176: the acceptance battery at PER-DOCUMENT grain — the live
+    // ingestion gate's batch face (per-doc rarity: frozen reference
+    // df + 1, because a live gate cannot know the rest of the
+    // delivery; everything downstream of rarity is x174's shared code).
+    "x176_acceptance_gate" -> (Dedup.acceptanceGateQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -369,6 +369,20 @@ object Dedup {
       .agg(count(lit(1)).as("_shared"))
       .filter(col("_shared") >= minInter)
       .select(col("cand_id"), col("ref_id"))
+    verifyAgainstIndex(pairs, candGrams, refGrams, indexSizes,
+      jaccardThreshold)
+  }
+
+  /** The exact-Jaccard verify both index probes (x171's delivery-df
+    * miner and x176's per-doc miner) run on their candidate pairs: the
+    * intersection recounted through the gram join over the FULL gram
+    * sets (shingle sets are distinct per doc, so the join count IS the
+    * array_intersect size), candidate sizes from the cached grams,
+    * reference sizes from the frozen table, and the same float accept
+    * test as [[jaccardVerify]]. */
+  private def verifyAgainstIndex(pairs: DataFrame, candGrams: DataFrame,
+                                 refGrams: DataFrame, indexSizes: DataFrame,
+                                 jaccardThreshold: Double): DataFrame = {
     val inter = pairs
       .join(candGrams.select(col("cand_id"), col("gram")), Seq("cand_id"))
       .join(refGrams.select(col("ref_id"), col("gram")), Seq("ref_id", "gram"))
@@ -465,7 +479,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_surface"))
     val sem = Similarity.crossSemProbe(candVecs, refVecs, k, iters, tau)
       .select(col("cand_id"), col("n_dups").as("n_sem"))
-    candDocs.select(col("doc_id").as("cand_id"))
+    acceptanceAssemble(candDocs.select(col("doc_id").as("cand_id")),
+      exact, surface, sem)
+  }
+
+  /** The verdict assembly x174 and x176 share — three left joins onto
+    * the candidate list and ONE verdict CASE, so the batch report and
+    * the live gate cannot disagree about what a verdict means. */
+  private def acceptanceAssemble(candIds: DataFrame, exact: DataFrame,
+                                 surface: DataFrame, sem: DataFrame): DataFrame =
+    candIds
       .join(exact, Seq("cand_id"), "left")
       .join(surface, Seq("cand_id"), "left")
       .join(sem, Seq("cand_id"), "left")
@@ -477,7 +500,6 @@ object Dedup {
           .when(coalesce(col("n_surface"), lit(0L)) +
             coalesce(col("n_sem"), lit(0L)) > 0L, "review")
           .otherwise("admit").as("verdict"))
-  }
 
   /** The x174 queries() face: x169's planted corpus for the text tiers
     * (the planted cross blocks are EXACT text equalities, so the reject
@@ -493,6 +515,133 @@ object Dedup {
     val refVecs = emb.join(refIds, Seq("vec_id"), "left_semi")
     val candVecs = emb.join(refIds, Seq("vec_id"), "left_anti")
     acceptanceReport(cand, ref, candVecs, refVecs, maxDf = 100)
+      .orderBy(col("cand_id"))
+  }
+
+  // ---------------------- live acceptance gate (x176) -----------------
+
+  /** Persist the FULL acceptance reference for the live gate (x176):
+    * `texts` (exact tier — text → smallest reference id), the x171
+    * gram tables (`grams`/`df`/`sizes`, surface tier), and the x170
+    * semantic sub-index nested at `sem/` (codebook + centroid-
+    * partitioned lists). One atomic publish for the whole battery, so
+    * a gate never scores against tiers from different generations.
+    * Reference docs and vectors pair by doc_id == vec_id (the
+    * corpus-table contract). */
+  def saveAcceptanceIndex(refDocs: DataFrame, refVecs: DataFrame,
+                          path: String, n: Int = 3,
+                          hashGrams: Boolean = false,
+                          k: Int = Similarity.KmeansK,
+                          iters: Int = Similarity.KmeansIters): Unit = {
+    val spark = refDocs.sparkSession
+    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      refDocs.groupBy(col("text")).agg(min(col("doc_id")).as("exact_ref"))
+        .write.mode("overwrite").parquet(s"$tmp/texts")
+      probeGrams(refDocs, n, hashGrams)
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+      val g = spark.read.parquet(s"$tmp/grams")
+      g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/df")
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$tmp/sizes")
+      Similarity.saveSemRefIndex(refVecs, s"$tmp/sem", k, iters)
+    }
+  }
+
+  /** x176: PER-DOCUMENT LIVE ACCEPTANCE GATE — x174 at the ingestion
+    * edge: each arriving document (doc_id, lang, text, embedding) is
+    * judged INDEPENDENTLY against the frozen acceptance reference and
+    * gets the same (exact_ref, n_surface, n_sem, verdict) row the
+    * batch report emits — the x55/x91 frozen-gate discipline for the
+    * whole battery at once.
+    *
+    * The ONE deliberate semantic difference from x174: the surface
+    * tier's rarity test is per-document — a gram is usable when
+    * frozen-reference-df + 1 <= maxDf (the arriving doc's own
+    * occurrence is the +1; distinct shingles make it exactly 1) —
+    * because a live gate cannot know the rest of the delivery. A gram
+    * rare in the reference but flooding the DELIVERY passes here and
+    * is pruned by batch x174; that boundary is spec-pinned. Everything
+    * downstream of rarity (the >= minInter miner, the exact-Jaccard
+    * verify, the verdict CASE) is shared code with x171/x174 and
+    * cannot drift. Each verdict is a pure function of (doc, index), so
+    * replay equals batch by construction (spec-asserted) and the gate
+    * is stream-safe: stream-static joins + update-mode per-doc
+    * aggregates. */
+  def acceptanceGateAgainst(cands: DataFrame, refTexts: DataFrame,
+                            indexGrams: DataFrame, indexDf: DataFrame,
+                            indexSizes: DataFrame, sem: DataFrame,
+                            n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                            jaccardThreshold: Double = 0.5,
+                            hashGrams: Boolean = false): DataFrame = {
+    val exact = cands.select(col("doc_id").as("cand_id"), col("text"))
+      .join(refTexts, Seq("text"))
+      .select(col("cand_id"), col("exact_ref"))
+    val candGrams = graft.core.Caches.bounded(
+      probeGrams(cands, n, hashGrams)
+        .select(col("doc_id").as("cand_id"), col("lang"), col("gram")))
+    val refGrams = indexGrams
+      .select(col("doc_id").as("ref_id"), col("lang"), col("gram"))
+    // per-doc rarity: frozen reference df + this doc's own occurrence;
+    // grams absent from the index need no df row — they cannot pair
+    val rare = indexDf.filter(col("df") + lit(1L) <= maxDf).select("gram")
+    val pairs = candGrams.join(rare, "gram")
+      .join(refGrams.join(rare, "gram"), Seq("gram", "lang"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minInter)
+      .select(col("cand_id"), col("ref_id"))
+    val surface = verifyAgainstIndex(pairs, candGrams, refGrams, indexSizes,
+        jaccardThreshold)
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("n_surface"))
+    acceptanceAssemble(cands.select(col("doc_id").as("cand_id")),
+      exact, surface, sem)
+  }
+
+  /** [[acceptanceGateAgainst]] over a [[saveAcceptanceIndex]] artifact
+    * — the per-delivery/streaming production face. Every file read is
+    * under the index root (the x170/x171 scan-root gate pattern). */
+  def acceptanceGateIndexed(cands: DataFrame, indexPath: String,
+                            n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                            jaccardThreshold: Double = 0.5,
+                            hashGrams: Boolean = false,
+                            tau: Double = Similarity.SemDedupTau): DataFrame = {
+    val spark = cands.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val sem = Similarity.semProbeAgainst(
+        cands.select(col("doc_id").as("vec_id"), col("embedding")),
+        s"$root/sem", tau)
+      .select(col("cand_id"), col("n_dups").as("n_sem"))
+    acceptanceGateAgainst(cands,
+      spark.read.parquet(s"$root/texts"),
+      spark.read.parquet(s"$root/grams"),
+      spark.read.parquet(s"$root/df"),
+      spark.read.parquet(s"$root/sizes"),
+      sem, n, maxDf, minInter, jaccardThreshold, hashGrams)
+  }
+
+  /** The x176 queries() face: x174's planted corpus and embedding
+    * split, the reference frozen into its in-memory tier tables (the
+    * dedupIncrQuery discipline; the disk round-trip is spec- and
+    * plan-gated), each candidate gated per-doc. */
+  def acceptanceGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (cand, ref) = plantedCrossCorpus(docs)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val refIds = docs.filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id").as("vec_id"))
+    val refVecs = emb.join(refIds, Seq("vec_id"), "left_semi")
+    val candVecs = emb.join(refIds, Seq("vec_id"), "left_anti")
+    val refGrams = graft.core.Caches.bounded(probeGrams(ref, 3, hashGrams = false))
+    val sem = Similarity.crossSemProbe(candVecs, refVecs)
+      .select(col("cand_id"), col("n_dups").as("n_sem"))
+    acceptanceGateAgainst(cand,
+        ref.groupBy(col("text")).agg(min(col("doc_id")).as("exact_ref")),
+        refGrams,
+        refGrams.groupBy(col("gram")).agg(count(lit(1)).as("df")),
+        refGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+        sem, maxDf = 100)
       .orderBy(col("cand_id"))
   }
 

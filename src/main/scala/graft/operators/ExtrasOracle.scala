@@ -201,6 +201,8 @@ object ExtrasOracle {
     "x170_sem_probe" -> crossSemSql,
     // x174: the three acceptance tiers fused to one verdict table.
     "x174_acceptance" -> acceptanceSql,
+    // x176: the tiers at PER-DOCUMENT grain — the live gate's batch face.
+    "x176_acceptance_gate" -> acceptanceGateSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -830,6 +832,32 @@ object ExtrasOracle {
     * planted corpus with its isref flag) through `vpairs` (accepted
     * cross pairs with exact inter/uni evidence). */
   private def crossProbeCtes: String =
+    s"""$plantedGramCtes,
+       |rare AS MATERIALIZED (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 100),
+       |rg AS MATERIALIZED (SELECT g.* FROM grams g JOIN rare USING (gram)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2),
+       |xp AS MATERIALIZED (
+       |  SELECT p.d1, p.d2, f1.isref AS r1
+       |  FROM pairs p JOIN base f1 ON f1.doc_id = p.d1
+       |               JOIN base f2 ON f2.doc_id = p.d2
+       |  WHERE f1.isref <> f2.isref),
+       |vint AS MATERIALIZED (
+       |  SELECT p.d1, p.d2, p.r1, COUNT(*) AS inter
+       |  FROM xp p JOIN grams g1 ON g1.doc_id = p.d1
+       |            JOIN grams g2 ON g2.doc_id = p.d2 AND g2.gram = g1.gram
+       |  GROUP BY 1, 2, 3),
+       |vpairs AS MATERIALIZED (
+       |  SELECT v.d1, v.d2, v.r1, v.inter, s1.n + s2.n - v.inter AS uni
+       |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
+       |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)""".stripMargin
+
+  /** The planted corpus → distinct grams → per-doc sizes prefix the
+    * x169/x171/x174 union-df chain and the x176 per-doc chain share. */
+  private def plantedGramCtes: String =
     """base AS MATERIALIZED (
       |  SELECT doc_id, source IN ('src0', 'src1') AS isref,
       |    CASE WHEN source NOT IN ('src0', 'src1') AND doc_id % 23 = 0 THEN
@@ -851,45 +879,64 @@ object ExtrasOracle {
       |grams AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, lang, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS gram
       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(g)),
-      |rare AS MATERIALIZED (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 100),
-      |rg AS MATERIALIZED (SELECT g.* FROM grams g JOIN rare USING (gram)),
-      |pairs AS MATERIALIZED (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |  HAVING COUNT(*) >= 2),
-      |xp AS MATERIALIZED (
-      |  SELECT p.d1, p.d2, f1.isref AS r1
-      |  FROM pairs p JOIN base f1 ON f1.doc_id = p.d1
-      |               JOIN base f2 ON f2.doc_id = p.d2
-      |  WHERE f1.isref <> f2.isref),
-      |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-      |vint AS MATERIALIZED (
-      |  SELECT p.d1, p.d2, p.r1, COUNT(*) AS inter
-      |  FROM xp p JOIN grams g1 ON g1.doc_id = p.d1
-      |            JOIN grams g2 ON g2.doc_id = p.d2 AND g2.gram = g1.gram
-      |  GROUP BY 1, 2, 3),
-      |vpairs AS MATERIALIZED (
-      |  SELECT v.d1, v.d2, v.r1, v.inter, s1.n + s2.n - v.inter AS uni
-      |  FROM vint v JOIN gsz s1 ON s1.doc_id = v.d1 JOIN gsz s2 ON s2.doc_id = v.d2
-      |  WHERE v.inter * 2 >= s1.n + s2.n - v.inter)""".stripMargin
+      |gsz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of Dedup.acceptanceQuery (x174): the x169 chain's
     * per-candidate surface counts, an exact-text tier over the same
     * planted `base`, and the x170 semantic chain with the embedding
     * halves split by the documents' source (vec_id == doc_id) — all
     * left-joined onto the candidate list with the same verdict CASE. */
-  private def acceptanceSql: String = {
-    val rounds = (1 to Similarity.KmeansIters).map { i =>
-      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
-        kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
-    }.mkString(",\n")
+  private def acceptanceSql: String =
     s"""WITH $crossProbeCtes,
        |surf AS (
        |  SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_surface
        |  FROM vpairs GROUP BY 1),
-       |cands AS MATERIALIZED (SELECT doc_id, text FROM base WHERE NOT isref),
+       |$acceptanceCommonCtes
+       |$acceptanceFinalSql""".stripMargin
+
+  /** DuckDB twin of Dedup.acceptanceGateQuery (x176): the same exact +
+    * semantic tiers, but the surface tier at PER-DOCUMENT grain — the
+    * rarity test is frozen-reference df + the arriving doc's own
+    * occurrence (df + 1 <= maxDf), pairs mined candidate-gram against
+    * reference postings, the same exact-Jaccard accept. */
+  private def acceptanceGateSql: String =
+    s"""WITH $plantedGramCtes,
+       |rgrams AS MATERIALIZED (
+       |  SELECT g.* FROM grams g JOIN base b USING (doc_id) WHERE b.isref),
+       |cgrams AS MATERIALIZED (
+       |  SELECT g.* FROM grams g JOIN base b USING (doc_id) WHERE NOT b.isref),
+       |rdf AS MATERIALIZED (SELECT gram, COUNT(*) AS df FROM rgrams GROUP BY gram),
+       |grare AS MATERIALIZED (SELECT gram FROM rdf WHERE df + 1 <= 100),
+       |gpairs AS MATERIALIZED (
+       |  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id
+       |  FROM cgrams c JOIN grare USING (gram)
+       |  JOIN rgrams r ON r.gram = c.gram AND r.lang = c.lang
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2),
+       |gint AS MATERIALIZED (
+       |  SELECT p.cand_id, p.ref_id, COUNT(*) AS inter
+       |  FROM gpairs p JOIN grams g1 ON g1.doc_id = p.cand_id
+       |  JOIN grams g2 ON g2.doc_id = p.ref_id AND g2.gram = g1.gram
+       |  GROUP BY 1, 2),
+       |surf AS (
+       |  SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS n_surface FROM (
+       |    SELECT i.cand_id FROM gint i
+       |    JOIN gsz s1 ON s1.doc_id = i.cand_id
+       |    JOIN gsz s2 ON s2.doc_id = i.ref_id
+       |    WHERE i.inter * 2 >= s1.n + s2.n - i.inter)
+       |  GROUP BY 1),
+       |$acceptanceCommonCtes
+       |$acceptanceFinalSql""".stripMargin
+
+  /** The exact-text and semantic tiers + candidate list x174 and x176
+    * share (both twins join their own `surf` to these). */
+  private def acceptanceCommonCtes: String = {
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""cands AS MATERIALIZED (SELECT doc_id, text FROM base WHERE NOT isref),
        |ex AS (
        |  SELECT c.doc_id AS cand_id, r.exact_ref FROM cands c
        |  JOIN (SELECT text, MIN(doc_id) AS exact_ref FROM base
@@ -915,21 +962,23 @@ object ExtrasOracle {
        |  JOIN e re ON re.vec_id = a.vec_id
        |  WHERE round(list_cosine_similarity(ce.v, re.v), 6)
        |    >= ${Similarity.SemDedupTau}
-       |  GROUP BY 1)
-       |SELECT c.doc_id AS cand_id,
-       |  CAST(ex.exact_ref AS BIGINT) AS exact_ref,
-       |  CAST(coalesce(surf.n_surface, 0) AS BIGINT) AS n_surface,
-       |  CAST(coalesce(semc.n_sem, 0) AS BIGINT) AS n_sem,
-       |  CASE WHEN ex.exact_ref IS NOT NULL THEN 'reject'
-       |       WHEN coalesce(surf.n_surface, 0) + coalesce(semc.n_sem, 0) > 0
-       |         THEN 'review'
-       |       ELSE 'admit' END AS verdict
-       |FROM cands c
-       |LEFT JOIN ex ON ex.cand_id = c.doc_id
-       |LEFT JOIN surf ON surf.cand_id = c.doc_id
-       |LEFT JOIN semc ON semc.cand_id = c.doc_id
-       |ORDER BY cand_id""".stripMargin
+       |  GROUP BY 1)""".stripMargin
   }
+
+  private def acceptanceFinalSql: String =
+    """SELECT c.doc_id AS cand_id,
+      |  CAST(ex.exact_ref AS BIGINT) AS exact_ref,
+      |  CAST(coalesce(surf.n_surface, 0) AS BIGINT) AS n_surface,
+      |  CAST(coalesce(semc.n_sem, 0) AS BIGINT) AS n_sem,
+      |  CASE WHEN ex.exact_ref IS NOT NULL THEN 'reject'
+      |       WHEN coalesce(surf.n_surface, 0) + coalesce(semc.n_sem, 0) > 0
+      |         THEN 'review'
+      |       ELSE 'admit' END AS verdict
+      |FROM cands c
+      |LEFT JOIN ex ON ex.cand_id = c.doc_id
+      |LEFT JOIN surf ON surf.cand_id = c.doc_id
+      |LEFT JOIN semc ON semc.cand_id = c.doc_id
+      |ORDER BY cand_id""".stripMargin
 
   /** x87: containment over the SAME candidate graph — the intersection
     * recount of x46 but accepted on inter·den ≥ min(n1,n2)·num (the

@@ -1447,6 +1447,44 @@ object Similarity {
     }
   }
 
+  /** INDEX MAINTENANCE (x175's semantic sibling): fold an ADMITTED
+    * delivery's vectors into a [[saveSemRefIndex]] artifact — assign
+    * them with the FROZEN codebook and append to the lists; the
+    * codebook itself never changes (the production discipline: per-
+    * delivery refits would silently re-cluster the whole reference;
+    * refitting is a scheduled REBUILD, not maintenance — the x78/x83
+    * persisted-codebook contract). Reads only the current index and
+    * the delivery; atomic republish. After the append, a later
+    * delivery's paraphrase of an admitted document is flagged
+    * (spec-asserted — the reason maintenance exists). */
+  def appendToSemRefIndex(admitted: DataFrame, indexPath: String): Unit = {
+    val spark = admitted.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val cents: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$root/codebook")
+        .select(col("cid").cast("long"), col("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+    val oldCodebook = spark.read.parquet(s"$root/codebook")
+    val oldLists = spark.read.parquet(s"$root/lists")
+      .select(col("cluster").cast("long").as("cluster"),
+        col("ref_id"), col("embedding"))
+    val delta = kmeansAssigned(
+        admitted.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")),
+        cents)
+      .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding"))
+    val k = cents.length
+    graft.core.Artifacts.publishAtomic(spark, indexPath) { tmp =>
+      oldCodebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+      oldLists.unionByName(delta)
+        .repartition(k, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$tmp/lists")
+    }
+  }
+
   /** Probe a [[saveSemRefIndex]] artifact: the codebook collects back to
     * the driver (k x d — KBs), candidate assignment compiles it into the
     * same stateless literal-centroid map, and the verdict joins the

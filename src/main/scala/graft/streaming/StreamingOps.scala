@@ -2007,6 +2007,37 @@ object StreamingOps {
       spark.read.parquet(s"$root/strengths"))
   }
 
+  // ------------- streaming acceptance gate (x176's face) -------------
+
+  /** Streaming face of
+    * [[graft.operators.Dedup.acceptanceGateIndexed]] (x176): each
+    * arriving document (doc_id, lang, text, embedding) is judged
+    * against the FROZEN acceptance index
+    * ([[graft.operators.Dedup.saveAcceptanceIndex]]'s one-publish
+    * battery: exact texts + gram postings + semantic lists) and emits
+    * the same (exact_ref, n_surface, n_sem, verdict) row batch x176
+    * produces — the complete "do we already have this" gate at the
+    * ingestion edge.
+    *
+    * Shape: foreachBatch (the annProbeBatch precedent), NOT one
+    * incremental plan — the gate joins three INDEPENDENT aggregates
+    * (surface counts, semantic counts, exact lookups), which
+    * Structured Streaming cannot fuse into a single incremental
+    * query; and because every verdict is a pure per-document function
+    * of (doc, frozen index), per-batch evaluation IS batch semantics
+    * — no cross-batch state exists to lose. Replay over any chunking
+    * equals batch x176 row-for-row (spec-asserted). The index root is
+    * re-resolved per batch (readablePath inside
+    * acceptanceGateIndexed), so a stream started inside a publish
+    * crash window heals at the next batch. */
+  def acceptanceGateBatch(indexPath: String, maxDf: Int = 20,
+                          tau: Double = graft.operators.Similarity.SemDedupTau)
+                         (emit: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      emit(graft.operators.Dedup.acceptanceGateIndexed(batch, indexPath,
+        maxDf = maxDf, tau = tau), batchId)
+
   // ----------- streaming per-source scorecard (x168's face) ----------
 
   /** Streaming face of

@@ -4144,6 +4144,85 @@ class ExtrasSpec extends SparkSpec {
       s"missing: ${(batch -- viaAppend).take(3)}; extra: ${(viaAppend -- batch).take(3)}")
   }
 
+  test("x175 semantic append: the codebook stays frozen and a later paraphrase of an admitted doc is caught") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_append").toString
+    val ref = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    Similarity.saveSemRefIndex(ref, s"$dir/idx", k = 2, iters = 1)
+    def codebook() = spark.read.parquet(
+      graft.core.Artifacts.readablePath(spark, s"$dir/idx") + "/codebook")
+      .collect().map(_.toSeq).toSet
+    val frozen = codebook()
+    // d2's vec 20 paraphrases d1's vec 10 (cos ~0.9998) but clears
+    // NEITHER original reference at tau=0.9 — before the append it must
+    // pass, after it must be flagged with vec 10 as the best match
+    val d1 = Seq(10L -> Array(0.70f, 0.71f)).toDF("vec_id", "embedding")
+    val d2 = Seq(20L -> Array(0.69f, 0.72f)).toDF("vec_id", "embedding")
+    def probe() = Similarity.semProbeAgainst(d2, s"$dir/idx", tau = 0.9)
+      .select($"cand_id", $"n_dups", $"keep", $"best_ref_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(probe() == Seq((20L, 0L, 1L, None)), s"pre-append: ${probe()}")
+    Similarity.appendToSemRefIndex(d1, s"$dir/idx")
+    assert(codebook() == frozen,
+      "maintenance refit the codebook — that is a rebuild, not an append")
+    assert(probe() == Seq((20L, 1L, 0L, Some(10L))), s"post-append: ${probe()}")
+  }
+
+  test("x176 per-doc rarity is the deliberate boundary vs x174: a delivery-flooded gram still gates") {
+    // ONE reference doc; THREE identical near-copies arrive in one
+    // delivery. At maxDf=3 the union df of every shared gram is 4
+    // (1 ref + 3 cands) -> batch x174's miner prunes them all; the
+    // per-doc gate sees frozen-df 1 + 1 = 2 <= 3 -> each doc gates.
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq((100L, "en", blk("flood"))).toDF("doc_id", "lang", "text")
+    val cand = Seq(1L, 2L, 3L)
+      .map(i => (i, "en", (1 to 11).map(j => s"flood$j").mkString(" ") + " tail"))
+      .toDF("doc_id", "lang", "text")
+    assert(Dedup.crossNearDupProbe(cand, ref, maxDf = 3).count() == 0,
+      "union-df form unexpectedly kept the flooded grams")
+    val refGrams = ref.select($"doc_id", $"lang",
+      explode(Dedup.wordShingles($"text", 3)).as("gram"))
+    val emptySem = Seq.empty[(Long, Long)].toDF("cand_id", "n_sem")
+    val out = Dedup.acceptanceGateAgainst(cand,
+        ref.groupBy($"text").agg(min($"doc_id").as("exact_ref")),
+        refGrams,
+        refGrams.groupBy($"gram").agg(count(lit(1)).as("df")),
+        refGrams.groupBy($"doc_id").agg(count(lit(1)).as("n")),
+        emptySem, maxDf = 3)
+      .select($"cand_id", $"n_surface", $"verdict")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, "review"), (2L, 1L, "review"),
+      (3L, 1L, "review")), s"got ${out.toSeq}")
+  }
+
+  test("x176 through the persisted acceptance index routes the four-class delivery like x174") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq(
+      (100L, "en", blk("alpha")), (101L, "en", blk("beta"))
+    ).toDF("doc_id", "lang", "text")
+    val refVecs = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val cand = Seq(
+      (1L, "en", blk("alpha"), Seq(0.55f, -0.84f)),
+      (2L, "en", (1 to 11).map(i => s"beta$i").mkString(" ") + " changed",
+        Seq(0.6f, -0.8f)),
+      (3L, "en", "a fast auburn canine leapt across one sleepy hound " +
+        "yesterday", Seq(0.99f, 0.01f)),
+      (4L, "en", "quarterly tax filing chatter nobody has seen before",
+        Seq(-0.7f, 0.7f))
+    ).toDF("doc_id", "lang", "text", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("accept_idx").toString
+    Dedup.saveAcceptanceIndex(ref, refVecs, s"$dir/idx", k = 2, iters = 1)
+    val out = Dedup.acceptanceGateIndexed(cand, s"$dir/idx", tau = 0.9)
+      .select($"cand_id", $"exact_ref", $"n_surface", $"n_sem", $"verdict")
+      .as[(Long, Option[Long], Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(100L), 1L, 0L, "reject")), s"${out(1L)}")
+    assert(out(2L) == ((2L, None, 1L, 0L, "review")), s"${out(2L)}")
+    assert(out(3L) == ((3L, None, 0L, 1L, "review")), s"${out(3L)}")
+    assert(out(4L) == ((4L, None, 0L, 0L, "admit")), s"${out(4L)}")
+  }
+
   test("x173 packs at the sweep winner: choice, conservation, and padding recovery") {
     import graft.operators.{DocPrep, Sampling}
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -639,6 +639,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
+  test("x176: the per-doc gate stays blocked too, and its indexed form reads ONLY index files") {
+    import spark.implicits._
+    val p = plan("x176_acceptance_gate")
+    assert(!p.contains("CartesianProduct"), s"cross join crept in:\n$p")
+    // indexed form: in-memory candidates against the persisted battery
+    val dir = java.nio.file.Files.createTempDirectory("gate_accept_idx").toString
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val (candDocs, refDocs) = graft.operators.Dedup.plantedCrossCorpus(docs)
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val refIds = docs.filter($"source".isin("src0", "src1"))
+      .select($"doc_id".as("vec_id"))
+    graft.operators.Dedup.saveAcceptanceIndex(refDocs,
+      emb.join(refIds, Seq("vec_id"), "left_semi"), s"$dir/idx")
+    val cands = candDocs.select($"doc_id", $"lang", $"text")
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      .as[(Long, String, String, Seq[Float])].collect().toSeq
+      .toDF("doc_id", "lang", "text", "embedding")
+    val gp = graft.operators.Dedup
+      .acceptanceGateIndexed(cands, s"$dir/idx", maxDf = 100)
+      .queryExecution.executedPlan
+    val roots = scanRoots(gp)
+    assert(roots.nonEmpty, s"expected live index scans:\n$gp")
+    assert(roots.forall(_.contains(dir)),
+      s"non-index file read in the gate: $roots")
+  }
+
   /** LIVE FileScan root paths, structurally (the liveFileScans
     * traversal): descends AQE boundaries and subqueries, stops at a
     * cache hit (the cached build plan is rendered, not live work). */

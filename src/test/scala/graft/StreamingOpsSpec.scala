@@ -2034,6 +2034,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming acceptance gate equals batch x176 against the frozen index (foreachBatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val (candDocs, refDocs) = Dedup.plantedCrossCorpus(docs)
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val refIds = docs.filter($"source".isin("src0", "src1"))
+      .select($"doc_id".as("vec_id"))
+    val dir = java.nio.file.Files.createTempDirectory("accept_gate").toString
+    Dedup.saveAcceptanceIndex(refDocs,
+      emb.join(refIds, Seq("vec_id"), "left_semi"), s"$dir/idx")
+    val cands = candDocs.select($"doc_id", $"lang", $"text")
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+    val batch = Dedup.acceptanceGateIndexed(cands, s"$dir/idx", maxDf = 100)
+      .as[(Long, Option[Long], Long, Long, String)].collect().toSet
+    assert(batch.map(_._5).size > 0 && batch.exists(_._5 != "admit"),
+      "no non-admit verdicts — vacuous replay")
+    val collected = scala.collection.mutable.Set
+      .empty[(Long, Option[Long], Long, Long, String)]
+    val gate = StreamingOps.acceptanceGateBatch(s"$dir/idx", maxDf = 100) {
+      (out, _) => collected ++=
+        out.as[(Long, Option[Long], Long, Long, String)].collect()
+    }
+    val rows = cands.as[(Long, String, String, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, String, String, Seq[Float])]
+    val q = stream.toDF().toDF("doc_id", "lang", "text", "embedding")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        gate(b, id)
+      }
+      .start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      assert(collected.toSet == batch,
+        s"missing: ${(batch -- collected).take(3)}; extra: ${(collected.toSet -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming source scorecard equals batch x168 on replay (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
