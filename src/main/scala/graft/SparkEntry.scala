@@ -647,6 +647,10 @@ object SparkEntry {
     // df + 1, because a live gate cannot know the rest of the
     // delivery; everything downstream of rarity is x174's shared code).
     "x176_acceptance_gate" -> (Dedup.acceptanceGateQuery _),
+    // x177: calibration audit — reliability diagram + ECE (Guo et al.
+    // 2017) over (confidence, correct) pairs; the reward-model check
+    // run before trusting scores to gate data.
+    "x177_calibration"    -> (Analytics.calibrationQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1310,6 +1310,90 @@ object Analytics {
       when(aWins, pb).otherwise(pa).cast("long").as("loser"))
   }
 
+  // ------------------- calibration audit (x177, ECE) ------------------
+
+  /** x177's reliability-diagram bin count, shared with the DuckDB
+    * twin. */
+  private[graft] val CalibBins: Int = 10
+
+  /** x177: CALIBRATION AUDIT — the reliability diagram + expected
+    * calibration error (Guo et al. 2017) over (confidence, correct)
+    * prediction pairs: per confidence bin, the count, mean confidence,
+    * accuracy, and |accuracy − confidence| gap; plus ONE summary row
+    * (bin = −1) whose `gap` is the ECE — the n-weighted mean of the
+    * per-bin gaps. The check an RLHF pipeline runs on its reward model
+    * before trusting its scores to gate data (an over-confident scorer
+    * silently poisons every downstream selection threshold).
+    *
+    * Determinism: `conf` is a round-6 image; bin assignment is integer
+    * floor with the conf==1.0 edge clamped into the top bin; per-bin
+    * means are exact DECIMAL(18,6) sums with ONE rounded double
+    * division each (the x168 avg discipline); the per-bin gap is the
+    * round-6 |difference| of those images, and the ECE sums exact
+    * n×gap decimal products before its one rounded division — every
+    * inexact step lands where the twin lands it.
+    *
+    * Scale shape: one scan → narrow projection → hash agg on |bins|
+    * keys (map-side partials collapse everything); the summary row
+    * aggregates the |bins|-row result, not the corpus. */
+  def calibrationBins(preds: DataFrame, bins: Int = CalibBins): DataFrame = {
+    require(bins > 0, s"calibrationBins: bins=$bins")
+    val b = least(floor(col("conf") * bins), lit(bins - 1L)).cast("long")
+    preds
+      .filter(col("conf").isNotNull && col("correct").isNotNull)
+      .select(b.as("bin"), col("conf"), col("correct").cast("long").as("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("conf").cast("decimal(18,6)")).as("_sc"),
+        sum(col("c")).as("_nc"))
+      .select(col("bin"), col("n"),
+        round(col("_sc").cast("double") / col("n").cast("double"), 6)
+          .as("avg_conf"),
+        round(col("_nc").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"))
+      .withColumn("gap",
+        round(abs(col("accuracy") - col("avg_conf")), 6))
+  }
+
+  /** The per-bin table plus the bin = −1 ECE summary row — see
+    * [[calibrationBins]]. The summary aggregates the |bins|-row result
+    * (two aggregation layers, so the STREAMING face is the per-bin
+    * form alone — one incremental aggregate). */
+  def calibrationAudit(preds: DataFrame, bins: Int = CalibBins): DataFrame = {
+    val per = calibrationBins(preds, bins)
+    // n-weighted means of the round-6 per-bin images (exact decimal
+    // products and sums; one rounded division each) — the summary row
+    // is a function of the published table, so a reader can re-derive
+    // it from the rows above it
+    val total = per.agg(
+        sum(col("n")).as("n"),
+        sum(col("avg_conf").cast("decimal(18,6)") * col("n")).as("_wc"),
+        sum(col("accuracy").cast("decimal(18,6)") * col("n")).as("_wa"),
+        sum(col("gap").cast("decimal(18,6)") * col("n")).as("_wg"))
+    per.unionByName(total.select(lit(-1L).as("bin"), col("n"),
+      round(col("_wc").cast("double") / col("n").cast("double"), 6)
+        .as("avg_conf"),
+      round(col("_wa").cast("double") / col("n").cast("double"), 6)
+        .as("accuracy"),
+      round(col("_wg").cast("double") / col("n").cast("double"), 6)
+        .as("gap")))
+  }
+
+  /** The x177 queries() face: a PLANTED prediction stream from events —
+    * conf = round((event_id % 97 + 0.5) / 97, 6) sweeps the unit
+    * interval, and `correct` fires when an independent residue lands
+    * under the same threshold, so the model is calibrated in
+    * expectation and every bin carries a real finite-sample gap. */
+  def calibrationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+    calibrationAudit(events.select(
+        round(((col("event_id") % 97) + 0.5) / 97.0, 6).as("conf"),
+        when((col("user_id") % 97) < (col("event_id") % 97), 1L)
+          .otherwise(0L).as("correct")))
+      .orderBy(col("bin"))
+  }
+
   // ----------- frozen-ladder upset scoring (x172 + artifact) ----------
 
   /** Persist the [[bradleyTerry]] ladder as a frozen artifact

@@ -430,6 +430,8 @@ object ExtrasOracle {
     "x167_bradley_terry" -> bradleyTerrySql,
     // x172: the x167 ladder frozen, each comparison scored against it.
     "x172_bt_upsets" -> btUpsetsSql,
+    // x177: reliability diagram + ECE over a planted prediction stream.
+    "x177_calibration" -> calibrationSql,
     "x98_source_cap" -> sourceCapSql,
     "x99_annotator" -> annotatorSql,
     "x101_dawid_skene" -> dawidSkeneSql,
@@ -2485,6 +2487,48 @@ object ExtrasOracle {
        |  round(CAST(tokens_kept AS DOUBLE)
        |    / CAST(n_docs * max_len AS DOUBLE), 6) AS util
        |FROM a ORDER BY max_len""".stripMargin
+  }
+
+  /** DuckDB twin of Analytics.calibrationQuery (x177): the planted
+    * (conf, correct) stream rebuilt from the same residue arithmetic,
+    * per-bin exact decimal sums with one rounded division each, the
+    * round-6 |gap|, and the bin = −1 summary as n-weighted means of
+    * the round-6 per-bin images — every inexact step where the engine
+    * lands it. */
+  private def calibrationSql: String = {
+    val b = Analytics.CalibBins
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT round(((event_id % 97) + 0.5) / 97.0, 6) AS conf,
+       |    CASE WHEN user_id % 97 < event_id % 97 THEN 1 ELSE 0 END AS c
+       |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |binned AS (
+       |  SELECT least(CAST(FLOOR(conf * $b) AS BIGINT), ${b - 1}) AS bin,
+       |    conf, c
+       |  FROM p),
+       |per AS MATERIALIZED (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    round(CAST(SUM(CAST(conf AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_conf,
+       |    round(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |      AS accuracy
+       |  FROM binned GROUP BY bin),
+       |per2 AS MATERIALIZED (
+       |  SELECT bin, n, avg_conf, accuracy,
+       |    round(abs(accuracy - avg_conf), 6) AS gap
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+       |    round(CAST(SUM(CAST(avg_conf AS DECIMAL(18,6)) * n) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS avg_conf,
+       |    round(CAST(SUM(CAST(accuracy AS DECIMAL(18,6)) * n) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS accuracy,
+       |    round(CAST(SUM(CAST(gap AS DECIMAL(18,6)) * n) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS gap
+       |  FROM per2)
+       |SELECT bin, n, avg_conf, accuracy, gap FROM per2
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), n, avg_conf, accuracy, gap FROM tot
+       |ORDER BY bin""".stripMargin
   }
 
   /** DuckDB twin of Sampling.packWinnerQuery (x173): the x165 sweep

@@ -1124,6 +1124,7 @@ object RelationalSql {
     // class — DuckDB-oracle-only.
     "x171_cross_probe_incr" -> crossProbeSparkSql,
     "x173_pack_winner" -> packWinnerSparkSql,
+    "x177_calibration" -> calibrationSparkSql,
     // x162 carries NO Spark-SQL text: the doubled unrolled-iteration
     // chain plus deflation exceeds Spark's CTE analysis budget (the
     // logical tree re-expands past the 8g test heap), where DuckDB's
@@ -3139,6 +3140,45 @@ object RelationalSql {
        |    + FLOOR((cum - n_tokens) / CAST(max_len AS DOUBLE)) AS pack_id,
        |  max_len
        |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** Spark-SQL face of Analytics.calibrationQuery (x177): the same
+    * planted residue predictions, exact decimal bin sums with one
+    * rounded division each, and the n-weighted summary row. */
+  private def calibrationSparkSql: String = {
+    val b = Analytics.CalibBins
+    s"""WITH p AS (
+       |  SELECT round(((event_id % 97) + 0.5) / 97.0, 6) AS conf,
+       |    CASE WHEN user_id % 97 < event_id % 97 THEN 1L ELSE 0L END AS c
+       |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |binned AS (
+       |  SELECT least(CAST(FLOOR(conf * $b) AS BIGINT), ${b - 1}L) AS bin,
+       |    conf, c
+       |  FROM p),
+       |per AS (
+       |  SELECT bin, COUNT(1) AS n,
+       |    round(CAST(SUM(CAST(conf AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(1) AS DOUBLE), 6) AS avg_conf,
+       |    round(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6)
+       |      AS accuracy
+       |  FROM binned GROUP BY bin),
+       |per2 AS (
+       |  SELECT bin, n, avg_conf, accuracy,
+       |    round(abs(accuracy - avg_conf), 6) AS gap
+       |  FROM per),
+       |tot AS (
+       |  SELECT SUM(n) AS n,
+       |    round(CAST(SUM(CAST(avg_conf AS DECIMAL(18,6)) * n) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS avg_conf,
+       |    round(CAST(SUM(CAST(accuracy AS DECIMAL(18,6)) * n) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS accuracy,
+       |    round(CAST(SUM(CAST(gap AS DECIMAL(18,6)) * n) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS gap
+       |  FROM per2)
+       |SELECT bin, n, avg_conf, accuracy, gap FROM per2
+       |UNION ALL
+       |SELECT -1L, n, avg_conf, accuracy, gap FROM tot
+       |ORDER BY bin""".stripMargin
   }
 
   /** Spark-SQL face of DocPrep.spanCorruptQuery (x166): the engine's

@@ -2038,6 +2038,23 @@ object StreamingOps {
       emit(graft.operators.Dedup.acceptanceGateIndexed(batch, indexPath,
         maxDf = maxDf, tau = tau), batchId)
 
+  // ------------- streaming calibration monitor (x177's face) ---------
+
+  /** Streaming face of
+    * [[graft.operators.Analytics.calibrationBins]] (x177): arriving
+    * (conf, correct) predictions fold into the per-bin reliability
+    * aggregate — the live calibration monitor a reward-model serving
+    * path keeps (a drifting confidence distribution shows up as bin
+    * gaps long before an offline audit). One incremental aggregate on
+    * |bins| keys (COMPLETE mode; the ECE summary row is a second
+    * aggregation layer, so it stays a batch-side read of this table —
+    * x177's audit face). Replay equals the batch per-bin table
+    * row-for-row (spec-asserted). */
+  def calibrationStream(preds: DataFrame,
+                        bins: Int = graft.operators.Analytics.CalibBins)
+      : DataFrame =
+    graft.operators.Analytics.calibrationBins(preds, bins)
+
   // ----------- streaming per-source scorecard (x168's face) ----------
 
   /** Streaming face of

@@ -4223,6 +4223,22 @@ class ExtrasSpec extends SparkSpec {
     assert(out(4L) == ((4L, None, 0L, 0L, "admit")), s"${out(4L)}")
   }
 
+  test("x177 calibration audit matches a hand-computed reliability table and ECE") {
+    import graft.operators.Analytics
+    val preds = Seq(
+      (0.2, 1L), (0.3, 0L),            // bin 0: avg_conf .25, acc .5
+      (0.8, 1L), (0.9, 1L), (1.0, 0L)  // bin 1 (1.0 clamps in): .9, 2/3
+    ).toDF("conf", "correct")
+    val out = Analytics.calibrationAudit(preds, bins = 2)
+      .orderBy($"bin")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      // summary: n-weighted means of the round-6 per-bin images
+      (-1L, 5L, 0.64, 0.6, 0.24),
+      (0L, 2L, 0.25, 0.5, 0.25),
+      (1L, 3L, 0.9, 0.666667, 0.233333)), s"got $out")
+  }
+
   test("x173 packs at the sweep winner: choice, conservation, and padding recovery") {
     import graft.operators.{DocPrep, Sampling}
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

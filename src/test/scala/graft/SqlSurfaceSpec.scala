@@ -89,11 +89,12 @@ class SqlSurfaceSpec extends SparkSpec {
     // scorecard over the shared panel body, x169 bipartite cross probe (x167's Bradley-Terry
     // chain re-references each round twice, the x162 doubling class —
     // DuckDB-oracle-only),
-    // plus the r17 pair: x171 sharing x169's text (frozen-index probe
-    // vs union re-mine — two strategies, one selection) and x173's
-    // sweep-winner packing (x170 joins the k-means chain class,
-    // x172 the x167 doubling class — DuckDB-oracle-only)
-    assert(RelationalSql.extrasSql.size == 155)
+    // plus the r17 four: x171 sharing x169's text (frozen-index probe
+    // vs union re-mine — two strategies, one selection), x173's
+    // sweep-winner packing, and x177's calibration audit (x170/x174/
+    // x176 join the k-means chain class, x172 the x167 doubling class
+    // — DuckDB-oracle-only)
+    assert(RelationalSql.extrasSql.size == 156)
   }
 
   test("x49: registered kll_* SQL functions answer the sketch rollup") {

@@ -2074,6 +2074,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming calibration monitor equals batch x177 per-bin table on replay (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Analytics
+    val events = graft.core.Tables.load(spark, sf("sf0.001"), "events")
+      .filter($"event_id".isNotNull && $"user_id".isNotNull)
+    val preds = events.select(
+      round((($"event_id" % 97) + 0.5) / 97.0, 6).as("conf"),
+      when(($"user_id" % 97) < ($"event_id" % 97), 1L).otherwise(0L)
+        .as("correct"))
+    val batch = Analytics.calibrationBins(preds)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(batch.size > 1, "degenerate bin table — vacuous replay")
+    val rows = preds.as[(Double, Long)].collect().toSeq
+    val stream = MemoryStream[(Double, Long)]
+    val q = StreamingOps.calibrationStream(
+        stream.toDF().toDF("conf", "correct"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("calib_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("calib_out")
+        .as[(Long, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got == batch,
+        s"drift: ${batch.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming source scorecard equals batch x168 on replay (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
