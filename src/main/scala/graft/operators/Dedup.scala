@@ -311,6 +311,16 @@ object Dedup {
     val oldDf = spark.read.parquet(s"$root/df")
     val oldSizes = spark.read.parquet(s"$root/sizes")
     val delta = probeGrams(admitted, n, hashGrams)
+    // double-ingest guard: re-appending an already-indexed doc would
+    // silently double its grams and every df it touches — the classic
+    // replayed-delivery corruption. Re-delivery is delete+rebuild, not
+    // append; fail fast BEFORE the publish so the index is untouched.
+    val dup = admitted.select(col("doc_id")).distinct()
+      .join(oldSizes.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"appendToCrossProbeIndex: delivery contains doc_ids already in $indexPath " +
+        "(double-ingest); re-delivery requires a rebuild, not an append")
     graft.core.Artifacts.publishAtomic(spark, indexPath) { tmp =>
       oldGrams.unionByName(delta)
         .write.mode("overwrite").parquet(s"$tmp/grams")

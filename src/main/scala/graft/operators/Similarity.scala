@@ -1475,6 +1475,15 @@ object Similarity {
           .select(col("vec_id"), col("embedding")),
         cents)
       .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding"))
+    // double-ingest guard (the appendToCrossProbeIndex discipline): a
+    // replayed delivery would duplicate list entries and double-count
+    // every n_dups verdict downstream — fail fast before the publish
+    val dup = delta.select(col("ref_id"))
+      .join(oldLists.select(col("ref_id")), Seq("ref_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"appendToSemRefIndex: delivery contains vec_ids already in $indexPath " +
+        "(double-ingest); re-delivery requires a rebuild, not an append")
     val k = cents.length
     graft.core.Artifacts.publishAtomic(spark, indexPath) { tmp =>
       oldCodebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")

@@ -4142,6 +4142,18 @@ class ExtrasSpec extends SparkSpec {
     assert(viaAppend.nonEmpty, "no cross pairs after the append — vacuous")
     assert(viaAppend == batch,
       s"missing: ${(batch -- viaAppend).take(3)}; extra: ${(viaAppend -- batch).take(3)}")
+    // double-ingest guard: replaying the same delivery must fail fast
+    // BEFORE the publish, leaving the index untouched
+    val before = spark.read.parquet(
+      graft.core.Artifacts.readablePath(spark, s"$dirA/idx") + "/sizes")
+      .collect().map(_.toSeq).toSet
+    intercept[IllegalArgumentException] {
+      Dedup.appendToCrossProbeIndex(d1, s"$dirA/idx")
+    }
+    val after = spark.read.parquet(
+      graft.core.Artifacts.readablePath(spark, s"$dirA/idx") + "/sizes")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "a refused append still mutated the index")
   }
 
   test("x175 semantic append: the codebook stays frozen and a later paraphrase of an admitted doc is caught") {
@@ -4166,6 +4178,12 @@ class ExtrasSpec extends SparkSpec {
     assert(codebook() == frozen,
       "maintenance refit the codebook — that is a rebuild, not an append")
     assert(probe() == Seq((20L, 1L, 0L, Some(10L))), s"post-append: ${probe()}")
+    // replaying the same delivery must fail fast (double-ingest guard)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToSemRefIndex(d1, s"$dir/idx")
+    }
+    assert(probe() == Seq((20L, 1L, 0L, Some(10L))),
+      "a refused append changed the probe verdict")
   }
 
   test("x176 per-doc rarity is the deliberate boundary vs x174: a delivery-flooded gram still gates") {
