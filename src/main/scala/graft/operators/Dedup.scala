@@ -306,6 +306,11 @@ object Dedup {
   def appendToCrossProbeIndex(admitted: DataFrame, indexPath: String,
                               n: Int = 3, hashGrams: Boolean = false): Unit = {
     val spark = admitted.sparkSession
+    // a WRITER heals the crash window up front (the publishAtomic
+    // contract: healing is the next publisher's job) — otherwise the
+    // lazy reads below would resolve to `<path>.old` and publishAtomic's
+    // own recover() would rename it away mid-write
+    graft.core.Artifacts.recover(spark, indexPath)
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
     val oldGrams = spark.read.parquet(s"$root/grams")
     val oldDf = spark.read.parquet(s"$root/df")

@@ -1459,6 +1459,9 @@ object Similarity {
     * (spec-asserted — the reason maintenance exists). */
   def appendToSemRefIndex(admitted: DataFrame, indexPath: String): Unit = {
     val spark = admitted.sparkSession
+    // writer-side crash-window heal BEFORE resolving the root — see
+    // appendToCrossProbeIndex (a reader never renames; a writer must)
+    graft.core.Artifacts.recover(spark, indexPath)
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
     val cents: Array[(Long, Array[Double])] =
       spark.read.parquet(s"$root/codebook")

@@ -4186,6 +4186,26 @@ class ExtrasSpec extends SparkSpec {
       "a refused append changed the probe verdict")
   }
 
+  test("x175 append heals the publish crash window before writing (writer-side recover)") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("xappend_crash").toString
+    val ref = Seq((100L, "en", blk("one")), (101L, "en", blk("two")))
+      .toDF("doc_id", "lang", "text")
+    Dedup.saveCrossProbeIndex(ref, s"$dir/idx")
+    // simulate the crash-between-renames window: the live dir is aside
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/idx"),
+      java.nio.file.Paths.get(s"$dir/idx.old"))
+    val d1 = Seq((1L, "en", blk("three"))).toDF("doc_id", "lang", "text")
+    Dedup.appendToCrossProbeIndex(d1, s"$dir/idx")
+    val sizes = spark.read.parquet(
+      graft.core.Artifacts.readablePath(spark, s"$dir/idx") + "/sizes")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sizes == Set(100L, 101L, 1L), s"got $sizes")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/idx.old")), "aside copy left behind")
+  }
+
   test("x176 per-doc rarity is the deliberate boundary vs x174: a delivery-flooded gram still gates") {
     // ONE reference doc; THREE identical near-copies arrive in one
     // delivery. At maxDf=3 the union df of every shared gram is 4
