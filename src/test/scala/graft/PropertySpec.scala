@@ -359,4 +359,46 @@ class PropertySpec extends SparkSpec {
       assert(rows6(merged) == rows6(rebuilt), s"cut=$cut rows=$rows")
     }
   }
+
+  test("property: the incremental cross probe (disk index) equals batch x169 on random corpora") {
+    import graft.operators.Dedup
+    // tiny vocabulary forces heavy gram sharing, so the df prune
+    // (maxDf = 8), the minInter miner AND the Jaccard accept all see
+    // both branches across samples; the random ref/cand split exercises
+    // arbitrary index shapes including empty-overlap ones
+    val docGen = for {
+      len <- Gen.choose(5, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf("red", "blue", "green", "gold",
+        "pink", "teal", "onyx", "jade"))
+      lang <- Gen.oneOf("en", "fr")
+      ref <- Gen.oneOf(true, false)
+    } yield (ws.mkString(" "), lang, ref)
+    var nonTrivial = 0
+    forAllSamples(Gen.choose(8, 14).flatMap(Gen.listOfN(_, docGen)), n = 6) { docs =>
+      val rows = docs.zipWithIndex.map { case ((t, l, r), i) =>
+        // every 4th doc is a one-word-appended near-copy of doc 0 (its
+        // ref flag stays random), so accepted pairs exist and often
+        // straddle the split — the rest of the corpus stays random soup
+        if (i > 0 && i % 4 == 0)
+          (i.toLong, docs.head._2, docs.head._1 + " extraword", r)
+        else (i.toLong, l, t, r)
+      }
+      if (rows.exists(_._4) && rows.exists(!_._4)) {
+        val cand = rows.filterNot(_._4).map(r => (r._1, r._2, r._3))
+          .toDF("doc_id", "lang", "text")
+        val ref = rows.filter(_._4).map(r => (r._1, r._2, r._3))
+          .toDF("doc_id", "lang", "text")
+        val batch = Dedup.crossNearDupProbe(cand, ref, maxDf = 8)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val dir = java.nio.file.Files.createTempDirectory("xprop").toString
+        Dedup.saveCrossProbeIndex(ref, s"$dir/idx")
+        val incr = Dedup.crossProbeIndexed(cand, s"$dir/idx", maxDf = 8)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(incr == batch,
+          s"docs=$rows\nmissing: ${batch -- incr}; extra: ${incr -- batch}")
+        if (batch.nonEmpty) nonTrivial += 1
+      }
+    }
+    assert(nonTrivial > 0, "every sample degenerated to zero pairs — weak generator")
+  }
 }
