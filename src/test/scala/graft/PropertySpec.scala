@@ -401,4 +401,34 @@ class PropertySpec extends SparkSpec {
     }
     assert(nonTrivial > 0, "every sample degenerated to zero pairs — weak generator")
   }
+
+  test("property: the semantic probe through the persisted index equals the in-run fit on random embeddings") {
+    import graft.operators.Similarity
+    // random 3-d float vectors, random reference/candidate split: the
+    // float->parquet->float round trip, the codebook collect, and the
+    // partitioned-lists read must all be lossless — any drift breaks
+    // the verdict equality (n_dups, keep, best match, best cosine)
+    val vecGen = Gen.listOfN(3, Gen.choose(-100, 100).map(_ / 37.0f))
+    val rowGen = Gen.zip(vecGen, Gen.oneOf(true, false))
+    var nonTrivial = 0
+    forAllSamples(Gen.choose(8, 14).flatMap(Gen.listOfN(_, rowGen)), n = 6) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((v, r), i) => (i.toLong, v, r) }
+      if (rows.count(_._3) >= 2 && rows.exists(!_._3)) {
+        val ref = rows.filter(_._3).map(r => (r._1, r._2))
+          .toDF("vec_id", "embedding")
+        val cand = rows.filterNot(_._3).map(r => (r._1, r._2))
+          .toDF("vec_id", "embedding")
+        val batch = Similarity.crossSemProbe(cand, ref, k = 2, iters = 1)
+          .collect().map(_.toSeq).toSet
+        val dir = java.nio.file.Files.createTempDirectory("semprop").toString
+        Similarity.saveSemRefIndex(ref, s"$dir/idx", k = 2, iters = 1)
+        val viaIdx = Similarity.semProbeAgainst(cand, s"$dir/idx")
+          .collect().map(_.toSeq).toSet
+        assert(viaIdx == batch,
+          s"rows=$rows\nmissing: ${batch -- viaIdx}; extra: ${viaIdx -- batch}")
+        if (batch.exists(r => r(2).asInstanceOf[Long] > 0L)) nonTrivial += 1
+      }
+    }
+    assert(nonTrivial > 0, "every sample degenerated to zero hits — weak generator")
+  }
 }
