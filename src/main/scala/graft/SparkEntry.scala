@@ -651,6 +651,11 @@ object SparkEntry {
     // 2017) over (confidence, correct) pairs; the reward-model check
     // run before trusting scores to gate data.
     "x177_calibration"    -> (Analytics.calibrationQuery _),
+    // x178: semantic-index drift check — PSI over the frozen codebook's
+    // cluster-occupancy bins (reference vs recent sample), the
+    // scheduled-rebuild trigger x175's frozen-codebook maintenance
+    // defers to.
+    "x178_sem_drift"      -> (Similarity.semDriftQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -1338,7 +1338,12 @@ object Analytics {
     * aggregates the |bins|-row result, not the corpus. */
   def calibrationBins(preds: DataFrame, bins: Int = CalibBins): DataFrame = {
     require(bins > 0, s"calibrationBins: bins=$bins")
-    val b = least(floor(col("conf") * bins), lit(bins - 1L)).cast("long")
+    // clamp BOTH edges: conf==1.0 folds into the top bin, and any
+    // out-of-range conf < 0 folds into bin 0 — an unclamped negative
+    // yields bin <= -1, colliding with calibrationAudit's bin=-1 ECE
+    // summary sentinel (ambiguous duplicate rows for a garbage input)
+    val b = greatest(lit(0L),
+      least(floor(col("conf") * bins), lit(bins - 1L))).cast("long")
     preds
       .filter(col("conf").isNotNull && col("correct").isNotNull)
       .select(b.as("bin"), col("conf"), col("correct").cast("long").as("c"))

@@ -268,76 +268,139 @@ object Dedup {
         explode(wordShingles(col("text"), n)).as("g"))
       .select(col("doc_id"), col("lang"), gramKey(col("g"), hashGrams).as("gram"))
 
+  /** The manifest parameter fingerprint of a cross-probe gram index:
+    * appends and probes must match it exactly or the gram key-spaces
+    * silently mix (raw vs hashed carriers, a different shingle n). */
+  private def crossParams(n: Int, hashGrams: Boolean): Map[String, String] =
+    Map("n" -> n.toString, "hashGrams" -> hashGrams.toString)
+
+  /** Write the generation-0 gram/df/sizes data dirs of a cross-probe
+    * index under `root` and commit manifest_0 — shared by the
+    * standalone index build and the acceptance battery (which folds
+    * `extraParams`/`extraParts` — its texts tier and pinned semantic
+    * generation — into the SAME manifest so the whole battery commits
+    * as one snapshot). df and sizes derive from re-reading the
+    * just-written narrow gram files, so the reference corpus is
+    * scanned ONCE at build. */
+  private def writeCrossBase(reference: DataFrame, root: String, n: Int,
+                             hashGrams: Boolean,
+                             extraParams: Map[String, String] = Map.empty,
+                             extraParts: Map[String, Vector[String]] = Map.empty)
+      : Unit = {
+    import graft.core.DeltaIndex
+    val spark = reference.sparkSession
+    val gramsDir = DeltaIndex.partDir("grams", 0L)
+    probeGrams(reference, n, hashGrams)
+      .write.mode("overwrite").parquet(s"$root/$gramsDir")
+    val g = spark.read.parquet(s"$root/$gramsDir")
+    val dfDir = DeltaIndex.partDir("df", 0L)
+    g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/$dfDir")
+    val sizesDir = DeltaIndex.partDir("sizes", 0L)
+    g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$root/$sizesDir")
+    DeltaIndex.commit(spark, root, DeltaIndex.Manifest(0L,
+      crossParams(n, hashGrams) ++ extraParams,
+      Map("grams" -> Vector(gramsDir), "df" -> Vector(dfDir),
+        "sizes" -> Vector(sizesDir)) ++ extraParts))
+  }
+
   /** Persist the frozen reference side of [[crossNearDupProbe]] so
     * repeated vendor deliveries probe an ARTIFACT instead of refusing
-    * the union each time (the saveDecontamIndex layout discipline):
-    * `path/grams` — the reference's distinct word n-grams, one row per
-    * (doc, gram); `path/df` — per-gram reference document frequency
-    * (the frozen half of the union-df prune); `path/sizes` — per-doc
-    * gram-set sizes (the frozen half of the exact-Jaccard union).
-    * df and sizes are derived by re-reading the just-written narrow
-    * gram files, so the reference corpus is scanned ONCE at build.
-    * Published atomically so the three parts can never mix
-    * generations. */
+    * the union each time: `grams` — the reference's distinct word
+    * n-grams, one row per (doc, gram); `df` — per-gram reference
+    * document frequency (the frozen half of the union-df prune);
+    * `sizes` — per-doc gram-set sizes (the frozen half of the
+    * exact-Jaccard union). Parts live in [[graft.core.DeltaIndex]]
+    * generation-manifest layout (so maintenance appends are O(delta),
+    * never a rewrite) with the build parameters pinned in the
+    * manifest; the build itself publishes the whole root atomically
+    * ([[graft.core.Artifacts.publishAtomic]]). */
   def saveCrossProbeIndex(reference: DataFrame, path: String, n: Int = 3,
-                          hashGrams: Boolean = false): Unit = {
-    val spark = reference.sparkSession
-    graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
-      probeGrams(reference, n, hashGrams)
-        .write.mode("overwrite").parquet(s"$tmp/grams")
-      val g = spark.read.parquet(s"$tmp/grams")
-      g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$tmp/df")
-      g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$tmp/sizes")
+                          hashGrams: Boolean = false): Unit =
+    graft.core.Artifacts.publishAtomic(reference.sparkSession, path) { tmp =>
+      writeCrossBase(reference, tmp, n, hashGrams)
     }
+
+  /** The delta-write body shared by [[appendToCrossProbeIndex]] and
+    * [[appendToAcceptanceIndex]]: write the delivery's gram and size
+    * DELTA dirs plus the one merged df generation, and return the
+    * updated part map. Reads ONLY the delivery, the just-written delta
+    * gram files, and the old df (the one O(index-df) aggregate a
+    * correct merged-df probe needs) — never an old gram file
+    * (spec-gated by corrupting them first). */
+  private def writeCrossDelta(admitted: DataFrame, root: String,
+                              m: graft.core.DeltaIndex.Manifest, gen: Long,
+                              n: Int, hashGrams: Boolean)
+      : Map[String, Vector[String]] = {
+    import graft.core.DeltaIndex
+    val spark = admitted.sparkSession
+    val gramsDir = DeltaIndex.partDir("grams", gen)
+    probeGrams(admitted, n, hashGrams)
+      .write.mode("overwrite").parquet(s"$root/$gramsDir")
+    val g = spark.read.parquet(s"$root/$gramsDir")
+    val dfDir = DeltaIndex.partDir("df", gen)
+    DeltaIndex.read(spark, root, m, "df")
+      .join(g.groupBy(col("gram")).agg(count(lit(1)).as("_d")),
+        Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("df"))
+      .write.mode("overwrite").parquet(s"$root/$dfDir")
+    val sizesDir = DeltaIndex.partDir("sizes", gen)
+    g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$root/$sizesDir")
+    Map("grams" -> (m.dirs("grams") :+ gramsDir),
+      "sizes" -> (m.dirs("sizes") :+ sizesDir),
+      "df" -> Vector(dfDir))
+  }
+
+  /** The x171/x175 double-ingest guard: re-appending an already-indexed
+    * doc would silently double its grams and every df it touches — the
+    * classic replayed-delivery corruption. Re-delivery is
+    * delete+rebuild, not append; fail fast BEFORE any write so the
+    * index is untouched. Reads only the per-doc `sizes` metadata part,
+    * never a gram file. */
+  private def requireNoDoubleIngest(admitted: DataFrame, oldSizes: DataFrame,
+                                    what: String, indexPath: String): Unit = {
+    val dup = admitted.select(col("doc_id")).distinct()
+      .join(oldSizes.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"$what: delivery contains doc_ids already in $indexPath " +
+        "(double-ingest); re-delivery requires a rebuild, not an append")
   }
 
   /** INDEX MAINTENANCE (the x175 loop-closer): fold an ADMITTED
     * delivery into a [[saveCrossProbeIndex]] artifact, producing the
     * next-generation index — equal to a full rebuild over
-    * reference ∪ delivery (spec-asserted) while reading ONLY the
-    * current index and the delivery (the reference corpus is gone):
-    * grams append, df merges by gram-key sum, sizes append. Published
-    * atomically to the same root, so concurrent probes see the old or
-    * the new generation, never a mix. At 100 TB the grams rewrite
-    * becomes a partition append and the df merge stays the one
-    * index-df-sized aggregate here. */
+    * reference ∪ delivery (spec-asserted) at O(delta) write cost: the
+    * delivery's gram and size rows land in NEW immutable delta dirs,
+    * the df merge is the one O(index-df) aggregate a merged-df probe
+    * needs, and the generation commits as ONE manifest-file rename
+    * ([[graft.core.DeltaIndex]]). Old gram files are never read
+    * (spec-gated) and never rewritten. Readers racing an append are
+    * snapshot-isolated: a resolved manifest's data dirs are immutable
+    * and never deleted by an append, so an in-flight probe keeps its
+    * complete generation. (A full REBUILD still swaps the whole root —
+    * a probe racing THAT may need a retry after the fail-stop
+    * crash-window read.) */
   def appendToCrossProbeIndex(admitted: DataFrame, indexPath: String,
                               n: Int = 3, hashGrams: Boolean = false): Unit = {
+    import graft.core.DeltaIndex
     val spark = admitted.sparkSession
-    // a WRITER heals the crash window up front (the publishAtomic
-    // contract: healing is the next publisher's job) — otherwise the
-    // lazy reads below would resolve to `<path>.old` and publishAtomic's
-    // own recover() would rename it away mid-write
+    // a WRITER heals the publish crash window up front (the
+    // publishAtomic contract: healing is the next publisher's job)
     graft.core.Artifacts.recover(spark, indexPath)
-    val root = graft.core.Artifacts.readablePath(spark, indexPath)
-    val oldGrams = spark.read.parquet(s"$root/grams")
-    val oldDf = spark.read.parquet(s"$root/df")
-    val oldSizes = spark.read.parquet(s"$root/sizes")
-    val delta = probeGrams(admitted, n, hashGrams)
-    // double-ingest guard: re-appending an already-indexed doc would
-    // silently double its grams and every df it touches — the classic
-    // replayed-delivery corruption. Re-delivery is delete+rebuild, not
-    // append; fail fast BEFORE the publish so the index is untouched.
-    val dup = admitted.select(col("doc_id")).distinct()
-      .join(oldSizes.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(dup == 0L,
-      s"appendToCrossProbeIndex: delivery contains doc_ids already in $indexPath " +
-        "(double-ingest); re-delivery requires a rebuild, not an append")
-    graft.core.Artifacts.publishAtomic(spark, indexPath) { tmp =>
-      oldGrams.unionByName(delta)
-        .write.mode("overwrite").parquet(s"$tmp/grams")
-      val deltaDf = delta.groupBy(col("gram")).agg(count(lit(1)).as("_d"))
-      oldDf.join(deltaDf, Seq("gram"), "full_outer")
-        .select(col("gram"),
-          (coalesce(col("df"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("df"))
-        .write.mode("overwrite").parquet(s"$tmp/df")
-      oldSizes.unionByName(
-          delta.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
-        .write.mode("overwrite").parquet(s"$tmp/sizes")
-    }
+    val m = DeltaIndex.latest(spark, indexPath)
+    DeltaIndex.requireParams(m, crossParams(n, hashGrams),
+      "appendToCrossProbeIndex")
+    requireNoDoubleIngest(admitted,
+      DeltaIndex.read(spark, indexPath, m, "sizes"),
+      "appendToCrossProbeIndex", indexPath)
+    val gen = m.gen + 1
+    val parts = writeCrossDelta(admitted, indexPath, m, gen, n, hashGrams)
+    DeltaIndex.commit(spark, indexPath,
+      DeltaIndex.Manifest(gen, m.params, m.parts ++ parts))
   }
 
   /** x171: the INCREMENTAL form of x169 — probe a delivery against the
@@ -423,12 +486,19 @@ object Dedup {
                         n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
                         jaccardThreshold: Double = 0.5,
                         hashGrams: Boolean = false): DataFrame = {
+    import graft.core.DeltaIndex
     val spark = candidates.sparkSession
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    // ONE manifest resolve per probe: the generation's data dirs are
+    // immutable and survive any concurrent append, so the three parts
+    // below are a consistent snapshot by construction
+    val m = DeltaIndex.latest(spark, root)
+    DeltaIndex.requireParams(m, crossParams(n, hashGrams),
+      "crossProbeIndexed")
     crossProbeAgainst(candidates,
-      spark.read.parquet(s"$root/grams"),
-      spark.read.parquet(s"$root/df"),
-      spark.read.parquet(s"$root/sizes"),
+      DeltaIndex.read(spark, root, m, "grams"),
+      DeltaIndex.read(spark, root, m, "df"),
+      DeltaIndex.read(spark, root, m, "sizes"),
       n, maxDf, minInter, jaccardThreshold, hashGrams)
   }
 
@@ -538,29 +608,91 @@ object Dedup {
   /** Persist the FULL acceptance reference for the live gate (x176):
     * `texts` (exact tier — text → smallest reference id), the x171
     * gram tables (`grams`/`df`/`sizes`, surface tier), and the x170
-    * semantic sub-index nested at `sem/` (codebook + centroid-
-    * partitioned lists). One atomic publish for the whole battery, so
-    * a gate never scores against tiers from different generations.
-    * Reference docs and vectors pair by doc_id == vec_id (the
-    * corpus-table contract). */
+    * semantic sub-index nested at `sem/` (its own
+    * [[graft.core.DeltaIndex]] artifact: codebook + centroid-
+    * partitioned lists + ids). The battery's OWN manifest pins the
+    * semantic GENERATION (`semGen`), so a gate resolves every tier
+    * from one snapshot even while maintenance appends land; the build
+    * publishes the whole root atomically. Reference docs and vectors
+    * pair by doc_id == vec_id (the corpus-table contract). */
   def saveAcceptanceIndex(refDocs: DataFrame, refVecs: DataFrame,
                           path: String, n: Int = 3,
                           hashGrams: Boolean = false,
                           k: Int = Similarity.KmeansK,
                           iters: Int = Similarity.KmeansIters): Unit = {
+    import graft.core.DeltaIndex
     val spark = refDocs.sparkSession
     graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
+      val textsDir = DeltaIndex.partDir("texts", 0L)
       refDocs.groupBy(col("text")).agg(min(col("doc_id")).as("exact_ref"))
-        .write.mode("overwrite").parquet(s"$tmp/texts")
-      probeGrams(refDocs, n, hashGrams)
-        .write.mode("overwrite").parquet(s"$tmp/grams")
-      val g = spark.read.parquet(s"$tmp/grams")
-      g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$tmp/df")
-      g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$tmp/sizes")
+        .write.mode("overwrite").parquet(s"$tmp/$textsDir")
       Similarity.saveSemRefIndex(refVecs, s"$tmp/sem", k, iters)
+      writeCrossBase(refDocs, tmp, n, hashGrams,
+        extraParams = Map("semGen" -> "0"),
+        extraParts = Map("texts" -> Vector(textsDir)))
     }
+  }
+
+  /** INDEX MAINTENANCE for the full battery (x175 at x176's grain):
+    * fold an ADMITTED delivery (docs + vectors, doc_id == vec_id) into
+    * a [[saveAcceptanceIndex]] artifact at O(delta) write cost — text
+    * and gram delta dirs, the one merged-df aggregate, a semantic
+    * lists/ids delta under `sem/`, then ONE battery-manifest commit
+    * that flips every tier (including the pinned `semGen`) together.
+    *
+    * Crash discipline: the sem sub-index commits its own generation
+    * BEFORE the battery manifest. Until the battery commit lands,
+    * gates keep probing the OLD pinned semGen — tiers never mix. A
+    * crash between the two commits heals on RETRY: the retry detects
+    * that sem's latest generation is exactly this delivery (by its
+    * `ids` metadata), skips the sem append, and re-commits the battery
+    * (spec-asserted). */
+  def appendToAcceptanceIndex(admittedDocs: DataFrame,
+                              admittedVecs: DataFrame, indexPath: String,
+                              n: Int = 3, hashGrams: Boolean = false): Unit = {
+    import graft.core.DeltaIndex
+    val spark = admittedDocs.sparkSession
+    graft.core.Artifacts.recover(spark, indexPath)
+    val m = DeltaIndex.latest(spark, indexPath)
+    DeltaIndex.requireParams(m, crossParams(n, hashGrams),
+      "appendToAcceptanceIndex")
+    requireNoDoubleIngest(admittedDocs,
+      DeltaIndex.read(spark, indexPath, m, "sizes"),
+      "appendToAcceptanceIndex", indexPath)
+    val semRoot = s"$indexPath/sem"
+    val pinnedSemGen = m.params("semGen").toLong
+    val semLatest = DeltaIndex.latest(spark, semRoot)
+    val newSemGen =
+      if (semLatest.gen == pinnedSemGen)
+        Similarity.appendToSemRefIndex(admittedVecs, semRoot)
+      else {
+        // sem is AHEAD of the battery pin: either a crash between the
+        // two commits (heal: the unpinned generations must be exactly
+        // this delivery's vectors) or a foreign writer (refuse).
+        val unpinnedIds = DeltaIndex.read(spark, semRoot, semLatest, "ids")
+          .select(col("ref_id"))
+          .exceptAll(DeltaIndex.read(spark, semRoot,
+              DeltaIndex.at(spark, semRoot, pinnedSemGen), "ids")
+            .select(col("ref_id")))
+        val delivery = admittedVecs.filter(col("embedding").isNotNull)
+          .select(col("vec_id").as("ref_id")).distinct()
+        val foreign = unpinnedIds.exceptAll(delivery).limit(1).count() +
+          delivery.exceptAll(unpinnedIds).limit(1).count()
+        require(foreign == 0L,
+          s"appendToAcceptanceIndex: $semRoot is ${semLatest.gen - pinnedSemGen} " +
+            s"generation(s) ahead of the battery pin ($pinnedSemGen) and the " +
+            "unpinned vectors are NOT this delivery — a foreign append landed; " +
+            "rebuild the battery")
+        semLatest.gen
+      }
+    val gen = m.gen + 1
+    val textsDir = DeltaIndex.partDir("texts", gen)
+    admittedDocs.groupBy(col("text")).agg(min(col("doc_id")).as("exact_ref"))
+      .write.mode("overwrite").parquet(s"$indexPath/$textsDir")
+    val parts = writeCrossDelta(admittedDocs, indexPath, m, gen, n, hashGrams)
+    DeltaIndex.commit(spark, indexPath, DeltaIndex.Manifest(gen,
+      m.params + ("semGen" -> newSemGen.toString),
+      m.parts ++ parts + ("texts" -> (m.dirs("texts") :+ textsDir))))
   }
 
   /** x176: PER-DOCUMENT LIVE ACCEPTANCE GATE — x174 at the ingestion
@@ -622,17 +754,31 @@ object Dedup {
                             jaccardThreshold: Double = 0.5,
                             hashGrams: Boolean = false,
                             tau: Double = Similarity.SemDedupTau): DataFrame = {
+    import graft.core.DeltaIndex
     val spark = cands.sparkSession
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
-    val sem = Similarity.semProbeAgainst(
+    // ONE battery manifest resolve: the semantic tier is pinned to the
+    // generation THIS manifest names (semGen), so every tier scores
+    // against the same snapshot even while maintenance appends land
+    val m = DeltaIndex.latest(spark, root)
+    DeltaIndex.requireParams(m, crossParams(n, hashGrams),
+      "acceptanceGateIndexed")
+    val semRoot = s"$root/sem"
+    val sem = Similarity.semProbePinned(
         cands.select(col("doc_id").as("vec_id"), col("embedding")),
-        s"$root/sem", tau)
+        semRoot, DeltaIndex.at(spark, semRoot, m.params("semGen").toLong), tau)
       .select(col("cand_id"), col("n_dups").as("n_sem"))
+    // texts re-keys to one row per text across generations: under the
+    // gate contract an admitted text is never re-admitted, but a misuse
+    // must degrade to the smallest-id row, not silently duplicate the
+    // per-candidate output grain
+    val texts = DeltaIndex.read(spark, root, m, "texts")
+      .groupBy(col("text")).agg(min(col("exact_ref")).as("exact_ref"))
     acceptanceGateAgainst(cands,
-      spark.read.parquet(s"$root/texts"),
-      spark.read.parquet(s"$root/grams"),
-      spark.read.parquet(s"$root/df"),
-      spark.read.parquet(s"$root/sizes"),
+      texts,
+      DeltaIndex.read(spark, root, m, "grams"),
+      DeltaIndex.read(spark, root, m, "df"),
+      DeltaIndex.read(spark, root, m, "sizes"),
       sem, n, maxDf, minInter, jaccardThreshold, hashGrams)
   }
 

@@ -199,6 +199,9 @@ object ExtrasOracle {
     // x170: the SEMANTIC tier of the acceptance audit — x92's
     // within-cluster cosine test restricted to cross-side pairs.
     "x170_sem_probe" -> crossSemSql,
+    // x178: PSI drift over the frozen codebook's cluster-occupancy
+    // bins — the scheduled-rebuild trigger for x175 maintenance.
+    "x178_sem_drift" -> semDriftSql,
     // x174: the three acceptance tiers fused to one verdict table.
     "x174_acceptance" -> acceptanceSql,
     // x176: the tiers at PER-DOCUMENT grain — the live gate's batch face.
@@ -2126,7 +2129,8 @@ object ExtrasOracle {
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |c0 AS MATERIALIZED (
-       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${Similarity.KmeansK}),
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT ${Similarity.KmeansK}),
        |$rounds,
        |${kmAssignCte("afin", s"c${Similarity.KmeansIters}")}""".stripMargin
   }
@@ -2230,6 +2234,60 @@ object ExtrasOracle {
        |FROM ca LEFT JOIN agg ON agg.cand_id = ca.vec_id
        |        LEFT JOIN best ON best.cand_id = ca.vec_id
        |ORDER BY cand_id""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.semDriftQuery (x178): the x170 CTE
+    * prologue (even-id reference fit, odd-id recent assignment under
+    * the frozen codebook), then Laplace-smoothed round-6 occupancy
+    * shares, the x82 pinned-ln PSI terms, the exact-decimal PSI sum,
+    * and the round-6 threshold verdict. */
+  private def semDriftSql: String = {
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    val k = Similarity.KmeansK
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+       |cde AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${kmAssignCte("afin", s"c${Similarity.KmeansIters}")},
+       |${kmAssignCte("ca", s"c${Similarity.KmeansIters}", "cde")},
+       |cl AS (SELECT cid FROM c${Similarity.KmeansIters}),
+       |rh AS (SELECT cid, COUNT(*) AS n_ref FROM afin GROUP BY 1),
+       |ch AS (SELECT cid, COUNT(*) AS n_recent FROM ca GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM afin) AS tr,
+       |               (SELECT COUNT(*) FROM ca) AS tc),
+       |per AS MATERIALIZED (
+       |  SELECT cl.cid AS cluster,
+       |    CAST(coalesce(rh.n_ref, 0) AS BIGINT) AS n_ref,
+       |    CAST(coalesce(ch.n_recent, 0) AS BIGINT) AS n_recent,
+       |    round(CAST(coalesce(rh.n_ref, 0) + 1 AS DOUBLE)
+       |      / CAST(tr + $k AS DOUBLE), 6) AS ref_share,
+       |    round(CAST(coalesce(ch.n_recent, 0) + 1 AS DOUBLE)
+       |      / CAST(tc + $k AS DOUBLE), 6) AS recent_share
+       |  FROM cl LEFT JOIN rh ON rh.cid = cl.cid
+       |          LEFT JOIN ch ON ch.cid = cl.cid
+       |          CROSS JOIN tot),
+       |per2 AS MATERIALIZED (
+       |  SELECT *, round((recent_share - ref_share)
+       |    * round(ln(recent_share / ref_share), 6), 6) AS psi_term
+       |  FROM per),
+       |tot2 AS (
+       |  SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE),
+       |    6) AS psi
+       |  FROM per2)
+       |SELECT cluster, n_ref, n_recent, ref_share, recent_share, psi_term,
+       |  psi,
+       |  CAST(CASE WHEN psi >= ${Similarity.SemDriftThreshold} THEN 1
+       |       ELSE 0 END AS BIGINT) AS rebuild
+       |FROM per2 CROSS JOIN tot2 ORDER BY cluster""".stripMargin
   }
 
   /** DuckDB twin of Similarity.marginQuery (x94): round-6 cosine rank
@@ -2502,7 +2560,8 @@ object ExtrasOracle {
        |    CASE WHEN user_id % 97 < event_id % 97 THEN 1 ELSE 0 END AS c
        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
        |binned AS (
-       |  SELECT least(CAST(FLOOR(conf * $b) AS BIGINT), ${b - 1}) AS bin,
+       |  SELECT greatest(CAST(0 AS BIGINT),
+       |    least(CAST(FLOOR(conf * $b) AS BIGINT), ${b - 1})) AS bin,
        |    conf, c
        |  FROM p),
        |per AS MATERIALIZED (

@@ -1422,57 +1422,102 @@ object Similarity {
       .orderBy(col("cand_id"))
   }
 
-  /** Persist the frozen reference side of [[crossSemProbe]]:
-    * `path/codebook` — the k x d exact-decimal-sum centroids as (cid,
-    * cv DOUBLE[]) rows (KBs, driver-resident on load); `path/lists` —
-    * the assigned reference vectors, partitioned by cluster so a probe
-    * that touches few clusters prunes its read. Published atomically
-    * ([[graft.core.Artifacts.publishAtomic]]) so codebook and lists can
-    * never mix generations. */
+  /** Persist the frozen reference side of [[crossSemProbe]], in
+    * [[graft.core.DeltaIndex]] generation-manifest layout:
+    *
+    *   - `codebook` — the k x d exact-decimal-sum centroids as (cid,
+    *     cv DOUBLE[]) rows (KBs, driver-resident on load); FROZEN
+    *     across appends (refitting is a scheduled rebuild, gated by
+    *     [[semIndexDriftCheck]]);
+    *   - `lists` — the assigned reference vectors, partitioned by
+    *     cluster inside each generation dir, so a probe that touches
+    *     few clusters prunes its read across every generation;
+    *   - `ids` — per-vector (cluster, ref_id) METADATA, the rows the
+    *     double-ingest guard and the drift check read so maintenance
+    *     never opens an embedding list file.
+    *
+    * The build publishes the whole root atomically
+    * ([[graft.core.Artifacts.publishAtomic]]); appends commit new
+    * generations by one manifest rename. */
   def saveSemRefIndex(reference: DataFrame, path: String,
                       k: Int = KmeansK, iters: Int = KmeansIters): Unit = {
+    import graft.core.DeltaIndex
     val spark = reference.sparkSession
-    import spark.implicits._
     val (refEmb, cents) = kmeansFit(reference, k, iters)
     graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
-      cents.toIndexedSeq.map { case (cid, cv) => (cid, cv.toSeq: Seq[Double]) }
-        .toDF("cid", "cv").coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/codebook")
-      kmeansAssigned(refEmb, cents)
-        .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding"))
-        // one file per NON-EMPTY cluster, not tasks x clusters
-        .repartition(k, col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$tmp/lists")
+      val cbDir = writeSemCodebook(spark, tmp, cents)
+      val (listsDir, idsDir) = writeSemDelta(spark, tmp, 0L,
+        kmeansAssigned(refEmb, cents)
+          .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding")),
+        cents.length)
+      DeltaIndex.commit(spark, tmp, DeltaIndex.Manifest(0L,
+        Map("k" -> k.toString),
+        Map("codebook" -> Vector(cbDir), "lists" -> Vector(listsDir),
+          "ids" -> Vector(idsDir))))
     }
   }
 
+  private def writeSemCodebook(spark: SparkSession, root: String,
+                               cents: Array[(Long, Array[Double])]): String = {
+    import spark.implicits._
+    val dir = graft.core.DeltaIndex.partDir("codebook", 0L)
+    cents.toIndexedSeq.map { case (cid, cv) => (cid, cv.toSeq: Seq[Double]) }
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$dir")
+    dir
+  }
+
+  /** Write one generation's `lists` + `ids` data dirs: the assigned
+    * vectors cluster-partitioned (one file per NON-EMPTY cluster, not
+    * tasks x clusters), and the (cluster, ref_id) metadata derived by
+    * re-reading the just-written delta files — the input is scanned
+    * once, and only THIS generation's files are touched. */
+  private def writeSemDelta(spark: SparkSession, root: String, gen: Long,
+                            assigned: DataFrame, k: Int): (String, String) = {
+    import graft.core.DeltaIndex
+    val listsDir = DeltaIndex.partDir("lists", gen)
+    assigned
+      .repartition(k, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$root/$listsDir")
+    val idsDir = DeltaIndex.partDir("ids", gen)
+    spark.read.parquet(s"$root/$listsDir")
+      .select(col("cluster").cast("long").as("cluster"), col("ref_id"))
+      .write.mode("overwrite").parquet(s"$root/$idsDir")
+    (listsDir, idsDir)
+  }
+
+  /** The driver-resident k x d codebook of a pinned generation. */
+  private[graft] def semCodebook(spark: SparkSession, root: String,
+                                 m: graft.core.DeltaIndex.Manifest)
+      : Array[(Long, Array[Double])] =
+    graft.core.DeltaIndex.read(spark, root, m, "codebook")
+      .select(col("cid").cast("long"), col("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
   /** INDEX MAINTENANCE (x175's semantic sibling): fold an ADMITTED
     * delivery's vectors into a [[saveSemRefIndex]] artifact — assign
-    * them with the FROZEN codebook and append to the lists; the
-    * codebook itself never changes (the production discipline: per-
-    * delivery refits would silently re-cluster the whole reference;
-    * refitting is a scheduled REBUILD, not maintenance — the x78/x83
-    * persisted-codebook contract). Reads only the current index and
-    * the delivery; atomic republish. After the append, a later
+    * them with the FROZEN codebook and commit a new generation holding
+    * ONLY the delivery's list/ids delta dirs plus one manifest rename
+    * (O(delta) — never a lists rewrite, and no old list file is even
+    * read: the double-ingest guard runs on the `ids` metadata part,
+    * spec-gated by corrupting the old list files first). The codebook
+    * never changes here (per-delivery refits would silently re-cluster
+    * the whole reference; refitting is a scheduled REBUILD —
+    * [[semIndexDriftCheck]] is the trigger). After the append, a later
     * delivery's paraphrase of an admitted document is flagged
-    * (spec-asserted — the reason maintenance exists). */
-  def appendToSemRefIndex(admitted: DataFrame, indexPath: String): Unit = {
+    * (spec-asserted — the reason maintenance exists). Returns the
+    * committed generation number. */
+  def appendToSemRefIndex(admitted: DataFrame, indexPath: String): Long = {
+    import graft.core.DeltaIndex
     val spark = admitted.sparkSession
-    // writer-side crash-window heal BEFORE resolving the root — see
+    // writer-side crash-window heal BEFORE resolving the manifest — see
     // appendToCrossProbeIndex (a reader never renames; a writer must)
     graft.core.Artifacts.recover(spark, indexPath)
-    val root = graft.core.Artifacts.readablePath(spark, indexPath)
-    val cents: Array[(Long, Array[Double])] =
-      spark.read.parquet(s"$root/codebook")
-        .select(col("cid").cast("long"), col("cv"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1)
-    val oldCodebook = spark.read.parquet(s"$root/codebook")
-    val oldLists = spark.read.parquet(s"$root/lists")
-      .select(col("cluster").cast("long").as("cluster"),
-        col("ref_id"), col("embedding"))
+    val m = DeltaIndex.latest(spark, indexPath)
+    val cents = semCodebook(spark, indexPath, m)
     val delta = kmeansAssigned(
         admitted.filter(col("embedding").isNotNull)
           .select(col("vec_id"), col("embedding")),
@@ -1480,21 +1525,22 @@ object Similarity {
       .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding"))
     // double-ingest guard (the appendToCrossProbeIndex discipline): a
     // replayed delivery would duplicate list entries and double-count
-    // every n_dups verdict downstream — fail fast before the publish
+    // every n_dups verdict downstream — fail fast before any write.
+    // Runs on the ids METADATA part; old embedding lists stay unread.
     val dup = delta.select(col("ref_id"))
-      .join(oldLists.select(col("ref_id")), Seq("ref_id"), "left_semi")
+      .join(DeltaIndex.read(spark, indexPath, m, "ids").select(col("ref_id")),
+        Seq("ref_id"), "left_semi")
       .limit(1).count()
     require(dup == 0L,
       s"appendToSemRefIndex: delivery contains vec_ids already in $indexPath " +
         "(double-ingest); re-delivery requires a rebuild, not an append")
-    val k = cents.length
-    graft.core.Artifacts.publishAtomic(spark, indexPath) { tmp =>
-      oldCodebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
-      oldLists.unionByName(delta)
-        .repartition(k, col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$tmp/lists")
-    }
+    val gen = m.gen + 1
+    val (listsDir, idsDir) = writeSemDelta(spark, indexPath, gen, delta,
+      cents.length)
+    DeltaIndex.commit(spark, indexPath, DeltaIndex.Manifest(gen, m.params,
+      m.parts + ("lists" -> (m.dirs("lists") :+ listsDir)) +
+        ("ids" -> (m.dirs("ids") :+ idsDir))))
+    gen
   }
 
   /** Probe a [[saveSemRefIndex]] artifact: the codebook collects back to
@@ -1509,15 +1555,124 @@ object Similarity {
                       tau: Double = SemDedupTau): DataFrame = {
     val spark = candidates.sparkSession
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
-    val cents: Array[(Long, Array[Double])] =
-      spark.read.parquet(s"$root/codebook")
-        .select(col("cid").cast("long"), col("cv"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1)
-    val lists = spark.read.parquet(s"$root/lists")
+    semProbePinned(candidates, root, graft.core.DeltaIndex.latest(spark, root),
+      tau)
+  }
+
+  /** [[semProbeAgainst]] at a PINNED generation — the acceptance
+    * battery resolves its semantic generation from its own manifest so
+    * all tiers score against one snapshot. */
+  private[graft] def semProbePinned(candidates: DataFrame, root: String,
+                                    m: graft.core.DeltaIndex.Manifest,
+                                    tau: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    val cents = semCodebook(spark, root, m)
+    val lists = graft.core.DeltaIndex.read(spark, root, m, "lists")
       .select(col("cluster").cast("long").as("cluster"),
         col("ref_id"), col("embedding").as("_re"))
     semVerdict(assignCandidates(candidates, cents), lists, tau)
+  }
+
+  // ------------- semantic-index drift check (x178) --------------------
+
+  /** PSI at or above this on the cluster-occupancy histogram flags the
+    * frozen codebook for rebuild (the standard "major population
+    * shift" rule-of-thumb; compared against the round-6 PSI image, so
+    * the verdict is cross-engine exact). */
+  val SemDriftThreshold = 0.2
+
+  /** x178: SEMANTIC-INDEX DRIFT CHECK — the rebuild trigger
+    * [[appendToSemRefIndex]]'s frozen-codebook discipline defers to.
+    * A codebook fit on last quarter's reference clusters last quarter's
+    * MEANING; when the incoming distribution moves (new domain, new
+    * language mix), vectors pile into few clusters, the per-cluster
+    * exact scan degrades toward a full scan, and the within-cluster
+    * probe starts missing cross-cluster paraphrases. This detects that
+    * as a Population Stability Index (x128/x130's discipline) over the
+    * k cluster-assignment bins: reference occupancy (from the index)
+    * vs a RECENT sample assigned under the SAME frozen codebook.
+    *
+    * Per cluster: Laplace-smoothed shares
+    * `share = (n + 1) / (N + k)` rounded at 6, the PSI term
+    * `round((recent_share − ref_share) · round(ln(recent/ref), 6), 6)`
+    * (the x82 pinned-ln discipline — every inexact step is a round-6
+    * image, so both engines land identical doubles), plus the total
+    * `psi` (exact DECIMAL sum of the round-6 terms, rounded once) and
+    * the `rebuild` verdict (psi >= threshold) repeated on each row
+    * (the established 1-row-total cross-join pattern; the join is k
+    * rows x 1).
+    *
+    * Scale shape: ONE pass over the recent sample (stateless literal-
+    * centroid assignment + hash agg on k keys); the reference side is
+    * k pre-counted rows. */
+  def semDriftAgainst(recent: DataFrame, cents: Array[(Long, Array[Double])],
+                      refCounts: DataFrame,
+                      threshold: Double = SemDriftThreshold): DataFrame = {
+    val spark = recent.sparkSession
+    import spark.implicits._
+    val k = cents.length
+    require(k > 0, "semDriftAgainst: empty codebook")
+    val recCounts = kmeansAssigned(
+        recent.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")),
+        cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_recent"))
+    // every codebook cluster appears, even when empty on either side —
+    // Laplace smoothing is only well-defined over the full support
+    val counts = cents.map(_._1).toSeq.toDF("cluster")
+      .join(refCounts, Seq("cluster"), "left")
+      .join(recCounts, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+    val tot = counts.agg(sum(col("n_ref")).as("_tr"),
+      sum(col("n_recent")).as("_tc"))
+    val per = counts.crossJoin(tot)
+      .select(col("cluster"), col("n_ref"), col("n_recent"),
+        round((col("n_ref") + 1L).cast("double") /
+          (col("_tr") + k).cast("double"), 6).as("ref_share"),
+        round((col("n_recent") + 1L).cast("double") /
+          (col("_tc") + k).cast("double"), 6).as("recent_share"))
+      .withColumn("psi_term",
+        round((col("recent_share") - col("ref_share")) *
+          round(log(col("recent_share") / col("ref_share")), 6), 6))
+    val psi = per.agg(
+      round(sum(col("psi_term").cast("decimal(18,6)")).cast("double"), 6)
+        .as("psi"))
+    per.crossJoin(psi)
+      .select(col("cluster"), col("n_ref"), col("n_recent"),
+        col("ref_share"), col("recent_share"), col("psi_term"), col("psi"),
+        when(col("psi") >= threshold, 1L).otherwise(0L).as("rebuild"))
+  }
+
+  /** [[semDriftAgainst]] over a [[saveSemRefIndex]] artifact — the
+    * production face of the scheduled-rebuild decision. Reads ONLY the
+    * KB codebook and the per-vector `ids` metadata part (never an
+    * embedding list file — spec-gated), so the check costs one recent-
+    * sample scan regardless of index size. */
+  def semIndexDriftCheck(recent: DataFrame, indexPath: String,
+                         threshold: Double = SemDriftThreshold): DataFrame = {
+    import graft.core.DeltaIndex
+    val spark = recent.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val m = DeltaIndex.latest(spark, root)
+    val refCounts = DeltaIndex.read(spark, root, m, "ids")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_ref"))
+    semDriftAgainst(recent, semCodebook(spark, root, m), refCounts, threshold)
+  }
+
+  /** The x178 queries() face: the x170 split — even vec_ids are the
+    * indexed reference whose fit froze the codebook, odd vec_ids the
+    * recent sample — checked for assignment drift. The two halves
+    * draw from one distribution, so this is the no-drift baseline the
+    * planted-drift spec contrasts. */
+  def semDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val isRef = col("vec_id") % 2 === 0
+    val (refEmb, cents) = kmeansFit(emb.filter(isRef), KmeansK, KmeansIters)
+    val refCounts = kmeansAssigned(refEmb, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_ref"))
+    semDriftAgainst(emb.filter(!isRef), cents, refCounts)
+      .orderBy(col("cluster"))
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Multimodal, VectorFunctions}
@@ -4130,11 +4132,21 @@ class ExtrasSpec extends SparkSpec {
     val grown = ref.unionByName(d1)
     Dedup.saveCrossProbeIndex(grown, s"$dirB/idx")
     for (part <- Seq("grams", "df", "sizes")) {
-      def read(d: String) = spark.read.parquet(
-        graft.core.Artifacts.readablePath(spark, s"$d/idx") + s"/$part")
-        .collect().map(_.toSeq).toSet
+      def read(d: String) = {
+        val root = graft.core.Artifacts.readablePath(spark, s"$d/idx")
+        graft.core.DeltaIndex.read(spark, root,
+          graft.core.DeltaIndex.latest(spark, root), part)
+          .collect().map(_.toSeq).toSet
+      }
       assert(read(dirA) == read(dirB), s"$part drifted from the rebuild")
     }
+    // O(delta) write shape: the append added ONE generation — the base
+    // gram/size dirs are still generation-0 files, untouched (an
+    // O(index) rewrite would have replaced them)
+    val mA = graft.core.DeltaIndex.latest(spark, s"$dirA/idx")
+    assert(mA.gen == 1L, s"expected one appended generation, got ${mA.gen}")
+    assert(mA.parts("grams") == Vector("grams/g" + "0" * 19,
+      "grams/g" + "0" * 18 + "1"), s"grams dirs: ${mA.parts("grams")}")
     val viaAppend = Dedup.crossProbeIndexed(d2, s"$dirA/idx", maxDf = 100)
       .as[(Long, Long, Long, Long)].collect().toSet
     val batch = Dedup.crossNearDupProbe(d2, grown, maxDf = 100)
@@ -4143,17 +4155,85 @@ class ExtrasSpec extends SparkSpec {
     assert(viaAppend == batch,
       s"missing: ${(batch -- viaAppend).take(3)}; extra: ${(viaAppend -- batch).take(3)}")
     // double-ingest guard: replaying the same delivery must fail fast
-    // BEFORE the publish, leaving the index untouched
-    val before = spark.read.parquet(
-      graft.core.Artifacts.readablePath(spark, s"$dirA/idx") + "/sizes")
-      .collect().map(_.toSeq).toSet
+    // BEFORE the commit, leaving the index untouched
+    def sizesNow() = {
+      val root = graft.core.Artifacts.readablePath(spark, s"$dirA/idx")
+      graft.core.DeltaIndex.read(spark, root,
+        graft.core.DeltaIndex.latest(spark, root), "sizes")
+        .collect().map(_.toSeq).toSet
+    }
+    val before = sizesNow()
     intercept[IllegalArgumentException] {
       Dedup.appendToCrossProbeIndex(d1, s"$dirA/idx")
     }
-    val after = spark.read.parquet(
-      graft.core.Artifacts.readablePath(spark, s"$dirA/idx") + "/sizes")
-      .collect().map(_.toSeq).toSet
-    assert(after == before, "a refused append still mutated the index")
+    assert(sizesNow() == before, "a refused append still mutated the index")
+  }
+
+  test("x175 appends are O(delta): old gram/list files are NEVER READ during maintenance") {
+    // deterministic never-read gate: every parquet file of the base
+    // generation is overwritten with garbage BEFORE the append — any
+    // code path that opens one (footer read, schema merge, union
+    // rewrite) throws, so a succeeding append PROVES the old data files
+    // went untouched. (The old design's oldGrams.unionByName(delta)
+    // rewrite fails this instantly.)
+    def corrupt(dir: String): Int = {
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
+      files.foreach(p => java.nio.file.Files.write(p,
+        "NOTPARQUET".getBytes("UTF-8")))
+      files.size
+    }
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    // cross-probe index: grams/g0 corrupted, append must still land
+    val dir = java.nio.file.Files.createTempDirectory("xappend_noread").toString
+    val ref = Seq((100L, "en", blk("one")), (101L, "en", blk("two")))
+      .toDF("doc_id", "lang", "text")
+    Dedup.saveCrossProbeIndex(ref, s"$dir/idx")
+    assert(corrupt(s"$dir/idx/grams") > 0, "no base gram files to corrupt")
+    Dedup.appendToCrossProbeIndex(
+      Seq((1L, "en", blk("three"))).toDF("doc_id", "lang", "text"),
+      s"$dir/idx")
+    assert(graft.core.DeltaIndex.latest(spark, s"$dir/idx").gen == 1L)
+    // semantic index: lists/g0 corrupted (embedding payloads); the
+    // guard runs on the ids metadata part, assignment on the codebook
+    val semDir = java.nio.file.Files.createTempDirectory("sem_noread").toString
+    val semRef = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    Similarity.saveSemRefIndex(semRef, s"$semDir/idx", k = 2, iters = 1)
+    assert(corrupt(s"$semDir/idx/lists") > 0, "no base list files to corrupt")
+    val gen = Similarity.appendToSemRefIndex(
+      Seq(10L -> Array(0.7f, 0.71f)).toDF("vec_id", "embedding"),
+      s"$semDir/idx")
+    assert(gen == 1L)
+    // and the drift check reads only codebook + ids — never a list file
+    val drift = Similarity.semIndexDriftCheck(
+      Seq(20L -> Array(0.9f, 0.1f)).toDF("vec_id", "embedding"),
+      s"$semDir/idx")
+    assert(drift.count() == 2L)
+  }
+
+  test("x175 params are pinned in the manifest: a mismatched append or probe fails fast") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("xparams").toString
+    val ref = Seq((100L, "en", blk("one"))).toDF("doc_id", "lang", "text")
+    Dedup.saveCrossProbeIndex(ref, s"$dir/idx", n = 3, hashGrams = false)
+    val d1 = Seq((1L, "en", blk("two"))).toDF("doc_id", "lang", "text")
+    // hashed-gram append into a raw-gram index would silently mix the
+    // two key spaces — the corruption no double-ingest guard can see
+    intercept[IllegalArgumentException] {
+      Dedup.appendToCrossProbeIndex(d1, s"$dir/idx", hashGrams = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToCrossProbeIndex(d1, s"$dir/idx", n = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossProbeIndexed(d1, s"$dir/idx", n = 2, maxDf = 100).collect()
+    }
+    assert(graft.core.DeltaIndex.latest(spark, s"$dir/idx").gen == 0L,
+      "a refused mismatch still committed a generation")
+    // the matching probe still works
+    Dedup.appendToCrossProbeIndex(d1, s"$dir/idx")
   }
 
   test("x175 semantic append: the codebook stays frozen and a later paraphrase of an admitted doc is caught") {
@@ -4161,9 +4241,12 @@ class ExtrasSpec extends SparkSpec {
     val ref = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
       .toDF("vec_id", "embedding")
     Similarity.saveSemRefIndex(ref, s"$dir/idx", k = 2, iters = 1)
-    def codebook() = spark.read.parquet(
-      graft.core.Artifacts.readablePath(spark, s"$dir/idx") + "/codebook")
-      .collect().map(_.toSeq).toSet
+    def codebook() = {
+      val root = graft.core.Artifacts.readablePath(spark, s"$dir/idx")
+      graft.core.DeltaIndex.read(spark, root,
+        graft.core.DeltaIndex.latest(spark, root), "codebook")
+        .collect().map(_.toSeq).toSet
+    }
     val frozen = codebook()
     // d2's vec 20 paraphrases d1's vec 10 (cos ~0.9998) but clears
     // NEITHER original reference at tau=0.9 — before the append it must
@@ -4198,8 +4281,9 @@ class ExtrasSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/idx.old"))
     val d1 = Seq((1L, "en", blk("three"))).toDF("doc_id", "lang", "text")
     Dedup.appendToCrossProbeIndex(d1, s"$dir/idx")
-    val sizes = spark.read.parquet(
-      graft.core.Artifacts.readablePath(spark, s"$dir/idx") + "/sizes")
+    val healedRoot = graft.core.Artifacts.readablePath(spark, s"$dir/idx")
+    val sizes = graft.core.DeltaIndex.read(spark, healedRoot,
+        graft.core.DeltaIndex.latest(spark, healedRoot), "sizes")
       .select($"doc_id").as[Long].collect().toSet
     assert(sizes == Set(100L, 101L, 1L), s"got $sizes")
     assert(!java.nio.file.Files.exists(
@@ -4261,6 +4345,120 @@ class ExtrasSpec extends SparkSpec {
     assert(out(4L) == ((4L, None, 0L, 0L, "admit")), s"${out(4L)}")
   }
 
+  test("x175 battery append: one commit flips every tier, and the next delivery gates against the grown battery") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq((100L, "en", blk("alpha"))).toDF("doc_id", "lang", "text")
+    val refVecs = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("accept_append").toString
+    Dedup.saveAcceptanceIndex(ref, refVecs, s"$dir/idx", k = 2, iters = 1)
+    // delivery 1: a new text + a vector matching NO reference at tau=.9
+    val d1 = Seq((10L, "en", blk("gamma"))).toDF("doc_id", "lang", "text")
+    val v1 = Seq(10L -> Array(0.70f, 0.71f)).toDF("vec_id", "embedding")
+    Dedup.appendToAcceptanceIndex(d1, v1, s"$dir/idx")
+    val m = graft.core.DeltaIndex.latest(spark, s"$dir/idx")
+    assert(m.gen == 1L && m.params("semGen") == "1", s"$m")
+    // delivery 2 probes the GROWN battery: exact copy of d1's text ->
+    // reject against 10; near-copy -> surface review; paraphrase of
+    // v1's vector -> semantic review; novel -> admit
+    val d2 = Seq(
+      (20L, "en", blk("gamma"), Seq(0.5f, -0.87f)),
+      (21L, "en", (1 to 11).map(i => s"gamma$i").mkString(" ") + " changed",
+        Seq(0.55f, -0.84f)),
+      (22L, "en", "entirely novel content about quarterly tax chatter",
+        Seq(0.69f, 0.72f)),
+      (23L, "en", "still more novel words nobody indexed anywhere",
+        Seq(-0.7f, 0.7f))
+    ).toDF("doc_id", "lang", "text", "embedding")
+    val out = Dedup.acceptanceGateIndexed(d2, s"$dir/idx", tau = 0.9)
+      .select($"cand_id", $"exact_ref", $"n_surface", $"n_sem", $"verdict")
+      .as[(Long, Option[Long], Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(20L) == ((20L, Some(10L), 1L, 0L, "reject")), s"${out(20L)}")
+    assert(out(21L) == ((21L, None, 1L, 0L, "review")), s"${out(21L)}")
+    assert(out(22L) == ((22L, None, 0L, 1L, "review")), s"${out(22L)}")
+    assert(out(23L) == ((23L, None, 0L, 0L, "admit")), s"${out(23L)}")
+    // double-ingest guard holds at the battery grain too
+    intercept[IllegalArgumentException] {
+      Dedup.appendToAcceptanceIndex(d1, v1, s"$dir/idx")
+    }
+  }
+
+  test("x175 battery append crash window heals on retry: sem committed, battery not") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq((100L, "en", blk("alpha"))).toDF("doc_id", "lang", "text")
+    val refVecs = Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("accept_crash").toString
+    Dedup.saveAcceptanceIndex(ref, refVecs, s"$dir/idx", k = 2, iters = 1)
+    val d1 = Seq((10L, "en", blk("gamma"))).toDF("doc_id", "lang", "text")
+    val v1 = Seq(10L -> Array(0.70f, 0.71f)).toDF("vec_id", "embedding")
+    // simulate the crash: the sem sub-append landed, the battery
+    // manifest did not — gates still pin semGen=0 (old snapshot)
+    assert(Similarity.appendToSemRefIndex(v1, s"$dir/idx/sem") == 1L)
+    assert(graft.core.DeltaIndex.latest(spark, s"$dir/idx")
+      .params("semGen") == "0")
+    // the RETRY detects sem's unpinned generation is exactly this
+    // delivery, skips the sem append, and commits the battery
+    Dedup.appendToAcceptanceIndex(d1, v1, s"$dir/idx")
+    val m = graft.core.DeltaIndex.latest(spark, s"$dir/idx")
+    assert(m.gen == 1L && m.params("semGen") == "1", s"$m")
+    assert(graft.core.DeltaIndex.latest(spark, s"$dir/idx/sem").gen == 1L,
+      "the heal re-appended the sem delivery (double ingest)")
+    // a FOREIGN unpinned sem generation refuses instead of healing
+    val dir2 = java.nio.file.Files.createTempDirectory("accept_foreign").toString
+    Dedup.saveAcceptanceIndex(ref, refVecs, s"$dir2/idx", k = 2, iters = 1)
+    Similarity.appendToSemRefIndex(
+      Seq(77L -> Array(0.1f, 0.9f)).toDF("vec_id", "embedding"),
+      s"$dir2/idx/sem")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToAcceptanceIndex(d1, v1, s"$dir2/idx")
+    }
+  }
+
+  test("x178 planted drift flips the rebuild verdict; a same-distribution sample does not") {
+    import graft.operators.Similarity
+    // reference: two tight clusters around e1 and e2, 8 vectors each;
+    // interleaved ids so the k-smallest-ids init lands one centroid in
+    // each family (0 -> (1,0), 1 -> (0,1))
+    val ref = ((0 until 8).map(i => ((i * 2).toLong, Array(1f, 0.01f * i))) ++
+      (0 until 8).map(i => ((i * 2 + 1).toLong, Array(0.01f * i, 1f))))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("sem_drift").toString
+    Similarity.saveSemRefIndex(ref, s"$dir/idx", k = 2, iters = 2)
+    // same-distribution recent sample: balanced across both clusters
+    val calm = ((0 until 6).map(i => (1000L + i, Array(1f, 0.02f * i))) ++
+      (0 until 6).map(i => (2000L + i, Array(0.02f * i, 1f))))
+      .toDF("vec_id", "embedding")
+    val calmOut = Similarity.semIndexDriftCheck(calm, s"$dir/idx")
+      .select($"rebuild", $"psi").as[(Long, Double)].collect()
+    assert(calmOut.forall(_._1 == 0L),
+      s"same-distribution sample flagged a rebuild: ${calmOut.toSeq}")
+    // drifted sample: everything piles into ONE cluster
+    val drifted = (0 until 12).map(i => (3000L + i, Array(1f, 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val driftOut = Similarity.semIndexDriftCheck(drifted, s"$dir/idx")
+      .select($"rebuild", $"psi").as[(Long, Double)].collect()
+    assert(driftOut.forall(_._1 == 1L),
+      s"piled-up sample did not flag a rebuild: ${driftOut.toSeq}")
+    assert(driftOut.head._2 > calmOut.head._2)
+    // verdict columns are consistent on every row (the 1-row-total join)
+    assert(driftOut.map(_._2).distinct.length == 1)
+  }
+
+  test("x178 indexed drift check equals the in-run form on the corpus split") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val isRef = $"vec_id" % 2 === 0
+    val dir = java.nio.file.Files.createTempDirectory("sem_drift_idx").toString
+    Similarity.saveSemRefIndex(emb.filter(isRef), s"$dir/idx")
+    val viaIdx = Similarity.semIndexDriftCheck(emb.filter(!isRef), s"$dir/idx")
+      .collect().map(_.toSeq).toSet
+    val inRun = Similarity.semDriftQuery(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx.nonEmpty && viaIdx == inRun)
+  }
+
   test("x177 calibration audit matches a hand-computed reliability table and ECE") {
     import graft.operators.Analytics
     val preds = Seq(
@@ -4275,6 +4473,20 @@ class ExtrasSpec extends SparkSpec {
       (-1L, 5L, 0.64, 0.6, 0.24),
       (0L, 2L, 0.25, 0.5, 0.25),
       (1L, 3L, 0.9, 0.666667, 0.233333)), s"got $out")
+  }
+
+  test("x177 out-of-range conf clamps into the edge bins — never the bin=-1 ECE sentinel") {
+    import graft.operators.Analytics
+    // a garbage conf < 0 must fold into bin 0 (symmetric with the
+    // conf==1.0 top-bin clamp), NOT land at bin <= -1 where it would
+    // collide with calibrationAudit's summary-row sentinel
+    val preds = Seq((-0.3, 0L), (1.7, 1L), (0.5, 1L)).toDF("conf", "correct")
+    val bins = Analytics.calibrationBins(preds, bins = 2)
+      .select($"bin").as[Long].collect().toSet
+    assert(bins == Set(0L, 1L), s"got $bins")
+    val audit = Analytics.calibrationAudit(preds, bins = 2)
+      .groupBy($"bin").count().as[(Long, Long)].collect().toMap
+    assert(audit(-1L) == 1L, s"duplicate summary sentinel rows: $audit")
   }
 
   test("x173 packs at the sweep winner: choice, conservation, and padding recovery") {
