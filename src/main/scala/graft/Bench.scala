@@ -256,6 +256,21 @@ object Bench {
     if (warm < 0 || calib <= 0 || ref <= 0 || calib <= ref) warm
     else warm * (ref / calib)
 
+  /** Throughput counterpart of [[attestedTime]]: the quiet-machine
+    * estimate of a rows/s figure measured while the calibration probe
+    * ran `calib / ref` times slower than the machine's best observed
+    * capability. Adjusts UP only (contention can only have slowed the
+    * stream, so the attested rate is never below the measured one —
+    * the deflate-only discipline mirrored); failed rates (< 0) and
+    * missing calibrations pass through unadjusted. The r17 driver
+    * record needed exactly this: stream_rows_per_sec dropped 21%
+    * round-over-round with zero streaming-code changes, and nothing in
+    * the committed record could prove it was the same contention the
+    * query totals attested away. */
+  def attestedRate(rate: Double, calib: Double, ref: Double): Double =
+    if (rate < 0 || calib <= 0 || ref <= 0 || calib <= ref) rate
+    else rate * (calib / ref)
+
   /** The run's best evidence of quiet-machine capability: the minimum
     * over the session-start baseline and every per-query calibration.
     * Using the global min (not the start-of-run baseline alone) keeps
@@ -485,13 +500,17 @@ object Bench {
     val exts = jsonMap(results.map(r => r.name -> fmt(r.ext)))
     val gcs = jsonMap(results.map(r => r.name -> fmt(r.gc)))
     val ios = jsonMap(results.map(r => r.name -> fmt(r.io)))
+    // The run's best evidence of quiet-machine capability — computed
+    // BEFORE the stream bench so its throughput attestation can use the
+    // whole query run's probes as reference.
+    val ref = attestRef(measuredBaseline, results.map(_.calib))
     // Streaming throughput (SURVEY §6): NDJSON replay → full pipeline →
     // PK-upsert store, with a verified mid-run checkpoint restart. A
     // failure degrades to a -1 record, never kills the batch numbers.
     // SPARK_GRAFT_SKIP_STREAM=1 skips it for query-only local iteration.
     val stream: Option[StreamBench.Result] =
       if (sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) None
-      else Some(try StreamBench.run(spark) catch {
+      else Some(try StreamBench.run(spark, attestRef = ref) catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream bench failed: $e")
           StreamBench.Result(ok = false, rows = -1, batches = -1,
@@ -530,10 +549,10 @@ object Bench {
     val loads = jsonMap(results.map(r => r.name -> s"[${fmt(r.load._1)},${fmt(r.load._2)}]"))
     val total = results.map(_.warm).filter(_ >= 0).sum
     // Attested total: each query deflated by its own calibration's
-    // slowdown vs the run's best observed probe — the number a reader
-    // should compare across rounds when the raw total and the attested
-    // one disagree (they diverge exactly when the machine was loaded).
-    val ref = attestRef(measuredBaseline, results.map(_.calib))
+    // slowdown vs the run's best observed probe (`ref`, computed above
+    // the stream block) — the number a reader should compare across
+    // rounds when the raw total and the attested one disagree (they
+    // diverge exactly when the machine was loaded).
     val attestedTotal = results.filter(_.warm >= 0)
       .map(r => attestedTime(r.warm, r.calib, ref)).sum
     // Line 1: the full self-attested record (for a reader with the whole
@@ -564,6 +583,7 @@ object Bench {
     val streamExtra = stream.toSeq.flatMap { r =>
       Seq(
         "stream_rows_per_sec" -> fmtSig(r.rowsPerSec, 5),
+        "stream_rows_per_sec_attested" -> fmtSig(r.rowsPerSecAttested, 5),
         "stream_batches" -> r.batches.toString,
         "stream_ok" -> r.ok.toString)
     } ++ annRecalls.map { case (name, rec) =>

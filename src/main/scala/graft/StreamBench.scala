@@ -42,7 +42,12 @@ object StreamBench {
 
   final case class Result(ok: Boolean, rows: Long, batches: Long,
                           elapsedSec: Double, rowsPerSec: Double,
-                          batchMsAvg: Double, restartedMidRun: Boolean)
+                          batchMsAvg: Double, restartedMidRun: Boolean,
+                          calibSec: Double = -1.0,
+                          rowsPerSecAttested: Double = -1.0,
+                          extShare: Double = -1.0,
+                          gcShare: Double = -1.0,
+                          ioShare: Double = -1.0)
 
   /** Deterministic wire-JSON generator: PK j advances on non-dup lines
     * (unique (sensor, time) per j), field values are fixed functions of
@@ -66,8 +71,17 @@ object StreamBench {
     * line re-uses the previous PK). */
   private[graft] def expectedRows(n: Int): Long = (n - n / DupEvery).toLong
 
+  /** `attestRef`: the session's best observed calibration-probe time
+    * (Bench passes its run-wide [[Bench.attestRef]]; standalone runs
+    * fall back to the better of this run's own sandwich probes). The
+    * timed region is SANDWICHED by the same fixed CPU probe the query
+    * bench uses, and the record carries both the raw rows/s and the
+    * contention-adjusted [[Bench.attestedRate]] — so a round-over-round
+    * throughput drop is adjudicable from the committed record alone
+    * (the r17 gap this closes). */
   def run(spark: SparkSession, lines: Int = Lines,
-          linesPerTrigger: Long = LinesPerTrigger): Result = {
+          linesPerTrigger: Long = LinesPerTrigger,
+          attestRef: Double = -1.0): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft-streambench").toString
     val inDir = s"$base/in"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
     new java.io.File(inDir).mkdirs()
@@ -106,6 +120,13 @@ object StreamBench {
         .start()
     }
 
+    val calibPre = Bench.calibrate(spark)
+    // whole-region contention signals (the query bench's third/fourth
+    // eyes): external-CPU, GC-pause, and iowait shares integrated over
+    // the ENTIRE timed region — the probe sandwich only samples the
+    // edges, and a 35 s stream leaves a lot of middle
+    val gc0 = Bench.readGcMillis()
+    val (mb0, sj0, io0) = Bench.readCpuJiffies()
     val t0 = System.nanoTime()
     // phase 1: stop mid-run, strictly before the log drains. stop() can
     // interrupt an in-flight upsert — that is the point (the crash-safe
@@ -121,20 +142,46 @@ object StreamBench {
     q2.processAllAvailable()
     q2.stop(); q2.awaitTermination()
     val elapsed = (System.nanoTime() - t0) / 1e9
+    val (mb1, sj1, io1) = Bench.readCpuJiffies()
+    val gc1 = Bench.readGcMillis()
+    // calibration sandwich: the worse side is the run's calibration
+    // (contention alive at either edge); the reference is the best
+    // probe known — the session-wide one when Bench drives this run
+    val calibPost = Bench.calibrate(spark)
+    val calib = math.max(calibPre, calibPost)
+    val ref = (Seq(attestRef, calibPre, calibPost).filter(_ > 0) :+ calib).min
+    val cores = {
+      val m = scala.util.Try(Bench.parseMachineCores(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))))).getOrElse(0)
+      if (m > 0) m else Runtime.getRuntime.availableProcessors()
+    }
+    val ext =
+      if (mb0 >= 0 && sj0 >= 0 && mb1 >= 0 && sj1 >= 0)
+        Bench.externalShare(mb1 - mb0, sj1 - sj0, elapsed, cores)
+      else -1.0
+    val gcs = if (gc0 >= 0 && gc1 >= 0) Bench.gcShare(gc1 - gc0, elapsed) else -1.0
+    val ios =
+      if (io0 >= 0 && io1 >= 0) Bench.iowaitShare(io1 - io0, elapsed, cores)
+      else -1.0
 
     val stored = spark.read.parquet(store).count()
     val expected = expectedRows(lines)
     // the mid-run restart only counts if phase 1 really stopped early
     val restartedMidRun = phase1Batches > 0 &&
       phase1Batches * linesPerTrigger < lines.toLong
+    val rate = if (elapsed > 0) lines / elapsed else -1.0
     Result(
       ok = stored == expected && restartedMidRun,
       rows = stored,
       batches = nBatches.get(),
       elapsedSec = elapsed,
-      rowsPerSec = if (elapsed > 0) lines / elapsed else -1.0,
+      rowsPerSec = rate,
       batchMsAvg = if (nBatches.get() > 0) batchMs.get().toDouble / nBatches.get() else -1.0,
-      restartedMidRun = restartedMidRun)
+      restartedMidRun = restartedMidRun,
+      calibSec = calib,
+      rowsPerSecAttested = Bench.attestedRate(rate, calib, ref),
+      extShare = ext, gcShare = gcs, ioShare = ios)
   }
 
   /** Standalone entry for local iteration: prints the same JSON record
@@ -148,8 +195,15 @@ object StreamBench {
   private def d1(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
+  private def d4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
   def record(r: Result): String =
     s"""{"metric":"stream_rows_per_sec","value":${d1(r.rowsPerSec)},""" +
+      s""""value_attested":${d1(r.rowsPerSecAttested)},""" +
+      s""""calib_sec":${d4(r.calibSec)},""" +
+      s""""ext_share":${d4(r.extShare)},"gc_share":${d4(r.gcShare)},""" +
+      s""""iowait_share":${d4(r.ioShare)},""" +
       s""""unit":"rows/sec","ok":${r.ok},"rows":${r.rows},""" +
       s""""batches":${r.batches},"elapsed_sec":${d1(r.elapsedSec)},""" +
       s""""batch_ms_avg":${d1(r.batchMsAvg)},""" +

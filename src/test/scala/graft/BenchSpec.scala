@@ -115,8 +115,11 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     // worst-case value widths, not on a hoped-for typical width.
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst-realistic extra payload: the streaming-throughput record
+    // including its attested twin
     val extra = Seq(
-      "stream_rows_per_sec" -> "123456.7", "stream_batches" -> "1234",
+      "stream_rows_per_sec" -> "123456.7",
+      "stream_rows_per_sec_attested" -> "123456.7",
+      "stream_batches" -> "1234",
       "stream_rows" -> "12345678", "stream_restarted" -> "true")
     val line = Bench.compactLine(
       total = 123.4567,
@@ -172,6 +175,31 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     assert(Bench.attestedTime(-1.0, 0.14, 0.10) == -1.0)
     assert(Bench.attestedTime(2.0, -1.0, 0.10) == 2.0)
     assert(Bench.attestedTime(2.0, 0.14, -1.0) == 2.0)
+  }
+
+  test("attested rate inflates by the calibration ratio and never deflates") {
+    // The r17 shape: stream_rows_per_sec measured under a 1.4x load —
+    // the quiet-machine estimate multiplies the slowdown back in.
+    val r = Bench.attestedRate(rate = 4000.0, calib = 0.14, ref = 0.10)
+    assert(math.abs(r - 5600.0) < 1e-6, s"expected ~5600, got $r")
+    // Quiet run (calib == ref) passes through untouched; a calib below
+    // ref never DEFLATES the measured rate (adjust-up-only, the mirror
+    // of attestedTime's deflate-only contract).
+    assert(Bench.attestedRate(4000.0, 0.10, 0.10) == 4000.0)
+    assert(Bench.attestedRate(4000.0, 0.08, 0.10) == 4000.0)
+    // Failure and missing-signal sentinels pass through.
+    assert(Bench.attestedRate(-1.0, 0.14, 0.10) == -1.0)
+    assert(Bench.attestedRate(4000.0, -1.0, 0.10) == 4000.0)
+    assert(Bench.attestedRate(4000.0, 0.14, -1.0) == 4000.0)
+  }
+
+  test("stream record carries the attested value and calibration") {
+    val rec = StreamBench.record(StreamBench.Result(ok = true, rows = 10,
+      batches = 2, elapsedSec = 1.0, rowsPerSec = 10.0, batchMsAvg = 5.0,
+      restartedMidRun = true, calibSec = 0.14, rowsPerSecAttested = 14.0))
+    assert(rec.contains("\"value\":10.0"), rec)
+    assert(rec.contains("\"value_attested\":14.0"), rec)
+    assert(rec.contains("\"calib_sec\":0.1400"), rec)
   }
 
   test("attestation reference is the best probe seen anywhere in the run") {
