@@ -656,6 +656,15 @@ object SparkEntry {
     // scheduled-rebuild trigger x175's frozen-codebook maintenance
     // defers to.
     "x178_sem_drift"      -> (Similarity.semDriftQuery _),
+    // x179: acceptance LEDGER — the cross-delivery diff of two x174
+    // report generations (verdict-mix deltas + PSI), the release-notes
+    // audit trail a curation pipeline keeps per delivery.
+    "x179_acceptance_ledger" -> (Dedup.acceptanceLedgerQuery _),
+    // x180: the x170 semantic probe at an nProbe>1 budget — the
+    // runner-up cluster buys back the Voronoi-boundary paraphrases the
+    // rank-1 probe structurally misses (IVF nProbe discipline on the
+    // same index artifact).
+    "x180_sem_probe_budget" -> (Similarity.crossSemProbeBudgetQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

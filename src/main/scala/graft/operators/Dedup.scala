@@ -591,7 +591,13 @@ object Dedup {
     * tier fires), embeddings split by the documents' source via
     * vec_id == doc_id for the semantic tier (untouched by the text
     * plant — the tier keys on meaning). */
-  def acceptanceQuery(spark: SparkSession, dir: String): DataFrame = {
+  def acceptanceQuery(spark: SparkSession, dir: String): DataFrame =
+    plantedAcceptanceReport(spark, dir).orderBy(col("cand_id"))
+
+  /** The planted x174 report (unordered) — shared by the x174 face and
+    * the x179 ledger face. */
+  private def plantedAcceptanceReport(spark: SparkSession,
+                                      dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val (cand, ref) = plantedCrossCorpus(docs)
     val emb = Tables.load(spark, dir, "embeddings")
@@ -600,7 +606,6 @@ object Dedup {
     val refVecs = emb.join(refIds, Seq("vec_id"), "left_semi")
     val candVecs = emb.join(refIds, Seq("vec_id"), "left_anti")
     acceptanceReport(cand, ref, candVecs, refVecs, maxDf = 100)
-      .orderBy(col("cand_id"))
   }
 
   // ---------------------- live acceptance gate (x176) -----------------
@@ -804,6 +809,119 @@ object Dedup {
         refGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
         sem, maxDf = 100)
       .orderBy(col("cand_id"))
+  }
+
+  // ---------------------- acceptance ledger (x179) --------------------
+
+  /** PSI at or above this on the verdict-mix histogram flags a shifted
+    * delivery (same rule-of-thumb and round-6 image discipline as
+    * [[Similarity.SemDriftThreshold]]). */
+  val AcceptShiftThreshold = 0.2
+
+  /** The three verdict classes every report row lands in — the fixed
+    * support of the ledger histogram. */
+  private val Verdicts = Seq("admit", "review", "reject")
+
+  /** x179: ACCEPTANCE LEDGER DIFF — the release-notes audit between two
+    * delivery generations' acceptance reports (x174's output schema):
+    * per verdict class, the counts, the delta, Laplace-smoothed round-6
+    * shares, the x82-pinned-ln PSI term, plus the total `psi` and the
+    * `shifted` verdict repeated per row (the x178 1-row-total shape).
+    * A vendor whose reject/review mix jumps between deliveries is the
+    * first sign of a pipeline change upstream — this is the table a
+    * curator reads before trusting delivery N because delivery N-1 was
+    * fine.
+    *
+    * Scale shape: each side is ONE hash aggregate on 3 keys over its
+    * report (reports are per-candidate tables, already the small output
+    * of the acceptance battery); everything downstream is 3-row
+    * arithmetic. */
+  def acceptanceLedgerDiff(prev: DataFrame, curr: DataFrame,
+                           threshold: Double = AcceptShiftThreshold)
+      : DataFrame = {
+    val spark = prev.sparkSession
+    import spark.implicits._
+    val k = Verdicts.length
+    def hist(r: DataFrame, as: String) =
+      r.groupBy(col("verdict")).agg(count(lit(1)).as(as))
+    val joined = Verdicts.toDF("verdict")
+      .join(hist(prev, "n_prev"), Seq("verdict"), "left")
+      .join(hist(curr, "n_curr"), Seq("verdict"), "left")
+      .select(col("verdict"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    val tot = joined.agg(sum(col("n_prev")).as("_tp"),
+      sum(col("n_curr")).as("_tc"))
+    val per = joined.crossJoin(tot)
+      .select(col("verdict"), col("n_prev"), col("n_curr"),
+        (col("n_curr") - col("n_prev")).as("delta"),
+        round((col("n_prev") + 1L).cast("double") /
+          (col("_tp") + k).cast("double"), 6).as("share_prev"),
+        round((col("n_curr") + 1L).cast("double") /
+          (col("_tc") + k).cast("double"), 6).as("share_curr"))
+      .withColumn("psi_term",
+        round((col("share_curr") - col("share_prev")) *
+          round(log(col("share_curr") / col("share_prev")), 6), 6))
+    val psi = per.agg(
+      round(sum(col("psi_term").cast("decimal(18,6)")).cast("double"), 6)
+        .as("psi"))
+    per.crossJoin(psi)
+      .select(col("verdict"), col("n_prev"), col("n_curr"), col("delta"),
+        col("share_prev"), col("share_curr"), col("psi_term"), col("psi"),
+        when(col("psi") >= threshold, 1L).otherwise(0L).as("shifted"))
+  }
+
+  /** Persist one delivery's acceptance report as the next ledger
+    * generation (`reports/g<gen>` + one manifest commit — the
+    * [[graft.core.DeltaIndex]] append discipline; generation dirs are
+    * immutable, so the full audit trail survives every append).
+    * Returns the committed generation. */
+  def appendAcceptanceLedger(report: DataFrame, ledgerPath: String): Long = {
+    import graft.core.DeltaIndex
+    val spark = report.sparkSession
+    val mOpt = DeltaIndex.latestOpt(spark, ledgerPath)
+    val gen = mOpt.map(_.gen + 1L).getOrElse(0L)
+    val dir = DeltaIndex.partDir("reports", gen)
+    report
+      .select(col("cand_id"), col("exact_ref"), col("n_surface"),
+        col("n_sem"), col("verdict"))
+      .write.parquet(s"$ledgerPath/$dir")
+    DeltaIndex.commit(spark, ledgerPath, DeltaIndex.Manifest(gen,
+      Map.empty,
+      Map("reports" ->
+        (mOpt.map(_.dirs("reports")).getOrElse(Vector.empty) :+ dir))))
+    gen
+  }
+
+  /** [[acceptanceLedgerDiff]] between the two NEWEST persisted
+    * generations — the per-delivery production read. */
+  def acceptanceLedgerLatest(spark: SparkSession,
+                             ledgerPath: String,
+                             threshold: Double = AcceptShiftThreshold)
+      : DataFrame = {
+    import graft.core.DeltaIndex
+    val m = DeltaIndex.latest(spark, ledgerPath)
+    val dirs = m.dirs("reports")
+    require(dirs.length >= 2,
+      s"acceptanceLedgerLatest: need two generations at $ledgerPath, " +
+        s"have ${dirs.length}")
+    acceptanceLedgerDiff(
+      spark.read.parquet(s"$ledgerPath/${dirs(dirs.length - 2)}"),
+      spark.read.parquet(s"$ledgerPath/${dirs.last}"),
+      threshold)
+  }
+
+  /** The x179 queries() face: the planted x174 report split into two
+    * deterministic "deliveries" (even vs odd cand_ids — the x106 split
+    * discipline), diffed. One report computation feeds both sides (the
+    * bounded-cache registry), so the face costs one x174 plus 3-row
+    * arithmetic. */
+  def acceptanceLedgerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.core.Caches.bounded(plantedAcceptanceReport(spark, dir))
+    acceptanceLedgerDiff(
+        rep.filter(col("cand_id") % 2 === 0),
+        rep.filter(col("cand_id") % 2 =!= 0))
+      .orderBy(col("verdict"))
   }
 
   /** x87 acceptance: max-direction containment ≥ ContainNum/ContainDen

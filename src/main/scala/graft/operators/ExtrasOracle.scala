@@ -202,10 +202,14 @@ object ExtrasOracle {
     // x178: PSI drift over the frozen codebook's cluster-occupancy
     // bins — the scheduled-rebuild trigger for x175 maintenance.
     "x178_sem_drift" -> semDriftSql,
+    // x180: the x170 probe widened to nProbe clusters per candidate.
+    "x180_sem_probe_budget" -> crossSemBudgetSql,
     // x174: the three acceptance tiers fused to one verdict table.
     "x174_acceptance" -> acceptanceSql,
     // x176: the tiers at PER-DOCUMENT grain — the live gate's batch face.
     "x176_acceptance_gate" -> acceptanceGateSql,
+    // x179: the cross-delivery ledger diff over the x174 report chain.
+    "x179_acceptance_ledger" -> acceptanceLedgerSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -899,6 +903,53 @@ object ExtrasOracle {
        |  FROM vpairs GROUP BY 1),
        |$acceptanceCommonCtes
        |$acceptanceFinalSql""".stripMargin
+
+  /** DuckDB twin of Dedup.acceptanceLedgerQuery (x179): the x174
+    * report chain verbatim as a CTE, split into even/odd-cand_id
+    * "deliveries", then the 3-class verdict histogram diff — counts,
+    * deltas, Laplace-smoothed round-6 shares, x82-pinned-ln PSI terms,
+    * the exact-decimal PSI sum, and the round-6 threshold verdict. */
+  private def acceptanceLedgerSql: String =
+    s"""WITH $crossProbeCtes,
+       |surf AS (
+       |  SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_surface
+       |  FROM vpairs GROUP BY 1),
+       |$acceptanceCommonCtes,
+       |rep AS MATERIALIZED (
+       |$acceptanceFinalSql),
+       |vd AS (SELECT unnest(['admit', 'review', 'reject']) AS verdict),
+       |hp AS (SELECT verdict, COUNT(*) AS n FROM rep
+       |       WHERE cand_id % 2 = 0 GROUP BY 1),
+       |hc AS (SELECT verdict, COUNT(*) AS n FROM rep
+       |       WHERE cand_id % 2 <> 0 GROUP BY 1),
+       |j AS (
+       |  SELECT vd.verdict,
+       |    CAST(coalesce(hp.n, 0) AS BIGINT) AS n_prev,
+       |    CAST(coalesce(hc.n, 0) AS BIGINT) AS n_curr
+       |  FROM vd LEFT JOIN hp ON hp.verdict = vd.verdict
+       |          LEFT JOIN hc ON hc.verdict = vd.verdict),
+       |tot AS (SELECT SUM(n_prev) AS tp, SUM(n_curr) AS tc FROM j),
+       |per AS MATERIALIZED (
+       |  SELECT verdict, n_prev, n_curr, n_curr - n_prev AS delta,
+       |    round(CAST(n_prev + 1 AS DOUBLE) / CAST(tp + 3 AS DOUBLE), 6)
+       |      AS share_prev,
+       |    round(CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 3 AS DOUBLE), 6)
+       |      AS share_curr
+       |  FROM j CROSS JOIN tot),
+       |per2 AS MATERIALIZED (
+       |  SELECT *, round((share_curr - share_prev)
+       |    * round(ln(share_curr / share_prev), 6), 6) AS psi_term
+       |  FROM per),
+       |t2 AS (
+       |  SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE),
+       |    6) AS psi
+       |  FROM per2)
+       |SELECT verdict, n_prev, n_curr, delta, share_prev, share_curr,
+       |  psi_term, psi,
+       |  CAST(CASE WHEN psi >= ${Dedup.AcceptShiftThreshold} THEN 1
+       |       ELSE 0 END AS BIGINT) AS shifted
+       |FROM per2 CROSS JOIN t2 ORDER BY verdict""".stripMargin
 
   /** DuckDB twin of Dedup.acceptanceGateQuery (x176): the same exact +
     * semantic tiers, but the surface tier at PER-DOCUMENT grain — the
@@ -2233,6 +2284,65 @@ object ExtrasOracle {
        |  CAST(best.sim AS DOUBLE) AS best_cos
        |FROM ca LEFT JOIN agg ON agg.cand_id = ca.vec_id
        |        LEFT JOIN best ON best.cand_id = ca.vec_id
+       |ORDER BY cand_id""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.crossSemProbeBudgetQuery (x180): the
+    * x170 chain with the candidate assignment widened to the top
+    * [[Similarity.SemProbeNProbe]] clusters (ROW_NUMBER over round-6
+    * cosine DESC, cid ASC — the engine's reversed struct sort), hits
+    * unioned across probed clusters, verdict at candidate grain with
+    * the rank-1 cluster reported. */
+  private def crossSemBudgetSql: String = {
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      kmAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmUpdateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+       |cde AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT ${Similarity.KmeansK}),
+       |$rounds,
+       |${kmAssignCte("afin", s"c${Similarity.KmeansIters}")},
+       |can AS MATERIALIZED (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT cde.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY cde.vec_id
+       |        ORDER BY round(list_cosine_similarity(cde.v, c.cv), 6) DESC,
+       |          c.cid) AS rn
+       |    FROM cde CROSS JOIN c${Similarity.KmeansIters} c)
+       |  WHERE rn <= ${Similarity.SemProbeNProbe}),
+       |hits AS MATERIALIZED (
+       |  SELECT ca.vec_id AS cand_id, a.vec_id AS ref_id,
+       |    round(list_cosine_similarity(ce.v, re.v), 6) AS sim
+       |  FROM can ca JOIN afin a ON a.cid = ca.cid
+       |  JOIN cde ce ON ce.vec_id = ca.vec_id
+       |  JOIN e re ON re.vec_id = a.vec_id
+       |  WHERE round(list_cosine_similarity(ce.v, re.v), 6)
+       |    >= ${Similarity.SemDedupTau}),
+       |best AS (
+       |  SELECT cand_id, ref_id, sim FROM (
+       |    SELECT cand_id, ref_id, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cand_id
+       |        ORDER BY sim DESC, ref_id) AS rn
+       |    FROM hits) WHERE rn = 1),
+       |agg AS (
+       |  SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+       |  FROM hits GROUP BY cand_id)
+       |SELECT ca.vec_id AS cand_id, CAST(ca.cid AS BIGINT) AS cluster,
+       |  CAST(coalesce(agg.n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(CASE WHEN agg.cand_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep,
+       |  CAST(best.ref_id AS BIGINT) AS best_ref_id,
+       |  CAST(best.sim AS DOUBLE) AS best_cos
+       |FROM (SELECT vec_id, cid FROM can WHERE rn = 1) ca
+       |LEFT JOIN agg ON agg.cand_id = ca.vec_id
+       |LEFT JOIN best ON best.cand_id = ca.vec_id
        |ORDER BY cand_id""".stripMargin
   }
 

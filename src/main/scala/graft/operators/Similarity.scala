@@ -641,18 +641,33 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Best (sim, -cid) struct against the literal deterministic codebook:
-    * array_max orders lexicographically, so max round-6 sim wins and
-    * ties go to the LARGER negid = smaller centroid id. */
-  private def kmBest(cents: Array[(Long, Array[Double])], vec: Column): Column =
-    array_max(transform(
+  /** The (sim, -cid) struct array against the literal deterministic
+    * codebook — the scored form both the argmax assignment and the
+    * top-nProbe budget assignment rank. Lexicographic struct ordering:
+    * max round-6 sim wins, ties to the LARGER negid = smaller centroid
+    * id. */
+  private def kmStructs(cents: Array[(Long, Array[Double])],
+                        vec: Column): Column =
+    transform(
       array(cents.map { case (id, v) =>
         struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cv"))
       }.toIndexedSeq: _*),
       c => struct(
         round(cosine(vec, c.getField("cv")), 6)
           .cast("decimal(18,6)").as("sim"),
-        (-c.getField("cid")).as("negid"))))
+        (-c.getField("cid")).as("negid")))
+
+  /** Best (sim, -cid) struct — see [[kmStructs]]. */
+  private def kmBest(cents: Array[(Long, Array[Double])], vec: Column): Column =
+    array_max(kmStructs(cents, vec))
+
+  /** The top `nProbe` (sim, -cid) structs, best first — the same
+    * deterministic order as [[kmBest]] extended past rank 1 (array_sort
+    * ascends lexicographically; reversed, equal sims resolve to the
+    * larger negid = smaller cid first). */
+  private def kmTopN(cents: Array[(Long, Array[Double])], vec: Column,
+                     nProbe: Int): Column =
+    slice(reverse(array_sort(kmStructs(cents, vec))), 1, nProbe)
 
   private def kmeansAssigned(emb: DataFrame,
                              cents: Array[(Long, Array[Double])]): DataFrame =
@@ -1674,5 +1689,94 @@ object Similarity {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_ref"))
     semDriftAgainst(emb.filter(!isRef), cents, refCounts)
       .orderBy(col("cluster"))
+  }
+
+  // ------------- budgeted multi-cluster semantic probe (x180) --------
+
+  /** Default probe budget of the x180 face: rank-1 assignment plus one
+    * runner-up cluster. */
+  val SemProbeNProbe = 2
+
+  /** Candidate side of the BUDGETED probe: each candidate explodes to
+    * its top-`nProbe` clusters under the frozen codebook (rank 0 = the
+    * rank-1 assignment [[assignCandidates]] would make), still a pure
+    * stateless literal-centroid projection. */
+  private def assignCandidatesMulti(candidates: DataFrame,
+                                    cents: Array[(Long, Array[Double])],
+                                    nProbe: Int): DataFrame =
+    candidates.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("_ce"),
+        posexplode(kmTopN(cents, col("embedding"), nProbe)))
+      .select(col("cand_id"), col("_ce"), col("pos").as("_rank"),
+        (-col("col.negid")).as("cluster"))
+
+  /** The per-candidate verdict over ALL probed clusters: same accept
+    * test and best-match argmax as [[semVerdict]], aggregated at
+    * candidate grain; the reported `cluster` is the rank-1 assignment
+    * (so an nProbe=1 run is column-identical to [[semVerdict]] —
+    * spec-asserted). Each reference lives in exactly one cluster and
+    * probed clusters are distinct per candidate, so no (cand, ref)
+    * pair can double-count. */
+  private def semVerdictMulti(candM: DataFrame, refA: DataFrame,
+                              tau: Double): DataFrame = {
+    val scored = candM.join(refA, Seq("cluster"), "left")
+      .select(col("cand_id"), col("_rank"), col("cluster"), col("ref_id"),
+        round(cosine(col("_ce"), col("_re")), 6).as("_sim"))
+    val hit = col("_sim").isNotNull && col("_sim") >= tau
+    scored
+      .groupBy(col("cand_id"))
+      .agg(
+        min(when(col("_rank") === 0, col("cluster"))).as("cluster"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_dups"),
+        max(when(hit, struct(
+          col("_sim").cast("decimal(18,6)").as("sim"),
+          (-col("ref_id")).as("negid")))).as("_b"))
+      .select(col("cand_id"), col("cluster"), col("n_dups"),
+        when(col("n_dups") === 0L, 1L).otherwise(0L).as("keep"),
+        (-col("_b.negid")).cast("long").as("best_ref_id"),
+        col("_b.sim").cast("double").as("best_cos"))
+  }
+
+  /** x180: the BUDGETED form of the x170 semantic probe —
+    * [[semProbeAgainst]] widened to the candidate's top-`nProbe`
+    * clusters. The rank-1 probe is exact WITHIN a cluster but blind
+    * across the boundary: a paraphrase sitting just across its
+    * reference's Voronoi edge is structurally missed (the spec plants
+    * one). Probing the runner-up cluster(s) buys that recall back at a
+    * bounded cost multiplier — per candidate the scan is `nProbe`
+    * partition-pruned list reads instead of one, still never a
+    * cross-product, and the knob is per-query (hot deliveries can run
+    * nProbe=1, audits nProbe=2+ — the IVF nProbe discipline against
+    * the SAME index artifact). */
+  def semProbeBudget(candidates: DataFrame, indexPath: String,
+                     nProbe: Int = SemProbeNProbe,
+                     tau: Double = SemDedupTau): DataFrame = {
+    require(nProbe >= 1, s"semProbeBudget: nProbe=$nProbe")
+    val spark = candidates.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val m = graft.core.DeltaIndex.latest(spark, root)
+    val cents = semCodebook(spark, root, m)
+    val lists = graft.core.DeltaIndex.read(spark, root, m, "lists")
+      .select(col("cluster").cast("long").as("cluster"),
+        col("ref_id"), col("embedding").as("_re"))
+    semVerdictMulti(assignCandidatesMulti(candidates, cents, nProbe),
+      lists, tau)
+  }
+
+  /** The x180 queries() face: the x170 split (even reference / odd
+    * delivery) probed at the default budget — in-run fit so the face
+    * is twin-rebuildable; the disk path is [[semProbeBudget]]
+    * (spec-asserted equal). */
+  def crossSemProbeBudgetQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val isRef = col("vec_id") % 2 === 0
+    val (refEmb, cents) = kmeansFit(emb.filter(isRef), KmeansK, KmeansIters)
+    val refA = kmeansAssigned(refEmb, cents)
+      .select(col("cluster"), col("vec_id").as("ref_id"),
+        col("embedding").as("_re"))
+    semVerdictMulti(
+        assignCandidatesMulti(emb.filter(!isRef), cents, SemProbeNProbe),
+        refA, SemDedupTau)
+      .orderBy(col("cand_id"))
   }
 }

@@ -4416,6 +4416,107 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("x180 the runner-up cluster catches the Voronoi-boundary paraphrase nProbe=1 structurally misses") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("sem_budget").toString
+    // unit-circle geometry (degrees): cluster anchors at 40 (x2) and 52
+    // (x2); reference 102 at 45.8 assigns WITH the 40-side (its pull
+    // moves that centroid to ~41.9, midline ~47.0). The candidate at
+    // 47.2 paraphrases 102 (cos(1.4deg) ~ .9997 >= tau) yet assigns
+    // across the midline to the 52-cluster, whose own references sit
+    // 4.8deg away (cos ~ .9965 < tau) — the exact Voronoi-boundary miss.
+    val ref = Seq(
+      100L -> Array(0.76604f, 0.64279f), 103L -> Array(0.76604f, 0.64279f),
+      101L -> Array(0.61566f, 0.78801f), 104L -> Array(0.61566f, 0.78801f),
+      102L -> Array(0.69717f, 0.71690f)).toDF("vec_id", "embedding")
+    Similarity.saveSemRefIndex(ref, s"$dir/idx", k = 2, iters = 1)
+    val cand = Seq(10L -> Array(0.67944f, 0.73373f)).toDF("vec_id", "embedding")
+    def run(nProbe: Int) = Similarity
+      .semProbeBudget(cand, s"$dir/idx", nProbe, tau = 0.9995)
+      .select($"cand_id", $"n_dups", $"keep", $"best_ref_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(run(1) == Seq((10L, 0L, 1L, None)), s"nProbe=1: ${run(1)}")
+    assert(run(2) == Seq((10L, 1L, 0L, Some(102L))), s"nProbe=2: ${run(2)}")
+  }
+
+  test("x180 nProbe=1 equals the rank-1 probe, and the in-run face equals the disk path") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val isRef = $"vec_id" % 2 === 0
+    val dir = java.nio.file.Files.createTempDirectory("sem_budget_idx").toString
+    Similarity.saveSemRefIndex(emb.filter(isRef), s"$dir/idx")
+    val cands = emb.filter(!isRef)
+    val one = Similarity.semProbeBudget(cands, s"$dir/idx", nProbe = 1)
+      .collect().map(_.toSeq).toSet
+    val rank1 = Similarity.semProbeAgainst(cands, s"$dir/idx")
+      .collect().map(_.toSeq).toSet
+    assert(one.nonEmpty && one == rank1,
+      "nProbe=1 must be column-identical to the rank-1 probe")
+    val disk = Similarity.semProbeBudget(cands, s"$dir/idx")
+      .collect().map(_.toSeq).toSet
+    val inRun = Similarity.crossSemProbeBudgetQuery(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(disk.nonEmpty && disk == inRun)
+    // widening the budget can only ADD recall: every rank-1 duplicate
+    // verdict survives at nProbe=2
+    val caught1 = rank1.filter(r => r(3) == 0L).map(_.head)
+    val caught2 = disk.filter(r => r(3) == 0L).map(_.head)
+    assert(caught1.subsetOf(caught2))
+  }
+
+  test("x179 ledger diff flags a shifted verdict mix and stays quiet on a stable one") {
+    // stable: both deliveries mostly admit with the same review tail
+    val g1 = Seq((1L, "admit"), (2L, "admit"), (3L, "admit"), (4L, "review"))
+      .toDF("cand_id", "verdict")
+    val g2 = Seq((11L, "admit"), (12L, "admit"), (13L, "admit"), (14L, "review"))
+      .toDF("cand_id", "verdict")
+    val stable = Dedup.acceptanceLedgerDiff(g1, g2)
+      .select($"verdict", $"n_prev", $"n_curr", $"delta", $"shifted")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stable("admit") == (("admit", 3L, 3L, 0L, 0L)), stable)
+    assert(stable("reject") == (("reject", 0L, 0L, 0L, 0L)),
+      "missing verdict classes must appear with zero counts")
+    // shifted: the next delivery flips to rejects — psi must trip
+    val g3 = Seq((21L, "reject"), (22L, "reject"), (23L, "reject"),
+      (24L, "review")).toDF("cand_id", "verdict")
+    val shifted = Dedup.acceptanceLedgerDiff(g2, g3)
+      .select($"shifted", $"psi").as[(Long, Double)].collect()
+    assert(shifted.forall(_._1 == 1L), s"shift not flagged: ${shifted.toSeq}")
+    assert(shifted.map(_._2).distinct.length == 1)
+  }
+
+  test("x179 persisted ledger: per-delivery generations round-trip and diff like the in-run form") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger").toString
+    def rep(ids: Seq[Long], verdicts: Seq[String]) =
+      ids.zip(verdicts).map { case (id, v) =>
+        (id, None: Option[Long], 0L, 0L, v) }
+        .toDF("cand_id", "exact_ref", "n_surface", "n_sem", "verdict")
+    val r1 = rep(Seq(1L, 2L, 3L), Seq("admit", "admit", "review"))
+    val r2 = rep(Seq(11L, 12L, 13L), Seq("admit", "reject", "reject"))
+    // one generation is not a diffable ledger yet
+    assert(Dedup.appendAcceptanceLedger(r1, s"$dir/led") == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.acceptanceLedgerLatest(spark, s"$dir/led")
+    }
+    assert(Dedup.appendAcceptanceLedger(r2, s"$dir/led") == 1L)
+    val viaDisk = Dedup.acceptanceLedgerLatest(spark, s"$dir/led")
+      .collect().map(_.toSeq).toSet
+    val inRun = Dedup.acceptanceLedgerDiff(r1, r2)
+      .collect().map(_.toSeq).toSet
+    assert(viaDisk.nonEmpty && viaDisk == inRun)
+    // a third delivery diffs against the SECOND, and generation dirs
+    // stay immutable (the full audit trail survives)
+    val r3 = rep(Seq(21L), Seq("admit"))
+    assert(Dedup.appendAcceptanceLedger(r3, s"$dir/led") == 2L)
+    val after = Dedup.acceptanceLedgerLatest(spark, s"$dir/led")
+      .collect().map(_.toSeq).toSet
+    assert(after == Dedup.acceptanceLedgerDiff(r2, r3)
+      .collect().map(_.toSeq).toSet)
+    assert(graft.core.DeltaIndex.latest(spark, s"$dir/led")
+      .dirs("reports").length == 3)
+  }
+
   test("x178 planted drift flips the rebuild verdict; a same-distribution sample does not") {
     import graft.operators.Similarity
     // reference: two tight clusters around e1 and e2, 8 vectors each;
