@@ -25,24 +25,49 @@ object SensorSources {
   def fromNdjsonBatch(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** The exact reader options [[fromKafka]] wires, factored PURE so the
+    * offline spec locks them down: multi-topic subscribe, earliest
+    * offsets (the checkpoint owns progress — strictly stronger than the
+    * reference's timer-based auto-commit, SURVEY.md §4.3), and the
+    * per-trigger admission cap. What remains untestable offline is the
+    * connector call itself, nothing of ours. */
+  private[graft] def kafkaSourceOptions(bootstrap: String,
+                                        topics: Seq[String],
+                                        maxOffsetsPerTrigger: Long)
+      : Map[String, String] = {
+    require(bootstrap.nonEmpty, "fromKafka: empty bootstrap servers")
+    require(topics.nonEmpty && topics.forall(t => t.nonEmpty && !t.contains(",")),
+      s"fromKafka: bad topic list $topics")
+    require(maxOffsetsPerTrigger > 0,
+      s"fromKafka: maxOffsetsPerTrigger=$maxOffsetsPerTrigger")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+  }
+
+  /** Kafka's fixed wire schema (key/value BINARY + metadata) → the
+    * one-string-column `value` shape the pipeline consumes. Pure
+    * Catalyst — spec-covered offline against a hand-built wire-shaped
+    * frame. */
+  private[graft] def kafkaWireValue(kafka: DataFrame): DataFrame =
+    kafka.select(col("value").cast("string").as("value"))
+
   /** Kafka source (R11): one topic per sensor_group, earliest offsets,
-    * offsets tracked by the query checkpoint (strictly stronger than the
-    * reference's timer-based auto-commit — SURVEY.md §4.3).
+    * offsets tracked by the query checkpoint.
     *
-    * NOTE: compiles against the public DataStreamReader API; running it
-    * requires the spark-sql-kafka connector on the classpath and a broker
-    * — neither exists in this offline environment, so this path is
-    * exercised only in connected deployments. */
+    * NOTE: the `.format("kafka").load()` call requires the
+    * spark-sql-kafka connector on the classpath and a broker — neither
+    * exists in this offline environment. Everything around it
+    * ([[kafkaSourceOptions]], [[kafkaWireValue]]) is spec-tested. */
   def fromKafka(spark: SparkSession, bootstrap: String, topics: Seq[String],
                 maxOffsetsPerTrigger: Long = 100000L): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
-      .load()
-      .select(col("value").cast("string").as("value"))
+    kafkaWireValue(
+      spark.readStream
+        .format("kafka")
+        .options(kafkaSourceOptions(bootstrap, topics, maxOffsetsPerTrigger))
+        .load())
 
   /** Rate source → synthetic wire records (load/soak testing without any
     * external system; the moral equivalent of the reference's paced mock
@@ -65,15 +90,33 @@ object SensorSources {
         date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").as("time_received"),
         col("value").as("seq"))).as("value"))
 
-  /** Kafka sink with per-row dynamic topic routing (R9/R10: topic :=
-    * sensor_group). Same offline caveat as fromKafka. */
-  def toKafkaWriter(records: DataFrame, bootstrap: String, checkpoint: String) =
+  /** The sink's wire projection (R9/R10): per-row DYNAMIC topic
+    * routing (topic := sensor_group), sensor_id as the partitioning
+    * key (per-sensor ordering within a topic), the full record as the
+    * JSON value. Pure Catalyst — spec-covered offline. */
+  private[graft] def kafkaWireRecords(records: DataFrame): DataFrame =
     records
       .select(col("sensor_group").as("topic"),
         col("sensor_id").cast("string").as("key"),
-        to_json(struct(records.columns.map(col): _*)).as("value"))
+        to_json(struct(records.columns.toIndexedSeq.map(col): _*)).as("value"))
+
+  /** The exact writer options [[toKafkaWriter]] wires — pure, spec-
+    * locked like [[kafkaSourceOptions]]. */
+  private[graft] def kafkaSinkOptions(bootstrap: String,
+                                      checkpoint: String): Map[String, String] = {
+    require(bootstrap.nonEmpty, "toKafkaWriter: empty bootstrap servers")
+    require(checkpoint.nonEmpty, "toKafkaWriter: empty checkpoint location")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "checkpointLocation" -> checkpoint)
+  }
+
+  /** Kafka sink with per-row dynamic topic routing (R9/R10). Same
+    * offline caveat as [[fromKafka]] — only the `.format("kafka")`
+    * connector call is beyond the specs. */
+  def toKafkaWriter(records: DataFrame, bootstrap: String, checkpoint: String) =
+    kafkaWireRecords(records)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(bootstrap, checkpoint))
 }

@@ -120,4 +120,50 @@ class LineStreamSpec extends SparkSpec {
     assert(streamed.select(batch.columns.map(col): _*).collect().toSeq ==
       batch.collect().toSeq)
   }
+
+  test("R10/R11 kafka wiring is spec-locked offline: options, wire decode, and topic routing") {
+    import spark.implicits._
+    import graft.sources.SensorSources
+    // reader options: multi-topic subscribe, checkpoint-owned offsets,
+    // admission cap — the exact map fromKafka hands the connector
+    assert(SensorSources.kafkaSourceOptions("b1:9092,b2:9092",
+      Seq("grp_a", "grp_b"), 5000L) == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "grp_a,grp_b",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "5000"))
+    intercept[IllegalArgumentException] {
+      SensorSources.kafkaSourceOptions("b:9092", Seq.empty, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SensorSources.kafkaSourceOptions("b:9092", Seq("a,b"), 1L)
+    }
+    // value decode over kafka's REAL wire schema (key/value BINARY +
+    // metadata): exactly one string column named value
+    val wire = Seq((
+        "k1".getBytes("UTF-8"), """{"id":1,"T":20}""".getBytes("UTF-8"),
+        "grp_a", 0, 3L))
+      .toDF("key", "value", "topic", "partition", "offset")
+    val decoded = SensorSources.kafkaWireValue(wire)
+    assert(decoded.columns.toSeq == Seq("value"))
+    assert(decoded.as[String].collect().toSeq == Seq("""{"id":1,"T":20}"""))
+    // sink projection: per-row DYNAMIC topic from sensor_group, string
+    // key from sensor_id, the full record as the JSON value (R9 routing
+    // + R7 serialization in one tested projection)
+    val recs = Seq((101, "grp_a", -3), (102, "grp_b", 7))
+      .toDF("sensor_id", "sensor_group", "T")
+    val out = SensorSources.kafkaWireRecords(recs)
+    assert(out.columns.toSeq == Seq("topic", "key", "value"))
+    val rows = out.as[(String, String, String)].collect().sortBy(_._2)
+    assert(rows.toSeq == Seq(
+      ("grp_a", "101", """{"sensor_id":101,"sensor_group":"grp_a","T":-3}"""),
+      ("grp_b", "102", """{"sensor_id":102,"sensor_group":"grp_b","T":7}""")))
+    // writer options: broker + checkpoint, nothing silently defaulted
+    assert(SensorSources.kafkaSinkOptions("b:9092", "/ck") == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "checkpointLocation" -> "/ck"))
+    intercept[IllegalArgumentException] {
+      SensorSources.kafkaSinkOptions("b:9092", "")
+    }
+  }
 }
