@@ -72,7 +72,7 @@ object DeltaIndex {
     * zero-padded form keeps listings lexically ordered for humans. */
   def partDir(part: String, gen: Long): String = f"$part/g$gen%019d"
 
-  private[core] def render(m: Manifest): String = {
+  private[graft] def render(m: Manifest): String = {
     def clean(s: String, what: String): String = {
       require(s.nonEmpty && !s.exists(c => c == '\n' || c == '\r' || c == ','),
         s"DeltaIndex: illegal $what '$s'")
@@ -87,7 +87,7 @@ object DeltaIndex {
       .mkString("", "\n", "\n")
   }
 
-  private[core] def parse(content: String): Manifest = {
+  private[graft] def parse(content: String): Manifest = {
     var gen = -1L
     val params = Map.newBuilder[String, String]
     val parts = Map.newBuilder[String, Vector[String]]
@@ -181,6 +181,62 @@ object DeltaIndex {
            part: String): DataFrame =
     m.dirs(part).map(d => spark.read.parquet(s"$root/$d"))
       .reduce(_ unionByName _)
+
+  final case class VacuumStats(deletedDirs: Int, deletedManifests: Int,
+                               deletedTmp: Int, nested: Int)
+
+  /** Retention: delete everything not reachable from the newest
+    * `keepGenerations` manifests — older manifests, the data dirs only
+    * they referenced (e.g. superseded merged-df generations), data dirs
+    * no manifest ever committed (crashed appends), and orphaned
+    * `.manifest_*.tmp.*` files. Appendable parts (grams/lists/ids)
+    * accumulate in every later manifest, so their dirs survive any
+    * vacuum by construction; a reader that resolved one of the KEPT
+    * manifests is unaffected. Nested artifacts (a child dir carrying
+    * its own manifests, like the acceptance battery's `sem/`) are
+    * vacuumed recursively with the same retention.
+    *
+    * WRITER-side operation under the single-writer contract: do not run
+    * concurrently with an append to the same root (an in-flight append's
+    * not-yet-committed delta dir is indistinguishable from a crashed
+    * one). `keepGenerations >= 2` keeps the crash-heal window intact for
+    * composite artifacts that pin a nested generation. */
+  def vacuum(spark: SparkSession, root: String,
+             keepGenerations: Int = 2): VacuumStats = {
+    require(keepGenerations >= 1, s"vacuum: keepGenerations=$keepGenerations")
+    val f = fs(spark, root)
+    val all = Option(f.globStatus(new Path(root, "manifest_*.txt")))
+      .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
+    require(all.nonEmpty, s"vacuum: no manifests at $root")
+    val (dropM, keepM) = all.splitAt(math.max(0, all.length - keepGenerations))
+    val live: Set[String] =
+      keepM.flatMap(p => readManifest(f, p).parts.values.flatten).toSet
+    var dirs = 0; var tmp = 0; var nested = 0
+    val genDir = """g\d{19}""".r
+    for (child <- f.listStatus(new Path(root))) {
+      val name = child.getPath.getName
+      if (child.isDirectory) {
+        val hasManifests = {
+          val g = f.globStatus(new Path(child.getPath, "manifest_*.txt"))
+          g != null && g.nonEmpty
+        }
+        if (hasManifests) {
+          nested += 1
+          vacuum(spark, child.getPath.toString, keepGenerations)
+        } else {
+          for (gen <- f.listStatus(child.getPath)
+               if gen.isDirectory && genDir.matches(gen.getPath.getName)
+               if !live.contains(s"$name/${gen.getPath.getName}")) {
+            f.delete(gen.getPath, true); dirs += 1
+          }
+        }
+      } else if (name.startsWith(".manifest_") && name.contains(".tmp.")) {
+        f.delete(child.getPath, false); tmp += 1
+      }
+    }
+    dropM.foreach(p => f.delete(p, false))
+    VacuumStats(dirs, dropM.length, tmp, nested)
+  }
 
   /** Fail-fast parameter check: an append or probe invoked with
     * different build parameters than the artifact was built with would

@@ -811,6 +811,70 @@ object Dedup {
       .orderBy(col("cand_id"))
   }
 
+  // ------------------ the delivery loop, composed ---------------------
+
+  /** What one vendor delivery leaves behind: the per-candidate report
+    * (pinned to the pre-delivery battery snapshot — still valid after
+    * the append, since generation dirs are immutable), how many docs
+    * were admitted, the battery generation the admits landed in (None
+    * when nothing was admitted), the ledger generation holding this
+    * report, and the pre-append drift check over the delivery's
+    * vectors. */
+  final case class DeliveryOutcome(report: DataFrame, admitted: Long,
+                                   batteryGen: Option[Long], ledgerGen: Long,
+                                   drift: DataFrame)
+
+  /** THE CURATION LOOP, composed end-to-end from the proven pieces —
+    * what a production intake runs per vendor drop:
+    *
+    *   1. gate every document against the frozen acceptance battery
+    *      (x176, [[acceptanceGateIndexed]] — exact + surface + semantic
+    *      tiers, one pinned snapshot);
+    *   2. drift-check the delivery's vectors against the semantic
+    *      sub-index (x178) BEFORE ingesting them — the signal that
+    *      schedules [[Similarity.rebuildSemRefIndex]];
+    *   3. fold the ADMITTED docs+vectors into the battery (x175,
+    *      [[appendToAcceptanceIndex]] — O(delta), one commit, so the
+    *      NEXT delivery's copies of these docs are rejected);
+    *   4. append the full report to the acceptance ledger (x179) for
+    *      the cross-delivery release-notes diff.
+    *
+    * Each step is individually oracle- or spec-gated; this composition
+    * is spec-gated as a three-delivery scenario (double-submission
+    * rejected, ledger diff flags the shift, empty-admit deliveries do
+    * not churn a battery generation). */
+  def processDelivery(delivery: DataFrame, indexPath: String,
+                      ledgerPath: String,
+                      n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
+                      jaccardThreshold: Double = 0.5,
+                      hashGrams: Boolean = false,
+                      tau: Double = Similarity.SemDedupTau,
+                      driftThreshold: Double = Similarity.SemDriftThreshold)
+      : DeliveryOutcome = {
+    val vecs = delivery.select(col("doc_id").as("vec_id"), col("embedding"))
+    val drift = Similarity.semIndexDriftCheck(vecs, s"$indexPath/sem",
+      driftThreshold)
+    val report = graft.core.Caches.bounded(
+      acceptanceGateIndexed(delivery, indexPath, n, maxDf, minInter,
+        jaccardThreshold, hashGrams, tau))
+    val admittedIds = report.filter(col("verdict") === "admit")
+      .select(col("cand_id").as("doc_id"))
+    val admitted = delivery.join(admittedIds, Seq("doc_id"), "left_semi")
+    val nAdmitted = admitted.count()
+    // an all-rejected delivery must not churn an (empty) battery
+    // generation — the report still goes to the ledger for the audit
+    val batteryGen =
+      if (nAdmitted == 0L) None
+      else {
+        appendToAcceptanceIndex(admitted,
+          admitted.select(col("doc_id").as("vec_id"), col("embedding")),
+          indexPath, n, hashGrams)
+        Some(graft.core.DeltaIndex.latest(delivery.sparkSession, indexPath).gen)
+      }
+    val ledgerGen = appendAcceptanceLedger(report, ledgerPath)
+    DeliveryOutcome(report, nAdmitted, batteryGen, ledgerGen, drift)
+  }
+
   // ---------------------- acceptance ledger (x179) --------------------
 
   /** PSI at or above this on the verdict-mix histogram flags a shifted

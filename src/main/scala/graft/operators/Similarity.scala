@@ -1691,6 +1691,38 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** SCHEDULED REBUILD — what [[semIndexDriftCheck]]'s `rebuild`
+    * verdict triggers: refit the codebook over everything the index
+    * now holds (original reference + every appended delivery, read
+    * from the index's own lists — the source corpora are gone) and
+    * republish atomically as a fresh generation-0 artifact. Reading
+    * the full lists once is the DECLARED cost of a rebuild; `k` may be
+    * raised when the drift means new mass needs its own cluster(s).
+    *
+    * Why this matters: appends freeze the codebook, so a new data
+    * direction piles into whichever old cluster is least wrong —
+    * rank-1 probes then miss paraphrases across that crowded boundary
+    * (spec plants exactly this and shows the rebuild recovers it).
+    *
+    * The vectors are staged to a sibling dir before the republish: the
+    * save's atomic swap renames the live root, which would tear the
+    * lazy file reads of a plan still pointed at it. */
+  def rebuildSemRefIndex(spark: SparkSession, indexPath: String,
+                         k: Int = KmeansK, iters: Int = KmeansIters): Unit = {
+    import graft.core.{Artifacts, DeltaIndex}
+    Artifacts.recover(spark, indexPath)
+    val m = DeltaIndex.latest(spark, indexPath)
+    val stage = s"$indexPath.rebuild"
+    DeltaIndex.read(spark, indexPath, m, "lists")
+      .select(col("ref_id").as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stage)
+    try saveSemRefIndex(spark.read.parquet(stage), indexPath, k, iters)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   // ------------- budgeted multi-cluster semantic probe (x180) --------
 
   /** Default probe budget of the x180 face: rank-1 assignment plus one

@@ -4416,6 +4416,99 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("x178 rebuild recovers the recall drift cost: a crowded boundary re-clusters from index files alone") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("sem_rebuild").toString
+    // reference: anchors along (1,0) and (0,1); frozen k=2 codebook
+    val ref = Seq(
+      0L -> Array(1f, 0f), 2L -> Array(1f, 0.01f), 4L -> Array(1f, -0.01f),
+      1L -> Array(0f, 1f), 3L -> Array(0.01f, 1f), 5L -> Array(-0.01f, 1f)
+    ).toDF("vec_id", "embedding")
+    Similarity.saveSemRefIndex(ref, s"$dir/idx", k = 2, iters = 1)
+    // a NEW data direction (50deg) arrives and is admitted; the frozen
+    // codebook files it into the (0,1) cluster
+    val d1 = Seq(10L -> Array(0.64279f, 0.76604f),
+      11L -> Array(0.643f, 0.766f), 12L -> Array(0.6428f, 0.766f))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToSemRefIndex(d1, s"$dir/idx")
+    // a candidate at 41deg paraphrases the appended mass (cos(9deg)
+    // ~.9877) but assigns to the (1,0) cluster — rank-1 probe misses
+    val cand = Seq(100L -> Array(0.75471f, 0.65606f))
+      .toDF("vec_id", "embedding")
+    def probe() = Similarity.semProbeAgainst(cand, s"$dir/idx", tau = 0.98)
+      .select($"cand_id", $"n_dups", $"keep")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(probe() == Seq((100L, 0L, 1L)), s"pre-rebuild: ${probe()}")
+    // the drift check is the trigger: the delivery-shaped recent sample
+    // piles into one cluster of the stale codebook
+    val recent = (0 until 12).map(i => (1000L + i, Array(0.6428f, 0.766f)))
+      .toDF("vec_id", "embedding")
+    val pre = Similarity.semIndexDriftCheck(recent, s"$dir/idx")
+      .select($"rebuild").as[Long].collect()
+    assert(pre.forall(_ == 1L), s"drift not flagged: ${pre.toSeq}")
+    // rebuild from the index's own lists, with k raised for the new mass
+    Similarity.rebuildSemRefIndex(spark, s"$dir/idx", k = 3, iters = 2)
+    assert(probe() == Seq((100L, 3L, 0L)),
+      s"post-rebuild the paraphrases must co-cluster: ${probe()}")
+    assert(graft.core.DeltaIndex.latest(spark, s"$dir/idx").gen == 0L,
+      "a rebuild publishes a fresh generation-0 artifact")
+  }
+
+  test("processDelivery composes the loop: gate, drift, O(delta) ingest, ledger — over three deliveries") {
+    import graft.operators.Similarity
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    def dlv(rows: (Long, String, Array[Float])*) =
+      rows.map { case (id, t, e) => (id, "en", t, e) }
+        .toDF("doc_id", "lang", "text", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("delivery_loop").toString
+    val (idx, led) = (s"$dir/idx", s"$dir/led")
+    Dedup.saveAcceptanceIndex(
+      Seq((100L, "en", blk("alpha")), (101L, "en", blk("beta")))
+        .toDF("doc_id", "lang", "text"),
+      Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+        .toDF("vec_id", "embedding"),
+      idx, k = 2, iters = 1)
+    // delivery 1: one novel doc (admit), one exact copy of the
+    // reference (reject)
+    val o1 = Dedup.processDelivery(
+      dlv((1L, blk("gamma"), Array(0.70f, 0.71f)),
+        (2L, blk("alpha"), Array(0.9f, 0.1f))),
+      idx, led, maxDf = 100, tau = 0.9)
+    assert(o1.admitted == 1L && o1.batteryGen == Some(1L) && o1.ledgerGen == 0L)
+    assert(o1.drift.count() == 2L)
+    val v1 = o1.report.select($"cand_id", $"verdict")
+      .as[(Long, String)].collect().toMap
+    assert(v1 == Map(1L -> "admit", 2L -> "reject"), v1)
+    // delivery 2: a copy of delivery 1's ADMITTED doc must now reject —
+    // the loop actually closed; plus one more novel admit
+    val o2 = Dedup.processDelivery(
+      dlv((11L, blk("gamma"), Array(0.99f, 0.01f)),
+        (12L, blk("delta"), Array(-0.70f, 0.70f))),
+      idx, led, maxDf = 100, tau = 0.9)
+    val v2 = o2.report.select($"cand_id", $"verdict", $"exact_ref")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v2(11L) == ((11L, "reject", Some(1L))), v2)
+    assert(v2(12L) == ((12L, "admit", None)), v2)
+    assert(o2.admitted == 1L && o2.batteryGen == Some(2L) && o2.ledgerGen == 1L)
+    // the ledger now diffs delivery 2 against delivery 1
+    val diff = Dedup.acceptanceLedgerLatest(spark, led)
+      .select($"verdict", $"n_prev", $"n_curr")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(diff("admit") == (("admit", 1L, 1L)), diff)
+    assert(diff("reject") == (("reject", 1L, 1L)), diff)
+    // delivery 3: everything already known — no battery churn, but the
+    // report still lands in the ledger
+    val o3 = Dedup.processDelivery(
+      dlv((21L, blk("gamma"), Array(0.7f, 0.71f)),
+        (22L, blk("delta"), Array(-0.7f, 0.7f))),
+      idx, led, maxDf = 100, tau = 0.9)
+    assert(o3.admitted == 0L && o3.batteryGen == None && o3.ledgerGen == 2L)
+    assert(graft.core.DeltaIndex.latest(spark, idx).gen == 2L,
+      "an all-rejected delivery must not advance the battery")
+  }
+
   test("x180 the runner-up cluster catches the Voronoi-boundary paraphrase nProbe=1 structurally misses") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("sem_budget").toString
