@@ -1582,10 +1582,35 @@ object Similarity {
                                     tau: Double): DataFrame = {
     val spark = candidates.sparkSession
     val cents = semCodebook(spark, root, m)
+    val candA = assignCandidates(candidates, cents)
     val lists = graft.core.DeltaIndex.read(spark, root, m, "lists")
-      .select(col("cluster").cast("long").as("cluster"),
-        col("ref_id"), col("embedding").as("_re"))
-    semVerdict(assignCandidates(candidates, cents), lists, tau)
+    semVerdict(candA, prunedLists(candidates, candA, lists), tau)
+  }
+
+  /** STATIC cluster pruning for a BATCH probe: the candidates' probed
+    * clusters collect to the driver (bounded by k — the assignment's
+    * whole codomain) and become a partition filter on the
+    * cluster-partitioned lists, so a small delivery reads only the list
+    * partitions it probes instead of joining the full index (the
+    * ivfTopKPruned discipline; at 100 TB this is the difference between
+    * a delivery-sized read and an index-sized one). Streaming
+    * candidates skip the collect (illegal on a stream) and keep the
+    * stream-static join over all partitions — the foreachBatch faces
+    * pass per-batch BATCH frames, so the production gate prunes too. */
+  private def prunedLists(candidates: DataFrame, candA: DataFrame,
+                          lists: DataFrame): DataFrame = {
+    val typed = lists.select(col("cluster").cast("long").as("cluster"),
+      col("ref_id"), col("embedding").as("_re"))
+    if (candidates.isStreaming) typed
+    else {
+      val probed = candA.select(col("cluster")).distinct()
+        .collect().map(_.getLong(0))
+      if (probed.isEmpty) typed.filter(lit(false))
+      // the filter lands on the PARTITION column before the cast, so the
+      // scan's partition filters prune at file-listing time
+      else typed.filter(col("cluster")
+        .isin(probed.toIndexedSeq.map(Long.box): _*))
+    }
   }
 
   // ------------- semantic-index drift check (x178) --------------------
@@ -1788,11 +1813,9 @@ object Similarity {
     val root = graft.core.Artifacts.readablePath(spark, indexPath)
     val m = graft.core.DeltaIndex.latest(spark, root)
     val cents = semCodebook(spark, root, m)
+    val candM = assignCandidatesMulti(candidates, cents, nProbe)
     val lists = graft.core.DeltaIndex.read(spark, root, m, "lists")
-      .select(col("cluster").cast("long").as("cluster"),
-        col("ref_id"), col("embedding").as("_re"))
-    semVerdictMulti(assignCandidatesMulti(candidates, cents, nProbe),
-      lists, tau)
+    semVerdictMulti(candM, prunedLists(candidates, candM, lists), tau)
   }
 
   /** The x180 queries() face: the x170 split (even reference / odd

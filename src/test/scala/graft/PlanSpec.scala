@@ -668,17 +668,20 @@ class PlanSpec extends SparkSpec {
   /** LIVE FileScan root paths, structurally (the liveFileScans
     * traversal): descends AQE boundaries and subqueries, stops at a
     * cache hit (the cached build plan is rendered, not live work). */
-  private def scanRoots(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+  private def scanRoots(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    collectFileScans(p).flatMap(_.relation.location.rootPaths.map(_.toString))
+
+  private def collectFileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     p match {
-      case a: AdaptiveSparkPlanExec => scanRoots(a.executedPlan)
-      case q: QueryStageExec        => scanRoots(q.plan)
+      case a: AdaptiveSparkPlanExec => collectFileScans(a.executedPlan)
+      case q: QueryStageExec        => collectFileScans(q.plan)
       case _: InMemoryTableScanExec => Nil
-      case f: FileSourceScanExec    =>
-        f.relation.location.rootPaths.map(_.toString)
-      case other => (other.children ++ other.subqueries).flatMap(scanRoots)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(collectFileScans)
     }
   }
 
@@ -702,6 +705,15 @@ class PlanSpec extends SparkSpec {
     assert(semScans.nonEmpty, s"expected live index scans:\n$semPlan")
     assert(semScans.forall(_.contains(semDir)),
       s"non-index file read in the probe: $semScans")
+    // batch probes STATICALLY prune the cluster-partitioned lists to
+    // the candidates' probed clusters: the lists scan must carry a
+    // partition filter (a small delivery reads delivery-many
+    // partitions, never the whole index)
+    val listScans = collectFileScans(semPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/lists/")))
+    assert(listScans.nonEmpty, s"no lists scan found:\n$semPlan")
+    assert(listScans.forall(_.partitionFilters.nonEmpty),
+      s"lists scan is unpruned (no partition filters):\n$semPlan")
     // x171: gram probe over the persisted grams/df/sizes artifact
     val xDir = java.nio.file.Files.createTempDirectory("gate_xprobe_idx").toString
     val (cand, ref) = Dedup.plantedCrossCorpus(
