@@ -1652,11 +1652,7 @@ object Similarity {
     import spark.implicits._
     val k = cents.length
     require(k > 0, "semDriftAgainst: empty codebook")
-    val recCounts = kmeansAssigned(
-        recent.filter(col("embedding").isNotNull)
-          .select(col("vec_id"), col("embedding")),
-        cents)
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n_recent"))
+    val recCounts = recentCounts(recent, cents)
     // every codebook cluster appears, even when empty on either side —
     // Laplace smoothing is only well-defined over the full support
     val counts = cents.map(_._1).toSeq.toDF("cluster")
@@ -1683,6 +1679,30 @@ object Similarity {
       .select(col("cluster"), col("n_ref"), col("n_recent"),
         col("ref_share"), col("recent_share"), col("psi_term"), col("psi"),
         when(col("psi") >= threshold, 1L).otherwise(0L).as("rebuild"))
+  }
+
+  /** The recent-side occupancy histogram (k rows) — the ONE
+    * incremental aggregate inside the drift check: stateless
+    * literal-centroid assignment + a grouped count, so it runs
+    * unchanged on a stream (the x177 calibrationStream discipline —
+    * the PSI/verdict summary is a second aggregation layer and stays a
+    * batch-side read of this table). */
+  private def recentCounts(recent: DataFrame,
+                           cents: Array[(Long, Array[Double])]): DataFrame =
+    kmeansAssigned(
+        recent.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")),
+        cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_recent"))
+
+  /** [[recentCounts]] under a persisted index's frozen codebook — the
+    * streaming drift monitor's body
+    * ([[graft.streaming.StreamingOps.semDriftStream]]). */
+  def semRecentCounts(recent: DataFrame, indexPath: String): DataFrame = {
+    val spark = recent.sparkSession
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    recentCounts(recent,
+      semCodebook(spark, root, graft.core.DeltaIndex.latest(spark, root)))
   }
 
   /** [[semDriftAgainst]] over a [[saveSemRefIndex]] artifact — the

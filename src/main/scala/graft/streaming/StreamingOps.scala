@@ -2038,6 +2038,22 @@ object StreamingOps {
       emit(graft.operators.Dedup.acceptanceGateIndexed(batch, indexPath,
         maxDf = maxDf, tau = tau), batchId)
 
+  // ------------- streaming drift monitor (x178's face) ---------------
+
+  /** Streaming face of
+    * [[graft.operators.Similarity.semIndexDriftCheck]] (x178): arriving
+    * vectors assign against the index's FROZEN codebook (stateless
+    * literal-centroid map) and fold into the per-cluster occupancy
+    * aggregate — ONE incremental COMPLETE-mode count on k keys, the
+    * live side of the rebuild-trigger PSI. The smoothing/PSI/verdict
+    * summary is a second aggregation layer over this k-row table plus
+    * the frozen reference occupancy, so it stays a batch-side read
+    * (the calibrationStream discipline — x178's audit face). Replay
+    * equals the batch recent-side histogram row-for-row
+    * (spec-asserted). */
+  def semDriftStream(emb: DataFrame, indexPath: String): DataFrame =
+    graft.operators.Similarity.semRecentCounts(emb, indexPath)
+
   // ------------- streaming calibration monitor (x177's face) ---------
 
   /** Streaming face of

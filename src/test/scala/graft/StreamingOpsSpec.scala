@@ -2074,6 +2074,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor equals batch x178 occupancy histogram on replay (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val isRef = $"vec_id" % 2 === 0
+    val dir = java.nio.file.Files.createTempDirectory("drift_stream").toString
+    Similarity.saveSemRefIndex(emb.filter(isRef), s"$dir/idx")
+    val recent = emb.filter(!isRef)
+    val batch = Similarity.semRecentCounts(recent, s"$dir/idx")
+      .as[(Long, Long)].collect().toMap
+    assert(batch.size > 1, "degenerate occupancy — vacuous replay")
+    val rows = recent.filter($"embedding".isNotNull)
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamingOps.semDriftStream(
+        stream.toDF().toDF("vec_id", "embedding", "label"), s"$dir/idx")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_out").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("drift_out").as[(Long, Long)].collect().toMap
+      assert(got == batch, s"drift: ${batch.toSet -- got.toSet}")
+    } finally q.stop()
+  }
+
   test("streaming calibration monitor equals batch x177 per-bin table on replay (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Analytics
