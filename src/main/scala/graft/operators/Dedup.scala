@@ -403,6 +403,40 @@ object Dedup {
       DeltaIndex.Manifest(gen, m.params, m.parts ++ parts))
   }
 
+  /** COMPACTION — the generation-count backstop [[DeltaIndex.vacuum]]
+    * deliberately does not provide for appendable parts: after many
+    * deliveries the grams/sizes parts are unions of many small
+    * generation dirs (one per append), and every probe's scan plans
+    * over all of them. This rewrites the CURRENT generation's parts as
+    * single fresh gen-0 dirs and republishes atomically — one declared
+    * full-index read, no corpus needed (the grams ARE the data), params
+    * preserved, probe results identical (spec-asserted). The semantic
+    * sibling is [[Similarity.rebuildSemRefIndex]], whose refit compacts
+    * the lists as a side effect. */
+  def compactCrossProbeIndex(spark: SparkSession, indexPath: String): Unit = {
+    import graft.core.{Artifacts, DeltaIndex}
+    Artifacts.recover(spark, indexPath)
+    val m = DeltaIndex.latest(spark, indexPath)
+    // stage the unioned parts OUTSIDE the root first: the publish swap
+    // renames the live root out from under any lazy plan reading it
+    val stage = s"$indexPath.compact"
+    for (part <- Seq("grams", "df", "sizes"))
+      DeltaIndex.read(spark, indexPath, m, part)
+        .write.mode("overwrite").parquet(s"$stage/$part")
+    try Artifacts.publishAtomic(spark, indexPath) { tmp =>
+      val parts = Seq("grams", "df", "sizes").map { part =>
+        val dir = DeltaIndex.partDir(part, 0L)
+        spark.read.parquet(s"$stage/$part")
+          .write.mode("overwrite").parquet(s"$tmp/$dir")
+        part -> Vector(dir)
+      }.toMap
+      DeltaIndex.commit(spark, tmp, DeltaIndex.Manifest(0L, m.params, parts))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** x171: the INCREMENTAL form of x169 — probe a delivery against the
     * frozen reference gram index without ever rescanning the reference
     * corpus. Result-identical to [[crossNearDupProbe]] on the same

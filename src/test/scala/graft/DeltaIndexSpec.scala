@@ -82,6 +82,37 @@ class DeltaIndexSpec extends SparkSpec {
     assert(again == DeltaIndex.VacuumStats(0, 0, 0, 0), again)
   }
 
+  test("compaction folds many append generations into one — probe results identical, params preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("dix_compact").toString
+    val idx = s"$dir/idx"
+    Dedup.saveCrossProbeIndex(
+      Seq((100L, "en", blk("one"))).toDF("doc_id", "lang", "text"), idx)
+    for (i <- 1 to 3)
+      Dedup.appendToCrossProbeIndex(
+        Seq((i.toLong, "en", blk(s"tag$i"))).toDF("doc_id", "lang", "text"),
+        idx)
+    val probe = Seq((9L, "en", blk("tag2"))).toDF("doc_id", "lang", "text")
+    val before = Dedup.crossProbeIndexed(probe, idx, maxDf = 100)
+      .collect().map(_.toSeq).toSet
+    assert(before.nonEmpty)
+    assert(DeltaIndex.latest(spark, idx).dirs("grams").length == 4)
+    Dedup.compactCrossProbeIndex(spark, idx)
+    val m = DeltaIndex.latest(spark, idx)
+    assert(m.gen == 0L && m.dirs("grams").length == 1 &&
+      m.dirs("sizes").length == 1, m)
+    assert(m.params("n") == "3" && m.params("hashGrams") == "false", m)
+    assert(Dedup.crossProbeIndexed(probe, idx, maxDf = 100)
+      .collect().map(_.toSeq).toSet == before,
+      "compaction changed probe results")
+    // and the compacted index accepts further appends + replay guard
+    Dedup.appendToCrossProbeIndex(
+      Seq((50L, "en", blk("more"))).toDF("doc_id", "lang", "text"), idx)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToCrossProbeIndex(
+        Seq((1L, "en", blk("tag1"))).toDF("doc_id", "lang", "text"), idx)
+    }
+  }
+
   test("vacuum recurses into nested artifacts (the battery's sem sub-index)") {
     val dir = java.nio.file.Files.createTempDirectory("dix_vac_nested").toString
     val idx = s"$dir/idx"
