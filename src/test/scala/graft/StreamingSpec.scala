@@ -521,6 +521,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() > 0)
     // listener accumulated the input rows for this query
     assert(listener.rowsByQuery.getOrDefault("fanout_q", 0L) == 600L)
+    // R22/metrics-export: the accumulated counters round-trip through
+    // the durable parquet metrics store...
+    import graft.streaming.MetricsExport
+    val snap = MetricsExport.snapshot(listener)
+    assert(snap.get("fanout_q").contains(600L))
+    val mdir = java.nio.file.Files.createTempDirectory("metrics").toString
+    MetricsExport.appendSnapshot(spark, snap, s"$mdir/store", epochSec = 1000L)
+    MetricsExport.appendSnapshot(spark,
+      snap.map { case (k, v) => k -> (v + 50L) }, s"$mdir/store",
+      epochSec = 1060L)
+    val series = spark.read.parquet(s"$mdir/store")
+      .filter(col("name") === "fanout_q")
+      .orderBy("epoch_sec")
+      .select("epoch_sec", "value")
+      .as[(Long, Long)].collect().toSeq
+    assert(series == Seq((1000L, 600L), (1060L, 650L)), series)
+  }
+
+  test("graphite wire format is spec-locked: sorted lines, sanitized paths, no injection") {
+    import graft.streaming.MetricsExport
+    val lines = MetricsExport.graphiteLines("graft.sensors",
+      Map("fanout_q" -> 600L, "a q.2" -> 7L), epochSec = 1234L)
+    // delimiters in a query name cannot smuggle fields or split paths
+    assert(lines == Seq(
+      "graft.sensors.a_q_2 7 1234",
+      "graft.sensors.fanout_q 600 1234"), lines)
+    assert(lines.forall(l => l.split(" ").length == 3 && !l.contains("\n")))
+    intercept[IllegalArgumentException] { MetricsExport.sanitize("") }
+    intercept[IllegalArgumentException] {
+      MetricsExport.graphiteLines("p", Map("x" -> 1L), epochSec = -5L)
+    }
   }
 
   test("streaming tumbling window equals batch form (Q19 discipline)") {
