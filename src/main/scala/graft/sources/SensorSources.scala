@@ -119,4 +119,32 @@ object SensorSources {
       .writeStream
       .format("kafka")
       .options(kafkaSinkOptions(bootstrap, checkpoint))
+
+  /** The spark-cassandra-connector options of the declared Cassandra
+    * swap-point (reference cassandra_storage.py:17-129; SURVEY §7.4) —
+    * pure, spec-locked like [[kafkaSinkOptions]]. */
+  private[graft] def cassandraSinkOptions(keyspace: String,
+                                          table: String): Map[String, String] = {
+    require(keyspace.nonEmpty, "toCassandraBatch: empty keyspace")
+    require(table.nonEmpty, "toCassandraBatch: empty table")
+    Map("keyspace" -> keyspace, "table" -> table)
+  }
+
+  /** Cassandra sink as a foreachBatch body — the exact slot
+    * [[graft.streaming.SensorStream.upsertBatch]] occupies today, so a
+    * connected deployment swaps the parquet store for Cassandra by
+    * changing ONE argument. Semantics line up by construction:
+    * Cassandra's append IS a primary-key upsert (per-cell
+    * last-write-wins), the same contract the parquet store reproduces
+    * and the replay/exactly-once specs prove. Offline caveat: the
+    * connector jar and a cluster are absent here, so only the
+    * `.format(...)` call is beyond the specs. */
+  def toCassandraBatch(keyspace: String, table: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      batch.write
+        .format("org.apache.spark.sql.cassandra")
+        .options(cassandraSinkOptions(keyspace, table))
+        .mode("append")
+        .save()
 }

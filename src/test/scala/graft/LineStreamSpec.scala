@@ -165,5 +165,16 @@ class LineStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SensorSources.kafkaSinkOptions("b:9092", "")
     }
+    // Cassandra swap-point wiring (same offline discipline): the option
+    // map is pinned and the foreachBatch face has upsertBatch's shape —
+    // a connected deployment swaps sinks by changing one argument
+    assert(SensorSources.cassandraSinkOptions("sensors", "records") ==
+      Map("keyspace" -> "sensors", "table" -> "records"))
+    intercept[IllegalArgumentException] {
+      SensorSources.cassandraSinkOptions("", "records")
+    }
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      SensorSources.toCassandraBatch("sensors", "records")
+    assert(sink != null)
   }
 }
