@@ -676,6 +676,44 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         (-col("b.negid")).as("cluster"), col("b.sim").cast("double").as("cos_c"))
 
+  /** Session-scoped memo of deterministic fits: the codebook is a pure
+    * function of (input files, cleaning plan, k, iters), so faces that
+    * refit the same corpus split per invocation (x78/x83/x92, the
+    * x170/x174/x176/x178/x179/x180 acceptance family) reuse the
+    * collected centroids instead of re-running the Lloyd jobs — the
+    * production shape: a codebook is an ARTIFACT, not a per-query
+    * computation (the persisted-index faces already embody this on
+    * disk). Results are bit-identical by the fit's determinism; only
+    * plans whose every leaf is a file-backed relation are keyed (the
+    * key carries the exact input-file inventory, so a rewritten
+    * staging dir or a new index generation can never alias a stale
+    * codebook; in-memory test frames carry no immutability contract
+    * and always recompute). */
+  private val fitMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Int, Int, String), Array[(Long, Array[Double])]]
+  private val FitMemoMax = 64
+  /** Count of ACTUAL Lloyd computations (spec hook: a memo hit must not
+    * increment it; a rewritten input must). */
+  private[graft] val fitComputes = new java.util.concurrent.atomic.AtomicLong
+
+  private def fitKey(emb: DataFrame, k: Int,
+                     iters: Int): Option[(SparkSession, Int, Int, String)] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    if (emb.isStreaming) return None
+    val plan = emb.queryExecution.analyzed
+    val leaves = plan.collectLeaves()
+    val files = leaves.map {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => Some(h.location.inputFiles.sorted.mkString(","))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (files.exists(_.isEmpty)) None
+    else Some((emb.sparkSession, k, iters,
+      plan.canonicalized.toString + "|" + files.flatten.mkString(";")))
+  }
+
   /** The deterministic Lloyd loop behind [[kmeans]], exposed so x83's
     * oracle-checked ANN probe can pin its codebook with the SAME
     * cross-engine-exact discipline: returns the cleaned (vec_id,
@@ -686,6 +724,9 @@ object Similarity {
     val emb = vectors
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
+    val key = fitKey(emb, k, iters)
+    key.flatMap(fitMemo.get).foreach { cents => return (emb, cents) }
+    fitComputes.incrementAndGet()
     // init: the vectors of the k SMALLEST vec_ids present. On the corpus
     // tables (dense ids from 0) this is exactly the historical
     // `vec_id < k` init, so x78/x83/x92's oracle results are unchanged;
@@ -710,6 +751,15 @@ object Similarity {
           cid -> v
         }
       cur.map { case (cid, old) => cid -> sums.getOrElse(cid, old) }
+    }
+    key.foreach { kk =>
+      // bound the memo: drop dead-session entries first, then oldest-ish
+      fitMemo.filterInPlace { case ((s, _, _, _), _) =>
+        !s.sparkContext.isStopped }
+      if (fitMemo.size >= FitMemoMax)
+        fitMemo.keys.take(fitMemo.size - FitMemoMax + 1)
+          .foreach(fitMemo.remove)
+      fitMemo.put(kk, cents)
     }
     (emb, cents)
   }

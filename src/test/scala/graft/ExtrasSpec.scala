@@ -4416,6 +4416,40 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("kmeans fit memo: identical file-backed inputs reuse the codebook; rewritten inputs never alias") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("fitmemo").toString
+    Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 2L -> Array(1f, 0.01f),
+      3L -> Array(0.01f, 1f))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/v")
+    def fit() = Similarity.kmeans(spark.read.parquet(s"$dir/v"), k = 2,
+      iters = 1).collect().map(_.toSeq).toSeq
+    val before = Similarity.fitComputes.get()
+    val first = fit()
+    assert(Similarity.fitComputes.get() == before + 1)
+    // identical input files: the memo serves the codebook, results equal
+    assert(fit() == first)
+    assert(Similarity.fitComputes.get() == before + 1,
+      "a memo hit re-ran the Lloyd jobs")
+    // the SAME path rewritten with different data (the rebuild staging
+    // shape) must recompute — the key carries the file inventory
+    Seq(0L -> Array(0.6f, 0.8f), 1L -> Array(0.8f, 0.6f))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/v")
+    val second = fit()
+    assert(Similarity.fitComputes.get() == before + 2,
+      "a rewritten input aliased a stale codebook")
+    assert(second != first)
+    // in-memory frames carry no immutability contract: never memoized
+    val local = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val b2 = Similarity.fitComputes.get()
+    Similarity.kmeans(local, k = 2, iters = 1).collect()
+    Similarity.kmeans(local, k = 2, iters = 1).collect()
+    assert(Similarity.fitComputes.get() == b2 + 2)
+  }
+
   test("x178 rebuild recovers the recall drift cost: a crowded boundary re-clusters from index files alone") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("sem_rebuild").toString
