@@ -665,6 +665,10 @@ object SparkEntry {
     // rank-1 probe structurally misses (IVF nProbe discipline on the
     // same index artifact).
     "x180_sem_probe_budget" -> (Similarity.crossSemProbeBudgetQuery _),
+    // x181: tier ATTRIBUTION over the acceptance report — the "why"
+    // breakdown (exact/surface/sem firing combinations with counts and
+    // shares) a curator reads next to the verdict mix.
+    "x181_tier_breakdown" -> (Dedup.acceptanceTierQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

@@ -417,19 +417,40 @@ object Dedup {
     import graft.core.{Artifacts, DeltaIndex}
     Artifacts.recover(spark, indexPath)
     val m = DeltaIndex.latest(spark, indexPath)
+    // EVERY manifest-listed part compacts (dropping one — the battery's
+    // texts tier — would orphan it for the next vacuum to delete); the
+    // semantic index's cluster-partitioned lists must NOT round-trip
+    // through a plain parquet rewrite (the partition layout would
+    // flatten away) — its compaction is rebuildSemRefIndex.
+    require(!m.parts.contains("lists"),
+      s"compactCrossProbeIndex: $indexPath holds cluster-partitioned lists — " +
+        "compact semantic indexes with rebuildSemRefIndex instead")
+    val partNames = m.parts.keys.toSeq.sorted
     // stage the unioned parts OUTSIDE the root first: the publish swap
     // renames the live root out from under any lazy plan reading it
     val stage = s"$indexPath.compact"
-    for (part <- Seq("grams", "df", "sizes"))
+    for (part <- partNames)
       DeltaIndex.read(spark, indexPath, m, part)
         .write.mode("overwrite").parquet(s"$stage/$part")
     try Artifacts.publishAtomic(spark, indexPath) { tmp =>
-      val parts = Seq("grams", "df", "sizes").map { part =>
+      val parts = partNames.map { part =>
         val dir = DeltaIndex.partDir(part, 0L)
         spark.read.parquet(s"$stage/$part")
           .write.mode("overwrite").parquet(s"$tmp/$dir")
         part -> Vector(dir)
       }.toMap
+      // a battery root nests its sem sub-index as a sibling dir, OUTSIDE
+      // the manifest parts — carry it into the new generation untouched
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sem = new org.apache.hadoop.fs.Path(indexPath, "sem")
+      if (fs.exists(sem)) {
+        val dst = new org.apache.hadoop.fs.Path(tmp, "sem")
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, sem, fs, dst, false,
+            spark.sparkContext.hadoopConfiguration))
+          throw new java.io.IOException(
+            s"compactCrossProbeIndex: copying nested $sem failed")
+      }
       DeltaIndex.commit(spark, tmp, DeltaIndex.Manifest(0L, m.params, parts))
     } finally {
       val p = new org.apache.hadoop.fs.Path(stage)
@@ -908,6 +929,44 @@ object Dedup {
     val ledgerGen = appendAcceptanceLedger(report, ledgerPath)
     DeliveryOutcome(report, nAdmitted, batteryGen, ledgerGen, drift)
   }
+
+  // ------------------ acceptance tier attribution (x181) --------------
+
+  /** x181: TIER ATTRIBUTION — the "why" breakdown of an acceptance
+    * report (x174/x176 output): per (exact, surface, sem) firing
+    * combination, the candidate count, verdict, and round-6 share of
+    * the report. The explainability table a curator reads next to the
+    * verdict mix: "rejects are exact-dominated" points at a replayed
+    * delivery, "reviews are sem-only" at a paraphrase mill — the same
+    * counts split by CAUSE instead of outcome. One hash aggregate on at
+    * most 8 keys over a per-candidate report; the verdict column rides
+    * along because it is a pure function of the flags (shared CASE —
+    * cannot disagree with the report's own verdicts). */
+  def acceptanceTierBreakdown(report: DataFrame): DataFrame = {
+    val flags = report.select(
+      when(col("exact_ref").isNotNull, 1L).otherwise(0L).as("exact"),
+      when(col("n_surface") > 0L, 1L).otherwise(0L).as("surface"),
+      when(col("n_sem") > 0L, 1L).otherwise(0L).as("sem"))
+    val grouped = flags
+      .groupBy(col("exact"), col("surface"), col("sem"))
+      .agg(count(lit(1)).as("n"))
+    val tot = grouped.agg(sum(col("n")).as("_t"))
+    grouped.crossJoin(tot)
+      .select(col("exact"), col("surface"), col("sem"),
+        when(col("exact") === 1L, "reject")
+          .when(col("surface") + col("sem") > 0L, "review")
+          .otherwise("admit").as("verdict"),
+        col("n"),
+        round(col("n").cast("double") / col("_t").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** The x181 queries() face: attribution over the planted x174 report
+    * (shared through the bounded cache with x174/x179's faces). */
+  def acceptanceTierQuery(spark: SparkSession, dir: String): DataFrame =
+    acceptanceTierBreakdown(
+        graft.core.Caches.bounded(plantedAcceptanceReport(spark, dir)))
+      .orderBy(col("exact"), col("surface"), col("sem"))
 
   // ---------------------- acceptance ledger (x179) --------------------
 

@@ -210,6 +210,8 @@ object ExtrasOracle {
     "x176_acceptance_gate" -> acceptanceGateSql,
     // x179: the cross-delivery ledger diff over the x174 report chain.
     "x179_acceptance_ledger" -> acceptanceLedgerSql,
+    // x181: the report's tier-attribution breakdown (the "why" table).
+    "x181_tier_breakdown" -> acceptanceTierSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -950,6 +952,37 @@ object ExtrasOracle {
        |  CAST(CASE WHEN psi >= ${Dedup.AcceptShiftThreshold} THEN 1
        |       ELSE 0 END AS BIGINT) AS shifted
        |FROM per2 CROSS JOIN t2 ORDER BY verdict""".stripMargin
+
+  /** DuckDB twin of Dedup.acceptanceTierQuery (x181): the x174 report
+    * chain as a CTE, flags from the tier columns, one group on at most
+    * 8 keys, the shared verdict CASE, round-6 shares. */
+  private def acceptanceTierSql: String =
+    s"""WITH $crossProbeCtes,
+       |surf AS (
+       |  SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_surface
+       |  FROM vpairs GROUP BY 1),
+       |$acceptanceCommonCtes,
+       |rep AS MATERIALIZED (
+       |$acceptanceFinalSql),
+       |flags AS (
+       |  SELECT CASE WHEN exact_ref IS NOT NULL THEN 1 ELSE 0 END AS exact,
+       |    CASE WHEN n_surface > 0 THEN 1 ELSE 0 END AS surface,
+       |    CASE WHEN n_sem > 0 THEN 1 ELSE 0 END AS sem
+       |  FROM rep),
+       |g AS MATERIALIZED (
+       |  SELECT CAST(exact AS BIGINT) AS exact,
+       |    CAST(surface AS BIGINT) AS surface, CAST(sem AS BIGINT) AS sem,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM flags GROUP BY 1, 2, 3),
+       |tot AS (SELECT SUM(n) AS t FROM g)
+       |SELECT exact, surface, sem,
+       |  CASE WHEN exact = 1 THEN 'reject'
+       |       WHEN surface + sem > 0 THEN 'review'
+       |       ELSE 'admit' END AS verdict,
+       |  n, round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+       |FROM g CROSS JOIN tot
+       |ORDER BY exact, surface, sem""".stripMargin
 
   /** DuckDB twin of Dedup.acceptanceGateQuery (x176): the same exact +
     * semantic tiers, but the surface tier at PER-DOCUMENT grain — the

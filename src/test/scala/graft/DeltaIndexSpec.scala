@@ -113,6 +113,41 @@ class DeltaIndexSpec extends SparkSpec {
     }
   }
 
+  test("compacting a battery root keeps every tier: texts, params, nested sem — the gate still routes") {
+    val dir = java.nio.file.Files.createTempDirectory("dix_compact_bat").toString
+    val idx = s"$dir/idx"
+    Dedup.saveAcceptanceIndex(
+      Seq((100L, "en", blk("alpha"))).toDF("doc_id", "lang", "text"),
+      Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+        .toDF("vec_id", "embedding"),
+      idx, k = 2, iters = 1)
+    Dedup.appendToAcceptanceIndex(
+      Seq((10L, "en", blk("gamma"))).toDF("doc_id", "lang", "text"),
+      Seq(10L -> Array(0.7f, 0.71f)).toDF("vec_id", "embedding"), idx)
+    Dedup.compactCrossProbeIndex(spark, idx)
+    val m = DeltaIndex.latest(spark, idx)
+    assert(m.gen == 0L && m.parts.keySet ==
+      Set("texts", "grams", "df", "sizes"), m)
+    assert(m.parts.values.forall(_.length == 1), m)
+    assert(m.params("semGen") == "1", m)
+    // exact tier (texts survived), surface tier, and the PINNED sem
+    // generation all still fire through the compacted battery
+    val cand = Seq(
+      (20L, "en", blk("gamma"), Seq(0.5f, -0.87f)),
+      (21L, "en", "novel words here", Seq(0.69f, 0.72f)))
+      .toDF("doc_id", "lang", "text", "embedding")
+    val out = Dedup.acceptanceGateIndexed(cand, idx, tau = 0.9)
+      .select($"cand_id", $"exact_ref", $"n_sem", $"verdict")
+      .as[(Long, Option[Long], Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(20L) == ((20L, Some(10L), 0L, "reject")), out)
+    assert(out(21L) == ((21L, None, 1L, "review")), out)
+    // semantic roots refuse this path (their lists are partitioned)
+    intercept[IllegalArgumentException] {
+      Dedup.compactCrossProbeIndex(spark, s"$idx/sem")
+    }
+  }
+
   test("vacuum recurses into nested artifacts (the battery's sem sub-index)") {
     val dir = java.nio.file.Files.createTempDirectory("dix_vac_nested").toString
     val idx = s"$dir/idx"

@@ -4591,6 +4591,23 @@ class ExtrasSpec extends SparkSpec {
     assert(caught1.subsetOf(caught2))
   }
 
+  test("x181 tier attribution splits the report by cause, verdict consistent with the shared CASE") {
+    val report = Seq(
+      (1L, Some(100L), 1L, 0L, "reject"),  // exact + surface
+      (2L, None, 1L, 0L, "review"),        // surface only
+      (3L, None, 0L, 1L, "review"),        // sem only
+      (4L, None, 0L, 0L, "admit")          // clean
+    ).toDF("cand_id", "exact_ref", "n_surface", "n_sem", "verdict")
+    val out = Dedup.acceptanceTierBreakdown(report)
+      .orderBy($"exact", $"surface", $"sem")
+      .as[(Long, Long, Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, "admit", 1L, 0.25),
+      (0L, 0L, 1L, "review", 1L, 0.25),
+      (0L, 1L, 0L, "review", 1L, 0.25),
+      (1L, 1L, 0L, "reject", 1L, 0.25)), out)
+  }
+
   test("x179 ledger diff flags a shifted verdict mix and stays quiet on a stable one") {
     // stable: both deliveries mostly admit with the same review tail
     val g1 = Seq((1L, "admit"), (2L, "admit"), (3L, "admit"), (4L, "review"))
