@@ -402,6 +402,49 @@ class PropertySpec extends SparkSpec {
     assert(nonTrivial > 0, "every sample degenerated to zero pairs — weak generator")
   }
 
+  test("property: O(delta) appends equal a full rebuild on random corpora and splits") {
+    import graft.operators.Dedup
+    // the same tiny-vocabulary soup as the incremental-probe property,
+    // with the REFERENCE side further split into a base build plus up
+    // to two appended deliveries — arbitrary delta shapes including
+    // empty and fully-overlapping-gram ones; the appended index must
+    // probe exactly like an index rebuilt over the whole reference
+    val docGen = for {
+      len <- Gen.choose(5, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf("red", "blue", "green", "gold",
+        "pink", "teal", "onyx", "jade"))
+      lang <- Gen.oneOf("en", "fr")
+      part <- Gen.choose(0, 3) // 0 = candidate; 1..3 = base/d1/d2
+    } yield (ws.mkString(" "), lang, part)
+    var nonTrivial = 0
+    forAllSamples(Gen.choose(10, 16).flatMap(Gen.listOfN(_, docGen)), n = 6) { docs =>
+      val rows = docs.zipWithIndex.map { case ((t, l, p), i) =>
+        if (i > 0 && i % 4 == 0)
+          (i.toLong, docs.head._2, docs.head._1 + " extraword", p)
+        else (i.toLong, l, t, p)
+      }
+      def side(p: Int) = rows.filter(_._4 == p).map(r => (r._1, r._2, r._3))
+        .toDF("doc_id", "lang", "text")
+      if (rows.exists(_._4 == 0) && rows.exists(_._4 == 1)) {
+        val cand = side(0)
+        val dir = java.nio.file.Files.createTempDirectory("xapp_prop").toString
+        Dedup.saveCrossProbeIndex(side(1), s"$dir/idx")
+        for (p <- 2 to 3 if rows.exists(_._4 == p))
+          Dedup.appendToCrossProbeIndex(side(p), s"$dir/idx")
+        val viaAppend = Dedup.crossProbeIndexed(cand, s"$dir/idx", maxDf = 8)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val ref = rows.filter(_._4 > 0).map(r => (r._1, r._2, r._3))
+          .toDF("doc_id", "lang", "text")
+        val batch = Dedup.crossNearDupProbe(cand, ref, maxDf = 8)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(viaAppend == batch,
+          s"docs=$rows\nmissing: ${batch -- viaAppend}; extra: ${viaAppend -- batch}")
+        if (batch.nonEmpty) nonTrivial += 1
+      }
+    }
+    assert(nonTrivial > 0, "every sample degenerated to zero pairs — weak generator")
+  }
+
   test("property: the semantic probe through the persisted index equals the in-run fit on random embeddings") {
     import graft.operators.Similarity
     // random 3-d float vectors, random reference/candidate split: the
