@@ -72,6 +72,20 @@ object DeltaIndex {
     * zero-padded form keeps listings lexically ordered for humans. */
   def partDir(part: String, gen: Long): String = f"$part/g$gen%019d"
 
+  /** Root-relative data directory for one APPEND ATTEMPT: the
+    * generation dir plus a random suffix, so an attempt's writes can
+    * never land in a directory any OTHER attempt's manifest references.
+    * With deterministic names, two racing appenders resolved the same
+    * base manifest, computed the same `gen+1`, and wrote (mode
+    * overwrite) into the SAME dirs before either committed — the loser
+    * then clobbered the winner's committed "immutable" data and only
+    * afterwards failed at [[commit]] (ADVICE r18). Unique names keep
+    * the loud commit-time loss AND make it harmless: the loser's dirs
+    * are referenced by no manifest, invisible to every reader, and
+    * reaped by [[vacuum]] like any crashed append's. */
+  def deltaDir(part: String, gen: Long): String =
+    f"$part/g$gen%019d-${java.util.UUID.randomUUID().toString.take(8)}"
+
   private[graft] def render(m: Manifest): String = {
     def clean(s: String, what: String): String = {
       require(s.nonEmpty && !s.exists(c => c == '\n' || c == '\r' || c == ','),
@@ -141,6 +155,16 @@ object DeltaIndex {
     readManifest(f, p)
   }
 
+  /** [[at]] without the failure: None when `gen` was never committed
+    * (or no longer exists — e.g. the nested index was REBUILT from
+    * scratch and its generation numbering restarted). The probe a
+    * composite artifact's crash-heal uses to detect a dangling pin. */
+  def atOpt(spark: SparkSession, root: String, gen: Long): Option[Manifest] = {
+    val f = fs(spark, root)
+    val p = new Path(root, manifestName(gen))
+    if (f.exists(p)) Some(readManifest(f, p)) else None
+  }
+
   def latest(spark: SparkSession, root: String): Manifest =
     latestOpt(spark, root).getOrElse(
       throw new IllegalArgumentException(
@@ -200,19 +224,33 @@ object DeltaIndex {
     * concurrently with an append to the same root (an in-flight append's
     * not-yet-committed delta dir is indistinguishable from a crashed
     * one). `keepGenerations >= 2` keeps the crash-heal window intact for
-    * composite artifacts that pin a nested generation. */
+    * composite artifacts that pin a nested generation.
+    *
+    * `pinnedGens`: nested-artifact generations the CALLER requires kept
+    * regardless of recency. The recursion supplies it automatically: a
+    * parent whose kept manifests pin a nested generation (a
+    * `<childDir>Gen` param — the battery's `semGen`) forces that
+    * generation into the child's keep-set, so a `keepGenerations=1`
+    * vacuum racing the documented sem-ahead crash window can no longer
+    * delete the manifest the battery's own pin needs (ADVICE r18). */
   def vacuum(spark: SparkSession, root: String,
-             keepGenerations: Int = 2): VacuumStats = {
+             keepGenerations: Int = 2,
+             pinnedGens: Set[Long] = Set.empty): VacuumStats = {
     require(keepGenerations >= 1, s"vacuum: keepGenerations=$keepGenerations")
     val f = fs(spark, root)
     val all = Option(f.globStatus(new Path(root, "manifest_*.txt")))
       .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
     require(all.nonEmpty, s"vacuum: no manifests at $root")
-    val (dropM, keepM) = all.splitAt(math.max(0, all.length - keepGenerations))
-    val live: Set[String] =
-      keepM.flatMap(p => readManifest(f, p).parts.values.flatten).toSet
+    val pinnedNames = pinnedGens.map(manifestName)
+    val (dropM, keepM) = {
+      val (d, k) = all.splitAt(math.max(0, all.length - keepGenerations))
+      val (alsoKeep, reallyDrop) = d.partition(p => pinnedNames(p.getName))
+      (reallyDrop, alsoKeep ++ k)
+    }
+    val keptManifests = keepM.map(p => readManifest(f, p))
+    val live: Set[String] = keptManifests.flatMap(_.parts.values.flatten).toSet
     var dirs = 0; var tmp = 0; var nested = 0
-    val genDir = """g\d{19}""".r
+    val genDir = """g\d{19}(-[0-9a-f]{8})?""".r
     for (child <- f.listStatus(new Path(root))) {
       val name = child.getPath.getName
       if (child.isDirectory) {
@@ -222,7 +260,12 @@ object DeltaIndex {
         }
         if (hasManifests) {
           nested += 1
-          vacuum(spark, child.getPath.toString, keepGenerations)
+          // generations of THIS child the parent's kept manifests pin
+          // (param key = "<childDir>Gen", e.g. sem/ -> semGen) survive
+          // the child's own recency cut
+          val childPins = keptManifests
+            .flatMap(_.params.get(s"${name}Gen")).map(_.toLong).toSet
+          vacuum(spark, child.getPath.toString, keepGenerations, childPins)
         } else {
           for (gen <- f.listStatus(child.getPath)
                if gen.isDirectory && genDir.matches(gen.getPath.getName)

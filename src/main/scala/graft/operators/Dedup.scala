@@ -328,25 +328,28 @@ object Dedup {
     * updated part map. Reads ONLY the delivery, the just-written delta
     * gram files, and the old df (the one O(index-df) aggregate a
     * correct merged-df probe needs) — never an old gram file
-    * (spec-gated by corrupting them first). */
-  private def writeCrossDelta(admitted: DataFrame, root: String,
+    * (spec-gated by corrupting them first). Delta dirs carry a unique
+    * per-attempt suffix ([[graft.core.DeltaIndex.deltaDir]]) so a
+    * writer that loses the commit race can never have touched a dir
+    * the winning manifest references. */
+  private[graft] def writeCrossDelta(admitted: DataFrame, root: String,
                               m: graft.core.DeltaIndex.Manifest, gen: Long,
                               n: Int, hashGrams: Boolean)
       : Map[String, Vector[String]] = {
     import graft.core.DeltaIndex
     val spark = admitted.sparkSession
-    val gramsDir = DeltaIndex.partDir("grams", gen)
+    val gramsDir = DeltaIndex.deltaDir("grams", gen)
     probeGrams(admitted, n, hashGrams)
       .write.mode("overwrite").parquet(s"$root/$gramsDir")
     val g = spark.read.parquet(s"$root/$gramsDir")
-    val dfDir = DeltaIndex.partDir("df", gen)
+    val dfDir = DeltaIndex.deltaDir("df", gen)
     DeltaIndex.read(spark, root, m, "df")
       .join(g.groupBy(col("gram")).agg(count(lit(1)).as("_d")),
         Seq("gram"), "full_outer")
       .select(col("gram"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("df"))
       .write.mode("overwrite").parquet(s"$root/$dfDir")
-    val sizesDir = DeltaIndex.partDir("sizes", gen)
+    val sizesDir = DeltaIndex.deltaDir("sizes", gen)
     g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/$sizesDir")
     Map("grams" -> (m.dirs("grams") :+ gramsDir),
@@ -746,7 +749,7 @@ object Dedup {
         semLatest.gen
       }
     val gen = m.gen + 1
-    val textsDir = DeltaIndex.partDir("texts", gen)
+    val textsDir = DeltaIndex.deltaDir("texts", gen)
     admittedDocs.groupBy(col("text")).agg(min(col("doc_id")).as("exact_ref"))
       .write.mode("overwrite").parquet(s"$indexPath/$textsDir")
     val parts = writeCrossDelta(admittedDocs, indexPath, m, gen, n, hashGrams)
@@ -869,15 +872,91 @@ object Dedup {
   // ------------------ the delivery loop, composed ---------------------
 
   /** What one vendor delivery leaves behind: the per-candidate report
-    * (pinned to the pre-delivery battery snapshot — still valid after
-    * the append, since generation dirs are immutable), how many docs
+    * (re-read from the ledger generation it was persisted to — so it
+    * stays readable even after a drift rebuild swaps the semantic
+    * sub-index out from under the gate's lazy plan), how many docs
     * were admitted, the battery generation the admits landed in (None
-    * when nothing was admitted), the ledger generation holding this
-    * report, and the pre-append drift check over the delivery's
-    * vectors. */
+    * when nothing was admitted; 0 after a compaction, which restarts
+    * the numbering), the ledger generation holding this report, the
+    * pre-append drift check over the delivery's vectors (k rows,
+    * localized — its source plan dies with a rebuild), and which
+    * maintenance policies fired. */
   final case class DeliveryOutcome(report: DataFrame, admitted: Long,
                                    batteryGen: Option[Long], ledgerGen: Long,
-                                   drift: DataFrame)
+                                   drift: DataFrame,
+                                   rebuiltSem: Boolean = false,
+                                   compacted: Boolean = false)
+
+  /** Compaction policy default: compact the battery once an appendable
+    * part accumulates this many generation dirs. Each append adds one
+    * dir per part; past ~a dozen the probe's union plans over many
+    * small files for no information gain (the small-files tax), while
+    * compacting too eagerly re-reads the whole index per delivery. */
+  val CompactAfterGenerations = 8
+
+  /** The WHEN of [[compactCrossProbeIndex]] — the policy hook the
+    * delivery loop calls after each append (VERDICT r18 ask): compact
+    * when any appendable part's generation-dir count reaches
+    * `maxGenerations`. Returns whether it fired. The trigger reads ONE
+    * manifest (no data files); the compaction itself is the declared
+    * full-index read. */
+  def maybeCompactCrossProbeIndex(spark: SparkSession, indexPath: String,
+                                  maxGenerations: Int = CompactAfterGenerations)
+      : Boolean = {
+    require(maxGenerations >= 2,
+      s"maybeCompactCrossProbeIndex: maxGenerations=$maxGenerations")
+    val root = graft.core.Artifacts.readablePath(spark, indexPath)
+    val m = graft.core.DeltaIndex.latest(spark, root)
+    val fire = m.parts.valuesIterator.exists(_.length >= maxGenerations)
+    if (fire) compactCrossProbeIndex(spark, indexPath)
+    fire
+  }
+
+  /** DRIFT-TRIGGERED SEMANTIC REBUILD at the battery grain — what an
+    * x178 `rebuild` verdict fires inside the delivery loop: refit the
+    * nested sem sub-index over everything it holds
+    * ([[Similarity.rebuildSemRefIndex]] — generation numbering
+    * restarts at 0), then commit a battery manifest that re-pins
+    * `semGen` to the fresh generation, with every other tier's parts
+    * unchanged. `k` defaults to the sub-index's current codebook size;
+    * raise it when the drift means new mass needs its own cluster(s).
+    *
+    * Crash window: a crash between the sem republish and the battery
+    * re-pin leaves the battery pinned to a generation that no longer
+    * exists — [[healBatterySemPin]] (run at the top of every
+    * [[processDelivery]]) detects exactly that and re-commits the pin,
+    * so the window is self-healing on the next delivery. */
+  def rebuildBatterySemIndex(spark: SparkSession, indexPath: String,
+                             k: Option[Int] = None,
+                             iters: Int = Similarity.KmeansIters): Unit = {
+    import graft.core.DeltaIndex
+    graft.core.Artifacts.recover(spark, indexPath)
+    val m = DeltaIndex.latest(spark, indexPath)
+    val semRoot = s"$indexPath/sem"
+    val semK = k.getOrElse(DeltaIndex.latest(spark, semRoot).params("k").toInt)
+    Similarity.rebuildSemRefIndex(spark, semRoot, semK, iters)
+    val fresh = DeltaIndex.latest(spark, semRoot).gen
+    DeltaIndex.commit(spark, indexPath, DeltaIndex.Manifest(m.gen + 1,
+      m.params + ("semGen" -> fresh.toString), m.parts))
+  }
+
+  /** Writer-side heal for [[rebuildBatterySemIndex]]'s crash window: if
+    * the battery's pinned `semGen` no longer exists at `sem/` (the sem
+    * republish landed, the re-pin commit did not), re-commit the pin to
+    * the sub-index's latest generation. A no-op on a healthy battery
+    * (one manifest read each side, no data files). */
+  private def healBatterySemPin(spark: SparkSession, indexPath: String): Unit = {
+    import graft.core.DeltaIndex
+    graft.core.Artifacts.recover(spark, indexPath)
+    val m = DeltaIndex.latest(spark, indexPath)
+    val semRoot = s"$indexPath/sem"
+    val pinned = m.params("semGen").toLong
+    if (DeltaIndex.atOpt(spark, semRoot, pinned).isEmpty)
+      DeltaIndex.commit(spark, indexPath, DeltaIndex.Manifest(m.gen + 1,
+        m.params +
+          ("semGen" -> DeltaIndex.latest(spark, semRoot).gen.toString),
+        m.parts))
+  }
 
   /** THE CURATION LOOP, composed end-to-end from the proven pieces —
     * what a production intake runs per vendor drop:
@@ -894,21 +973,58 @@ object Dedup {
     *   4. append the full report to the acceptance ledger (x179) for
     *      the cross-delivery release-notes diff.
     *
+    * POLICY (VERDICT r18 asks 3+4 — the last manual steps, closed):
+    *
+    *   - a drift verdict (`rebuild=1`, measured PRE-ingest against the
+    *     frozen codebook) triggers [[rebuildBatterySemIndex]] right
+    *     AFTER the append — the refit then covers the shifted mass this
+    *     delivery admitted (it lives in the index's own lists), so the
+    *     NEXT delivery's paraphrases of it are caught
+    *     (recall-recovery spec-asserted);
+    *   - after the append, [[maybeCompactCrossProbeIndex]] compacts
+    *     once any part holds `compactAfter` generation dirs (probe
+    *     results identical, spec-asserted; generation numbering
+    *     restarts at 0).
+    *
+    * Ordering discipline: the report is persisted to the ledger BEFORE
+    * any maintenance that swaps index roots (a rebuild tears lazy
+    * plans still pointed at the old root), and the returned `report` /
+    * `drift` frames are re-read from the ledger / localized — both
+    * safe to consume after any policy fired.
+    *
     * Each step is individually oracle- or spec-gated; this composition
     * is spec-gated as a three-delivery scenario (double-submission
     * rejected, ledger diff flags the shift, empty-admit deliveries do
-    * not churn a battery generation). */
+    * not churn a battery generation) plus planted-drift and
+    * compaction-trigger scenarios. */
   def processDelivery(delivery: DataFrame, indexPath: String,
                       ledgerPath: String,
                       n: Int = 3, maxDf: Int = 20, minInter: Int = 2,
                       jaccardThreshold: Double = 0.5,
                       hashGrams: Boolean = false,
                       tau: Double = Similarity.SemDedupTau,
-                      driftThreshold: Double = Similarity.SemDriftThreshold)
+                      driftThreshold: Double = Similarity.SemDriftThreshold,
+                      rebuildOnDrift: Boolean = true,
+                      rebuildK: Option[Int] = None,
+                      compactAfter: Int = CompactAfterGenerations)
       : DeliveryOutcome = {
+    import graft.core.DeltaIndex
+    val spark = delivery.sparkSession
+    // heal a crashed drift-rebuild's dangling sem pin before anything
+    // resolves the battery manifest (writer-side job — see
+    // rebuildBatterySemIndex)
+    healBatterySemPin(spark, indexPath)
     val vecs = delivery.select(col("doc_id").as("vec_id"), col("embedding"))
-    val drift = Similarity.semIndexDriftCheck(vecs, s"$indexPath/sem",
+    // the drift verdict is consumed NOW (k rows — bounded by the
+    // codebook) and the frame localized: its plan reads the sem root a
+    // triggered rebuild would swap away
+    val driftRows = Similarity.semIndexDriftCheck(vecs, s"$indexPath/sem",
       driftThreshold)
+    val rows = driftRows.collect()
+    val driftLocal =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), driftRows.schema)
+    val shifted =
+      rows.headOption.exists(r => r.getLong(r.fieldIndex("rebuild")) == 1L)
     val report = graft.core.Caches.bounded(
       acceptanceGateIndexed(delivery, indexPath, n, maxDf, minInter,
         jaccardThreshold, hashGrams, tau))
@@ -916,18 +1032,28 @@ object Dedup {
       .select(col("cand_id").as("doc_id"))
     val admitted = delivery.join(admittedIds, Seq("doc_id"), "left_semi")
     val nAdmitted = admitted.count()
+    // the report lands on disk before any root-swapping maintenance
+    val ledgerGen = appendAcceptanceLedger(report, ledgerPath)
+    val reportStored = spark.read.parquet(
+      s"$ledgerPath/${DeltaIndex.latest(spark, ledgerPath).dirs("reports").last}")
     // an all-rejected delivery must not churn an (empty) battery
-    // generation — the report still goes to the ledger for the audit
+    // generation — the report still went to the ledger for the audit
+    if (nAdmitted > 0L)
+      appendToAcceptanceIndex(admitted,
+        admitted.select(col("doc_id").as("vec_id"), col("embedding")),
+        indexPath, n, hashGrams)
+    // rebuild AFTER the append: the refit must cover the shifted mass
+    // this delivery admitted, or the next delivery's paraphrases of it
+    // would still cross the stale Voronoi boundary unseen
+    val rebuilt = rebuildOnDrift && shifted
+    if (rebuilt) rebuildBatterySemIndex(spark, indexPath, rebuildK)
+    val compacted = nAdmitted > 0L &&
+      maybeCompactCrossProbeIndex(spark, indexPath, compactAfter)
     val batteryGen =
       if (nAdmitted == 0L) None
-      else {
-        appendToAcceptanceIndex(admitted,
-          admitted.select(col("doc_id").as("vec_id"), col("embedding")),
-          indexPath, n, hashGrams)
-        Some(graft.core.DeltaIndex.latest(delivery.sparkSession, indexPath).gen)
-      }
-    val ledgerGen = appendAcceptanceLedger(report, ledgerPath)
-    DeliveryOutcome(report, nAdmitted, batteryGen, ledgerGen, drift)
+      else Some(DeltaIndex.latest(spark, indexPath).gen)
+    DeliveryOutcome(reportStored, nAdmitted, batteryGen, ledgerGen,
+      driftLocal, rebuiltSem = rebuilt, compacted = compacted)
   }
 
   // ------------------ acceptance tier attribution (x181) --------------
@@ -1038,11 +1164,15 @@ object Dedup {
     val spark = report.sparkSession
     val mOpt = DeltaIndex.latestOpt(spark, ledgerPath)
     val gen = mOpt.map(_.gen + 1L).getOrElse(0L)
-    val dir = DeltaIndex.partDir("reports", gen)
+    // unique attempt dir + mode overwrite: the writeCrossDelta retry
+    // discipline (a crash after the data write, before the commit,
+    // must not brick the retry on error-if-exists — ADVICE r18), and a
+    // lost commit race leaves only an unreferenced orphan for vacuum
+    val dir = DeltaIndex.deltaDir("reports", gen)
     report
       .select(col("cand_id"), col("exact_ref"), col("n_surface"),
         col("n_sem"), col("verdict"))
-      .write.parquet(s"$ledgerPath/$dir")
+      .write.mode("overwrite").parquet(s"$ledgerPath/$dir")
     DeltaIndex.commit(spark, ledgerPath, DeltaIndex.Manifest(gen,
       Map.empty,
       Map("reports" ->

@@ -700,18 +700,31 @@ object Similarity {
                      iters: Int): Option[(SparkSession, Int, Int, String)] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     if (emb.isStreaming) return None
-    val plan = emb.queryExecution.analyzed
-    val leaves = plan.collectLeaves()
-    val files = leaves.map {
-      case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation => Some(h.location.inputFiles.sorted.mkString(","))
+    scala.util.Try {
+      val plan = emb.queryExecution.analyzed
+      val leaves = plan.collectLeaves()
+      // path + length + mtime per input file (the snapshotSig
+      // discipline): a same-name in-place rewrite of an input file must
+      // miss the memo, not serve the stale fit
+      val files = leaves.map {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            Some(h.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+              .sorted.mkString(","))
+          case _ => None
+        }
         case _ => None
       }
-      case _ => None
-    }
-    if (files.exists(_.isEmpty)) None
-    else Some((emb.sparkSession, k, iters,
-      plan.canonicalized.toString + "|" + files.flatten.mkString(";")))
+      if (files.exists(_.isEmpty)) None
+      else
+        // toJSON, not toString: toString elides field lists past
+        // spark.sql.debug.maxToStringFields ("... N more fields"), so
+        // two DIFFERENT plans could render — and alias — identically
+        // (ADVICE r18); the JSON form is lossless
+        Some((emb.sparkSession, k, iters,
+          plan.canonicalized.toJSON + "|" + files.flatten.mkString(";")))
+    }.toOption.flatten
   }
 
   /** The deterministic Lloyd loop behind [[kmeans]], exposed so x83's
@@ -1511,7 +1524,8 @@ object Similarity {
     val (refEmb, cents) = kmeansFit(reference, k, iters)
     graft.core.Artifacts.publishAtomic(spark, path) { tmp =>
       val cbDir = writeSemCodebook(spark, tmp, cents)
-      val (listsDir, idsDir) = writeSemDelta(spark, tmp, 0L,
+      val (listsDir, idsDir) = writeSemDelta(spark, tmp,
+        DeltaIndex.partDir("lists", 0L), DeltaIndex.partDir("ids", 0L),
         kmeansAssigned(refEmb, cents)
           .select(col("cluster"), col("vec_id").as("ref_id"), col("embedding")),
         cents.length)
@@ -1536,16 +1550,18 @@ object Similarity {
     * vectors cluster-partitioned (one file per NON-EMPTY cluster, not
     * tasks x clusters), and the (cluster, ref_id) metadata derived by
     * re-reading the just-written delta files — the input is scanned
-    * once, and only THIS generation's files are touched. */
-  private def writeSemDelta(spark: SparkSession, root: String, gen: Long,
+    * once, and only THIS generation's files are touched. Callers pick
+    * the dir names: the build uses deterministic generation-0 names
+    * (inside a publishAtomic tmp root no racer can reach); appends use
+    * unique per-attempt names ([[graft.core.DeltaIndex.deltaDir]]) so
+    * a lost commit race never touches a committed dir. */
+  private def writeSemDelta(spark: SparkSession, root: String,
+                            listsDir: String, idsDir: String,
                             assigned: DataFrame, k: Int): (String, String) = {
-    import graft.core.DeltaIndex
-    val listsDir = DeltaIndex.partDir("lists", gen)
     assigned
       .repartition(k, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$root/$listsDir")
-    val idsDir = DeltaIndex.partDir("ids", gen)
     spark.read.parquet(s"$root/$listsDir")
       .select(col("cluster").cast("long").as("cluster"), col("ref_id"))
       .write.mode("overwrite").parquet(s"$root/$idsDir")
@@ -1599,9 +1615,16 @@ object Similarity {
     require(dup == 0L,
       s"appendToSemRefIndex: delivery contains vec_ids already in $indexPath " +
         "(double-ingest); re-delivery requires a rebuild, not an append")
+    // an all-null-embedding delivery (the gate legitimately admits such
+    // docs) has NOTHING for the semantic tier: committing an empty
+    // generation would write a lists dir with no parquet files, whose
+    // schema-less re-read (here and in every later probe) throws — the
+    // battery keeps its current pin instead (ADVICE r18)
+    if (delta.limit(1).count() == 0L) return m.gen
     val gen = m.gen + 1
-    val (listsDir, idsDir) = writeSemDelta(spark, indexPath, gen, delta,
-      cents.length)
+    val (listsDir, idsDir) = writeSemDelta(spark, indexPath,
+      DeltaIndex.deltaDir("lists", gen), DeltaIndex.deltaDir("ids", gen),
+      delta, cents.length)
     DeltaIndex.commit(spark, indexPath, DeltaIndex.Manifest(gen, m.params,
       m.parts + ("lists" -> (m.dirs("lists") :+ listsDir)) +
         ("ids" -> (m.dirs("ids") :+ idsDir))))

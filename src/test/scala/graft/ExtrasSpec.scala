@@ -4145,8 +4145,10 @@ class ExtrasSpec extends SparkSpec {
     // O(index) rewrite would have replaced them)
     val mA = graft.core.DeltaIndex.latest(spark, s"$dirA/idx")
     assert(mA.gen == 1L, s"expected one appended generation, got ${mA.gen}")
-    assert(mA.parts("grams") == Vector("grams/g" + "0" * 19,
-      "grams/g" + "0" * 18 + "1"), s"grams dirs: ${mA.parts("grams")}")
+    assert(mA.parts("grams").head == "grams/g" + "0" * 19 &&
+      mA.parts("grams").length == 2 &&
+      mA.parts("grams")(1).startsWith("grams/g" + "0" * 18 + "1-"),
+      s"grams dirs: ${mA.parts("grams")}")
     val viaAppend = Dedup.crossProbeIndexed(d2, s"$dirA/idx", maxDf = 100)
       .as[(Long, Long, Long, Long)].collect().toSet
     val batch = Dedup.crossNearDupProbe(d2, grown, maxDf = 100)
@@ -4763,5 +4765,210 @@ class ExtrasSpec extends SparkSpec {
       s"packed padding $binPad exceeds the sweep's predicted ${byHand._3}")
     // and it genuinely recovers: strictly fewer slots than one-per-doc
     assert(packed.map(_._2).distinct.length < packed.length)
+  }
+
+  // ------------------- round-19 maintenance hardening -------------------
+
+  test("append race: a writer that loses the commit cannot clobber the winner's committed data") {
+    // ADVICE r18: with deterministic delta-dir names, two appenders that
+    // resolved the same base manifest wrote (mode overwrite) into the
+    // SAME gen+1 dirs before either committed — the loser then replaced
+    // the winner's committed "immutable" data and only afterwards failed
+    // at commit. Unique per-attempt dirs make the loss harmless; this
+    // replays the exact interleaving.
+    val (cand, ref) = Dedup.plantedCrossCorpus(
+      Tables.load(spark, sf("sf0.001"), "documents"))
+    val dA = cand.filter($"doc_id" % 2 === 0)
+    val dB = cand.filter($"doc_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("xrace").toString
+    Dedup.saveCrossProbeIndex(ref, s"$dir/idx")
+    val root = graft.core.Artifacts.readablePath(spark, s"$dir/idx")
+    // both writers resolve the SAME base manifest...
+    val m0 = graft.core.DeltaIndex.latest(spark, root)
+    // ...writer A wins: full append commits generation 1
+    Dedup.appendToCrossProbeIndex(dA, s"$dir/idx")
+    def probe() = Dedup.crossProbeIndexed(dB, s"$dir/idx", maxDf = 100)
+      .collect().map(_.toSeq).toSet
+    val afterWinner = probe()
+    assert(afterWinner.nonEmpty, "no cross pairs after the winning append")
+    // ...writer B (stale manifest) writes its delta dirs, then loses the
+    // commit race loudly
+    val loserParts = Dedup.writeCrossDelta(dB, root, m0, m0.gen + 1, 3,
+      hashGrams = false)
+    intercept[java.io.IOException] {
+      graft.core.DeltaIndex.commit(spark, root,
+        graft.core.DeltaIndex.Manifest(m0.gen + 1, m0.params,
+          m0.parts ++ loserParts))
+    }
+    // the winner's committed snapshot is untouched: same probe answer,
+    // and none of the loser's dirs appear in the committed manifest
+    assert(probe() == afterWinner,
+      "the lost race changed a committed generation's answer")
+    val committed = graft.core.DeltaIndex.latest(spark, root)
+    assert(committed.gen == m0.gen + 1)
+    // the loser's NEW dirs only (writeCrossDelta returns full part
+    // vectors, which share the inherited base generation dirs)
+    val loserDirs =
+      loserParts.values.flatten.toSet -- m0.parts.values.flatten.toSet
+    assert(loserDirs.nonEmpty)
+    assert(committed.parts.values.flatten.forall(d => !loserDirs(d)),
+      s"committed manifest references a loser dir: $committed")
+    // the loser's orphans are unreferenced and vacuum reaps them
+    graft.core.DeltaIndex.vacuum(spark, root, keepGenerations = 2)
+    for (d <- loserDirs)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/$d")),
+        s"vacuum left the lost-race orphan $d")
+  }
+
+  test("an all-null-embedding delivery appends without a sem generation and the loop survives") {
+    // ADVICE r18: writeSemDelta wrote an EMPTY cluster-partitioned lists
+    // dir (no parquet files) and crashed re-reading it schema-less;
+    // reachable whenever the gate admits docs whose embeddings are null.
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("empty_sem").toString
+    val (idx, led) = (s"$dir/idx", s"$dir/led")
+    Dedup.saveAcceptanceIndex(
+      Seq((100L, "en", blk("alpha")), (101L, "en", blk("beta")))
+        .toDF("doc_id", "lang", "text"),
+      Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+        .toDF("vec_id", "embedding"),
+      idx, k = 2, iters = 1)
+    val nullVec: Option[Array[Float]] = None
+    val delivery = Seq((1L, "en", blk("gamma"), nullVec),
+        (2L, "en", blk("delta"), nullVec))
+      .toDF("doc_id", "lang", "text", "embedding")
+    val o = Dedup.processDelivery(delivery, idx, led, maxDf = 100)
+    assert(o.admitted == 2L, s"null-embedding novel docs must admit: $o")
+    assert(o.batteryGen == Some(1L))
+    // the sem sub-index kept its generation — no empty commit
+    assert(graft.core.DeltaIndex.latest(spark, s"$idx/sem").gen == 0L)
+    assert(graft.core.DeltaIndex.latest(spark, idx).params("semGen") == "0")
+    // the loop still closes: a replayed copy of an admitted doc rejects,
+    // and the sem tier still works for real vectors
+    val o2 = Dedup.processDelivery(
+      Seq((11L, "en", blk("gamma"), Some(Array(0.9f, 0.1f))))
+        .toDF("doc_id", "lang", "text", "embedding"),
+      idx, led, maxDf = 100)
+    val v = o2.report.select($"cand_id", $"verdict").as[(Long, String)]
+      .collect().toMap
+    assert(v == Map(11L -> "reject"), s"$v")
+  }
+
+  test("fit memo: truncated plan rendering cannot alias two different fits (lossless key)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("fitmemo_trunc").toString
+    Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 2L -> Array(1f, 0.01f),
+      3L -> Array(0.01f, 1f))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/v")
+    // ADVICE r18: plan.canonicalized.toString elides field lists past
+    // maxToStringFields — at 1, a projection of (vec_id, embedding) and
+    // one of (vec_id, SHEARED embedding) render identically and the old
+    // string key served fit A's codebook for fit B (the shear is not a
+    // cosine isometry, so the aliased answer is genuinely wrong)
+    val saved = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1")
+    try {
+      val a = spark.read.parquet(s"$dir/v").select($"vec_id", $"embedding")
+      val b = spark.read.parquet(s"$dir/v").select($"vec_id",
+        array(element_at($"embedding", 1) + element_at($"embedding", 2),
+          element_at($"embedding", 2)).as("embedding"))
+      val before = Similarity.fitComputes.get()
+      val fitA = Similarity.kmeans(a, k = 2, iters = 1)
+        .collect().map(_.toSeq).toSeq
+      val fitB = Similarity.kmeans(b, k = 2, iters = 1)
+        .collect().map(_.toSeq).toSeq
+      assert(Similarity.fitComputes.get() == before + 2,
+        "the truncated rendering aliased two different plans")
+      assert(fitA != fitB, "negated input served the stale codebook")
+    } finally spark.conf.set("spark.sql.debug.maxToStringFields", saved)
+  }
+
+  test("fit memo: a same-name in-place file rewrite misses the memo (length/mtime in the key)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("fitmemo_mtime").toString
+    Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 2L -> Array(1f, 0.01f),
+      3L -> Array(0.01f, 1f))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/v")
+    def fit() = Similarity.kmeans(spark.read.parquet(s"$dir/v"), k = 2,
+      iters = 1).collect().map(_.toSeq).toSeq
+    val before = Similarity.fitComputes.get()
+    val first = fit()
+    assert(Similarity.fitComputes.get() == before + 1)
+    // rewrite the part file IN PLACE under its exact name (the path
+    // inventory alone cannot see this — only length/mtime can)
+    Seq(0L -> Array(0.6f, 0.8f), 1L -> Array(0.8f, 0.6f),
+      2L -> Array(0.6f, 0.79f), 3L -> Array(0.79f, 0.6f),
+      4L -> Array(0.61f, 0.8f), 5L -> Array(0.8f, 0.61f))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/w")
+    import java.nio.file._
+    def partOf(p: String) = Files.list(Paths.get(p)).toArray.map(_.toString)
+      .filter(f => f.contains("part-") && f.endsWith(".parquet")).head
+    Files.copy(Paths.get(partOf(s"$dir/w")), Paths.get(partOf(s"$dir/v")),
+      StandardCopyOption.REPLACE_EXISTING)
+    // drop the stale Hadoop checksum sidecars the in-place copy orphaned
+    Files.list(Paths.get(s"$dir/v")).toArray.map(_.toString)
+      .filter(_.endsWith(".crc"))
+      .foreach(f => Files.delete(Paths.get(f)))
+    val second = fit()
+    assert(Similarity.fitComputes.get() == before + 2,
+      "an in-place rewrite under the same file name aliased a stale codebook")
+    assert(second != first)
+  }
+
+  test("vacuum keeps a nested generation the parent's manifest pins (the sem-ahead crash window)") {
+    // ADVICE r18: with keepGenerations=1, a battery whose sem sub-index
+    // was one generation AHEAD (the documented crash window between the
+    // sem commit and the battery commit) had its PINNED sem manifest
+    // vacuumed, bricking the gate and the heal path.
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("vac_pin").toString
+    val idx = s"$dir/idx"
+    Dedup.saveAcceptanceIndex(
+      Seq((100L, "en", blk("alpha")), (101L, "en", blk("beta")))
+        .toDF("doc_id", "lang", "text"),
+      Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+        .toDF("vec_id", "embedding"),
+      idx, k = 2, iters = 1)
+    // simulate the crash window: sem gen 1 committed, battery still pins 0
+    graft.operators.Similarity.appendToSemRefIndex(
+      Seq(7L -> Array(0.7f, 0.7f)).toDF("vec_id", "embedding"), s"$idx/sem")
+    assert(graft.core.DeltaIndex.latest(spark, s"$idx/sem").gen == 1L)
+    assert(graft.core.DeltaIndex.latest(spark, idx).params("semGen") == "0")
+    graft.core.DeltaIndex.vacuum(spark, idx, keepGenerations = 1)
+    // the pinned sem generation survived: the gate still resolves it
+    val verdicts = Dedup.acceptanceGateIndexed(
+        Seq((1L, "en", blk("alpha"), Array(0.9f, 0.1f)))
+          .toDF("doc_id", "lang", "text", "embedding"),
+        idx, maxDf = 100)
+      .select($"cand_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(verdicts == Map(1L -> "reject"), s"$verdicts")
+    // and the heal path (battery append with sem ahead) still works
+    Dedup.appendToAcceptanceIndex(
+      Seq((7L, "en", blk("gamma"))).toDF("doc_id", "lang", "text"),
+      Seq(7L -> Array(0.7f, 0.7f)).toDF("vec_id", "embedding"), idx)
+    assert(graft.core.DeltaIndex.latest(spark, idx).params("semGen") == "1")
+  }
+
+  test("ledger append is retry-safe: crash leftovers never brick the retry and vacuum reaps them") {
+    val dir = java.nio.file.Files.createTempDirectory("led_retry").toString
+    val led = s"$dir/led"
+    val report = Seq((1L, Option.empty[Long], 0L, 0L, "admit"))
+      .toDF("cand_id", "exact_ref", "n_surface", "n_sem", "verdict")
+    assert(Dedup.appendAcceptanceLedger(report, led) == 0L)
+    // a crashed attempt's orphan delta dir (written, never committed)
+    val orphan = java.nio.file.Paths.get(
+      s"$led/${graft.core.DeltaIndex.deltaDir("reports", 1L)}")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("garbage.parquet"),
+      "not parquet".getBytes)
+    // the retry lands regardless (unique attempt dir + overwrite)
+    assert(Dedup.appendAcceptanceLedger(report, led) == 1L)
+    assert(Dedup.acceptanceLedgerLatest(spark, led).count() == 3L)
+    graft.core.DeltaIndex.vacuum(spark, led, keepGenerations = 2)
+    assert(!java.nio.file.Files.exists(orphan),
+      "vacuum left the crashed attempt's orphan")
   }
 }
