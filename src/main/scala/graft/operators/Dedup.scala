@@ -1044,8 +1044,10 @@ object Dedup {
         indexPath, n, hashGrams)
     // rebuild AFTER the append: the refit must cover the shifted mass
     // this delivery admitted, or the next delivery's paraphrases of it
-    // would still cross the stale Voronoi boundary unseen
-    val rebuilt = rebuildOnDrift && shifted
+    // would still cross the stale Voronoi boundary unseen. An
+    // all-rejected delivery skips it — nothing new entered the lists,
+    // so a refit would re-cluster identical data for nothing
+    val rebuilt = rebuildOnDrift && shifted && nAdmitted > 0L
     if (rebuilt) rebuildBatterySemIndex(spark, indexPath, rebuildK)
     val compacted = nAdmitted > 0L &&
       maybeCompactCrossProbeIndex(spark, indexPath, compactAfter)

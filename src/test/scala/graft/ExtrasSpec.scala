@@ -4971,4 +4971,153 @@ class ExtrasSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(orphan),
       "vacuum left the crashed attempt's orphan")
   }
+
+  test("planted drift fires the mid-loop rebuild and the next delivery's verdicts recover the recall") {
+    // The x178 geometry at the delivery-loop grain (VERDICT r19 ask 4):
+    // a new data direction (50deg) is admitted, the pre-ingest drift
+    // check flags the frozen codebook, processDelivery rebuilds the sem
+    // sub-index AFTER ingesting the mass, and the NEXT delivery's
+    // paraphrase of it is caught — where a loop with the policy off
+    // structurally misses it across the stale Voronoi boundary.
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    def dlv(rows: (Long, String, Array[Float])*) =
+      rows.map { case (id, t, e) => (id, "en", t, e) }
+        .toDF("doc_id", "lang", "text", "embedding")
+    def mkIdx(tag: String): (String, String) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      Dedup.saveAcceptanceIndex(
+        Seq((0L, "en", blk("ax")), (2L, "en", blk("bx")), (4L, "en", blk("cx")),
+          (1L, "en", blk("dx")), (3L, "en", blk("ex")), (5L, "en", blk("fx")))
+          .toDF("doc_id", "lang", "text"),
+        Seq(0L -> Array(1f, 0f), 2L -> Array(1f, 0.01f), 4L -> Array(1f, -0.01f),
+          1L -> Array(0f, 1f), 3L -> Array(0.01f, 1f), 5L -> Array(-0.01f, 1f))
+          .toDF("vec_id", "embedding"),
+        s"$dir/idx", k = 2, iters = 1)
+      (s"$dir/idx", s"$dir/led")
+    }
+    // delivery 1: 12 novel docs piling into the 50deg direction — all
+    // admit, and their occupancy skew flags the codebook
+    val drifted = (0 until 12).map(i =>
+      (10L + i, blk(s"g$i"), Array(0.6428f + i * 0.0001f, 0.766f)))
+    // delivery 2: one paraphrase of the drifted mass at 41deg
+    // (cos(9deg) ~ .9877 >= tau) with novel text — the semantic tier is
+    // the only one that can catch it
+    val para = (100L, blk("zz"), Array(0.75471f, 0.65606f))
+    def run(rebuildOnDrift: Boolean): (Dedup.DeliveryOutcome, String) = {
+      val (idx, led) = mkIdx(s"drift_policy_$rebuildOnDrift")
+      val o1 = Dedup.processDelivery(dlv(drifted: _*), idx, led,
+        maxDf = 100, tau = 0.98, rebuildOnDrift = rebuildOnDrift,
+        rebuildK = Some(3))
+      assert(o1.admitted == 12L, s"drifted mass must admit: $o1")
+      assert(o1.rebuiltSem == rebuildOnDrift,
+        s"drift policy fired=$rebuildOnDrift expected: $o1")
+      val o2 = Dedup.processDelivery(dlv(para), idx, led,
+        maxDf = 100, tau = 0.98, rebuildOnDrift = rebuildOnDrift)
+      (o2, idx)
+    }
+    val (withPolicy, idxOn) = run(rebuildOnDrift = true)
+    val vOn = withPolicy.report.select($"cand_id", $"n_sem", $"verdict")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(vOn == Seq((100L, 12L, "review")),
+      s"post-rebuild the paraphrase must be caught against all 12: $vOn")
+    // the battery pins the refit generation (a rebuild restarts the sem
+    // numbering at 0 and the re-pin commit records it)
+    assert(graft.core.DeltaIndex.latest(spark, idxOn).params("semGen") == "0",
+      "the rebuild must re-pin semGen to the refit lineage")
+    // control: the same loop with the policy off misses the paraphrase
+    val (without, _) = run(rebuildOnDrift = false)
+    val vOff = without.report.select($"cand_id", $"n_sem", $"verdict")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(vOff == Seq((100L, 0L, "admit")),
+      s"control: the stale codebook should have missed it: $vOff")
+  }
+
+  test("the Nth delivery triggers auto-compaction and probe results are unchanged") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    def dlv(rows: (Long, String, Array[Float])*) =
+      rows.map { case (id, t, e) => (id, "en", t, e) }
+        .toDF("doc_id", "lang", "text", "embedding")
+    // TWIN loops over identical deliveries: one compacts at 3 generation
+    // dirs, the control never does — every delivery's verdicts and the
+    // final gate answer must agree exactly (probe identity), and only
+    // the compacting twin's manifest collapses to single dirs.
+    def run(compactAfter: Int) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"auto_compact_$compactAfter").toString
+      val (idx, led) = (s"$dir/idx", s"$dir/led")
+      Dedup.saveAcceptanceIndex(
+        Seq((100L, "en", blk("alpha")), (101L, "en", blk("beta")))
+          .toDF("doc_id", "lang", "text"),
+        Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+          .toDF("vec_id", "embedding"),
+        idx, k = 2, iters = 1)
+      val outs = Seq(
+        dlv((1L, blk("gamma"), Array(0.7f, 0.71f))),
+        dlv((2L, blk("delta"), Array(-0.7f, 0.7f))),
+        // re-delivery of an admitted doc — must reject across the
+        // compaction boundary (the loop still closes)
+        dlv((31L, blk("gamma"), Array(0.7f, 0.71f)))
+      ).map(d => Dedup.processDelivery(d, idx, led,
+        maxDf = 100, tau = 0.9, compactAfter = compactAfter))
+      val verdicts = outs.map(_.report
+        .select($"cand_id", $"exact_ref", $"n_surface", $"n_sem", $"verdict")
+        .collect().map(_.toSeq).toSet)
+      val gate = Dedup.acceptanceGateIndexed(
+          dlv((900L, blk("alpha"), Array(0.9f, 0.1f)),
+            (901L, blk("novel"), Array(0.1f, -0.9f))),
+          idx, maxDf = 100)
+        .select($"cand_id", $"exact_ref", $"n_surface", $"n_sem", $"verdict")
+        .collect().map(_.toSeq).toSet
+      (outs, verdicts, gate, idx)
+    }
+    val (outs, verdicts, gate, idx) = run(compactAfter = 3)
+    val (outsC, verdictsC, gateC, _) = run(compactAfter = 100)
+    assert(!outs(0).compacted && outs(0).batteryGen == Some(1L), s"${outs(0)}")
+    // delivery 2's append brings grams/sizes/texts to 3 dirs -> fires
+    assert(outs(1).compacted, s"delivery 2 should have compacted: ${outs(1)}")
+    assert(outs(1).batteryGen == Some(0L),
+      s"compaction restarts the generation numbering: ${outs(1)}")
+    val m = graft.core.DeltaIndex.latest(spark, idx)
+    assert(m.parts.values.forall(_.length == 1),
+      s"compacted parts must be single dirs: ${m.parts}")
+    assert(outsC.forall(!_.compacted), "the control twin must not compact")
+    assert(verdicts == verdictsC,
+      s"compaction changed a delivery's verdicts: $verdicts vs $verdictsC")
+    assert(gate == gateC, s"compaction changed the gate: $gate vs $gateC")
+    assert(verdicts(2).exists(_(4) == "reject"),
+      s"the re-delivered admit must reject across the compaction: ${verdicts(2)}")
+  }
+
+  test("a crashed drift-rebuild's dangling sem pin heals on the next delivery") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("heal_pin").toString
+    val (idx, led) = (s"$dir/idx", s"$dir/led")
+    Dedup.saveAcceptanceIndex(
+      Seq((100L, "en", blk("alpha")), (101L, "en", blk("beta")))
+        .toDF("doc_id", "lang", "text"),
+      Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+        .toDF("vec_id", "embedding"),
+      idx, k = 2, iters = 1)
+    // a normal delivery moves the battery pin to sem gen 1
+    Dedup.processDelivery(
+      Seq((1L, "en", blk("gamma"), Array(0.7f, 0.71f)))
+        .toDF("doc_id", "lang", "text", "embedding"),
+      idx, led, maxDf = 100, tau = 0.9)
+    assert(graft.core.DeltaIndex.latest(spark, idx).params("semGen") == "1")
+    // simulate the crash window: the sem republish landed (numbering
+    // restarted at 0), the battery re-pin commit did not
+    graft.operators.Similarity.rebuildSemRefIndex(spark, s"$idx/sem", k = 2,
+      iters = 1)
+    assert(graft.core.DeltaIndex.latest(spark, s"$idx/sem").gen == 0L)
+    assert(graft.core.DeltaIndex.latest(spark, idx).params("semGen") == "1",
+      "precondition: the pin dangles")
+    // the next delivery heals the pin up front and completes normally
+    val o = Dedup.processDelivery(
+      Seq((21L, "en", blk("epsilon"), Array(-0.7f, 0.7f)))
+        .toDF("doc_id", "lang", "text", "embedding"),
+      idx, led, maxDf = 100, tau = 0.9)
+    assert(o.admitted == 1L, s"$o")
+    assert(graft.core.DeltaIndex.latest(spark, idx).params("semGen") == "1",
+      "heal re-pinned to sem latest, then the append advanced it")
+  }
 }
