@@ -669,6 +669,10 @@ object SparkEntry {
     // breakdown (exact/surface/sem firing combinations with counts and
     // shares) a curator reads next to the verdict mix.
     "x181_tier_breakdown" -> (Dedup.acceptanceTierQuery _),
+    // x182: the x179 x x181 composition — the cross-delivery PSI
+    // movement attributed per tier-firing combination, so the ledger
+    // diff says WHICH tier drove the shift, not just that one happened.
+    "x182_tier_shift"     -> (Dedup.acceptanceTierShiftQuery _),
   )
 
   /** Queries with no DuckDB oracle (engine-specific hashing: xxhash64

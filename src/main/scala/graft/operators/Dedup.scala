@@ -1096,6 +1096,112 @@ object Dedup {
         graft.core.Caches.bounded(plantedAcceptanceReport(spark, dir)))
       .orderBy(col("exact"), col("surface"), col("sem"))
 
+  // ------------- ledger x tier attribution (x182) ---------------------
+
+  /** The 8-combination support of the tier-firing cube — the fixed
+    * denominator of [[acceptanceTierShift]]'s Laplace smoothing. */
+  private val TierCombos: Seq[(Long, Long, Long)] =
+    for (e <- 0L to 1L; s <- 0L to 1L; m <- 0L to 1L) yield (e, s, m)
+
+  /** Per-(exact, surface, sem) firing-combination counts of one
+    * acceptance report — the 8-row-max table the ledger persists per
+    * generation so tier shifts diff without re-reading reports. */
+  private def tierCounts(report: DataFrame): DataFrame =
+    report.select(
+        when(col("exact_ref").isNotNull, 1L).otherwise(0L).as("exact"),
+        when(col("n_surface") > 0L, 1L).otherwise(0L).as("surface"),
+        when(col("n_sem") > 0L, 1L).otherwise(0L).as("sem"))
+      .groupBy(col("exact"), col("surface"), col("sem"))
+      .agg(count(lit(1)).as("n"))
+
+  /** x182: TIER-SHIFT ATTRIBUTION — the composition of x179 (WHETHER
+    * the verdict mix moved between deliveries) and x181 (WHY a verdict
+    * fired): the same PSI movement, broken down by tier-firing
+    * combination instead of verdict class, so a curator reads WHICH
+    * tier's firings drove the shift ("the PSI is all in the
+    * sem-only combo" points at a paraphrase mill, "exact-dominated" at
+    * a replayed delivery). Per combination over the full 8-cell
+    * support: counts, delta, Laplace-smoothed round-6 shares
+    * (`(n+1)/(N+8)`), the x82-pinned-ln PSI term, the exact-DECIMAL
+    * PSI total, the combo's shared-CASE verdict, and the `shifted`
+    * flag repeated per row (the x178/x179 1-row-total discipline).
+    * Scale shape: each side is one hash aggregate on 3 binary keys
+    * over its report; everything downstream is 8-row arithmetic. */
+  def acceptanceTierShift(prevCounts: DataFrame, currCounts: DataFrame,
+                          threshold: Double = AcceptShiftThreshold)
+      : DataFrame = {
+    val spark = prevCounts.sparkSession
+    import spark.implicits._
+    val k = TierCombos.length
+    val keys = Seq("exact", "surface", "sem")
+    val joined = TierCombos.toDF(keys: _*)
+      .join(prevCounts.withColumnRenamed("n", "n_prev"), keys, "left")
+      .join(currCounts.withColumnRenamed("n", "n_curr"), keys, "left")
+      .select(col("exact"), col("surface"), col("sem"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    val tot = joined.agg(sum(col("n_prev")).as("_tp"),
+      sum(col("n_curr")).as("_tc"))
+    val per = joined.crossJoin(tot)
+      .select(col("exact"), col("surface"), col("sem"),
+        when(col("exact") === 1L, "reject")
+          .when(col("surface") + col("sem") > 0L, "review")
+          .otherwise("admit").as("verdict"),
+        col("n_prev"), col("n_curr"),
+        (col("n_curr") - col("n_prev")).as("delta"),
+        round((col("n_prev") + 1L).cast("double") /
+          (col("_tp") + k).cast("double"), 6).as("share_prev"),
+        round((col("n_curr") + 1L).cast("double") /
+          (col("_tc") + k).cast("double"), 6).as("share_curr"))
+      .withColumn("psi_term",
+        round((col("share_curr") - col("share_prev")) *
+          round(log(col("share_curr") / col("share_prev")), 6), 6))
+    val psi = per.agg(
+      round(sum(col("psi_term").cast("decimal(18,6)")).cast("double"), 6)
+        .as("psi"))
+    per.crossJoin(psi)
+      .select(col("exact"), col("surface"), col("sem"), col("verdict"),
+        col("n_prev"), col("n_curr"), col("delta"),
+        col("share_prev"), col("share_curr"), col("psi_term"), col("psi"),
+        when(col("psi") >= threshold, 1L).otherwise(0L).as("shifted"))
+  }
+
+  /** [[acceptanceTierShift]] straight off two acceptance reports. */
+  def acceptanceLedgerTierDiff(prev: DataFrame, curr: DataFrame,
+                               threshold: Double = AcceptShiftThreshold)
+      : DataFrame =
+    acceptanceTierShift(tierCounts(prev), tierCounts(curr), threshold)
+
+  /** [[acceptanceTierShift]] between the two NEWEST persisted ledger
+    * generations' tier tables — the per-delivery production read
+    * (8-row parquet scans; the reports themselves stay unread). */
+  def acceptanceTierShiftLatest(spark: SparkSession, ledgerPath: String,
+                                threshold: Double = AcceptShiftThreshold)
+      : DataFrame = {
+    import graft.core.DeltaIndex
+    val m = DeltaIndex.latest(spark, ledgerPath)
+    val dirs = m.parts.getOrElse("tiers", Vector.empty)
+    require(dirs.length >= 2,
+      s"acceptanceTierShiftLatest: need two tier generations at " +
+        s"$ledgerPath, have ${dirs.length} (append two deliveries)")
+    acceptanceTierShift(
+      spark.read.parquet(s"$ledgerPath/${dirs(dirs.length - 2)}"),
+      spark.read.parquet(s"$ledgerPath/${dirs.last}"),
+      threshold)
+  }
+
+  /** The x182 queries() face: the x179 even/odd split of the planted
+    * x174 report, attributed per tier combination (one report
+    * computation feeds x174/x179/x181/x182 through the bounded-cache
+    * registry). */
+  def acceptanceTierShiftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.core.Caches.bounded(plantedAcceptanceReport(spark, dir))
+    acceptanceLedgerTierDiff(
+        rep.filter(col("cand_id") % 2 === 0),
+        rep.filter(col("cand_id") % 2 =!= 0))
+      .orderBy(col("exact"), col("surface"), col("sem"))
+  }
+
   // ---------------------- acceptance ledger (x179) --------------------
 
   /** PSI at or above this on the verdict-mix histogram flags a shifted
@@ -1157,10 +1263,12 @@ object Dedup {
   }
 
   /** Persist one delivery's acceptance report as the next ledger
-    * generation (`reports/g<gen>` + one manifest commit — the
-    * [[graft.core.DeltaIndex]] append discipline; generation dirs are
-    * immutable, so the full audit trail survives every append).
-    * Returns the committed generation. */
+    * generation: `reports/g<gen>` (the per-candidate audit trail) plus
+    * `tiers/g<gen>` (the 8-row-max x181 firing-combination counts, so
+    * the x182 tier-shift read never re-scans a report), one manifest
+    * commit — the [[graft.core.DeltaIndex]] append discipline;
+    * generation dirs are immutable, so the full audit trail survives
+    * every append. Returns the committed generation. */
   def appendAcceptanceLedger(report: DataFrame, ledgerPath: String): Long = {
     import graft.core.DeltaIndex
     val spark = report.sparkSession
@@ -1175,10 +1283,18 @@ object Dedup {
       .select(col("cand_id"), col("exact_ref"), col("n_surface"),
         col("n_sem"), col("verdict"))
       .write.mode("overwrite").parquet(s"$ledgerPath/$dir")
+    // tier counts derive from the just-written immutable report files,
+    // not the caller's (possibly expensive) plan
+    val tiersDir = DeltaIndex.deltaDir("tiers", gen)
+    tierCounts(spark.read.parquet(s"$ledgerPath/$dir"))
+      .write.mode("overwrite").parquet(s"$ledgerPath/$tiersDir")
     DeltaIndex.commit(spark, ledgerPath, DeltaIndex.Manifest(gen,
       Map.empty,
       Map("reports" ->
-        (mOpt.map(_.dirs("reports")).getOrElse(Vector.empty) :+ dir))))
+        (mOpt.map(_.dirs("reports")).getOrElse(Vector.empty) :+ dir),
+        "tiers" ->
+          (mOpt.flatMap(_.parts.get("tiers")).getOrElse(Vector.empty)
+            :+ tiersDir))))
     gen
   }
 

@@ -212,6 +212,7 @@ object ExtrasOracle {
     "x179_acceptance_ledger" -> acceptanceLedgerSql,
     // x181: the report's tier-attribution breakdown (the "why" table).
     "x181_tier_breakdown" -> acceptanceTierSql,
+    "x182_tier_shift" -> acceptanceTierShiftSql,
     "x52_contamination" -> contaminationSql,
     "x47_heavy_hitters" -> heavyHittersSql,
 
@@ -983,6 +984,70 @@ object ExtrasOracle {
        |  n, round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
        |FROM g CROSS JOIN tot
        |ORDER BY exact, surface, sem""".stripMargin
+
+  /** DuckDB twin of Dedup.acceptanceTierShiftQuery (x182): the x174
+    * report chain as a CTE, the x179 even/odd delivery split, tier
+    * flags per side, the FULL 8-combination support, Laplace smoothing
+    * over 8 cells, x82-pinned-ln PSI terms, the exact-decimal PSI sum,
+    * the shared verdict CASE, and the repeated threshold flag. */
+  private def acceptanceTierShiftSql: String =
+    s"""WITH $crossProbeCtes,
+       |surf AS (
+       |  SELECT CASE WHEN r1 THEN d2 ELSE d1 END AS cand_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_surface
+       |  FROM vpairs GROUP BY 1),
+       |$acceptanceCommonCtes,
+       |rep AS MATERIALIZED (
+       |$acceptanceFinalSql),
+       |flags AS MATERIALIZED (
+       |  SELECT cand_id,
+       |    CASE WHEN exact_ref IS NOT NULL THEN 1 ELSE 0 END AS exact,
+       |    CASE WHEN n_surface > 0 THEN 1 ELSE 0 END AS surface,
+       |    CASE WHEN n_sem > 0 THEN 1 ELSE 0 END AS sem
+       |  FROM rep),
+       |sup AS (
+       |  SELECT CAST(e.v AS BIGINT) AS exact, CAST(s.v AS BIGINT) AS surface,
+       |    CAST(m.v AS BIGINT) AS sem
+       |  FROM (VALUES (0), (1)) e(v), (VALUES (0), (1)) s(v),
+       |    (VALUES (0), (1)) m(v)),
+       |hp AS (SELECT exact, surface, sem, COUNT(*) AS n FROM flags
+       |       WHERE cand_id % 2 = 0 GROUP BY 1, 2, 3),
+       |hc AS (SELECT exact, surface, sem, COUNT(*) AS n FROM flags
+       |       WHERE cand_id % 2 <> 0 GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT sup.exact, sup.surface, sup.sem,
+       |    CAST(coalesce(hp.n, 0) AS BIGINT) AS n_prev,
+       |    CAST(coalesce(hc.n, 0) AS BIGINT) AS n_curr
+       |  FROM sup
+       |  LEFT JOIN hp ON hp.exact = sup.exact AND hp.surface = sup.surface
+       |    AND hp.sem = sup.sem
+       |  LEFT JOIN hc ON hc.exact = sup.exact AND hc.surface = sup.surface
+       |    AND hc.sem = sup.sem),
+       |tot AS (SELECT SUM(n_prev) AS tp, SUM(n_curr) AS tc FROM j),
+       |per AS MATERIALIZED (
+       |  SELECT exact, surface, sem,
+       |    CASE WHEN exact = 1 THEN 'reject'
+       |         WHEN surface + sem > 0 THEN 'review'
+       |         ELSE 'admit' END AS verdict,
+       |    n_prev, n_curr, n_curr - n_prev AS delta,
+       |    round(CAST(n_prev + 1 AS DOUBLE) / CAST(tp + 8 AS DOUBLE), 6)
+       |      AS share_prev,
+       |    round(CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE), 6)
+       |      AS share_curr
+       |  FROM j CROSS JOIN tot),
+       |per2 AS MATERIALIZED (
+       |  SELECT *, round((share_curr - share_prev)
+       |    * round(ln(share_curr / share_prev), 6), 6) AS psi_term
+       |  FROM per),
+       |t2 AS (
+       |  SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE),
+       |    6) AS psi
+       |  FROM per2)
+       |SELECT exact, surface, sem, verdict, n_prev, n_curr, delta,
+       |  share_prev, share_curr, psi_term, psi,
+       |  CAST(CASE WHEN psi >= ${Dedup.AcceptShiftThreshold} THEN 1
+       |       ELSE 0 END AS BIGINT) AS shifted
+       |FROM per2 CROSS JOIN t2 ORDER BY exact, surface, sem""".stripMargin
 
   /** DuckDB twin of Dedup.acceptanceGateQuery (x176): the same exact +
     * semantic tiers, but the surface tier at PER-DOCUMENT grain — the

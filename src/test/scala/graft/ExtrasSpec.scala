@@ -4972,6 +4972,77 @@ class ExtrasSpec extends SparkSpec {
       "vacuum left the crashed attempt's orphan")
   }
 
+  test("x182 attributes the ledger PSI movement to the planted tier combination") {
+    // prev delivery: 20 clean admits. curr: the same mix plus a planted
+    // SEM-ONLY spike — the x182 attribution must put the dominant PSI
+    // term on the (0,0,1) combo, where x179's verdict-grain diff could
+    // only say "review went up".
+    def rep(rows: (Long, Option[Long], Long, Long)*) =
+      rows.map { case (id, ex, s, m) =>
+        (id, ex, s, m,
+          if (ex.isDefined) "reject" else if (s + m > 0) "review" else "admit")
+      }.toDF("cand_id", "exact_ref", "n_surface", "n_sem", "verdict")
+    val prev = rep((1L to 20L).map(i => (i, Option.empty[Long], 0L, 0L)): _*)
+    val curr = rep(((1L to 20L).map(i => (i, Option.empty[Long], 0L, 0L)) ++
+      (21L to 30L).map(i => (i, Option.empty[Long], 0L, 3L))): _*)
+    val out = Dedup.acceptanceLedgerTierDiff(prev, curr)
+      .orderBy($"exact", $"surface", $"sem")
+      .select($"exact", $"surface", $"sem", $"verdict", $"n_prev",
+        $"n_curr", $"psi_term", $"psi", $"shifted")
+      .as[(Long, Long, Long, String, Long, Long, Double, Double, Long)]
+      .collect()
+    assert(out.length == 8, s"full 8-combo support expected: ${out.length}")
+    val byCombo = out.map(r => (r._1, r._2, r._3) -> r).toMap
+    assert(byCombo((0L, 0L, 1L))._4 == "review" &&
+      byCombo((0L, 0L, 1L))._5 == 0L && byCombo((0L, 0L, 1L))._6 == 10L)
+    assert(byCombo((0L, 0L, 0L))._5 == 20L && byCombo((0L, 0L, 0L))._6 == 20L)
+    // the planted combo carries the LARGEST PSI term — the attribution
+    val maxCombo = out.maxBy(_._7)
+    assert((maxCombo._1, maxCombo._2, maxCombo._3) == ((0L, 0L, 1L)),
+      s"PSI not attributed to the planted tier: ${out.toSeq}")
+    assert(out.forall(r => r._8 >= Dedup.AcceptShiftThreshold && r._9 == 1L),
+      s"the planted spike must flag shifted: ${out.toSeq}")
+    // a no-shift control: identical sides diff to zero PSI everywhere
+    val flat = Dedup.acceptanceLedgerTierDiff(prev, prev)
+      .select($"psi_term", $"psi", $"shifted")
+      .as[(Double, Double, Long)].collect()
+    assert(flat.forall(r => r._1 == 0.0 && r._2 == 0.0 && r._3 == 0L))
+  }
+
+  test("x182 persisted tiers: the ledger's 8-row tier tables diff without re-reading reports") {
+    def blk(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    def dlv(rows: (Long, String, Array[Float])*) =
+      rows.map { case (id, t, e) => (id, "en", t, e) }
+        .toDF("doc_id", "lang", "text", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("tier_shift").toString
+    val (idx, led) = (s"$dir/idx", s"$dir/led")
+    Dedup.saveAcceptanceIndex(
+      Seq((100L, "en", blk("alpha")), (101L, "en", blk("beta")))
+        .toDF("doc_id", "lang", "text"),
+      Seq(100L -> Array(1f, 0f), 101L -> Array(0f, 1f))
+        .toDF("vec_id", "embedding"),
+      idx, k = 2, iters = 1)
+    Dedup.processDelivery(
+      dlv((1L, blk("gamma"), Array(0.7f, 0.71f)),
+        (2L, blk("alpha"), Array(0.9f, 0.1f))),
+      idx, led, maxDf = 100, tau = 0.9)
+    Dedup.processDelivery(
+      dlv((11L, blk("delta"), Array(-0.7f, 0.7f)),
+        (12L, blk("alpha"), Array(0.9f, 0.1f)),
+        (13L, blk("gamma"), Array(0.7f, 0.71f))),
+      idx, led, maxDf = 100, tau = 0.9)
+    val viaTiers = Dedup.acceptanceTierShiftLatest(spark, led)
+      .collect().map(_.toSeq).toSet
+    // equal to the from-reports diff — the persisted 8-row tables are a
+    // faithful projection of the full reports
+    val m = graft.core.DeltaIndex.latest(spark, led)
+    val reps = m.dirs("reports").map(d => spark.read.parquet(s"$led/$d"))
+    val viaReports = Dedup.acceptanceLedgerTierDiff(reps(0), reps(1))
+      .collect().map(_.toSeq).toSet
+    assert(viaTiers == viaReports, s"$viaTiers vs $viaReports")
+    assert(viaTiers.nonEmpty && m.dirs("tiers").length == 2)
+  }
+
   test("planted drift fires the mid-loop rebuild and the next delivery's verdicts recover the recall") {
     // The x178 geometry at the delivery-loop grain (VERDICT r19 ask 4):
     // a new data direction (50deg) is admitted, the pre-ingest drift
