@@ -256,20 +256,42 @@ object Bench {
     if (warm < 0 || calib <= 0 || ref <= 0 || calib <= ref) warm
     else warm * (ref / calib)
 
+  /** Ceiling on the [[attestedRate]] multiplier. Unlike the time side
+    * (deflate-only, bounded by the raw measurement), the rate side
+    * inflates — and the linear contention model behind `calib/ref` is
+    * only credible for mild slowdowns. Round 18 published 30,783
+    * rows/s extrapolated 5.16x from 5,967 raw (VERDICT r18 #1): a
+    * figure that is mostly model, not measurement. The cap matches the
+    * regime the r10 calibration data actually supported (~1.4-2x);
+    * beyond it the attested rate saturates and the emitted
+    * `attest_factor` tells the reader how contended the run really
+    * was. */
+  val RateAttestCap = 2.0
+
+  /** The multiplier [[attestedRate]] applies: `min(calib/ref, cap)`,
+    * 1 when the inputs are missing or the machine was quiet. Emitted
+    * as its own record field so a reader can discount the attested
+    * figure without re-deriving the model. */
+  def rateAttestFactor(calib: Double, ref: Double): Double =
+    if (calib <= 0 || ref <= 0 || calib <= ref) 1.0
+    else math.min(calib / ref, RateAttestCap)
+
   /** Throughput counterpart of [[attestedTime]]: the quiet-machine
     * estimate of a rows/s figure measured while the calibration probe
     * ran `calib / ref` times slower than the machine's best observed
     * capability. Adjusts UP only (contention can only have slowed the
     * stream, so the attested rate is never below the measured one —
-    * the deflate-only discipline mirrored); failed rates (< 0) and
-    * missing calibrations pass through unadjusted. The r17 driver
+    * the deflate-only discipline mirrored), and by at most
+    * [[RateAttestCap]] (the r18 lesson: an uncapped CPU-probe ratio
+    * extrapolated 5x past measurement); failed rates (< 0) and missing
+    * calibrations pass through unadjusted. The r17 driver
     * record needed exactly this: stream_rows_per_sec dropped 21%
     * round-over-round with zero streaming-code changes, and nothing in
     * the committed record could prove it was the same contention the
     * query totals attested away. */
   def attestedRate(rate: Double, calib: Double, ref: Double): Double =
-    if (rate < 0 || calib <= 0 || ref <= 0 || calib <= ref) rate
-    else rate * (calib / ref)
+    if (rate < 0) rate
+    else rate * rateAttestFactor(calib, ref)
 
   /** The run's best evidence of quiet-machine capability: the minimum
     * over the session-start baseline and every per-query calibration.
@@ -518,6 +540,20 @@ object Bench {
             restartedMidRun = false)
       })
 
+    // Delivery-loop throughput (VERDICT r19 ask 2): N sequential vendor
+    // deliveries through the composed processDelivery loop — the
+    // O(delta) maintenance claim at measurement grain. A failure
+    // degrades to an absent record, never kills the batch numbers.
+    val deliveryLoop: Option[DeliveryBench.Result] =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_DELIVERY")) None
+      else
+        try Some(DeliveryBench.run(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] delivery bench failed: $e")
+            None
+        }
+
     // ANN quality attestation: recall@5 of each approximate face vs the
     // exact x05 answer, re-measured EVERY bench run so index/codebook
     // drift shows up in the committed record like a wall-time regression
@@ -542,6 +578,27 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ann recall failed: $e")
+          Seq.empty
+      }
+
+    // IVF recall-vs-cost sweep (VERDICT r19 ask 5): the x06 IVF face at
+    // nProbe 1/2/4 against the same exact answer — the per-budget
+    // recall curve a deployment reads to pick its probe budget.
+    val ivfSweep: Seq[(Int, Double, Double)] =
+      try {
+        val exact = SparkEntry.queries("x05_cosine_knn")(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (exact.isEmpty) Seq.empty
+        else Seq(1, 2, 4).map { np =>
+          val t0 = System.nanoTime()
+          val approx = graft.operators.Similarity.ivfQueryN(spark, sfDir, np)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val sec = (System.nanoTime() - t0) / 1e9
+          (np, (exact intersect approx).size.toDouble / exact.size, sec)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ivf sweep failed: $e")
           Seq.empty
       }
 
@@ -574,20 +631,41 @@ object Bench {
     // The streaming record gets its own full line AND compact fields on
     // the final line (the tail window only reliably keeps the last line).
     stream.foreach(r => println(StreamBench.record(r)))
+    deliveryLoop.foreach(r => println(DeliveryBench.record(r)))
     // One ann_recall line per approximate face (short — they sit inside
     // the driver's 2 KB stdout tail next to the compact line).
     annRecalls.foreach { case (name, rec) =>
       println(s"""{"metric":"ann_recall","query":"$name","k":5,""" +
         s""""vs":"x05_cosine_knn","value":${fmt(rec)},"sf":"$sfDir"}""")
     }
+    ivfSweep.foreach { case (np, rec, sec) =>
+      println(s"""{"metric":"ann_recall","query":"x06_ann_ivf","k":5,""" +
+        s""""nProbe":$np,"vs":"x05_cosine_knn","value":${fmt(rec)},""" +
+        s""""sec":${fmt(sec)},"sf":"$sfDir"}""")
+    }
     val streamExtra = stream.toSeq.flatMap { r =>
       Seq(
         "stream_rows_per_sec" -> fmtSig(r.rowsPerSec, 5),
         "stream_rows_per_sec_attested" -> fmtSig(r.rowsPerSecAttested, 5),
+        "stream_attest_factor" -> fmtSig(r.attestFactor, 3),
         "stream_batches" -> r.batches.toString,
         "stream_ok" -> r.ok.toString)
     } ++ annRecalls.map { case (name, rec) =>
       s"recall_${name.stripPrefix("x06_ann_").stripPrefix("x17_")}" -> fmt(rec)
+    } ++ ivfSweep.map { case (np, rec, _) =>
+      s"recall_ivf_np$np" -> fmt(rec)
+    } ++ deliveryLoop.toSeq.flatMap { r =>
+      Seq(
+        "dlv_sec" -> r.perSec.map(s => fmtSig(s, 3)).mkString("[", ",", "]"),
+        "dlv_flat_sec" -> fmtSig(
+          if (r.perSec.length < 4) -1.0
+          else (r.perSec.takeRight(2).sum / 2.0) /
+            math.max(r.perSec.take(2).sum / 2.0, 1e-9), 3),
+        "dlv_flat_bytes" -> fmtSig(
+          if (r.perBytes.length < 4) -1.0
+          else (r.perBytes.takeRight(2).sum / 2.0) /
+            math.max(r.perBytes.take(2).sum / 2.0, 1e-9), 3),
+        "dlv_ok" -> r.ok.toString)
     }
     println(compactLine(total, attestedTotal, results.map(r => r.name -> r.warm),
       results.filter(_.contended).map(_.name), baselineSuspect, sfDir,

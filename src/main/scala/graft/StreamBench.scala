@@ -45,6 +45,7 @@ object StreamBench {
                           batchMsAvg: Double, restartedMidRun: Boolean,
                           calibSec: Double = -1.0,
                           rowsPerSecAttested: Double = -1.0,
+                          attestFactor: Double = 1.0,
                           extShare: Double = -1.0,
                           gcShare: Double = -1.0,
                           ioShare: Double = -1.0)
@@ -181,6 +182,7 @@ object StreamBench {
       restartedMidRun = restartedMidRun,
       calibSec = calib,
       rowsPerSecAttested = Bench.attestedRate(rate, calib, ref),
+      attestFactor = Bench.rateAttestFactor(calib, ref),
       extShare = ext, gcShare = gcs, ioShare = ios)
   }
 
@@ -201,6 +203,7 @@ object StreamBench {
   def record(r: Result): String =
     s"""{"metric":"stream_rows_per_sec","value":${d1(r.rowsPerSec)},""" +
       s""""value_attested":${d1(r.rowsPerSecAttested)},""" +
+      s""""attest_factor":${d4(r.attestFactor)},""" +
       s""""calib_sec":${d4(r.calibSec)},""" +
       s""""ext_share":${d4(r.extShare)},"gc_share":${d4(r.gcShare)},""" +
       s""""iowait_share":${d4(r.ioShare)},""" +

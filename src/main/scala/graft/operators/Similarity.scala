@@ -966,12 +966,23 @@ object Similarity {
       .orderBy(col("query_id"))
 
   /** rows-only queries() entry for the IVF path. */
-  def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
+  def ivfQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfQueryN(spark, dir, nProbe = 4)
+
+  /** The x06 IVF face at an explicit probe budget — the bench's
+    * recall-vs-cost sweep knob (nProbe=4 is the committed face).
+    * nCentroids is tuned to the bench corpora (thousands of near-random
+    * vectors: recall tracks the probed-list share, so 4/8 lists holds
+    * recall@5 >= 0.8 where 4/16 sat at ~0.6 — measured in AnnTune,
+    * tracked per-round by the bench's ann_recall sweep). At real scale
+    * nCentroids grows ~sqrt(n) and clustered embeddings give recall far
+    * above the probe share; the knob, not the plan, changes. */
+  def ivfQueryN(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val index = ivfIndex(emb, nCentroids = 16)
+    val index = ivfIndex(emb, nCentroids = 8)
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    ivfTopK(index, queries, k = 5, nProbe = 4)
+    ivfTopK(index, queries, k = 5, nProbe = nProbe)
       .orderBy(col("query_id"), col("rank"))
   }
 

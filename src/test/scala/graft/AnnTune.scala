@@ -27,6 +27,12 @@ object AnnTune {
       (exact intersect s).size.toDouble / exact.size
     }
 
+    for (nc <- Seq(8, 16, 32); li <- Seq(3, 8); np <- Seq(1, 2, 4)) {
+      val t0 = System.nanoTime()
+      val idx = Similarity.ivfIndex(emb, nCentroids = nc, lloydIters = li)
+      val r = rec(Similarity.ivfTopK(idx, queries, 5, nProbe = np))
+      println(f"IVF nc=$nc lloyd=$li nProbe=$np recall=$r%.3f  (${(System.nanoTime()-t0)/1e9}%.1f s)")
+    }
     for (t <- Seq(12, 16, 20, 24); b <- Seq(5, 6, 7)) {
       val t0 = System.nanoTime()
       val r = rec(Similarity.lshTopK(emb, queries, 5, nTables = t, bits = b))

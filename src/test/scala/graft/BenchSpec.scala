@@ -193,12 +193,36 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     assert(Bench.attestedRate(4000.0, 0.14, -1.0) == 4000.0)
   }
 
-  test("stream record carries the attested value and calibration") {
+  test("attested rate is capped: the multiplier never exceeds RateAttestCap") {
+    // The r18 shape: a 5.16x calib/ref ratio published 30,783 rows/s
+    // from 5,967 raw — mostly model. The cap saturates the adjustment
+    // and the factor field carries the evidence.
+    val raw = 5967.0
+    val r = Bench.attestedRate(raw, calib = 0.516, ref = 0.10)
+    assert(r == raw * Bench.RateAttestCap, s"expected capped, got $r")
+    assert(Bench.rateAttestFactor(0.516, 0.10) == Bench.RateAttestCap)
+    // below the cap the linear model still applies
+    assert(math.abs(Bench.attestedRate(4000.0, 0.14, 0.10) - 5600.0) < 1e-6)
+    assert(math.abs(Bench.rateAttestFactor(0.14, 0.10) - 1.4) < 1e-9)
+    // quiet / missing signals: factor 1
+    assert(Bench.rateAttestFactor(0.10, 0.10) == 1.0)
+    assert(Bench.rateAttestFactor(-1.0, 0.10) == 1.0)
+    // the invariant the record reader relies on, for any inputs:
+    // attested <= cap * raw
+    for (calib <- Seq(-1.0, 0.05, 0.1, 0.2, 0.6, 3.0);
+         ref <- Seq(-1.0, 0.05, 0.1))
+      assert(Bench.attestedRate(raw, calib, ref) <=
+        Bench.RateAttestCap * raw + 1e-9, s"calib=$calib ref=$ref")
+  }
+
+  test("stream record carries the attested value, factor, and calibration") {
     val rec = StreamBench.record(StreamBench.Result(ok = true, rows = 10,
       batches = 2, elapsedSec = 1.0, rowsPerSec = 10.0, batchMsAvg = 5.0,
-      restartedMidRun = true, calibSec = 0.14, rowsPerSecAttested = 14.0))
+      restartedMidRun = true, calibSec = 0.14, rowsPerSecAttested = 14.0,
+      attestFactor = 1.4))
     assert(rec.contains("\"value\":10.0"), rec)
     assert(rec.contains("\"value_attested\":14.0"), rec)
+    assert(rec.contains("\"attest_factor\":1.4000"), rec)
     assert(rec.contains("\"calib_sec\":0.1400"), rec)
   }
 
