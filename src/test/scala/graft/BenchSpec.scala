@@ -114,13 +114,22 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     // truncation), so the assertion is on the EMITTED line under
     // worst-case value widths, not on a hoped-for typical width.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-realistic extra payload: the streaming-throughput record
-    // including its attested twin
+    // worst-realistic extra payload: everything main() can append — the
+    // streaming record with its attested twin and factor, the four ANN
+    // recalls, the IVF nProbe sweep, and the delivery-loop fields
     val extra = Seq(
       "stream_rows_per_sec" -> "123456.7",
       "stream_rows_per_sec_attested" -> "123456.7",
+      "stream_attest_factor" -> "2.00",
       "stream_batches" -> "1234",
-      "stream_rows" -> "12345678", "stream_restarted" -> "true")
+      "stream_rows" -> "12345678", "stream_restarted" -> "true",
+      "recall_ivf" -> "0.8300", "recall_lsh" -> "0.7200",
+      "recall_quant_knn" -> "1.0000", "recall_x140_jl_knn" -> "0.7800",
+      "recall_ivf_np1" -> "0.3900", "recall_ivf_np2" -> "0.5400",
+      "recall_ivf_np4" -> "0.8300",
+      "dlv_sec" -> Seq.fill(8)("12.3").mkString("[", ",", "]"),
+      "dlv_flat_sec" -> "1.05", "dlv_flat_bytes" -> "1.09",
+      "dlv_ok" -> "true")
     val line = Bench.compactLine(
       total = 123.4567,
       attested = 98.7654,
