@@ -28,20 +28,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
-  private[graft] val MaxTracked = 16
+  private[graft] val MaxTracked = 32
 
   private val tracked = new java.util.ArrayDeque[DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) and track it; evict (unpersist,
     * non-blocking) the oldest tracked frames down to [[MaxTracked]].
     *
+    * PLAN-DEDUPED, RECENCY-REFRESHING: re-registering a frame whose
+    * logical plan an already-tracked frame shares returns the TRACKED
+    * frame, moved to the registry tail. Spark's CacheManager dedupes
+    * cache entries by plan anyway, so the duplicate registration never
+    * bought a second cache — it only burned a registry slot per call
+    * and let insertion-order eviction unpersist a frame that was still
+    * the HOTTEST plan in the registry (measured in round 19: the x174
+    * acceptance report, re-registered by x179/x181/x182, was evicted
+    * between queries and each face recomputed the full battery —
+    * 27 jobs instead of the shared-read ~9).
+    *
     * Eviction runs BEFORE the new persist, and an evicted frame whose
     * logical plan another tracked frame still shares is dropped from
-    * the registry without unpersisting: Spark's CacheManager dedupes
-    * cache entries BY PLAN, so unpersisting one frame uncaches every
-    * equivalent frame — evict-after-persist silently killed the entry
-    * just added whenever the same query was re-mined past the cap
-    * (caught by PlanSpec's shared-cache gate under the full suite). */
+    * the registry without unpersisting: unpersisting one frame uncaches
+    * every equivalent frame — evict-after-persist silently killed the
+    * entry just added whenever the same query was re-mined past the cap
+    * (caught by PlanSpec's shared-cache gate under the full suite).
+    *
+    * MaxTracked is sized to the worst legitimate burst: one acceptance-
+    * family query invocation holds ~8 distinct live frames and the
+    * bench runs those faces cold+warm back-to-back; 16 (the pre-x169
+    * size) measurably thrashed, 32 holds the whole family while staying
+    * far below executor storage-fraction budgets at the frames'
+    * KB..MB grain. */
   def bounded(df: DataFrame): DataFrame = synchronized {
     // the registry is JVM-global and can outlive a SparkSession: a frame
     // tracked before a session restart would make eviction touch a
@@ -49,14 +66,25 @@ object Caches {
     // bounded() call in the NEW session — drop dead-session frames first,
     // and treat any residual unpersist failure as already-evicted
     tracked.removeIf(t => t.sparkSession.sparkContext.isStopped)
+    val plan = df.queryExecution.analyzed
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val t = it.next()
+      if (t.sparkSession.eq(df.sparkSession) &&
+          t.queryExecution.analyzed.sameResult(plan)) {
+        it.remove()
+        tracked.addLast(t)
+        return t
+      }
+    }
     while (tracked.size >= MaxTracked) {
       val old = tracked.removeFirst()
       val oldPlan = old.queryExecution.analyzed
       val stillShared = {
-        val it = tracked.iterator()
+        val it2 = tracked.iterator()
         var shared = false
-        while (!shared && it.hasNext)
-          shared = it.next().queryExecution.analyzed.sameResult(oldPlan)
+        while (!shared && it2.hasNext)
+          shared = it2.next().queryExecution.analyzed.sameResult(oldPlan)
         shared
       }
       if (!stillShared)

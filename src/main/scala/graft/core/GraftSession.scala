@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Preserve cached-plan output partitioning: with this on (the
+      // Spark 4 default) every InMemoryTableScan reports Unknown
+      // partitioning at planning time and downstream joins/aggregates
+      // re-Exchange a frame that is ALREADY hash-partitioned on the key
+      // — measured on the x39 loop as one extra full shuffle of the
+      // cached edge frame per iteration. Iterative operators (pageRank,
+      // connectedComponents) pin their loop-state partitioning
+      // explicitly and rely on it being visible across the cache
+      // boundary; the cost is losing AQE re-optimization inside cached
+      // subplans, which the engine's caches (small, explicitly
+      // repartitioned frames) never needed.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet has carried NANOS or MICROS timestamps depending on

@@ -1078,8 +1078,14 @@ object Dedup {
     val grouped = flags
       .groupBy(col("exact"), col("surface"), col("sem"))
       .agg(count(lit(1)).as("n"))
-    val tot = grouped.agg(sum(col("n")).as("_t"))
-    grouped.crossJoin(tot)
+    // the total rides an unbounded window over the ≤8-row combo frame,
+    // not a crossJoin(agg) pair — see [[acceptanceLedgerDiff]] (the agg
+    // form re-executed the grouped aggregate, report scan included, per
+    // subtree reference); values identical.
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    grouped
+      .withColumn("_t", sum(col("n")).over(w))
       .select(col("exact"), col("surface"), col("sem"),
         when(col("exact") === 1L, "reject")
           .when(col("surface") + col("sem") > 0L, "review")
@@ -1140,9 +1146,15 @@ object Dedup {
       .select(col("exact"), col("surface"), col("sem"),
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         coalesce(col("n_curr"), lit(0L)).as("n_curr"))
-    val tot = joined.agg(sum(col("n_prev")).as("_tp"),
-      sum(col("n_curr")).as("_tc"))
-    val per = joined.crossJoin(tot)
+    // totals via an unbounded window over the 8-row combo frame, not a
+    // crossJoin(agg) pair — see [[acceptanceLedgerDiff]] (one linear
+    // chain instead of re-executing both tier-count aggregates per
+    // subtree reference); values identical, support fixed at 8 rows.
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val per = joined
+      .withColumn("_tp", sum(col("n_prev")).over(w))
+      .withColumn("_tc", sum(col("n_curr")).over(w))
       .select(col("exact"), col("surface"), col("sem"),
         when(col("exact") === 1L, "reject")
           .when(col("surface") + col("sem") > 0L, "review")
@@ -1156,10 +1168,10 @@ object Dedup {
       .withColumn("psi_term",
         round((col("share_curr") - col("share_prev")) *
           round(log(col("share_curr") / col("share_prev")), 6), 6))
-    val psi = per.agg(
-      round(sum(col("psi_term").cast("decimal(18,6)")).cast("double"), 6)
-        .as("psi"))
-    per.crossJoin(psi)
+    per
+      .withColumn("psi",
+        round(sum(col("psi_term").cast("decimal(18,6)")).over(w)
+          .cast("double"), 6))
       .select(col("exact"), col("surface"), col("sem"), col("verdict"),
         col("n_prev"), col("n_curr"), col("delta"),
         col("share_prev"), col("share_curr"), col("psi_term"), col("psi"),
@@ -1241,9 +1253,18 @@ object Dedup {
       .select(col("verdict"),
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         coalesce(col("n_curr"), lit(0L)).as("n_curr"))
-    val tot = joined.agg(sum(col("n_prev")).as("_tp"),
-      sum(col("n_curr")).as("_tc"))
-    val per = joined.crossJoin(tot)
+    // totals ride an unbounded window over the |Verdicts|-row frame, NOT
+    // a crossJoin(agg) pair: the aggregate form referenced `joined` (and
+    // then `per`) from two subtrees each, so the whole histogram chain —
+    // including both report scans — re-executed per reference (~20 tiny
+    // stages measured on the x179 face); the window form is one linear
+    // chain over a 3-row frame, values identical. The single-partition
+    // window is bounded by construction (the fixed verdict support).
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val per = joined
+      .withColumn("_tp", sum(col("n_prev")).over(w))
+      .withColumn("_tc", sum(col("n_curr")).over(w))
       .select(col("verdict"), col("n_prev"), col("n_curr"),
         (col("n_curr") - col("n_prev")).as("delta"),
         round((col("n_prev") + 1L).cast("double") /
@@ -1253,10 +1274,10 @@ object Dedup {
       .withColumn("psi_term",
         round((col("share_curr") - col("share_prev")) *
           round(log(col("share_curr") / col("share_prev")), 6), 6))
-    val psi = per.agg(
-      round(sum(col("psi_term").cast("decimal(18,6)")).cast("double"), 6)
-        .as("psi"))
-    per.crossJoin(psi)
+    per
+      .withColumn("psi",
+        round(sum(col("psi_term").cast("decimal(18,6)")).over(w)
+          .cast("double"), 6))
       .select(col("verdict"), col("n_prev"), col("n_curr"), col("delta"),
         col("share_prev"), col("share_curr"), col("psi_term"), col("psi"),
         when(col("psi") >= threshold, 1L).otherwise(0L).as("shifted"))
@@ -1728,23 +1749,28 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, w: Int = SnmWindow, n: Int = 3,
                               jaccardThreshold: Double = 0.5): DataFrame = {
     require(w >= 2, s"sortedNeighborhoodPairs: w=$w (need >= 2)")
-    val ranked = Sampling.denseIds(
+    // bounded-cached: the rank frame anchors BOTH sides of the
+    // neighborhood equi-join, and the global range sort behind it is the
+    // operator's expensive leg — recomputing it per reference doubled
+    // the x64 cost (the verifiedNearDupPairs discipline; the cached rows
+    // are (doc_id, rank), 16 bytes each).
+    val ranked = graft.core.Caches.bounded(Sampling.denseIds(
         docs.select(col("doc_id"),
           graft.functions.expressions.NativeExpressions
             .normalizeText(col("text")).as("_sk")),
         Seq(col("_sk"), col("doc_id")), "_rk")
-      .select(col("doc_id"), col("_rk"))
+      .select(col("doc_id"), col("_rk")))
     val cand = ranked.select(col("doc_id").as("_ida"), col("_rk").as("_ra"))
       .withColumn("_j", explode(sequence(lit(1), lit(w - 1))))
       .withColumn("_rb", col("_ra") + col("_j"))
       .join(ranked.select(col("doc_id").as("_idb"), col("_rk").as("_rb")), Seq("_rb"))
       .select(least(col("_ida"), col("_idb")).as("d1"),
         greatest(col("_ida"), col("_idb")).as("d2"))
-    val candIds = cand
-      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    jaccardVerify(cand,
-      shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n),
-      jaccardThreshold)
+    // NO candidate-id semi-join prune here (x46 keeps one): SNM pairs
+    // every doc with its rank neighbors, so the candidate id set IS the
+    // corpus whenever N >= 2 — the prune was the identity, at the price
+    // of computing the whole candidate subtree a second time.
+    jaccardVerify(cand, shingled(docs, n), jaccardThreshold)
   }
 
   /** x64: SNM-blocked verified near-dup pairs (x46's accept test over
@@ -1878,9 +1904,11 @@ object Dedup {
     // on rank delivers both operands directly — no join back to the
     // text afterwards (the prefix is a bounded 80-char payload, cheaper
     // to shuffle once alongside the rank than to re-attach with two
-    // more doc_id-keyed joins)
-    val ranked = Sampling.denseIds(keyed,
-      Seq(col("_pfx"), col("doc_id")), "_rk")
+    // more doc_id-keyed joins); bounded-cached because both join sides
+    // read it — recomputing the global range sort per reference doubled
+    // the x100 cost (the x64 discipline, rows ≤ 96 bytes each)
+    val ranked = graft.core.Caches.bounded(Sampling.denseIds(keyed,
+      Seq(col("_pfx"), col("doc_id")), "_rk"))
     val cand = ranked.select(col("doc_id").as("_ida"),
         col("_pfx").as("_pa"), col("_rk").as("_ra"))
       .withColumn("_j", explode(sequence(lit(1), lit(w - 1))))
@@ -1951,8 +1979,20 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       graft.core.IterUtil.cut(df, checkpointDir.isDefined)
     def free(df: DataFrame): Unit = graft.core.IterUtil.free(df)
-    val bidir = cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val p = nodes.sparkSession.sessionState.conf.numShufflePartitions
+    // The edge frame is PINNED to hash(src, p) and persisted through the
+    // bounded registry (local mode) so every round's message join reads
+    // it exchange-free: a lineage cut's ExistingRDD reports Unknown
+    // partitioning under AQE (measured on x39 — each round then
+    // re-shuffles the edges, the LARGEST frame in the loop), while an
+    // InMemoryRelation preserves the pinned partitioning. The reliable
+    // path keeps the durable cut (its per-round edge exchange is the
+    // price of surviving executor loss).
+    def pinStatic(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) cut(df) else graft.core.Caches.bounded(df)
+    val bidir = pinStatic(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p, col("src")))
     // `cp` is the checkpointed handle of the current round (what free()
     // unpersists — a projection over it would not expose the LogicalRDD);
     // `labels` is the two-column view the joins consume.
@@ -1962,6 +2002,10 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // the labels exchange (hash(id)) is planned once and REUSED by the
+      // m-join below (identical subtree); the message aggregation keeps
+      // its map-side partial agg below its own exchange, whose hash(dst,
+      // p) output already satisfies `m`'s join distribution
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
         .withColumnRenamed("dst", "id")

@@ -64,52 +64,108 @@ object Graph {
     * cheap job, same budget class as connectedComponents' convergence
     * counts); the dangling mass stays in-plan as a broadcast 1-row
     * cross join. */
+  /** How many unrolled iterations may stack before a lineage cut. The
+    * loop emits ONE dataflow plan (no per-round materialization) up to
+    * this depth; past it a cut bounds plan size / lineage for callers
+    * that ask for long fixed-point runs. The default 5-iteration x39
+    * face stays a single plan.
+    */
+  private val UnrollCutEvery = 8
+
   def pageRank(vertices: DataFrame, edges: DataFrame,
                iters: Int = PageRankIters,
                dampingPct: Int = PageRankDampingPct,
                checkpointDir: Option[String] = None): DataFrame = {
     require(iters > 0, s"pageRank: iters=$iters")
     require(dampingPct > 0 && dampingPct < 100, s"pageRank: dampingPct=$dampingPct")
-    IterUtil.ensureCheckpointDir(vertices.sparkSession, checkpointDir)
+    val spark = vertices.sparkSession
+    IterUtil.ensureCheckpointDir(spark, checkpointDir)
     def cut(df: DataFrame): DataFrame = IterUtil.cut(df, checkpointDir.isDefined)
+    val p = spark.sessionState.conf.numShufflePartitions
 
-    val bidir = cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    val deg = cut(bidir.groupBy(col("src").as("vid"))
-      .agg(count(lit(1)).as("deg")))
+    // The iteration state is restricted to vertices INCIDENT TO AN EDGE
+    // (the connectedComponents discipline): in a near-dup graph the
+    // singleton majority receives no messages and every isolated vertex
+    // evolves by the same closed-form recurrence, so it never has to
+    // enter a shuffle. The edge frame carries the source's degree and is
+    // PINNED to hash(src, p) once — explicit repartition, not
+    // ENSURE_REQUIREMENTS, so AQE cannot re-key it — and every round's
+    // rank join aligns with it exchange-free. Per iteration exactly ONE
+    // exchange survives (the message aggregation, pinned to hash(dst, p)
+    // so its output co-partitions with the rank state for the next
+    // round); the dangling mass is a driver-side Long recurrence instead
+    // of a per-round aggregate + broadcast cross join. The whole
+    // fixed-iteration loop is ONE dataflow plan — no per-round
+    // checkpoint materialization jobs (a cut every [[UnrollCutEvery]]
+    // rounds bounds plan depth for long runs; the default 5 stays
+    // uncut).
+    // The static frames persist through the bounded registry, NOT a
+    // lineage cut: a checkpoint's ExistingRDD scan reports
+    // UnknownPartitioning under AQE (measured — every loop reference
+    // then re-exchanges), while InMemoryRelation preserves the cached
+    // plan's pinned partitioning, which is the whole point here. On the
+    // reliable-checkpoint path durability wins and the cut stays.
+    def pinStatic(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) cut(df) else graft.core.Caches.bounded(df)
+    // the (possibly expensive) edge plan is computed exactly ONCE: deg
+    // and bidirDeg both derive from this cache, exchange-free (their
+    // grouping/join keys match the pinned partitioning)
+    val bidir = pinStatic(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p, col("src")))
+    val deg = bidir.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("deg"))
+    val bidirDeg = pinStatic(bidir.join(deg, col("src") === col("vid"))
+      .select(col("src"), col("dst"), col("deg")))
+    // non-isolated vertex list, co-partitioned with bidirDeg (hash(vid,p))
+    val nonIso = pinStatic(deg.select(col("vid").as("id")))
+
     val n = vertices.count()
     require(n > 0, "pageRank: empty vertex set")
+    val nNonIso = nonIso.count()
+    val nIso = n - nNonIso
     val unit = RankUnits / n
     val base = ((100L - dampingPct) * unit) / 100L
 
-    var cp = cut(vertices.select(col("id"), lit(unit).as("rank")))
-    var ranks = cp
-    for (_ <- 1 to iters) {
-      val rd = ranks.join(deg, ranks("id") === deg("vid"), "left")
-        .select(col("id"), col("rank"), col("deg"))
-      // dangling mass: one BIGINT scalar, broadcast back in-plan
-      val dangling = rd.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("ds"))
-      val msgs = bidir
-        .join(rd.filter(col("deg").isNotNull), bidir("src") === col("id"))
+    // Driver-side recurrence for the isolated ranks: every isolated
+    // vertex starts at `unit` and receives no messages, so all stay
+    // EQUAL and the dangling mass each round is exactly nIso * isoRank —
+    // the same Long arithmetic the in-plan aggregate performed, now two
+    // scalars per round. isoRank(t+1) = base + (d * (ds div n)) div 100.
+    val isoRanks = new Array[Long](iters + 1)
+    isoRanks(0) = unit
+    for (t <- 0 until iters)
+      isoRanks(t + 1) =
+        base + (dampingPct * ((nIso * isoRanks(t)) / n)) / 100L
+
+    var ranks = nonIso.select(col("id"), lit(unit).as("rank"))
+    for (t <- 0 until iters) {
+      val dsOverN = (nIso * isoRanks(t)) / n
+      // the aggregation keeps its map-side partial sum below its own
+      // exchange; the exchange's hash(mid, p) output already satisfies
+      // the rank join's distribution, so each iteration's ONLY shuffle
+      // carries per-(partition, dst) partial sums
+      val msgs = bidirDeg.join(ranks, col("src") === col("id"))
         .select(col("dst").as("mid"), expr("rank div deg").as("c"))
         .groupBy(col("mid")).agg(sum(col("c")).as("msg"))
-      val step = cut(ranks.select(col("id"))
+      ranks = nonIso
         .join(msgs, col("id") === col("mid"), "left")
-        .crossJoin(broadcast(dangling))
-        .withColumn("m", coalesce(col("msg"), lit(0L)))
         .select(col("id"), expr(
-          s"$base + (($dampingPct * (ds div $n + m)) div 100)").as("rank")))
-      IterUtil.free(cp)
-      cp = step
-      ranks = step
+          s"$base + (($dampingPct * ($dsOverN + coalesce(msg, 0L))) div 100)")
+          .as("rank"))
+      if ((t + 1) % UnrollCutEvery == 0 && t + 1 < iters)
+        ranks = cut(ranks)
     }
-    IterUtil.free(bidir)
-    IterUtil.free(deg)
+    // isolated vertices re-enter with the closed-form final rank; the
+    // left join keeps every vertex exactly once (loop ranks cover the
+    // non-isolated set by construction).
+    val out = vertices.select(col("id"))
+      .join(ranks.withColumnRenamed("rank", "_lr"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_lr"), lit(isoRanks(iters))).as("rank"))
     // display image: rank units → fraction of total mass. Both factors
     // are < 2^53 so the long→double cast is exact and the single
     // division correctly rounded — identical in the SQL twin.
-    ranks.select(col("id"),
+    out.select(col("id"),
       (col("rank").cast("double") / lit(RankUnits.toDouble)).as("rank"))
   }
 

@@ -1591,30 +1591,39 @@ object Sampling {
       .select(col("source"),
         (hashBucket(col("t"), DoremiSalt) % buckets).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
-    val cb = sbc.groupBy(col("b")).agg(sum(col("n")).as("cn"))
-    val nTot = cb.agg(coalesce(sum(col("cn")), lit(0L)).as("nn"))
-    // bucket log-prob under the corpus model (negative; rounded decimal)
-    val lp = cb.crossJoin(broadcast(nTot))
-      .select(col("b"), col("cn"),
+    // Every total past sbc rides an unbounded window over the B-row /
+    // K-row frame it totals, NOT a crossJoin(broadcast(agg)) pair: the
+    // agg form referenced each small frame from two subtrees, so the
+    // chain re-executed per reference — ~30 tiny stages measured on the
+    // x160 face. The window frames are bounded by construction (≤
+    // `buckets` rows / one row per source); values are identical (same
+    // exact decimal sums, order-independent). The corpus-sized work is
+    // still exactly one (source, bucket) hash aggregate.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    // bucket log-prob under the corpus model (negative; rounded decimal),
+    // with the corpus entropy H = −Σ_b cn·lp / N carried per bucket row
+    val lp = sbc.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+      .withColumn("nn", sum(col("cn")).over(wAll))
+      .select(col("b"), col("cn"), col("nn"),
         round(log(col("cn").cast("double") / col("nn").cast("double")), 6)
           .cast("decimal(18,6)").as("lp"))
-    // corpus entropy H = −Σ_b cn·lp / N (the shared reference loss)
-    val h = lp.crossJoin(broadcast(nTot))
-      .agg((-sum(col("cn") * col("lp")).cast("double") / first(col("nn")))
-        .as("h"))
-    val ce = sbc.join(broadcast(lp.select(col("b"), col("lp"))), Seq("b"))
+      .withColumn("h",
+        (-sum(col("cn") * col("lp")).over(wAll).cast("double")) / col("nn"))
+    val ce = sbc.join(broadcast(lp.select(col("b"), col("lp"), col("h"))), Seq("b"))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_tokens"),
         (-sum(col("n") * col("lp")).cast("double") / sum(col("n")))
-          .as("ce"))
-    val ex = ce.crossJoin(broadcast(h))
+          .as("ce"),
+        first(col("h")).as("h"))
+    val ex = ce
       .select(col("source"), col("n_tokens"), col("ce"),
         greatest(round(col("ce") - col("h"), 6), lit(0.0d)).as("excess"))
       .withColumn("e",
         round(exp(lit(DoremiEta) * col("excess")), 6).cast("decimal(18,6)"))
-    val norm = ex.agg(sum(col("e")).as("se"),
-      count(lit(1)).cast("double").as("k"))
-    ex.crossJoin(broadcast(norm))
+    ex
+      .withColumn("se", sum(col("e")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll).cast("double"))
       .select(col("source"), col("n_tokens"), col("ce"), col("excess"),
         (lit(DoremiKeep)
           * (col("e").cast("double") / col("se").cast("double"))
@@ -1657,9 +1666,13 @@ object Sampling {
     require(budgetFactor > 0 && epochCap > 0,
       s"dataBudget: budgetFactor=$budgetFactor epochCap=$epochCap")
     val w = doremiWeights(docs)
-    val tot = w.agg(coalesce(sum(col("n_tokens")), lit(0L)).cast("double")
-      .as("_t"))
-    w.crossJoin(broadcast(tot))
+    // K-row total via unbounded window, not crossJoin(agg) — see
+    // doremiWeights (the agg form re-ran the whole weight chain per
+    // reference); empty-corpus behavior unchanged (both forms emit
+    // zero rows).
+    w.withColumn("_t",
+        sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)).cast("double"))
       .withColumn("demand",
         round(lit(budgetFactor) * col("_t") * col("weight"), 6))
       .withColumn("alloc",

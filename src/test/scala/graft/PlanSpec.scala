@@ -377,18 +377,33 @@ class PlanSpec extends SparkSpec {
       s"token-grain anti-join resurfaced:\n$p")
   }
 
-  test("x155/x156: model tables broadcast; no unkeyed product; no window") {
+  test("x155/x156: model tables broadcast; no unkeyed product; no corpus-grain window") {
     for (name <- Seq("x155_nb_quality", "x156_doremi")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name: unkeyed product in the model pipeline:\n$p")
-      assert(!p.contains("Window"),
-        s"$name: window crept into an aggregate-only pipeline:\n$p")
       // the B-row weight/log-prob table must ride a broadcast into the
       // scoring join — the corpus side must never shuffle for the model
       assert(p.contains("BroadcastHashJoin"),
         s"$name: model table is not broadcast:\n$p")
     }
+    // x155 stays window-free outright; x156's totals ride unbounded
+    // windows over the BOUNDED bucket/source frames (the round-19
+    // crossJoin(agg) rewrite) — assert no Window ever touches the
+    // token-grain columns (a corpus-grain window sort is the regression
+    // this gate exists to catch)
+    assert(!plan("x155_nb_quality").contains("Window"),
+      "x155: window crept into an aggregate-only pipeline")
+    val p156 = plan("x156_doremi")
+    val winLines = p156.linesIterator.filter(_.contains("Window [")).toSeq
+    // the bounded-total windows carry NO partition/order keys — their
+    // spec prints as windowspecdefinition(specifiedwindowframe(...)
+    // directly; a corpus-grain window (per-doc rank/sort) would carry
+    // partition or order expressions before the frame
+    assert(winLines.nonEmpty && winLines.forall(
+        _.contains("windowspecdefinition(specifiedwindowframe")),
+      s"x156: a window carries corpus-grain partition/order keys:\n" +
+        winLines.mkString("\n"))
   }
 
   test("x158: the projection plan is scan-and-map — the axis rides as a literal") {
