@@ -484,6 +484,67 @@ object NativeOps {
     while (p < m) { out(p) = cids(order(p).intValue()); p += 1 }
     new GenericArrayData(out)
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Sampling.hashBucket replicated in the JVM: the unsigned 32-bit
+    * value of the first 8 hex chars (= first 4 bytes) of
+    * md5(key + ":" + salt), exactly what
+    * conv(substring(md5(k || ':' || salt), 1, 8), 16, 10) yields. */
+  private def hashBucketJvm(key: String, salt: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(':'.toByte)
+    md.update(salt.getBytes)
+    val d = md.digest()
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** One-loop mask/span-corruption rewrite shared by x142 (spanLen=1,
+    * numbered=false: every hit token becomes "[MASK]") and x166
+    * (spanLen=L, numbered=true: a hit cell's start becomes
+    * "<extra_id_k>", its other tokens are dropped). Cell s of a doc is
+    * hit iff hashBucket(docId + ":" + s, salt) < rate * 2^32 — the
+    * exact keepAtRate arithmetic (cast and compare in double). Returns
+    * (n_tokens, n_spans, n_masked, out) where out is the rewritten
+    * token stream joined by single spaces. */
+  def spanMaskRewrite(toks: ArrayData, docId: Long, spanLen: Int,
+                      rate: Double, salt: UTF8String,
+                      numbered: Boolean): InternalRow = {
+    val n = toks.numElements()
+    val threshold = rate * 4294967296.0
+    val pieces = new java.util.ArrayList[UTF8String](n)
+    var masked = 0L
+    var spans = 0L
+    var k = 0L
+    var hit = false
+    var i = 0
+    while (i < n) {
+      if (i % spanLen == 0) { // cell start: one hash decides the cell
+        hit = hashBucketJvm(java.lang.Long.toString(docId) + ":" + i, salt)
+          .toDouble < threshold
+        if (hit) {
+          spans += 1
+          if (numbered) {
+            pieces.add(UTF8String.fromString("<extra_id_" + k + ">")); k += 1
+          } else pieces.add(MaskSentinel)
+        }
+      } else if (hit && !numbered) pieces.add(MaskSentinel)
+      if (hit) masked += 1
+      if (!hit) pieces.add(toks.getUTF8String(i))
+      i += 1
+    }
+    val out = UTF8String.concatWs(SpaceSep,
+      pieces.toArray(new Array[UTF8String](pieces.size())): _*)
+    InternalRow(n.toLong, spans, masked, out)
+  }
+
+  private val MaskSentinel = UTF8String.fromString("[MASK]")
+  private val SpaceSep = UTF8String.fromString(" ")
 }
 
 /** MinHash signature: for each seed j in [0, numHashes), the min XXH64
@@ -1090,6 +1151,56 @@ case class TopCentroids(child: Expression, centroids: Seq[(Int, IndexedSeq[Float
     copy(child = newChild)
 }
 
+/** One-loop deterministic mask/span-corruption rewrite (x142/x166): the
+  * composed form — per-token keepAtRate hash + an interpreted aggregate()
+  * fold (x166) or a posexplode + per-token hash + collect_list + sort
+  * reassembly (x142) — pays one lambda dispatch (and for x166 one
+  * quadratic string concat) per token. This does the identical
+  * arithmetic (md5-bucket per CELL, not per token) in one JVM pass per
+  * row. Returns struct(n_tokens, n_spans, n_masked, out). */
+case class SpanMaskRewrite(tokens: Expression, docId: Expression,
+                           spanLen: Int, rate: Double, salt: String,
+                           numbered: Boolean)
+  extends BinaryExpression {
+
+  require(spanLen > 0, s"span_mask_rewrite: spanLen=$spanLen")
+  require(rate >= 0 && rate <= 1, s"span_mask_rewrite: rate=$rate")
+
+  override def left: Expression = tokens
+  override def right: Expression = docId
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_spans", LongType, nullable = false),
+    StructField("n_masked", LongType, nullable = false),
+    StructField("out", StringType, nullable = false)))
+  override def prettyName: String = "span_mask_rewrite"
+
+  override def checkInputDataTypes(): TypeCheckResult = (tokens.dataType, docId.dataType) match {
+    case (ArrayType(StringType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (t, d) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, BIGINT), got (${t.sql}, ${d.sql})")
+  }
+
+  @transient private lazy val saltU8: UTF8String = UTF8String.fromString(salt)
+
+  override def nullSafeEval(toks: Any, id: Any): Any =
+    NativeOps.spanMaskRewrite(toks.asInstanceOf[ArrayData],
+      id.asInstanceOf[Long], spanLen, rate, saltU8, numbered)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", saltU8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.spanMaskRewrite(" +
+        s"$t, $d, $spanLen, $rate, $saltRef, $numbered);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(tokens = newLeft, docId = newRight)
+}
+
 object NativeExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -1113,6 +1224,10 @@ object NativeExpressions {
       scores.map(_.toIndexedSeq).toIndexedSeq, minUd, k))
   def substringHits(text: Column, patterns: Seq[String]): Column =
     column(SubstringHits(expression(text), patterns))
+  def spanMaskRewrite(tokens: Column, docId: Column, spanLen: Int,
+                      rate: Double, salt: String, numbered: Boolean): Column =
+    column(SpanMaskRewrite(expression(tokens), expression(docId),
+      spanLen, rate, salt, numbered))
   def interleaveBits(a: Column, b: Column, bits: Int): Column =
     column(InterleaveBits(expression(a), expression(b), bits))
   def sortedArrayContains(arr: Column, key: Column): Column =

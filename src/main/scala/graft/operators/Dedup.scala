@@ -107,11 +107,30 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .select("gram")
     val rg = grams.join(rare, "gram")
-    val a = rg.select(col("gram"), col("lang"), col("doc_id").as("d1"))
-    val b = rg.select(col("gram"), col("lang"), col("doc_id").as("d2"))
-    a.join(b, Seq("gram", "lang"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("lang"), col("d1"), col("d2"))
+    // Pairs come from WITHIN each gram's occurrence group, not from a
+    // self-join: the old a(rg) JOIN b(rg) plan built the whole
+    // scan -> shingle -> df-agg -> prune pipeline once per join side
+    // (a broadcast build side is a separate physical subtree — never
+    // exchange-reused) and re-shuffled the gram stream a third time on
+    // (gram, lang). collect_list per gram is safe ONLY because the df
+    // prune has already run — every group is <= maxDf structs (guide
+    // §2.3/§2.4: fewer passes, fewer exchanges; the pair fan-out now
+    // happens after the one aggregation instead of inside a join).
+    // (A fused one-pass form — df count + capped occurrence list in a
+    // single aggregate over the unpruned stream — was measured 15-40%
+    // SLOWER at sf0.1 across the whole x03 consumer family: with a
+    // corpus-cardinality group-by, the TypedImperativeAggregate falls
+    // back to sort-based aggregation and sorts the full gram stream
+    // per partition. Reverted; see OPTIMIZATION_r19.md.)
+    val byGram = rg.groupBy(col("gram"))
+      .agg(collect_list(struct(col("lang"), col("doc_id"))).as("_occ"))
+    byGram
+      .select(explode(col("_occ")).as("_a"), col("_occ"))
+      .select(col("_a"), explode(col("_occ")).as("_b"))
+      .filter(col("_a.lang") === col("_b.lang") &&
+        col("_a.doc_id") < col("_b.doc_id"))
+      .groupBy(col("_a.lang").as("lang"),
+        col("_a.doc_id").as("d1"), col("_b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= minInter)
   }
@@ -1504,9 +1523,16 @@ object Dedup {
     // LENGTH filter rides the candidate join (classic PPJoin, lossless:
     // J ≥ t forces t·|x| ≤ |y| ≤ |x|/t — union ≥ max, inter ≤ min);
     // t is dyadic so the double compares are exact
+    // MERGE hint (the minhashLshPairs discipline): the prefix-gram
+    // self-join's broadcast build side re-ran the entire shingle ->
+    // df-agg -> prefix-slice pipeline; as a shuffle join both sides'
+    // exchanges canonicalize identically and ReusedExchange computes
+    // the pipeline once (guide §2.4) — a no-op at cluster scale where
+    // the planner never broadcast this side to begin with.
     val pg = prefix
       .select(col("doc_id"), col("_n"), posexplode(col("_pref")))
       .select(col("doc_id"), col("_n"), (col("pos") + 1).as("_p"), col("col").as("gram"))
+      .hint("merge")
     val cand = pg.as("a").join(pg.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           lit(t) * col("a._n") <= col("b._n") &&
@@ -1523,7 +1549,16 @@ object Dedup {
       .filter((lit(1) + least(col("_na") - col("_pa"), col("_nb") - col("_pb")))
         * lit(1 + t) >= lit(t) * (col("_na") + col("_nb")))
       .select(col("d1"), col("d2"))
-    jaccardVerify(cand, sh, t)
+    // the verify must not re-shingle the whole corpus twice: cache the
+    // (pair-bounded) candidate set once and semi-join the corpus down to
+    // candidate ids before the double-referenced shingle subtree runs
+    // (the verifiedNearDupPairs discipline; semantics-free — the verify
+    // joins are inner on candidate ids)
+    val candC = graft.core.Caches.bounded(cand)
+    val candIds = candC
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    jaccardVerify(candC,
+      shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n), t)
   }
 
   /** x76: the complete Jaccard-0.5 similarity join over 3-gram shingle
@@ -2154,13 +2189,30 @@ object Dedup {
     * the exact-Jaccard verify join only touches candidate pairs. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 16,
                       rowsPerBand: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
-    val buckets = minhashBuckets(docs, n, bands, rowsPerBand)
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    jaccardVerify(cand, shingled(docs, n), jaccardThreshold)
+    // MERGE hint on the bucket self-join: a broadcast build side is a
+    // SEPARATE physical subtree, so the whole scan -> shingle -> 64-hash
+    // signature pipeline used to run once per side; a shuffle join's two
+    // exchanges canonicalize identically and collapse to ONE map stage
+    // via ReusedExchange (guide §2.4) — the signature is computed once
+    // at every scale (at 100 TB the planner picks SMJ anyway; the hint
+    // only removes the local-mode double build).
+    val buckets = minhashBuckets(docs, n, bands, rowsPerBand).hint("merge")
+    val cand = graft.core.Caches.bounded(
+      buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct())
+    // prune the corpus to candidate ids BEFORE the verify re-shingles it
+    // (the verifiedNearDupPairs discipline): the exact-Jaccard join only
+    // ever keeps candidate ids, so the semi-join is semantics-free and
+    // the double-referenced shingle subtree is O(candidate docs), not
+    // O(corpus)
+    val candIds = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    jaccardVerify(cand,
+      shingled(docs.join(candIds, Seq("doc_id"), "left_semi"), n),
+      jaccardThreshold)
   }
 
   /** Incremental near-dup: pairs of a NEW batch against an already-

@@ -421,26 +421,23 @@ object DocPrep {
     * row) → per-doc ordered reassembly. */
   def mlmMaskAudit(docs: DataFrame, rate: Double = MaskRate): DataFrame = {
     require(rate >= 0 && rate <= 1, s"mlmMaskAudit: rate=$rate")
-    val toks = docs
-      .select(col("doc_id"), posexplode(TextAnalysis.wsTokens(col("text"))))
-      .toDF("doc_id", "pos", "tok")
-    val masked = toks.withColumn("m",
-      graft.operators.Sampling.keepAtRate(
-        concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string")),
-        "mask", lit(rate)))
-    val per = masked
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"),
-            when(col("m"), lit("[MASK]")).otherwise(col("tok")).as("t")))),
-          s => s.getField("t"))).as("out"))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+    // ONE in-row pass (the x166 shape): the old plan posexploded every
+    // token, md5-hashed each, and re-assembled docs via a corpus-wide
+    // groupBy + collect_list + array_sort — a full token-grain shuffle
+    // and a doc-grain join purely to rebuild what a single projection
+    // computes in place (guide §2.4: remove shuffles outright; §1.1
+    // first-principles — the decision is per (doc, pos), so nothing
+    // here fundamentally needs an exchange). The native expression is
+    // keepAtRate's exact arithmetic per position (spec-gated by the
+    // independent-hash-recomputation test).
+    val sig = graft.functions.expressions.NativeExpressions.spanMaskRewrite(
+      TextAnalysis.wsTokens(col("text")), col("doc_id"),
+      spanLen = 1, rate = rate, salt = "mask", numbered = false)
+    docs.select(col("doc_id"), sig.as("_mm"))
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
-        md5(coalesce(col("out"), lit(""))).as("masked_key"))
+        coalesce(col("_mm.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("_mm.n_masked"), lit(0L)).as("n_masked"),
+        md5(coalesce(col("_mm.out"), lit(""))).as("masked_key"))
   }
 
   def mlmMaskQuery(spark: SparkSession, dir: String): DataFrame =
@@ -480,41 +477,16 @@ object DocPrep {
                        spanLen: Int = SpanLen): DataFrame = {
     require(rate >= 0 && rate <= 1, s"spanCorruptAudit: rate=$rate")
     require(spanLen > 0, s"spanCorruptAudit: spanLen=$spanLen")
-    import graft.functions.VectorFunctions.bindArray
-    val emptyPieces =
-      array().cast("array<struct<hit:boolean,st:boolean,tok:string>>")
-    val sig = bindArray(TextAnalysis.wsTokens(col("text"))) { w =>
-      val n = size(w)
-      val pieces = when(n >= 1,
-        transform(sequence(lit(0), n - 1), i => {
-          val s = i - (i % spanLen)
-          val hit = Sampling.keepAtRate(
-            concat(col("doc_id").cast("string"), lit(":"), s.cast("string")),
-            SpanSalt, lit(rate))
-          struct(hit.as("hit"), (i === s).as("st"),
-            element_at(w, (i + 1).cast("int")).as("tok"))
-        })).otherwise(emptyPieces)
-      bindArray(pieces) { ps =>
-        val folded = aggregate(ps,
-          struct(lit(0L).as("k"), lit("").as("o")),
-          (acc, p) => {
-            val k = acc.getField("k")
-            val o = acc.getField("o")
-            def app(piece: org.apache.spark.sql.Column) =
-              when(o === "", piece).otherwise(concat(o, lit(" "), piece))
-            when(p.getField("hit") && p.getField("st"),
-              struct((k + 1L).as("k"),
-                app(concat(lit("<extra_id_"), k.cast("string"), lit(">"))).as("o")))
-              .when(p.getField("hit"), struct(k.as("k"), o.as("o")))
-              .otherwise(struct(k.as("k"), app(p.getField("tok")).as("o")))
-          })
-        struct(n.cast("long").as("n_tokens"),
-          size(filter(ps, p =>
-            p.getField("hit") && p.getField("st"))).cast("long").as("n_spans"),
-          size(filter(ps, p => p.getField("hit"))).cast("long").as("n_masked"),
-          folded.getField("o").as("out"))
-      }
-    }
+    // One native JVM pass per row (the minhashSignature precedent): the
+    // composed form evaluated an interpreted aggregate() fold whose
+    // accumulator string was re-copied at every append — O(doc_len²)
+    // bytes per document — plus one md5 per TOKEN where one per CELL
+    // decides the whole span. Identical arithmetic (keepAtRate's md5
+    // bucket, same keys, same sentinel numbering), gated bit-for-bit by
+    // the independent-JVM-reference spec and the DuckDB oracle.
+    val sig = graft.functions.expressions.NativeExpressions.spanMaskRewrite(
+      TextAnalysis.wsTokens(col("text")), col("doc_id"),
+      spanLen = spanLen, rate = rate, salt = SpanSalt, numbered = true)
     docs.select(col("doc_id"), sig.as("_sc"))
       .select(col("doc_id"),
         coalesce(col("_sc.n_tokens"), lit(0L)).as("n_tokens"),

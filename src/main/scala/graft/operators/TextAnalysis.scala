@@ -1864,10 +1864,23 @@ object TextAnalysis {
     val b = lit(buckets.toLong)
     val labeled = docs.select(col("doc_id"),
       when(positive, 1L).otherwise(0L).as("y"), col("text"))
-    val dbc = nbFeatures(labeled, buckets)
+    // explode_OUTER so a zero-feature document keeps one (bk = null)
+    // row: the scoring tail can then stay a pure aggregate over the
+    // feature stream instead of left-joining the scores back to a
+    // third corpus scan at document grain (guide §2.4 — the old plan
+    // shuffled (doc_id, y) once more and paid a doc-grain SMJ purely
+    // to re-attach prior-only docs).
+    val w = wsTokens(col("text"))
+    val dbc = labeled
+      .select(col("doc_id"), col("y"),
+        explode_outer(concat(w, graft.functions.expressions.NativeExpressions
+          .wordShinglesAll(w, 2))).as("t"))
+      .select(col("doc_id"), col("y"),
+        when(col("t").isNotNull,
+          Sampling.hashBucket(col("t"), NbSalt) % buckets).as("bk"))
       .groupBy(col("doc_id"), col("y"), col("bk"))
       .agg(count(lit(1)).as("n"))
-    val classBucket = dbc.groupBy(col("bk"))
+    val classBucket = dbc.filter(col("bk").isNotNull).groupBy(col("bk"))
       .agg(sum(when(col("y") === 1L, col("n")).otherwise(0L)).as("pc"),
         sum(when(col("y") === 0L, col("n")).otherwise(0L)).as("nc"))
     val totals = classBucket.agg(
@@ -1884,18 +1897,21 @@ object TextAnalysis {
       round(log((coalesce(sum(col("y")), lit(0L)) + lit(1L)).cast("double") /
         (count(lit(1)) - coalesce(sum(col("y")), lit(0L)) + lit(1L))
           .cast("double")), 6).cast("decimal(18,6)").as("w0"))
-    val scored = dbc.join(broadcast(weights), Seq("bk"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("wb")).as("s"))
+    // the label and the null-bk (zero-feature) rows ride the feature
+    // stream, so the report is one aggregate + two broadcasts — no
+    // doc-grain join, no third corpus scan; a zero-feature doc's single
+    // null-bk row contributes 0 to both sums (the principled
+    // prior-only posterior, exactly as before)
     val zeroS = lit(0).cast("decimal(18,6)")
-    labeled.select(col("doc_id"), col("y"))
-      .join(scored, Seq("doc_id"), "left")
+    dbc.join(broadcast(weights), Seq("bk"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(when(col("bk").isNotNull, col("n")).otherwise(0L)).as("n_feats"),
+        coalesce(sum(when(col("bk").isNotNull, col("n") * col("wb"))), zeroS)
+          .as("s"))
       .crossJoin(broadcast(prior))
-      .select(col("doc_id"), col("y"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        (col("w0") + coalesce(col("s"), zeroS)).cast("double").as("log_odds"),
-        when(col("w0") + coalesce(col("s"), zeroS) > 0, 1L).otherwise(0L)
-          .as("pred"))
+      .select(col("doc_id"), col("y"), col("n_feats"),
+        (col("w0") + col("s")).cast("double").as("log_odds"),
+        when(col("w0") + col("s") > 0, 1L).otherwise(0L).as("pred"))
   }
 
   /** The x155 queries() face: the x16/x151 seed convention — src0/src1
