@@ -243,7 +243,8 @@ object TextAnalysis {
     // all EARLIER patterns already redacted
     val (_, fields) = patterns.foldLeft((text, Seq.empty[Column])) {
       case ((cur, acc), (name, pat)) =>
-        val counted = size(regexp_extract_all(cur, lit(pat), lit(0)))
+        // regexp_count: same integer, no per-match string materialization
+        val counted = regexp_count(cur, lit(pat))
           .as(s"n_${name.toLowerCase(java.util.Locale.ROOT)}")
         (regexp_replace(cur, pat, s"<$name>"), acc :+ counted)
     }
@@ -1697,12 +1698,15 @@ object TextAnalysis {
   /** x148's count columns and score expression, shared verbatim with
     * the x163 fused panel (identity by construction). */
   private[graft] def readabilityBaseCols: Seq[Column] = {
+    // regexp_count, not size(regexp_extract_all(...)): same integers,
+    // but the extract form materializes every match string (one per
+    // vowel group!) just to count them — the x09/x112 discipline,
+    // applied late here
     val words = size(wsTokens(col("text"))).cast("long")
     val sents = greatest(
-      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"),
       lit(1L))
-    val syls = size(regexp_extract_all(lower(col("text")),
-      lit("[aeiouy]+"), lit(0))).cast("long")
+    val syls = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
     Seq(words.as("n_words"), sents.as("n_sentences"), syls.as("n_syllables"))
   }
 
