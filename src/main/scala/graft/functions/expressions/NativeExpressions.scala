@@ -545,6 +545,44 @@ object NativeOps {
 
   private val MaskSentinel = UTF8String.fromString("[MASK]")
   private val SpaceSep = UTF8String.fromString(" ")
+
+  /** Gopher token stats in one pass: (n_alpha, n_stop) where n_alpha
+    * counts tokens containing an ASCII letter (identical to
+    * `rlike("[A-Za-z]")` — [A-Za-z] are single UTF-8 bytes and
+    * multi-byte sequences always have the high bit set, so a byte scan
+    * cannot false-positive) and n_stop counts DISTINCT stop words
+    * present (identical to size(array_intersect(array_distinct(toks),
+    * stops)) — each stop counted at most once). */
+  def gopherTokenStats(toks: ArrayData, stops: Array[UTF8String]): InternalRow = {
+    val n = toks.numElements()
+    var alpha = 0L
+    val seen = new Array[Boolean](stops.length)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val b = t.getBytes
+        var j = 0
+        var has = false
+        while (j < b.length && !has) {
+          val c = b(j)
+          has = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+          j += 1
+        }
+        if (has) alpha += 1
+        var s = 0
+        while (s < stops.length) {
+          if (!seen(s) && stops(s).equals(t)) seen(s) = true
+          s += 1
+        }
+      }
+      i += 1
+    }
+    var nStop = 0L
+    var s = 0
+    while (s < seen.length) { if (seen(s)) nStop += 1; s += 1 }
+    InternalRow(alpha, nStop)
+  }
 }
 
 /** MinHash signature: for each seed j in [0, numHashes), the min XXH64
@@ -1201,6 +1239,46 @@ case class SpanMaskRewrite(tokens: Expression, docId: Expression,
     copy(tokens = newLeft, docId = newRight)
 }
 
+/** One-pass gopher token stats (x147/x163/x168): replaces the
+  * interpreted per-token `filter(toks, _.rlike("[A-Za-z]"))` lambda and
+  * the array_distinct + array_intersect allocation for the stop-word
+  * count with a single JVM loop. Returns struct(n_alpha, n_stop). */
+case class GopherTokenStats(tokens: Expression, stops: Seq[String])
+  extends UnaryExpression {
+
+  require(stops.nonEmpty, "gopher_token_stats: empty stop list")
+
+  override def child: Expression = tokens
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def prettyName: String = "gopher_token_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+  }
+
+  @transient private lazy val stopsU8: Array[UTF8String] =
+    stops.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(toks: Any): Any =
+    NativeOps.gopherTokenStats(toks.asInstanceOf[ArrayData], stopsU8)
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val stopsRef = ctx.addReferenceObj("stops", stopsU8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.NativeOps.gopherTokenStats(" +
+        s"$c, $stopsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(tokens = newChild)
+}
+
 object NativeExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -1228,6 +1306,8 @@ object NativeExpressions {
                       rate: Double, salt: String, numbered: Boolean): Column =
     column(SpanMaskRewrite(expression(tokens), expression(docId),
       spanLen, rate, salt, numbered))
+  def gopherTokenStats(tokens: Column, stops: Seq[String]): Column =
+    column(GopherTokenStats(expression(tokens), stops))
   def interleaveBits(a: Column, b: Column, bits: Int): Column =
     column(InterleaveBits(expression(a), expression(b), bits))
   def sortedArrayContains(arr: Column, key: Column): Column =

@@ -416,9 +416,10 @@ object DocPrep {
     * md5 of the masked text ('[MASK]' substituted in place) — the
     * content key that pins the full rewrite without shipping it.
     *
-    * Shape: one scan → positional token explode → pure projection for
-    * the mask decision (no shuffle — the decision is a hash of the
-    * row) → per-doc ordered reassembly. */
+    * Shape: one scan → ONE in-row native pass (the x166 expression with
+    * spanLen = 1) — no explode, no shuffle, its own streaming face;
+    * the decision is a hash of (doc, pos), so nothing here needs an
+    * exchange. */
   def mlmMaskAudit(docs: DataFrame, rate: Double = MaskRate): DataFrame = {
     require(rate >= 0 && rate <= 1, s"mlmMaskAudit: rate=$rate")
     // ONE in-row pass (the x166 shape): the old plan posexploded every

@@ -1655,12 +1655,20 @@ object TextAnalysis {
   /** x147's metric columns and verdict expression, shared verbatim
     * with the x163 fused panel (identity by construction). */
   private[graft] def gopherBaseCols: Seq[Column] = {
+    // One native pass for the per-token stats (the x142/x166
+    // discipline): the composed form paid an interpreted lambda + regex
+    // per token for n_alpha and an array_distinct + array_intersect
+    // allocation for n_stop; n_chars drops the regexp_replace that
+    // built a whole new string just to measure it (the x09 n_nonspace
+    // idiom — length minus single-space match count, same integer).
     val toks = wsTokens(col("text"))
-    val stops = array(GopherStops.map(lit): _*)
+    val ts = graft.functions.expressions.NativeExpressions
+      .gopherTokenStats(toks, GopherStops)
     Seq(size(toks).cast("long").as("n_tokens"),
-      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
-      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-      size(array_intersect(array_distinct(toks), stops)).cast("long").as("n_stop"))
+      (length(col("text")) - regexp_count(col("text"), lit(" ")))
+        .cast("long").as("n_chars"),
+      ts.getField("n_alpha").as("n_alpha"),
+      ts.getField("n_stop").as("n_stop"))
   }
 
   private[graft] def gopherAdmittedExpr: Column =
@@ -1856,12 +1864,13 @@ object TextAnalysis {
     * Scale shape: the per-(doc, y, bk) aggregate is referenced twice
     * (class-conditional marginals and scoring) — both subtrees root in
     * the same exchange, which runtime exchange reuse collapses (the
-    * x153 discipline); the label rides the feature stream so no
-    * doc-grain join happens before the final report join. The weight
-    * and prior tables are B-row / 1-row broadcasts; the corpus never
-    * shuffles wider than (doc_id, y, bucket, count). Zero-feature docs
-    * score the PRIOR alone (n_feats 0) — the principled posterior, not
-    * a null. */
+    * x153 discipline); the label AND the zero-feature docs ride the
+    * feature stream (explode_outer keeps a null-bucket row), so the
+    * report is the scoring aggregate itself — no doc-grain join
+    * anywhere. The weight and prior tables are B-row / 1-row
+    * broadcasts; the corpus never shuffles wider than
+    * (doc_id, y, bucket, count). Zero-feature docs score the PRIOR
+    * alone (n_feats 0) — the principled posterior, not a null. */
   def nbQualityClassifier(docs: DataFrame, positive: Column,
                           buckets: Int = NbBuckets): DataFrame = {
     require(buckets > 0, s"nbQualityClassifier: buckets=$buckets")
